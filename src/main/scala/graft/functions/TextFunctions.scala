@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the LLM-training-data pipeline
+  * surface: tokenization, shingling, quality metrics, language ID,
+  * fingerprinting. All pure built-in compositions (codegen'd, no UDFs), so
+  * they hold up in 100 TB scans; every one of them has a textually-parallel
+  * DuckDB formulation used by the correctness oracles.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space split — the corpus is single-space
+    * separated; `split` drops nothing so counts match `string_split` in
+    * DuckDB). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct token set (order not guaranteed — use for set ops only). */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** Word n-gram shingles as strings ("w1 w2 w3"), distinct.
+    * A document shorter than n words has zero shingles. */
+  def shingles(text: Column, n: Int): Column = {
+    val ws = tokens(text)
+    // NB: Spark's sequence(0, -1) DESCENDS ([0, -1]) rather than returning
+    // empty — guard short docs explicitly.
+    val idx = when(size(ws) >= n, sequence(lit(0), size(ws) - n))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(
+      transform(idx, i =>
+        concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*)))
+  }
+
+  /** Stopword-hit count against a small inline lexicon. */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(array_intersect(tokens(text), array(stopwords.map(lit): _*)))
+
+  /** Per-language stopword lexica for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose: broadcast as literals into codegen. */
+  val langLexica: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "a", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
+  )
+
+  /** Language-ID: argmax stopword-hit count over the lexica; ties broken by
+    * lexicon order ("en" first); zero hits everywhere → "und" (undetermined).
+    * Heuristic n-gram/stopword language ID in the spirit of fastText-style
+    * baselines, but fully declarative. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langLexica.map { case (lang, words) =>
+      (lang, size(array_intersect(toks, array(words.map(lit): _*))))
+    }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    scored.foldRight(lit("und")) { case ((lang, score), els) =>
+      when(score === best && score > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Exact-dup fingerprint: md5 of the raw text (DuckDB `md5(text)` is
+    * bit-identical). */
+  def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
+
+  /** 64-bit content fingerprint via xxhash64 — the engine-internal rolling
+    * fingerprint (no cross-engine oracle; covered by property tests). */
+  def fingerprint64(text: Column): Column = xxhash64(text)
+}

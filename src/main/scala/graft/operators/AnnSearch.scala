@@ -1,0 +1,104 @@
+package graft.operators
+
+import graft.functions.{VectorExpressions, VectorOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`): cosine
+  * top-k. Two paths:
+  *  - [[bruteForceTopK]] — the exact baseline: query×build candidate join +
+  *    per-query top-k window. O(|Q|·|B|) pairs; correct at any scale where
+  *    |Q| is bounded (the common "probe a batch of queries" shape).
+  *  - [[ivfTopK]] — the scale path: IVF-style inverted file. K-means-lite
+  *    centroids (deterministic seeded sample refined by a few Lloyd rounds,
+  *    all DataFrame aggs), every build vector assigned to its nearest
+  *    centroid, queries probe only the `nProbe` nearest centroids. Candidate
+  *    set shrinks by ~nProbe/nCentroids; recall is tested against the exact
+  *    path in AnnSearchSpec.
+  */
+object AnnSearch {
+
+  /** cos(a,b) — identical formula to the DuckDB oracle:
+    * dot / sqrt(norm2(a)*norm2(b)), all double. */
+  private def cosineCol = {
+    val dp = VectorExpressions.dotProduct(col("a_v"), col("b_v"))
+    val na = VectorExpressions.dotProduct(col("a_v"), col("a_v"))
+    val nb = VectorExpressions.dotProduct(col("b_v"), col("b_v"))
+    dp / sqrt(na * nb)
+  }
+
+  /** Exact top-k by cosine for each query row.
+    * @param queries (`a_id`, `a_v`); @param build (`b_id`, `b_v`)
+    * @return (`a_id`, `nbr_id`, `rnk`) — rnk 1..k by cosine desc, ties by
+    *         nbr_id. */
+  def bruteForceTopK(queries: DataFrame, build: DataFrame, k: Int): DataFrame =
+    queries.join(build, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), cosineCol.as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id")))
+        .cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("a_id"), col("b_id").as("nbr_id"), col("rnk"))
+
+  /** Deterministic centroid table: seeded sample of build vectors refined
+    * by `iters` Lloyd rounds (mean of assigned vectors — pure aggs).
+    * @return (`c_id`: int, `c_v`: array<double>) */
+  def centroids(build: DataFrame, nCentroids: Int, iters: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val dim = build.select(size(col("b_v"))).first().getInt(0)
+    var cents = build.orderBy(xxhash64(col("b_id"), lit(seed)))
+      .limit(nCentroids)
+      .select(row_number().over(Window.orderBy(col("b_id"))).cast("int").as("c_id"),
+        col("b_v").cast("array<double>").as("c_v"))
+    for (_ <- 0 until iters) {
+      val assigned = assign(build, cents)
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("b_v"), i + 1).cast("double")).as(s"s$i"))
+      val newCents = assigned.groupBy("c_id")
+        .agg(sums.head, sums.tail: _*)
+        .join(assigned.groupBy("c_id").agg(count(lit(1)).as("n")), "c_id")
+        .select(col("c_id"),
+          array((0 until dim).map(i => col(s"s$i") / col("n")): _*).as("c_v"))
+      cents = newCents.localCheckpoint()
+    }
+    cents
+  }
+
+  /** Nearest centroid per build vector (broadcast the centroid table —
+    * it is tiny by construction). @return build columns + `c_id`. */
+  private def assign(build: DataFrame, cents: DataFrame): DataFrame = {
+    val d2 = VectorExpressions.squaredL2(
+      col("b_v").cast("array<double>"), col("c_v"))
+    build.crossJoin(broadcast(cents))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("b_id").orderBy(d2, col("c_id"))))
+      .filter(col("rk") === 1)
+      .drop("rk", "c_v")
+  }
+
+  /** IVF approximate top-k: probe the `nProbe` nearest centroids per query,
+    * exact cosine + window inside the probed cells only. */
+  def ivfTopK(queries: DataFrame, build: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int): DataFrame = {
+    val cents = centroids(build, nCentroids).persist()
+    val buildIdx = assign(build, cents) // (b_id, b_v, c_id)
+
+    val qd2 = VectorExpressions.squaredL2(
+      col("a_v").cast("array<double>"), col("c_v"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("a_id").orderBy(qd2, col("c_id"))))
+      .filter(col("rk") <= nProbe)
+      .select(col("a_id"), col("a_v"), col("c_id"))
+
+    probes.join(buildIdx, "c_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), cosineCol.as("cos"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id")))
+        .cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("a_id"), col("b_id").as("nbr_id"), col("rnk"))
+  }
+}

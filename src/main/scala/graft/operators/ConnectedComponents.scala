@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import scala.collection.mutable
+
+/** Distributed connected components over an edge list — the Spark
+  * re-expression of the reference's distributed union-find merge
+  * (`dbscan.cpp:637-1038`: local Rem's union-find per rank + interleaved
+  * MPI merge rounds until an Allreduce fixpoint).
+  *
+  * Two phases, exactly mirroring the reference's structure:
+  *
+  *  1. **Local contraction** (≈ the local REMS union-find,
+  *     `dbscan.cpp:764-788`): each partition runs an in-memory union-find
+  *     over its slice of the edge list and emits star edges
+  *     `(node, localMinRoot)`. This collapses every partition-local path to
+  *     depth 1 — after this phase the graph's effective diameter is the
+  *     number of cross-partition hops, not the raw path length (a
+  *     8000-node chain in one partition contracts in a single pass).
+  *  2. **Global merge** (≈ the interleaved merge rounds,
+  *     `dbscan.cpp:847-1012`): iterative min-label propagation with
+  *     pointer jumping on the contracted star graph; converges in
+  *     O(log(#cross-partition hops)) rounds. The driver-side changed-count
+  *     is the analog of the reference's `MPI_Allreduce` fixpoint test
+  *     (`dbscan.cpp:1007-1010`). `localCheckpoint` truncates lineage so
+  *     plans stay flat at scale.
+  *
+  * The final label is the **minimum node id of the component** — a
+  * deterministic, partition-count-invariant canonical form (the reference
+  * instead tie-breaks unions by global position, `dbscan.cpp:950-977`, and
+  * its merge demonstrably loses clusters as ranks grow,
+  * `Progress-5-Nov-19.txt:9-29`; ours cannot).
+  */
+object ConnectedComponents {
+
+  private val starSchema = StructType(Seq(
+    StructField("src", LongType, nullable = false),
+    StructField("dst", LongType, nullable = false)))
+
+  /** Partition-local union-find contraction: edges → star edges
+    * (node, min root of its partition-local component). Output size =
+    * #distinct nodes per partition ≤ 2×edges, depth always 1. */
+  private def contract(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val rdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .rdd.mapPartitions { it =>
+        val parent = mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          // path compression
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { row =>
+          val a = find(row.getLong(0)); val b = find(row.getLong(1))
+          if (a != b) {
+            val lo = math.min(a, b); val hi = math.max(a, b)
+            parent(hi) = lo
+          }
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        }
+        // materialize keys first: find() path-compresses (mutates values)
+        val ks = parent.keys.toArray
+        ks.iterator.map(n => Row(n, find(n)))
+      }
+    spark.createDataFrame(rdd, starSchema)
+  }
+
+  /** @param edges DataFrame with long columns (`src`, `dst`); treated as
+    *              undirected. Isolated nodes can be passed as self-loops.
+    * @return (`id`, `comp`) — comp = min node id in the component.
+    */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    // Phase 1: partition-local contraction to star edges.
+    val stars = contract(edges).persist()
+
+    // Symmetric closure of the star graph for propagation.
+    val sym = stars
+      .union(stars.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .persist()
+
+    var labels = stars
+      .select(col("src").as("id"), least(col("src"), col("dst")).as("comp"))
+      .groupBy("id").agg(min("comp").as("comp"))
+      .localCheckpoint()
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // 1. candidate labels: own + min over neighbors (one join + agg)
+      val cand = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("comp"))
+        .union(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
+      // 2. pointer jump: comp ← min(comp, comp(comp)) — labels are node
+      //    ids, so the lookup is a self-join; halves chains each round
+      val compOf = cand.select(col("id").as("cid"), col("comp").as("ccomp"))
+      val next = cand.join(compOf, cand("comp") === compOf("cid"), "left")
+        .select(cand("id"),
+          least(cand("comp"), coalesce(col("ccomp"), cand("comp"))).as("comp"))
+        .localCheckpoint()
+
+      val changed = next.as("n")
+        .join(labels.withColumnRenamed("comp", "oldComp"), "id")
+        .filter(col("comp") =!= col("oldComp"))
+        .count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    sym.unpersist()
+    stars.unpersist()
+    labels
+  }
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora — the standard
+  * training-data pipeline family: exact (hash), exact n-gram Jaccard
+  * similarity join, MinHash+LSH near-dup, SimHash near-dup.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup is one hash shuffle (groupBy fingerprint);
+  *  - the Jaccard join is an inverted-index equi-join on shingles — never a
+  *    cross join: cost is Σ_shingle df(shingle)², bounded by dropping
+  *    ultra-frequent shingles (`maxDocFreq`) exactly like stopword pruning
+  *    in ppjoin-family algorithms;
+  *  - MinHash-LSH replaces the candidate step by band-bucket equi-joins
+  *    (b × one shuffle each, unioned) and only exact-verifies candidates;
+  *  - SimHash reduces each doc to one int64; near-dup = band equi-join on
+  *    rotated fingerprints, Hamming-verified.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the minimum id per identical text.
+    * @return (`idCol`) — survivor ids. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** Distinct word-n-gram shingles per doc: (`id`, `shingle`). */
+  private def shingleTable(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+
+  /** Exact n-gram Jaccard similarity self-join via inverted index.
+    * @return (`a_id`, `b_id`, `jac`) with a_id < b_id and jac ≥ minJaccard.
+    * @param maxDocFreq shingles appearing in more docs than this are dropped
+    *   from the index (they only generate candidate pairs, never decide
+    *   membership alone; with verification through intersection counts this
+    *   changes recall only for pairs whose ENTIRE overlap is ultra-frequent
+    *   shingles — disabled by default (Int.MaxValue) for exactness. */
+  def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n).persist()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+
+    val index =
+      if (maxDocFreq == Int.MaxValue) sh
+      else {
+        val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select("shingle")
+        sh.join(rare, "shingle")
+      }
+
+    val inter = index.as("x").join(index.as("y"), "shingle")
+      .filter(col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+
+    val out = inter
+      .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter"))).as("jac"))
+      .filter(col("jac") >= minJaccard)
+    out
+  }
+
+  /** MinHash signatures: for each of k hash functions, the minimum
+    * xxhash64(shingle, seed) over the doc's shingles.
+    * @return (`id`, `sig`: array<long> of length k). */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val mins = (0 until k).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** MinHash-LSH candidate pairs: docs sharing ≥1 of `bands` bands (each of
+    * `rowsPerBand` signature positions). One shuffle per band... unioned,
+    * then distinct. @return (`a_id`, `b_id`), a_id < b_id. */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("key"))): _*))
+        .as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup join, exact-verified: LSH candidates filtered by
+    * TRUE n-gram Jaccard ≥ minJaccard. Output identical to
+    * [[jaccardJoin]] up to LSH recall (tune bands/rowsPerBand so the
+    * candidate probability at minJaccard is ≈1).
+    * @return (`a_id`, `b_id`, `jac`). */
+  def minHashJoin(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minJaccard: Double, k: Int = 128, bands: Int = 32): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = minHashSignatures(docs, idCol, textCol, n, k)
+    val cand = lshCandidates(sigs, bands, rowsPerBand)
+
+    val sh = shingleTable(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // verify candidates only: join candidate pairs into the shingle index
+    val inter = cand
+      .join(sh.select(col("id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
+      .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter"))).as("jac"))
+      .filter(col("jac") >= minJaccard)
+  }
+
+  /** SimHash 64-bit fingerprint per doc: sign of the per-bit sum of token
+    * hash bits. Pure relational: explode tokens → 64 per-bit ±1 sums →
+    * assemble the fingerprint with shiftleft/or — stays in whole-stage
+    * codegen (no UDF, no UDAF).
+    * @return (`id`, `simhash`: long). */
+  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextFunctions.tokenSet(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j"))
+    val summed = toks.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    summed.select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ maxHamming. Candidate step:
+    * split the 64-bit fingerprint into `maxHamming + 1` bands (pigeonhole:
+    * any pair within the radius agrees on ≥1 full band), equi-join per band,
+    * verify with bit_count(xor). @return (`a_id`, `b_id`, `hamming`). */
+  def simHashJoin(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val banded = hashes.select(col("id"), col("simhash"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.functions.{VectorExpressions, VectorOps}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fixed-radius spatial self-join: all ordered pairs (a, b), a ≠ b, with
+  * ‖a − b‖² ≤ ε². This is the reference's central relational operation —
+  * kd-tree radius query per point (`kdtree2.cpp:382-401`, `:606-665`)
+  * plus the ε-halo ghost exchange (`geometric_partitioning.cpp:32-235`)
+  * — re-expressed as one declarative grid-bucketed equi-join that
+  * Catalyst plans as a shuffled hash/sort-merge join.
+  *
+  * Scheme (the classic cell-replication trick):
+  *  - every point gets a home cell = `floor(coord/ε)` over k bucketed dims;
+  *  - the probe side replicates each point to its home cell and all 3^k−1
+  *    adjacent cells; the build side stays in its home cell only, so each
+  *    ordered pair is produced exactly once;
+  *  - an exact codegen'd distance filter decides membership.
+  *
+  * Scale notes (100 TB):
+  *  - k is capped (default ≤ 3) so probe-side replication is ≤ 27×; dims
+  *    are chosen by spread/ε so the grid actually prunes (a dim whose range
+  *    spans < minCellsPerDim cells adds replication without pruning and is
+  *    skipped — in the degenerate case k = 0 this becomes an explicit
+  *    cross join, correct but only acceptable for small inputs).
+  *  - the join is a pure equi-join on `array<long>` cell keys: partition
+  *    pruning by cell adjacency is by construction (the reference's
+  *    box-overlap pruning, `geometric_partitioning.cpp:92-114`, for free);
+  *  - AQE handles skewed (dense) cells; for pathological skew add salting
+  *    on the build side within a cell.
+  */
+object EpsilonJoin {
+
+  /** Pick bucket dims by spread: dims whose data range covers at least
+    * `minCellsPerDim` ε-cells, widest first, at most `maxDims` (mirrors the
+    * reference's widest-dimension split heuristic,
+    * `geometric_partitioning.cpp:430-437`). One aggregate pass. */
+  def pickBucketDims(points: DataFrame, vecCol: String, eps: Double,
+      maxDims: Int = 3, minCellsPerDim: Int = 4): Seq[Int] = {
+    val dim = points.select(size(col(vecCol))).first().getInt(0)
+    val aggs = (0 until dim).flatMap { d =>
+      val c = element_at(col(vecCol), d + 1).cast("double")
+      Seq(min(c).as(s"mn$d"), max(c).as(s"mx$d"))
+    }
+    val row = points.agg(aggs.head, aggs.tail: _*).first()
+    val ranges = (0 until dim).map(d =>
+      d -> (row.getDouble(2 * d + 1) - row.getDouble(2 * d)))
+    ranges
+      .filter { case (_, r) => r / eps >= minCellsPerDim }
+      .sortBy { case (d, r) => (-r, d) }
+      .take(maxDims)
+      .map(_._1)
+  }
+
+  /** All 3^k neighbor-cell offsets (including the zero offset). */
+  private[graft] def offsets(k: Int): Seq[Seq[Int]] =
+    (0 until k).foldLeft(Seq(Seq.empty[Int])) { (acc, _) =>
+      for (o <- acc; d <- -1 to 1) yield o :+ d
+    }
+
+  /** Ordered neighbor pairs `(a_id, b_id, d2)` with d2 ≤ ε², a ≠ b.
+    * Each ordered pair appears exactly once. */
+  def selfJoin(points: DataFrame, idCol: String, vecCol: String,
+      eps: Double, bucketDims: Seq[Int]): DataFrame = {
+    val k = bucketDims.size
+    val cell: Column => Column = VectorOps.cellId(_, eps, bucketDims)
+
+    val build = points.select(
+      col(idCol).as("b_id"), col(vecCol).as("b_v"),
+      cell(col(vecCol)).as("cell"))
+
+    val offCol = typedlit(offsets(k))
+    val probe = points.select(
+      col(idCol).as("a_id"), col(vecCol).as("a_v"),
+      cell(col(vecCol)).as("home"))
+      .withColumn("off", explode(offCol))
+      .select(col("a_id"), col("a_v"),
+        zip_with(col("home"), col("off"), (h, o) => h + o.cast("long")).as("cell"))
+
+    val d2 = VectorExpressions.squaredL2(col("a_v"), col("b_v"))
+    probe.join(build, "cell")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), d2.as("d2"))
+      .filter(col("d2") <= lit(eps * eps))
+  }
+
+  /** selfJoin with automatic bucket-dim selection. */
+  def selfJoinAuto(points: DataFrame, idCol: String, vecCol: String,
+      eps: Double, maxDims: Int = 3): DataFrame =
+    selfJoin(points, idCol, vecCol, eps,
+      pickBucketDims(points, vecCol, eps, maxDims))
+}

@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.io.{DataInputStream, EOFException, FileInputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Reader for the reference's binary point format (op S-1,
+  * `clusters.cpp:128-224`; format documented at reference `README:49-52`):
+  * little-endian header `(num_points: int32, dims: int32)` followed by
+  * `num_points × dims` float32 coordinates, row-major.
+  *
+  * Distribution mirrors the reference's block read — rank r seeks to its
+  * contiguous row range (`clusters.cpp:156-189`) — as one Spark task per
+  * row range: the driver reads only the 8-byte header, then parallelizes
+  * (start, count) ranges; each task opens the file and reads its slice.
+  * Point ids are the global row number (derived from the file offset, so
+  * they are stable across partition counts — needed for the canonical
+  * min-id cluster labels).
+  *
+  * At 100 TB one would register this as a DataSourceV2 `FileFormat` with
+  * proper split planning over an object store; for the single-file local
+  * layout the explicit range parallelization below produces the identical
+  * task structure.
+  */
+object BinaryPoints {
+
+  val schema: StructType = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  /** Read header only: (numPoints, dims). */
+  def header(path: String): (Int, Int) = {
+    val in = new DataInputStream(new FileInputStream(path))
+    try {
+      val buf = new Array[Byte](8)
+      in.readFully(buf)
+      val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+      (bb.getInt, bb.getInt)
+    } finally in.close()
+  }
+
+  def read(spark: SparkSession, path: String,
+      numPartitions: Int = 0): DataFrame = {
+    val (n, d) = header(path)
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else math.max(1, math.min(spark.sparkContext.defaultParallelism,
+        math.max(1, n / 4096)))
+    val per = (n + parts - 1) / parts
+    val ranges = (0 until parts)
+      .map(p => (p.toLong * per, math.min(per.toLong, n - p.toLong * per)))
+      .filter(_._2 > 0)
+
+    val rdd = spark.sparkContext
+      .parallelize(ranges, ranges.size)
+      .flatMap { case (start, cnt) =>
+        val in = new FileInputStream(path)
+        val ch = in.getChannel
+        ch.position(8L + start * d * 4L)
+        val dis = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 20))
+        val rowBytes = new Array[Byte](d * 4)
+        new Iterator[Row] {
+          private var i = 0L
+          override def hasNext: Boolean = {
+            val h = i < cnt
+            if (!h) dis.close()
+            h
+          }
+          override def next(): Row = {
+            try dis.readFully(rowBytes)
+            catch { case e: EOFException => dis.close(); throw e }
+            val bb = ByteBuffer.wrap(rowBytes).order(ByteOrder.LITTLE_ENDIAN)
+            val fs = new Array[Float](d)
+            var j = 0
+            while (j < d) { fs(j) = bb.getFloat; j += 1 }
+            i += 1
+            Row(start + i - 1, fs.toSeq)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.{Dbscan, EpsilonJoin}
+import graft.sources.BinaryPoints
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Label-level DBSCAN correctness against the sequential brute-force oracle,
+  * on the reference's own 2-D dataset t4.8k.bin (8000×2, harness params
+  * eps=10 minPts=20, reference `manyTests.py:29-55`). Because the engine's
+  * labels are canonical (min-id components, dense ids by component key),
+  * equality is EXACT, not up-to-relabeling.
+  */
+class DbscanSpec extends SparkSpec {
+
+  private val T4 = "/root/reference/t4.8k.bin"
+
+  private def loadT4(limit: Int): (Array[Long], Array[Array[Float]]) = {
+    val rows = BinaryPoints.read(spark, T4).orderBy("id").limit(limit)
+      .collect()
+    val ids = rows.map(_.getLong(0))
+    val pts = rows.map(_.getSeq[Float](1).toArray)
+    (ids, pts)
+  }
+
+  test("binary source: header + shape + stable ids") {
+    val (n, d) = BinaryPoints.header(T4)
+    assert(n == 8000 && d == 2)
+    val df = BinaryPoints.read(spark, T4)
+    assert(df.count() == 8000)
+    val ids = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.head == 0L && ids.last == 7999L && ids.distinct.length == 8000)
+    // ids must not depend on partitioning (they come from file offsets)
+    val ids4 = BinaryPoints.read(spark, T4, numPartitions = 7)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(ids4))
+  }
+
+  test("epsilon join matches brute force on 2-D data (with bucketing)") {
+    val (ids, pts) = loadT4(1500)
+    val eps = 10.0
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.zip(pts).map { case (i, p) => Row(i, p.toSeq) }.toSeq, 5),
+      BinaryPoints.schema)
+    val dims = EpsilonJoin.pickBucketDims(df, "features", eps)
+    assert(dims.nonEmpty, "2-D data at eps=10 must produce bucket dims")
+    val got = EpsilonJoin.selfJoin(df, "id", "features", eps, dims)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val eps2 = eps * eps
+    val expected = (for {
+      i <- ids.indices; j <- ids.indices if i != j
+      if {
+        var s = 0.0; var k = 0
+        while (k < pts(i).length) {
+          val d = pts(i)(k).toDouble - pts(j)(k).toDouble; s += d * d; k += 1
+        }
+        s <= eps2
+      }
+    } yield (ids(i), ids(j))).toSet
+    assert(got == expected)
+  }
+
+  test("dbscan labels == sequential oracle (t4.8k, eps=10, minPts=20)") {
+    val (ids, pts) = loadT4(8000)
+    val (oracle, oracleCores) = SequentialDbscan.run(ids, pts, 10.0, 20)
+
+    val df = BinaryPoints.read(spark, T4)
+    val dims = EpsilonJoin.pickBucketDims(df, "features", 10.0)
+    val got = Dbscan.run(df, "id", "features", 10.0, 20, dims)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+    assert(got.size == oracle.size)
+    val diff = oracle.keys.filter(k => got(k) != oracle(k))
+    assert(diff.isEmpty,
+      s"${diff.size} label mismatches, e.g. ${diff.take(5).map(k => (k, got(k), oracle(k)))}")
+
+    // stats line (the reference's end-of-run report)
+    val labelsDf = spark.createDataFrame(got.toSeq).toDF("id", "cluster_id")
+    val st = Dbscan.stats(labelsDf).collect()(0)
+    val expInCluster = oracle.values.count(_ != 0)
+    assert(st.getLong(0) == expInCluster)
+    assert(st.getLong(1) == oracle.values.count(_ == 0))
+    assert(st.getLong(2) == 8000)
+    assert(st.getLong(3) == oracle.values.max)
+  }
+
+  test("dbscan is partition-count invariant") {
+    val (ids, pts) = loadT4(2000)
+    val mk = (parts: Int) => spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.zip(pts).map { case (i, p) => Row(i, p.toSeq) }.toSeq, parts),
+      BinaryPoints.schema)
+    val dims = Seq(0, 1)
+    val run = (parts: Int) =>
+      Dbscan.run(mk(parts), "id", "features", 10.0, 20, dims)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val a = run(3)
+    val b = run(13)
+    assert(a == b)
+  }
+
+  test("edge cases: tiny eps -> all noise; empty neighbor graph safe") {
+    val (ids, pts) = loadT4(200)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.zip(pts).map { case (i, p) => Row(i, p.toSeq) }.toSeq, 2),
+      BinaryPoints.schema)
+    val labels = Dbscan.run(df, "id", "features", 1e-6, 2, Seq(0, 1))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(labels.size == 200 && labels.values.forall(_ == 0))
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.{VectorExpressions, VectorOps}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** The codegen'd Catalyst kernels must agree exactly with the pure-built-in
+  * fold (same double accumulation order), and with a plain Scala loop. */
+class VectorFunctionsSpec extends SparkSpec {
+
+  test("squaredL2 / dot: custom expression == built-in fold == scala loop") {
+    val rnd = new Random(42)
+    val cases = (1 to 20).map { _ =>
+      val n = 1 + rnd.nextInt(16)
+      (Seq.fill(n)(rnd.nextFloat() * 2000f - 1000f),
+        Seq.fill(n)(rnd.nextFloat() * 2000f - 1000f))
+    }
+    val df = spark.createDataFrame(cases).toDF("a", "b")
+    val rows = df.select(
+      col("a"), col("b"),
+      VectorExpressions.squaredL2(col("a"), col("b")).as("d2e"),
+      VectorOps.dist2(col("a"), col("b")).as("d2f"),
+      VectorExpressions.dotProduct(col("a"), col("b")).as("dpe"),
+      VectorOps.dot(col("a"), col("b")).as("dpf")).collect()
+    rows.foreach { row =>
+      val a = row.getSeq[Float](0); val b = row.getSeq[Float](1)
+      var d2 = 0.0; var dp = 0.0
+      a.zip(b).foreach { case (x, y) =>
+        val d = x.toDouble - y.toDouble; d2 += d * d
+        dp += x.toDouble * y.toDouble
+      }
+      assert(row.getDouble(2) == d2) // bit-exact: same fold order
+      assert(row.getDouble(3) == d2)
+      assert(row.getDouble(4) == dp)
+      assert(row.getDouble(5) == dp)
+    }
+  }
+
+  test("expressions survive codegen inside a filter over many rows") {
+    val df = spark.range(0, 1000).select(
+      col("id"),
+      array((0 until 4).map(i => (col("id") * (i + 1)).cast("float")): _*).as("v"))
+    val c = df.filter(
+      VectorExpressions.squaredL2(col("v"), col("v")) === lit(0.0)).count()
+    assert(c == 1000)
+    // dot(v,v) = id^2 * (1+4+9+16)
+    val s = df.select(sum(VectorExpressions.dotProduct(col("v"), col("v"))))
+      .collect()(0).getDouble(0)
+    val exp = (0 until 1000).map(i => i.toDouble * i * 30).sum
+    assert(s == exp)
+  }
+
+  test("cellId buckets points to floor(x/eps) per selected dim") {
+    val rnd = new Random(7)
+    val cases = (1 to 15).map { _ =>
+      (Seq.fill(1 + rnd.nextInt(8))(rnd.nextFloat() * 100f - 50f),
+        0.5 + rnd.nextDouble() * 50.0)
+    }
+    cases.foreach { case (v, eps) =>
+      val df = spark.createDataFrame(Seq(Tuple1(v))).toDF("v")
+      val cells = df.select(VectorOps.cellId(col("v"), eps, v.indices))
+        .collect()(0).getSeq[Long](0)
+      v.zipWithIndex.foreach { case (x, i) =>
+        assert(cells(i) == math.floor(x.toDouble / eps).toLong)
+      }
+    }
+  }
+}
