@@ -42,9 +42,16 @@ object Dbscan {
   }
 
   /** Full DBSCAN labels: (`id`, `cluster_id`), noise = 0, ids dense from 1
-    * ordered by the component's minimum point id. */
+    * ordered by the component's minimum point id.
+    *
+    * @param minClusterSize a "cluster" must have at least this many member
+    *   points (cores + attached borders); smaller components are relabeled
+    *   noise. The reference requires ≥ 2 (`child_count > 1`,
+    *   `dbscan.cpp:347-352`, `:395`) — a core whose every neighbor was
+    *   claimed by other clusters does NOT form a cluster of its own. */
   def run(points: DataFrame, idCol: String, vecCol: String,
-      eps: Double, minPts: Int, bucketDims: Seq[Int]): DataFrame = {
+      eps: Double, minPts: Int, bucketDims: Seq[Int],
+      minClusterSize: Int = 2): DataFrame = {
     val pairs = EpsilonJoin
       .selfJoin(points, idCol, vecCol, eps, bucketDims)
       .select(col("a_id"), col("b_id"))
@@ -76,8 +83,11 @@ object Dbscan {
     val labeled = coreComp.union(borderComp) // (id, comp) for clustered pts
 
     // dense cluster ids 1..K ordered by comp (tiny distinct set -> window
-    // over the distinct comps only, then broadcast back)
-    val compIds = labeled.select("comp").distinct()
+    // over the distinct comps only, then broadcast back); components below
+    // minClusterSize are dropped -> their points fall back to noise
+    val compIds = labeled.groupBy("comp").agg(count(lit(1)).as("csz"))
+      .filter(col("csz") >= minClusterSize)
+      .select("comp")
       .withColumn("cluster_id",
         row_number().over(Window.orderBy("comp")).cast("int"))
     val withIds = labeled.join(broadcast(compIds), "comp")

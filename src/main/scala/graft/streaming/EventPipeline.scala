@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine. The reference has no
+  * streaming at all (SURVEY §2.6) — this is part of the
+  * training-data-pipeline extension: the same event-table aggregations as
+  * the batch queries (SparkEntry q20), expressed as incremental streams.
+  *
+  * Design: streams are the SAME declarative plans as batch — a tumbling
+  * window aggregate with a watermark compiles to an incremental stateful
+  * HashAggregate; sessionization uses `session_window` (native state
+  * store); bespoke state uses `flatMapGroupsWithState`. At scale, state is
+  * partitioned by group key across executors and checkpointed — nothing
+  * here collects to the driver.
+  */
+object EventPipeline {
+
+  /** Streaming twin of q20_events_hourly: tumbling 1-hour counts/sums per
+    * event type. Late data beyond the watermark is dropped (state can be
+    * evicted — bounded memory at scale).
+    * Input must have columns (ts: timestamp, event_type, value). */
+  def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * lit(100.0))) / lit(100.0)).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hr"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Per-user sessionization with an inactivity gap: native
+    * `session_window` keeps per-key session state in the state store. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * lit(100.0))) / lit(100.0)).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("sw.start")).as("session_start"),
+        unix_timestamp(col("sw.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+
+  case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user event
+    * count + value total, emitted on every update (the
+    * `KeyValueGroupedDataset` escape hatch for semantics windows can't
+    * express). */
+  def runningTotals(events: Dataset[UserEvent]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += math.rint(e.value * 100) / 100 }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

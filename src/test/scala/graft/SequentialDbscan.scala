@@ -13,9 +13,11 @@ import scala.collection.mutable
   */
 object SequentialDbscan {
 
-  /** @return (labels: id → clusterId, coreIds) */
+  /** @return (labels: id → clusterId, coreIds)
+    * @param minClusterSize components smaller than this become noise
+    *   (reference `child_count > 1` rule, `dbscan.cpp:347-352`) */
   def run(ids: Array[Long], pts: Array[Array[Float]], eps: Double,
-      minPts: Int): (Map[Long, Int], Set[Long]) = {
+      minPts: Int, minClusterSize: Int = 2): (Map[Long, Int], Set[Long]) = {
     val n = pts.length
     val eps2 = eps * eps
     def d2(a: Array[Float], b: Array[Float]): Double = {
@@ -60,10 +62,12 @@ object SequentialDbscan {
         if (coreNbrComps.nonEmpty) pointComp(i) = coreNbrComps.min
       }
     }
-    val denseIds = pointComp.values.toSeq.distinct.sorted.zipWithIndex
+    val compSizes = pointComp.values.groupBy(identity).map { case (k, v) => k -> v.size }
+    val keptComps = compSizes.filter(_._2 >= minClusterSize).keySet
+    val denseIds = keptComps.toSeq.sorted.zipWithIndex
       .map { case (k, idx) => k -> (idx + 1) }.toMap
     val labels = (0 until n).map { i =>
-      ids(i) -> pointComp.get(i).map(denseIds).getOrElse(0)
+      ids(i) -> pointComp.get(i).flatMap(denseIds.get).getOrElse(0)
     }.toMap
     (labels, (0 until n).filter(isCore(_)).map(ids(_)).toSet)
   }
