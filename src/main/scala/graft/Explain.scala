@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.mutable
+
+/** Plan/profile tool: run one SparkEntry query (or a reference-dataset
+  * DBSCAN) and report the formatted physical plan plus per-job wall times —
+  * the feedback loop for shuffle/pushdown/codegen tuning.
+  *
+  * Usage: sbt "runMain graft.Explain q8_agg_pricing [sfDir]"
+  *        sbt "runMain graft.Explain dbscan_part64"
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("q8_agg_pricing")
+    val sfDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobs = mutable.Map.empty[Int, (Long, String)]
+    val done = mutable.ArrayBuffer.empty[(Int, Long, String)]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs(js.jobId) = (System.nanoTime(),
+          Option(js.properties.getProperty("spark.job.description")).getOrElse(""))
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        jobs.remove(je.jobId).foreach { case (t0, desc) =>
+          done += ((je.jobId, System.nanoTime() - t0, desc))
+        }
+    })
+
+    def dbscanBin(path: String, eps: Double, minPts: Int, pct: Double = 1.0) = {
+      val pts = graft.operators.PointSink.sampleGate(
+        graft.sources.BinaryPoints.read(spark, path), pct).persist()
+      val dims = graft.operators.EpsilonJoin.pickBucketDims(pts, "features", eps)
+      graft.operators.Dbscan.run(pts, "id", "features", eps, minPts, dims)
+    }
+
+    import org.apache.spark.sql.functions.{col, explode}
+    val df = name match {
+      case "dbscan_clus50k" => dbscanBin("/root/reference/clus50k.bin", 25.0, 5)
+      case "dbscan_part64" => dbscanBin("/root/reference/part64.bin", 0.01, 5, 0.96)
+      case "x_shingles" =>
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"),
+            explode(graft.functions.TextFunctions.shingles(col("text"), 3)))
+      case "x_sigs" =>
+        graft.operators.Dedup.minHashSignatures(
+          spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text", 3, 64)
+      case q => SparkEntry.queries(q)(spark, sfDir)
+    }
+
+    df.explain("formatted")
+    val t0 = System.nanoTime()
+    val n = df.count()
+    val total = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // let listener drain
+    println(s"== jobs (${done.size}) ==")
+    done.sortBy(_._1).foreach { case (id, ns, desc) =>
+      println(f"job $id%3d  ${ns / 1e9}%8.3f s  ${desc.take(90)}")
+    }
+    println(f"[explain] $name rows=$n count_time=$total%.3f s jobs=${done.size}")
+    spark.stop()
+  }
+}

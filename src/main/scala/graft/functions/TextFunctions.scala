@@ -20,8 +20,15 @@ object TextFunctions {
   def tokenSet(text: Column): Column = array_distinct(tokens(text))
 
   /** Word n-gram shingles as strings ("w1 w2 w3"), distinct.
-    * A document shorter than n words has zero shingles. */
-  def shingles(text: Column, n: Int): Column = {
+    * A document shorter than n words has zero shingles.
+    * Native single-pass expression — see [[Shingles]] for why not the
+    * declarative transform/sequence formulation. */
+  def shingles(text: Column, n: Int): Column =
+    TextExpressions.shingles(text, n)
+
+  /** The pure-built-in shingle formulation (interpreted HOF lambdas —
+    * ~25× slower than [[shingles]]; kept as a cross-check for tests). */
+  def shinglesDeclarative(text: Column, n: Int): Column = {
     val ws = tokens(text)
     // NB: Spark's sequence(0, -1) DESCENDS ([0, -1]) rather than returning
     // empty — guard short docs explicitly.

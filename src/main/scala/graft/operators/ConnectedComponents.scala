@@ -73,11 +73,49 @@ object ConnectedComponents {
 
   /** @param edges DataFrame with long columns (`src`, `dst`); treated as
     *              undirected. Isolated nodes can be passed as self-loops.
+    * @param smallGraphThreshold if the CONTRACTED star graph (≤ one row per
+    *   distinct node per partition — already collapsed, not the raw edge
+    *   list) fits under this many rows, finish the union-find on the driver
+    *   in one pass instead of running the iterative join loop. This is the
+    *   same shape as the reference's centralized root bookkeeping
+    *   (`dbscan.cpp:347-402` gathers per-rank root counts at every rank);
+    *   for graphs beyond the threshold the distributed loop below is the
+    *   scale path. 2M rows ≈ 32 MB of longs — trivially safe on any
+    *   driver; a 100 TB input with billions of cores takes the loop.
     * @return (`id`, `comp`) — comp = min node id in the component.
     */
-  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 50,
+      smallGraphThreshold: Long = 2_000_000L): DataFrame = {
     // Phase 1: partition-local contraction to star edges.
     val stars = contract(edges).persist()
+
+    val starCount = stars.count()
+    if (starCount <= smallGraphThreshold) {
+      // Small contracted graph: single-pass driver union-find.
+      val spark = edges.sparkSession
+      val parent = mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      stars.collect().foreach { row =>
+        val a = find(row.getLong(0)); val b = find(row.getLong(1))
+        if (a != b) parent(math.max(a, b)) = math.min(a, b)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      }
+      val ks = parent.keys.toArray
+      val out = ks.map(n => Row(n, find(n)))
+      stars.unpersist()
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out.toSeq,
+          math.max(1, spark.sparkContext.defaultParallelism / 4)),
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("comp", LongType, nullable = false))))
+    }
 
     // Symmetric closure of the star graph for propagation.
     val sym = stars

@@ -52,8 +52,11 @@ object Dbscan {
   def run(points: DataFrame, idCol: String, vecCol: String,
       eps: Double, minPts: Int, bucketDims: Seq[Int],
       minClusterSize: Int = 2): DataFrame = {
+    // the point table is scanned by both join sides and the final label
+    // join — cache it once (no-op if the caller already persisted it)
+    val pts = points.persist()
     val pairs = EpsilonJoin
-      .selfJoin(points, idCol, vecCol, eps, bucketDims)
+      .selfJoin(pts, idCol, vecCol, eps, bucketDims)
       .select(col("a_id"), col("b_id"))
       .persist()
 
@@ -93,13 +96,14 @@ object Dbscan {
     val withIds = labeled.join(broadcast(compIds), "comp")
       .select(col("id"), col("cluster_id"))
 
-    val out = points.select(col(idCol).as("id"))
+    val out = pts.select(col(idCol).as("id"))
       .join(withIds, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cluster_id"), lit(0)).as("cluster_id")) // noise = 0
     val materialized = out.localCheckpoint()
     pairs.unpersist()
     cores.unpersist()
+    pts.unpersist()
     materialized
   }
 

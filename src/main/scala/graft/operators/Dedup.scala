@@ -70,17 +70,20 @@ object Dedup {
     out
   }
 
-  /** MinHash signatures: for each of k hash functions, the minimum
-    * xxhash64(shingle, seed) over the doc's shingles.
-    * @return (`id`, `sig`: array<long> of length k). */
-  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n)
+  /** MinHash signatures over a prebuilt shingle table (`id`, `shingle`):
+    * for each of k hash functions, the minimum xxhash64(shingle, seed)
+    * over the doc's shingles. @return (`id`, `sig`: array<long>). */
+  def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
   }
+
+  /** MinHash signatures straight from documents. */
+  def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame =
+    minHashSignatures(shingleTable(docs, idCol, textCol, n), k)
 
   /** MinHash-LSH candidate pairs: docs sharing ≥1 of `bands` bands (each of
     * `rowsPerBand` signature positions). One shuffle per band... unioned,
@@ -104,35 +107,43 @@ object Dedup {
     * candidate probability at minJaccard is ≈1).
     * @return (`a_id`, `b_id`, `jac`). */
   def minHashJoin(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minJaccard: Double, k: Int = 128, bands: Int = 32): DataFrame = {
+      n: Int, minJaccard: Double, k: Int = 64, bands: Int = 16): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = minHashSignatures(docs, idCol, textCol, n, k)
+    // shingle table feeds signatures, sizes AND verification — materialize
+    // once (it is also the single most expensive scan: parse + explode)
+    val sh = shingleTable(docs, idCol, textCol, n).persist()
+    // signatures are consumed twice by the LSH band self-join — persist, or
+    // the k-wide min-agg (k × xxhash64 per shingle) runs once per side
+    val sigs = minHashSignatures(sh, k).persist()
     val cand = lshCandidates(sigs, bands, rowsPerBand)
 
-    val sh = shingleTable(docs, idCol, textCol, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     // verify candidates only: join candidate pairs into the shingle index
     val inter = cand
       .join(sh.select(col("id").as("a_id"), col("shingle")), "a_id")
       .join(sh.select(col("id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
       .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") /
           (col("a_sz") + col("b_sz") - col("inter"))).as("jac"))
       .filter(col("jac") >= minJaccard)
+    out
   }
 
-  /** SimHash 64-bit fingerprint per doc: sign of the per-bit sum of token
-    * hash bits. Pure relational: explode tokens → 64 per-bit ±1 sums →
-    * assemble the fingerprint with shiftleft/or — stays in whole-stage
-    * codegen (no UDF, no UDAF).
+  /** SimHash 64-bit fingerprint per doc (Charikar's similarity hash, as
+    * popularized for web-scale near-dup by Manku et al., WWW'07): sign of
+    * the per-bit FREQUENCY-WEIGHTED sum of token hash bits (each token
+    * occurrence votes, so repeated terms weigh more — hamming distance
+    * then tracks cosine of the term-frequency vectors). Pure relational:
+    * explode tokens → 64 per-bit ±1 sums → assemble the fingerprint with
+    * shiftleft/or — stays in whole-stage codegen (no UDF, no UDAF).
     * @return (`id`, `simhash`: long). */
   def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
-      explode(TextFunctions.tokenSet(col(textCol))).as("tok"))
+      explode(TextFunctions.tokens(col(textCol))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
     val bitSums = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)

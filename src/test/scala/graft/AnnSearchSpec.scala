@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.AnnSearch
+import org.apache.spark.sql.functions._
+
+class AnnSearchSpec extends SparkSpec {
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").persist()
+
+  private def q = emb.filter(col("vec_id") < 30)
+    .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+  private def b = emb
+    .select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+
+  test("bruteForceTopK == scala brute force") {
+    val got = AnnSearch.bruteForceTopK(q, b, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], bb: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * bb(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += bb(i).toDouble * bb(i).toDouble
+        i += 1
+      }
+      dp / math.sqrt(na * nb)
+    }
+    for (aId <- vecs.keys.filter(_ < 30)) {
+      val exp = vecs.keys.filter(_ != aId).toSeq
+        .map(bId => (bId, cos(vecs(aId), vecs(bId))))
+        .sortBy { case (bId, c) => (-c, bId) }.take(5).map(_._1)
+      exp.zipWithIndex.foreach { case (bId, i) =>
+        assert(got((aId, i + 1)) == bId, s"query $aId rank ${i + 1}")
+      }
+    }
+  }
+
+  test("ivfTopK: high recall vs exact, far fewer candidates") {
+    val exact = AnnSearch.bruteForceTopK(q, b, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = AnnSearch.ivfTopK(q, b, 5, nCentroids = 8, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall@5 = $recall (8 centroids, probe 3)")
+  }
+
+  test("ivfTopK with full probing == exact") {
+    val exact = AnnSearch.bruteForceTopK(q, b, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val full = AnnSearch.ivfTopK(q, b, 3, nCentroids = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(full == exact)
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet").persist()
+
+  test("native shingles == declarative shingles (as sets)") {
+    val both = docs.select(
+      TextFunctions.shingles(col("text"), 3).as("fast"),
+      TextFunctions.shinglesDeclarative(col("text"), 3).as("slow"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](0).toSet == r.getSeq[String](1).toSet)
+      assert(r.getSeq[String](0).length == r.getSeq[String](1).length)
+    }
+    // short-doc guard: fewer tokens than n -> empty, not bogus window
+    val short = spark.createDataFrame(Seq(Tuple1("one two"))).toDF("text")
+      .select(TextFunctions.shingles(col("text"), 3)).collect()(0).getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
+  test("jaccardJoin == brute-force jaccard over collected shingle sets") {
+    val eng = Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sets = docs.select(col("doc_id"),
+      TextFunctions.shingles(col("text"), 3)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val exp = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      jac = inter.toDouble / (sa.size + sb.size - inter) if jac >= 0.5
+    } yield (a, b) -> jac).toMap
+    assert(eng == exp)
+    assert(exp.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  test("minHashJoin recalls every exact-jaccard pair (verified output)") {
+    val exact = Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minHashJoin(docs, "doc_id", "text", 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact) // verification makes precision exact; bands give recall
+  }
+
+  test("exact dedup keeps min id per identical text") {
+    val withDups = docs.select("doc_id", "text").union(
+      docs.filter(col("doc_id") < 5).select(col("doc_id") + 10000, col("text")))
+    val kept = Dedup.exact(withDups, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == docs.collect().map(_.getLong(0)).toSet) // originals win
+  }
+
+  test("simHash: identical docs collide, near-dup pairs within hamming radius") {
+    val hashes = Dedup.simHash(docs, "doc_id", "text").persist()
+    // identical text -> identical simhash (determinism)
+    val h2 = Dedup.simHash(docs, "doc_id", "text")
+    assert(hashes.collect().map(r => (r.getLong(0), r.getLong(1))).toMap ==
+      h2.collect().map(r => (r.getLong(0), r.getLong(1))).toMap)
+    // the PLANTED near-dup pairs (high 3-gram jaccard = same word
+    // sequences, few edits) must land within a small hamming radius
+    val nearDup = Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nearDup.nonEmpty, "fixture should contain planted near-dups")
+    val sim = Dedup.simHashJoin(hashes, maxHamming = 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = nearDup.count(sim.contains).toDouble / nearDup.size
+    assert(recall >= 0.8, s"simhash recall $recall over ${nearDup.size} pairs")
+    hashes.unpersist()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+
+  private def one(text: String) =
+    spark.createDataFrame(Seq(Tuple1(text))).toDF("text")
+
+  test("langId picks the lexicon with most distinct stopword hits") {
+    val cases = Seq(
+      "the cat sat of the mat and to in is" -> "en",
+      "el la de que y los en un perro" -> "es",
+      "der die das und ist von mit den hund" -> "de",
+      "le chien et les des est une dans maison" -> "fr",
+      "xyzzy plugh quux" -> "und")
+    cases.foreach { case (txt, exp) =>
+      val got = one(txt).select(TextFunctions.langId(col("text")))
+        .collect()(0).getString(0)
+      assert(got == exp, s"'$txt' -> got $got want $exp")
+    }
+  }
+
+  test("fingerprintMd5 matches java.security MD5") {
+    val txt = "hello graft world"
+    val got = one(txt).select(TextFunctions.fingerprintMd5(col("text")))
+      .collect()(0).getString(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(txt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == md)
+  }
+
+  test("tokens / stopwordHits basics") {
+    val df = one("the the quick fox the")
+    assert(df.select(size(TextFunctions.tokens(col("text"))))
+      .collect()(0).getInt(0) == 5)
+    assert(df.select(size(TextFunctions.tokenSet(col("text"))))
+      .collect()(0).getInt(0) == 3)
+    assert(df.select(TextFunctions.stopwordHits(col("text"), Seq("the", "of")))
+      .collect()(0).getInt(0) == 1) // distinct hits
+  }
+
+  test("fingerprint64 is deterministic and spreads") {
+    val df = spark.createDataFrame(
+      (1 to 100).map(i => Tuple1(s"doc number $i"))).toDF("text")
+    val fps = df.select(TextFunctions.fingerprint64(col("text")))
+      .collect().map(_.getLong(0))
+    assert(fps.distinct.length == 100)
+    val again = df.select(TextFunctions.fingerprint64(col("text")))
+      .collect().map(_.getLong(0))
+    assert(fps.sameElements(again))
+  }
+}
