@@ -206,6 +206,49 @@ object SparkEntry {
           count(lit(1)).as("n"),
           (sum(round(col("value") * lit(100.0))) / lit(100.0)).as("sum_value"))
     }),
+
+    // Events: batch sessionization via gaps-and-islands (30-min gap) —
+    // the batch twin of streaming.EventPipeline.sessionize
+    "q21_sessions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ms = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
+        case _ => unix_millis(col("ts"))
+      }
+      val w = Window.partitionBy("user_id").orderBy(col("ms"))
+      val wRun = Window.partitionBy("user_id").orderBy(col("ms"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("user_id"), ms.as("ms"))
+        .withColumn("new_sess",
+          when(col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1)
+            .otherwise(when(lag(col("ms"), 1).over(w).isNull, 1).otherwise(0)))
+        .withColumn("session_id", sum(col("new_sess")).over(wRun).cast("int"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ms").as("start_ms"), max("ms").as("end_ms"))
+    }),
+
+    // Dedup family: SimHash fingerprints (engine-internal hash — no SQL
+    // oracle; determinism + near-dup recall covered in DedupSpec)
+    "q22_simhash" -> ((s, dir) =>
+      graft.operators.Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ANN: IVF approximate top-5 (approximate by design — no SQL oracle;
+    // recall vs exact covered in AnnSearchSpec)
+    "q23_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      AnnSearch.ivfTopK(q, b, 5, nCentroids = 8, nProbe = 3)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
+    // Source parity: the reference's binary point format (op S-1) — DuckDB
+    // cannot read it, so rows-only; exactness covered in DbscanSpec
+    "q24_binary_scan" -> ((s, _) =>
+      graft.sources.BinaryPoints.read(s, "/root/reference/t4.8k.bin")
+        .select(col("id"), size(col("features")).as("dims"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -337,6 +380,23 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  sum(round(value * 100)) / 100.0 AS sum_value
         |FROM events GROUP BY hr, event_type""".stripMargin,
+
+    "q21_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |flagged AS (
+        |  SELECT user_id, ms,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ms,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+        |      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ms) AS start_ms, max(ms) AS end_ms
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
   )
 
   /** Shared oracle for q9/q10 (MinHash-LSH verified output == exact

@@ -51,6 +51,17 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(s == exp)
   }
 
+  test("GraftExtensions registers SQL functions usable from spark.sql") {
+    GraftExtensions.register(spark)
+    val row = spark.sql(
+      """SELECT squared_l2(array(1.0F, 2.0F), array(4.0F, 6.0F)) AS d2,
+        |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
+        |       shingles('a b c d', 3) AS sh""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 25.0)
+    assert(row.getDouble(1) == 11.0)
+    assert(row.getSeq[String](2) == Seq("a b c", "b c d"))
+  }
+
   test("cellId buckets points to floor(x/eps) per selected dim") {
     val rnd = new Random(7)
     val cases = (1 to 15).map { _ =>
