@@ -41,40 +41,46 @@ object AnnSearch {
       .filter(col("rnk") <= k)
       .select(col("a_id"), col("b_id").as("nbr_id"), col("rnk"))
 
-  /** Deterministic centroid table: seeded sample of build vectors refined
-    * by `iters` Lloyd rounds (mean of assigned vectors — pure aggs).
+  /** Deterministically-seeded centroid table refined by `iters` Lloyd
+    * rounds. The mean step is dimension-count agnostic: posexplode the
+    * assigned vectors and average per (centroid, position) — two narrow
+    * hash aggs instead of a `dim`-wide agg column list (which forces a
+    * fresh multi-second codegen compile per iteration at high dims).
+    * NB: double `avg` is shuffle-order dependent in its low bits, so
+    * centroid coordinates (and thus IVF candidate sets) are approximate —
+    * fine for an ANN index; recall is what the tests pin down.
     * @return (`c_id`: int, `c_v`: array<double>) */
   def centroids(build: DataFrame, nCentroids: Int, iters: Int = 2,
       seed: Long = 42L): DataFrame = {
-    val dim = build.select(size(col("b_v"))).first().getInt(0)
     var cents = build.orderBy(xxhash64(col("b_id"), lit(seed)))
       .limit(nCentroids)
       .select(row_number().over(Window.orderBy(col("b_id"))).cast("int").as("c_id"),
         col("b_v").cast("array<double>").as("c_v"))
     for (_ <- 0 until iters) {
       val assigned = assign(build, cents)
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col("b_v"), i + 1).cast("double")).as(s"s$i"))
-      val newCents = assigned.groupBy("c_id")
-        .agg(sums.head, sums.tail: _*)
-        .join(assigned.groupBy("c_id").agg(count(lit(1)).as("n")), "c_id")
-        .select(col("c_id"),
-          array((0 until dim).map(i => col(s"s$i") / col("n")): _*).as("c_v"))
+      val newCents = assigned
+        .select(col("c_id"), posexplode(col("b_v").cast("array<double>")))
+        .groupBy(col("c_id"), col("pos")).agg(avg(col("col")).as("av"))
+        .groupBy("c_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("av")))),
+          x => x.getField("av")).as("c_v"))
       cents = newCents.localCheckpoint()
     }
     cents
   }
 
-  /** Nearest centroid per build vector (broadcast the centroid table —
-    * it is tiny by construction). @return build columns + `c_id`. */
+  /** Nearest centroid per build vector: broadcast the (tiny) centroid
+    * table and take the `min_by` over candidates — one hash agg, no
+    * per-row window sort. Ties break on centroid id (deterministic).
+    * @return (`b_id`, `b_v`, `c_id`). */
   private def assign(build: DataFrame, cents: DataFrame): DataFrame = {
     val d2 = VectorExpressions.squaredL2(
       col("b_v").cast("array<double>"), col("c_v"))
     build.crossJoin(broadcast(cents))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("b_id").orderBy(d2, col("c_id"))))
-      .filter(col("rk") === 1)
-      .drop("rk", "c_v")
+      .select(col("b_id"), col("b_v"), col("c_id"), d2.as("d2"))
+      .groupBy("b_id")
+      .agg(first(col("b_v")).as("b_v"),
+        min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("c_id"))
   }
 
   /** IVF approximate top-k: probe the `nProbe` nearest centroids per query,
