@@ -28,7 +28,8 @@ object Bench {
       val pts0 = graft.sources.BinaryPoints.read(s, path)
       // cache before pickBucketDims: it and Dbscan.run share the scan
       val pts = graft.operators.PointSink.sampleGate(pts0, samplePct).persist()
-      val dims = graft.operators.EpsilonJoin.pickBucketDims(pts, "features", eps)
+      val dims = graft.operators.EpsilonJoin.pickBucketDims(pts, "features",
+        eps, knownDim = graft.sources.BinaryPoints.header(path)._2)
       graft.operators.Dbscan.run(pts, "id", "features", eps, minPts, dims)
     }
     val referenceBench: Seq[(String, SparkSession => DataFrame)] = Seq(

@@ -40,7 +40,8 @@ object Explain {
     def dbscanBin(path: String, eps: Double, minPts: Int, pct: Double = 1.0) = {
       val pts = graft.operators.PointSink.sampleGate(
         graft.sources.BinaryPoints.read(spark, path), pct).persist()
-      val dims = graft.operators.EpsilonJoin.pickBucketDims(pts, "features", eps)
+      val dims = graft.operators.EpsilonJoin.pickBucketDims(pts, "features",
+        eps, knownDim = graft.sources.BinaryPoints.header(path)._2)
       graft.operators.Dbscan.run(pts, "id", "features", eps, minPts, dims)
     }
 

@@ -89,8 +89,11 @@ object ConnectedComponents {
     // Phase 1: partition-local contraction to star edges.
     val stars = contract(edges).persist()
 
-    val starCount = stars.count()
-    if (starCount <= smallGraphThreshold) {
+    // Size probe and driver fetch in ONE action: limit(threshold+1) stops
+    // early on big graphs; on small ones the result IS the whole graph.
+    val probe = stars.limit(
+      math.min(smallGraphThreshold + 1, Int.MaxValue).toInt).collect()
+    if (probe.length <= smallGraphThreshold) {
       // Small contracted graph: single-pass driver union-find.
       val spark = edges.sparkSession
       val parent = mutable.LongMap.empty[Long]
@@ -101,7 +104,7 @@ object ConnectedComponents {
         while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      stars.collect().foreach { row =>
+      probe.foreach { row =>
         val a = find(row.getLong(0)); val b = find(row.getLong(1))
         if (a != b) parent(math.max(a, b)) = math.min(a, b)
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)

@@ -83,7 +83,9 @@ object Dbscan {
       .groupBy(col("a_id").as("id"))
       .agg(min("comp").as("comp"))
 
-    val labeled = coreComp.union(borderComp) // (id, comp) for clustered pts
+    // (id, comp) for clustered points — consumed by BOTH the dense-id
+    // distinct agg and the final label join: persist to compute once
+    val labeled = coreComp.union(borderComp).persist()
 
     // dense cluster ids 1..K ordered by comp (tiny distinct set -> window
     // over the distinct comps only, then broadcast back); components below
@@ -96,15 +98,14 @@ object Dbscan {
     val withIds = labeled.join(broadcast(compIds), "comp")
       .select(col("id"), col("cluster_id"))
 
-    val out = pts.select(col(idCol).as("id"))
+    // Lazy result: the caller's first action executes one unified DAG over
+    // the cached intermediates (pairs/cores/pts stay persisted — Spark's
+    // ContextCleaner unpersists them once the label plan is unreachable).
+    // Callers that iterate over the labels repeatedly should persist().
+    pts.select(col(idCol).as("id"))
       .join(withIds, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cluster_id"), lit(0)).as("cluster_id")) // noise = 0
-    val materialized = out.localCheckpoint()
-    pairs.unpersist()
-    cores.unpersist()
-    pts.unpersist()
-    materialized
   }
 
   /** Cluster statistics — the reference's end-of-run report

@@ -37,8 +37,13 @@ object EpsilonJoin {
     * reference's widest-dimension split heuristic,
     * `geometric_partitioning.cpp:430-437`). One aggregate pass. */
   def pickBucketDims(points: DataFrame, vecCol: String, eps: Double,
-      maxDims: Int = 3, minCellsPerDim: Int = 4): Seq[Int] = {
-    val dim = points.select(size(col(vecCol))).first().getInt(0)
+      maxDims: Int = 3, minCellsPerDim: Int = 4,
+      knownDim: Int = -1): Seq[Int] = {
+    // knownDim skips the one-row probe job when the caller already knows
+    // the dimensionality (e.g. from the binary file header)
+    val dim =
+      if (knownDim > 0) knownDim
+      else points.select(size(col(vecCol))).first().getInt(0)
     val aggs = (0 until dim).flatMap { d =>
       val c = element_at(col(vecCol), d + 1).cast("double")
       Seq(min(c).as(s"mn$d"), max(c).as(s"mx$d"))
