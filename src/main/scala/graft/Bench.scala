@@ -37,15 +37,21 @@ object Bench {
       "dbscan_part64" -> dbscanBin("/root/reference/part64.bin", 0.01, 5, 0.96),
     )
 
+    // min over reps, like the reference harness's repeated runs
+    // (`manyTests.py:25-106` runs each config 10x) — strips JIT/codegen
+    // warmup and GC noise from the comparison
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    def time(run: () => Unit): Double =
+      (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        try run() catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }.min
     val sfResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> time(() => fn(spark, sfDir).count())
     }
     val refResults = referenceBench.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> time(() => fn(spark).count())
     }
     val results = sfResults ++ refResults
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

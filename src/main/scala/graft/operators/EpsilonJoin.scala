@@ -65,26 +65,42 @@ object EpsilonJoin {
     }
 
   /** Ordered neighbor pairs `(a_id, b_id, d2)` with d2 ≤ ε², a ≠ b.
-    * Each ordered pair appears exactly once. */
+    * Each ordered pair appears exactly once.
+    *
+    * @param saltBuckets skew guard: when > 1, the build side of every cell
+    *   is split into this many salt shards (build row → one shard by id
+    *   hash; probe row → replicated to all shards), so one ultra-dense
+    *   ε-cell fans out across `saltBuckets` reducers instead of pinning a
+    *   single task. Complements AQE skew-join (which can only split
+    *   post-shuffle files, not a single giant hash group). Default 1 —
+    *   salting costs probe×saltBuckets replication, pay only on skew. */
   def selfJoin(points: DataFrame, idCol: String, vecCol: String,
-      eps: Double, bucketDims: Seq[Int]): DataFrame = {
+      eps: Double, bucketDims: Seq[Int], saltBuckets: Int = 1): DataFrame = {
     val k = bucketDims.size
     val cell: Column => Column = VectorOps.cellId(_, eps, bucketDims)
 
-    val build = points.select(
+    val build0 = points.select(
       col(idCol).as("b_id"), col(vecCol).as("b_v"),
       cell(col(vecCol)).as("cell"))
+    val build =
+      if (saltBuckets <= 1) build0.withColumn("salt", lit(0))
+      else build0.withColumn("salt",
+        pmod(xxhash64(col("b_id")), lit(saltBuckets.toLong)).cast("int"))
 
     val offCol = typedlit(offsets(k))
-    val probe = points.select(
+    val probe0 = points.select(
       col(idCol).as("a_id"), col(vecCol).as("a_v"),
       cell(col(vecCol)).as("home"))
       .withColumn("off", explode(offCol))
       .select(col("a_id"), col("a_v"),
         zip_with(col("home"), col("off"), (h, o) => h + o.cast("long")).as("cell"))
+    val probe =
+      if (saltBuckets <= 1) probe0.withColumn("salt", lit(0))
+      else probe0.withColumn("salt",
+        explode(typedlit((0 until saltBuckets).toList)))
 
     val d2 = VectorExpressions.squaredL2(col("a_v"), col("b_v"))
-    probe.join(build, "cell")
+    probe.join(build, Seq("cell", "salt"))
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), d2.as("d2"))
       .filter(col("d2") <= lit(eps * eps))

@@ -42,6 +42,34 @@ object BinaryPoints {
     } finally in.close()
   }
 
+  /** Write a point table back to the reference's binary layout (header +
+    * row-major float32), rows ordered by id — the inverse of [[read]], so
+    * a reference-engine user can consume our output unchanged. Single
+    * local file ⇒ driver-side stream (the reference format has one global
+    * header and no split markers — it is inherently single-writer; at
+    * scale use parquet, op K-1 `PointSink`). */
+  def write(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    import org.apache.spark.sql.functions.{col, size => asize}
+    val n = df.count()
+    val d = df.select(asize(col(vecCol))).head().getInt(0)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path), 1 << 20))
+    try {
+      val hdr = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      hdr.putInt(n.toInt); hdr.putInt(d)
+      out.write(hdr.array())
+      // toLocalIterator streams one partition at a time through the driver
+      val it = df.orderBy(col(idCol)).select(col(vecCol)).toLocalIterator()
+      val buf = ByteBuffer.allocate(d * 4).order(ByteOrder.LITTLE_ENDIAN)
+      while (it.hasNext) {
+        val fs = it.next().getSeq[Float](0)
+        buf.clear()
+        fs.foreach(buf.putFloat)
+        out.write(buf.array())
+      }
+    } finally out.close()
+  }
+
   def read(spark: SparkSession, path: String,
       numPartitions: Int = 0): DataFrame = {
     val (n, d) = header(path)

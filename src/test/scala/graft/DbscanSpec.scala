@@ -86,6 +86,39 @@ class DbscanSpec extends SparkSpec {
     assert(st.getLong(3) == oracle.values.max)
   }
 
+  test("salted epsilon join == unsalted (same pair set)") {
+    val (ids, pts) = loadT4(1200)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.zip(pts).map { case (i, p) => Row(i, p.toSeq) }.toSeq, 4),
+      BinaryPoints.schema)
+    val plain = EpsilonJoin.selfJoin(df, "id", "features", 10.0, Seq(0, 1))
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = EpsilonJoin.selfJoin(df, "id", "features", 10.0, Seq(0, 1),
+      saltBuckets = 7)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+
+  test("binary writer round-trips through the reference format") {
+    val dir = java.nio.file.Files.createTempDirectory("binpoints").toFile
+    val out = new java.io.File(dir, "roundtrip.bin").getPath
+    val orig = BinaryPoints.read(spark, T4).limit(500)
+    BinaryPoints.write(orig, "id", "features", out)
+    assert(BinaryPoints.header(out) == ((500, 2)))
+    val back = BinaryPoints.read(spark, out)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val exp = orig.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // ids are positional: match by sorted order of original ids
+    val remap = exp.keys.toSeq.sorted.zipWithIndex.map(_.swap).toMap
+    assert(back.size == 500)
+    remap.foreach { case (newId, origId) =>
+      assert(back(newId.toLong) == exp(origId))
+    }
+  }
+
   test("dbscan is partition-count invariant") {
     val (ids, pts) = loadT4(2000)
     val mk = (parts: Int) => spark.createDataFrame(
