@@ -11,15 +11,17 @@ import org.apache.spark.sql.functions._
   * — re-expressed as one declarative grid-bucketed equi-join that
   * Catalyst plans as a shuffled hash/sort-merge join.
   *
-  * Scheme (the classic cell-replication trick):
+  * Scheme (the classic cell-replication trick, half-space variant):
   *  - every point gets a home cell = `floor(coord/ε)` over k bucketed dims;
-  *  - the probe side replicates each point to its home cell and all 3^k−1
-  *    adjacent cells; the build side stays in its home cell only, so each
-  *    ordered pair is produced exactly once;
+  *  - same-cell pairs come from a plain equi-join with `a_id < b_id`;
+  *    cross-cell pairs replicate probes along the POSITIVE offset
+  *    half-space only — each undirected pair is produced and
+  *    distance-checked exactly once, then both orientations are emitted
+  *    by a narrow union;
   *  - an exact codegen'd distance filter decides membership.
   *
   * Scale notes (100 TB):
-  *  - k is capped (default ≤ 3) so probe-side replication is ≤ 27×; dims
+  *  - k is capped (default ≤ 3) so probe-side replication is ≤ 14×; dims
   *    are chosen by spread/ε so the grid actually prunes (a dim whose range
   *    spans < minCellsPerDim cells adds replication without pruning and is
   *    skipped — in the degenerate case k = 0 this becomes an explicit
@@ -64,6 +66,14 @@ object EpsilonJoin {
       for (o <- acc; d <- -1 to 1) yield o :+ d
     }
 
+  /** The "positive half" of the non-zero offsets: first non-zero component
+    * is +1. For any two DISTINCT adjacent cells exactly one of (c_b−c_a,
+    * c_a−c_b) is positive — so replicating probes along positive offsets
+    * only finds each cross-cell pair exactly once (and halves the join
+    * work vs full 3^k replication). */
+  private[graft] def positiveOffsets(k: Int): Seq[Seq[Int]] =
+    offsets(k).filter(o => o.dropWhile(_ == 0).headOption.contains(1))
+
   /** Ordered neighbor pairs `(a_id, b_id, d2)` with d2 ≤ ε², a ≠ b.
     * Each ordered pair appears exactly once.
     *
@@ -87,23 +97,46 @@ object EpsilonJoin {
       else build0.withColumn("salt",
         pmod(xxhash64(col("b_id")), lit(saltBuckets.toLong)).cast("int"))
 
-    val offCol = typedlit(offsets(k))
-    val probe0 = points.select(
+    val home = points.select(
       col(idCol).as("a_id"), col(vecCol).as("a_v"),
       cell(col(vecCol)).as("home"))
-      .withColumn("off", explode(offCol))
-      .select(col("a_id"), col("a_v"),
-        zip_with(col("home"), col("off"), (h, o) => h + o.cast("long")).as("cell"))
-    val probe =
-      if (saltBuckets <= 1) probe0.withColumn("salt", lit(0))
-      else probe0.withColumn("salt",
+    def salted(df: DataFrame): DataFrame =
+      if (saltBuckets <= 1) df.withColumn("salt", lit(0))
+      else df.withColumn("salt",
         explode(typedlit((0 until saltBuckets).toList)))
 
+    // Each UNDIRECTED pair is produced exactly once:
+    //  - same cell: equi-join on the home cell, a_id < b_id;
+    //  - adjacent cells: probes replicated along the positive offset
+    //    half-space only (cells differ ⇒ a ≠ b, no id filter needed).
+    // This halves both replication (1 + (3^k−1)/2 probe rows) and distance
+    // evaluations vs full 3^k replication; both orientations are emitted
+    // at the end by a narrow projection union.
+    val sameCell = salted(home.select(col("a_id"), col("a_v"),
+        col("home").as("cell")))
+      .join(build, Seq("cell", "salt"))
+      .filter(col("a_id") < col("b_id"))
+    val crossCell =
+      if (k == 0) sameCell.limit(0)
+      else salted(home
+        .withColumn("off", explode(typedlit(positiveOffsets(k))))
+        .select(col("a_id"), col("a_v"),
+          zip_with(col("home"), col("off"), (h, o) => h + o.cast("long"))
+            .as("cell")))
+        .join(build, Seq("cell", "salt"))
+
     val d2 = VectorExpressions.squaredL2(col("a_v"), col("b_v"))
-    probe.join(build, Seq("cell", "salt"))
-      .filter(col("a_id") =!= col("b_id"))
+    val undirected = sameCell.union(crossCell)
       .select(col("a_id"), col("b_id"), d2.as("d2"))
       .filter(col("d2") <= lit(eps * eps))
+    // both orientations in ONE pass (a union of the subtree with its own
+    // projection would re-execute the join twice)
+    undirected.select(explode(array(
+        struct(col("a_id"), col("b_id"), col("d2")),
+        struct(col("b_id").as("a_id"), col("a_id").as("b_id"), col("d2"))))
+      .as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.d2").as("d2"))
   }
 
   /** selfJoin with automatic bucket-dim selection. */
