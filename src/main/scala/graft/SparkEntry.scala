@@ -249,6 +249,16 @@ object SparkEntry {
     "q24_binary_scan" -> ((s, _) =>
       graft.sources.BinaryPoints.read(s, "/root/reference/t4.8k.bin")
         .select(col("id"), size(col("features")).as("dims"))),
+
+    // Semi-structured metadata extraction (training pipelines carry JSON
+    // sidecars): parse props, aggregate by event type
+    "q25_props_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -397,6 +407,17 @@ object SparkEntry {
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
         |       min(ms) AS start_ms, max(ms) AS end_ms
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q25_props_json" ->
+      """SELECT event_type,
+        |  CAST(count(k) AS BIGINT) AS n_with_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(min(k) AS BIGINT) AS min_k,
+        |  CAST(max(k) AS BIGINT) AS max_k
+        |FROM (SELECT event_type,
+        |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |      FROM events) e
+        |GROUP BY event_type""".stripMargin,
   )
 
   /** Shared oracle for q9/q10 (MinHash-LSH verified output == exact
