@@ -28,18 +28,23 @@ object AnnSearch {
     dp / sqrt(na * nb)
   }
 
-  /** Exact top-k by cosine for each query row.
+  /** Exact top-k by cosine for each query row, via the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate on the NEGATED cosine
+    * (min(−cos) ≡ max(cos); ties ascending by id — identical ordering to
+    * `ORDER BY cos DESC, id`, and negation is exact in IEEE doubles so
+    * the DuckDB oracle comparison is unaffected).
     * @param queries (`a_id`, `a_v`); @param build (`b_id`, `b_v`)
     * @return (`a_id`, `nbr_id`, `rnk`) — rnk 1..k by cosine desc, ties by
     *         nbr_id. */
   def bruteForceTopK(queries: DataFrame, build: DataFrame, k: Int): DataFrame =
     queries.join(build, col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"), cosineCol.as("cos"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id")))
-        .cast("int"))
-      .filter(col("rnk") <= k)
-      .select(col("a_id"), col("b_id").as("nbr_id"), col("rnk"))
+      .select(col("a_id"), col("b_id"), (-cosineCol).as("negcos"))
+      .groupBy("a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("b_id"), col("negcos"), k)
+        .as("topk"))
+      .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("a_id"), col("p.id").as("nbr_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
 
   /** Deterministically-seeded centroid table refined by `iters` Lloyd
     * rounds. The mean step is dimension-count agnostic: posexplode the
@@ -100,11 +105,12 @@ object AnnSearch {
 
     probes.join(buildIdx, "c_id")
       .filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"), cosineCol.as("cos"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("a_id").orderBy(col("cos").desc, col("b_id")))
-        .cast("int"))
-      .filter(col("rnk") <= k)
-      .select(col("a_id"), col("b_id").as("nbr_id"), col("rnk"))
+      .select(col("a_id"), col("b_id"), (-cosineCol).as("negcos"))
+      .groupBy("a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("b_id"), col("negcos"), k)
+        .as("topk"))
+      .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("a_id"), col("p.id").as("nbr_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
   }
 }

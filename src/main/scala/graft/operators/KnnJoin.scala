@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorExpressions
+import graft.functions.{TopKByScore, VectorExpressions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,9 +28,27 @@ object KnnJoin {
     knn(a, b, k).select(col("a_id").as(idCol), col("nbr_id"), col("rnk"))
   }
 
-  /** Exact k-NN of each query row against the full build side.
+  /** Exact k-NN of each query row against the full build side, via the
+    * [[graft.functions.TopKByScore]] bounded-heap aggregate: a partial/
+    * final hash agg where only k-sized buffers cross the shuffle — no
+    * per-group sort of all candidates (see [[knnWindow]] for the sort
+    * formulation it replaces).
     * Inputs must have columns (`a_id`, `a_v`) / (`b_id`, `b_v`). */
   def knn(queries: DataFrame, build: DataFrame, k: Int): DataFrame = {
+    val d2 = VectorExpressions.squaredL2(col("a_v"), col("b_v"))
+    queries.join(build, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), d2.as("d2"))
+      .groupBy("a_id")
+      .agg(TopKByScore.topkMin(col("b_id"), col("d2"), k).as("topk"))
+      .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("a_id"), col("p.id").as("nbr_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** Window/sort formulation of [[knn]] — kept as the cross-check oracle
+    * (sorts every candidate per group; the aggregate path is the scale
+    * one). */
+  def knnWindow(queries: DataFrame, build: DataFrame, k: Int): DataFrame = {
     val d2 = VectorExpressions.squaredL2(col("a_v"), col("b_v"))
     queries.join(build, col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), d2.as("d2"))

@@ -51,6 +51,26 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(s == exp)
   }
 
+  test("TopKByScore aggregate == window top-k (incl. merge across partitions)") {
+    val rnd = new Random(11)
+    val rows = (0 until 5000).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(10000).toLong, rnd.nextDouble() * 100))
+    val df = spark.createDataFrame(rows).toDF("g", "id", "score")
+      .repartition(13).persist()
+    val agg = df.groupBy("g")
+      .agg(graft.functions.TopKByScore.topkMin(col("id"), col("score"), 7).as("t"))
+      .select(col("g"), posexplode(col("t")).as(Seq("pos", "p")))
+      .select(col("g"), col("p.id").as("id"), (col("pos") + 1).as("rnk"))
+      .collect().map(r => (r.getLong(0), r.getInt(2).toLong) -> r.getLong(1)).toMap
+    val win = df.withColumn("rnk", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("score"), col("id"))))
+      .filter(col("rnk") <= 7)
+      .collect().map(r => (r.getLong(0), r.getInt(3).toLong) -> r.getLong(1)).toMap
+    assert(agg == win)
+    df.unpersist()
+  }
+
   test("GraftExtensions registers SQL functions usable from spark.sql") {
     GraftExtensions.register(spark)
     val row = spark.sql(
