@@ -45,6 +45,20 @@ object EventPipeline {
         unix_timestamp(col("sw.end")).as("session_end"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: attribute each purchase to clicks by the
+    * same user within the preceding `window`. Both sides carry watermarks,
+    * so the state store can evict expired rows — the join is fully
+    * incremental and append-mode safe at scale. */
+  def attributedPurchases(clicks: DataFrame, purchases: DataFrame,
+      window: String = "30 minutes", watermark: String = "1 hour"): DataFrame =
+    clicks.withWatermark("ts", watermark).alias("c")
+      .join(purchases.withWatermark("ts", watermark).alias("p"),
+        expr(s"""c.user_id = p.user_id AND
+                 p.ts >= c.ts AND p.ts <= c.ts + INTERVAL $window"""))
+      .select(col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"),
+        col("p.value").as("value"))
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -71,6 +71,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to recent clicks") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventPipeline.attributedPurchases(
+      clicks.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts", "value"))
+    val q = joined.writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:05:00")))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:20:00"), 9.99),  // within 30 min of click -> joins
+        (2L, ts("2024-01-01 11:30:00"), 5.00),  // 85 min after click -> no join
+        (3L, ts("2024-01-01 10:10:00"), 1.00))  // no click at all -> no join
+      q.processAllAvailable()
+      val got = spark.table("attributed")
+        .select("user_id", "value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((1L, 9.99)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals accumulate across batches") {
     val spark2 = spark
     import spark2.implicits._
