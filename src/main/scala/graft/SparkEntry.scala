@@ -250,6 +250,12 @@ object SparkEntry {
       graft.sources.BinaryPoints.read(s, "/root/reference/t4.8k.bin")
         .select(col("id"), size(col("features")).as("dims"))),
 
+    // Dedup family: embedding-cosine near-dup pairs (exact baseline; the
+    // LSH scale path is recall-tested in DedupSpec)
+    "q26_embedding_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.embeddingNearDup(
+        t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
+
     // Semi-structured metadata extraction (training pipelines carry JSON
     // sidecars): parse props, aggregate by event type
     "q25_props_json" -> ((s, dir) =>
@@ -407,6 +413,17 @@ object SparkEntry {
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
         |       min(ms) AS start_ms, max(ms) AS end_ms
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q26_embedding_dedup" -> {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
+          "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      s"""SELECT a_id, b_id, cos FROM (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    ${dot("a", "b")} / sqrt(${dot("a", "a")} * ${dot("b", "b")}) AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
+         |WHERE cos >= 0.4""".stripMargin
+    },
 
     "q25_props_json" ->
       """SELECT event_type,

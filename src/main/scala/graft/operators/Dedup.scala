@@ -133,6 +133,62 @@ object Dedup {
     out
   }
 
+  /** Embedding-cosine near-duplicate pairs (exact): all unordered pairs
+    * with cosine ≥ minCos. O(n²) candidates — the correctness baseline;
+    * [[embeddingNearDupLsh]] is the scale path.
+    * @return (`a_id`, `b_id`, `cos`), a_id < b_id. */
+  def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
+      minCos: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("a_v"))
+    val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("b_v"))
+    val dp = graft.functions.VectorExpressions.dotProduct(col("a_v"), col("b_v"))
+    val na = graft.functions.VectorExpressions.dotProduct(col("a_v"), col("a_v"))
+    val nb = graft.functions.VectorExpressions.dotProduct(col("b_v"), col("b_v"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), (dp / sqrt(na * nb)).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
+  /** Scale path for embedding near-dup: random-hyperplane LSH (Charikar) —
+    * the sign pattern of `nPlanes` fixed pseudo-random projections buckets
+    * similar directions together; `bands` band equi-joins generate
+    * candidates, exact cosine verifies. Deterministic: hyperplanes are
+    * seeded by (plane index, dimension) hashes.
+    * Recall < 1 by construction (tested empirically); precision exact. */
+  def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
+      minCos: Double, nPlanes: Int = 16, bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    // projection p of vector v: Σ_d v[d] * h(p, d), h = deterministic ±1
+    val v = col(vecCol).cast("array<double>")
+    val signBits = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, d) =>
+          x * when(pmod(xxhash64(lit(p), d, lit(seed)), lit(2)) === 0, 1.0)
+            .otherwise(-1.0)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << p)
+    }
+    val sig = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBits.reduce(_ + _).as("sig"))
+    val rowsPerBand = nPlanes / bands
+    val banded = sig.select(col("id"), col("v"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * rowsPerBand)
+            .bitwiseAND(lit((1L << rowsPerBand) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("x").join(banded.as("y"), Seq("band", "key"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        col("x.v").as("a_v"), col("y.v").as("b_v"))
+      .distinct()
+    val dp = graft.functions.VectorExpressions.dotProduct(col("a_v"), col("b_v"))
+    val na = graft.functions.VectorExpressions.dotProduct(col("a_v"), col("a_v"))
+    val nb = graft.functions.VectorExpressions.dotProduct(col("b_v"), col("b_v"))
+    cand.select(col("a_id"), col("b_id"), (dp / sqrt(na * nb)).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   /** SimHash 64-bit fingerprint per doc (Charikar's similarity hash, as
     * popularized for web-scale near-dup by Manku et al., WWW'07): sign of
     * the per-bit FREQUENCY-WEIGHTED sum of token hash bits (each token

@@ -47,6 +47,22 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact) // verification makes precision exact; bands give recall
   }
 
+  test("embedding near-dup: LSH candidates recall most exact pairs") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .persist()
+    val exact = Dedup.embeddingNearDup(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupLsh(emb, "vec_id", "embedding", 0.4,
+      nPlanes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // precision exact by verification
+    if (exact.nonEmpty) {
+      val recall = exact.count(lsh.contains).toDouble / exact.size
+      assert(recall >= 0.6, s"hyperplane-LSH recall $recall over ${exact.size}")
+    }
+    emb.unpersist()
+  }
+
   test("exact dedup keeps min id per identical text") {
     val withDups = docs.select("doc_id", "text").union(
       docs.filter(col("doc_id") < 5).select(col("doc_id") + 10000, col("text")))
