@@ -20,13 +20,18 @@ import org.apache.spark.sql.functions._
 object AnnSearch {
 
   /** cos(a,b) — identical formula to the DuckDB oracle:
-    * dot / sqrt(norm2(a)*norm2(b)), all double. */
-  private def cosineCol = {
-    val dp = VectorExpressions.dotProduct(col("a_v"), col("b_v"))
-    val na = VectorExpressions.dotProduct(col("a_v"), col("a_v"))
-    val nb = VectorExpressions.dotProduct(col("b_v"), col("b_v"))
-    dp / sqrt(na * nb)
-  }
+    * dot / sqrt(norm2(a)*norm2(b)), all double. Norms are hoisted to
+    * per-ROW projections before the join ([[withNorm]]) so each vector is
+    * folded once, not once per pair — the values (and therefore the
+    * oracle comparison) are bit-identical either way. */
+  private def cosineCol =
+    VectorExpressions.dotProduct(col("a_v"), col("b_v")) /
+      sqrt(col("a_n") * col("b_n"))
+
+  private def withNorm(df: org.apache.spark.sql.DataFrame,
+      vecCol: String, normCol: String) =
+    df.withColumn(normCol,
+      VectorExpressions.dotProduct(col(vecCol), col(vecCol)))
 
   /** Exact top-k by cosine for each query row, via the bounded-heap
     * [[graft.functions.TopKByScore]] aggregate on the NEGATED cosine
@@ -37,7 +42,8 @@ object AnnSearch {
     * @return (`a_id`, `nbr_id`, `rnk`) — rnk 1..k by cosine desc, ties by
     *         nbr_id. */
   def bruteForceTopK(queries: DataFrame, build: DataFrame, k: Int): DataFrame =
-    queries.join(build, col("a_id") =!= col("b_id"))
+    withNorm(queries, "a_v", "a_n")
+      .join(withNorm(build, "b_v", "b_n"), col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), (-cosineCol).as("negcos"))
       .groupBy("a_id")
       .agg(graft.functions.TopKByScore.topkMin(col("b_id"), col("negcos"), k)
@@ -103,7 +109,8 @@ object AnnSearch {
       .filter(col("rk") <= nProbe)
       .select(col("a_id"), col("a_v"), col("c_id"))
 
-    probes.join(buildIdx, "c_id")
+    withNorm(probes, "a_v", "a_n")
+      .join(withNorm(buildIdx, "b_v", "b_n"), "c_id")
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), (-cosineCol).as("negcos"))
       .groupBy("a_id")

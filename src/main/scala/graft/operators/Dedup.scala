@@ -139,13 +139,17 @@ object Dedup {
     * @return (`a_id`, `b_id`, `cos`), a_id < b_id. */
   def embeddingNearDup(emb: DataFrame, idCol: String, vecCol: String,
       minCos: Double): DataFrame = {
+    import graft.functions.VectorExpressions.dotProduct
+    // norms hoisted to per-row projections (one fold per vector, not per
+    // pair); values bit-identical to the per-pair formulation
     val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("a_v"))
+      .withColumn("a_n", dotProduct(col("a_v"), col("a_v")))
     val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("b_v"))
-    val dp = graft.functions.VectorExpressions.dotProduct(col("a_v"), col("b_v"))
-    val na = graft.functions.VectorExpressions.dotProduct(col("a_v"), col("a_v"))
-    val nb = graft.functions.VectorExpressions.dotProduct(col("b_v"), col("b_v"))
+      .withColumn("b_n", dotProduct(col("b_v"), col("b_v")))
+    val dp = dotProduct(col("a_v"), col("b_v"))
     a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), (dp / sqrt(na * nb)).as("cos"))
+      .select(col("a_id"), col("b_id"),
+        (dp / sqrt(col("a_n") * col("b_n"))).as("cos"))
       .filter(col("cos") >= minCos)
   }
 
