@@ -72,13 +72,14 @@ object Dedup {
 
   /** MinHash signatures over a prebuilt shingle table (`id`, `shingle`):
     * for each of k hash functions, the minimum xxhash64(shingle, seed)
-    * over the doc's shingles. @return (`id`, `sig`: array<long>). */
-  def minHashSignatures(sh: DataFrame, k: Int): DataFrame = {
-    val mins = (0 until k).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"h$i")): _*).as("sig"))
-  }
+    * over the doc's shingles — one [[graft.functions.MinHashSignature]]
+    * aggregate (identical hash values to the k-column
+    * `min(xxhash64(shingle, i))` formulation, without its k-wide codegen
+    * compile or k shuffle buffer slots).
+    * @return (`id`, `sig`: array<long>). */
+  def minHashSignatures(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy("id")
+      .agg(graft.functions.MinHashAgg.minhash(col("shingle"), k).as("sig"))
 
   /** MinHash signatures straight from documents. */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
