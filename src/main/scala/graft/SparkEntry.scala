@@ -250,6 +250,22 @@ object SparkEntry {
       graft.sources.BinaryPoints.read(s, "/root/reference/t4.8k.bin")
         .select(col("id"), size(col("features")).as("dims"))),
 
+    // Text analysis: BPE-ish pre-tokenization counts (letter runs / digit
+    // runs / marks — the split BPE vocabularies train over)
+    "q27_bpe_tokens" -> ((s, dir) => {
+      val bt = TextFunctions.bpeTokens(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        size(bt).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(bt)).cast("long").as("n_distinct_bpe"))
+    }),
+
+    // Text analysis: winnowing rolling-hash fingerprints (engine-internal
+    // hash — rows-only; guarantees tested in TextFunctionsSpec)
+    "q28_winnowing" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        graft.functions.WinnowingExpression.winnow(col("text")).as("fps"))),
+
     // Dedup family: embedding-cosine near-dup pairs (exact baseline; the
     // LSH scale path is recall-tested in DedupSpec)
     "q26_embedding_dedup" -> ((s, dir) =>
@@ -413,6 +429,12 @@ object SparkEntry {
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
         |       min(ms) AS start_ms, max(ms) AS end_ms
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+
+    "q27_bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${TextFunctions.BpePattern}')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(len(list_distinct(regexp_extract_all(text, '${TextFunctions.BpePattern}'))) AS BIGINT) AS n_distinct_bpe
+         |FROM documents""".stripMargin,
 
     "q26_embedding_dedup" -> {
       def dot(x: String, y: String) =

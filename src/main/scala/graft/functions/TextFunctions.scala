@@ -67,6 +67,14 @@ object TextFunctions {
     }
   }
 
+  /** BPE-ish subword-boundary tokenizer: letter runs, digit runs, and
+    * single non-alphanumeric marks — the pre-tokenization split GPT-style
+    * BPE vocabularies train over. Same regex semantics in Java and RE2,
+    * so the DuckDB oracle (`regexp_extract_all`) matches exactly. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
   /** Exact-dup fingerprint: md5 of the raw text (DuckDB `md5(text)` is
     * bit-identical). */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))

@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+  * SIGMOD'03): Karp–Rabin ROLLING hash over character k-grams, then the
+  * minimum hash of every w-hash window, deduplicated — the standard
+  * local-fingerprint scheme whose guarantee is that any shared substring
+  * of length ≥ k + w − 1 yields at least one shared fingerprint.
+  *
+  * Single-pass native expression: the rolling update is
+  * `h = (h − c_out·B^(k−1))·B + c_in mod M`, O(1) per character; window
+  * minima via a monotone deque, O(1) amortized. Fingerprint set size is
+  * ~2/(w+1) of the k-gram count — a compact sketch for containment /
+  * near-dup detection at corpus scale.
+  */
+case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
+
+  // modulus small enough that every product below stays inside a signed
+  // 64-bit long (h < 2^31, h·B < 2^39) — a larger modulus silently
+  // overflows and the hash stops being position-independent
+  private val B = 131L            // rolling base
+  private val M = (1L << 31) - 1  // Mersenne prime 2^31−1
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    // rolling k-gram hashes
+    val nh = n - k + 1
+    val hs = new Array[Long](nh)
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow = pow * B % M; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + s.charAt(i)) % M; i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < nh) {
+      h = ((h - s.charAt(i - 1) * pow % M + M * 2) % M * B + s.charAt(i + k - 1)) % M
+      hs(i) = h
+      i += 1
+    }
+    if (nh <= w) {
+      // fewer k-grams than a window: keep the single global min
+      var mn = hs(0); i = 1
+      while (i < nh) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      return new GenericArrayData(Array[Any](mn))
+    }
+    // min of each w-window via monotone deque; dedup consecutive picks
+    val out = new java.util.LinkedHashSet[Long]()
+    val deque = new Array[Int](nh)
+    var head = 0; var tail = 0 // [head, tail)
+    i = 0
+    while (i < nh) {
+      while (tail > head && hs(deque(tail - 1)) >= hs(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out.add(hs(deque(head)))
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "winnowing_fingerprints"
+}
+
+object WinnowingExpression {
+  import org.apache.spark.sql.GraftInternals.{column, expression}
+  /** Winnowing fingerprint set of `text` (k-gram size k, window w). */
+  def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
+    column(WinnowingFingerprints(expression(text), k, w))
+}

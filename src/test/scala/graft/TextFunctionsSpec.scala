@@ -41,6 +41,33 @@ class TextFunctionsSpec extends SparkSpec {
       .collect()(0).getInt(0) == 1) // distinct hits
   }
 
+  test("bpeTokens splits letter runs, digit runs, and marks") {
+    val got = one("hello world42 a-b!").select(TextFunctions.bpeTokens(col("text")))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("hello", "world", "42", "a", "-", "b", "!"))
+  }
+
+  test("winnowing: shared substring of length >= k+w-1 shares a fingerprint") {
+    import graft.functions.WinnowingExpression.winnow
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val df = spark.createDataFrame(Seq(
+      (1L, base),
+      (2L, "PREFIX " + base + " SUFFIX"), // contains base verbatim
+      (3L, "completely different content with no overlap whatsoever here")))
+      .toDF("id", "text")
+    val fps = df.select(col("id"), winnow(col("text"), 5, 4))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty)   // guarantee from the paper
+    assert((fps(1L) & fps(3L)).isEmpty)    // disjoint texts -> no overlap
+    // deterministic + short-input safety
+    val again = df.select(col("id"), winnow(col("text"), 5, 4))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(again == fps)
+    val tiny = one("ab").select(winnow(col("text"), 5, 4))
+      .collect()(0).getSeq[Long](0)
+    assert(tiny.isEmpty)
+  }
+
   test("fingerprint64 is deterministic and spreads") {
     val df = spark.createDataFrame(
       (1 to 100).map(i => Tuple1(s"doc number $i"))).toDF("text")
