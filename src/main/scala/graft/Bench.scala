@@ -41,17 +41,20 @@ object Bench {
     // (`manyTests.py:25-106` runs each config 10x) — strips JIT/codegen
     // warmup and GC noise from the comparison
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    def time(run: () => Unit): Double =
+    def time(name: String, run: () => Unit): Double =
       (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try run() catch { case _: Throwable => () }
+        try run() catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.min
     val sfResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time(() => fn(spark, sfDir).count())
+      name -> time(name, () => fn(spark, sfDir).count())
     }
     val refResults = referenceBench.map { case (name, fn) =>
-      name -> time(() => fn(spark).count())
+      name -> time(name, () => fn(spark).count())
     }
     val results = sfResults ++ refResults
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
