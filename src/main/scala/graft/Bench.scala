@@ -41,15 +41,21 @@ object Bench {
     // (`manyTests.py:25-106` runs each config 10x) — strips JIT/codegen
     // warmup and GC noise from the comparison
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    def time(name: String, run: () => Unit): Double =
-      (0 until reps).map { _ =>
+    // a query that throws on EVERY rep reports -1 (and joins "failed"), not
+    // the min of fast-fail timings; a query with >=1 clean rep reports the
+    // min over the clean reps only
+    def time(name: String, run: () => Unit): Double = {
+      val clean = (0 until reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try run() catch {
+        val ok = try { run(); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
         }
-        (System.nanoTime() - t0) / 1e9
-      }.min
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
+      }
+      if (clean.isEmpty) -1.0 else clean.min
+    }
     val sfResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       name -> time(name, () => fn(spark, sfDir).count())
     }
@@ -59,8 +65,10 @@ object Bench {
     val results = sfResults ++ refResults
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,6 +44,7 @@ object DbscanMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val t0 = System.nanoTime()
+    val dims = BinaryPoints.header(input)._2
     val pts = BinaryPoints.read(spark, input)
     val model = new DbscanEstimator()
       .setEps(eps).setMinPts(minPts).setSamplePct(pct)
@@ -52,14 +53,19 @@ object DbscanMain {
     val st = Dbscan.stats(model.labels).collect()(0)
     val secs = (System.nanoTime() - t0) / 1e9
 
-    // the reference's parseable report lines
+    // the reference's parseable report lines, exactly as manyTests.py reads
+    // them: 'MinPts' line → split(' ')[3] (manyTests.py:133), 'Dimensions'
+    // line → split(':')[-1] (:136), 'Points' line → fields 3/5/8 (:139-164),
+    // 'Total number' line → split(' ')[4] (:167), 'DBSCAN' timing line →
+    // split(' ')[8] (:178-179)
+    println(s"Epsilon: $eps MinPts: $minPts Percent_of_dataset_used: $pct")
+    println(s"Dimensions of each point: $dims")
     println(s"Points in clusters ${st.getLong(0)} Noise ${st.getLong(1)} " +
       s"Total points ${st.getLong(2)}")
     println(s"Total number of clusters ${st.getLong(3)}")
-    println(f"Total time taken $secs%.4f seconds")
+    println(f"Parallel DBSCAN (init, local computation, and merging) took $secs%.4f seconds")
 
     if (out != null) {
-      val dims = BinaryPoints.header(input)._2
       PointSink.toReferenceLayout(pts, model.labels, "id", "features", dims)
         .write.mode("overwrite").parquet(out)
     }

@@ -71,8 +71,9 @@ object SparkEntry {
     "q5_knn" -> ((s, dir) =>
       KnnJoin.selfKnn(t(s, dir, "embeddings"), "vec_id", "embedding", 5)),
 
-    // Q6 — DBSCAN cluster assignment (C-2..C-5); no SQL oracle (label
-    // equality is checked against a sequential DBSCAN in the test suite)
+    // Q6 — DBSCAN cluster assignment (C-2..C-5); oracled by a recursive-CTE
+    // connected-components SQL twin (label rules are deterministic: min-id
+    // components, dense ids by comp order, minClusterSize=2, noise=0)
     "q6_dbscan" -> ((s, dir) =>
       Dbscan.run(t(s, dir, "embeddings"), "vec_id", "embedding",
         Eps, MinPts, Nil)),
@@ -228,10 +229,12 @@ object SparkEntry {
           min("ms").as("start_ms"), max("ms").as("end_ms"))
     }),
 
-    // Dedup family: SimHash fingerprints (engine-internal hash — no SQL
-    // oracle; determinism + near-dup recall covered in DedupSpec)
+    // Dedup family: SimHash fingerprints. The portable md5-derived token
+    // hash makes the whole fingerprint DuckDB-reproducible (engine default
+    // stays xxhash64; near-dup recall covered in DedupSpec)
     "q22_simhash" -> ((s, dir) =>
-      graft.operators.Dedup.simHash(t(s, dir, "documents"), "doc_id", "text")),
+      graft.operators.Dedup.simHash(t(s, dir, "documents"), "doc_id", "text",
+        TextFunctions.portableHash60)),
 
     // ANN: IVF approximate top-5 (approximate by design — no SQL oracle;
     // recall vs exact covered in AnnSearchSpec)
@@ -260,11 +263,13 @@ object SparkEntry {
         size(array_distinct(bt)).cast("long").as("n_distinct_bpe"))
     }),
 
-    // Text analysis: winnowing rolling-hash fingerprints (engine-internal
-    // hash — rows-only; guarantees tested in TextFunctionsSpec)
+    // Text analysis: winnowing rolling-hash fingerprints, exploded to
+    // (doc_id, fp) scalar rows. The Karp–Rabin hash (base 131 mod 2^31−1)
+    // is reproduced digit-for-digit by the DuckDB oracle
     "q28_winnowing" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
-        graft.functions.WinnowingExpression.winnow(col("text")).as("fps"))),
+        explode(graft.functions.WinnowingExpression.winnow(col("text")))
+          .as("fp"))),
 
     // Dedup family: embedding-cosine near-dup pairs (exact baseline; the
     // LSH scale path is recall-tested in DedupSpec)
@@ -327,6 +332,21 @@ object SparkEntry {
         |  sum(round(l_extendedprice * (1.0 - l_discount) * 10000)) / 10000.0 AS sum_disc_price,
         |  CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q6_dbscan" -> dbscanOracle,
+
+    "q7_cluster_stats" ->
+      s"""SELECT
+         |  CAST(sum(CASE WHEN cluster_id != 0 THEN 1 ELSE 0 END) AS BIGINT) AS points_in_clusters,
+         |  CAST(sum(CASE WHEN cluster_id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS noise,
+         |  CAST(count(*) AS BIGINT) AS total_points,
+         |  CAST(max(cluster_id) AS BIGINT) AS n_clusters
+         |FROM (
+         |$dbscanOracle
+         |) labels""".stripMargin,
+
+    "q22_simhash" -> simhashOracle,
+    "q28_winnowing" -> winnowingOracle,
 
     "q9_jaccard_pairs" -> jaccardOracle,
     "q10_minhash_dedup" -> jaccardOracle,
@@ -458,6 +478,91 @@ object SparkEntry {
         |      FROM events) e
         |GROUP BY event_type""".stripMargin,
   )
+
+  /** DBSCAN labels in pure SQL: the ε self-join, core test, recursive-CTE
+    * min-label connected components, min-comp border attach, size-≥2 dense
+    * ids and noise=0 — mirroring Dbscan.run's deterministic label rules. */
+  private val dbscanOracle: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.vec_id != b.vec_id AND ${d2Sql("a", "b")} <= $Eps*$Eps
+       |),
+       |cores AS (
+       |  SELECT a_id AS id FROM pairs GROUP BY a_id
+       |  HAVING count(*) + 1 >= $MinPts
+       |),
+       |core_edges AS (
+       |  SELECT p.a_id AS src, p.b_id AS dst FROM pairs p
+       |  JOIN cores ca ON p.a_id = ca.id JOIN cores cb ON p.b_id = cb.id
+       |),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM cores
+       |  UNION
+       |  SELECT e.dst, r.r FROM reach r JOIN core_edges e ON e.src = r.id
+       |),
+       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |border AS (
+       |  SELECT p.a_id AS id, min(c.comp) AS comp
+       |  FROM pairs p JOIN cores cb ON p.b_id = cb.id
+       |  JOIN comp c ON c.id = p.b_id
+       |  WHERE p.a_id NOT IN (SELECT id FROM cores)
+       |  GROUP BY p.a_id
+       |),
+       |labeled AS (SELECT id, comp FROM comp UNION ALL SELECT id, comp FROM border),
+       |comp_ids AS (
+       |  SELECT comp, CAST(row_number() OVER (ORDER BY comp) AS INTEGER) AS cluster_id
+       |  FROM (SELECT comp FROM labeled GROUP BY comp HAVING count(*) >= 2) g
+       |)
+       |SELECT e.vec_id AS id, COALESCE(ci.cluster_id, 0) AS cluster_id
+       |FROM embeddings e
+       |LEFT JOIN labeled l ON l.id = e.vec_id
+       |LEFT JOIN comp_ids ci ON ci.comp = l.comp""".stripMargin
+
+  /** Winnowing fingerprints in pure SQL (k/w from WinnowingExpression's
+    * defaults): rolling k-gram Karp–Rabin hashes, per-window minima,
+    * distinct (doc_id, fp) rows. */
+  private val winnowingOracle: String = {
+    val (k, w) = (5, 4) // keep in sync with WinnowingExpression.winnow defaults
+    val gram = (1 until k).foldLeft(
+      s"CAST(ord(substr(text, CAST(i AS INTEGER)+1, 1)) AS BIGINT)") {
+      (acc, j) =>
+        s"(($acc) * 131 + ord(substr(text, CAST(i AS INTEGER)+${j + 1}, 1))) % 2147483647"
+    }
+    s"""WITH hs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(len(text) - ${k - 1}), i -> $gram) AS h
+       |  FROM documents WHERE len(text) >= $k
+       |),
+       |mins AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(h) <= $w THEN [list_min(h)]
+       |         ELSE list_transform(range(len(h) - ${w - 1}),
+       |                i -> list_min(h[CAST(i AS INTEGER)+1 : CAST(i AS INTEGER)+$w]))
+       |    END AS ms
+       |  FROM hs)
+       |SELECT DISTINCT doc_id, CAST(unnest(ms) AS BIGINT) AS fp FROM mins""".stripMargin
+  }
+
+  /** SimHash in pure SQL over the portable md5-derived 60-bit token hash:
+    * 60 per-bit frequency-weighted ±1 sums, positive sums set the bit. */
+  private val simhashOracle: String = {
+    val bitSums = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n    ")
+    val assemble = (0 until 60).map(j =>
+      s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+       |  FROM toks),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM h GROUP BY doc_id)
+       |SELECT doc_id AS id, CAST($assemble AS BIGINT) AS simhash FROM bits""".stripMargin
+  }
 
   /** Shared oracle for q9/q10 (MinHash-LSH verified output == exact
     * Jaccard join at this threshold — recall ≈ 1 by band design). */

@@ -29,7 +29,9 @@ case class Shingles(child: Expression, n: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val toks = text.split(' ')
+    // limit -1 keeps trailing empty tokens, matching Spark's split(col, " ",
+    // -1) and DuckDB's string_split on trailing-separator inputs
+    val toks = text.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
     val sb = new java.lang.StringBuilder(64)

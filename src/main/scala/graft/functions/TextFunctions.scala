@@ -82,4 +82,12 @@ object TextFunctions {
   /** 64-bit content fingerprint via xxhash64 — the engine-internal rolling
     * fingerprint (no cross-engine oracle; covered by property tests). */
   def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** Cross-engine-checkable 60-bit hash: the first 15 hex chars of md5,
+    * read big-endian (fits a signed int64). DuckDB twin:
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. Slower than xxhash64
+    * (md5 + string slicing) — use only where an SQL oracle must reproduce
+    * the hash; the engine default stays xxhash64. */
+  def portableHash60(text: Column): Column =
+    conv(substring(md5(text.cast("binary")), 1, 15), 16, 10).cast("long")
 }

@@ -80,8 +80,10 @@ object ConnectedComponents {
     *   same shape as the reference's centralized root bookkeeping
     *   (`dbscan.cpp:347-402` gathers per-rank root counts at every rank);
     *   for graphs beyond the threshold the distributed loop below is the
-    *   scale path. 2M rows ≈ 32 MB of longs — trivially safe on any
-    *   driver; a 100 TB input with billions of cores takes the loop.
+    *   scale path. 2M rows collect as ~2M GenericRow objects (two boxed
+    *   longs + headers each) ≈ 300-400 MB of driver heap — fine under the
+    *   8g default driver, lower the threshold for smaller drivers; a
+    *   100 TB input with billions of cores takes the loop.
     * @return (`id`, `comp`) — comp = min node id in the component.
     */
   def run(edges: DataFrame, maxIter: Int = 50,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for document corpora — the standard
@@ -201,11 +201,15 @@ object Dedup {
     * then tracks cosine of the term-frequency vectors). Pure relational:
     * explode tokens → 64 per-bit ±1 sums → assemble the fingerprint with
     * shiftleft/or — stays in whole-stage codegen (no UDF, no UDAF).
+    * @param tokenHash per-token hash column; default xxhash64 (fastest).
+    *   Pass [[TextFunctions.portableHash60]] for a DuckDB-reproducible
+    *   fingerprint (bits 60-63 then always 0: every token votes −1 there).
     * @return (`id`, `simhash`: long). */
-  def simHash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simHash(docs: DataFrame, idCol: String, textCol: String,
+      tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", tokenHash(col("tok")))
     val bitSums = (0 until 64).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"b$j"))

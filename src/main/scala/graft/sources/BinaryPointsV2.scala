@@ -111,11 +111,15 @@ class BinaryPointsReader(path: String, range: BinaryPointsRange,
   // id-only / count-only scans never open per-row float decoding
   private lazy val skipOnly: Boolean = !wantFeatures
 
-  override def next(): Boolean = i < range.count
+  // PartitionReader contract: next() advances the cursor and buffers the
+  // row; get() is a pure accessor returning the same row until the next
+  // next() call (safe under callers that get() twice or skip a get())
+  private var current: InternalRow = _
 
-  override def get(): InternalRow = {
+  override def next(): Boolean = {
+    if (i >= range.count) return false
     val id = range.start + i
-    val row: InternalRow =
+    current =
       if (skipOnly) {
         if (wantId) InternalRow(id) else InternalRow.empty
       } else {
@@ -130,8 +134,10 @@ class BinaryPointsReader(path: String, range: BinaryPointsRange,
         else InternalRow(arr, id)
       }
     i += 1
-    row
+    true
   }
+
+  override def get(): InternalRow = current
 
   override def close(): Unit = if (wantFeatures) dis.close()
 }

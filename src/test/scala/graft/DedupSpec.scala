@@ -22,6 +22,18 @@ class DedupSpec extends SparkSpec {
     val short = spark.createDataFrame(Seq(Tuple1("one two"))).toDF("text")
       .select(TextFunctions.shingles(col("text"), 3)).collect()(0).getSeq[String](0)
     assert(short.isEmpty)
+    // trailing/leading-separator docs: native must keep empty tokens exactly
+    // like the declarative twin (Spark split limit -1 / DuckDB string_split)
+    val edge = spark.createDataFrame(
+      Seq(Tuple1("a b c  d "), Tuple1(" a b"), Tuple1("a  "))).toDF("text")
+      .select(
+        TextFunctions.shingles(col("text"), 3).as("fast"),
+        TextFunctions.shinglesDeclarative(col("text"), 3).as("slow"))
+      .collect()
+    edge.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"native=${r.getSeq[String](0)} declarative=${r.getSeq[String](1)}")
+    }
   }
 
   test("jaccardJoin == brute-force jaccard over collected shingle sets") {
