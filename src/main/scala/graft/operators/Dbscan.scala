@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Distributed DBSCAN over a point table `(id: long, features: array<float>)`
   * — the full capability of the reference engine
@@ -51,10 +52,29 @@ object Dbscan {
     *   claimed by other clusters does NOT form a cluster of its own. */
   def run(points: DataFrame, idCol: String, vecCol: String,
       eps: Double, minPts: Int, bucketDims: Seq[Int],
-      minClusterSize: Int = 2): DataFrame = {
+      minClusterSize: Int = 2, localThreshold: Long = 100_000L): DataFrame = {
     // the point table is scanned by both join sides and the final label
     // join — cache it once (no-op if the caller already persisted it)
     val pts = points.persist()
+
+    // Small-input fast path: the distributed pipeline costs ~15 Spark jobs
+    // (join + agg + CC loop), each ~0.1-0.3 s of orchestration in local
+    // mode — the entire gap to the reference on its 61k-point benchmarks.
+    // Below the threshold, run the whole clustering in ONE task with a
+    // grid-indexed sequential DBSCAN that reproduces the distributed
+    // path's canonical labels exactly (same distance fold, same min-id
+    // component labels, same dense-id ordering). Size probe via
+    // limit(threshold+1): stops scanning early on big inputs instead of
+    // counting 100 TB to decide. k=0 (no bucket dims) means a brute-force
+    // O(n²) scan — only allowed for tiny inputs.
+    if (localThreshold > 0) {
+      val cap = math.min(localThreshold + 1, Int.MaxValue.toLong).toInt
+      val n = pts.limit(cap).count()
+      val bruteForceCap = 4096L
+      if (n <= localThreshold && (bucketDims.nonEmpty || n <= bruteForceCap))
+        return runLocal(pts, idCol, vecCol, eps, minPts, bucketDims,
+          minClusterSize)
+    }
     val pairs = EpsilonJoin
       .selfJoin(pts, idCol, vecCol, eps, bucketDims)
       .select(col("a_id"), col("b_id"))
@@ -106,6 +126,215 @@ object Dbscan {
       .join(withIds, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("cluster_id"), lit(0)).as("cluster_id")) // noise = 0
+  }
+
+  /** One-task DBSCAN for small inputs: identical labels to the distributed
+    * path (grid-indexed neighbor search, min-id core components, min-comp
+    * border attach, dense ids by component key, noise = 0), computed in a
+    * single mapPartitions over a coalesced partition — no shuffles, no CC
+    * loop, no driver-side point data. */
+  private def runLocal(pts: DataFrame, idCol: String, vecCol: String,
+      eps: Double, minPts: Int, bucketDims: Seq[Int],
+      minClusterSize: Int): DataFrame = {
+    val spark = pts.sparkSession
+    val dimsArr = bucketDims.toArray
+    val rdd = pts
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .coalesce(1)
+      .rdd
+      .mapPartitions { it =>
+        val rows = it.map(r =>
+          (r.getLong(0), r.getSeq[Float](1).toArray)).toArray
+        localLabels(rows, eps, minPts, dimsArr, minClusterSize)
+          .map { case (id, cid) => Row(id, cid) }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cluster_id", IntegerType, nullable = false))))
+  }
+
+  /** Sequential grid-DBSCAN kernel (runs inside one task). Semantics match
+    * the distributed path exactly:
+    *  - distance = double left-to-right fold of (a_i−b_i)², self-inclusive
+    *    `>=` core test (`dbscan.cpp:739`);
+    *  - component label = min core id (the distributed CC's canonical rule);
+    *  - border → min component label among core neighbors;
+    *  - dense ids 1..K by ascending component label over components with
+    *    ≥ minClusterSize members; everything else 0 (noise). */
+  private[operators] def localLabels(rows: Array[(Long, Array[Float])],
+      eps: Double, minPts: Int, bucketDims: Array[Int],
+      minClusterSize: Int): Iterator[(Long, Int)] = {
+    val n = rows.length
+    if (n == 0) return Iterator.empty
+    val eps2 = eps * eps
+    val k = bucketDims.length
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Float]](n)
+    var i = 0
+    while (i < n) { ids(i) = rows(i)._1; vecs(i) = rows(i)._2; i += 1 }
+
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      val m = math.min(a.length, b.length)
+      var acc = 0.0
+      var j = 0
+      while (j < m) {
+        val d = a(j).toDouble - b(j).toDouble
+        acc += d * d
+        j += 1
+      }
+      acc
+    }
+
+    // grid over the bucketed dims (same cell function as the distributed
+    // ε-join: floor(coord/ε) per dim); k = 0 → single cell (brute force)
+    def cellOf(v: Array[Float]): Vector[Long] = {
+      val c = new Array[Long](k)
+      var j = 0
+      while (j < k) {
+        c(j) = math.floor(v(bucketDims(j)).toDouble / eps).toLong
+        j += 1
+      }
+      c.toVector
+    }
+    val grid = new scala.collection.mutable.HashMap[Vector[Long],
+      scala.collection.mutable.ArrayBuffer[Int]]()
+    i = 0
+    while (i < n) {
+      grid.getOrElseUpdate(cellOf(vecs(i)),
+        new scala.collection.mutable.ArrayBuffer[Int]) += i
+      i += 1
+    }
+    val offs = EpsilonJoin.offsets(k).map(_.toArray).toArray
+    // visit every point in the 3^k cells around p, calling f on in-ε ones
+    def forEachNeighbor(p: Int)(f: Int => Unit): Unit = {
+      val home = cellOf(vecs(p))
+      var oi = 0
+      while (oi < offs.length) {
+        val off = offs(oi)
+        val cell = Vector.tabulate(k)(j => home(j) + off(j))
+        grid.get(cell) match {
+          case Some(buf) =>
+            var bi = 0
+            while (bi < buf.length) {
+              val q = buf(bi)
+              if (q != p && d2(vecs(p), vecs(q)) <= eps2) f(q)
+              bi += 1
+            }
+          case None =>
+        }
+        oi += 1
+      }
+    }
+
+    // The three scan passes are embarrassingly parallel per point — use
+    // the executor's cores inside this single task (a Spark task occupies
+    // one scheduler slot; the thread pool recovers the parallelism the
+    // one-task plan gave up). Deterministic: pass results are pure
+    // per-point, and the concurrent union-find's final partition is the
+    // connectivity closure, independent of interleaving.
+    def parallelFor(total: Int)(body: Int => Unit): Unit = {
+      val threads = math.max(1, math.min(
+        Runtime.getRuntime.availableProcessors(), 16))
+      if (threads == 1 || total < 2048) { var j = 0; while (j < total) { body(j); j += 1 } }
+      else {
+        val next = new java.util.concurrent.atomic.AtomicInteger(0)
+        val chunk = 256
+        val pool = (0 until threads).map { _ =>
+          new Thread(() => {
+            var start = next.getAndAdd(chunk)
+            while (start < total) {
+              val end = math.min(start + chunk, total)
+              var j = start
+              while (j < end) { body(j); j += 1 }
+              start = next.getAndAdd(chunk)
+            }
+          })
+        }
+        pool.foreach(_.start())
+        pool.foreach(_.join())
+      }
+    }
+
+    // pass 1: core test (neighbor count includes the point itself)
+    val isCore = new Array[Boolean](n)
+    parallelFor(n) { p =>
+      var cnt = 1
+      forEachNeighbor(p)(_ => cnt += 1)
+      isCore(p) = cnt >= minPts
+    }
+
+    // pass 2: lock-free union-find over core-core edges (CAS on roots —
+    // Rem's-style concurrent UF, the shared-memory analog of the
+    // reference's REMS loop, `dbscan.cpp:764-788`)
+    val parent = new java.util.concurrent.atomic.AtomicIntegerArray(n)
+    i = 0
+    while (i < n) { parent.set(i, i); i += 1 }
+    def find(x: Int): Int = {
+      var r = x
+      var p = parent.get(r)
+      while (p != r) {
+        val gp = parent.get(p)
+        parent.compareAndSet(r, p, gp) // path halving; failure is benign
+        r = gp
+        p = parent.get(r)
+      }
+      r
+    }
+    def union(x: Int, y: Int): Unit = {
+      var a = x; var b = y
+      while (true) {
+        a = find(a); b = find(b)
+        if (a == b) return
+        // always hang the larger root under the smaller: roots only ever
+        // decrease, so the CAS-on-root linearizes concurrent unions
+        val (lo, hi) = if (a < b) (a, b) else (b, a)
+        if (parent.compareAndSet(hi, hi, lo)) return
+      }
+    }
+    parallelFor(n) { p =>
+      if (isCore(p)) forEachNeighbor(p) { q =>
+        if (isCore(q) && q > p) union(p, q) // each undirected edge once
+      }
+    }
+    // canonical component label = min core ID in the component
+    val compMin = new scala.collection.mutable.LongMap[Long]()
+    i = 0
+    while (i < n) {
+      if (isCore(i)) {
+        val r = find(i).toLong
+        compMin(r) = math.min(compMin.getOrElse(r, Long.MaxValue), ids(i))
+      }
+      i += 1
+    }
+    // pass 3: label cores; borders get the min component label among
+    // core neighbors (the distributed path's deterministic attach rule).
+    // find() is read-mostly here (all roots settled) — safe concurrently.
+    val label = new Array[Long](n)
+    java.util.Arrays.fill(label, -1L)
+    parallelFor(n) { p =>
+      if (isCore(p)) label(p) = compMin(find(p).toLong)
+      else {
+        var best = Long.MaxValue
+        forEachNeighbor(p) { q =>
+          if (isCore(q)) {
+            val l = compMin(find(q).toLong)
+            if (l < best) best = l
+          }
+        }
+        if (best != Long.MaxValue) label(p) = best
+      }
+    }
+    // dense ids over components with >= minClusterSize members
+    val sizes = new scala.collection.mutable.LongMap[Int]()
+    i = 0
+    while (i < n) {
+      if (label(i) >= 0) sizes(label(i)) = sizes.getOrElse(label(i), 0) + 1
+      i += 1
+    }
+    val dense = sizes.iterator.filter(_._2 >= minClusterSize).map(_._1)
+      .toArray.sorted.zipWithIndex.map { case (c, j) => c -> (j + 1) }.toMap
+    Iterator.tabulate(n)(j =>
+      (ids(j), if (label(j) >= 0) dense.getOrElse(label(j), 0) else 0))
   }
 
   /** Cluster statistics — the reference's end-of-run report

@@ -68,6 +68,7 @@ class DbscanSpec extends SparkSpec {
 
     val df = BinaryPoints.read(spark, T4)
     val dims = EpsilonJoin.pickBucketDims(df, "features", 10.0)
+    // default run takes the fused single-task path at this size
     val got = Dbscan.run(df, "id", "features", 10.0, 20, dims)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
 
@@ -75,6 +76,13 @@ class DbscanSpec extends SparkSpec {
     val diff = oracle.keys.filter(k => got(k) != oracle(k))
     assert(diff.isEmpty,
       s"${diff.size} label mismatches, e.g. ${diff.take(5).map(k => (k, got(k), oracle(k)))}")
+
+    // the distributed path (forced via localThreshold=0) must produce the
+    // IDENTICAL labels — the fast path is an optimization, not a variant
+    val distributed = Dbscan.run(df, "id", "features", 10.0, 20, dims,
+      localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(distributed == got, "local fast path diverged from distributed")
 
     // stats line (the reference's end-of-run report)
     val labelsDf = spark.createDataFrame(got.toSeq).toDF("id", "cluster_id")
@@ -126,8 +134,11 @@ class DbscanSpec extends SparkSpec {
         ids.zip(pts).map { case (i, p) => Row(i, p.toSeq) }.toSeq, parts),
       BinaryPoints.schema)
     val dims = Seq(0, 1)
+    // force the DISTRIBUTED path — the single-task fast path is trivially
+    // partition-invariant, the shuffling pipeline is what needs the check
     val run = (parts: Int) =>
-      Dbscan.run(mk(parts), "id", "features", 10.0, 20, dims)
+      Dbscan.run(mk(parts), "id", "features", 10.0, 20, dims,
+        localThreshold = 0L)
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val a = run(3)
     val b = run(13)
