@@ -277,6 +277,81 @@ object SparkEntry {
       graft.operators.Dedup.embeddingNearDup(
         t(s, dir, "embeddings"), "vec_id", "embedding", 0.4)),
 
+    // As-of (backward) join: each click joined to the user's most recent
+    // purchase at-or-before it — one shuffle, no range-join explosion.
+    // Oracle: DuckDB ASOF LEFT JOIN (sentinel -1 for no-match keeps the
+    // pandas compare off nullable-int dtype drama)
+    "q29_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ms = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
+        case _ => unix_millis(col("ts"))
+      }
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), ms.as("click_ms"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), ms.as("purchase_ms"), col("value"))
+      graft.operators.AsofJoin.backward(clicks, purchases, Seq("user_id"),
+          "click_ms", "purchase_ms", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("click_ms"),
+          coalesce(col("asof_ts"), lit(-1L)).as("purchase_ms"),
+          coalesce(col("value"), lit(-1.0)).as("purchase_value"))
+    }),
+
+    // Text analysis: per-document top-3 TF-IDF terms (tf × ln((N+1)/(df+1)),
+    // rounded before ranking so both engines order identically)
+    "q30_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))),
+            6).as("score"))
+      scored.withColumn("rnk", row_number().over(
+          Window.partitionBy("doc_id")
+            .orderBy(col("score").desc, col("tok"))).cast("int"))
+        .filter(col("rnk") <= 3)
+        .select("doc_id", "tok", "score", "rnk")
+    }),
+
+    // Text analysis: corpus-wide top-20 bigrams by document frequency
+    // (shingles are distinct per doc), deterministic tie-break on the gram
+    "q31_top_ngrams" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.shingles(col("text"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("ngram"))
+        .limit(20)),
+
+    // Relational: ROLLUP with grouping() sentinels (subtotal + grand-total
+    // rows) — the reporting shape over a pricing summary
+    "q32_rollup_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g1"),
+          grouping(col("l_linestatus")).as("g2"))
+        .select(
+          when(col("g1") === 1, lit("ALL")).otherwise(col("l_returnflag"))
+            .as("l_returnflag"),
+          when(col("g2") === 1, lit("ALL")).otherwise(col("l_linestatus"))
+            .as("l_linestatus"),
+          col("sum_qty"), col("n"))),
+
+    // Relational: running per-customer revenue (window frame, integer-cents
+    // accumulation so both engines agree bit-for-bit)
+    "q33_running_revenue" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        (sum(round(col("o_totalprice") * lit(100.0))).over(
+          Window.partitionBy("o_custkey").orderBy("o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          / lit(100.0)).as("running_total"))),
+
     // Semi-structured metadata extraction (training pipelines carry JSON
     // sidecars): parse props, aggregate by event type
     "q25_props_json" -> ((s, dir) =>
@@ -466,6 +541,55 @@ object SparkEntry {
          |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) p
          |WHERE cos >= 0.4""".stripMargin
     },
+
+    "q29_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_ms(ts) AS click_ms
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_ms(ts) AS purchase_ms, value
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.click_ms,
+        |  COALESCE(p.purchase_ms, -1) AS purchase_ms,
+        |  COALESCE(p.value, -1.0) AS purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.click_ms >= p.purchase_ms""".stripMargin,
+
+    "q30_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, tok,
+        |        round(tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS score
+        |      FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, tok, score, CAST(rn AS INTEGER) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, tok) AS rn FROM s) r
+        |WHERE rn <= 3""".stripMargin,
+
+    "q31_top_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2]))) AS ngram
+        |       FROM w)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS df FROM sh
+        |GROUP BY ngram ORDER BY df DESC, ngram LIMIT 20""".stripMargin,
+
+    "q32_rollup_pricing" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS l_returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q33_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |  sum(round(o_totalprice * 100)) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) / 100.0
+        |    AS running_total
+        |FROM orders""".stripMargin,
 
     "q25_props_json" ->
       """SELECT event_type,

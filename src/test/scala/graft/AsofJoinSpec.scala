@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+
+  private def mk(rows: Seq[(Long, Long)], parts: Int = 3) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts)).toDF("user_id", "ts")
+
+  test("backward asof == brute-force latest-at-or-before, per key") {
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 400).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val right = (0 until 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i * 10L))
+    val l = spark.createDataFrame(
+      spark.sparkContext.parallelize(left, 4))
+      .toDF("user_id", "lts", "lid")
+    val r = spark.createDataFrame(
+      spark.sparkContext.parallelize(right, 4))
+      .toDF("user_id", "rts", "rval")
+
+    val got = AsofJoin.backward(l, r, Seq("user_id"), "lts", "rts", Seq("rval"))
+      .collect()
+      .map(x => (x.getLong(2), (Option(x.get(3)).map(_.asInstanceOf[Long]),
+        Option(x.get(4)).map(_.asInstanceOf[Long]))))
+      .toMap
+
+    left.foreach { case (k, lts, lid) =>
+      val cands = right.filter(x => x._1 == k && x._2 <= lts)
+      val exp =
+        if (cands.isEmpty) (None, None)
+        else {
+          // ties on rts resolve toward the greatest payload tuple
+          val best = cands.maxBy(c => (c._2, c._3))
+          (Some(best._2), Some(best._3))
+        }
+      assert(got(lid) == exp, s"left row $lid (key=$k, ts=$lts)")
+    }
+  }
+
+  test("tolerance nulls out matches older than the horizon") {
+    val l = mk(Seq((1L, 100L))).withColumnRenamed("ts", "lts")
+    val r = spark.createDataFrame(Seq((1L, 40L, 7L), (1L, 90L, 8L)))
+      .toDF("user_id", "rts", "v")
+    val within = AsofJoin.backward(l, r, Seq("user_id"), "lts", "rts",
+      Seq("v"), tolerance = Some(15L)).collect()(0)
+    assert(within.getLong(2) == 90L && within.getLong(3) == 8L)
+    val outside = AsofJoin.backward(l, r.filter(col("rts") === 40), // 60 away
+      Seq("user_id"), "lts", "rts", Seq("v"), tolerance = Some(15L))
+      .collect()(0)
+    assert(outside.isNullAt(2) && outside.isNullAt(3))
+  }
+
+  test("equal timestamps: right row at ts == left ts matches (inclusive)") {
+    val l = mk(Seq((1L, 50L))).withColumnRenamed("ts", "lts")
+    val r = spark.createDataFrame(Seq((1L, 50L, 1L), (1L, 50L, 9L)))
+      .toDF("user_id", "rts", "v")
+    val row = AsofJoin.backward(l, r, Seq("user_id"), "lts", "rts", Seq("v"))
+      .collect()(0)
+    assert(row.getLong(2) == 50L)
+    assert(row.getLong(3) == 9L) // greatest payload wins the tie
+  }
+
+  test("partition-count invariance") {
+    val rnd = new scala.util.Random(11)
+    val left = (0 until 200).map(i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(500).toLong, i.toLong))
+    val right = (0 until 150).map(i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(500).toLong, i.toLong))
+    def run(parts: Int) = {
+      val l = spark.createDataFrame(
+        spark.sparkContext.parallelize(left, parts)).toDF("user_id", "lts", "lid")
+      val r = spark.createDataFrame(
+        spark.sparkContext.parallelize(right, parts)).toDF("user_id", "rts", "rv")
+      AsofJoin.backward(l, r, Seq("user_id"), "lts", "rts", Seq("rv"))
+        .collect().map(x => (x.getLong(2),
+          Option(x.get(3)), Option(x.get(4)))).toSet
+    }
+    assert(run(2) == run(9))
+  }
+}
