@@ -352,6 +352,26 @@ object SparkEntry {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           / lit(100.0)).as("running_total"))),
 
+    // Multimodal plumbing: documents as opaque binary payloads through the
+    // per-partition batched decode (the codec is a deterministic md5-based
+    // STUB — no media libs in this environment — but the schema contract,
+    // mapPartitions batching, and feature values are exactly oracled)
+    "q34_multimodal" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"),
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("modality"),
+        col("text").cast("binary").as("payload"),
+        lit(null).cast(
+          graft.operators.Multimodal.mediaSchema("meta").dataType).as("meta"))
+      graft.operators.Multimodal.extractFeatures(media, dim = 8)
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          posexplode(col("features")).as(Seq("pos", "f")))
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          col("pos").cast("int").as("pos"), col("f"))
+    }),
+
     // Semi-structured metadata extraction (training pipelines carry JSON
     // sidecars): parse props, aggregate by event type
     "q25_props_json" -> ((s, dir) =>
@@ -590,6 +610,16 @@ object SparkEntry {
         |    ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) / 100.0
         |    AS running_total
         |FROM orders""".stripMargin,
+
+    "q34_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(j AS INTEGER) AS pos,
+        |  CAST(CAST('0x' || substr(md5(text || ':' || CAST(j AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 1000 / 1000.0 AS REAL) AS f
+        |FROM documents, range(8) t(j)""".stripMargin,
 
     "q25_props_json" ->
       """SELECT event_type,

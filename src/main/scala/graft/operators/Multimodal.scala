@@ -30,18 +30,26 @@ object Multimodal {
 
   /** STUB codec: a real implementation would decode the payload (JPEG/PCM/
     * container) and run a vision/audio encoder. Deterministic fake: feature
-    * f(i) derived from a rolling hash of the payload bytes — stable across
-    * runs/partitions so tests can assert exact values. */
+    * f(j) = md5-derived 60-bit hash of (payload ++ ":j"), mod 1000, scaled
+    * to [0, 1) — stable across runs/partitions, and reproducible in SQL
+    * (DuckDB twin: `CAST(CAST('0x' || substr(md5(payload || ':' || j), 1,
+    * 15) AS BIGINT) % 1000 / 1000.0 AS REAL)`), so the correctness gate
+    * can hash-compare multimodal features end-to-end. */
   private[graft] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    var h = 1125899906842597L // FNV-ish rolling hash
-    var i = 0
-    while (i < payload.length) { h = h * 31 + (payload(i) & 0xff); i += 1 }
     val out = new Array[Float](dim)
     var j = 0
-    var s = h
     while (j < dim) {
-      s = s * 6364136223846793005L + 1442695040888963407L // LCG step
-      out(j) = ((s >>> 33).toInt % 1000) / 1000.0f
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(payload)
+      md.update(s":$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val d = md.digest()
+      // first 15 hex chars of the digest = top 7.5 bytes, big-endian
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >> 4)
+      // divide in double then narrow — matches CAST(<double> AS REAL)
+      out(j) = ((v % 1000) / 1000.0).toFloat
       j += 1
     }
     out
