@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.EpsilonJoin
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions — the 100 TB design contract, enforced:
+  * filters and projections must reach the parquet scan, small dimensions
+  * must broadcast, the ε self-join must stay an equi-join (never a
+  * cartesian product), and the hot-path kernels must stay inside
+  * whole-stage codegen. A regression here is a scale bug even when every
+  * row still comes out right.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("parquet scan: predicate pushdown + column pruning reach the scan") {
+    val df = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "click")
+      .select("event_id", "user_id")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]"),
+      s"filter did not push down:\n$p")
+    // pruned read schema: only the referenced columns, never ts/value/props
+    assert(!p.contains("props") && !p.contains("value"),
+      s"scan reads pruned columns:\n$p")
+  }
+
+  test("q17 join pipeline: nation broadcasts, no shuffle on the small side") {
+    val df = SparkEntry.queries("q17_join_revenue")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("epsilon self-join with bucket dims is an equi-join, not cartesian") {
+    val pts = graft.sources.BinaryPoints.read(spark, "/root/reference/t4.8k.bin")
+    val df = EpsilonJoin.selfJoin(pts, "id", "features", 10.0, Seq(0, 1))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"ε-join degenerated to a cross join:\n$p")
+    // the exact distance filter runs on the codegen'd kernel
+    assert(p.contains("squared_l2"), s"missing fused distance kernel:\n$p")
+  }
+
+  test("hot-path kernels stay inside whole-stage codegen") {
+    // squared_l2 in a scan→project→filter pipeline must land INSIDE a
+    // WholeStageCodegen span (doGenCode, not eval-fallback). The ε-join
+    // exercises the same kernel inside join conditions (test above);
+    // here we pin the projection/filter shape every aggregate feeds on.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val df = emb.select(col("vec_id"),
+        graft.functions.VectorExpressions.squaredL2(
+          col("embedding"), col("embedding")).as("d"))
+      .filter(col("d") >= 0.0)
+    val spans = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+        if w.toString.contains("squared_l2") => w
+    }
+    assert(spans.nonEmpty,
+      s"squared_l2 fell out of whole-stage codegen:\n${plan(df)}")
+    assert(df.count() == emb.count()) // and the generated code actually runs
+  }
+
+  test("q8 aggregate: partial aggregation before the shuffle") {
+    val df = SparkEntry.queries("q8_agg_pricing")(spark, sf)
+    val p = plan(df)
+    // two HashAggregate nodes (partial + final) around one Exchange
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("Exchange hashpartitioning(l_returnflag"))
+  }
+}
