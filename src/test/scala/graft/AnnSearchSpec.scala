@@ -47,6 +47,19 @@ class AnnSearchSpec extends SparkSpec {
     assert(recall >= 0.7, s"IVF recall@5 = $recall (8 centroids, probe 3)")
   }
 
+  test("knnBroadcast kernel == shuffle-aggregate knn (exact, same ties)") {
+    import graft.operators.KnnJoin
+    val agg = KnnJoin.knn(q, b, 7).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val bcast = KnnJoin.knnBroadcast(q, b, 7).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(bcast == agg)
+    // the auto router picks the broadcast kernel at this size
+    val auto = KnnJoin.knnAuto(q, b, 7).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(auto == agg)
+  }
+
   test("ivfTopK with full probing == exact") {
     val exact = AnnSearch.bruteForceTopK(q, b, 3).collect()
       .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
