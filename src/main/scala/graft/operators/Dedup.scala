@@ -45,21 +45,32 @@ object Dedup {
       n: Int, minJaccard: Double,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
     val sh = shingleTable(docs, idCol, textCol, n).persist()
+    // one row per DOC — broadcast-sized relative to the shingle table
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
 
-    val index =
-      if (maxDocFreq == Int.MaxValue) sh
-      else {
-        val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDocFreq).select("shingle")
-        sh.join(rare, "shingle")
-      }
+    // ONE shuffle (groupBy shingle), pairs generated in place from the
+    // sorted posting list — replaces the self-equi-join formulation that
+    // shuffled the full shingle table twice and hash-joined it against
+    // itself. Work is the same Σ_shingle df(shingle)² pair instances;
+    // postings longer than maxDocFreq are dropped whole (stopword-style
+    // pruning, same semantics as the old per-shingle df filter).
+    val postings = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val pruned =
+      if (maxDocFreq == Int.MaxValue) postings
+      else postings.filter(size(col("ids")) <= maxDocFreq)
+    val pairs = pruned.select(explode(expr(
+      """flatten(transform(ids, (x, i) ->
+        |  transform(slice(ids, i + 2, size(ids) - i - 1),
+        |            y -> struct(x AS a_id, y AS b_id))))""".stripMargin))
+      .as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+    val inter = pairs.groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
 
-    val inter = index.as("x").join(index.as("y"), "shingle")
-      .filter(col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a_id"), col("y.id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
-
+    // no broadcast hint: sizes is one row per doc — tiny at test SFs
+    // (AQE converts these to broadcast joins at runtime), potentially
+    // billions of rows at corpus scale (AQE keeps them shuffled)
     val out = inter
       .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
       .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
@@ -118,15 +129,21 @@ object Dedup {
     val sigs = minHashSignatures(sh, k).persist()
     val cand = lshCandidates(sigs, bands, rowsPerBand)
 
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    // verify candidates only: join candidate pairs into the shingle index
-    val inter = cand
-      .join(sh.select(col("id").as("a_id"), col("shingle")), "a_id")
-      .join(sh.select(col("id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-    val out = inter
-      .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
-      .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
+    // verify candidates against per-doc shingle SETS (one row per doc,
+    // shingles are already distinct): two hash joins keyed on doc id —
+    // candidate pairs are rare post-LSH, so the intersection runs on a
+    // few rows instead of re-joining the full exploded shingle table
+    val docSets = sh.groupBy("id").agg(collect_list(col("shingle")).as("toks"))
+    val out = cand
+      .join(docSets.select(col("id").as("a_id"), col("toks").as("a_toks")),
+        "a_id")
+      .join(docSets.select(col("id").as("b_id"), col("toks").as("b_toks")),
+        "b_id")
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_toks"), col("b_toks")))
+          .cast("long").as("inter"),
+        size(col("a_toks")).cast("long").as("a_sz"),
+        size(col("b_toks")).cast("long").as("b_sz"))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") /
           (col("a_sz") + col("b_sz") - col("inter"))).as("jac"))
