@@ -56,12 +56,20 @@ object Bench {
       }
       if (clean.isEmpty) -1.0 else clean.min
     }
-    val sfResults = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> time(name, () => fn(spark, sfDir).count())
-    }
-    val refResults = referenceBench.map { case (name, fn) =>
-      name -> time(name, () => fn(spark).count())
-    }
+    // comma-separated substring filter for focused iteration, e.g.
+    // SPARK_GRAFT_BENCH_ONLY=q9,q10 — unset runs everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.contains))
+    val sfResults = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(p => selected(p._1)).map { case (name, fn) =>
+        name -> time(name, () => fn(spark, sfDir).count())
+      }
+    val refResults = referenceBench.filter(p => selected(p._1))
+      .map { case (name, fn) =>
+        name -> time(name, () => fn(spark).count())
+      }
     val results = sfResults ++ refResults
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -51,6 +51,18 @@ class DedupSpec extends SparkSpec {
     assert(exp.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("jaccardJoinPrefix == jaccardJoin (prefix filter is lossless)") {
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        BigDecimal(r.getDouble(2)).setScale(12, BigDecimal.RoundingMode.HALF_UP)))
+      .toMap
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val fast = key(Dedup.jaccardJoin(docs, "doc_id", "text", 3, t))
+      val pfx = key(Dedup.jaccardJoinPrefix(docs, "doc_id", "text", 3, t))
+      assert(pfx == fast, s"divergence at threshold $t")
+    }
+  }
+
   test("minHashJoin recalls every exact-jaccard pair (verified output)") {
     val exact = Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
