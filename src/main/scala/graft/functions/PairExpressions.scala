@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** All ordered pairs (ids(i), ids(j)), i < j, from one posting list —
+  * the candidate-pair kernel of the inverted-index similarity joins
+  * ([[graft.operators.Dedup]]).
+  *
+  * The declarative twin — `flatten(transform(ids, (x,i) ->
+  * transform(slice(ids, i+2, ...), y -> struct(x, y))))` — allocates a
+  * nested array per element and runs on interpreted lambdas (Spark's
+  * higher-order functions never enter whole-stage codegen), which made
+  * pair generation the hottest stage of the Jaccard join. One flat Scala
+  * loop over a primitive array does the same work allocation-free except
+  * for the output itself.
+  *
+  * Input MUST be sorted ascending if downstream relies on a_id < b_id
+  * (the Dedup callers sort in the upstream collect_list aggregation).
+  */
+case class PostingPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"posting_pairs needs array<bigint>, got ${other.catalogString}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a_id", LongType, nullable = false),
+      StructField("b_id", LongType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val ids = input.asInstanceOf[ArrayData].toLongArray()
+    val n = ids.length
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = ids(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new GenericInternalRow(Array[Any](a, ids(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "posting_pairs"
+}
+
+/** Size-aware pair generation with the AllPairs LENGTH FILTER fused in:
+  * input is one posting list of `struct(id, sz)` (sz = the doc's distinct
+  * shingle count, attached before the explode so no size join is ever
+  * needed); output pairs carry both sizes and are emitted only when
+  * `min(sz) ≥ t·max(sz)` — a necessary condition for Jaccard ≥ t
+  * (inter ≤ min; jac ≥ t ⟺ inter ≥ t(sa+sb)/(1+t), feasible only if
+  * (1+t)·min ≥ t·(min+max)). Lossless, and it prunes before the pair
+  * shuffle, where pruning is cheapest.
+  */
+case class PostingPairsWithSize(child: Expression, minJaccard: Double)
+    extends UnaryExpression with CodegenFallback {
+  require(minJaccard >= 0.0 && minJaccard <= 1.0)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StructType(
+        Array(StructField(_, LongType, _, _), StructField(_, LongType, _, _))), _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"posting_pairs_sz needs array<struct<bigint,bigint>>, got ${other.catalogString}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a_id", LongType, nullable = false),
+      StructField("b_id", LongType, nullable = false),
+      StructField("a_sz", LongType, nullable = false),
+      StructField("b_sz", LongType, nullable = false))),
+    containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val szs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = arr.getStruct(i, 2)
+      ids(i) = s.getLong(0)
+      szs(i) = s.getLong(1)
+      i += 1
+    }
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](n * (n - 1) / 2)
+    i = 0
+    while (i < n) {
+      val a = ids(i); val asz = szs(i)
+      var j = i + 1
+      while (j < n) {
+        val bsz = szs(j)
+        val mn = math.min(asz, bsz); val mx = math.max(asz, bsz)
+        if (mn >= minJaccard * mx) {
+          buf += new GenericInternalRow(Array[Any](a, ids(j), asz, bsz))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "posting_pairs_sz"
+}
+
+object PairExpressions {
+  import org.apache.spark.sql.GraftInternals.{column, expression}
+
+  /** `posting_pairs(ids)`: array<struct<a_id,b_id>> of all i<j pairs. */
+  def postingPairs(ids: Column): Column = column(PostingPairs(expression(ids)))
+
+  /** `posting_pairs_sz(ids, t)`: length-filtered size-carrying pairs. */
+  def postingPairsWithSize(ids: Column, minJaccard: Double): Column =
+    column(PostingPairsWithSize(expression(ids), minJaccard))
+}

@@ -35,11 +35,11 @@ object Dedup {
         explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
 
   /** Pairs (a_id, b_id), a_id < b_id, generated in place from a sorted
-    * posting-list column `ids` — no self-join, no re-shuffle. */
-  private def postingPairs: Column = explode(expr(
-    """flatten(transform(ids, (x, i) ->
-      |  transform(slice(ids, i + 2, size(ids) - i - 1),
-      |            y -> struct(x AS a_id, y AS b_id))))""".stripMargin))
+    * posting-list column `ids` — no self-join, no re-shuffle. Native
+    * expression: the interpreted-HOF twin was the hottest stage of the
+    * Jaccard join (see [[graft.functions.PostingPairs]]). */
+  private def postingPairs: Column =
+    explode(graft.functions.PairExpressions.postingPairs(col("ids")))
 
   /** Exact n-gram Jaccard similarity self-join via inverted index: one
     * shuffle builds posting lists per shingle, pairs are generated in
@@ -59,37 +59,39 @@ object Dedup {
   def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double,
       maxDocFreq: Int = Int.MaxValue): DataFrame = {
-    val sh = shingleTable(docs, idCol, textCol, n).persist()
-    // one row per DOC — broadcast-sized relative to the shingle table
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    // each doc's distinct-shingle count rides along from the SAME row the
+    // shingles came from — zero size joins anywhere downstream
+    val sh = docs.select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), n).as("toks"))
+      .select(col("id"), size(col("toks")).cast("long").as("sz"),
+        explode(col("toks")).as("shingle"))
 
-    // ONE shuffle (groupBy shingle), pairs generated in place from the
-    // sorted posting list — replaces the self-equi-join formulation that
-    // shuffled the full shingle table twice and hash-joined it against
-    // itself. Work is the same Σ_shingle df(shingle)² pair instances;
-    // postings longer than maxDocFreq are dropped whole (stopword-style
-    // pruning, same semantics as the old per-shingle df filter).
+    // shuffle 1 (groupBy shingle): posting lists of (id, sz), sorted by id.
+    // Pairs are generated in place from each list — no self-join — with the
+    // AllPairs length filter (min sz ≥ t·max sz, lossless) fused into the
+    // native kernel so infeasible pairs never reach the pair shuffle.
+    // Postings longer than maxDocFreq are dropped whole (stopword-style
+    // pruning; lossy only for pairs whose entire overlap is ultra-frequent).
     val postings = sh.groupBy("shingle")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sz")))).as("ids"))
       .filter(size(col("ids")) >= 2)
     val pruned =
       if (maxDocFreq == Int.MaxValue) postings
       else postings.filter(size(col("ids")) <= maxDocFreq)
-    val pairs = pruned.select(postingPairs.as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
-    val inter = pairs.groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    val pairs = pruned.select(explode(
+        graft.functions.PairExpressions.postingPairsWithSize(
+          col("ids"), minJaccard)).as("p"))
+      .select(col("p.a_id"), col("p.b_id"), col("p.a_sz"), col("p.b_sz"))
 
-    // no broadcast hint: sizes is one row per doc — tiny at test SFs
-    // (AQE converts these to broadcast joins at runtime), potentially
-    // billions of rows at corpus scale (AQE keeps them shuffled)
-    val out = inter
-      .join(sizes.select(col("id").as("a_id"), col("sz").as("a_sz")), "a_id")
-      .join(sizes.select(col("id").as("b_id"), col("sz").as("b_sz")), "b_id")
+    // shuffle 2 (groupBy pair): |A ∩ B| = how many postings emitted the
+    // pair. Sizes are part of the key (constant per pair, so the group is
+    // the same group) — jac comes straight off the aggregate, join-free.
+    pairs.groupBy("a_id", "b_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("inter"))
       .select(col("a_id"), col("b_id"),
         (col("inter").cast("double") /
           (col("a_sz") + col("b_sz") - col("inter"))).as("jac"))
       .filter(col("jac") >= minJaccard)
-    out
   }
 
   /** Exact Jaccard self-join via a PREFIX-FILTERED inverted index (the
