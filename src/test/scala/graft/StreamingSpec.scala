@@ -97,6 +97,86 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark finalizes windows in append mode and drops late data") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Timestamp, String, Double, Long)]
+    val events = mem.toDF().toDF("ts", "event_type", "value", "user_id")
+    val q = EventPipeline.hourlyAgg(events)
+      .writeStream.format("memory").queryName("hourly_append")
+      .outputMode("append").start()
+    try {
+      // batch 1: two hour-10 events. Watermark (2h) stays behind the
+      // window end -> append mode emits nothing yet.
+      mem.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.25, 1L),
+        (ts("2024-01-01 10:45:00"), "click", 2.50, 1L))
+      q.processAllAvailable()
+      assert(spark.table("hourly_append").count() == 0L)
+
+      // batch 2: an event at 13:30 advances the watermark to 11:30,
+      // past the hour-10 window end (11:00) -> hour-10 finalizes with
+      // EXACTLY the two rows above, and its state is evicted.
+      mem.addData((ts("2024-01-01 13:30:00"), "view", 0.75, 2L))
+      q.processAllAvailable()
+      val hr10 = ts("2024-01-01 10:00:00").getTime / 1000
+      val emitted = spark.table("hourly_append")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(emitted.toSet == Set((hr10, "click", 2L, 3.75)))
+
+      // batch 3: a LATE hour-10 event behind the watermark must be
+      // dropped — no new or changed hour-10 output ever appears.
+      mem.addData((ts("2024-01-01 10:10:00"), "click", 99.0, 3L))
+      q.processAllAvailable()
+      val after = spark.table("hourly_append")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(after.toSet == Set((hr10, "click", 2L, 3.75)))
+      assert(after.length == 1)
+    } finally q.stop()
+  }
+
+  test("stream-stream join drops purchases behind the watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = EventPipeline.attributedPurchases(
+      clicks.toDF().toDF("user_id", "ts"),
+      purchases.toDF().toDF("user_id", "ts", "value"))
+    val q = joined.writeStream.format("memory").queryName("attributed_wm")
+      .outputMode("append").start()
+    try {
+      // in-window attribution works, and both sides see 13:00 events so
+      // the joint watermark advances to 12:00 (1h behind max event time)
+      clicks.addData((1L, ts("2024-01-01 10:00:00")), (9L, ts("2024-01-01 13:00:00")))
+      purchases.addData(
+        (1L, ts("2024-01-01 10:20:00"), 9.99),
+        (9L, ts("2024-01-01 13:00:00"), 0.01))
+      q.processAllAvailable()
+      // run another batch so the watermark from batch 1 takes effect
+      clicks.addData((8L, ts("2024-01-01 13:01:00")))
+      q.processAllAvailable()
+      val base = spark.table("attributed_wm")
+        .select("user_id", "value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(base == Set((1L, 9.99), (9L, 0.01)))
+
+      // a purchase at 10:25 is now behind the 12:00 watermark: the state
+      // for user 1's click has been evicted and the row is discarded —
+      // even though a matching click existed
+      purchases.addData((1L, ts("2024-01-01 10:25:00"), 50.0))
+      q.processAllAvailable()
+      val after = spark.table("attributed_wm")
+        .select("user_id", "value").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(after == base)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals accumulate across batches") {
     val spark2 = spark
     import spark2.implicits._
