@@ -304,8 +304,12 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val toks = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
+      // df falls out of tf (one row per (doc, tok) ⇒ count per tok = df):
+      // no second tokenize scan, no distinct shuffle. tf is persisted
+      // because both dfreq and the final join consume it.
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val dfreq = toks.distinct().groupBy("tok").agg(count(lit(1)).as("df"))
+        .persist()
+      val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n"))
       val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
         .select(col("doc_id"), col("tok"),

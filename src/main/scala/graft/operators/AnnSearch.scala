@@ -42,7 +42,10 @@ object AnnSearch {
     * @return (`a_id`, `nbr_id`, `rnk`) — rnk 1..k by cosine desc, ties by
     *         nbr_id. */
   def bruteForceTopK(queries: DataFrame, build: DataFrame, k: Int): DataFrame =
-    withNorm(queries, "a_v", "a_n")
+    // queries are the streamed side of the nested-loop candidate join —
+    // repartition so the |Q|·|B| scan parallelizes even when the query
+    // batch arrives as one small file/partition
+    withNorm(queries.repartition(col("a_id")), "a_v", "a_n")
       .join(withNorm(build, "b_v", "b_n"), col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), (-cosineCol).as("negcos"))
       .groupBy("a_id")

@@ -252,8 +252,12 @@ object Dedup {
       minCos: Double): DataFrame = {
     import graft.functions.VectorExpressions.dotProduct
     // norms hoisted to per-row projections (one fold per vector, not per
-    // pair); values bit-identical to the per-pair formulation
+    // pair); values bit-identical to the per-pair formulation. The a-side
+    // is repartitioned because the theta-join runs as a broadcast nested
+    // loop streaming it — a single-file input would otherwise put the
+    // whole O(n²) cosine scan on one core.
     val a = emb.select(col(idCol).as("a_id"), col(vecCol).as("a_v"))
+      .repartition(col("a_id"))
       .withColumn("a_n", dotProduct(col("a_v"), col("a_v")))
     val b = emb.select(col(idCol).as("b_id"), col(vecCol).as("b_v"))
       .withColumn("b_n", dotProduct(col("b_v"), col("b_v")))

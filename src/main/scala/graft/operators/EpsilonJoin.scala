@@ -97,9 +97,16 @@ object EpsilonJoin {
       else build0.withColumn("salt",
         pmod(xxhash64(col("b_id")), lit(saltBuckets.toLong)).cast("int"))
 
-    val home = points.select(
+    val home0 = points.select(
       col(idCol).as("a_id"), col(vecCol).as("a_v"),
       cell(col(vecCol)).as("home"))
+    // Brute-force path (k = 0): the cell key is one constant, so the
+    // planner degenerates to a broadcast nested-loop join whose
+    // parallelism is the STREAMED side's partition count — a small
+    // single-file input would run the whole O(n²) distance scan on one
+    // core. Redistribute the probe side first: the shuffle is linear and
+    // negligible next to the quadratic scan it parallelizes.
+    val home = if (k == 0) home0.repartition(col("a_id")) else home0
     def salted(df: DataFrame): DataFrame =
       if (saltBuckets <= 1) df.withColumn("salt", lit(0))
       else df.withColumn("salt",
