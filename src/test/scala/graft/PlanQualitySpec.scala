@@ -66,6 +66,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(df.count() == emb.count()) // and the generated code actually runs
   }
 
+  test("jaccard join is join-free: two aggregation exchanges, no join op") {
+    // sizes ride the posting lists as struct(id, sz), so similarity comes
+    // straight off the pair-count aggregate — if a Join (or a third
+    // exchange) reappears, the size-carrying optimization regressed
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.operators.Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"jaccardJoin should be join-free:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"expected exactly 2 hash exchanges (shingle, pair), got $exchanges:\n$p")
+    assert(p.contains("posting_pairs_sz"),
+      s"native size-carrying pair kernel missing from plan:\n$p")
+  }
+
   test("q8 aggregate: partial aggregation before the shuffle") {
     val df = SparkEntry.queries("q8_agg_pricing")(spark, sf)
     val p = plan(df)
