@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scalar_func")
 
+  import GraftExtensions.foldToDouble
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("squared_l2"),
@@ -42,10 +44,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         Shingles(args(0), n)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("posting_pairs"),
+      info("posting_pairs",
+        "posting_pairs(ids) - all i<j pairs from a sorted bigint posting list"),
+      (args: Seq[Expression]) => graft.functions.PostingPairs(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("posting_pairs_sz"),
+      info("posting_pairs_sz",
+        "posting_pairs_sz(ids, t) - length-filtered size-carrying pairs from " +
+          "a posting list of struct(id, sz)"),
+      (args: Seq[Expression]) => graft.functions.PostingPairsWithSize(args(0),
+        foldToDouble(args(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("winnowing_fingerprints"),
+      info("winnowing_fingerprints",
+        "winnowing_fingerprints(text, k, w) - winnowing document fingerprints " +
+          "(Karp-Rabin k-gram hashes, minimum per window of w)"),
+      (args: Seq[Expression]) => graft.functions.WinnowingFingerprints(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
   }
 }
 
 object GraftExtensions {
+  /** Fold a literal numeric argument to double — SQL numeric literals may
+    * arrive as Decimal, which is not a java.lang.Number. */
+  private[graft] def foldToDouble(e: Expression): Double = e.eval() match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: java.lang.Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"expected a numeric literal, got $other")
+  }
+
   /** Register the same functions on an already-built session (useful in
     * tests and notebooks where the builder is out of reach). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -63,5 +93,20 @@ object GraftExtensions {
       new ExpressionInfo(classOf[GraftExtensions].getName, null, "shingles"),
       (args: Seq[Expression]) => Shingles(args(0),
         args(1).eval().asInstanceOf[Int]))
+    reg.registerFunction(
+      FunctionIdentifier("posting_pairs"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "posting_pairs"),
+      (args: Seq[Expression]) => graft.functions.PostingPairs(args(0)))
+    reg.registerFunction(
+      FunctionIdentifier("posting_pairs_sz"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null, "posting_pairs_sz"),
+      (args: Seq[Expression]) => graft.functions.PostingPairsWithSize(args(0),
+        foldToDouble(args(1))))
+    reg.registerFunction(
+      FunctionIdentifier("winnowing_fingerprints"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, null,
+        "winnowing_fingerprints"),
+      (args: Seq[Expression]) => graft.functions.WinnowingFingerprints(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int]))
   }
 }

@@ -80,6 +80,18 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(row.getDouble(0) == 25.0)
     assert(row.getDouble(1) == 11.0)
     assert(row.getSeq[String](2) == Seq("a b c", "b c d"))
+
+    val row2 = spark.sql(
+      """SELECT posting_pairs(array(1L, 2L, 3L)) AS pp,
+        |       posting_pairs_sz(array(struct(1L, 10L), struct(2L, 4L)), 0.5) AS ps,
+        |       winnowing_fingerprints('abcdefg', 3, 2) AS wf""".stripMargin)
+      .collect()(0)
+    assert(row2.getSeq[org.apache.spark.sql.Row](0).map(r =>
+      (r.getLong(0), r.getLong(1))) == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // (10, 4) fails the length filter at t=0.5 (4 < 0.5*10... no: 4 >= 5
+    // is false) -> no pairs survive
+    assert(row2.getSeq[org.apache.spark.sql.Row](1).isEmpty)
+    assert(row2.getSeq[Long](2).nonEmpty)
   }
 
   test("cellId buckets points to floor(x/eps) per selected dim") {
