@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.functions.{VectorExpressions, VectorOps}
-import org.apache.spark.sql.DataFrame
+import graft.functions.VectorExpressions
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,11 +11,19 @@ import org.apache.spark.sql.functions._
   *    per-query top-k window. O(|Q|·|B|) pairs; correct at any scale where
   *    |Q| is bounded (the common "probe a batch of queries" shape).
   *  - [[ivfTopK]] — the scale path: IVF-style inverted file. K-means-lite
-  *    centroids (deterministic seeded sample refined by a few Lloyd rounds,
-  *    all DataFrame aggs), every build vector assigned to its nearest
-  *    centroid, queries probe only the `nProbe` nearest centroids. Candidate
-  *    set shrinks by ~nProbe/nCentroids; recall is tested against the exact
-  *    path in AnnSearchSpec.
+  *    centroids (deterministic seeded sample refined by a few Lloyd rounds),
+  *    every build vector assigned to its nearest centroid, queries probe
+  *    only the `nProbe` nearest centroids. Candidate set shrinks by
+  *    ~nProbe/nCentroids; recall is tested against the exact path in
+  *    AnnSearchSpec.
+  *
+  * Centroid handling: a centroid table is SMALL by construction (nCentroids
+  * rows — an index with more centroids than fits on the driver is
+  * misconfigured), so Lloyd rounds collect it and the assignment/probe
+  * steps inline it as literal expressions: pure projections, no broadcast
+  * exchange, no checkpoint, one Spark job per refinement round. Above
+  * [[literalCentroidLimit]] (generated-code size), assignment falls back to
+  * the broadcast-join formulation.
   */
 object AnnSearch {
 
@@ -55,39 +63,84 @@ object AnnSearch {
       .select(col("a_id"), col("p.id").as("nbr_id"),
         (col("pos") + 1).cast("int").as("rnk"))
 
-  /** Deterministically-seeded centroid table refined by `iters` Lloyd
-    * rounds. The mean step is dimension-count agnostic: posexplode the
-    * assigned vectors and average per (centroid, position) — two narrow
-    * hash aggs instead of a `dim`-wide agg column list (which forces a
-    * fresh multi-second codegen compile per iteration at high dims).
+  /** Above this many centroids, per-centroid literal expressions would
+    * bloat generated code — switch to the broadcast-join formulation. */
+  val literalCentroidLimit = 512
+
+  /** `struct(d2(vec, c), c_id)` for every centroid, as literal expressions.
+    * Lexicographic struct ordering = order by distance, ties by centroid
+    * id — the same total order as `min_by(c_id, struct(d2, c_id))` and
+    * `ORDER BY d2, c_id`. */
+  private def centDistStructs(vec: Column,
+      cents: Array[(Int, Array[Double])]): Seq[Column] =
+    cents.toSeq.map { case (cid, cv) =>
+      struct(
+        VectorExpressions.squaredL2(vec, typedlit(cv.toSeq)).as("d2"),
+        lit(cid).as("c_id"))
+    }
+
+  /** Nearest centroid id as a pure projection (no join). */
+  private def nearestCentroid(vec: Column,
+      cents: Array[(Int, Array[Double])]): Column =
+    least(centDistStructs(vec, cents): _*).getField("c_id")
+
+  /** Deterministically-seeded centroids refined by `iters` Lloyd rounds,
+    * collected to the driver (nCentroids × dims doubles — always
+    * driver-safe for a sane index). Each round is ONE job: literal-argmin
+    * assignment fused into a (c_id, pos) average, matching the previous
+    * DataFrame formulation's aggregation exactly.
     * NB: double `avg` is shuffle-order dependent in its low bits, so
     * centroid coordinates (and thus IVF candidate sets) are approximate —
     * fine for an ANN index; recall is what the tests pin down.
-    * @return (`c_id`: int, `c_v`: array<double>) */
-  def centroids(build: DataFrame, nCentroids: Int, iters: Int = 2,
-      seed: Long = 42L): DataFrame = {
-    var cents = build.orderBy(xxhash64(col("b_id"), lit(seed)))
-      .limit(nCentroids)
-      .select(row_number().over(Window.orderBy(col("b_id"))).cast("int").as("c_id"),
-        col("b_v").cast("array<double>").as("c_v"))
+    * @return (c_id, coords) sorted by c_id, 1-based dense ids. */
+  private[operators] def centroidArrays(build: DataFrame, nCentroids: Int,
+      iters: Int = 2, seed: Long = 42L): Array[(Int, Array[Double])] = {
+    var cents: Array[(Int, Array[Double])] = build
+      .orderBy(xxhash64(col("b_id"), lit(seed))).limit(nCentroids)
+      .orderBy(col("b_id"))
+      .select(col("b_v").cast("array<double>"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Double](0).toArray) }
     for (_ <- 0 until iters) {
-      val assigned = assign(build, cents)
-      val newCents = assigned
+      val assignExpr =
+        if (cents.length <= literalCentroidLimit)
+          nearestCentroid(col("b_v"), cents)
+        else null
+      val assigned =
+        if (assignExpr != null)
+          build.select(assignExpr.as("c_id"), col("b_v"))
+        else assignJoin(build, centroidFrame(build, cents))
+            .select(col("c_id"), col("b_v"))
+      val means = assigned
         .select(col("c_id"), posexplode(col("b_v").cast("array<double>")))
         .groupBy(col("c_id"), col("pos")).agg(avg(col("col")).as("av"))
-        .groupBy("c_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("av")))),
-          x => x.getField("av")).as("c_v"))
-      cents = newCents.localCheckpoint()
+        .collect()
+      cents = means.groupBy(_.getInt(0)).toArray.sortBy(_._1)
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+        }
     }
     cents
   }
 
-  /** Nearest centroid per build vector: broadcast the (tiny) centroid
-    * table and take the `min_by` over candidates — one hash agg, no
-    * per-row window sort. Ties break on centroid id (deterministic).
-    * @return (`b_id`, `b_v`, `c_id`). */
-  private def assign(build: DataFrame, cents: DataFrame): DataFrame = {
+  private def centroidFrame(build: DataFrame,
+      cents: Array[(Int, Array[Double])]): DataFrame = {
+    val spark = build.sparkSession
+    import spark.implicits._
+    cents.toSeq.map { case (cid, cv) => (cid, cv.toSeq) }
+      .toDF("c_id", "c_v")
+  }
+
+  /** Centroid table as a DataFrame (public API; the IVF internals use the
+    * collected arrays directly). @return (`c_id`: int, `c_v`: array<double>) */
+  def centroids(build: DataFrame, nCentroids: Int, iters: Int = 2,
+      seed: Long = 42L): DataFrame =
+    centroidFrame(build, centroidArrays(build, nCentroids, iters, seed))
+
+  /** Broadcast-join assignment — the fallback when the centroid table is
+    * too large to inline as literals. Ties break on centroid id, same
+    * total order as the literal path. @return (`b_id`, `b_v`, `c_id`). */
+  private def assignJoin(build: DataFrame, cents: DataFrame): DataFrame = {
     val d2 = VectorExpressions.squaredL2(
       col("b_v").cast("array<double>"), col("c_v"))
     build.crossJoin(broadcast(cents))
@@ -98,19 +151,36 @@ object AnnSearch {
   }
 
   /** IVF approximate top-k: probe the `nProbe` nearest centroids per query,
-    * exact cosine + window inside the probed cells only. */
+    * exact cosine + bounded-heap top-k inside the probed cells only. With
+    * centroids inlined as literals, assignment and probing are pure
+    * projections — the only shuffles are the candidate equi-join on `c_id`
+    * and the final top-k aggregate. */
   def ivfTopK(queries: DataFrame, build: DataFrame, k: Int,
       nCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = centroids(build, nCentroids).persist()
-    val buildIdx = assign(build, cents) // (b_id, b_v, c_id)
-
-    val qd2 = VectorExpressions.squaredL2(
-      col("a_v").cast("array<double>"), col("c_v"))
-    val probes = queries.crossJoin(broadcast(cents))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("a_id").orderBy(qd2, col("c_id"))))
-      .filter(col("rk") <= nProbe)
-      .select(col("a_id"), col("a_v"), col("c_id"))
+    val cents = centroidArrays(build, nCentroids)
+    val (buildIdx, probes) =
+      if (cents.length <= literalCentroidLimit) {
+        val bi = build.select(col("b_id"), col("b_v"),
+          nearestCentroid(col("b_v"), cents).as("c_id"))
+        // nProbe nearest centroids per query: sort the literal
+        // struct(d2, c_id) array, take the head — no window, no join
+        val pr = queries.select(col("a_id"), col("a_v"),
+            explode(slice(array_sort(array(
+              centDistStructs(col("a_v"), cents): _*)), 1, nProbe)).as("pc"))
+          .select(col("a_id"), col("a_v"), col("pc.c_id").as("c_id"))
+        (bi, pr)
+      } else {
+        val cdf = centroidFrame(build, cents).persist()
+        val bi = assignJoin(build, cdf)
+        val qd2 = VectorExpressions.squaredL2(
+          col("a_v").cast("array<double>"), col("c_v"))
+        val pr = queries.crossJoin(broadcast(cdf))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("a_id").orderBy(qd2, col("c_id"))))
+          .filter(col("rk") <= nProbe)
+          .select(col("a_id"), col("a_v"), col("c_id"))
+        (bi, pr)
+      }
 
     withNorm(probes, "a_v", "a_n")
       .join(withNorm(buildIdx, "b_v", "b_n"), "c_id")

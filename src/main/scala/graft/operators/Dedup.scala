@@ -191,20 +191,22 @@ object Dedup {
     minHashSignatures(shingleTable(docs, idCol, textCol, n), k)
 
   /** MinHash-LSH candidate pairs: docs sharing ≥1 of `bands` bands (each of
-    * `rowsPerBand` signature positions). One shuffle per band... unioned,
-    * then distinct. @return (`a_id`, `b_id`), a_id < b_id. */
-  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(col("id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"),
-          slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("key"))): _*))
-        .as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    banded.as("x").join(banded.as("y"), Seq("band", "key"))
-      .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+    * `rowsPerBand` signature positions). ONE shuffle: group the banded
+    * signatures into (band, key) posting lists and generate pairs in place
+    * with the native kernel — no self-join (which would scan and shuffle
+    * the banded table twice). @return (`a_id`, `b_id`), a_id < b_id. */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            slice(col("sig"), b * rowsPerBand + 1, rowsPerBand).as("key"))): _*))
+          .as("bk"))
+      .groupBy(col("bk.band"), col("bk.key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(postingPairs.as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
       .distinct()
-  }
 
   /** MinHash+LSH near-dup join, exact-verified: LSH candidates filtered by
     * TRUE n-gram Jaccard ≥ minJaccard. Output identical to
