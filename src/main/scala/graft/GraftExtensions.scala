@@ -3,7 +3,6 @@ package graft
 import graft.functions.{DotProduct, Shingles, SquaredL2}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Catalyst integration point: registers the engine's native expressions as
@@ -18,55 +17,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
-      "", "", "", "", "", "", "scalar_func")
-
-  import GraftExtensions.foldToDouble
-
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("squared_l2"),
-      info("squared_l2", "squared_l2(a, b) - squared L2 distance of two float/double arrays"),
-      (args: Seq[Expression]) => SquaredL2(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      info("dot_product", "dot_product(a, b) - dot product of two float/double arrays"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
-    ext.injectFunction((
-      FunctionIdentifier("shingles"),
-      info("shingles", "shingles(text, n) - distinct word n-gram shingles"),
-      (args: Seq[Expression]) => {
-        val n = args(1) match {
-          case Literal(v: Int, _) => v
-          case other => other.eval().asInstanceOf[Int]
-        }
-        Shingles(args(0), n)
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("posting_pairs"),
-      info("posting_pairs",
-        "posting_pairs(ids) - all i<j pairs from a sorted bigint posting list"),
-      (args: Seq[Expression]) => graft.functions.PostingPairs(args(0))))
-    ext.injectFunction((
-      FunctionIdentifier("posting_pairs_sz"),
-      info("posting_pairs_sz",
-        "posting_pairs_sz(ids, t) - length-filtered size-carrying pairs from " +
-          "a posting list of struct(id, sz)"),
-      (args: Seq[Expression]) => graft.functions.PostingPairsWithSize(args(0),
-        foldToDouble(args(1)))))
-    ext.injectFunction((
-      FunctionIdentifier("winnowing_fingerprints"),
-      info("winnowing_fingerprints",
-        "winnowing_fingerprints(text, k, w) - winnowing document fingerprints " +
-          "(Karp-Rabin k-gram hashes, minimum per window of w)"),
-      (args: Seq[Expression]) => graft.functions.WinnowingFingerprints(args(0),
-        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
+
   /** Fold a literal numeric argument to double — SQL numeric literals may
     * arrive as Decimal, which is not a java.lang.Number. */
   private[graft] def foldToDouble(e: Expression): Double = e.eval() match {
@@ -76,37 +32,57 @@ object GraftExtensions {
       s"expected a numeric literal, got $other")
   }
 
+  private def foldToInt(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => other.eval().asInstanceOf[Int]
+  }
+
+  // NB: the long ExpressionInfo constructor VALIDATES group and source —
+  // only Spark's known values pass (previously "scalar_func" here made
+  // the injection path throw on first use; nothing exercised it)
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "misc_funcs", "", "", "internal")
+
+  /** The single registration list — both the extensions hook and
+    * [[register]] consume it, so a function can never be present in one
+    * surface and missing from the other. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("squared_l2"),
+      info("squared_l2",
+        "squared_l2(a, b) - squared L2 distance of two float/double arrays"),
+      (args: Seq[Expression]) => SquaredL2(args(0), args(1))),
+    (FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "dot_product(a, b) - dot product of two float/double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+    (FunctionIdentifier("shingles"),
+      info("shingles", "shingles(text, n) - distinct word n-gram shingles"),
+      (args: Seq[Expression]) => Shingles(args(0), foldToInt(args(1)))),
+    (FunctionIdentifier("posting_pairs"),
+      info("posting_pairs",
+        "posting_pairs(ids) - all i<j pairs from a sorted bigint posting list"),
+      (args: Seq[Expression]) => graft.functions.PostingPairs(args(0))),
+    (FunctionIdentifier("posting_pairs_sz"),
+      info("posting_pairs_sz",
+        "posting_pairs_sz(ids, t) - length-filtered size-carrying pairs " +
+          "from a posting list of struct(id, sz)"),
+      (args: Seq[Expression]) => graft.functions.PostingPairsWithSize(args(0),
+        foldToDouble(args(1)))),
+    (FunctionIdentifier("winnowing_fingerprints"),
+      info("winnowing_fingerprints",
+        "winnowing_fingerprints(text, k, w) - winnowing document " +
+          "fingerprints (Karp-Rabin k-gram hashes, minimum per window of w)"),
+      (args: Seq[Expression]) => graft.functions.WinnowingFingerprints(args(0),
+        foldToInt(args(1)), foldToInt(args(2)))))
+
   /** Register the same functions on an already-built session (useful in
     * tests and notebooks where the builder is out of reach). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.registerFunction(
-      FunctionIdentifier("squared_l2"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, null, "squared_l2"),
-      (args: Seq[Expression]) => SquaredL2(args(0), args(1)))
-    reg.registerFunction(
-      FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, null, "dot_product"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1)))
-    reg.registerFunction(
-      FunctionIdentifier("shingles"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, null, "shingles"),
-      (args: Seq[Expression]) => Shingles(args(0),
-        args(1).eval().asInstanceOf[Int]))
-    reg.registerFunction(
-      FunctionIdentifier("posting_pairs"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, null, "posting_pairs"),
-      (args: Seq[Expression]) => graft.functions.PostingPairs(args(0)))
-    reg.registerFunction(
-      FunctionIdentifier("posting_pairs_sz"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, null, "posting_pairs_sz"),
-      (args: Seq[Expression]) => graft.functions.PostingPairsWithSize(args(0),
-        foldToDouble(args(1))))
-    reg.registerFunction(
-      FunctionIdentifier("winnowing_fingerprints"),
-      new ExpressionInfo(classOf[GraftExtensions].getName, null,
-        "winnowing_fingerprints"),
-      (args: Seq[Expression]) => graft.functions.WinnowingFingerprints(args(0),
-        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int]))
+    functions.foreach { case (id, inf, builder) =>
+      reg.registerFunction(id, inf, builder)
+    }
   }
 }

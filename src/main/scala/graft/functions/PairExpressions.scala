@@ -44,6 +44,7 @@ case class PostingPairs(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val ids = input.asInstanceOf[ArrayData].toLongArray()
     val n = ids.length
+    PairExpressions.checkPostingLength(n)
     val out = new Array[Any](n * (n - 1) / 2)
     var k = 0
     var i = 0
@@ -100,6 +101,7 @@ case class PostingPairsWithSize(child: Expression, minJaccard: Double)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    PairExpressions.checkPostingLength(n)
     val ids = new Array[Long](n)
     val szs = new Array[Long](n)
     var i = 0
@@ -117,7 +119,13 @@ case class PostingPairsWithSize(child: Expression, minJaccard: Double)
       while (j < n) {
         val bsz = szs(j)
         val mn = math.min(asz, bsz); val mx = math.max(asz, bsz)
-        if (mn >= minJaccard * mx) {
+        // feasibility = best-case jaccard (one set contained in the other:
+        // inter = mn, union = mx) clears the threshold, compared EXACTLY
+        // like the final `jac >= t` filter (double division, not mn >=
+        // t*mx, whose rounding can differ at the boundary and silently
+        // drop jac == t pairs — division is correctly rounded and
+        // monotone, so this is lossless)
+        if (mn.toDouble / mx >= minJaccard) {
           buf += new GenericInternalRow(Array[Any](a, ids(j), asz, bsz))
         }
         j += 1
@@ -134,6 +142,20 @@ case class PostingPairsWithSize(child: Expression, minJaccard: Double)
 
 object PairExpressions {
   import org.apache.spark.sql.GraftInternals.{column, expression}
+
+  /** Longest posting list the pair kernels accept: beyond this, the i<j
+    * pair count overflows Int (and the output — billions of structs from
+    * ONE row — could never be materialized anyway). Reaching it means a
+    * stopword-class key slipped into the index: cap it upstream
+    * (`maxDocFreq` in [[graft.operators.Dedup.jaccardJoin]]) instead of
+    * generating df² pairs. */
+  val maxPostingLength: Int = 65536
+
+  private[functions] def checkPostingLength(n: Int): Unit =
+    if (n > maxPostingLength) throw new IllegalStateException(
+      s"posting list of $n ids would generate ${n.toLong * (n - 1) / 2} " +
+        s"pairs (limit $maxPostingLength ids) — drop ultra-frequent keys " +
+        "upstream, e.g. with jaccardJoin's maxDocFreq")
 
   /** `posting_pairs(ids)`: array<struct<a_id,b_id>> of all i<j pairs. */
   def postingPairs(ids: Column): Column = column(PostingPairs(expression(ids)))

@@ -79,10 +79,15 @@ object AnnSearch {
         lit(cid).as("c_id"))
     }
 
-  /** Nearest centroid id as a pure projection (no join). */
+  /** Nearest centroid id as a pure projection (no join). `least` rejects
+    * fewer than two arguments, and Lloyd rounds can collapse duplicate
+    * seeds to a single centroid — short-circuit that case. */
   private def nearestCentroid(vec: Column,
-      cents: Array[(Int, Array[Double])]): Column =
-    least(centDistStructs(vec, cents): _*).getField("c_id")
+      cents: Array[(Int, Array[Double])]): Column = {
+    require(cents.nonEmpty, "no centroids — empty build side?")
+    if (cents.length == 1) lit(cents.head._1)
+    else least(centDistStructs(vec, cents): _*).getField("c_id")
+  }
 
   /** Deterministically-seeded centroids refined by `iters` Lloyd rounds,
     * collected to the driver (nCentroids × dims doubles — always

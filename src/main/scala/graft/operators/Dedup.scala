@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   *    (b × one shuffle each, unioned) and only exact-verifies candidates;
   *  - SimHash reduces each doc to one int64; near-dup = band equi-join on
   *    rotated fingerprints, Hamming-verified.
+  *
+  * ID contract: the similarity joins (`jaccardJoin`, `jaccardJoinPrefix`,
+  * `minHashJoin`/`lshCandidates`) require `idCol` to be BIGINT — the
+  * native posting-list pair kernels are monomorphic over long ids (that is
+  * what makes them allocation-free). Cast other integral id types up
+  * front; non-integral ids need a surrogate key.
   */
 object Dedup {
 
@@ -141,7 +147,13 @@ object Dedup {
         expr("transform(ts, t -> t.shingle)").as("toks"))
       .persist()
     val sz = size(col("toks"))
-    val prefixLen = sz - ceil(sz * lit(minJaccard)).cast("int") + 1
+    // prefix length = sz − ⌈t·sz⌉ + 1. The epsilon guards against fl(t·sz)
+    // landing one ulp ABOVE an exact integer product (e.g. 0.07·100 →
+    // 7.000000000000001), which would shorten the prefix by one and lose
+    // boundary pairs; erring low only lengthens the prefix — more
+    // candidates, still lossless (verification is exact).
+    val prefixLen =
+      sz - ceil(sz * lit(minJaccard) - lit(1e-9)).cast("int") + 1
     val prefix = docArr.select(col("id"),
       explode(slice(col("toks"), lit(1), prefixLen)).as("shingle"))
     // shuffle 3: prefix posting lists → candidate pairs in place

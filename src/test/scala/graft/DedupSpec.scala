@@ -63,6 +63,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("threshold-boundary pairs survive the length and prefix filters") {
+    // jac exactly == t with fl(t·sz) one ulp ABOVE the exact product
+    // (0.07·100 → 7.000000000000001): a mn >= t*mx length filter or a
+    // ceil(t*sz) prefix length would silently drop the pair
+    val a = (1 to 100).map(i => s"w$i").mkString(" ")      // 98 3-shingles
+    val b = (1 to 9).map(i => s"w$i").mkString(" ")        // 7, all in a
+    val docs2 = spark.createDataFrame(Seq((1L, a), (2L, b)))
+      .toDF("doc_id", "text")
+    // shingle sizes: a=98, b=7; inter=7 -> jac = 7/98 = 0.07142857...
+    val t = 7.0 / 98.0 // exactly representable as the same double the
+                       // engine computes -> pair sits ON the threshold
+    for ((name, df) <- Seq(
+        "jaccardJoin" -> Dedup.jaccardJoin(docs2, "doc_id", "text", 3, t),
+        "jaccardJoinPrefix" ->
+          Dedup.jaccardJoinPrefix(docs2, "doc_id", "text", 3, t))) {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 2L)), s"$name dropped the boundary pair")
+    }
+  }
+
   test("minHashJoin recalls every exact-jaccard pair (verified output)") {
     val exact = Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -94,6 +94,16 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(row2.getSeq[Long](2).nonEmpty)
   }
 
+  test("extension injection path constructs valid function metadata") {
+    // ExpressionInfo's long constructor VALIDATES group/source — build the
+    // whole injection list the way .withExtensions would consume it
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // throws on invalid metadata
+    assert(GraftExtensions.functions.map(_._1.funcName).toSet == Set(
+      "squared_l2", "dot_product", "shingles",
+      "posting_pairs", "posting_pairs_sz", "winnowing_fingerprints"))
+  }
+
   test("cellId buckets points to floor(x/eps) per selected dim") {
     val rnd = new Random(7)
     val cases = (1 to 15).map { _ =>
