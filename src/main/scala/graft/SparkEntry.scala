@@ -213,6 +213,7 @@ object SparkEntry {
     "q21_sessions" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val ms = ev.schema("ts").dataType match {
+        // LongType only occurs under nanosAsLong (raw NANOS): ns -> ms
         case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
         case _ => unix_millis(col("ts"))
       }
@@ -284,6 +285,7 @@ object SparkEntry {
     "q29_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val ms = ev.schema("ts").dataType match {
+        // LongType only occurs under nanosAsLong (raw NANOS): ns -> ms
         case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
         case _ => unix_millis(col("ts"))
       }

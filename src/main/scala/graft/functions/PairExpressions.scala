@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -140,6 +140,122 @@ case class PostingPairsWithSize(child: Expression, minJaccard: Double)
   override def prettyName: String = "posting_pairs_sz"
 }
 
+/** GENERATOR form of [[PostingPairs]]: emits the i<j pairs lazily, one
+  * row at a time, like `explode` — the pair set is never materialized as
+  * an array. This is the form the Dedup operators use: a posting row with
+  * df ids streams df·(df−1)/2 output rows in O(1) memory, where
+  * `explode(posting_pairs(ids))` would first build the whole quadratic
+  * array inside the row (an executor-OOM hazard for stopword-grade keys).
+  */
+case class ExplodePostingPairs(child: Expression)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"explode_posting_pairs needs array<bigint>, got ${other.catalogString}")
+    }
+  }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("a_id", LongType, nullable = false),
+    StructField("b_id", LongType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val ids = v.asInstanceOf[ArrayData].toLongArray()
+    val n = ids.length
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var j = 1
+      override def hasNext: Boolean = i < n - 1
+      override def next(): InternalRow = {
+        val r = new GenericInternalRow(Array[Any](ids(i), ids(j)))
+        j += 1
+        if (j >= n) { i += 1; j = i + 1 }
+        r
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "explode_posting_pairs"
+}
+
+/** Generator form of [[PostingPairsWithSize]]: lazy size-carrying pairs
+  * with the AllPairs length filter fused in. See [[ExplodePostingPairs]]
+  * for why a generator (O(1) memory per posting row) and
+  * [[PostingPairsWithSize]] for the filter's losslessness argument. */
+case class ExplodePostingPairsWithSize(child: Expression, minJaccard: Double)
+    extends UnaryExpression with Generator with CodegenFallback {
+  require(minJaccard >= 0.0 && minJaccard <= 1.0)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    child.dataType match {
+      case ArrayType(StructType(
+        Array(StructField(_, LongType, _, _), StructField(_, LongType, _, _))), _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "explode_posting_pairs_sz needs array<struct<bigint,bigint>>, " +
+            s"got ${other.catalogString}")
+    }
+  }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("a_id", LongType, nullable = false),
+    StructField("b_id", LongType, nullable = false),
+    StructField("a_sz", LongType, nullable = false),
+    StructField("b_sz", LongType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val ids = new Array[Long](n)
+    val szs = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      val s = arr.getStruct(p, 2)
+      ids(p) = s.getLong(0)
+      szs(p) = s.getLong(1)
+      p += 1
+    }
+    new Iterator[InternalRow] {
+      private var i = 0
+      private var j = 1
+      private var ready: InternalRow = _
+      private def advance(): Unit = {
+        while (ready == null && i < n - 1) {
+          val mn = math.min(szs(i), szs(j)); val mx = math.max(szs(i), szs(j))
+          if (mn.toDouble / mx >= minJaccard) {
+            ready = new GenericInternalRow(
+              Array[Any](ids(i), ids(j), szs(i), szs(j)))
+          }
+          j += 1
+          if (j >= n) { i += 1; j = i + 1 }
+        }
+      }
+      override def hasNext: Boolean = { advance(); ready != null }
+      override def next(): InternalRow = {
+        advance(); val r = ready; ready = null; r
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "explode_posting_pairs_sz"
+}
+
 object PairExpressions {
   import org.apache.spark.sql.GraftInternals.{column, expression}
 
@@ -163,4 +279,13 @@ object PairExpressions {
   /** `posting_pairs_sz(ids, t)`: length-filtered size-carrying pairs. */
   def postingPairsWithSize(ids: Column, minJaccard: Double): Column =
     column(PostingPairsWithSize(expression(ids), minJaccard))
+
+  /** Lazy generator of i<j pairs — use instead of
+    * `explode(postingPairs(...))` (O(1) memory per posting row). */
+  def explodePostingPairs(ids: Column): Column =
+    column(ExplodePostingPairs(expression(ids)))
+
+  /** Lazy generator of length-filtered size-carrying pairs. */
+  def explodePostingPairsWithSize(ids: Column, minJaccard: Double): Column =
+    column(ExplodePostingPairsWithSize(expression(ids), minJaccard))
 }

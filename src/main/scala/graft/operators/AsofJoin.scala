@@ -43,10 +43,19 @@ object AsofJoin {
     val rightTypes = right.schema
     val tsType = rightTypes(rightTs).dataType
 
+    // ASOF/equi-join semantics: a NULL equality key never matches (the
+    // window's partitionBy would group nulls as EQUAL), and a right row
+    // with a NULL timestamp sorts nulls-first and would "match" every
+    // left row before the first real right row — drop such right rows up
+    // front. Left rows with NULL keys keep left-join behavior: their
+    // partition then contains no right rows, so the payload stays NULL.
+    val rClean = right.filter(
+      (col(rightTs).isNotNull +: keys.map(col(_).isNotNull)).reduce(_ && _))
+
     // merged timeline: right rows carry their payload in one nullable
     // struct (atomic pick — a per-column last() could stitch together
     // DIFFERENT right rows when payload columns contain nulls)
-    val rTagged = right.select(
+    val rTagged = rClean.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("_ts"),
         lit(0).as("_tag"),

@@ -238,20 +238,30 @@ object Dbscan {
       if (threads == 1 || total < 2048) { var j = 0; while (j < total) { body(j); j += 1 } }
       else {
         val next = new java.util.concurrent.atomic.AtomicInteger(0)
+        // a worker that dies silently would leave its chunks unprocessed
+        // and the pass would "succeed" with wrong labels — capture the
+        // first failure and rethrow it on the task thread
+        val firstError =
+          new java.util.concurrent.atomic.AtomicReference[Throwable]()
         val chunk = 256
         val pool = (0 until threads).map { _ =>
           new Thread(() => {
-            var start = next.getAndAdd(chunk)
-            while (start < total) {
-              val end = math.min(start + chunk, total)
-              var j = start
-              while (j < end) { body(j); j += 1 }
-              start = next.getAndAdd(chunk)
+            try {
+              var start = next.getAndAdd(chunk)
+              while (start < total && firstError.get() == null) {
+                val end = math.min(start + chunk, total)
+                var j = start
+                while (j < end) { body(j); j += 1 }
+                start = next.getAndAdd(chunk)
+              }
+            } catch {
+              case t: Throwable => firstError.compareAndSet(null, t)
             }
           })
         }
         pool.foreach(_.start())
         pool.foreach(_.join())
+        if (firstError.get() != null) throw firstError.get()
       }
     }
 

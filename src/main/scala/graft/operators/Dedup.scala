@@ -40,12 +40,13 @@ object Dedup {
     docs.select(col(idCol).as("id"),
         explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
 
-  /** Pairs (a_id, b_id), a_id < b_id, generated in place from a sorted
-    * posting-list column `ids` — no self-join, no re-shuffle. Native
-    * expression: the interpreted-HOF twin was the hottest stage of the
-    * Jaccard join (see [[graft.functions.PostingPairs]]). */
+  /** Pairs (a_id, b_id), a_id < b_id, streamed lazily from a sorted
+    * posting-list column `ids` — no self-join, no re-shuffle, and no
+    * per-row pair array (a stopword-grade posting would otherwise
+    * materialize df²/2 structs inside one row before the explode could
+    * emit anything; see [[graft.functions.ExplodePostingPairs]]). */
   private def postingPairs: Column =
-    explode(graft.functions.PairExpressions.postingPairs(col("ids")))
+    graft.functions.PairExpressions.explodePostingPairs(col("ids"))
 
   /** Exact n-gram Jaccard similarity self-join via inverted index: one
     * shuffle builds posting lists per shingle, pairs are generated in
@@ -84,10 +85,9 @@ object Dedup {
     val pruned =
       if (maxDocFreq == Int.MaxValue) postings
       else postings.filter(size(col("ids")) <= maxDocFreq)
-    val pairs = pruned.select(explode(
-        graft.functions.PairExpressions.postingPairsWithSize(
-          col("ids"), minJaccard)).as("p"))
-      .select(col("p.a_id"), col("p.b_id"), col("p.a_sz"), col("p.b_sz"))
+    val pairs = pruned.select(
+      graft.functions.PairExpressions.explodePostingPairsWithSize(
+        col("ids"), minJaccard)) // generator -> a_id, b_id, a_sz, b_sz
 
     // shuffle 2 (groupBy pair): |A ∩ B| = how many postings emitted the
     // pair. Sizes are part of the key (constant per pair, so the group is
@@ -163,8 +163,7 @@ object Dedup {
     val pruned =
       if (maxDocFreq == Int.MaxValue) postings
       else postings.filter(size(col("ids")) <= maxDocFreq)
-    val cand = pruned.select(postingPairs.as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
+    val cand = pruned.select(postingPairs) // generator -> a_id, b_id
       .distinct()
     // exact verification on the (rare) candidates: two id-keyed hash joins
     // against the complete per-doc sets. No broadcast hint: docArr is one
@@ -216,8 +215,7 @@ object Dedup {
       .groupBy(col("bk.band"), col("bk.key"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(postingPairs.as("p"))
-      .select(col("p.a_id"), col("p.b_id"))
+      .select(postingPairs) // generator -> a_id, b_id
       .distinct()
 
   /** MinHash+LSH near-dup join, exact-verified: LSH candidates filtered by

@@ -36,7 +36,10 @@ object KnnJoin {
   def knnAuto(queries: DataFrame, build: DataFrame, k: Int,
       maxBroadcastFloats: Long = 8_000_000L): DataFrame = {
     val sz = build.agg(count(lit(1)), max(size(col("b_v")))).collect()(0)
-    val floats = sz.getLong(0) * math.max(sz.getInt(1), 1)
+    // max over zero rows is NULL — an empty build side takes the
+    // broadcast path, whose kernel correctly emits no neighbors
+    val dim = if (sz.isNullAt(1)) 0 else sz.getInt(1)
+    val floats = sz.getLong(0) * math.max(dim, 1)
     if (floats <= maxBroadcastFloats) knnBroadcast(queries, build, k)
     else knn(queries, build, k)
   }

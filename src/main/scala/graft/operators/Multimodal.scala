@@ -37,10 +37,14 @@ object Multimodal {
     * can hash-compare multimodal features end-to-end. */
   private[graft] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
+    // hash the payload ONCE and clone the digest state per dimension —
+    // md5(payload ++ ":j") for each j without re-reading the payload
+    // dim times (identical digests; MD5 instances are cloneable)
+    val base = java.security.MessageDigest.getInstance("MD5")
+    base.update(payload)
     var j = 0
     while (j < dim) {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      md.update(payload)
+      val md = base.clone().asInstanceOf[java.security.MessageDigest]
       md.update(s":$j".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       val d = md.digest()
       // first 15 hex chars of the digest = top 7.5 bytes, big-endian

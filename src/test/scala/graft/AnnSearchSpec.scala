@@ -60,6 +60,14 @@ class AnnSearchSpec extends SparkSpec {
     assert(auto == agg)
   }
 
+  test("knnAuto on an empty build side returns no rows (no NPE)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val q = Seq((1L, Seq(1.0f, 2.0f))).toDF("a_id", "a_v")
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("b_id", "b_v")
+    assert(graft.operators.KnnJoin.knnAuto(q, empty, 3).count() == 0L)
+  }
+
   test("ivfTopK with full probing == exact") {
     val exact = AnnSearch.bruteForceTopK(q, b, 3).collect()
       .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap

@@ -64,6 +64,28 @@ class AsofJoinSpec extends SparkSpec {
     assert(row.getLong(3) == 9L) // greatest payload wins the tie
   }
 
+  test("NULL keys never match; NULL right timestamps are ignored") {
+    val l = spark.createDataFrame(Seq(
+        (Option(1L), Option(100L), 1L),
+        (Option.empty[Long], Option(100L), 2L)))   // null key left row
+      .toDF("user_id", "lts", "lid")
+    val r = spark.createDataFrame(Seq(
+        (Option(1L), Option(50L), 10L),
+        (Option.empty[Long], Option(40L), 20L),    // null key right row
+        (Option(1L), Option.empty[Long], 30L)))    // null ts right row
+      .toDF("user_id", "rts", "rval")
+    val got = AsofJoin.backward(l, r, Seq("user_id"), "lts", "rts", Seq("rval"))
+      .collect()
+      .map(x => x.getLong(2) -> (Option(x.get(3)), Option(x.get(4)))).toMap
+    // left row 1: only the real (key=1, ts=50) row matches — never the
+    // null-ts row (which would sort first and shadow nothing) and never
+    // a null-key row
+    assert(got(1L) == (Some(50L), Some(10L)))
+    // left row 2 (null key): left-join row survives with NO match, even
+    // though a null-key right row exists
+    assert(got(2L) == (None, None))
+  }
+
   test("partition-count invariance") {
     val rnd = new scala.util.Random(11)
     val left = (0 until 200).map(i =>
