@@ -24,17 +24,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def dbscanBin(path: String, eps: Double, minPts: Int,
-        samplePct: Double = 1.0): SparkSession => DataFrame = { s =>
+        samplePct: Double = 1.0,
+        localThreshold: Long = 100_000L): SparkSession => DataFrame = { s =>
       val pts0 = graft.sources.BinaryPoints.read(s, path)
       // cache before pickBucketDims: it and Dbscan.run share the scan
       val pts = graft.operators.PointSink.sampleGate(pts0, samplePct).persist()
       val dims = graft.operators.EpsilonJoin.pickBucketDims(pts, "features",
         eps, knownDim = graft.sources.BinaryPoints.header(path)._2)
-      graft.operators.Dbscan.run(pts, "id", "features", eps, minPts, dims)
+      graft.operators.Dbscan.run(pts, "id", "features", eps, minPts, dims,
+        localThreshold = localThreshold)
     }
     val referenceBench: Seq[(String, SparkSession => DataFrame)] = Seq(
       "dbscan_clus50k" -> dbscanBin("/root/reference/clus50k.bin", 25.0, 5),
       "dbscan_part64" -> dbscanBin("/root/reference/part64.bin", 0.01, 5, 0.96),
+      // same workload through the DISTRIBUTED pipeline (localThreshold=0
+      // disables the fused single-task path): measures what actually runs
+      // at cluster scale — shuffling ε-join, partition-local union-find,
+      // min-label CC loop. Labels are spec-identical to the fused path.
+      "dbscan_clus50k_dist" ->
+        dbscanBin("/root/reference/clus50k.bin", 25.0, 5, localThreshold = 0L),
     )
 
     // min over reps, like the reference harness's repeated runs
