@@ -80,11 +80,17 @@ object Dbscan {
       .select(col("a_id"), col("b_id"))
       .persist()
 
-    // core test: |N_eps(p)| >= minPts, self included (dbscan.cpp:739)
-    val cores = pairs.groupBy("a_id").agg(count(lit(1)).as("n"))
-      .filter(col("n") + lit(1L) >= lit(minPts.toLong))
-      .select(col("a_id").as("id"))
-      .persist()
+    // core test: |N_eps(p)| >= minPts, self included (dbscan.cpp:739).
+    // minPts <= 1: EVERY point is core (self-count alone suffices), but
+    // zero-neighbor points emit no pair rows and would be missed by the
+    // pair aggregate — short-circuit instead of paying a points-side
+    // left join on the normal path
+    val cores =
+      if (minPts <= 1) pts.select(col(idCol).as("id")).persist()
+      else pairs.groupBy("a_id").agg(count(lit(1)).as("n"))
+        .filter(col("n") + lit(1L) >= lit(minPts.toLong))
+        .select(col("a_id").as("id"))
+        .persist()
 
     // core-core edges (+ self loops so isolated cores form singletons)
     val coreEdges = pairs

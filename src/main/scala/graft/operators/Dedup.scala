@@ -225,6 +225,10 @@ object Dedup {
     * @return (`a_id`, `b_id`, `jac`). */
   def minHashJoin(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minJaccard: Double, k: Int = 64, bands: Int = 16): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"need 1 <= bands <= k with k % bands == 0 (got k=$k, bands=$bands); " +
+        "bands > k would make every band key an empty slice — all-pairs, " +
+        "not LSH")
     val rowsPerBand = k / bands
     // shingle table feeds signatures, sizes AND verification — materialize
     // once (it is also the single most expensive scan: parse + explode)
@@ -351,13 +355,20 @@ object Dedup {
     * any pair within the radius agrees on ≥1 full band), equi-join per band,
     * verify with bit_count(xor). @return (`a_id`, `b_id`, `hamming`). */
   def simHashJoin(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
     val nBands = maxHamming + 1
     val width = 64 / nBands
+    // width == 64 (maxHamming == 0, exact-dup detection): the key is the
+    // whole fingerprint — (1L << 64) - 1 would be 0 (JVM shifts mod 64)
+    // and every doc would share key 0, degenerating to a cross join
+    def key(b: Int): Column =
+      if (width == 64) col("simhash")
+      else shiftright(col("simhash"), b * width)
+        .bitwiseAND(lit((1L << width) - 1))
     val banded = hashes.select(col("id"), col("simhash"),
       explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * width)
-            .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+        struct(lit(b).as("band"), key(b).as("key"))): _*)).as("bk"))
       .select(col("id"), col("simhash"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     banded.as("x").join(banded.as("y"), Seq("band", "key"))

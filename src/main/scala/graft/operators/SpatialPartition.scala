@@ -20,12 +20,22 @@ import org.apache.spark.sql.functions._
 object SpatialPartition {
 
   /** Z-order-interleave the low `bitsPerDim` bits of per-dim cell ids into
-    * one long sort key. */
+    * one long sort key. Cell ids are BIASED into the unsigned range
+    * [0, 2^bitsPerDim) and saturated at the ends: raw two's-complement low
+    * bits would place cell −1 (all ones) maximally far from cell 0, so
+    * origin-centered data — the common case for zero-meaned features —
+    * would split its densest region across opposite partition extremes.
+    * Cells beyond ±2^(bitsPerDim−1) clamp to the boundary (they stay
+    * coarsely sorted, just not distinguished). */
   def zOrderKey(cells: Seq[org.apache.spark.sql.Column],
       bitsPerDim: Int): org.apache.spark.sql.Column = {
+    val bias = 1L << (bitsPerDim - 1)
+    val top = (1L << bitsPerDim) - 1
+    val unsigned = cells.map(c =>
+      least(greatest(c + lit(bias), lit(0L)), lit(top)))
     val terms = for {
       b <- 0 until bitsPerDim
-      (c, d) <- cells.zipWithIndex
+      (c, d) <- unsigned.zipWithIndex
     } yield shiftleft(
       shiftright(c, b).bitwiseAND(lit(1L)), b * cells.size + d)
     terms.reduce((a, b) => a.bitwiseOR(b))

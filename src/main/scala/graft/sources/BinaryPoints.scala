@@ -51,6 +51,10 @@ object BinaryPoints {
   def write(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     import org.apache.spark.sql.functions.{col, size => asize}
     val n = df.count()
+    require(n > 0, "refusing to write an empty point table " +
+      "(the reference format needs dims, which come from the data)")
+    require(n <= Int.MaxValue,
+      s"$n rows do not fit the format's int32 point count")
     val d = df.select(asize(col(vecCol))).head().getInt(0)
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path), 1 << 20))
@@ -63,6 +67,10 @@ object BinaryPoints {
       val buf = ByteBuffer.allocate(d * 4).order(ByteOrder.LITTLE_ENDIAN)
       while (it.hasNext) {
         val fs = it.next().getSeq[Float](0)
+        // ragged rows would silently flush STALE bytes from the previous
+        // row (the buffer is reused and always written whole)
+        require(fs.length == d,
+          s"ragged vector: expected $d floats, got ${fs.length}")
         buf.clear()
         fs.foreach(buf.putFloat)
         out.write(buf.array())
@@ -83,12 +91,18 @@ object BinaryPoints {
       .filter(_._2 > 0)
 
     val rdd = spark.sparkContext
-      .parallelize(ranges, ranges.size)
+      // max(1, …): a legal header-only file (n = 0) yields zero ranges,
+      // and parallelize rejects numSlices = 0
+      .parallelize(ranges, math.max(1, ranges.size))
       .flatMap { case (start, cnt) =>
         val in = new FileInputStream(path)
         val ch = in.getChannel
         ch.position(8L + start * d * 4L)
         val dis = new DataInputStream(new java.io.BufferedInputStream(in, 1 << 20))
+        // close on task completion, not just on iterator exhaustion —
+        // limit()/take() stop pulling early and would leak the fd
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => dis.close()))
         val rowBytes = new Array[Byte](d * 4)
         new Iterator[Row] {
           private var i = 0L

@@ -31,7 +31,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class BinaryPointsV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "binaryPoints"
 
-  private def pathOf(options: CaseInsensitiveStringMap): String = {
+  private def pathOf(options: util.Map[String, String]): String = {
     val p = options.get("path")
     require(p != null, "binaryPoints requires .option(\"path\", ...) or load(path)")
     p
@@ -42,7 +42,10 @@ class BinaryPointsV2 extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new BinaryPointsTable(properties.get("path"))
+    // validate here (the only place Spark hands us the options before
+    // building the table) — a missing path would otherwise surface as a
+    // bare NPE from FileInputStream at scan planning time
+    new BinaryPointsTable(pathOf(properties))
 }
 
 class BinaryPointsTable(path: String) extends Table with SupportsRead {

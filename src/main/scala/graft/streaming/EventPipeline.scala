@@ -75,7 +75,14 @@ object EventPipeline {
           val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
           var n = prev.n_events
           var tot = prev.total_value
-          rows.foreach { e => n += 1; tot += math.rint(e.value * 100) / 100 }
+          rows.foreach { e =>
+            n += 1
+            // HALF_UP like Spark's round() in the batch/stream twins —
+            // math.rint is half-EVEN and would diverge on exact .xx5
+            tot += java.math.BigDecimal.valueOf(e.value * 100)
+              .setScale(0, java.math.RoundingMode.HALF_UP)
+              .doubleValue() / 100
+          }
           val next = UserRunning(uid, n, tot)
           state.update(next)
           Iterator(next)

@@ -155,4 +155,23 @@ class DbscanSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(labels.size == 200 && labels.values.forall(_ == 0))
   }
+
+  test("minPts=1: distributed path == fused path (isolated points are core)") {
+    // zero-neighbor points emit no pair rows — the distributed core test
+    // must still see them when the self-count alone satisfies minPts
+    val (ids, pts) = loadT4(300)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ids.zip(pts).map { case (i, p) => Row(i, p.toSeq) }.toSeq, 3),
+      BinaryPoints.schema)
+    def labels(threshold: Long) =
+      Dbscan.run(df, "id", "features", 1e-6, 1, Seq(0, 1),
+        minClusterSize = 1, localThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dist = labels(0L)       // distributed pipeline
+    val fused = labels(100_000L) // single-task path
+    assert(dist == fused)
+    // with eps ~ 0 every point is its own singleton cluster, none noise
+    assert(dist.size == 300 && dist.values.forall(_ > 0))
+  }
 }

@@ -115,6 +115,19 @@ class DedupSpec extends SparkSpec {
     assert(kept == docs.collect().map(_.getLong(0)).toSet) // originals win
   }
 
+  test("simHashJoin maxHamming=0 finds exactly the identical fingerprints") {
+    // width = 64: the band key must be the whole fingerprint — the mask
+    // formula (1L << 64) - 1 would be 0 on the JVM and every doc would
+    // collide into one bucket (silent cross join)
+    val h = spark.createDataFrame(Seq(
+        (1L, 42L), (2L, 42L), (3L, 43L), (4L, -7L), (5L, -7L), (6L, 42L)))
+      .toDF("id", "simhash")
+    val got = Dedup.simHashJoin(h, maxHamming = 0)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 6L), (2L, 6L), (4L, 5L)))
+  }
+
   test("simHash: identical docs collide, near-dup pairs within hamming radius") {
     val hashes = Dedup.simHash(docs, "doc_id", "text").persist()
     // identical text -> identical simhash (determinism)
