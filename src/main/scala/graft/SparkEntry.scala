@@ -307,10 +307,10 @@ object SparkEntry {
       val toks = docs.select(col("doc_id"),
         explode(TextFunctions.tokens(col("text"))).as("tok"))
       // df falls out of tf (one row per (doc, tok) ⇒ count per tok = df):
-      // no second tokenize scan, no distinct shuffle. tf is persisted
-      // because both dfreq and the final join consume it.
+      // no second tokenize scan, no distinct shuffle. No persist: a cached
+      // block would outlive the query (nothing can unpersist a lazily
+      // returned plan), and tf's recompute is one narrow agg.
       val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .persist()
       val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n"))
       val scored = tf.join(dfreq, "tok").crossJoin(broadcast(nDocs))
@@ -409,13 +409,13 @@ object SparkEntry {
     "q3_neighbor_count" ->
       s"""SELECT a.vec_id, CAST(count(b.vec_id) + 1 AS BIGINT) AS n_neighbors
          |FROM embeddings a LEFT JOIN embeddings b
-         |  ON a.vec_id != b.vec_id AND ${d2Sql("a", "b")} <= 1.2*1.2
+         |  ON a.vec_id != b.vec_id AND ${d2Sql("a", "b")} <= $Eps*$Eps
          |GROUP BY a.vec_id""".stripMargin,
 
     "q4_core_points" ->
       s"""SELECT a.vec_id
          |FROM embeddings a JOIN embeddings b
-         |  ON a.vec_id != b.vec_id AND ${d2Sql("a", "b")} <= 1.2*1.2
+         |  ON a.vec_id != b.vec_id AND ${d2Sql("a", "b")} <= $Eps*$Eps
          |GROUP BY a.vec_id HAVING count(*) + 1 >= $MinPts""".stripMargin,
 
     "q5_knn" ->

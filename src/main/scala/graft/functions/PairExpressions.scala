@@ -45,7 +45,9 @@ case class PostingPairs(child: Expression)
     val ids = input.asInstanceOf[ArrayData].toLongArray()
     val n = ids.length
     PairExpressions.checkPostingLength(n)
-    val out = new Array[Any](n * (n - 1) / 2)
+    // Long math: n*(n-1) wraps Int already at n = 46342, well inside the
+    // guard's limit (the quotient always fits once computed in Long)
+    val out = new Array[Any]((n.toLong * (n - 1) / 2).toInt)
     var k = 0
     var i = 0
     while (i < n) {
@@ -111,7 +113,8 @@ case class PostingPairsWithSize(child: Expression, minJaccard: Double)
       szs(i) = s.getLong(1)
       i += 1
     }
-    val buf = new scala.collection.mutable.ArrayBuffer[Any](n * (n - 1) / 2)
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](
+      math.min(n.toLong * (n - 1) / 2, 1 << 20).toInt)
     i = 0
     while (i < n) {
       val a = ids(i); val asz = szs(i)

@@ -97,11 +97,23 @@ object TopKByScore {
     private val scores = new Array[Double](k)
     var size: Int = 0
 
+    // SQL-total-order score comparison: the `+ 0.0` folds -0.0 into +0.0
+    // (so ±0.0 tie and fall through to the id tie-break, like DuckDB
+    // ORDER BY) while NaN + 0.0 stays NaN, which Double.compare sorts
+    // LAST. Primitive >/== would make every comparison with NaN false,
+    // letting a NaN candidate evict the root and corrupt the heap.
+    private def scoreCmp(a: Double, b: Double): Int =
+      java.lang.Double.compare(a + 0.0, b + 0.0)
+
     // "worse" = larger (score, id) — the heap keeps the k smallest
-    private def worse(i: Int, j: Int): Boolean =
-      scores(i) > scores(j) || (scores(i) == scores(j) && ids(i) > ids(j))
-    private def worseThanRoot(id: Long, sc: Double): Boolean =
-      sc > scores(0) || (sc == scores(0) && id > ids(0))
+    private def worse(i: Int, j: Int): Boolean = {
+      val c = scoreCmp(scores(i), scores(j))
+      c > 0 || (c == 0 && ids(i) > ids(j))
+    }
+    private def worseThanRoot(id: Long, sc: Double): Boolean = {
+      val c = scoreCmp(sc, scores(0))
+      c > 0 || (c == 0 && id > ids(0))
+    }
     private def swap(i: Int, j: Int): Unit = {
       val ti = ids(i); ids(i) = ids(j); ids(j) = ti
       val ts = scores(i); scores(i) = scores(j); scores(j) = ts
@@ -136,8 +148,10 @@ object TopKByScore {
       var i = 0
       while (i < size) { out(i) = (ids(i), scores(i)); i += 1 }
       scala.util.Sorting.stableSort(out,
-        (a: (Long, Double), b: (Long, Double)) =>
-          a._2 < b._2 || (a._2 == b._2 && a._1 < b._1))
+        (a: (Long, Double), b: (Long, Double)) => {
+          val c = scoreCmp(a._2, b._2)
+          c < 0 || (c == 0 && a._1 < b._1)
+        })
       out
     }
   }

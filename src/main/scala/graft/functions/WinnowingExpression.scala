@@ -32,8 +32,13 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // hash Unicode CODEPOINTS, not UTF-16 code units: the DuckDB oracle
+    // twin uses ord()/len(), which are codepoint-based — surrogate-pair
+    // characters (emoji, rare CJK) would otherwise shift every k-gram
+    // hash and the length gate (ASCII corpora mask the difference)
+    val cps = input.asInstanceOf[UTF8String].toString
+      .codePoints().toArray
+    val n = cps.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
     // rolling k-gram hashes
     val nh = n - k + 1
@@ -43,11 +48,11 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
     while (i < k - 1) { pow = pow * B % M; i += 1 }
     var h = 0L
     i = 0
-    while (i < k) { h = (h * B + s.charAt(i)) % M; i += 1 }
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
     hs(0) = h
     i = 1
     while (i < nh) {
-      h = ((h - s.charAt(i - 1) * pow % M + M * 2) % M * B + s.charAt(i + k - 1)) % M
+      h = ((h - cps(i - 1) * pow % M + M * 2) % M * B + cps(i + k - 1)) % M
       hs(i) = h
       i += 1
     }

@@ -34,7 +34,32 @@ import scala.collection.mutable
   * its merge demonstrably loses clusters as ranks grow,
   * `Progress-5-Nov-19.txt:9-29`; ours cannot).
   */
-object ConnectedComponents {
+object ConnectedComponents extends Serializable {
+
+  /** One-pass union-find over (src, dst) long rows → (node, min-root)
+    * rows. Shared by the per-partition contraction and the small-graph
+    * driver finish — one implementation, one set of invariants (min-root
+    * union, path compression, keys materialized before the compressing
+    * find pass). */
+  private def unionFindRows(rows: Iterator[Row]): Iterator[Row] = {
+    val parent = mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    rows.foreach { row =>
+      val a = find(row.getLong(0)); val b = find(row.getLong(1))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+    }
+    // materialize keys first: find() path-compresses (mutates values)
+    val ks = parent.keys.toArray
+    ks.iterator.map(n => Row(n, find(n)))
+  }
 
   private val starSchema = StructType(Seq(
     StructField("src", LongType, nullable = false),
@@ -46,28 +71,7 @@ object ConnectedComponents {
   private def contract(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     val rdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .rdd.mapPartitions { it =>
-        val parent = mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          // path compression
-          var c = x
-          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        it.foreach { row =>
-          val a = find(row.getLong(0)); val b = find(row.getLong(1))
-          if (a != b) {
-            val lo = math.min(a, b); val hi = math.max(a, b)
-            parent(hi) = lo
-          }
-          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        }
-        // materialize keys first: find() path-compresses (mutates values)
-        val ks = parent.keys.toArray
-        ks.iterator.map(n => Row(n, find(n)))
-      }
+      .rdd.mapPartitions(it => unionFindRows(it))
     spark.createDataFrame(rdd, starSchema)
   }
 
@@ -98,21 +102,7 @@ object ConnectedComponents {
     if (probe.length <= smallGraphThreshold) {
       // Small contracted graph: single-pass driver union-find.
       val spark = edges.sparkSession
-      val parent = mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      probe.foreach { row =>
-        val a = find(row.getLong(0)); val b = find(row.getLong(1))
-        if (a != b) parent(math.max(a, b)) = math.min(a, b)
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      }
-      val ks = parent.keys.toArray
-      val out = ks.map(n => Row(n, find(n)))
+      val out = unionFindRows(probe.iterator).toArray
       stars.unpersist()
       return spark.createDataFrame(
         spark.sparkContext.parallelize(out.toSeq,

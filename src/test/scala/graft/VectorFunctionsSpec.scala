@@ -94,6 +94,21 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(row2.getSeq[Long](2).nonEmpty)
   }
 
+  test("TopKByScore: NaN scores sort last and never evict real neighbors") {
+    // primitive > / == comparisons are always false against NaN, which
+    // would let a NaN candidate overwrite the heap root
+    val rows = Seq((1L, 0.3), (2L, Double.NaN), (3L, 0.1), (4L, Double.NaN),
+      (5L, 0.2), (6L, -0.0), (7L, 0.0))
+    val df = spark.createDataFrame(rows.map { case (i, s) => (0L, i, s) })
+      .toDF("g", "id", "score")
+    val got = df.groupBy("g")
+      .agg(graft.functions.TopKByScore.topkMin(col("id"), col("score"), 4).as("t"))
+      .select(posexplode(col("t")).as(Seq("pos", "p")))
+      .select(col("p.id")).collect().map(_.getLong(0)).toSeq
+    // ±0.0 tie -> id order (6 before 7); NaN never enters the top 4
+    assert(got == Seq(6L, 7L, 3L, 5L))
+  }
+
   test("extension injection path constructs valid function metadata") {
     // ExpressionInfo's long constructor VALIDATES group/source — build the
     // whole injection list the way .withExtensions would consume it
