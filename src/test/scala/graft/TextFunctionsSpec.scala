@@ -68,6 +68,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(tiny.isEmpty)
   }
 
+  test("winnowing hashes codepoints, not UTF-16 units (non-BMP safe)") {
+    import graft.functions.WinnowingExpression.winnow
+    // 😀 is a surrogate pair: 5 codepoints here but 8 UTF-16 units. With
+    // k=5, w=2 a codepoint implementation sees exactly ONE 5-gram (one
+    // fingerprint); a code-unit one would see 4 k-grams and (k >= 5)
+    // admit "ab😀" (5 units, 3 codepoints) too — DuckDB's ord()/len()
+    // oracle counts codepoints.
+    val df = spark.createDataFrame(Seq(
+        (1L, "😀😀😀ab"), (2L, "ab😀")))
+      .toDF("id", "text")
+    val fps = df.select(col("id"), winnow(col("text"), 5, 2))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fps(1L).length == 1, s"expected one fingerprint, got ${fps(1L)}")
+    assert(fps(2L).isEmpty, "3-codepoint text must fail the k=5 gate")
+  }
+
   test("fingerprint64 is deterministic and spreads") {
     val df = spark.createDataFrame(
       (1 to 100).map(i => Tuple1(s"doc number $i"))).toDF("text")
