@@ -26,13 +26,7 @@ object Bench {
     def dbscanBin(path: String, eps: Double, minPts: Int,
         samplePct: Double = 1.0,
         localThreshold: Long = 100_000L): SparkSession => DataFrame = { s =>
-      val pts0 = graft.sources.BinaryPoints.read(s, path)
-      // cache before pickBucketDims: it and Dbscan.run share the scan
-      val pts = graft.operators.PointSink.sampleGate(pts0, samplePct).persist()
-      val dims = graft.operators.EpsilonJoin.pickBucketDims(pts, "features",
-        eps, knownDim = graft.sources.BinaryPoints.header(path)._2)
-      graft.operators.Dbscan.run(pts, "id", "features", eps, minPts, dims,
-        localThreshold = localThreshold)
+      Workloads.dbscanBin(s, path, eps, minPts, samplePct, localThreshold)
     }
     val referenceBench: Seq[(String, SparkSession => DataFrame)] = Seq(
       "dbscan_clus50k" -> dbscanBin("/root/reference/clus50k.bin", 25.0, 5),
@@ -76,7 +70,13 @@ object Bench {
       }
     val refResults = referenceBench.filter(p => selected(p._1))
       .map { case (name, fn) =>
-        name -> time(name, () => fn(spark).count())
+        val r = name -> time(name, () => fn(spark).count())
+        // each workload persists its point table (and Dbscan.run persists
+        // pairs/cores internally); CacheManager holds those strongly, so
+        // drop them between workloads or their blocks skew later timings.
+        // Within-workload reps still share cache (same logical plan).
+        spark.catalog.clearCache()
+        r
       }
     val results = sfResults ++ refResults
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

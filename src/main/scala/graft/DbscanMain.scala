@@ -20,13 +20,17 @@ object DbscanMain {
     var minPts = -1
     var pct = 1.0
     var i = 0
+    def value(flag: String): String = {
+      if (i + 1 >= args.length) sys.error(s"flag $flag is missing its value")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "-i" => input = args(i + 1); i += 2
-        case "-o" => out = args(i + 1); i += 2
-        case "-e" => eps = args(i + 1).toDouble; i += 2
-        case "-m" => minPts = args(i + 1).toInt; i += 2
-        case "-p" => pct = args(i + 1).toDouble; i += 2
+        case "-i" => input = value("-i"); i += 2
+        case "-o" => out = value("-o"); i += 2
+        case "-e" => eps = value("-e").toDouble; i += 2
+        case "-m" => minPts = value("-m").toInt; i += 2
+        case "-p" => pct = value("-p").toDouble; i += 2
         case "-b" => i += 1 // binary flag: always binary here
         case other => sys.error(s"unknown flag $other")
       }
@@ -50,7 +54,10 @@ object DbscanMain {
       .setEps(eps).setMinPts(minPts).setSamplePct(pct)
       .setIdCol("id").setFeaturesCol("features")
       .fit(pts)
-    val st = Dbscan.stats(model.labels).collect()(0)
+    // stats AND the -o sink both consume the labels — cache, or the -o
+    // write re-runs the entire clustering
+    val labels = model.labels.persist()
+    val st = Dbscan.stats(labels).collect()(0)
     val secs = (System.nanoTime() - t0) / 1e9
 
     // the reference's parseable report lines, exactly as manyTests.py reads
@@ -66,7 +73,7 @@ object DbscanMain {
     println(f"Parallel DBSCAN (init, local computation, and merging) took $secs%.4f seconds")
 
     if (out != null) {
-      PointSink.toReferenceLayout(pts, model.labels, "id", "features", dims)
+      PointSink.toReferenceLayout(pts, labels, "id", "features", dims)
         .write.mode("overwrite").parquet(out)
     }
     spark.stop()

@@ -25,30 +25,34 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // listener callbacks run on the listener-bus thread; the report reads
+    // `done` on the main thread — take the lock on both sides
+    val lock = new Object
     val jobs = mutable.Map.empty[Int, (Long, String)]
     val done = mutable.ArrayBuffer.empty[(Int, Long, String)]
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
-        jobs(js.jobId) = (System.nanoTime(),
-          Option(js.properties.getProperty("spark.job.description")).getOrElse(""))
+        lock.synchronized {
+          jobs(js.jobId) = (System.nanoTime(),
+            Option(js.properties.getProperty("spark.job.description")).getOrElse(""))
+        }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
-        jobs.remove(je.jobId).foreach { case (t0, desc) =>
-          done += ((je.jobId, System.nanoTime() - t0, desc))
+        lock.synchronized {
+          jobs.remove(je.jobId).foreach { case (t0, desc) =>
+            done += ((je.jobId, System.nanoTime() - t0, desc))
+          }
         }
     })
 
-    def dbscanBin(path: String, eps: Double, minPts: Int, pct: Double = 1.0) = {
-      val pts = graft.operators.PointSink.sampleGate(
-        graft.sources.BinaryPoints.read(spark, path), pct).persist()
-      val dims = graft.operators.EpsilonJoin.pickBucketDims(pts, "features",
-        eps, knownDim = graft.sources.BinaryPoints.header(path)._2)
-      graft.operators.Dbscan.run(pts, "id", "features", eps, minPts, dims)
-    }
-
     import org.apache.spark.sql.functions.{col, explode}
     val df = name match {
-      case "dbscan_clus50k" => dbscanBin("/root/reference/clus50k.bin", 25.0, 5)
-      case "dbscan_part64" => dbscanBin("/root/reference/part64.bin", 0.01, 5, 0.96)
+      case "dbscan_clus50k" =>
+        Workloads.dbscanBin(spark, "/root/reference/clus50k.bin", 25.0, 5)
+      case "dbscan_clus50k_dist" =>
+        Workloads.dbscanBin(spark, "/root/reference/clus50k.bin", 25.0, 5,
+          localThreshold = 0L)
+      case "dbscan_part64" =>
+        Workloads.dbscanBin(spark, "/root/reference/part64.bin", 0.01, 5, 0.96)
       case "x_shingles" =>
         spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"),
@@ -64,11 +68,12 @@ object Explain {
     val n = df.count()
     val total = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500) // let listener drain
-    println(s"== jobs (${done.size}) ==")
-    done.sortBy(_._1).foreach { case (id, ns, desc) =>
+    val snapshot = lock.synchronized { done.sortBy(_._1).toVector }
+    println(s"== jobs (${snapshot.size}) ==")
+    snapshot.foreach { case (id, ns, desc) =>
       println(f"job $id%3d  ${ns / 1e9}%8.3f s  ${desc.take(90)}")
     }
-    println(f"[explain] $name rows=$n count_time=$total%.3f s jobs=${done.size}")
+    println(f"[explain] $name rows=$n count_time=$total%.3f s jobs=${snapshot.size}")
     spark.stop()
   }
 }

@@ -45,12 +45,15 @@ object EpsilonJoin {
     // the dimensionality (e.g. from the binary file header)
     val dim =
       if (knownDim > 0) knownDim
-      else points.select(size(col(vecCol))).first().getInt(0)
+      else points.select(size(col(vecCol))).limit(1).collect()
+        .headOption.map(_.getInt(0)).getOrElse(0)
+    if (dim == 0) return Nil // empty input: no dims to pick, k=0 is fine
     val aggs = (0 until dim).flatMap { d =>
       val c = element_at(col(vecCol), d + 1).cast("double")
       Seq(min(c).as(s"mn$d"), max(c).as(s"mx$d"))
     }
     val row = points.agg(aggs.head, aggs.tail: _*).first()
+    if (row.isNullAt(0)) return Nil // knownDim set but zero rows
     val ranges = (0 until dim).map(d =>
       d -> (row.getDouble(2 * d + 1) - row.getDouble(2 * d)))
     ranges

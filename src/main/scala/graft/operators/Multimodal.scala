@@ -71,12 +71,17 @@ object Multimodal {
       StructField("features", ArrayType(FloatType, containsNull = false),
         nullable = false)))
     val enc = RowEncoder.encoderFor(outSchema)
-    media.select("media_id", "modality", "payload")
+    // cast up front so an int media_id fails at plan time (or widens),
+    // not as a per-row ClassCastException inside the executor loop
+    media.select(col("media_id").cast("long"), col("modality"),
+        col("payload"))
       .mapPartitions { it =>
         // per-partition setup happens here once (codec/model init in a
         // real implementation)
         it.map { r =>
           val payload = r.getAs[Array[Byte]]("payload")
+          require(payload != null,
+            s"null payload for media_id=${r.getLong(0)} — decode needs bytes")
           Row(r.getLong(0), r.getString(1), payload.length.toLong,
             decodeStub(payload, dim).toSeq)
         }
@@ -87,6 +92,7 @@ object Multimodal {
     * per-frame payload slice (a real impl would demux the container). Keeps
     * the explode-shape plumbing (one row in → many frame rows out). */
   def sampleFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     val frames = media
       .filter(col("modality") === "video")
       .select(col("media_id"), col("payload"),
@@ -94,9 +100,11 @@ object Multimodal {
       // STUB frame count: 25 fps equivalent — 1 frame per 40ms of duration
       .withColumn("n_frames", greatest((col("dur") / 40).cast("int"), lit(1)))
       .select(col("media_id"),
-        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
+        // step the sequence directly: exploding every frame and filtering
+        // by modulo would materialize stride× more rows than survive
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride)))
+          .as("frame_idx"),
         col("payload"))
-      .filter(col("frame_idx") % stride === 0)
     frames.select(col("media_id"), col("frame_idx"),
       // STUB decode: slice of payload bytes stands in for the frame
       expr("substring(payload, CAST(frame_idx % 32 + 1 AS INT), 8)")
