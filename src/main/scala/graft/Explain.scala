@@ -33,8 +33,10 @@ object Explain {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         lock.synchronized {
-          jobs(js.jobId) = (System.nanoTime(),
-            Option(js.properties.getProperty("spark.job.description")).getOrElse(""))
+          val desc = Option(js.properties.getProperty("spark.job.description"))
+            .orElse(Option(js.properties.getProperty("callSite.short")))
+            .getOrElse("")
+          jobs(js.jobId) = (System.nanoTime(), desc)
         }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         lock.synchronized {
@@ -45,6 +47,9 @@ object Explain {
     })
 
     import org.apache.spark.sql.functions.{col, explode}
+    // several workloads run actions EAGERLY during construction (e.g.
+    // Dbscan.run's CC loop) — start the clock before, or they're invisible
+    val tBuild = System.nanoTime()
     val df = name match {
       case "dbscan_clus50k" =>
         Workloads.dbscanBin(spark, "/root/reference/clus50k.bin", 25.0, 5)
@@ -63,6 +68,7 @@ object Explain {
       case q => SparkEntry.queries(q)(spark, sfDir)
     }
 
+    val buildSecs = (System.nanoTime() - tBuild) / 1e9
     df.explain("formatted")
     val t0 = System.nanoTime()
     val n = df.count()
@@ -73,7 +79,8 @@ object Explain {
     snapshot.foreach { case (id, ns, desc) =>
       println(f"job $id%3d  ${ns / 1e9}%8.3f s  ${desc.take(90)}")
     }
-    println(f"[explain] $name rows=$n count_time=$total%.3f s jobs=${snapshot.size}")
+    println(f"[explain] $name rows=$n build_time=$buildSecs%.3f s " +
+      f"count_time=$total%.3f s jobs=${snapshot.size}")
     spark.stop()
   }
 }

@@ -32,15 +32,15 @@ abstract class VectorFoldExpression extends BinaryExpression {
   /** Scala-side per-element update for interpreted eval. */
   protected def update(acc: Double, x: Double, y: Double): Double
 
-  private def elemDouble(arr: ArrayData, et: DataType, i: Int): Double =
+  protected def elemDouble(arr: ArrayData, et: DataType, i: Int): Double =
     et match {
       case org.apache.spark.sql.types.FloatType => arr.getFloat(i).toDouble
       case _ => arr.getDouble(i)
     }
 
-  private def leftElemType: DataType =
+  protected def leftElemType: DataType =
     left.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-  private def rightElemType: DataType =
+  protected def rightElemType: DataType =
     right.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -58,7 +58,7 @@ abstract class VectorFoldExpression extends BinaryExpression {
     acc
   }
 
-  private def getJava(et: DataType, arr: String, i: String): String = et match {
+  protected def getJava(et: DataType, arr: String, i: String): String = et match {
     case org.apache.spark.sql.types.FloatType => s"(double) $arr.getFloat($i)"
     case _ => s"$arr.getDouble($i)"
   }
@@ -84,9 +84,9 @@ abstract class VectorFoldExpression extends BinaryExpression {
 }
 
 /** Squared Euclidean distance between two float/double vectors
-  * (reference `kdtree2.cpp:529-539`: float accumulation with early exit;
-  * we accumulate in double — more accurate, and the early exit is moot
-  * under vectorized evaluation). */
+  * (reference `kdtree2.cpp:529-539`; we accumulate in double — more
+  * accurate). When the distance is only compared against a radius, use
+  * [[WithinEps]] instead — it early-exits the fold like the reference. */
 case class SquaredL2(left: Expression, right: Expression)
     extends VectorFoldExpression {
   override protected def elementUpdate(acc: String, xv: String, yv: String) =
@@ -114,6 +114,86 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Ball-membership predicate `‖a − b‖² ≤ eps2` with the reference's
+  * early-exit (`kdtree2.cpp:620-630`), BLOCKED: the fold runs in
+  * branchless 16-element blocks (the JIT unrolls a fixed-trip inner loop;
+  * a per-element exit branch measurably de-optimizes it) and the radius
+  * check happens at block boundaries. Exiting is sound at any prefix —
+  * every remaining term is non-negative, so a partial sum above `eps2`
+  * means the full sum is too. The accumulation order is the identical
+  * left-to-right double fold, so the boolean is EXACTLY
+  * `squared_l2(a, b) <= eps2` (NaN partials never exit early — `> eps2`
+  * is false for NaN — and end false, same as the full fold). Far pairs
+  * cost O(16) instead of O(dim); near pairs pay one extra compare per 16
+  * elements. Per-candidate-pair hot path at 100 TB; `eps2` is a plan-time
+  * constant baked into the generated loop. */
+case class WithinEps(left: Expression, right: Expression, eps2: Double)
+    extends VectorFoldExpression {
+  // eps2 is spliced into generated Java source as a literal — NaN/Infinity
+  // have no Java literal form (and a NaN radius is meaningless anyway)
+  require(java.lang.Double.isFinite(eps2), s"eps2 must be finite, got $eps2")
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  /** `eps2` as a Java double literal (the plain toString of a finite double
+    * is valid Java, incl. scientific notation; `D` suffix for clarity). */
+  private def eps2Lit: String = s"${eps2}D"
+
+  // unused abstract hooks (this node generates its own blocked loop)
+  override protected def elementUpdate(acc: String, xv: String, yv: String) =
+    s"$acc += ($xv - $yv) * ($xv - $yv);"
+  override protected def update(acc: Double, x: Double, y: Double): Double = {
+    val d = x - y; acc + d * d
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val let = leftElemType
+    val ret = rightElemType
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n && !(acc > eps2)) {
+      val e = math.min(i + 16, n)
+      while (i < e) {
+        acc = update(acc, elemDouble(x, let, i), elemDouble(y, ret, i))
+        i += 1
+      }
+    }
+    acc <= eps2
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val e = ctx.freshName("e")
+      val acc = ctx.freshName("acc")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |int $i = 0;
+         |while ($i < $n && !($acc > $eps2Lit)) {
+         |  int $e = java.lang.Math.min($i + 16, $n);
+         |  for (; $i < $e; $i++) {
+         |    double $xv = ${getJava(leftElemType, x, i)};
+         |    double $yv = ${getJava(rightElemType, y, i)};
+         |    $acc += ($xv - $yv) * ($xv - $yv);
+         |  }
+         |}
+         |${ev.value} = $acc <= $eps2Lit;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "within_eps"
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftInternals.{column, expression}
   /** Column API for the codegen'd kernels. */
@@ -121,4 +201,8 @@ object VectorExpressions {
     column(SquaredL2(expression(a), expression(b)))
   def dotProduct(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  /** `‖a − b‖² ≤ eps2`, early-exit — equivalent to
+    * `squaredL2(a, b) <= eps2` (see [[WithinEps]]). */
+  def withinEps(a: Column, b: Column, eps2: Double): Column =
+    column(WithinEps(expression(a), expression(b), eps2))
 }

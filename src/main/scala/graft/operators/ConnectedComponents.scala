@@ -36,6 +36,16 @@ import scala.collection.mutable
   */
 object ConnectedComponents extends Serializable {
 
+  /** Label the Spark jobs an eager action spawns — phase attribution in the
+    * Spark UI / Explain's job report; cleared afterwards so lazy caller
+    * actions aren't mislabeled. */
+  private[operators] def withJobDesc[T](df: DataFrame, desc: String)(
+      f: => T): T = {
+    val sc = df.sparkSession.sparkContext
+    sc.setJobDescription(desc)
+    try f finally sc.setJobDescription(null)
+  }
+
   /** One-pass union-find over (src, dst) long rows → (node, min-root)
     * rows. Shared by the per-partition contraction and the small-graph
     * driver finish — one implementation, one set of invariants (min-root
@@ -97,8 +107,10 @@ object ConnectedComponents extends Serializable {
 
     // Size probe and driver fetch in ONE action: limit(threshold+1) stops
     // early on big graphs; on small ones the result IS the whole graph.
-    val probe = stars.limit(
-      math.min(smallGraphThreshold + 1, Int.MaxValue).toInt).collect()
+    val probe = withJobDesc(stars, "cc: contract + size probe") {
+      stars.limit(
+        math.min(smallGraphThreshold + 1, Int.MaxValue).toInt).collect()
+    }
     if (probe.length <= smallGraphThreshold) {
       // Small contracted graph: single-pass driver union-find.
       val spark = edges.sparkSession
@@ -118,10 +130,13 @@ object ConnectedComponents extends Serializable {
       .filter(col("src") =!= col("dst"))
       .persist()
 
-    var labels = stars
-      .select(col("src").as("id"), least(col("src"), col("dst")).as("comp"))
-      .groupBy("id").agg(min("comp").as("comp"))
-      .localCheckpoint()
+    // localCheckpoint() is eager — label its jobs too
+    var labels = withJobDesc(stars, "cc: initial labels") {
+      stars
+        .select(col("src").as("id"), least(col("src"), col("dst")).as("comp"))
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+    }
 
     var converged = false
     var iter = 0
@@ -135,15 +150,19 @@ object ConnectedComponents extends Serializable {
       // 2. pointer jump: comp ← min(comp, comp(comp)) — labels are node
       //    ids, so the lookup is a self-join; halves chains each round
       val compOf = cand.select(col("id").as("cid"), col("comp").as("ccomp"))
-      val next = cand.join(compOf, cand("comp") === compOf("cid"), "left")
-        .select(cand("id"),
-          least(cand("comp"), coalesce(col("ccomp"), cand("comp"))).as("comp"))
-        .localCheckpoint()
+      val next = withJobDesc(cand, s"cc: merge round $iter checkpoint") {
+        cand.join(compOf, cand("comp") === compOf("cid"), "left")
+          .select(cand("id"),
+            least(cand("comp"), coalesce(col("ccomp"), cand("comp"))).as("comp"))
+          .localCheckpoint()
+      }
 
-      val changed = next.as("n")
-        .join(labels.withColumnRenamed("comp", "oldComp"), "id")
-        .filter(col("comp") =!= col("oldComp"))
-        .count()
+      val changed = withJobDesc(next, s"cc: merge round $iter fixpoint test") {
+        next.as("n")
+          .join(labels.withColumnRenamed("comp", "oldComp"), "id")
+          .filter(col("comp") =!= col("oldComp"))
+          .count()
+      }
       converged = changed == 0
       labels = next
       iter += 1

@@ -69,7 +69,9 @@ object Dbscan {
     // O(n²) scan — only allowed for tiny inputs.
     if (localThreshold > 0) {
       val cap = math.min(localThreshold + 1, Int.MaxValue.toLong).toInt
-      val n = pts.limit(cap).count()
+      val n = ConnectedComponents.withJobDesc(pts, "dbscan: size probe") {
+        pts.limit(cap).count()
+      }
       val bruteForceCap = 4096L
       if (n <= localThreshold && (bucketDims.nonEmpty || n <= bruteForceCap))
         return runLocal(pts, idCol, vecCol, eps, minPts, bucketDims,
@@ -179,7 +181,15 @@ object Dbscan {
     var i = 0
     while (i < n) { ids(i) = rows(i)._1; vecs(i) = rows(i)._2; i += 1 }
 
-    def d2(a: Array[Float], b: Array[Float]): Double = {
+    // Plain full fold, deliberately WITHOUT the reference's early exit
+    // (`kdtree2.cpp:620-630`): measured on the 64-dim embedding workloads,
+    // both per-element and 16-blocked exit variants ran ~2x SLOWER here —
+    // the branchless loop inlines and unrolls better under HotSpot, and
+    // with ε near the nearest-pair distance the exit fires too late to pay
+    // for itself. (The DISTRIBUTED ε-join's codegen'd predicate
+    // `functions.WithinEps` does early-exit — measured mildly positive
+    // there.)
+    def within(a: Array[Float], b: Array[Float]): Boolean = {
       val m = math.min(a.length, b.length)
       var acc = 0.0
       var j = 0
@@ -188,7 +198,7 @@ object Dbscan {
         acc += d * d
         j += 1
       }
-      acc
+      acc <= eps2
     }
 
     // grid over the bucketed dims (same cell function as the distributed
@@ -223,7 +233,7 @@ object Dbscan {
             var bi = 0
             while (bi < buf.length) {
               val q = buf(bi)
-              if (q != p && d2(vecs(p), vecs(q)) <= eps2) f(q)
+              if (q != p && within(vecs(p), vecs(q))) f(q)
               bi += 1
             }
           case None =>

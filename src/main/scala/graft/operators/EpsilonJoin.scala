@@ -52,7 +52,9 @@ object EpsilonJoin {
       val c = element_at(col(vecCol), d + 1).cast("double")
       Seq(min(c).as(s"mn$d"), max(c).as(s"mx$d"))
     }
-    val row = points.agg(aggs.head, aggs.tail: _*).first()
+    val row = ConnectedComponents.withJobDesc(points, "pickBucketDims: ranges") {
+      points.agg(aggs.head, aggs.tail: _*).first()
+    }
     if (row.isNullAt(0)) return Nil // knownDim set but zero rows
     val ranges = (0 until dim).map(d =>
       d -> (row.getDouble(2 * d + 1) - row.getDouble(2 * d)))
@@ -135,10 +137,14 @@ object EpsilonJoin {
             .as("cell")))
         .join(build, Seq("cell", "salt"))
 
-    val d2 = VectorExpressions.squaredL2(col("a_v"), col("b_v"))
+    // membership first with the early-exit predicate (most candidates are
+    // far — the fold exits in O(1) dims), then the full d2 fold only for
+    // the surviving pairs; both fold left-to-right in double, so the
+    // emitted d2 and the predicate agree exactly with squaredL2 <= ε²
     val undirected = sameCell.union(crossCell)
-      .select(col("a_id"), col("b_id"), d2.as("d2"))
-      .filter(col("d2") <= lit(eps * eps))
+      .filter(VectorExpressions.withinEps(col("a_v"), col("b_v"), eps * eps))
+      .select(col("a_id"), col("b_id"),
+        VectorExpressions.squaredL2(col("a_v"), col("b_v")).as("d2"))
     // both orientations in ONE pass (a union of the subtree with its own
     // projection would re-execute the join twice)
     undirected.select(explode(array(

@@ -37,6 +37,47 @@ class VectorFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("withinEps == (squaredL2 <= eps2) on random, boundary, and NaN input") {
+    val rnd = new Random(7)
+    val rows = (1 to 200).map { _ =>
+      val n = 1 + rnd.nextInt(16)
+      (Seq.fill(n)(rnd.nextFloat() * 20f - 10f),
+        Seq.fill(n)(rnd.nextFloat() * 20f - 10f))
+    } ++ Seq(
+      (Seq(1f, 2f, 3f), Seq(1f, 2f)),               // mismatched lengths
+      (Seq(Float.NaN, 0f), Seq(0f, 0f)),            // NaN -> never within
+      (Seq(0f, Float.NaN), Seq(0f, 0f)),            // NaN after early dims
+      (Seq(3f, 4f), Seq(0f, 0f)))                   // d2 == 25 exactly
+    val df = spark.createDataFrame(rows).toDF("a", "b").repartition(5)
+    for (eps2 <- Seq(0.0, 25.0, 100.0, 1e-6)) {
+      val got = df.select(
+        VectorExpressions.withinEps(col("a"), col("b"), eps2).as("w"),
+        (VectorExpressions.squaredL2(col("a"), col("b")) <= lit(eps2)).as("e"))
+        .collect()
+      got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1),
+        s"withinEps disagrees with squaredL2<=$eps2"))
+    }
+    // boundary: d2 == eps2 exactly must be WITHIN (<=, reference dbscan
+    // membership is inclusive)
+    val b = spark.createDataFrame(Seq((Seq(3f, 4f), Seq(0f, 0f)))).toDF("a", "b")
+      .select(VectorExpressions.withinEps(col("a"), col("b"), 25.0))
+      .collect()(0).getBoolean(0)
+    assert(b)
+    // interpreted eval path agrees with codegen
+    val w = functions.WithinEps(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(3f, 4f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0f, 0f), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)),
+      24.999999)
+    assert(w.eval(null) == false)
+    intercept[IllegalArgumentException] {
+      functions.WithinEps(w.left, w.right, Double.NaN)
+    }
+  }
+
   test("expressions survive codegen inside a filter over many rows") {
     val df = spark.range(0, 1000).select(
       col("id"),
