@@ -387,6 +387,30 @@ object SparkEntry {
         .groupBy("event_type")
         .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
+    // The curation pipeline end-to-end, one DAG: language-ID -> quality
+    // gate -> exact content dedup -> per-survivor features. Dedup is a
+    // SINGLE shuffle: the survivor (min doc_id) and its attributes come
+    // from one min(struct(...)) aggregate keyed on the content hash —
+    // doc_id leads the struct and is unique, so the min is decided by it
+    // alone (no join-back to fetch survivor attributes).
+    "q35_curation" -> ((s, dir) => {
+      val ws = TextFunctions.tokens(col("text"))
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"), col("text"),
+        TextFunctions.langId(col("text")).as("lang_pred"),
+        size(ws).cast("long").as("n_tokens"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"))
+      val kept = scored.filter(col("lang_pred") === "en" &&
+        col("n_tokens").between(10, 1000) &&
+        (col("n_distinct").cast("double") / col("n_tokens")) >= 0.1)
+      kept.groupBy(md5(col("text")).as("fp"))
+        .agg(min(struct(col("doc_id"), col("lang_pred"),
+          col("n_tokens"))).as("s"))
+        .select(col("s.doc_id").as("doc_id"),
+          col("s.lang_pred").as("lang_pred"),
+          col("s.n_tokens").as("n_tokens"), col("fp"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -460,19 +484,7 @@ object SparkEntry {
         |        / len(string_split(text, ' ')), 6) AS avg_token_len
         |FROM documents""".stripMargin,
 
-    "q12_lang_id" -> {
-      val scores = TextFunctions.langLexica.map { case (lang, ws) =>
-        s"len(list_intersect(list_distinct(string_split(text, ' ')), " +
-          s"[${ws.map(w => s"'$w'").mkString(",")}])) AS s_$lang"
-      }.mkString(",\n  ")
-      val langs = TextFunctions.langLexica.map(_._1)
-      val best = s"greatest(${langs.map("s_" + _).mkString(",")})"
-      val cases = langs.map(l =>
-        s"WHEN s_$l = m AND s_$l > 0 THEN '$l'").mkString(" ")
-      s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM (
-         |  SELECT doc_id, $best AS m, * FROM (
-         |    SELECT doc_id, $scores FROM documents) sc) s""".stripMargin
-    },
+    "q12_lang_id" -> langIdOracle,
 
     "q13_quality" ->
       """SELECT doc_id,
@@ -637,7 +649,46 @@ object SparkEntry {
         |        CAST(json_extract(props, '$.k') AS BIGINT) AS k
         |      FROM events) e
         |GROUP BY event_type""".stripMargin,
+
+    "q35_curation" ->
+      s"""WITH lang AS (
+         |$langIdOracle
+         |),
+         |feat AS (
+         |  SELECT doc_id, md5(text) AS fp,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         len(list_distinct(string_split(text, ' '))) AS n_distinct
+         |  FROM documents
+         |),
+         |kept AS (
+         |  SELECT f.doc_id, l.lang_pred,
+         |         CAST(f.n_tokens AS BIGINT) AS n_tokens, f.fp
+         |  FROM feat f JOIN lang l ON f.doc_id = l.doc_id
+         |  WHERE l.lang_pred = 'en'
+         |    AND f.n_tokens BETWEEN 10 AND 1000
+         |    AND CAST(f.n_distinct AS DOUBLE) / f.n_tokens >= 0.1
+         |)
+         |SELECT doc_id, lang_pred, n_tokens, fp FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+         |  FROM kept) t
+         |WHERE rn = 1""".stripMargin,
   )
+
+  /** Language-ID in pure SQL, generated from the SAME lexica the engine
+    * uses (`TextFunctions.langLexica`) — shared by q12 and q35. */
+  private val langIdOracle: String = {
+    val scores = TextFunctions.langLexica.map { case (lang, ws) =>
+      s"len(list_intersect(list_distinct(string_split(text, ' ')), " +
+        s"[${ws.map(w => s"'$w'").mkString(",")}])) AS s_$lang"
+    }.mkString(",\n  ")
+    val langs = TextFunctions.langLexica.map(_._1)
+    val best = s"greatest(${langs.map("s_" + _).mkString(",")})"
+    val cases = langs.map(l =>
+      s"WHEN s_$l = m AND s_$l > 0 THEN '$l'").mkString(" ")
+    s"""SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred FROM (
+       |  SELECT doc_id, $best AS m, * FROM (
+       |    SELECT doc_id, $scores FROM documents) sc) s""".stripMargin
+  }
 
   /** DBSCAN labels in pure SQL: the ε self-join, core test, recursive-CTE
     * min-label connected components, min-comp border attach, size-≥2 dense

@@ -59,6 +59,22 @@ object EventPipeline {
         col("c.ts").as("click_ts"), col("p.ts").as("purchase_ts"),
         col("p.value").as("value"))
 
+  /** Streaming exact dedup by id — the incremental form of q15's exact
+    * dedup, the first stage of a streaming ingestion pipeline. Keeps one
+    * state-store entry per id seen within the watermark horizon; a
+    * duplicate arriving in ANY later micro-batch (within the horizon) is
+    * dropped, and state for ids older than the watermark is evicted —
+    * bounded memory at 100 TB/day ingest rates, at the cost of not
+    * catching dupes farther apart than `watermark` in event time (the
+    * batch `dropDuplicates` / exact-hash dedup is the unbounded-horizon
+    * complement).
+    * Input must have columns (`idCol`, ts: timestamp). */
+  def dedupByKey(events: DataFrame, idCol: String,
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -177,6 +177,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedupByKey drops cross-batch duplicates within the watermark") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "payload")
+    val q = EventPipeline.dedupByKey(events, "event_id", watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: a dupe WITHIN the batch -> one survivor
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), "first"),
+        (1L, ts("2024-01-01 10:00:30"), "dupe-same-batch"),
+        (2L, ts("2024-01-01 10:01:00"), "other"))
+      q.processAllAvailable()
+      // batch 2: a dupe of id 1 from a LATER micro-batch (state-store hit)
+      // plus a fresh id
+      mem.addData(
+        (1L, ts("2024-01-01 10:20:00"), "dupe-cross-batch"),
+        (3L, ts("2024-01-01 10:21:00"), "fresh"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out")
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L)) // each id exactly once
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState running totals accumulate across batches") {
     val spark2 = spark
     import spark2.implicits._
