@@ -37,13 +37,15 @@ import scala.collection.mutable
 object ConnectedComponents extends Serializable {
 
   /** Label the Spark jobs an eager action spawns — phase attribution in the
-    * Spark UI / Explain's job report; cleared afterwards so lazy caller
-    * actions aren't mislabeled. */
+    * Spark UI / Explain's job report. Restores the caller's own description
+    * afterwards (not null), so an application's `setJobDescription` isn't
+    * wiped by pipeline-internal actions, and nesting is safe. */
   private[operators] def withJobDesc[T](df: DataFrame, desc: String)(
       f: => T): T = {
     val sc = df.sparkSession.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
     sc.setJobDescription(desc)
-    try f finally sc.setJobDescription(null)
+    try f finally sc.setJobDescription(prev)
   }
 
   /** One-pass union-find over (src, dst) long rows → (node, min-root)

@@ -71,8 +71,13 @@ object Multimodal {
       StructField("features", ArrayType(FloatType, containsNull = false),
         nullable = false)))
     val enc = RowEncoder.encoderFor(outSchema)
-    // cast up front so an int media_id fails at plan time (or widens),
-    // not as a per-row ClassCastException inside the executor loop
+    // require a numeric id at PLAN time (a string id would otherwise
+    // surface as per-row cast nulls -> opaque NPEs in the executor loop);
+    // the cast then widens narrower numeric types to the long the row
+    // reader expects
+    val idType = media.schema("media_id").dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"media_id must be numeric, got $idType")
     media.select(col("media_id").cast("long"), col("modality"),
         col("payload"))
       .mapPartitions { it =>

@@ -32,15 +32,15 @@ object BucketedTables {
     *
     * @param path optional explicit location (external table); default
     *   stores under the session warehouse dir.
-    * @param sortCols within-bucket sort columns; default sorts by the
-    *   bucket column itself (enables sort-free merge joins). Pass Nil to
-    *   skip sorting. */
+    * @param sortCols within-bucket sort columns; `None` (default) sorts by
+    *   the bucket column itself (enables sort-free merge joins),
+    *   `Some(Nil)` skips sorting. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       buckets: Int, path: Option[String] = None,
-      sortCols: Seq[String] = null,
+      sortCols: Option[Seq[String]] = None,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
-    val sorts = Option(sortCols).getOrElse(Seq(bucketCol))
+    val sorts = sortCols.getOrElse(Seq(bucketCol))
     var w = df.write.mode(mode).format("parquet")
       .bucketBy(buckets, bucketCol)
     if (sorts.nonEmpty) w = w.sortBy(sorts.head, sorts.tail: _*)

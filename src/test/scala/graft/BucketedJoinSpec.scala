@@ -16,21 +16,27 @@ class BucketedJoinSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
 
   private def shuffleCount(df: DataFrame): Int = {
-    // force execution so AQE finalizes the plan, then count exchanges in
-    // the final adaptive plan
-    df.count()
+    // count ShuffleExchangeExec nodes; recurse through the AQE wrapper AND
+    // query-stage leaves (in a finalized adaptive plan exchanges live
+    // inside ShuffleQueryStageExec, whose `children` is Nil)
     def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] =
       p match {
         case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(q.plan)
         case s: ShuffleExchangeExec => s +: s.children.flatMap(walk)
         case other => other.children.flatMap(walk)
       }
     walk(df.queryExecution.executedPlan).size
   }
 
+  private def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteTree))
+    f.delete()
+  }
+
   test("bucketed fact-fact join: no shuffle on either side, same result") {
     val dir = Files.createTempDirectory("graft_buckets").toFile
-    dir.deleteOnExit()
     val orders = spark.read.parquet(s"$sf/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
@@ -71,14 +77,15 @@ class BucketedJoinSpec extends SparkSpec {
       assert(a == b && a.nonEmpty)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      // DROP on an external table leaves its files — remove the tree too
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
+      deleteTree(dir)
     }
   }
 
   test("aggregation on the bucket key runs in one stage (no exchange)") {
     val dir = Files.createTempDirectory("graft_buckets_agg").toFile
-    dir.deleteOnExit()
     val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
       .select("l_orderkey", "l_quantity")
     BucketedTables.writeBucketed(lineitem, "lineitem_agg_b", "l_orderkey", 4,
@@ -94,6 +101,9 @@ class BucketedJoinSpec extends SparkSpec {
       val b = lineitem.groupBy("l_orderkey").agg(sum("l_quantity").as("q"))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(a == b && a.nonEmpty)
-    } finally spark.sql("DROP TABLE IF EXISTS lineitem_agg_b")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS lineitem_agg_b")
+      deleteTree(dir)
+    }
   }
 }
