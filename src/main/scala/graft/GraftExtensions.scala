@@ -75,7 +75,13 @@ object GraftExtensions {
         "winnowing_fingerprints(text, k, w) - winnowing document " +
           "fingerprints (Karp-Rabin k-gram hashes, minimum per window of w)"),
       (args: Seq[Expression]) => graft.functions.WinnowingFingerprints(args(0),
-        foldToInt(args(1)), foldToInt(args(2)))))
+        foldToInt(args(1)), foldToInt(args(2)))),
+    (FunctionIdentifier("within_eps"),
+      info("within_eps",
+        "within_eps(a, b, eps2) - whether squared_l2(a, b) <= eps2, with " +
+          "blocked early exit (eps2 must be a numeric literal)"),
+      (args: Seq[Expression]) => graft.functions.WithinEps(args(0), args(1),
+        foldToDouble(args(2)))))
 
   /** Register the same functions on an already-built session (useful in
     * tests and notebooks where the builder is out of reach). */

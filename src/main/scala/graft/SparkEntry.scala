@@ -391,9 +391,12 @@ object SparkEntry {
     // The curation pipeline end-to-end, one DAG: language-ID -> quality
     // gate -> exact content dedup -> per-survivor features. Dedup is a
     // SINGLE shuffle: the survivor (min doc_id) and its attributes come
-    // from one min(struct(...)) aggregate keyed on the content hash —
-    // doc_id leads the struct and is unique, so the min is decided by it
-    // alone (no join-back to fetch survivor attributes).
+    // from one min_by(struct(...), doc_id) aggregate keyed on the content
+    // hash — no join-back to fetch survivor attributes, and doc_id is
+    // unique so the pick is deterministic. The aggregate is sort-based
+    // (struct-typed buffers aren't hash-aggregable) — the per-partition
+    // sort on the hash key is cheaper at scale than the join-back's extra
+    // exchanges.
     "q35_curation" -> ((s, dir) => {
       val ws = TextFunctions.tokens(col("text"))
       val scored = t(s, dir, "documents").select(
@@ -405,8 +408,8 @@ object SparkEntry {
         col("n_tokens").between(10, 1000) &&
         (col("n_distinct").cast("double") / col("n_tokens")) >= 0.1)
       kept.groupBy(md5(col("text")).as("fp"))
-        .agg(min(struct(col("doc_id"), col("lang_pred"),
-          col("n_tokens"))).as("s"))
+        .agg(min_by(struct(col("doc_id"), col("lang_pred"),
+          col("n_tokens")), col("doc_id")).as("s"))
         .select(col("s.doc_id").as("doc_id"),
           col("s.lang_pred").as("lang_pred"),
           col("s.n_tokens").as("n_tokens"), col("fp"))

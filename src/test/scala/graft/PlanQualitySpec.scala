@@ -88,4 +88,23 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p)
     assert(p.contains("Exchange hashpartitioning(l_returnflag"))
   }
+
+  test("q35 curation: dedup + survivor attributes in ONE shuffle, no join") {
+    // the exact-dedup stage picks the min-doc_id survivor AND carries its
+    // attributes through a single min(struct) aggregate keyed on the
+    // content hash — a Join (or a second exchange) means the join-back
+    // crept back in
+    val df = SparkEntry.queries("q35_curation")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Join"), s"q35 dedup must not join back:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1,
+      s"expected exactly 1 exchange (content-hash agg), got $exchanges:\n$p")
+    // partial aggregation before the shuffle = map-side dedup. (The agg is
+    // sort-based: struct-typed buffers — min_by's value+ordering pair —
+    // aren't supported by HashAggregate; the per-partition sort on the
+    // content hash is the cost of carrying survivor attributes through a
+    // single shuffle instead of a join-back.)
+    assert(p.contains("partial_min_by"), p)
+  }
 }

@@ -122,6 +122,12 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(row.getDouble(1) == 11.0)
     assert(row.getSeq[String](2) == Seq("a b c", "b c d"))
 
+    val rowW = spark.sql(
+      """SELECT within_eps(array(1.0F, 2.0F), array(4.0F, 6.0F), 25.0) AS w1,
+        |       within_eps(array(1.0F, 2.0F), array(4.0F, 6.0F), 24.9) AS w2"""
+        .stripMargin).collect()(0)
+    assert(rowW.getBoolean(0) && !rowW.getBoolean(1))
+
     val row2 = spark.sql(
       """SELECT posting_pairs(array(1L, 2L, 3L)) AS pp,
         |       posting_pairs_sz(array(struct(1L, 10L), struct(2L, 4L)), 0.5) AS ps,
@@ -157,7 +163,8 @@ class VectorFunctionsSpec extends SparkSpec {
     new GraftExtensions().apply(ext) // throws on invalid metadata
     assert(GraftExtensions.functions.map(_._1.funcName).toSet == Set(
       "squared_l2", "dot_product", "shingles",
-      "posting_pairs", "posting_pairs_sz", "winnowing_fingerprints"))
+      "posting_pairs", "posting_pairs_sz", "winnowing_fingerprints",
+      "within_eps"))
   }
 
   test("cellId buckets points to floor(x/eps) per selected dim") {
