@@ -414,7 +414,42 @@ object SparkEntry {
           col("s.lang_pred").as("lang_pred"),
           col("s.n_tokens").as("n_tokens"), col("fp"))
     }),
+
+    // Decontamination: training docs sharing any word-4-gram with the
+    // benchmark split (doc_id % 10 == 0 stands in for an eval suite; n=4
+    // keeps the fixture's tiny vocabulary from saturating the flag). The
+    // benchmark gram set broadcasts; the corpus text is never shuffled.
+    "q36_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", 4)
+    }),
+
+    // Blocklist scrubbing: mask banned tokens, fingerprint the scrubbed
+    // text (md5 — cross-engine checkable), count replacements
+    "q37_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.fingerprintMd5(
+          TextFunctions.redact(col("text"), RedactList)).as("red_fp"),
+        TextFunctions.redactCount(col("text"), RedactList)
+          .cast("long").as("n_redacted"))),
+
+    // Stable global row numbers WITHOUT the single-partition global-Window
+    // anti-pattern: two-pass range-partition offsets (operator doc has the
+    // scale argument). Sort key (fp, doc_id) is a total order.
+    "q38_global_index" -> ((s, dir) =>
+      graft.operators.GlobalIndex.rowNumbers(
+          t(s, dir, "documents")
+            .select(col("doc_id"), md5(col("text")).as("fp")),
+          Seq("fp", "doc_id"))
+        .select(col("doc_id"), col("fp"), col("row_num"))),
   )
+
+  /** Blocklist for q37 — stands in for a banned-term / PII-tagged
+    * vocabulary; chosen from the fixture corpus so masking actually fires. */
+  private val RedactList = Seq("customer", "order", "key")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -675,6 +710,36 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
          |  FROM kept) t
          |WHERE rn = 1""".stripMargin,
+
+    "q36_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 3),
+        |         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])) AS toks
+        |       FROM w),
+        |bench AS (SELECT DISTINCT unnest(toks) AS g FROM sh WHERE doc_id % 10 = 0),
+        |tg AS (SELECT doc_id, unnest(toks) AS g FROM sh WHERE doc_id % 10 != 0),
+        |hits AS (SELECT tg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |         FROM tg JOIN bench USING (g) GROUP BY tg.doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |       COALESCE(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 10 != 0""".stripMargin,
+
+    "q37_redact" -> {
+      val inList = RedactList.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_transform(string_split(text, ' '),
+         |    w -> CASE WHEN w IN ($inList) THEN '<MASK>' ELSE w END), ' ')) AS red_fp,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |    w -> w IN ($inList))) AS BIGINT) AS n_redacted
+         |FROM documents""".stripMargin
+    },
+
+    "q38_global_index" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |  CAST(row_number() OVER (ORDER BY md5(text), doc_id) AS BIGINT)
+        |    AS row_num
+        |FROM documents""".stripMargin,
   )
 
   /** Language-ID in pure SQL, generated from the SAME lexica the engine

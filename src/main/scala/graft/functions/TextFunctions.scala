@@ -75,6 +75,27 @@ object TextFunctions {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(BpePattern), lit(0))
 
+  /** Blocklist token masking: every token that appears in `blocklist` is
+    * replaced by `mask`, preserving single-space joining — the scrubbing
+    * primitive for banned terms / PII-tagged vocabulary in a curation
+    * pipeline. Declarative HOF formulation (transform runs interpreted):
+    * fine for the once-per-doc ingest pass; a hot-path variant would be a
+    * native expression like [[Shingles]]. DuckDB twin:
+    * `array_to_string(list_transform(string_split(text,' '),
+    * w -> CASE WHEN w IN (...) THEN mask ELSE w END), ' ')`. */
+  def redact(text: Column, blocklist: Seq[String],
+      mask: String = "<MASK>"): Column = {
+    val bl = array(blocklist.map(lit): _*)
+    array_join(transform(tokens(text), w =>
+      when(array_contains(bl, w), lit(mask)).otherwise(w)), " ")
+  }
+
+  /** Number of tokens [[redact]] would mask (occurrences, not distinct). */
+  def redactCount(text: Column, blocklist: Seq[String]): Column = {
+    val bl = array(blocklist.map(lit): _*)
+    size(filter(tokens(text), w => array_contains(bl, w)))
+  }
+
   /** Exact-dup fingerprint: md5 of the raw text (DuckDB `md5(text)` is
     * bit-identical). */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))

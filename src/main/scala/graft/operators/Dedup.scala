@@ -40,6 +40,42 @@ object Dedup {
     docs.select(col(idCol).as("id"),
         explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
 
+  /** Decontamination: flag training documents that share any word-n-gram
+    * with a benchmark/eval corpus — the standard guard against test-set
+    * leakage into training data (n-gram overlap decontamination as used by
+    * the GPT-3/PaLM data pipelines).
+    *
+    * Scale design (100 TB): the benchmark side reduces to its DISTINCT
+    * n-gram set — eval suites are orders of magnitude smaller than the
+    * corpus, so that set broadcasts (explicit hint) and the training side
+    * streams through one broadcast hash join; the only shuffle is the
+    * per-doc hit-count aggregate over the (rare) matches plus the id-keyed
+    * join back to the doc list. The corpus text itself is never shuffled.
+    * If the benchmark gram set ever outgrows broadcast range, swap the
+    * broadcast join for a bloom-filter pre-filter (`might_contain`) in
+    * front of a shuffled semi-join — same contract, two-phase.
+    *
+    * @return one row per training doc: (`idCol`, `n_hits` — number of
+    *   distinct shared n-grams, `contaminated`). Survivors are the
+    *   `!contaminated` rows; hit counts kept so callers can threshold. */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+      .distinct()
+    // shingles are distinct per doc and benchGrams is distinct, so the
+    // inner join emits exactly one row per (doc, shared gram):
+    // count == |grams(doc) ∩ benchGrams| with no DISTINCT aggregate
+    val hits = shingleTable(train, idCol, textCol, n)
+      .join(broadcast(benchGrams), "shingle")
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    train.select(col(idCol).as("id"))
+      .join(hits, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Pairs (a_id, b_id), a_id < b_id, streamed lazily from a sorted
     * posting-list column `ids` — no self-join, no re-shuffle, and no
     * per-row pair array (a stopword-grade posting would otherwise

@@ -145,4 +145,24 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"simhash recall $recall over ${nearDup.size} pairs")
     hashes.unpersist()
   }
+
+  test("decontaminate counts shared n-grams and flags overlapping docs") {
+    val bench = spark.createDataFrame(Seq(
+      (100L, "alpha beta gamma delta"))).toDF("doc_id", "text")
+    val train = spark.createDataFrame(Seq(
+      // shares "alpha beta gamma" AND "beta gamma delta" with bench
+      (1L, "alpha beta gamma delta epsilon"),
+      // shares exactly one 3-gram
+      (2L, "zeta alpha beta gamma"),
+      // no overlap
+      (3L, "one two three four"),
+      // too short for any 3-gram
+      (4L, "alpha beta"))).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((2L, true)), 2L -> ((1L, true)),
+      3L -> ((0L, false)), 4L -> ((0L, false))))
+  }
 }

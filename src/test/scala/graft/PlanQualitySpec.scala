@@ -107,4 +107,14 @@ class PlanQualitySpec extends SparkSpec {
     // single shuffle instead of a join-back.)
     assert(p.contains("partial_min_by"), p)
   }
+
+  test("q36 decontamination: benchmark gram set broadcasts, corpus unshuffled") {
+    val df = SparkEntry.queries("q36_decontaminate")(spark, sf)
+    val p = plan(df)
+    // the gram-membership probe must be a broadcast hash join — shuffling
+    // the exploded corpus grams against the (small) benchmark set would
+    // move the whole corpus's n-gram stream at scale
+    assert(p.contains("BroadcastHashJoin"), s"gram probe not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
+  }
 }

@@ -22,6 +22,21 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("redact masks blocklisted tokens and counts occurrences") {
+    val bl = Seq("secret", "id")
+    val row = one("the secret id is secret done")
+      .select(TextFunctions.redact(col("text"), bl).as("r"),
+        TextFunctions.redactCount(col("text"), bl).as("n"))
+      .collect()(0)
+    assert(row.getString(0) == "the <MASK> <MASK> is <MASK> done")
+    assert(row.getInt(1) == 3)
+    // no hits -> text unchanged, zero count
+    val clean = one("nothing to see").select(
+      TextFunctions.redact(col("text"), bl).as("r"),
+      TextFunctions.redactCount(col("text"), bl).as("n")).collect()(0)
+    assert(clean.getString(0) == "nothing to see" && clean.getInt(1) == 0)
+  }
+
   test("fingerprintMd5 matches java.security MD5") {
     val txt = "hello graft world"
     val got = one(txt).select(TextFunctions.fingerprintMd5(col("text")))
