@@ -445,6 +445,37 @@ object SparkEntry {
             .select(col("doc_id"), md5(col("text")).as("fp")),
           Seq("fp", "doc_id"))
         .select(col("doc_id"), col("fp"), col("row_num"))),
+
+    // Deterministic train/val/test split: salted-hash bucketing — stable
+    // under reruns/repartitioning, narrow (no shuffle), cross-engine md5
+    "q39_hash_split" -> ((s, dir) =>
+      graft.operators.Curation.hashSplit(
+          t(s, dir, "documents").select("doc_id"), "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), "s42")
+        .select(col("doc_id"), col("bucket"), col("split"))),
+
+    // Context-window chunking: 64-token windows, stride 48 (16-token
+    // overlap); chunk text fingerprinted (md5) to keep the output scalar
+    "q40_chunking" -> ((s, dir) => {
+      val ws = TextFunctions.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), ws.as("ws"),
+          explode(TextFunctions.chunkIndices(col("text"), 64, 48)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          slice(col("ws"), (col("chunk_id") * 48 + 1).cast("int"), lit(64))
+            .as("ct"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("ct")).cast("long").as("n_chunk_tokens"),
+          md5(array_join(col("ct"), " ").cast("binary")).as("chunk_fp"))
+    }),
+
+    // Greedy sequence packing into 512-token training sequences, one
+    // packer per lang shard (single shuffle + O(1)-state streaming scan)
+    "q41_seq_pack" -> ((s, dir) =>
+      graft.operators.Curation.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens")),
+        "lang", "doc_id", "n_tokens", 512L)),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -740,6 +771,47 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY md5(text), doc_id) AS BIGINT)
         |    AS row_num
         |FROM documents""".stripMargin,
+
+    "q39_hash_split" ->
+      """SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 9000 THEN 'train'
+        |       WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s42'), 1, 15)
+        |          AS BIGINT) % 10000 AS bucket
+        |      FROM documents) b""".stripMargin,
+
+    "q40_chunking" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+        |c AS (SELECT doc_id, ws,
+        |        unnest(range(CASE WHEN n <= 64 THEN 1
+        |          ELSE CAST(floor(CAST(n - 64 + 47 AS DOUBLE) / 48) AS BIGINT) + 1
+        |          END)) AS chunk_id
+        |      FROM n)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(ws[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_chunk_tokens,
+        |  md5(array_to_string(ws[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_fp
+        |FROM c""".stripMargin,
+
+    "q41_seq_pack" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, rn, doc_id, n_tokens, n_tokens AS acc,
+        |         CAST(0 AS BIGINT) AS seq_id
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+        |    CASE WHEN r.acc + d.n_tokens > 512 THEN d.n_tokens
+        |         ELSE r.acc + d.n_tokens END,
+        |    CASE WHEN r.acc + d.n_tokens > 512 THEN r.seq_id + 1
+        |         ELSE r.seq_id END
+        |  FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1)
+        |SELECT lang, doc_id, n_tokens, seq_id FROM r""".stripMargin,
   )
 
   /** Language-ID in pure SQL, generated from the SAME lexica the engine

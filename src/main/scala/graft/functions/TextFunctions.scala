@@ -90,6 +90,22 @@ object TextFunctions {
       when(array_contains(bl, w), lit(mask)).otherwise(w)), " ")
   }
 
+  /** Sliding-window chunk indices for context-window chunking: chunk i
+    * covers tokens [i·stride, i·stride + window). A doc of n ≤ window
+    * tokens is one chunk; otherwise ⌊(n − window + stride − 1)/stride⌋ + 1
+    * chunks (the last window may run short). Explode this and slice the
+    * token array per index — all built-ins, so the DuckDB twin
+    * (`range` + list slicing) matches exactly. */
+  def chunkIndices(text: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val n = size(tokens(text))
+    val nChunks = when(n <= window, lit(1L)).otherwise(
+      floor((n - window + stride - 1).cast("double") / stride).cast("long")
+        + 1L)
+    sequence(lit(0L), nChunks - 1L)
+  }
+
   /** Number of tokens [[redact]] would mask (occurrences, not distinct). */
   def redactCount(text: Column, blocklist: Seq[String]): Column = {
     val bl = array(blocklist.map(lit): _*)

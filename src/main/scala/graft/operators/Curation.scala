@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Corpus-curation operators around dataset assembly: deterministic
+  * train/val/test splits and greedy sequence packing. Both are
+  * embarrassingly parallel by design — the split is a narrow per-row
+  * hash, packing shuffles once and streams each group with O(1) state.
+  */
+object Curation {
+
+  /** Deterministic hash split: assign each row a named split by bucketing
+    * a salted content hash of its key — the reproducible alternative to
+    * `sample()` that real pipelines use for held-out sets (stable under
+    * reruns, re-partitioning, and incremental appends; changing the salt
+    * re-rolls every assignment).
+    *
+    * Scale: a narrow projection — no shuffle, no state, no join; the
+    * cross-engine md5 bucket ([[TextFunctions.portableHash60]] mod 10 000)
+    * keeps assignments verifiable outside Spark.
+    *
+    * @param fractions (name, fraction) in order; fractions must sum to 1.
+    * @return input plus `bucket` (0-9999) and `split` columns. */
+  def hashSplit(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)], salt: String): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $fractions")
+    val bucket = pmod(TextFunctions.portableHash60(
+      concat(col(keyCol).cast("string"), lit(":"), lit(salt))), lit(10000))
+    // cumulative upper bounds: [("train",.9),("val",.05),("test",.05)] ->
+    // bucket<9000 train, <9500 val, else test
+    val bounds = fractions.scanLeft(("", 0.0)) { case ((_, acc), (n, f)) =>
+      (n, acc + f)
+    }.tail
+    val split = bounds.init.foldRight(lit(bounds.last._1)) {
+      case ((name, ub), els) =>
+        when(col("bucket") < math.round(ub * 10000).toInt, lit(name))
+          .otherwise(els)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
+  /** Greedy sequence packing: group documents into fixed-token-budget
+    * training sequences (first-fit in `idCol` order within each
+    * `groupCol` shard) — the sample-packing step that turns a curated
+    * corpus into dense context-window batches.
+    *
+    * Each group packs independently (the real pipeline shape: one packer
+    * per shard), via ONE shuffle — repartition on the group key, sort
+    * within partitions by (group, id), then a streaming scan with O(1)
+    * state per partition (secondary-sort pattern; no per-group
+    * collect, so a group larger than executor memory still packs).
+    * Parallelism equals the number of groups — shard accordingly.
+    *
+    * Bin rule, mirrored exactly by the SQL oracle: the first doc of a
+    * group opens bin 0; a doc whose tokens would push the running total
+    * over `budget` opens a new bin (an oversized doc therefore gets a
+    * bin of its own).
+    *
+    * @param tokCol BIGINT token count per doc.
+    * @return (`groupCol`, `idCol`, `tokCol`, `seq_id`) — bin index within
+    *   the group. */
+  def packSequences(docs: DataFrame, groupCol: String, idCol: String,
+      tokCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val in = docs.select(col(groupCol), col(idCol), col(tokCol))
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(idCol))
+    val outSchema = StructType(in.schema.fields :+
+      StructField("seq_id", LongType, nullable = false))
+    in.mapPartitions { it =>
+      // partitions hold whole groups (hash-partitioned on groupCol),
+      // sorted so each group is contiguous: reset state on group change
+      var cur: Any = new AnyRef // sentinel unequal to any group value
+      var acc = 0L
+      var bin = 0L
+      it.map { r =>
+        val g = r.get(0)
+        val n = r.getLong(2)
+        if (g != cur) { cur = g; bin = 0L; acc = n }
+        else if (acc + n > budget) { bin += 1; acc = n }
+        else acc += n
+        Row(r.get(0), r.get(1), n, bin)
+      }
+    }(Encoders.row(outSchema))
+  }
+}

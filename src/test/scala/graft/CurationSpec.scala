@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private val fracs = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  test("hashSplit: deterministic, partitioning-invariant, near target fractions") {
+    val df = spark.range(0, 2000).toDF("id")
+    def assign(d: org.apache.spark.sql.DataFrame, salt: String) =
+      Curation.hashSplit(d, "id", fracs, salt)
+        .select("id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assign(df, "s42")
+    assert(a == assign(df.repartition(7), "s42"),
+      "assignment must not depend on physical partitioning")
+    // hash buckets land near the requested fractions (not exact — that is
+    // the point: no global count, no shuffle)
+    val n = a.size.toDouble
+    val byName = a.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(byName("train") - 0.9) < 0.03, byName.toString)
+    assert(math.abs(byName("val") - 0.05) < 0.02, byName.toString)
+    assert(math.abs(byName("test") - 0.05) < 0.02, byName.toString)
+    // a different salt re-rolls assignments
+    val b = assign(df, "other")
+    assert(a.exists { case (k, v) => b(k) != v })
+  }
+
+  test("packSequences matches a sequential greedy reference per group") {
+    val docs = spark.createDataFrame(
+      (0L until 300L).map(i => (i, s"g${i % 3}", 1L + (i * 37 % 200)))
+    ).toDF("doc_id", "grp", "n_tokens")
+    val budget = 256L
+    val got = Curation.packSequences(docs, "grp", "doc_id", "n_tokens", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // sequential reference: greedy first-fit in doc_id order within group
+    val want = docs.collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (g, rows) =>
+        var acc = 0L; var bin = -1L
+        rows.sortBy(_._2).toSeq.map { case (_, id, n) =>
+          if (bin < 0 || acc + n > budget) { bin += 1; acc = n }
+          else acc += n
+          (g, id) -> bin
+        }
+      }.toMap
+    assert(got == want)
+    // every bin respects the budget unless it holds a single oversized doc
+    val binTotals = docs.collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+      .groupBy { case (g, id, _) => (g, got((g, id))) }
+      .view.mapValues(rs => (rs.map(_._3).sum, rs.length)).toMap
+    binTotals.foreach { case (bin, (total, count)) =>
+      assert(total <= budget || count == 1, s"bin $bin overflows: $total")
+    }
+  }
+
+  test("packSequences: oversized docs get their own bin, groups stay isolated") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a", 100L), (2L, "a", 900L), (3L, "a", 100L), (4L, "b", 50L)
+    )).toDF("doc_id", "grp", "n_tokens")
+    val got = Curation.packSequences(docs, "grp", "doc_id", "n_tokens", 256L)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+  }
+
+  test("chunkIndices: coverage and overlap arithmetic") {
+    def nChunks(nTokens: Int): Long = {
+      val txt = (1 to nTokens).map(i => s"t$i").mkString(" ")
+      spark.createDataFrame(Seq(Tuple1(txt))).toDF("text")
+        .select(size(TextFunctions.chunkIndices(col("text"), 64, 48)))
+        .collect()(0).getInt(0).toLong
+    }
+    assert(nChunks(10) == 1L)
+    assert(nChunks(64) == 1L)
+    assert(nChunks(65) == 2L)   // second window starts at 48, covers to 65
+    assert(nChunks(112) == 2L)  // 48 + 64 = 112 exactly
+    assert(nChunks(113) == 3L)
+  }
+}
