@@ -454,16 +454,17 @@ object SparkEntry {
           Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), "s42")
         .select(col("doc_id"), col("bucket"), col("split"))),
 
-    // Context-window chunking: 64-token windows, stride 48 (16-token
-    // overlap); chunk text fingerprinted (md5) to keep the output scalar
+    // Context-window chunking: ChunkWindow-token windows advancing by
+    // ChunkStride; chunk text fingerprinted (md5) to keep the output scalar
     "q40_chunking" -> ((s, dir) => {
       val ws = TextFunctions.tokens(col("text"))
       t(s, dir, "documents")
         .select(col("doc_id"), ws.as("ws"),
-          explode(TextFunctions.chunkIndices(col("text"), 64, 48)).as("chunk_id"))
+          explode(TextFunctions.chunkIndices(col("text"), ChunkWindow,
+            ChunkStride)).as("chunk_id"))
         .select(col("doc_id"), col("chunk_id"),
-          slice(col("ws"), (col("chunk_id") * 48 + 1).cast("int"), lit(64))
-            .as("ct"))
+          slice(col("ws"), (col("chunk_id") * ChunkStride + 1).cast("int"),
+            lit(ChunkWindow)).as("ct"))
         .select(col("doc_id"), col("chunk_id"),
           size(col("ct")).cast("long").as("n_chunk_tokens"),
           md5(array_join(col("ct"), " ").cast("binary")).as("chunk_fp"))
@@ -481,6 +482,11 @@ object SparkEntry {
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
     * vocabulary; chosen from the fixture corpus so masking actually fires. */
   private val RedactList = Seq("customer", "order", "key")
+
+  /** q40 chunk geometry — single source for the Spark query AND its DuckDB
+    * oracle (the slice arithmetic must agree with chunkIndices' count). */
+  private val ChunkWindow = 64
+  private val ChunkStride = 48
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -781,18 +787,20 @@ object SparkEntry {
         |          AS BIGINT) % 10000 AS bucket
         |      FROM documents) b""".stripMargin,
 
-    "q40_chunking" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
-        |c AS (SELECT doc_id, ws,
-        |        unnest(range(CASE WHEN n <= 64 THEN 1
-        |          ELSE CAST(floor(CAST(n - 64 + 47 AS DOUBLE) / 48) AS BIGINT) + 1
-        |          END)) AS chunk_id
-        |      FROM n)
-        |SELECT doc_id, chunk_id,
-        |  CAST(len(ws[chunk_id*48+1 : chunk_id*48+64]) AS BIGINT) AS n_chunk_tokens,
-        |  md5(array_to_string(ws[chunk_id*48+1 : chunk_id*48+64], ' ')) AS chunk_fp
-        |FROM c""".stripMargin,
+    "q40_chunking" -> {
+      val (w, s) = (ChunkWindow, ChunkStride)
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+         |c AS (SELECT doc_id, ws,
+         |        unnest(range(CASE WHEN n <= $w THEN 1
+         |          ELSE CAST(floor(CAST(n - $w + ${s - 1} AS DOUBLE) / $s) AS BIGINT) + 1
+         |          END)) AS chunk_id
+         |      FROM n)
+         |SELECT doc_id, chunk_id,
+         |  CAST(len(ws[chunk_id*$s+1 : chunk_id*$s+$w]) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(ws[chunk_id*$s+1 : chunk_id*$s+$w], ' ')) AS chunk_fp
+         |FROM c""".stripMargin
+    },
 
     "q41_seq_pack" ->
       """WITH RECURSIVE d AS (

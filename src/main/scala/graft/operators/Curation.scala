@@ -28,6 +28,13 @@ object Curation {
       fractions: Seq[(String, Double)], salt: String): DataFrame = {
     require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got $fractions")
+    require(fractions.forall(_._2 > 0),
+      s"every split fraction must be positive, got $fractions")
+    require(fractions.map(_._1).distinct.size == fractions.size,
+      s"split names must be unique, got $fractions")
+    require(!df.columns.contains("bucket") && !df.columns.contains("split"),
+      "input already has a bucket/split column — rename it first, " +
+        "hashSplit appends its own")
     val bucket = pmod(TextFunctions.portableHash60(
       concat(col(keyCol).cast("string"), lit(":"), lit(salt))), lit(10000))
     // cumulative upper bounds: [("train",.9),("val",.05),("test",.05)] ->

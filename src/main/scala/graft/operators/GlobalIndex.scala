@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Stable global row numbers at scale — the sharding/sampling backbone of
   * a training-data pipeline (deterministic example ids, round-robin shard
@@ -17,12 +18,13 @@ import org.apache.spark.sql.functions._
   *     boundaries, so partitions are balanced) and sort within partitions;
   *  2. count rows per partition — only one long per partition reaches the
   *     driver, never row data;
-  *  3. assign `row_num = offset(partition) + local position + 1`, where
-  *     the local position is recovered narrowly (no extra shuffle) from
-  *     `monotonically_increasing_id()`'s documented layout: partition id
-  *     in the upper bits, a 0-based per-partition record counter in the
-  *     lower 33. Offsets join back via a broadcast of the tiny
-  *     (partition → offset) table.
+  *  3. assign `row_num = offset(partition) + local position` narrowly in
+  *     `mapPartitionsWithIndex`.
+  *
+  * Both passes run over the SAME RDD lineage (the `RDD.zipWithIndex`
+  * pattern): the range partitioner is sampled once and fixed in the RDD
+  * object, and pass 2 reuses pass 1's shuffle map outputs — consistent
+  * partitioning with no cache entry left behind.
   */
 object GlobalIndex {
 
@@ -33,9 +35,9 @@ object GlobalIndex {
     * relative order within it — and therefore their numbers — would not be
     * reproducible across runs.
     *
-    * The input is persisted internally: pass 2 must see the exact
-    * partitioning pass 1 counted (and the range sampling must not run
-    * twice). The cached blocks live until the caller's session drops them.
+    * NOTE: like `RDD.zipWithIndex`, the counting pass runs EAGERLY when
+    * this is called (one Spark job over the shuffled input; the shuffle
+    * itself is then reused by the returned plan, not recomputed).
     *
     * @param numPartitions range-partition count; defaults to
     *   `spark.sql.shuffle.partitions`. Size it so partitions fit executor
@@ -48,30 +50,27 @@ object GlobalIndex {
       case Some(np) => df.repartitionByRange(np, keys: _*)
       case None     => df.repartitionByRange(keys: _*)
     }
-    val sorted = ranged.sortWithinPartitions(keys: _*).persist()
-
-    // pass 1: per-partition counts (a few longs — never row data). Range
-    // partition ids are ordered by key range, so offset(p) = Σ counts(<p).
-    val counts: Array[(Int, Long)] = sorted
-      .groupBy(spark_partition_id().as("__gidx_pid")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    val offsets = counts.sortBy(_._1)
-      .scanLeft((-1, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
-      .tail.zip(counts.sortBy(_._1))
-      .map { case ((pid, end), (_, n)) => (pid, end - n) }
-
-    // pass 2: narrow id assembly on the SAME cached partitions.
-    // monotonically_increasing_id() = (partitionId << 33) + record counter.
-    val spark = df.sparkSession
-    val offDf = spark.createDataFrame(offsets.toSeq)
-      .toDF("__gidx_pid", "__gidx_off")
-    sorted
-      .withColumn("__gidx_pid", spark_partition_id())
-      .withColumn("__gidx_local",
-        monotonically_increasing_id() -
-          col("__gidx_pid").cast("long") * lit(1L << 33))
-      .join(broadcast(offDf), "__gidx_pid")
-      .withColumn(outCol, col("__gidx_off") + col("__gidx_local") + lit(1L))
-      .drop("__gidx_pid", "__gidx_local", "__gidx_off")
+    val sorted = ranged.sortWithinPartitions(keys: _*)
+    // ONE RDD object for both passes: its range partitioner (sampled
+    // boundaries) is fixed at materialization, and the second job reuses
+    // the first's shuffle files — unlike re-planning the Dataset twice,
+    // which would re-sample boundaries and could disagree
+    val rdd = sorted.rdd
+    val sc = df.sparkSession.sparkContext
+    // pass 1: per-partition counts — a few longs, never row data
+    val counts = sc.runJob(rdd, (it: Iterator[Row]) => {
+      var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
+    })
+    val offsets = counts.scanLeft(0L)(_ + _) // offsets(pid) = Σ counts(<pid)
+    // pass 2: narrow id assignment per partition
+    val out = rdd.mapPartitionsWithIndex({ (pid, it) =>
+      var local = 0L
+      it.map { r =>
+        local += 1
+        Row.fromSeq(r.toSeq :+ (offsets(pid) + local))
+      }
+    }, preservesPartitioning = true)
+    df.sparkSession.createDataFrame(out,
+      sorted.schema.add(StructField(outCol, LongType, nullable = false)))
   }
 }

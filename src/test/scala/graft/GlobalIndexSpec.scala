@@ -40,8 +40,14 @@ class GlobalIndexSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"),
       s"global sort collapsed to one partition:\n$p")
     assert(!p.contains("Window"), s"window crept back in:\n$p")
-    // the offset table joins back via broadcast, not a shuffle
-    assert(p.contains("BroadcastHashJoin"), s"offset join not broadcast:\n$p")
+    // ids are assembled narrowly over the range-shuffled RDD (zipWithIndex
+    // pattern) — the returned plan reads that RDD, it does not re-sort
+    assert(p.contains("ExistingRDD"), s"expected partition-offset RDD:\n$p")
+    // and nothing is left in the cache manager on our account: the two
+    // passes share shuffle files, not a persisted Dataset
+    assert(out.queryExecution.sparkSession.sharedState.cacheManager
+      .lookupCachedData(out.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
+      .isEmpty)
   }
 
   test("rowNumbers handles empty input and explicit partition counts") {
