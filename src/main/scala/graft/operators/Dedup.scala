@@ -60,21 +60,59 @@ object Dedup {
     *   `!contaminated` rows; hit counts kept so callers can threshold. */
   def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    val benchGrams = benchmark
-      .select(explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
-      .distinct()
+    val benchGrams = distinctGrams(benchmark, textCol, n)
     // shingles are distinct per doc and benchGrams is distinct, so the
     // inner join emits exactly one row per (doc, shared gram):
     // count == |grams(doc) ∩ benchGrams| with no DISTINCT aggregate
     val hits = shingleTable(train, idCol, textCol, n)
       .join(broadcast(benchGrams), "shingle")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    hitReport(train, idCol, hits)
+  }
+
+  /** Scale path for [[decontaminate]] when the benchmark gram set outgrows
+    * broadcast range: a bloom filter over the benchmark grams (built
+    * distributed, `fpp`-tunable) prefilters the corpus gram stream
+    * NARROWLY — before any shuffle — and an exact shuffled semi-join on
+    * the few survivors removes the bloom's false positives. Output is
+    * identical to [[decontaminate]] (spec-enforced); the trade is one
+    * extra pass over the (small) benchmark side and a driver-held sketch
+    * instead of a broadcast hash table.
+    *
+    * NOTE: building the sketch runs eagerly (two actions over the
+    * benchmark side) when this is called.
+    *
+    * @param expectedGrams sizing hint for the bloom filter; defaults to
+    *   counting the benchmark gram set (one extra action). */
+  def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, fpp: Double = 0.01,
+      expectedGrams: Option[Long] = None): DataFrame = {
+    val benchGrams = distinctGrams(benchmark, textCol, n)
+    val nGrams = expectedGrams.getOrElse(benchGrams.count())
+    val bloom = benchGrams.stat.bloomFilter("shingle",
+      math.max(nGrams, 1L), fpp)
+    val mightContain = udf((s: String) => s != null && bloom.mightContain(s))
+    val hits = shingleTable(train, idCol, textCol, n)
+      .filter(mightContain(col("shingle")))   // narrow: kills ~all grams
+      .join(benchGrams, "shingle")            // exact: removes bloom FPs
+      .groupBy("id").agg(count(lit(1)).as("n_hits"))
+    hitReport(train, idCol, hits)
+  }
+
+  /** Distinct word-n-gram set of a corpus: (`shingle`). */
+  private def distinctGrams(docs: DataFrame, textCol: String,
+      n: Int): DataFrame =
+    docs.select(explode(TextFunctions.shingles(col(textCol), n))
+      .as("shingle")).distinct()
+
+  /** Left-join per-doc hit counts back onto the full doc list. */
+  private def hitReport(train: DataFrame, idCol: String,
+      hits: DataFrame): DataFrame =
     train.select(col(idCol).as("id"))
       .join(hits, Seq("id"), "left")
       .select(col("id").as(idCol),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
-  }
 
   /** Pairs (a_id, b_id), a_id < b_id, streamed lazily from a sorted
     * posting-list column `ids` — no self-join, no re-shuffle, and no

@@ -165,4 +165,17 @@ class DedupSpec extends SparkSpec {
       1L -> ((2L, true)), 2L -> ((1L, true)),
       3L -> ((0L, false)), 4L -> ((0L, false))))
   }
+
+  test("decontaminateBloom == decontaminate (bloom FPs removed exactly)") {
+    val bench = docs.filter(col("doc_id") % 10 === 0)
+    val train = docs.filter(col("doc_id") % 10 =!= 0)
+    def collectMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+        .toMap
+    val exact = collectMap(Dedup.decontaminate(train, bench, "doc_id", "text", 3))
+    // a deliberately high fpp stresses the exact-verification join
+    val bloom = collectMap(
+      Dedup.decontaminateBloom(train, bench, "doc_id", "text", 3, fpp = 0.2))
+    assert(bloom == exact)
+  }
 }
