@@ -37,6 +37,20 @@ object GraftExtensions {
     case other => other.eval().asInstanceOf[Int]
   }
 
+  /** Fold a foldable string-array argument (e.g. `array('a','b')`). */
+  private def foldToStringSeq(e: Expression): Seq[String] = e.eval() match {
+    case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+    case other => throw new IllegalArgumentException(
+      s"expected a string-array literal, got $other")
+  }
+
+  private def foldToString(e: Expression): String = e.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case other => throw new IllegalArgumentException(
+      s"expected a string literal, got $other")
+  }
+
   // NB: the long ExpressionInfo constructor VALIDATES group and source —
   // only Spark's known values pass (previously "scalar_func" here made
   // the injection path throw on first use; nothing exercised it)
@@ -81,7 +95,19 @@ object GraftExtensions {
         "within_eps(a, b, eps2) - whether squared_l2(a, b) <= eps2, with " +
           "blocked early exit (eps2 must be a numeric literal)"),
       (args: Seq[Expression]) => graft.functions.WithinEps(args(0), args(1),
-        foldToDouble(args(2)))))
+        foldToDouble(args(2)))),
+    (FunctionIdentifier("redact_tokens"),
+      info("redact_tokens",
+        "redact_tokens(text, blocklist, mask) - replace blocklisted " +
+          "whitespace tokens with mask (blocklist/mask must be literals)"),
+      (args: Seq[Expression]) => graft.functions.RedactTokens(args(0),
+        foldToStringSeq(args(1)), foldToString(args(2)))),
+    (FunctionIdentifier("redact_count"),
+      info("redact_count",
+        "redact_count(text, blocklist) - occurrences of blocklisted " +
+          "whitespace tokens (blocklist must be an array literal)"),
+      (args: Seq[Expression]) => graft.functions.RedactCount(args(0),
+        foldToStringSeq(args(1)))))
 
   /** Register the same functions on an already-built session (useful in
     * tests and notebooks where the builder is out of reach). */

@@ -59,8 +59,77 @@ case class Shingles(child: Expression, n: Int)
   override def prettyName: String = "shingles"
 }
 
+/** Native single-pass blocklist token masking (see
+  * [[TextFunctions.redactDeclarative]] for the interpreted-HOF twin the
+  * specs cross-check against). Semantics contract, aligned with the
+  * DuckDB oracle: tokens = single-space split keeping trailing empties;
+  * every token equal to a blocklist entry becomes `mask`; tokens rejoin
+  * with one space. */
+case class RedactTokens(child: Expression, blocklist: Seq[String],
+    mask: String) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+
+  @transient private lazy val banned: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](blocklist.size * 2)
+    blocklist.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val toks = text.split(" ", -1)
+    val sb = new java.lang.StringBuilder(text.length + 16)
+    var i = 0
+    while (i < toks.length) {
+      if (i > 0) sb.append(' ')
+      sb.append(if (banned.contains(toks(i))) mask else toks(i))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "redact_tokens"
+}
+
+/** Occurrence count of blocklisted tokens — the single-pass twin of
+  * [[RedactTokens]] for masking-rate stats without building the masked
+  * string. */
+case class RedactCount(child: Expression, blocklist: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  @transient private lazy val banned: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](blocklist.size * 2)
+    blocklist.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    var i = 0
+    var c = 0
+    while (i < toks.length) {
+      if (banned.contains(toks(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "redact_count"
+}
+
 object TextExpressions {
   import org.apache.spark.sql.GraftInternals.{column, expression}
   def shingles(text: Column, n: Int): Column =
     column(Shingles(expression(text), n))
+  def redact(text: Column, blocklist: Seq[String], mask: String): Column =
+    column(RedactTokens(expression(text), blocklist, mask))
+  def redactCount(text: Column, blocklist: Seq[String]): Column =
+    column(RedactCount(expression(text), blocklist))
 }

@@ -78,12 +78,17 @@ object TextFunctions {
   /** Blocklist token masking: every token that appears in `blocklist` is
     * replaced by `mask`, preserving single-space joining — the scrubbing
     * primitive for banned terms / PII-tagged vocabulary in a curation
-    * pipeline. Declarative HOF formulation (transform runs interpreted):
-    * fine for the once-per-doc ingest pass; a hot-path variant would be a
-    * native expression like [[Shingles]]. DuckDB twin:
+    * pipeline. Native single-pass expression ([[RedactTokens]]); the
+    * declarative HOF twin below is kept as a cross-check. DuckDB twin:
     * `array_to_string(list_transform(string_split(text,' '),
     * w -> CASE WHEN w IN (...) THEN mask ELSE w END), ' ')`. */
   def redact(text: Column, blocklist: Seq[String],
+      mask: String = "<MASK>"): Column =
+    TextExpressions.redact(text, blocklist, mask)
+
+  /** The pure-built-in masking formulation (interpreted HOF lambdas) —
+    * kept as a cross-check for tests, like [[shinglesDeclarative]]. */
+  def redactDeclarative(text: Column, blocklist: Seq[String],
       mask: String = "<MASK>"): Column = {
     val bl = array(blocklist.map(lit): _*)
     array_join(transform(tokens(text), w =>
@@ -106,8 +111,13 @@ object TextFunctions {
     sequence(lit(0L), nChunks - 1L)
   }
 
-  /** Number of tokens [[redact]] would mask (occurrences, not distinct). */
-  def redactCount(text: Column, blocklist: Seq[String]): Column = {
+  /** Number of tokens [[redact]] would mask (occurrences, not distinct).
+    * Native single-pass expression ([[RedactCount]]). */
+  def redactCount(text: Column, blocklist: Seq[String]): Column =
+    TextExpressions.redactCount(text, blocklist)
+
+  /** Declarative twin of [[redactCount]] — cross-check only. */
+  def redactCountDeclarative(text: Column, blocklist: Seq[String]): Column = {
     val bl = array(blocklist.map(lit): _*)
     size(filter(tokens(text), w => array_contains(bl, w)))
   }

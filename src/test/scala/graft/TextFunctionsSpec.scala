@@ -35,6 +35,21 @@ class TextFunctionsSpec extends SparkSpec {
       TextFunctions.redact(col("text"), bl).as("r"),
       TextFunctions.redactCount(col("text"), bl).as("n")).collect()(0)
     assert(clean.getString(0) == "nothing to see" && clean.getInt(1) == 0)
+    // native == declarative, including separator edge cases (trailing /
+    // doubled spaces produce empty tokens both must preserve)
+    val edges = Seq("a secret  b ", " secret", "", "  ", "secret secret")
+    val both = spark.createDataFrame(edges.map(Tuple1(_))).toDF("text")
+      .select(
+        TextFunctions.redact(col("text"), bl).as("nf"),
+        TextFunctions.redactDeclarative(col("text"), bl).as("df"),
+        TextFunctions.redactCount(col("text"), bl).as("nc"),
+        TextFunctions.redactCountDeclarative(col("text"), bl).as("dc"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"native='${r.getString(0)}' declarative='${r.getString(1)}'")
+      assert(r.getInt(2) == r.getInt(3))
+    }
   }
 
   test("fingerprintMd5 matches java.security MD5") {

@@ -128,6 +128,12 @@ class VectorFunctionsSpec extends SparkSpec {
         .stripMargin).collect()(0)
     assert(rowW.getBoolean(0) && !rowW.getBoolean(1))
 
+    val rowR = spark.sql(
+      """SELECT redact_tokens('a secret b', array('secret'), '<X>') AS r,
+        |       redact_count('secret a secret', array('secret')) AS n"""
+        .stripMargin).collect()(0)
+    assert(rowR.getString(0) == "a <X> b" && rowR.getInt(1) == 2)
+
     val row2 = spark.sql(
       """SELECT posting_pairs(array(1L, 2L, 3L)) AS pp,
         |       posting_pairs_sz(array(struct(1L, 10L), struct(2L, 4L)), 0.5) AS ps,
@@ -164,7 +170,7 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(GraftExtensions.functions.map(_._1.funcName).toSet == Set(
       "squared_l2", "dot_product", "shingles",
       "posting_pairs", "posting_pairs_sz", "winnowing_fingerprints",
-      "within_eps"))
+      "within_eps", "redact_tokens", "redact_count"))
   }
 
   test("cellId buckets points to floor(x/eps) per selected dim") {
