@@ -117,4 +117,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"gram probe not broadcast:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
+
+  test("q37/q39/q40 are fully narrow: no exchange, pruned scans") {
+    // per-row curation ops (redaction, hash split, chunking) must compile
+    // to shuffle-free pipelines — at 100 TB, an accidental exchange here
+    // would dwarf the actual work
+    Seq("q37_redact", "q39_hash_split", "q40_chunking").foreach { q =>
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Exchange"), s"$q has a shuffle:\n$p")
+    }
+    // q37 reads only (doc_id, text) — lang/source/n_chars stay pruned
+    val p37 = plan(SparkEntry.queries("q37_redact")(spark, sf))
+    assert(!p37.contains("n_chars") && !p37.contains("source"),
+      s"q37 scan reads pruned columns:\n$p37")
+  }
 }
