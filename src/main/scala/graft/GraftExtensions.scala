@@ -40,7 +40,12 @@ object GraftExtensions {
   /** Fold a foldable string-array argument (e.g. `array('a','b')`). */
   private def foldToStringSeq(e: Expression): Seq[String] = e.eval() match {
     case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-      (0 until a.numElements()).map(i => a.getUTF8String(i).toString)
+      (0 until a.numElements()).map { i =>
+        val s = a.getUTF8String(i)
+        if (s == null) throw new IllegalArgumentException(
+          "blocklist literal must not contain NULL elements")
+        s.toString
+      }
     case other => throw new IllegalArgumentException(
       s"expected a string-array literal, got $other")
   }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
@@ -22,9 +22,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * array; result distinct.
   */
 case class Shingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
   require(n >= 1, "shingle width must be >= 1")
 
+  override def inputTypes: Seq[org.apache.spark.sql.GraftInternals.AbstractType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -66,8 +67,10 @@ case class Shingles(child: Expression, n: Int)
   * every token equal to a blocklist entry becomes `mask`; tokens rejoin
   * with one space. */
 case class RedactTokens(child: Expression, blocklist: Seq[String],
-    mask: String) extends UnaryExpression with CodegenFallback {
+    mask: String) extends UnaryExpression with CodegenFallback
+    with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.GraftInternals.AbstractType] = Seq(StringType)
   override def dataType: DataType = StringType
 
   @transient private lazy val banned: java.util.HashSet[String] = {
@@ -98,8 +101,9 @@ case class RedactTokens(child: Expression, blocklist: Seq[String],
   * [[RedactTokens]] for masking-rate stats without building the masked
   * string. */
 case class RedactCount(child: Expression, blocklist: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
 
+  override def inputTypes: Seq[org.apache.spark.sql.GraftInternals.AbstractType] = Seq(StringType)
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
   @transient private lazy val banned: java.util.HashSet[String] = {

@@ -32,7 +32,10 @@ object Curation {
       s"every split fraction must be positive, got $fractions")
     require(fractions.map(_._1).distinct.size == fractions.size,
       s"split names must be unique, got $fractions")
-    require(!df.columns.contains("bucket") && !df.columns.contains("split"),
+    // case-insensitive: withColumn resolves case-insensitively by default,
+    // so a column named "Bucket" would otherwise be silently clobbered
+    require(!df.columns.exists(c =>
+      c.equalsIgnoreCase("bucket") || c.equalsIgnoreCase("split")),
       "input already has a bucket/split column — rename it first, " +
         "hashSplit appends its own")
     val bucket = pmod(TextFunctions.portableHash60(

@@ -75,22 +75,27 @@ object Dedup {
     * distributed, `fpp`-tunable) prefilters the corpus gram stream
     * NARROWLY — before any shuffle — and an exact shuffled semi-join on
     * the few survivors removes the bloom's false positives. Output is
-    * identical to [[decontaminate]] (spec-enforced); the trade is one
-    * extra pass over the (small) benchmark side and a driver-held sketch
-    * instead of a broadcast hash table.
+    * identical to [[decontaminate]] (spec-enforced); the trade is two
+    * passes over the (small) benchmark side — one cached materialization
+    * for sizing + sketch build, one lazy recompute for the verification
+    * join — and a driver-held sketch instead of a broadcast hash table.
     *
-    * NOTE: building the sketch runs eagerly (two actions over the
-    * benchmark side) when this is called.
+    * NOTE: building the sketch runs eagerly when this is called.
     *
     * @param expectedGrams sizing hint for the bloom filter; defaults to
-    *   counting the benchmark gram set (one extra action). */
+    *   counting the benchmark gram set. */
   def decontaminateBloom(train: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int, fpp: Double = 0.01,
       expectedGrams: Option[Long] = None): DataFrame = {
     val benchGrams = distinctGrams(benchmark, textCol, n)
-    val nGrams = expectedGrams.getOrElse(benchGrams.count())
-    val bloom = benchGrams.stat.bloomFilter("shingle",
-      math.max(nGrams, 1L), fpp)
+    // cache across the (up to two) eager sketch actions, release before
+    // returning: the lazy verification join recomputes the gram set once
+    // instead of pinning executor memory for the caller's lifetime
+    benchGrams.persist()
+    val bloom = try {
+      val nGrams = expectedGrams.getOrElse(benchGrams.count())
+      benchGrams.stat.bloomFilter("shingle", math.max(nGrams, 1L), fpp)
+    } finally benchGrams.unpersist()
     val mightContain = udf((s: String) => s != null && bloom.mightContain(s))
     val hits = shingleTable(train, idCol, textCol, n)
       .filter(mightContain(col("shingle")))   // narrow: kills ~all grams

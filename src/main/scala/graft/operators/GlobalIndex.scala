@@ -45,6 +45,9 @@ object GlobalIndex {
   def rowNumbers(df: DataFrame, sortCols: Seq[String],
       outCol: String = "row_num", numPartitions: Option[Int] = None): DataFrame = {
     require(sortCols.nonEmpty, "rowNumbers needs at least one sort column")
+    require(!df.columns.exists(_.equalsIgnoreCase(outCol)),
+      s"input already has a column named $outCol — rename it first, " +
+        "rowNumbers appends its own")
     val keys = sortCols.map(col)
     val ranged = numPartitions match {
       case Some(np) => df.repartitionByRange(np, keys: _*)
@@ -52,24 +55,14 @@ object GlobalIndex {
     }
     val sorted = ranged.sortWithinPartitions(keys: _*)
     // ONE RDD object for both passes: its range partitioner (sampled
-    // boundaries) is fixed at materialization, and the second job reuses
-    // the first's shuffle files — unlike re-planning the Dataset twice,
-    // which would re-sample boundaries and could disagree
-    val rdd = sorted.rdd
-    val sc = df.sparkSession.sparkContext
-    // pass 1: per-partition counts — a few longs, never row data
-    val counts = sc.runJob(rdd, (it: Iterator[Row]) => {
-      var c = 0L; while (it.hasNext) { it.next(); c += 1 }; c
-    })
-    val offsets = counts.scanLeft(0L)(_ + _) // offsets(pid) = Σ counts(<pid)
-    // pass 2: narrow id assignment per partition
-    val out = rdd.mapPartitionsWithIndex({ (pid, it) =>
-      var local = 0L
-      it.map { r =>
-        local += 1
-        Row.fromSeq(r.toSeq :+ (offsets(pid) + local))
-      }
-    }, preservesPartitioning = true)
+    // boundaries) is fixed at materialization, and the assignment pass
+    // reuses the counting pass's shuffle files — unlike re-planning the
+    // Dataset twice, which would re-sample boundaries and could disagree.
+    // zipWithIndex IS the two-pass scheme (eager per-partition count job,
+    // then narrow offset+local assignment).
+    val out = sorted.rdd.zipWithIndex().mapPartitions(
+      _.map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) },
+      preservesPartitioning = true)
     df.sparkSession.createDataFrame(out,
       sorted.schema.add(StructField(outCol, LongType, nullable = false)))
   }

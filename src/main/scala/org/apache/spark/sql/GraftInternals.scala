@@ -10,4 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftInternals {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  /** `types.AbstractDataType` is `private[sql]`; expressions outside the
+    * spark package need this alias to override `inputTypes`. */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

@@ -27,6 +27,14 @@ class CurationSpec extends SparkSpec {
     // a different salt re-rolls assignments
     val b = assign(df, "other")
     assert(a.exists { case (k, v) => b(k) != v })
+    // guards: fractions must be positive and sum to 1; existing
+    // bucket/split columns (any case) are rejected, not clobbered
+    assertThrows[IllegalArgumentException] {
+      Curation.hashSplit(df, "id", Seq("a" -> 1.5, "b" -> -0.5), "s")
+    }
+    assertThrows[IllegalArgumentException] {
+      Curation.hashSplit(df.withColumn("Bucket", lit(1)), "id", fracs, "s")
+    }
   }
 
   test("packSequences matches a sequential greedy reference per group") {

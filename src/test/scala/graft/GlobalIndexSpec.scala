@@ -43,11 +43,17 @@ class GlobalIndexSpec extends SparkSpec {
     // ids are assembled narrowly over the range-shuffled RDD (zipWithIndex
     // pattern) — the returned plan reads that RDD, it does not re-sort
     assert(p.contains("ExistingRDD"), s"expected partition-offset RDD:\n$p")
-    // and nothing is left in the cache manager on our account: the two
-    // passes share shuffle files, not a persisted Dataset
-    assert(out.queryExecution.sparkSession.sharedState.cacheManager
-      .lookupCachedData(out.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]])
-      .isEmpty)
+  }
+
+  test("rowNumbers leaves nothing in the cache manager") {
+    // the two passes must share shuffle files, not a persisted Dataset —
+    // an internal persist would leak blocks for the caller's lifetime.
+    // (clearCache first: the session is shared across suites, and cost,
+    // not correctness, is all other suites' lazy persists lose here.)
+    spark.catalog.clearCache()
+    GlobalIndex.rowNumbers(keyed(5), Seq("k", "id")).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "rowNumbers left a cached plan behind")
   }
 
   test("rowNumbers handles empty input and explicit partition counts") {
@@ -59,5 +65,10 @@ class GlobalIndexSpec extends SparkSpec {
       .agg(min("row_num"), max("row_num"), count(lit(1))).collect()(0)
     assert(got.getLong(0) == 1L && got.getLong(1) == 1000L &&
       got.getLong(2) == 1000L)
+    // a pre-existing outCol (any case) is rejected, not silently duplicated
+    assertThrows[IllegalArgumentException] {
+      GlobalIndex.rowNumbers(keyed(3).withColumn("ROW_NUM", lit(0L)),
+        Seq("k", "id"))
+    }
   }
 }
