@@ -226,4 +226,45 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains((7L, 2L, 3.75)))
     } finally q.stop()
   }
+
+  test("stateless curation ops run unchanged on a stream == batch") {
+    // redaction (native expression), language-ID, and hash splits are
+    // narrow projections, so the SAME column code serves batch and
+    // streaming ingest — no twin needed, just proof it holds
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Seq(
+      (1L, "the secret key of the order"),
+      (2L, "el perro de la casa y los gatos"),
+      (3L, "no banned words here at all"))
+    val bl = Seq("secret", "key", "order")
+
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Curation.hashSplit(
+        df.select(col("doc_id"),
+          graft.functions.TextFunctions.redact(col("text"), bl).as("clean"),
+          graft.functions.TextFunctions.redactCount(col("text"), bl).as("n_red"),
+          graft.functions.TextFunctions.langId(col("text")).as("lang_pred")),
+        "doc_id", Seq("train" -> 0.9, "val" -> 0.1), "s1")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = curate(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curated_out")
+      .outputMode("append").start()
+    val got = try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      spark.table("curated_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3),
+          r.getString(5))).toSet
+    } finally q.stop()
+    val batch = curate(spark.createDataFrame(docs).toDF("doc_id", "text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3),
+        r.getString(5))).toSet
+    assert(got == batch)
+    assert(got.exists(_._3 > 0)) // masking actually fired
+  }
 }
