@@ -113,6 +113,12 @@ object GraftExtensions {
           "whitespace tokens (blocklist must be an array literal)"),
       (args: Seq[Expression]) => graft.functions.RedactCount(args(0),
         foldToStringSeq(args(1)))))
+  // NB: only concrete Catalyst expressions can register here. Wrapping a
+  // functions._-composed Column via GraftInternals.expression yields a
+  // ColumnNodeExpression holding UnresolvedFunction nodes, which the
+  // analyzer does not resolve inside an injected builder (codegen then
+  // fails with INTERNAL_ERROR) — so Column-level compositions like
+  // TextFunctions.langId stay DataFrame-only.
 
   /** Register the same functions on an already-built session (useful in
     * tests and notebooks where the builder is out of reach). */
