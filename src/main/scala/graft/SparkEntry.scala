@@ -477,6 +477,30 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang"),
           size(TextFunctions.tokens(col("text"))).cast("long").as("n_tokens")),
         "lang", "doc_id", "n_tokens", 512L)),
+
+    // Relational: CUBE (all grouping-set combinations) with sentinels,
+    // the q32 rollup's big sibling
+    "q42_cube_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g1"),
+          grouping(col("l_linestatus")).as("g2"))
+        .select(
+          when(col("g1") === 1, lit("ALL")).otherwise(col("l_returnflag"))
+            .as("l_returnflag"),
+          when(col("g2") === 1, lit("ALL")).otherwise(col("l_linestatus"))
+            .as("l_linestatus"),
+          col("sum_qty"), col("n"))),
+
+    // Relational: anti join (NOT EXISTS) — customers with no high-value
+    // order; the price predicate pushes into the orders scan
+    "q43_anti_join" -> ((s, dir) =>
+      t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        .join(t(s, dir, "orders")
+            .filter(col("o_totalprice") > 300000.0).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -820,6 +844,21 @@ object SparkEntry {
         |         ELSE r.seq_id END
         |  FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1)
         |SELECT lang, doc_id, n_tokens, seq_id FROM r""".stripMargin,
+
+    "q42_cube_pricing" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL' ELSE l_returnflag END AS l_returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL' ELSE l_linestatus END AS l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q43_anti_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 300000)""".stripMargin,
   )
 
   /** Language-ID in pure SQL, generated from the SAME lexica the engine
