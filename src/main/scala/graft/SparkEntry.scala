@@ -501,6 +501,25 @@ object SparkEntry {
         .join(t(s, dir, "orders")
             .filter(col("o_totalprice") > 300000.0).select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")),
+
+    // Dedup family closed transitively: similarity pairs -> dup GROUPS
+    // with a canonical min-id survivor, via the connected-components
+    // engine (A~B, B~C groups A with C without a direct comparison)
+    "q44_dup_groups" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dupGroups(
+        Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5), docs, "doc_id")
+    }),
+
+    // Data mixing: deterministic per-language keep rates (downsample the
+    // majority language, keep the rest) via salted-hash buckets — a
+    // narrow filter, reproducible across reruns and repartitioning
+    "q45_data_mix" -> ((s, dir) =>
+      graft.operators.Curation.hashSampleBy(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang",
+          Map("en" -> 0.5, "zh" -> 0.9), "mix1", defaultRate = 1.0)
+        .select("doc_id", "lang")),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -859,6 +878,34 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_totalprice > 300000)""".stripMargin,
+
+    "q44_dup_groups" ->
+      s"""WITH RECURSIVE jac AS (
+         |$jaccardOracle
+         |),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM jac
+         |  UNION ALL SELECT b_id, a_id FROM jac
+         |),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+         |),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT d.doc_id,
+         |  COALESCE(c.comp, d.doc_id) AS canonical_id,
+         |  COALESCE(c.comp, d.doc_id) = d.doc_id AS is_survivor
+         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+
+    "q45_data_mix" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 15)
+        |      AS BIGINT) % 10000 AS bucket
+        |  FROM documents) b
+        |WHERE bucket < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.9
+        |                ELSE 1.0 END) * 10000""".stripMargin,
   )
 
   /** Language-ID in pure SQL, generated from the SAME lexica the engine

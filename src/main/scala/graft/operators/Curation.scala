@@ -24,6 +24,13 @@ object Curation {
     *
     * @param fractions (name, fraction) in order; fractions must sum to 1.
     * @return input plus `bucket` (0-9999) and `split` columns. */
+  /** The shared salted bucket: portable md5 hash of `key:salt`, mod
+    * 10 000 — the determinism backbone of [[hashSplit]] and
+    * [[hashSampleBy]]. */
+  private def saltedBucket(keyCol: String, salt: String) =
+    pmod(TextFunctions.portableHash60(
+      concat(col(keyCol).cast("string"), lit(":"), lit(salt))), lit(10000))
+
   def hashSplit(df: DataFrame, keyCol: String,
       fractions: Seq[(String, Double)], salt: String): DataFrame = {
     require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
@@ -38,8 +45,7 @@ object Curation {
       c.equalsIgnoreCase("bucket") || c.equalsIgnoreCase("split")),
       "input already has a bucket/split column — rename it first, " +
         "hashSplit appends its own")
-    val bucket = pmod(TextFunctions.portableHash60(
-      concat(col(keyCol).cast("string"), lit(":"), lit(salt))), lit(10000))
+    val bucket = saltedBucket(keyCol, salt)
     // cumulative upper bounds: [("train",.9),("val",.05),("test",.05)] ->
     // bucket<9000 train, <9500 val, else test
     val bounds = fractions.scanLeft(("", 0.0)) { case ((_, acc), (n, f)) =>
@@ -51,6 +57,29 @@ object Curation {
           .otherwise(els)
     }
     df.withColumn("bucket", bucket).withColumn("split", split)
+  }
+
+  /** Deterministic stratified sampling — "data mixing": each stratum
+    * (language, source, quality band …) keeps its own fraction of rows,
+    * selected by the same salted-hash buckets as [[hashSplit]], so the
+    * mix is reproducible under reruns, repartitioning, and incremental
+    * appends, and a row's fate never depends on which executor saw it.
+    * A narrow filter — no shuffle, no global counts; achieved rates are
+    * hash-approximate (±bucket granularity), which is the price of
+    * determinism without a count pass.
+    *
+    * @param rates stratum value → keep fraction in [0, 1]; strata are
+    *   compiled to a literal when-chain, so keep the map small (≤ dozens).
+    * @param defaultRate keep fraction for strata absent from `rates`. */
+  def hashSampleBy(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double], salt: String,
+      defaultRate: Double = 0.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      s"keep rates must be in [0, 1], got $rates / default=$defaultRate")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (els, (s, r)) => when(col(stratumCol) === s, lit(r)).otherwise(els)
+    }
+    df.filter(saltedBucket(keyCol, salt) < rate * lit(10000.0))
   }
 
   /** Greedy sequence packing: group documents into fixed-token-budget

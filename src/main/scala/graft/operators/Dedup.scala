@@ -104,6 +104,30 @@ object Dedup {
     hitReport(train, idCol, hits)
   }
 
+  /** Near-dup clustering: transitive closure over similarity pairs — the
+    * step after any pair-generating dedup ([[jaccardJoin]],
+    * [[minHashJoin]], [[simHashJoin]], [[embeddingNearDup]]) that turns
+    * pairwise matches into dup GROUPS with one canonical survivor each
+    * (A~B and B~C puts A,C in one group even if never compared directly).
+    * Reuses the DBSCAN connected-components engine
+    * ([[ConnectedComponents.run]]: partition-local union-find contraction
+    * + min-label loop, driver fast path for small contracted graphs).
+    *
+    * @param pairs (`a_id`, `b_id`) long id pairs.
+    * @param docs  one row per `idCol` — docs in no pair become singleton
+    *   groups of themselves.
+    * @return (`idCol`, `canonical_id` — min id in the dup group,
+    *   `is_survivor`). Deduplicated corpus = the `is_survivor` rows. */
+  def dupGroups(pairs: DataFrame, docs: DataFrame, idCol: String): DataFrame = {
+    val comp = ConnectedComponents.run(
+      pairs.select(col("a_id").as("src"), col("b_id").as("dst")))
+    docs.select(col(idCol).as("id"))
+      .join(comp, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("comp"), col("id")).as("canonical_id"))
+      .withColumn("is_survivor", col(idCol) === col("canonical_id"))
+  }
+
   /** Distinct word-n-gram set of a corpus: (`shingle`). */
   private def distinctGrams(docs: DataFrame, textCol: String,
       n: Int): DataFrame =

@@ -37,6 +37,28 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("hashSampleBy keeps per-stratum rates, deterministically") {
+    val df = spark.range(0, 3000).toDF("id")
+      .withColumn("s", element_at(array(lit("a"), lit("b"), lit("c")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")))
+    val rates = Map("a" -> 0.2, "b" -> 0.8)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.hashSampleBy(d, "id", "s", rates, "m1", defaultRate = 1.0)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = run(df)
+    assert(got == run(df.repartition(11)), "must not depend on partitioning")
+    val byStratum = got.groupBy(_._2).view.mapValues(_.size / 1000.0).toMap
+    assert(math.abs(byStratum("a") - 0.2) < 0.05, byStratum.toString)
+    assert(math.abs(byStratum("b") - 0.8) < 0.05, byStratum.toString)
+    assert(byStratum("c") == 1.0) // defaultRate keeps everything
+    // rate 0 drops the stratum entirely; invalid rates are rejected
+    assert(!Curation.hashSampleBy(df, "id", "s", Map("a" -> 0.0), "m1")
+      .collect().exists(_.getString(1) == "a"))
+    assertThrows[IllegalArgumentException] {
+      Curation.hashSampleBy(df, "id", "s", Map("a" -> 1.2), "m1")
+    }
+  }
+
   test("packSequences matches a sequential greedy reference per group") {
     val docs = spark.createDataFrame(
       (0L until 300L).map(i => (i, s"g${i % 3}", 1L + (i * 37 % 200)))

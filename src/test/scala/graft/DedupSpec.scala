@@ -166,6 +166,22 @@ class DedupSpec extends SparkSpec {
       3L -> ((0L, false)), 4L -> ((0L, false))))
   }
 
+  test("dupGroups closes pairs transitively with a min-id canonical") {
+    val pairs = spark.createDataFrame(Seq(
+      (2L, 5L), (5L, 9L),   // chain: {2,5,9} -> canonical 2
+      (3L, 7L)              // {3,7} -> canonical 3
+    )).toDF("a_id", "b_id")
+    val ids = spark.createDataFrame(
+      Seq(1L, 2L, 3L, 5L, 7L, 9L).map(Tuple1(_))).toDF("doc_id")
+    val got = Dedup.dupGroups(pairs, ids, "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, true)),  // singleton survives as itself
+      2L -> ((2L, true)), 5L -> ((2L, false)), 9L -> ((2L, false)),
+      3L -> ((3L, true)), 7L -> ((3L, false))))
+  }
+
   test("decontaminateBloom == decontaminate (bloom FPs removed exactly)") {
     val bench = docs.filter(col("doc_id") % 10 === 0)
     val train = docs.filter(col("doc_id") % 10 =!= 0)
