@@ -516,10 +516,9 @@ object SparkEntry {
     // narrow filter, reproducible across reruns and repartitioning
     "q45_data_mix" -> ((s, dir) =>
       graft.operators.Curation.hashSampleBy(
-          t(s, dir, "documents").select("doc_id", "lang"),
-          "doc_id", "lang",
-          Map("en" -> 0.5, "zh" -> 0.9), "mix1", defaultRate = 1.0)
-        .select("doc_id", "lang")),
+        t(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang",
+        Map("en" -> 0.5, "zh" -> 0.9), "mix1", defaultRate = 1.0)),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged

@@ -24,13 +24,6 @@ object Curation {
     *
     * @param fractions (name, fraction) in order; fractions must sum to 1.
     * @return input plus `bucket` (0-9999) and `split` columns. */
-  /** The shared salted bucket: portable md5 hash of `key:salt`, mod
-    * 10 000 — the determinism backbone of [[hashSplit]] and
-    * [[hashSampleBy]]. */
-  private def saltedBucket(keyCol: String, salt: String) =
-    pmod(TextFunctions.portableHash60(
-      concat(col(keyCol).cast("string"), lit(":"), lit(salt))), lit(10000))
-
   def hashSplit(df: DataFrame, keyCol: String,
       fractions: Seq[(String, Double)], salt: String): DataFrame = {
     require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
@@ -58,6 +51,13 @@ object Curation {
     }
     df.withColumn("bucket", bucket).withColumn("split", split)
   }
+
+  /** The shared salted bucket: portable md5 hash of `key:salt`, mod
+    * 10 000 — the determinism backbone of [[hashSplit]] and
+    * [[hashSampleBy]]. */
+  private def saltedBucket(keyCol: String, salt: String) =
+    pmod(TextFunctions.portableHash60(
+      concat(col(keyCol).cast("string"), lit(":"), lit(salt))), lit(10000))
 
   /** Deterministic stratified sampling — "data mixing": each stratum
     * (language, source, quality band …) keeps its own fraction of rows,
