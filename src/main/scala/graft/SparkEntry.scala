@@ -519,6 +519,25 @@ object SparkEntry {
         t(s, dir, "documents").select("doc_id", "lang"),
         "doc_id", "lang",
         Map("en" -> 0.5, "zh" -> 0.9), "mix1", defaultRate = 1.0)),
+
+    // Relational: five-table supply-chain star join — every dimension
+    // (supplier/nation/region/part) broadcasts; only the fact table scans
+    // at scale. Closes fixture-table coverage (region/supplier/part).
+    "q46_supply_chain" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("r_name", "p_brand")
+        .agg(
+          (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(10000.0))) / lit(10000.0)).as("revenue"),
+          count(lit(1)).as("n_items"))),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -905,6 +924,17 @@ object SparkEntry {
         |  FROM documents) b
         |WHERE bucket < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.9
         |                ELSE 1.0 END) * 10000""".stripMargin,
+
+    "q46_supply_chain" ->
+      """SELECT r_name, p_brand,
+        |  sum(round(l_extendedprice * (1.0 - l_discount) * 10000)) / 10000.0 AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY r_name, p_brand""".stripMargin,
   )
 
   /** Language-ID in pure SQL, generated from the SAME lexica the engine

@@ -118,6 +118,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"))
   }
 
+  test("q46 star join: all four dimensions broadcast, one agg exchange") {
+    val p = plan(SparkEntry.queries("q46_supply_chain")(spark, sf))
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 4,
+      s"expected 4 broadcast joins:\n$p")
+    // the only shuffle is the final aggregation — the fact table never
+    // re-partitions for any dimension join
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
+  }
+
   test("q37/q39/q40 are fully narrow: no exchange, pruned scans") {
     // per-row curation ops (redaction, hash split, chunking) must compile
     // to shuffle-free pipelines — at 100 TB, an accidental exchange here
