@@ -68,17 +68,20 @@ object Curation {
     * hash-approximate (±bucket granularity), which is the price of
     * determinism without a count pass.
     *
-    * @param rates stratum value → keep fraction in [0, 1]; strata are
-    *   compiled to a literal when-chain, so keep the map small (≤ dozens).
-    * @param defaultRate keep fraction for strata absent from `rates`. */
+    * @param rates stratum value → keep fraction in [0, 1], compiled to a
+    *   literal map with O(1) lookup — thousands of strata (per-domain
+    *   rates) are fine.
+    * @param defaultRate keep fraction for strata absent from `rates`
+    *   (also applies to a NULL stratum). */
   def hashSampleBy(df: DataFrame, keyCol: String, stratumCol: String,
       rates: Map[String, Double], salt: String,
       defaultRate: Double = 0.0): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
       s"keep rates must be in [0, 1], got $rates / default=$defaultRate")
-    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
-      case (els, (s, r)) => when(col(stratumCol) === s, lit(r)).otherwise(els)
-    }
+    val rate =
+      if (rates.isEmpty) lit(defaultRate)
+      else coalesce(element_at(typedLit(rates), col(stratumCol)),
+        lit(defaultRate))
     df.filter(saltedBucket(keyCol, salt) < rate * lit(10000.0))
   }
 
