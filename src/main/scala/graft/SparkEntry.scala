@@ -520,6 +520,26 @@ object SparkEntry {
         "doc_id", "lang",
         Map("en" -> 0.5, "zh" -> 0.9), "mix1", defaultRate = 1.0)),
 
+    // The context-window pipeline end-to-end: chunk every doc into
+    // ChunkWindow-token windows (q40's op), then greedily pack the chunks
+    // into 512-token training sequences per lang shard (q41's op). The
+    // surrogate chunk key doc_id*100 + chunk_id keeps packing order =
+    // (doc_id, chunk_id) — chunks per doc are bounded far below 100 by
+    // the corpus' ≤ ~1000-token docs.
+    "q47_chunk_pack" -> ((s, dir) => {
+      val ws = TextFunctions.tokens(col("text"))
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), ws.as("ws"),
+          explode(TextFunctions.chunkIndices(col("text"), ChunkWindow,
+            ChunkStride)).as("chunk_id"))
+        .select(col("lang"),
+          (col("doc_id") * 100 + col("chunk_id")).as("chunk_key"),
+          size(slice(col("ws"), (col("chunk_id") * ChunkStride + 1).cast("int"),
+            lit(ChunkWindow))).cast("long").as("n_chunk_tokens"))
+      graft.operators.Curation.packSequences(chunks, "lang", "chunk_key",
+        "n_chunk_tokens", 512L)
+    }),
+
     // Relational: five-table supply-chain star join — every dimension
     // (supplier/nation/region/part) broadcasts; only the fact table scans
     // at scale. Closes fixture-table coverage (region/supplier/part).
@@ -924,6 +944,37 @@ object SparkEntry {
         |  FROM documents) b
         |WHERE bucket < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.9
         |                ELSE 1.0 END) * 10000""".stripMargin,
+
+    "q47_chunk_pack" -> {
+      val (w, st) = (ChunkWindow, ChunkStride)
+      s"""WITH RECURSIVE ws AS (
+         |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+         |n AS (SELECT doc_id, lang, ws, len(ws) AS n FROM ws),
+         |c AS (SELECT doc_id, lang, ws,
+         |        unnest(range(CASE WHEN n <= $w THEN 1
+         |          ELSE CAST(floor(CAST(n - $w + ${st - 1} AS DOUBLE) / $st) AS BIGINT) + 1
+         |          END)) AS chunk_id
+         |      FROM n),
+         |chunks AS (
+         |  SELECT lang, doc_id*100 + chunk_id AS chunk_key,
+         |    CAST(len(ws[chunk_id*$st+1 : chunk_id*$st+$w]) AS BIGINT) AS n_chunk_tokens
+         |  FROM c),
+         |d AS (SELECT lang, chunk_key, n_chunk_tokens,
+         |        row_number() OVER (PARTITION BY lang ORDER BY chunk_key) AS rn
+         |      FROM chunks),
+         |r AS (
+         |  SELECT lang, rn, chunk_key, n_chunk_tokens, n_chunk_tokens AS acc,
+         |         CAST(0 AS BIGINT) AS seq_id
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.lang, d.rn, d.chunk_key, d.n_chunk_tokens,
+         |    CASE WHEN r.acc + d.n_chunk_tokens > 512 THEN d.n_chunk_tokens
+         |         ELSE r.acc + d.n_chunk_tokens END,
+         |    CASE WHEN r.acc + d.n_chunk_tokens > 512 THEN r.seq_id + 1
+         |         ELSE r.seq_id END
+         |  FROM r JOIN d ON d.lang = r.lang AND d.rn = r.rn + 1)
+         |SELECT lang, chunk_key, n_chunk_tokens, seq_id FROM r""".stripMargin
+    },
 
     "q46_supply_chain" ->
       """SELECT r_name, p_brand,
