@@ -520,6 +520,18 @@ object SparkEntry {
         "doc_id", "lang",
         Map("en" -> 0.5, "zh" -> 0.9), "mix1", defaultRate = 1.0)),
 
+    // Corpus report: per-language doc counts, token volume, and
+    // vocabulary size — count(distinct) inside a grouped aggregate
+    // (Catalyst's expand + two-phase distinct aggregation)
+    "q48_corpus_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("vocab"))),
+
     // The context-window pipeline end-to-end: chunk every doc into
     // ChunkWindow-token windows (q40's op), then greedily pack the chunks
     // into 512-token training sequences per lang shard (q41's op). The
@@ -944,6 +956,15 @@ object SparkEntry {
         |  FROM documents) b
         |WHERE bucket < (CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.9
         |                ELSE 1.0 END) * 10000""".stripMargin,
+
+    "q48_corpus_stats" ->
+      """SELECT lang,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS vocab
+        |FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents) t
+        |GROUP BY lang""".stripMargin,
 
     "q47_chunk_pack" -> {
       val (w, st) = (ChunkWindow, ChunkStride)
