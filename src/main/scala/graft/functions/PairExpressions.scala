@@ -44,7 +44,7 @@ case class PostingPairs(child: Expression)
   override protected def nullSafeEval(input: Any): Any = {
     val ids = input.asInstanceOf[ArrayData].toLongArray()
     val n = ids.length
-    PairExpressions.checkPostingLength(n)
+    PairExpressions.checkArrayPostingLength(n)
     // Long math: n*(n-1) wraps Int already at n = 46342, well inside the
     // guard's limit (the quotient always fits once computed in Long)
     val out = new Array[Any]((n.toLong * (n - 1) / 2).toInt)
@@ -103,7 +103,7 @@ case class PostingPairsWithSize(child: Expression, minJaccard: Double)
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    PairExpressions.checkPostingLength(n)
+    PairExpressions.checkArrayPostingLength(n)
     val ids = new Array[Long](n)
     val szs = new Array[Long](n)
     var i = 0
@@ -173,6 +173,7 @@ case class ExplodePostingPairs(child: Expression)
     if (v == null) return Iterator.empty
     val ids = v.asInstanceOf[ArrayData].toLongArray()
     val n = ids.length
+    PairExpressions.checkPostingLength(n)
     new Iterator[InternalRow] {
       private var i = 0
       private var j = 1
@@ -223,6 +224,7 @@ case class ExplodePostingPairsWithSize(child: Expression, minJaccard: Double)
     if (v == null) return Iterator.empty
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    PairExpressions.checkPostingLength(n)
     val ids = new Array[Long](n)
     val szs = new Array[Long](n)
     var p = 0
@@ -262,19 +264,36 @@ case class ExplodePostingPairsWithSize(child: Expression, minJaccard: Double)
 object PairExpressions {
   import org.apache.spark.sql.GraftInternals.{column, expression}
 
-  /** Longest posting list the pair kernels accept: beyond this, the i<j
-    * pair count overflows Int (and the output — billions of structs from
-    * ONE row — could never be materialized anyway). Reaching it means a
-    * stopword-class key slipped into the index: cap it upstream
-    * (`maxDocFreq` in [[graft.operators.Dedup.jaccardJoin]]) instead of
-    * generating df² pairs. */
+  /** Longest posting list the STREAMING pair kernels (the generator
+    * forms) accept: beyond this, the i<j pair count overflows Int (and
+    * even lazily, >2 billion rows from ONE posting means a stopword-class
+    * key slipped into the index — cap it upstream with `maxDocFreq` in
+    * [[graft.operators.Dedup.jaccardJoin]] instead of streaming df²
+    * pairs). */
   val maxPostingLength: Int = 65536
+
+  /** Longest posting list the ARRAY-form kernels (`posting_pairs`,
+    * `posting_pairs_sz` — SQL-registered, user-callable) accept. Far
+    * tighter than [[maxPostingLength]]: the array form materializes all
+    * n·(n−1)/2 pair structs inside a single row, so the binding
+    * constraint is the one-row allocation (~100 B/boxed pair ⇒ 65536 ids
+    * would attempt a multi-GB array — executor OOM), not Int overflow.
+    * 1024 ids ⇒ ≤523776 pairs ≈ tens of MB, the most a sane single row
+    * should hold; longer lists belong to the O(1)-memory generators. */
+  val maxArrayPostingLength: Int = 1024
 
   private[functions] def checkPostingLength(n: Int): Unit =
     if (n > maxPostingLength) throw new IllegalStateException(
       s"posting list of $n ids would generate ${n.toLong * (n - 1) / 2} " +
         s"pairs (limit $maxPostingLength ids) — drop ultra-frequent keys " +
         "upstream, e.g. with jaccardJoin's maxDocFreq")
+
+  private[functions] def checkArrayPostingLength(n: Int): Unit =
+    if (n > maxArrayPostingLength) throw new IllegalStateException(
+      s"posting list of $n ids would materialize ${n.toLong * (n - 1) / 2} " +
+        s"pair structs in ONE row (array-form limit $maxArrayPostingLength " +
+        "ids) — use the explode_posting_pairs* generators for long lists, " +
+        "or drop ultra-frequent keys upstream (jaccardJoin's maxDocFreq)")
 
   /** `posting_pairs(ids)`: array<struct<a_id,b_id>> of all i<j pairs. */
   def postingPairs(ids: Column): Column = column(PostingPairs(expression(ids)))

@@ -33,8 +33,11 @@ object AsofJoin {
     * @param leftTs    left timestamp column (numeric or timestamp)
     * @param rightTs   right timestamp column (same type as leftTs)
     * @param payload   right columns to attach (NULL when no match)
-    * @param tolerance max leftTs − rightTs in the ts columns' own unit;
-    *                  older matches are treated as no-match
+    * @param tolerance max leftTs − rightTs. Numeric ts columns: in the
+    *                  columns' own unit. TIMESTAMP ts columns: in
+    *                  MICROSECONDS (compared on `unix_micros`, so
+    *                  sub-second precision is honored — a plain
+    *                  `cast(long)` would truncate to whole seconds)
     * @return left columns ++ (`asof_ts` = matched rightTs) ++ payload */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
@@ -77,11 +80,18 @@ object AsofJoin {
       .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_tag") === 1)
 
+    // horizon check in the ts type's finest unit: unix_micros for
+    // timestamps (cast(long) would silently round tolerance to seconds)
+    def units(c: org.apache.spark.sql.Column) = tsType match {
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(c.cast("timestamp"))
+      case _ => c.cast("long")
+    }
     val inRange = tolerance match {
       case Some(tol) =>
         matched.withColumn("_m",
-          when(col("_m._rts").cast("long") >= col("_ts").cast("long") - tol,
-            col("_m")))
+          when(units(col("_m._rts")) >= units(col("_ts")) - tol, col("_m")))
       case None => matched
     }
     inRange.select(

@@ -30,6 +30,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   */
 object Dbscan {
 
+  /** Size-probe limit for the local fast path: `localThreshold + 1`,
+    * clamped so a huge threshold (e.g. `Long.MaxValue` for "always
+    * local") can't overflow to a 0-row `limit(0)` probe that would
+    * misroute arbitrarily large inputs onto the single-task path. */
+  private[graft] def probeCap(localThreshold: Long): Int =
+    (math.min(localThreshold, Int.MaxValue.toLong - 1) + 1).toInt
+
   /** Per-point ε-neighbor count (self included) — SURVEY §2.7 Q3. */
   def neighborCounts(points: DataFrame, idCol: String, vecCol: String,
       eps: Double, bucketDims: Seq[Int]): DataFrame = {
@@ -68,7 +75,7 @@ object Dbscan {
     // counting 100 TB to decide. k=0 (no bucket dims) means a brute-force
     // O(n²) scan — only allowed for tiny inputs.
     if (localThreshold > 0) {
-      val cap = math.min(localThreshold + 1, Int.MaxValue.toLong).toInt
+      val cap = probeCap(localThreshold)
       val n = ConnectedComponents.withJobDesc(pts, "dbscan: size probe") {
         pts.limit(cap).count()
       }

@@ -243,7 +243,12 @@ object Dedup {
       .select(col("shingle"), size(col("ids")).as("df"),
         explode(col("ids")).as("id"))
     // shuffle 2 (groupBy id): each doc's complete shingle set, sorted
-    // rarest-first — feeds BOTH prefix selection and exact verification
+    // rarest-first — feeds BOTH prefix selection and exact verification.
+    // Persisted without an explicit unpersist: the result is returned
+    // lazily, so release can't happen before the caller materializes it —
+    // the cache is reclaimed by the ContextCleaner once the plan is GC'd
+    // (same lifecycle as Dbscan.run's internal caches; contrast
+    // decontaminateBloom, whose eager build CAN release explicitly).
     val docArr = withDf.groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ts"))
       .select(col("id"),

@@ -54,6 +54,27 @@ class AsofJoinSpec extends SparkSpec {
     assert(outside.isNullAt(2) && outside.isNullAt(3))
   }
 
+  test("TIMESTAMP ts columns: tolerance is microseconds, sub-second " +
+      "precision honored") {
+    // left at 10.000500s; right rows at 10.000100s (400 µs back) and
+    // 9.0s (1.0005 s back). A cast-to-seconds comparison would truncate
+    // both sides to 10 and 9 — tolerance 450 µs would then reject the
+    // 400 µs match, and a 1_000_000 µs horizon would wrongly accept the
+    // 1.0005 s row (9 >= 10 - 1).
+    val l = spark.sql(
+      "SELECT 1L AS user_id, timestamp_micros(10000500) AS lts")
+    val r = spark.sql(
+      """SELECT 1L AS user_id, timestamp_micros(10000100) AS rts, 7L AS v
+        |UNION ALL
+        |SELECT 1L, timestamp_micros(9000000), 8L""".stripMargin)
+    val near = AsofJoin.backward(l, r, Seq("user_id"), "lts", "rts",
+      Seq("v"), tolerance = Some(450L)).collect()(0)
+    assert(near.getLong(3) == 7L, "400 µs-old match inside a 450 µs horizon")
+    val far = AsofJoin.backward(l, r.filter(col("v") === 8), Seq("user_id"),
+      "lts", "rts", Seq("v"), tolerance = Some(1_000_000L)).collect()(0)
+    assert(far.isNullAt(3), "1.0005 s-old match outside a 1 s horizon")
+  }
+
   test("equal timestamps: right row at ts == left ts matches (inclusive)") {
     val l = mk(Seq((1L, 50L))).withColumnRenamed("ts", "lts")
     val r = spark.createDataFrame(Seq((1L, 50L, 1L), (1L, 50L, 9L)))

@@ -174,4 +174,13 @@ class DbscanSpec extends SparkSpec {
     // with eps ~ 0 every point is its own singleton cluster, none noise
     assert(dist.size == 300 && dist.values.forall(_ > 0))
   }
+
+  test("size-probe cap survives extreme localThreshold values") {
+    // Long.MaxValue ("always local") must not overflow to a limit(0)
+    // probe that reads n=0 and routes any input to the one-task path
+    assert(Dbscan.probeCap(Long.MaxValue) == Int.MaxValue)
+    assert(Dbscan.probeCap(Int.MaxValue.toLong) == Int.MaxValue)
+    assert(Dbscan.probeCap(100_000L) == 100_001)
+    assert(Dbscan.probeCap(1L) == 2)
+  }
 }

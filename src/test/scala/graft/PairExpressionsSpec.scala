@@ -57,13 +57,33 @@ class PairExpressionsSpec extends SparkSpec {
     assert(viaArray.toSeq == ref)
   }
 
-  test("oversized posting list fails with a clear message (array form only)") {
-    val big = (0L until (PairExpressions.maxPostingLength + 1).toLong).toSeq
+  test("array form rejects lists past its one-row allocation cap; the " +
+      "generator streams the same list fine") {
+    val n = PairExpressions.maxArrayPostingLength + 1
+    val big = (0L until n.toLong).toSeq
     val df = spark.createDataFrame(Seq(Tuple1(big))).toDF("ids")
     val e = intercept[org.apache.spark.SparkException] {
       df.select(explode(PairExpressions.postingPairs(col("ids")))).count()
     }
-    assert(e.getMessage.contains("maxDocFreq") ||
-      Option(e.getCause).exists(_.getMessage.contains("maxDocFreq")))
+    assert(e.getMessage.contains("explode_posting_pairs") ||
+      Option(e.getCause).exists(_.getMessage.contains("explode_posting_pairs")))
+    // the same list is legal for the O(1)-memory generator
+    val got = df.select(PairExpressions.explodePostingPairs(col("ids"))).count()
+    assert(got == n.toLong * (n - 1) / 2)
+  }
+
+  test("generator rejects stopword-grade lists past maxPostingLength") {
+    val big = (0L until (PairExpressions.maxPostingLength + 1).toLong).toSeq
+    val df = spark.createDataFrame(Seq(Tuple1(big))).toDF("ids")
+    for (gen <- Seq(
+        PairExpressions.explodePostingPairs(col("ids")),
+        PairExpressions.explodePostingPairsWithSize(
+          expr("transform(ids, x -> struct(x AS id, 5L AS sz))"), 0.5))) {
+      val e = intercept[org.apache.spark.SparkException] {
+        df.select(gen).count()
+      }
+      assert(e.getMessage.contains("maxDocFreq") ||
+        Option(e.getCause).exists(_.getMessage.contains("maxDocFreq")))
+    }
   }
 }
