@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TextFunctions
 import graft.operators.{AnnSearch, Dbscan, Dedup, KnnJoin}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -17,6 +17,31 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts as epoch millis. LongType only occurs under the
+    * nanosAsLong reader flag (raw TIMESTAMP(NANOS)): ns -> ms. */
+  private def eventMs(ev: DataFrame): Column = ev.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
+    case _ => unix_millis(col("ts"))
+  }
+
+  /** Batch sessionization via gaps-and-islands (30-min gap): one row per
+    * (user, session) with event count and [start_ms, end_ms] bounds —
+    * q21's output, reused as q49's interval input. */
+  private def sessionTable(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ms"))
+    val wRun = Window.partitionBy("user_id").orderBy(col("ms"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col("user_id"), eventMs(ev).as("ms"))
+      .withColumn("new_sess",
+        when(col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1)
+          .otherwise(when(lag(col("ms"), 1).over(w).isNull, 1).otherwise(0)))
+      .withColumn("session_id", sum(col("new_sess")).over(wRun).cast("int"))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ms").as("start_ms"), max("ms").as("end_ms"))
+  }
 
   /** DBSCAN parameters for the embeddings point table (500×64-dim,
     * nearest-pair d² ≈ 1.24): ε=1.2, minPts=8 ⇒ ~212 cores, non-trivial
@@ -210,25 +235,7 @@ object SparkEntry {
 
     // Events: batch sessionization via gaps-and-islands (30-min gap) —
     // the batch twin of streaming.EventPipeline.sessionize
-    "q21_sessions" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      val ms = ev.schema("ts").dataType match {
-        // LongType only occurs under nanosAsLong (raw NANOS): ns -> ms
-        case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
-        case _ => unix_millis(col("ts"))
-      }
-      val w = Window.partitionBy("user_id").orderBy(col("ms"))
-      val wRun = Window.partitionBy("user_id").orderBy(col("ms"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.select(col("user_id"), ms.as("ms"))
-        .withColumn("new_sess",
-          when(col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1)
-            .otherwise(when(lag(col("ms"), 1).over(w).isNull, 1).otherwise(0)))
-        .withColumn("session_id", sum(col("new_sess")).over(wRun).cast("int"))
-        .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"),
-          min("ms").as("start_ms"), max("ms").as("end_ms"))
-    }),
+    "q21_sessions" -> ((s, dir) => sessionTable(s, dir)),
 
     // Dedup family: SimHash fingerprints. The portable md5-derived token
     // hash makes the whole fingerprint DuckDB-reproducible (engine default
@@ -284,11 +291,7 @@ object SparkEntry {
     // pandas compare off nullable-int dtype drama)
     "q29_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val ms = ev.schema("ts").dataType match {
-        // LongType only occurs under nanosAsLong (raw NANOS): ns -> ms
-        case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
-        case _ => unix_millis(col("ts"))
-      }
+      val ms = eventMs(ev)
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), ms.as("click_ms"))
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -570,6 +573,72 @@ object SparkEntry {
           (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             * lit(10000.0))) / lit(10000.0)).as("revenue"),
           count(lit(1)).as("n_items"))),
+
+    // Events: session concurrency — for each session, how many sessions
+    // of OTHER users overlap it in time. Interval overlap via the
+    // time-bin equi-join (IntervalJoin: report-once bin ownership, no
+    // theta/cross join, no dedup shuffle); 1-hour bins ≈ the 30-min-gap
+    // sessions' typical length.
+    "q49_session_overlap" -> ((s, dir) => {
+      val sess = sessionTable(s, dir)
+      val n = graft.operators.IntervalJoin
+        .overlapJoin(sess, sess, "start_ms", "end_ms", 3600000L)
+        .filter(col("a_user_id") =!= col("b_user_id"))
+        .groupBy("a_user_id", "a_session_id")
+        .agg(count(lit(1)).as("n_concurrent"))
+        .withColumnsRenamed(Map(
+          "a_user_id" -> "user_id", "a_session_id" -> "session_id"))
+      sess.select("user_id", "session_id")
+        .join(n, Seq("user_id", "session_id"), "left")
+        .select(col("user_id"), col("session_id"),
+          coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+    }),
+
+    // Events: 24h conversion funnel view -> click -> purchase — per-user
+    // first-qualifying-step timestamps in ONE shuffle (chained
+    // full-partition windows; Funnel). Sentinel -1 where the chain broke.
+    "q50_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.operators.Funnel.steps(
+          ev.select(col("user_id"), eventMs(ev).as("ms"), col("event_type")),
+          "user_id", "ms", "event_type",
+          Seq("view", "click", "purchase"), Some(86400000L))
+        .select(col("user_id"),
+          coalesce(col("step_1_ts"), lit(-1L)).as("view_ms"),
+          coalesce(col("step_2_ts"), lit(-1L)).as("click_ms"),
+          coalesce(col("step_3_ts"), lit(-1L)).as("purchase_ms"))
+    }),
+
+    // Text quality: duplicate word-3-gram fraction per doc (the Gopher
+    // "repetition" signal) — total vs distinct gram counts off one
+    // native-shingle scan, no shuffle at all
+    "q51_repetition" -> ((s, dir) => {
+      val ws = TextFunctions.tokens(col("text"))
+      t(s, dir, "documents")
+        .filter(size(ws) >= 3)
+        .select(col("doc_id"),
+          (size(ws) - 2).cast("long").as("total_grams"),
+          size(TextFunctions.shingles(col("text"), 3)).cast("long")
+            .as("distinct_grams"))
+        .withColumn("dup_ratio",
+          round(lit(1.0) -
+            col("distinct_grams").cast("double") / col("total_grams"), 6))
+    }),
+
+    // Text quality: unigram token entropy per doc (Zipf-conformity /
+    // repetitiveness signal). log2(n) − Σc·log2(c)/n decomposition: both
+    // sums come out of ONE grouped aggregate over (doc, token) counts —
+    // partial+final agg, no token list ever collected
+    "q52_token_entropy" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w")
+        .agg(count(lit(1)).cast("double").as("cnt"))
+        .groupBy("doc_id")
+        .agg(round(
+          log2(sum(col("cnt"))) -
+            sum(col("cnt") * log2(col("cnt"))) / sum(col("cnt")), 6)
+          .as("token_entropy"))),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -1007,6 +1076,74 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |JOIN part ON l_partkey = p_partkey
         |GROUP BY r_name, p_brand""".stripMargin,
+
+    // deliberately naive interval theta-join (auditably the definition;
+    // DuckDB's IEJoin keeps it tractable) over the q21 session CTE
+    "q49_session_overlap" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |flagged AS (
+        |  SELECT user_id, ms,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ms,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+        |      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+        |  FROM flagged),
+        |iv AS (SELECT user_id, session_id, min(ms) AS start_ms, max(ms) AS end_ms
+        |       FROM sess GROUP BY user_id, session_id)
+        |SELECT a.user_id, a.session_id,
+        |  CAST(count(b.user_id) AS BIGINT) AS n_concurrent
+        |FROM iv a LEFT JOIN iv b
+        |  ON a.user_id != b.user_id
+        | AND a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms
+        |GROUP BY a.user_id, a.session_id""".stripMargin,
+
+    "q50_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+        |f AS (SELECT DISTINCT user_id FROM e
+        |      WHERE event_type IN ('view','click','purchase')),
+        |v AS (SELECT user_id, min(ms) AS v_ms FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(ms) AS c_ms FROM e JOIN v USING(user_id)
+        |      WHERE event_type = 'click'
+        |        AND ms >= v_ms AND ms <= v_ms + 86400000
+        |      GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(ms) AS p_ms FROM e JOIN c USING(user_id)
+        |      WHERE event_type = 'purchase'
+        |        AND ms >= c_ms AND ms <= c_ms + 86400000
+        |      GROUP BY e.user_id)
+        |SELECT f.user_id,
+        |  coalesce(v.v_ms, -1) AS view_ms,
+        |  coalesce(c.c_ms, -1) AS click_ms,
+        |  coalesce(p.p_ms, -1) AS purchase_ms
+        |FROM f LEFT JOIN v USING(user_id) LEFT JOIN c USING(user_id)
+        |       LEFT JOIN p USING(user_id)""".stripMargin,
+
+    "q51_repetition" ->
+      """SELECT doc_id, total_grams, distinct_grams,
+        |  round(1.0 - CAST(distinct_grams AS DOUBLE) / total_grams, 6)
+        |    AS dup_ratio
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(ws) - 2 AS BIGINT) AS total_grams,
+        |    CAST(len(list_distinct(list_transform(range(len(ws) - 2),
+        |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS BIGINT)
+        |      AS distinct_grams
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w
+        |  WHERE len(ws) >= 3) g""".stripMargin,
+
+    "q52_token_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |             FROM documents),
+        |g AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS cnt
+        |      FROM tok GROUP BY doc_id, w)
+        |SELECT doc_id,
+        |  round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 6)
+        |    AS token_entropy
+        |FROM g GROUP BY doc_id""".stripMargin,
   )
 
   /** Language-ID in pure SQL, generated from the SAME lexica the engine

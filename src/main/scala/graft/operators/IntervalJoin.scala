@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval overlap join: all pairs (a, b) with `a.lo <= b.hi AND
+  * b.lo <= a.hi` — the temporal analog of the ε-join's spatial
+  * neighborhood (SURVEY §2.3 IX-2 machinery re-keyed from ε-grid cells
+  * to time bins). The reference engine has no interval operator
+  * (SURVEY §2.6); this is part of the events-pipeline extension
+  * surface (concurrency analysis, conflict detection, downtime
+  * attribution).
+  *
+  * Spark-first plan — NOT a theta join (which Catalyst can only run as
+  * BroadcastNestedLoop / cartesian): each interval explodes to the
+  * fixed-width time bins it touches (narrow), candidates meet in an
+  * equi-join on the bin id, and the exact overlap predicate filters
+  * in-bin false positives. A pair overlapping k shared bins is emitted
+  * ONCE — only from the bin containing the overlap's start,
+  * `floor(max(a.lo, b.lo) / w)` — so no distinct/dedup shuffle is ever
+  * needed (same report-once trick as EpsilonJoin's half-space cell
+  * ownership).
+  *
+  * Scale: shuffle volume is rows × (len/w + 1) bin copies; per-bin work
+  * is quadratic in bin occupancy. Pick `binWidth` near the typical
+  * interval length (shorter ⇒ more copies, longer ⇒ fatter bins); a
+  * hot bin (everyone online at the same minute) is an AQE skew-join
+  * case, exactly like a dense ε-cell.
+  */
+object IntervalJoin {
+
+  /** @param left      intervals; all columns pass through as `a_<col>`
+    * @param right     intervals; all columns pass through as `b_<col>`
+    * @param loCol     inclusive interval start (non-negative long/int)
+    * @param hiCol     inclusive interval end, >= start
+    * @param binWidth  bucketing width in the interval columns' own unit
+    * @return one row per overlapping (left, right) pair */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+      loCol: String, hiCol: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, prefix: String): DataFrame = {
+      val renamed =
+        df.select(df.columns.toSeq.map(c => col(c).as(s"$prefix$c")): _*)
+      // DIV (floor division on longs) — a double-division floor would
+      // lose exactness past 2^53; interval bounds are epoch-scale longs
+      renamed.withColumn("_bin",
+        explode(sequence(col(s"$prefix$loCol") div binWidth,
+          col(s"$prefix$hiCol") div binWidth)))
+    }
+    val a = binned(left, "a_")
+    val b = binned(right, "b_")
+    val overlap = col(s"a_$loCol") <= col(s"b_$hiCol") &&
+      col(s"b_$loCol") <= col(s"a_$hiCol")
+    // report-once: only the bin where the overlap STARTS emits the pair
+    val owner = a("_bin") ===
+      (greatest(col(s"a_$loCol"), col(s"b_$loCol")) div binWidth)
+    a.join(b, a("_bin") === b("_bin") && overlap && owner)
+      .drop("_bin")
+  }
+
+  private implicit final class DivOps(private val c: Column) extends AnyVal {
+    /** SQL `DIV`: exact floor division on integral types (the `/`
+      * operator widens to double). Operands here are non-negative. */
+    def div(w: Long): Column = org.apache.spark.sql.GraftInternals.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftInternals.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(w)))
+  }
+}

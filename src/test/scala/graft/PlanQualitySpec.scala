@@ -127,6 +127,29 @@ class PlanQualitySpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).length == 1, p)
   }
 
+  test("q50 funnel: ONE exchange, step filter pushed to the scan") {
+    // k chained full-partition windows + the per-user collapse must all
+    // ride a single hash partitioning on user_id; the step-type IN
+    // filter must reach the parquet scan (at 100 TB the irrelevant
+    // event types never leave the files)
+    val p = plan(SparkEntry.queries("q50_funnel")(spark, sf))
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"funnel should shuffle exactly once:\n$p")
+    assert(p.contains("In(event_type"), s"step filter did not push down:\n$p")
+  }
+
+  test("q51 repetition: shuffle-free, native shingle kernel in the plan") {
+    val p = plan(SparkEntry.queries("q51_repetition")(spark, sf))
+    assert(!p.contains("Exchange"), s"q51 has a shuffle:\n$p")
+    assert(p.contains("shingles"), s"native shingle kernel missing:\n$p")
+  }
+
+  test("q49 interval join stays an equi-join on time bins") {
+    val p = plan(SparkEntry.queries("q49_session_overlap")(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"interval join degenerated to a cross join:\n$p")
+  }
+
   test("q37/q39/q40 are fully narrow: no exchange, pruned scans") {
     // per-row curation ops (redaction, hash split, chunking) must compile
     // to shuffle-free pipelines — at 100 TB, an accidental exchange here
