@@ -639,6 +639,56 @@ object SparkEntry {
           log2(sum(col("cnt"))) -
             sum(col("cnt") * log2(col("cnt"))) / sum(col("cnt")), 6)
           .as("token_entropy"))),
+
+    // Analytics: purchase-cohort retention matrix — cohort = a user's
+    // first purchase day; a cell = distinct cohort users active (any
+    // event type) at that day offset. The cohort aggregate and the
+    // activity join both hash on user_id (the groupBy output joins
+    // back co-partitioned); only the final matrix agg re-shuffles, and
+    // its countDistinct partial-aggregates before the exchange.
+    "q53_cohort_retention" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0
+        .select(col("user_id"), col("event_type"), eventMs(ev0).as("ms"))
+        .select(col("user_id"), col("event_type"),
+          expr("ms DIV 86400000").as("day"))
+      val cohort = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("day").as("cohort_day"))
+      ev.join(cohort, Seq("user_id"))
+        .filter(col("day") >= col("cohort_day"))
+        .select(col("user_id"), col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(countDistinct("user_id").as("n_users"))
+    }),
+
+    // Relational: PIVOT — monthly revenue matrix by return flag.
+    // Explicit pivot values keep it a single conditional-aggregate pass
+    // (Catalyst compiles pivot to sum(CASE WHEN ...) columns — one
+    // shuffle, no per-value scan and no value-discovery job).
+    "q54_pivot_monthly" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate")))
+          .cast("long").as("ym"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(round(col("l_extendedprice") * 100)) / 100.0)
+        .select(col("ym"),
+          coalesce(col("A"), lit(0.0)).as("rev_a"),
+          coalesce(col("N"), lit(0.0)).as("rev_n"),
+          coalesce(col("R"), lit(0.0)).as("rev_r"))),
+
+    // Relational: set operations — customers with orders in BOTH the
+    // 'O' and 'F' status classes (INTERSECT), minus anyone who ever
+    // filed an urgent-priority order (EXCEPT). Both compile to
+    // distinct + hash joins on the single projected key column — the
+    // scans prune to (o_custkey, filter column) only.
+    "q55_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def custs(p: Column) = o.filter(p).select(col("o_custkey"))
+      custs(col("o_orderstatus") === "O")
+        .intersect(custs(col("o_orderstatus") === "F"))
+        .except(custs(col("o_orderpriority") === "1-URGENT"))
+    }),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -1144,6 +1194,34 @@ object SparkEntry {
         |  round(log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt), 6)
         |    AS token_entropy
         |FROM g GROUP BY doc_id""".stripMargin,
+
+    "q53_cohort_retention" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  epoch_ms(ts) // 86400000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e
+        |      WHERE event_type = 'purchase' GROUP BY user_id)
+        |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c USING(user_id)
+        |WHERE e.day >= c.cohort_day
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q54_pivot_monthly" ->
+      """SELECT CAST(year(l_shipdate)*100 + month(l_shipdate) AS BIGINT) AS ym,
+        |  coalesce(sum(CASE WHEN l_returnflag = 'A'
+        |    THEN round(l_extendedprice * 100) END) / 100.0, 0.0) AS rev_a,
+        |  coalesce(sum(CASE WHEN l_returnflag = 'N'
+        |    THEN round(l_extendedprice * 100) END) / 100.0, 0.0) AS rev_n,
+        |  coalesce(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN round(l_extendedprice * 100) END) / 100.0, 0.0) AS rev_r
+        |FROM lineitem GROUP BY ym""".stripMargin,
+
+    "q55_set_ops" ->
+      """(SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
   )
 
   /** Language-ID in pure SQL, generated from the SAME lexica the engine
