@@ -689,6 +689,28 @@ object SparkEntry {
         .intersect(custs(col("o_orderstatus") === "F"))
         .except(custs(col("o_orderpriority") === "1-URGENT"))
     }),
+
+    // Curation: deterministic exact-k audit sample per language — the
+    // TopKByScore heap aggregate (O(log k) per row, k-sized shuffle
+    // buffers) instead of a row_number window's full per-group sort.
+    "q56_sample_k" -> ((s, dir) =>
+      graft.operators.Curation.sampleKPerGroup(
+        t(s, dir, "documents"), Seq("lang"), "doc_id", 20, "s1")),
+
+    // Relational: skew-salted join — events fan onto 150 hot user keys;
+    // the salt spreads each hot key over 8 shuffle partitions and the
+    // replicated dimension side joins on (key, salt). Result identical
+    // to the plain inner join (oracle is exactly that).
+    "q57_skew_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"), col("value"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.SkewJoin
+        .saltedInner(ev, cust, "user_id", "c_custkey", 8)
+        .groupBy("c_mktsegment")
+        .agg((sum(round(col("value") * 100)) / 100.0).as("tot_value"),
+          count(lit(1)).as("n_events"))
+    }),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -1222,6 +1244,22 @@ object SparkEntry {
         | SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+
+    "q56_sample_k" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+        |                 || ':s1'), 1, 13) AS BIGINT), doc_id) AS rn
+        |  FROM documents) r
+        |WHERE rn <= 20""".stripMargin,
+
+    "q57_skew_join" ->
+      """SELECT c_mktsegment,
+        |  sum(round(value * 100)) / 100.0 AS tot_value,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
   )
 
   /** Language-ID in pure SQL, generated from the SAME lexica the engine

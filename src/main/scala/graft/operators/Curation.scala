@@ -85,6 +85,39 @@ object Curation {
     df.filter(saltedBucket(keyCol, salt) < rate * lit(10000.0))
   }
 
+  /** Deterministic exact-k per-group sample: the k rows of each group
+    * with the smallest salted content hash — "give me a reproducible
+    * audit sample of every stratum" without a sort.
+    *
+    * Scale: runs as a partial+final hash aggregate over the
+    * [[graft.functions.TopKByScore]] heap — every row does one O(log k)
+    * heap push on its input partition and only k-sized buffers cross
+    * the shuffle. The window alternative (`row_number() ≤ k`) shuffles
+    * and SORTS every row of every group; this never materializes more
+    * than k candidates per group anywhere. Unlike [[hashSampleBy]]
+    * (rate-based, count-free) the sample is exactly min(k, |group|)
+    * rows, at the price of that one aggregate.
+    *
+    * The score is the first 13 hex chars (52 bits) of the salted md5 —
+    * it fits a Double EXACTLY, so the heap's (score, id) order is
+    * bit-identical to a SQL `ORDER BY hash_int, id` oracle.
+    *
+    * @param idCol long-castable unique row key (hashed, returned).
+    * @return one row per kept (group, id). */
+  def sampleKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val score = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":"), lit(salt))),
+      1, 13), 16, 10).cast("double")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopKByScore
+        .topkMin(col(idCol).cast("long"), score, k).as("_picks"))
+      .select(groupCols.map(col) :+ explode(col("_picks")).as("_p"): _*)
+      .select(groupCols.map(col) :+ col("_p.id").as(idCol): _*)
+  }
+
   /** Greedy sequence packing: group documents into fixed-token-budget
     * training sequences (first-fit in `idCol` order within each
     * `groupCol` shard) — the sample-packing step that turns a curated

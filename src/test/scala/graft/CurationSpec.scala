@@ -97,6 +97,39 @@ class CurationSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
   }
 
+  test("sampleKPerGroup: exact k per group, window-oracle equal, invariant") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("g", pmod(col("id"), lit(5)).cast("string"))
+    val got = Curation.sampleKPerGroup(df, Seq("g"), "id", 7, "s1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.size == 5 * 7)
+    assert(got.groupBy(_._1).forall(_._2.size == 7))
+    // bit-identical to the row_number() window formulation (the heap's
+    // (score, id) order == ORDER BY hash, id)
+    val h = conv(substring(md5(concat(col("id").cast("string"), lit(":s1"))),
+      1, 13), 16, 10).cast("double")
+    val oracle = df
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("g").orderBy(h, col("id"))))
+      .filter(col("rn") <= 7)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got == oracle)
+    // physical-layout invariance + exact-k semantics for small groups
+    val repart = Curation.sampleKPerGroup(df.repartition(13), Seq("g"), "id",
+      7, "s1").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == repart)
+    val all = Curation.sampleKPerGroup(df, Seq("g"), "id", 500, "s1").count()
+    assert(all == 1000L, "k beyond the group size keeps every row")
+    // a different salt re-rolls the sample
+    val other = Curation.sampleKPerGroup(df, Seq("g"), "id", 7, "s2")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got != other)
+    assertThrows[IllegalArgumentException] {
+      Curation.sampleKPerGroup(df, Seq("g"), "id", 0, "s")
+    }
+  }
+
   test("chunkIndices: coverage and overlap arithmetic") {
     def nChunks(nTokens: Int): Long = {
       val txt = (1 to nTokens).map(i => s"t$i").mkString(" ")
