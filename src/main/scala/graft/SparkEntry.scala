@@ -711,6 +711,35 @@ object SparkEntry {
         .agg((sum(round(col("value") * 100)) / 100.0).as("tot_value"),
           count(lit(1)).as("n_events"))
     }),
+
+    // Graph: PageRank centrality over the session-concurrency graph —
+    // edges = distinct user pairs with overlapping sessions (q49's
+    // interval machinery), 10 rounds of the CC-style checkpointed
+    // join+agg loop. Oracle: the same 10 iterations unrolled as CTEs.
+    "q58_pagerank" -> ((s, dir) => {
+      val sess = sessionTable(s, dir)
+      val edges = graft.operators.IntervalJoin
+        .overlapJoin(sess, sess, "start_ms", "end_ms", 3600000L)
+        .filter(col("a_user_id") =!= col("b_user_id"))
+        .select(col("a_user_id").as("src"), col("b_user_id").as("dst"))
+      graft.operators.PageRank.run(edges, "src", "dst", PrIters, PrDamping)
+        .select(col("id").as("user_id"), round(col("rank"), 8).as("rank"))
+    }),
+
+    // Sketches: per-language vocabulary estimate from MERGED per-source
+    // HLL sketches — the sketch-once / re-aggregate-many scale path.
+    // Rows-only check: approximate by design (q48 is the exact oracled
+    // twin); union==direct and the error bound are spec-enforced.
+    "q59_hll_vocab" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          explode(TextFunctions.tokens(col("text"))).as("tok"))
+      val perSource = graft.operators.Sketches
+        .distinctSketch(toks, Seq("lang", "source"), "tok")
+      graft.operators.Sketches.mergeSketches(perSource, Seq("lang"))
+        .select(col("lang"),
+          graft.operators.Sketches.estimate(col("sketch")).as("vocab_est"))
+    }),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -1260,7 +1289,61 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_events
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q58_pagerank" -> pagerankOracle,
   )
+
+  /** PageRank iteration budget — shared by q58 and its unrolled oracle. */
+  private val PrIters = 10
+  private val PrDamping = 0.85
+
+  /** q58's oracle: the session CTE (textually in sync with
+    * [[sessionTable]] / q49), the overlap edge set, then [[PrIters]]
+    * PageRank rounds UNROLLED as paired (contribution, rank) CTEs.
+    * Float parity: the engine bakes `(1-d)/n` as one Scala-computed
+    * literal; the oracle casts the identically-printed literal to DOUBLE
+    * so both engines run the same IEEE ops; residual sum-order noise is
+    * absorbed by round(,8) (same acceptance as q30's rounded logs). */
+  private def pagerankOracle: String = {
+    val head =
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |flagged AS (
+        |  SELECT user_id, ms,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+        |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, ms,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+        |      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+        |  FROM flagged),
+        |iv AS (SELECT user_id, session_id, min(ms) AS start_ms, max(ms) AS end_ms
+        |       FROM sess GROUP BY user_id, session_id),
+        |edges AS (
+        |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+        |  FROM iv a JOIN iv b
+        |    ON a.user_id != b.user_id
+        |   AND a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms),
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+        |        FROM edges GROUP BY src),
+        |r0 AS (SELECT id, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"""
+        .stripMargin
+    val rounds = (1 to PrIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, sum(r.rank / d.deg) AS m
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.id
+         |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         |r$i AS (SELECT nodes.id,
+         |  CAST(${1.0 - PrDamping} AS DOUBLE) / nn.n
+         |    + CAST($PrDamping AS DOUBLE) * coalesce(c$i.m, 0.0) AS rank
+         |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.id = nodes.id)"""
+        .stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT id AS user_id, round(rank, 8) AS rank FROM r$PrIters"
+  }
 
   /** Language-ID in pure SQL, generated from the SAME lexica the engine
     * uses (`TextFunctions.langLexica`) — shared by q12 and q35. */

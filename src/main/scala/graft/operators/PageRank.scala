@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** PageRank over an edge table — graph centrality as an iterative
+  * DataFrame loop, reusing the exact execution shape of the engine's
+  * connected-components merge (SURVEY §2.4 C-3: iterate joins to a
+  * fixpoint, `localCheckpoint` each round to cut lineage — the Spark
+  * twin of the reference's interleaved merge rounds,
+  * `dbscan.cpp:847-1012`).
+  *
+  * Simple formulation: `r = (1-d)/N + d * Σ_in r(src)/outdeg(src)`,
+  * uniform init 1/N, fixed iteration count. Dangling-node mass (nodes
+  * with no out-edges) is dropped, not redistributed — states the common
+  * simplified variant explicitly so a SQL oracle can mirror it
+  * term-for-term.
+  *
+  * Scale: per iteration one join (edges ⋈ ranks on src — edges are
+  * partitioned by src once and cached, so only the rank table
+  * re-shuffles) and one aggregate (contributions by dst). No
+  * driver-side graph state; ranks never leave executors. Iteration
+  * count is the latency knob (10 ≈ the usual convergence budget).
+  *
+  * Like [[Dbscan.run]], a deduplicated edge set at or below
+  * `localThreshold` takes a fused single-TASK path instead: the
+  * iteration loop runs inside one `mapPartitions` over the
+  * already-distinct edges — array adjacency, zero further shuffles,
+  * none of the per-round job latency that dominates small graphs.
+  * Both paths implement the same formula; results agree to float
+  * sum-order (spec-enforced), and the threshold bounds the task's
+  * memory at ~32 B/edge.
+  */
+object PageRank {
+
+  private val outSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("rank", DoubleType, nullable = false)))
+
+  /** @param edges directed edge table; duplicates are collapsed.
+    * @param localThreshold max deduplicated edge count for the fused
+    *   single-task path; 0 forces the distributed loop.
+    * @return (id, rank) for every node incident to an edge. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double = 0.85,
+      localThreshold: Long = 5_000_000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    // the distinct edge set is the loop's reused input either way:
+    // cache it, and size the path choice on its materialized count
+    // (cache lifecycle: released by the ContextCleaner with the plan,
+    // as in Dbscan.run — callers loop over SESSIONS, not operators)
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().persist()
+    val nEdges = e.count()
+    if (nEdges <= localThreshold) runFused(e, iterations, damping)
+    else runDistributed(e, iterations, damping)
+  }
+
+  /** Small-graph path: the whole iteration runs in ONE task over the
+    * (already shuffled-distinct, cached) edge list. */
+  private def runFused(e: DataFrame, iterations: Int,
+      damping: Double): DataFrame =
+    e.coalesce(1).mapPartitions { it =>
+      val edges = it.map(r => (r.getLong(0), r.getLong(1))).toArray
+      if (edges.isEmpty) Iterator.empty
+      else {
+        val ids = edges.iterator.flatMap(p => Iterator(p._1, p._2))
+          .toArray.distinct.sorted
+        val idx = ids.zipWithIndex.toMap
+        val n = ids.length
+        val src = edges.map(p => idx(p._1))
+        val dst = edges.map(p => idx(p._2))
+        val deg = new Array[Double](n)
+        src.foreach(s => deg(s) += 1.0)
+        var rank = Array.fill(n)(1.0 / n)
+        val base = (1.0 - damping) / n
+        for (_ <- 1 to iterations) {
+          val in = new Array[Double](n)
+          var i = 0
+          while (i < edges.length) {
+            in(dst(i)) += rank(src(i)) / deg(src(i)); i += 1
+          }
+          rank = Array.tabulate(n)(v => base + damping * in(v))
+        }
+        ids.iterator.zipWithIndex.map { case (id, i) => Row(id, rank(i)) }
+      }
+    }(Encoders.row(outSchema))
+
+  /** Cluster-scale path: per-round join + aggregate, checkpointed. */
+  private def runDistributed(e: DataFrame, iterations: Int,
+      damping: Double): DataFrame = {
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist()
+    val n = math.max(nodes.count(), 1L)
+    // out-degree rides each edge row: groupBy(src) and the join back
+    // are co-partitioned (one shuffle), cached for every round
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .persist()
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = eDeg.join(ranks, col("src") === col("id"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      ranks = nodes.join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("m"), lit(0.0))).as("rank"))
+        .localCheckpoint() // cut the per-round lineage, like the CC loop
+    }
+    nodes.unpersist()
+    eDeg.unpersist() // ranks are checkpointed — nothing depends on it now
+    ranks
+  }
+}
