@@ -17,8 +17,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.EpsilonPredicateRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -120,12 +122,19 @@ object GraftExtensions {
   // fails with INTERNAL_ERROR) — so Column-level compositions like
   // TextFunctions.langId stay DataFrame-only.
 
-  /** Register the same functions on an already-built session (useful in
-    * tests and notebooks where the builder is out of reach). */
+  /** Register the same functions (and the optimizer rewrite) on an
+    * already-built session (useful in tests and notebooks where the
+    * builder is out of reach). Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     functions.foreach { case (id, inf, builder) =>
       reg.registerFunction(id, inf, builder)
+    }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.EpsilonPredicateRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.EpsilonPredicateRewrite
     }
   }
 }
