@@ -885,21 +885,9 @@ object SparkEntry {
         |FROM events GROUP BY hr, event_type""".stripMargin,
 
     "q21_sessions" ->
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
-        |flagged AS (
-        |  SELECT user_id, ms,
-        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
-        |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM e),
-        |sess AS (
-        |  SELECT user_id, ms,
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
-        |      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
-        |  FROM flagged)
-        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
-        |       min(ms) AS start_ms, max(ms) AS end_ms
-        |FROM sess GROUP BY user_id, session_id""".stripMargin,
+      s"""WITH $SessionIvCte
+         |SELECT user_id, session_id, n_events, start_ms, end_ms
+         |FROM iv""".stripMargin,
 
     "q27_bpe_tokens" ->
       s"""SELECT doc_id,
@@ -1181,26 +1169,13 @@ object SparkEntry {
     // deliberately naive interval theta-join (auditably the definition;
     // DuckDB's IEJoin keeps it tractable) over the q21 session CTE
     "q49_session_overlap" ->
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
-        |flagged AS (
-        |  SELECT user_id, ms,
-        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
-        |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM e),
-        |sess AS (
-        |  SELECT user_id, ms,
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
-        |      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
-        |  FROM flagged),
-        |iv AS (SELECT user_id, session_id, min(ms) AS start_ms, max(ms) AS end_ms
-        |       FROM sess GROUP BY user_id, session_id)
-        |SELECT a.user_id, a.session_id,
-        |  CAST(count(b.user_id) AS BIGINT) AS n_concurrent
-        |FROM iv a LEFT JOIN iv b
-        |  ON a.user_id != b.user_id
-        | AND a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms
-        |GROUP BY a.user_id, a.session_id""".stripMargin,
+      s"""WITH $SessionIvCte
+         |SELECT a.user_id, a.session_id,
+         |  CAST(count(b.user_id) AS BIGINT) AS n_concurrent
+         |FROM iv a LEFT JOIN iv b
+         |  ON a.user_id != b.user_id
+         | AND a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms
+         |GROUP BY a.user_id, a.session_id""".stripMargin,
 
     "q50_funnel" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
@@ -1297,29 +1272,37 @@ object SparkEntry {
   private val PrIters = 10
   private val PrDamping = 0.85
 
-  /** q58's oracle: the session CTE (textually in sync with
-    * [[sessionTable]] / q49), the overlap edge set, then [[PrIters]]
-    * PageRank rounds UNROLLED as paired (contribution, rank) CTEs.
-    * Float parity: the engine bakes `(1-d)/n` as one Scala-computed
-    * literal; the oracle casts the identically-printed literal to DOUBLE
-    * so both engines run the same IEEE ops; residual sum-order noise is
-    * absorbed by round(,8) (same acceptance as q30's rounded logs). */
+  /** Sessionization CTE chain (e → flagged → sess → iv) — the SINGLE
+    * textual source behind the q21/q49/q58 oracles, mirroring
+    * [[sessionTable]]'s 30-min gaps-and-islands logic (keep the two in
+    * sync; three hand-copies drifted risk before this was factored). */
+  private val SessionIvCte: String =
+    """e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+      |flagged AS (
+      |  SELECT user_id, ms,
+      |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
+      |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, ms,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
+      |      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+      |  FROM flagged),
+      |iv AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       min(ms) AS start_ms, max(ms) AS end_ms
+      |       FROM sess GROUP BY user_id, session_id)""".stripMargin
+
+  /** q58's oracle: the shared session CTE, the overlap edge set, then
+    * [[PrIters]] PageRank rounds UNROLLED as paired (contribution,
+    * rank) CTEs. Float parity: the engine bakes `(1-d)/n` as one
+    * Scala-computed literal; the oracle casts the identically-printed
+    * literal to DOUBLE so both engines run the same IEEE ops; residual
+    * sum-order noise is absorbed by round(,8) (same acceptance as
+    * q30's rounded logs). */
   private def pagerankOracle: String = {
     val head =
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
-        |flagged AS (
-        |  SELECT user_id, ms,
-        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms) IS NULL
-        |           OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms) > 1800000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM e),
-        |sess AS (
-        |  SELECT user_id, ms,
-        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ms
-        |      ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
-        |  FROM flagged),
-        |iv AS (SELECT user_id, session_id, min(ms) AS start_ms, max(ms) AS end_ms
-        |       FROM sess GROUP BY user_id, session_id),
+      s"""WITH $SessionIvCte,
         |edges AS (
         |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
         |  FROM iv a JOIN iv b

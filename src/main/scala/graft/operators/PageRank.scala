@@ -26,11 +26,13 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   * Like [[Dbscan.run]], a deduplicated edge set at or below
   * `localThreshold` takes a fused single-TASK path instead: the
   * iteration loop runs inside one `mapPartitions` over the
-  * already-distinct edges — array adjacency, zero further shuffles,
-  * none of the per-round job latency that dominates small graphs.
-  * Both paths implement the same formula; results agree to float
-  * sum-order (spec-enforced), and the threshold bounds the task's
-  * memory at ~32 B/edge.
+  * already-distinct edges — primitive-array adjacency (node ids
+  * resolved by binary search over a sorted id array, never a boxed
+  * map), zero further shuffles, none of the per-round job latency
+  * that dominates small graphs. Both paths implement the same
+  * formula; results agree to float sum-order (spec-enforced), and
+  * the threshold bounds the task's transient memory at ~56 B/edge
+  * (≈ 280 MB at the 5M default).
   */
 object PageRank {
 
@@ -63,28 +65,48 @@ object PageRank {
   private def runFused(e: DataFrame, iterations: Int,
       damping: Double): DataFrame =
     e.coalesce(1).mapPartitions { it =>
-      val edges = it.map(r => (r.getLong(0), r.getLong(1))).toArray
-      if (edges.isEmpty) Iterator.empty
+      // primitive columns only — at the 5M-edge threshold a boxed
+      // tuple/map representation would cost hundreds of bytes per edge
+      val sb = new scala.collection.mutable.ArrayBuilder.ofLong
+      val db = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { r => sb += r.getLong(0); db += r.getLong(1) }
+      val srcId = sb.result(); val dstId = db.result()
+      val m = srcId.length
+      if (m == 0) Iterator.empty
       else {
-        val ids = edges.iterator.flatMap(p => Iterator(p._1, p._2))
-          .toArray.distinct.sorted
-        val idx = ids.zipWithIndex.toMap
-        val n = ids.length
-        val src = edges.map(p => idx(p._1))
-        val dst = edges.map(p => idx(p._2))
+        // node table: sort + in-place dedup; id → index by binary search
+        val all = new Array[Long](2 * m)
+        System.arraycopy(srcId, 0, all, 0, m)
+        System.arraycopy(dstId, 0, all, m, m)
+        java.util.Arrays.sort(all)
+        var n = 0
+        var i = 0
+        while (i < all.length) {
+          if (n == 0 || all(n - 1) != all(i)) { all(n) = all(i); n += 1 }
+          i += 1
+        }
+        val ids = java.util.Arrays.copyOf(all, n)
+        val src = new Array[Int](m)
+        val dst = new Array[Int](m)
+        i = 0
+        while (i < m) {
+          src(i) = java.util.Arrays.binarySearch(ids, srcId(i))
+          dst(i) = java.util.Arrays.binarySearch(ids, dstId(i))
+          i += 1
+        }
         val deg = new Array[Double](n)
         src.foreach(s => deg(s) += 1.0)
         var rank = Array.fill(n)(1.0 / n)
         val base = (1.0 - damping) / n
         for (_ <- 1 to iterations) {
           val in = new Array[Double](n)
-          var i = 0
-          while (i < edges.length) {
+          i = 0
+          while (i < m) {
             in(dst(i)) += rank(src(i)) / deg(src(i)); i += 1
           }
           rank = Array.tabulate(n)(v => base + damping * in(v))
         }
-        ids.iterator.zipWithIndex.map { case (id, i) => Row(id, rank(i)) }
+        ids.iterator.zipWithIndex.map { case (id, j) => Row(id, rank(j)) }
       }
     }(Encoders.row(outSchema))
 

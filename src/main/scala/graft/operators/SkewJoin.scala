@@ -49,8 +49,11 @@ object SkewJoin {
         lit(saltFactor)).cast("int"))
     val smallS = small.withColumn("_salt_r",
       explode(typedLit((0 until saltFactor).toArray)))
+    // side-qualified key refs: both sides naming the key identically
+    // (the common join shape) must not trip AMBIGUOUS_REFERENCE
     bigS.join(smallS.hint("shuffle_hash"),
-        col(bigKey) === col(smallKey) && col("_salt_l") === col("_salt_r"))
+        bigS(bigKey) === smallS(smallKey) &&
+          bigS("_salt_l") === smallS("_salt_r"))
       .drop("_salt_l", "_salt_r")
   }
 }

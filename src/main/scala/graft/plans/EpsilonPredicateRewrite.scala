@@ -28,7 +28,11 @@ object EpsilonPredicateRewrite extends Rule[LogicalPlan] {
     // numeric-only guard: fires never (rather than throws) on a
     // mistyped comparison the analyzer let through via coercion
     case _: org.apache.spark.sql.types.NumericType if l.value != null =>
+      // WithinEps REQUIRES a finite ε² (its early-exit contract) — an
+      // Infinity/NaN radius is a valid, if degenerate, comparison and
+      // must pass through unrewritten, not throw during planning
       Some(graft.GraftExtensions.foldToDouble(l))
+        .filter(java.lang.Double.isFinite)
     case _ => None
   }
 

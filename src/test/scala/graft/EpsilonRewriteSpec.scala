@@ -9,15 +9,24 @@ import org.apache.spark.sql.functions._
   * strict/dynamic forms are left alone; results are unchanged. */
 class EpsilonRewriteSpec extends SparkSpec {
 
+  // registering the rule mutates experimental.extraOptimizations — do it
+  // on a DERIVED session (own SessionState, shared SparkContext) so the
+  // shared SparkSpec session's plans stay rule-free for every other
+  // suite, regardless of execution order
+  private lazy val s2: org.apache.spark.sql.SparkSession = {
+    val s = spark.newSession()
+    GraftExtensions.register(s)
+    s
+  }
+
   private def opt(df: DataFrame): String =
     df.queryExecution.optimizedPlan.toString
 
-  private def pts = spark.createDataFrame(Seq(
+  private def pts = s2.createDataFrame(Seq(
     (1L, Array(0f, 0f)), (2L, Array(3f, 4f)), (3L, Array(10f, 0f))
   )).toDF("id", "v")
 
   test("DataFrame and SQL radius predicates rewrite to within_eps") {
-    GraftExtensions.register(spark)
     val d2 = VectorExpressions.squaredL2(col("a.v"), col("b.v"))
     val dfForm = pts.as("a").crossJoin(pts.as("b")).filter(d2 <= lit(25.0))
     assert(opt(dfForm).contains("within_eps"), opt(dfForm))
@@ -26,7 +35,7 @@ class EpsilonRewriteSpec extends SparkSpec {
     assert(dfForm.filter(col("a.id") === 1 && col("b.id") === 2).count() == 1)
 
     pts.createOrReplaceTempView("eps_pts")
-    val sqlForm = spark.sql(
+    val sqlForm = s2.sql(
       """SELECT a.id, b.id FROM eps_pts a JOIN eps_pts b
         |ON squared_l2(a.v, b.v) <= 25.0 AND a.id != b.id""".stripMargin)
     assert(opt(sqlForm).contains("within_eps"), opt(sqlForm))
@@ -37,9 +46,14 @@ class EpsilonRewriteSpec extends SparkSpec {
     assert(opt(mirrored).contains("within_eps"))
   }
 
-  test("strict <, dynamic thresholds, and projections do not rewrite") {
-    GraftExtensions.register(spark)
+  test("strict <, dynamic thresholds, non-finite radii do not rewrite") {
     val d2 = VectorExpressions.squaredL2(col("a.v"), col("b.v"))
+    // WithinEps requires a finite ε² — an Infinity radius is a legal
+    // degenerate comparison and must plan (unrewritten), not throw
+    val inf = pts.as("a").crossJoin(pts.as("b"))
+      .filter(d2 <= lit(Double.PositiveInfinity))
+    assert(!opt(inf).contains("within_eps"), opt(inf))
+    assert(inf.count() == 9)
     // strict < has different boundary semantics
     val strict = pts.as("a").crossJoin(pts.as("b")).filter(d2 < lit(25.0))
     assert(!opt(strict).contains("within_eps"), opt(strict))

@@ -163,4 +163,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p37.contains("n_chars") && !p37.contains("source"),
       s"q37 scan reads pruned columns:\n$p37")
   }
+
+  test("q54 pivot: one hash aggregate pass, no per-value scans or joins") {
+    val p = plan(SparkEntry.queries("q54_pivot_monthly")(spark, sf))
+    assert(!p.contains("Join"), s"pivot must not join per value:\n$p")
+    // explicit pivot values ⇒ exactly one scan of lineitem
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q56 sample-k runs as the heap aggregate, never a window sort") {
+    val p = plan(SparkEntry.queries("q56_sample_k")(spark, sf))
+    assert(p.contains("topk_by_score"), s"expected the heap aggregate:\n$p")
+    assert(!p.contains("Window"), s"sample-k fell back to a window:\n$p")
+  }
+
+  test("q57 salted join: shuffled-hash on (key, salt), no broadcast rescue") {
+    val p = plan(SparkEntry.queries("q57_skew_join")(spark, sf))
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
+    assert(p.contains("_salt_l"), s"join key must carry the salt:\n$p")
+  }
 }

@@ -5,13 +5,14 @@ import org.apache.spark.sql.functions._
 
 class SketchesSpec extends SparkSpec {
 
-  // 3 groups × overlapping value ranges, values duplicated 3× so the
-  // sketch sees repeats; true distinct counts are known exactly
+  // 3 groups × overlapping value ranges, values collapsed into triples
+  // (DIV: `/` would divide in double and keep every residue distinct)
+  // so the sketch genuinely sees repeats; exact counts recomputed below
   private def fixture = spark.range(0, 30000)
     .select(
       concat(lit("g"), pmod(col("id"), lit(3))).as("g"),
       concat(lit("s"), pmod(col("id"), lit(6))).as("sub"),
-      concat(lit("v"), (col("id") % 10000) / lit(3) * lit(3)).as("v"))
+      concat(lit("v"), expr("id % 10000 DIV 3 * 3")).as("v"))
 
   test("estimate lands within the lgK=12 error envelope") {
     val exact = fixture.groupBy("g").agg(countDistinct("v").as("x"))

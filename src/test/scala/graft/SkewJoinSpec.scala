@@ -39,6 +39,15 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("both sides naming the key identically still joins (no ambiguity)") {
+    val (big, small) = fixtures
+    val small2 = small.withColumnRenamed("sk", "k") // the common join shape
+    val plain = bag(big.as("l").join(small2.as("r"),
+      col("l.k") === col("r.k")))
+    val salted = bag(SkewJoin.saltedInner(big, small2, "k", "k", 4))
+    assert(salted == plain)
+  }
+
   test("salted plan shuffles on (key, salt) — no broadcast rescue, no sort") {
     val (big, small) = fixtures
     val plan = SkewJoin.saltedInner(big, small, "k", "sk", 8)
