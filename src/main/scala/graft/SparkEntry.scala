@@ -740,6 +740,20 @@ object SparkEntry {
         .select(col("lang"),
           graft.operators.Sketches.estimate(col("sketch")).as("vocab_est"))
     }),
+
+    // Graph: per-user triangle counts on the session-concurrency graph
+    // — degree-ordered wedge enumeration (hub fan-out bounded by the
+    // ORIENTED out-degree), each triangle found once at its lowest-rank
+    // vertex. Oracle: the order-free a<b<c three-way join.
+    "q60_triangles" -> ((s, dir) => {
+      val sess = sessionTable(s, dir)
+      val edges = graft.operators.IntervalJoin
+        .overlapJoin(sess, sess, "start_ms", "end_ms", 3600000L)
+        .filter(col("a_user_id") =!= col("b_user_id"))
+        .select(col("a_user_id").as("src"), col("b_user_id").as("dst"))
+      graft.operators.TriangleCount.perNode(edges, "src", "dst")
+        .withColumnRenamed("id", "user_id")
+    }),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -1266,6 +1280,26 @@ object SparkEntry {
         |GROUP BY c_mktsegment""".stripMargin,
 
     "q58_pagerank" -> pagerankOracle,
+
+    "q60_triangles" ->
+      s"""WITH $SessionIvCte,
+         |edges0 AS (
+         |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+         |  FROM iv a JOIN iv b
+         |    ON a.user_id != b.user_id
+         |   AND a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms),
+         |ce AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |       FROM edges0),
+         |tri AS (
+         |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM ce e1 JOIN ce e2 ON e2.u = e1.v
+         |  JOIN ce e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |pc AS (SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+         |         SELECT unnest([x, y, z]) AS id FROM tri) t GROUP BY id),
+         |nodes AS (SELECT DISTINCT u AS id FROM ce
+         |          UNION SELECT DISTINCT v FROM ce)
+         |SELECT n.id AS user_id, coalesce(pc.n_triangles, 0) AS n_triangles
+         |FROM nodes n LEFT JOIN pc ON pc.id = n.id""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */
