@@ -754,6 +754,22 @@ object SparkEntry {
       graft.operators.TriangleCount.perNode(edges, "src", "dst")
         .withColumnRenamed("id", "user_id")
     }),
+
+    // Feature prep: per-dimension z-score standardization of the
+    // embedding table — one tiny per-dim moment aggregate broadcasts
+    // back onto a narrow normalize pass (the fit/transform shape of
+    // every feature scaler; nothing wide ever shuffles).
+    "q61_standardize" -> ((s, dir) => {
+      val u = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("vec_id"), (col("pos") + 1).as("dim"),
+          col("v").cast("double").as("v"))
+      val stats = u.groupBy("dim")
+        .agg(avg("v").as("mu"), stddev_samp(col("v")).as("sd"))
+      u.join(broadcast(stats), Seq("dim"))
+        .select(col("vec_id"), col("dim"),
+          round((col("v") - col("mu")) / col("sd"), 6).as("z"))
+    }),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -1300,6 +1316,16 @@ object SparkEntry {
          |          UNION SELECT DISTINCT v FROM ce)
          |SELECT n.id AS user_id, coalesce(pc.n_triangles, 0) AS n_triangles
          |FROM nodes n LEFT JOIN pc ON pc.id = n.id""".stripMargin,
+
+    "q61_standardize" ->
+      """WITH u AS (SELECT vec_id,
+        |             CAST(generate_subscripts(embedding, 1) AS INTEGER) AS dim,
+        |             CAST(unnest(embedding) AS DOUBLE) AS v
+        |           FROM embeddings),
+        |st AS (SELECT dim, avg(v) AS mu, stddev_samp(v) AS sd
+        |       FROM u GROUP BY dim)
+        |SELECT u.vec_id, u.dim, round((u.v - st.mu) / st.sd, 6) AS z
+        |FROM u JOIN st USING(dim)""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */
