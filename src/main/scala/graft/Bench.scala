@@ -69,6 +69,17 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     def selected(name: String): Boolean =
       only.forall(_.exists(name.contains))
+    // untimed warmup: whichever workload runs FIRST otherwise absorbs
+    // the JVM-wide JIT + codegen warmup of the entire SQL stack — a
+    // cost min-of-reps cannot strip, because both of the first query's
+    // reps pay it (observed as a 2-3x outlier on the alphabetically
+    // first query in round runs). Two cheap representative plans (an
+    // agg and a text kernel) front-load that once, outside any timing.
+    if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
+      Seq("q8_agg_pricing", "q11_token_stats").foreach { q =>
+        try SparkEntry.queries(q)(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
     val sfResults = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(p => selected(p._1)).map { case (name, fn) =>
         name -> time(name, () => fn(spark, sfDir).count())
