@@ -770,6 +770,22 @@ object SparkEntry {
         .select(col("vec_id"), col("dim"),
           round((col("v") - col("mu")) / col("sd"), 6).as("z"))
     }),
+
+    // Data quality: the pre-ship validation gate — six constraints over
+    // lineitem; every row-local check rides ONE aggregate pass,
+    // uniqueness adds one hash agg, referential integrity one
+    // broadcastable anti join. The fixture genuinely violates three of
+    // them (range envelopes, composite-key duplicates).
+    "q62_quality_report" -> ((s, dir) => {
+      import graft.operators.QualityCheck._
+      report(t(s, dir, "lineitem"), Seq(
+        NotNull("l_orderkey"),
+        InRange("l_quantity", 1, 45),
+        InRange("l_discount", 0, 0.08),
+        Satisfies("ships_before_2000", year(col("l_shipdate")) <= 1999),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        ReferentialTo(t(s, dir, "orders"), "l_orderkey", "o_orderkey")))
+    }),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -1326,6 +1342,35 @@ object SparkEntry {
         |       FROM u GROUP BY dim)
         |SELECT u.vec_id, u.dim, round((u.v - st.mu) / st.sd, 6) AS z
         |FROM u JOIN st USING(dim)""".stripMargin,
+
+    "q62_quality_report" ->
+      """SELECT 'not_null(l_orderkey)' AS check_name,
+        |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS violations FROM lineitem
+        |UNION ALL
+        |SELECT 'in_range(l_quantity,1.0,45.0)',
+        |  CAST(sum(CASE WHEN l_quantity IS NOT NULL
+        |    AND (l_quantity < 1.0 OR l_quantity > 45.0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'in_range(l_discount,0.0,0.08)',
+        |  CAST(sum(CASE WHEN l_discount IS NOT NULL
+        |    AND (l_discount < 0.0 OR l_discount > 0.08)
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'satisfies(ships_before_2000)',
+        |  CAST(sum(CASE WHEN NOT coalesce(year(l_shipdate) <= 1999, FALSE)
+        |    THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |UNION ALL
+        |SELECT 'unique(l_orderkey,l_linenumber)',
+        |  coalesce(CAST(sum(c) AS BIGINT), 0) FROM (
+        |    SELECT count(*) AS c FROM lineitem
+        |    GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1) g
+        |UNION ALL
+        |SELECT 'ref(l_orderkey->o_orderkey)',
+        |  CAST(count(*) AS BIGINT) FROM lineitem l
+        |WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */
