@@ -161,8 +161,33 @@ object AnnSearch {
     * projections — the only shuffles are the candidate equi-join on `c_id`
     * and the final top-k aggregate. */
   def ivfTopK(queries: DataFrame, build: DataFrame, k: Int,
-      nCentroids: Int, nProbe: Int): DataFrame = {
-    val cents = centroidArrays(build, nCentroids)
+      nCentroids: Int, nProbe: Int): DataFrame =
+    ivfTopKWith(queries, build, k, centroidArrays(build, nCentroids), nProbe)
+
+  /** IVF probe against a PREBUILT index — the production shape: run
+    * Lloyd once (e.g. [[centroids]] persisted as parquet by a nightly
+    * build job), then serve every query batch against the stored
+    * centroid table without re-clustering. `centTable` must have the
+    * [[centroids]] schema `(c_id: int, c_v: array<double>)`; it is
+    * collected (an index that fits a sane nProbe always fits the
+    * driver) and inlined exactly like the fresh-build path, so the two
+    * paths produce identical candidate sets for identical centroids
+    * (spec-enforced). */
+  def ivfTopKPrebuilt(queries: DataFrame, build: DataFrame, k: Int,
+      centTable: DataFrame, nProbe: Int): DataFrame = {
+    val cents = centTable
+      .select(col("c_id").cast("int"), col("c_v").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid table")
+    require(cents.map(_._1).distinct.length == cents.length,
+      "duplicate c_id in centroid table")
+    ivfTopKWith(queries, build, k, cents, nProbe)
+  }
+
+  private def ivfTopKWith(queries: DataFrame, build: DataFrame, k: Int,
+      cents: Array[(Int, Array[Double])], nProbe: Int): DataFrame = {
     val (buildIdx, probes) =
       if (cents.length <= literalCentroidLimit) {
         val bi = build.select(col("b_id"), col("b_v"),
