@@ -77,8 +77,17 @@ object Bench {
     // agg and a text kernel) front-load that once, outside any timing.
     if (sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0")
       Seq("q8_agg_pricing", "q11_token_stats").foreach { q =>
-        try SparkEntry.queries(q)(spark, sfDir).count()
-        catch { case _: Throwable => () }
+        // a silently-skipped warmup would let the first-query JIT
+        // outlier return with zero signal — warn loudly instead
+        SparkEntry.queries.get(q) match {
+          case None =>
+            System.err.println(s"[bench] warmup query $q no longer exists")
+          case Some(fn) =>
+            try fn(spark, sfDir).count()
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[bench] warmup $q failed: ${e.getMessage}")
+            }
+        }
       }
     val sfResults = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(p => selected(p._1)).map { case (name, fn) =>

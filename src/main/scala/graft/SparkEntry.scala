@@ -1315,13 +1315,9 @@ object SparkEntry {
 
     "q60_triangles" ->
       s"""WITH $SessionIvCte,
-         |edges0 AS (
-         |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
-         |  FROM iv a JOIN iv b
-         |    ON a.user_id != b.user_id
-         |   AND a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms),
+         |$OverlapEdgesCte,
          |ce AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-         |       FROM edges0),
+         |       FROM edges),
          |tri AS (
          |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
          |  FROM ce e1 JOIN ce e2 ON e2.u = e1.v
@@ -1398,6 +1394,16 @@ object SparkEntry {
       |       min(ms) AS start_ms, max(ms) AS end_ms
       |       FROM sess GROUP BY user_id, session_id)""".stripMargin
 
+  /** Session-concurrency edge set (distinct user pairs with overlapping
+    * sessions, both orientations) — the single source for the q58/q60
+    * graph oracles, mirroring the engine's IntervalJoin-derived edges. */
+  private val OverlapEdgesCte: String =
+    """edges AS (
+      |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+      |  FROM iv a JOIN iv b
+      |    ON a.user_id != b.user_id
+      |   AND a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms)""".stripMargin
+
   /** q58's oracle: the shared session CTE, the overlap edge set, then
     * [[PrIters]] PageRank rounds UNROLLED as paired (contribution,
     * rank) CTEs. Float parity: the engine bakes `(1-d)/n` as one
@@ -1408,11 +1414,7 @@ object SparkEntry {
   private def pagerankOracle: String = {
     val head =
       s"""WITH $SessionIvCte,
-        |edges AS (
-        |  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
-        |  FROM iv a JOIN iv b
-        |    ON a.user_id != b.user_id
-        |   AND a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms),
+        |$OverlapEdgesCte,
         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
         |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg

@@ -175,9 +175,12 @@ object AnnSearch {
     * (spec-enforced). */
   def ivfTopKPrebuilt(queries: DataFrame, build: DataFrame, k: Int,
       centTable: DataFrame, nProbe: Int): DataFrame = {
-    val cents = centTable
+    val rows = centTable
       .select(col("c_id").cast("int"), col("c_v").cast("array<double>"))
       .collect()
+    require(rows.forall(r => !r.isNullAt(0) && !r.isNullAt(1)),
+      "centroid table has NULL c_id/c_v rows — corrupted index?")
+    val cents = rows
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(cents.nonEmpty, "empty centroid table")

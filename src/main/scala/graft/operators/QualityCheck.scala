@@ -69,8 +69,10 @@ object QualityCheck {
       if (rowLocal.isEmpty) None
       else Some {
         // all row-local checks ride ONE partial+final aggregate pass
+        // coalesce: a global sum over ZERO rows is NULL — an empty
+        // table must report 0 violations, not a null a consumer trips on
         val aggs = rowLocal.map { case (n, viol) =>
-          sum(when(viol, 1L).otherwise(0L)).as(n)
+          coalesce(sum(when(viol, 1L).otherwise(0L)), lit(0L)).as(n)
         }
         df.agg(aggs.head, aggs.tail: _*)
           .select(explode(array(rowLocal.map { case (n, _) =>

@@ -40,7 +40,11 @@ object TriangleCount {
     val deg = ce.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // orient lo→hi by (deg, id); carry the hi endpoint's rank for the
-    // wedge ordering below
+    // wedge ordering below. Persisted: three plan branches below (both
+    // wedge sides + the closing-edge probe) reference this subtree, and
+    // without the cache the orientation join tree executes three times
+    // (cache released with the plan by the ContextCleaner, as in
+    // Dbscan.run).
     val o = ce
       .join(deg.withColumnsRenamed(Map("id" -> "u", "deg" -> "du")), "u")
       .join(deg.withColumnsRenamed(Map("id" -> "v", "deg" -> "dv")), "v")
@@ -51,6 +55,7 @@ object TriangleCount {
           col("v")).otherwise(col("u")).as("hi"),
         when(rankLt(col("du"), col("u"), col("dv"), col("v")),
           col("dv")).otherwise(col("du")).as("dhi"))
+      .persist()
     // wedges at the lowest-rank vertex, neighbors ordered by rank; the
     // closing edge hi1→hi2 is oriented that way BECAUSE rank(hi1) <
     // rank(hi2) — one equi-join probe, no orientation guessing

@@ -50,18 +50,24 @@ class AnnSearchSpec extends SparkSpec {
   test("prebuilt index round-trips through parquet == fresh build") {
     val fresh = AnnSearch.ivfTopK(q, b, 5, nCentroids = 8, nProbe = 3)
       .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_ivf_idx").toString + "/cents"
-    AnnSearch.centroids(b, nCentroids = 8).write.parquet(dir)
-    val served = AnnSearch.ivfTopKPrebuilt(q, b, 5,
-        spark.read.parquet(dir), nProbe = 3)
-      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
-    // identical centroids (same seed, persisted losslessly as doubles)
-    // must give identical candidate sets and identical ranked output
-    assert(served == fresh)
-    assertThrows[IllegalArgumentException] {
-      AnnSearch.ivfTopKPrebuilt(q, b, 5,
-        spark.read.parquet(dir).limit(0), nProbe = 3).collect()
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+    try {
+      val dir = tmp.toString + "/cents"
+      AnnSearch.centroids(b, nCentroids = 8).write.parquet(dir)
+      val served = AnnSearch.ivfTopKPrebuilt(q, b, 5,
+          spark.read.parquet(dir), nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+      // identical centroids (same seed, persisted losslessly as doubles)
+      // must give identical candidate sets and identical ranked output
+      assert(served == fresh)
+      assertThrows[IllegalArgumentException] {
+        AnnSearch.ivfTopKPrebuilt(q, b, 5,
+          spark.read.parquet(dir).limit(0), nProbe = 3).collect()
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 

@@ -51,6 +51,14 @@ class QualityCheckSpec extends SparkSpec {
     assert(rep.count() == 3)
   }
 
+  test("empty table reports zeros, not NULL sums") {
+    val empty = df.filter(col("id") < 0)
+    val got = QualityCheck.report(empty,
+        Seq(NotNull("k"), InRange("v", 0.0, 10.0), Unique(Seq("k"))))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 0L), got.toString)
+  }
+
   test("clean table reports zeros; guards reject bad specs") {
     val got = run(Seq(NotNull("id"), Unique(Seq("id")),
       ReferentialTo(spark.range(0, 10).toDF("rk"), "id", "rk")))
