@@ -786,6 +786,20 @@ object SparkEntry {
         Unique(Seq("l_orderkey", "l_linenumber")),
         ReferentialTo(t(s, dir, "orders"), "l_orderkey", "o_orderkey")))
     }),
+
+    // Profiling: fixed-width histogram of account balances per market
+    // segment — distribution profiling as ONE hash aggregate on integer
+    // bucket arithmetic (floor((v-lo)/w), clamped), no sort, no
+    // percentile state; both engines run the identical IEEE ops.
+    "q63_histogram" -> ((s, dir) => {
+      val bucket = least(greatest(
+        floor((col("c_acctbal") - lit(-1000.0)) / lit(1000.0)), lit(0.0)),
+        lit(10.0)).cast("int")
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"), bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (sum(round(col("c_acctbal") * 100)) / 100.0).as("sum_bal"))
+    }),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -1367,6 +1381,14 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) FROM lineitem l
         |WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
         |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)""".stripMargin,
+
+    "q63_histogram" ->
+      """SELECT c_mktsegment,
+        |  CAST(least(greatest(floor((c_acctbal - (-1000.0)) / 1000.0),
+        |    0.0), 10.0) AS INTEGER) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  sum(round(c_acctbal * 100)) / 100.0 AS sum_bal
+        |FROM customer GROUP BY 1, 2""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */

@@ -267,4 +267,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
     assert(got.exists(_._3 > 0)) // masking actually fired
   }
+
+  test("row-local quality gate runs on a stream, converges to batch") {
+    // QualityCheck's fused row-local pass is ONE aggregate — exactly the
+    // shape Structured Streaming can maintain incrementally (complete
+    // mode): a live data-quality dashboard over an ingest stream
+    import graft.operators.QualityCheck
+    import graft.operators.QualityCheck._
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val constraints = Seq(
+      NotNull("k"),
+      InRange("v", 0.0, 10.0),
+      Satisfies("v_pos", col("v") > 0))
+    val rows = Seq((Option(1L), Option(5.0)), (Option(2L), Option(50.0)),
+      (None, Option(-1.0)), (Option(4L), None))
+    val mem = MemoryStream[(Option[Long], Option[Double])]
+    val q = QualityCheck.report(mem.toDF().toDF("k", "v"), constraints)
+      .writeStream.format("memory").queryName("qc_out")
+      .outputMode("complete").start()
+    val got = try {
+      mem.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*) // violations arrive incrementally
+      q.processAllAvailable()
+      spark.table("qc_out").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    } finally q.stop()
+    val batch = QualityCheck
+      .report(spark.createDataFrame(rows).toDF("k", "v"), constraints)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+    assert(got("satisfies(v_pos)") == 2L) // -1.0 fails, NULL unprovable
+  }
 }
