@@ -800,6 +800,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           (sum(round(col("c_acctbal") * 100)) / 100.0).as("sum_bal"))
     }),
+
+    // Relational: FULL OUTER reconciliation — orders vs their lineitem
+    // rollup, classified into matched / order-without-items /
+    // items-without-order (the two-sided integrity report a one-sided
+    // anti join can't give). The lineitem side pre-aggregates to order
+    // grain BEFORE the join, so the full-outer matches on unique keys.
+    "q64_reconcile" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg((sum(round(col("l_extendedprice") * 100)) / 100.0)
+          .as("li_revenue"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "full_outer")
+        .select(
+          when(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull,
+            "matched")
+            .when(col("o_orderkey").isNotNull, "order_without_items")
+            .otherwise("items_without_order").as("status"),
+          col("o_totalprice"), col("li_revenue"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"),
+          (sum(round(coalesce(col("o_totalprice"), lit(0.0)) * 100)) / 100.0)
+            .as("sum_order_price"),
+          (sum(round(coalesce(col("li_revenue"), lit(0.0)) * 100)) / 100.0)
+            .as("sum_item_revenue"))
+    }),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -1389,6 +1415,24 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n,
         |  sum(round(c_acctbal * 100)) / 100.0 AS sum_bal
         |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    "q64_reconcile" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    sum(round(l_extendedprice * 100)) / 100.0 AS li_revenue
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT
+        |  CASE WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL
+        |         THEN 'matched'
+        |       WHEN o_orderkey IS NOT NULL THEN 'order_without_items'
+        |       ELSE 'items_without_order' END AS status,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  sum(round(coalesce(o_totalprice, 0.0) * 100)) / 100.0
+        |    AS sum_order_price,
+        |  sum(round(coalesce(li_revenue, 0.0) * 100)) / 100.0
+        |    AS sum_item_revenue
+        |FROM orders FULL OUTER JOIN li ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */
