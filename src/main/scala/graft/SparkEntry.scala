@@ -826,6 +826,27 @@ object SparkEntry {
           (sum(round(coalesce(col("li_revenue"), lit(0.0)) * 100)) / 100.0)
             .as("sum_item_revenue"))
     }),
+
+    // Analytics: RFM-style value segmentation — per-customer order
+    // frequency/monetary rolled up once, then ntile(10) deciles WITHIN
+    // each market segment (the partition key keeps the ranking window
+    // distributed; a global ntile would funnel every row through one
+    // task — the explicitly rejected shape). Ties broken by custkey so
+    // both engines assign identical deciles.
+    "q65_rfm" -> ((s, dir) => {
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(round(col("o_totalprice") * 100)) / 100.0).as("monetary"))
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .join(per, col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("n_orders"), col("monetary"))
+        .withColumn("decile", ntile(10).over(
+          Window.partitionBy("c_mktsegment")
+            .orderBy(col("monetary").desc, col("c_custkey"))))
+    }),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -1433,6 +1454,16 @@ object SparkEntry {
         |    AS sum_item_revenue
         |FROM orders FULL OUTER JOIN li ON o_orderkey = l_orderkey
         |GROUP BY 1""".stripMargin,
+
+    "q65_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |    sum(round(o_totalprice * 100)) / 100.0 AS monetary
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_mktsegment, n_orders, monetary,
+        |  CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+        |    ORDER BY monetary DESC, c_custkey) AS INTEGER) AS decile
+        |FROM customer JOIN per ON c_custkey = o_custkey""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */
