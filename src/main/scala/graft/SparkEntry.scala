@@ -847,6 +847,13 @@ object SparkEntry {
           Window.partitionBy("c_mktsegment")
             .orderBy(col("monetary").desc, col("c_custkey"))))
     }),
+
+    // Dedup family: fuzzy match — part-name pairs within edit distance
+    // 1 via lossless symmetric-delete blocking (equi-join on deletion
+    // variants + exact levenshtein verify), never a quadratic scan.
+    // Oracle: the naive cross join over the tiny distinct-name table.
+    "q66_fuzzy_match" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.selfJoinEd1(t(s, dir, "part"), "p_name")),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -1464,6 +1471,13 @@ object SparkEntry {
         |  CAST(ntile(10) OVER (PARTITION BY c_mktsegment
         |    ORDER BY monetary DESC, c_custkey) AS INTEGER) AS decile
         |FROM customer JOIN per ON c_custkey = o_custkey""".stripMargin,
+
+    "q66_fuzzy_match" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.p_name AS a_p_name, b.p_name AS b_p_name,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS d
+        |FROM n a JOIN n b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 1""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */
