@@ -26,9 +26,10 @@ class TriangleCountSpec extends SparkSpec {
     counts.toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+  private def run(edges: Seq[(Long, Long)],
+      localThreshold: Long = 5_000_000L): Map[Long, Long] =
     TriangleCount.perNode(
-      spark.createDataFrame(edges).toDF("s", "t"), "s", "t")
+      spark.createDataFrame(edges).toDF("s", "t"), "s", "t", localThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("hand graph: two triangles sharing an edge, plus a pendant") {
@@ -48,6 +49,15 @@ class TriangleCountSpec extends SparkSpec {
       val messy = e ++ e.map(_.swap) ++ e.take(5).map(p => (p._1, p._1))
       assert(run(messy) == refCounts(e), s"diverged on $e")
     }
+  }
+
+  test("fused and distributed paths are bit-identical") {
+    val rnd = new scala.util.Random(13)
+    val e = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val fused = run(e)                      // default threshold → fused
+    val dist = run(e, localThreshold = 0L)  // forced distributed pipeline
+    assert(fused == dist)
+    assert(fused == refCounts(e.filter(p => p._1 != p._2)))
   }
 
   test("hub skew: star plus one rim edge — hub builds almost no wedges") {
