@@ -854,6 +854,60 @@ object SparkEntry {
     // Oracle: the naive cross join over the tiny distinct-name table.
     "q66_fuzzy_match" -> ((s, dir) =>
       graft.operators.FuzzyJoin.selfJoinEd1(t(s, dir, "part"), "p_name")),
+
+    // Lakehouse MERGE: fold a CDC change stream (derived
+    // deterministically from lineitem: R rows delete, others upsert,
+    // every 7th line lands on a NEW key) onto the orders snapshot,
+    // latest (seq, payload)-ordered change per key wins.
+    "q67_cdc_apply" -> ((s, dir) => {
+      val changes = t(s, dir, "lineitem").select(
+        when(col("l_linenumber") % 7 === 0, col("l_orderkey") + 5000000L)
+          .otherwise(col("l_orderkey")).as("o_orderkey"),
+        col("l_linenumber").cast("long").as("seq"),
+        when(col("l_returnflag") === "R", "D").otherwise("U").as("op"),
+        col("l_partkey").as("o_custkey"),
+        col("l_linestatus").as("o_orderstatus"),
+        col("l_extendedprice").as("o_totalprice"),
+        col("l_shipdate").as("o_orderdate"),
+        concat(col("l_returnflag"), lit("-prio")).as("o_orderpriority"))
+      graft.operators.Cdc.apply(t(s, dir, "orders"), changes,
+        Seq("o_orderkey"), "seq", "op")
+    }),
+
+    // Exact corpus heavy hitters (bigram count·800 > n) through the
+    // Misra–Gries candidates → exact-verify two-phase plan: the long
+    // tail never reaches the aggregation exchange.
+    "q68_heavy_hitters" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val idx = when(size(ws) >= 2, sequence(lit(0), size(ws) - 2))
+        .otherwise(array().cast("array<int>"))
+      val grams = t(s, dir, "documents").select(explode(
+        transform(idx, i =>
+          concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+        .as("gram"))
+      graft.operators.HeavyHitters.exactOverThreshold(grams, "gram", 800)
+    }),
+
+    // Bloom-pruned selective join: lineitem rows are filtered by an
+    // URGENT-orders bloom BEFORE the join exchange; the join removes
+    // the false positives, so the plain join is the oracle.
+    "q69_bloom_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("l_orderkey"))
+      graft.operators.BloomJoin
+        .innerPruned(t(s, dir, "lineitem"), urgent, "l_orderkey")
+        .groupBy("l_linestatus")
+        .agg((sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 10000)) / 10000.0).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // SCD Type-2 history: each customer's order-priority observations
+    // become validity intervals (repeats collapse, current row open).
+    "q70_scd2" -> ((s, dir) =>
+      graft.operators.Cdc.scd2(t(s, dir, "orders"), Seq("o_custkey"),
+        "o_orderpriority", "o_orderdate", Seq("o_orderkey"))),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -1478,6 +1532,59 @@ object SparkEntry {
         |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS d
         |FROM n a JOIN n b ON a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 1""".stripMargin,
+
+    "q67_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT CASE WHEN l_linenumber % 7 = 0 THEN l_orderkey + 5000000
+        |           ELSE l_orderkey END AS o_orderkey,
+        |    CAST(l_linenumber AS BIGINT) AS seq,
+        |    CASE WHEN l_returnflag = 'R' THEN 'D' ELSE 'U' END AS op,
+        |    l_partkey AS o_custkey, l_linestatus AS o_orderstatus,
+        |    l_extendedprice AS o_totalprice, l_shipdate AS o_orderdate,
+        |    l_returnflag || '-prio' AS o_orderpriority
+        |  FROM lineitem),
+        |latest AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY seq DESC, op DESC, o_custkey DESC, o_orderstatus DESC,
+        |      o_totalprice DESC, o_orderdate DESC, o_orderpriority DESC) AS rn
+        |  FROM ch)
+        |SELECT * FROM orders
+        |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    "q68_heavy_hitters" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT unnest(list_transform(range(len(ws) - 1),
+        |        i -> ws[i+1] || ' ' || ws[i+2])) AS gram FROM w),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+        |FROM g, tot GROUP BY gram, n HAVING count(*) * 800 > n""".stripMargin,
+
+    "q69_bloom_join" ->
+      """SELECT l_linestatus,
+        |  sum(round(l_extendedprice * (1.0 - l_discount) * 10000)) / 10000.0
+        |    AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_linestatus""".stripMargin,
+
+    "q70_scd2" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS pv
+        |  FROM orders),
+        |ch AS (SELECT * FROM seq WHERE pv IS NULL OR pv <> o_orderpriority)
+        |SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  (lead(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
+        |FROM ch""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture apply — the lakehouse MERGE shape: fold a
+  * change stream (insert/update/delete rows with a per-key sequence)
+  * onto a base snapshot, latest change wins.
+  *
+  * The reference engine has no mutation surface at all (SURVEY §2.6 —
+  * it reads one immutable binary table per run); this is part of the
+  * extension surface a production corpus pipeline needs (nightly
+  * snapshot + incremental CDC feed → next snapshot).
+  *
+  * Scale shape: ONE window shuffle over the changes (partitioned by
+  * key — changes ≪ base by assumption), then one co-partitioned
+  * LEFT ANTI join of the base against the latest-change keys, then a
+  * narrow union. The base table — the 100 TB side — is never
+  * window-sorted and never shuffled beyond the anti join, and AQE
+  * broadcasts the latest-keys side when the day's delta is small.
+  */
+object Cdc {
+
+  /** One row per key: the change with the highest `seqCol`. Ties on
+    * the sequence break deterministically by the remaining change
+    * columns (descending) — a total order on distinct rows, so the
+    * result is partitioning-independent. */
+  def latestWins(changes: DataFrame, keyCols: Seq[String],
+      seqCol: String): DataFrame = {
+    val tieCols = changes.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || c == seqCol)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(seqCol).desc +: tieCols.map(col(_).desc)): _*)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Apply `changes` onto `base`. `changes` must carry the key
+    * columns, `seqCol` (ordering), `opCol` ('D' = delete, anything
+    * else = upsert), and exactly the base's payload columns. A key's
+    * latest change decides its fate: delete drops it, upsert replaces
+    * it (or inserts a key absent from the base). Returns the base
+    * schema. */
+  def apply(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    val payload = base.columns.toSeq.filterNot(keyCols.contains)
+    val expect = (keyCols ++ payload).toSet + seqCol + opCol
+    require(changes.columns.toSet == expect,
+      s"changes columns ${changes.columns.toSeq} != key+seq+op+base-payload")
+    val latest = latestWins(changes, keyCols, seqCol)
+    val untouched = base.join(
+      latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val upserts = latest.filter(col(opCol) =!= "D")
+      .select(base.columns.map(col).toIndexedSeq: _*)
+    untouched.unionByName(upserts)
+  }
+
+  /** SCD Type-2 history build: turn a change stream of `valueCol`
+    * observations per key into validity intervals. Consecutive
+    * repeats of the same value collapse into one interval (only
+    * CHANGES open a new row); `valid_to` is the next change's
+    * `valid_from`, NULL for the current row. `tieCols` must make the
+    * per-key ordering total when `tsCol` can tie.
+    *
+    * One window shuffle (both windows share the same partitioning and
+    * ordering, so Catalyst plans a single exchange + sort). */
+  def scd2(changes: DataFrame, keyCols: Seq[String], valueCol: String,
+      tsCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+    val onChange = changes
+      .select((keyCols ++ Seq(valueCol, tsCol) ++ tieCols).map(col): _*)
+      .withColumn("__pv", lag(col(valueCol), 1).over(w))
+      .filter(col("__pv").isNull || col("__pv") =!= col(valueCol))
+    val w2 = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+    onChange
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((keyCols.map(col) ++ Seq(col(valueCol), col("valid_from"),
+        col("valid_to"), col("is_current"))): _*)
+  }
+}
