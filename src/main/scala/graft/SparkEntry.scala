@@ -908,6 +908,42 @@ object SparkEntry {
     "q70_scd2" -> ((s, dir) =>
       graft.operators.Cdc.scd2(t(s, dir, "orders"), Seq("o_custkey"),
         "o_orderpriority", "o_orderdate", Seq("o_orderkey"))),
+
+    // 90-day rolling revenue per customer: a RANGE frame over integer
+    // epoch days — peers (same-day orders) are in-frame by definition,
+    // so no tie-break is needed and the result is order-independent.
+    "q71_rolling_revenue" -> ((s, dir) => {
+      val dayN = datediff(col("o_orderdate").cast("date"),
+        lit(java.sql.Date.valueOf("1970-01-01")))
+      val w = Window.partitionBy("o_custkey").orderBy(col("dayn"))
+        .rangeBetween(-89, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), dayN.as("dayn"),
+          col("o_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          (sum(round(col("o_totalprice") * 100)).over(w) / 100.0)
+            .as("rolling_revenue"))
+    }),
+
+    // Time-series regularization: per-customer monthly spine with the
+    // latest order price carried forward across empty months.
+    "q72_forward_fill" -> ((s, dir) =>
+      graft.operators.TimeSeries.forwardFill(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"), "o_orderdate", "o_totalprice", "month",
+        Seq("o_orderkey"))),
+
+    // Grouped exact quantiles at dyadic p over integer cents: the
+    // interpolation arithmetic is exact dyadic-rational in a double,
+    // so both engines produce bit-identical values — no rounding.
+    "q73_quantiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100))
+        .groupBy("o_orderpriority")
+        .agg((expr("percentile(cents, 0.25D)") / 100.0).as("p25"),
+          (expr("percentile(cents, 0.5D)") / 100.0).as("p50"),
+          (expr("percentile(cents, 0.75D)") / 100.0).as("p75"))),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -1585,6 +1621,43 @@ object SparkEntry {
         |  (lead(o_orderdate) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey) IS NULL) AS is_current
         |FROM ch""".stripMargin,
+
+    "q71_rolling_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |  sum(round(o_totalprice * 100)) OVER (PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 89 PRECEDING AND CURRENT ROW) / 100.0
+        |    AS rolling_revenue
+        |FROM orders""".stripMargin,
+
+    "q72_forward_fill" ->
+      """WITH r AS (
+        |  SELECT o_custkey, date_trunc('month', o_orderdate) AS period,
+        |    o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey,
+        |      date_trunc('month', o_orderdate)
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |mv AS (SELECT o_custkey, period, o_totalprice FROM r WHERE rn = 1),
+        |b AS (SELECT o_custkey, min(period) AS mn, max(period) AS mx
+        |      FROM mv GROUP BY o_custkey),
+        |spine AS (SELECT o_custkey,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS period
+        |  FROM b)
+        |SELECT s.o_custkey, s.period,
+        |  last_value(mv.o_totalprice IGNORE NULLS) OVER (
+        |    PARTITION BY s.o_custkey ORDER BY s.period)
+        |    AS o_totalprice_fill
+        |FROM spine s LEFT JOIN mv
+        |  ON mv.o_custkey = s.o_custkey AND mv.period = s.period""".stripMargin,
+
+    "q73_quantiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(round(o_totalprice * 100), 0.25) / 100.0 AS p25,
+        |  quantile_cont(round(o_totalprice * 100), 0.5) / 100.0 AS p50,
+        |  quantile_cont(round(o_totalprice * 100), 0.75) / 100.0 AS p75
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */
