@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * snapshot + incremental CDC feed → next snapshot).
   *
   * Scale shape: ONE window shuffle over the changes (partitioned by
-  * key — changes ≪ base by assumption), then one co-partitioned
-  * LEFT ANTI join of the base against the latest-change keys, then a
-  * narrow union. The base table — the 100 TB side — is never
-  * window-sorted and never shuffled beyond the anti join, and AQE
-  * broadcasts the latest-keys side when the day's delta is small.
+  * key — changes ≪ base by assumption; Spark rewrites the rn=1
+  * filter into a WindowGroupLimit top-1 per key, so the sort never
+  * materializes whole partitions), one hash-distinct of the change
+  * keys feeding a LEFT ANTI join against the base, then a narrow
+  * union. The base table — the 100 TB side — is never window-sorted
+  * and never shuffled beyond the anti join, and AQE broadcasts the
+  * changed-keys side when the day's delta is small.
   */
 object Cdc {
 
@@ -48,10 +50,14 @@ object Cdc {
     val expect = (keyCols ++ payload).toSet + seqCol + opCol
     require(changes.columns.toSet == expect,
       s"changes columns ${changes.columns.toSeq} != key+seq+op+base-payload")
-    val latest = latestWins(changes, keyCols, seqCol)
-    val untouched = base.join(
-      latest.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val upserts = latest.filter(col(opCol) =!= "D")
+    // the anti join needs only WHICH keys changed — the distinct key
+    // set, not the window: latest-keys == distinct-change-keys, and
+    // using the latter keeps the window subtree from executing twice
+    // (one hash-distinct branch + ONE window branch, not two windows)
+    val changedKeys = changes.select(keyCols.map(col): _*).distinct()
+    val untouched = base.join(changedKeys, keyCols, "left_anti")
+    val upserts = latestWins(changes, keyCols, seqCol)
+      .filter(col(opCol) =!= "D")
       .select(base.columns.map(col).toIndexedSeq: _*)
     untouched.unionByName(upserts)
   }

@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * need a value for EVERY period, not just the ones that happened to
   * see an event.
   *
-  * Scale shape: the per-(key, period) collapse and the spine both come
-  * from ONE aggregation over the observations; the spine explode is
-  * narrow (`sequence` per key, no shuffle); the fill join and the LOCF
-  * window share the same (key) partitioning, so Catalyst plans a
-  * single exchange for collapse → join → window. Nothing ever sorts
-  * globally, and the spine's row count is bounded by keys × periods —
-  * explicit, not data-dependent.
+  * Scale shape: one aggregation collapses observations to (key,
+  * period) grain; the spine derives from a key-grain aggregate of
+  * that and explodes narrowly (`sequence` per key, no shuffle). When
+  * the collapsed table is broadcast-able (the common case — its size
+  * is keys × OBSERVED periods), the fill join is a broadcast join and
+  * the LOCF window reuses the spine's hash(key) partitioning: two
+  * exchanges total, none over raw observations' full width. In the
+  * sort-merge regime it is one exchange more; nothing ever sorts
+  * globally, and the spine row count is keys × periods — explicit,
+  * not data-dependent.
   */
 object TimeSeries {
 

@@ -182,4 +182,69 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
     assert(p.contains("_salt_l"), s"join key must carry the salt:\n$p")
   }
+
+  /** Every node of the physical plan, traversing through AQE wrappers
+    * (collect on the raw executedPlan stops at AdaptiveSparkPlanExec). */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      p +: allNodes(a.executedPlan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
+  test("q67 CDC apply: exactly one Window, over the changes side only") {
+    val df = SparkEntry.queries("q67_cdc_apply")(spark, sf)
+    val windows = allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // one window total: the upsert branch; the anti-join branch uses a
+    // hash-distinct of change keys, and the base is never window-sorted
+    assert(windows.size == 1, s"expected 1 window:\n${plan(df)}")
+    assert(windows.head.toString.contains("seq#"),
+      s"window is not over the changes side:\n${windows.head}")
+  }
+
+  test("q69 bloom prune: might_contain filter sits UNDER the join") {
+    val df = SparkEntry.queries("q69_bloom_join")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("might_contain"), s"bloom filter missing:\n$p")
+    val joins = allNodes(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.nonEmpty, s"no join in plan:\n$p")
+    // the probe-side filter is inside the join's subtree, i.e. the
+    // pruning happens before the join exchange, not after the join
+    assert(joins.exists(_.children.exists(_.toString.contains("might_contain"))),
+      s"bloom prune did not land under the join:\n$p")
+  }
+
+  test("q68 heavy hitters: candidate semi-filter broadcasts; agg follows") {
+    val df = SparkEntry.queries("q68_heavy_hitters")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected broadcast semi join before the exact count:\n$p")
+  }
+
+  test("q72 forward fill: LOCF window reuses the spine partitioning") {
+    val df = SparkEntry.queries("q72_forward_fill")(spark, sf)
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1, s"expected 1 window:\n${plan(df)}")
+    // no shuffle may sit between the LOCF window and the fill join —
+    // the join output is already hash(key) partitioned
+    def shuffleAboveJoin(
+        n: org.apache.spark.sql.execution.SparkPlan): Boolean = n match {
+      case _: org.apache.spark.sql.execution.joins.BaseJoinExec => false
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        true
+      case other => other.children.exists(shuffleAboveJoin)
+    }
+    assert(!shuffleAboveJoin(windows.head.child),
+      s"extra shuffle between fill join and LOCF window:\n${plan(df)}")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      s"fill join missing:\n${plan(df)}")
+  }
 }
