@@ -878,13 +878,8 @@ object SparkEntry {
     // Misra–Gries candidates → exact-verify two-phase plan: the long
     // tail never reaches the aggregation exchange.
     "q68_heavy_hitters" -> ((s, dir) => {
-      val ws = split(col("text"), " ")
-      val idx = when(size(ws) >= 2, sequence(lit(0), size(ws) - 2))
-        .otherwise(array().cast("array<int>"))
-      val grams = t(s, dir, "documents").select(explode(
-        transform(idx, i =>
-          concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
-        .as("gram"))
+      val grams = t(s, dir, "documents").select(
+        explode(TextFunctions.shinglesAll(col("text"), 2)).as("gram"))
       graft.operators.HeavyHitters.exactOverThreshold(grams, "gram", 800)
     }),
 

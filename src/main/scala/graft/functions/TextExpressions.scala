@@ -19,9 +19,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics contract (must stay aligned with the DuckDB oracle
   * formulation in SparkEntry.jaccardOracle): tokens = single-space split;
   * shingle = tokens joined by one space; docs with < n tokens → empty
-  * array; result distinct.
+  * array; result distinct (first-occurrence order) unless
+  * `distinct = false` (every occurrence, document order — frequency
+  * consumers like heavy hitters need the multiset).
   */
-case class Shingles(child: Expression, n: Int)
+case class Shingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
   require(n >= 1, "shingle width must be >= 1")
 
@@ -34,10 +36,13 @@ case class Shingles(child: Expression, n: Int)
     // -1) and DuckDB's string_split on trailing-separator inputs
     val toks = text.split(" ", -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]((toks.length - n + 1) * 2)
+    val m = toks.length - n + 1
+    val seen: java.util.Collection[String] =
+      if (distinct) new java.util.LinkedHashSet[String](m * 2)
+      else new java.util.ArrayList[String](m)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
-    while (i <= toks.length - n) {
+    while (i < m) {
       sb.setLength(0)
       var k = 0
       while (k < n) {
@@ -132,6 +137,8 @@ object TextExpressions {
   import org.apache.spark.sql.GraftInternals.{column, expression}
   def shingles(text: Column, n: Int): Column =
     column(Shingles(expression(text), n))
+  def shinglesAll(text: Column, n: Int): Column =
+    column(Shingles(expression(text), n, distinct = false))
   def redact(text: Column, blocklist: Seq[String], mask: String): Column =
     column(RedactTokens(expression(text), blocklist, mask))
   def redactCount(text: Column, blocklist: Seq[String]): Column =

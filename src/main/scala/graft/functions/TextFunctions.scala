@@ -26,6 +26,12 @@ object TextFunctions {
   def shingles(text: Column, n: Int): Column =
     TextExpressions.shingles(text, n)
 
+  /** Every shingle occurrence in document order (NOT distinct) — the
+    * multiset view frequency consumers (heavy hitters, n-gram LMs)
+    * need; same native kernel. */
+  def shinglesAll(text: Column, n: Int): Column =
+    TextExpressions.shinglesAll(text, n)
+
   /** The pure-built-in shingle formulation (interpreted HOF lambdas —
     * ~25× slower than [[shingles]]; kept as a cross-check for tests). */
   def shinglesDeclarative(text: Column, n: Int): Column = {

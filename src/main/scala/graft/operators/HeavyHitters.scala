@@ -32,6 +32,14 @@ import org.apache.spark.sql.functions._
 object HeavyHitters {
 
   /** Items with count·k > n over `items(itemCol)`; NULLs are ignored.
+    *
+    * Exactly two passes over the data: phase 1 emits the MG candidate
+    * keys AND the per-partition row counts in one job (the tiny
+    * summary — ≤ k candidates + 1 count row per partition — is
+    * persisted, so deriving n and the distinct candidate set doesn't
+    * re-scan the input; cache released with the plan by the
+    * ContextCleaner, as elsewhere). Phase 2 is the exact count.
+    *
     * @return (item, cnt) — `itemCol`'s name is preserved. */
   def exactOverThreshold(items: DataFrame, itemCol: String,
       k: Int): DataFrame = {
@@ -40,26 +48,35 @@ object HeavyHitters {
     import spark.implicits._
     val vals = items.select(col(itemCol).cast("string"))
       .filter(col(itemCol).isNotNull)
-    val n = vals.count()
-    // phase 1: Misra–Gries per partition, k-1 counters
-    val candidates = vals.as[String].mapPartitions { it =>
+    // phase 1: Misra–Gries per partition (k-1 counters) + row count;
+    // count rows travel as (null, n_partial)
+    val summary = vals.as[String].mapPartitions { it =>
+      var nPart = 0L
       val counters = new scala.collection.mutable.HashMap[String, Long]
       it.foreach { v =>
+        nPart += 1L
         if (counters.contains(v)) counters(v) += 1L
         else if (counters.size < k - 1) counters(v) = 1L
         else {
-          // decrement-all; drop zeros (amortized O(1) per item)
+          // decrement-all; drop zeros. Each decrement event burns k
+          // units of inserted count mass, so events ≤ n/k and the
+          // total cost stays O(n).
           val dead = List.newBuilder[String]
           counters.mapValuesInPlace((_, c) => c - 1L)
           counters.foreach { case (key, c) => if (c == 0L) dead += key }
           dead.result().foreach(counters.remove)
         }
       }
-      counters.keysIterator
-    }.distinct()
+      Iterator((null: String, nPart)) ++
+        counters.keysIterator.map(key => (key, 0L))
+    }.toDF(itemCol, "__n").persist()
+    val n = summary.filter(col(itemCol).isNull)
+      .agg(coalesce(sum("__n"), lit(0L))).head.getLong(0)
+    val candidates = summary.filter(col(itemCol).isNotNull)
+      .select(itemCol).distinct()
     // phase 2: exact count over candidate rows only; the broadcast
     // semi join prunes before the aggregation exchange
-    vals.join(broadcast(candidates.toDF(itemCol)), Seq(itemCol), "left_semi")
+    vals.join(broadcast(candidates), Seq(itemCol), "left_semi")
       .groupBy(itemCol).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * k > n)
   }

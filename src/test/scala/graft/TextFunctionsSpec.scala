@@ -8,6 +8,19 @@ class TextFunctionsSpec extends SparkSpec {
   private def one(text: String) =
     spark.createDataFrame(Seq(Tuple1(text))).toDF("text")
 
+  test("shinglesAll keeps every occurrence in order; shingles dedups") {
+    val df = one("a b a b a")
+    assert(df.select(TextFunctions.shinglesAll(col("text"), 2))
+      .head.getSeq[String](0) == Seq("a b", "b a", "a b", "b a"))
+    assert(df.select(TextFunctions.shingles(col("text"), 2))
+      .head.getSeq[String](0) == Seq("a b", "b a"))
+    // short-doc and null behavior match the distinct kernel
+    assert(one("a").select(TextFunctions.shinglesAll(col("text"), 2))
+      .head.getSeq[String](0) == Seq.empty)
+    assert(one(null).select(TextFunctions.shinglesAll(col("text"), 2))
+      .head.isNullAt(0))
+  }
+
   test("langId picks the lexicon with most distinct stopword hits") {
     val cases = Seq(
       "the cat sat of the mat and to in is" -> "en",
