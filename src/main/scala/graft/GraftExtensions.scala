@@ -81,6 +81,11 @@ object GraftExtensions {
     (FunctionIdentifier("shingles"),
       info("shingles", "shingles(text, n) - distinct word n-gram shingles"),
       (args: Seq[Expression]) => Shingles(args(0), foldToInt(args(1)))),
+    (FunctionIdentifier("shingles_all"),
+      info("shingles_all",
+        "shingles_all(text, n) - every word n-gram occurrence in order"),
+      (args: Seq[Expression]) =>
+        Shingles(args(0), foldToInt(args(1)), distinct = false)),
     (FunctionIdentifier("posting_pairs"),
       info("posting_pairs",
         "posting_pairs(ids) - all i<j pairs from a sorted bigint posting list"),

@@ -939,6 +939,14 @@ object SparkEntry {
         .agg((expr("percentile(cents, 0.25D)") / 100.0).as("p25"),
           (expr("percentile(cents, 0.5D)") / 100.0).as("p50"),
           (expr("percentile(cents, 0.75D)") / 100.0).as("p75"))),
+
+    // CCNet-shaped perplexity quality filter: every document scored by
+    // its average negative log2 likelihood under the corpus's own
+    // add-one bigram model (integer counts ⇒ exact per-bigram ratios;
+    // round(,6) absorbs the avg fold order, as in q30/q52).
+    "q74_lm_score" -> ((s, dir) =>
+      graft.operators.LanguageModel
+        .bigramNll(t(s, dir, "documents"), "doc_id", "text")),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -1653,6 +1661,22 @@ object SparkEntry {
         |  quantile_cont(round(o_totalprice * 100), 0.5) / 100.0 AS p50,
         |  quantile_cont(round(o_totalprice * 100), 0.75) / 100.0 AS p75
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q74_lm_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |bi AS (SELECT doc_id, unnest(list_transform(range(len(ws) - 1),
+        |         i -> ws[i+1] || ' ' || ws[i+2])) AS bg FROM w),
+        |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2,
+        |         string_split(bg, ' ')[1] AS w1,
+        |         string_split(bg, ' ')[2] AS w2
+        |       FROM bi GROUP BY bg),
+        |uc AS (SELECT w1, sum(c2) AS c1 FROM bc GROUP BY w1),
+        |vv AS (SELECT count(DISTINCT w2) AS v FROM bc),
+        |model AS (SELECT bg, -log2((c2 + 1) / (c1 + v)) AS nl
+        |          FROM bc JOIN uc USING (w1), vv)
+        |SELECT doc_id, round(avg(nl), 6) AS nll
+        |FROM bi JOIN model USING (bg) GROUP BY doc_id""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */

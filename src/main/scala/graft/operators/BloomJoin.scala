@@ -33,6 +33,8 @@ object BloomJoin {
     * Build side is aggregated eagerly (one small job). */
   def mightContainKey(build: DataFrame, buildKey: String, probeKey: Column,
       expectedItems: Long, fpp: Double): Column = {
+    require(expectedItems > 0, s"expectedItems must be > 0: $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
     val bf = build.select(xxhash64(col(buildKey)).as("h"))
       .stat.bloomFilter("h", expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()

@@ -30,12 +30,14 @@ object Cdc {
     * result is partitioning-independent. */
   def latestWins(changes: DataFrame, keyCols: Seq[String],
       seqCol: String): DataFrame = {
+    require(!changes.columns.contains("__graft_rn"),
+      "changes must not carry a __graft_rn column")
     val tieCols = changes.columns.toSeq
       .filterNot(c => keyCols.contains(c) || c == seqCol)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy((col(seqCol).desc +: tieCols.map(col(_).desc)): _*)
-    changes.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    changes.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1).drop("__graft_rn")
   }
 
   /** Apply `changes` onto `base`. `changes` must carry the key
@@ -47,6 +49,8 @@ object Cdc {
   def apply(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
       seqCol: String, opCol: String): DataFrame = {
     val payload = base.columns.toSeq.filterNot(keyCols.contains)
+    require(!base.columns.contains(seqCol) && !base.columns.contains(opCol),
+      s"base must not carry the change-stream columns '$seqCol'/'$opCol'")
     val expect = (keyCols ++ payload).toSet + seqCol + opCol
     require(changes.columns.toSet == expect,
       s"changes columns ${changes.columns.toSeq} != key+seq+op+base-payload")

@@ -26,7 +26,10 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * two-pointer closing-edge intersection), zero further shuffles.
   * Counts are exact integers, so the two paths are bit-identical
   * (spec-enforced), and the threshold bounds the task's transient
-  * memory at ~24 B/edge (≈ 120 MB at the 5M default).
+  * memory at ~24 B/edge (≈ 50 MB at the 2M default). The default is
+  * lower than PageRank's 5M because the fused work is the wedge
+  * intersection — O(Σ_edges min-outdeg), up to O(m^1.5) on adversarial
+  * graphs — not O(m) per pass.
   */
 object TriangleCount {
 
@@ -47,7 +50,7 @@ object TriangleCount {
     * @return (id, n_triangles) for every node incident to an edge —
     *   nodes in no triangle report 0. */
   def perNode(edges: DataFrame, srcCol: String, dstCol: String,
-      localThreshold: Long = 5_000_000L): DataFrame = {
+      localThreshold: Long = 2_000_000L): DataFrame = {
     val s = col(srcCol).cast("long")
     val d = col(dstCol).cast("long")
     // canonical undirected edges u < v (drops self-loops + duplicates);

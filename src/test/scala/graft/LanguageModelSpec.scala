@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.LanguageModel
+
+class LanguageModelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Brute-force add-one bigram NLL over single-space tokenization. */
+  private def brute(docs: Seq[(Long, String)]): Map[Long, Double] = {
+    def bigrams(t: String): Seq[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 2) Seq.empty
+      else ws.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val all = docs.flatMap { case (_, t) => bigrams(t) }
+    val c2 = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = all.map(_.split(" ", -1)(0)).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val v = c2.keys.map(bg => bg.split(" ", -1)(1)).toSet.size
+    docs.flatMap { case (id, t) =>
+      val bs = bigrams(t)
+      if (bs.isEmpty) None
+      else {
+        val nll = bs.map { bg =>
+          val w1 = bg.split(" ", -1)(0)
+          -math.log((c2(bg) + 1.0) / (c1(w1) + v.toDouble)) / math.log(2.0)
+        }.sum / bs.size
+        Some(id -> math.rint(nll * 1e6) / 1e6)
+      }
+    }.toMap
+  }
+
+  test("matches brute force; repeated bigrams raise likelihood") {
+    val docs = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the cat",   // reuses frequent bigrams
+      3L -> "zq xw vy uk",              // all-rare bigrams
+      4L -> "single",                   // no bigram -> omitted
+      5L -> "the cat sat on the mat")   // duplicate of 1
+    val got = LanguageModel
+      .bigramNll(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = brute(docs)
+    assert(got.keySet == Set(1L, 2L, 3L, 5L))
+    got.foreach { case (id, nll) =>
+      assert(math.abs(nll - want(id)) < 2e-6, s"doc $id: $nll vs ${want(id)}")
+    }
+    // the all-rare doc must score strictly worse than the common one
+    assert(got(3L) > got(1L))
+    assert(got(1L) == got(5L))
+  }
+}

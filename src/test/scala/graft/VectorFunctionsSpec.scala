@@ -117,10 +117,12 @@ class VectorFunctionsSpec extends SparkSpec {
     val row = spark.sql(
       """SELECT squared_l2(array(1.0F, 2.0F), array(4.0F, 6.0F)) AS d2,
         |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
-        |       shingles('a b c d', 3) AS sh""".stripMargin).collect()(0)
+        |       shingles('a b c d', 3) AS sh,
+        |       shingles_all('a b a b', 2) AS sa""".stripMargin).collect()(0)
     assert(row.getDouble(0) == 25.0)
     assert(row.getDouble(1) == 11.0)
     assert(row.getSeq[String](2) == Seq("a b c", "b c d"))
+    assert(row.getSeq[String](3) == Seq("a b", "b a", "a b"))
 
     val rowW = spark.sql(
       """SELECT within_eps(array(1.0F, 2.0F), array(4.0F, 6.0F), 25.0) AS w1,
@@ -168,7 +170,7 @@ class VectorFunctionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // throws on invalid metadata
     assert(GraftExtensions.functions.map(_._1.funcName).toSet == Set(
-      "squared_l2", "dot_product", "shingles",
+      "squared_l2", "dot_product", "shingles", "shingles_all",
       "posting_pairs", "posting_pairs_sz", "winnowing_fingerprints",
       "within_eps", "redact_tokens", "redact_count"))
   }
