@@ -75,6 +75,36 @@ object EventPipeline {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCol)
 
+  case class Change(k: Long, seq: Long, op: String, payload: Double)
+
+  /** Streaming twin of `operators.Cdc.latestWins`: one state-store entry
+    * per key holding its winning change; every micro-batch emits the
+    * keys whose winner changed (update mode — a MERGE-style sink applies
+    * them; 'D' rows travel as tombstones for the sink to drop). The
+    * comparison is (seq, op, payload) descending — the same total order
+    * the batch operator's window uses — so replaying any prefix of the
+    * stream matches the batch fold over the same rows, regardless of
+    * micro-batch boundaries (spec-enforced). State is one row per key,
+    * partitioned across executors; nothing driver-side. */
+  def latestWinsStream(changes: Dataset[Change]): Dataset[Change] = {
+    import changes.sparkSession.implicits._
+    def wins(a: Change, b: Change): Boolean =
+      a.seq > b.seq || (a.seq == b.seq && (a.op > b.op ||
+        (a.op == b.op && a.payload > b.payload)))
+    changes.groupByKey(_.k)
+      .flatMapGroupsWithState[Change, Change](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Change], state: GroupState[Change]) =>
+          var cur = state.getOption.orNull
+          var dirty = false
+          rows.foreach { c =>
+            if (cur == null || wins(c, cur)) { cur = c; dirty = true }
+          }
+          if (dirty) { state.update(cur); Iterator(cur) }
+          else Iterator.empty
+      }
+  }
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -227,6 +227,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CDC latest-wins state == batch Cdc.latestWins") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val mem = MemoryStream[EventPipeline.Change]
+    val q = EventPipeline.latestWinsStream(mem.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: two keys; batch 2: an older change (must NOT win), a
+      // newer one, a seq tie (payload breaks it), and a delete-winner
+      mem.addData(
+        EventPipeline.Change(1L, 10L, "U", 1.0),
+        EventPipeline.Change(2L, 5L, "U", 2.0))
+      q.processAllAvailable()
+      mem.addData(
+        EventPipeline.Change(1L, 9L, "U", 99.0),  // stale — ignored
+        EventPipeline.Change(2L, 5L, "U", 7.0),   // tie on seq, bigger payload
+        EventPipeline.Change(3L, 1L, "D", 0.0))
+      q.processAllAvailable()
+      // the last emitted row per key is the stream's current winner
+      val emitted = spark.table("cdc_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3)))
+      val streamed = emitted.zipWithIndex.groupBy(_._1._1).view
+        .mapValues(_.maxBy(_._2)._1).values.toSet
+
+      val all = Seq((1L, 10L, "U", 1.0), (2L, 5L, "U", 2.0),
+        (1L, 9L, "U", 99.0), (2L, 5L, "U", 7.0), (3L, 1L, "D", 0.0))
+      val batch = graft.operators.Cdc.latestWins(
+        all.toDF("k", "seq", "op", "payload"), Seq("k"), "seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(streamed == Set((1L, 10L, "U", 1.0), (2L, 5L, "U", 7.0),
+        (3L, 1L, "D", 0.0)))
+      // the stale row produced no emission for key 1 in batch 2
+      assert(emitted.count(_._1 == 1L) == 1)
+    } finally q.stop()
+  }
+
   test("stateless curation ops run unchanged on a stream == batch") {
     // redaction (native expression), language-ID, and hash splits are
     // narrow projections, so the SAME column code serves batch and
