@@ -947,6 +947,20 @@ object SparkEntry {
     "q74_lm_score" -> ((s, dir) =>
       graft.operators.LanguageModel
         .bigramNll(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ANN via product quantization: ADC shortlist over 16×4-dim codes
+    // + exact L2 re-rank (approximate by design — no SQL oracle;
+    // recall and positional exactness covered in AnnSearchSpec).
+    "q75_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qd = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val cb = AnnSearch.pqCodebook(bd, m = 16, nCentroids = 16)
+      val codes = AnnSearch.pqEncode(e, "vec_id", "embedding", cb)
+      AnnSearch.pqTopKRerank(qd, bd, codes, cb, 5, shortlist = 50)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged

@@ -226,4 +226,131 @@ object AnnSearch {
       .select(col("a_id"), col("p.id").as("nbr_id"),
         (col("pos") + 1).cast("int").as("rnk"))
   }
+
+  // ------- Product quantization: the compressed-vector scale path -------
+  //
+  // At 100 TB an embedding store's scan cost is memory bandwidth: PQ
+  // replaces each D-dim float vector with m small codes (one nearest-
+  // centroid id per subspace), shrinking the scanned bytes by ~D·4/m and
+  // turning each query×vector distance into m table lookups (ADC —
+  // asymmetric distance computation; squared L2 decomposes exactly over
+  // subspaces, which is why the family quantizes L2, not cosine).
+  // Codebooks reuse the IVF Lloyd machinery per subspace.
+
+  /** Per-subspace PQ codebook. @return (sub: int 0-based, c_id: int
+    * 1-based within the subspace, c_v: array<double> of `dims/m`) —
+    * parquet-persistable, like [[centroids]]. Requires `b_id`/`b_v`
+    * input columns and `dims % m == 0`. */
+  def pqCodebook(build: DataFrame, m: Int, nCentroids: Int,
+      iters: Int = 2, seed: Long = 42L): DataFrame = {
+    val spark = build.sparkSession
+    import spark.implicits._
+    val subLen = pqSubLen(build.select(size(col("b_v"))).head.getInt(0), m)
+    (0 until m).flatMap { s =>
+      val sub = build.select(col("b_id"),
+        slice(col("b_v").cast("array<double>"), s * subLen + 1, subLen)
+          .as("b_v"))
+      // distinct seed per subspace — identical seeds would pick the same
+      // seed ROWS for every subspace (harmless but needlessly correlated)
+      centroidArrays(sub, nCentroids, iters, seed + s)
+        .map { case (cid, cv) => (s, cid, cv.toSeq) }
+    }.toDF("sub", "c_id", "c_v")
+  }
+
+  private def pqSubLen(dims: Int, m: Int): Int = {
+    require(m >= 1 && dims % m == 0, s"dims=$dims not divisible by m=$m")
+    dims / m
+  }
+
+  /** Collected codebook: per subspace, centroids sorted by c_id and
+    * re-indexed POSITIONALLY (1..len) — Lloyd can drop an empty cluster,
+    * so stored c_ids may have gaps; codes always refer to positions in
+    * this cid-sorted order (encode and ADC both derive from it, so the
+    * contract holds by construction). */
+  private def collectPqCodebook(codebook: DataFrame)
+      : Array[Array[(Int, Array[Double])]] = {
+    val rows = codebook
+      .select(col("sub").cast("int"), col("c_id").cast("int"),
+        col("c_v").cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty, "empty PQ codebook")
+    val bySub = rows.groupBy(_.getInt(0)).toArray.sortBy(_._1)
+    require(bySub.map(_._1).toSeq == bySub.indices.toSeq,
+      s"codebook subspaces not dense 0..m-1: ${bySub.map(_._1).toSeq}")
+    bySub.map { case (_, rs) =>
+      rs.sortBy(_.getInt(1)).zipWithIndex
+        .map { case (r, i) => (i + 1, r.getSeq[Double](2).toArray) }
+    }
+  }
+
+  /** Encode vectors as m positional codes — a pure projection (literal
+    * sub-centroids, no join, no shuffle). @return (`id`, `codes`). */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebook: DataFrame): DataFrame = {
+    val cb = collectPqCodebook(codebook)
+    val subLen = cb.head.head._2.length
+    val codes = array(cb.zipWithIndex.map { case (cents, s) =>
+      nearestCentroid(
+        slice(col(vecCol).cast("array<double>"), s * subLen + 1, subLen),
+        cents)
+    }.toIndexedSeq: _*)
+    df.select(col(idCol).as("id"), codes.cast("array<int>").as("codes"))
+  }
+
+  /** ADC approximate top-k over PQ codes: per subspace the query's
+    * distance to every sub-centroid is a literal-expression table and
+    * each code row does m `element_at` lookups — the scan never touches
+    * a full vector. Exact-rerank of the ADC shortlist is the usual
+    * production follow-up ([[bruteForceTopK]] over the survivors).
+    * @param queries (`a_id`, `a_v`); @param codes [[pqEncode]] output.
+    * @return (a_id, nbr_id, rnk) by ascending approximate d², ties by
+    *   id (deterministic). */
+  def pqTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+      k: Int): DataFrame = {
+    val cb = collectPqCodebook(codebook)
+    val subLen = cb.head.head._2.length
+    val approxD2 = cb.zipWithIndex.map { case (cents, s) =>
+      val qSub =
+        slice(col("a_v").cast("array<double>"), s * subLen + 1, subLen)
+      element_at(
+        array(cents.map { case (_, cv) =>
+          VectorExpressions.squaredL2(qSub, typedlit(cv.toSeq))
+        }.toIndexedSeq: _*),
+        element_at(col("codes"), s + 1))
+    }.reduce(_ + _)
+    queries.repartition(col("a_id")) // parallelize the |Q|·|B| code scan
+      .crossJoin(codes)
+      .filter(col("a_id") =!= col("id"))
+      .select(col("a_id"), col("id"), approxD2.as("ad2"))
+      .groupBy("a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("id"), col("ad2"), k)
+        .as("topk"))
+      .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("a_id"), col("p.id").as("nbr_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** The full production PQ pipeline: ADC shortlist over codes, then
+    * EXACT L2 re-rank of the shortlist against the full vectors. Only
+    * `|Q| × shortlist` full vectors are ever fetched — the |B|-sized
+    * scan stays on codes — and the re-rank repairs ADC's quantization
+    * coarseness (recall is the shortlist's hit rate, spec-measured).
+    * @param build (`b_id`, `b_v`) full-resolution vectors. */
+  def pqTopKRerank(queries: DataFrame, build: DataFrame, codes: DataFrame,
+      codebook: DataFrame, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val cand = pqTopK(queries, codes, codebook, shortlist)
+      .select(col("a_id"), col("nbr_id").as("b_id"))
+    val d2 = VectorExpressions.squaredL2(
+      col("a_v").cast("array<double>"), col("b_v").cast("array<double>"))
+    cand.join(build, "b_id")
+      .join(queries, "a_id")
+      .select(col("a_id"), col("b_id"), d2.as("d2"))
+      .groupBy("a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("b_id"), col("d2"), k)
+        .as("topk"))
+      .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("a_id"), col("p.id").as("nbr_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
 }

@@ -99,4 +99,103 @@ class AnnSearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
     assert(full == exact)
   }
+
+  /** Exact L2 top-k by Scala brute force — PQ quantizes L2, so its
+    * recall target is the L2 ranking, not the cosine one. */
+  private def exactL2TopK(k: Int): Map[Long, Seq[Long]] = {
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], bb: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - bb(i).toDouble; s += d * d; i += 1
+      }
+      s
+    }
+    vecs.keys.filter(_ < 30).map { aId =>
+      aId -> vecs.keys.filter(_ != aId).toSeq
+        .map(bId => (bId, d2(vecs(aId), vecs(bId))))
+        .sortBy { case (bId, d) => (d, bId) }.take(k).map(_._1)
+    }.toMap
+  }
+
+  test("PQ: codes well-formed/deterministic; rerank repairs ADC recall") {
+    val cb = AnnSearch.pqCodebook(b, m = 16, nCentroids = 16)
+    val codes = AnnSearch.pqEncode(
+      emb, "vec_id", "embedding", cb).persist()
+    val rows = codes.collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 16 && cs.forall(c => c >= 1 && c <= 16), s"$cs")
+    }
+    // same codebook → identical codes (pure projection, no randomness)
+    val again = AnnSearch.pqEncode(emb, "vec_id", "embedding", cb).collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+
+    val exact = exactL2TopK(5)
+    def recallOf(pairs: Set[(Long, Long)]): Double =
+      exact.toSeq.map { case (aId, nbrs) =>
+        nbrs.count(n => pairs.contains((aId, n)))
+      }.sum.toDouble / (exact.size * 5)
+    // plain ADC: coarse but far above chance (5/499 ≈ 0.01)
+    val adc5 = AnnSearch.pqTopK(q, codes, cb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = recallOf(adc5)
+    assert(adcRecall >= 0.2, s"PQ ADC recall@5 = $adcRecall")
+    // production shape: ADC shortlist 50 + exact L2 re-rank to top-5
+    val rr = AnnSearch.pqTopKRerank(q, b, codes, cb, 5, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rrRecall = recallOf(rr)
+    assert(rrRecall >= 0.8,
+      s"PQ rerank recall@5 = $rrRecall (ADC alone: $adcRecall)")
+    assert(rrRecall > adcRecall)
+    codes.unpersist()
+  }
+
+  test("PQ hand codebook: encode + ADC are positionally correct") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cb = Seq(
+      (0, 1, Seq(0.0, 0.0)), (0, 2, Seq(10.0, 10.0)),
+      (1, 1, Seq(0.0, 0.0)), (1, 2, Seq(10.0, 10.0))
+    ).toDF("sub", "c_id", "c_v")
+    val vecs = Seq(
+      (1L, Seq(0.0f, 0.0f, 10.0f, 10.0f)),
+      (2L, Seq(10.0f, 10.0f, 0.0f, 0.0f)),
+      (3L, Seq(9.0f, 9.0f, 9.0f, 9.0f))
+    ).toDF("vec_id", "embedding")
+    val codes = AnnSearch.pqEncode(vecs, "vec_id", "embedding", cb)
+    val got = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(1, 2) && got(2L) == Seq(2, 1) &&
+      got(3L) == Seq(2, 2), got)
+    val qq = Seq((9L, Seq(0.0f, 0.0f, 0.0f, 0.0f))).toDF("a_id", "a_v")
+    val top = AnnSearch.pqTopK(qq, codes, cb, 3).collect()
+      .map(r => (r.getInt(2), r.getLong(1))).sorted
+    // approx d2: v1 -> 0+200; v2 -> 200+0 (tie with v1, id breaks);
+    // v3 -> 200+200
+    assert(top.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)), top.toSeq)
+  }
+
+  test("PQ codebook round-trips through parquet == fresh (like IVF)") {
+    val cb = AnnSearch.pqCodebook(b, m = 4, nCentroids = 8)
+    val fresh = AnnSearch.pqTopK(q,
+      AnnSearch.pqEncode(emb, "vec_id", "embedding", cb), cb, 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_idx")
+    try {
+      val dir = tmp.toString + "/cb"
+      cb.write.parquet(dir)
+      val stored = spark.read.parquet(dir)
+      val served = AnnSearch.pqTopK(q,
+        AnnSearch.pqEncode(emb, "vec_id", "embedding", stored), stored, 3)
+        .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+      assert(served == fresh)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
