@@ -961,6 +961,72 @@ object SparkEntry {
       AnnSearch.pqTopKRerank(qd, bd, codes, cb, 5, shortlist = 50)
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
+
+    // Gaps-and-islands daily activity streaks (TimeSeries.streaks)
+    "q76_streaks" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      operators.TimeSeries.streaks(
+        ev.select(col("user_id"), eventMs(ev).as("ms"))
+          .select(col("user_id"), expr("ms DIV 86400000").as("day")),
+        Seq("user_id"), "day")
+    }),
+
+    // Pareto skyline: parts on the (cheapest, largest) frontier
+    "q77_skyline" -> ((s, dir) =>
+      operators.Skyline.pareto(
+        t(s, dir, "part").withColumn("neg_size", -col("p_size")),
+        Seq("p_retailprice", "neg_size"))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))),
+
+    // Grouped exact OLS regression (slope/intercept of price vs quantity)
+    "q78_regression" -> ((s, dir) => {
+      val z = t(s, dir, "lineitem").select(
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y"))
+      val a = z.groupBy("l_returnflag", "l_linestatus").agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+      // all sums are decimal-exact; only the final ratio divides in
+      // double, so both engines execute identical IEEE ops
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double") /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      a.select(col("l_returnflag"), col("l_linestatus"), col("n"),
+        round(slope, 6).as("slope"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / col("n").cast("double"), 6).as("intercept"))
+    }),
+
+    // Multi-source BFS hops over the supplier–part bipartite graph
+    "q79_bfs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("sk"),
+        (col("l_partkey") + 1000000000L).as("pk"))
+      val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
+        .unionAll(li.select(col("pk").as("src"), col("sk").as("dst")))
+      val seeds = li.select(col("sk").as("id"))
+        .filter(col("id") % 10 === 0).distinct()
+      operators.ShortestPath.hops(edges, "src", "dst", seeds, "id",
+        maxHops = 6)
+    }),
+
+    // Time-weighted average event value per user (LOCF weighting)
+    "q80_twap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      operators.TimeSeries.timeWeightedAvg(
+        ev.select(col("user_id"), eventMs(ev).as("ms"), col("event_id"),
+          col("value")),
+        Seq("user_id"), "ms", "value", scale = 100L,
+        tieCols = Seq("event_id"))
+    }),
+
+    // Corpus-level segment dedup (C4-style line dedup, 4-word segments)
+    "q81_segment_dedup" -> ((s, dir) =>
+      Dedup.dedupSegments(t(s, dir, "documents"), "doc_id", "text", 4)),
   )
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
@@ -1691,6 +1757,85 @@ object SparkEntry {
         |          FROM bc JOIN uc USING (w1), vv)
         |SELECT doc_id, round(avg(nl), 6) AS nll
         |FROM bi JOIN model USING (bg) GROUP BY doc_id""".stripMargin,
+
+    "q76_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |                  epoch_ms(ts) // 86400000 AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |  day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |    AS island FROM d)
+        |SELECT user_id, min(day) AS streak_start,
+        |  CAST(count(*) AS BIGINT) AS streak_len
+        |FROM r GROUP BY user_id, island""".stripMargin,
+
+    "q77_skyline" ->
+      """SELECT a.p_partkey, a.p_retailprice, a.p_size FROM part a
+        |WHERE NOT EXISTS (SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice
+        |         OR b.p_size > a.p_size))""".stripMargin,
+
+    "q78_regression" ->
+      """WITH z AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(l_quantity AS BIGINT) AS x,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y FROM lineitem),
+        |a AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |  CAST(sum(x*x) AS HUGEINT) AS sxx,
+        |  CAST(sum(x*y) AS HUGEINT) AS sxy
+        |  FROM z GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |        / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |         - (CAST(n*sxy - sx*sy AS DOUBLE)
+        |            / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |        / CAST(n AS DOUBLE), 6) AS intercept
+        |FROM a""".stripMargin,
+
+    "q79_bfs" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT
+        |    CAST(l_suppkey AS BIGINT) AS sk,
+        |    CAST(l_partkey + 1000000000 AS BIGINT) AS pk FROM lineitem),
+        |e AS (SELECT sk AS src, pk AS dst FROM li
+        |      UNION ALL SELECT pk, sk FROM li),
+        |r AS (
+        |  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS id, 0 AS h
+        |  FROM lineitem WHERE l_suppkey % 10 = 0
+        |  UNION
+        |  SELECT e.dst, r.h + 1 FROM r JOIN e ON e.src = r.id
+        |  WHERE r.h < 6)
+        |SELECT id, CAST(min(h) AS INTEGER) AS hops
+        |FROM r GROUP BY id""".stripMargin,
+
+    "q80_twap" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS t,
+        |  CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |d AS (SELECT user_id, v,
+        |  lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) - t
+        |    AS dt FROM e),
+        |a AS (SELECT user_id,
+        |  CAST(sum(CAST(v AS HUGEINT) * dt) AS HUGEINT) AS num,
+        |  CAST(sum(CAST(dt AS HUGEINT)) AS HUGEINT) AS den
+        |  FROM d WHERE dt IS NOT NULL GROUP BY user_id)
+        |SELECT user_id,
+        |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100, 6)
+        |    AS value_twa
+        |FROM a WHERE den > 0""".stripMargin,
+
+    "q81_segment_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |seg AS (SELECT doc_id, CAST(i AS INTEGER) AS idx,
+        |    array_to_string(ws[i*4+1 : i*4+4], ' ') AS seg
+        |  FROM w, unnest(range((len(ws)-1)//4 + 1)) AS t(i)),
+        |k AS (SELECT doc_id, idx, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx)
+        |      AS rn FROM seg)
+        |SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS text_dedup
+        |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */

@@ -34,6 +34,48 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
+  /** Corpus-level segment dedup (the C4/RefinedWeb "line-level" pass):
+    * split every document into fixed `segWords`-word segments, keep only
+    * the globally FIRST occurrence of each distinct segment text (first =
+    * min (id, segment index) — deterministic), and reassemble each
+    * document from its surviving segments in order. Removes boilerplate
+    * repeated across documents while keeping the rest of every document,
+    * which doc-level dedup cannot do.
+    *
+    * Scale shape: explode is narrow; the global first-occurrence pick is
+    * ONE hash aggregate on segment text (`min(struct(id, idx))` — no
+    * window, no sort); survivors join back on the same segment key and
+    * the per-doc reassembly is a second hash aggregate with an in-group
+    * `array_sort` (bounded by a doc's own segment count). Documents whose
+    * every segment was seen earlier disappear from the output — a fully
+    * deduplicated doc has no text left.
+    *
+    * @return (`idCol`, text_dedup) for docs with ≥1 surviving segment. */
+  def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
+      segWords: Int): DataFrame = {
+    require(segWords >= 1, s"segWords must be >= 1, got $segWords")
+    val segs = docs.select(col(idCol).as("id"),
+        posexplode(segments(col(textCol), segWords)).as(Seq("idx", "seg")))
+    val firsts = segs.groupBy("seg")
+      .agg(min(struct(col("id"), col("idx"))).as("first"))
+      .select(col("seg"), col("first.id").as("id"),
+        col("first.idx").as("idx"))
+    segs.join(firsts, Seq("seg", "id", "idx"), "left_semi")
+      .groupBy(col("id").as(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("seg")))),
+        x => x.getField("seg")), " ").as("text_dedup"))
+  }
+
+  /** Consecutive `segWords`-word segments of a space-separated text (the
+    * last, possibly shorter, remainder included). */
+  private def segments(text: Column, segWords: Int): Column = {
+    val ws = split(text, " ")
+    transform(
+      sequence(lit(0), ((size(ws) - 1) / segWords).cast("int")),
+      i => array_join(slice(ws, i * segWords + 1, lit(segWords)), " "))
+  }
+
   /** Distinct word-n-gram shingles per doc: (`id`, `shingle`). */
   private def shingleTable(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =

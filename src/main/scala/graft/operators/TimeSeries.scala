@@ -62,4 +62,70 @@ object TimeSeries {
         last(col("__val"), ignoreNulls = true).over(w)
           .as(s"${valCol}_fill")): _*)
   }
+
+  /** Consecutive-period activity streaks (gaps-and-islands on an integer
+    * period axis): one row per maximal run of consecutive `periodCol`
+    * values within a key. The classic engagement metric ("days active in
+    * a row") and the integer twin of [[forwardFill]]'s calendar spine.
+    *
+    * Scale shape: one distinct-collapse and one window, both on
+    * hash(key) — the window's `period - row_number()` island id is
+    * computed inside the same partitioning, and the closing aggregate
+    * reuses it; a key's history must fit one task (same contract as any
+    * per-key window).
+    *
+    * @param periodCol integer column (e.g. epoch days); consecutive
+    *   means differ-by-1.
+    * @return keyCols :+ (streak_start, streak_len) */
+  def streaks(df: DataFrame, keyCols: Seq[String],
+      periodCol: String): DataFrame = {
+    df.select((keyCols.map(col) :+ col(periodCol).as("__p")): _*)
+      .distinct()
+      .withColumn("__island", col("__p") - row_number().over(
+        Window.partitionBy(keyCols.map(col): _*).orderBy(col("__p"))))
+      .groupBy((keyCols.map(col) :+ col("__island")): _*)
+      .agg(min(col("__p")).as("streak_start"),
+        count(lit(1)).as("streak_len"))
+      .drop("__island")
+  }
+
+  /** Piecewise-constant (LOCF) time-weighted average of `valCol` per key
+    * over the key's observed span: Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first).
+    * The standard TWAP/uptime-style summary where sample spacing is
+    * irregular and plain `avg` over-weights bursts.
+    *
+    * Numerics: values are scaled to integers (`round(v·scale)`), the
+    * value×duration products are summed as decimal(38,0) — exact at any
+    * row count — and only the final ratio divides in double, so the
+    * result is independent of aggregation order (cross-engine safe).
+    *
+    * Scale shape: one exchange on hash(key); the `lead` window and the
+    * closing aggregate share it. Keys with a single observation (zero
+    * span) are dropped — a TWAP over an empty interval is undefined.
+    *
+    * @param scale value quantization (100 = cents).
+    * @param tieCols break ties among observations sharing `tsCol` (the
+    *   tied spans get zero weight either way, but the lead order — and
+    *   so per-row weights — must be deterministic for oracle parity).
+    * @return keyCols :+ s"${valCol}_twa" (double) */
+  def timeWeightedAvg(df: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, scale: Long = 100L,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    df.select((keyCols.map(col) ++ (col(tsCol).as("__t") +:
+        tieCols.map(col)) :+
+        round(col(valCol) * scale).cast("long").as("__v")): _*)
+      .withColumn("__dt", lead(col("__t"), 1).over(
+        Window.partitionBy(keyCols.map(col): _*)
+          .orderBy((col("__t") +: tieCols.map(col)): _*))
+        - col("__t"))
+      .filter(col("__dt").isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum((col("__v") * col("__dt")).cast("decimal(38,0)")).as("__num"),
+        sum(col("__dt").cast("decimal(38,0)")).as("__den"))
+      .filter(col("__den") > 0)
+      .select((keyCols.map(col) :+
+        round(col("__num").cast("double") / col("__den").cast("double")
+          / scale, 6).as(s"${valCol}_twa")): _*)
+  }
 }
