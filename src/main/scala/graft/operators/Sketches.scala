@@ -42,4 +42,88 @@ object Sketches {
 
   /** Distinct-count estimate of a sketch column. */
   def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  // --- Count-Min frequency sketches -------------------------------------
+  //
+  // The frequency-counting sibling of the HLL wrappers: "how often did
+  // item X occur per Y" without shuffling the full (Y, X) grain. Unlike
+  // HLL, a Count-Min sketch is LINEAR — merging per-shard sketches sums
+  // their counter matrices, so a merged rollup is bit-identical to a
+  // sketch built directly over the union (spec-enforced), and estimates
+  // are one-sided: estimate ≥ true count always, within ε·total at the
+  // configured confidence. Same seed + same (ε, δ) is the merge
+  // compatibility contract; the default seed is fixed so independently
+  // built shards merge by construction.
+
+  /** Per-group Count-Min sketch of `valueCol` occurrences (weighted by
+    * one per row). ε is the overestimate bound as a fraction of the
+    * group's total count; confidence the probability it holds. */
+  def freqSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence),
+        lit(seed)).as("sketch"))
+  }
+
+  /** Re-aggregate Count-Min sketches to a coarser grouping. Counter
+    * matrices add, so this is lossless relative to a direct build. */
+  def mergeFreqSketches(df: DataFrame, groupCols: Seq[String],
+      sketchCol: String = "sketch"): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(CmsUnion.agg(col(sketchCol)).as("sketch"))
+  }
+
+  /** Estimated occurrence count of a string item in a sketch column.
+    * A plain UDF probe: sketches are few-KB values on already-aggregated
+    * rows — never the hot path, so codegen doesn't matter here. The
+    * probe type must match the sketched column's type (CMS hashes
+    * strings and longs differently). */
+  def estimateFreq(sketch: Column, item: Column): Column =
+    udf((bytes: Array[Byte], v: String) =>
+      if (bytes == null || v == null) null
+      else java.lang.Long.valueOf(
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+          .estimateCount(v)))
+      .apply(sketch, item)
+
+  /** [[estimateFreq]] for integral-typed sketched columns. */
+  def estimateFreqLong(sketch: Column, item: Column): Column =
+    udf((bytes: Array[Byte], v: java.lang.Long) =>
+      if (bytes == null || v == null) null
+      else java.lang.Long.valueOf(
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+          .estimateCount(v)))
+      .apply(sketch, item)
+}
+
+/** Binary Count-Min union as a typed Aggregator (Spark ships the CMS
+  * agg builder but no SQL-level union — the class's `mergeInPlace` is
+  * the merge; this lifts it to a grouped aggregate). */
+private object CmsUnion
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Array[Byte], Array[Byte], Array[Byte]] {
+  import org.apache.spark.util.sketch.CountMinSketch
+
+  override def zero: Array[Byte] = null
+  private def m(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    if (a == null) b else if (b == null) a
+    else {
+      val s = CountMinSketch.readFrom(a)
+      s.mergeInPlace(CountMinSketch.readFrom(b))
+      s.toByteArray
+    }
+  override def reduce(buf: Array[Byte], in: Array[Byte]): Array[Byte] =
+    m(buf, in)
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = m(a, b)
+  override def finish(r: Array[Byte]): Array[Byte] = r
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+  override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+    org.apache.spark.sql.Encoders.BINARY
+
+  def agg(c: Column): Column =
+    org.apache.spark.sql.functions.udaf(this).apply(c)
 }

@@ -58,4 +58,50 @@ class SketchesSpec extends SparkSpec {
       assert(math.abs(e - b(g)).toDouble / e < 0.02, s"$a vs $b")
     }
   }
+
+  // --- Count-Min -------------------------------------------------------
+
+  test("CMS estimates are one-sided and within the eps bound") {
+    val exact = fixture.groupBy("g", "v").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val probes = exact.keys.toSeq.sortBy(_.toString).take(50)
+    val sk = Sketches.freqSketch(fixture, Seq("g"), "v", eps = 0.001)
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val total = 10000L // rows per group
+    probes.foreach { case (g, v) =>
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(sk(g))
+      val e = cms.estimateCount(v)
+      assert(e >= exact((g, v)), s"CMS underestimated ($g,$v)")
+      assert(e <= exact((g, v)) + (0.001 * total).ceil.toLong * 3,
+        s"($g,$v): est $e vs exact ${exact((g, v))}")
+    }
+  }
+
+  test("CMS merge of fine sketches is bit-identical to the direct build") {
+    val direct = Sketches.freqSketch(fixture, Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val merged = Sketches.mergeFreqSketches(
+        Sketches.freqSketch(fixture, Seq("g", "sub"), "v"), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(direct.keySet == merged.keySet)
+    // CMS is linear: counter matrices add, so unlike HLL the merged
+    // sketch IS the direct sketch, byte for byte
+    direct.foreach { case (g, bytes) =>
+      assert(java.util.Arrays.equals(bytes, merged(g)), s"group $g differs")
+    }
+  }
+
+  test("CMS probe column works and respects nulls") {
+    val got = Sketches.freqSketch(fixture, Seq("g"), "v")
+      .select(col("g"),
+        Sketches.estimateFreq(col("sketch"), lit("v0")).as("e"),
+        Sketches.estimateFreq(col("sketch"), lit(null.asInstanceOf[String]))
+          .as("n"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(1) >= 1L)
+      assert(r.isNullAt(2))
+    }
+  }
 }

@@ -343,4 +343,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
     assert(got("satisfies(v_pos)") == 2L) // -1.0 fails, NULL unprovable
   }
+
+  test("streaming Count-Min sketch converges to the batch sketch, bit-exact") {
+    // CMS is linear (counter matrices add), so a complete-mode streaming
+    // build must END at exactly the batch sketch — a stronger contract
+    // than the HLL twin could ever offer
+    import graft.operators.Sketches
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 300).map(i => (s"g${i % 2}", s"v${i % 17}"))
+    val mem = MemoryStream[(String, String)]
+    val q = Sketches.freqSketch(mem.toDF().toDF("g", "v"), Seq("g"), "v")
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("complete").start()
+    val got = try {
+      mem.addData(rows.take(100): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(100): _*)
+      q.processAllAvailable()
+      spark.table("cms_out").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    } finally q.stop()
+    val batch = Sketches
+      .freqSketch(spark.createDataFrame(rows).toDF("g", "v"), Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(got.keySet == batch.keySet)
+    batch.foreach { case (g, bytes) =>
+      assert(java.util.Arrays.equals(bytes, got(g)), s"group $g differs")
+    }
+  }
 }
