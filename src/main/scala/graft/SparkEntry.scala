@@ -1027,7 +1027,75 @@ object SparkEntry {
     // Corpus-level segment dedup (C4-style line dedup, 4-word segments)
     "q81_segment_dedup" -> ((s, dir) =>
       Dedup.dedupSegments(t(s, dir, "documents"), "doc_id", "text", 4)),
+
+    // BPE merge learning (tokenizer training) — ordered merge table
+    "q82_bpe_merges" -> ((s, dir) =>
+      operators.Bpe.learnMerges(t(s, dir, "documents"), "text", BpeSteps)),
+
+    // Apply the learned merges back to the corpus: per-doc subword
+    // token counts under the trained vocabulary
+    "q83_bpe_tokenize" -> ((s, dir) => {
+      val merges = operators.Bpe
+        .learnMerges(t(s, dir, "documents"), "text", BpeSteps)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      operators.Bpe.tokenCounts(t(s, dir, "documents"), "doc_id", "text",
+        merges)
+    }),
+
+    // Exact per-group mode (argmax with deterministic tie-break): the
+    // min(struct(-cnt, value)) trick — cnt DESC then value ASC in ONE
+    // ordered-agg-free pass over the (group, value) counts
+    "q84_mode" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
+        .groupBy("user_id")
+        .agg(min(struct((-col("cnt")).as("nc"),
+          col("event_type").as("t"))).as("m"))
+        .select(col("user_id"), col("m.t").as("top_type"),
+          (-col("m.nc")).as("cnt"))),
+
+    // Weighted shortest paths (Bellman-Ford, exact integer cents)
+    "q85_sssp" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("sk"),
+        (col("l_partkey") + 1000000000L).as("pk"),
+        round(col("l_extendedprice") * 100).cast("long").as("w"))
+      val edges = li.select(col("sk").as("src"), col("pk").as("dst"),
+          col("w"))
+        .unionAll(li.select(col("pk").as("src"), col("sk").as("dst"),
+          col("w")))
+      val seeds = li.select(col("sk").as("id"))
+        .filter(col("id") % 10 === 0).distinct()
+      operators.ShortestPath.weighted(edges, "src", "dst", "w",
+        seeds, "id", rounds = SsspRounds)
+    }),
+
+    // Robust outlier report: median/MAD per order priority (exact
+    // integer percentiles — half-cent/quarter-cent scaling)
+    "q86_mad_outliers" -> ((s, dir) =>
+      operators.Stats.madOutliers(t(s, dir, "orders"),
+        Seq("o_orderpriority"), round(col("o_totalprice") * 100), k = 3)),
+
+    // Pearson correlation matrix from decimal-exact moment sums
+    "q87_corr_matrix" -> ((s, dir) =>
+      operators.Stats.corrMatrix(t(s, dir, "lineitem"), CorrVars.map {
+        case (n, e) => (n, expr(e)) })),
   )
+
+  /** q87's variables: (name, integer-quantizing SQL expression) — the
+    * same expression text feeds the Spark query and the DuckDB oracle. */
+  private val CorrVars: Seq[(String, String)] = Seq(
+    "qty" -> "CAST(l_quantity AS BIGINT)",
+    "price" -> "CAST(round(l_extendedprice * 100) AS BIGINT)",
+    "disc" -> "CAST(round(l_discount * 100) AS BIGINT)",
+    "tax" -> "CAST(round(l_tax * 100) AS BIGINT)")
+
+  /** SSSP relaxation rounds — shared by q85 and its unrolled oracle. */
+  private val SsspRounds = 4
+
+  /** BPE training rounds — shared by q82/q83 and their unrolled oracles. */
+  private val BpeSteps = 8
 
   /** Blocklist for q37 — stands in for a banned-term / PII-tagged
     * vocabulary; chosen from the fixture corpus so masking actually fires. */
@@ -1825,6 +1893,40 @@ object SparkEntry {
         |    AS value_twa
         |FROM a WHERE den > 0""".stripMargin,
 
+    "q82_bpe_merges" -> bpeMergesOracle,
+    "q83_bpe_tokenize" -> bpeTokenizeOracle,
+
+    "q84_mode" ->
+      """WITH c AS (SELECT user_id, event_type,
+        |           CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY user_id, event_type),
+        |r AS (SELECT user_id, event_type, cnt,
+        |  row_number() OVER (PARTITION BY user_id
+        |                     ORDER BY cnt DESC, event_type) AS rn FROM c)
+        |SELECT user_id, event_type AS top_type, cnt
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q85_sssp" -> ssspOracle,
+
+    "q86_mad_outliers" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS hc
+        |  FROM orders),
+        |m AS (SELECT o_orderpriority, quantile_cont(hc, 0.5) AS med_hc
+        |  FROM o GROUP BY o_orderpriority),
+        |d AS (SELECT o.o_orderpriority, abs(o.hc - m.med_hc) * 2 AS dev_qc
+        |  FROM o JOIN m USING (o_orderpriority)),
+        |md AS (SELECT o_orderpriority, quantile_cont(dev_qc, 0.5) AS mad_qc
+        |  FROM d GROUP BY o_orderpriority)
+        |SELECT d.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN dev_qc > 3 * mad_qc THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  any_value(mad_qc) / 400.0 AS mad
+        |FROM d JOIN md USING (o_orderpriority)
+        |GROUP BY d.o_orderpriority""".stripMargin,
+
+    "q87_corr_matrix" -> corrOracle,
+
     "q81_segment_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),
@@ -2018,4 +2120,124 @@ object SparkEntry {
       |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
       |WHERE jac >= 0.5""".stripMargin
+
+  /** BPE training rounds as CTEs, unrolled like [[pagerankOracle]]:
+    * w0 = word-type table with spaced characters; per round i, pair
+    * counts (p/c), the argmax merge (b — tie-break freq DESC, lhs, rhs,
+    * mirroring learnMerges' orderBy), and the merge applied by the same
+    * triple left-to-right replace scan the engine uses (w). */
+  private def bpeRoundsCte: String = {
+    val head =
+      """w0 AS (
+        |  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS s,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w)""".stripMargin
+    val rounds = (1 to BpeSteps).map { i =>
+      s"""p$i AS (SELECT unnest(list_transform(range(len(ws) - 1),
+         |    j -> ws[j+1] || ' ' || ws[j+2])) AS bg, cnt
+         |  FROM (SELECT string_split(s, ' ') AS ws, cnt FROM w${i - 1})),
+         |c$i AS (SELECT string_split(bg, ' ')[1] AS l,
+         |    string_split(bg, ' ')[2] AS r,
+         |    CAST(sum(cnt) AS BIGINT) AS freq
+         |  FROM p$i GROUP BY bg),
+         |b$i AS (SELECT l, r, freq FROM c$i
+         |  ORDER BY freq DESC, l, r LIMIT 1),
+         |w$i AS (SELECT trim(replace(replace(replace(' ' || w.s || ' ',
+         |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+         |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+         |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ')) AS s,
+         |    w.cnt
+         |  FROM w${i - 1} w, b$i b)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  /** q87's oracle: one HUGEINT moment-sum aggregate, then the same
+    * fixed-order double arithmetic as Stats.corrMatrix per pair. */
+  private def corrOracle: String = {
+    val sums = CorrVars.flatMap { case (n, e) => Seq(
+      s"CAST(sum(x_$n) AS HUGEINT) AS s_$n",
+      s"CAST(sum(x_$n * x_$n) AS HUGEINT) AS ss_$n")
+    } ++ (for {
+      i <- CorrVars.indices; j <- (i + 1) until CorrVars.size
+    } yield {
+      val (a, b) = (CorrVars(i)._1, CorrVars(j)._1)
+      s"CAST(sum(x_$a * x_$b) AS HUGEINT) AS sp_${a}_$b"
+    })
+    val rows = (for {
+      i <- CorrVars.indices; j <- (i + 1) until CorrVars.size
+    } yield {
+      val (a, b) = (CorrVars(i)._1, CorrVars(j)._1)
+      s"""SELECT '$a' AS var_a, '$b' AS var_b,
+         |  round(CAST(n*sp_${a}_$b - s_$a*s_$b AS DOUBLE)
+         |    / (sqrt(CAST(n*ss_$a - s_$a*s_$a AS DOUBLE))
+         |       * sqrt(CAST(n*ss_$b - s_$b*s_$b AS DOUBLE))), 6) AS corr
+         |FROM a""".stripMargin
+    }).mkString("\nUNION ALL ")
+    val exprs = CorrVars.map { case (n, e) => s"$e AS x_$n" }.mkString(",\n    ")
+    s"""WITH z AS (SELECT
+       |    $exprs
+       |  FROM lineitem),
+       |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+       |  ${sums.mkString(",\n  ")}
+       |  FROM z)
+       |$rows""".stripMargin
+  }
+
+  /** q85's oracle: [[SsspRounds]] Bellman-Ford rounds unrolled as
+    * (relax, min-merge) CTE pairs — the weighted twin of the PageRank
+    * unroll. All-integer cents arithmetic: no float caveats at all. */
+  private def ssspOracle: String = {
+    val head =
+      """WITH li AS (SELECT CAST(l_suppkey AS BIGINT) AS sk,
+        |    CAST(l_partkey + 1000000000 AS BIGINT) AS pk,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS w
+        |  FROM lineitem),
+        |e AS (SELECT src, dst, min(w) AS w FROM (
+        |    SELECT sk AS src, pk AS dst, w FROM li
+        |    UNION ALL SELECT pk, sk, w FROM li) u GROUP BY src, dst),
+        |d0 AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS id,
+        |    CAST(0 AS BIGINT) AS dist
+        |  FROM lineitem WHERE l_suppkey % 10 = 0)""".stripMargin
+    val rounds = (1 to SsspRounds).map { i =>
+      s"""r$i AS (SELECT e.dst AS id, min(d.dist + e.w) AS dist
+         |  FROM d${i - 1} d JOIN e ON e.src = d.id GROUP BY e.dst),
+         |d$i AS (SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM (
+         |    SELECT * FROM d${i - 1} UNION ALL SELECT * FROM r$i) u
+         |  GROUP BY id)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT id, dist FROM d$SsspRounds"
+  }
+
+  private def bpeMergesOracle: String =
+    s"WITH $bpeRoundsCte\n" +
+      (1 to BpeSteps).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS step, l AS lhs, r AS rhs, freq FROM b$i")
+        .mkString("\nUNION ALL ")
+
+  /** q83: re-tokenize every document's words through the b1..b8 merges
+    * (same padded triple-replace scan), then count subword tokens. */
+  private def bpeTokenizeOracle: String = {
+    val head =
+      """d0 AS (
+        |  SELECT doc_id,
+        |    ' ' || trim(regexp_replace(w, '(.)', '\1 ', 'g')) || ' ' AS s
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE len(w) > 0)""".stripMargin
+    val rounds = (1 to BpeSteps).map { i =>
+      s"""d$i AS (SELECT doc_id, replace(replace(replace(s,
+         |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+         |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
+         |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS s
+         |  FROM d${i - 1}, b$i b)""".stripMargin
+    }
+    s"WITH $bpeRoundsCte,\n" + (head +: rounds).mkString(",\n") +
+      s"""
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(len(string_split(trim(s), ' '))) AS BIGINT) AS n_tokens
+         |FROM d$BpeSteps GROUP BY doc_id""".stripMargin
+  }
 }

@@ -140,6 +140,121 @@ object ShortestPath {
     }(Encoders.row(outSchema))
   }
 
+  private val wOutSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+
+  /** Weighted single-source (multi-seed) shortest paths, Bellman–Ford
+    * style: after `rounds` relaxation rounds every node carries the
+    * minimum total edge weight over paths of ≤ `rounds` edges from any
+    * seed — exact for every node whose true shortest path uses ≤ rounds
+    * edges. Weights are LONG (integer — e.g. cents): distances are sums
+    * of longs, so both paths here and any SQL twin agree bit-for-bit
+    * with no float-order caveats.
+    *
+    * Scale shape: the relaxation round is the engine's iterate-to-
+    * fixpoint shape again — one join (edges ⋈ dist on src; edges
+    * partitioned once and cached) and one min-aggregate per round,
+    * `localCheckpoint` cutting lineage. The fused path (≤ localThreshold
+    * distinct edges) runs the same rounds over CSR arrays in one task.
+    *
+    * @param rounds relaxation rounds (= max path edge count considered).
+    * @return (id, dist) for every node within `rounds` edges of a seed. */
+  def weighted(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, seeds: DataFrame, seedCol: String, rounds: Int,
+      localThreshold: Long = 5_000_000L): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    // parallel edges collapse to their min weight — the only one that
+    // can ever win a relaxation
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"), col(wCol).cast("long").as("w"))
+      .groupBy("src", "dst").agg(min(col("w")).as("w")).persist()
+    val s = seeds.select(col(seedCol).cast("long").as("id")).distinct()
+    val nEdges = e.count()
+    if (nEdges <= localThreshold) weightedFused(e, s, rounds)
+    else weightedDistributed(e, s, rounds)
+  }
+
+  /** Small-graph path: Bellman–Ford rounds over CSR arrays in ONE task.
+    * Seeds ride in-band like [[runFused]]. */
+  private def weightedFused(e: DataFrame, s: DataFrame,
+      rounds: Int): DataFrame = {
+    val tagged = e.select(col("src"), col("dst"), col("w"),
+      lit(false).as("seed"))
+      .unionAll(s.select(col("id").as("src"),
+        lit(Long.MinValue).as("dst"), lit(0L).as("w"),
+        lit(true).as("seed")))
+    tagged.coalesce(1).mapPartitions { it =>
+      val sb = new scala.collection.mutable.ArrayBuilder.ofLong
+      val db = new scala.collection.mutable.ArrayBuilder.ofLong
+      val wb = new scala.collection.mutable.ArrayBuilder.ofLong
+      val seedB = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { r =>
+        if (r.getBoolean(3)) seedB += r.getLong(0)
+        else { sb += r.getLong(0); db += r.getLong(1); wb += r.getLong(2) }
+      }
+      val srcId = sb.result(); val dstId = db.result()
+      val w = wb.result(); val seedId = seedB.result()
+      val m = srcId.length
+      val all = new Array[Long](2 * m + seedId.length)
+      System.arraycopy(srcId, 0, all, 0, m)
+      System.arraycopy(dstId, 0, all, m, m)
+      System.arraycopy(seedId, 0, all, 2 * m, seedId.length)
+      java.util.Arrays.sort(all)
+      var n = 0
+      var i = 0
+      while (i < all.length) {
+        if (n == 0 || all(n - 1) != all(i)) { all(n) = all(i); n += 1 }
+        i += 1
+      }
+      val ids = java.util.Arrays.copyOf(all, n)
+      if (n == 0) Iterator.empty
+      else {
+        val srcIx = new Array[Int](m)
+        val dstIx = new Array[Int](m)
+        i = 0
+        while (i < m) {
+          srcIx(i) = java.util.Arrays.binarySearch(ids, srcId(i))
+          dstIx(i) = java.util.Arrays.binarySearch(ids, dstId(i))
+          i += 1
+        }
+        val NoDist = Long.MaxValue
+        var dist = Array.fill(n)(NoDist)
+        seedId.foreach { sid =>
+          dist(java.util.Arrays.binarySearch(ids, sid)) = 0L
+        }
+        for (_ <- 1 to rounds) {
+          val next = dist.clone()
+          i = 0
+          while (i < m) {
+            val ds = dist(srcIx(i))
+            if (ds != NoDist && ds + w(i) < next(dstIx(i)))
+              next(dstIx(i)) = ds + w(i)
+            i += 1
+          }
+          dist = next
+        }
+        Iterator.range(0, n).filter(dist(_) != NoDist)
+          .map(v => Row(ids(v), dist(v)))
+      }
+    }(Encoders.row(wOutSchema))
+  }
+
+  /** Cluster-scale path: join + min-aggregate per round, checkpointed. */
+  private def weightedDistributed(e: DataFrame, s: DataFrame,
+      rounds: Int): DataFrame = {
+    var dist = s.select(col("id"), lit(0L).as("dist")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relax = e.join(dist, col("src") === col("id"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relax)
+        .groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    dist
+  }
+
   /** Cluster-scale path: frontier join per round, checkpointed. */
   private def runDistributed(e: DataFrame, s: DataFrame,
       maxHops: Int): DataFrame = {

@@ -43,6 +43,54 @@ class ShortestPathSpec extends SparkSpec {
     assert(run(chain, Seq(1L, 4L, 99L), 10, localThreshold = 0) == got)
   }
 
+  private def runW(edges: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      rounds: Int, localThreshold: Long): Map[Long, Long] =
+    ShortestPath.weighted(
+      spark.createDataFrame(edges).toDF("src", "dst", "w").repartition(5),
+      "src", "dst", "w",
+      spark.createDataFrame(seeds.map(Tuple1(_))).toDF("id"), "id",
+      rounds, localThreshold)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("weighted: cheaper long path beats direct edge; parallel edges collapse") {
+    val edges = Seq(
+      (1L, 2L, 10L), (1L, 2L, 7L), // parallel — min wins
+      (2L, 3L, 1L),
+      (1L, 3L, 100L),              // direct but expensive
+      (3L, 4L, 1L), (9L, 1L, 1L))  // 9 unreachable from seed 1
+    val expect = Map(1L -> 0L, 2L -> 7L, 3L -> 8L, 4L -> 9L)
+    assert(runW(edges, Seq(1L), 4, localThreshold = 100) == expect)
+    assert(runW(edges, Seq(1L), 4, localThreshold = 0) == expect)
+  }
+
+  test("weighted: round budget bounds path length (Jacobi, not Gauss-Seidel)") {
+    val chain = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+    val got = runW(chain, Seq(1L), 2, localThreshold = 100)
+    // 4 is 3 edges away — invisible at rounds=2 on BOTH paths
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    assert(runW(chain, Seq(1L), 2, localThreshold = 0) == got)
+  }
+
+  test("weighted random graph: both paths equal sequential Bellman-Ford") {
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(80).toLong,
+      rnd.nextInt(80).toLong, (rnd.nextInt(100) + 1).toLong))
+    val seeds = Seq(0L, 40L)
+    val rounds = 5
+    // sequential Jacobi Bellman-Ford over min-collapsed parallel edges
+    val e = edges.groupBy(t => (t._1, t._2))
+      .map { case ((s, d), v) => (s, d, v.map(_._3).min) }.toSeq
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to rounds) {
+      val relaxed = e.flatMap { case (s, d, w) =>
+        dist.get(s).map(ds => d -> (ds + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).min }
+    }
+    assert(runW(edges, seeds, rounds, localThreshold = 10000) == dist)
+    assert(runW(edges, seeds, rounds, localThreshold = 0) == dist)
+  }
+
   test("random graph: both paths agree with sequential BFS") {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 600).map(_ =>
