@@ -2227,12 +2227,19 @@ object SparkEntry {
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         |        FROM documents)
         |  WHERE len(w) > 0)""".stripMargin
+    // LEFT JOIN ON TRUE, not a cross join: if the corpus exhausts its
+    // pairs before BpeSteps merges, an empty b_i must pass documents
+    // through unchanged (a cross join would annihilate every row and
+    // return 0 docs while the engine returns all of them)
     val rounds = (1 to BpeSteps).map { i =>
-      s"""d$i AS (SELECT doc_id, replace(replace(replace(s,
+      s"""d$i AS (SELECT doc_id,
+         |    CASE WHEN b.l IS NULL THEN s
+         |    ELSE replace(replace(replace(s,
          |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
          |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' '),
-         |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ') AS s
-         |  FROM d${i - 1}, b$i b)""".stripMargin
+         |    ' ' || b.l || ' ' || b.r || ' ', ' ' || b.l || b.r || ' ')
+         |    END AS s
+         |  FROM d${i - 1} LEFT JOIN b$i b ON TRUE)""".stripMargin
     }
     s"WITH $bpeRoundsCte,\n" + (head +: rounds).mkString(",\n") +
       s"""

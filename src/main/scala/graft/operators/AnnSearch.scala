@@ -264,19 +264,24 @@ object AnnSearch {
       .persist()
     // seeds: per subspace, the nCentroids smallest xxhash64(b_id, seed+s)
     // rows, id-ordered — the same selection centroidArrays makes, all
-    // subspaces in one windowed job
-    val w = org.apache.spark.sql.expressions.Window
+    // subspaces in one windowed job. The id-order rank is computed by a
+    // second window rather than a driver-side sort so b_id keeps its
+    // generic orderable type (a driver getLong would pin it to BIGINT).
+    val wHash = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sub"))
       .orderBy(xxhash64(col("b_id"), col("sub").cast("long") + seed))
+    val wId = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sub")).orderBy(col("b_id"))
     val seedRows = subs
-      .withColumn("__rn", row_number().over(w))
+      .withColumn("__rn", row_number().over(wHash))
       .filter(col("__rn") <= nCentroids)
-      .select(col("sub"), col("b_id"), col("sv"))
+      .withColumn("__cid", row_number().over(wId))
+      .select(col("sub"), col("__cid"), col("sv"))
       .collect()
     var cents: Array[Array[(Int, Array[Double])]] =
       seedRows.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (_, rs) =>
-        rs.sortBy(_.getLong(1)).zipWithIndex
-          .map { case (r, i) => (i + 1, r.getSeq[Double](2).toArray) }
+        rs.sortBy(_.getInt(1))
+          .map(r => (r.getInt(1), r.getSeq[Double](2).toArray))
       }
     require(cents.length == m, s"expected $m subspaces, got ${cents.length}")
     for (_ <- 0 until iters) {

@@ -117,13 +117,25 @@ object Bpe {
         val pat = s" $l $r "
         val rep = s" $l$r "
         words = words.map { case (s, cnt) =>
-          (s" $s ".replace(pat, rep).replace(pat, rep).replace(pat, rep)
-            .trim, cnt)
+          // space-only trim: Java's String.trim strips every char
+          // <= U+0020 and would silently delete control-char symbols
+          // that Spark/DuckDB trim (space-only) keep
+          (trimSpaces(
+            s" $s ".replace(pat, rep).replace(pat, rep).replace(pat, rep)),
+            cnt)
         }
         step += 1
       }
     }
     merges.toSeq
+  }
+
+  private def trimSpaces(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    s.substring(a, b)
   }
 
   /** Cluster-scale path: per-round distributed pair count + argmax. */
@@ -154,9 +166,14 @@ object Bpe {
         val rep = s" $l$r "
         def rep1(c: org.apache.spark.sql.Column) =
           replace(c, lit(pat), lit(rep))
+        // localCheckpoint per round, like the other iterate-to-fixpoint
+        // loops: without it round k's argmax replays all k-1 earlier
+        // replace layers from the base table (O(rounds²) work and
+        // unbounded plan depth at large merge budgets)
         cur = cur.select(
           trim(rep1(rep1(rep1(concat(lit(" "), col("s"), lit(" ")))))
             ).as("s"), col("cnt"))
+          .localCheckpoint()
         step += 1
       }
     }

@@ -54,8 +54,13 @@ object Dedup {
   def dedupSegments(docs: DataFrame, idCol: String, textCol: String,
       segWords: Int): DataFrame = {
     require(segWords >= 1, s"segWords must be >= 1, got $segWords")
+    // the segment table feeds both the first-occurrence aggregate and
+    // the semi-join probe — persist it or the full-corpus explode (and
+    // its upstream scan) runs twice (cache lifecycle: released by the
+    // ContextCleaner with the plan, the jaccardJoin convention)
     val segs = docs.select(col(idCol).as("id"),
         posexplode(segments(col(textCol), segWords)).as(Seq("idx", "seg")))
+      .persist()
     val firsts = segs.groupBy("seg")
       .agg(min(struct(col("id"), col("idx"))).as("first"))
       .select(col("seg"), col("first.id").as("id"),

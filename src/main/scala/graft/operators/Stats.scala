@@ -65,14 +65,19 @@ object Stats {
     * @return (var_a, var_b, corr) for each unordered pair, name order. */
   def corrMatrix(df: DataFrame, vars: Seq[(String, Column)]): DataFrame = {
     require(vars.size >= 2, "need at least two variables")
-    val z = df.select(vars.map { case (n, c) => c.cast("long").as(n) }: _*)
+    // widen to decimal BEFORE multiplying: long products overflow by
+    // silent wraparound above ~3e9 input magnitude (a wrong-but-
+    // plausible correlation); decimal products are exact to 1e38 and
+    // overflow to NULL — detectable, and matching the HUGEINT twin
+    val z = df.select(vars.map { case (n, c) =>
+      c.cast("long").cast("decimal(38,0)").as(n) }: _*)
     val aggs = Seq(count(lit(1)).as("n")) ++
       vars.flatMap { case (n, _) => Seq(
-        sum(col(n).cast("decimal(38,0)")).as(s"s_$n"),
-        sum((col(n) * col(n)).cast("decimal(38,0)")).as(s"ss_$n"))
+        sum(col(n)).as(s"s_$n"),
+        sum(col(n) * col(n)).as(s"ss_$n"))
       } ++
       pairs(vars.map(_._1)).map { case (a, b) =>
-        sum((col(a) * col(b)).cast("decimal(38,0)")).as(s"sp_${a}_$b")
+        sum(col(a) * col(b)).as(s"sp_${a}_$b")
       }
     val m = z.agg(aggs.head, aggs.tail: _*)
     val rows = pairs(vars.map(_._1)).map { case (a, b) =>

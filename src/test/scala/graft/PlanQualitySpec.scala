@@ -247,4 +247,72 @@ class PlanQualitySpec extends SparkSpec {
       _.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
       s"fill join missing:\n${plan(df)}")
   }
+
+  test("q77 skyline: candidate anti join broadcasts, never shuffles") {
+    val df = SparkEntry.queries("q77_skyline")(spark, sf)
+    val p = plan(df)
+    // phase 2 is a broadcast nested-loop ANTI over the pruned candidate
+    // set; a shuffled anti join would mean the prune stopped working
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("LeftAnti"),
+      s"skyline phase 2 shape changed:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"skyline shuffled:\n$p")
+  }
+
+  test("q75 PQ ADC: codes stream, query distance tables broadcast") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qd = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+    val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+    val cb = graft.operators.AnnSearch.pqCodebook(bd, m = 4, nCentroids = 4)
+    val codes = graft.operators.AnnSearch.pqEncode(e, "vec_id", "embedding", cb)
+    val df = graft.operators.AnnSearch.pqTopK(qd, codes, cb, 3)
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val bnl = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(bnl.nonEmpty, s"ADC join missing:\n${plan(df)}")
+    // the BROADCAST side must be the query/table side (it carries
+    // __dtab); the codes side must stream — the only |B|-scalable shape
+    val broadcastSide = bnl.head.buildSide.toString
+    val buildPlan = (if (broadcastSide.contains("Right"))
+      bnl.head.right else bnl.head.left).toString
+    assert(buildPlan.contains("__dtab"),
+      s"ADC broadcasts the wrong side ($broadcastSide):\n${plan(df)}")
+  }
+
+  test("q81 segment dedup: keeper pick is one aggregate, no window sort") {
+    val df = SparkEntry.queries("q81_segment_dedup")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"segment dedup picked up a window:\n$p")
+    assert(p.contains("min(named_struct") || p.contains("min(struct"),
+      s"min(struct) keeper aggregate missing:\n$p")
+  }
+
+  test("q84 mode: single-pass struct argmin, no window") {
+    val df = SparkEntry.queries("q84_mode")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("WindowExec"), s"mode uses a window:\n$p")
+    // two hash aggregates (count, then argmin), each with partial+final
+    assert(p.contains("HashAggregate"), s"expected hash aggregates:\n$p")
+  }
+
+  test("q86 MAD: group medians broadcast back onto the rows") {
+    val df = SparkEntry.queries("q86_mad_outliers")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"median/MAD join did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"MAD join shuffled:\n$p")
+  }
+
+  test("q87 correlation matrix: ONE aggregate pass over the table") {
+    val df = SparkEntry.queries("q87_corr_matrix")(spark, sf)
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val scans = nodes.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }
+    assert(scans.size == 1, s"corr matrix scans the table more than once:\n${plan(df)}")
+    assert(!plan(df).contains("Join"), s"corr matrix joined:\n${plan(df)}")
+  }
 }
