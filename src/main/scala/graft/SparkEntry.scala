@@ -1081,7 +1081,26 @@ object SparkEntry {
     "q87_corr_matrix" -> ((s, dir) =>
       operators.Stats.corrMatrix(t(s, dir, "lineitem"), CorrVars.map {
         case (n, e) => (n, expr(e)) })),
+
+    // Synchronous label-propagation communities over the supplier-part
+    // bipartite graph (deterministic LPA — ties to the smallest label)
+    "q88_communities" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("sk"),
+        (col("l_partkey") + 1000000000L).as("pk"))
+      val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
+        .unionAll(li.select(col("pk").as("src"), col("sk").as("dst")))
+      operators.LabelProp.run(edges, "src", "dst", LpaRounds)
+    }),
+
+    // A-priori frequent co-purchase pairs (market-basket mining)
+    "q89_copurchase" -> ((s, dir) =>
+      operators.Basket.frequentPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 3)),
   )
+
+  /** LPA rounds — shared by q88 and its unrolled oracle. */
+  private val LpaRounds = 3
 
   /** q87's variables: (name, integer-quantizing SQL expression) — the
     * same expression text feeds the Spark query and the DuckDB oracle. */
@@ -1907,6 +1926,15 @@ object SparkEntry {
         |FROM r WHERE rn = 1""".stripMargin,
 
     "q85_sssp" -> ssspOracle,
+    "q88_communities" -> lpaOracle,
+
+    "q89_copurchase" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |            FROM lineitem)
+        |SELECT x.i AS item_a, y.i AS item_b,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM it x JOIN it y ON x.b = y.b AND x.i < y.i
+        |GROUP BY x.i, y.i HAVING count(*) >= 3""".stripMargin,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,
@@ -2151,6 +2179,31 @@ object SparkEntry {
          |  FROM w${i - 1} w, b$i b)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
+  }
+
+  /** q88's oracle: [[LpaRounds]] synchronous LPA rounds unrolled —
+    * per round the in-neighbor label counts and the (cnt DESC, label
+    * ASC) pick via row_number, mirroring the engine's
+    * min(struct(-cnt, label)) argmin. Every node of this bidirectional
+    * graph has in-edges, so the engine's keep-own-label fallback never
+    * fires and the rounds are plain adopt steps. */
+  private def lpaOracle: String = {
+    val head =
+      """WITH li AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS sk,
+        |    CAST(l_partkey + 1000000000 AS BIGINT) AS pk FROM lineitem),
+        |e AS (SELECT sk AS src, pk AS dst FROM li
+        |      UNION ALL SELECT pk, sk FROM li),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM e)""".stripMargin
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""a$i AS (SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM e JOIN l${i - 1} l ON e.src = l.id GROUP BY e.dst, l.label),
+         |l$i AS (SELECT dst AS id, label FROM (
+         |    SELECT dst, label, row_number() OVER (PARTITION BY dst
+         |      ORDER BY cnt DESC, label) AS rn FROM a$i) r
+         |  WHERE rn = 1)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT id, label FROM l$LpaRounds"
   }
 
   /** q87's oracle: one HUGEINT moment-sum aggregate, then the same
