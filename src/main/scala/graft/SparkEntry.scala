@@ -1097,10 +1097,79 @@ object SparkEntry {
     "q89_copurchase" -> ((s, dir) =>
       operators.Basket.frequentPairs(t(s, dir, "lineitem"),
         "l_orderkey", "l_partkey", minSupport = 3)),
+
+    // ANALYZE-style column profile of orders: ONE Expand-based
+    // multi-distinct aggregate pass, pivoted to a per-column report
+    "q90_profile" -> ((s, dir) =>
+      operators.Profile.profile(t(s, dir, "orders"), ProfileCols)),
+
+    // Point-in-interval (stabbing) join: events from OTHER users landing
+    // inside each session's span — q49's overlap join re-keyed to
+    // instant-vs-window containment
+    "q91_session_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pts = ev.select(col("event_id"), col("user_id"),
+        eventMs(ev).as("ms"))
+      operators.IntervalJoin.pointInInterval(pts, sessionTable(s, dir),
+          "ms", "start_ms", "end_ms", 3600000L)
+        .filter(col("p_user_id") =!= col("i_user_id"))
+        .groupBy(col("i_user_id").as("user_id"),
+          col("i_session_id").as("session_id"))
+        .agg(count(lit(1)).as("n_foreign"))
+    }),
+
+    // Empirical Markov transition matrix over each user's event stream
+    "q92_transitions" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      operators.Sequences.transitions(
+        ev.select(col("user_id"), col("event_type"), eventMs(ev).as("ms"),
+          col("event_id")),
+        "user_id", "event_type", "ms", Seq("event_id"))
+    }),
+
+    // Sequential-pattern support (depth-1 PrefixSpan): users with some
+    // `a` event strictly before some `b` event, per ordered type pair
+    "q93_precedence" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      operators.Sequences.precedencePairs(
+        ev.select(col("user_id"), col("event_type"), eventMs(ev).as("ms")),
+        "user_id", "event_type", "ms")
+    }),
+
+    // PMI collocation mining over corpus bigram/unigram counts
+    "q94_pmi" -> ((s, dir) =>
+      operators.LanguageModel.pmi(t(s, dir, "documents"), "text",
+        PmiMinCount)),
+
+    // k-core of the co-purchase graph (support >= 2 edges): synchronous
+    // peeling, KCoreRounds rounds (fixpoint at fixture scale — spec'd)
+    "q95_kcore" -> ((s, dir) =>
+      operators.KCore.run(
+        operators.Basket.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2),
+        "item_a", "item_b", KCoreK, KCoreRounds)),
   )
 
   /** LPA rounds — shared by q88 and its unrolled oracle. */
   private val LpaRounds = 3
+
+  /** q90's profiled columns (name, numeric?) — single source for the
+    * Spark query and the per-column UNION ALL oracle. */
+  private val ProfileCols =
+    Seq("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus",
+      "o_orderpriority")
+  private val ProfileNumeric =
+    Set("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** q94 PMI: minimum bigram count (rare-pair PMI is noise). */
+  private val PmiMinCount = 5L
+
+  /** q95 k-core: k and the synchronous peel round budget — shared by
+    * the engine call and the unrolled oracle. 10 rounds reach the
+    * fixpoint at sf0.01 (935-node 3-core; KCoreSpec asserts one more
+    * round is a no-op). */
+  private val KCoreK = 3
+  private val KCoreRounds = 10
 
   /** q87's variables: (name, integer-quantizing SQL expression) — the
     * same expression text feeds the Spark query and the DuckDB oracle. */
@@ -1936,6 +2005,69 @@ object SparkEntry {
         |FROM it x JOIN it y ON x.b = y.b AND x.i < y.i
         |GROUP BY x.i, y.i HAVING count(*) >= 3""".stripMargin,
 
+    "q90_profile" -> profileOracle,
+
+    "q91_session_events" ->
+      s"""WITH $SessionIvCte,
+         |ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ms FROM events)
+         |SELECT iv.user_id, iv.session_id,
+         |  CAST(count(*) AS BIGINT) AS n_foreign
+         |FROM ev JOIN iv
+         |  ON iv.start_ms <= ev.ms AND ev.ms <= iv.end_ms
+         | AND ev.user_id <> iv.user_id
+         |GROUP BY iv.user_id, iv.session_id""".stripMargin,
+
+    "q92_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms,
+        |           event_id FROM events),
+        |s AS (SELECT event_type AS src_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id) AS dst_type FROM e),
+        |c AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM s WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type)
+        |SELECT src_type, dst_type, cnt,
+        |  round(CAST(cnt AS DOUBLE)
+        |    / CAST(sum(cnt) OVER (PARTITION BY src_type) AS DOUBLE), 6)
+        |    AS p
+        |FROM c""".stripMargin,
+
+    "q93_precedence" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms
+        |           FROM events),
+        |sp AS (SELECT user_id, event_type, min(ms) AS mn, max(ms) AS mx
+        |       FROM e GROUP BY user_id, event_type)
+        |SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS n_keys
+        |FROM sp x JOIN sp y
+        |  ON x.user_id = y.user_id AND x.event_type <> y.event_type
+        | AND x.mn < y.mx
+        |GROUP BY x.event_type, y.event_type""".stripMargin,
+
+    "q94_pmi" ->
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w
+         |            FROM documents),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+         |        FROM tok GROUP BY w),
+         |tw AS (SELECT CAST(sum(c) AS BIGINT) AS tot_w FROM uni),
+         |ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |bg AS (SELECT unnest(list_transform(range(len(ws) - 1),
+         |         i -> ws[i+1] || ' ' || ws[i+2])) AS bg FROM ws),
+         |bc AS (SELECT bg, CAST(count(*) AS BIGINT) AS c_ab
+         |       FROM bg GROUP BY bg),
+         |tn AS (SELECT CAST(sum(c_ab) AS BIGINT) AS tot_n FROM bc)
+         |SELECT string_split(b.bg, ' ')[1] AS w1,
+         |  string_split(b.bg, ' ')[2] AS w2, b.c_ab,
+         |  round(log2((CAST(b.c_ab AS DOUBLE) / tot_n)
+         |    / ((CAST(ua.c AS DOUBLE) / tot_w)
+         |       * (CAST(ub.c AS DOUBLE) / tot_w))), 6) AS pmi
+         |FROM bc b
+         |CROSS JOIN tw CROSS JOIN tn
+         |JOIN uni ua ON ua.w = string_split(b.bg, ' ')[1]
+         |JOIN uni ub ON ub.w = string_split(b.bg, ' ')[2]
+         |WHERE b.c_ab >= $PmiMinCount""".stripMargin,
+
+    "q95_kcore" -> kcoreOracle,
+
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,
         |    CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS hc
@@ -2179,6 +2311,56 @@ object SparkEntry {
          |  FROM w${i - 1} w, b$i b)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
+  }
+
+  /** q90's oracle: one SELECT per profiled column, UNION ALL — numeric
+    * columns report typed min/max as DOUBLE, strings as VARCHAR, the
+    * other pair NULL (mirroring Profile.profile's typed report). */
+  private def profileOracle: String =
+    ProfileCols.map { c =>
+      val (mnn, mxn, mns, mxs) =
+        if (ProfileNumeric(c))
+          (s"CAST(min($c) AS DOUBLE)", s"CAST(max($c) AS DOUBLE)",
+            "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        else
+          ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+            s"min($c)", s"max($c)")
+      s"""SELECT '$c' AS col_name,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count($c) AS BIGINT) AS n_nonnull,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  $mnn AS min_num, $mxn AS max_num,
+         |  $mns AS min_str, $mxs AS max_str
+         |FROM orders""".stripMargin
+    }.mkString("\nUNION ALL ")
+
+  /** q95's oracle: [[KCoreRounds]] synchronous peel rounds unrolled —
+    * per round the surviving-node set (degree >= k over the live edge
+    * set) and the edge set restricted to it, exactly the engine's
+    * Jacobi recurrence. The A-priori item prune in the engine's edge
+    * build is lossless for pairs, so the oracle builds pairs directly. */
+  private def kcoreOracle: String = {
+    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    // each round references the previous edge set three times — 3^R
+    // expansions of the lineitem scan without it (observed as "too many
+    // open files" at R=10)
+    val head =
+      """WITH it AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+        |fp AS MATERIALIZED (SELECT x.i AS a, y.i AS b FROM it x JOIN it y
+        |       ON x.bk = y.bk AND x.i < y.i
+        |       GROUP BY x.i, y.i HAVING count(*) >= 2),
+        |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM fp
+        |       UNION ALL SELECT b, a FROM fp)""".stripMargin
+    val rounds = (1 to KCoreRounds).map { i =>
+      s"""n$i AS MATERIALIZED (SELECT src AS v FROM e${i - 1}
+         |  GROUP BY src HAVING count(*) >= $KCoreK),
+         |e$i AS MATERIALIZED (SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN n$i x ON e.src = x.v JOIN n$i y ON e.dst = y.v)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT src AS node, CAST(count(*) AS BIGINT) AS deg" +
+      s"\nFROM e$KCoreRounds GROUP BY src"
   }
 
   /** q88's oracle: [[LpaRounds]] synchronous LPA rounds unrolled —

@@ -58,6 +58,42 @@ object IntervalJoin {
       .drop("_bin")
   }
 
+  /** Point-in-interval join: all (point, interval) pairs with
+    * `lo <= t <= hi` — the stabbing-query sibling of [[overlapJoin]]
+    * (an instantaneous event against a set of validity windows:
+    * concurrency counting, temporal fact lookup, downtime blame).
+    *
+    * Same bin trick, simpler ownership: a point lives in exactly ONE
+    * bin, so every qualifying pair meets exactly once in the equi-join
+    * on that bin and no report-once predicate is needed. Intervals
+    * still replicate to every bin they touch (len/w + 1 copies);
+    * points never replicate — at 100 TB put the big table on the
+    * point side when the model allows.
+    *
+    * @param points    one row per instant; columns pass through as `p_<col>`
+    * @param intervals one row per [lo, hi] window; columns pass through
+    *                  as `i_<col>`
+    * @param tsCol     the point instant (non-negative long/int)
+    * @param loCol     inclusive interval start
+    * @param hiCol     inclusive interval end, >= start
+    * @param binWidth  bucketing width in the columns' own unit
+    * @return one row per (point, interval) containment pair */
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      tsCol: String, loCol: String, hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val p = points
+      .select(points.columns.toSeq.map(c => col(c).as(s"p_$c")): _*)
+      .withColumn("_bin", col(s"p_$tsCol") div binWidth)
+    val iv = intervals
+      .select(intervals.columns.toSeq.map(c => col(c).as(s"i_$c")): _*)
+      .withColumn("_bin", explode(sequence(col(s"i_$loCol") div binWidth,
+        col(s"i_$hiCol") div binWidth)))
+    val contains = col(s"i_$loCol") <= col(s"p_$tsCol") &&
+      col(s"p_$tsCol") <= col(s"i_$hiCol")
+    p.join(iv, p("_bin") === iv("_bin") && contains).drop("_bin")
+  }
+
   private implicit final class DivOps(private val c: Column) extends AnyVal {
     /** SQL `DIV`: exact floor division on integral types (the `/`
       * operator widens to double). Operands here are non-negative. */

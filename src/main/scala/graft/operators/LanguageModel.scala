@@ -48,4 +48,50 @@ object LanguageModel {
       .groupBy(idCol)
       .agg(round(avg(col("nl")), scale).as("nll"))
   }
+
+  /** Pointwise mutual information collocation mining:
+    * `pmi(a,b) = log2( P(a,b) / (P(a)·P(b)) )` with `P(a,b) = C(ab)/N`
+    * over corpus bigram occurrences (N total) and `P(w) = C(w)/W` over
+    * token occurrences (W total). High-PMI pairs co-occur far more
+    * than their unigram frequencies predict — the classic collocation
+    * / multiword-expression detector.
+    *
+    * All counts are exact integers and the pmi expression is a single
+    * fixed-order double computation, so engines agree to the last ulp
+    * of log2 — `scale` rounding absorbs that (bigramNll precedent).
+    *
+    * Scale shape: one corpus pass for bigrams, one for unigrams (both
+    * narrow explodes + hash aggregates); the unigram table joins onto
+    * the bigram table twice on the word key — vocabulary-sized inputs,
+    * broadcast under AQE. N and W are scalar aggregates attached by
+    * broadcast cross join. The corpus never shuffles.
+    *
+    * @param minCount  drop bigrams with C(ab) below this (PMI of rare
+    *   pairs is noise — and the filter keeps the report vocabulary²-free)
+    * @return (w1, w2, c_ab, pmi) */
+  def pmi(docs: DataFrame, textCol: String, minCount: Long,
+      scale: Int = 6): DataFrame = {
+    // both count tables are persisted and the W/N scalars force them, so
+    // the returned plan reads the caches (two corpus scans total); the
+    // blocks release via ContextCleaner when the plan is collected —
+    // same documented lifecycle as Dbscan.run's internal persists
+    val uni = docs.select(
+        explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c")).persist()
+    val w = uni.agg(sum("c")).head.getLong(0)
+    val bc = docs.select(
+        explode(TextFunctions.shinglesAll(col(textCol), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c_ab")).persist()
+    val n = bc.agg(sum("c_ab")).head.getLong(0)
+    bc
+      .filter(col("c_ab") >= minCount)
+      .withColumn("w1", element_at(split(col("bg"), " "), 1))
+      .withColumn("w2", element_at(split(col("bg"), " "), 2))
+      .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log2((col("c_ab").cast("double") / n) /
+          ((col("c_a").cast("double") / w) *
+            (col("c_b").cast("double") / w))), scale).as("pmi"))
+  }
 }

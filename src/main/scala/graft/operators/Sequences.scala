@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence mining over a keyed, timestamped event log — the
+  * order-sensitive analytics the reference's batch pipeline has no
+  * analog for (SURVEY §2.6: no windows, no state). Two classic
+  * first-stage operators:
+  *
+  *  - [[transitions]]: the empirical Markov transition matrix — for
+  *    every ordered (state → next state) step within a key's timeline,
+  *    its count and conditional probability. One exchange on the key
+  *    for the `lead` window; the (src, dst) aggregate and the per-src
+  *    normalizing sum are over the tiny state×state table.
+  *
+  *  - [[precedencePairs]]: sequential-pattern support counting (the
+  *    depth-1 PrefixSpan/SPADE step) — for every ordered pair of event
+  *    types (a, b), how many keys exhibit "some a strictly before some
+  *    b". `∃ a before b  ⟺  min(ts | a) < max(ts | b)`, so the whole
+  *    operator is one (key, type) min/max aggregate followed by a
+  *    per-key self-join on the handful of types each key has — never a
+  *    join on raw events.
+  *
+  * Both shapes scale as: one shuffle of the event log by key, then
+  * work proportional to (#keys × #types), not events².
+  */
+object Sequences {
+
+  /** @param df       event log
+    * @param keyCol   sequence key (e.g. user id)
+    * @param typeCol  the state / event-type column
+    * @param tsCol    ordering instant (long); `tieCols` break ts ties
+    *                 deterministically (e.g. an event id)
+    * @return (src_type, dst_type, cnt, p) — p = cnt / Σ cnt over src,
+    *   rounded to 6 places (one exact integer division per row) */
+  def transitions(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieCols: Seq[String]): DataFrame = {
+    val order: Seq[Column] = col(tsCol) +: tieCols.map(col)
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+    val steps = df
+      .select(col(keyCol) +: col(typeCol).as("src_type") +: col(tsCol) +:
+        tieCols.map(col): _*)
+      .withColumn("dst_type", lead(col("src_type"), 1).over(w))
+      .filter(col("dst_type").isNotNull)
+      .groupBy("src_type", "dst_type")
+      .agg(count(lit(1)).as("cnt"))
+    val wSrc = Window.partitionBy("src_type")
+    steps.withColumn("p",
+      round(col("cnt").cast("double") / sum(col("cnt")).over(wSrc), 6))
+  }
+
+  /** @return (type_a, type_b, n_keys) for every ordered type pair with
+    *   a ≠ b: the number of keys where some `a` event strictly precedes
+    *   some `b` event. */
+  def precedencePairs(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String): DataFrame = {
+    val spans = df.groupBy(col(keyCol).as("k"), col(typeCol).as("t"))
+      .agg(min(col(tsCol)).as("mn"), max(col(tsCol)).as("mx"))
+    spans.as("x").join(spans.as("y"),
+        col("x.k") === col("y.k") && col("x.t") =!= col("y.t") &&
+          col("x.mn") < col("y.mx"))
+      .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+}

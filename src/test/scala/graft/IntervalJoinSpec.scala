@@ -57,4 +57,39 @@ class IntervalJoinSpec extends SparkSpec {
     }
     assert(run(2) == run(11))
   }
+
+  test("pointInInterval == brute force, each pair exactly once") {
+    val ivs = intervals(150, 8000, 900)
+    val pts = (0 until 400).map { i =>
+      (1000L + i, (rnd.nextDouble() * 9000).toLong)
+    }
+    val ivDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(ivs, 4)).toDF("id", "lo", "hi")
+    val ptDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(pts, 3)).toDF("pid", "t")
+    for (w <- Seq(64L, 700L, 4096L)) {
+      val got = IntervalJoin
+        .pointInInterval(ptDf, ivDf, "t", "lo", "hi", w)
+        .select("p_pid", "i_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val ref = for {
+        (pid, t) <- pts; (id, lo, hi) <- ivs
+        if lo <= t && t <= hi
+      } yield (pid, id)
+      // sequence equality: a point is in ONE bin, so a containing
+      // interval spanning k bins must still yield exactly one row
+      assert(got.sorted == ref.sorted, s"binWidth=$w")
+    }
+  }
+
+  test("pointInInterval: inclusive endpoints") {
+    val ivDf = spark.createDataFrame(Seq((1L, 100L, 200L)))
+      .toDF("id", "lo", "hi")
+    val ptDf = spark.createDataFrame(Seq(
+      (10L, 99L), (11L, 100L), (12L, 200L), (13L, 201L)))
+      .toDF("pid", "t")
+    val got = IntervalJoin.pointInInterval(ptDf, ivDf, "t", "lo", "hi", 64L)
+      .select("p_pid").collect().map(_.getLong(0)).toSet
+    assert(got == Set(11L, 12L))
+  }
 }

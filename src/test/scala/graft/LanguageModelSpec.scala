@@ -50,4 +50,38 @@ class LanguageModelSpec extends SparkSpec {
     assert(got(3L) > got(1L))
     assert(got(1L) == got(5L))
   }
+
+  test("pmi matches brute force and ranks true collocations highest") {
+    // "strong tea" always together (high PMI); "the" pairs with
+    // everything (low PMI despite high raw count)
+    val docs = Seq(
+      1L -> "strong tea is the drink the man likes",
+      2L -> "the man brews strong tea in the pot",
+      3L -> "strong tea and the pot sit by the man",
+      4L -> "the drink in the pot is strong tea")
+    val got = LanguageModel.pmi(docs.toDF("doc_id", "text"), "text",
+        minCount = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // brute force with the same formula
+    val toks = docs.flatMap(_._2.split(" ", -1))
+    val w = toks.size.toDouble
+    val uc = toks.groupBy(identity).view.mapValues(_.size).toMap
+    val bgs = docs.flatMap(_._2.split(" ", -1).sliding(2).map(_.toSeq))
+    val n = bgs.size.toDouble
+    val bc = bgs.groupBy(identity).view.mapValues(_.size).toMap
+    val want = bc.collect { case (Seq(a, b), c) if c >= 2 =>
+      val pmi = math.log((c / n) / ((uc(a) / w) * (uc(b) / w))) /
+        math.log(2.0)
+      (a, b) -> (c.toLong, math.rint(pmi * 1e6) / 1e6)
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, (c, p)) =>
+      assert(c == want(k)._1, s"$k count")
+      assert(math.abs(p - want(k)._2) < 2e-6, s"$k pmi $p vs ${want(k)._2}")
+    }
+    // the dedicated collocation beats the promiscuous function word
+    assert(got(("strong", "tea"))._2 > got(("the", "man"))._2)
+  }
 }

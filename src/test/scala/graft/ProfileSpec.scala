@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Profile
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class ProfileSpec extends SparkSpec {
+
+  private def fixture = {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType),
+      StructField("s", StringType)))
+    val rows = Seq(
+      Row(1L, 2.5, "b"), Row(2L, null, "a"), Row(2L, -1.0, null),
+      Row(3L, 7.0, "c"), Row(null, 7.0, "a"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+  }
+
+  test("per-column counts, nulls, distincts, typed min/max") {
+    val got = Profile.profile(fixture, Seq("k", "v", "s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("k", "v", "s"))
+    val k = got("k")
+    assert(k.getLong(1) == 5 && k.getLong(2) == 4 && k.getLong(3) == 3)
+    assert(k.getDouble(4) == 1.0 && k.getDouble(5) == 3.0)
+    assert(k.isNullAt(6) && k.isNullAt(7))
+    val v = got("v")
+    assert(v.getLong(2) == 4 && v.getLong(3) == 3) // 7.0 repeats
+    assert(v.getDouble(4) == -1.0 && v.getDouble(5) == 7.0)
+    val s = got("s")
+    assert(s.getLong(2) == 4 && s.getLong(3) == 3)
+    assert(s.isNullAt(4) && s.isNullAt(5))
+    assert(s.getString(6) == "a" && s.getString(7) == "c")
+  }
+
+  test("approximate distinct path stays within HLL error") {
+    val df = spark.range(10000).selectExpr("id % 1000 AS m")
+    val r = Profile.profile(df, Seq("m"), exactDistinct = false)
+      .collect()(0)
+    assert(math.abs(r.getLong(3) - 1000L) <= 100,
+      s"approx distinct ${r.getLong(3)} too far from 1000")
+    assert(r.getLong(1) == 10000 && r.getLong(2) == 10000)
+  }
+
+  test("rejects unsupported column types") {
+    val df = spark.range(3).selectExpr("array(id) AS a")
+    intercept[IllegalArgumentException] {
+      Profile.profile(df, Seq("a"))
+    }
+  }
+
+  test("single aggregate pass: one scan of the input") {
+    val plan = Profile.profile(fixture, Seq("k", "v", "s"))
+      .queryExecution.executedPlan.toString
+    // the Expand-based multi-distinct rewrite keeps it one pass: exactly
+    // one scan of the source RDD feeds every per-column statistic
+    assert("ScanExistingRDD|Scan ExistingRDD".r
+      .findAllIn(plan).size == 1, plan)
+  }
+}
