@@ -1148,6 +1148,33 @@ object SparkEntry {
         operators.Basket.frequentPairs(t(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", minSupport = 2),
         "item_a", "item_b", KCoreK, KCoreRounds)),
+
+    // Exact tie-corrected ROC-AUC: embedding dim 1 (quantized to 1e-4)
+    // scored against label==0 — the model-eval primitive
+    "q96_auc" -> ((s, dir) =>
+      operators.Stats.auc(t(s, dir, "embeddings"),
+        col("label") === 0,
+        round(element_at(col("embedding"), 1).cast("double") * 10000)
+          .cast("long"))),
+
+    // Winsorized mean (clip at exact [p25, p75]) per order priority
+    "q97_winsorized" -> ((s, dir) =>
+      operators.Stats.winsorizedMean(t(s, dir, "orders"),
+        Seq("o_orderpriority"), round(col("o_totalprice") * 100))),
+
+    // Deterministic contrastive negative sampling over the corpus
+    "q98_negatives" -> ((s, dir) =>
+      operators.Curation.negativeSample(t(s, dir, "documents"), "doc_id",
+        NegK, NegSalt)),
+
+    // Degree assortativity of the co-purchase graph: Pearson correlation
+    // of endpoint degrees over the symmetrized edge list, through the
+    // same decimal-exact moment sums as q87
+    "q99_assortativity" -> ((s, dir) =>
+      operators.GraphStats.degreeAssortativity(
+        operators.Basket.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2),
+        "item_a", "item_b")),
   )
 
   /** LPA rounds — shared by q88 and its unrolled oracle. */
@@ -1170,6 +1197,10 @@ object SparkEntry {
     * round is a no-op). */
   private val KCoreK = 3
   private val KCoreRounds = 10
+
+  /** q98 negative sampling: draws per row and the determinism salt. */
+  private val NegK = 2
+  private val NegSalt = "graft-neg-v1"
 
   /** q87's variables: (name, integer-quantizing SQL expression) — the
     * same expression text feeds the Spark query and the DuckDB oracle. */
@@ -2068,6 +2099,65 @@ object SparkEntry {
 
     "q95_kcore" -> kcoreOracle,
 
+    "q96_auc" ->
+      """WITH s AS (SELECT
+        |    CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT)
+        |      AS sc,
+        |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings),
+        |g AS (SELECT sc, CAST(sum(y) AS BIGINT) AS p,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS ng
+        |  FROM s GROUP BY sc),
+        |c AS (SELECT p, ng, coalesce(sum(ng) OVER (ORDER BY sc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+        |  FROM g),
+        |a AS (SELECT
+        |    CAST(sum(CAST(p AS HUGEINT) * (cn * 2 + ng)) AS HUGEINT)
+        |      AS u2,
+        |    CAST(sum(p) AS BIGINT) AS n_pos,
+        |    CAST(sum(ng) AS BIGINT) AS n_neg
+        |  FROM c)
+        |SELECT round(CAST(u2 AS DOUBLE)
+        |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) * 2.0), 6)
+        |    AS auc,
+        |  n_pos, n_neg
+        |FROM a""".stripMargin,
+
+    "q97_winsorized" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) * 4 AS qc
+        |  FROM orders),
+        |q AS (SELECT o_orderpriority,
+        |    quantile_cont(qc, 0.25) AS qlo, quantile_cont(qc, 0.75) AS qhi
+        |  FROM o GROUP BY o_orderpriority)
+        |SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  round(any_value(qlo) / 400.0, 6) AS lo,
+        |  round(any_value(qhi) / 400.0, 6) AS hi,
+        |  round(CAST(sum(greatest(qlo, least(qhi, qc))) AS DOUBLE)
+        |    / count(*) / 400.0, 6) AS wmean
+        |FROM o JOIN q USING (o_orderpriority)
+        |GROUP BY o.o_orderpriority""".stripMargin,
+
+    "q98_negatives" ->
+      s"""WITH idx AS (SELECT doc_id,
+         |    row_number() OVER (ORDER BY doc_id) AS pos FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |c AS (SELECT doc_id, pos, j,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+         |      || CAST(j AS VARCHAR) || ':' || '$NegSalt'), 1, 15)
+         |      AS BIGINT) % n AS h
+         |  FROM idx CROSS JOIN nn
+         |  CROSS JOIN (SELECT unnest(range($NegK)) AS j) js),
+         |tgt AS (SELECT doc_id, j,
+         |    CASE WHEN h + 1 = pos THEN (h + 1) % (SELECT n FROM nn) + 1
+         |         ELSE h + 1 END AS tpos
+         |  FROM c)
+         |SELECT t.doc_id, CAST(t.j AS INTEGER) AS j,
+         |  i.doc_id AS neg_id
+         |FROM tgt t JOIN idx i ON i.pos = t.tpos""".stripMargin,
+
+    "q99_assortativity" -> assortativityOracle,
+
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,
         |    CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS hc
@@ -2362,6 +2452,35 @@ object SparkEntry {
       s"\nSELECT src AS node, CAST(count(*) AS BIGINT) AS deg" +
       s"\nFROM e$KCoreRounds GROUP BY src"
   }
+
+  /** q99's oracle: symmetrized co-purchase edges joined to endpoint
+    * degrees, then the corrOracle template for the single (deg_a,
+    * deg_b) pair — HUGEINT moment sums, fixed-order double finish. */
+  private def assortativityOracle: String =
+    """WITH it AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+      |fp AS MATERIALIZED (SELECT x.i AS a, y.i AS b FROM it x JOIN it y
+      |     ON x.bk = y.bk AND x.i < y.i
+      |     GROUP BY x.i, y.i HAVING count(*) >= 2),
+      |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM fp
+      |     UNION ALL SELECT b, a FROM fp),
+      |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+      |        FROM e GROUP BY src),
+      |z AS (SELECT da.d AS x_a, db.d AS x_b
+      |  FROM e JOIN deg da ON e.src = da.src
+      |         JOIN deg db ON e.dst = db.src),
+      |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x_a) AS HUGEINT) AS s_a,
+      |    CAST(sum(x_b) AS HUGEINT) AS s_b,
+      |    CAST(sum(x_a * x_a) AS HUGEINT) AS ss_a,
+      |    CAST(sum(x_b * x_b) AS HUGEINT) AS ss_b,
+      |    CAST(sum(x_a * x_b) AS HUGEINT) AS sp
+      |  FROM z)
+      |SELECT 'deg_a' AS var_a, 'deg_b' AS var_b,
+      |  round(CAST(n * sp - s_a * s_b AS DOUBLE)
+      |    / (sqrt(CAST(n * ss_a - s_a * s_a AS DOUBLE))
+      |       * sqrt(CAST(n * ss_b - s_b * s_b AS DOUBLE))), 6) AS corr
+      |FROM m""".stripMargin
 
   /** q88's oracle: [[LpaRounds]] synchronous LPA rounds unrolled —
     * per round the in-neighbor label counts and the (cnt DESC, label

@@ -162,4 +162,44 @@ object Curation {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Deterministic negative sampling: for each row, `k` pseudo-random
+    * "negative" partners drawn by hashing (id, j, salt) into the global
+    * row index — the contrastive-pair generator of embedding-training
+    * pipelines, reproducible under reruns and repartitioning (a row's
+    * negatives depend only on its key, the draw index, and the corpus
+    * size — never on execution order).
+    *
+    * Scale shape: the global index comes from [[GlobalIndex.rowNumbers]]
+    * (two-pass partition-offset numbering — no single-partition window),
+    * candidates are a narrow k-way explode, and the resolution is ONE
+    * equi-join on the target position. Like rowNumbers itself, the call
+    * is EAGER (a counting job fixes n and the numbering).
+    *
+    * A draw landing on the row itself shifts to the next position
+    * (mod n) — still deterministic, never a self-pair (n must be ≥ 2).
+    *
+    * @param idCol unique key; sampled ids return in `neg_id`
+    * @return (idCol, j, neg_id) — exactly k rows per input row. */
+  def negativeSample(df: DataFrame, idCol: String, k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val idx = GlobalIndex.rowNumbers(df.select(col(idCol)), Seq(idCol),
+      outCol = "__pos")
+    val n = idx.count()
+    require(n >= 2, s"need at least 2 rows to draw negatives, got $n")
+    val h = pmod(TextFunctions.portableHash60(
+      concat(col(idCol).cast("string"), lit("#"), col("j").cast("string"),
+        lit(":"), lit(salt))), lit(n))
+    val cands = idx
+      .select(col(idCol), col("__pos"),
+        explode(array((0 until k).map(lit): _*)).as("j"))
+      .withColumn("__tgt",
+        when(h + 1 === col("__pos"), pmod(h + 1, lit(n)) + 1)
+          .otherwise(h + 1))
+    cands.join(
+        idx.select(col("__pos").as("__tgt"), col(idCol).as("neg_id")),
+        "__tgt")
+      .select(col(idCol), col("j"), col("neg_id"))
+  }
 }

@@ -87,12 +87,95 @@ object Stats {
         col(s"s_$a") * col(s"s_$a")).cast("double")) *
         sqrt((col("n") * col(s"ss_$b") -
           col(s"s_$b") * col(s"s_$b")).cast("double"))
+      // a zero-variance variable has no defined correlation: NULL, not
+      // an ANSI divide-by-zero error (degree-regular graphs hit this
+      // through GraphStats.degreeAssortativity)
       struct(lit(a).as("var_a"), lit(b).as("var_b"),
-        round(num / den, 6).as("corr"))
+        when(den =!= lit(0.0), round(num / den, 6)).as("corr"))
     }
     m.select(explode(array(rows: _*)).as("p"))
       .select(col("p.var_a").as("var_a"), col("p.var_b").as("var_b"),
         col("p.corr").as("corr"))
+  }
+
+  /** Exact ROC-AUC of a score against a binary label — the Mann-Whitney
+    * U statistic with the standard tie correction (tied positive/negative
+    * pairs count 1/2), computed without ever ranking individual rows:
+    * group by DISTINCT score, then one cumulative pass over the
+    * score-histogram table,
+    * `U = Σ_s p_s · (negBelow(s) + n_s/2)`, doubled to stay integral.
+    *
+    * Scale shape: one hash aggregate over the rows (shuffle keyed by
+    * score), then a window over the distinct-score table only. That
+    * table is the knob: quantize the score (the caller passes it
+    * already-quantized — cents, basis points) so its cardinality is
+    * bounded, and the single-partition cumulative window is over
+    * thousands of rows, not billions. All arithmetic is exact integers
+    * (decimal-38 for the U sum) until the one final division.
+    *
+    * @param positive  boolean column: row is a positive example
+    * @param score     integral score column (quantize floats first)
+    * @return single row (auc, n_pos, n_neg); auc is NULL when either
+    *   class is empty (0/0) */
+  def auc(df: DataFrame, positive: Column, score: Column): DataFrame = {
+    val byScore = df
+      .select(score.as("s"), when(positive, 1L).otherwise(0L).as("y"))
+      .groupBy("s")
+      .agg(sum("y").as("p"), (count(lit(1)) - sum("y")).as("ng"))
+    // negatives strictly below this score; ties handled by the + n_s term
+    val w = org.apache.spark.sql.expressions.Window.orderBy("s")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cn", coalesce(sum("ng").over(w), lit(0L)))
+      .agg(
+        sum(col("p").cast("decimal(38,0)") *
+          (col("cn") * 2 + col("ng")).cast("decimal(38,0)")).as("u2"),
+        sum("p").as("n_pos"), sum("ng").as("n_neg"))
+      .select(
+        // an empty class has no ranking to measure: NULL, not an ANSI
+        // divide-by-zero error
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u2").cast("double") /
+            (col("n_pos").cast("double") * col("n_neg").cast("double")
+              * lit(2.0)), 6)).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
+  /** Winsorized mean per group: values clipped to the group's exact
+    * [p25, p75] before averaging — the robust location estimate that,
+    * unlike trimming, keeps n constant. Quantiles at dyadic p over
+    * QUARTER-cents (×4) are exact integral doubles in any engine
+    * (the madOutliers scaling trick, one step finer), so the clip
+    * compares exact numbers and the mean is an integer sum with one
+    * final division.
+    *
+    * Scale: one grouped percentile aggregate (rows shuffle once), the
+    * tiny quantile table broadcasts back, one closing aggregate.
+    *
+    * @param valCents integer-cents expression over the input rows
+    * @return (groupCols..., n, lo, hi, wmean) — lo/hi/wmean in input
+    *   units. */
+  def winsorizedMean(df: DataFrame, groupCols: Seq[String],
+      valCents: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val o = df.select((g :+ (valCents * 4).cast("long").as("__qc")): _*)
+    val q = o.groupBy(g: _*).agg(
+      expr("percentile(__qc, 0.25)").as("__lo"),
+      expr("percentile(__qc, 0.75)").as("__hi"))
+    o.join(broadcast(q), groupCols)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        // clipped values are integral doubles (quantiles are exact at
+        // dyadic p over ×4 ints), so the decimal cast and sum are exact
+        sum(greatest(col("__lo"), least(col("__hi"), col("__qc")))
+          .cast("decimal(38,0)")).as("__s"),
+        first(col("__lo")).as("__l"), first(col("__hi")).as("__h"))
+      .select((g ++ Seq(col("n"),
+        round(col("__l") / 400.0, 6).as("lo"),
+        round(col("__h") / 400.0, 6).as("hi"),
+        round(col("__s").cast("double") / col("n") / 400.0, 6)
+          .as("wmean"))): _*)
   }
 
   private def pairs(names: Seq[String]): Seq[(String, String)] =

@@ -143,4 +143,43 @@ class CurationSpec extends SparkSpec {
     assert(nChunks(112) == 2L)  // 48 + 64 = 112 exactly
     assert(nChunks(113) == 3L)
   }
+
+  test("negativeSample: k per row, never self, deterministic, invariant") {
+    val ids = (1L to 97L).map(Tuple1(_))
+    def run(parts: Int) = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(ids, parts)).toDF("id")
+      Curation.negativeSample(df, "id", 3, "salt-a")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sorted
+    }
+    val got = run(4)
+    assert(got.size == 97 * 3)
+    // exactly k distinct draw indices per id
+    assert(got.groupBy(_._1).forall { case (_, g) =>
+      g.map(_._2).toSet == Set(0, 1, 2) })
+    // never a self pair; negatives are real ids
+    assert(got.forall { case (id, _, neg) => neg != id })
+    assert(got.forall { case (_, _, neg) => neg >= 1 && neg <= 97 })
+    // deterministic across partitioning; salt re-rolls
+    assert(got == run(9))
+    val other = {
+      val df = spark.createDataFrame(ids).toDF("id")
+      Curation.negativeSample(df, "id", 3, "salt-b")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sorted
+    }
+    assert(other != got)
+  }
+
+  test("negativeSample: rejects degenerate inputs") {
+    val df = spark.createDataFrame(Seq(Tuple1(1L))).toDF("id")
+    assertThrows[IllegalArgumentException] {
+      Curation.negativeSample(df, "id", 2, "s")
+    }
+    val df2 = spark.createDataFrame(Seq(Tuple1(1L), Tuple1(2L))).toDF("id")
+    assertThrows[IllegalArgumentException] {
+      Curation.negativeSample(df2, "id", 0, "s")
+    }
+  }
 }

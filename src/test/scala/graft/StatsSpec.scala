@@ -59,4 +59,68 @@ class StatsSpec extends SparkSpec {
     val df = spark.createDataFrame(rows).toDF("a", "b", "c")
     assert(run(df.repartition(1)) == run(df.repartition(17).orderBy("c")))
   }
+
+  test("auc: separation extremes and the hand-checked tie case") {
+    def run(rows: Seq[(Long, Boolean)]) = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3)).toDF("s", "pos")
+      Stats.auc(df, col("pos"), col("s")).collect()(0)
+    }
+    // perfect separation both ways
+    val perfect = Seq((1L, false), (2L, false), (3L, true), (4L, true))
+    assert(run(perfect).getDouble(0) == 1.0)
+    assert(run(perfect.map { case (s, y) => (s, !y) }).getDouble(0) == 0.0)
+    // ties: pos scores {1,2,2}, neg {2,3}. Pairs: (1 vs 2)=1, (1 vs 3)=1
+    // wins-for-neg... U_pos = #(pos>neg)+0.5#(=): pos1: 0; pos2: 0.5;
+    // pos2: 0.5 → U=1, AUC = 1/(3*2) = 0.166667
+    val tied = run(Seq((1L, true), (2L, true), (2L, true),
+      (2L, false), (3L, false)))
+    assert(tied.getDouble(0) == 0.166667)
+    assert(tied.getLong(1) == 3 && tied.getLong(2) == 2)
+    // an empty class yields NULL, not a divide-by-zero error
+    val onlyPos = run(Seq((1L, true), (2L, true)))
+    assert(onlyPos.isNullAt(0) && onlyPos.getLong(2) == 0)
+  }
+
+  test("auc: partitioning-invariant, random data matches brute force") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(3) == 0)
+    }
+    val brute = {
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      val u = (for (p <- pos; n <- neg) yield {
+        if (p > n) 1.0 else if (p == n) 0.5 else 0.0
+      }).sum
+      math.rint(u / (pos.size * neg.size) * 1e6) / 1e6
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts)).toDF("s", "pos")
+      val got = Stats.auc(df, col("pos"), col("s")).collect()(0)
+      assert(got.getDouble(0) == brute, s"parts=$parts")
+    }
+  }
+
+  test("winsorizedMean: clips at exact quartiles, hand-checked") {
+    // group g: cents 100..800 (n=8): idx = .25*7 = 1.75 → lo =
+    // 200 + .75*100 = 275; hi at 5.25 → 600+.25*100 = 625
+    val rows = (1 to 8).map(i => ("g", i * 100L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3)).toDF("k", "cents")
+    val r = Stats.winsorizedMean(df, Seq("k"), col("cents")).collect()(0)
+    assert(r.getLong(1) == 8)
+    assert(r.getDouble(2) == 2.75 && r.getDouble(3) == 6.25)
+    // clipped: 275,275,300,400,500,600,625,625 → mean 450 → 4.50 units
+    assert(r.getDouble(4) == 4.5)
+  }
+
+  test("winsorizedMean: outlier-robust vs plain mean, per group") {
+    val rows = Seq.tabulate(50)(i => ("a", 100L + i)) :+ (("a", 100000L))
+    val df = spark.createDataFrame(rows).toDF("k", "cents")
+    val r = Stats.winsorizedMean(df, Seq("k"), col("cents")).collect()(0)
+    // the 1000-unit outlier is clipped to p75 (~1.37): wmean stays ~1.25
+    assert(r.getDouble(4) < 1.4, s"wmean ${r.getDouble(4)}")
+  }
 }
