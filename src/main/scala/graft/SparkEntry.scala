@@ -1175,7 +1175,63 @@ object SparkEntry {
         operators.Basket.frequentPairs(t(s, dir, "lineitem"),
           "l_orderkey", "l_partkey", minSupport = 2),
         "item_a", "item_b")),
+
+    // Point-in-time feature snapshot (feature-store primitive): per-user
+    // trailing-window activity as of the cutoff, leakage-free
+    "q100_features" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      operators.Features.snapshot(
+        ev.select(col("user_id"), eventMs(ev).as("ms"), col("value")),
+        "user_id", "ms", FeatCutoffMs, FeatWindows,
+        round(col("value") * 100))
+    }),
+
+    // Daily new-vs-returning actives with a running known-user total
+    "q101_new_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val da = ev.select(col("user_id"), eventMs(ev).as("__ms"))
+        .select(col("user_id"), expr("__ms DIV 86400000").as("day"))
+        .distinct()
+      val withFirst = da.withColumn("first_day",
+        min("day").over(Window.partitionBy("user_id")))
+      val daily = withFirst.groupBy("day")
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+            .as("n_new"))
+      // the cumulative window runs over the day-sized table only
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.withColumn("cum_users", sum("n_new").over(w))
+    }),
+
+    // Last-touch attribution: each purchase credited to the user's most
+    // recent click within 24 h — AsofJoin's tolerance path on real data
+    "q102_attribution" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val ms = eventMs(ev)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), ms.as("purchase_ms"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), ms.as("click_ms"),
+          col("event_id").as("click_id"))
+      operators.AsofJoin.backward(purchases, clicks, Seq("user_id"),
+          "purchase_ms", "click_ms", Seq("click_id"),
+          tolerance = Some(AttrHorizonMs))
+        .select(col("event_id"), col("user_id"), col("purchase_ms"),
+          coalesce(col("asof_ts"), lit(-1L)).as("click_ms"),
+          coalesce(col("click_id"), lit(-1L)).as("click_id"))
+    }),
   )
+
+  /** q100's snapshot instant (2024-01-21T00:00:00Z — 10 days before the
+    * fixture's last event) and trailing windows — shared with the
+    * generated oracle. */
+  private val FeatCutoffMs = 1705795200000L
+  private val FeatWindows = Seq("1d" -> 86400000L, "7d" -> 604800000L)
+
+  /** q102's attribution horizon: clicks older than this never get
+    * credit. */
+  private val AttrHorizonMs = 86400000L
 
   /** LPA rounds — shared by q88 and its unrolled oracle. */
   private val LpaRounds = 3
@@ -2158,6 +2214,38 @@ object SparkEntry {
 
     "q99_assortativity" -> assortativityOracle,
 
+    "q100_features" -> featuresOracle,
+
+    "q101_new_users" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS day FROM events),
+        |f AS (SELECT user_id, day,
+        |    min(day) OVER (PARTITION BY user_id) AS first_day FROM e),
+        |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+        |    CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new
+        |  FROM f GROUP BY day)
+        |SELECT day, n_active, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum_users
+        |FROM d""".stripMargin,
+
+    "q102_attribution" ->
+      s"""WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS pms
+         |           FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, epoch_ms(ts) AS cms, event_id AS cid
+         |      FROM events WHERE event_type = 'click'),
+         |j AS (SELECT p.event_id, c.cms, c.cid,
+         |    row_number() OVER (PARTITION BY p.event_id
+         |      ORDER BY c.cms DESC, c.cid DESC) AS rn
+         |  FROM p JOIN c ON p.user_id = c.user_id
+         |    AND c.cms <= p.pms AND c.cms >= p.pms - $AttrHorizonMs)
+         |SELECT p.event_id, p.user_id, p.pms AS purchase_ms,
+         |  coalesce(j.cms, -1) AS click_ms,
+         |  coalesce(j.cid, -1) AS click_id
+         |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+         |  ON j.event_id = p.event_id""".stripMargin,
+
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,
         |    CAST(round(o_totalprice * 100) AS BIGINT) * 2 AS hc
@@ -2481,6 +2569,27 @@ object SparkEntry {
       |    / (sqrt(CAST(n * ss_a - s_a * s_a AS DOUBLE))
       |       * sqrt(CAST(n * ss_b - s_b * s_b AS DOUBLE))), 6) AS corr
       |FROM m""".stripMargin
+
+  /** q100's oracle: the same conditional-aggregate pass, one CASE pair
+    * per trailing window, generated from [[FeatWindows]]. */
+  private def featuresOracle: String = {
+    val winCols = FeatWindows.flatMap { case (name, len) =>
+      Seq(
+        s"""  CAST(sum(CASE WHEN ms >= $FeatCutoffMs - $len
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_$name""".stripMargin,
+        s"""  CAST(sum(CASE WHEN ms >= $FeatCutoffMs - $len
+           |    THEN v ELSE 0 END) AS BIGINT) AS v_${name}_cents""".stripMargin)
+    }
+    s"""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms,
+       |    CAST(round(value * 100) AS BIGINT) AS v
+       |  FROM events WHERE epoch_ms(ts) < $FeatCutoffMs)
+       |SELECT user_id,
+       |  $FeatCutoffMs - max(ms) AS recency,
+       |  CAST(count(*) AS BIGINT) AS n_life,
+       |  CAST(sum(v) AS BIGINT) AS v_life_cents,
+       |${winCols.mkString(",\n")}
+       |FROM e GROUP BY user_id""".stripMargin
+  }
 
   /** q88's oracle: [[LpaRounds]] synchronous LPA rounds unrolled —
     * per round the in-neighbor label counts and the (cnt DESC, label

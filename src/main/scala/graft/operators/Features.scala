@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-time feature snapshot — the feature-store primitive: per
+  * entity, trailing-window activity features as of a fixed cutoff
+  * instant, using ONLY events strictly before the cutoff (the
+  * leakage-free construction for training labels dated at the cutoff).
+  *
+  * One conditional-aggregate pass: every (window × metric) feature is a
+  * `sum(when(ts >= cutoff - len, …))` over the same grouped scan — no
+  * per-window scans, no joins, one shuffle on the entity key. Integer
+  * numerics throughout (counts, cent sums, recency in ms), so results
+  * are order- and partition-independent.
+  */
+object Features {
+
+  /** @param df       event log
+    * @param keyCol   entity key (one output row per key with ≥1 event
+    *                 before the cutoff)
+    * @param tsCol    event instant, same unit as `cutoff` (ms)
+    * @param cutoff   snapshot instant; only `ts < cutoff` events count
+    * @param windows  (name, length) trailing windows ending at the
+    *                 cutoff: events with `ts >= cutoff - length`
+    * @param valCents integer-cents value expression to sum per window
+    * @return (key, recency, n_life, v_life_cents,
+    *          n_<name>, v_<name>_cents per window) — `recency` =
+    *   cutoff − last event ts. */
+  def snapshot(df: DataFrame, keyCol: String, tsCol: String, cutoff: Long,
+      windows: Seq[(String, Long)], valCents: Column): DataFrame = {
+    require(windows.nonEmpty, "need at least one trailing window")
+    require(windows.forall(_._2 > 0), s"window lengths must be positive")
+    require(windows.map(_._1).distinct.size == windows.size,
+      s"window names must be unique, got ${windows.map(_._1)}")
+    val in = df.filter(col(tsCol) < cutoff)
+      .select(col(keyCol), col(tsCol).as("__ts"),
+        valCents.cast("long").as("__v"))
+    val winAggs = windows.flatMap { case (name, len) =>
+      val hit = col("__ts") >= cutoff - len
+      Seq(
+        sum(when(hit, 1L).otherwise(0L)).as(s"n_$name"),
+        sum(when(hit, col("__v")).otherwise(0L)).as(s"v_${name}_cents"))
+    }
+    val aggs = Seq(
+      (lit(cutoff) - max(col("__ts"))).as("recency"),
+      count(lit(1)).as("n_life"),
+      sum(col("__v")).as("v_life_cents")) ++ winAggs
+    in.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -315,4 +315,79 @@ class PlanQualitySpec extends SparkSpec {
     assert(scans.size == 1, s"corr matrix scans the table more than once:\n${plan(df)}")
     assert(!plan(df).contains("Join"), s"corr matrix joined:\n${plan(df)}")
   }
+
+  test("q91 stabbing join stays an equi-join on time bins") {
+    val df = SparkEntry.queries("q91_session_events")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"point-in-interval degenerated to a cross join:\n$p")
+  }
+
+  test("q92 transitions: the event shuffle is keyed by user, once") {
+    val df = SparkEntry.queries("q92_transitions")(spark, sf)
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    // the lead window and the normalizing sum window; the second runs
+    // over the tiny (src, dst) count table, never the raw events
+    assert(windows.size == 2, s"expected 2 windows:\n${plan(df)}")
+    val exchanges = nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // events shuffle once (by user); everything after the count
+    // aggregate is type×type-sized
+    assert(exchanges.size <= 3, s"too many exchanges:\n${plan(df)}")
+  }
+
+  test("q93 precedence: the pair join runs on spans, never raw events") {
+    val df = SparkEntry.queries("q93_precedence")(spark, sf)
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val joins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.size == 1, s"expected one span self-join:\n${plan(df)}")
+    // both join inputs must be the aggregated (key, type) span table —
+    // an aggregate below each side of the join
+    assert(joins.head.children.forall(c => allNodes(c).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec])),
+      s"precedence joined unaggregated events:\n${plan(df)}")
+  }
+
+  test("q90 profile: single scan feeds the multi-distinct aggregate") {
+    val df = SparkEntry.queries("q90_profile")(spark, sf)
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    val scans = nodes.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1, s"profile scans more than once:\n${plan(df)}")
+    // the Expand-based multi-distinct rewrite, not per-column jobs
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]),
+      s"expected Expand for multi-distinct:\n${plan(df)}")
+    assert(!plan(df).contains("Join"), s"profile joined:\n${plan(df)}")
+  }
+
+  test("q96 AUC: one row shuffle, cumulative window on distinct scores") {
+    val df = SparkEntry.queries("q96_auc")(spark, sf)
+    val nodes = allNodes(df.queryExecution.executedPlan)
+    // shape: score-histogram aggregate → single window → closing agg;
+    // individual rows are never window-ranked
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1, s"expected 1 cumulative window:\n${plan(df)}")
+    assert(allNodes(windows.head.child).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+      s"AUC window runs over raw rows, not the score histogram:\n${plan(df)}")
+  }
+
+  test("q97 winsorized mean: quantile table broadcasts back onto rows") {
+    val df = SparkEntry.queries("q97_winsorized")(spark, sf)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"quantile join did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"winsorize join shuffled:\n$p")
+  }
 }
