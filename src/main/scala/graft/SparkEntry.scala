@@ -2518,18 +2518,8 @@ object SparkEntry {
     * Jacobi recurrence. The A-priori item prune in the engine's edge
     * build is lossless for pairs, so the oracle builds pairs directly. */
   private def kcoreOracle: String = {
-    // AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
-    // each round references the previous edge set three times — 3^R
-    // expansions of the lineitem scan without it (observed as "too many
-    // open files" at R=10)
-    val head =
-      """WITH it AS MATERIALIZED (
-        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
-        |fp AS MATERIALIZED (SELECT x.i AS a, y.i AS b FROM it x JOIN it y
-        |       ON x.bk = y.bk AND x.i < y.i
-        |       GROUP BY x.i, y.i HAVING count(*) >= 2),
-        |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM fp
-        |       UNION ALL SELECT b, a FROM fp)""".stripMargin
+    // MATERIALIZED CTEs are load-bearing here — see CopurchaseEdgeCte
+    val head = s"WITH $CopurchaseEdgeCte"
     val rounds = (1 to KCoreRounds).map { i =>
       s"""n$i AS MATERIALIZED (SELECT src AS v FROM e${i - 1}
          |  GROUP BY src HAVING count(*) >= $KCoreK),
@@ -2541,22 +2531,32 @@ object SparkEntry {
       s"\nFROM e$KCoreRounds GROUP BY src"
   }
 
+  /** Co-purchase (support ≥ 2) canonical + symmetrized edge CTEs
+    * (it → fp → e0) — the SINGLE textual source behind the q95/q99
+    * oracles; both must describe the same graph. AS MATERIALIZED is
+    * load-bearing: DuckDB inlines plain CTEs, and kcoreOracle's rounds
+    * reference e0's successors three times each — 3^R expansions of
+    * the lineitem scan without it (observed as "too many open files"
+    * at R=10). */
+  private val CopurchaseEdgeCte: String =
+    """it AS MATERIALIZED (
+      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
+      |fp AS MATERIALIZED (SELECT x.i AS a, y.i AS b FROM it x JOIN it y
+      |       ON x.bk = y.bk AND x.i < y.i
+      |       GROUP BY x.i, y.i HAVING count(*) >= 2),
+      |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM fp
+      |       UNION ALL SELECT b, a FROM fp)""".stripMargin
+
   /** q99's oracle: symmetrized co-purchase edges joined to endpoint
     * degrees, then the corrOracle template for the single (deg_a,
     * deg_b) pair — HUGEINT moment sums, fixed-order double finish. */
   private def assortativityOracle: String =
-    """WITH it AS MATERIALIZED (
-      |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS i FROM lineitem),
-      |fp AS MATERIALIZED (SELECT x.i AS a, y.i AS b FROM it x JOIN it y
-      |     ON x.bk = y.bk AND x.i < y.i
-      |     GROUP BY x.i, y.i HAVING count(*) >= 2),
-      |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM fp
-      |     UNION ALL SELECT b, a FROM fp),
+    s"""WITH $CopurchaseEdgeCte,
       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
-      |        FROM e GROUP BY src),
+      |        FROM e0 GROUP BY src),
       |z AS (SELECT da.d AS x_a, db.d AS x_b
-      |  FROM e JOIN deg da ON e.src = da.src
-      |         JOIN deg db ON e.dst = db.src),
+      |  FROM e0 e JOIN deg da ON e.src = da.src
+      |            JOIN deg db ON e.dst = db.src),
       |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
       |    CAST(sum(x_a) AS HUGEINT) AS s_a,
       |    CAST(sum(x_b) AS HUGEINT) AS s_b,

@@ -184,8 +184,12 @@ object Curation {
   def negativeSample(df: DataFrame, idCol: String, k: Int,
       salt: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // persisted: idx feeds the count action AND both sides of the
+    // resolution join — uncached, the sort+zipWithIndex stage would run
+    // three times. Blocks release via ContextCleaner when the returned
+    // plan is collected (the documented Dbscan.run lifecycle).
     val idx = GlobalIndex.rowNumbers(df.select(col(idCol)), Seq(idCol),
-      outCol = "__pos")
+      outCol = "__pos").persist()
     val n = idx.count()
     require(n >= 2, s"need at least 2 rows to draw negatives, got $n")
     val h = pmod(TextFunctions.portableHash60(

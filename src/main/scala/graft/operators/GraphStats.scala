@@ -26,16 +26,8 @@ object GraphStats {
     * @return one row (var_a='deg_a', var_b='deg_b', corr) */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val a = col(srcCol).cast("long"); val b = col(dstCol).cast("long")
-    val e = edges
-      .select(least(a, b).as("a"), greatest(a, b).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .select(explode(array(
-        struct(col("a").as("src"), col("b").as("dst")),
-        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
-      .select(col("e.src"), col("e.dst"))
-      .persist()
+    val e = GraphEdges.symmetrize(
+      GraphEdges.canonical(edges, srcCol, dstCol)).persist()
     val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
     val dPairs = e.join(deg, "src").withColumnRenamed("d", "da")
       .join(deg.select(col("src").as("dst"), col("d").as("db")), "dst")

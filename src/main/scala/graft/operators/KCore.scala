@@ -42,12 +42,7 @@ object KCore {
       rounds: Int, localThreshold: Long = 5_000_000L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    // canonical a<b form: dedupes the two orientations and drops loops
-    val a = col(srcCol).cast("long"); val b = col(dstCol).cast("long")
-    val canon = edges
-      .select(least(a, b).as("a"), greatest(a, b).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct().persist()
+    val canon = GraphEdges.canonical(edges, srcCol, dstCol).persist()
     val m = canon.count()
     if (m <= localThreshold) {
       // the returned one-task plan reads the cache; blocks release via
@@ -126,12 +121,7 @@ object KCore {
   private def runDistributed(canon: DataFrame, k: Int,
       rounds: Int): DataFrame = {
     // both orientations so degree = a plain groupBy count on src
-    var live = canon
-      .select(explode(array(
-        struct(col("a").as("src"), col("b").as("dst")),
-        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
-      .select(col("e.src"), col("e.dst"))
-      .localCheckpoint()
+    var live = GraphEdges.symmetrize(canon).localCheckpoint()
     for (_ <- 1 to rounds) {
       val alive = live.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("v"))

@@ -78,11 +78,19 @@ object LanguageModel {
     val uni = docs.select(
         explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c")).persist()
-    val w = uni.agg(sum("c")).head.getLong(0)
+    // sum() over zero groups is NULL — an empty corpus (or one with no
+    // bigram anywhere) must yield an empty result, not an NPE here; the
+    // zero totals are never divided by (the count tables are empty, so
+    // the per-row pmi expression never evaluates)
+    def scalarSum(df: DataFrame): Long = {
+      val v = df.head.get(0)
+      if (v == null) 0L else v.asInstanceOf[Long]
+    }
+    val w = scalarSum(uni.agg(sum("c")))
     val bc = docs.select(
         explode(TextFunctions.shinglesAll(col(textCol), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c_ab")).persist()
-    val n = bc.agg(sum("c_ab")).head.getLong(0)
+    val n = scalarSum(bc.agg(sum("c_ab")))
     bc
       .filter(col("c_ab") >= minCount)
       .withColumn("w1", element_at(split(col("bg"), " "), 1))

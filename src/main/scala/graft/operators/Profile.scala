@@ -36,6 +36,10 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String],
       exactDistinct: Boolean = true): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
+    // duplicates would alias two aggregate sets identically and fail
+    // later with an opaque AMBIGUOUS_REFERENCE at the pivot
+    require(cols.distinct.size == cols.size,
+      s"profiled columns must be unique, got $cols")
     val nullNum = lit(null).cast("double")
     val nullStr = lit(null).cast("string")
     val aggs: Seq[Column] = count(lit(1)).as("n_rows") +: cols.flatMap { c =>

@@ -118,8 +118,14 @@ object Stats {
     * @return single row (auc, n_pos, n_neg); auc is NULL when either
     *   class is empty (0/0) */
   def auc(df: DataFrame, positive: Column, score: Column): DataFrame = {
+    // NULL scores are unrankable and must be EXCLUDED, not treated as a
+    // lowest-score group: Spark windows order ASC NULLS FIRST (DuckDB
+    // defaults to NULLS LAST), so keeping them would both skew the AUC
+    // and silently diverge from a SQL twin. A NULL `positive` counts as
+    // negative (when/otherwise semantics).
     val byScore = df
       .select(score.as("s"), when(positive, 1L).otherwise(0L).as("y"))
+      .filter(col("s").isNotNull)
       .groupBy("s")
       .agg(sum("y").as("p"), (count(lit(1)) - sum("y")).as("ng"))
     // negatives strictly below this score; ties handled by the + n_s term

@@ -84,4 +84,12 @@ class LanguageModelSpec extends SparkSpec {
     // the dedicated collocation beats the promiscuous function word
     assert(got(("strong", "tea"))._2 > got(("the", "man"))._2)
   }
+
+  test("pmi: bigram-free and empty corpora yield empty results, not NPE") {
+    val single = Seq(1L -> "solo", 2L -> "word").toDF("doc_id", "text")
+    assert(LanguageModel.pmi(single, "text", 1).count() == 0)
+    val empty = spark.createDataFrame(
+      Seq.empty[(Long, String)]).toDF("doc_id", "text")
+    assert(LanguageModel.pmi(empty, "text", 1).count() == 0)
+  }
 }

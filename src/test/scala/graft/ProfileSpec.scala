@@ -43,10 +43,13 @@ class ProfileSpec extends SparkSpec {
     assert(r.getLong(1) == 10000 && r.getLong(2) == 10000)
   }
 
-  test("rejects unsupported column types") {
+  test("rejects unsupported column types and duplicate columns") {
     val df = spark.range(3).selectExpr("array(id) AS a")
     intercept[IllegalArgumentException] {
       Profile.profile(df, Seq("a"))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.profile(fixture, Seq("k", "k"))
     }
   }
 

@@ -82,6 +82,23 @@ class StatsSpec extends SparkSpec {
     assert(onlyPos.isNullAt(0) && onlyPos.getLong(2) == 0)
   }
 
+  test("auc: NULL scores are excluded, not ranked lowest") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.BooleanType)))
+    val rows = Seq[(java.lang.Long, Boolean)](
+      (1L, false), (2L, true), (null, false), (null, false))
+      .map { case (s, p) => org.apache.spark.sql.Row(s, p) }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val r = Stats.auc(df, col("pos"), col("s")).collect()(0)
+    // the two NULL-score negatives vanish: 1 pos vs 1 neg, separated
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getLong(1) == 1 && r.getLong(2) == 1)
+  }
+
   test("auc: partitioning-invariant, random data matches brute force") {
     val rnd = new scala.util.Random(11)
     val rows = (1 to 400).map { _ =>
