@@ -105,6 +105,44 @@ object EventPipeline {
       }
   }
 
+  case class SeqEvent(user_id: Long, ms: Long, event_id: Long,
+    event_type: String)
+  case class Step(user_id: Long, src_type: String, dst_type: String)
+
+  /** Streaming twin of `operators.Sequences.transitions`' step
+    * extraction: one state-store entry per key holding the LAST event
+    * seen; each micro-batch sorts its per-key arrivals by (ms,
+    * event_id) — the batch operator's window order — chains them onto
+    * the stored event, and appends the (src → dst) steps. Counting the
+    * steps downstream (any grouped aggregate) reproduces the batch
+    * transition matrix.
+    *
+    * Equivalence contract: per-key arrivals must be in event-time order
+    * ACROSS micro-batches (within a batch any order is fine — the
+    * per-batch sort handles it). A row older than the stored state
+    * would need retroactive insertion into the timeline, which no
+    * single-entry state can express — the same in-order caveat as any
+    * streaming sequence analytics; the batch operator is the
+    * out-of-order-tolerant complement (spec-enforced equivalence on
+    * order-respecting micro-batch splits). */
+  def transitionsStream(events: Dataset[SeqEvent]): Dataset[Step] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeqEvent, Step](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[SeqEvent], state: GroupState[SeqEvent]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ms, e.event_id))
+          var prev = state.getOption.orNull
+          val out = Seq.newBuilder[Step]
+          sorted.foreach { e =>
+            if (prev != null) out += Step(uid, prev.event_type, e.event_type)
+            prev = e
+          }
+          if (prev != null) state.update(prev)
+          out.result().iterator
+      }
+  }
+
   case class UserEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

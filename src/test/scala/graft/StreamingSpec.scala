@@ -269,6 +269,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transition steps == batch Sequences.transitions") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rnd = new scala.util.Random(19)
+    val types = Array("view", "click", "purchase")
+    // per-user in-order timelines, including ms ties broken by event_id
+    val evs = (1 to 120).map { i =>
+      EventPipeline.SeqEvent(
+        user_id = rnd.nextInt(6).toLong,
+        ms = (i / 3) * 100L, // frequent cross-user and same-user ties
+        event_id = i.toLong,
+        event_type = types(rnd.nextInt(3)))
+    }
+    val mem = MemoryStream[EventPipeline.SeqEvent]
+    val q = EventPipeline.transitionsStream(mem.toDS())
+      .writeStream.format("memory").queryName("steps_out")
+      .outputMode("append").start()
+    val got = try {
+      // arbitrary micro-batch boundaries, event-time order preserved
+      // across batches (the documented equivalence contract); WITHIN a
+      // batch, scrambled order — the per-batch sort must fix it
+      evs.grouped(37).foreach { chunk =>
+        mem.addData(rnd.shuffle(chunk): _*)
+        q.processAllAvailable()
+      }
+      spark.table("steps_out")
+        .groupBy("src_type", "dst_type").count()
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    } finally q.stop()
+    val batch = graft.operators.Sequences.transitions(
+        evs.toDF(), "user_id", "event_type", "ms", Seq("event_id"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == batch)
+    // every user contributes (events - 1) steps
+    assert(got.values.sum == evs.size - evs.groupBy(_.user_id).size)
+  }
+
   test("stateless curation ops run unchanged on a stream == batch") {
     // redaction (native expression), language-ID, and hash splits are
     // narrow projections, so the SAME column code serves batch and
