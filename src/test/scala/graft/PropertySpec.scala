@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.{Dbscan, EpsilonJoin, KCore, Stats}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Generator-driven property tests (SURVEY §5 plan item 3): the
+  * invariants fixed-fixture specs sample once, checked across random
+  * inputs with shrinking. Each case runs real Spark jobs, so the case
+  * counts are deliberately modest — the fixed-seed specs remain the
+  * fast regression net; these catch generator-shaped edge cases
+  * (degenerate clusters, disconnected graphs, all-tied scores).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def check(name: String, cases: Int)(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(cases)
+        .withWorkers(1), prop)
+    assert(res.passed, s"$name failed: $res")
+  }
+
+  private val pointsGen: Gen[List[(Float, Float)]] = for {
+    n <- Gen.choose(20, 90)
+    // two loose blobs + uniform noise — keeps cluster structure varied
+    pts <- Gen.listOfN(n, Gen.oneOf(
+      Gen.zip(Gen.choose(0f, 30f), Gen.choose(0f, 30f)),
+      Gen.zip(Gen.choose(60f, 95f), Gen.choose(60f, 95f)),
+      Gen.zip(Gen.choose(0f, 100f), Gen.choose(0f, 100f))))
+  } yield pts
+
+  private def pointDf(pts: List[(Float, Float)], parts: Int) =
+    spark.createDataFrame(spark.sparkContext.parallelize(
+        pts.zipWithIndex.map { case ((x, y), i) =>
+          (i.toLong, Array(x, y)) }, parts))
+      .toDF("id", "features")
+
+  test("property: ε-join equals the brute-force neighbor set") {
+    check("eps-join", 8)(Prop.forAll(pointsGen,
+      Gen.choose(3.0, 25.0)) { (pts, eps) =>
+      val got = EpsilonJoin
+        .selfJoin(pointDf(pts, 3), "id", "features", eps, Seq(0, 1))
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val e2 = eps * eps
+      // selfJoin emits proper pairs only (both orientations, no self-
+      // pair): the self neighbor is added downstream by neighborCounts
+      val ref = (for {
+        (a, i) <- pts.zipWithIndex; (b, j) <- pts.zipWithIndex
+        if i != j
+        // float-widen then double math — the engine's numeric contract
+        dx = a._1.toDouble - b._1.toDouble
+        dy = a._2.toDouble - b._2.toDouble
+        if dx * dx + dy * dy <= e2
+      } yield (i.toLong, j.toLong)).toSet
+      got == ref
+    })
+  }
+
+  test("property: DBSCAN labels invariant to partitioning, permutation, path") {
+    val gen = for {
+      pts <- pointsGen
+      eps <- Gen.choose(5.0, 20.0)
+      minPts <- Gen.choose(2, 6)
+      seed <- Gen.choose(0L, 1000L)
+    } yield (pts, eps, minPts, seed)
+    check("dbscan-invariance", 6)(Prop.forAll(gen) {
+      case (pts, eps, minPts, seed) =>
+        def labels(df: org.apache.spark.sql.DataFrame, threshold: Long) =
+          Dbscan.run(df, "id", "features", eps, minPts, Seq(0, 1),
+            localThreshold = threshold)
+            .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val base = labels(pointDf(pts, 3), 100000L) // fused path
+        val shuffled = new scala.util.Random(seed).shuffle(pts.zipWithIndex)
+        val permDf = spark.createDataFrame(spark.sparkContext.parallelize(
+            shuffled.map { case ((x, y), i) => (i.toLong, Array(x, y)) }, 7))
+          .toDF("id", "features")
+        labels(permDf, 100000L) == base &&   // permutation + partitioning
+          labels(pointDf(pts, 4), 0L) == base // distributed path
+    })
+  }
+
+  test("property: k-core fused == distributed on random graphs") {
+    val gen = for {
+      n <- Gen.choose(5, 25)
+      m <- Gen.choose(5, 80)
+      es <- Gen.listOfN(m,
+        Gen.zip(Gen.choose(0L, n.toLong), Gen.choose(0L, n.toLong)))
+      k <- Gen.choose(1, 4)
+      rounds <- Gen.choose(1, 6)
+    } yield (es, k, rounds)
+    check("kcore-paths", 8)(Prop.forAll(gen) { case (es, k, rounds) =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(es, 3)).toDF("s", "d")
+      def run(thr: Long) =
+        KCore.run(df, "s", "d", k, rounds, localThreshold = thr)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      run(5_000_000L) == run(0L)
+    })
+  }
+
+  test("property: AUC equals the brute-force U statistic") {
+    val gen = for {
+      n <- Gen.choose(10, 120)
+      rows <- Gen.listOfN(n,
+        Gen.zip(Gen.choose(0L, 15L), Gen.oneOf(true, false)))
+      if rows.exists(_._2) && rows.exists(!_._2)
+    } yield rows
+    check("auc-brute", 8)(Prop.forAll(gen) { rows =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3)).toDF("s", "pos")
+      val got = Stats.auc(df, col("pos"), col("s")).collect()(0).getDouble(0)
+      val pos = rows.filter(_._2).map(_._1)
+      val neg = rows.filterNot(_._2).map(_._1)
+      val u = (for (p <- pos; q <- neg) yield {
+        if (p > q) 1.0 else if (p == q) 0.5 else 0.0
+      }).sum
+      got == math.rint(u / (pos.size.toDouble * neg.size) * 1e6) / 1e6
+    })
+  }
+}
