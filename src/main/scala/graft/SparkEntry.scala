@@ -1204,6 +1204,20 @@ object SparkEntry {
       daily.withColumn("cum_users", sum("n_new").over(w))
     }),
 
+    // Relative standing within a partition: percent_rank (rank-based,
+    // ties share) and cume_dist (inclusive peer fraction) over customer
+    // balances per market segment — both exact integer ratios; closes
+    // window-function coverage (rank/dense_rank/ntile/lead/lag/frames
+    // are exercised by q19/q33/q65/q71/q92)
+    "q103_balance_standing" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(col("c_acctbal") * 100).cast("long").as("bal_cents"))
+        .withColumn("pr", round(percent_rank().over(
+          Window.partitionBy("c_mktsegment").orderBy("bal_cents")), 6))
+        .withColumn("cd", round(cume_dist().over(
+          Window.partitionBy("c_mktsegment").orderBy("bal_cents")), 6))),
+
     // Last-touch attribution: each purchase credited to the user's most
     // recent click within 24 h — AsofJoin's tolerance path on real data
     "q102_attribution" -> ((s, dir) => {
@@ -2229,6 +2243,16 @@ object SparkEntry {
         |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
         |    AS BIGINT) AS cum_users
         |FROM d""".stripMargin,
+
+    "q103_balance_standing" ->
+      """SELECT c_custkey, c_mktsegment, bal_cents,
+        |  round(percent_rank() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY bal_cents), 6) AS pr,
+        |  round(cume_dist() OVER (PARTITION BY c_mktsegment
+        |    ORDER BY bal_cents), 6) AS cd
+        |FROM (SELECT c_custkey, c_mktsegment,
+        |        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |      FROM customer) t""".stripMargin,
 
     "q102_attribution" ->
       s"""WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS pms
