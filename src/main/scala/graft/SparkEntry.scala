@@ -1218,6 +1218,29 @@ object SparkEntry {
         .withColumn("cd", round(cume_dist().over(
           Window.partitionBy("c_mktsegment").orderBy("bal_cents")), 6))),
 
+    // Time-series downsampling to hourly OHLC bars: open/close via the
+    // one-pass min/max(struct(ts, tie, value)) argmin trick (q84's
+    // shape) — ONE hash aggregate, no window over raw events
+    "q104_ohlc" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.select(eventMs(ev).as("ms"), col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("c"))
+        .select(expr("ms DIV 3600000").as("hr"), col("event_type"),
+          col("ms"), col("event_id"), col("c"))
+        .groupBy("hr", "event_type")
+        .agg(
+          min(struct(col("ms"), col("event_id"), col("c"))).as("__o"),
+          max(struct(col("ms"), col("event_id"), col("c"))).as("__cl"),
+          max(col("c")).as("__h"), min(col("c")).as("__l"),
+          count(lit(1)).as("n_events"))
+        .select(col("hr"), col("event_type"),
+          (col("__o.c") / lit(100.0)).as("open"),
+          (col("__h") / lit(100.0)).as("high"),
+          (col("__l") / lit(100.0)).as("low"),
+          (col("__cl.c") / lit(100.0)).as("close"),
+          col("n_events"))
+    }),
+
     // Last-touch attribution: each purchase credited to the user's most
     // recent click within 24 h — AsofJoin's tolerance path on real data
     "q102_attribution" -> ((s, dir) => {
@@ -2253,6 +2276,22 @@ object SparkEntry {
         |FROM (SELECT c_custkey, c_mktsegment,
         |        CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
         |      FROM customer) t""".stripMargin,
+
+    "q104_ohlc" ->
+      """WITH e AS (SELECT epoch_ms(ts) // 3600000 AS hr, event_type,
+        |    epoch_ms(ts) AS ms, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY hr, event_type
+        |    ORDER BY ms, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY hr, event_type) AS n FROM e)
+        |SELECT hr, event_type,
+        |  max(CASE WHEN rn = 1 THEN c END) / 100.0 AS open,
+        |  max(c) / 100.0 AS high,
+        |  min(c) / 100.0 AS low,
+        |  max(CASE WHEN rn = n THEN c END) / 100.0 AS close,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM r GROUP BY hr, event_type""".stripMargin,
 
     "q102_attribution" ->
       s"""WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS pms
