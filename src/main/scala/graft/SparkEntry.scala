@@ -1218,6 +1218,19 @@ object SparkEntry {
         .withColumn("cd", round(cume_dist().over(
           Window.partitionBy("c_mktsegment").orderBy("bal_cents")), 6))),
 
+    // Incremental near-dup ingest: a new batch (odd doc ids) deduped
+    // against the persisted minhash index of the store (even ids) —
+    // cost scales with the batch, never the corpus. Recall 1 at these
+    // parameters (q10's banding), so the naive cross-pair Jaccard SQL
+    // is an exact oracle.
+    "q105_incr_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.Dedup.minHashJoinAgainst(
+        operators.Dedup.minHashIndex(
+          d.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3),
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text", 3, 0.5)
+    }),
+
     // Time-series downsampling to hourly OHLC bars: open/close via the
     // one-pass min/max(struct(ts, tie, value)) argmin trick (q84's
     // shape) — ONE hash aggregate, no window over raw events
@@ -1380,6 +1393,22 @@ object SparkEntry {
 
     "q9_jaccard_pairs" -> jaccardOracle,
     "q10_minhash_dedup" -> jaccardOracle,
+
+    // the naive Jaccard join restricted to (odd=new, even=store) pairs
+    "q105_incr_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+        |         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS toks
+        |       FROM w)
+        |SELECT new_id, idx_id, jac FROM (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS idx_id,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / (len(a.toks) + len(b.toks)
+        |         - len(list_intersect(a.toks, b.toks))) AS jac
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0) p
+        |WHERE jac >= 0.5""".stripMargin,
 
     "q11_token_stats" ->
       """SELECT doc_id,

@@ -415,6 +415,78 @@ object Dedup {
     out
   }
 
+  /** Persistable near-dup INDEX of a corpus: one row per doc carrying
+    * its minhash signature and distinct shingle set — everything an
+    * incremental probe needs. Band keys are derived from the signature
+    * at probe time, so the stored layout is independent of the banding
+    * choice. Build once, `write.parquet` — ingest batches then dedup
+    * against the store without ever re-reading corpus text (the
+    * build-once / serve-many shape of [[AnnSearch.ivfTopKPrebuilt]]).
+    * @return (`id`, `sig`: array<long>, `toks`: array<string>). */
+  def minHashIndex(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int = 64): DataFrame = {
+    // the shingle table feeds signatures AND sets — cache for the build
+    // (released via ContextCleaner once the index is materialized)
+    val sh = shingleTable(docs, idCol, textCol, n).persist()
+    minHashSignatures(sh, k).join(
+      sh.groupBy("id").agg(collect_list(col("shingle")).as("toks")), "id")
+  }
+
+  /** Incremental near-dup join: a NEW document batch against an
+    * existing [[minHashIndex]] — the steady-state ingest path, where
+    * rebuilding the all-pairs join over old ∪ new would redo corpus
+    * work per batch. Candidates come from an LSH band equi-join of the
+    * batch's band keys against the index's (both derived from stored /
+    * freshly-computed signatures); the exact Jaccard verify runs on the
+    * STORED shingle sets. Cost scales with the batch and its candidate
+    * fan-out, never the corpus size.
+    *
+    * Output matches a full [[minHashJoin]] over old ∪ new restricted to
+    * (new, old) pairs (spec-enforced); within-batch duplicates are NOT
+    * reported — run the batch through [[minHashJoin]] separately if
+    * needed.
+    * @return (`new_id`, `idx_id`, `jac`), jac ≥ minJaccard. */
+  def minHashJoinAgainst(index: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, n: Int, minJaccard: Double,
+      k: Int = 64, bands: Int = 16): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"need 1 <= bands <= k with k % bands == 0 (got k=$k, bands=$bands)")
+    val rowsPerBand = k / bands
+    // ids only through the band join — token arrays would be replicated
+    // once per band; candidates are rare post-LSH, so the verify joins
+    // back to the stored sets instead (minHashJoin's shape)
+    def banded(df: DataFrame, side: String): DataFrame =
+      df.select(col("id").as(s"${side}_id"),
+          explode(array((0 until bands).map(b =>
+            struct(lit(b).as("band"),
+              slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)
+                .as("key"))): _*)).as("bk"))
+        .select(col(s"${side}_id"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    // the batch index is small (one ingest batch) — cached while its
+    // band join and verify both read it
+    val newIdx = minHashIndex(newDocs, idCol, textCol, n, k).persist()
+    val cand = banded(newIdx, "new")
+      .join(banded(index, "idx"), Seq("band", "key"))
+      .filter(col("new_id") =!= col("idx_id")) // re-ingested docs
+      .select("new_id", "idx_id")
+      .distinct() // a pair can share several bands
+    cand
+      .join(newIdx.select(col("id").as("new_id"),
+        col("toks").as("new_toks")), "new_id")
+      .join(index.select(col("id").as("idx_id"),
+        col("toks").as("idx_toks")), "idx_id")
+      .select(col("new_id"), col("idx_id"),
+        size(array_intersect(col("new_toks"), col("idx_toks")))
+          .cast("long").as("inter"),
+        size(col("new_toks")).cast("long").as("a_sz"),
+        size(col("idx_toks")).cast("long").as("b_sz"))
+      .select(col("new_id"), col("idx_id"),
+        (col("inter").cast("double") /
+          (col("a_sz") + col("b_sz") - col("inter"))).as("jac"))
+      .filter(col("jac") >= minJaccard)
+  }
+
   /** Embedding-cosine near-duplicate pairs (exact): all unordered pairs
     * with cosine ≥ minCos. O(n²) candidates — the correctness baseline;
     * [[embeddingNearDupLsh]] is the scale path.

@@ -91,6 +91,49 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact) // verification makes precision exact; bands give recall
   }
 
+  test("incremental minHashJoinAgainst == full rebuild's cross pairs") {
+    // split the corpus: even ids are the indexed store, odd the batch
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    val index = Dedup.minHashIndex(old, "doc_id", "text", 3)
+    val got = Dedup.minHashJoinAgainst(index, fresh, "doc_id", "text", 3, 0.5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // full rebuild over old ∪ new, restricted to cross pairs and
+    // reoriented (new, old)
+    val full = Dedup.minHashJoin(docs, "doc_id", "text", 3, 0.5)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    val want = full.collect {
+      case ((a, b), j) if a % 2 == 1 && b % 2 == 0 => (a, b) -> j
+      case ((a, b), j) if a % 2 == 0 && b % 2 == 1 => (b, a) -> j
+    }.toMap
+    assert(got == want)
+    assert(got.nonEmpty, "fixture produced no cross-split near-dups")
+    // within-batch duplicates are out of contract: nothing emitted twice
+    assert(got.keySet.forall { case (n, o) => n % 2 == 1 && o % 2 == 0 })
+  }
+
+  test("minHashIndex parquet round-trip serves identical results") {
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+    val dir = java.nio.file.Files
+      .createTempDirectory("minhash_idx").toString
+    Dedup.minHashIndex(old, "doc_id", "text", 3)
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val fromStore =
+      Dedup.minHashJoinAgainst(stored, fresh, "doc_id", "text", 3, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val fromFresh = Dedup.minHashJoinAgainst(
+        Dedup.minHashIndex(old, "doc_id", "text", 3),
+        fresh, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(fromStore == fromFresh && fromStore.nonEmpty)
+  }
+
   test("embedding near-dup: LSH candidates recall most exact pairs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .persist()
