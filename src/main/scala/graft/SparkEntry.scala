@@ -1271,7 +1271,78 @@ object SparkEntry {
           coalesce(col("asof_ts"), lit(-1L)).as("click_ms"),
           coalesce(col("click_id"), lit(-1L)).as("click_id"))
     }),
+
+    // Neighborhood Jaccard over the co-purchase graph ("customers also
+    // bought"): shared-neighbor counts via the inverted-index wedge
+    // join — the graph-space twin of q9's shingle join
+    "q106_node_sim" -> ((s, dir) =>
+      operators.GraphStats.commonNeighborSim(
+        operators.Basket.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2),
+        "item_a", "item_b", minCommon = 2)),
+
+    // Chi-square independence screen: market segment × order priority
+    // (per-cell observed/expected/contribution off exact longs)
+    "q107_chi_square" -> ((s, dir) =>
+      operators.Stats.chiSquare(
+        t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey")),
+        "c_mktsegment", "o_orderpriority")),
+
+    // Windowed exponential smoothing of each user's daily spend —
+    // finite-lag EWMA at dyadic alpha (exact cross-engine weights)
+    "q108_ewma" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(col("user_id"), eventMs(ev).as("ms"), col("value"))
+        .select(col("user_id"), expr("ms DIV 86400000").as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("user_id", "day")
+        .agg(sum(col("c")).as("cents"))
+      operators.TimeSeries.expSmooth(daily, Seq("user_id"), "day",
+          "cents", alpha = 0.5, lags = 8)
+        .select(col("user_id"), col("day"), col("cents"),
+          round(col("ewma"), 6).as("ewma"))
+    }),
+
+    // Asymmetric containment near-dup join: catches a short doc quoted
+    // whole inside a long one (Jaccard-invisible), same inverted-index
+    // plan as q9 minus the (inapplicable) length filter
+    "q109_containment" -> ((s, dir) =>
+      operators.Dedup.containmentJoin(t(s, dir, "documents"),
+        "doc_id", "text", 3, ContainMin)),
+
+    // GROUPING SETS with an explicit non-rollup lattice ((flag,status),
+    // (status), ()) — completes the rollup(q32)/cube(q42)/pivot(q54) row
+    "q110_grouping_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          (sum(round(col("l_extendedprice") * 100)).cast("long") /
+            lit(100.0)).as("revenue"),
+          count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).as("g1"),
+          grouping(col("l_linestatus")).as("g2"))
+        .select(
+          when(col("g1") === 1, lit("ALL")).otherwise(col("l_returnflag"))
+            .as("l_returnflag"),
+          when(col("g2") === 1, lit("ALL")).otherwise(col("l_linestatus"))
+            .as("l_linestatus"),
+          col("sum_qty"), col("revenue"), col("n"))),
+
+    // Join-key skew report on lineitem's supplier key: the top-20
+    // hottest keys with absolute/cumulative share — the pre-flight
+    // check for SkewJoin(q57)/AQE decisions
+    "q111_key_skew" -> ((s, dir) =>
+      operators.Profile.keySkew(t(s, dir, "lineitem"), "l_suppkey", 20)
+        .withColumnRenamed("rank", "rnk")),
   )
+
+  /** q109's containment threshold (max-direction). */
+  private val ContainMin = 0.8
 
   /** q100's snapshot instant (2024-01-21T00:00:00Z — 10 days before the
     * fixture's last event) and trailing windows — shared with the
@@ -2337,6 +2408,123 @@ object SparkEntry {
          |  coalesce(j.cid, -1) AS click_id
          |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
          |  ON j.event_id = p.event_id""".stripMargin,
+
+    "q106_node_sim" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bsk, l_partkey AS i
+        |            FROM lineitem),
+        |fp AS (SELECT x.i AS a, y.i AS b
+        |       FROM it x JOIN it y ON x.bsk = y.bsk AND x.i < y.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a AS src, b AS dst FROM fp
+        |      UNION ALL SELECT b AS src, a AS dst FROM fp),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+        |        FROM e GROUP BY src),
+        |cm AS (SELECT x.dst AS item_a, y.dst AS item_b,
+        |         CAST(count(*) AS BIGINT) AS common_cnt
+        |       FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+        |       GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT cm.item_a, cm.item_b, common_cnt,
+        |  CAST(common_cnt AS DOUBLE) / (da.d + db.d - common_cnt) AS sim
+        |FROM cm JOIN deg da ON cm.item_a = da.src
+        |        JOIN deg db ON cm.item_b = db.src""".stripMargin,
+
+    "q107_chi_square" ->
+      """WITH cells AS (SELECT c_mktsegment AS a, o_orderpriority AS b,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT a, CAST(sum(cnt) AS BIGINT) AS rt FROM cells
+        |       GROUP BY a),
+        |ct AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS ct FROM cells
+        |       GROUP BY b),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells)
+        |SELECT rt.a, ct.b, coalesce(cnt, 0) AS cnt,
+        |  round(CAST(rt * ct AS DOUBLE) / n, 6) AS expected,
+        |  round((coalesce(cnt, 0) - CAST(rt * ct AS DOUBLE) / n)
+        |      * (coalesce(cnt, 0) - CAST(rt * ct AS DOUBLE) / n)
+        |      / (CAST(rt * ct AS DOUBLE) / n), 6) AS contrib
+        |FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b
+        |  CROSS JOIN n""".stripMargin,
+
+    "q108_ewma" ->
+      """WITH d AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(round(value * 100)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT user_id, day, cents,
+        |    lag(cents, 1) OVER w AS x1, lag(cents, 2) OVER w AS x2,
+        |    lag(cents, 3) OVER w AS x3, lag(cents, 4) OVER w AS x4,
+        |    lag(cents, 5) OVER w AS x5, lag(cents, 6) OVER w AS x6,
+        |    lag(cents, 7) OVER w AS x7
+        |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day))
+        |SELECT user_id, day, cents, round(
+        |  (CAST(cents AS DOUBLE) * 1.0
+        |    + coalesce(CAST(x1 AS DOUBLE) * 0.5, 0.0)
+        |    + coalesce(CAST(x2 AS DOUBLE) * 0.25, 0.0)
+        |    + coalesce(CAST(x3 AS DOUBLE) * 0.125, 0.0)
+        |    + coalesce(CAST(x4 AS DOUBLE) * 0.0625, 0.0)
+        |    + coalesce(CAST(x5 AS DOUBLE) * 0.03125, 0.0)
+        |    + coalesce(CAST(x6 AS DOUBLE) * 0.015625, 0.0)
+        |    + coalesce(CAST(x7 AS DOUBLE) * 0.0078125, 0.0))
+        |  / (1.0
+        |    + CASE WHEN x1 IS NULL THEN 0.0 ELSE 0.5 END
+        |    + CASE WHEN x2 IS NULL THEN 0.0 ELSE 0.25 END
+        |    + CASE WHEN x3 IS NULL THEN 0.0 ELSE 0.125 END
+        |    + CASE WHEN x4 IS NULL THEN 0.0 ELSE 0.0625 END
+        |    + CASE WHEN x5 IS NULL THEN 0.0 ELSE 0.03125 END
+        |    + CASE WHEN x6 IS NULL THEN 0.0 ELSE 0.015625 END
+        |    + CASE WHEN x7 IS NULL THEN 0.0 ELSE 0.0078125 END), 6)
+        |  AS ewma
+        |FROM l""".stripMargin,
+
+    "q109_containment" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(list_transform(range(len(ws) - 2),
+         |           i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+         |           AS toks
+         |       FROM w)
+         |SELECT a_id, b_id, inter, cont_a, cont_b FROM (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |      / len(a.toks) AS cont_a,
+         |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         |      / len(b.toks) AS cont_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+         |WHERE greatest(cont_a, cont_b) >= $ContainMin""".stripMargin,
+
+    "q110_grouping_sets" ->
+      """SELECT
+        |  CASE WHEN GROUPING(l_returnflag) = 1 THEN 'ALL'
+        |       ELSE l_returnflag END AS l_returnflag,
+        |  CASE WHEN GROUPING(l_linestatus) = 1 THEN 'ALL'
+        |       ELSE l_linestatus END AS l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(round(l_extendedprice * 100)) AS BIGINT) / 100.0
+        |    AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |                        (l_linestatus), ())""".stripMargin,
+
+    "q111_key_skew" ->
+      """WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(cnt) AS BIGINT) AS n_rows FROM c),
+        |r AS (SELECT key, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, key) AS rnk,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, key
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c)
+        |SELECT rnk, key, cnt,
+        |  round(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+        |  round(CAST(cum AS DOUBLE) / n_rows, 6) AS cum_share,
+        |  n_keys, n_rows
+        |FROM r CROSS JOIN t WHERE rnk <= 20""".stripMargin,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,

@@ -250,6 +250,50 @@ object Dedup {
       .filter(col("jac") >= minJaccard)
   }
 
+  /** Exact n-gram CONTAINMENT self-join: emits pairs where either doc's
+    * shingle set is mostly inside the other's —
+    * cont_a = |A∩B| / |A| (how much of A lives in B), and
+    * symmetrically cont_b. This is the near-dup case Jaccard
+    * structurally misses: a paragraph quoted whole inside a long
+    * document has containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0, so a
+    * Jaccard-thresholded dedup keeps both copies.
+    *
+    * Same two-exchange inverted-index plan as [[jaccardJoin]] — but
+    * with NO length filter: containment admits none (a tiny A inside a
+    * huge B is exactly the target), so the posting-pair kernel runs at
+    * threshold 0 and `maxDocFreq` is the one pruning knob that matters
+    * at corpus scale (a stopword-grade shingle generates df²/2
+    * candidate pairs and decides no containment by itself).
+    *
+    * @return (a_id, b_id, inter, cont_a, cont_b) with a_id < b_id and
+    *   max(cont_a, cont_b) ≥ minContain; each cont is one division of
+    *   exact longs (cross-engine stable, no rounding needed) */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minContain: Double,
+      maxDocFreq: Int = Int.MaxValue): DataFrame = {
+    require(minContain > 0.0 && minContain <= 1.0,
+      s"minContain in (0, 1], got $minContain")
+    val sh = docs.select(col(idCol).as("id"),
+        TextFunctions.shingles(col(textCol), n).as("toks"))
+      .select(col("id"), size(col("toks")).cast("long").as("sz"),
+        explode(col("toks")).as("shingle"))
+    val postings = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(struct(col("id"), col("sz")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val pruned =
+      if (maxDocFreq == Int.MaxValue) postings
+      else postings.filter(size(col("ids")) <= maxDocFreq)
+    val pairs = pruned.select(
+      graft.functions.PairExpressions.explodePostingPairsWithSize(
+        col("ids"), 0.0))
+    pairs.groupBy("a_id", "b_id", "a_sz", "b_sz")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("inter").cast("double") / col("a_sz")).as("cont_a"),
+        (col("inter").cast("double") / col("b_sz")).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContain)
+  }
+
   /** Exact Jaccard self-join via a PREFIX-FILTERED inverted index (the
     * AllPairs/PPJoin prefix principle, Bayardo et al. WWW'07 / Xiao et
     * al. WWW'08): order every doc's shingles by a global rarest-first

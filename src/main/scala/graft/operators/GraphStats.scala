@@ -33,4 +33,56 @@ object GraphStats {
       .join(deg.select(col("src").as("dst"), col("d").as("db")), "dst")
     Stats.corrMatrix(dPairs, Seq("deg_a" -> col("da"), "deg_b" -> col("db")))
   }
+
+  /** Neighborhood (common-neighbor) Jaccard similarity between node
+    * pairs: sim(u,v) = |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the
+    * link-prediction / "customers also bought" primitive over an
+    * undirected graph. The DBSCAN ε-join asks "which points are close
+    * in feature space"; this asks the same question in GRAPH space,
+    * with shared neighbors playing the role of shared shingles in
+    * [[Dedup.jaccardJoin]] — and the plan is the same inverted-index
+    * shape: each vertex w is a "posting" whose neighbor list generates
+    * the candidate pairs, |N(u) ∩ N(v)| falls out of a pair-count
+    * aggregate, and no pair that shares zero neighbors is ever
+    * materialized (never a cross join).
+    *
+    * Plan shape: canonicalize + symmetrize once (cached — the wedge
+    * join reads both sides and the degree aggregate reads it again),
+    * one self equi-join on the wedge center, one pair-count aggregate,
+    * two broadcast-size joins against the degree table. Wedge fan-out
+    * is Σ_w deg(w)² — the [[TriangleCount]] cost profile; at 100 TB
+    * scale bound it by dropping super-hub centers (`maxDegree`), the
+    * stopword pruning of graphs: a hub shared by everyone carries no
+    * similarity signal, exactly like an every-doc shingle.
+    *
+    * @param minCommon emit pairs with at least this many shared
+    *   neighbors (prunes inside the aggregate, before the degree joins)
+    * @param maxDegree drop wedge centers with degree above this bound
+    *   (approximation: pairs whose ENTIRE overlap is super-hubs are
+    *   lost; Int.MaxValue = exact, the default)
+    * @return (item_a, item_b, common_cnt, sim) with item_a < item_b;
+    *   sim is a single division of exact longs (cross-engine stable) */
+  def commonNeighborSim(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Int = 2, maxDegree: Int = Int.MaxValue): DataFrame = {
+    val e = GraphEdges.symmetrize(
+      GraphEdges.canonical(edges, srcCol, dstCol)).persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val centers =
+      if (maxDegree == Int.MaxValue) e
+      else e.join(broadcast(deg.filter(col("d") <= maxDegree)
+        .select(col("src"))), Seq("src"), "left_semi")
+    // wedge u—w—v ordered u < v: one equi-join on the center w
+    val common = centers.as("x")
+      .join(centers.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("item_a"), col("y.dst").as("item_b"))
+      .agg(count(lit(1)).as("common_cnt"))
+      .filter(col("common_cnt") >= minCommon)
+    common
+      .join(deg.select(col("src").as("item_a"), col("d").as("da")), "item_a")
+      .join(deg.select(col("src").as("item_b"), col("d").as("db")), "item_b")
+      .select(col("item_a"), col("item_b"), col("common_cnt"),
+        (col("common_cnt").cast("double") /
+          (col("da") + col("db") - col("common_cnt"))).as("sim"))
+  }
 }

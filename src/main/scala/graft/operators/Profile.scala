@@ -68,4 +68,43 @@ object Profile {
       )): _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** Join/partition-key skew report: the top-K hottest values of a key
+    * with their absolute and cumulative share of the table — the
+    * number you read BEFORE deciding between a plain shuffle join,
+    * [[graft.operators.SkewJoin]] salting, or AQE skew splitting. A key
+    * whose top value holds 20% of 100 TB puts 20 TB in one reducer;
+    * this report is one cheap aggregate, the hung stage is hours.
+    *
+    * Plan shape: one count aggregate on hash(key); the top-K comes
+    * from `orderBy(…).limit(k)` — Catalyst's TakeOrderedAndProject, a
+    * per-partition bounded heap + driver merge of K×partitions rows,
+    * NEVER a global sort; the rank/cumulative window then runs over K
+    * rows on one task (K is small by contract). Totals ride a
+    * broadcast single-row cross join.
+    *
+    * @return (rank, key(string), cnt, share, cum_share, n_keys,
+    *   n_rows) — rank by (cnt DESC, key ASC), shares rounded to 6 */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int = 20): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val cnts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist() // read by the totals aggregate and the top-K
+    val totals = cnts.agg(count(lit(1)).as("n_keys"),
+      sum("cnt").cast("long").as("n_rows"))
+    val top = cnts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+    // window over ≤ topK rows — single tiny task by construction
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key").asc)
+    top
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum", sum("cnt").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)))
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col("key"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        round(col("cum").cast("double") / col("n_rows"), 6).as("cum_share"),
+        col("n_keys"), col("n_rows"))
+  }
 }

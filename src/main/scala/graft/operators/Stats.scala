@@ -184,6 +184,49 @@ object Stats {
           .as("wmean"))): _*)
   }
 
+  /** Chi-square contingency table for two categorical columns: per
+    * cell, observed count, expected count under independence
+    * (rowTotal·colTotal/N), and the chi-square contribution
+    * (obs−exp)²/exp — the categorical-association screen (is segment
+    * independent of order priority?) whose per-cell contributions also
+    * localize WHERE the dependence lives.
+    *
+    * Plan shape: ONE aggregate over the input rows (the contingency
+    * cells — cardinality |A|×|B|, tiny); marginals re-aggregate the
+    * cell table, never the input, and join back broadcast-size. All
+    * counts are exact longs; expected/contrib are fixed-order double
+    * expressions over them (single division each), so `round(…, 6)`
+    * reproduces cross-engine. The statistic itself is the sum of
+    * `contrib` — left to the caller/driver because a float sum over an
+    * unordered tiny table is the one engine-order-dependent step.
+    *
+    * The grid is the full marginal cross product, INCLUDING unobserved
+    * cells (cnt = 0, contrib = expected) — dropping them silently
+    * understates the statistic, and a sparse contingency table is
+    * exactly when that matters.
+    *
+    * @return (a, b, cnt, expected, contrib) — one row per cell of
+    *   observed-A × observed-B */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist() // 3 readers: marginals ×2 + the closing join
+    val rowTot = cells.groupBy("a").agg(sum("cnt").as("rt"))
+    val colTot = cells.groupBy("b").agg(sum("cnt").as("ct"))
+    val n = cells.agg(sum("cnt").as("n"))
+    val exp6 = round((col("rt") * col("ct")).cast("double") / col("n"), 6)
+    // (obs − exp)² / exp with exp UNROUNDED inside — identical textual
+    // formula on the oracle side; round only the reported numbers
+    val rawExp = (col("rt") * col("ct")).cast("double") / col("n")
+    val obs = coalesce(col("cnt"), lit(0L))
+    val contrib6 = round((obs - rawExp) * (obs - rawExp) / rawExp, 6)
+    rowTot.crossJoin(colTot) // |A|×|B| grid — marginal tables are tiny
+      .join(cells, Seq("a", "b"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), obs.as("cnt"),
+        exp6.as("expected"), contrib6.as("contrib"))
+  }
+
   private def pairs(names: Seq[String]): Seq[(String, String)] =
     for {
       i <- names.indices

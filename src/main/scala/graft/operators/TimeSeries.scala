@@ -128,4 +128,47 @@ object TimeSeries {
         round(col("__num").cast("double") / col("__den").cast("double")
           / scale, 6).as(s"${valCol}_twa")): _*)
   }
+
+  /** Windowed exponential smoothing (finite-lag EWMA) per key: at each
+    * row, the weighted mean of the last `lags` observations with
+    * weights (1−α)^j for lag j, normalized over the lags that exist
+    * (pandas `ewm(adjust=True)` truncated to a fixed horizon). The
+    * truncation is what makes this a pure window operator — the exact
+    * recursive EWMA carries unbounded state and an engine-order float
+    * recursion; at (1−α)^lags the dropped tail is bounded (≤ 2⁻⁸ of
+    * the weight at the defaults) and every engine computes the SAME
+    * closed-form expression.
+    *
+    * Numerics: for DYADIC α (0.5, 0.25, 0.75…) the weights are exact
+    * powers of two, so each term of the fixed left-to-right fold is
+    * exact over integer-quantized values and the result is
+    * cross-engine reproducible before any rounding. Non-dyadic α still
+    * works; parity then needs the caller's `round`.
+    *
+    * Scale shape: ONE exchange on hash(keys) — the lag chain is a
+    * single window over it, `lags` is a compile-time constant (no
+    * per-row loop state), and the frame never materializes beyond
+    * `lags` rows.
+    *
+    * @param ordCol ordering column, unique per key (pre-aggregate to
+    *   the (key, period) grain first — [[forwardFill]]'s contract)
+    * @param valCol numeric column (quantize to integers for exactness)
+    * @return input columns :+ outCol (double) */
+  def expSmooth(df: DataFrame, keyCols: Seq[String], ordCol: String,
+      valCol: String, alpha: Double = 0.5, lags: Int = 8,
+      outCol: String = "ewma"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
+    require(lags >= 1 && lags <= 64, s"lags in [1, 64], got $lags")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(ordCol))
+    val terms = (0 until lags).map { j =>
+      val x = lag(col(valCol), j).over(w).cast("double")
+      val wt = math.pow(1.0 - alpha, j)
+      (when(x.isNotNull, x * wt).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(wt)).otherwise(lit(0.0)))
+    }
+    // fixed left-to-right fold — the oracle writes the same chain
+    val num = terms.map(_._1).reduceLeft(_ + _)
+    val den = terms.map(_._2).reduceLeft(_ + _)
+    df.withColumn(outCol, num / den)
+  }
 }

@@ -237,4 +237,40 @@ class DedupSpec extends SparkSpec {
       Dedup.decontaminateBloom(train, bench, "doc_id", "text", 3, fpp = 0.2))
     assert(bloom == exact)
   }
+
+  test("containmentJoin: quoted-whole doc is Jaccard-invisible but caught") {
+    val small = "alpha beta gamma delta epsilon" // 3 shingles
+    val big = small + " zeta eta theta iota kappa lambda" // 9 shingles
+    val d = spark.createDataFrame(Seq((1L, small), (2L, big), (3L, "x y z w")))
+      .toDF("doc_id", "text")
+    // jaccard = 3/9 — under a 0.5 dedup threshold the pair is invisible
+    assert(Dedup.jaccardJoin(d, "doc_id", "text", 3, 0.5).count() == 0)
+    val r = Dedup.containmentJoin(d, "doc_id", "text", 3, 0.8).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) == 1L && row.getLong(1) == 2L)
+    assert(row.getLong(2) == 3L)          // inter
+    assert(row.getDouble(3) == 1.0)       // cont_a: all of A inside B
+    assert(row.getDouble(4) == 3.0 / 9.0) // cont_b
+  }
+
+  test("containmentJoin == brute force over shingle sets on the corpus") {
+    val sh = docs
+      .select(col("doc_id"),
+        TextFunctions.shingles(col("text"), 3).as("toks"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    val want = (for {
+      (a, ta) <- sh; (b, tb) <- sh if a < b
+      inter = (ta & tb).size.toLong
+      ca = inter.toDouble / ta.size; cb = inter.toDouble / tb.size
+      if math.max(ca, cb) >= 0.6
+    } yield (a, b) -> ((inter, ca, cb))).toMap
+    val got = Dedup.containmentJoin(docs, "doc_id", "text", 3, 0.6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got == want)
+  }
 }

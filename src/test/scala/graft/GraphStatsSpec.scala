@@ -44,4 +44,48 @@ class GraphStatsSpec extends SparkSpec {
     // duplicate/reversed/self-loop noise collapses to the same value
     assert(run(es ++ es.map(_.swap) ++ Seq((1L, 1L)), 5) == run(es))
   }
+
+  private def simMap(es: Seq[(Long, Long)], minCommon: Int = 1,
+      maxDegree: Int = Int.MaxValue): Map[(Long, Long), (Long, Double)] =
+    GraphStats.commonNeighborSim(
+        spark.createDataFrame(es).toDF("s", "d"), "s", "d",
+        minCommon, maxDegree)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+  test("commonNeighborSim: opposite corners of a 4-cycle are twins") {
+    // 1-2-3-4-1: N(1)=N(3)={2,4}, N(2)=N(4)={1,3}; adjacent nodes share
+    // nothing, so exactly the two diagonals appear, at sim 1
+    val sim = simMap(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(sim == Map((1L, 3L) -> ((2L, 1.0)), (2L, 4L) -> ((2L, 1.0))))
+  }
+
+  test("commonNeighborSim == brute force over neighbor sets") {
+    val rnd = new scala.util.Random(11)
+    val es = (1 to 400).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val nbr = (es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.flatMap(e => Seq(e, e.swap)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      u <- nbr.keys; v <- nbr.keys if u < v
+      c = (nbr(u) & nbr(v)).size.toLong if c >= 2
+    } yield (u, v) -> ((c,
+      c.toDouble / (nbr(u).size + nbr(v).size - c)))).toMap
+    assert(simMap(es, minCommon = 2) == want)
+  }
+
+  test("commonNeighborSim: maxDegree drops hub-centered wedges only") {
+    // hub 0 touches everyone; 1-2 also share non-hub neighbor 3
+    val es = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 3L), (2L, 3L))
+    val exact = simMap(es)
+    assert(exact((1L, 2L))._1 == 2L) // common = {0, 3}
+    val pruned = simMap(es, maxDegree = 2)
+    // centers 0 and 3 (deg 3) pruned: the (1,2) pair loses both its
+    // wedges and disappears; (0,3) keeps its deg-2 centers 1 and 2, and
+    // its sim uses the TRUE degrees (the deg table is never pruned)
+    assert(pruned == Map((0L, 3L) -> ((2L, 0.5))))
+  }
 }

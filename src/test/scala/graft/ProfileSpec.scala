@@ -61,4 +61,26 @@ class ProfileSpec extends SparkSpec {
     assert("ScanExistingRDD|Scan ExistingRDD".r
       .findAllIn(plan).size == 1, plan)
   }
+
+  test("keySkew: ranks, shares and totals on a hand-built skew") {
+    val rows = Seq.fill(5)(Tuple1("a")) ++ Seq.fill(3)(Tuple1("b")) ++
+      Seq(Tuple1("c"), Tuple1("d"))
+    val df = spark.createDataFrame(rows).toDF("k")
+    val r = Profile.keySkew(df, "k", topK = 3).collect()
+      .map(x => x.getInt(0) -> ((x.getString(1), x.getLong(2),
+        x.getDouble(3), x.getDouble(4), x.getLong(5), x.getLong(6))))
+      .toMap
+    assert(r.size == 3) // topK bounds the report
+    assert(r(1) == (("a", 5L, 0.5, 0.5, 4L, 10L)))
+    assert(r(2) == (("b", 3L, 0.3, 0.8, 4L, 10L)))
+    assert(r(3) == (("c", 1L, 0.1, 0.9, 4L, 10L))) // count tie -> key order
+  }
+
+  test("keySkew: top-K never plans a global sort") {
+    val df = spark.createDataFrame(
+      (1 to 100).map(i => Tuple1((i % 7).toString))).toDF("k")
+    val plan = Profile.keySkew(df, "k", topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

@@ -140,4 +140,45 @@ class StatsSpec extends SparkSpec {
     // the 1000-unit outlier is clipped to p75 (~1.37): wmean stays ~1.25
     assert(r.getDouble(4) < 1.4, s"wmean ${r.getDouble(4)}")
   }
+
+  private def chi(rows: Seq[(String, String)]): Map[(String, String),
+      (Long, Double, Double)] =
+    Stats.chiSquare(spark.createDataFrame(rows).toDF("x", "y"), "x", "y")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+
+  test("chiSquare: independent table has zero contribution everywhere") {
+    // rows x:(10,20), y:(30,60) — exactly proportional marginals
+    val rows = Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(30)(("y", "u")) ++ Seq.fill(60)(("y", "v"))
+    val r = chi(rows)
+    assert(r.size == 4)
+    r.foreach { case (cell, (cnt, exp, contrib)) =>
+      assert(cnt.toDouble == exp, s"$cell")
+      assert(contrib == 0.0, s"$cell")
+    }
+  }
+
+  test("chiSquare: hand-computed 2x2 with dependence") {
+    // 30/10/10/30: N=80, all marginals 40, expected 20, contrib 100/20=5
+    val rows = Seq.fill(30)(("x", "u")) ++ Seq.fill(10)(("x", "v")) ++
+      Seq.fill(10)(("y", "u")) ++ Seq.fill(30)(("y", "v"))
+    val r = chi(rows)
+    assert(r.values.forall { case (_, exp, c) => exp == 20.0 && c == 5.0 })
+    assert(r(("x", "u"))._1 == 30L && r(("x", "v"))._1 == 10L)
+  }
+
+  test("chiSquare: unobserved cells appear with cnt 0, contrib = expected") {
+    // y never pairs with v: the (y, v) zero cell must still be reported
+    val rows = Seq.fill(8)(("x", "u")) ++ Seq.fill(8)(("x", "v")) ++
+      Seq.fill(4)(("y", "u"))
+    val r = chi(rows)
+    assert(r.size == 4)
+    val (cnt, exp, contrib) = r(("y", "v"))
+    assert(cnt == 0L)
+    // rt(y)=4, ct(v)=8, N=20 -> expected 1.6; contrib = (0-1.6)^2/1.6
+    assert(exp == 1.6 && contrib == 1.6)
+  }
 }

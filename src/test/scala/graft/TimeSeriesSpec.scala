@@ -49,4 +49,60 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.forwardFill(obs, Seq("k"), "t", "v", "year")
     }
   }
+
+  private def ewma(rows: Seq[(Long, Long, Long)], alpha: Double = 0.5,
+      lags: Int = 8): Map[(Long, Long), Double] =
+    TimeSeries.expSmooth(
+        spark.createDataFrame(rows).toDF("k", "t", "v"),
+        Seq("k"), "t", "v", alpha, lags)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+
+  test("expSmooth: first row is its own value; constants stay constant") {
+    val r = ewma(Seq((1L, 1L, 100L), (1L, 2L, 100L), (1L, 3L, 100L),
+      (2L, 1L, 7L)))
+    assert(r((1L, 1L)) == 100.0 && r((1L, 2L)) == 100.0 &&
+      r((1L, 3L)) == 100.0)
+    assert(r((2L, 1L)) == 7.0) // keys smooth independently
+  }
+
+  test("expSmooth: hand-computed dyadic weights") {
+    val r = ewma(Seq((1L, 1L, 100L), (1L, 2L, 200L), (1L, 3L, 300L)))
+    assert(r((1L, 2L)) == (200.0 + 50.0) / 1.5)
+    assert(r((1L, 3L)) == (300.0 + 100.0 + 25.0) / 1.75)
+  }
+
+  test("expSmooth: the lag horizon truncates exactly") {
+    // lags=2: row 3 must ignore the t=1 observation entirely
+    val r = ewma(Seq((1L, 1L, 1000000L), (1L, 2L, 200L), (1L, 3L, 300L)),
+      lags = 2)
+    assert(r((1L, 3L)) == (300.0 + 100.0) / 1.5)
+  }
+
+  test("expSmooth == brute-force closed form on random series") {
+    val rnd = new scala.util.Random(3)
+    val rows = for (k <- 1L to 5L; t <- 1L to 30L)
+      yield (k, t, rnd.nextInt(100000).toLong)
+    val r = ewma(rows, alpha = 0.5, lags = 8)
+    rows.groupBy(_._1).foreach { case (k, series) =>
+      val vs = series.sortBy(_._2).map(_._3)
+      vs.indices.foreach { i =>
+        val window = (0 until math.min(8, i + 1)).map(j =>
+          (vs(i - j).toDouble * math.pow(0.5, j), math.pow(0.5, j)))
+        val want = window.map(_._1).sum / window.map(_._2).sum
+        assert(math.abs(r((k, i + 1L)) - want) < 1e-9)
+      }
+    }
+  }
+
+  test("expSmooth rejects bad parameters") {
+    val df = spark.createDataFrame(Seq((1L, 1L, 1L))).toDF("k", "t", "v")
+    intercept[IllegalArgumentException] {
+      TimeSeries.expSmooth(df, Seq("k"), "t", "v", alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.expSmooth(df, Seq("k"), "t", "v", lags = 0)
+    }
+  }
 }
