@@ -1339,6 +1339,41 @@ object SparkEntry {
     "q111_key_skew" -> ((s, dir) =>
       operators.Profile.keySkew(t(s, dir, "lineitem"), "l_suppkey", 20)
         .withColumnRenamed("rank", "rnk")),
+
+    // Local clustering coefficient on the co-purchase graph: per-node
+    // triangle participation (q60's census, per node) over neighbor
+    // pairs — ego-network density
+    "q112_clustering_coef" -> ((s, dir) =>
+      operators.GraphStats.clusteringCoefficient(
+        operators.Basket.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2),
+        "item_a", "item_b")),
+
+    // Equi-depth (octile) histogram of order totals: quantile-bounded
+    // bins, exact at dyadic p over integer cents — q63's fixed-width
+    // histogram with data-adaptive edges
+    "q113_equidepth_hist" -> ((s, dir) =>
+      operators.Profile.equiDepthHist(t(s, dir, "orders"),
+        round(col("o_totalprice") * 100), buckets = 8)),
+
+    // Snapshot diff between two simulated versions of orders: keys
+    // added/removed/changed via ONE co-partitioned full outer join —
+    // the audit inverse of q67's CDC apply
+    "q114_snapshot_diff" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val oldSnap = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), cents.as("cents"))
+      val newSnap = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"),
+          (cents + when(col("o_orderkey") % 5 === 0, 500L).otherwise(0L))
+            .as("cents"))
+      operators.Cdc.snapshotDiff(oldSnap, newSnap, Seq("o_orderkey"),
+          Seq("cents"))
+        .select(col("o_orderkey"), col("status"),
+          coalesce(col("old_cents"), lit(-1L)).as("old_cents"),
+          coalesce(col("new_cents"), lit(-1L)).as("new_cents"))
+    }),
   )
 
   /** q109's containment threshold (max-direction). */
@@ -2525,6 +2560,66 @@ object SparkEntry {
         |  round(CAST(cum AS DOUBLE) / n_rows, 6) AS cum_share,
         |  n_keys, n_rows
         |FROM r CROSS JOIN t WHERE rnk <= 20""".stripMargin,
+
+    "q112_clustering_coef" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS bsk, l_partkey AS i
+        |            FROM lineitem),
+        |fp AS (SELECT x.i AS a, y.i AS b
+        |       FROM it x JOIN it y ON x.bsk = y.bsk AND x.i < y.i
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a AS src, b AS dst FROM fp
+        |      UNION ALL SELECT b AS src, a AS dst FROM fp),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS degree
+        |        FROM e GROUP BY src),
+        |tri AS (SELECT t1.a AS x, t1.b AS y, t2.b AS z
+        |        FROM fp t1 JOIN fp t2 ON t2.a = t1.b
+        |          JOIN fp t3 ON t3.a = t1.a AND t3.b = t2.b),
+        |pv AS (SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
+        |    SELECT x AS v FROM tri UNION ALL SELECT y AS v FROM tri
+        |    UNION ALL SELECT z AS v FROM tri) u GROUP BY v)
+        |SELECT deg.src AS id, degree, coalesce(pv.t, 0) AS n_triangles,
+        |  CASE WHEN degree >= 2
+        |    THEN CAST(2 * coalesce(pv.t, 0) AS DOUBLE)
+        |      / (degree * (degree - 1))
+        |    ELSE 0.0 END AS cc
+        |FROM deg LEFT JOIN pv ON pv.v = deg.src""".stripMargin,
+
+    "q113_equidepth_hist" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |           FROM orders),
+        |q AS (SELECT quantile_cont(c, [0.0, 0.125, 0.25, 0.375, 0.5,
+        |        0.625, 0.75, 0.875, 1.0]) AS qs FROM o),
+        |b AS (SELECT c,
+        |    (CASE WHEN c >= qs[2] THEN 1 ELSE 0 END
+        |   + CASE WHEN c >= qs[3] THEN 1 ELSE 0 END
+        |   + CASE WHEN c >= qs[4] THEN 1 ELSE 0 END
+        |   + CASE WHEN c >= qs[5] THEN 1 ELSE 0 END
+        |   + CASE WHEN c >= qs[6] THEN 1 ELSE 0 END
+        |   + CASE WHEN c >= qs[7] THEN 1 ELSE 0 END
+        |   + CASE WHEN c >= qs[8] THEN 1 ELSE 0 END) AS bucket
+        |  FROM o CROSS JOIN q)
+        |SELECT bucket,
+        |  round(qs[bucket + 1] / 100.0, 6) AS lo,
+        |  round(qs[bucket + 2] / 100.0, 6) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b CROSS JOIN q GROUP BY 1, 2, 3""".stripMargin,
+
+    "q114_snapshot_diff" ->
+      """WITH os AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |ns AS (SELECT o_orderkey AS k,
+        |    CAST(round(o_totalprice * 100) AS BIGINT)
+        |      + CASE WHEN o_orderkey % 5 = 0 THEN 500 ELSE 0 END AS c
+        |  FROM orders WHERE o_orderkey % 3 <> 0)
+        |SELECT coalesce(os.k, ns.k) AS o_orderkey,
+        |  CASE WHEN os.k IS NULL THEN 'added'
+        |       WHEN ns.k IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS status,
+        |  coalesce(os.c, -1) AS old_cents,
+        |  coalesce(ns.c, -1) AS new_cents
+        |FROM os FULL OUTER JOIN ns ON os.k = ns.k
+        |WHERE os.k IS NULL OR ns.k IS NULL OR os.c <> ns.c""".stripMargin,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,

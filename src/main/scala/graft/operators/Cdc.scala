@@ -92,4 +92,49 @@ object Cdc {
       .select((keyCols.map(col) ++ Seq(col(valueCol), col("valid_from"),
         col("valid_to"), col("is_current"))): _*)
   }
+
+  /** Snapshot diff — the audit inverse of [[apply]]: given two table
+    * versions, report every key that was added, removed, or changed
+    * (compared columns differ, null-safe). The lakehouse
+    * "what did last night's load actually do" / replication-drift
+    * check; `apply(old, diff-as-changes) == new` is the round-trip
+    * property.
+    *
+    * Plan shape: one FULL OUTER hash join co-partitioned on the key —
+    * each snapshot shuffles once, nothing sorts, and the 'unchanged'
+    * majority (the 100 TB common case) is filtered before anything
+    * downstream sees it. Compared columns surface as `old_<c>` /
+    * `new_<c>` pairs (null on the absent side).
+    *
+    * @param compareCols columns (present in both snapshots) whose
+    *   null-safe inequality makes a key 'changed'
+    * @param includeUnchanged keep 'unchanged' rows too (off by
+    *   default: the diff should cost output proportional to the
+    *   change volume, not the table)
+    * @return (keyCols…, status, old_<c>…, new_<c>…) */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String],
+      includeUnchanged: Boolean = false): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compared column")
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val cols = keyCols.map(col) ++
+        compareCols.map(c => col(c).as(s"${tag}_$c")) :+
+        lit(1).as(s"__$tag")
+      df.select(cols: _*)
+    }
+    val joined = side(oldDf, "old")
+      .join(side(newDf, "new"), keyCols, "full_outer")
+    val same = compareCols
+      .map(c => col(s"old_$c") <=> col(s"new_$c"))
+      .reduceLeft(_ && _)
+    val status = when(col("__old").isNull, lit("added"))
+      .when(col("__new").isNull, lit("removed"))
+      .when(same, lit("unchanged"))
+      .otherwise(lit("changed"))
+    val out = joined.withColumn("status", status)
+      .select((keyCols.map(col) :+ col("status")) ++
+        compareCols.flatMap(c =>
+          Seq(col(s"old_$c"), col(s"new_$c"))): _*)
+    if (includeUnchanged) out else out.filter(col("status") =!= "unchanged")
+  }
 }

@@ -107,4 +107,55 @@ object Profile {
         round(col("cum").cast("double") / col("n_rows"), 6).as("cum_share"),
         col("n_keys"), col("n_rows"))
   }
+
+  /** Equi-DEPTH histogram over an integer-quantized value: `buckets`
+    * quantile-bounded bins with their row counts — the planner-grade
+    * distribution summary ([[keySkew]] profiles a KEY's frequency;
+    * this profiles a VALUE's shape, the input to range-partition
+    * boundaries and skew-aware cost estimates). Unlike the fixed-width
+    * histogram (q63), bin edges adapt to the data: every bin holds
+    * ≈ n/buckets rows, so the tails get resolution where a fixed grid
+    * wastes it.
+    *
+    * Numerics: `buckets` must be a power of two so every quantile sits
+    * at dyadic p over integers — exact interpolated arithmetic in a
+    * double (q73's invariant), making bin edges AND bin assignment
+    * (comparisons against exact edges) bit-reproducible cross-engine.
+    *
+    * Plan shape: one exact-percentile aggregate (rows shuffle once),
+    * the 9-element edge array broadcasts back, one count aggregate
+    * over `buckets` groups. At 100 TB swap `percentile` for
+    * `approx_percentile` — same plan, sketch-merge instead of exact
+    * (then not oracle-exact).
+    *
+    * @param valCents integer-cents expression over the input rows
+    * @param scale report edges in input units: cents→units = 100
+    * @return (bucket, lo, hi, n) — bucket k ∈ [0, buckets); a value
+    *   lands in the highest bucket whose lower edge it reaches, so
+    *   heavy ties can leave interior buckets empty (absent rows) */
+  def equiDepthHist(df: DataFrame, valCents: Column, buckets: Int = 8,
+      scale: Long = 100L): DataFrame = {
+    require(buckets >= 2 && buckets <= 64 &&
+      (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two in [2, 64], got $buckets")
+    val o = df.select(valCents.cast("long").as("__c"))
+    val ps = (0 to buckets).map(k => k.toDouble / buckets)
+    val q = o.agg(
+      expr(s"percentile(__c, array(${ps.mkString(", ")}))").as("__qs"))
+    // interior edges only: k = 1..buckets-1 (array is 1-indexed)
+    val bucket = (1 until buckets)
+      .map(k => when(col("__c") >= element_at(col("__qs"), k + 1), 1)
+        .otherwise(0))
+      .reduceLeft(_ + _)
+    o.crossJoin(broadcast(q))
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), first(col("__qs")).as("__q"))
+      .select(col("bucket"),
+        round(element_at(col("__q"), col("bucket") + 1) / scale, 6)
+          .as("lo"),
+        round(element_at(col("__q"), col("bucket") + 2) / scale, 6)
+          .as("hi"),
+        col("n"))
+  }
 }

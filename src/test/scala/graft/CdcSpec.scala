@@ -75,4 +75,47 @@ class CdcSpec extends SparkSpec {
     // tb orders B before A → B closed, A current
     assert(got.toSeq == Seq(("A", true), ("B", false)))
   }
+
+  test("snapshotDiff classifies added/removed/changed, hides unchanged") {
+    val oldS = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "c")
+    val newS = Seq((2L, 20L), (3L, 35L), (4L, 40L)).toDF("k", "c")
+    val got = Cdc.snapshotDiff(oldS, newS, Seq("k"), Seq("c"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))))
+      .toMap
+    assert(got == Map(
+      1L -> (("removed", Some(10L), None)),
+      3L -> (("changed", Some(30L), Some(35L))),
+      4L -> (("added", None, Some(40L)))))
+    val withUnchanged = Cdc.snapshotDiff(oldS, newS, Seq("k"), Seq("c"),
+      includeUnchanged = true).collect()
+    assert(withUnchanged.length == 4)
+  }
+
+  test("snapshotDiff null payloads compare null-safe") {
+    val oldS = Seq((1L, Option.empty[Long]), (2L, Some(5L)))
+      .toDF("k", "c")
+    val newS = Seq((1L, Option.empty[Long]), (2L, Option.empty[Long]))
+      .toDF("k", "c")
+    val got = Cdc.snapshotDiff(oldS, newS, Seq("k"), Seq("c")).collect()
+    // null == null is unchanged; value → null is a change, not a remove
+    assert(got.length == 1 && got(0).getLong(0) == 2L &&
+      got(0).getString(1) == "changed")
+  }
+
+  test("snapshotDiff round-trips through apply") {
+    val oldS = Seq((1L, 10L), (2L, 20L), (3L, 30L), (5L, 50L))
+      .toDF("k", "c")
+    val newS = Seq((2L, 25L), (3L, 30L), (4L, 40L), (5L, 55L))
+      .toDF("k", "c")
+    // diff re-expressed as a CDC stream folds old into new exactly
+    val changes = Cdc.snapshotDiff(oldS, newS, Seq("k"), Seq("c"))
+      .select(col("k"), lit(1L).as("seq"),
+        when(col("status") === "removed", "D").otherwise("U").as("op"),
+        col("new_c").as("c"))
+    val applied = Cdc.apply(oldS, changes, Seq("k"), "seq", "op")
+    assert(applied.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == newS.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }

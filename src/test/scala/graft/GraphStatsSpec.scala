@@ -88,4 +88,43 @@ class GraphStatsSpec extends SparkSpec {
     // its sim uses the TRUE degrees (the deg table is never pruned)
     assert(pruned == Map((0L, 3L) -> ((2L, 0.5))))
   }
+
+  private def ccMap(es: Seq[(Long, Long)], threshold: Long = 2_000_000L)
+      : Map[Long, (Long, Long, Double)] =
+    GraphStats.clusteringCoefficient(
+        spark.createDataFrame(es).toDF("s", "d"), "s", "d", threshold)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+
+  test("clusteringCoefficient: triangle with a pendant") {
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val r = ccMap(es)
+    assert(r(1L) == ((2L, 1L, 1.0)))
+    assert(r(2L) == ((2L, 1L, 1.0)))
+    assert(r(3L) == ((3L, 1L, 1.0 / 3.0))) // 1 of 3 neighbor pairs closed
+    assert(r(4L) == ((1L, 0L, 0.0)))       // deg < 2: cc = 0 by convention
+  }
+
+  test("clusteringCoefficient == brute force; fused == distributed") {
+    val rnd = new scala.util.Random(13)
+    val es = (1 to 300).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2)
+    val nbr = (es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.flatMap(e => Seq(e, e.swap)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = nbr.map { case (v, ns) =>
+      val nsq = ns.toSeq
+      val t = (for {
+        u <- nsq; w <- nsq if u < w && nbr(u).contains(w)
+      } yield 1).size.toLong
+      val d = ns.size.toLong
+      v -> ((d, t, if (d >= 2) 2.0 * t / (d * (d - 1)) else 0.0))
+    }
+    val fused = ccMap(es)
+    assert(fused == want)
+    assert(ccMap(es, threshold = 0L) == want) // distributed path agrees
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Profile
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 class ProfileSpec extends SparkSpec {
@@ -82,5 +83,36 @@ class ProfileSpec extends SparkSpec {
     val plan = Profile.keySkew(df, "k", topK = 5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("equiDepthHist: uniform 1..8 quarters into equal buckets") {
+    val df = spark.createDataFrame((1 to 8).map(i => Tuple1(i.toLong)))
+      .toDF("v")
+    val r = Profile.equiDepthHist(df, col("v"), buckets = 4, scale = 1L)
+      .collect()
+      .map(x => x.getInt(0) -> ((x.getDouble(1), x.getDouble(2),
+        x.getLong(3))))
+      .toMap
+    // quantiles of 1..8 at p=k/4: 1, 2.75, 4.5, 6.25, 8
+    assert(r(0) == ((1.0, 2.75, 2L)))
+    assert(r(1) == ((2.75, 4.5, 2L)))
+    assert(r(2) == ((4.5, 6.25, 2L)))
+    assert(r(3) == ((6.25, 8.0, 2L)))
+  }
+
+  test("equiDepthHist: all-equal values collapse into the top bucket") {
+    val df = spark.createDataFrame(Seq.fill(10)(Tuple1(42L))).toDF("v")
+    val r = Profile.equiDepthHist(df, col("v"), buckets = 8, scale = 1L)
+      .collect()
+    assert(r.length == 1)
+    // 42 >= every (equal) interior edge -> the last bucket holds all
+    assert(r(0).getInt(0) == 7 && r(0).getLong(3) == 10L)
+  }
+
+  test("equiDepthHist rejects non-power-of-two bucket counts") {
+    val df = spark.createDataFrame(Seq(Tuple1(1L))).toDF("v")
+    intercept[IllegalArgumentException] {
+      Profile.equiDepthHist(df, col("v"), buckets = 10)
+    }
   }
 }
