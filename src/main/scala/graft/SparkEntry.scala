@@ -1374,7 +1374,20 @@ object SparkEntry {
           coalesce(col("old_cents"), lit(-1L)).as("old_cents"),
           coalesce(col("new_cents"), lit(-1L)).as("new_cents"))
     }),
+
+    // BM25 retrieval scoring over the corpus: two near-uniform terms
+    // plus the rare 'dup' token (high idf) — the query side of the
+    // tf-idf/LM corpus machinery
+    "q115_bm25" -> ((s, dir) =>
+      operators.Search.bm25(t(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, Bm25K1, Bm25B)),
   )
+
+  /** q115 BM25: query terms and the standard (k1, b) — the doubles are
+    * printed into the oracle so both engines use identical constants. */
+  private val Bm25Terms = Seq("spark", "stream", "dup")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
 
   /** q109's containment threshold (max-direction). */
   private val ContainMin = 0.8
@@ -2620,6 +2633,29 @@ object SparkEntry {
         |  coalesce(ns.c, -1) AS new_cents
         |FROM os FULL OUTER JOIN ns ON os.k = ns.k
         |WHERE os.k IS NULL OR ns.k IS NULL OR os.c <> ns.c""".stripMargin,
+
+    "q115_bm25" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(len(ws)) AS BIGINT) AS sumdl FROM d),
+        |tl AS (SELECT doc_id, len(ws) AS dl, w AS term,
+        |    CAST(count(*) AS BIGINT) AS tf
+        |  FROM d, unnest(ws) AS t(w)
+        |  WHERE w IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+        |  GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |          FROM tl GROUP BY 1)
+        |SELECT tl.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+        |  round(sum(
+        |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |            / (CAST(df AS DOUBLE) + 0.5))
+        |    * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0})
+        |    / (CAST(tf AS DOUBLE) + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B
+        |        * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)
+        |           / CAST(sumdl AS DOUBLE))))), 6) AS score
+        |FROM tl JOIN dfreq USING (term) CROSS JOIN stats
+        |GROUP BY tl.doc_id""".stripMargin,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Search
+
+class SearchSpec extends SparkSpec {
+
+  // 3-doc corpus with hand-checkable tf/df/dl:
+  //   d1: "a b a c"   (dl 4, tf_a=2, tf_b=1)
+  //   d2: "b b d"     (dl 3, tf_b=2)
+  //   d3: "c c c d"   (dl 4, no query terms)
+  private def corpus = spark.createDataFrame(Seq(
+    (1L, "a b a c"), (2L, "b b d"), (3L, "c c c d")))
+    .toDF("doc_id", "text")
+
+  test("bm25: hand-computed scores, non-matching doc excluded") {
+    val got = Search.bm25(corpus, "doc_id", "text", Seq("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(_._1)
+    // N=3, sumdl=11, avgdl=11/3; idf_a = ln(1+(3-1+0.5)/1.5),
+    // idf_b = ln(1+(3-2+0.5)/2.5)
+    val n = 3.0; val avg = 11.0 / 3.0
+    def sat(tf: Double, dl: Double) =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * (dl / avg)))
+    val idfA = math.log(1 + 2.5 / 1.5); val idfB = math.log(1 + 1.5 / 2.5)
+    val exp1 = BigDecimal(idfA * sat(2, 4) + idfB * sat(1, 4))
+      .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    val exp2 = BigDecimal(idfB * sat(2, 3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    assert(got.map(_._1) == Seq(1L, 2L)) // d3 matches nothing
+    assert(got.map(_._2) == Seq(2L, 1L)) // matched-term counts
+    assert(math.abs(got(0)._3 - exp1) < 2e-6)
+    assert(math.abs(got(1)._3 - exp2) < 2e-6)
+  }
+
+  test("bm25: rare term outscores common term at equal tf") {
+    // 'r' appears in 1 of 4 docs, 'c' in all 4 — same tf in the probe doc
+    val df = spark.createDataFrame(Seq(
+      (1L, "r c"), (2L, "c x"), (3L, "c x"), (4L, "c x")))
+      .toDF("doc_id", "text")
+    val m = Search.bm25(df, "doc_id", "text", Seq("r", "c"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(m(1L)._1 == 2 && m(2L)._1 == 1)
+    // doc 1's extra score comes from the high-idf rare term
+    assert(m(1L)._2 > 2 * m(2L)._2)
+  }
+
+  test("bm25TopK: ordered by score desc then id, limited") {
+    val df = spark.createDataFrame(Seq(
+      (10L, "a a a"), (2L, "a b"), (7L, "a b"), (5L, "x y")))
+      .toDF("doc_id", "text")
+    val got = Search.bm25TopK(df, "doc_id", "text", Seq("a", "b"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    // docs 2 and 7 tie exactly (same tf vector, same dl) — id breaks it;
+    // both beat doc 10 (which matches only 'a', and 'a' has df=3 ⇒ low idf)
+    assert(got == Seq(2L, 7L))
+  }
+
+  test("bm25: partitioning-invariant") {
+    val a = Search.bm25(corpus.repartition(7), "doc_id", "text",
+      Seq("a", "b", "d")).collect().map(_.toSeq).toSet
+    val b = Search.bm25(corpus.coalesce(1), "doc_id", "text",
+      Seq("a", "b", "d")).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+}
