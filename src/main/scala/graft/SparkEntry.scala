@@ -1381,7 +1381,51 @@ object SparkEntry {
     "q115_bm25" -> ((s, dir) =>
       operators.Search.bm25(t(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, Bm25K1, Bm25B)),
+
+    // Incremental materialized-view maintenance: last night's pricing
+    // rollup + a signed CDC delta (inserts = the %10 orders, deletes =
+    // the %13 parts) merged WITHOUT rescanning the fact table; oracle
+    // recomputes the rollup from the effective table directly
+    "q116_incr_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val old = li.filter(col("l_orderkey") % 10 =!= 0)
+      val baseAgg = old.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          sum(cents).as("__cents"), count(lit(1)).as("n"))
+      val delta = li.filter(col("l_orderkey") % 10 === 0)
+        .withColumn("sign", lit(1))
+        .unionByName(old.filter(col("l_partkey") % 13 === 0)
+          .withColumn("sign", lit(-1)))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), cents.as("__c"), col("sign"))
+      operators.Incremental.applyDelta(baseAgg, delta,
+          Seq("l_returnflag", "l_linestatus"),
+          Seq("sum_qty" -> "l_quantity", "__cents" -> "__c"), "n")
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          (col("__cents") / lit(100.0)).as("revenue"), col("n"))
+    }),
+
+    // Deterministic systematic PPS sample: 20 spend-weighted picks per
+    // market segment, all-integer boundary arithmetic in hash order
+    "q117_weighted_sample" -> ((s, dir) =>
+      operators.Curation.systematicSample(
+        t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey")),
+        Seq("c_mktsegment"), "o_orderkey",
+        round(col("o_totalprice") * 100), PpsK, PpsSalt)),
+
+    // Weight-of-evidence / information value of order priority against
+    // the finished-order label — the categorical-feature screen
+    "q118_woe" -> ((s, dir) =>
+      operators.Stats.woeIv(t(s, dir, "orders"), col("o_orderpriority"),
+        col("o_orderstatus") === "F")
+        .withColumnRenamed("bin", "o_orderpriority")),
   )
+
+  /** q117 systematic sampling: picks per segment and the salt. */
+  private val PpsK = 20
+  private val PpsSalt = "graft-pps-v1"
 
   /** q115 BM25: query terms and the standard (k1, b) — the doubles are
     * printed into the oracle so both engines use identical constants. */
@@ -2656,6 +2700,57 @@ object SparkEntry {
         |           / CAST(sumdl AS DOUBLE))))), 6) AS score
         |FROM tl JOIN dfreq USING (term) CROSS JOIN stats
         |GROUP BY tl.doc_id""".stripMargin,
+
+    "q116_incr_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(sum(round(l_extendedprice * 100)) AS BIGINT) / 100.0
+        |    AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_orderkey % 10 = 0 OR l_partkey % 13 <> 0
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q117_weighted_sample" ->
+      s"""WITH o AS (SELECT c_mktsegment, o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS weight,
+        |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+        |      || ':$PpsSalt'), 1, 15) AS BIGINT) AS h
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |c AS (SELECT c_mktsegment, o_orderkey, weight,
+        |    CAST(sum(weight) OVER (PARTITION BY c_mktsegment
+        |      ORDER BY h, o_orderkey ROWS UNBOUNDED PRECEDING)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(weight) OVER (PARTITION BY c_mktsegment)
+        |      AS BIGINT) AS tot
+        |  FROM o)
+        |SELECT c_mktsegment, o_orderkey, weight,
+        |  CAST((cum * $PpsK + tot - 1) // tot
+        |    - ((cum - weight) * $PpsK + tot - 1) // tot AS BIGINT)
+        |    AS n_picks
+        |FROM c WHERE tot > 0
+        |  AND (cum * $PpsK + tot - 1) // tot
+        |    > ((cum - weight) * $PpsK + tot - 1) // tot""".stripMargin,
+
+    "q118_woe" ->
+      """WITH b AS (SELECT o_orderpriority,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS n_neg
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+        |    CAST(sum(n_neg) AS BIGINT) AS n FROM b)
+        |SELECT o_orderpriority, n_pos, n_neg,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round(ln(CAST(n_pos * n AS DOUBLE)
+        |           / CAST(n_neg * p AS DOUBLE)), 6) END AS woe,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+        |    round((CAST(n_pos AS DOUBLE) / CAST(p AS DOUBLE)
+        |         - CAST(n_neg AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(n_pos * n AS DOUBLE)
+        |         / CAST(n_neg * p AS DOUBLE)), 6) END AS iv
+        |FROM b CROSS JOIN t""".stripMargin,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,

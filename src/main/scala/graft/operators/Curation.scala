@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -205,5 +205,60 @@ object Curation {
         idx.select(col("__pos").as("__tgt"), col(idCol).as("neg_id")),
         "__tgt")
       .select(col(idCol), col("j"), col("neg_id"))
+  }
+
+  /** Deterministic systematic PPS sampling per stratum: walk each
+    * group's rows in salted-hash order, drop `k` equally-spaced
+    * boundaries on the cumulative-weight axis, and keep every row whose
+    * weight span crosses a boundary — selection probability ∝ weight
+    * ("probability proportional to size"), with exactly k picks per
+    * group distributed over ≤ k distinct rows (a row heavier than the
+    * stride absorbs several picks — its multiplicity returns in
+    * `n_picks`). The weighted complement of [[sampleKPerGroup]] —
+    * length-weighted corpus subsampling, spend-weighted account audits.
+    *
+    * Fully integer arithmetic: boundary j lands in row i iff
+    * j·T < cum_i·k (T = group total), so the pick count below a
+    * cumulative point c is ceil(c·k/T) — both engines evaluate the
+    * same integer expressions, no floats anywhere. Deterministic under
+    * reruns/repartitioning: the walk order is the portable salted md5
+    * of the id (plus id tie-break), never execution order.
+    *
+    * Scale shape: one window shuffle partitioned by the STRATUM (the
+    * cumulative and total sums share the same exchange+sort) — never a
+    * global single-task window; shard accordingly, or pre-split giant
+    * strata. Requires non-negative weights and cum·k within long range
+    * (T·k < 2^63 — at a billion cent-weighted rows that bounds k
+    * below ~10^6; quantize coarser if you need more).
+    *
+    * @param weightCol non-negative integral weight (cents pattern);
+    *   zero-weight rows span no boundary and are never picked
+    * @return (groupCols…, idCol, weight, n_picks ≥ 1) */
+  def systematicSample(df: DataFrame, groupCols: Seq[String],
+      idCol: String, weightCol: Column, k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val h = TextFunctions.portableHash60(
+      concat(col(idCol).cast("string"), lit(":"), lit(salt)))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    df.select((groupCols.map(col) :+ col(idCol) :+
+        weightCol.cast("long").as("weight") :+ h.as("__h")): _*)
+      .withColumn("cum", sum(col("weight")).over(wOrd))
+      .withColumn("tot", sum(col("weight")).over(wAll))
+      .filter(col("tot") > 0)
+      .withColumn("n_picks",
+        expr(s"(cum * $k + tot - 1) DIV tot" +
+          s" - ((cum - weight) * $k + tot - 1) DIV tot"))
+      .filter(col("n_picks") > 0)
+      .select((groupCols.map(col) :+ col(idCol) :+ col("weight") :+
+        col("n_picks")): _*)
   }
 }

@@ -227,6 +227,44 @@ object Stats {
         exp6.as("expected"), contrib6.as("contrib"))
   }
 
+  /** Weight-of-evidence / information-value report — the classic
+    * credit-scoring screen for how well a categorical (or pre-binned)
+    * feature separates a binary label:
+    * `woe_b = ln((pos_b/P) / (neg_b/N))`,
+    * `iv_b = (pos_b/P − neg_b/N) · woe_b`, IV = Σ_b iv_b.
+    *
+    * One hash-aggregate pass over the rows (per-bin conditional
+    * counts), the scalar totals attach by broadcast cross join — the
+    * chiSquare shape minus the grid. The total IV is the caller's tiny
+    * sum of `iv` (engine-order-dependent float fold, same stance as
+    * chiSquare's statistic).
+    *
+    * Numerics: counts are exact longs; `pos·N` / `neg·P` stay integer
+    * (< 2^63 for < ~3·10^9 rows) and divide once inside the ln — a
+    * fixed-order double expression both engines evaluate identically
+    * (`scale` rounding absorbs the ln ulp). A bin with a zero side has
+    * undefined WOE → NULL woe/iv (report it, don't smooth silently).
+    *
+    * @param positive boolean expression marking the positive class
+    * @return (bin, n_pos, n_neg, woe, iv) — one row per observed bin */
+  def woeIv(df: DataFrame, binCol: Column, positive: Column,
+      scale: Int = 6): DataFrame = {
+    val bins = df.groupBy(binCol.as("bin"))
+      .agg(sum(when(positive, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(positive, 0L).otherwise(1L)).as("n_neg"))
+    val tot = bins.agg(sum("n_pos").as("p"), sum("n_neg").as("n"))
+    val woeRaw = log((col("n_pos") * col("n")).cast("double") /
+      (col("n_neg") * col("p")).cast("double"))
+    val ivRaw = (col("n_pos").cast("double") / col("p").cast("double") -
+      col("n_neg").cast("double") / col("n").cast("double")) * woeRaw
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(woeRaw, scale)).as("woe"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(ivRaw, scale)).as("iv"))
+  }
+
   private def pairs(names: Seq[String]): Seq[(String, String)] =
     for {
       i <- names.indices

@@ -182,4 +182,57 @@ class CurationSpec extends SparkSpec {
       Curation.negativeSample(df2, "id", 0, "s")
     }
   }
+
+  test("systematicSample: exactly k picks per group, weight-proportional") {
+    val rnd = new scala.util.Random(11)
+    val df = spark.createDataFrame((1 to 400).map(i =>
+      (s"g${i % 3}", i.toLong, (rnd.nextInt(50) + 1).toLong)))
+      .toDF("grp", "id", "w")
+    val got = Curation.systematicSample(df, Seq("grp"), "id", col("w"),
+      k = 10, salt = "s1")
+    val perGroup = got.groupBy("grp")
+      .agg(sum("n_picks").as("p"), count(lit(1)).as("rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(perGroup.length == 3)
+    perGroup.foreach { case (_, picks, rows) =>
+      assert(picks == 10L); assert(rows <= 10L)
+    }
+  }
+
+  test("systematicSample: a dominant weight absorbs multiple picks") {
+    val df = spark.createDataFrame(
+      (1L to 9L).map(i => ("g", i, 1L)) :+ (("g", 10L, 91L)))
+      .toDF("grp", "id", "w")
+    val got = Curation.systematicSample(df, Seq("grp"), "id", col("w"),
+        k = 10, salt = "s2")
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // total 100, stride 10: the weight-91 row must take >= 9 of 10 picks
+    assert(got(10L) >= 9L)
+    assert(got.values.sum == 10L)
+  }
+
+  test("systematicSample: zero weights never picked; all-zero group empty") {
+    val df = spark.createDataFrame(Seq(
+      ("a", 1L, 5L), ("a", 2L, 0L), ("a", 3L, 5L),
+      ("z", 8L, 0L), ("z", 9L, 0L))).toDF("grp", "id", "w")
+    val got = Curation.systematicSample(df, Seq("grp"), "id", col("w"),
+      k = 4, salt = "s3").collect()
+    assert(got.forall(_.getString(0) == "a"))
+    assert(!got.exists(_.getLong(1) == 2L))
+    assert(got.map(_.getLong(3)).sum == 4L)
+  }
+
+  test("systematicSample: deterministic and partitioning-invariant") {
+    val df = spark.createDataFrame((1 to 300).map(i =>
+      ("g", i.toLong, (i % 7 + 1).toLong))).toDF("grp", "id", "w")
+    val a = Curation.systematicSample(df.repartition(13), Seq("grp"),
+      "id", col("w"), 15, "s4").collect().map(_.toSeq).toSet
+    val b = Curation.systematicSample(df.coalesce(1), Seq("grp"),
+      "id", col("w"), 15, "s4").collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+    // a different salt re-rolls the walk order (picks differ)
+    val c = Curation.systematicSample(df, Seq("grp"), "id", col("w"),
+      15, "other").collect().map(_.toSeq).toSet
+    assert(c != a)
+  }
 }

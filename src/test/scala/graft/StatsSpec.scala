@@ -181,4 +181,43 @@ class StatsSpec extends SparkSpec {
     // rt(y)=4, ct(v)=8, N=20 -> expected 1.6; contrib = (0-1.6)^2/1.6
     assert(exp == 1.6 && contrib == 1.6)
   }
+
+  test("woeIv: hand case — separating and balanced bins") {
+    // bin A: 6 pos, 2 neg; bin B: 2 pos, 6 neg; P = N = 8
+    val df = spark.createDataFrame(
+      (Seq.fill(6)(("A", 1)) ++ Seq.fill(2)(("A", 0)) ++
+        Seq.fill(2)(("B", 1)) ++ Seq.fill(6)(("B", 0))))
+      .toDF("bin", "y").repartition(3)
+    val got = Stats.woeIv(df, col("bin"), col("y") === 1)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toMap
+    val woeA = math.log(6.0 * 8 / (2.0 * 8))
+    assert(got("A")._1 == 6 && got("A")._2 == 2)
+    assert(math.abs(got("A")._3 - woeA) < 1e-6)
+    assert(math.abs(got("A")._4 - (6.0 / 8 - 2.0 / 8) * woeA) < 1e-6)
+    // B mirrors A (swap classes): woe_B = -woe_A, iv_B = iv_A
+    assert(math.abs(got("B")._3 + got("A")._3) < 1e-6)
+    assert(math.abs(got("B")._4 - got("A")._4) < 1e-6)
+  }
+
+  test("woeIv: a bin with a zero side reports NULL woe/iv") {
+    val df = spark.createDataFrame(Seq(
+      ("A", 1), ("A", 0), ("Z", 1), ("Z", 1))).toDF("bin", "y")
+    val got = Stats.woeIv(df, col("bin"), col("y") === 1)
+      .collect().map(r => r.getString(0) ->
+        (r.isNullAt(3), r.isNullAt(4))).toMap
+    assert(got("Z") == ((true, true)))
+    assert(got("A") == ((false, false)))
+  }
+
+  test("woeIv: a non-separating bin has woe 0") {
+    // both bins carry the same pos:neg ratio as the totals -> woe = 0
+    val df = spark.createDataFrame(
+      (Seq.fill(2)(("A", 1)) ++ Seq.fill(2)(("A", 0)) ++
+        Seq.fill(3)(("B", 1)) ++ Seq.fill(3)(("B", 0)))).toDF("bin", "y")
+    val got = Stats.woeIv(df, col("bin"), col("y") === 1)
+      .collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(got.forall { case (w, iv) => w == 0.0 && iv == 0.0 })
+  }
 }
