@@ -1421,11 +1421,106 @@ object SparkEntry {
       operators.Stats.woeIv(t(s, dir, "orders"), col("o_orderpriority"),
         col("o_orderstatus") === "F")
         .withColumnRenamed("bin", "o_orderpriority")),
+
+    // HITS hubs & authorities on the bipartite supplier→part graph
+    // (parts offset out of the supplier id space); oracle = 4 rounds
+    // unrolled as normalized propagate CTE pairs
+    "q119_hits" -> ((s, dir) =>
+      operators.Hits.run(
+        t(s, dir, "lineitem").select(col("l_suppkey").as("src"),
+          (col("l_partkey") + lit(10000000L)).as("dst")),
+        "src", "dst", HitsRounds)),
+
+    // Lloyd k-means over the embeddings (k=8, 3 assignment rounds,
+    // deterministic smallest-id seeds) — exact cross-engine labels via
+    // quantized coordinates + ordered d² folds + integer centroid sums
+    "q120_kmeans" -> ((s, dir) =>
+      operators.KMeans.fit(t(s, dir, "embeddings"), "vec_id",
+        "embedding", KmK, KmRounds)),
   )
 
   /** q117 systematic sampling: picks per segment and the salt. */
   private val PpsK = 20
   private val PpsSalt = "graft-pps-v1"
+
+  /** q119 HITS rounds — shared with the unrolled oracle. */
+  private val HitsRounds = 4
+
+  /** q120 k-means: clusters and assignment rounds (rounds−1 Lloyd
+    * updates), shared with the unrolled oracle. */
+  private val KmK = 8
+  private val KmRounds = 3
+
+  /** q119's oracle: h₀=1, then per round an authority and a hub
+    * normalized-propagation CTE pair — every multiply-referenced CTE
+    * MATERIALIZED (the q95 lesson). */
+  private def hitsOracle: String = {
+    val rounds = (1 to HitsRounds).map { r =>
+      val hp = if (r == 1) "h0" else s"h${r - 1}"
+      s"""ar$r AS MATERIALIZED (SELECT e.dst AS id, sum($hp.s) AS v
+         |  FROM e JOIN $hp ON e.src = $hp.id GROUP BY 1),
+         |a$r AS MATERIALIZED (SELECT n.id,
+         |    coalesce(ar$r.v, CAST(0 AS DOUBLE))
+         |      / (SELECT sum(v) FROM ar$r) AS s
+         |  FROM nodes n LEFT JOIN ar$r USING (id)),
+         |hr$r AS MATERIALIZED (SELECT e.src AS id, sum(a$r.s) AS v
+         |  FROM e JOIN a$r ON e.dst = a$r.id GROUP BY 1),
+         |h$r AS MATERIALIZED (SELECT n.id,
+         |    coalesce(hr$r.v, CAST(0 AS DOUBLE))
+         |      / (SELECT sum(v) FROM hr$r) AS s
+         |  FROM nodes n LEFT JOIN hr$r USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT l_suppkey AS src,
+       |    l_partkey + 10000000 AS dst FROM lineitem),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e
+       |  UNION SELECT dst FROM e),
+       |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS s FROM nodes),
+       |$rounds
+       |SELECT CAST(h$HitsRounds.id AS BIGINT) AS id,
+       |  round(h$HitsRounds.s, 8) AS hub,
+       |  round(a$HitsRounds.s, 8) AS auth
+       |FROM h$HitsRounds JOIN a$HitsRounds USING (id)""".stripMargin
+  }
+
+  /** q120's oracle: seeds = k smallest ids, then per round an argmin
+    * assignment CTE (row_number ORDER BY the d2Sql-ordered fold, ties
+    * on cid — KMeans.fit's least(struct) order) and, between
+    * assignment rounds, an integer-sum centroid update. */
+  private def kmeansOracle: String = {
+    def d2(c: String) =
+      s"list_sum(list_transform(list_zip(p.qv, $c.cv), " +
+        "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    val rounds = (1 to KmRounds).map { r =>
+      val c = s"c${r - 1}"
+      val assign =
+        s"""a$r AS MATERIALIZED (SELECT id, cid FROM (
+           |    SELECT p.id, $c.cid, row_number() OVER (PARTITION BY p.id
+           |      ORDER BY ${d2(c)}, $c.cid) AS rn
+           |    FROM p CROSS JOIN $c) WHERE rn = 1)""".stripMargin
+      if (r == KmRounds) assign
+      else assign + s""",
+           |c$r AS MATERIALIZED (SELECT cid,
+           |    list(CAST(s AS DOUBLE) / cnt ORDER BY dim) AS cv
+           |  FROM (SELECT a$r.cid, u.dim,
+           |      CAST(sum(CAST(p.qv[u.dim] AS BIGINT)) AS BIGINT) AS s,
+           |      CAST(count(*) AS BIGINT) AS cnt
+           |    FROM a$r JOIN p USING (id),
+           |      unnest(range(1, len(p.qv) + 1)) AS u(dim)
+           |    GROUP BY 1, 2)
+           |  GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (SELECT vec_id AS id,
+       |    list_transform(embedding,
+       |      x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS qv
+       |  FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT
+       |    CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1 AS cid,
+       |    qv AS cv
+       |  FROM (SELECT id, qv FROM p ORDER BY id LIMIT $KmK)),
+       |$rounds
+       |SELECT id AS vec_id, CAST(cid AS INTEGER) AS cluster
+       |FROM a$KmRounds""".stripMargin
+  }
 
   /** q115 BM25: query terms and the standard (k1, b) — the doubles are
     * printed into the oracle so both engines use identical constants. */
@@ -2751,6 +2846,10 @@ object SparkEntry {
         |      * ln(CAST(n_pos * n AS DOUBLE)
         |         / CAST(n_neg * p AS DOUBLE)), 6) END AS iv
         |FROM b CROSS JOIN t""".stripMargin,
+
+    "q119_hits" -> hitsOracle,
+
+    "q120_kmeans" -> kmeansOracle,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,
