@@ -1437,7 +1437,33 @@ object SparkEntry {
     "q120_kmeans" -> ((s, dir) =>
       operators.KMeans.fit(t(s, dir, "embeddings"), "vec_id",
         "embedding", KmK, KmRounds)),
+
+    // Rolling 7-day z-score anomaly flags on each user's daily spend —
+    // the flag decided in pure integer arithmetic (boundary-exact)
+    "q121_rolling_anomaly" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(col("user_id"), eventMs(ev).as("ms"), col("value"))
+        .select(col("user_id"), expr("ms DIV 86400000").as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("user_id", "day")
+        .agg(sum(col("c")).as("cents"))
+      operators.TimeSeries.rollingAnomaly(daily, Seq("user_id"), "day",
+        "cents", window = 7, k = 3)
+    }),
+
+    // Cross-document duplicate-span fraction: share of each doc's
+    // distinct 4-gram windows appearing in >= 1 other doc — the
+    // span-level memorization signal (within-doc q51 / benchmark q36
+    // complete the repetition triad)
+    "q122_cross_doc" -> ((s, dir) =>
+      operators.Dedup.crossDocShared(t(s, dir, "documents"), "doc_id",
+        "text", CrossDocN)),
   )
+
+  /** q122's window length (4-grams: ~12% mean cross-doc sharing on the
+    * fixture — n=3 saturates at 64%, n=5 undershoots). */
+  private val CrossDocN = 4
 
   /** q117 systematic sampling: picks per segment and the salt. */
   private val PpsK = 20
@@ -2850,6 +2876,43 @@ object SparkEntry {
     "q119_hits" -> hitsOracle,
 
     "q120_kmeans" -> kmeansOracle,
+
+    "q121_rolling_anomaly" ->
+      """WITH d AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT user_id, day, cents,
+        |    CAST(sum(cents) OVER win AS BIGINT) AS s,
+        |    CAST(sum(cents * cents) OVER win AS BIGINT) AS s2,
+        |    CAST(count(*) OVER win AS BIGINT) AS n
+        |  FROM d WINDOW win AS (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, day, cents,
+        |  CASE WHEN n * s2 - s * s > 0 THEN
+        |    round(CAST(n * cents - s AS DOUBLE)
+        |      / sqrt(CAST(n * s2 - s * s AS DOUBLE)), 6) END AS z,
+        |  coalesce((n * s2 - s * s > 0 AND
+        |      (n * cents - s) * (n * cents - s) > 9 * (n * s2 - s * s))
+        |    OR (n * s2 - s * s = 0 AND n >= 2 AND n * cents - s <> 0),
+        |    false) AS is_anomaly
+        |FROM w""".stripMargin,
+
+    "q122_cross_doc" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(ws) - 3),
+        |      i -> array_to_string(ws[i+1:i+4], ' '))) AS gr
+        |  FROM w WHERE len(ws) >= 4),
+        |dfq AS (SELECT gr, CAST(count(*) AS BIGINT) AS df
+        |        FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_shared,
+        |  round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS shared_frac
+        |FROM g JOIN dfq USING (gr) GROUP BY doc_id""".stripMargin,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,

@@ -649,4 +649,38 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Cross-document repetition: for each document, the fraction of its
+    * distinct word n-gram windows that also occur in at least one
+    * OTHER document — the span-level memorization/duplication signal
+    * of suffix-style training-data dedup, complementing the within-doc
+    * repetition ratio (Gopher) and the whole/near-doc detectors above.
+    * Because the per-doc shingle set is DISTINCT, a gram's occurrence
+    * count IS its document frequency, so "shared" = df ≥ 2.
+    *
+    * Scale shape: the corpus tokenizes ONCE into the cached (doc,
+    * gram) pair table (native shingle kernel, narrow); gram document
+    * frequencies are one hash aggregate of it; the df table joins back
+    * on the gram key (vocabulary-sized — broadcast under AQE) and one
+    * per-doc aggregate closes. The text itself never shuffles.
+    *
+    * @return (idCol, n_grams, n_shared, shared_frac) — documents
+    *   shorter than n words have no windows and are omitted. */
+  def crossDocShared(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, scale: Int = 6): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    // persisted: the pair table feeds the df aggregate AND the join
+    // probe — uncached, the corpus would tokenize twice. Released by
+    // the ContextCleaner with the plan (the documented lifecycle).
+    val g = docs.select(col(idCol),
+      explode(TextFunctions.shingles(col(textCol), n)).as("gr"))
+      .persist()
+    val dfq = g.groupBy("gr").agg(count(lit(1)).as("df"))
+    g.join(dfq, "gr")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("shared_frac",
+        round(col("n_shared").cast("double") / col("n_grams"), scale))
+  }
 }

@@ -171,4 +171,51 @@ object TimeSeries {
     val den = terms.map(_._2).reduceLeft(_ + _)
     df.withColumn(outCol, num / den)
   }
+
+  /** Rolling z-score anomaly flags over an integer-quantized series:
+    * a point is anomalous when it sits more than `k` population
+    * standard deviations from the mean of its PRECEDING `window` rows
+    * (the baseline excludes the current row — a self-inclusive frame
+    * caps |z| at √(n−1), which can never reach a k=3 threshold).
+    *
+    * The FLAG is decided entirely in integer arithmetic:
+    * `(x−μ)² > k²σ²  ⟺  (n·x − s)² > k²·(n·s2 − s²)` with
+    * s = Σx, s2 = Σx² over the baseline frame — no float ever enters
+    * the decision, so engines agree exactly even at the boundary. A
+    * zero-variance baseline (≥ 2 equal rows) flags ANY deviation; a
+    * baseline of < 2 rows never flags. The reported z divides once
+    * (`NULL` when σ = 0 or the baseline is short). Overflow bound:
+    * n·s2 < 2⁶³ — at window 7 that allows |x| up to ~4·10⁸ (cents);
+    * coarsen the quantization beyond that.
+    *
+    * Scale shape: ONE exchange on hash(keys); both frame sums share
+    * the same window sort.
+    *
+    * @param window number of preceding rows forming the baseline
+    * @param valCol integral (cents-quantized) LONG column
+    * @return input columns :+ z (double, rounded to `scale`)
+    *   :+ is_anomaly (boolean, never NULL) */
+  def rollingAnomaly(df: DataFrame, keyCols: Seq[String], ordCol: String,
+      valCol: String, window: Int, k: Int = 3,
+      scale: Int = 6): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(ordCol))
+      .rowsBetween(-window, -1)
+    val x = col(valCol)
+    val s = sum(x).over(w)
+    val s2 = sum(x * x).over(w)
+    val n = count(lit(1)).over(w)
+    val dev = n * x - s          // n·(x − μ), integral
+    val varN2 = n * s2 - s * s   // n²·σ², integral
+    // z = (x−μ)/σ = dev / √varN2 — the n's cancel; one division, one
+    // sqrt, both from exact integers (identical text in the oracle)
+    df.withColumn("z",
+        when(varN2 > 0,
+          round(dev.cast("double") / sqrt(varN2.cast("double")), scale)))
+      .withColumn("is_anomaly", coalesce(
+        (varN2 > 0 && dev * dev > lit(k.toLong * k) * varN2) ||
+          (varN2 === 0 && n >= 2 && dev =!= 0),
+        lit(false)))
+  }
 }

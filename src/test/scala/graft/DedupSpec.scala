@@ -273,4 +273,30 @@ class DedupSpec extends SparkSpec {
       .toMap
     assert(got == want)
   }
+
+  test("crossDocShared: shared spans counted, unique docs at 0, short docs out") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b c d e"),   // grams: "a b c", "b c d", "c d e"
+      (2L, "x y a b c d"), // shares "a b c" and "b c d" with doc 1
+      (3L, "p q r s"),     // no overlap
+      (4L, "t u")))        // too short for 3-grams
+      .toDF("doc_id", "text")
+    val got = Dedup.crossDocShared(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 2L, 0.666667)))
+    assert(got(2L) == ((4L, 2L, 0.5)))
+    assert(got(3L) == ((2L, 0L, 0.0)))
+    assert(!got.contains(4L))
+  }
+
+  test("crossDocShared: repeats within ONE doc are not 'shared'") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "a b a b a b"), // "a b a"/"b a b" repeat only within doc 1
+      (2L, "c d e f")))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossDocShared(df, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 0L && got(2L) == 0L)
+  }
 }

@@ -105,4 +105,58 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.expSmooth(df, Seq("k"), "t", "v", lags = 0)
     }
   }
+
+  test("rollingAnomaly: spike against a noisy baseline flags; noise does not") {
+    // baseline days 1..7 around 100 with some spread, day 8 = 1000
+    val vals = Seq(98L, 102L, 100L, 97L, 103L, 101L, 99L, 1000L)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("u", (i + 1).toLong, v) }
+      .toDF("k", "t", "v")
+    val got = TimeSeries.rollingAnomaly(df, Seq("k"), "t", "v",
+        window = 7, k = 3)
+      .collect().map(r => r.getLong(1) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4)))
+      .toMap
+    assert(got(8L)._2, "the spike must flag")
+    assert(got(8L)._1.get > 100.0) // hundreds of sigma out
+    (2L to 7L).foreach { d =>
+      assert(!got(d)._2, s"baseline day $d must not flag")
+    }
+    // day 1 has no baseline: z NULL, no flag
+    assert(got(1L)._1.isEmpty && !got(1L)._2)
+  }
+
+  test("rollingAnomaly: zero-variance baseline flags any deviation, z NULL") {
+    val df = Seq(("u", 1L, 100L), ("u", 2L, 100L), ("u", 3L, 100L),
+      ("u", 4L, 101L)).toDF("k", "t", "v")
+    val got = TimeSeries.rollingAnomaly(df, Seq("k"), "t", "v", 7, 3)
+      .collect().map(r => r.getLong(1) ->
+        (r.isNullAt(3), r.getBoolean(4))).toMap
+    assert(got(4L) == ((true, true)))  // σ=0, x≠μ → flagged, z NULL
+    assert(got(3L) == ((true, false))) // σ=0, x=μ → quiet
+    assert(got(2L) == ((true, false))) // 1-row baseline → never flags
+  }
+
+  test("rollingAnomaly: boundary is strict (dev² == k²·σ²·n² does not flag)") {
+    // baseline {0, 2}: n=2, s=2, s2=4 → varN2 = 4; dev = 2x−2.
+    // k=1: flag iff (2x−2)² > 4 — x=2 sits exactly ON the boundary
+    val df = Seq(("u", 1L, 0L), ("u", 2L, 2L), ("u", 3L, 2L))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.rollingAnomaly(df, Seq("k"), "t", "v",
+        window = 2, k = 1)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(4)).toMap
+    assert(!got(3L))
+  }
+
+  test("rollingAnomaly: partitioning-invariant") {
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 200).map(i =>
+      (s"u${i % 5}", i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("k", "t", "v")
+    val a = TimeSeries.rollingAnomaly(df.repartition(11), Seq("k"), "t",
+      "v", 7).collect().map(_.toSeq).toSet
+    val b = TimeSeries.rollingAnomaly(df.coalesce(1), Seq("k"), "t",
+      "v", 7).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
