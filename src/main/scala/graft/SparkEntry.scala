@@ -1459,6 +1459,31 @@ object SparkEntry {
     "q122_cross_doc" -> ((s, dir) =>
       operators.Dedup.crossDocShared(t(s, dir, "documents"), "doc_id",
         "text", CrossDocN)),
+
+    // Directed association rules (confidence/lift) over the q89
+    // co-purchase frequent pairs — the Agrawal/Srikant second stage
+    "q123_assoc_rules" -> ((s, dir) =>
+      operators.Basket.rules(t(s, dir, "lineitem"), "l_orderkey",
+        "l_partkey", minSupport = 3)),
+
+    // Depth-2 sequential patterns: a-before-b-before-c key support via
+    // the double span reduction (only the middle type touches instants)
+    "q125_pattern_triples" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      operators.Sequences.patternTriples(
+        ev.select(col("user_id"), col("event_type"), eventMs(ev).as("ms")),
+        "user_id", "event_type", "ms")
+    }),
+
+    // Exact rolling 7-day active users (sliding distinct via bounded
+    // replication — no per-window set ever exists)
+    "q124_rolling_actives" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      operators.TimeSeries.slidingDistinct(
+        ev.select(col("user_id"), eventMs(ev).as("ms"))
+          .select(col("user_id"), expr("ms DIV 86400000").as("day")),
+        "user_id", "day", window = 7)
+    }),
   )
 
   /** q122's window length (4-grams: ~12% mean cross-doc sharing on the
@@ -2913,6 +2938,52 @@ object SparkEntry {
         |  round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 6) AS shared_frac
         |FROM g JOIN dfq USING (gr) GROUP BY doc_id""".stripMargin,
+
+    "q123_assoc_rules" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |            FROM lineitem),
+        |cnt AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM it
+        |        GROUP BY 1 HAVING count(*) >= 3),
+        |pr AS (SELECT x.i AS ia, y.i AS ib,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM it x JOIN it y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb_total
+        |       FROM it),
+        |bo AS (SELECT ia AS antecedent, ib AS consequent, support FROM pr
+        |       UNION ALL
+        |       SELECT ib, ia, support FROM pr)
+        |SELECT antecedent, consequent, support,
+        |  a.n AS n_ante, c.n AS n_cons,
+        |  round(CAST(support AS DOUBLE) / CAST(a.n AS DOUBLE), 6)
+        |    AS confidence,
+        |  round(CAST(support AS DOUBLE) * CAST(nb_total AS DOUBLE)
+        |    / (CAST(a.n AS DOUBLE) * CAST(c.n AS DOUBLE)), 6) AS lift
+        |FROM bo JOIN cnt a ON bo.antecedent = a.i
+        |        JOIN cnt c ON bo.consequent = c.i
+        |        CROSS JOIN nb""".stripMargin,
+
+    "q125_pattern_triples" ->
+      """WITH e AS (SELECT user_id AS k, event_type AS t,
+        |           epoch_ms(ts) AS ms FROM events),
+        |sp AS (SELECT k, t, min(ms) AS mn, max(ms) AS mx
+        |       FROM e GROUP BY 1, 2),
+        |mids AS (SELECT DISTINCT k, t, ms FROM e),
+        |tr AS (SELECT DISTINCT a.k, a.t AS type_a, b.t AS type_b,
+        |    c.t AS type_c
+        |  FROM sp a JOIN sp c ON a.k = c.k AND a.mn < c.mx
+        |    JOIN mids b ON b.k = a.k AND b.ms > a.mn AND b.ms < c.mx)
+        |SELECT type_a, type_b, type_c, CAST(count(*) AS BIGINT) AS n_keys
+        |FROM tr GROUP BY 1, 2, 3""".stripMargin,
+
+    "q124_rolling_actives" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_ms(ts) // 86400000 AS day FROM events),
+        |w AS (SELECT user_id, day + j AS win
+        |      FROM d, unnest(range(7)) AS t(j))
+        |SELECT win, CAST(count(DISTINCT user_id) AS BIGINT) AS actives,
+        |  CAST(count(*) AS BIGINT) AS key_periods
+        |FROM w GROUP BY 1""".stripMargin,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,

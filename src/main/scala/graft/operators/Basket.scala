@@ -39,4 +39,63 @@ object Basket {
       .filter(col("support") >= minSupport)
     out
   }
+
+  /** Association rules over the frequent pairs: each surviving
+    * unordered pair {a, b} yields BOTH directed rules a⇒b and b⇒a
+    * with
+    *
+    * ```
+    * confidence(a⇒b) = supp(ab) / supp(a)
+    * lift(a⇒b)       = supp(ab)·N / (supp(a)·supp(b))   (symmetric)
+    * ```
+    *
+    * — the Agrawal/Srikant second stage the reference's course teaches
+    * after frequent-itemset mining.
+    *
+    * Scale shape: everything downstream of `frequentPairs` is
+    * broadcast-sized — the per-item support table is the frequent-item
+    * set (≤ vocabulary) and joins twice onto the pair table; the basket
+    * count N attaches as a broadcast scalar. Both rule orientations
+    * come from ONE explode of a 2-element array (a union would
+    * re-execute the pair join). All counts are exact longs; confidence
+    * and lift divide once each, in a fixed operand order.
+    *
+    * @return (antecedent, consequent, support, n_ante, n_cons,
+    *   confidence, lift) — one row per direction, rounded to `scale`. */
+  def rules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, scale: Int = 6): DataFrame = {
+    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct().persist()
+    val itemN = items.groupBy("i").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport).persist()
+    val pruned = items.join(broadcast(itemN.select("i")), Seq("i"),
+      "left_semi")
+    val pairs = pruned.as("x")
+      .join(pruned.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("ia"), col("y.i").as("ib"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    val baskets = items.agg(countDistinct(col("b")).as("nb_total"))
+    val both = pairs.select(col("support"),
+        explode(array(
+          struct(col("ia").as("antecedent"), col("ib").as("consequent")),
+          struct(col("ib").as("antecedent"), col("ia").as("consequent"))
+        )).as("r"))
+      .select(col("r.antecedent"), col("r.consequent"), col("support"))
+    both
+      .join(broadcast(itemN.select(col("i").as("antecedent"),
+        col("n").as("n_ante"))), "antecedent")
+      .join(broadcast(itemN.select(col("i").as("consequent"),
+        col("n").as("n_cons"))), "consequent")
+      .crossJoin(broadcast(baskets))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("n_ante"), col("n_cons"),
+        round(col("support").cast("double") /
+          col("n_ante").cast("double"), scale).as("confidence"),
+        round(col("support").cast("double") *
+          col("nb_total").cast("double") /
+          (col("n_ante").cast("double") * col("n_cons").cast("double")),
+          scale).as("lift"))
+  }
 }

@@ -64,4 +64,41 @@ object Sequences {
       .groupBy(col("x.t").as("type_a"), col("y.t").as("type_b"))
       .agg(count(lit(1)).as("n_keys"))
   }
+
+  /** Depth-2 sequential-pattern support: for every ordered type triple
+    * (a, b, c), the number of keys exhibiting `a before b before c`
+    * (strict timestamps; repeated types allowed — a⟨a,a,a⟩ key needs
+    * three distinct instants). Uses the span reduction of
+    * [[precedencePairs]] twice:
+    *
+    * `∃ tₐ < t_b < t_c  ⟺  ∃ b-occurrence in (min(ts|a), max(ts|c))`
+    *
+    * — pick tₐ = min(a) and t_c = max(c); so only the MIDDLE element
+    * ever touches event instants, the outer two collapse to their
+    * spans.
+    *
+    * Scale shape: the span table and the distinct middle-event table
+    * are each one hash aggregate of the log; both joins are
+    * co-partitioned per-key equi-joins, so per-key work is
+    * |types|² × |distinct instants| — never events² — and the per-key
+    * witness `distinct` collapses before the global (a, b, c) count.
+    *
+    * @return (type_a, type_b, type_c, n_keys). */
+  def patternTriples(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String): DataFrame = {
+    val spans = df.groupBy(col(keyCol).as("k"), col(typeCol).as("t"))
+      .agg(min(col(tsCol)).as("mn"), max(col(tsCol)).as("mx"))
+    val mids = df.select(col(keyCol).as("k"), col(typeCol).as("t"),
+      col(tsCol).as("ts")).distinct()
+    spans.as("a").join(spans.as("c"),
+        col("a.k") === col("c.k") && col("a.mn") < col("c.mx"))
+      .join(mids.as("b"),
+        col("b.k") === col("a.k") && col("b.ts") > col("a.mn") &&
+          col("b.ts") < col("c.mx"))
+      .select(col("a.k").as("k"), col("a.t").as("type_a"),
+        col("b.t").as("type_b"), col("c.t").as("type_c"))
+      .distinct()
+      .groupBy("type_a", "type_b", "type_c")
+      .agg(count(lit(1)).as("n_keys"))
+  }
 }

@@ -195,6 +195,37 @@ object TimeSeries {
     * @param valCol integral (cents-quantized) LONG column
     * @return input columns :+ z (double, rounded to `scale`)
     *   :+ is_anomaly (boolean, never NULL) */
+  /** Sliding-window distinct actives (rolling WAU): for each window-end
+    * period `win`, the number of DISTINCT keys active in
+    * `[win − window + 1, win]`, plus the total active key-periods in
+    * that window. Sliding distinct has no algebraic frame aggregate —
+    * a window function would need a per-frame set — so each distinct
+    * (key, period) observation instead REPLICATES to the `window`
+    * window-ends it contributes to, and distinct-count becomes a plain
+    * grouped aggregate.
+    *
+    * Scale shape: one shuffle collapses raw events to (key, period);
+    * the ×window explode is narrow and its factor is the window length
+    * (bounded, e.g. 7), NOT the event count; the final per-window
+    * count(distinct) is one partial-distinct hash aggregate. Nothing
+    * ever holds a window's membership set.
+    *
+    * @return (win, actives, key_periods) — every window-end reachable
+    *   from an observation (first period .. last period + window − 1);
+    *   windows overhanging the observed range count their partial
+    *   contents. */
+  def slidingDistinct(df: DataFrame, keyCol: String, periodCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    df.select(col(keyCol).as("k"), col(periodCol).cast("long").as("p"))
+      .distinct()
+      .select(col("k"),
+        explode(sequence(col("p"), col("p") + (window - 1))).as("win"))
+      .groupBy("win")
+      .agg(countDistinct(col("k")).as("actives"),
+        count(lit(1)).as("key_periods"))
+  }
+
   def rollingAnomaly(df: DataFrame, keyCols: Seq[String], ordCol: String,
       valCol: String, window: Int, k: Int = 3,
       scale: Int = 6): DataFrame = {

@@ -98,4 +98,45 @@ class LabelPropBasketSpec extends SparkSpec {
       assert(got == brute, s"support $s")
     }
   }
+
+  test("rules: hand-computed confidence and lift, both directions") {
+    // A in {1,2,3,5}, B in {1,2,4,5}, C in {1,3,4}; N = 5 baskets
+    val rows = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "B"), (4L, "C"),
+      (5L, "A"), (5L, "B"))
+    val got = Basket.rules(
+      spark.createDataFrame(rows).toDF("basket", "item").repartition(3),
+      "basket", "item", minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    assert(got.size == 6) // 3 frequent pairs x 2 directions
+    assert(got(("A", "B")) == ((3L, 4L, 4L, 0.75, 0.9375)))
+    assert(got(("B", "A")) == ((3L, 4L, 4L, 0.75, 0.9375)))
+    assert(got(("A", "C")) == ((2L, 4L, 3L, 0.5, 0.833333)))
+    assert(got(("C", "A")) == ((2L, 3L, 4L, 0.666667, 0.833333)))
+    assert(got(("B", "C")) == ((2L, 4L, 3L, 0.5, 0.833333)))
+    assert(got(("C", "B")) == ((2L, 3L, 4L, 0.666667, 0.833333)))
+  }
+
+  test("rules agree with frequentPairs supports, lift is symmetric") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 600).map(_ =>
+      (rnd.nextInt(50).toLong, s"i${rnd.nextInt(15)}"))
+    val df = spark.createDataFrame(rows).toDF("b", "i")
+    val pairs = Basket.frequentPairs(df, "b", "i", 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val rules = Basket.rules(df, "b", "i", 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(6))).toMap
+    assert(rules.size == 2 * pairs.size)
+    pairs.foreach { case ((a, b), s) =>
+      assert(rules((a, b))._1 == s && rules((b, a))._1 == s)
+      assert(rules((a, b))._2 == rules((b, a))._2) // lift symmetric
+    }
+  }
 }

@@ -54,4 +54,41 @@ class SequencesSpec extends SparkSpec {
     )).toDF("u", "t", "ms")
     assert(Sequences.precedencePairs(df, "u", "t", "ms").count() == 0)
   }
+
+  test("patternTriples: hand case incl. repeated types needing 3 instants") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "A", 1L), (1L, "B", 2L), (1L, "C", 3L), // A<B<C only
+      (2L, "A", 1L), (2L, "A", 2L), (2L, "A", 3L), // A<A<A (3 instants)
+      (3L, "A", 1L), (3L, "A", 2L)                 // only 2 — no triple
+    )).toDF("u", "t", "ms")
+    val got = Sequences.patternTriples(df, "u", "t", "ms")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    assert(got == Map(("A", "B", "C") -> 1L, ("A", "A", "A") -> 1L))
+  }
+
+  test("patternTriples == brute-force subsequence check on random logs") {
+    val rnd = new scala.util.Random(67)
+    val types = Seq("a", "b", "c", "d")
+    val rows = (1 to 500).map(_ => (rnd.nextInt(30).toLong,
+      types(rnd.nextInt(types.size)), rnd.nextInt(12).toLong))
+    val df = spark.createDataFrame(rows).toDF("u", "t", "ms")
+      .repartition(5)
+    val got = Sequences.patternTriples(df, "u", "t", "ms")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    val byKey = rows.distinct.groupBy(_._1)
+    val brute = (for {
+      ta <- types; tb <- types; tc <- types
+      n = byKey.values.count { es =>
+        es.exists { case (_, t1, m1) => t1 == ta &&
+          es.exists { case (_, t2, m2) => t2 == tb && m2 > m1 &&
+            es.exists { case (_, t3, m3) => t3 == tc && m3 > m2 } } }
+      }
+      if n > 0
+    } yield (ta, tb, tc) -> n.toLong).toMap
+    assert(got == brute)
+  }
 }

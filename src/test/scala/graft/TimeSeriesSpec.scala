@@ -148,6 +148,35 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!got(3L))
   }
 
+  test("slidingDistinct: hand case — overlap windows, repeats collapse") {
+    // u1 on days 1 and 3 (twice), u2 on day 3; window = 3
+    val df = Seq(("u1", 1L), ("u1", 3L), ("u1", 3L), ("u2", 3L))
+      .toDF("k", "p")
+    val got = TimeSeries.slidingDistinct(df, "k", "p", window = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(
+      1L -> ((1L, 1L)), 2L -> ((1L, 1L)),
+      3L -> ((2L, 3L)), // u1 contributes from BOTH day 1 and day 3
+      4L -> ((2L, 2L)), 5L -> ((2L, 2L))))
+  }
+
+  test("slidingDistinct == brute-force window membership") {
+    val rnd = new scala.util.Random(59)
+    val obs = (1 to 400).map(_ =>
+      (s"u${rnd.nextInt(12)}", rnd.nextInt(40).toLong))
+    val df = obs.toDF("k", "p").repartition(7)
+    val w = 7
+    val got = TimeSeries.slidingDistinct(df, "k", "p", w)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val pairs = obs.distinct
+    val brute = pairs.flatMap { case (k, p) => (p until p + w).map(_ -> k) }
+    val exp = brute.groupBy(_._1).map { case (win, ks) =>
+      win -> ((ks.map(_._2).distinct.size.toLong, ks.size.toLong)) }
+    assert(got == exp)
+  }
+
   test("rollingAnomaly: partitioning-invariant") {
     val rnd = new scala.util.Random(23)
     val df = (1 to 200).map(i =>
