@@ -1466,6 +1466,27 @@ object SparkEntry {
       operators.Basket.rules(t(s, dir, "lineitem"), "l_orderkey",
         "l_partkey", minSupport = 3)),
 
+    // Newman modularity of LPA communities on the co-purchase graph
+    // (q95's support>=2 edges — unipartite, so LPA finds real
+    // communities; on the bipartite q88 graph synchronous LPA
+    // oscillates between the sides and Q degenerates to -1/2).
+    // Exact integers up to one division per community.
+    "q126_modularity" -> ((s, dir) => {
+      // persisted: the pair join feeds LPA (both orientations — two
+      // reads) and the modularity arc set; uncached it would run 3x.
+      // Released by the ContextCleaner with the plan.
+      val fp = operators.Basket.frequentPairs(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = 2)
+        .select(col("item_a").as("src"), col("item_b").as("dst"))
+        .persist()
+      val labels = operators.LabelProp.run(
+        fp.unionAll(fp.select(col("dst").as("src"),
+          col("src").as("dst"))),
+        "src", "dst", LpaRounds)
+      operators.GraphStats.modularity(fp, "src", "dst", labels,
+        "id", "label")
+    }),
+
     // Depth-2 sequential patterns: a-before-b-before-c key support via
     // the double span reduction (only the middle type touches instants)
     "q125_pattern_triples" -> ((s, dir) => {
@@ -2963,6 +2984,8 @@ object SparkEntry {
         |        JOIN cnt c ON bo.consequent = c.i
         |        CROSS JOIN nb""".stripMargin,
 
+    "q126_modularity" -> modularityOracle,
+
     "q125_pattern_triples" ->
       """WITH e AS (SELECT user_id AS k, event_type AS t,
         |           epoch_ms(ts) AS ms FROM events),
@@ -3336,6 +3359,20 @@ object SparkEntry {
     * min(struct(-cnt, label)) argmin. Every node of this bidirectional
     * graph has in-edges, so the engine's keep-own-label fallback never
     * fires and the rounds are plain adopt steps. */
+  /** The synchronous-LPA round unroll over an arc CTE named `eCte`
+    * (expects a seed CTE `l0 (id, label)`); ends at `l{rounds}`.
+    * Shared by the q88 (bipartite) and q126 (co-purchase) oracles. */
+  private def lpaRoundCtes(eCte: String, rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""a$i AS (SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM $eCte e JOIN l${i - 1} l ON e.src = l.id
+         |  GROUP BY e.dst, l.label),
+         |l$i AS (SELECT dst AS id, label FROM (
+         |    SELECT dst, label, row_number() OVER (PARTITION BY dst
+         |      ORDER BY cnt DESC, label) AS rn FROM a$i) r
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+
   private def lpaOracle: String = {
     val head =
       """WITH li AS (SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS sk,
@@ -3343,17 +3380,39 @@ object SparkEntry {
         |e AS (SELECT sk AS src, pk AS dst FROM li
         |      UNION ALL SELECT pk, sk FROM li),
         |l0 AS (SELECT DISTINCT src AS id, src AS label FROM e)""".stripMargin
-    val rounds = (1 to LpaRounds).map { i =>
-      s"""a$i AS (SELECT e.dst, l.label, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM e JOIN l${i - 1} l ON e.src = l.id GROUP BY e.dst, l.label),
-         |l$i AS (SELECT dst AS id, label FROM (
-         |    SELECT dst, label, row_number() OVER (PARTITION BY dst
-         |      ORDER BY cnt DESC, label) AS rn FROM a$i) r
-         |  WHERE rn = 1)""".stripMargin
-    }
-    (head +: rounds).mkString(",\n") +
+    head + ",\n" + lpaRoundCtes("e", LpaRounds) +
       s"\nSELECT id, label FROM l$LpaRounds"
   }
+
+  /** q126's oracle: co-purchase arcs (q95/q99's edge CTE), the LPA
+    * unroll over them, then per-community Newman modularity — all
+    * counts exact integers (HUGEINT-widened products), one double
+    * division per row, mirroring GraphStats.modularity operand for
+    * operand. */
+  private def modularityOracle: String =
+    s"""WITH $CopurchaseEdgeCte,
+       |l0 AS (SELECT DISTINCT src AS id, src AS label FROM e0),
+       |${lpaRoundCtes("e0", LpaRounds)},
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+       |        FROM e0 GROUP BY 1),
+       |lab AS (SELECT id, label AS community FROM l$LpaRounds),
+       |ds AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(sum(d) AS BIGINT) AS degree_sum
+       |  FROM deg JOIN lab ON deg.src = lab.id GROUP BY 1),
+       |ia AS (SELECT ls.community,
+       |    CAST(count(*) AS BIGINT) AS internal_arcs
+       |  FROM e0 e JOIN lab ls ON e.src = ls.id
+       |         JOIN lab ld ON e.dst = ld.id
+       |  WHERE ls.community = ld.community GROUP BY 1),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e0)
+       |SELECT ds.community, n_nodes, degree_sum,
+       |  coalesce(internal_arcs, CAST(0 AS BIGINT)) AS internal_arcs,
+       |  round(CAST(CAST(coalesce(internal_arcs, 0) AS HUGEINT) * m2
+       |      - CAST(degree_sum AS HUGEINT) * degree_sum AS DOUBLE)
+       |    / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)), 6) + 0.0
+       |    AS q_contrib
+       |FROM ds LEFT JOIN ia ON ds.community = ia.community
+       |CROSS JOIN m""".stripMargin
 
   /** q87's oracle: one HUGEINT moment-sum aggregate, then the same
     * fixed-order double arithmetic as Stats.corrMatrix per pair. */

@@ -117,4 +117,67 @@ object GraphStats {
             (col("degree") * (col("degree") - 1)))
           .otherwise(lit(0.0)).as("cc"))
   }
+
+  /** Newman modularity of a node partition, reported per community:
+    *
+    * ```
+    * Q = Σ_c [ e_c/2m − (d_c/2m)² ]
+    *   = Σ_c (e_c·|A| − d_c²) / |A|²      with |A| = 2m arcs
+    * ```
+    *
+    * where e_c counts ARCS (ordered endpoint pairs) inside community c
+    * and d_c sums member degrees — the quality score that turns any
+    * labeling ([[LabelProp]], [[ConnectedComponents]], an external
+    * clustering) into a judged partition. Everything except the final
+    * division is exact integer arithmetic (decimal-widened products, so
+    * no overflow at any m), making the score engine-portable.
+    *
+    * Plan shape: symmetrized arcs are computed once (cached — the
+    * degree aggregate and the two label joins read the same set); the
+    * label table joins per-endpoint (node-sized, broadcast under AQE
+    * when small); the per-community rollup and the scalar arc count are
+    * tiny. Nothing quadratic anywhere — cost is O(|E| + |V|).
+    *
+    * @param edges  undirected edges, any orientation (duplicates and
+    *   self-loops collapse/drop — KCore's canonical form)
+    * @param labels (node id, community label) — must cover every node
+    *   incident to an edge (inner joins drop unlabeled endpoints)
+    * @return (community, n_nodes, degree_sum, internal_arcs, q_contrib)
+    *   — Σ q_contrib over rows is the partition's modularity Q;
+    *   n_nodes counts LABELED members with ≥1 edge. */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, idCol: String, labelCol: String,
+      scale: Int = 6): DataFrame = {
+    val arcs = GraphEdges.symmetrize(
+      GraphEdges.canonical(edges, srcCol, dstCol)).persist()
+    val lab = labels.select(col(idCol).as("id"),
+      col(labelCol).as("community"))
+    val deg = arcs.groupBy("src").agg(count(lit(1)).as("d"))
+    val ds = deg.join(lab, col("src") === col("id"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("degree_sum"))
+    val ia = arcs
+      .join(lab.select(col("id"), col("community").as("c_src")),
+        col("src") === col("id")).drop("id")
+      .join(lab.select(col("id"), col("community").as("c_dst")),
+        col("dst") === col("id")).drop("id")
+      .filter(col("c_src") === col("c_dst"))
+      .groupBy(col("c_src").as("community"))
+      .agg(count(lit(1)).as("internal_arcs"))
+    val m2 = arcs.agg(count(lit(1)).as("m2"))
+    ds.join(ia, Seq("community"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("community"), col("n_nodes"), col("degree_sum"),
+        coalesce(col("internal_arcs"), lit(0L)).as("internal_arcs"),
+        // + 0.0 canonicalizes IEEE -0.0 (a sub-half-ulp negative
+        // contribution rounds to the signed zero) — exact for all
+        // other values
+        (round(
+          (coalesce(col("internal_arcs"), lit(0L))
+              .cast("decimal(38,0)") * col("m2") -
+            col("degree_sum").cast("decimal(38,0)") * col("degree_sum"))
+            .cast("double") /
+            (col("m2").cast("double") * col("m2").cast("double")),
+          scale) + lit(0.0)).as("q_contrib"))
+  }
 }

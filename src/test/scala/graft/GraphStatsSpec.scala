@@ -127,4 +127,63 @@ class GraphStatsSpec extends SparkSpec {
     assert(fused == want)
     assert(ccMap(es, threshold = 0L) == want) // distributed path agrees
   }
+
+  private def modMap(edges: Seq[(Long, Long)], labels: Seq[(Long, Long)]) =
+    GraphStats.modularity(
+      spark.createDataFrame(edges).toDF("s", "d").repartition(4),
+      "s", "d",
+      spark.createDataFrame(labels).toDF("id", "lbl"), "id", "lbl")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+
+  test("modularity: two triangles + bridge, hand-computed Q") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val labels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L)
+    val got = modMap(edges, labels)
+    // |A| = 14 arcs; each community: 6 internal arcs, degree sum 7
+    // contribution = (6*14 - 49)/196 = 35/196 = 0.178571...
+    assert(got == Map(
+      1L -> ((3L, 7L, 6L, 0.178571)),
+      4L -> ((3L, 7L, 6L, 0.178571))))
+  }
+
+  test("modularity: the all-in-one partition scores exactly zero") {
+    val rnd = new scala.util.Random(71)
+    val edges = (1 to 200).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val got = modMap(edges, nodes.map(_ -> 0L))
+    assert(got.keySet == Set(0L))
+    assert(got(0L)._4 == 0.0)
+  }
+
+  test("modularity == brute force on random graphs and labelings") {
+    val rnd = new scala.util.Random(73)
+    val edges = (1 to 250).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val arcs = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.flatMap(e => Seq(e, e.swap))
+    val nodes = arcs.map(_._1).distinct
+    val labels = nodes.map(v => v -> (v % 5))
+    val lab = labels.toMap
+    val m2 = arcs.size.toLong
+    val want = labels.groupBy(_._2).map { case (c, members) =>
+      val ms = members.map(_._1).toSet
+      val ia = arcs.count(a => ms(a._1) && lab(a._2) == c).toLong
+      val dsum = arcs.count(a => ms(a._1)).toLong
+      val q = BigDecimal((ia * m2 - dsum * dsum).toDouble / (m2.toDouble * m2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      c -> ((ms.size.toLong, dsum, ia, q))
+    }
+    assert(modMap(edges, labels) == want)
+    // contributions sum to a sane Q in [-1, 1]
+    val qTotal = modMap(edges, labels).values.map(_._4).sum
+    assert(qTotal >= -1.0 && qTotal <= 1.0)
+  }
 }
