@@ -1466,6 +1466,26 @@ object SparkEntry {
       operators.Basket.rules(t(s, dir, "lineitem"), "l_orderkey",
         "l_partkey", minSupport = 3)),
 
+    // Reciprocal-rank fusion of lexical (BM25) and dense (embedding
+    // cosine) retrieval — rank-only fusion needs no score calibration
+    "q127_rank_fusion" -> ((s, dir) => {
+      val wB = Window.orderBy(col("score").desc, col("doc_id"))
+      val lexical = operators.Search.bm25(t(s, dir, "documents"),
+          "doc_id", "text", Bm25Terms, Bm25K1, Bm25B)
+        .select(col("doc_id"), row_number().over(wB).as("rnk"))
+      val e = t(s, dir, "embeddings")
+      val probe = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"))
+      val wC = Window.orderBy(col("cs").desc, col("doc_id"))
+      val dense = e.crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          functions.VectorOps.cosine(col("embedding"), col("qv"))
+            .as("cs"))
+        .select(col("doc_id"), row_number().over(wC).as("rnk"))
+      operators.Search.rrfFuse(Seq(lexical, dense), "doc_id", "rnk",
+        RrfK, RrfTopK)
+    }),
+
     // Newman modularity of LPA communities on the co-purchase graph
     // (q95's support>=2 edges — unipartite, so LPA finds real
     // communities; on the bipartite q88 graph synchronous LPA
@@ -1599,6 +1619,36 @@ object SparkEntry {
   private val Bm25Terms = Seq("spark", "stream", "dup")
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
+
+  /** The BM25 scoring chain as a reusable WITH-body ending at
+    * `bs (doc_id, n_terms, score)` — shared by the q115 oracle and
+    * q127's lexical ranking leg. */
+  private def bm25ScoreCte: String =
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |      FROM documents),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(len(ws)) AS BIGINT) AS sumdl FROM d),
+       |tl AS (SELECT doc_id, len(ws) AS dl, w AS term,
+       |    CAST(count(*) AS BIGINT) AS tf
+       |  FROM d, unnest(ws) AS t(w)
+       |  WHERE w IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+       |  GROUP BY 1, 2, 3),
+       |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+       |          FROM tl GROUP BY 1),
+       |bs AS (SELECT tl.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |  round(sum(
+       |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+       |            / (CAST(df AS DOUBLE) + 0.5))
+       |    * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0})
+       |    / (CAST(tf AS DOUBLE) + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B
+       |        * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)
+       |           / CAST(sumdl AS DOUBLE))))), 6) AS score
+       |  FROM tl JOIN dfreq USING (term) CROSS JOIN stats
+       |  GROUP BY tl.doc_id)""".stripMargin
+
+  /** q127: RRF constants + the probe embedding row. */
+  private val RrfK = 60
+  private val RrfTopK = 20
 
   /** q109's containment threshold (max-direction). */
   private val ContainMin = 0.8
@@ -2846,27 +2896,7 @@ object SparkEntry {
         |WHERE os.k IS NULL OR ns.k IS NULL OR os.c <> ns.c""".stripMargin,
 
     "q115_bm25" ->
-      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
-        |           FROM documents),
-        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(len(ws)) AS BIGINT) AS sumdl FROM d),
-        |tl AS (SELECT doc_id, len(ws) AS dl, w AS term,
-        |    CAST(count(*) AS BIGINT) AS tf
-        |  FROM d, unnest(ws) AS t(w)
-        |  WHERE w IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
-        |  GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-        |          FROM tl GROUP BY 1)
-        |SELECT tl.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-        |  round(sum(
-        |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-        |            / (CAST(df AS DOUBLE) + 0.5))
-        |    * (CAST(tf AS DOUBLE) * ${Bm25K1 + 1.0})
-        |    / (CAST(tf AS DOUBLE) + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B
-        |        * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)
-        |           / CAST(sumdl AS DOUBLE))))), 6) AS score
-        |FROM tl JOIN dfreq USING (term) CROSS JOIN stats
-        |GROUP BY tl.doc_id""".stripMargin,
+      s"WITH $bm25ScoreCte\nSELECT doc_id, n_terms, score FROM bs",
 
     "q116_incr_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -2985,6 +3015,33 @@ object SparkEntry {
         |        CROSS JOIN nb""".stripMargin,
 
     "q126_modularity" -> modularityOracle,
+
+    "q127_rank_fusion" -> {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(list_zip($x, $y), " +
+          "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      s"""WITH $bm25ScoreCte,
+         |br AS (SELECT doc_id AS id, row_number() OVER (
+         |    ORDER BY score DESC, doc_id) AS rnk FROM bs),
+         |probe AS (SELECT embedding AS qv FROM embeddings
+         |          WHERE vec_id = 0),
+         |cs AS (SELECT vec_id AS id,
+         |    ${dot("embedding", "qv")}
+         |      / sqrt(${dot("embedding", "embedding")}
+         |             * ${dot("qv", "qv")}) AS c
+         |  FROM embeddings, probe),
+         |cr AS (SELECT id, row_number() OVER (ORDER BY c DESC, id)
+         |       AS rnk FROM cs),
+         |u AS (SELECT id, 1.0 / (${RrfK.toDouble}
+         |        + CAST(rnk AS DOUBLE)) AS contrib FROM br
+         |      UNION ALL
+         |      SELECT id, 1.0 / (${RrfK.toDouble}
+         |        + CAST(rnk AS DOUBLE)) FROM cr)
+         |SELECT id AS doc_id, round(sum(contrib), 6) AS rrf_score,
+         |  CAST(count(*) AS BIGINT) AS n_lists
+         |FROM u GROUP BY 1
+         |ORDER BY rrf_score DESC, doc_id LIMIT $RrfTopK""".stripMargin
+    },
 
     "q125_pattern_triples" ->
       """WITH e AS (SELECT user_id AS k, event_type AS t,

@@ -85,4 +85,40 @@ object Search {
     bm25(docs, idCol, textCol, queryTerms, k1, b, scale)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher): combine N
+    * rankings of one id space by `Σ_lists 1/(k + rank)` — the standard
+    * way to merge lexical (BM25) and dense (embedding-cosine)
+    * retrieval without score calibration, since only RANKS enter the
+    * fused score. Ids absent from a list simply contribute nothing
+    * (full outer semantics via union + re-aggregate — never an N-way
+    * outer join).
+    *
+    * Determinism: ranks are exact integers, each contribution is one
+    * division, and the per-id sum folds ≤ N tiny terms (`scale`
+    * rounding absorbs fold-order skew). Ties at the cut break by id.
+    *
+    * Scale shape: the union of rank lists is one narrow pass; the
+    * per-id aggregate is one hash shuffle of (id, contrib) pairs —
+    * list length, not corpus size; the top-k is a per-partition heap
+    * (TakeOrderedAndProject), never a global sort.
+    *
+    * @param lists ranked lists, each carrying `idCol` and `rankCol`
+    *   (rank 1 = best; need not be dense, but must be ≥ 1)
+    * @return (id, rrf_score, n_lists) — the `topK` best fused ids. */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      kRrf: Int = 60, topK: Int = 20, scale: Int = 6): DataFrame = {
+    require(lists.nonEmpty, "need at least one ranking")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    val u = lists.map(_.select(col(idCol).as("id"),
+        (lit(1.0) / (lit(kRrf.toDouble) + col(rankCol).cast("double")))
+          .as("contrib")))
+      .reduce(_ unionAll _)
+    u.groupBy("id")
+      .agg(round(sum(col("contrib")), scale).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col("id"))
+      .limit(topK)
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -63,4 +63,30 @@ class SearchSpec extends SparkSpec {
       Seq("a", "b", "d")).collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
   }
+
+  test("rrfFuse: hand-computed fusion, absent ids score one-sided") {
+    import spark.implicits._
+    val l1 = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rnk")
+    val l2 = Seq((2L, 1), (4L, 2)).toDF("doc_id", "rnk")
+    val got = Search.rrfFuse(Seq(l1, l2), "doc_id", "rnk",
+        kRrf = 10, topK = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // id2: 1/12 + 1/11 = .174242; id1: 1/11 = .090909; id4: 1/12
+    assert(got.toSeq == Seq(
+      (2L, 0.174242, 2L), (1L, 0.090909, 1L), (4L, 0.083333, 1L)))
+  }
+
+  test("rrfFuse: a list's order is all that matters, not its scores") {
+    import spark.implicits._
+    // same ranking expressed twice fuses to exactly double
+    val l = Seq((5L, 1), (6L, 2), (7L, 3)).toDF("doc_id", "rnk")
+    val one = Search.rrfFuse(Seq(l), "doc_id", "rnk", 60, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val two = Search.rrfFuse(Seq(l, l), "doc_id", "rnk", 60, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one.keySet == Set(5L, 6L, 7L))
+    one.foreach { case (id, s) =>
+      assert(math.abs(two(id) - 2 * s) < 2e-6)
+    }
+  }
 }
