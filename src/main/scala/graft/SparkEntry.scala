@@ -1466,6 +1466,13 @@ object SparkEntry {
       operators.Basket.rules(t(s, dir, "lineitem"), "l_orderkey",
         "l_partkey", minSupport = 3)),
 
+    // Tf-idf cosine "more like this": top-5 most similar docs for each
+    // query doc, entirely through the inverted index (sparse dot =
+    // term-key join + pair aggregate — no dense vectors, no all-pairs)
+    "q128_more_like_this" -> ((s, dir) =>
+      operators.Search.moreLikeThis(t(s, dir, "documents"), "doc_id",
+        "text", d => pmod(d, lit(MltQueryMod)) === 0, MltK)),
+
     // Reciprocal-rank fusion of lexical (BM25) and dense (embedding
     // cosine) retrieval — rank-only fusion needs no score calibration
     "q127_rank_fusion" -> ((s, dir) => {
@@ -1649,6 +1656,10 @@ object SparkEntry {
   /** q127: RRF constants + the probe embedding row. */
   private val RrfK = 60
   private val RrfTopK = 20
+
+  /** q128: every doc_id ≡ 0 (mod 100) is a query; top-5 answers. */
+  private val MltQueryMod = 100
+  private val MltK = 5
 
   /** q109's containment threshold (max-direction). */
   private val ContainMin = 0.8
@@ -3015,6 +3026,34 @@ object SparkEntry {
         |        CROSS JOIN nb""".stripMargin,
 
     "q126_modularity" -> modularityOracle,
+
+    "q128_more_like_this" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))
+         |    AS term FROM documents),
+         |tf AS (SELECT doc_id AS doc, term,
+         |    CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |          FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |w AS (SELECT doc, term,
+         |    CAST(tf AS DOUBLE) * ln((CAST(n AS DOUBLE) + 1.0)
+         |      / (CAST(df AS DOUBLE) + 1.0)) AS w
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |norms AS (SELECT doc, sqrt(sum(w * w)) AS nrm FROM w
+         |          GROUP BY 1 HAVING sqrt(sum(w * w)) > 0),
+         |qw AS (SELECT doc AS query_id, term, w AS wq FROM w
+         |       WHERE doc % $MltQueryMod = 0),
+         |dots AS (SELECT query_id, w.doc, sum(wq * w.w) AS dot
+         |  FROM qw JOIN w USING (term) WHERE query_id <> w.doc
+         |  GROUP BY 1, 2),
+         |sims AS (SELECT query_id, dots.doc AS doc_id,
+         |    round(dot / (qn.nrm * dn.nrm), 6) AS cos_sim
+         |  FROM dots JOIN norms qn ON dots.query_id = qn.doc
+         |            JOIN norms dn ON dots.doc = dn.doc)
+         |SELECT query_id, doc_id, cos_sim, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, doc_id) AS rnk FROM sims) r
+         |WHERE rnk <= $MltK""".stripMargin,
 
     "q127_rank_fusion" -> {
       def dot(x: String, y: String) =

@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval scoring — BM25 (the Robertson/Spärck Jones
@@ -85,6 +86,69 @@ object Search {
     bm25(docs, idCol, textCol, queryTerms, k1, b, scale)
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+
+  /** "More like this": tf-idf cosine retrieval of the `k` most similar
+    * corpus documents for each query document, computed ENTIRELY
+    * through the inverted index — a sparse dot product is a join on
+    * the term key plus a pair aggregate, so dense vectors, per-pair
+    * token hauls, and all-pairs enumeration never exist. The lexical
+    * sibling of [[AnnSearch]]'s dense retrieval and the query side of
+    * near-duplicate curation ("find what this doc would collide
+    * with").
+    *
+    * Weights: w = tf · ln((N+1)/(df+1)) (q30's tf-idf), norms
+    * ‖d‖ = √Σw² per doc. cos = Σ w_q·w_d / (‖q‖·‖d‖), rounded to
+    * `scale` BEFORE ranking so both engines rank identical values
+    * (per-doc float folds differ by ~1 ulp; q30/q52 acceptance). Docs
+    * whose every term has df = N carry zero norm — no signal — and are
+    * excluded from both sides.
+    *
+    * Scale shape: ONE tokenize pass builds the weighted posting table
+    * (persisted — norms, the query side, and the corpus side all read
+    * it; released by the ContextCleaner with the plan); the dot join
+    * is query-terms × postings (bounded by |query terms| · df, NOT
+    * corpus²); the top-k is a per-query window over each query's
+    * candidate set. At 100 TB the df-explosion of stopword-ish terms
+    * is the cost driver — cap with a max-df prune upstream if the
+    * corpus isn't already stopword-filtered.
+    *
+    * @param isQuery predicate over the id column selecting query docs
+    * @return (query_id, doc_id, cos_sim, rnk) — rnk 1..k by cos DESC,
+    *   ties by doc_id; self-matches excluded. */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+      isQuery: Column => Column, k: Int, scale: Int = 6): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = docs.select(col(idCol).as("doc"),
+        explode(TextFunctions.tokens(col(textCol))).as("term"))
+      .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select(col("doc"), col("term"),
+        (col("tf").cast("double") *
+          log((col("n").cast("double") + 1.0) /
+            (col("df").cast("double") + 1.0))).as("w"))
+      .persist()
+    val norms = w.groupBy("doc")
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val qw = w.filter(isQuery(col("doc")))
+      .select(col("doc").as("query_id"), col("term"), col("w").as("wq"))
+    val dots = qw.join(w, "term")
+      .filter(col("query_id") =!= col("doc"))
+      .groupBy("query_id", "doc")
+      .agg(sum(col("wq") * col("w")).as("dot"))
+    val sims = dots
+      .join(norms.select(col("doc").as("query_id"),
+        col("nrm").as("qn")), "query_id")
+      .join(norms, "doc")
+      .select(col("query_id"), col("doc").as("doc_id"),
+        round(col("dot") / (col("qn") * col("nrm")), scale).as("cos_sim"))
+    val wr = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("doc_id"))
+    sims.withColumn("rnk", row_number().over(wr))
+      .filter(col("rnk") <= k)
+  }
 
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher): combine N
     * rankings of one id space by `Σ_lists 1/(k + rank)` — the standard

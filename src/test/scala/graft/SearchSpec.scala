@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Search
+import org.apache.spark.sql.functions._
 
 class SearchSpec extends SparkSpec {
 
@@ -62,6 +63,60 @@ class SearchSpec extends SparkSpec {
     val b = Search.bm25(corpus.coalesce(1), "doc_id", "text",
       Seq("a", "b", "d")).collect().map(_.toSeq).toSet
     assert(a == b && a.nonEmpty)
+  }
+
+  test("moreLikeThis: identical twin ranks first with cosine 1") {
+    val df = spark.createDataFrame(Seq(
+      (0L, "alpha beta gamma"), (1L, "alpha beta gamma"),
+      (2L, "alpha delta"), (3L, "zeta eta theta")))
+      .toDF("doc_id", "text")
+    val got = Search.moreLikeThis(df, "doc_id", "text",
+        d => d === 0, k = 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.head == ((1L, 1.0, 1)))
+    assert(!got.map(_._1).contains(0L)) // self excluded
+  }
+
+  test("moreLikeThis == brute-force tf-idf cosine top-k") {
+    val rnd = new scala.util.Random(83)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (0L until 30L).map(i =>
+      i -> (1 to 3 + rnd.nextInt(8)).map(_ => vocab(rnd.nextInt(8))))
+    val df = spark.createDataFrame(
+        docs.map { case (i, ws) => (i, ws.mkString(" ")) })
+      .toDF("doc_id", "text").repartition(5)
+    val k = 4
+    val got = Search.moreLikeThis(df, "doc_id", "text",
+        d => pmod(d, lit(10)) === 0, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // brute force with the same weight formula and rounding
+    val n = docs.size
+    val tf = docs.map { case (i, ws) =>
+      i -> ws.groupBy(identity).map { case (w, o) => w -> o.size } }.toMap
+    val dfreq = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, o) => w -> o.size }
+    def wv(i: Long): Map[String, Double] = tf(i).map { case (t, f) =>
+      t -> f * math.log((n + 1.0) / (dfreq(t) + 1.0)) }
+    def nrm(v: Map[String, Double]) =
+      math.sqrt(v.values.map(x => x * x).sum)
+    val want = (for {
+      q <- docs.map(_._1) if q % 10 == 0 && nrm(wv(q)) > 0
+      cands = docs.map(_._1)
+        .filter(d => d != q && nrm(wv(d)) > 0 &&
+          wv(d).keySet.intersect(wv(q).keySet).nonEmpty)
+        .map { d =>
+          val (a, b) = (wv(q), wv(d))
+          val dot = a.keys.toSeq.intersect(b.keys.toSeq)
+            .map(t => a(t) * b(t)).sum
+          d -> BigDecimal(dot / (nrm(a) * nrm(b)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        .sortBy { case (d, s) => (-s, d) }.take(k)
+      ((d, s), r) <- cands.zipWithIndex
+    } yield (q, r + 1) -> ((d, s))).toMap
+    assert(got == want)
   }
 
   test("rrfFuse: hand-computed fusion, absent ids score one-sided") {
