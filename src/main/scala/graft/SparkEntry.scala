@@ -1466,6 +1466,13 @@ object SparkEntry {
       operators.Basket.rules(t(s, dir, "lineitem"), "l_orderkey",
         "l_partkey", minSupport = 3)),
 
+    // Temperature-based (α=0.5) mixture resampling of the corpus by
+    // language (en dominates 3x — the flattening is visible) —
+    // integer-quantized weights, salted-hash row selection
+    "q129_temperature_mix" -> ((s, dir) =>
+      operators.Curation.temperatureMixReport(t(s, dir, "documents"),
+        "doc_id", "lang", TempAlpha, TempBudgetFrac, TempSalt)),
+
     // Tf-idf cosine "more like this": top-5 most similar docs for each
     // query doc, entirely through the inverted index (sparse dot =
     // term-key join + pair aggregate — no dense vectors, no all-pairs)
@@ -1660,6 +1667,12 @@ object SparkEntry {
   /** q128: every doc_id ≡ 0 (mod 100) is a query; top-5 answers. */
   private val MltQueryMod = 100
   private val MltK = 5
+
+  /** q129 temperature mix: α (0.5 ⇒ IEEE-exact sqrt), row budget,
+    * bucket salt. */
+  private val TempAlpha = 0.5
+  private val TempBudgetFrac = 0.3
+  private val TempSalt = "graft-temp-v1"
 
   /** q109's containment threshold (max-direction). */
   private val ContainMin = 0.8
@@ -3026,6 +3039,37 @@ object SparkEntry {
         |        CROSS JOIN nb""".stripMargin,
 
     "q126_modularity" -> modularityOracle,
+
+    "q129_temperature_mix" ->
+      s"""WITH c AS (SELECT lang AS stratum,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |q AS (SELECT stratum, n_docs,
+         |    CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0)
+         |      AS BIGINT) AS q_s FROM c),
+         |t AS (SELECT CAST(sum(q_s) AS BIGINT) AS q_tot,
+         |    CAST(sum(n_docs) AS BIGINT) AS n_tot FROM q),
+         |r AS (SELECT stratum, n_docs, q_s, q_tot,
+         |    CAST(floor($TempBudgetFrac * CAST(n_tot AS DOUBLE))
+         |      AS BIGINT) AS budget
+         |  FROM q CROSS JOIN t),
+         |b AS (SELECT lang AS stratum,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+         |      || ':$TempSalt'), 1, 15) AS BIGINT) % 10000 AS bucket
+         |  FROM documents),
+         |k AS (SELECT b.stratum,
+         |    CAST(sum(CASE WHEN CAST(bucket AS HUGEINT) * q_tot * n_docs
+         |        < CAST(10000 AS HUGEINT) * budget * q_s
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |  FROM b JOIN r USING (stratum) GROUP BY 1)
+         |SELECT r.stratum, n_docs,
+         |  round(CAST(q_s AS DOUBLE) / CAST(q_tot AS DOUBLE), 6)
+         |    AS weight,
+         |  round(least(1.0, CAST(budget AS DOUBLE) * CAST(q_s AS DOUBLE)
+         |    / (CAST(q_tot AS DOUBLE) * CAST(n_docs AS DOUBLE))), 6)
+         |    AS rate,
+         |  n_sampled
+         |FROM r JOIN k USING (stratum)""".stripMargin,
 
     "q128_more_like_this" ->
       s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' '))

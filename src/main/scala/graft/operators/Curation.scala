@@ -85,6 +85,105 @@ object Curation {
     df.filter(saltedBucket(keyCol, salt) < rate * lit(10000.0))
   }
 
+  /** Per-stratum state behind [[temperatureMix]]: counts, the 1e6-
+    * quantized α-power `q_s = round(n_s^α · 10⁶)`, their integer totals
+    * and the row budget. Quantizing the only float (the power) to an
+    * integer makes every downstream quantity — totals, keep decisions —
+    * exact integer arithmetic: sums are order-free and engines can't
+    * drift. α = 0.5 uses `sqrt`, which IEEE-754 rounds exactly (bit-
+    * identical across engines); other α use `pow` (libm may differ by
+    * 1 ulp — absorbed by the 1e6 quantization except exactly at a
+    * rounding boundary). */
+  private def temperatureRates(df: DataFrame, stratumCol: String,
+      alpha: Double, budgetFrac: Double): DataFrame = {
+    val counts = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"))
+    val p =
+      if (alpha == 0.5) sqrt(col("n_docs").cast("double"))
+      else pow(col("n_docs").cast("double"), lit(alpha))
+    val q = counts.withColumn("q_s", round(p * 1e6).cast("long"))
+    val tot = q.agg(sum(col("q_s")).as("q_tot"),
+      sum(col("n_docs")).as("n_tot"))
+    q.crossJoin(broadcast(tot))
+      .withColumn("budget",
+        floor(lit(budgetFrac) * col("n_tot").cast("double")).cast("long"))
+      .drop("n_tot")
+  }
+
+  /** The row-keep predicate: bucket/10⁴ < min(1, budget·w_s/n_s) with
+    * w_s = q_s/q_tot, cross-multiplied into pure integers (decimal-
+    * widened — no overflow at any corpus size, no float in the
+    * decision). */
+  private def temperatureKeep(bucket: Column): Column =
+    bucket.cast("decimal(38,0)") * col("q_tot") * col("n_docs") <
+      lit(10000).cast("decimal(38,0)") * col("budget") * col("q_s")
+
+  /** Temperature-based mixture resampling — the standard LLM-corpus
+    * mixing step: stratum s (source, language, domain …) is kept at a
+    * rate proportional to `n_s^α / Σ_t n_t^α` of a global row budget,
+    * flattening the natural distribution toward uniform as α → 0
+    * (α = 1 reproduces it). Row selection reuses [[hashSplit]]'s
+    * salted md5 bucket, so the subsample is deterministic under
+    * reruns, repartitioning, and appends.
+    *
+    * Scale shape: one tiny per-stratum count aggregate broadcasts onto
+    * a narrow filter of the corpus — the data itself never shuffles
+    * (the [[hashSampleBy]] shape, with the rates computed instead of
+    * given). Achieved counts are hash-approximate around
+    * `budget · w_s` (exactly-k needs [[sampleKPerGroup]]'s heap).
+    *
+    * @param alpha      temperature in (0, 1]; 0.5 is the common choice
+    * @param budgetFrac target fraction of ALL rows to keep, in (0, 1]
+    * @return the sampled rows (input columns unchanged). */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+      alpha: Double, budgetFrac: Double, salt: String): DataFrame = {
+    requireTemperatureArgs(df, alpha, budgetFrac)
+    val rates = temperatureRates(df, stratumCol, alpha, budgetFrac)
+    df.withColumn("__tm_bucket", saltedBucket(keyCol, salt))
+      .join(broadcast(rates), col(stratumCol) === col("stratum"))
+      .filter(temperatureKeep(col("__tm_bucket")))
+      .drop("__tm_bucket", "stratum", "n_docs", "q_s", "q_tot", "budget")
+  }
+
+  /** The audit report for [[temperatureMix]]: one row per stratum with
+    * its size, normalized temperature weight, effective keep rate, and
+    * the achieved sample count (weight/rate are rounded DISPLAY values
+    * — the keep decision never touches them).
+    * @return (stratum, n_docs, weight, rate, n_sampled). */
+  def temperatureMixReport(df: DataFrame, keyCol: String,
+      stratumCol: String, alpha: Double, budgetFrac: Double,
+      salt: String, scale: Int = 6): DataFrame = {
+    requireTemperatureArgs(df, alpha, budgetFrac)
+    val rates = temperatureRates(df, stratumCol, alpha, budgetFrac)
+    df.select(col(stratumCol).as("stratum"),
+        saltedBucket(keyCol, salt).as("bucket"))
+      .join(broadcast(rates), "stratum")
+      .groupBy("stratum", "n_docs", "q_s", "q_tot", "budget")
+      .agg(sum(when(temperatureKeep(col("bucket")), 1L).otherwise(0L))
+        .as("n_sampled"))
+      .select(col("stratum"), col("n_docs"),
+        round(col("q_s").cast("double") / col("q_tot").cast("double"),
+          scale).as("weight"),
+        round(least(lit(1.0),
+          col("budget").cast("double") * col("q_s").cast("double") /
+            (col("q_tot").cast("double") * col("n_docs").cast("double"))),
+          scale).as("rate"),
+        col("n_sampled"))
+  }
+
+  private def requireTemperatureArgs(df: DataFrame, alpha: Double,
+      budgetFrac: Double): Unit = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac must be in (0, 1], got $budgetFrac")
+    val reserved = Seq("stratum", "n_docs", "q_s", "q_tot", "budget",
+      "__tm_bucket", "bucket")
+    val clash = df.columns.filter(c => reserved.exists(_.equalsIgnoreCase(c)))
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with " +
+        "temperatureMix internals — rename them first")
+  }
+
   /** Deterministic exact-k per-group sample: the k rows of each group
     * with the smallest salted content hash — "give me a reproducible
     * audit sample of every stratum" without a sort.

@@ -235,4 +235,65 @@ class CurationSpec extends SparkSpec {
       15, "other").collect().map(_.toSeq).toSet
     assert(c != a)
   }
+
+  private def tempCorpus = {
+    // strata sized 100 / 25 / 4: sqrt weights 10 : 5 : 2
+    val rows = (1L to 100L).map(i => (i, "big")) ++
+      (101L to 125L).map(i => (i, "mid")) ++
+      (126L to 129L).map(i => (i, "tiny"))
+    spark.createDataFrame(rows).toDF("id", "src").repartition(4)
+  }
+
+  test("temperatureMix report: hand-computed weights, rates, clamping") {
+    val got = Curation.temperatureMixReport(tempCorpus, "id", "src",
+        alpha = 0.5, budgetFrac = 0.5, salt = "t1")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .toMap
+    // budget = floor(.5 * 129) = 64; q = (10, 5, 2)e6, q_tot = 17e6
+    assert(got("big")._1 == 100L && got("big")._2 == 0.588235)
+    assert(got("mid")._2 == 0.294118 && got("tiny")._2 == 0.117647)
+    assert(got("big")._3 == 0.376471)   // 64*10/(17*100)
+    assert(got("mid")._3 == 0.752941)   // 64*5/(17*25)
+    assert(got("tiny")._3 == 1.0)       // 64*2/(17*4) clamps
+    assert(got("tiny")._4 == 4L)        // rate 1 keeps every row
+    // achieved counts land near budget*weight (hash-approximate)
+    assert(got("big")._4 > 20 && got("big")._4 < 55)
+  }
+
+  test("temperatureMix rows agree with the report's n_sampled") {
+    val rows = Curation.temperatureMix(tempCorpus, "id", "src",
+        0.5, 0.5, "t1")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val rep = Curation.temperatureMixReport(tempCorpus, "id", "src",
+        0.5, 0.5, "t1")
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap == rep)
+    // deterministic under repartitioning
+    val again = Curation.temperatureMix(tempCorpus.repartition(11),
+        "id", "src", 0.5, 0.5, "t1")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSet == again.toSet)
+  }
+
+  test("temperatureMix: alpha=1 gives every stratum the same rate") {
+    val got = Curation.temperatureMixReport(tempCorpus, "id", "src",
+        alpha = 1.0, budgetFrac = 0.4, salt = "t2")
+      .collect().map(r => r.getDouble(3)).toSet
+    assert(got.size == 1) // proportional sampling: uniform keep rate
+  }
+
+  test("temperatureMix rejects clashing columns and bad parameters") {
+    val bad = spark.createDataFrame(Seq((1L, "a", 2L)))
+      .toDF("id", "src", "budget")
+    assertThrows[IllegalArgumentException] {
+      Curation.temperatureMix(bad, "id", "src", 0.5, 0.5, "s")
+    }
+    assertThrows[IllegalArgumentException] {
+      Curation.temperatureMix(tempCorpus, "id", "src", 0.0, 0.5, "s")
+    }
+    assertThrows[IllegalArgumentException] {
+      Curation.temperatureMix(tempCorpus, "id", "src", 0.5, 1.5, "s")
+    }
+  }
 }
