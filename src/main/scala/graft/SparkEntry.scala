@@ -1466,6 +1466,20 @@ object SparkEntry {
       operators.Basket.rules(t(s, dir, "lineitem"), "l_orderkey",
         "l_partkey", minSupport = 3)),
 
+    // Seasonal-naive forecast evaluation (MASE) on each user's daily
+    // spend — calendar lags, integer SAE sums, one division per ratio
+    "q130_forecast_eval" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(col("user_id"), eventMs(ev).as("ms"), col("value"))
+        .select(col("user_id"), expr("ms DIV 86400000").as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("user_id", "day")
+        .agg(sum(col("c")).as("cents"))
+      operators.TimeSeries.naiveForecastEval(daily, Seq("user_id"),
+        "day", "cents", season = 7)
+    }),
+
     // Temperature-based (α=0.5) mixture resampling of the corpus by
     // language (en dominates 3x — the flattening is visible) —
     // integer-quantized weights, salted-hash row selection
@@ -3039,6 +3053,25 @@ object SparkEntry {
         |        CROSS JOIN nb""".stripMargin,
 
     "q126_modularity" -> modularityOracle,
+
+    "q130_forecast_eval" ->
+      """WITH d AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT x.user_id, CAST(count(*) AS BIGINT) AS n_eval,
+        |  round(CAST(sum(abs(x.c - p1.c)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS mae_naive,
+        |  round(CAST(sum(abs(x.c - p7.c)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS mae_seasonal,
+        |  CASE WHEN sum(abs(x.c - p1.c)) > 0 THEN
+        |    round(CAST(sum(abs(x.c - p7.c)) AS DOUBLE)
+        |      / CAST(sum(abs(x.c - p1.c)) AS DOUBLE), 6) END AS mase
+        |FROM d x JOIN d p1 ON x.user_id = p1.user_id
+        |                  AND x.day = p1.day + 1
+        |         JOIN d p7 ON x.user_id = p7.user_id
+        |                  AND x.day = p7.day + 7
+        |GROUP BY 1""".stripMargin,
 
     "q129_temperature_mix" ->
       s"""WITH c AS (SELECT lang AS stratum,

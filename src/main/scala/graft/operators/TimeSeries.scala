@@ -195,6 +195,54 @@ object TimeSeries {
     * @param valCol integral (cents-quantized) LONG column
     * @return input columns :+ z (double, rounded to `scale`)
     *   :+ is_anomaly (boolean, never NULL) */
+  /** Forecast-baseline evaluation (the MASE denominator machinery):
+    * for each key, score the two standard zero-parameter forecasters
+    * on an integer-quantized periodic series —
+    *
+    *  - naive: x̂_t = x_{t−1}
+    *  - seasonal naive: x̂_t = x_{t−season}
+    *
+    * over exactly the periods where BOTH references exist (calendar
+    * lags via co-partitioned self-joins, not row lags — gaps in the
+    * series never silently shift the reference). MASE = SAE_seasonal /
+    * SAE_naive cancels the shared denominator, so it is one division
+    * of exact integer sums; the MAEs divide once each for display.
+    *
+    * Scale shape: the base series persists once (three readers: self +
+    * two lag projections — released by the ContextCleaner with the
+    * plan); both lag joins hash on the same (keys, period) and the
+    * final rollup reuses the key partitioning.
+    *
+    * @param valCol integral (cents-quantized) LONG column
+    * @return (keys…, n_eval, mae_naive, mae_seasonal, mase) — mase
+    *   NULL when the naive SAE is 0 (a constant-on-evaluated-days
+    *   series). */
+  def naiveForecastEval(df: DataFrame, keyCols: Seq[String],
+      ordCol: String, valCol: String, season: Int,
+      scale: Int = 6): DataFrame = {
+    require(season >= 2, s"season must be >= 2, got $season")
+    val ks = keyCols.map(col)
+    val base = df.select((ks :+ col(ordCol).as("p") :+
+      col(valCol).as("x")): _*).persist()
+    def lagged(off: Int, as: String) = base.select(
+      (ks :+ (col("p") + off).as("p") :+ col("x").as(as)): _*)
+    val j = base
+      .join(lagged(1, "f1"), keyCols :+ "p")
+      .join(lagged(season, "fs"), keyCols :+ "p")
+      .groupBy(ks: _*)
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("x") - col("f1"))).as("sae1"),
+        sum(abs(col("x") - col("fs"))).as("saes"))
+    j.select((ks :+ col("n_eval") :+
+      round(col("sae1").cast("double") / col("n_eval").cast("double"),
+        scale).as("mae_naive") :+
+      round(col("saes").cast("double") / col("n_eval").cast("double"),
+        scale).as("mae_seasonal") :+
+      when(col("sae1") > 0,
+        round(col("saes").cast("double") / col("sae1").cast("double"),
+          scale)).as("mase")): _*)
+  }
+
   /** Sliding-window distinct actives (rolling WAU): for each window-end
     * period `win`, the number of DISTINCT keys active in
     * `[win − window + 1, win]`, plus the total active key-periods in

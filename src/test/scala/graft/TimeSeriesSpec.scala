@@ -148,6 +148,46 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!got(3L))
   }
 
+  test("naiveForecastEval: hand case — gaps drop eval days, exact ratios") {
+    // days 1..9 except day 5 missing; season 3.
+    // eval days need t-1 AND t-3 present: t=4 (3,1 ok), t=7 (6,4 ok),
+    // t=9 (8,6 ok); t=8 lacks t-1=7? 7 present, t-3=5 missing -> out
+    val rows = Seq(1L -> 10L, 2L -> 12L, 3L -> 11L, 4L -> 20L,
+      6L -> 14L, 7L -> 13L, 8L -> 30L, 9L -> 16L)
+    val df = rows.map { case (d, v) => ("u", d, v) }.toDF("k", "p", "v")
+    val got = TimeSeries.naiveForecastEval(df, Seq("k"), "p", "v", 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).head
+    // t=4: |20-11|=9 naive, |20-10|=10 seasonal
+    // t=7: |13-14|=1,       |13-20|=7
+    // t=9: |16-30|=14,      |16-14|=2
+    // SAE1=24, SAEs=19, n=3
+    assert(got == ((3L, 8.0, BigDecimal(19.0 / 3).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, 0.791667)))
+  }
+
+  test("naiveForecastEval: constant series gives mase NULL, zero MAEs") {
+    val df = (1L to 10L).map(d => ("u", d, 5L)).toDF("k", "p", "v")
+    val r = TimeSeries.naiveForecastEval(df, Seq("k"), "p", "v", 7)
+      .collect().head
+    assert(r.getLong(1) == 3L) // days 8,9,10
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+    assert(r.isNullAt(4))
+  }
+
+  test("naiveForecastEval: partitioning-invariant on random series") {
+    val rnd = new scala.util.Random(91)
+    val rows = for {
+      u <- 1 to 6; d <- 1 to 40 if rnd.nextInt(10) > 1
+    } yield (s"u$u", d.toLong, rnd.nextInt(500).toLong)
+    val df = rows.toDF("k", "p", "v")
+    val a = TimeSeries.naiveForecastEval(df.repartition(13), Seq("k"),
+      "p", "v", 7).collect().map(_.toSeq).toSet
+    val b = TimeSeries.naiveForecastEval(df.coalesce(1), Seq("k"),
+      "p", "v", 7).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("slidingDistinct: hand case — overlap windows, repeats collapse") {
     // u1 on days 1 and 3 (twice), u2 on day 3; window = 3
     val df = Seq(("u1", 1L), ("u1", 3L), ("u1", 3L), ("u2", 3L))
