@@ -103,10 +103,11 @@ object Search {
     * whose every term has df = N carry zero norm — no signal — and are
     * excluded from both sides.
     *
-    * Scale shape: ONE tokenize pass builds the weighted posting table
-    * (persisted — norms, the query side, and the corpus side all read
-    * it; released by the ContextCleaner with the plan); the dot join
-    * is query-terms × postings (bounded by |query terms| · df, NOT
+    * Scale shape: ONE tokenize pass builds the tf posting table
+    * (persisted — the df aggregate, norms, the query side, and the
+    * corpus side all derive from it without re-reading text; released
+    * by the ContextCleaner with the plan); the dot join is
+    * query-terms × postings (bounded by |query terms| · df, NOT
     * corpus²); the top-k is a per-query window over each query's
     * candidate set. At 100 TB the df-explosion of stopword-ish terms
     * is the cost driver — cap with a max-df prune upstream if the
@@ -121,6 +122,7 @@ object Search {
     val tf = docs.select(col(idCol).as("doc"),
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy("doc", "term").agg(count(lit(1)).as("tf"))
+      .persist()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = tf.join(dfreq, "term").crossJoin(broadcast(n))
@@ -128,7 +130,6 @@ object Search {
         (col("tf").cast("double") *
           log((col("n").cast("double") + 1.0) /
             (col("df").cast("double") + 1.0))).as("w"))
-      .persist()
     val norms = w.groupBy("doc")
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
       .filter(col("nrm") > 0)
