@@ -114,6 +114,11 @@ object GraftExtensions {
           "whitespace tokens with mask (blocklist/mask must be literals)"),
       (args: Seq[Expression]) => graft.functions.RedactTokens(args(0),
         foldToStringSeq(args(1)), foldToString(args(2)))),
+    (FunctionIdentifier("bitmap_distinct_count"),
+      info("bitmap_distinct_count",
+        "bitmap_distinct_count(id) - exact distinct count of a bigint " +
+          "column via a Roaring-style bitmap aggregate (no Expand rewrite)"),
+      (args: Seq[Expression]) => graft.functions.BitmapDistinctCount(args(0))),
     (FunctionIdentifier("redact_count"),
       info("redact_count",
         "redact_count(text, blocklist) - occurrences of blocklisted " +

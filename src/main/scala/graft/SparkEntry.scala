@@ -1553,6 +1553,19 @@ object SparkEntry {
           .select(col("user_id"), expr("ms DIV 86400000").as("day")),
         "user_id", "day", window = 7)
     }),
+
+    // Exact multi-distinct per supplier via the Roaring-style bitmap
+    // aggregate: one fact scan, no Expand replication — the 100 TB-safe
+    // form of count(distinct a), count(distinct b) (plan-pinned)
+    "q131_bitmap_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+          functions.BitmapDistinctCount.bitmapDistinct(col("l_partkey"))
+            .as("n_parts"),
+          functions.BitmapDistinctCount.bitmapDistinct(col("l_orderkey"))
+            .as("n_orders"),
+          count(lit(1)).as("n_lines"))),
   )
 
   /** q122's window length (4-grams: ~12% mean cross-doc sharing on the
@@ -3180,6 +3193,13 @@ object SparkEntry {
         |SELECT win, CAST(count(DISTINCT user_id) AS BIGINT) AS actives,
         |  CAST(count(*) AS BIGINT) AS key_periods
         |FROM w GROUP BY 1""".stripMargin,
+
+    "q131_bitmap_distinct" ->
+      """SELECT l_suppkey,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,
