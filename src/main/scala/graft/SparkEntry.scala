@@ -1566,7 +1566,37 @@ object SparkEntry {
           functions.BitmapDistinctCount.bitmapDistinct(col("l_orderkey"))
             .as("n_orders"),
           count(lit(1)).as("n_lines"))),
+
+    // Exact weighted (lower) median unit price per supplier, weighted by
+    // units sold — collapses to one row per (supplier, price) before the
+    // cumulative-weight window ever runs
+    "q132_weighted_median" -> ((s, dir) =>
+      operators.Stats.weightedMedian(t(s, dir, "lineitem"),
+        Seq("l_suppkey"),
+        round(col("l_extendedprice") * 100),
+        round(col("l_quantity")))),
+
+    // Two-sided CUSUM change-point alarms on each user's daily spend
+    // against the user's own mean — the zero-clamped recursion solved in
+    // closed form (prefix sum minus running min), all-integer until the
+    // final report division
+    "q133_cusum" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(col("user_id"), eventMs(ev).as("ms"), col("value"))
+        .select(col("user_id"), expr("ms DIV 86400000").as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("user_id", "day")
+        .agg(sum(col("c")).as("cents"))
+      operators.TimeSeries.cusum(daily, Seq("user_id"), "day", "cents",
+        slack = CusumSlack, h = CusumH)
+    }),
   )
+
+  /** q133's CUSUM allowance/threshold in cents: ~half / ~1.5x the daily
+    * spend sd — 507 hi / 151 lo alarms on the sf0.01 fixture. */
+  private val CusumSlack = 5000L
+  private val CusumH = 15000L
 
   /** q122's window length (4-grams: ~12% mean cross-doc sharing on the
     * fixture — n=3 saturates at 64%, n=5 undershoots). */
@@ -3200,6 +3230,53 @@ object SparkEntry {
         |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
         |  CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q132_weighted_median" ->
+      """WITH pv AS (SELECT l_suppkey,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_suppkey, v, w,
+        |    CAST(sum(w) OVER (PARTITION BY l_suppkey ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(sum(w) OVER (PARTITION BY l_suppkey) AS BIGINT) AS tot,
+        |    CAST(count(*) OVER (PARTITION BY l_suppkey) AS BIGINT) AS nv
+        |  FROM pv)
+        |SELECT l_suppkey, CAST(min(v) AS BIGINT) AS w_median,
+        |  CAST(min(tot) AS BIGINT) AS total_w,
+        |  CAST(min(nv) AS BIGINT) AS n_values
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1""".stripMargin,
+
+    "q133_cusum" ->
+      s"""WITH d AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM events GROUP BY 1, 2),
+         |b AS (SELECT user_id, day, cents,
+         |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+         |    CAST(sum(cents) OVER (PARTITION BY user_id) AS BIGINT) AS s
+         |  FROM d),
+         |p AS (SELECT user_id, day, cents, n,
+         |    CAST(sum(n * cents - s - n * $CusumSlack) OVER win
+         |      AS BIGINT) AS p_hi,
+         |    CAST(sum(s - n * cents - n * $CusumSlack) OVER win
+         |      AS BIGINT) AS p_lo
+         |  FROM b WINDOW win AS (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |m AS (SELECT user_id, day, cents, n, p_hi, p_lo,
+         |    p_hi - least(CAST(0 AS BIGINT),
+         |      CAST(min(p_hi) OVER win AS BIGINT)) AS s_hi,
+         |    p_lo - least(CAST(0 AS BIGINT),
+         |      CAST(min(p_lo) OVER win AS BIGINT)) AS s_lo
+         |  FROM p WINDOW win AS (PARTITION BY user_id ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT user_id, day, cents,
+         |  round(CAST(s_hi AS DOUBLE) / n / 100, 6) AS cusum_hi,
+         |  round(CAST(s_lo AS DOUBLE) / n / 100, 6) AS cusum_lo,
+         |  s_hi > n * $CusumH AS alarm_hi,
+         |  s_lo > n * $CusumH AS alarm_lo
+         |FROM m""".stripMargin,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,

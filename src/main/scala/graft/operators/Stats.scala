@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Robust-statistics and moment-based analytics over grouped numeric
@@ -182,6 +183,50 @@ object Stats {
         round(col("__h") / 400.0, 6).as("hi"),
         round(col("__s").cast("double") / col("n") / 400.0, 6)
           .as("wmean"))): _*)
+  }
+
+  /** Exact weighted (lower) median per group: the smallest value v with
+    * cumulative weight(≤ v) ≥ half the total — the inventory-style
+    * "median unit price weighted by units sold", where `percentile`
+    * over raw rows would need the weights exploded into copies.
+    *
+    * Integer-exact throughout: values and weights are integral, the
+    * half-total comparison is cross-multiplied (2·cum ≥ total), and no
+    * interpolation ever happens — so the SQL twin (cumulative window
+    * over the same pre-aggregate) matches bit-for-bit.
+    *
+    * Scale: the input collapses FIRST to one row per (group, value)
+    * with a map-side partial sum — the window then runs over the
+    * collapsed table (cardinality = distinct values per group, not
+    * rows), and the closing min-aggregate reuses the window's
+    * group partitioning (no extra exchange).
+    *
+    * @param valInt integer-valued expression (e.g. cents)
+    * @param weightInt integer weight expression (rows with weight ≤ 0
+    *   or NULL value/weight are dropped)
+    * @return (groupCols..., w_median, total_w, n_values) */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String],
+      valInt: Column, weightInt: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val perValue = df
+      .select((g ++ Seq(valInt.cast("long").as("__v"),
+        weightInt.cast("long").as("__w"))): _*)
+      .filter(col("__v").isNotNull && col("__w") > 0)
+      .groupBy((g :+ col("__v")): _*)
+      .agg(sum(col("__w")).as("__w"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    perValue
+      .withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+      .withColumn("__nv", count(lit(1)).over(wAll))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(g: _*)
+      .agg(min(col("__v")).as("w_median"),
+        first(col("__tot")).as("total_w"),
+        first(col("__nv")).as("n_values"))
   }
 
   /** Chi-square contingency table for two categorical columns: per

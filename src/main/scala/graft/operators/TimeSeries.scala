@@ -274,6 +274,60 @@ object TimeSeries {
         count(lit(1)).as("key_periods"))
   }
 
+  /** Two-sided CUSUM change-point detection per key over an
+    * integer-valued ordered series, against the key's own mean.
+    *
+    * The textbook recursion S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − slack))
+    * looks inherently sequential, but the zero-clamped recursion has a
+    * closed form: S⁺_t = P_t − min(0, min_{j≤t} P_j) where P is the
+    * prefix sum of the deviations — so the whole detector is two
+    * running-window aggregates per side, fully distributed, O(1) state,
+    * no loop in either engine (Page 1954's V-mask dual, prefix form).
+    *
+    * Exactness: μ = S/n is not integral, so every term is scaled by n
+    * (the key's row count): d⁺_t = n·x_t − S − n·slack is a pure
+    * integer, as are its prefix sums; the alarm compare S⁺ > n·h is
+    * cross-multiplied. The reported statistics divide back by n·scale
+    * once, rounded — the oracle repeats the same text.
+    *
+    * @param valCol integer-valued column (e.g. cents)
+    * @param slack  slack ("allowance") in valCol units
+    * @param h      alarm threshold in valCol units
+    * @param scale  valCol units per output unit (100 for cents)
+    * @return input keys + ord + (cusum_hi, cusum_lo, alarm_hi,
+    *   alarm_lo) per row */
+  def cusum(df: DataFrame, keyCols: Seq[String], ordCol: String,
+      valCol: String, slack: Long, h: Long, scale: Int = 100): DataFrame = {
+    require(h > 0, s"threshold h must be > 0, got $h")
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    val g = keyCols.map(col)
+    val wAll = Window.partitionBy(g: _*)
+    val wCum = Window.partitionBy(g: _*).orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col(valCol).cast("long")
+    val base = df
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__s", sum(x).over(wAll))
+    // scaled deviations: n·x − S ∓ n·slack (exact longs; n ≤ series
+    // length and x in cents keeps n·x far from Long overflow)
+    val dHi = col("__n") * x - col("__s") - col("__n") * slack
+    val dLo = col("__s") - col("__n") * x - col("__n") * slack
+    val withP = base
+      .withColumn("__p_hi", sum(dHi).over(wCum))
+      .withColumn("__p_lo", sum(dLo).over(wCum))
+    // S_t = P_t − min(0, running min P) — reuses wCum's sort
+    val sHi = col("__p_hi") - least(lit(0L), min(col("__p_hi")).over(wCum))
+    val sLo = col("__p_lo") - least(lit(0L), min(col("__p_lo")).over(wCum))
+    withP
+      .withColumn("cusum_hi",
+        round(sHi.cast("double") / col("__n") / scale, 6))
+      .withColumn("cusum_lo",
+        round(sLo.cast("double") / col("__n") / scale, 6))
+      .withColumn("alarm_hi", sHi > col("__n") * h)
+      .withColumn("alarm_lo", sLo > col("__n") * h)
+      .drop("__n", "__s", "__p_hi", "__p_lo")
+  }
+
   def rollingAnomaly(df: DataFrame, keyCols: Seq[String], ordCol: String,
       valCol: String, window: Int, k: Int = 3,
       scale: Int = 6): DataFrame = {

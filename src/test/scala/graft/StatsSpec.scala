@@ -220,4 +220,54 @@ class StatsSpec extends SparkSpec {
       .collect().map(r => (r.getDouble(3), r.getDouble(4)))
     assert(got.forall { case (w, iv) => w == 0.0 && iv == 0.0 })
   }
+
+  test("weightedMedian: hand case — lower median by cumulative weight") {
+    // g: 10(w1), 20(w2), 30(w1): total 4, cum at 10 is 1 (2·1 < 4),
+    // cum at 20 is 3 (2·3 ≥ 4) → 20. h: single value. z: exact tie —
+    // 5(w2), 9(w2): cum at 5 is 2 (2·2 ≥ 4) → ties take the LOWER value
+    val df = spark.createDataFrame(Seq(
+      ("g", 10L, 1L), ("g", 20L, 2L), ("g", 30L, 1L),
+      ("h", 7L, 5L),
+      ("z", 5L, 2L), ("z", 9L, 2L),
+      ("drop", 1L, 0L))) // weight 0 rows vanish; group disappears
+      .toDF("grp", "v", "w").repartition(3)
+    val got = Stats.weightedMedian(df, Seq("grp"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      "g" -> ((20L, 4L, 3L)),
+      "h" -> ((7L, 5L, 1L)),
+      "z" -> ((5L, 4L, 2L))))
+  }
+
+  test("weightedMedian == lower median over weight-exploded rows") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 400).map { i =>
+      (s"g${i % 7}", rnd.nextInt(50).toLong, rnd.nextInt(5).toLong + 1) }
+    val df = spark.createDataFrame(rows).toDF("grp", "v", "w")
+      .repartition(9)
+    val got = Stats.weightedMedian(df, Seq("grp"), col("v"), col("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val brute = rows.groupBy(_._1).map { case (g, rs) =>
+      val exploded = rs.flatMap { case (_, v, w) =>
+        Seq.fill(w.toInt)(v) }.sorted
+      // lower median: element at ceil(N/2) (1-based) of the sorted bag
+      g -> exploded((exploded.size + 1) / 2 - 1)
+    }
+    assert(got == brute)
+  }
+
+  test("weightedMedian: partitioning-invariant; empty group list rejected") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 300).map { i =>
+      (s"g${i % 4}", rnd.nextInt(100).toLong, rnd.nextInt(9).toLong + 1) }
+    val df = spark.createDataFrame(rows).toDF("grp", "v", "w")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.weightedMedian(d, Seq("grp"), col("v"), col("w"))
+        .collect().map(_.toSeq).toSet
+    assert(run(df.repartition(17)) == run(df.coalesce(1)))
+    intercept[IllegalArgumentException] {
+      Stats.weightedMedian(df, Seq.empty, col("v"), col("w"))
+    }
+  }
 }

