@@ -1591,6 +1591,22 @@ object SparkEntry {
       operators.TimeSeries.cusum(daily, Seq("user_id"), "day", "cents",
         slack = CusumSlack, h = CusumH)
     }),
+
+    // Two-sample KS drift test: does the order-value distribution of
+    // fulfilled orders differ from the rest, per priority? The ECDF gap
+    // max runs on cross-multiplied integers (exact); one division at end
+    "q134_ks_test" -> ((s, dir) =>
+      operators.Stats.ksTest(t(s, dir, "orders"),
+        Seq("o_orderpriority"),
+        round(col("o_totalprice") * 100),
+        col("o_orderstatus") === "F")),
+
+    // Exact Gini concentration of order value per priority — the
+    // rank-weighted sum widened to decimal so petabyte group sizes hold
+    "q135_gini" -> ((s, dir) =>
+      operators.Stats.gini(t(s, dir, "orders"),
+        Seq("o_orderpriority"),
+        round(col("o_totalprice") * 100))),
   )
 
   /** q133's CUSUM allowance/threshold in cents: ~half / ~1.5x the daily
@@ -3277,6 +3293,47 @@ object SparkEntry {
          |  s_hi > n * $CusumH AS alarm_hi,
          |  s_lo > n * $CusumH AS alarm_lo
          |FROM m""".stripMargin,
+
+    "q134_ks_test" ->
+      """WITH pv AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS cb
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (SELECT o_orderpriority,
+        |    CAST(sum(ca) OVER win AS BIGINT) AS fa,
+        |    CAST(sum(cb) OVER win AS BIGINT) AS fb,
+        |    CAST(sum(ca) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS nb
+        |  FROM pv WINDOW win AS (PARTITION BY o_orderpriority ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT o_orderpriority,
+        |  CAST(min(na) AS BIGINT) AS n_a, CAST(min(nb) AS BIGINT) AS n_b,
+        |  round(CAST(max(abs(CAST(fa AS DECIMAL(38,0)) * nb -
+        |      CAST(fb AS DECIMAL(38,0)) * na)) AS DOUBLE)
+        |    / (CAST(min(na) AS DOUBLE) * CAST(min(nb) AS DOUBLE)), 6)
+        |    AS ks_d
+        |FROM c WHERE na > 0 AND nb > 0 GROUP BY 1""".stripMargin,
+
+    "q135_gini" ->
+      """WITH r AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS x,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY round(o_totalprice * 100)) AS BIGINT) AS i
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS total,
+        |  CASE WHEN sum(x) <> 0 THEN
+        |    round(CAST(2 * sum(CAST(i AS DECIMAL(38,0)) * x)
+        |        - (count(*) + 1) * CAST(sum(x) AS DECIMAL(38,0))
+        |        AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6)
+        |  END AS gini
+        |FROM r GROUP BY 1""".stripMargin,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,

@@ -229,6 +229,91 @@ object Stats {
         first(col("__nv")).as("n_values"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per group: D = max over
+    * values of |F_A(v) − F_B(v)|, the workhorse drift test between two
+    * cohorts of the same measure (status flags, time slices, A/B arms).
+    *
+    * Integer-exact core: the max runs over |cumA·n_B − cumB·n_A| — the
+    * cross-multiplied ECDF gap, a pure integer (decimal-widened so
+    * petabyte-scale group counts can't overflow) — and only the final
+    * report divides by n_A·n_B. Ties and interleaving need no care:
+    * both ECDFs step together on the collapsed per-value table.
+    *
+    * Scale: like [[weightedMedian]], rows collapse FIRST to one row per
+    * (group, value) with both side-counts in the same map-side pass;
+    * the cumulative window and the closing max reuse that partitioning.
+    *
+    * @param valInt integer-valued expression (NULLs dropped)
+    * @param inSampleA boolean expression splitting the two samples
+    * @return (groupCols..., n_a, n_b, ks_d); groups missing a side are
+    *   omitted (D is undefined) */
+  def ksTest(df: DataFrame, groupCols: Seq[String], valInt: Column,
+      inSampleA: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val perValue = df
+      .select((g ++ Seq(valInt.cast("long").as("__v"),
+        when(inSampleA, 1L).otherwise(0L).as("__a"),
+        when(inSampleA, 0L).otherwise(1L).as("__b"))): _*)
+      .filter(col("__v").isNotNull)
+      .groupBy((g :+ col("__v")): _*)
+      .agg(sum(col("__a")).as("__ca"), sum(col("__b")).as("__cb"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(g: _*)
+    perValue
+      .withColumn("__fa", sum(col("__ca")).over(wCum))
+      .withColumn("__fb", sum(col("__cb")).over(wCum))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .filter(col("__na") > 0 && col("__nb") > 0)
+      .groupBy(g: _*)
+      .agg(
+        max(abs(col("__fa").cast("decimal(38,0)") * col("__nb") -
+          col("__fb").cast("decimal(38,0)") * col("__na"))).as("__num"),
+        first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"))
+      .withColumn("ks_d", round(col("__num").cast("double") /
+        (col("n_a").cast("double") * col("n_b").cast("double")), 6))
+      .drop("__num")
+  }
+
+  /** Exact Gini coefficient per group over integer-valued rows — the
+    * concentration measure for spend, tokens-per-document, degree
+    * distributions: G = (2·Σᵢ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) with x
+    * ascending, i 1-based.
+    *
+    * Deterministic despite ties: within a tie block the values are
+    * equal, so Σ i·x over the block depends only on the SET of
+    * positions — any row_number tie-break yields the same sum.
+    *
+    * Numerics: rank-weighted sums widen to decimal(38,0) (i·x can pass
+    * 2⁶³ long before n does); one double division at the end, NULL when
+    * Σx = 0 (G undefined). The rank window and the closing aggregate
+    * share one hash partitioning on the group key.
+    *
+    * @param valInt integer-valued expression (NULLs dropped; negatives
+    *   allowed but make G exceed [0,1] as usual)
+    * @return (groupCols..., n, total, gini) */
+  def gini(df: DataFrame, groupCols: Seq[String], valInt: Column)
+      : DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val wRank = Window.partitionBy(g: _*).orderBy(col("__x"))
+    df.select((g :+ valInt.cast("long").as("__x")): _*)
+      .filter(col("__x").isNotNull)
+      .withColumn("__i", row_number().over(wRank))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("total"),
+        sum(col("__i").cast("decimal(38,0)") * col("__x")).as("__six"))
+      .withColumn("gini", when(col("total") =!= 0,
+        round((lit(2).cast("decimal(38,0)") * col("__six") -
+          (col("n").cast("decimal(38,0)") + 1) * col("total"))
+          .cast("double") /
+          (col("n").cast("double") * col("total").cast("double")), 6)))
+      .drop("__six")
+  }
+
   /** Chi-square contingency table for two categorical columns: per
     * cell, observed count, expected count under independence
     * (rowTotal·colTotal/N), and the chi-square contribution

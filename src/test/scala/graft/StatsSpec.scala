@@ -221,6 +221,81 @@ class StatsSpec extends SparkSpec {
     assert(got.forall { case (w, iv) => w == 0.0 && iv == 0.0 })
   }
 
+  test("ksTest: disjoint samples give D=1, identical give D=0") {
+    val df = spark.createDataFrame(Seq(
+      ("dis", 1L, true), ("dis", 2L, true), ("dis", 3L, false),
+      ("dis", 4L, false),
+      ("same", 5L, true), ("same", 6L, true), ("same", 5L, false),
+      ("same", 6L, false),
+      ("onesided", 1L, true), ("onesided", 2L, true)))
+      .toDF("grp", "v", "isA").repartition(3)
+    val got = Stats.ksTest(df, Seq("grp"), col("v"), col("isA"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      "dis" -> ((2L, 2L, 1.0)),
+      "same" -> ((2L, 2L, 0.0)))) // one-sided group omitted
+  }
+
+  test("ksTest == brute-force ECDF gap on random data, with ties") {
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 600).map { i =>
+      (s"g${i % 3}", rnd.nextInt(40).toLong, rnd.nextBoolean()) }
+    val df = spark.createDataFrame(rows).toDF("grp", "v", "isA")
+      .repartition(11)
+    val got = Stats.ksTest(df, Seq("grp"), col("v"), col("isA"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val brute = rows.groupBy(_._1).collect {
+      case (g, rs) if rs.exists(_._3) && rs.exists(!_._3) =>
+        val a = rs.filter(_._3).map(_._2)
+        val b = rs.filter(!_._3).map(_._2)
+        val d = rs.map(_._2).distinct.map { v =>
+          math.abs(a.count(_ <= v).toDouble / a.size -
+            b.count(_ <= v).toDouble / b.size)
+        }.max
+        g -> BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble
+    }
+    assert(got.keySet == brute.keySet)
+    brute.foreach { case (g, d) =>
+      assert(math.abs(got(g) - d) < 2e-6, s"group $g") }
+  }
+
+  test("gini: equality is 0, max concentration approaches 1, hand case") {
+    val df = spark.createDataFrame(Seq(
+      ("eq", 7L), ("eq", 7L), ("eq", 7L), ("eq", 7L),
+      ("hand", 0L), ("hand", 1L), // (2·2 − 3·1)/(2·1) = 0.5
+      ("conc", 0L), ("conc", 0L), ("conc", 0L), ("conc", 100L),
+      ("zero", 0L), ("zero", 0L)))
+      .toDF("grp", "v").repartition(3)
+    val got = Stats.gini(df, Seq("grp"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(got("eq") == ((4L, 28L, Some(0.0))))
+    assert(got("hand") == ((2L, 1L, Some(0.5))))
+    assert(got("conc") == ((4L, 100L, Some(0.75)))) // (n-1)/n
+    assert(got("zero") == ((2L, 0L, None))) // undefined, NULL
+  }
+
+  test("gini: tie-break and partitioning invariant, matches brute force") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 500).map { i =>
+      (s"g${i % 4}", rnd.nextInt(30).toLong) } // heavy ties
+    val df = spark.createDataFrame(rows).toDF("grp", "v")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.gini(d, Seq("grp"), col("v"))
+        .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val a = run(df.repartition(13))
+    assert(a == run(df.coalesce(1).orderBy(desc("v"))))
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val xs = rs.map(_._2).sorted
+      val n = xs.size
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum
+      val d = (2.0 * six - (n + 1L) * xs.sum) / (n.toDouble * xs.sum)
+      assert(math.abs(a(g) - d) < 2e-6, s"group $g")
+    }
+  }
+
   test("weightedMedian: hand case — lower median by cumulative weight") {
     // g: 10(w1), 20(w2), 30(w1): total 4, cum at 10 is 1 (2·1 < 4),
     // cum at 20 is 3 (2·3 ≥ 4) → 20. h: single value. z: exact tie —
