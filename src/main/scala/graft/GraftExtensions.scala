@@ -119,6 +119,17 @@ object GraftExtensions {
         "bitmap_distinct_count(id) - exact distinct count of a bigint " +
           "column via a Roaring-style bitmap aggregate (no Expand rewrite)"),
       (args: Seq[Expression]) => graft.functions.BitmapDistinctCount(args(0))),
+    (FunctionIdentifier("bitmap_bytes"),
+      info("bitmap_bytes",
+        "bitmap_bytes(id) - aggregate a bigint column into a serialized " +
+          "Roaring-style bitmap (intersect segments with bitmap_and_count)"),
+      (args: Seq[Expression]) => graft.functions.BitmapAggBytes(args(0))),
+    (FunctionIdentifier("bitmap_and_count"),
+      info("bitmap_and_count",
+        "bitmap_and_count(a, b) - exact intersection cardinality of two " +
+          "bitmap_bytes values"),
+      (args: Seq[Expression]) => graft.functions.BitmapAndCount(args(0),
+        args(1))),
     (FunctionIdentifier("redact_count"),
       info("redact_count",
         "redact_count(text, blocklist) - occurrences of blocklisted " +

@@ -1607,6 +1607,32 @@ object SparkEntry {
       operators.Stats.gini(t(s, dir, "orders"),
         Seq("o_orderpriority"),
         round(col("o_totalprice") * 100))),
+
+    // Exact audience overlap between every pair of event types: ONE fact
+    // scan builds a compressed user-id bitmap per segment; the pairwise
+    // intersections run on the tiny segment table (Roaring-OLAP style —
+    // the fact table is never re-scanned or self-joined per pair).
+    // persisted: the segment table feeds both sides of the pair join;
+    // released by the ContextCleaner with the plan (as q126 does).
+    "q136_audience_overlap" -> ((s, dir) => {
+      val seg = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          functions.BitmapAggBytes.bitmapBytes(col("user_id")).as("bm"),
+          functions.BitmapDistinctCount.bitmapDistinct(col("user_id"))
+            .as("n_users"))
+        .persist()
+      val a = seg.select(col("event_type").as("type_a"),
+        col("bm").as("bm_a"), col("n_users").as("n_a"))
+      val b = seg.select(col("event_type").as("type_b"),
+        col("bm").as("bm_b"), col("n_users").as("n_b"))
+      a.join(broadcast(b), col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          functions.BitmapAndCount.bitmapAndCount(col("bm_a"),
+            col("bm_b")).as("n_both"))
+        .withColumn("jaccard", round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6))
+    }),
   )
 
   /** q133's CUSUM allowance/threshold in cents: ~half / ~1.5x the daily
@@ -3334,6 +3360,25 @@ object SparkEntry {
         |      / (CAST(count(*) AS DOUBLE) * CAST(sum(x) AS DOUBLE)), 6)
         |  END AS gini
         |FROM r GROUP BY 1""".stripMargin,
+
+    "q136_audience_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM du GROUP BY 1),
+        |ov AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_both
+        |  FROM du a JOIN du b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT na.event_type AS type_a, nb.event_type AS type_b,
+        |  na.n AS n_a, nb.n AS n_b,
+        |  CAST(coalesce(ov.n_both, 0) AS BIGINT) AS n_both,
+        |  round(CAST(coalesce(ov.n_both, 0) AS DOUBLE)
+        |    / CAST(na.n + nb.n - coalesce(ov.n_both, 0) AS DOUBLE), 6)
+        |    AS jaccard
+        |FROM n na JOIN n nb ON na.event_type < nb.event_type
+        |LEFT JOIN ov ON ov.type_a = na.event_type
+        |  AND ov.type_b = nb.event_type""".stripMargin,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,

@@ -81,6 +81,88 @@ object BitmapDistinctCount {
       .toAggregateExpression())
 }
 
+/** Like [[BitmapDistinctCount]] but the aggregate VALUE is the serialized
+  * bitmap itself — the audience-analytics building block: build one
+  * compressed id-set per segment in a single fact scan, then intersect
+  * the (tiny, group-count-sized) bitmap table pairwise with
+  * [[BitmapAndCount]] for exact overlap / Jaccard between any two
+  * segments, the way Roaring-backed OLAP stores answer "how many users
+  * did both A and B" without re-scanning the fact table per pair.
+  *
+  * The wire form is deterministic (sorted buckets), so the output is
+  * partitioning- and order-invariant down to the bytes. */
+case class BitmapAggBytes(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Int64Bitmap] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Int64Bitmap = new Int64Bitmap
+
+  override def update(buf: Int64Bitmap, input: InternalRow): Int64Bitmap = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: Int64Bitmap, b: Int64Bitmap): Int64Bitmap = {
+    a.or(b); a
+  }
+
+  override def eval(buf: Int64Bitmap): Any = buf.toBytes
+
+  override def serialize(buf: Int64Bitmap): Array[Byte] = buf.toBytes
+
+  override def deserialize(bytes: Array[Byte]): Int64Bitmap =
+    Int64Bitmap.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): BitmapAggBytes =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BitmapAggBytes =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+  override def prettyName: String = "bitmap_bytes"
+}
+
+object BitmapAggBytes {
+  def bitmapBytes(id: Column): Column =
+    column(BitmapAggBytes(expression(id.cast("long")))
+      .toAggregateExpression())
+}
+
+/** Exact |A ∩ B| of two serialized [[Int64Bitmap]]s. Runs on the
+  * aggregated segment table (rows = segment count, not fact rows), so
+  * interpreted eval is fine; the container-level intersection never
+  * materializes the intersection set. */
+case class BitmapAndCount(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Int64Bitmap.fromBytes(a.asInstanceOf[Array[Byte]])
+      .andCardinality(Int64Bitmap.fromBytes(b.asInstanceOf[Array[Byte]]))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "bitmap_and_count"
+}
+
+object BitmapAndCount {
+  def bitmapAndCount(a: Column, b: Column): Column =
+    column(BitmapAndCount(expression(a), expression(b)))
+}
+
 /** Mutable two-level bitmap over the full signed 64-bit id space. */
 final class Int64Bitmap {
   import Int64Bitmap._
@@ -118,6 +200,22 @@ final class Int64Bitmap {
   def contains(v: Long): Boolean = {
     val c = buckets.getOrNull(v >> 16)
     c != null && c.contains((v & 0xFFFFL).toInt)
+  }
+
+  /** Exact |this ∩ other| without materializing the intersection:
+    * iterate the smaller bucket map, probe the larger. */
+  def andCardinality(other: Int64Bitmap): Long = {
+    val (small, large) =
+      if (buckets.size <= other.buckets.size) (this, other)
+      else (other, this)
+    var n = 0L
+    small.buckets.foreach { case (hi, c) =>
+      large.buckets.getOrNull(hi) match {
+        case null =>
+        case d => n += c.intersectCount(d)
+      }
+    }
+    n
   }
 
   private[functions] def put(hi: Long, c: Int64Bitmap.Container): Unit =
@@ -207,6 +305,38 @@ object Int64Bitmap {
       else {
         var c = 0; var i = 0
         while (i < 1024) { c += java.lang.Long.bitCount(words(i)); i += 1 }
+        c
+      }
+
+    /** |this ∩ other| per mode pair: bitmap×bitmap is AND+popcount,
+      * array×bitmap probes the bitmap, array×array is a merge walk
+      * (both arrays are sorted). */
+    def intersectCount(other: Container): Long =
+      if (words != null && other.words != null) {
+        var c = 0L; var i = 0
+        while (i < 1024) {
+          c += java.lang.Long.bitCount(words(i) & other.words(i)); i += 1
+        }
+        c
+      } else if (words == null && other.words == null) {
+        val (a, an, b, bn) =
+          if (n <= other.n) (arr, n, other.arr, other.n)
+          else (other.arr, other.n, arr, n)
+        var c = 0L; var i = 0; var j = 0
+        while (i < an && j < bn) {
+          if (a(i) < b(j)) i += 1
+          else if (a(i) > b(j)) j += 1
+          else { c += 1; i += 1; j += 1 }
+        }
+        c
+      } else {
+        val (ar, arn, bm) =
+          if (words == null) (arr, n, other) else (other.arr, other.n, this)
+        var c = 0L; var i = 0
+        while (i < arn) {
+          if (bm.contains(ar(i).toInt)) c += 1
+          i += 1
+        }
         c
       }
 

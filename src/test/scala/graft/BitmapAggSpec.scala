@@ -74,6 +74,65 @@ class BitmapAggSpec extends SparkSpec {
     assert(out == Map(1 -> 1L, 2 -> 0L))
   }
 
+  test("bitmap_bytes + bitmap_and_count: pairwise overlap == set brute " +
+      "force, all container mode pairs") {
+    // segment sizes straddle the 4096 array->bitmap boundary so the
+    // pair joins exercise array×array, array×bitmap and bitmap×bitmap
+    val segs = Map(
+      "small1" -> (0L until 300L by 3).toSet,
+      "small2" -> ((0L until 300L by 5).toSet ++ Set(-7L, Long.MaxValue)),
+      "big1" -> (0L until 12000L by 2).toSet,
+      "big2" -> (0L until 12000L by 3).toSet)
+    import spark.implicits._
+    val df = segs.toSeq.flatMap { case (k, vs) => vs.map(k -> _) }
+      .toDF("seg", "id")
+    val bm = df.groupBy("seg")
+      .agg(graft.functions.BitmapAggBytes.bitmapBytes(col("id")).as("bm"))
+    val a = bm.select(col("seg").as("sa"), col("bm").as("ba"))
+    val b = bm.select(col("seg").as("sb"), col("bm").as("bb"))
+    val got = a.join(b, col("sa") < col("sb"))
+      .select(col("sa"), col("sb"),
+        graft.functions.BitmapAndCount.bitmapAndCount(col("ba"), col("bb"))
+          .as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val exp = (for {
+      x <- segs.keys; y <- segs.keys if x < y
+    } yield (x, y) -> (segs(x) & segs(y)).size.toLong).toMap
+    assert(got == exp)
+  }
+
+  test("SQL surface: bitmap_bytes/bitmap_and_count round-trip") {
+    GraftExtensions.register(spark)
+    fixture.createOrReplaceTempView("bitmap_fixture2")
+    val got = spark.sql(
+      """WITH s AS (SELECT g, bitmap_bytes(v) AS bm
+        |           FROM bitmap_fixture2 GROUP BY g)
+        |SELECT a.g, b.g, bitmap_and_count(a.bm, b.bm) AS n
+        |FROM s a JOIN s b ON a.g < b.g""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val rows = fixture.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val sets = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).toSet }
+    val exp = (for {
+      x <- sets.keys; y <- sets.keys if x < y
+    } yield (x, y) -> (sets(x) & sets(y)).size.toLong).toMap
+    assert(got == exp)
+  }
+
+  test("andCardinality is symmetric and bounded by both cardinalities") {
+    val rnd = new scala.util.Random(17)
+    val a = new Int64Bitmap; val b = new Int64Bitmap
+    (1 to 9000).foreach(_ => a.add(rnd.nextLong() % 100000L))
+    (1 to 9000).foreach(_ => b.add(rnd.nextLong() % 100000L))
+    val ab = a.andCardinality(b)
+    assert(ab == b.andCardinality(a))
+    assert(ab <= math.min(a.cardinality, b.cardinality))
+    assert(a.andCardinality(a) == a.cardinality)
+    assert(a.andCardinality(new Int64Bitmap) == 0L)
+  }
+
   test("container round-trip: serialize/deserialize/merge at the 4096 " +
       "array-to-bitmap boundary") {
     val a = new Int64Bitmap
