@@ -130,6 +130,26 @@ object GraftExtensions {
           "bitmap_bytes values"),
       (args: Seq[Expression]) => graft.functions.BitmapAndCount(args(0),
         args(1))),
+    (FunctionIdentifier("kmv_sketch"),
+      info("kmv_sketch",
+        "kmv_sketch(hash, k) - k-minimum-values theta sketch over " +
+          "pre-hashed ids (k must be an int literal)"),
+      (args: Seq[Expression]) => graft.functions.KmvSketchAgg(args(0),
+        foldToInt(args(1)))),
+    (FunctionIdentifier("kmv_estimate"),
+      info("kmv_estimate",
+        "kmv_estimate(sketch, k) - distinct-count estimate from a " +
+          "kmv_sketch built over the engine's 2^60 md5-prefix hashes"),
+      (args: Seq[Expression]) => graft.functions.KmvDistinctEstimate(
+        args(0), foldToInt(args(1)),
+        graft.functions.KmvIntersectEstimate.Md5Domain)),
+    (FunctionIdentifier("kmv_intersect_estimate"),
+      info("kmv_intersect_estimate",
+        "kmv_intersect_estimate(a, b, k) - intersection-size estimate " +
+          "of two kmv_sketch values (exact when neither is full)"),
+      (args: Seq[Expression]) => graft.functions.KmvIntersectEstimate(
+        args(0), args(1), foldToInt(args(2)),
+        graft.functions.KmvIntersectEstimate.Md5Domain)),
     (FunctionIdentifier("redact_count"),
       info("redact_count",
         "redact_count(text, blocklist) - occurrences of blocklisted " +

@@ -1633,7 +1633,39 @@ object SparkEntry {
         .withColumn("jaccard", round(col("n_both").cast("double") /
           (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6))
     }),
+
+    // q136's bounded-state sibling: KMV theta sketches (k=64 longs per
+    // segment, forever) estimating per-segment distinct users AND
+    // pairwise overlap — the deterministic estimator lets DuckDB
+    // reproduce every digit from row_number() <= k (persisted as q136)
+    "q137_theta_sketch" -> ((s, dir) => {
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 15),
+        16, 10).cast("long")
+      val seg = t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(functions.KmvSketchAgg.kmvSketch(h, ThetaK).as("sk"))
+        .persist()
+      val a = seg.select(col("event_type").as("type_a"),
+        col("sk").as("sk_a"))
+      val b = seg.select(col("event_type").as("type_b"),
+        col("sk").as("sk_b"))
+      a.join(broadcast(b), col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          round(functions.KmvDistinctEstimate.kmvEstimate(col("sk_a"),
+            ThetaK), 6).as("est_a"),
+          round(functions.KmvDistinctEstimate.kmvEstimate(col("sk_b"),
+            ThetaK), 6).as("est_b"),
+          round(functions.KmvIntersectEstimate.kmvIntersect(col("sk_a"),
+            col("sk_b"), ThetaK), 6).as("est_both"))
+    }),
   )
+
+  /** q137's sketch size: 64 keeps the estimator visibly approximate on
+    * the 150-user sf0.01 fixture (segments hold ~140 distinct users). */
+  private val ThetaK = 64
+
+  /** The md5-prefix hash domain (2^60) shared with the DuckDB oracle. */
+  private val KmvDomain = functions.KmvIntersectEstimate.Md5Domain
 
   /** q133's CUSUM allowance/threshold in cents: ~half / ~1.5x the daily
     * spend sd — 507 hi / 151 lo alarms on the sf0.01 fixture. */
@@ -3379,6 +3411,43 @@ object SparkEntry {
         |FROM n na JOIN n nb ON na.event_type < nb.event_type
         |LEFT JOIN ov ON ov.type_a = na.event_type
         |  AND ov.type_b = nb.event_type""".stripMargin,
+
+    "q137_theta_sketch" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+         |      AS BIGINT) AS hv
+         |  FROM events),
+         |rk AS (SELECT event_type, hv,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hv)
+         |      AS BIGINT) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+         |  FROM h),
+         |sk AS (SELECT * FROM rk WHERE rn <= $ThetaK),
+         |th AS (SELECT event_type,
+         |    CASE WHEN max(nd) >= $ThetaK THEN max(hv)
+         |         ELSE $KmvDomain END AS theta,
+         |    round(CASE WHEN max(nd) >= $ThetaK
+         |      THEN ${ThetaK - 1}.0 * $KmvDomain.0 / CAST(max(hv) AS DOUBLE)
+         |      ELSE CAST(max(nd) AS DOUBLE) END, 6) AS est
+         |  FROM sk GROUP BY 1),
+         |ov AS (SELECT x.event_type AS type_a, y.event_type AS type_b,
+         |    x.hv
+         |  FROM sk x JOIN sk y ON x.hv = y.hv
+         |    AND x.event_type < y.event_type),
+         |base AS (SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+         |    least(ta.theta, tb.theta) AS theta,
+         |    ta.est AS est_a, tb.est AS est_b
+         |  FROM th ta JOIN th tb ON ta.event_type < tb.event_type),
+         |cm AS (SELECT b.type_a, b.type_b,
+         |    CAST(count(*) AS BIGINT) AS common
+         |  FROM base b JOIN ov o ON o.type_a = b.type_a
+         |    AND o.type_b = b.type_b AND o.hv < b.theta
+         |  GROUP BY 1, 2)
+         |SELECT b.type_a, b.type_b, b.est_a, b.est_b,
+         |  round(CAST(coalesce(cm.common, 0) AS DOUBLE) * $KmvDomain.0
+         |    / CAST(b.theta AS DOUBLE), 6) AS est_both
+         |FROM base b LEFT JOIN cm ON cm.type_a = b.type_a
+         |  AND cm.type_b = b.type_b""".stripMargin,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,
