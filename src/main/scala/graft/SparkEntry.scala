@@ -1658,7 +1658,25 @@ object SparkEntry {
           round(functions.KmvIntersectEstimate.kmvIntersect(col("sk_a"),
             col("sk_b"), ThetaK), 6).as("est_both"))
     }),
+
+    // Weekly-seasonality fingerprint: autocorrelation of each user's
+    // daily spend at calendar lags 1..7 — one join for all lags, exact
+    // decimal moments, gaps drop pairs instead of shifting the series
+    "q138_acf" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(col("user_id"), eventMs(ev).as("ms"), col("value"))
+        .select(col("user_id"), expr("ms DIV 86400000").as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("user_id", "day")
+        .agg(sum(col("c")).as("cents"))
+      operators.TimeSeries.acf(daily, Seq("user_id"), "day", "cents",
+        maxLag = AcfMaxLag)
+    }),
   )
+
+  /** q138's lag horizon: one week of daily lags. */
+  private val AcfMaxLag = 7
 
   /** q137's sketch size: 64 keeps the estimator visibly approximate on
     * the 150-user sf0.01 fixture (segments hold ~140 distinct users). */
@@ -3448,6 +3466,29 @@ object SparkEntry {
          |    / CAST(b.theta AS DOUBLE), 6) AS est_both
          |FROM base b LEFT JOIN cm ON cm.type_a = b.type_a
          |  AND cm.type_b = b.type_b""".stripMargin,
+
+    "q138_acf" ->
+      s"""WITH d AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT user_id, day + r.lag AS day, cents AS vl,
+         |    CAST(r.lag AS INTEGER) AS lag
+         |  FROM d, range(1, ${AcfMaxLag + 1}) r(lag)),
+         |p AS (SELECT x.user_id, l.lag,
+         |    CAST(x.cents AS HUGEINT) AS a, CAST(l.vl AS HUGEINT) AS b
+         |  FROM d x JOIN l ON x.user_id = l.user_id AND x.day = l.day)
+         |SELECT user_id, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CASE WHEN sqrt(CAST(count(*)*sum(a*a) - sum(a)*sum(a)
+         |        AS DOUBLE))
+         |      * sqrt(CAST(count(*)*sum(b*b) - sum(b)*sum(b)
+         |        AS DOUBLE)) <> 0
+         |    THEN round(CAST(count(*)*sum(a*b) - sum(a)*sum(b) AS DOUBLE)
+         |      / (sqrt(CAST(count(*)*sum(a*a) - sum(a)*sum(a) AS DOUBLE))
+         |         * sqrt(CAST(count(*)*sum(b*b) - sum(b)*sum(b)
+         |             AS DOUBLE))), 6)
+         |  END AS acf
+         |FROM p GROUP BY 1, 2""".stripMargin,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,

@@ -328,6 +328,53 @@ object TimeSeries {
       .drop("__n", "__s", "__p_hi", "__p_lo")
   }
 
+  /** Autocorrelation function per key at calendar lags 1..maxLag: the
+    * Pearson correlation of (x_t, x_{t−ℓ}) over every t where BOTH
+    * periods exist — lags are calendar offsets like
+    * [[naiveForecastEval]], so gaps drop pairs instead of shifting the
+    * reference (row-lag windows silently misalign on gappy series).
+    *
+    * Shape: ONE equi-join regardless of lag count — the lagged side is
+    * replicated ×maxLag by an explode (bounded, like slidingDistinct's
+    * window trick) and shifted before the join, so lag is just another
+    * join-output column feeding the grouped moment aggregate.
+    *
+    * Numerics follow [[graft.operators.Stats.corrMatrix]]: integer
+    * values widen to decimal(38,0) BEFORE the products, r's numerator/
+    * denominator stay exact, one fixed-order double division at the
+    * end; zero variance on either side (constant series) → NULL.
+    *
+    * @param valCol integer-valued column (e.g. cents)
+    * @return (keyCols..., lag, n_pairs, acf) — lags with no pairs are
+    *   absent */
+  def acf(df: DataFrame, keyCols: Seq[String], ordCol: String,
+      valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val g = keyCols.map(col)
+    val x = df.select((g ++ Seq(col(ordCol).cast("long").as("__t"),
+      col(valCol).cast("long").cast("decimal(38,0)").as("__v"))): _*)
+    val lagged = x
+      .select((g ++ Seq(col("__t"), col("__v").as("__vl"),
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))): _*)
+      .select((g ++ Seq(col("lag"), (col("__t") + col("lag")).as("__t"),
+        col("__vl"))): _*)
+    val num = (col("n_pairs") * col("__sp") -
+      col("__sa") * col("__sb")).cast("double")
+    val den = sqrt((col("n_pairs") * col("__ssa") -
+      col("__sa") * col("__sa")).cast("double")) *
+      sqrt((col("n_pairs") * col("__ssb") -
+        col("__sb") * col("__sb")).cast("double"))
+    x.join(lagged, keyCols :+ "__t")
+      .groupBy((g :+ col("lag")): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__v")).as("__sa"), sum(col("__vl")).as("__sb"),
+        sum(col("__v") * col("__v")).as("__ssa"),
+        sum(col("__vl") * col("__vl")).as("__ssb"),
+        sum(col("__v") * col("__vl")).as("__sp"))
+      .withColumn("acf", when(den =!= lit(0.0), round(num / den, 6)))
+      .drop("__sa", "__sb", "__ssa", "__ssb", "__sp")
+  }
+
   def rollingAnomaly(df: DataFrame, keyCols: Seq[String], ordCol: String,
       valCol: String, window: Int, k: Int = 3,
       scale: Int = 6): DataFrame = {

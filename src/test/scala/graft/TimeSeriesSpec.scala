@@ -229,6 +229,69 @@ class TimeSeriesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("acf: linear series is 1 at every lag; alternating flips sign; " +
+      "constants are NULL") {
+    val rows =
+      (1 to 20).map(t => ("lin", t.toLong, t.toLong * 3 + 5)) ++
+      (1 to 20).map(t => ("alt", t.toLong, if (t % 2 == 0) 10L else -10L)) ++
+      (1 to 20).map(t => ("const", t.toLong, 7L))
+    val df = rows.toDF("k", "t", "v").repartition(5)
+    val got = TimeSeries.acf(df, Seq("k"), "t", "v", maxLag = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), Option(r.get(3))))).toMap
+    assert(got(("lin", 1)) == ((19L, Some(1.0))))
+    assert(got(("lin", 2)) == ((18L, Some(1.0))))
+    assert(got(("alt", 1)) == ((19L, Some(-1.0))))
+    assert(got(("alt", 2)) == ((18L, Some(1.0))))
+    assert(got(("const", 1))._2.isEmpty) // zero variance: NULL
+  }
+
+  test("acf: calendar gaps drop pairs instead of shifting the series") {
+    // days 1,2,3,5,6 — lag-1 pairs: (2,1),(3,2),(6,5) -> 3; the (5,3)
+    // row-adjacency must NOT pair. lag-2 pairs: (3,1),(5,3) -> 2
+    val df = Seq(1L, 2L, 3L, 5L, 6L).map(d => ("u", d, d * 10))
+      .toDF("k", "t", "v")
+    val got = TimeSeries.acf(df, Seq("k"), "t", "v", maxLag = 2)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(got == Map(1 -> 3L, 2 -> 2L))
+  }
+
+  test("acf == brute-force Pearson over lag pairs on random gappy series") {
+    val rnd = new scala.util.Random(59)
+    val series = (0 until 5).map { k =>
+      s"u$k" -> (1 to 60).filter(_ => rnd.nextDouble() < 0.8)
+        .map(d => d.toLong -> (rnd.nextInt(2000).toLong - 500L)).toMap
+    }.toMap
+    val df = series.toSeq.flatMap { case (k, m) =>
+      m.toSeq.map { case (d, v) => (k, d, v) } }.toDF("k", "t", "v")
+      .repartition(9)
+    val got = TimeSeries.acf(df, Seq("k"), "t", "v", maxLag = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    series.foreach { case (k, m) =>
+      (1 to 3).foreach { lag =>
+        val pairs = m.toSeq.collect {
+          case (d, v) if m.contains(d - lag) => (v.toDouble, m(d - lag).toDouble)
+        }
+        if (pairs.isEmpty) assert(!got.contains((k, lag)))
+        else {
+          val n = pairs.size
+          val (sa, sb) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+          val sp = pairs.map(p => p._1 * p._2).sum
+          val ssa = pairs.map(p => p._1 * p._1).sum
+          val ssb = pairs.map(p => p._2 * p._2).sum
+          val den = math.sqrt(n * ssa - sa * sa) * math.sqrt(n * ssb - sb * sb)
+          val (gn, gr) = got((k, lag))
+          assert(gn == n.toLong, s"$k lag $lag n")
+          if (den == 0) assert(gr.isEmpty)
+          else assert(math.abs(gr.get - (n * sp - sa * sb) / den) < 2e-6,
+            s"$k lag $lag r")
+        }
+      }
+    }
+  }
+
   test("cusum: level shift alarms high side only; quiet series stays quiet") {
     // 6 days at 100, then 6 days at 400: mean 250. High side climbs
     // after the shift; low side climbs during the LOW half (x < mean),
