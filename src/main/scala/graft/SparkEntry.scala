@@ -1673,6 +1673,18 @@ object SparkEntry {
       operators.TimeSeries.acf(daily, Seq("user_id"), "day", "cents",
         maxLag = AcfMaxLag)
     }),
+
+    // How much does day-of-week tell you about what users do? Mutual
+    // information between event type and weekday — per-cell log terms
+    // rounded then summed as exact decimals (order-free transcendentals)
+    "q139_mutual_info" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      operators.Stats.mutualInfo(
+        ev.select(col("event_type"), eventMs(ev).as("ms"))
+          .select(col("event_type"),
+            expr("(ms DIV 86400000) % 7").as("dow")),
+        col("event_type"), col("dow"))
+    }),
   )
 
   /** q138's lag horizon: one week of daily lags. */
@@ -3489,6 +3501,28 @@ object SparkEntry {
          |             AS DOUBLE))), 6)
          |  END AS acf
          |FROM p GROUP BY 1, 2""".stripMargin,
+
+    "q139_mutual_info" ->
+      """WITH p AS (SELECT event_type AS x,
+        |    (epoch_ms(ts) // 86400000) % 7 AS y
+        |  FROM events),
+        |c AS (SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
+        |      FROM p GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(cxy) AS BIGINT) AS cx FROM c GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(cxy) AS BIGINT) AS cy FROM c GROUP BY 1),
+        |tt AS (SELECT CAST(sum(cxy) AS BIGINT) AS n FROM c),
+        |cell AS (SELECT cxy, cx, cy, n,
+        |    CAST(round(CAST(cxy AS DOUBLE)
+        |      * log2(CAST(CAST(cxy AS HUGEINT) * n AS DOUBLE)
+        |        / CAST(CAST(cx AS HUGEINT) * cy AS DOUBLE)), 9)
+        |      AS DECIMAL(38,9)) AS term
+        |  FROM c JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tt)
+        |SELECT CAST(min(n) AS BIGINT) AS n,
+        |  CAST((SELECT count(*) FROM mx) AS BIGINT) AS levels_x,
+        |  CAST((SELECT count(*) FROM my) AS BIGINT) AS levels_y,
+        |  round(CAST(sum(term) AS DOUBLE) / CAST(min(n) AS DOUBLE), 6)
+        |    AS mi_bits
+        |FROM cell""".stripMargin,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,

@@ -314,6 +314,45 @@ object Stats {
       .drop("__six")
   }
 
+  /** Mutual information (in bits) between two categorical columns —
+    * the model-free dependence screen completing the [[chiSquare]] /
+    * [[woeIv]] trio: MI = Σ_cells P(x,y)·log₂(P(x,y)/(P(x)P(y))).
+    *
+    * Order-safe transcendentals: each cell's contribution is a single
+    * fixed-order double (counts widened to decimal first), then
+    * ROUNDED to 9 decimals and summed as decimal(38,9) — decimal
+    * addition is exact and commutative, so the total is independent of
+    * partitioning even though log₂ is irrational; the final /N rounds
+    * to 6 (well inside the 9-decimal cell precision).
+    *
+    * Scale: one hash aggregate over the rows builds the contingency
+    * cell table; marginals, totals, and the closing sum all run on
+    * that (levels_x × levels_y)-sized table — the fact table is read
+    * once and shuffled once, keyed by the cell.
+    *
+    * @return single row (n, levels_x, levels_y, mi_bits) */
+  def mutualInfo(df: DataFrame, xCol: Column, yCol: Column): DataFrame = {
+    val cells = df.select(xCol.as("__x"), yCol.as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy("__x", "__y").agg(count(lit(1)).as("c_xy"))
+    val mx = cells.groupBy("__x").agg(sum("c_xy").as("c_x"))
+    val my = cells.groupBy("__y").agg(sum("c_xy").as("c_y"))
+    val tot = cells.agg(sum("c_xy").as("__n"),
+      count(lit(1)).as("__cells"))
+    val term = round(col("c_xy").cast("double") * log2(
+      (col("c_xy").cast("decimal(38,0)") * col("__n")).cast("double") /
+        (col("c_x").cast("decimal(38,0)") * col("c_y")).cast("double")),
+      9).cast("decimal(38,9)")
+    cells.join(mx, "__x").join(my, "__y").crossJoin(broadcast(tot))
+      .agg(first(col("__n")).as("n"),
+        countDistinct(col("__x")).as("levels_x"),
+        countDistinct(col("__y")).as("levels_y"),
+        sum(term).as("__mi_sum"))
+      .withColumn("mi_bits", round(col("__mi_sum").cast("double") /
+        col("n").cast("double"), 6))
+      .drop("__mi_sum")
+  }
+
   /** Chi-square contingency table for two categorical columns: per
     * cell, observed count, expected count under independence
     * (rowTotal·colTotal/N), and the chi-square contribution

@@ -221,6 +221,48 @@ class StatsSpec extends SparkSpec {
     assert(got.forall { case (w, iv) => w == 0.0 && iv == 0.0 })
   }
 
+  test("mutualInfo: 0 for independence, log2(k) for identity") {
+    // independent: every (x, y) cell has exactly the product count
+    val ind = for { x <- 0 until 3; y <- 0 until 4; _ <- 0 until (x + 1) }
+      yield (s"x$x", s"y$y")
+    val dfInd = spark.createDataFrame(ind).toDF("a", "b").repartition(4)
+    val gotInd = Stats.mutualInfo(dfInd, col("a"), col("b"))
+      .collect().head
+    assert(gotInd.getLong(0) == ind.size &&
+      gotInd.getLong(1) == 3 && gotInd.getLong(2) == 4)
+    assert(gotInd.getDouble(3) == 0.0)
+    // identity on 4 equally likely levels: MI = log2(4) = 2 bits
+    val id4 = (0 until 400).map(i => (s"v${i % 4}", s"v${i % 4}"))
+    val gotId = Stats.mutualInfo(
+      spark.createDataFrame(id4).toDF("a", "b").repartition(4),
+      col("a"), col("b")).collect().head
+    assert(gotId.getDouble(3) == 2.0)
+  }
+
+  test("mutualInfo == brute force; exact partitioning invariance") {
+    val rnd = new scala.util.Random(37)
+    val rows = (1 to 2000).map { _ =>
+      val x = rnd.nextInt(5)
+      // y correlates with x but is noisy
+      val y = if (rnd.nextDouble() < 0.6) x % 3 else rnd.nextInt(3)
+      (s"x$x", s"y$y")
+    }
+    val df = spark.createDataFrame(rows).toDF("a", "b")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.mutualInfo(d, col("a"), col("b")).collect().head.getDouble(3)
+    val got = run(df.repartition(17))
+    assert(got == run(df.coalesce(1))) // decimal cell sum: bit-exact
+    val n = rows.size.toDouble
+    val cxy = rows.groupBy(identity).map { case (k, v) => k -> v.size }
+    val cx = rows.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val cy = rows.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val brute = cxy.map { case ((x, y), c) =>
+      c / n * (math.log(c * n / (cx(x).toDouble * cy(y))) / math.log(2))
+    }.sum
+    assert(math.abs(got - brute) < 2e-6)
+    assert(got > 0.1) // the correlation is detectable
+  }
+
   test("ksTest: disjoint samples give D=1, identical give D=0") {
     val df = spark.createDataFrame(Seq(
       ("dis", 1L, true), ("dis", 2L, true), ("dis", 3L, false),
