@@ -414,4 +414,37 @@ class StreamingSpec extends SparkSpec {
       assert(java.util.Arrays.equals(bytes, got(g)), s"group $g differs")
     }
   }
+
+  test("streaming bitmap and KMV segment builds end at the batch " +
+      "state, bit-exact") {
+    // both aggregates are pure SET functions (add is idempotent, merge
+    // is union / k-smallest-of-union), so a complete-mode streaming
+    // build over any micro-batch slicing must end at exactly the batch
+    // result — same contract family as the CMS twin above
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1 to 400).map(i => (s"g${i % 3}", (i % 120).toLong))
+    val mem = MemoryStream[(String, Long)]
+    val agg = mem.toDF().toDF("g", "id").groupBy("g").agg(
+      graft.functions.BitmapAggBytes.bitmapBytes(col("id")).as("bm"),
+      graft.functions.KmvSketchAgg.kmvSketch(col("id"), 32).as("sk"))
+    val q = agg.writeStream.format("memory").queryName("bitmap_out")
+      .outputMode("complete").start()
+    val got = try {
+      mem.addData(rows.take(150): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(150): _*)
+      q.processAllAvailable()
+      spark.table("bitmap_out").collect()
+        .map(r => r.getString(0) ->
+          ((r.getAs[Array[Byte]](1).toSeq, r.getSeq[Long](2)))).toMap
+    } finally q.stop()
+    val batch = spark.createDataFrame(rows).toDF("g", "id").groupBy("g")
+      .agg(graft.functions.BitmapAggBytes.bitmapBytes(col("id")).as("bm"),
+        graft.functions.KmvSketchAgg.kmvSketch(col("id"), 32).as("sk"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Array[Byte]](1).toSeq, r.getSeq[Long](2)))).toMap
+    assert(got == batch)
+  }
 }
