@@ -390,4 +390,53 @@ class PlanQualitySpec extends SparkSpec {
       s"quantile join did not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"winsorize join shuffled:\n$p")
   }
+
+  test("q132 weighted median: rows collapse BEFORE the window; closing " +
+      "agg reuses the window partitioning") {
+    val df = SparkEntry.queries("q132_weighted_median")(spark, sf)
+    val p = plan(df)
+    // collapse exchange on (group, value) + window exchange on (group);
+    // the closing aggregate must NOT add a third
+    assert(p.split("Exchange hashpartitioning").length - 1 == 2,
+      s"expected exactly 2 exchanges:\n$p")
+    // the cumulative window runs over the collapsed table: an aggregate
+    // sits below the window operator
+    val winAt = p.indexOf("Window")
+    val aggAt = p.lastIndexOf("HashAggregate")
+    assert(winAt >= 0 && aggAt > winAt,
+      s"no aggregate below the window (rows not collapsed):\n$p")
+  }
+
+  test("q135 gini: ONE exchange — rank window and closing agg share it") {
+    val df = SparkEntry.queries("q135_gini")(spark, sf)
+    val p = plan(df)
+    assert(p.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly 1 exchange:\n$p")
+  }
+
+  test("q136 audience overlap: fact aggregated once (cached), pair join " +
+      "broadcasts") {
+    val df = SparkEntry.queries("q136_audience_overlap")(spark, sf)
+    val p = plan(df)
+    // both sides of the pair join read the persisted segment table —
+    // the events fact never appears twice
+    assert(p.split("InMemoryTableScan").length - 1 >= 2,
+      s"segment table not reused from cache:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"pair join did not broadcast:\n$p")
+    df.sparkSession.sharedState.cacheManager.clearCache()
+  }
+
+  test("q138 acf: ONE equi-join for all lags, explode feeds the join") {
+    val df = SparkEntry.queries("q138_acf")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"lag join degenerated to a product:\n$p")
+    assert(p.split("SortMergeJoin").length - 1 +
+      (p.split("ShuffledHashJoin").length - 1) +
+      (p.split("BroadcastHashJoin").length - 1) == 1,
+      s"expected exactly one equi-join:\n$p")
+    assert(p.contains("Generate explode"), s"lag explode missing:\n$p")
+  }
 }
