@@ -19,9 +19,14 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
 
   /** events.ts as epoch millis. LongType only occurs under the
-    * nanosAsLong reader flag (raw TIMESTAMP(NANOS)): ns -> ms. */
+    * nanosAsLong reader flag (raw TIMESTAMP(NANOS)): ns -> ms. A naive
+    * TIMESTAMP_NTZ (parquet isAdjustedToUTC=false) is interpreted as UTC
+    * via cast — sessions run with spark.sql.session.timeZone=UTC, so the
+    * epoch matches DuckDB's epoch_ms on the same naive value. */
   private def eventMs(ev: DataFrame): Column = ev.schema("ts").dataType match {
     case org.apache.spark.sql.types.LongType => expr("ts DIV 1000000")
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      unix_millis(col("ts").cast(org.apache.spark.sql.types.TimestampType))
     case _ => unix_millis(col("ts"))
   }
 
