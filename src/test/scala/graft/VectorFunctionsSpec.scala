@@ -172,7 +172,9 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(GraftExtensions.functions.map(_._1.funcName).toSet == Set(
       "squared_l2", "dot_product", "shingles", "shingles_all",
       "posting_pairs", "posting_pairs_sz", "winnowing_fingerprints",
-      "within_eps", "redact_tokens", "redact_count"))
+      "within_eps", "redact_tokens", "redact_count",
+      "bitmap_distinct_count", "bitmap_bytes", "bitmap_and_count",
+      "kmv_sketch", "kmv_estimate", "kmv_intersect_estimate"))
   }
 
   test("cellId buckets points to floor(x/eps) per selected dim") {
