@@ -1690,6 +1690,29 @@ object SparkEntry {
             expr("(ms DIV 86400000) % 7").as("dow")),
         col("event_type"), col("dow"))
     }),
+
+    // LSH-bucketed cosine ANN — the training-free bucketed scale path
+    // (brute q16 / IVF q23 / PQ q75 complete the index family): SRP
+    // signatures bucket candidates, exact cosine re-ranks; buckets are
+    // bit-exact cross-engine (literal ±1 planes), so the WHOLE
+    // approximate result is DuckDB-oracled, not just rows-counted
+    "q140_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(pmod(col("vec_id"), lit(LshQueryMod)) === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      operators.AnnSearch.lshTopK(q, b, LshK, LshPlanes)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
+    // SemDeDup: k-means clusters scope the pairwise cosine prune —
+    // O(Σ|c|²) instead of q26's O(n²); exact k-means (q120) makes the
+    // cluster-scoped drop set deterministic and fully oracle-checkable
+    "q141_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val asg = operators.KMeans.fit(e, "vec_id", "embedding", KmK, KmRounds)
+      operators.Dedup.semDedup(e, "vec_id", "embedding", asg, SemTau)
+    }),
   )
 
   /** q138's lag horizon: one week of daily lags. */
@@ -1722,6 +1745,23 @@ object SparkEntry {
     * updates), shared with the unrolled oracle. */
   private val KmK = 8
   private val KmRounds = 3
+
+  /** q140 SRP-LSH: 4-bit signatures × 8 independent tables, top-5 for
+    * every 20th vector — tuned on the fixture (recall@5 ≈ 0.71 vs
+    * brute force; this corpus is nearly isotropic, so recall needs
+    * tables more than bits; a real embedding corpus with directional
+    * structure runs deeper signatures). The planes are deterministic
+    * (seeded LCG) and print exactly into the oracle. */
+  private val LshBits = 4
+  private val LshTables = 8
+  private val LshK = 5
+  private val LshQueryMod = 20
+  private val LshDims = 64
+  private lazy val LshPlanes =
+    operators.AnnSearch.srpPlanes(LshTables, LshBits, LshDims)
+
+  /** q141 SemDeDup cosine threshold (q26's corpus-calibrated 0.4). */
+  private val SemTau = 0.4
 
   /** q119's oracle: h₀=1, then per round an authority and a hub
     * normalized-propagation CTE pair — every multiply-referenced CTE
@@ -1758,7 +1798,15 @@ object SparkEntry {
     * assignment CTE (row_number ORDER BY the d2Sql-ordered fold, ties
     * on cid — KMeans.fit's least(struct) order) and, between
     * assignment rounds, an integer-sum centroid update. */
-  private def kmeansOracle: String = {
+  private def kmeansOracle: String =
+    s"""WITH $kmeansCteBody
+       |SELECT id AS vec_id, CAST(cid AS INTEGER) AS cluster
+       |FROM a$KmRounds""".stripMargin
+
+  /** The k-means CTE chain (seeds → Lloyd rounds), ending at
+    * `a$KmRounds (id, cid)` — shared by the q120 oracle and q141's
+    * cluster-scoped dedup. */
+  private def kmeansCteBody: String = {
     def d2(c: String) =
       s"list_sum(list_transform(list_zip(p.qv, $c.cv), " +
         "x -> (x[1] - x[2]) * (x[1] - x[2])))"
@@ -1781,7 +1829,7 @@ object SparkEntry {
            |    GROUP BY 1, 2)
            |  GROUP BY cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH p AS MATERIALIZED (SELECT vec_id AS id,
+    s"""p AS MATERIALIZED (SELECT vec_id AS id,
        |    list_transform(embedding,
        |      x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS qv
        |  FROM embeddings),
@@ -1789,9 +1837,65 @@ object SparkEntry {
        |    CAST(row_number() OVER (ORDER BY id) AS INTEGER) - 1 AS cid,
        |    qv AS cv
        |  FROM (SELECT id, qv FROM p ORDER BY id LIMIT $KmK)),
-       |$rounds
-       |SELECT id AS vec_id, CAST(cid AS INTEGER) AS cluster
-       |FROM a$KmRounds""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  /** q140's oracle: signatures from the PRINTED ±1 planes (list_zip
+    * fold — the d2Sql bit-parity precedent), per-table bucket
+    * self-joins unioned (set union = the cross-table pair dedup), exact
+    * cosine re-rank. */
+  private def lshOracle: String = {
+    def planeDot(p: Array[Double]) =
+      s"list_sum(list_transform(list_zip(embedding, " +
+        s"[${p.mkString(", ")}]), q -> CAST(q[1] AS DOUBLE) * q[2]))"
+    val bktCols = (0 until LshTables).map { tb =>
+      (0 until LshBits).map { bit =>
+        s"(CASE WHEN ${planeDot(LshPlanes(tb)(bit))} >= 0 " +
+          s"THEN ${1L << bit} ELSE 0 END)"
+      }.mkString("\n      + ") + s" AS bkt$tb"
+    }.mkString(",\n    ")
+    val unions = (0 until LshTables).map { tb =>
+      s"""  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM sig a JOIN sig b ON a.bkt$tb = b.bkt$tb
+         |  WHERE a.vec_id % $LshQueryMod = 0
+         |    AND a.vec_id <> b.vec_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    s"""WITH sig AS MATERIALIZED (SELECT vec_id, embedding,
+       |    ${bktCols}
+       |  FROM embeddings),
+       |pairs AS (
+       |$unions),
+       |scored AS (SELECT p.a_id, p.b_id,
+       |    ${dot("ea", "eb")}
+       |      / sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")}) AS cos
+       |  FROM pairs p
+       |  JOIN embeddings ea ON ea.vec_id = p.a_id
+       |  JOIN embeddings eb ON eb.vec_id = p.b_id)
+       |SELECT a_id AS vec_id, b_id AS nbr_id, CAST(rnk AS INTEGER) AS rnk
+       |FROM (SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+       |    ORDER BY cos DESC, b_id) AS rnk FROM scored) r
+       |WHERE rnk <= $LshK""".stripMargin
+  }
+
+  /** q141's oracle: the k-means chain, then the order-free smaller-id
+    * EXISTS drop rule on exact cosine (q26's dot style). */
+  private def semDedupOracle: String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    s"""WITH $kmeansCteBody,
+       |pe AS MATERIALIZED (SELECT a.id, a.cid, e.embedding
+       |  FROM a$KmRounds a JOIN embeddings e ON e.vec_id = a.id),
+       |drp AS (SELECT DISTINCT x.id FROM pe x JOIN pe y
+       |  ON x.cid = y.cid AND y.id < x.id
+       |  AND ${dot("x", "y")}
+       |    / sqrt(${dot("x", "x")} * ${dot("y", "y")}) >= $SemTau)
+       |SELECT pe.id AS vec_id, CAST(pe.cid AS INTEGER) AS cluster,
+       |  drp.id IS NULL AS kept
+       |FROM pe LEFT JOIN drp ON drp.id = pe.id""".stripMargin
   }
 
   /** q115 BM25: query terms and the standard (k1, b) — the doubles are
@@ -3528,6 +3632,10 @@ object SparkEntry {
         |  round(CAST(sum(term) AS DOUBLE) / CAST(min(n) AS DOUBLE), 6)
         |    AS mi_bits
         |FROM cell""".stripMargin,
+
+    "q140_ann_lsh" -> lshOracle,
+
+    "q141_semdedup" -> semDedupOracle,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,

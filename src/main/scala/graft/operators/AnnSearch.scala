@@ -443,4 +443,83 @@ object AnnSearch {
       .select(col("a_id"), col("p.id").as("nbr_id"),
         (col("pos") + 1).cast("int").as("rnk"))
   }
+
+  /** Deterministic Rademacher (±1) hyperplanes for sign-random-projection
+    * LSH (Charikar, STOC'02): `nTables × nBits` planes of `dims`
+    * components each, drawn from java.util.Random's spec-defined LCG in
+    * a FIXED iteration order (table → bit → dim). The same seed always
+    * yields the same planes on any JVM, and ±1.0 literals print exactly
+    * — so a SQL oracle embedding the printed planes computes the
+    * identical signatures. */
+  def srpPlanes(nTables: Int, nBits: Int, dims: Int,
+      seed: Long = 42L): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    require(nTables >= 1 && nBits >= 1 && nBits <= 62 && dims >= 1,
+      s"bad SRP shape: tables=$nTables bits=$nBits dims=$dims")
+    val rnd = new java.util.Random(seed)
+    IndexedSeq.fill(nTables)(IndexedSeq.fill(nBits)(
+      Array.fill(dims)(if (rnd.nextBoolean()) 1.0 else -1.0)))
+  }
+
+  /** One table's bucket id: bit b set iff `dot(vec, plane_b) ≥ 0`. The
+    * dot is the codegen'd left-to-right double fold ([[VectorExpressions
+    * .dotProduct]] against a literal plane) — bit-identical to a SQL
+    * `list_sum(list_transform(list_zip(...)))` over the same printed
+    * literals, so the ≥ 0 sign decision (and hence every bucket) agrees
+    * across engines exactly. */
+  private def srpBucket(vec: Column,
+      planes: IndexedSeq[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, b) =>
+      when(VectorExpressions.dotProduct(vec, typedlit(p.toSeq)) >= 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed cosine top-k — the BUCKETED scale path between brute
+    * force (exact, O(|Q|·|B|)) and IVF (centroid training): `nTables`
+    * independent sign-random-projection signatures bucket directionally
+    * similar vectors; candidates are the bucket-mates in ANY table;
+    * exact cosine re-ranks. No training pass, no collected state — the
+    * index is a pure per-row projection, so it streams (the property
+    * IVF lacks) and build-side updates need no re-clustering.
+    *
+    * Scale shape: signatures are row-local (narrow, codegen'd; the
+    * plan's only data-dependent cost). The candidate step is an
+    * EQUI-join on (table, bucket) — shuffle ∝ Σ_buckets |Q_b|·|B_b|,
+    * tuned by nBits (more bits → smaller buckets → fewer candidates,
+    * lower recall) and nTables (recall multiplier at proportional
+    * cost). The |Q|·|B| cross scan never exists. Pair dedup across
+    * tables and the per-query top-k are two bounded hash aggregates
+    * (TopKByScore heap — no per-query sort).
+    *
+    * Determinism: buckets are exact (see [[srpBucket]]); cosine is the
+    * hoisted-norm exact formula ([[bruteForceTopK]]); ties break by
+    * neighbor id. Result = brute-force ranking RESTRICTED to bucket
+    * mates — recall < 1 by construction (spec-measured), precision
+    * exact.
+    *
+    * @param queries (`a_id`, `a_v`); @param build (`b_id`, `b_v`)
+    * @param planes from [[srpPlanes]] — shared by both sides
+    * @return (`a_id`, `nbr_id`, `rnk`) — rnk 1..k by cosine desc, ties
+    *   by nbr_id; queries with no bucket-mates yield no rows. */
+  def lshTopK(queries: DataFrame, build: DataFrame, k: Int,
+      planes: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nTables = planes.length
+    def withSig(df: DataFrame, vecCol: String) = df.select(col("*"),
+      posexplode(array((0 until nTables).map(t =>
+        srpBucket(col(vecCol), planes(t))): _*)).as(Seq("tbl", "bkt")))
+    val qs = withSig(withNorm(queries, "a_v", "a_n"), "a_v")
+    val bs = withSig(withNorm(build, "b_v", "b_n"), "b_v")
+    qs.join(bs, Seq("tbl", "bkt"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), (-cosineCol).as("negcos"))
+      // a pair colliding in several tables re-derives the identical
+      // double — min() is pure dedup, not a numeric choice
+      .groupBy("a_id", "b_id").agg(min("negcos").as("negcos"))
+      .groupBy("a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("b_id"), col("negcos"), k)
+        .as("topk"))
+      .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("a_id"), col("p.id").as("nbr_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
 }

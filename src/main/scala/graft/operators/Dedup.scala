@@ -595,6 +595,53 @@ object Dedup {
       .filter(col("cos") >= minCos)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., 2023): embeddings are
+    * k-means-clustered first, then near-duplicate pruning runs ONLY
+    * within each cluster — the pairwise cosine work drops from O(n²)
+    * to O(Σ_c |c|²), which is what makes semantic dedup tractable on a
+    * web-scale corpus (the paper's setting; clusters are the unit of
+    * parallelism). Keep rule, deterministic and order-free: a row is
+    * dropped iff SOME SMALLER-id row of the same cluster sits within
+    * `minCos` — every duplicate neighborhood keeps exactly its minimal
+    * id (transitively: the chain's minimum survives, matching
+    * [[dupGroups]]' min-representative convention).
+    *
+    * Scale shape: the assignments join and the pairwise step shuffle by
+    * cluster id ONCE; within a cluster the pair scan is the hoisted-norm
+    * cosine (one fold per row, codegen'd per pair). The dominant cost —
+    * Σ|c|² — is controlled by k (more clusters → smaller quadratic
+    * blocks); skewed giant clusters are the known failure mode, so k
+    * should scale with corpus size (or recurse on oversized clusters).
+    *
+    * Determinism: cosine is the exact fixed-order fold on quantized-free
+    * raw vectors — identical in SQL — and the drop decision is a pure
+    * EXISTS, so the output is insensitive to partitioning and join
+    * order.
+    *
+    * @param points (`idCol`, `vecCol`); @param clusters (`idCol`,
+    *   `cluster`) — e.g. [[KMeans.fit]] output
+    * @return (`idCol`, `cluster`, `kept`) — every input row, flagged. */
+  def semDedup(points: DataFrame, idCol: String, vecCol: String,
+      clusters: DataFrame, minCos: Double): DataFrame = {
+    import graft.functions.VectorExpressions.dotProduct
+    val pts = points.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(clusters.select(col(idCol).as("id"), col("cluster")), "id")
+      .withColumn("n", dotProduct(col("v"), col("v")))
+    val a = pts.select(col("cluster"), col("id").as("a_id"),
+      col("v").as("a_v"), col("n").as("a_n"))
+    val b = pts.select(col("cluster"), col("id").as("b_id"),
+      col("v").as("b_v"), col("n").as("b_n"))
+    val cos = dotProduct(col("a_v"), col("b_v")) /
+      sqrt(col("a_n") * col("b_n"))
+    // ids with a smaller-id near-neighbor in their cluster: the drop set
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("b_id") < col("a_id") && cos >= minCos)
+      .select(col("a_id").as("id")).distinct()
+    pts.join(dropped.withColumn("hit", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        col("hit").isNull.as("kept"))
+  }
+
   /** SimHash 64-bit fingerprint per doc (Charikar's similarity hash, as
     * popularized for web-scale near-dup by Manku et al., WWW'07): sign of
     * the per-bit FREQUENCY-WEIGHTED sum of token hash bits (each token

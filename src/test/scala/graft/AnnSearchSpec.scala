@@ -198,4 +198,64 @@ class AnnSearchSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("srpPlanes: deterministic, right shape, ±1 components") {
+    val p1 = AnnSearch.srpPlanes(3, 6, 64)
+    val p2 = AnnSearch.srpPlanes(3, 6, 64)
+    assert(p1.length == 3 && p1.forall(_.length == 6) &&
+      p1.flatten.forall(_.length == 64))
+    assert(p1.flatten.map(_.toSeq) == p2.flatten.map(_.toSeq))
+    assert(p1.flatten.flatten.forall(v => v == 1.0 || v == -1.0))
+    // a different seed actually changes the planes
+    assert(p1.flatten.map(_.toSeq) !=
+      AnnSearch.srpPlanes(3, 6, 64, seed = 7L).flatten.map(_.toSeq))
+  }
+
+  test("lshTopK == brute-force ranking restricted to bucket mates") {
+    val planes = AnnSearch.srpPlanes(3, 6, 64)
+    val got = AnnSearch.lshTopK(q, b, 5, planes).collect()
+      .groupBy(_.getLong(0))
+      .map { case (a, rs) =>
+        a -> rs.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // the spec's independent signature: same fold order as DotProduct
+    def sig(v: Array[Float], tbl: Int): Long =
+      (0 until 6).map { bit =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i).toDouble * planes(tbl)(bit)(i); i += 1 }
+        if (acc >= 0) 1L << bit else 0L
+      }.sum
+    def cos(a: Array[Float], bb: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * bb(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += bb(i).toDouble * bb(i).toDouble
+        i += 1
+      }
+      dp / math.sqrt(na * nb)
+    }
+    val sigs = vecs.map { case (id, v) =>
+      id -> (0 until 3).map(sig(v, _)) }
+    for (aId <- vecs.keys.filter(_ < 30)) {
+      val cands = vecs.keys.filter(bId => bId != aId &&
+        (0 until 3).exists(tb => sigs(aId)(tb) == sigs(bId)(tb))).toSeq
+      val exp = cands.map(bId => (bId, cos(vecs(aId), vecs(bId))))
+        .sortBy { case (bId, c) => (-c, bId) }.take(5).map(_._1)
+      assert(got.getOrElse(aId, Seq.empty) == exp, s"query $aId")
+    }
+  }
+
+  test("lshTopK: useful recall vs exact at a fraction of the pair scan") {
+    // 8 tables × 4 bits — q140's production shape on this near-isotropic
+    // corpus (recall needs tables more than bits here)
+    val exact = AnnSearch.bruteForceTopK(q, b, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = AnnSearch
+      .lshTopK(q, b, 5, AnnSearch.srpPlanes(8, 4, 64)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"SRP-LSH recall@5 = $recall (8 tables, 4 bits)")
+  }
 }

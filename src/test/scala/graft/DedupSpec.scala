@@ -299,4 +299,59 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(got(1L) == 0L && got(2L) == 0L)
   }
+
+  test("semDedup == the smaller-id drop rule, scoped to clusters") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .persist()
+    val asg = graft.operators.KMeans.fit(emb, "vec_id", "embedding", 8, 3)
+    val got = Dedup.semDedup(emb, "vec_id", "embedding", asg, 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2)))
+      .toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cid = asg.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cos(a: Array[Float], bb: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * bb(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += bb(i).toDouble * bb(i).toDouble
+        i += 1
+      }
+      dp / math.sqrt(na * nb)
+    }
+    assert(got.size == vecs.size)
+    var drops = 0
+    for ((id, (c, kept)) <- got) {
+      assert(c == cid(id))
+      val expKept = !vecs.keys.exists(j => j < id && cid(j) == c &&
+        cos(vecs(id), vecs(j)) >= 0.4)
+      assert(kept == expKept, s"id $id")
+      if (!kept) drops += 1
+    }
+    assert(drops > 0, "fixture should drop at least one near-dup")
+    // each cluster's minimal id can never have a smaller-id neighbor
+    got.groupBy(_._2._1).foreach { case (_, rows) =>
+      assert(rows.minBy(_._1)._2._2, "cluster minimum must be kept")
+    }
+    emb.unpersist()
+  }
+
+  test("semDedup: cross-cluster near-dups survive (scoping contract)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pts = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), // same direction
+      (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val asg = Seq((1L, 0), (2L, 1), (3L, 1)).toDF("vec_id", "cluster")
+    val kept = Dedup.semDedup(pts, "vec_id", "embedding", asg, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // 1 and 2 are identical but in DIFFERENT clusters — both survive
+    assert(kept == Map(1L -> true, 2L -> true, 3L -> true))
+    val one = Seq((1L, 0), (2L, 0), (3L, 0)).toDF("vec_id", "cluster")
+    val kept2 = Dedup.semDedup(pts, "vec_id", "embedding", one, 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(kept2 == Map(1L -> true, 2L -> false, 3L -> true))
+  }
 }
