@@ -1713,7 +1713,39 @@ object SparkEntry {
       val asg = operators.KMeans.fit(e, "vec_id", "embedding", KmK, KmRounds)
       operators.Dedup.semDedup(e, "vec_id", "embedding", asg, SemTau)
     }),
+
+    // DSIR importance weights: hashed-bigram log-likelihood ratio of
+    // target (lang='en') vs raw corpus — the importance-resampling
+    // scorer; B-bucket profile broadcasts, text never shuffles
+    "q142_dsir" -> ((s, dir) =>
+      operators.Curation.dsirImportance(t(s, dir, "documents"), "doc_id",
+        "text", col("lang") === "en", n = 2, buckets = DsirBuckets)),
+
+    // Contrastive hard-negative mining: per query, top-k cosine among
+    // DIFFERENTLY-labeled embeddings (q16's exact kernel, label-pruned)
+    "q143_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
+          col("label").as("a_lab"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"),
+        col("label").as("b_lab"))
+      operators.AnnSearch
+        .bruteForceTopKWhere(q, b, 5, col("a_lab") =!= col("b_lab"))
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
+    // Per-doc n-gram novelty (first-occurrence attribution): the
+    // linear-cost dup screen — no pairwise join, one agg + one equi-join
+    "q144_ngram_novelty" -> ((s, dir) =>
+      operators.Dedup.noveltyReport(t(s, dir, "documents"), "doc_id",
+        "text", n = 3)),
   )
+
+  /** q142's feature-hash domain: 64 buckets keeps per-bucket counts in
+    * the hundreds at sf0.01 (smoothing stays negligible) while the λ
+    * table remains a broadcast literal at any corpus size. */
+  private val DsirBuckets = 64
 
   /** q138's lag horizon: one week of daily lags. */
   private val AcfMaxLag = 7
@@ -3636,6 +3668,64 @@ object SparkEntry {
     "q140_ann_lsh" -> lshOracle,
 
     "q141_semdedup" -> semDedupOracle,
+
+    "q142_dsir" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |g AS (SELECT doc_id,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS flag,
+         |    unnest(list_transform(range(len(ws) - 1),
+         |      i -> ws[i+1] || ' ' || ws[i+2])) AS gram
+         |  FROM w),
+         |dc AS (SELECT doc_id, flag,
+         |    CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) % $DsirBuckets
+         |      AS bkt,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM g GROUP BY 1, 2, 3),
+         |bs AS (SELECT bkt, CAST(sum(c) AS BIGINT) AS raw,
+         |    CAST(sum(c * flag) AS BIGINT) AS tgt
+         |  FROM dc GROUP BY 1),
+         |tt AS (SELECT CAST(sum(raw) AS BIGINT) AS nr,
+         |    CAST(sum(tgt) AS BIGINT) AS nt FROM bs),
+         |ll AS (SELECT bkt,
+         |    log2(CAST(CAST(tgt + 1 AS HUGEINT) * (nr + $DsirBuckets)
+         |           AS DOUBLE)
+         |      / CAST(CAST(raw + 1 AS HUGEINT) * (nt + $DsirBuckets)
+         |           AS DOUBLE)) AS lam
+         |  FROM bs CROSS JOIN tt)
+         |SELECT dc.doc_id, CAST(sum(dc.c) AS BIGINT) AS n_grams,
+         |  round(CAST(sum(CAST(round(CAST(dc.c AS DOUBLE) * ll.lam, 9)
+         |    AS DECIMAL(38,9))) AS DOUBLE), 6) AS logw_bits
+         |FROM dc JOIN ll USING (bkt) GROUP BY 1""".stripMargin,
+
+    "q143_hard_negatives" -> {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
+          "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      s"""SELECT vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk FROM (
+         |  SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY ${dot("a", "b")} / sqrt(${dot("a", "a")} * ${dot("b", "b")}) DESC,
+         |               b.vec_id) AS rnk
+         |  FROM embeddings a JOIN embeddings b ON a.label != b.label
+         |  WHERE a.vec_id < 50) r
+         |WHERE rnk <= 5""".stripMargin
+    },
+
+    "q144_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |         range(len(ws) - 2),
+        |         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))) AS s
+        |       FROM w),
+        |f AS (SELECT s, min(doc_id) AS fid FROM sh GROUP BY 1)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN f.fid = sh.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  round(CAST(sum(CASE WHEN f.fid = sh.doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS novelty
+        |FROM sh JOIN f USING (s) GROUP BY 1""".stripMargin,
 
     "q86_mad_outliers" ->
       """WITH o AS (SELECT o_orderpriority,

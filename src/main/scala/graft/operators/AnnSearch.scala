@@ -50,11 +50,25 @@ object AnnSearch {
     * @return (`a_id`, `nbr_id`, `rnk`) — rnk 1..k by cosine desc, ties by
     *         nbr_id. */
   def bruteForceTopK(queries: DataFrame, build: DataFrame, k: Int): DataFrame =
+    bruteForceTopKWhere(queries, build, k, col("a_id") =!= col("b_id"))
+
+  /** [[bruteForceTopK]] with a caller-supplied candidate predicate in
+    * place of the id-inequality — the contrastive-mining shape: with
+    * queries/build carrying a label column and
+    * `cond = col("a_lab") =!= col("b_lab")`, the top-k are each query's
+    * HARD NEGATIVES (most-similar differently-labeled rows). The
+    * predicate only ever prunes the candidate stream feeding the
+    * bounded heap — ranking and tie rules are unchanged.
+    * @param cond join predicate over the prefixed query (`a_*`) and
+    *   build (`b_*`) columns; must exclude self-pairs if both sides
+    *   share ids (a label-inequality does so for free). */
+  def bruteForceTopKWhere(queries: DataFrame, build: DataFrame, k: Int,
+      cond: org.apache.spark.sql.Column): DataFrame =
     // queries are the streamed side of the nested-loop candidate join —
     // repartition so the |Q|·|B| scan parallelizes even when the query
     // batch arrives as one small file/partition
     withNorm(queries.repartition(col("a_id")), "a_v", "a_n")
-      .join(withNorm(build, "b_v", "b_n"), col("a_id") =!= col("b_id"))
+      .join(withNorm(build, "b_v", "b_n"), cond)
       .select(col("a_id"), col("b_id"), (-cosineCol).as("negcos"))
       .groupBy("a_id")
       .agg(graft.functions.TopKByScore.topkMin(col("b_id"), col("negcos"), k)

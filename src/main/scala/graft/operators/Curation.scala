@@ -360,4 +360,73 @@ object Curation {
       .select((groupCols.map(col) :+ col(idCol) :+ col("weight") :+
         col("n_picks")): _*)
   }
+
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how much more likely its hashed n-gram
+    * profile is under the TARGET distribution (rows where `targetFlag`)
+    * than under the RAW corpus distribution. Per hash bucket b with
+    * add-one smoothing,
+    *   λ(b) = log₂((tgt_b+1)/(N_t+B)) − log₂((raw_b+1)/(N_r+B)),
+    * and a document's log importance weight is Σ_b c_d(b)·λ(b) over its
+    * own bucket counts — the feature-hashing trick collapses the open
+    * n-gram vocabulary to B fixed buckets, which is what makes the
+    * estimator one broadcast join at any corpus size.
+    *
+    * Order-safe transcendentals (the q139/mutualInfo discipline): λ is a
+    * single fixed-order double off exact integer counts (products widened
+    * to decimal first), each doc term c·λ is rounded to 9 decimals and
+    * summed as decimal(38,9) — exact, commutative, partitioning-proof.
+    *
+    * Scale shape (100 TB): the gram explode is narrow; ONE hash
+    * aggregate builds the (doc, bucket) count table, which is re-used
+    * for the B-row global bucket profile (second agg over far fewer
+    * rows) and the closing per-doc sum; the bucket profile and λ table
+    * broadcast (B rows). The corpus text is never shuffled — only
+    * (doc, bucket) pairs, bounded by docs × min(B, doc grams).
+    *
+    * Portable hashing: buckets come from the md5-based
+    * [[TextFunctions.portableHash60]] mod B so an external SQL engine
+    * reproduces the assignment bit-for-bit.
+    *
+    * @param targetFlag boolean column over `docs` selecting the target
+    *   domain (e.g. `col("lang") === "en"`)
+    * @return (`idCol`, n_grams, logw_bits) — positive logw_bits ⇒ doc
+    *   looks more target-like; resample ∝ exp(logw) downstream. Docs
+    *   shorter than `n` words have no grams and drop out. */
+  def dsirImportance(docs: DataFrame, idCol: String, textCol: String,
+      targetFlag: Column, n: Int, buckets: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    // persisted: the (doc, bucket) counts feed BOTH the corpus bucket
+    // profile and the final per-doc weight sum — uncached, the full-text
+    // gram explode would run twice (ContextCleaner lifecycle, as in
+    // negativeSample)
+    val docBuckets = docs
+      .select(col(idCol).as("id"), targetFlag.cast("int").as("flag"),
+        explode(TextFunctions.shinglesAll(col(textCol), n)).as("gram"))
+      .groupBy(col("id"), col("flag"),
+        pmod(TextFunctions.portableHash60(col("gram")), lit(buckets))
+          .as("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val bucketStats = docBuckets.groupBy("bkt")
+      .agg(sum(col("c")).as("raw"),
+        sum(col("c") * col("flag")).as("tgt"))
+    val totals = bucketStats
+      .agg(sum(col("raw")).as("nr"), sum(col("tgt")).as("nt"))
+    val lam = bucketStats.crossJoin(broadcast(totals))
+      .select(col("bkt"), log2(
+        ((col("tgt") + 1).cast("decimal(38,0)") * (col("nr") + buckets))
+          .cast("double") /
+        ((col("raw") + 1).cast("decimal(38,0)") * (col("nt") + buckets))
+          .cast("double")).as("lam"))
+    docBuckets.join(broadcast(lam), "bkt")
+      .groupBy(col("id").as(idCol))
+      .agg(sum(col("c")).cast("long").as("n_grams"),
+        sum(round(col("c").cast("double") * col("lam"), 9)
+          .cast("decimal(38,9)")).as("__w"))
+      .withColumn("logw_bits", round(col("__w").cast("double"), 6))
+      .drop("__w")
+  }
 }

@@ -175,6 +175,38 @@ object Dedup {
       .withColumn("is_survivor", col(idCol) === col("canonical_id"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's DISTINCT
+    * word-n-gram shingles whose globally FIRST occurrence (min doc id —
+    * deterministic, corpus order-free) is this document. High-novelty
+    * docs contribute new content; near-zero novelty marks trailing
+    * near-duplicates and template spam without any pairwise join — the
+    * streaming-corpus complement of [[jaccardJoin]].
+    *
+    * Scale shape (100 TB): the shingle explode is narrow; the
+    * first-occurrence pick is ONE hash aggregate on shingle text
+    * (min(id) — no window, no sort), and attribution is an equi-join
+    * back on the same shingle key feeding a per-doc count aggregate.
+    * Cost is linear in corpus gram volume, vs the similarity join's
+    * Σ df² — this is the pass you can ALWAYS afford.
+    *
+    * @return (`idCol`, n_shingles, n_novel, novelty = n_novel/n_shingles
+    *   rounded to 6) — docs shorter than `n` words have no shingles and
+    *   drop out. */
+  def noveltyReport(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    // persisted: the shingle table feeds both the first-occurrence
+    // aggregate and the attribution join probe (dedupSegments lifecycle)
+    val sh = shingleTable(docs, idCol, textCol, n).persist()
+    val firsts = sh.groupBy("shingle").agg(min(col("id")).as("first_id"))
+    sh.join(firsts, "shingle")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Distinct word-n-gram set of a corpus: (`shingle`). */
   private def distinctGrams(docs: DataFrame, textCol: String,
       n: Int): DataFrame =

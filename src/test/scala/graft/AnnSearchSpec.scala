@@ -38,6 +38,42 @@ class AnnSearchSpec extends SparkSpec {
     }
   }
 
+  test("bruteForceTopKWhere: label-pruned == scala hard negatives") {
+    val lq = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_v"),
+        col("label").as("a_lab"))
+    val lb = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_v"),
+      col("label").as("b_lab"))
+    val got = AnnSearch
+      .bruteForceTopKWhere(lq, lb, 5, col("a_lab") =!= col("b_lab"))
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val rows = emb.collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Float](1).toArray, r.getInt(2)))
+      .toMap
+    def cos(a: Array[Float], bb: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * bb(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += bb(i).toDouble * bb(i).toDouble
+        i += 1
+      }
+      dp / math.sqrt(na * nb)
+    }
+    for (aId <- rows.keys.filter(_ < 30)) {
+      val (av, alab) = rows(aId)
+      val exp = rows.toSeq.collect { case (bId, (bv, blab)) if blab != alab =>
+        (bId, cos(av, bv))
+      }.sortBy { case (bId, c) => (-c, bId) }.take(5).map(_._1)
+      assert(exp.nonEmpty, "fixture must contain >1 label")
+      exp.zipWithIndex.foreach { case (bId, i) =>
+        assert(got((aId, i + 1)) == bId, s"query $aId rank ${i + 1}")
+        // a hard negative never shares the query's label
+        assert(rows(bId)._2 != alab, s"label leak at query $aId")
+      }
+    }
+  }
+
   test("ivfTopK: high recall vs exact, far fewer candidates") {
     val exact = AnnSearch.bruteForceTopK(q, b, 5).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -283,6 +283,56 @@ class CurationSpec extends SparkSpec {
     assert(got.size == 1) // proportional sampling: uniform keep rate
   }
 
+  test("dsirImportance == scala reimplementation; separates target domain") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val B = 16
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Curation.dsirImportance(d, "doc_id", "text", col("lang") === "en",
+          n = 2, buckets = B)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+    val got = run(docs)
+    // physical partitioning must not change a single weight (decimal-sum
+    // order independence)
+    assert(got == run(docs.repartition(7)))
+    // independent reimplementation: jdk md5 buckets, double λ, BigDecimal
+    // 9-scale term sum — the operator's exact numeric contract
+    def bucket(g: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % B).toInt
+    }
+    val perDoc = docs.select("doc_id", "lang", "text").collect().map { r =>
+      val grams = r.getString(2).split(" ", -1).sliding(2)
+        .filter(_.length == 2).map(_.mkString(" ")).toSeq
+      (r.getLong(0), r.getString(1) == "en",
+        grams.groupBy(bucket).view.mapValues(_.size.toLong).toMap)
+    }
+    val raw = Array.fill(B)(0L); val tgt = Array.fill(B)(0L)
+    perDoc.foreach { case (_, f, m) => m.foreach { case (b, c) =>
+      raw(b) += c; if (f) tgt(b) += c } }
+    val nr = raw.sum; val nt = tgt.sum
+    assert(nt > 0 && nt < nr, "fixture needs en and non-en docs")
+    val lam = Array.tabulate(B)(b =>
+      math.log((tgt(b) + 1).toDouble * (nr + B) /
+        ((raw(b) + 1).toDouble * (nt + B))) / math.log(2.0))
+    perDoc.filter(_._3.nonEmpty).foreach { case (id, _, m) =>
+      val (n, w) = got(id)
+      assert(n == m.values.sum, s"doc $id n_grams")
+      val exp = m.map { case (b, c) =>
+        BigDecimal(c * lam(b)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(math.abs(w - exp) < 2e-6, s"doc $id: got $w want $exp")
+    }
+    // the scorer separates the domains: mean weight of target docs
+    // strictly above the rest (that is the whole point of DSIR)
+    val byFlag = perDoc.filter(_._3.nonEmpty)
+      .groupBy(_._2).view.mapValues(ds =>
+        ds.map(d => got(d._1)._2).sum / ds.size).toMap
+    assert(byFlag(true) > byFlag(false),
+      s"en mean ${byFlag(true)} must exceed non-en ${byFlag(false)}")
+  }
+
   test("temperatureMix rejects clashing columns and bad parameters") {
     val bad = spark.createDataFrame(Seq((1L, "a", 2L)))
       .toDF("id", "src", "budget")

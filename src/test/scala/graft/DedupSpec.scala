@@ -209,6 +209,34 @@ class DedupSpec extends SparkSpec {
       3L -> ((0L, false)), 4L -> ((0L, false))))
   }
 
+  test("noveltyReport == scala first-occurrence attribution") {
+    val got = Dedup.noveltyReport(docs, "doc_id", "text", 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val sets = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet)
+      .toMap
+    val firstOwner = sets.toSeq.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupMapReduce(_._1)(_._2)(math.min)
+    assert(got.keySet == sets.filter(_._2.nonEmpty).keySet)
+    for ((id, ss) <- sets if ss.nonEmpty) {
+      val novel = ss.count(firstOwner(_) == id)
+      val (n, nv, ratio) = got(id)
+      assert(n == ss.size, s"doc $id n_shingles")
+      assert(nv == novel, s"doc $id n_novel")
+      assert(math.abs(ratio - novel.toDouble / ss.size) < 1e-6)
+    }
+    // the min-id doc of any duplicated shingle owns it; later docs don't
+    val dup = spark.createDataFrame(Seq(
+      (10L, "a b c d"), (20L, "a b c z"), (30L, "a b c d")))
+      .toDF("doc_id", "text")
+    val r = Dedup.noveltyReport(dup, "doc_id", "text", 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r == Map(10L -> 2L, 20L -> 1L, 30L -> 0L))
+  }
+
   test("dupGroups closes pairs transitively with a min-id canonical") {
     val pairs = spark.createDataFrame(Seq(
       (2L, 5L), (5L, 9L),   // chain: {2,5,9} -> canonical 2
