@@ -1740,12 +1740,71 @@ object SparkEntry {
     "q144_ngram_novelty" -> ((s, dir) =>
       operators.Dedup.noveltyReport(t(s, dir, "documents"), "doc_id",
         "text", n = 3)),
+
+    // Gopher/C4-style rule report: per-doc quality flags with REASONS
+    // (length band, mean word length band, top-word dominance, stopword
+    // presence) — every compare is integer cross-multiplied, so the
+    // keep decision is bit-exact cross-engine. Complements q13's ratio
+    // scores: filters need the per-rule bitmask to audit WHY a doc died.
+    // The dominance rule is the only shuffle (per-(doc,word) count,
+    // max-reduced per doc); the rest is row-local arithmetic.
+    "q145_gopher_rules" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ws = TextFunctions.tokens(col("text"))
+      val base = docs.select(col("doc_id"), col("text"),
+        size(ws).cast("long").as("n_words"),
+        size(array_intersect(array_distinct(ws),
+          array(TextFunctions.langLexica.head._2.map(lit): _*)))
+          .cast("long").as("stop_kinds"))
+      val topFreq = docs
+        .select(col("doc_id"), explode(ws).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top_freq"))
+      base.join(topFreq, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("top_freq"),
+          col("n_words").between(GoMinWords, GoMaxWords).as("r_len"),
+          // mean word length in [3,10]: word chars = len − (n−1) spaces
+          ((length(col("text")) - col("n_words") + 1) >=
+            col("n_words") * 3 &&
+           (length(col("text")) - col("n_words") + 1) <=
+            col("n_words") * 10).as("r_wordlen"),
+          (col("top_freq") * 5 <= col("n_words")).as("r_dominance"),
+          (col("stop_kinds") >= 2).as("r_stopword"))
+        .withColumn("keep", col("r_len") && col("r_wordlen") &&
+          col("r_dominance") && col("r_stopword"))
+    }),
+
+    // Tokenizer fertility report per (lang, source): subword-per-word
+    // and chars-per-subword off ONE scan — the corpus-planning view
+    // (which shards inflate the token budget) over exact integer sums
+    "q146_fertility" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("lang"), col("source"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("nw"),
+          size(TextFunctions.bpeTokens(col("text"))).cast("long")
+            .as("nb"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nw")).cast("long").as("n_words"),
+          sum(col("nb")).cast("long").as("n_subwords"),
+          sum(col("nc")).cast("long").as("n_chars"))
+        .withColumn("fertility",
+          round(col("n_subwords").cast("double") / col("n_words"), 6))
+        .withColumn("chars_per_subword",
+          round(col("n_chars").cast("double") / col("n_subwords"), 6))),
   )
 
   /** q142's feature-hash domain: 64 buckets keeps per-bucket counts in
     * the hundreds at sf0.01 (smoothing stays negligible) while the λ
     * table remains a broadcast literal at any corpus size. */
   private val DsirBuckets = 64
+
+  /** q145's length band — Gopher's 50..100k word rule, upper bound
+    * tightened to the fixture's ≤ ~1000-word docs so BOTH outcomes
+    * occur at sf0.01. */
+  private val GoMinWords = 50
+  private val GoMaxWords = 1000
 
   /** q138's lag horizon: one week of daily lags. */
   private val AcfMaxLag = 7
@@ -3711,6 +3770,51 @@ object SparkEntry {
          |  WHERE a.vec_id < 50) r
          |WHERE rnk <= 5""".stripMargin
     },
+
+    "q145_gopher_rules" -> {
+      val stops = TextFunctions.langLexica.head._2
+        .map(w => s"'$w'").mkString(",")
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(len(list_intersect(list_distinct(ws), [$stops]))
+         |      AS BIGINT) AS stop_kinds,
+         |    CAST(len(text) AS BIGINT) AS n_chars
+         |  FROM w),
+         |tf AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_freq FROM (
+         |    SELECT doc_id, wd, count(*) AS c FROM (
+         |      SELECT doc_id, unnest(ws) AS wd FROM w) u GROUP BY 1, 2) g
+         |  GROUP BY 1)
+         |SELECT b.doc_id, b.n_words, t.top_freq,
+         |  b.n_words BETWEEN $GoMinWords AND $GoMaxWords AS r_len,
+         |  (b.n_chars - b.n_words + 1) >= b.n_words * 3
+         |    AND (b.n_chars - b.n_words + 1) <= b.n_words * 10
+         |    AS r_wordlen,
+         |  t.top_freq * 5 <= b.n_words AS r_dominance,
+         |  b.stop_kinds >= 2 AS r_stopword,
+         |  (b.n_words BETWEEN $GoMinWords AND $GoMaxWords)
+         |    AND (b.n_chars - b.n_words + 1) >= b.n_words * 3
+         |    AND (b.n_chars - b.n_words + 1) <= b.n_words * 10
+         |    AND t.top_freq * 5 <= b.n_words
+         |    AND b.stop_kinds >= 2 AS keep
+         |FROM base b JOIN tf t USING (doc_id)""".stripMargin
+    },
+
+    "q146_fertility" ->
+      s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+         |  CAST(sum(len(regexp_extract_all(text,
+         |    '${TextFunctions.BpePattern}'))) AS BIGINT) AS n_subwords,
+         |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+         |  round(CAST(sum(len(regexp_extract_all(text,
+         |      '${TextFunctions.BpePattern}'))) AS DOUBLE)
+         |    / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6)
+         |    AS fertility,
+         |  round(CAST(sum(len(text)) AS DOUBLE)
+         |    / CAST(sum(len(regexp_extract_all(text,
+         |      '${TextFunctions.BpePattern}'))) AS DOUBLE), 6)
+         |    AS chars_per_subword
+         |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "q144_ngram_novelty" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

@@ -427,6 +427,37 @@ class PlanQualitySpec extends SparkSpec {
     df.sparkSession.sharedState.cacheManager.clearCache()
   }
 
+  test("q142 DSIR: profile joins broadcast; no sort-merge anywhere") {
+    // the B-row λ table (and the 1-row totals) must come back as
+    // broadcast joins — at 100 TB the (doc, bucket) table shuffles
+    // ONCE for its aggregate and is never re-shuffled for a join
+    val p = plan(SparkEntry.queries("q142_dsir")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"λ join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"DSIR should never shuffle a join side:\n$p")
+    assert(p.contains("shingles("), s"native gram kernel missing:\n$p")
+  }
+
+  test("q144 novelty: first-occurrence pick is an aggregate, no window") {
+    // min(id) per shingle must stay a partial+final hash aggregate —
+    // a row_number window here would force a per-shingle sort of the
+    // whole gram table
+    val p = plan(SparkEntry.queries("q144_ngram_novelty")(spark, sf))
+    assert(!p.contains("Window"), s"novelty should not use a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"attribution join degenerated:\n$p")
+  }
+
+  test("q146 fertility: one aggregate exchange, no join, pruned scan") {
+    val p = plan(SparkEntry.queries("q146_fertility")(spark, sf))
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"fertility should shuffle exactly once:\n$p")
+    assert(!p.contains("Join"), s"fertility needs no join:\n$p")
+    assert(!p.contains("doc_id"), s"scan reads pruned columns:\n$p")
+  }
+
   test("q138 acf: ONE equi-join for all lags, explode feeds the join") {
     val df = SparkEntry.queries("q138_acf")(spark, sf)
     val p = plan(df)
