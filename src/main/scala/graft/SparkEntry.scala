@@ -1793,7 +1793,26 @@ object SparkEntry {
           round(col("n_subwords").cast("double") / col("n_words"), 6))
         .withColumn("chars_per_subword",
           round(col("n_chars").cast("double") / col("n_subwords"), 6))),
+
+    // Nearest-centroid confusion matrix over the labeled embeddings —
+    // the label-separability probe; quantized components + decimal
+    // distance terms keep the whole matrix oracle-exact
+    "q147_centroid_classify" -> ((s, dir) =>
+      operators.Stats.nearestCentroid(t(s, dir, "embeddings"), "vec_id",
+        "embedding", "label")),
+
+    // Johnson–Lindenstrauss 64→16 sign projection (exploded scalar
+    // layout) — integer-exact ±1 dots, k=16 so 1/√k is exact
+    "q148_jl_project" -> ((s, dir) =>
+      operators.AnnSearch.jlProject(t(s, dir, "embeddings"), "vec_id",
+        "embedding", JlPlanes)),
   )
+
+  /** q148's projection width: 16 keeps √k exact (=4) so the closing
+    * scale is one exact double literal in both engines. */
+  private val JlComps = 16
+  private lazy val JlPlanes =
+    operators.AnnSearch.srpPlanes(1, JlComps, LshDims)(0)
 
   /** q142's feature-hash domain: 64 buckets keeps per-bucket counts in
     * the hundreds at sf0.01 (smoothing stays negligible) while the λ
@@ -1935,6 +1954,27 @@ object SparkEntry {
     * fold — the d2Sql bit-parity precedent), per-table bucket
     * self-joins unioned (set union = the cross-table pair dedup), exact
     * cosine re-rank. */
+  /** q148's oracle: the SAME ±1 planes printed as list literals, the
+    * same round(v·1e6) quantization, exact integer dots, one printed
+    * double divisor — bit-identical projections. */
+  private def jlOracle: String = {
+    val lists = JlPlanes.zipWithIndex.map { case (p, c) =>
+      s"($c, [${p.map(_.toInt).mkString(",")}])"
+    }.mkString(",\n    ")
+    val denom = math.sqrt(JlComps.toDouble) * 1e6
+    s"""WITH planes AS (SELECT comp, CAST(i AS INTEGER) AS pos,
+       |    l[i+1] AS sign
+       |  FROM (VALUES
+       |    $lists) t(comp, l), unnest(range(len(l))) AS r(i)),
+       |pe AS (SELECT vec_id, CAST(i AS INTEGER) AS pos,
+       |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000)
+       |      AS BIGINT) AS vq
+       |  FROM embeddings, unnest(range(len(embedding))) AS r(i))
+       |SELECT vec_id, comp, CAST(sum(sign * vq) AS DOUBLE)
+       |    / CAST($denom AS DOUBLE) AS proj
+       |FROM pe JOIN planes USING (pos) GROUP BY 1, 2""".stripMargin
+  }
+
   private def lshOracle: String = {
     def planeDot(p: Array[Double]) =
       s"list_sum(list_transform(list_zip(embedding, " +
@@ -3770,6 +3810,30 @@ object SparkEntry {
          |  WHERE a.vec_id < 50) r
          |WHERE rnk <= 5""".stripMargin
     },
+
+    "q148_jl_project" -> jlOracle,
+
+    "q147_centroid_classify" ->
+      """WITH pe AS MATERIALIZED (SELECT vec_id AS id, label,
+        |    CAST(i AS INTEGER) AS pos,
+        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000)
+        |      AS BIGINT) AS vq
+        |  FROM embeddings, unnest(range(len(embedding))) AS r(i)),
+        |cents AS (SELECT label AS clabel, pos,
+        |    CAST(sum(vq) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c
+        |  FROM pe GROUP BY 1, 2),
+        |d2 AS (SELECT pe.id, pe.label, c.clabel,
+        |    round(CAST(sum(CAST(round(
+        |        (CAST(pe.vq AS DOUBLE) / 1000000.0 - c.c)
+        |        * (CAST(pe.vq AS DOUBLE) / 1000000.0 - c.c), 12)
+        |      AS DECIMAL(38,12))) AS DOUBLE), 6) AS d2
+        |  FROM pe JOIN cents c USING (pos) GROUP BY 1, 2, 3),
+        |best AS (SELECT id, label, clabel AS pred,
+        |    row_number() OVER (PARTITION BY id ORDER BY d2, clabel)
+        |      AS rn FROM d2)
+        |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+        |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
 
     "q145_gopher_rules" -> {
       val stops = TextFunctions.langLexica.head._2

@@ -465,6 +465,52 @@ object AnnSearch {
     * yields the same planes on any JVM, and ±1.0 literals print exactly
     * — so a SQL oracle embedding the printed planes computes the
     * identical signatures. */
+  /** Johnson–Lindenstrauss sign projection: reduce every vector to
+    * `planes.length` components via ±1 hyperplanes scaled by 1/√k —
+    * the Achlioptas (2003) database-friendly JL variant. Distances are
+    * preserved in expectation (ε-distortion bounds from the JL lemma),
+    * so downstream ANN / clustering / dedup run on k dims instead of d.
+    *
+    * Exactness: components quantize to round(v·1e6) longs, the ±1 dot
+    * products are exact integer sums (order-free), and the single
+    * closing division by √k·1e6 is one double op — bit-reproducible in
+    * any engine from the same printed plane literals. The quotient is
+    * emitted UNROUNDED: it is a deterministic function of exact
+    * integers, and decimal rounding would reintroduce engine-dependent
+    * half-case behavior on quotients that land exactly between two
+    * rounded values (S ≡ 2 mod 4 under k = 16 puts the true value at
+    * .5 µ-units — observed on the fixture).
+    *
+    * Scale shape: one narrow position explode, a broadcast equi-join
+    * with the k×d plane table, one (id, comp) hash aggregate — vectors
+    * shuffle once as (id, pos) terms; output is k rows per vector
+    * (exploded, scalar columns — parquet/oracle friendly).
+    *
+    * @param planes k sign rows of length d (±1.0), e.g.
+    *   `srpPlanes(1, k, d)(0)`
+    * @return (`idCol`, comp 0..k-1, proj — rounded to 6). */
+  def jlProject(emb: DataFrame, idCol: String, vecCol: String,
+      planes: IndexedSeq[Array[Double]]): DataFrame = {
+    val k = planes.length
+    require(k >= 1, "need at least one plane")
+    require(planes.forall(_.forall(s => s == 1.0 || s == -1.0)),
+      "JL sign planes must be +1/-1")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val pl = planes.zipWithIndex.flatMap { case (p, c) =>
+      p.zipWithIndex.map { case (s, i) => (c, i, s.toLong) }
+    }.toDF("comp", "pos", "sign")
+    val denom = math.sqrt(k.toDouble) * 1e6
+    emb.select(col(idCol), posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("pos", "v")))
+      .select(col(idCol), col("pos"),
+        round(col("v") * 1e6).cast("long").as("vq"))
+      .join(broadcast(pl), "pos")
+      .groupBy(col(idCol), col("comp"))
+      .agg((sum(col("sign") * col("vq")).cast("double") / lit(denom))
+        .as("proj"))
+  }
+
   def srpPlanes(nTables: Int, nBits: Int, dims: Int,
       seed: Long = 42L): IndexedSeq[IndexedSeq[Array[Double]]] = {
     require(nTables >= 1 && nBits >= 1 && nBits <= 62 && dims >= 1,

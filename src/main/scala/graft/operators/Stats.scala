@@ -439,4 +439,53 @@ object Stats {
       i <- names.indices
       j <- (i + 1) until names.size
     } yield (names(i), names(j))
+
+  /** Nearest-centroid classification report over a labeled embedding
+    * table: fit per-label mean centroids, assign every vector to its
+    * closest centroid (squared L2), and return the confusion matrix —
+    * the cheapest "are these embeddings linearly separable by label"
+    * probe, and the evaluation twin of [[KMeans]] (fixed centroids =
+    * one Lloyd assignment step).
+    *
+    * Exactness: components quantize to round(v·1e6) longs, so the
+    * per-(label, pos) sums are exact integers and each centroid
+    * component is ONE double division; per-position distance terms are
+    * rounded to 12 decimals and summed as decimal(38,12) (order-free),
+    * and the argmin orders by (round(d2, 6), label) — knife-edge ties
+    * break identically in any engine.
+    *
+    * Scale shape: the position explode feeds one (label, pos) hash
+    * aggregate (tiny output: labels × dims — broadcasts back), the
+    * distance probe is a broadcast equi-join on pos followed by one
+    * (id, label) aggregate, and the argmin + confusion rollup
+    * re-aggregate that. Vectors shuffle once, as (id, pos) terms; no
+    * driver-side centroid collect, no literal-expression codegen blowup
+    * at high label × dim counts.
+    *
+    * @return (label, pred, n) — true label, predicted label, count. */
+  def nearestCentroid(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    // the exploded (id, label, pos, vq) table feeds both the centroid
+    // fit and the distance probe — persist or the vector scan runs twice
+    val pe = emb.select(col(idCol).as("id"),
+        col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .select(col("id"), col("label"), col("pos"),
+        round(col("v") * 1e6).cast("long").as("vq"))
+      .persist()
+    val cents = pe.groupBy(col("label").as("clabel"), col("pos"))
+      .agg((sum(col("vq")).cast("double") /
+        (count(lit(1)).cast("double") * 1e6)).as("c"))
+    // explicit diff*diff, never pow(x, 2) — Math.pow is not guaranteed
+    // bit-identical to multiplication across engines
+    val diff = col("vq").cast("double") / lit(1e6) - col("c")
+    val term = round(diff * diff, 12).cast("decimal(38,12)")
+    val d2 = pe.join(broadcast(cents), "pos")
+      .groupBy(col("id"), col("label"), col("clabel"))
+      .agg(round(sum(term).cast("double"), 6).as("d2"))
+    d2.groupBy(col("id"), col("label"))
+      .agg(min(struct(col("d2"), col("clabel"))).as("best"))
+      .groupBy(col("label"), col("best.clabel").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -235,6 +235,45 @@ class AnnSearchSpec extends SparkSpec {
     }
   }
 
+  test("jlProject == scala quantized sign dots; distances roughly kept") {
+    val planes = AnnSearch.srpPlanes(1, 16, 64)(0)
+    val got = AnnSearch.jlProject(emb, "vec_id", "embedding", planes)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(got.size == vecs.size * 16)
+    // exact reimplementation: round(v*1e6) longs, ±1 sums, /4e6
+    for ((id, v) <- vecs; c <- 0 until 16) {
+      val s = v.indices.map(i =>
+        planes(c)(i).toLong * math.round(v(i).toDouble * 1e6)).sum
+      assert(got((id, c)) == s.toDouble / 4e6, s"vec $id comp $c")
+    }
+    // JL sanity: projected L2 correlates with original L2 over a sample
+    val ids = vecs.keys.toSeq.sorted.take(20)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    val pairs = for (i <- ids.indices; j <- (i + 1) until ids.size)
+      yield (ids(i), ids(j))
+    // the JL guarantee is RATIO concentration (E[proj d²] = orig d²,
+    // variance ~1/k), not rank correlation — on a corpus whose pairwise
+    // distances all sit in a narrow band, correlation is meaningless
+    val ratios = pairs.map { case (a, b) =>
+      d2((0 until 16).map(c => got((a, c))).toArray,
+        (0 until 16).map(c => got((b, c))).toArray) /
+        d2(vecs(a).map(_.toDouble), vecs(b).map(_.toDouble))
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"distance scale drifted: $mean")
+    val within2x = ratios.count(r => r > 0.5 && r < 2.0).toDouble
+    assert(within2x / ratios.size > 0.8,
+      s"only ${within2x / ratios.size} of pairs within 2x distortion")
+    intercept[IllegalArgumentException] {
+      AnnSearch.jlProject(emb, "vec_id", "embedding",
+        IndexedSeq(Array(0.5, 1.0)))
+    }
+  }
+
   test("srpPlanes: deterministic, right shape, ±1 components") {
     val p1 = AnnSearch.srpPlanes(3, 6, 64)
     val p2 = AnnSearch.srpPlanes(3, 6, 64)

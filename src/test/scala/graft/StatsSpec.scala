@@ -387,4 +387,32 @@ class StatsSpec extends SparkSpec {
       Stats.weightedMedian(df, Seq.empty, col("v"), col("w"))
     }
   }
+
+  test("nearestCentroid: separable clusters give a diagonal confusion " +
+      "matrix; overlap misclassifies; partitioning-invariant") {
+    // two tight clusters around (0,0) and (10,10); one label-1 point
+    // sits AT the label-0 centroid and must be claimed by label 0
+    val rows = Seq(
+      (1L, Seq(0.1f, 0.0f), 0), (2L, Seq(-0.1f, 0.1f), 0),
+      (3L, Seq(0.0f, -0.1f), 0),
+      (4L, Seq(10.1f, 10.0f), 1), (5L, Seq(9.9f, 10.1f), 1),
+      (6L, Seq(0.0f, 0.0f), 1))
+    val df = spark.createDataFrame(rows).toDF("id", "vec", "label")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.nearestCentroid(d, "id", "vec", "label")
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+        .toMap
+    val got = run(df)
+    assert(got == Map((0, 0) -> 3L, (1, 1) -> 2L, (1, 0) -> 1L), got)
+    assert(got == run(df.repartition(7)), "partitioning changed the matrix")
+    // the fixture embeddings are label-informative: diagonal mass must
+    // beat uniform chance (10 labels -> 10%)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = Stats.nearestCentroid(emb, "vec_id", "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val total = m.values.sum
+    val diag = m.collect { case ((a, b), n) if a == b => n }.sum
+    assert(diag.toDouble / total > 0.2,
+      s"centroid accuracy ${diag.toDouble / total} not above chance")
+  }
 }
