@@ -3826,8 +3826,9 @@ object SparkEntry {
         |d2 AS (SELECT pe.id, pe.label, c.clabel,
         |    round(CAST(sum(CAST(round(
         |        (CAST(pe.vq AS DOUBLE) / 1000000.0 - c.c)
-        |        * (CAST(pe.vq AS DOUBLE) / 1000000.0 - c.c), 12)
-        |      AS DECIMAL(38,12))) AS DOUBLE), 6) AS d2
+        |        * (CAST(pe.vq AS DOUBLE) / 1000000.0 - c.c)
+        |        * 1000000000000.0) AS BIGINT))
+        |      AS DOUBLE) / 1000000000000.0, 6) AS d2
         |  FROM pe JOIN cents c USING (pos) GROUP BY 1, 2, 3),
         |best AS (SELECT id, label, clabel AS pred,
         |    row_number() OVER (PARTITION BY id ORDER BY d2, clabel)

@@ -450,9 +450,12 @@ object Stats {
     * Exactness: components quantize to round(v·1e6) longs, so the
     * per-(label, pos) sums are exact integers and each centroid
     * component is ONE double division; per-position distance terms are
-    * rounded to 12 decimals and summed as decimal(38,12) (order-free),
-    * and the argmin orders by (round(d2, 6), label) — knife-edge ties
-    * break identically in any engine.
+    * quantized to round(diff²·1e12) longs and summed as exact integers
+    * (order-free; components ≲ 1 keep the picometer-scaled sum far
+    * inside long range — and far faster than a decimal sum, which
+    * Spark runs on BigDecimal above 18 digits of precision), and the
+    * argmin orders by (round(d2, 6), label) — knife-edge ties break
+    * identically in any engine.
     *
     * Scale shape: the position explode feeds one (label, pos) hash
     * aggregate (tiny output: labels × dims — broadcasts back), the
@@ -479,10 +482,10 @@ object Stats {
     // explicit diff*diff, never pow(x, 2) — Math.pow is not guaranteed
     // bit-identical to multiplication across engines
     val diff = col("vq").cast("double") / lit(1e6) - col("c")
-    val term = round(diff * diff, 12).cast("decimal(38,12)")
+    val term = round(diff * diff * lit(1e12)).cast("long")
     val d2 = pe.join(broadcast(cents), "pos")
       .groupBy(col("id"), col("label"), col("clabel"))
-      .agg(round(sum(term).cast("double"), 6).as("d2"))
+      .agg(round(sum(term).cast("double") / lit(1e12), 6).as("d2"))
     d2.groupBy(col("id"), col("label"))
       .agg(min(struct(col("d2"), col("clabel"))).as("best"))
       .groupBy(col("label"), col("best.clabel").as("pred"))
