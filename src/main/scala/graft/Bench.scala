@@ -44,6 +44,21 @@ object Bench {
       "dbscan_clus50k_dist" ->
         dbscanBin("/root/reference/clus50k.bin", 25.0, 5, localThreshold = 0L),
     )
+    // scale evidence: the same forced-distributed pipeline at 8x the
+    // reference's largest dataset (500k x 5-d, generated in-engine) —
+    // the regime where the ε-join + CC loop dominate and local-mode
+    // job-count overhead stops mattering. Timed with ONE rep (~25 s):
+    // min-of-reps exists to strip codegen warmup, which is noise at
+    // this duration, and a second rep would double the round's bill.
+    val singleRepDiagnostics: Seq[(String, SparkSession => DataFrame)] = Seq(
+      // 5-d keeps the planted clusters connected at a modest ε-degree
+      // (~13): 74 recovered clusters holding ~95% of the mass; 10-d at
+      // the same pair budget fragments (high-d RGG percolation needs
+      // degree beyond what a per-round bench should pay for)
+      "dbscan_synth500k" -> (s =>
+        Workloads.dbscanSynth(s, 500_000L, k = 25, dims = 5,
+          eps = 1.0, minPts = 5)),
+    )
 
     // min over reps, like the reference harness's repeated runs
     // (`manyTests.py:25-106` runs each config 10x) — strips JIT/codegen
@@ -52,8 +67,8 @@ object Bench {
     // a query that throws on EVERY rep reports -1 (and joins "failed"), not
     // the min of fast-fail timings; a query with >=1 clean rep reports the
     // min over the clean reps only
-    def time(name: String, run: () => Unit): Double = {
-      val clean = (0 until reps).flatMap { _ =>
+    def timeN(name: String, run: () => Unit, n: Int): Double = {
+      val clean = (0 until n).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(); true } catch {
           case e: Throwable =>
@@ -64,6 +79,7 @@ object Bench {
       }
       if (clean.isEmpty) -1.0 else clean.min
     }
+    def time(name: String, run: () => Unit): Double = timeN(name, run, reps)
     // comma-separated substring filter for focused iteration, e.g.
     // SPARK_GRAFT_BENCH_ONLY=q9,q10 — unset runs everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -102,9 +118,10 @@ object Bench {
         spark.catalog.clearCache()
         r
       }
-    def runRef(bench: Seq[(String, SparkSession => DataFrame)]) =
+    def runRef(bench: Seq[(String, SparkSession => DataFrame)],
+        repsOverride: Int = reps) =
       bench.filter(p => selected(p._1)).map { case (name, fn) =>
-        val r = name -> time(name, () => fn(spark).count())
+        val r = name -> timeN(name, () => fn(spark).count(), repsOverride)
         // each workload persists its point table (and Dbscan.run persists
         // pairs/cores internally); CacheManager holds those strongly, so
         // drop them between workloads or their blocks skew later timings.
@@ -113,7 +130,8 @@ object Bench {
         r
       }
     val refResults = runRef(referenceBench)
-    val diagResults = runRef(diagnosticsBench)
+    val diagResults = runRef(diagnosticsBench) ++
+      runRef(singleRepDiagnostics, repsOverride = 1)
     val results = sfResults ++ refResults
     def jsonMap(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

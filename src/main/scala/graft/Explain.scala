@@ -58,6 +58,9 @@ object Explain {
           localThreshold = 0L)
       case "dbscan_part64" =>
         Workloads.dbscanBin(spark, "/root/reference/part64.bin", 0.01, 5, 0.96)
+      case "dbscan_synth500k" =>
+        Workloads.dbscanSynth(spark, 500_000L, k = 25, dims = 5,
+          eps = 1.0, minPts = 5)
       case "x_shingles" =>
         spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"),

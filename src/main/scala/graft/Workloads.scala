@@ -22,4 +22,43 @@ object Workloads {
     graft.operators.Dbscan.run(pts, "id", "features", eps, minPts, dims,
       localThreshold = localThreshold)
   }
+
+  /** Deterministic synthetic clustered point cloud, generated IN-ENGINE
+    * (spark.range + xxhash64 uniforms — no files, no driver data): `k`
+    * cluster centers uniform in [0,100]^dims, each point offset ±3 per
+    * dim around its hash-assigned center, 5% background noise uniform in
+    * the cube. Scale-evidence workload: the reference tops out at 61k
+    * points; this runs the SAME distributed DBSCAN (forced shuffling
+    * path) at millions of rows, where job-count overhead stops mattering
+    * and the ε-join + CC loop dominate — the regime a real cluster runs.
+    * Generation is a narrow codegen'd projection: negligible next to the
+    * clustering itself, and identical under any partitioning. */
+  def synthPoints(spark: SparkSession, n: Long, k: Int,
+      dims: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def u01(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(xxhash64(seed), lit(1000000L)).cast("double") / lit(1000000.0)
+    val id = col("id")
+    val cluster = pmod(xxhash64(id, lit("c")), lit(k.toLong))
+    val isNoise = u01(concat(id.cast("string"), lit("n"))) < lit(0.05)
+    val feats = array((0 until dims).map { d =>
+      val center = u01(concat(cluster.cast("string"), lit(s"#$d"))) * 100.0
+      val off = (u01(concat(id.cast("string"), lit(s"@$d"))) - 0.5) * 6.0
+      val noiseCoord = u01(concat(id.cast("string"), lit(s"!$d"))) * 100.0
+      when(isNoise, noiseCoord).otherwise(center + off)
+        .cast("float")
+    }: _*)
+    spark.range(n).select(id, feats.as("features"))
+  }
+
+  /** Distributed DBSCAN over [[synthPoints]] — always the shuffling
+    * pipeline (localThreshold = 0). */
+  def dbscanSynth(spark: SparkSession, n: Long, k: Int, dims: Int,
+      eps: Double, minPts: Int): DataFrame = {
+    val pts = synthPoints(spark, n, k, dims).persist()
+    val bDims = graft.operators.EpsilonJoin.pickBucketDims(pts, "features",
+      eps, knownDim = dims)
+    graft.operators.Dbscan.run(pts, "id", "features", eps, minPts, bDims,
+      localThreshold = 0L)
+  }
 }

@@ -183,4 +183,29 @@ class DbscanSpec extends SparkSpec {
     assert(Dbscan.probeCap(100_000L) == 100_001)
     assert(Dbscan.probeCap(1L) == 2)
   }
+
+  test("synthPoints generator: deterministic, partitioning-free; the " +
+      "distributed pipeline recovers the planted clusters") {
+    import org.apache.spark.sql.functions._
+    val a = Workloads.synthPoints(spark, 2000, k = 4, dims = 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val b = Workloads.synthPoints(spark, 2000, k = 4, dims = 3)
+      .repartition(13).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    assert(a == b, "generation must not depend on partitioning")
+    assert(a.values.flatten.forall(v => v >= -3.0f && v <= 103.0f))
+    // planted structure: ~5% noise scattered in [0,100]^3, the rest in
+    // 4 tight ±3 boxes — DBSCAN at eps=1 recovers a handful of dense
+    // clusters holding the vast majority of points
+    val labels = Workloads.dbscanSynth(spark, 20000, k = 4, dims = 3,
+      eps = 1.0, minPts = 5).persist()
+    val k = labels.filter(col("cluster_id") > 0)
+      .agg(countDistinct(col("cluster_id")), count(lit(1))).head()
+    val (nClusters, inClusters) = (k.getLong(0), k.getLong(1))
+    assert(nClusters >= 4 && nClusters <= 40,
+      s"expected a few planted clusters, got $nClusters")
+    assert(inClusters > 17000,
+      s"clusters should hold the non-noise mass, got $inClusters/20000")
+    labels.unpersist()
+  }
 }
