@@ -1806,6 +1806,15 @@ object SparkEntry {
     "q148_jl_project" -> ((s, dir) =>
       operators.AnnSearch.jlProject(t(s, dir, "embeddings"), "vec_id",
         "embedding", JlPlanes)),
+
+    // Calibration/reliability table for q96's scored outcome — the
+    // "is the confidence honest" half of model eval, one hash agg
+    "q149_calibration" -> ((s, dir) =>
+      operators.Stats.calibration(t(s, dir, "embeddings"),
+        col("label") === 0,
+        round(element_at(col("embedding"), 1).cast("double") * 10000)
+          .cast("long"),
+        binWidth = 1000L, scale = 10000.0)),
   )
 
   /** q148's projection width: 16 keeps √k exact (=4) so the closing
@@ -3812,6 +3821,20 @@ object SparkEntry {
     },
 
     "q148_jl_project" -> jlOracle,
+
+    "q149_calibration" ->
+      """WITH s AS (SELECT
+        |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS pos,
+        |    CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT)
+        |      AS sq
+        |  FROM embeddings)
+        |SELECT (sq - ((sq % 1000 + 1000) % 1000)) // 1000 AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(sq) AS DOUBLE) / count(*) / 10000.0, 6)
+        |    AS mean_score,
+        |  round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate
+        |FROM s GROUP BY 1""".stripMargin,
 
     "q147_centroid_classify" ->
       """WITH pe AS MATERIALIZED (SELECT vec_id AS id, label,

@@ -440,6 +440,42 @@ object Stats {
       j <- (i + 1) until names.size
     } yield (names(i), names(j))
 
+  /** Calibration (reliability) report for a scored binary outcome:
+    * bucket the integer-quantized score into fixed-width bins and
+    * report, per bin, the support, the positive count, the mean score,
+    * and the observed positive rate — the table behind a reliability
+    * diagram, and the standard "is the model's confidence honest"
+    * check next to [[auc]]'s ranking quality.
+    *
+    * Exactness: bin = FLOOR-division of the already-integer score —
+    * Spark's `DIV` truncates toward zero while SQL `//` floors, so
+    * negatives are floored explicitly via the pmod adjustment; counts
+    * and score sums are exact longs, and the two closing divisions are
+    * one double op each. ONE hash aggregate over the rows — no sort,
+    * no window, broadcast-nothing.
+    *
+    * @param positive  boolean column — the true outcome
+    * @param scoreQ    integer-quantized score (the q96 discipline)
+    * @param binWidth  bin width in score units
+    * @param scale     score units per 1.0 (for the mean_score report)
+    * @return (bin, n, n_pos, mean_score, pos_rate), one row per
+    *   non-empty bin; bin = floor(score/binWidth). */
+  def calibration(df: DataFrame, positive: Column, scoreQ: Column,
+      binWidth: Long, scale: Double): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    require(scale > 0, s"scale must be > 0, got $scale")
+    df.select(positive.cast("int").as("pos"), scoreQ.as("sq"))
+      .groupBy(expr(s"(sq - pmod(sq, $binWidth)) DIV $binWidth").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum(col("sq")).as("__ssum"))
+      .withColumn("mean_score",
+        round(col("__ssum").cast("double") / col("n") / lit(scale), 6))
+      .withColumn("pos_rate",
+        round(col("n_pos").cast("double") / col("n"), 6))
+      .drop("__ssum")
+  }
+
   /** Nearest-centroid classification report over a labeled embedding
     * table: fit per-label mean centroids, assign every vector to its
     * closest centroid (squared L2), and return the confusion matrix —

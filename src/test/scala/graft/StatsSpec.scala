@@ -388,6 +388,28 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("calibration: hand bins, FLOOR semantics on negative scores") {
+    // scores -1500..1500: bin width 1000 must FLOOR (-1500 -> bin -2,
+    // -1 -> bin -1), never truncate toward zero
+    val df = spark.createDataFrame(Seq(
+      (-1500L, true), (-1L, false), (0L, true), (999L, false),
+      (1000L, true), (1500L, true))).toDF("sq", "pos")
+    val got = Stats.calibration(df, col("pos"), col("sq"), 1000L, 1000.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got.keySet == Set(-2L, -1L, 0L, 1L))
+    assert(got(-2L) == ((1L, 1L, -1.5, 1.0)))
+    assert(got(-1L) == ((1L, 0L, -0.001, 0.0)))
+    assert(got(0L) == ((2L, 1L, 0.4995, 0.5)))
+    assert(got(1L) == ((2L, 2L, 1.25, 1.0)))
+    // bins partition the rows: supports sum to the input size
+    assert(got.values.map(_._1).sum == 6)
+    intercept[IllegalArgumentException] {
+      Stats.calibration(df, col("pos"), col("sq"), 0L, 1000.0)
+    }
+  }
+
   test("nearestCentroid: separable clusters give a diagonal confusion " +
       "matrix; overlap misclassifies; partitioning-invariant") {
     // two tight clusters around (0,0) and (10,10); one label-1 point
