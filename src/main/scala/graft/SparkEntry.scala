@@ -1789,10 +1789,14 @@ object SparkEntry {
           sum(col("nw")).cast("long").as("n_words"),
           sum(col("nb")).cast("long").as("n_subwords"),
           sum(col("nc")).cast("long").as("n_chars"))
+        // zero-guard: Spark double-division by 0 yields NULL while
+        // DuckDB IEEE yields inf — make the degenerate group NULL in
+        // BOTH engines (n_words >= 1 always: split("") = [""])
         .withColumn("fertility",
           round(col("n_subwords").cast("double") / col("n_words"), 6))
         .withColumn("chars_per_subword",
-          round(col("n_chars").cast("double") / col("n_subwords"), 6))),
+          when(col("n_subwords") > 0,
+            round(col("n_chars").cast("double") / col("n_subwords"), 6)))),
 
     // Nearest-centroid confusion matrix over the labeled embeddings —
     // the label-separability probe; quantized components + decimal
@@ -3898,10 +3902,12 @@ object SparkEntry {
          |      '${TextFunctions.BpePattern}'))) AS DOUBLE)
          |    / CAST(sum(len(string_split(text, ' '))) AS DOUBLE), 6)
          |    AS fertility,
-         |  round(CAST(sum(len(text)) AS DOUBLE)
-         |    / CAST(sum(len(regexp_extract_all(text,
-         |      '${TextFunctions.BpePattern}'))) AS DOUBLE), 6)
-         |    AS chars_per_subword
+         |  CASE WHEN sum(len(regexp_extract_all(text,
+         |      '${TextFunctions.BpePattern}'))) > 0
+         |    THEN round(CAST(sum(len(text)) AS DOUBLE)
+         |      / CAST(sum(len(regexp_extract_all(text,
+         |        '${TextFunctions.BpePattern}'))) AS DOUBLE), 6)
+         |  END AS chars_per_subword
          |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "q144_ngram_novelty" ->

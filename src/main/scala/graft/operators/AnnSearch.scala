@@ -458,13 +458,6 @@ object AnnSearch {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
-  /** Deterministic Rademacher (±1) hyperplanes for sign-random-projection
-    * LSH (Charikar, STOC'02): `nTables × nBits` planes of `dims`
-    * components each, drawn from java.util.Random's spec-defined LCG in
-    * a FIXED iteration order (table → bit → dim). The same seed always
-    * yields the same planes on any JVM, and ±1.0 literals print exactly
-    * — so a SQL oracle embedding the printed planes computes the
-    * identical signatures. */
   /** Johnson–Lindenstrauss sign projection: reduce every vector to
     * `planes.length` components via ±1 hyperplanes scaled by 1/√k —
     * the Achlioptas (2003) database-friendly JL variant. Distances are
@@ -487,14 +480,19 @@ object AnnSearch {
     * (exploded, scalar columns — parquet/oracle friendly).
     *
     * @param planes k sign rows of length d (±1.0), e.g.
-    *   `srpPlanes(1, k, d)(0)`
-    * @return (`idCol`, comp 0..k-1, proj — rounded to 6). */
+    *   `srpPlanes(1, k, d)(0)`; d is validated against the data's
+    *   actual dimensionality (a one-row probe) — a mismatched plane
+    *   table would otherwise silently project onto a prefix via the
+    *   pos equi-join
+    * @return (`idCol`, comp 0..k-1, proj — deliberately UNROUNDED,
+    *   see above). */
   def jlProject(emb: DataFrame, idCol: String, vecCol: String,
       planes: IndexedSeq[Array[Double]]): DataFrame = {
     val k = planes.length
     require(k >= 1, "need at least one plane")
     require(planes.forall(_.forall(s => s == 1.0 || s == -1.0)),
       "JL sign planes must be +1/-1")
+    requirePlaneDims(emb, vecCol, planes.map(_.length))
     val spark = emb.sparkSession
     import spark.implicits._
     val pl = planes.zipWithIndex.flatMap { case (p, c) =>
@@ -511,6 +509,29 @@ object AnnSearch {
         .as("proj"))
   }
 
+  /** Guard against planes built for a different embedding width: the
+    * dot/join kernels fold over min(len) or equi-join on position, so a
+    * mismatch degrades results SILENTLY (prefix projection, weaker
+    * buckets) instead of failing. One-row probe; empty input passes —
+    * there is nothing to mis-project. */
+  private def requirePlaneDims(df: DataFrame, vecCol: String,
+      planeLens: Seq[Int]): Unit = {
+    require(planeLens.nonEmpty && planeLens.forall(_ == planeLens.head),
+      s"ragged plane lengths: ${planeLens.distinct.mkString(",")}")
+    df.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
+      require(r.getInt(0) == planeLens.head,
+        s"planes built for dims=${planeLens.head} but $vecCol has " +
+          s"${r.getInt(0)} components")
+    }
+  }
+
+  /** Deterministic Rademacher (±1) hyperplanes for sign-random-projection
+    * LSH (Charikar, STOC'02): `nTables × nBits` planes of `dims`
+    * components each, drawn from java.util.Random's spec-defined LCG in
+    * a FIXED iteration order (table → bit → dim). The same seed always
+    * yields the same planes on any JVM, and ±1.0 literals print exactly
+    * — so a SQL oracle embedding the printed planes computes the
+    * identical signatures. */
   def srpPlanes(nTables: Int, nBits: Int, dims: Int,
       seed: Long = 42L): IndexedSeq[IndexedSeq[Array[Double]]] = {
     require(nTables >= 1 && nBits >= 1 && nBits <= 62 && dims >= 1,
@@ -563,6 +584,7 @@ object AnnSearch {
   def lshTopK(queries: DataFrame, build: DataFrame, k: Int,
       planes: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    requirePlaneDims(build, "b_v", planes.flatMap(_.map(_.length)))
     val nTables = planes.length
     def withSig(df: DataFrame, vecCol: String) = df.select(col("*"),
       posexplode(array((0 until nTables).map(t =>

@@ -410,9 +410,12 @@ object Curation {
           .as("bkt"))
       .agg(count(lit(1)).as("c"))
       .persist()
+    // persisted: bucketStats appears in BOTH λ's subtree and totals' —
+    // uncached, the full (doc, bucket) aggregate would run twice
     val bucketStats = docBuckets.groupBy("bkt")
       .agg(sum(col("c")).as("raw"),
         sum(col("c") * col("flag")).as("tgt"))
+      .persist()
     val totals = bucketStats
       .agg(sum(col("raw")).as("nr"), sum(col("tgt")).as("nt"))
     val lam = bucketStats.crossJoin(broadcast(totals))

@@ -656,9 +656,13 @@ object Dedup {
   def semDedup(points: DataFrame, idCol: String, vecCol: String,
       clusters: DataFrame, minCos: Double): DataFrame = {
     import graft.functions.VectorExpressions.dotProduct
+    // persisted: pts feeds both pair sides AND the final left join —
+    // uncached, the points scan + cluster join + norm would execute
+    // three times per action (ContextCleaner lifecycle, as elsewhere)
     val pts = points.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(clusters.select(col(idCol).as("id"), col("cluster")), "id")
       .withColumn("n", dotProduct(col("v"), col("v")))
+      .persist()
     val a = pts.select(col("cluster"), col("id").as("a_id"),
       col("v").as("a_v"), col("n").as("a_n"))
     val b = pts.select(col("cluster"), col("id").as("b_id"),

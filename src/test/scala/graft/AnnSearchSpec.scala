@@ -272,6 +272,15 @@ class AnnSearchSpec extends SparkSpec {
       AnnSearch.jlProject(emb, "vec_id", "embedding",
         IndexedSeq(Array(0.5, 1.0)))
     }
+    // planes built for the wrong embedding width must FAIL, not
+    // silently project onto a prefix through the pos equi-join
+    intercept[IllegalArgumentException] {
+      AnnSearch.jlProject(emb, "vec_id", "embedding",
+        AnnSearch.srpPlanes(1, 8, 32)(0))
+    }
+    intercept[IllegalArgumentException] {
+      AnnSearch.lshTopK(q, b, 5, AnnSearch.srpPlanes(2, 4, 16))
+    }
   }
 
   test("srpPlanes: deterministic, right shape, ±1 components") {
