@@ -458,6 +458,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("doc_id"), s"scan reads pruned columns:\n$p")
   }
 
+  test("q147 centroids: broadcast back onto positions, no sort-merge") {
+    // the labels×dims centroid table must broadcast — the exploded
+    // vector table shuffles ONCE into its (id,label,clabel) aggregate,
+    // never for a join side
+    val p = plan(SparkEntry.queries("q147_centroid_classify")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid join should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no vector-sized join side should shuffle:\n$p")
+    assert(!p.contains("Window"), s"argmin must be an aggregate:\n$p")
+  }
+
+  test("q149 calibration: one aggregate exchange, no join, pruned scan") {
+    val p = plan(SparkEntry.queries("q149_calibration")(spark, sf))
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"calibration should shuffle exactly once:\n$p")
+    assert(!p.contains("Join"), s"calibration needs no join:\n$p")
+    assert(!p.contains("vec_id"), s"scan reads pruned columns:\n$p")
+  }
+
   test("q138 acf: ONE equi-join for all lags, explode feeds the join") {
     val df = SparkEntry.queries("q138_acf")(spark, sf)
     val p = plan(df)
