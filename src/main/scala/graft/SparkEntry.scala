@@ -1819,7 +1819,21 @@ object SparkEntry {
         round(element_at(col("embedding"), 1).cast("double") * 10000)
           .cast("long"),
         binWidth = 1000L, scale = 10000.0)),
+
+    // Bottom-k-by-hash quantile sketch (q73's bounded-state sibling):
+    // full rows never shuffle — k-sized heaps merge map-side; the
+    // deterministic sample makes even the approximation oracle-exact
+    "q150_quantile_sketch" -> ((s, dir) =>
+      operators.Sketches.quantileSample(t(s, dir, "orders"),
+        Seq("o_orderpriority"), round(col("o_totalprice") * 100),
+        col("o_orderkey"), QskK, QskSalt)),
   )
+
+  /** q150's sample size and salt: 256 holds every estimate within
+    * ±5 rank-percent of its target on the fixture (sampling stddev
+    * 1/(2√k) ≈ 3%). */
+  private val QskK = 256
+  private val QskSalt = ":qsk1"
 
   /** q148's projection width: 16 keeps √k exact (=4) so the closing
     * scale is one exact double literal in both engines. */
@@ -3825,6 +3839,23 @@ object SparkEntry {
     },
 
     "q148_jl_project" -> jlOracle,
+
+    "q150_quantile_sketch" ->
+      s"""WITH h AS (SELECT o_orderpriority,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+         |      || '$QskSalt'), 1, 12) AS BIGINT) AS hv
+         |  FROM orders),
+         |rk AS (SELECT o_orderpriority, cents,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY hv, cents) AS rn
+         |  FROM h),
+         |s AS (SELECT o_orderpriority, cents FROM rk WHERE rn <= $QskK)
+         |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_sample,
+         |  quantile_cont(cents * 4, 0.25) / 400.0 AS p25,
+         |  quantile_cont(cents * 4, 0.5) / 400.0 AS p50,
+         |  quantile_cont(cents * 4, 0.75) / 400.0 AS p75
+         |FROM s GROUP BY 1""".stripMargin,
 
     "q149_calibration" ->
       """WITH s AS (SELECT

@@ -143,4 +143,12 @@ object TextFunctions {
     * the hash; the engine default stays xxhash64. */
   def portableHash60(text: Column): Column =
     conv(substring(md5(text.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** 48-bit variant of [[portableHash60]] (first 12 hex chars): every
+    * value is exactly representable as a Double (< 2^53), so a
+    * double-scored bounded heap ([[TopKByScore]]) selects the identical
+    * rows as a SQL `ORDER BY` on the exact integer hash. DuckDB twin:
+    * `CAST('0x' || substr(md5(x), 1, 12) AS BIGINT)`. */
+  def portableHash48(text: Column): Column =
+    conv(substring(md5(text.cast("binary")), 1, 12), 16, 10).cast("long")
 }

@@ -97,6 +97,48 @@ object Sketches {
         org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
           .estimateCount(v)))
       .apply(sketch, item)
+
+  /** Mergeable quantile sketch by deterministic bottom-k sampling: per
+    * group, keep the k rows with the smallest salted portable hash of
+    * `keyCol` (a uniform random — but reproducible — row sample) and
+    * report exact quantiles OF THE SAMPLE. The bounded
+    * [[graft.functions.TopKByScore]] heap is the sketch: O(k) state per
+    * partition, partial heaps merge losslessly map-side, so full rows
+    * never reach the shuffle — the quantile analog of the KMV theta
+    * sketch (q137), next to q73's exact full-shuffle twin.
+    *
+    * Determinism/oracle-exactness: the hash is 48-bit
+    * ([[TextFunctions.portableHash48]] — every value exact as the
+    * heap's Double score) and heap ties break by (score, value)
+    * exactly like `ORDER BY hash, value`, so an external SQL engine
+    * selects the IDENTICAL sample; sample quantiles at dyadic p over
+    * ×4-scaled integer values interpolate exactly (q97's trick).
+    *
+    * Accuracy is the classic sampling bound (±O(1/√k) in rank), NOT a
+    * deterministic KLL ε — the tradeoff bought by exact cross-engine
+    * reproducibility.
+    *
+    * @param valueCol integral values (cents pattern)
+    * @param keyCol   unique row key — hashed with the salt to pick
+    * @return (groupCols…, n_sample, p25, p50, p75) */
+  def quantileSample(df: DataFrame, groupCols: Seq[String],
+      valueCol: Column, keyCol: Column, k: Int, salt: String): DataFrame = {
+    require(k >= 4, s"sample size must be >= 4, got $k")
+    val hv = graft.functions.TextFunctions
+      .portableHash48(concat(keyCol.cast("string"), lit(salt)))
+      .cast("double")
+    df.select(groupCols.map(col) :+ valueCol.cast("long").as("__v") :+
+        hv.as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopKByScore.topkMin(col("__v"), col("__h"), k)
+        .as("__smp"))
+      .select(groupCols.map(col) :+ explode(col("__smp.id")).as("__v"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_sample"),
+        (expr("percentile(__v * 4, 0.25D)") / 400.0).as("p25"),
+        (expr("percentile(__v * 4, 0.5D)") / 400.0).as("p50"),
+        (expr("percentile(__v * 4, 0.75D)") / 400.0).as("p75"))
+  }
 }
 
 /** Binary Count-Min union as a typed Aggregator (Spark ships the CMS

@@ -104,4 +104,53 @@ class SketchesSpec extends SparkSpec {
       assert(r.isNullAt(2))
     }
   }
+
+  test("quantileSample == scala bottom-k-by-hash brute force; " +
+      "partitioning-invariant; small groups pass through exactly") {
+    import graft.functions.TextFunctions
+    val n = 3000
+    val rows = (0 until n).map { i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b", (i * 37 % 10000).toLong)
+    }
+    val df = spark.createDataFrame(rows).toDF("id", "grp", "cents")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sketches.quantileSample(d, Seq("grp"), col("cents"), col("id"),
+          k = 64, salt = ":t")
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+    val got = run(df)
+    assert(got == run(df.repartition(11)), "sample must be partition-free")
+    // brute force: jdk md5 48-bit hash, bottom-64 by (hash, value),
+    // exact dyadic quartiles over the x4-scaled sample
+    def h48(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16)
+    }
+    def quartile(sorted: Array[Long], p: Double): Double = {
+      val pos = (sorted.length - 1) * p
+      val lo = pos.toInt; val frac = pos - lo
+      val v4 = sorted(lo) * 4 * (1 - frac) +
+        (if (frac > 0) sorted(lo + 1) * 4 * frac else 0.0)
+      v4 / 400.0
+    }
+    for (g <- Seq("a", "b")) {
+      val smp = rows.filter(_._2 == g)
+        .map { case (id, _, c) => (h48(s"$id:t"), c) }
+        .sorted.take(64).map(_._2).sorted.toArray
+      val (ns, p25, p50, p75) = got(g)
+      assert(ns == 64L)
+      assert(p25 == quartile(smp, 0.25), s"$g p25")
+      assert(p50 == quartile(smp, 0.5), s"$g p50")
+      assert(p75 == quartile(smp, 0.75), s"$g p75")
+    }
+    // a group smaller than k IS its own sample: quantiles turn exact
+    val tiny = spark.createDataFrame(
+      (0 until 9).map(i => (i.toLong, "t", i * 100L))).toDF("id", "grp", "cents")
+    // cents 0,100..800 -> exact dollar quartiles 2/4/6
+    val t = run(tiny)("t")
+    assert(t == ((9L, 2.0, 4.0, 6.0)), t)
+  }
 }
