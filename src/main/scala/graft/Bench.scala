@@ -106,16 +106,20 @@ object Bench {
             }
         }
       }
+    // clearCache + System.gc() between workloads, outside any timing:
+    // operators persist() intermediates and rely on the ContextCleaner
+    // for release; across a 150+-query sweep the cached blocks plus
+    // old-gen garbage accumulate into pressure that inflates LATE
+    // queries 3-4x (measured: q128 10.7 s late in a sweep vs 2.8 s
+    // alone — BOTH reps inflated, so min-of-reps cannot strip it). The
+    // reference harness restarts its process per run (`manyTests.py`);
+    // an explicit full GC on a just-cleared heap is the JVM analog and
+    // costs ~0.1-0.3 s per workload.
+    def scrub(): Unit = { spark.catalog.clearCache(); System.gc() }
     val sfResults = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(p => selected(p._1)).map { case (name, fn) =>
         val r = name -> time(name, () => fn(spark, sfDir).count())
-        // operators persist() intermediates and rely on the
-        // ContextCleaner for release; across a 100+-query sweep those
-        // cached blocks accumulate into memory pressure that inflates
-        // LATER queries 2-3x (measured: the slowest query reads 8.3 s
-        // in the sweep vs 3.3 s alone). Same hygiene as the reference
-        // workloads below; the clear runs outside any timing.
-        spark.catalog.clearCache()
+        scrub()
         r
       }
     def runRef(bench: Seq[(String, SparkSession => DataFrame)],
@@ -124,9 +128,9 @@ object Bench {
         val r = name -> timeN(name, () => fn(spark).count(), repsOverride)
         // each workload persists its point table (and Dbscan.run persists
         // pairs/cores internally); CacheManager holds those strongly, so
-        // drop them between workloads or their blocks skew later timings.
+        // scrub between workloads or their blocks skew later timings.
         // Within-workload reps still share cache (same logical plan).
-        spark.catalog.clearCache()
+        scrub()
         r
       }
     val refResults = runRef(referenceBench)
