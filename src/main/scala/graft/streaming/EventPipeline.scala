@@ -172,4 +172,30 @@ object EventPipeline {
           Iterator(next)
       }
   }
+
+  /** Streaming incremental near-dup ingest: every micro-batch of new
+    * documents is LSH-screened and exact-verified against a static
+    * [[graft.operators.Dedup.minHashIndex]] via `foreachBatch` — the
+    * steady-state corpus-ingest job, continuously. Because the batch
+    * operator pairs each new doc against the INDEX only (never against
+    * other new docs), micro-batch boundaries are semantics-free: the
+    * union of per-batch outputs equals one batch run over everything
+    * streamed (spec-enforced). The index stays a plain DataFrame —
+    * re-read it per batch inside `sink` callers that need index
+    * refresh; state lives in the index, not the stream.
+    *
+    * @param sink receives each micro-batch's flagged pairs
+    *   (`new_id`, `idx_id`, `jac`) with the batch id
+    * @return the started continuous query (caller stops it) */
+  def dedupIngestStream(index: DataFrame, newDocs: DataFrame,
+      idCol: String, textCol: String, n: Int, minJaccard: Double)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newDocs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.operators.Dedup.minHashJoinAgainst(
+          index, batch.toDF(), idCol, textCol, n, minJaccard), id)
+      }
+      .start()
 }

@@ -206,6 +206,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup ingest over micro-batches == one batch run") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").persist()
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val fresh = docs.filter(col("doc_id") % 2 === 1)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val index = graft.operators.Dedup
+      .minHashIndex(old, "doc_id", "text", 3).persist()
+    index.count()
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map.empty[(Long, Long), Double]
+    val q = EventPipeline.dedupIngestStream(index,
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", 3, 0.5) {
+      (flagged, _) =>
+        flagged.collect().foreach(r =>
+          got.synchronized {
+            got((r.getLong(0), r.getLong(1))) = r.getDouble(2)
+          })
+    }
+    try {
+      // arbitrary micro-batch split: boundaries must not change results
+      val (b1, b2) = fresh.splitAt(fresh.length / 3)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.operators.Dedup.minHashJoinAgainst(index,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.toMap == want)
+    assert(want.nonEmpty, "fixture produced no cross-split near-dups")
+  }
+
   test("flatMapGroupsWithState running totals accumulate across batches") {
     val spark2 = spark
     import spark2.implicits._
