@@ -47,4 +47,20 @@ object VectorOps {
     if (dims.isEmpty) array()
     else array(dims.map(d =>
       floor(element_at(v, d + 1).cast("double") / lit(cellWidth)).cast("long")): _*)
+
+  /** One-row dimensionality probe of a vector column — the shared
+    * idiom behind `pickBucketDims` and the ANN plane-width guards.
+    * NULL rows are filtered first (`size(NULL)` = −1 under the default
+    * legacy sizeOfNull, and `limit(1)`'s row choice is nondeterministic
+    * — an unlucky null first row must not change the answer), and
+    * streaming DataFrames return None rather than attempting an
+    * illegal collect.
+    * @return Some(dims) from the first non-null vector; None for an
+    *   empty/all-null/streaming input. */
+  def probeDim(df: org.apache.spark.sql.DataFrame,
+      vecCol: String): Option[Int] =
+    if (df.isStreaming) None
+    else df.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
 }

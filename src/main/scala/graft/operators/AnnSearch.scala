@@ -512,16 +512,18 @@ object AnnSearch {
   /** Guard against planes built for a different embedding width: the
     * dot/join kernels fold over min(len) or equi-join on position, so a
     * mismatch degrades results SILENTLY (prefix projection, weaker
-    * buckets) instead of failing. One-row probe; empty input passes —
-    * there is nothing to mis-project. */
+    * buckets) instead of failing. One null-safe probe row
+    * ([[graft.functions.VectorOps.probeDim]]); empty/streaming input
+    * passes — there is nothing to probe, and a streaming plan cannot
+    * collect. */
   private def requirePlaneDims(df: DataFrame, vecCol: String,
       planeLens: Seq[Int]): Unit = {
     require(planeLens.nonEmpty && planeLens.forall(_ == planeLens.head),
       s"ragged plane lengths: ${planeLens.distinct.mkString(",")}")
-    df.select(size(col(vecCol))).limit(1).collect().headOption.foreach { r =>
-      require(r.getInt(0) == planeLens.head,
+    graft.functions.VectorOps.probeDim(df, vecCol).foreach { d =>
+      require(d == planeLens.head,
         s"planes built for dims=${planeLens.head} but $vecCol has " +
-          s"${r.getInt(0)} components")
+          s"$d components")
     }
   }
 
@@ -584,7 +586,10 @@ object AnnSearch {
   def lshTopK(queries: DataFrame, build: DataFrame, k: Int,
       planes: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    // BOTH sides: a query-side width mismatch would bucket queries on a
+    // prefix just as silently as a build-side one
     requirePlaneDims(build, "b_v", planes.flatMap(_.map(_.length)))
+    requirePlaneDims(queries, "a_v", planes.flatMap(_.map(_.length)))
     val nTables = planes.length
     def withSig(df: DataFrame, vecCol: String) = df.select(col("*"),
       posexplode(array((0 until nTables).map(t =>

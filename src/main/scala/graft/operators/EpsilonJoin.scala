@@ -45,8 +45,7 @@ object EpsilonJoin {
     // the dimensionality (e.g. from the binary file header)
     val dim =
       if (knownDim > 0) knownDim
-      else points.select(size(col(vecCol))).limit(1).collect()
-        .headOption.map(_.getInt(0)).getOrElse(0)
+      else graft.functions.VectorOps.probeDim(points, vecCol).getOrElse(0)
     if (dim == 0) return Nil // empty input: no dims to pick, k=0 is fine
     val aggs = (0 until dim).flatMap { d =>
       val c = element_at(col(vecCol), d + 1).cast("double")

@@ -185,7 +185,9 @@ object EventPipeline {
     * refresh; state lives in the index, not the stream.
     *
     * @param sink receives each micro-batch's flagged pairs
-    *   (`new_id`, `idx_id`, `jac`) with the batch id
+    *   (`new_id`, `idx_id`, `jac`) with the batch id — it must CONSUME
+    *   the frame synchronously (collect/write), because the batch's
+    *   internal caches are released right after it returns
     * @return the started continuous query (caller stops it) */
   def dedupIngestStream(index: DataFrame, newDocs: DataFrame,
       idCol: String, textCol: String, n: Int, minJaccard: Double)(
@@ -194,8 +196,21 @@ object EventPipeline {
     newDocs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        sink(graft.operators.Dedup.minHashJoinAgainst(
+        // the batch operator persist()s its per-batch shingle table and
+        // index; a BATCH process sheds those via the ContextCleaner at
+        // plan death, but a continuous query never ends — without
+        // explicit release, a steady-state stream accrues two cached
+        // tables per micro-batch until storage memory thrashes. Diff
+        // the persistent-RDD registry around the batch and drop exactly
+        // the additions, leaving the caller's long-lived index cache
+        // (and anything else pre-existing) untouched.
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        try sink(graft.operators.Dedup.minHashJoinAgainst(
           index, batch.toDF(), idCol, textCol, n, minJaccard), id)
+        finally sc.getPersistentRDDs
+          .filterNot { case (rddId, _) => before(rddId) }
+          .values.foreach(_.unpersist(blocking = false))
       }
       .start()
 }

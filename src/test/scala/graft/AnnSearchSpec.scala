@@ -281,6 +281,19 @@ class AnnSearchSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       AnnSearch.lshTopK(q, b, 5, AnnSearch.srpPlanes(2, 4, 16))
     }
+    // query-side-only mismatch must fail too (the build side is valid)
+    val q32 = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("a_id"),
+        slice(col("embedding"), 1, 32).as("a_v"))
+    intercept[IllegalArgumentException] {
+      AnnSearch.lshTopK(q32, b, 5, AnnSearch.srpPlanes(2, 4, 64))
+    }
+    // a null-vector row must not poison the probe (size(NULL) = -1)
+    val withNull = emb.select(col("vec_id").as("a_id"),
+      when(col("vec_id") === 0, lit(null)).otherwise(col("embedding"))
+        .as("a_v"))
+    AnnSearch.jlProject(withNull, "a_id", "a_v",
+      AnnSearch.srpPlanes(1, 4, 64)(0))
   }
 
   test("srpPlanes: deterministic, right shape, ±1 components") {

@@ -232,7 +232,12 @@ class StreamingSpec extends SparkSpec {
       // arbitrary micro-batch split: boundaries must not change results
       val (b1, b2) = fresh.splitAt(fresh.length / 3)
       mem.addData(b1); q.processAllAvailable()
+      // per-batch caches must be RELEASED: a steady-state stream would
+      // otherwise accrue two cached tables per micro-batch forever
+      val cachedAfterB1 = spark.sparkContext.getPersistentRDDs.size
       mem.addData(b2); q.processAllAvailable()
+      assert(spark.sparkContext.getPersistentRDDs.size <= cachedAfterB1,
+        "cache registry grew across micro-batches")
     } finally q.stop()
     val want = graft.operators.Dedup.minHashJoinAgainst(index,
         docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 3, 0.5)
