@@ -118,4 +118,32 @@ class PropertySpec extends SparkSpec {
       got == math.rint(u / (pos.size.toDouble * neg.size) * 1e6) / 1e6
     })
   }
+
+  test("property: DSIR weights invariant to partitioning and row order " +
+      "on random corpora") {
+    // the operator's core claim: rounded-then-decimal-summed λ terms
+    // make every weight independent of physical layout, for ANY corpus
+    // shape (the fixture spec samples one corpus; this samples many,
+    // including single-word docs, empty-ish vocab, and all-target mixes)
+    val corpusGen: Gen[List[(String, Boolean)]] = for {
+      n <- Gen.choose(5, 25)
+      docs <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 12)
+        ws <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "dog", "cat"))
+        tgt <- Gen.oneOf(true, false)
+      } yield (ws.mkString(" "), tgt))
+    } yield docs
+    check("dsir-invariance", 6)(Prop.forAll(corpusGen) { docs =>
+      val df = spark.createDataFrame(
+          docs.zipWithIndex.map { case ((t, f), i) => (i.toLong, t, f) })
+        .toDF("doc_id", "text", "tgt")
+      def run(d: org.apache.spark.sql.DataFrame) =
+        graft.operators.Curation
+          .dsirImportance(d, "doc_id", "text", col("tgt"), 2, 8)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+          .toMap
+      run(df) == run(df.repartition(7).orderBy(col("doc_id").desc))
+    })
+  }
 }
