@@ -1827,7 +1827,103 @@ object SparkEntry {
       operators.Sketches.quantileSample(t(s, dir, "orders"),
         Seq("o_orderpriority"), round(col("o_totalprice") * 100),
         col("o_orderkey"), QskK, QskSalt)),
+
+    // Adamic–Adar link prediction over the co-purchase graph — the
+    // degree-discounted sibling of q106's Jaccard node similarity
+    // (shared RARE neighbors score high, shared hubs score low)
+    "q151_adamic_adar" -> ((s, dir) =>
+      operators.GraphStats.adamicAdar(
+        operators.Basket.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2),
+        "item_a", "item_b", minCommon = 2)),
+
+    // Per-user covered activity time: merge overlapping [ms, ms+dur)
+    // activity intervals (dur varies per event) and measure the union —
+    // the sweep/coverage operator, one exchange end-to-end
+    "q152_interval_union" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val iv = ev.select(col("user_id"), col("event_id"),
+          eventMs(ev).as("lo"))
+        .withColumn("hi",
+          col("lo") + (col("event_id") % 10 + 1) * 60000L)
+      operators.IntervalJoin.unionLength(iv, Seq("user_id"), "lo", "hi",
+        tieCols = Seq("event_id"))
+    }),
+
+    // Ordered string aggregation (LISTAGG): premium customers per
+    // nation as one deterministic comma-joined sorted string —
+    // array_sort(collect_list) is engine-order-free by construction
+    "q153_string_agg" -> ((s, dir) =>
+      t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          array_join(array_sort(collect_list(col("c_name"))), ",")
+            .as("names"))),
+
+    // UNPIVOT: the wide pricing rollup melted to (measure, value) long
+    // form via the native Dataset.unpivot (Expand — one pass, no
+    // self-union); the relational inverse of q54's PIVOT
+    "q154_unpivot" -> ((s, dir) => {
+      val wide = t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          (sum(round(col("l_extendedprice") * 100)).cast("long") / 100.0)
+            .as("revenue"),
+          count(lit(1)).cast("double").as("n"))
+      wide.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("revenue"), col("n")),
+        "measure", "value")
+    }),
+
+    // Benford first-digit audit of line revenue per return flag: the
+    // fraud/data-entry screen — observed digit counts vs the Benford
+    // expectation with per-cell chi-square contributions. The digit is
+    // extracted from the INTEGER cents' decimal string (exact in both
+    // engines — no log-based magnitude arithmetic on doubles)
+    "q155_benford" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val counts = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("l_returnflag", "digit")
+        .agg(count(lit(1)).as("obs"))
+      val n = sum(col("obs"))
+        .over(Window.partitionBy(col("l_returnflag")))
+      val e = n * log10(lit(1.0) + lit(1.0) / col("digit"))
+      counts
+        .withColumn("expected", round(e, 6))
+        .withColumn("contrib",
+          round((col("obs") - e) * (col("obs") - e) / e, 6))
+    }),
+
+    // Multinomial naive-Bayes language ID trained on the corpus itself
+    // — the count-based classifier baseline (fastText-shaped routing
+    // gate); reported as the label×prediction confusion matrix
+    "q156_naive_bayes" -> ((s, dir) =>
+      operators.LanguageModel.naiveBayes(t(s, dir, "documents"),
+        "doc_id", "text", "lang")),
+
+    // Two-feature OLS (price ~ quantity + discount) per (flag, status)
+    // via closed-form 2×2 normal equations: first-level moments are
+    // decimal-exact; the centered terms cast to double ONCE and every
+    // second-level product/ratio is fixed-order IEEE — q78's pattern
+    // one matrix rank higher
+    "q157_ols2" -> ((s, dir) =>
+      operators.Stats.ols2(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        col("l_quantity"), round(col("l_discount") * 100),
+        round(col("l_extendedprice") * 100))),
+
+    // Dirichlet-smoothed query likelihood over the q115 query — the
+    // language-model ranking family beside BM25's, same inverted-index
+    // plan (matched postings only + a per-doc length normalizer)
+    "q158_dirichlet_ql" -> ((s, dir) =>
+      operators.Search.dirichletQl(t(s, dir, "documents"), "doc_id",
+        "text", Bm25Terms, QlMu)),
   )
+
+  /** q158's Dirichlet pseudo-count — near the fixture's mean document
+    * length, the standard heuristic. */
+  private val QlMu = 300.0
 
   /** q150's sample size and salt: 256 holds every estimate within
     * ±5 rank-percent of its target on the fixture (sampling stddev
@@ -3986,6 +4082,185 @@ object SparkEntry {
         |      AS rn FROM seg)
         |SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS text_dedup
         |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    // MATERIALIZED on the multiply-referenced CTEs (fp twice via e,
+    // ed twice in the wedge join) — the q95 inlining lesson
+    "q151_adamic_adar" ->
+      """WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS bsk,
+        |      l_partkey AS i FROM lineitem),
+        |fp AS MATERIALIZED (SELECT x.i AS a, y.i AS b
+        |  FROM it x JOIN it y ON x.bsk = y.bsk AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT a AS src, b AS dst FROM fp
+        |      UNION ALL SELECT b AS src, a AS dst FROM fp),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+        |        FROM e GROUP BY src),
+        |ed AS MATERIALIZED (SELECT e.src, e.dst, deg.d
+        |  FROM e JOIN deg USING (src))
+        |SELECT x.dst AS item_a, y.dst AS item_b,
+        |  CAST(count(*) AS BIGINT) AS common_cnt,
+        |  round(CAST(sum(CAST(round(1.0 / log2(x.d), 9)
+        |    AS DECIMAL(38,9))) AS DOUBLE), 6) AS aa_score
+        |FROM ed x JOIN ed y ON x.src = y.src AND x.dst < y.dst
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    "q152_interval_union" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_ms(ts) AS lo,
+        |    epoch_ms(ts) + (event_id % 10 + 1) * 60000 AS hi
+        |  FROM events),
+        |p AS (SELECT user_id, event_id, lo, hi,
+        |    max(hi) OVER (PARTITION BY user_id ORDER BY lo, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |isl AS (SELECT user_id, lo, hi,
+        |    CAST(sum(CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY lo, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM p),
+        |g AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS n,
+        |    min(lo) AS mlo, max(hi) AS mhi
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(mhi - mlo) AS BIGINT) AS covered
+        |FROM g GROUP BY 1""".stripMargin,
+
+    "q153_string_agg" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_customers,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer WHERE c_acctbal > 9000
+        |GROUP BY 1""".stripMargin,
+
+    "q154_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |    sum(l_quantity) AS sum_qty,
+        |    CAST(sum(round(l_extendedprice * 100)) AS BIGINT) / 100.0
+        |      AS revenue,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value
+        |FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'revenue' AS measure, revenue AS value
+        |FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'n' AS measure, n AS value FROM a""".stripMargin,
+
+    "q155_benford" ->
+      """WITH d AS (SELECT l_returnflag,
+        |    CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, digit, CAST(count(*) AS BIGINT) AS obs
+        |  FROM d GROUP BY 1, 2),
+        |w AS (SELECT l_returnflag, digit, obs,
+        |    CAST(sum(obs) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |      AS n
+        |  FROM c)
+        |SELECT l_returnflag, digit, obs,
+        |  round(n * log10(1.0 + 1.0 / digit), 6) AS expected,
+        |  round((obs - n * log10(1.0 + 1.0 / digit))
+        |      * (obs - n * log10(1.0 + 1.0 / digit))
+        |      / (n * log10(1.0 + 1.0 / digit)), 6) AS contrib
+        |FROM w""".stripMargin,
+
+    // The DSIR λ-sum discipline end-to-end: per-(class,token) logs
+    // round(9), per-doc terms round(9) → decimal(38,9) sum, argmax on
+    // (score DESC, class). dt/ctok MATERIALIZED (multiply referenced)
+    "q156_naive_bayes" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |dt AS MATERIALIZED (SELECT doc_id, lang, tok,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, lang, unnest(ws) AS tok FROM w) u
+        |  GROUP BY 1, 2, 3),
+        |ctok AS MATERIALIZED (SELECT lang AS cl, tok,
+        |    CAST(sum(c) AS BIGINT) AS ct
+        |  FROM dt GROUP BY 1, 2),
+        |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM dt),
+        |ctot AS (SELECT cl, CAST(sum(ct) AS BIGINT) AS tot
+        |         FROM ctok GROUP BY 1),
+        |model AS (SELECT cl, tok,
+        |    round(log2(CAST(ct + 1 AS DOUBLE) / CAST(tot + v AS DOUBLE)),
+        |      9) AS lp
+        |  FROM ctok JOIN ctot USING (cl) CROSS JOIN vv),
+        |dflt AS (SELECT cl,
+        |    round(log2(1.0 / CAST(tot + v AS DOUBLE)), 9) AS lp0
+        |  FROM ctot CROSS JOIN vv),
+        |pri AS (SELECT lang AS cl,
+        |    round(log2(CAST(count(*) AS DOUBLE)
+        |      / (SELECT CAST(count(*) AS DOUBLE) FROM documents)), 9)
+        |      AS lpr
+        |  FROM documents GROUP BY 1),
+        |sc AS (SELECT dt.doc_id, dt.lang, f.cl,
+        |    sum(CAST(round(CAST(dt.c AS DOUBLE)
+        |      * coalesce(m.lp, f.lp0), 9) AS DECIMAL(38,9))) AS s
+        |  FROM dt CROSS JOIN dflt f
+        |  LEFT JOIN model m ON m.cl = f.cl AND m.tok = dt.tok
+        |  GROUP BY 1, 2, 3),
+        |best AS (SELECT sc.doc_id, sc.lang, sc.cl AS pred,
+        |    row_number() OVER (PARTITION BY sc.doc_id
+        |      ORDER BY sc.s + CAST(p.lpr AS DECIMAL(38,9)) DESC, sc.cl)
+        |      AS rn
+        |  FROM sc JOIN pri p ON p.cl = sc.cl)
+        |SELECT lang, pred, CAST(count(*) AS BIGINT) AS n
+        |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+
+    "q157_ols2" ->
+      """WITH z AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x2,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |a AS (SELECT l_returnflag, l_linestatus,
+        |    CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x1) AS HUGEINT) AS s1,
+        |    CAST(sum(x2) AS HUGEINT) AS s2,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x1*x1) AS HUGEINT) AS s11,
+        |    CAST(sum(x2*x2) AS HUGEINT) AS s22,
+        |    CAST(sum(x1*x2) AS HUGEINT) AS s12,
+        |    CAST(sum(x1*y) AS HUGEINT) AS s1y,
+        |    CAST(sum(x2*y) AS HUGEINT) AS s2y
+        |  FROM z GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, l_linestatus, n, s1, s2, sy,
+        |    CAST(n*s11 - s1*s1 AS DOUBLE) AS c11,
+        |    CAST(n*s22 - s2*s2 AS DOUBLE) AS c22,
+        |    CAST(n*s12 - s1*s2 AS DOUBLE) AS c12,
+        |    CAST(n*s1y - s1*sy AS DOUBLE) AS c1y,
+        |    CAST(n*s2y - s2*sy AS DOUBLE) AS c2y
+        |  FROM a),
+        |d AS (SELECT *, c11*c22 - c12*c12 AS det FROM c)
+        |SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN det <> 0
+        |    THEN round((c22*c1y - c12*c2y) / det, 6) END AS b1,
+        |  CASE WHEN det <> 0
+        |    THEN round((c11*c2y - c12*c1y) / det, 6) END AS b2,
+        |  CASE WHEN det <> 0
+        |    THEN round((CAST(sy AS DOUBLE)
+        |      - ((c22*c1y - c12*c2y) / det) * CAST(s1 AS DOUBLE)
+        |      - ((c11*c2y - c12*c1y) / det) * CAST(s2 AS DOUBLE))
+        |      / CAST(n AS DOUBLE), 6) END AS b0
+        |FROM d""".stripMargin,
+
+    "q158_dirichlet_ql" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |stats AS (SELECT CAST(sum(len(ws)) AS BIGINT) AS ct FROM d),
+         |tl AS (SELECT doc_id, len(ws) AS dl, w AS term,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM d, unnest(ws) AS t(w)
+         |  WHERE w IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+         |  GROUP BY 1, 2, 3),
+         |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+         |       FROM tl GROUP BY 1)
+         |SELECT tl.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |  round(sum(log2(1.0 + CAST(tf AS DOUBLE)
+         |      / ($QlMu * CAST(cf.cf AS DOUBLE) / CAST(ct AS DOUBLE))))
+         |    + ${Bm25Terms.distinct.size.toDouble}
+         |      * log2($QlMu / (CAST(dl AS DOUBLE) + $QlMu)), 6) AS score
+         |FROM tl JOIN cf USING (term) CROSS JOIN stats
+         |GROUP BY tl.doc_id, tl.dl""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */

@@ -86,6 +86,53 @@ object GraphStats {
           (col("da") + col("db") - col("common_cnt"))).as("sim"))
   }
 
+  /** Adamic–Adar link-prediction score between node pairs:
+    * aa(u,v) = Σ_{w ∈ N(u) ∩ N(v)} 1/log2(deg(w)) — the
+    * degree-discounted refinement of [[commonNeighborSim]]: a shared
+    * neighbor that connects to everyone is weak evidence of affinity,
+    * a shared RARE neighbor is strong evidence (the idf of graphs).
+    *
+    * Plan shape: identical to the common-neighbor wedge join, except
+    * each wedge row carries its center's degree (one co-partitioned
+    * join on the center key BEFORE the self-join — both sides hash on
+    * src, so attaching the degree adds no exchange beyond the degree
+    * aggregate itself). The score is a sum of per-center terms in
+    * engine-dependent order, so each term 1/log2(d) is rounded to 9
+    * decimals and summed as decimal(38,9) — order-free, oracle-exact
+    * (the DSIR λ-sum discipline). A wedge center always has degree
+    * ≥ 2 (it needs two distinct neighbors), so log2(d) ≥ 1 — no
+    * division hazard.
+    *
+    * @param minCommon emit pairs with at least this many shared
+    *   neighbors (prunes inside the aggregate)
+    * @param maxDegree drop wedge centers above this degree bound (the
+    *   super-hub prune; Int.MaxValue = exact, the default)
+    * @return (item_a, item_b, common_cnt, aa_score) with
+    *   item_a < item_b; aa_score rounded to 6 decimals */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+      minCommon: Int = 2, maxDegree: Int = Int.MaxValue): DataFrame = {
+    val e = GraphEdges.symmetrize(
+      GraphEdges.canonical(edges, srcCol, dstCol)).persist()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+    val degOk =
+      if (maxDegree == Int.MaxValue) deg
+      else deg.filter(col("d") <= maxDegree)
+    // attach the center degree before the wedge self-join: e and deg
+    // are both hashed on src, so this join reuses the aggregation
+    // exchange; the maxDegree prune falls out of the inner join
+    val centers = e.join(degOk, "src")
+    centers.as("x")
+      .join(centers.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .groupBy(col("x.dst").as("item_a"), col("y.dst").as("item_b"))
+      .agg(count(lit(1)).as("common_cnt"),
+        sum(round(lit(1.0) / log2(col("x.d")), 9)
+          .cast("decimal(38,9)")).as("__aa"))
+      .filter(col("common_cnt") >= minCommon)
+      .withColumn("aa_score", round(col("__aa").cast("double"), 6))
+      .drop("__aa")
+  }
+
   /** Local clustering coefficient per node: cc(v) = 2·T(v) /
     * (deg(v)·(deg(v)−1)) — the fraction of v's neighbor pairs that are
     * themselves connected. The per-node refinement of

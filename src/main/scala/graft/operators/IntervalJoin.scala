@@ -94,6 +94,53 @@ object IntervalJoin {
     p.join(iv, p("_bin") === iv("_bin") && contains).drop("_bin")
   }
 
+  /** Per-key union length of HALF-OPEN intervals [lo, hi): merges
+    * overlapping/touching intervals (the classic sweep) and reports,
+    * per key, how much of the timeline is covered — machine busy time,
+    * user active time, SLA downtime credit. The measure-side complement
+    * of [[overlapJoin]]: that one asks "which intervals touch", this
+    * one asks "how much do they cover" without ever materializing a
+    * pair.
+    *
+    * Plan shape: ONE exchange. The sweep is a gaps-and-islands pass —
+    * sort within each key by (lo, tieCols), open a new island when
+    * `lo > max(hi)` over all preceding intervals (touching intervals,
+    * lo == prev hi, MERGE — correct for half-open bounds), number
+    * islands with a running sum; both collapse aggregates reuse the
+    * window's hash(key) partitioning (grouping keys are supersets of
+    * the partition key). Contained intervals ([5,6) inside [0,10)) are
+    * absorbed by the running max — a lag-based gap test would reopen
+    * an island at the contained interval's hi and overcount.
+    *
+    * @param tieCols extra ordering columns making (lo, tieCols) unique
+    *   per key — required for cross-engine determinism when starts tie
+    * @return (keyCols*, n_intervals, n_islands, covered) where covered
+    *   = Σ island (hi − lo), an exact long in the input's own unit */
+  def unionLength(intervals: DataFrame, keyCols: Seq[String],
+      loCol: String, hiCol: String,
+      tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "unionLength needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val key = keyCols.map(col)
+    val ord = (col(loCol) +: tieCols.map(col)).map(_.asc)
+    val w = Window.partitionBy(key: _*).orderBy(ord: _*)
+    val prevMax = max(col(hiCol))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = intervals
+      .withColumn("__new",
+        when(prevMax.isNull || col(loCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("__island", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands
+      .groupBy(key :+ col("__island"): _*)
+      .agg(count(lit(1)).as("__n"),
+        min(col(loCol)).as("__lo"), max(col(hiCol)).as("__hi"))
+      .groupBy(key: _*)
+      .agg(sum(col("__n")).cast("long").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__hi") - col("__lo")).cast("long").as("covered"))
+  }
+
   private implicit final class DivOps(private val c: Column) extends AnyVal {
     /** SQL `DIV`: exact floor division on integral types (the `/`
       * operator widens to double). Operands here are non-negative. */

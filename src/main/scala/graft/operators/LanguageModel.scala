@@ -102,4 +102,80 @@ object LanguageModel {
           ((col("c_a").cast("double") / w) *
             (col("c_b").cast("double") / w))), scale).as("pmi"))
   }
+
+  /** Multinomial naive-Bayes classifier trained and evaluated on the
+    * corpus itself (resubstitution): add-one token likelihoods per
+    * class, log-space scoring, argmax prediction — reported as the
+    * confusion matrix (label, pred, n). The supervised sibling of
+    * [[bigramNll]]'s unsupervised quality score, and the classic
+    * fastText-shaped language-ID / topic-gate baseline of training-data
+    * pipelines (route/filter shards by a cheap count-based model before
+    * anything expensive runs).
+    *
+    * Model: P(t|c) = (C(t,c)+1) / (C(·,c)+V) over token OCCURRENCES,
+    * V = the corpus-wide distinct vocabulary; P(c) = docs(c)/N.
+    * score(d,c) = log2 P(c) + Σ_t C(t,d)·log2 P(t|c). A token the
+    * class never saw contributes the smoothing floor log2(1/(C(·,c)+V)).
+    *
+    * Numeric discipline (the DSIR λ-sum): every per-(class,token) log
+    * is rounded to 9 decimals; per-doc terms C(t,d)·lp round again to
+    * 9 and sum as decimal(38,9) — order-free, oracle-exact; the argmax
+    * min(struct(−score, class)) breaks exact ties toward the smaller
+    * class name.
+    *
+    * Scale shape: ONE tokenize pass builds the per-doc term counts
+    * (persisted — the class-token model and the scoring both derive
+    * from it; ContextCleaner releases it with the plan). The model and
+    * the per-class floors/priors are vocabulary×classes-sized —
+    * broadcast onto the scoring join; the corpus text never shuffles.
+    * Scoring fans each posting row out ×|classes| (the left join
+    * against the model grid), collapsing in the same aggregate.
+    *
+    * @return (labelCol, pred, n) — rows only for observed
+    *   (true, predicted) pairs */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val dt = docs
+      .select(col(idCol).as("id"), col(labelCol).as("label"),
+        explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy("id", "label", "t")
+      .agg(count(lit(1)).as("c"))
+      .persist()
+    val classTok = dt.groupBy(col("label").as("cl"), col("t"))
+      .agg(sum(col("c")).cast("long").as("ct"))
+    val vocab = dt.agg(countDistinct(col("t")).as("v"))
+    val classTot = classTok.groupBy("cl")
+      .agg(sum(col("ct")).cast("long").as("tot"))
+      .crossJoin(broadcast(vocab))
+    val model = classTok
+      .join(classTot.select(col("cl"), col("tot"), col("v")), "cl")
+      .select(col("cl"), col("t"),
+        round(log2((col("ct") + 1).cast("double") /
+          (col("tot") + col("v")).cast("double")), 9).as("lp"))
+    val floors = classTot.select(col("cl"),
+      round(log2(lit(1.0) /
+        (col("tot") + col("v")).cast("double")), 9).as("lp0"))
+    val nTot = docs.agg(count(lit(1)).as("n"))
+    val priors = docs.groupBy(col(labelCol).as("cl"))
+      .agg(count(lit(1)).as("nd"))
+      .crossJoin(broadcast(nTot))
+      .select(col("cl"),
+        round(log2(col("nd").cast("double") / col("n").cast("double")), 9)
+          .cast("decimal(38,9)").as("lpr"))
+    val scored = dt
+      .crossJoin(broadcast(floors))
+      .join(broadcast(model), Seq("cl", "t"), "left")
+      .groupBy("id", "label", "cl")
+      .agg(sum(round(col("c").cast("double") *
+          coalesce(col("lp"), col("lp0")), 9).cast("decimal(38,9)"))
+        .as("s"))
+      .join(broadcast(priors), "cl")
+      .select(col("id"), col("label"), col("cl"),
+        (col("s") + col("lpr")).as("score"))
+    scored
+      .groupBy("id", "label")
+      .agg(min(struct((-col("score")).as("ns"), col("cl"))).as("best"))
+      .groupBy(col("label").as(labelCol), col("best.cl").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -87,6 +87,56 @@ object Search {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
 
+  /** Dirichlet-smoothed query-likelihood retrieval — the language-model
+    * ranking family next to [[bm25]]'s probabilistic-relevance family:
+    * score(q,d) = Σ_{t∈q} log2 P(t|d) under the Dirichlet-smoothed
+    * document model P(t|d) = (c(t,d) + μ·P(t|C)) / (dl + μ).
+    *
+    * Computed over MATCHED documents only via the standard
+    * decomposition: the absent-term mass collapses into one per-doc
+    * length normalizer, so only posting-list rows are touched —
+    * score = Σ_{t∈q∩d} log2(1 + c(t,d)/(μ·P(t|C)))
+    *         + |q| · log2(μ / (dl + μ)).
+    * P(t|C) = cf(t)/|C| over collection term occurrences; cf derives
+    * from the tf aggregate (never a second corpus pass — the q30
+    * tf→df lesson). Docs matching no query term score -∞ relative to
+    * any match and are omitted, exactly like bm25's candidate set.
+    *
+    * Cross-engine: all counts are exact integers; each contribution is
+    * a fixed-order double expression; the ≤|q|-term sum's fold noise
+    * is absorbed by `scale` rounding (the bm25 acceptance).
+    *
+    * @return (idCol, n_terms, score) over docs matching ≥1 query term */
+  def dirichletQl(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], mu: Double = 300.0,
+      scale: Int = 6): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(mu > 0, s"mu must be positive, got $mu")
+    val nq = queryTerms.distinct.size
+    val toks = docs.select(col(idCol),
+      TextFunctions.tokens(col(textCol)).as("toks"))
+    val tf = toks
+      .select(col(idCol), size(col("toks")).as("dl"),
+        explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("term").agg(sum(col("tf")).cast("long").as("cf"))
+    val stats = toks.agg(sum(size(col("toks"))).cast("long").as("ct"))
+    // μ·P(t|C) in one fixed order: μ · cf / ct (cf ≥ 1 on any posting
+    // row and ct ≥ 1 — an empty text still splits to [""], dl = 1)
+    val muP = lit(mu) * col("cf").cast("double") / col("ct").cast("double")
+    val contrib = log2(lit(1.0) + col("tf").cast("double") / muP)
+    tf.join(broadcast(cf), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol), col("dl"))
+      .agg(count(lit(1)).as("n_terms"), sum(contrib).as("s"))
+      .select(col(idCol), col("n_terms"),
+        round(col("s") + lit(nq.toDouble) *
+          log2(lit(mu) / (col("dl").cast("double") + mu)), scale)
+          .as("score"))
+  }
+
   /** "More like this": tf-idf cosine retrieval of the `k` most similar
     * corpus documents for each query document, computed ENTIRELY
     * through the inverted index — a sparse dot product is a join on

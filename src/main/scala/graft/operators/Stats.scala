@@ -527,4 +527,52 @@ object Stats {
       .groupBy(col("label"), col("best.clabel").as("pred"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Per-group two-feature OLS — y = b0 + b1·x1 + b2·x2 by closed-form
+    * 2×2 normal equations (Cramer's rule on centered moments): the
+    * regression (q78) pattern one matrix rank higher. Inputs must be
+    * integral (cast to long); first-level moments accumulate as
+    * decimal(38,0) (exact, order-free), the five centered terms cast
+    * to double ONCE, and every second-level product/ratio is a
+    * fixed-order IEEE expression — identical in any engine, so the
+    * coefficients are oracle-exact after round(6). Degenerate groups
+    * (det = 0: collinear or constant features) report NULL
+    * coefficients rather than ±inf/NaN.
+    *
+    * Scale note: second-level arithmetic in double (not decimal) is
+    * what keeps this safe at 100 TB — centered-moment PRODUCTS exceed
+    * decimal(38,0) around n ≈ 1e10 rows/group, while the double path
+    * only loses precision it was going to round away anyway.
+    *
+    * @return (keyCols*, n, b1, b2, b0) rounded to 6 decimals */
+  def ols2(df: DataFrame, keyCols: Seq[String], x1: Column, x2: Column,
+      y: Column): DataFrame = {
+    val z = df.select(keyCols.map(col) ++ Seq(
+      x1.cast("long").as("x1"), x2.cast("long").as("x2"),
+      y.cast("long").as("y")): _*)
+    val a = z.groupBy(keyCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("x1").cast("decimal(38,0)")).as("s1"),
+      sum(col("x2").cast("decimal(38,0)")).as("s2"),
+      sum(col("y").cast("decimal(38,0)")).as("sy"),
+      sum((col("x1") * col("x1")).cast("decimal(38,0)")).as("s11"),
+      sum((col("x2") * col("x2")).cast("decimal(38,0)")).as("s22"),
+      sum((col("x1") * col("x2")).cast("decimal(38,0)")).as("s12"),
+      sum((col("x1") * col("y")).cast("decimal(38,0)")).as("s1y"),
+      sum((col("x2") * col("y")).cast("decimal(38,0)")).as("s2y"))
+    def ctr(sab: String, sa: String, sb: String) =
+      (col("n") * col(sab) - col(sa) * col(sb)).cast("double")
+    val c11 = ctr("s11", "s1", "s1"); val c22 = ctr("s22", "s2", "s2")
+    val c12 = ctr("s12", "s1", "s2")
+    val c1y = ctr("s1y", "s1", "sy"); val c2y = ctr("s2y", "s2", "sy")
+    val det = c11 * c22 - c12 * c12
+    val b1 = (c22 * c1y - c12 * c2y) / det
+    val b2 = (c11 * c2y - c12 * c1y) / det
+    val b0 = (col("sy").cast("double") - b1 * col("s1").cast("double")
+      - b2 * col("s2").cast("double")) / col("n").cast("double")
+    a.select(keyCols.map(col) ++ Seq(col("n"),
+      when(det =!= 0.0, round(b1, 6)).as("b1"),
+      when(det =!= 0.0, round(b2, 6)).as("b2"),
+      when(det =!= 0.0, round(b0, 6)).as("b0")): _*)
+  }
 }

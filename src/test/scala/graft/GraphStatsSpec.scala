@@ -77,6 +77,46 @@ class GraphStatsSpec extends SparkSpec {
     assert(simMap(es, minCommon = 2) == want)
   }
 
+  test("adamicAdar == brute force over neighbor sets") {
+    val rnd = new scala.util.Random(17)
+    val es = (1 to 400).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter(e => e._1 != e._2)
+    val nbr = (es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.flatMap(e => Seq(e, e.swap)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // replicate the operator's numeric discipline exactly: per-center
+    // term round(1/log2(deg), 9) HALF_UP, exact decimal sum, round(,6)
+    val want = (for {
+      u <- nbr.keys; v <- nbr.keys if u < v
+      common = nbr(u) & nbr(v) if common.size >= 2
+    } yield {
+      val s = common.toSeq.map(w => BigDecimal(
+          1.0 / (math.log(nbr(w).size.toDouble) / math.log(2.0)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum
+      (u, v) -> ((common.size.toLong, BigDecimal(s.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }).toMap
+    val got = GraphStats.adamicAdar(
+        spark.createDataFrame(es).toDF("s", "d"), "s", "d", minCommon = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got == want)
+  }
+
+  test("adamicAdar: rare shared neighbor outscores a shared hub") {
+    // pair (1,2) shares only hub 0 (deg 4 -> weight 1/log2(4) = 0.5);
+    // pair (3,4) shares only the deg-2 node 5 (weight 1/log2(2) = 1)
+    val es = Seq((0L, 1L), (0L, 2L), (0L, 8L), (0L, 9L),
+      (5L, 3L), (5L, 4L))
+    val got = GraphStats.adamicAdar(
+        spark.createDataFrame(es).toDF("s", "d"), "s", "d", minCommon = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(got((1L, 2L)) == 0.5 && got((3L, 4L)) == 1.0)
+  }
+
   test("commonNeighborSim: maxDegree drops hub-centered wedges only") {
     // hub 0 touches everyone; 1-2 also share non-hub neighbor 3
     val es = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 3L), (2L, 3L))

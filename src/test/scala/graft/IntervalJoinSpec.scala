@@ -92,4 +92,50 @@ class IntervalJoinSpec extends SparkSpec {
       .select("p_pid").collect().map(_.getLong(0)).toSet
     assert(got == Set(11L, 12L))
   }
+
+  /** Sequential merge of half-open intervals sorted by lo: the result
+    * is tie-order independent (a tied start always lands inside the
+    * open island because hi > lo). */
+  private def bruteUnion(ivs: Seq[(Long, Long)]): (Long, Long, Long) = {
+    var islands = List.empty[(Long, Long)]
+    for ((lo, hi) <- ivs.sortBy(_._1)) islands match {
+      case (ilo, ihi) :: rest if lo <= ihi =>
+        islands = (ilo, math.max(ihi, hi)) :: rest
+      case _ => islands = (lo, hi) :: islands
+    }
+    (ivs.size.toLong, islands.size.toLong,
+      islands.map(i => i._2 - i._1).sum)
+  }
+
+  private def unionMap(xs: Seq[(Long, Long, Long, Long)], parts: Int = 4)
+      : Map[Long, (Long, Long, Long)] = {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(xs, parts))
+      .toDF("k", "id", "lo", "hi")
+    IntervalJoin.unionLength(df, Seq("k"), "lo", "hi", Seq("id"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+  }
+
+  test("unionLength == sequential merge per key") {
+    val xs = (0 until 500).map { i =>
+      val lo = (rnd.nextDouble() * 5000).toLong
+      ((i % 7).toLong, i.toLong, lo, lo + 1 + (rnd.nextDouble() * 400).toLong)
+    }
+    val want = xs.groupBy(_._1).view
+      .mapValues(g => bruteUnion(g.map(x => (x._3, x._4)))).toMap
+    assert(unionMap(xs) == want)
+    assert(unionMap(xs, parts = 11) == want) // partition invariance
+  }
+
+  test("unionLength: touching intervals merge, contained ones absorb") {
+    // [0,10)+[10,20) touch -> one 20-unit island; [30,40) swallows
+    // [32,35) (running max must carry 40 past the contained hi=35, or
+    // [38,45) would wrongly open a new island); [100,101) stands alone
+    val xs = Seq((1L, 1L, 0L, 10L), (1L, 2L, 10L, 20L),
+      (1L, 3L, 30L, 40L), (1L, 4L, 32L, 35L), (1L, 5L, 38L, 45L),
+      (1L, 6L, 100L, 101L))
+    assert(unionMap(xs) == Map(1L -> ((6L, 3L, 36L))))
+  }
 }

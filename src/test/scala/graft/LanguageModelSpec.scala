@@ -85,6 +85,23 @@ class LanguageModelSpec extends SparkSpec {
     assert(got(("strong", "tea"))._2 > got(("the", "man"))._2)
   }
 
+  test("naiveBayes: separable corpus diagonal; cross-vocab doc routed") {
+    // class x speaks {a,b}, class y speaks {c,d}; doc 5 is labeled x
+    // but written in y's vocabulary -> predicted y (hand-checked:
+    // score(5,y)=-3.97 beats score(5,x)=-5.66 under add-one smoothing)
+    val docs = Seq(
+      (1L, "x", "a a b"), (2L, "x", "a b"),
+      (3L, "y", "c c d"), (4L, "y", "c d d"),
+      (5L, "x", "c d")).toDF("doc_id", "lang", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      LanguageModel.naiveBayes(df, "doc_id", "text", "lang")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    val got = run(docs)
+    assert(got == Map(("x", "x") -> 2L, ("x", "y") -> 1L, ("y", "y") -> 2L))
+    assert(run(docs.repartition(7)) == got) // partition invariance
+  }
+
   test("pmi: bigram-free and empty corpora yield empty results, not NPE") {
     val single = Seq(1L -> "solo", 2L -> "word").toDF("doc_id", "text")
     assert(LanguageModel.pmi(single, "text", 1).count() == 0)

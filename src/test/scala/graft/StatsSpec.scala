@@ -437,4 +437,28 @@ class StatsSpec extends SparkSpec {
     assert(diag.toDouble / total > 0.2,
       s"centroid accuracy ${diag.toDouble / total} not above chance")
   }
+
+  test("ols2: recovers an exact plane; collinear features go NULL") {
+    val rnd = new scala.util.Random(7)
+    // noise-free integer plane y = 3 + 2·x1 − x2: every moment and
+    // every Cramer product is an exact double, so the closed form
+    // returns the coefficients EXACTLY (no tolerance needed)
+    val pts = (1 to 200).map { _ =>
+      val x1 = rnd.nextInt(10).toLong; val x2 = rnd.nextInt(10).toLong
+      ("g", x1, x2, 3 + 2 * x1 - x2)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(pts, 5)).toDF("g", "x1", "x2", "y")
+    val got = Stats.ols2(df, Seq("g"), col("x1"), col("x2"), col("y"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got("g") == ((200L, 2.0, -1.0, 3.0)))
+    // x2 = 2·x1 makes the normal matrix singular -> NULL coefficients
+    val col2 = spark.createDataFrame(pts.map(p =>
+      ("c", p._2, 2 * p._2, p._4))).toDF("g", "x1", "x2", "y")
+    val deg = Stats.ols2(col2, Seq("g"), col("x1"), col("x2"), col("y"))
+      .collect().head
+    assert(deg.isNullAt(2) && deg.isNullAt(3) && deg.isNullAt(4))
+  }
 }
