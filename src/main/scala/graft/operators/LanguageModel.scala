@@ -126,53 +126,102 @@ object LanguageModel {
     * Scale shape: ONE tokenize pass builds the per-doc term counts
     * (persisted — the class-token model and the scoring both derive
     * from it; ContextCleaner releases it with the plan). The model and
-    * the per-class floors/priors are vocabulary×classes-sized —
+    * the per-class floor/prior table are vocabulary×classes-sized —
     * broadcast onto the scoring join; the corpus text never shuffles.
     * Scoring fans each posting row out ×|classes| (the left join
-    * against the model grid), collapsing in the same aggregate.
+    * against the model grid), collapsing in the same aggregate. When
+    * the model fits under `modelThreshold` rows it is COLLECTED and
+    * rebuilt driver-side as literal tables (the Bpe/IVF inlining
+    * pattern — the distributed model DAG is ~10 orchestration-bound
+    * Spark jobs for a table that is often a few hundred rows); the
+    * driver arithmetic replicates round(log2(...), 9) exactly and a
+    * spec pins both paths bit-equal.
     *
+    * @param modelThreshold max vocab×classes rows for the driver-built
+    *   model path (the distributed build handles any size)
     * @return (labelCol, pred, n) — rows only for observed
     *   (true, predicted) pairs */
   def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String, modelThreshold: Long = 1_000_000L): DataFrame = {
+    val spark = docs.sparkSession
+    // persisted: the model build and the scoring join both read the
+    // per-doc term counts (released by ContextCleaner with the plan)
     val dt = docs
       .select(col(idCol).as("id"), col(labelCol).as("label"),
         explode(TextFunctions.tokens(col(textCol))).as("t"))
       .groupBy("id", "label", "t")
       .agg(count(lit(1)).as("c"))
       .persist()
+    // doc counts per class off dt, not a second corpus scan: every doc
+    // has >= 1 token (split("") = [""]), so no doc is lost
+    val docCounts = dt.groupBy(col("label").as("cl"))
+      .agg(countDistinct(col("id")).as("nd"))
     val classTok = dt.groupBy(col("label").as("cl"), col("t"))
       .agg(sum(col("c")).cast("long").as("ct"))
-    val vocab = dt.agg(countDistinct(col("t")).as("v"))
-    val classTot = classTok.groupBy("cl")
-      .agg(sum(col("ct")).cast("long").as("tot"))
-      .crossJoin(broadcast(vocab))
-    val model = classTok
-      .join(classTot.select(col("cl"), col("tot"), col("v")), "cl")
-      .select(col("cl"), col("t"),
-        round(log2((col("ct") + 1).cast("double") /
-          (col("tot") + col("v")).cast("double")), 9).as("lp"))
-    val floors = classTot.select(col("cl"),
-      round(log2(lit(1.0) /
-        (col("tot") + col("v")).cast("double")), 9).as("lp0"))
-    val nTot = docs.agg(count(lit(1)).as("n"))
-    val priors = docs.groupBy(col(labelCol).as("cl"))
-      .agg(count(lit(1)).as("nd"))
-      .crossJoin(broadcast(nTot))
-      .select(col("cl"),
-        round(log2(col("nd").cast("double") / col("n").cast("double")), 9)
-          .cast("decimal(38,9)").as("lpr"))
-    val scored = dt
-      .crossJoin(broadcast(floors))
-      .join(broadcast(model), Seq("cl", "t"), "left")
+      .persist()
+    val modelSize = classTok.count()
+    // (model, per-class info) — driver-built literal tables when the
+    // vocab×classes model is small (the Bpe/IVF inlining pattern: the
+    // multi-stage model DAG costs ~10 Spark jobs of pure orchestration
+    // at local scale); the distributed build is the identical
+    // arithmetic expressed in Spark expressions (spec-pinned equal)
+    val (modelDf, infoDf) =
+      if (modelSize <= modelThreshold) {
+        val ctok = classTok.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val nds = docCounts.collect()
+          .map(r => (r.getString(0), r.getLong(1))).toMap
+        val v = ctok.iterator.map(_._2).toSet.size
+        val nTot = nds.values.sum
+        val tot = ctok.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+        def round9(x: Double): Double = BigDecimal(x)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // Catalyst's Log2 evaluates StrictMath.log(x)/StrictMath.log(2)
+        // — Math.log is an intrinsic that differs by 1 ulp on some
+        // inputs, enough to flip a round(,9) half-case (spec-pinned)
+        def lg2(x: Double): Double =
+          StrictMath.log(x) / StrictMath.log(2.0)
+        import spark.implicits._
+        val m = ctok.toSeq.map { case (cl, t, ct) =>
+          (cl, t, round9(lg2((ct + 1).toDouble / (tot(cl) + v).toDouble)))
+        }.toDF("cl", "t", "lp")
+        val i = nds.toSeq.map { case (cl, nd) =>
+          (cl, round9(lg2(1.0 / (tot(cl) + v).toDouble)),
+            round9(lg2(nd.toDouble / nTot.toDouble)))
+        }.toDF("cl", "lp0", "lpr")
+          .withColumn("lpr", round(col("lpr"), 9).cast("decimal(38,9)"))
+        (m, i)
+      } else {
+        val vocab = classTok.agg(countDistinct(col("t")).as("v"))
+        val classTot = classTok.groupBy("cl")
+          .agg(sum(col("ct")).cast("long").as("tot"))
+          .crossJoin(broadcast(vocab))
+        val nTot = docCounts.agg(sum(col("nd")).as("n"))
+        val m = classTok
+          .join(classTot.select(col("cl"), col("tot"), col("v")), "cl")
+          .select(col("cl"), col("t"),
+            round(log2((col("ct") + 1).cast("double") /
+              (col("tot") + col("v")).cast("double")), 9).as("lp"))
+        val i = classTot
+          .join(docCounts, "cl")
+          .crossJoin(broadcast(nTot))
+          .select(col("cl"),
+            round(log2(lit(1.0) /
+              (col("tot") + col("v")).cast("double")), 9).as("lp0"),
+            round(log2(col("nd").cast("double") / col("n").cast("double")),
+              9).cast("decimal(38,9)").as("lpr"))
+        (m, i)
+      }
+    dt
+      .crossJoin(broadcast(infoDf))
+      .join(broadcast(modelDf), Seq("cl", "t"), "left")
       .groupBy("id", "label", "cl")
       .agg(sum(round(col("c").cast("double") *
           coalesce(col("lp"), col("lp0")), 9).cast("decimal(38,9)"))
-        .as("s"))
-      .join(broadcast(priors), "cl")
+        .as("s"),
+        min(col("lpr")).as("lpr")) // constant within the group
       .select(col("id"), col("label"), col("cl"),
         (col("s") + col("lpr")).as("score"))
-    scored
       .groupBy("id", "label")
       .agg(min(struct((-col("score")).as("ns"), col("cl"))).as("best"))
       .groupBy(col("label").as(labelCol), col("best.cl").as("pred"))

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.LanguageModel
+import org.apache.spark.sql.functions.{col, log2}
 
 class LanguageModelSpec extends SparkSpec {
 
@@ -100,6 +101,31 @@ class LanguageModelSpec extends SparkSpec {
     val got = run(docs)
     assert(got == Map(("x", "x") -> 2L, ("x", "y") -> 1L, ("y", "y") -> 2L))
     assert(run(docs.repartition(7)) == got) // partition invariance
+  }
+
+  test("naiveBayes: fused model path == distributed; log2 bit parity") {
+    val rnd = new scala.util.Random(31)
+    val langs = Seq("aa", "bb", "cc")
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (1 to 120).map { i =>
+      val words = (0 until 1 + rnd.nextInt(12))
+        .map(_ => vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, langs(rnd.nextInt(3)), words.mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    def run(thr: Long) =
+      LanguageModel.naiveBayes(docs, "doc_id", "text", "lang", thr)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+    assert(run(0L) == run(1_000_000L))
+    // the driver-built model computes log2 as StrictMath.log(x)/log(2)
+    // — it must be BIT-equal to the engine's log2 or the fused path
+    // silently drifts (Math.log is an intrinsic that differs by 1 ulp
+    // on some inputs; this assertion caught exactly that)
+    val xs = (1 to 1000).map(i => i / 7.0)
+    val eng = xs.toDF("x").select(log2(col("x")).as("y"))
+      .collect().map(_.getDouble(0))
+    val drv = xs.map(x => StrictMath.log(x) / StrictMath.log(2.0))
+    assert(eng.zip(drv).forall { case (a, b) => a == b })
   }
 
   test("pmi: bigram-free and empty corpora yield empty results, not NPE") {
