@@ -1,21 +1,32 @@
 package graft.operators
 
+import graft.functions.PairExpressions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Market-basket co-occurrence mining — frequent item pairs with the
   * A-priori prune: an item pair can only reach `minSupport` baskets if
   * BOTH items individually do, so the (small) frequent-item set filters
-  * the basket table BEFORE the quadratic pair step. The canonical
-  * first stage of association-rule mining, and squarely the reference
+  * the baskets BEFORE the quadratic pair step. The canonical first
+  * stage of association-rule mining, and squarely the reference
   * course's home turf.
   *
-  * Scale shape: basket-item dedup is one shuffle; the frequent-item
-  * set is a broadcast semi filter (downward closure — lossless); pair
-  * generation is a self-equi-join on the basket key, so its cost is
-  * Σ_basket |items|² over SURVIVING items only — the prune is what
-  * keeps a 100 TB run from exploding on promiscuous items, and basket
-  * size caps (if needed) would bound the worst case explicitly.
+  * Scale shape (long item ids — every production caller): ONE exchange
+  * collapses the observations to a sorted distinct item set per basket
+  * (collect_set dedups in the aggregate); item supports, the A-priori
+  * semi filter, and the per-basket regroup all REUSE that basket
+  * partitioning (explode/broadcast-semi/groupBy-on-the-same-key add no
+  * exchange); pairs then stream out of the native
+  * `explode_posting_pairs` kernel (lazy, allocation-free) into the
+  * pair-support aggregate — the [[Dedup.jaccardJoin]] posting-list
+  * plan with baskets playing the postings. Two-and-a-half exchanges
+  * total and the basket table is built once, replacing the previous
+  * distinct + self-equi-join shape (double-computed join sides, ~2×
+  * the stages). Pair cost is Σ_basket |surviving items|² — the prune
+  * is what keeps a 100 TB run from exploding on promiscuous items.
+  * Non-long item types (e.g. string SKUs) take the equivalent
+  * self-join path; results are identical (spec-pinned).
   */
 object Basket {
 
@@ -26,18 +37,64 @@ object Basket {
   def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long): DataFrame = {
     require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
-    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct().persist()
-    val freq = items.groupBy("i").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minSupport).select("i")
-    val pruned = items.join(broadcast(freq), Seq("i"), "left_semi")
-    val out = pruned.as("x")
-      .join(pruned.as("y"),
-        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-      .groupBy(col("x.i").as("item_a"), col("y.i").as("item_b"))
+    val (pairs, _, _) = machinery(df, basketCol, itemCol, minSupport)
+    pairs.select(col("ia").as("item_a"), col("ib").as("item_b"),
+      col("support"))
+  }
+
+  /** (pairs(ia, ib, support), frequent itemN(i, n), baskets(nb_total))
+    * — shared by [[frequentPairs]] and [[rules]]. */
+  private def machinery(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): (DataFrame, DataFrame, DataFrame) =
+    df.schema(itemCol).dataType match {
+      case LongType => longPath(df, basketCol, itemCol, minSupport)
+      case _ => genericPath(df, basketCol, itemCol, minSupport)
+    }
+
+  private def longPath(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): (DataFrame, DataFrame, DataFrame) = {
+    // persisted: item supports, the prune pass, and the basket count
+    // all read the per-basket sets (ContextCleaner releases with the
+    // plan). collect_set = within-basket dedup inside the aggregate.
+    val sets = df
+      .groupBy(col(basketCol).as("b"))
+      .agg(array_sort(collect_set(col(itemCol))).as("arr"))
+      .persist()
+    // arr elements are distinct, so the exploded count IS basket support
+    val itemN = sets.select(explode(col("arr")).as("i"))
+      .groupBy("i").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+      .persist()
+    // A-priori prune + regroup: hash(b) partitioning survives the
+    // explode and the broadcast semi, so the re-collect needs no
+    // exchange; single-survivor baskets emit no pairs downstream
+    val pruned = sets.select(col("b"), explode(col("arr")).as("i"))
+      .join(broadcast(itemN.select("i")), Seq("i"), "left_semi")
+      .groupBy("b").agg(array_sort(collect_list(col("i"))).as("arr"))
+    val pairs = pruned
+      .select(PairExpressions.explodePostingPairs(col("arr")))
+      .groupBy(col("a_id").as("ia"), col("b_id").as("ib"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-    out
+    (pairs, itemN, sets.agg(count(lit(1)).as("nb_total")))
+  }
+
+  private def genericPath(df: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct().persist()
+    val itemN = items.groupBy("i").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport).persist()
+    val pruned = items.join(broadcast(itemN.select("i")), Seq("i"),
+      "left_semi")
+    val pairs = pruned.as("x")
+      .join(pruned.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("ia"), col("y.i").as("ib"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+    (pairs, itemN, items.agg(countDistinct(col("b")).as("nb_total")))
   }
 
   /** Association rules over the frequent pairs: each surviving
@@ -52,7 +109,7 @@ object Basket {
     * — the Agrawal/Srikant second stage the reference's course teaches
     * after frequent-itemset mining.
     *
-    * Scale shape: everything downstream of `frequentPairs` is
+    * Scale shape: everything downstream of the pair supports is
     * broadcast-sized — the per-item support table is the frequent-item
     * set (≤ vocabulary) and joins twice onto the pair table; the basket
     * count N attaches as a broadcast scalar. Both rule orientations
@@ -64,19 +121,9 @@ object Basket {
     *   confidence, lift) — one row per direction, rounded to `scale`. */
   def rules(df: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long, scale: Int = 6): DataFrame = {
-    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct().persist()
-    val itemN = items.groupBy("i").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minSupport).persist()
-    val pruned = items.join(broadcast(itemN.select("i")), Seq("i"),
-      "left_semi")
-    val pairs = pruned.as("x")
-      .join(pruned.as("y"),
-        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
-      .groupBy(col("x.i").as("ia"), col("y.i").as("ib"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= minSupport)
-    val baskets = items.agg(countDistinct(col("b")).as("nb_total"))
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val (pairs, itemN, baskets) = machinery(df, basketCol, itemCol,
+      minSupport)
     val both = pairs.select(col("support"),
         explode(array(
           struct(col("ia").as("antecedent"), col("ib").as("consequent")),

@@ -99,6 +99,35 @@ class LabelPropBasketSpec extends SparkSpec {
     }
   }
 
+  test("frequentPairs: long-item posting-list path == brute force") {
+    // long item ids take the collect_set + native-pair-kernel path;
+    // string ids (above) take the self-join path — same contract
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 600).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(20).toLong + 100L))
+    val df = spark.createDataFrame(rows).toDF("b", "i").repartition(5)
+    val baskets = rows.distinct.groupBy(_._1).values.map(_.map(_._2).toSet)
+    for (s <- Seq(2L, 5L)) {
+      val brute = baskets.toSeq
+        .flatMap(items => items.toSeq.sorted.combinations(2))
+        .groupBy(identity).map { case (p, o) => (p(0), p(1)) -> o.size.toLong }
+        .filter(_._2 >= s)
+      val got = Basket.frequentPairs(df, "b", "i", s)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      assert(got == brute, s"support $s")
+    }
+    // rules on the long path: supports agree with frequentPairs
+    val pairs = Basket.frequentPairs(df, "b", "i", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rules = Basket.rules(df, "b", "i", 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rules.size == 2 * pairs.size)
+    pairs.foreach { case ((a, b), s) =>
+      assert(rules((a, b)) == s && rules((b, a)) == s)
+    }
+  }
+
   test("rules: hand-computed confidence and lift, both directions") {
     // A in {1,2,3,5}, B in {1,2,4,5}, C in {1,3,4}; N = 5 baskets
     val rows = Seq(
