@@ -109,6 +109,53 @@ object EventPipeline {
     event_type: String)
   case class Step(user_id: Long, src_type: String, dst_type: String)
 
+  case class SessEvent(user_id: Long, ms: Long, event_id: Long)
+  case class SessionState(session_id: Int, start_ms: Long, end_ms: Long,
+    n: Long)
+  case class Session(user_id: Long, session_id: Int, n_events: Long,
+    start_ms: Long, end_ms: Long)
+
+  /** Streaming twin of the batch gaps-and-islands sessionization (the
+    * q21 table): one state entry per user holding the OPEN session
+    * (id, bounds, count); an arrival more than `gapMs` past the open
+    * session's end CLOSES it — the closed row is appended, and the
+    * emitted rows are bit-identical to the batch operator's (same
+    * strict-> gap test, same 1-based numbering). The native
+    * `session_window` twin ([[sessionize]]) gives watermark-driven
+    * finalization but window-bound output; this one exists when
+    * downstream wants the batch table's exact shape incrementally.
+    *
+    * Equivalence contract: emitted sessions == the batch table minus
+    * each user's LAST session (still open in state, by construction —
+    * a stream never knows its final event arrived). Per-user arrivals
+    * must be in event-time order across micro-batches; within a batch
+    * the per-batch (ms, event_id) sort recovers any order
+    * (transitionsStream's contract, spec-enforced). */
+  def sessionsStream(events: Dataset[SessEvent],
+      gapMs: Long = 1800000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[SessEvent],
+            state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ms, e.event_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[Session]
+          sorted.foreach { e =>
+            if (st == null) st = SessionState(1, e.ms, e.ms, 1L)
+            else if (e.ms - st.end_ms > gapMs) {
+              out += Session(uid, st.session_id, st.n, st.start_ms,
+                st.end_ms)
+              st = SessionState(st.session_id + 1, e.ms, e.ms, 1L)
+            } else st = SessionState(st.session_id, st.start_ms, e.ms,
+              st.n + 1)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Streaming twin of `operators.Sequences.transitions`' step
     * extraction: one state-store entry per key holding the LAST event
     * seen; each micro-batch sorts its per-key arrivals by (ms,

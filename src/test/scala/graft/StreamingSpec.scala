@@ -351,6 +351,51 @@ class StreamingSpec extends SparkSpec {
     assert(got.values.sum == evs.size - evs.groupBy(_.user_id).size)
   }
 
+  test("streaming sessionization == batch gaps-and-islands (minus open)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val rnd = new scala.util.Random(23)
+    val gap = 1000L
+    // per-user in-order timelines with genuine gaps: step 0..3×gap/2
+    var clock = Map.empty[Long, Long].withDefaultValue(0L)
+    val evs = (1 to 160).map { i =>
+      val u = rnd.nextInt(5).toLong
+      clock += u -> (clock(u) + (rnd.nextDouble() * 1.5 * gap).toLong + 1)
+      EventPipeline.SessEvent(u, clock(u), i.toLong)
+    }
+    val mem = MemoryStream[EventPipeline.SessEvent]
+    val q = EventPipeline.sessionsStream(mem.toDS(), gap)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    val got = try {
+      evs.grouped(41).foreach { chunk =>
+        mem.addData(rnd.shuffle(chunk): _*)
+        q.processAllAvailable()
+      }
+      spark.table("sess_out").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+    } finally q.stop()
+    // batch reference: sequential walk per user; drop each user's LAST
+    // session (still open in the stream's state by construction)
+    val want = evs.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+      val sessions = Seq.newBuilder[(Long, Int, Long, Long, Long)]
+      var (sid, start, end, n) = (0, 0L, -10 * gap, 0L)
+      es.sortBy(e => (e.ms, e.event_id)).foreach { e =>
+        if (e.ms - end > gap) {
+          if (sid > 0) sessions += ((u, sid, n, start, end))
+          sid += 1; start = e.ms; n = 0L
+        }
+        end = e.ms; n += 1
+      }
+      sessions.result() // the open session is never added
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty && got.size > 20) // gaps actually occurred
+  }
+
   test("stateless curation ops run unchanged on a stream == batch") {
     // redaction (native expression), language-ID, and hash splits are
     // narrow projections, so the SAME column code serves batch and
