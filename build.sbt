@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses Bench's one-line JSON from sbt's stdout; sbt's
+// default logger prefixes forked output with "[info] " and appends a
+// "[success] Total time: ..." line, which broke that parse in r02/r03
+// (BENCH_r*.json "parsed": null). Pass the forked process's stdout
+// through verbatim and drop the success/timing trailer so the JSON line
+// is the last raw line on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
