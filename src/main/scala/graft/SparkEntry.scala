@@ -1919,7 +1919,34 @@ object SparkEntry {
     "q158_dirichlet_ql" -> ((s, dir) =>
       operators.Search.dirichletQl(t(s, dir, "documents"), "doc_id",
         "text", Bm25Terms, QlMu)),
+
+    // Per-cluster simplified silhouette of the q120 k-means fit — the
+    // cohesion/separation report the reference reads off its progress
+    // logs by hand; one literal-centroid projection pass + one agg
+    "q159_silhouette" -> ((s, dir) =>
+      operators.ClusterEval.simplifiedSilhouette(t(s, dir, "embeddings"),
+        "vec_id", "embedding", KmK, KmRounds)),
+
+    // Adjusted Rand Index: recovered k-means clusters vs the corpus's
+    // planted labels — exact integer pair-counting, one closing ratio
+    "q160_rand_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      operators.ClusterEval.adjustedRandIndex(
+        operators.KMeans.fit(e, "vec_id", "embedding", KmK, KmRounds)
+          .select(col("vec_id"), col("cluster")),
+        e.select(col("vec_id"), col("label")))
+    }),
+
+    // Sorted 4-dist curve as an equi-depth decile profile (Ester et
+    // al. §4.2's eps-selection heuristic, made first-class)
+    "q161_kdist" -> ((s, dir) =>
+      operators.ClusterEval.kDistProfile(t(s, dir, "embeddings"),
+        "vec_id", "embedding", KDistK, KDistBuckets)),
   )
+
+  /** q161's k (the DBSCAN paper's 4-dist) and profile depth. */
+  private val KDistK = 4
+  private val KDistBuckets = 10
 
   /** q158's Dirichlet pseudo-count — near the fixture's mean document
     * length, the standard heuristic. */
@@ -2072,6 +2099,84 @@ object SparkEntry {
        |  FROM (SELECT id, qv FROM p ORDER BY id LIMIT $KmK)),
        |$rounds""".stripMargin
   }
+
+  /** q159's oracle: distances to the FINAL centroids (`c_{rounds-1}` —
+    * the ones [[operators.KMeans.fit]]'s last assignment sees), ranked
+    * per point by (d2, cid); a = rn 1 (the assigned cluster), b = rn 2;
+    * s = (√b − √a)/√b quantized to ×1e9 longs, per-cluster mean as one
+    * exact integer sum + the same two-division close as the engine. */
+  private def silhouetteOracle: String = {
+    val d2 = "list_sum(list_transform(list_zip(p.qv, c.cv), " +
+      "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    s"""WITH $kmeansCteBody,
+       |dst AS MATERIALIZED (SELECT p.id, c.cid, $d2 AS d2,
+       |    row_number() OVER (PARTITION BY p.id ORDER BY $d2, c.cid)
+       |      AS rn
+       |  FROM p CROSS JOIN c${KmRounds - 1} c),
+       |ab AS (SELECT a.id, a.cid AS cluster,
+       |    sqrt(a.d2) AS da, sqrt(b.d2) AS db
+       |  FROM dst a JOIN dst b USING (id) WHERE a.rn = 1 AND b.rn = 2),
+       |sq AS (SELECT cluster,
+       |    CAST(round((CASE WHEN db > 0 THEN (db - da) / db
+       |                     ELSE 0.0 END) * 1000000000.0) AS BIGINT)
+       |      AS s
+       |  FROM ab)
+       |SELECT CAST(cluster AS INTEGER) AS cluster,
+       |  CAST(count(*) AS BIGINT) AS n_pts,
+       |  CAST(sum(s) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    / 1000000000.0 AS mean_sil
+       |FROM sq GROUP BY 1""".stripMargin
+  }
+
+  /** q160's oracle: the k-means unroll's labels against the planted
+    * `label` column — contingency counts, ×2-scaled pair sums
+    * (Σ x(x−1)), and ClusterEval.adjustedRandIndex's exact-integer
+    * ARI formula with its single closing division. */
+  private def randIndexOracle: String =
+    s"""WITH $kmeansCteBody,
+       |ct AS MATERIALIZED (SELECT a$KmRounds.cid AS ca, e.label AS cb,
+       |    CAST(count(*) AS BIGINT) AS nij
+       |  FROM a$KmRounds JOIN embeddings e ON a$KmRounds.id = e.vec_id
+       |  GROUP BY 1, 2),
+       |s1 AS (SELECT CAST(sum(nij * (nij - 1)) AS BIGINT) AS sij,
+       |    CAST(sum(nij) AS BIGINT) AS n,
+       |    CAST(count(DISTINCT ca) AS BIGINT) AS k_a,
+       |    CAST(count(DISTINCT cb) AS BIGINT) AS k_b
+       |  FROM ct),
+       |s2 AS (SELECT CAST(sum(ai * (ai - 1)) AS BIGINT) AS sa FROM
+       |  (SELECT CAST(sum(nij) AS BIGINT) AS ai FROM ct GROUP BY ca)),
+       |s3 AS (SELECT CAST(sum(bj * (bj - 1)) AS BIGINT) AS sb FROM
+       |  (SELECT CAST(sum(nij) AS BIGINT) AS bj FROM ct GROUP BY cb))
+       |SELECT n, k_a, k_b,
+       |  CASE WHEN n * (n - 1) * (sa + sb) - 2 * sa * sb <> 0 THEN
+       |    CAST(2 * (n * (n - 1) * sij - sa * sb) AS DOUBLE)
+       |      / CAST(n * (n - 1) * (sa + sb) - 2 * sa * sb AS DOUBLE)
+       |  END AS ari
+       |FROM s1, s2, s3""".stripMargin
+
+  /** q161's oracle: the naive O(n²) k-dist (rnk = [[KDistK]] of the
+    * q5-ordered pair ranking), micro-unit quantization, global
+    * (qd, id) row_number, and the same non-negative floor-division
+    * decile fold as the engine. */
+  private def kdistOracle: String =
+    s"""WITH kth AS MATERIALIZED (
+       |  SELECT a_id AS id,
+       |    CAST(round(sqrt(d2) * 1000000) AS BIGINT) AS qd
+       |  FROM (
+       |    SELECT a.vec_id AS a_id, ${d2Sql("a", "b")} AS d2,
+       |      row_number() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ${d2Sql("a", "b")}, b.vec_id) AS rnk
+       |    FROM embeddings a JOIN embeddings b
+       |      ON a.vec_id <> b.vec_id) r
+       |  WHERE rnk = $KDistK),
+       |rk AS (SELECT qd, row_number() OVER (ORDER BY qd, id) AS rk,
+       |    (SELECT count(*) FROM kth) AS n
+       |  FROM kth)
+       |SELECT CAST((rk - 1) * $KDistBuckets // n + 1 AS INTEGER)
+       |    AS decile,
+       |  CAST(count(*) AS BIGINT) AS n_pts,
+       |  min(qd) AS min_d_e6, max(qd) AS max_d_e6
+       |FROM rk GROUP BY 1""".stripMargin
 
   /** q140's oracle: signatures from the PRINTED ±1 planes (list_zip
     * fold — the d2Sql bit-parity precedent), per-table bucket
@@ -4261,6 +4366,10 @@ object SparkEntry {
          |      * log2($QlMu / (CAST(dl AS DOUBLE) + $QlMu)), 6) AS score
          |FROM tl JOIN cf USING (term) CROSS JOIN stats
          |GROUP BY tl.doc_id, tl.dl""".stripMargin,
+
+    "q159_silhouette" -> silhouetteOracle,
+    "q160_rand_index" -> randIndexOracle,
+    "q161_kdist" -> kdistOracle,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */

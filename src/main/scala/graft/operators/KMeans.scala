@@ -42,6 +42,20 @@ object KMeans {
     * @return (idCol, cluster) — cluster is the 0-based seed rank. */
   def fit(points: DataFrame, idCol: String, vecCol: String, k: Int,
       rounds: Int, quant: Double = 1e6): DataFrame = {
+    val (pts, cents) = fitCentroids(points, idCol, vecCol, k, rounds, quant)
+    pts.select(col("id").as(idCol), assignExpr(cents).as("cluster"))
+  }
+
+  /** The Lloyd loop behind [[fit]], exposed for consumers that need the
+    * MODEL as well as the labels (e.g. [[ClusterEval
+    * .simplifiedSilhouette]]'s per-centroid distances): returns the
+    * persisted quantized point table `(id, qv)` (integral-double
+    * coordinates — every distance off it is the exact cross-engine
+    * fold) and the final centroids, i.e. the ones the last assignment
+    * in [[fit]] sees (`c_{rounds-1}` in the oracle CTE chain). */
+  def fitCentroids(points: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int,
+      quant: Double = 1e6): (DataFrame, Array[(Int, Array[Double])]) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(k <= AnnSearch.literalCentroidLimit,
@@ -72,7 +86,7 @@ object KMeans {
             .map(r => r.getLong(2).toDouble / r.getLong(3)).toArray)
         }
     }
-    pts.select(col("id").as(idCol), assignExpr(cents).as("cluster"))
+    (pts, cents)
   }
 
   /** `least(struct(d2, cid)…).cid` — argmin by (distance, centroid
