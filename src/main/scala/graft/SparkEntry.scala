@@ -1942,6 +1942,27 @@ object SparkEntry {
     "q161_kdist" -> ((s, dir) =>
       operators.ClusterEval.kDistProfile(t(s, dir, "embeddings"),
         "vec_id", "embedding", KDistK, KDistBuckets)),
+
+    // Cohen's kappa of the q12 language-ID heuristic against the
+    // corpus's gold lang column — chance-corrected classifier
+    // agreement, exact integers to one closing division
+    "q162_kappa" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.Stats.cohensKappa(
+        d.select(TextFunctions.langId(col("text")).as("a"),
+          col("lang").as("b")))
+    }),
+
+    // Embedding-level eval decontamination: held-out vectors with ANY
+    // training vector within cosine SemTau — the semantic complement
+    // of q36's n-gram screen; τ filter prunes pairs before the agg
+    "q163_contamination" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      operators.Curation.embeddingContamination(
+        e.filter(col("vec_id") % 20 === 0),
+        e.filter(col("vec_id") % 20 =!= 0),
+        "vec_id", "embedding", SemTau)
+    }),
   )
 
   /** q161's k (the DBSCAN paper's 4-dist) and profile depth. */
@@ -4370,6 +4391,47 @@ object SparkEntry {
     "q159_silhouette" -> silhouetteOracle,
     "q160_rand_index" -> randIndexOracle,
     "q161_kdist" -> kdistOracle,
+
+    "q162_kappa" ->
+      s"""WITH pred AS MATERIALIZED ($langIdOracle),
+         |ct AS MATERIALIZED (SELECT p.lang_pred AS a, d.lang AS b,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM pred p JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+         |      AS agree
+         |  FROM ct),
+         |mar AS (SELECT CAST(coalesce(sum(r * cc), 0) AS BIGINT) AS s
+         |  FROM (SELECT a, CAST(sum(c) AS BIGINT) AS r FROM ct
+         |        GROUP BY a) ra
+         |  JOIN (SELECT b, CAST(sum(c) AS BIGINT) AS cc FROM ct
+         |        GROUP BY b) cb ON ra.a = cb.b)
+         |SELECT n, agree,
+         |  CASE WHEN n * n - s <> 0 THEN
+         |    CAST(n * agree - s AS DOUBLE) / CAST(n * n - s AS DOUBLE)
+         |  END AS kappa
+         |FROM tot, mar""".stripMargin,
+
+    "q163_contamination" -> {
+      def dot(x: String, y: String) =
+        s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
+          "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+      s"""WITH h AS (SELECT * FROM embeddings WHERE vec_id % 20 = 0),
+         |tr AS (SELECT * FROM embeddings WHERE vec_id % 20 <> 0),
+         |flt AS MATERIALIZED (SELECT * FROM (
+         |    SELECT h.vec_id AS a_id, tr.vec_id AS b_id,
+         |      ${dot("h", "tr")}
+         |        / sqrt(${dot("h", "h")} * ${dot("tr", "tr")}) AS cos
+         |    FROM h JOIN tr ON TRUE) p
+         |  WHERE cos >= $SemTau),
+         |top AS (SELECT a_id, b_id, cos, row_number() OVER (
+         |    PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+         |  FROM flt)
+         |SELECT f.a_id AS vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |  max(t.b_id) AS top_train_id, round(max(t.cos), 6) AS top_cos
+         |FROM flt f JOIN top t ON f.a_id = t.a_id AND t.rn = 1
+         |GROUP BY 1""".stripMargin
+    },
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */

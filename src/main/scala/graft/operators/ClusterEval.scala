@@ -149,6 +149,10 @@ object ClusterEval {
       .select(col("a_id").as("id"),
         round(sqrt(col("topk").getItem(k - 1).getField("score")) * 1e6)
           .cast("long").as("qd"))
+      // three consumers (zipWithIndex's count pass, the rank pass, and
+      // the total-count scalar) — without this the O(n²) k-NN aggregate
+      // re-executes per action; freed with the plan (ContextCleaner)
+      .persist()
     val ranked = GlobalIndex.rowNumbers(kth, Seq("qd", "id"), "rk")
     val n = ranked.agg(count(lit(1)).as("n"))
     ranked.crossJoin(broadcast(n))

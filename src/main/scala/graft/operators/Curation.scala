@@ -432,4 +432,40 @@ object Curation {
       .withColumn("logw_bits", round(col("__w").cast("double"), 6))
       .drop("__w")
   }
+
+  /** Embedding-level eval-set contamination screen — the semantic
+    * complement of the n-gram decontamination (q36): a held-out example
+    * is contaminated when ANY training vector sits within cosine τ
+    * (paraphrases and near-copies that share no n-grams). Per flagged
+    * held-out row: the hit count and the top-cosine training neighbor
+    * (ties by id — the AnnSearch ordering).
+    *
+    * Scale shape: the τ filter prunes the candidate pair stream BEFORE
+    * the aggregate, so only actual hits reach the bounded top-1 heap;
+    * the streamed side is repartitioned so the |H|·|T| scan
+    * parallelizes. Brute force is the oracle-able baseline — at corpus
+    * scale feed [[AnnSearch]] bucket candidates through the same
+    * filter+aggregate.
+    *
+    * @param heldout (idCol, vecCol) eval rows; @param train likewise.
+    * @return (idCol, n_hits, top_train_id, top_cos) — flagged rows only. */
+  def embeddingContamination(heldout: DataFrame, train: DataFrame,
+      idCol: String, vecCol: String, tau: Double): DataFrame = {
+    import graft.functions.{TopKByScore, VectorExpressions}
+    def norm(df: DataFrame, id: String, v: String, n: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(v))
+        .withColumn(n, VectorExpressions.dotProduct(col(v), col(v)))
+    val cos = VectorExpressions.dotProduct(col("a_v"), col("b_v")) /
+      sqrt(col("a_n") * col("b_n"))
+    norm(heldout.repartition(col(idCol)), "a_id", "a_v", "a_n")
+      .join(norm(train, "b_id", "b_v", "b_n"), lit(true))
+      .select(col("a_id"), col("b_id"), cos.as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy(col("a_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        TopKByScore.topkMin(col("b_id"), -col("cos"), 1).as("top"))
+      .select(col("a_id").as(idCol), col("n_hits"),
+        col("top").getItem(0).getField("id").as("top_train_id"),
+        round(-col("top").getItem(0).getField("score"), 6).as("top_cos"))
+  }
 }

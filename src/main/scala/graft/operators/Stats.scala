@@ -575,4 +575,38 @@ object Stats {
       when(det =!= 0.0, round(b2, 6)).as("b2"),
       when(det =!= 0.0, round(b0, 6)).as("b0")): _*)
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * columns over the same rows (two annotators, or a classifier vs its
+    * gold labels, the q12-vs-corpus eval). With D = Σ diagonal counts
+    * and S = Σ_k row_k·col_k (marginal products over the SAME category),
+    * κ = (n·D − S) / (n² − S) — exact BIGINT up to the one closing
+    * division (n ≤ ~3·10⁹ before n² needs widening). NULL when n² = S
+    * (a degenerate single-category table, κ undefined).
+    *
+    * Scale shape: one contingency aggregate over the data, then
+    * everything runs on the tiny (k_a × k_b) table — the marginal join
+    * is category-keyed and broadcast-sized by construction.
+    *
+    * @param pairs two-column DataFrame (a, b) of paired labels.
+    * @return one row: (n, agree, kappa). */
+  def cohensKappa(pairs: DataFrame): DataFrame = {
+    val ct = pairs.toDF("a", "b")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist() // three readers below; freed with the plan
+    val tot = ct.agg(sum(col("c")).as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L))
+        .as("agree"))
+    val s = ct.groupBy(col("a")).agg(sum(col("c")).as("r"))
+      .join(ct.groupBy(col("b")).agg(sum(col("c")).as("cc")),
+        col("a") === col("b"))
+      .agg(coalesce(sum(col("r") * col("cc")), lit(0L)).as("s"))
+    tot.crossJoin(s)
+      .select(col("n"), col("agree"),
+        when(col("n") * col("n") - col("s") =!= 0L,
+          (col("n") * col("agree") - col("s")).cast("double")
+            / (col("n") * col("n") - col("s")).cast("double"))
+          .as("kappa"))
+  }
 }

@@ -346,4 +346,38 @@ class CurationSpec extends SparkSpec {
       Curation.temperatureMix(tempCorpus, "id", "src", 0.5, 1.5, "s")
     }
   }
+
+  test("embeddingContamination: flags near-copies, drops clean rows") {
+    // train: two orthogonal directions; heldout: a copy of t1 (cos 1),
+    // a near-copy of t2 (cos ~.995), and an orthogonal clean row
+    val train = spark.createDataFrame(Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.6f, 0.8f, 0.0f))))
+      .toDF("id", "vec")
+    val heldout = spark.createDataFrame(Seq(
+      (100L, Seq(2.0f, 0.0f, 0.0f)),   // scaled copy of 1 (cos=1)
+      (101L, Seq(0.1f, 1.0f, 0.0f)),   // near 2
+      (102L, Seq(0.0f, 0.0f, 1.0f)))) // orthogonal to all
+      .toDF("id", "vec")
+    val got = Curation.embeddingContamination(heldout, train,
+      "id", "vec", 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(100L, 101L))
+    assert(got(100L)._1 == 1L && got(100L)._2 == 1L)
+    assert(got(100L)._3 == 1.0)
+    assert(got(101L)._2 == 2L && got(101L)._3 > 0.99)
+  }
+
+  test("embeddingContamination: top neighbor ties break by train id") {
+    val train = spark.createDataFrame(Seq(
+      (7L, Seq(1.0f, 0.0f)), (5L, Seq(2.0f, 0.0f))))
+      .toDF("id", "vec")
+    val heldout = spark.createDataFrame(Seq((9L, Seq(3.0f, 0.0f))))
+      .toDF("id", "vec")
+    val r = Curation.embeddingContamination(heldout, train,
+      "id", "vec", 0.5).collect().head
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 5L) // both cos=1 — lower id wins
+  }
 }

@@ -461,4 +461,32 @@ class StatsSpec extends SparkSpec {
       .collect().head
     assert(deg.isNullAt(2) && deg.isNullAt(3) && deg.isNullAt(4))
   }
+
+  test("cohensKappa: perfect agreement is 1, independence near 0") {
+    val same = spark.createDataFrame(
+      (0 until 30).map(i => (s"l${i % 3}", s"l${i % 3}"))).toDF("a", "b")
+    val r = Stats.cohensKappa(same).collect().head
+    assert(r.getLong(0) == 30 && r.getLong(1) == 30)
+    assert(r.getDouble(2) == 1.0)
+    // checkerboard: marginals uniform, agreement exactly chance level
+    val indep = spark.createDataFrame(for (i <- 0 until 4; j <- 0 until 4)
+      yield (s"a$i", s"b$j")).toDF("a", "b")
+    assert(Stats.cohensKappa(indep).collect().head.getDouble(2) == 0.0)
+  }
+
+  test("cohensKappa: matches the textbook formula on a known table") {
+    // classic 2x2 example: po = 0.7, pe = 0.5 -> kappa = 0.4
+    val rows = Seq.fill(25)(("y", "y")) ++ Seq.fill(10)(("y", "n")) ++
+      Seq.fill(5)(("n", "y")) ++ Seq.fill(10)(("n", "n"))
+    val r = Stats.cohensKappa(
+      spark.createDataFrame(rows).toDF("a", "b")).collect().head
+    // n=50, D=35, S = ry*cy + rn*cn = 35*30 + 15*20 = 1350
+    // kappa = (50*35 - 1350)/(2500 - 1350) = 400/1150
+    assert(math.abs(r.getDouble(2) - 400.0 / 1150.0) < 1e-15)
+  }
+
+  test("cohensKappa: single shared category is NULL (undefined)") {
+    val one = spark.createDataFrame(Seq.fill(5)(("x", "x"))).toDF("a", "b")
+    assert(Stats.cohensKappa(one).collect().head.isNullAt(2))
+  }
 }
