@@ -36,5 +36,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: at 8g a 160+-workload sf0.1 sweep runs close enough to
+  // the old-gen ceiling that individual queries wobble 2-4x with GC
+  // pressure (the box has 128 GiB; this is an -Xmx cap, not a reserve)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
