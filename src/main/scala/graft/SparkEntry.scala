@@ -1963,6 +1963,21 @@ object SparkEntry {
         e.filter(col("vec_id") % 20 =!= 0),
         "vec_id", "embedding", SemTau)
     }),
+
+    // Incremental DBSCAN: cluster 90% of the corpus, then fold the
+    // remaining batch in through the delta path (new×all ε-pairs,
+    // promotion re-query, contracted-component CC) — labels identical
+    // to the from-scratch q6 run, so it shares q6's oracle
+    "q164_incr_dbscan" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val st0 = operators.IncrementalDbscan.init(
+        e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        Eps, MinPts, Nil)
+      val st1 = operators.IncrementalDbscan.addPoints(st0,
+        e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+        Eps, MinPts, Nil)
+      operators.IncrementalDbscan.labels(st1)
+    }),
   )
 
   /** q161's k (the DBSCAN paper's 4-dist) and profile depth. */
@@ -4391,6 +4406,10 @@ object SparkEntry {
     "q159_silhouette" -> silhouetteOracle,
     "q160_rand_index" -> randIndexOracle,
     "q161_kdist" -> kdistOracle,
+
+    // the incremental fold ends at the same clustering as the
+    // from-scratch run — one oracle text serves both
+    "q164_incr_dbscan" -> dbscanOracle,
 
     "q162_kappa" ->
       s"""WITH pred AS MATERIALIZED ($langIdOracle),

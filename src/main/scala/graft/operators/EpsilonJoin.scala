@@ -159,4 +159,46 @@ object EpsilonJoin {
       eps: Double, maxDims: Int = 3): DataFrame =
     selfJoin(points, idCol, vecCol, eps,
       pickBucketDims(points, vecCol, eps, maxDims))
+
+  /** Bipartite ε-join: all pairs (a ∈ left, b ∈ right) with
+    * ‖a − b‖² ≤ ε², BOTH orientations emitted — the delta query of
+    * [[IncrementalDbscan]] (new batch × standing corpus) and the
+    * general "probe a point set against an indexed corpus" shape.
+    * The two tables must have disjoint id sets (an id present in both
+    * would emit its self-pair — callers own that invariant).
+    *
+    * Scale shape: the LEFT (probe/delta) side replicates across the
+    * full 3^k neighbor-cell offsets and equi-joins the right side's
+    * home cells — each unordered pair meets exactly once, no dedup
+    * shuffle. Put the smaller batch on the left: replication cost is
+    * 3^k·|left|, the right side never copies. k = 0 degenerates to a
+    * nested-loop scan (repartitioned so it parallelizes). */
+  def join(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, eps: Double, bucketDims: Seq[Int]): DataFrame = {
+    val k = bucketDims.size
+    val cell: Column => Column = VectorOps.cellId(_, eps, bucketDims)
+    val build = right.select(
+      col(idCol).as("b_id"), col(vecCol).as("b_v"),
+      cell(col(vecCol)).as("cell"))
+    val probe0 = left.select(
+      col(idCol).as("a_id"), col(vecCol).as("a_v"),
+      cell(col(vecCol)).as("home"))
+    val probe =
+      if (k == 0) probe0.repartition(col("a_id"))
+        .withColumn("cell", col("home"))
+      else probe0
+        .withColumn("off", explode(typedlit(offsets(k))))
+        .withColumn("cell",
+          zip_with(col("home"), col("off"), (h, o) => h + o.cast("long")))
+    val undirected = probe.join(build, Seq("cell"))
+      .filter(VectorExpressions.withinEps(col("a_v"), col("b_v"), eps * eps))
+      .select(col("a_id"), col("b_id"),
+        VectorExpressions.squaredL2(col("a_v"), col("b_v")).as("d2"))
+    undirected.select(explode(array(
+        struct(col("a_id"), col("b_id"), col("d2")),
+        struct(col("b_id").as("a_id"), col("a_id").as("b_id"), col("d2"))))
+      .as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.d2").as("d2"))
+  }
 }

@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental DBSCAN — fold batches of NEW points into a standing
+  * clustering without ever re-joining the standing corpus against
+  * itself. The reference re-clusters from scratch on every run
+  * (`mpi_main.cpp:137-186` — read file, build kd-tree, full ε-graph);
+  * this operator maintains the clustering as an updatable state, the
+  * shape a 100 TB corpus that grows by daily batches actually needs.
+  *
+  * Insertion-only DBSCAN is monotone: ε-neighbor counts only grow, so
+  * core points never demote — the delta work is exactly
+  *   1. the batch's ε-pairs: selfJoin(new) + bipartite join(new × old)
+  *      — never old × old;
+  *   2. counts merge; old points crossing minPts are PROMOTED cores,
+  *      and only their neighborhoods re-query the old corpus
+  *      (bipartite join(promoted × old) — a targeted second delta);
+  *   3. connected components over the DELTA core edges plus the
+  *      affected old components CONTRACTED to (id → comp) star edges —
+  *      untouched components pass through unchanged, and contraction
+  *      makes the CC loop O(1)-diameter regardless of cluster shape;
+  *   4. border re-attachment from the standing (border, core) pair
+  *      state plus the delta pairs.
+  *
+  * Labels from [[labels]] are IDENTICAL to a from-scratch
+  * [[Dbscan.run]] over the union (spec-enforced): same min-id
+  * components, same dense-id ordering, same minClusterSize/noise
+  * rules.
+  *
+  * State tables are plain DataFrames (persist/checkpoint/write them
+  * like any other); ids must be unique across ALL batches.
+  */
+object IncrementalDbscan {
+
+  /** The standing clustering.
+    * @param points every point seen so far (id, vec)
+    * @param counts ε-neighbor counts EXCLUDING self (id, n) — points
+    *   with zero neighbors may be absent (missing = 0)
+    * @param coreComp min-id connected components of the core-core
+    *   ε-graph (id, comp)
+    * @param borderPairs every (non-core point, core point) ε-pair
+    *   (id, core_id) — the attachment candidates */
+  final case class State(points: DataFrame, counts: DataFrame,
+      coreComp: DataFrame, borderPairs: DataFrame)
+
+  /** Bootstrap the state with one full clustering pass. */
+  def init(points: DataFrame, idCol: String, vecCol: String,
+      eps: Double, minPts: Int, bucketDims: Seq[Int]): State = {
+    val pts = points.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist()
+    val pairs = EpsilonJoin.selfJoin(pts, "id", "vec", eps, bucketDims)
+      .select(col("a_id"), col("b_id"))
+      .persist()
+    val counts = pairs.groupBy(col("a_id").as("id"))
+      .agg(count(lit(1)).as("n"))
+      .persist()
+    val cores = coreIds(pts, counts, minPts).persist()
+    val coreEdges = pairs
+      .join(cores.withColumnRenamed("id", "a_id"), "a_id")
+      .join(cores.withColumnRenamed("id", "b_id"), "b_id")
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(cores.select(col("id").as("src"), col("id").as("dst")))
+    val comp = ConnectedComponents.run(coreEdges).persist()
+    val borders = pairs
+      .join(cores.withColumnRenamed("id", "b_id"), "b_id")
+      .join(cores.withColumnRenamed("id", "a_id"), Seq("a_id"), "left_anti")
+      .select(col("a_id").as("id"), col("b_id").as("core_id"))
+      .persist()
+    State(pts, counts, comp, borders)
+  }
+
+  /** Fold one batch of new points in (ids must be fresh). */
+  def addPoints(st: State, newPoints: DataFrame, idCol: String,
+      vecCol: String, eps: Double, minPts: Int,
+      bucketDims: Seq[Int]): State = {
+    val np = newPoints.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist()
+    val oldPts = st.points
+    // 1. delta ε-pairs: new×new + new×old, both orientations — the
+    //    standing corpus never joins itself
+    val delta = EpsilonJoin.selfJoin(np, "id", "vec", eps, bucketDims)
+      .select(col("a_id"), col("b_id"))
+      .union(EpsilonJoin.join(np, oldPts, "id", "vec", eps, bucketDims)
+        .select(col("a_id"), col("b_id")))
+      .persist()
+    // 2. merged counts (missing = isolated = 0)
+    val deltaN = delta.groupBy(col("a_id").as("id"))
+      .agg(count(lit(1)).as("dn"))
+    val counts = st.counts.join(deltaN, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n"))
+      .filter(col("n") > 0L)
+      .persist()
+    val allPts = st.points.union(np).persist()
+    val wasCore = coreIds(oldPts, st.counts, minPts)
+    val nowCore = coreIds(allPts, counts, minPts).persist()
+    val promoted = nowCore.join(oldPts.select("id"), "id")
+      .join(wasCore, Seq("id"), "left_anti")
+      .persist()
+    // 3. promoted cores re-query the old corpus for the old-old edges
+    //    the delta can't see (their new-side edges are already in delta)
+    // promoted ⊂ old, so the bipartite join sees overlapping id sets:
+    // drop the resulting self-pairs (promoted-promoted pairs ALSO meet
+    // twice — harmless: they land only in the CC edge multiset)
+    val extra = EpsilonJoin.join(promoted.join(oldPts, "id"), oldPts,
+      "id", "vec", eps, bucketDims)
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .persist()
+    val deltaAll = delta.union(extra)
+    val coreA = nowCore.withColumnRenamed("id", "a_id")
+    val coreB = nowCore.withColumnRenamed("id", "b_id")
+    val deltaCoreEdges = deltaAll.join(coreA, "a_id").join(coreB, "b_id")
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .persist()
+    // 4. affected old components re-enter CC as contracted stars; the
+    //    rest pass through untouched. Fresh cores (new points +
+    //    promoted) get self-loops so isolated ones form singletons.
+    val touchedComps = st.coreComp
+      .join(deltaCoreEdges.select(col("src").as("id")).distinct(), "id")
+      .select("comp").distinct()
+      .persist()
+    val contracted = st.coreComp
+      .join(broadcast(touchedComps), "comp")
+      .select(col("id").as("src"), col("comp").as("dst"))
+    val freshCores = np.select("id").join(nowCore, "id")
+      .union(promoted.select("id"))
+    val ccInput = contracted
+      .union(deltaCoreEdges)
+      .union(freshCores.select(col("id").as("src"), col("id").as("dst")))
+    val merged = ConnectedComponents.run(ccInput)
+    val comp = st.coreComp
+      .join(broadcast(touchedComps), Seq("comp"), "left_anti")
+      .select("id", "comp")
+      .union(merged)
+      .persist()
+    // 5. border state: promoted points stop being borders; delta pairs
+    //    (non-core → core) join in. delta/extra pair sets are disjoint
+    //    from the standing pairs (each needs a new or promoted endpoint)
+    val borders = st.borderPairs
+      .join(promoted, Seq("id"), "left_anti")
+      .union(deltaAll
+        .join(coreB, "b_id")
+        .join(coreA, Seq("a_id"), "left_anti")
+        .select(col("a_id").as("id"), col("b_id").as("core_id")))
+      .persist()
+    State(allPts, counts, comp, borders)
+  }
+
+  /** Labels under [[Dbscan.run]]'s exact contract: (`id`,
+    * `cluster_id`), noise = 0, dense ids from 1 ordered by component
+    * minimum id, components under `minClusterSize` dropped to noise. */
+  def labels(st: State, minClusterSize: Int = 2): DataFrame = {
+    val borderComp = st.borderPairs
+      .join(st.coreComp.withColumnRenamed("id", "core_id"), "core_id")
+      .groupBy(col("id"))
+      .agg(min("comp").as("comp"))
+    val labeled = st.coreComp.union(borderComp).persist()
+    val compIds = labeled.groupBy("comp").agg(count(lit(1)).as("csz"))
+      .filter(col("csz") >= minClusterSize)
+      .select("comp")
+      .withColumn("cluster_id",
+        row_number().over(Window.orderBy("comp")).cast("int"))
+    val withIds = labeled.join(broadcast(compIds), "comp")
+      .select(col("id"), col("cluster_id"))
+    st.points.select(col("id"))
+      .join(withIds, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), lit(0)).as("cluster_id"))
+  }
+
+  /** Core rule shared with [[Dbscan.run]]: |N_ε(p)| + self ≥ minPts.
+    * minPts ≤ 1 ⇒ every point is core, including isolated ones that
+    * the pair-derived count table never saw. */
+  private def coreIds(pts: DataFrame, counts: DataFrame,
+      minPts: Int): DataFrame =
+    if (minPts <= 1) pts.select("id")
+    else counts.filter(col("n") + lit(1L) >= lit(minPts.toLong))
+      .select("id")
+}
