@@ -260,4 +260,68 @@ object EventPipeline {
           .values.foreach(_.unpersist(blocking = false))
       }
       .start()
+
+  /** CONTINUOUS clustering: fold every micro-batch of new points into an
+    * [[graft.operators.IncrementalDbscan]] state — the standing corpus is
+    * never re-joined against itself, and after each batch the labels are
+    * identical to a from-scratch batch clustering of everything seen so
+    * far (spec-enforced). The streaming answer to the reference's
+    * read-file-recluster-everything cycle.
+    *
+    * State lifecycle per batch: the four state tables are pinned with an
+    * EAGER `localCheckpoint` — severing lineage so the state's DAG does
+    * not deepen with every batch — then the batch's transient caches
+    * (the delta-join persists inside addPoints/labels) and the PREVIOUS
+    * batch's superseded checkpoints are released by diffing the
+    * persistent-RDD registry against the pinned tables' RDD ancestry
+    * (post-checkpoint lineage is short and ends AT the checkpoint
+    * blocks, so the walk marks exactly the new state as keep-alive).
+    * Caches that existed before the batch (the caller's) are untouched.
+    *
+    * @param initial bootstrap state ([[graft.operators.IncrementalDbscan
+    *   .init]]); its caches belong to the caller
+    * @param newPoints streaming (idCol, vecCol) rows; ids must be fresh
+    *   across all batches
+    * @param sink receives each batch's FULL label table (id, cluster_id)
+    *   with the batch id — must consume synchronously (the batch's
+    *   transient caches are released right after it returns)
+    * @return the started continuous query (caller stops it) */
+  def clusterIngestStream(initial: graft.operators.IncrementalDbscan.State,
+      newPoints: DataFrame, idCol: String, vecCol: String, eps: Double,
+      minPts: Int, bucketDims: Seq[Int])(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val I = graft.operators.IncrementalDbscan
+    var st = initial
+    var prevPinned = Set.empty[Int]
+    newPoints.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val next = I.addPoints(st, batch.toDF(), idCol, vecCol,
+          eps, minPts, bucketDims)
+        val pinned = I.State(
+          next.points.localCheckpoint(), next.counts.localCheckpoint(),
+          next.coreComp.localCheckpoint(),
+          next.borderPairs.localCheckpoint())
+        try sink(I.labels(pinned), id)
+        finally {
+          def ancestors(r: org.apache.spark.rdd.RDD[_],
+              seen: scala.collection.mutable.Set[Int]): Unit =
+            if (seen.add(r.id)) r.dependencies.foreach(d =>
+              ancestors(d.rdd, seen))
+          val keep = scala.collection.mutable.Set.empty[Int]
+          Seq(pinned.points, pinned.counts, pinned.coreComp,
+            pinned.borderPairs).foreach(df => ancestors(df.rdd, keep))
+          val reg = sc.getPersistentRDDs
+          reg.filter { case (rid, _) =>
+            !keep(rid) && (!before(rid) || prevPinned(rid))
+          }.values.foreach(_.unpersist(blocking = false))
+          prevPinned = reg.keySet.filter(keep).toSet
+          st = pinned
+        }
+      }
+      .start()
+  }
 }

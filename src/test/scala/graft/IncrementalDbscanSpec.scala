@@ -84,6 +84,45 @@ class IncrementalDbscanSpec extends SparkSpec {
     checkEqual(Seq(base, batch), 1.0, 1, Seq(0))
   }
 
+  test("clusterIngestStream: every micro-batch ends at the batch clustering") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    val pts = (0 until 120).map { i =>
+      val c = if (i % 2 == 0) 0.0 else 6.0
+      (i.toLong, Seq((c + rnd.nextGaussian() * 0.4).toFloat,
+        (c + rnd.nextGaussian() * 0.4).toFloat))
+    }
+    val base = pts.filter(_._1 < 40)
+    val b1 = pts.filter(x => x._1 >= 40 && x._1 < 80)
+    val b2 = pts.filter(_._1 >= 80)
+    val (eps, minPts, dims) = (1.0, 3, Seq(0, 1))
+    val st0 = IncrementalDbscan.init(df(base), "id", "vec", eps, minPts, dims)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float])]
+    val got = scala.collection.mutable.Map.empty[Long, Map[Long, Int]]
+    val q = graft.streaming.EventPipeline.clusterIngestStream(st0,
+      mem.toDF().toDF("id", "vec"), "id", "vec", eps, minPts, dims) {
+      (labels, id) => got(id) = labelsOf(labels)
+    }
+    val preStream = spark.sparkContext.getPersistentRDDs.keySet
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // steady-state cache discipline: after two folds only the CURRENT
+    // pinned state (4 checkpoints) may remain beyond what pre-existed —
+    // per-batch delta caches and batch-1's superseded state are gone
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- preStream
+    assert(leaked.size <= 4, s"leaked ${leaked.size} cached RDDs")
+    assert(got.keySet == Set(0L, 1L))
+    assert(got(0L) == labelsOf(
+      Dbscan.run(df(base ++ b1), "id", "vec", eps, minPts, dims)))
+    assert(got(1L) == labelsOf(
+      Dbscan.run(df(base ++ b1 ++ b2), "id", "vec", eps, minPts, dims)))
+  }
+
   test("addPoints: repeated batches keep border attachment minimal-comp") {
     // border point 5 sits between two cores from different clusters —
     // label must follow the MIN component, exactly like Dbscan.run
