@@ -490,4 +490,42 @@ class PlanQualitySpec extends SparkSpec {
       s"expected exactly one equi-join:\n$p")
     assert(p.contains("Generate explode"), s"lag explode missing:\n$p")
   }
+
+  test("q159 silhouette: literal-centroid projection, no join, no window") {
+    val p = plan(SparkEntry.queries("q159_silhouette")(spark, sf))
+    // the centroid table must inline as literal expressions — a join
+    // against an 8-row side would shuffle or broadcast for nothing,
+    // and the per-cluster mean is an aggregate, never a ranking window
+    assert(!p.contains("Join"), s"silhouette needs no join:\n$p")
+    assert(!p.contains("Window"), s"silhouette needs no window:\n$p")
+    assert(p.contains("squared_l2"), s"missing fused distance kernel:\n$p")
+  }
+
+  test("q163 contamination: tau filter prunes BELOW the top-1 aggregate") {
+    val df = SparkEntry.queries("q163_contamination")(spark, sf)
+    val pl = df.queryExecution.executedPlan
+    val p = pl.toString
+    // the cosine threshold must run join-side (inside/under the pair
+    // join), not above the aggregate — only hits may reach the heap
+    val aggIdx = p.indexOf("topk_by_score")
+    val filterIdx = p.lastIndexOf(">= 0.4")
+    assert(aggIdx >= 0, s"missing bounded-heap aggregate:\n$p")
+    assert(filterIdx > aggIdx,
+      s"tau filter should sit below the aggregate in the plan tree:\n$p")
+  }
+
+  test("q164 incremental fold: delta joins stay equi-joins on cells") {
+    // with bucket dims the bipartite delta join must be an equi-join
+    // exactly like the self-join (q164 itself runs k=0 brute force on
+    // the embedding table — pin the GRID path here)
+    val pts = graft.sources.BinaryPoints.read(spark, "/root/reference/t4.8k.bin")
+    val base = pts.filter(col("id") % 2 === 0)
+    val batch = pts.filter(col("id") % 2 =!= 0)
+    val df = EpsilonJoin.join(batch, base, "id", "features", 10.0, Seq(0, 1))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"bipartite ε-join degenerated to a cross join:\n$p")
+    assert(p.contains("squared_l2"), s"missing fused distance kernel:\n$p")
+  }
 }
