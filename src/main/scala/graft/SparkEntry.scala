@@ -1970,19 +1970,202 @@ object SparkEntry {
     // to the from-scratch q6 run, so it shares q6's oracle
     "q164_incr_dbscan" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val st0 = operators.IncrementalDbscan.init(
-        e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
-        Eps, MinPts, Nil)
-      val st1 = operators.IncrementalDbscan.addPoints(st0,
-        e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
-        Eps, MinPts, Nil)
+      // pin between folds: labels then plans on shallow checkpointed
+      // leaves, not the whole fold history's DAG (3× at fixture scale)
+      val st0 = operators.IncrementalDbscan.pin(
+        operators.IncrementalDbscan.init(
+          e.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          Eps, MinPts, Nil))
+      val st1 = operators.IncrementalDbscan.pin(
+        operators.IncrementalDbscan.addPoints(st0,
+          e.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          Eps, MinPts, Nil))
       operators.IncrementalDbscan.labels(st1)
     }),
+
+    // Mann–Kendall monotonic-trend test over each priority's daily
+    // revenue: S, z, τ_b all from exact integers (pair sign sums +
+    // tie-corrected variance, decimal-widened) — the nonparametric
+    // "is revenue drifting" screen beside q133's CUSUM changepoints
+    "q165_mann_kendall" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1970-01-01"))).as("day"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+        .groupBy("o_orderpriority", "day")
+        .agg(sum("c").as("cents"))
+      operators.Stats.mannKendall(daily, Seq("o_orderpriority"), "day",
+        col("cents"))
+    }),
+
+    // Lead–lag cross-correlation between event types' daily spend at
+    // calendar lags 0..7 — acf's (q138) two-series sibling; ONE
+    // period equi-join carries the pair fan-out and every lag
+    "q166_cross_corr" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(col("event_type"), eventMs(ev).as("ms"), col("value"))
+        .select(col("event_type"), expr("ms DIV 86400000").as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type", "day")
+        .agg(sum(col("c")).as("cents"))
+      operators.TimeSeries.crossCorr(daily, "event_type", "day", "cents",
+        XcfMaxLag)
+    }),
+
+    // Welch's unequal-variance t report on the q134 split (fulfilled
+    // vs open orders per priority): the parametric "did the mean
+    // move" beside KS's distributional drift — decimal-exact moments,
+    // fixed-order closing expressions
+    "q167_welch_t" -> ((s, dir) =>
+      operators.Stats.welchT(t(s, dir, "orders"),
+        Seq("o_orderpriority"),
+        round(col("o_totalprice") * 100),
+        col("o_orderstatus") === "F")),
+
+    // k-anonymity / l-diversity release audit over customer
+    // quasi-identifiers (segment × nation), sensitive = balance sign:
+    // every equivalence class a release would have to suppress
+    "q168_k_anonymity" -> ((s, dir) =>
+      operators.Privacy.kAnonymityAudit(t(s, dir, "customer"),
+        Seq("c_mktsegment", "c_nationkey"),
+        col("c_acctbal") < 0, KAnonK, KAnonL)),
+
+    // ε-DP released counts per event type: deterministic hash-seeded
+    // Laplace(1/ε) noise — same release, same noise; the inverse-CDF
+    // draw is a fixed-order expression both engines reproduce
+    "q169_dp_counts" -> ((s, dir) =>
+      operators.Privacy.dpNoisyCounts(t(s, dir, "events"),
+        col("event_type"), DpEps, DpSalt)),
+
+    // Wilson score intervals for the negative-balance rate per market
+    // segment — small-n-honest proportion CIs from (k, n) longs and
+    // one pre-squared z literal
+    "q170_wilson" -> ((s, dir) =>
+      operators.Stats.wilsonInterval(t(s, dir, "customer"),
+        Seq("c_mktsegment"), col("c_acctbal") < 0, WilsonZ)),
+
+    // Kaplan–Meier user-retention curve over right-censored lifetimes
+    // (last activity within ChurnGapDays of corpus end = censored):
+    // per-step exact (n−d)/n ratios, order-free rounded-ln product
+    "q171_survival" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val pu = ev.select(col("user_id"), eventMs(ev).as("ms"))
+        .groupBy("user_id")
+        .agg(min("ms").as("f"), max("ms").as("l"))
+      val mx = pu.agg(max("l").as("mx"))
+      val dur = pu.crossJoin(broadcast(mx))
+        .select(expr("(l - f) DIV 86400000").as("dur_days"),
+          (col("l") < col("mx") - lit(ChurnGapDays * 86400000L))
+            .as("died"))
+      operators.TimeSeries.kaplanMeier(dur, Nil, col("dur_days"),
+        col("died"))
+    }),
+
+    // Personalized PageRank from the user_id%50 seed cohort over the
+    // q58 session-concurrency graph — teleport mass concentrated on
+    // the seeds ("importance relative to THESE users"); oracle = the
+    // same rounds unrolled with the seeded reset vector
+    "q172_ppr" -> ((s, dir) => {
+      val sess = sessionTable(s, dir)
+      val edges = graft.operators.IntervalJoin
+        .overlapJoin(sess, sess, "start_ms", "end_ms", 3600000L)
+        .filter(col("a_user_id") =!= col("b_user_id"))
+        .select(col("a_user_id").as("src"), col("b_user_id").as("dst"))
+      val seeds = t(s, dir, "events")
+        .select(col("user_id").as("sid"))
+        .filter(pmod(col("sid"), lit(PprSeedMod)) === 0)
+      operators.PageRank.personalized(edges, "src", "dst", seeds, "sid",
+        PrIters, PrDamping)
+        .select(col("id").as("user_id"), round(col("rank"), 8).as("rank"))
+    }),
+
+    // Conversion-latency quantiles for the q50 funnel: dyadic p over
+    // integer ms offsets from the first step — exact interpolation in
+    // both engines (the q73 invariant), one tiny per-step aggregate
+    "q173_funnel_latency" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val st = operators.Funnel.steps(
+        ev.select(col("user_id"), eventMs(ev).as("ms"),
+          col("event_type")),
+        "user_id", "ms", "event_type",
+        Seq("view", "click", "purchase"), Some(86400000L))
+      st.select(explode(array(
+          struct(lit("click").as("step"),
+            (col("step_2_ts") - col("step_1_ts")).as("dur")),
+          struct(lit("purchase").as("step"),
+            (col("step_3_ts") - col("step_1_ts")).as("dur")))).as("r"))
+        .select(col("r.step").as("step"), col("r.dur").as("dur"))
+        .filter(col("dur").isNotNull)
+        .groupBy("step")
+        .agg(count(lit(1)).as("n"),
+          expr("percentile(dur, 0.25)").as("p25"),
+          expr("percentile(dur, 0.5)").as("p50"),
+          expr("percentile(dur, 0.75)").as("p75"))
+    }),
+
+    // A-priori level 3: frequent part TRIPLES per order — both prune
+    // levels (frequent items, then frequent sub-pairs) are lossless by
+    // downward closure, so the naive three-way-join oracle matches
+    "q174_basket_triples" -> ((s, dir) =>
+      operators.Basket.frequentTriples(t(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minSupport = TripleSupport)),
+
+    // Positional-index exact phrase search ("table hash" as a quoted
+    // query): consecutive-position posting intersection — the
+    // capability the bag-of-words scorers (q115/q158) discard
+    "q175_phrase_search" -> ((s, dir) =>
+      operators.Search.phraseCount(t(s, dir, "documents"), "doc_id",
+        "text", PhraseWords)),
+
+    // Lexical diversity per document: type–token ratio + hapax share —
+    // the vocabulary-richness axes beside entropy (q52) and
+    // repetition (q51) in the corpus-quality bundle
+    "q176_lexical_diversity" -> ((s, dir) =>
+      operators.LanguageModel.lexicalDiversity(t(s, dir, "documents"),
+        "doc_id", "text")),
+
+    // Theil T inequality of order value per priority — the
+    // decomposable entropy complement to q135's Gini; share-form terms
+    // keep every rounded transcendental O(1)
+    "q177_theil" -> ((s, dir) =>
+      operators.Stats.theilIndex(t(s, dir, "orders"),
+        Seq("o_orderpriority"), round(col("o_totalprice") * 100))),
   )
 
   /** q161's k (the DBSCAN paper's 4-dist) and profile depth. */
   private val KDistK = 4
   private val KDistBuckets = 10
+
+  /** q166's lag horizon (a week of daily lags, incl. lag 0). */
+  private val XcfMaxLag = 7
+
+  /** q168's anonymity bounds: classes under 10 rows or with a single
+    * sensitive value get reported. */
+  private val KAnonK = 10
+  private val KAnonL = 2
+
+  /** q169's privacy budget (b = 1/ε = 10 — visibly noisy at fixture
+    * counts) and release salt. */
+  private val DpEps = 0.1
+  private val DpSalt = "graft-dp-v1"
+
+  /** q170's critical value (95% two-sided). */
+  private val WilsonZ = 1.96
+
+  /** q171's censoring horizon: users last seen within 3 days of the
+    * corpus end are censored, not churned. */
+  private val ChurnGapDays = 3L
+
+  /** q172's seed cohort: every 50th user id (~2% of users). */
+  private val PprSeedMod = 50
+
+  /** q174's support floor: 12 triples clear it at sf0.01. */
+  private val TripleSupport = 2L
+
+  /** q175's quoted query — the corpus's most frequent bigram. */
+  private val PhraseWords = Seq("table", "hash")
 
   /** q158's Dirichlet pseudo-count — near the fixture's mean document
     * length, the standard heuristic. */
@@ -2843,19 +3026,7 @@ object SparkEntry {
          |GROUP BY a.user_id, a.session_id""".stripMargin,
 
     "q50_funnel" ->
-      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
-        |f AS (SELECT DISTINCT user_id FROM e
-        |      WHERE event_type IN ('view','click','purchase')),
-        |v AS (SELECT user_id, min(ms) AS v_ms FROM e
-        |      WHERE event_type = 'view' GROUP BY user_id),
-        |c AS (SELECT e.user_id, min(ms) AS c_ms FROM e JOIN v USING(user_id)
-        |      WHERE event_type = 'click'
-        |        AND ms >= v_ms AND ms <= v_ms + 86400000
-        |      GROUP BY e.user_id),
-        |p AS (SELECT e.user_id, min(ms) AS p_ms FROM e JOIN c USING(user_id)
-        |      WHERE event_type = 'purchase'
-        |        AND ms >= c_ms AND ms <= c_ms + 86400000
-        |      GROUP BY e.user_id)
+      s"""WITH $FunnelCte
         |SELECT f.user_id,
         |  coalesce(v.v_ms, -1) AS view_ms,
         |  coalesce(c.c_ms, -1) AS click_ms,
@@ -4451,6 +4622,267 @@ object SparkEntry {
          |FROM flt f JOIN top t ON f.a_id = t.a_id AND t.rn = 1
          |GROUP BY 1""".stripMargin
     },
+
+    "q165_mann_kendall" ->
+      """WITH d AS (SELECT o_orderpriority,
+        |    date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |sp AS (SELECT a.o_orderpriority,
+        |    CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+        |      WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS tt
+        |  FROM d a JOIN d b ON a.o_orderpriority = b.o_orderpriority
+        |    AND a.day < b.day
+        |  GROUP BY 1),
+        |tv AS (SELECT o_orderpriority, cents,
+        |    CAST(count(*) AS BIGINT) AS t FROM d GROUP BY 1, 2),
+        |ties AS (SELECT o_orderpriority, CAST(sum(t) AS BIGINT) AS n,
+        |    sum(CAST(t AS HUGEINT) * (t - 1) * (t * 2 + 5)) AS tcor,
+        |    sum(CAST(t AS HUGEINT) * (t - 1)) AS tx2
+        |  FROM tv GROUP BY 1),
+        |v AS (SELECT sp.o_orderpriority, ties.n, sp.s, sp.tt, ties.tx2,
+        |    CAST(n AS HUGEINT) * (n - 1) * (CAST(n AS HUGEINT) * 2 + 5)
+        |      - tcor AS var18
+        |  FROM sp JOIN ties USING (o_orderpriority))
+        |SELECT o_orderpriority, n, s,
+        |  CASE WHEN CAST(var18 AS DOUBLE) > 0 THEN
+        |    round(CAST(CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1
+        |        ELSE 0 END AS DOUBLE)
+        |      / sqrt(CAST(var18 AS DOUBLE) / 18.0), 6)
+        |  END AS z,
+        |  CASE WHEN sqrt(CAST(tt * 2 - tx2 AS DOUBLE) / 2.0)
+        |      * sqrt(CAST(tt AS DOUBLE)) <> 0 THEN
+        |    round(CAST(s AS DOUBLE)
+        |      / (sqrt(CAST(tt * 2 - tx2 AS DOUBLE) / 2.0)
+        |        * sqrt(CAST(tt AS DOUBLE))), 6)
+        |  END AS tau_b
+        |FROM v""".stripMargin,
+
+    "q166_cross_corr" ->
+      s"""WITH d AS (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM events GROUP BY 1, 2),
+         |l AS (SELECT event_type AS series_b,
+         |    CAST(r.lag AS INTEGER) AS lag, day - r.lag AS day,
+         |    CAST(cents AS HUGEINT) AS vb
+         |  FROM d, range(0, ${XcfMaxLag + 1}) r(lag)),
+         |p AS (SELECT a.event_type AS series_a, l.series_b, l.lag,
+         |    CAST(a.cents AS HUGEINT) AS va, l.vb
+         |  FROM d a JOIN l ON a.day = l.day
+         |    AND a.event_type <> l.series_b)
+         |SELECT series_a, series_b, lag,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CASE WHEN sqrt(CAST(count(*)*sum(va*va) - sum(va)*sum(va)
+         |        AS DOUBLE))
+         |      * sqrt(CAST(count(*)*sum(vb*vb) - sum(vb)*sum(vb)
+         |        AS DOUBLE)) <> 0
+         |    THEN round(CAST(count(*)*sum(va*vb) - sum(va)*sum(vb)
+         |        AS DOUBLE)
+         |      / (sqrt(CAST(count(*)*sum(va*va) - sum(va)*sum(va)
+         |          AS DOUBLE))
+         |        * sqrt(CAST(count(*)*sum(vb*vb) - sum(vb)*sum(vb)
+         |            AS DOUBLE))), 6)
+         |  END AS xcf
+         |FROM p GROUP BY 1, 2, 3""".stripMargin,
+
+    "q167_welch_t" ->
+      """WITH v AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+        |    (o_orderstatus = 'F') AS a
+        |  FROM orders),
+        |m AS (SELECT o_orderpriority,
+        |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    sum(CASE WHEN a THEN CAST(v AS HUGEINT) ELSE 0 END) AS sa,
+        |    sum(CASE WHEN a THEN 0 ELSE CAST(v AS HUGEINT) END) AS sb,
+        |    sum(CASE WHEN a THEN CAST(v AS HUGEINT) * v ELSE 0 END)
+        |      AS ssa,
+        |    sum(CASE WHEN a THEN 0 ELSE CAST(v AS HUGEINT) * v END)
+        |      AS ssb
+        |  FROM v GROUP BY 1),
+        |d AS (SELECT *,
+        |    CASE WHEN n_a > 0 THEN CAST(sa AS DOUBLE)
+        |      / CAST(n_a AS DOUBLE) END AS ma,
+        |    CASE WHEN n_b > 0 THEN CAST(sb AS DOUBLE)
+        |      / CAST(n_b AS DOUBLE) END AS mb,
+        |    CASE WHEN n_a > 1 THEN CAST(n_a * ssa - sa * sa AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))
+        |      / CAST(n_a AS DOUBLE) END AS sea,
+        |    CASE WHEN n_b > 1 THEN CAST(n_b * ssb - sb * sb AS DOUBLE)
+        |      / (CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0))
+        |      / CAST(n_b AS DOUBLE) END AS seb
+        |  FROM m)
+        |SELECT o_orderpriority, n_a, n_b,
+        |  CASE WHEN n_a > 0 THEN round(ma, 6) END AS mean_a,
+        |  CASE WHEN n_b > 0 THEN round(mb, 6) END AS mean_b,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0 THEN
+        |    round((ma - mb) / sqrt(sea + seb), 6) END AS t_stat,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND sea + seb > 0 THEN
+        |    round((sea + seb) * (sea + seb)
+        |      / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+        |        + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)), 6)
+        |  END AS df
+        |FROM d""".stripMargin,
+
+    "q168_k_anonymity" ->
+      s"""SELECT c_mktsegment, c_nationkey,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT c_acctbal < 0) AS BIGINT) AS n_sensitive,
+         |  count(*) < $KAnonK AS k_violation,
+         |  count(DISTINCT c_acctbal < 0) < $KAnonL AS l_violation
+         |FROM customer GROUP BY 1, 2
+         |HAVING count(*) < $KAnonK
+         |  OR count(DISTINCT c_acctbal < 0) < $KAnonL""".stripMargin,
+
+    "q169_dp_counts" ->
+      s"""WITH g AS (SELECT event_type AS dim,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1),
+         |u AS (SELECT *,
+         |    (CAST(CAST('0x' || substr(md5('$DpSalt:' || dim), 1, 15)
+         |        AS BIGINT) % 4503599627370496 AS DOUBLE) + 0.5)
+         |      / 4503599627370496.0 AS u
+         |  FROM g)
+         |SELECT dim, n,
+         |  round(n + CASE WHEN u <= 0.5 THEN ${1.0 / DpEps} * ln(u * 2.0)
+         |    ELSE ${-1.0 / DpEps} * ln(2.0 - u * 2.0) END, 6) AS noisy_n
+         |FROM u""".stripMargin,
+
+    "q170_wilson" ->
+      s"""WITH m AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS k
+         |  FROM customer GROUP BY 1),
+         |d AS (SELECT *, CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         |    1.0 + ${WilsonZ * WilsonZ} / CAST(n AS DOUBLE) AS denom
+         |  FROM m)
+         |SELECT c_mktsegment, n, k, round(p, 6) AS p_hat,
+         |  round((p + ${WilsonZ * WilsonZ} / (CAST(n AS DOUBLE) * 2.0))
+         |      / denom
+         |    - ($WilsonZ / denom) * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+         |      + ${WilsonZ * WilsonZ}
+         |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 4.0)), 6)
+         |    AS lo,
+         |  round((p + ${WilsonZ * WilsonZ} / (CAST(n AS DOUBLE) * 2.0))
+         |      / denom
+         |    + ($WilsonZ / denom) * sqrt(p * (1.0 - p) / CAST(n AS DOUBLE)
+         |      + ${WilsonZ * WilsonZ}
+         |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 4.0)), 6)
+         |    AS hi
+         |FROM d""".stripMargin,
+
+    "q171_survival" ->
+      s"""WITH pu AS (SELECT user_id, min(epoch_ms(ts)) AS f,
+         |    max(epoch_ms(ts)) AS l
+         |  FROM events GROUP BY 1),
+         |mx AS (SELECT max(l) AS m FROM pu),
+         |d AS (SELECT (l - f) // 86400000 AS t,
+         |    CASE WHEN l < m - ${ChurnGapDays * 86400000L} THEN 1
+         |      ELSE 0 END AS dd
+         |  FROM pu, mx),
+         |pt AS (SELECT t, CAST(sum(dd) AS BIGINT) AS n_events,
+         |    CAST(count(*) - sum(dd) AS BIGINT) AS n_censored
+         |  FROM d GROUP BY 1),
+         |b AS (SELECT t, n_events, n_censored,
+         |    CAST(sum(n_events + n_censored) OVER () AS BIGINT)
+         |      - CAST(coalesce(sum(n_events + n_censored) OVER (
+         |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |          AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+         |  FROM pt),
+         |c AS (SELECT *,
+         |    sum(CAST(round(CASE WHEN n_events > 0
+         |        AND n_events < n_risk THEN
+         |        ln(CAST(n_risk - n_events AS DOUBLE)
+         |          / CAST(n_risk AS DOUBLE))
+         |      ELSE 0.0 END, 9) AS DECIMAL(38,9))) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS lnsum,
+         |    max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END)
+         |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+         |        AND CURRENT ROW) AS dead
+         |  FROM b)
+         |SELECT t, n_risk, n_events, n_censored,
+         |  CASE WHEN dead = 1 THEN 0.0
+         |    ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END AS survival
+         |FROM c""".stripMargin,
+
+    "q172_ppr" -> pprOracle,
+
+    "q173_funnel_latency" ->
+      s"""WITH $FunnelCte,
+        |d AS (
+        |  SELECT 'click' AS step, c_ms - v_ms AS dur
+        |  FROM c JOIN v USING (user_id)
+        |  UNION ALL
+        |  SELECT 'purchase' AS step, p_ms - v_ms AS dur
+        |  FROM p JOIN v USING (user_id))
+        |SELECT step, CAST(count(*) AS BIGINT) AS n,
+        |  quantile_cont(dur, 0.25) AS p25,
+        |  quantile_cont(dur, 0.5) AS p50,
+        |  quantile_cont(dur, 0.75) AS p75
+        |FROM d GROUP BY 1""".stripMargin,
+
+    "q174_basket_triples" ->
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+         |  FROM lineitem)
+         |SELECT x.i AS item_a, y.i AS item_b, z.i AS item_c,
+         |  CAST(count(*) AS BIGINT) AS support
+         |FROM it x JOIN it y ON x.b = y.b AND x.i < y.i
+         |  JOIN it z ON y.b = z.b AND y.i < z.i
+         |GROUP BY 1, 2, 3
+         |HAVING count(*) >= $TripleSupport""".stripMargin,
+
+    "q175_phrase_search" -> {
+      val anchors = PhraseWords.zipWithIndex.map { case (w, k) =>
+        s"a$k AS (SELECT doc_id, pos - $k AS anchor FROM p " +
+          s"WHERE term = '$w')"
+      }.mkString(",\n")
+      val joins = PhraseWords.indices.tail.map(k =>
+        s"JOIN a$k ON a$k.doc_id = a0.doc_id AND a$k.anchor = a0.anchor")
+        .mkString("\n")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |p AS (SELECT doc_id, i AS pos, list_extract(ws, i + 1) AS term
+         |  FROM d, unnest(range(len(ws))) r(i)),
+         |$anchors
+         |SELECT a0.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM a0
+         |$joins
+         |GROUP BY 1""".stripMargin
+    },
+
+    "q176_lexical_diversity" ->
+      """WITH c AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+        |    AS ttr,
+        |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS hapax_frac
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q177_theil" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+        |  FROM orders WHERE round(o_totalprice * 100) > 0),
+        |m AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS total
+        |  FROM o GROUP BY 1)
+        |SELECT m.o_orderpriority, m.n, m.total,
+        |  round(CAST(sum(CAST(round(
+        |      (CAST(x AS DOUBLE) / CAST(total AS DOUBLE))
+        |        * ln(CAST(CAST(x AS HUGEINT) * n AS DOUBLE)
+        |          / CAST(total AS DOUBLE)), 9) AS DECIMAL(38,9)))
+        |    AS DOUBLE), 6) AS theil
+        |FROM o JOIN m USING (o_orderpriority)
+        |GROUP BY 1, 2, 3""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */
@@ -4477,6 +4909,26 @@ object SparkEntry {
       |iv AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
       |       min(ms) AS start_ms, max(ms) AS end_ms
       |       FROM sess GROUP BY user_id, session_id)""".stripMargin
+
+  /** q50/q173's shared funnel CTE chain (e → f → v → c → p): first
+    * view, first in-horizon click after it, first in-horizon purchase
+    * after that — the single textual source mirroring
+    * [[graft.operators.Funnel.steps]]'s chained conditional-min
+    * windows. */
+  private val FunnelCte: String =
+    """e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+      |f AS (SELECT DISTINCT user_id FROM e
+      |      WHERE event_type IN ('view','click','purchase')),
+      |v AS (SELECT user_id, min(ms) AS v_ms FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(ms) AS c_ms FROM e JOIN v USING(user_id)
+      |      WHERE event_type = 'click'
+      |        AND ms >= v_ms AND ms <= v_ms + 86400000
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(ms) AS p_ms FROM e JOIN c USING(user_id)
+      |      WHERE event_type = 'purchase'
+      |        AND ms >= c_ms AND ms <= c_ms + 86400000
+      |      GROUP BY e.user_id)""".stripMargin
 
   /** Session-concurrency edge set (distinct user pairs with overlapping
     * sessions, both orientations) — the single source for the q58/q60
@@ -4514,6 +4966,41 @@ object SparkEntry {
          |    + CAST($PrDamping AS DOUBLE) * coalesce(c$i.m, 0.0) AS rank
          |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON c$i.id = nodes.id)"""
         .stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT id AS user_id, round(rank, 8) AS rank FROM r$PrIters"
+  }
+
+  /** q172's oracle: [[pagerankOracle]] with the teleport vector
+    * concentrated on the seed cohort — r₀ and the per-round base term
+    * carry the seeded CASE; the damping literals print the SAME Scala
+    * doubles the engine bakes in, and 1.0/|S| divides in-SQL exactly
+    * as the engine's Scala division of the same operands. */
+  private def pprOracle: String = {
+    val head =
+      s"""WITH $SessionIvCte,
+        |$OverlapEdgesCte,
+        |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        |seeds AS (SELECT id FROM nodes WHERE id % $PprSeedMod = 0),
+        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS s FROM seeds),
+        |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+        |        FROM edges GROUP BY src),
+        |r0 AS (SELECT nodes.id,
+        |  CASE WHEN sd.id IS NOT NULL THEN 1.0 / ns.s ELSE 0.0 END AS rank
+        |  FROM nodes CROSS JOIN ns LEFT JOIN seeds sd ON sd.id = nodes.id)"""
+        .stripMargin
+    val rounds = (1 to PrIters).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, sum(r.rank / d.deg) AS m
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.id
+         |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+         |r$i AS (SELECT nodes.id,
+         |  (CASE WHEN sd.id IS NOT NULL
+         |    THEN CAST(${1.0 - PrDamping} AS DOUBLE) * (1.0 / ns.s)
+         |    ELSE 0.0 END)
+         |    + CAST($PrDamping AS DOUBLE) * coalesce(c$i.m, 0.0) AS rank
+         |  FROM nodes CROSS JOIN ns
+         |  LEFT JOIN seeds sd ON sd.id = nodes.id
+         |  LEFT JOIN c$i ON c$i.id = nodes.id)""".stripMargin
     }
     (head +: rounds).mkString(",\n") +
       s"\nSELECT id AS user_id, round(rank, 8) AS rank FROM r$PrIters"

@@ -145,4 +145,52 @@ object Basket {
           (col("n_ante").cast("double") * col("n_cons").cast("double")),
           scale).as("lift"))
   }
+
+  /** Frequent item TRIPLES — A-priori level 3: candidate {a,b,c} is
+    * enumerated only when all three items AND all three sub-pairs are
+    * individually frequent (the classic downward-closure prune, applied
+    * at both levels), then counted exactly. The level-2 prune is what
+    * survives scale: the triple fan-out runs over baskets already
+    * stripped to frequent items, and candidates are semi-joined against
+    * the (broadcast-sized) frequent-pair set BEFORE the counting
+    * aggregate, so Σ|basket|³ only materializes for items that can
+    * still win.
+    *
+    * Exactness is trivial (pure counting); both prunes are lossless by
+    * downward closure, so a naive three-way-join SQL twin matches.
+    *
+    * @return (item_a, item_b, item_c, support) with item_a < item_b <
+    *   item_c, support ≥ minSupport. */
+  def frequentTriples(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val items = df.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct().persist() // feeds supports + the pruned re-read
+    val itemN = items.groupBy("i").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+    val pruned = items.join(broadcast(itemN.select("i")), Seq("i"),
+      "left_semi").persist() // feeds the pair pass + three join sides
+    val fp = pruned.as("x")
+      .join(pruned.as("y"),
+        col("x.b") === col("y.b") && col("x.i") < col("y.i"))
+      .groupBy(col("x.i").as("pa"), col("y.i").as("pb"))
+      .agg(count(lit(1)).as("pn"))
+      .filter(col("pn") >= minSupport)
+      .select("pa", "pb")
+    val p1 = pruned.select(col("b"), col("i").as("i1"))
+    val p2 = pruned.select(col("b"), col("i").as("i2"))
+    val p3 = pruned.select(col("b"), col("i").as("i3"))
+    p1.join(p2, "b").filter(col("i1") < col("i2"))
+      .join(p3, "b").filter(col("i2") < col("i3"))
+      .join(broadcast(fp),
+        col("i1") === col("pa") && col("i2") === col("pb"), "left_semi")
+      .join(broadcast(fp),
+        col("i2") === col("pa") && col("i3") === col("pb"), "left_semi")
+      .join(broadcast(fp),
+        col("i1") === col("pa") && col("i3") === col("pb"), "left_semi")
+      .groupBy(col("i1").as("item_a"), col("i2").as("item_b"),
+        col("i3").as("item_c"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+  }
 }

@@ -227,4 +227,34 @@ object LanguageModel {
       .groupBy(col("label").as(labelCol), col("best.cl").as("pred"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Per-document lexical-diversity profile — the vocabulary-richness
+    * quality signals beside entropy (q52) and repetition (q51):
+    * type–token ratio (distinct words / words) and the hapax share
+    * (fraction of the document's vocabulary occurring exactly once).
+    * Low TTR = loops/boilerplate; near-1 TTR with high hapax on long
+    * docs = lexicon dumps — both standard corpus-filter axes.
+    *
+    * Shape: one tokenize pass into a (doc, word) count aggregate, one
+    * per-doc rollup — the rollup's input is the per-doc vocabulary,
+    * already far smaller than the token stream. Counts exact; the two
+    * closing ratios divide once each, rounded.
+    *
+    * @return (doc_id, n_tokens, n_types, ttr, hapax_frac). */
+  def lexicalDiversity(docs: DataFrame, idCol: String, textCol: String,
+      scale: Int = 6): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("__hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), scale).as("ttr"),
+        round(col("__hapax").cast("double") /
+          col("n_types").cast("double"), scale).as("hapax_frac"))
 }

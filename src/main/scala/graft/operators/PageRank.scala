@@ -110,6 +110,126 @@ object PageRank {
       }
     }(Encoders.row(outSchema))
 
+  /** Personalized PageRank: the teleport vector concentrates on a seed
+    * set instead of spreading uniformly — "importance relative to THESE
+    * nodes" (a user's neighborhood, a labeled cohort, a topic's seed
+    * pages), the standard similarity/recommendation variant:
+    * `r = (1−d)·1{v∈S}/|S| + d · Σ_in r(src)/outdeg(src)`, r₀ = the
+    * teleport vector. Seeds outside the graph contribute nothing (|S|
+    * counts seeds incident to an edge); dangling mass is dropped,
+    * matching [[run]]'s stated simplification.
+    *
+    * Scale shape is [[run]]'s: the seed table joins the node table once
+    * (broadcast — a seed set is small by definition), and each round is
+    * the same join + aggregate + localCheckpoint. The fused small-graph
+    * path collects the seed ids into the one task — bounded by the
+    * node count, which the threshold already bounds.
+    *
+    * @param seeds one-column table of seed node ids.
+    * @return (id, rank) for every node incident to an edge. */
+  def personalized(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, iterations: Int,
+      damping: Double = 0.85,
+      localThreshold: Long = 5_000_000L): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().persist()
+    val sd = seeds.select(col(seedCol).cast("long").as("sid")).distinct()
+    val nEdges = e.count()
+    if (nEdges <= localThreshold) personalizedFused(e, sd, iterations,
+      damping)
+    else personalizedDistributed(e, sd, iterations, damping)
+  }
+
+  private def personalizedFused(e: DataFrame, sd: DataFrame,
+      iterations: Int, damping: Double): DataFrame = {
+    // the graph fits one task, so the seed set (⊆ its nodes that
+    // matter) is driver-safe by the same bound — the naive-Bayes /
+    // IVF-literal-centroid stance on sub-threshold models
+    val seedIds = sd.collect().map(_.getLong(0))
+    java.util.Arrays.sort(seedIds)
+    e.coalesce(1).mapPartitions { it =>
+      val sb = new scala.collection.mutable.ArrayBuilder.ofLong
+      val db = new scala.collection.mutable.ArrayBuilder.ofLong
+      it.foreach { r => sb += r.getLong(0); db += r.getLong(1) }
+      val srcId = sb.result(); val dstId = db.result()
+      val m = srcId.length
+      if (m == 0) Iterator.empty
+      else {
+        val all = new Array[Long](2 * m)
+        System.arraycopy(srcId, 0, all, 0, m)
+        System.arraycopy(dstId, 0, all, m, m)
+        java.util.Arrays.sort(all)
+        var n = 0
+        var i = 0
+        while (i < all.length) {
+          if (n == 0 || all(n - 1) != all(i)) { all(n) = all(i); n += 1 }
+          i += 1
+        }
+        val ids = java.util.Arrays.copyOf(all, n)
+        val src = new Array[Int](m)
+        val dst = new Array[Int](m)
+        i = 0
+        while (i < m) {
+          src(i) = java.util.Arrays.binarySearch(ids, srcId(i))
+          dst(i) = java.util.Arrays.binarySearch(ids, dstId(i))
+          i += 1
+        }
+        val isSeed = ids.map(id =>
+          java.util.Arrays.binarySearch(seedIds, id) >= 0)
+        val nS = isSeed.count(identity)
+        val deg = new Array[Double](n)
+        src.foreach(s => deg(s) += 1.0)
+        // an empty effective seed set has nothing to teleport to: all
+        // ranks are exactly 0 (the distributed path agrees)
+        val seedMass = if (nS == 0) 0.0 else 1.0 / nS
+        val base = Array.tabulate(n)(v =>
+          if (isSeed(v)) (1.0 - damping) * seedMass else 0.0)
+        var rank = Array.tabulate(n)(v => if (isSeed(v)) seedMass else 0.0)
+        for (_ <- 1 to iterations) {
+          val in = new Array[Double](n)
+          i = 0
+          while (i < m) {
+            in(dst(i)) += rank(src(i)) / deg(src(i)); i += 1
+          }
+          rank = Array.tabulate(n)(v => base(v) + damping * in(v))
+        }
+        ids.iterator.zipWithIndex.map { case (id, j) => Row(id, rank(j)) }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  private def personalizedDistributed(e: DataFrame, sd: DataFrame,
+      iterations: Int, damping: Double): DataFrame = {
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(broadcast(sd), col("id") === col("sid"), "left")
+      .select(col("id"), col("sid").isNotNull.as("seed"))
+      .persist()
+    val nS = nodes.filter(col("seed")).count()
+    val seedMass = if (nS == 0) 0.0 else 1.0 / nS
+    val baseCol = when(col("seed"), lit((1.0 - damping) * seedMass))
+      .otherwise(lit(0.0))
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .persist()
+    var ranks = nodes.select(col("id"),
+      when(col("seed"), lit(seedMass)).otherwise(lit(0.0)).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contribs = eDeg.join(ranks, col("src") === col("id"))
+        .select(col("dst"), (col("rank") / col("deg")).as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      ranks = nodes.join(contribs, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (baseCol + lit(damping) * coalesce(col("m"), lit(0.0)))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    nodes.unpersist()
+    eDeg.unpersist()
+    ranks
+  }
+
   /** Cluster-scale path: per-round join + aggregate, checkpointed. */
   private def runDistributed(e: DataFrame, iterations: Int,
       damping: Double): DataFrame = {

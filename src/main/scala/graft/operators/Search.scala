@@ -236,4 +236,42 @@ object Search {
       .limit(topK)
       .withColumnRenamed("id", idCol)
   }
+
+  /** Exact phrase match over the positional inverted index: documents
+    * containing the words of `phrase` at CONSECUTIVE positions, with
+    * the occurrence count — what a "quoted query" does in a search
+    * engine, and the positional capability the bag-of-words scorers
+    * (bm25/dirichletQl) deliberately discard.
+    *
+    * Plan: tokens posexplode once into (doc, pos, term); the stream is
+    * filtered to the phrase's words (the IN filter reaches the scan),
+    * then word k anchors at `pos − k` and an equi-join on (doc, anchor)
+    * per additional word intersects the posting lists — occurrences =
+    * anchor positions where every word lands. Overlapping occurrences
+    * count individually (position semantics, not replace semantics).
+    *
+    * Scale: each join is keyed by (doc, anchor) over lists already cut
+    * to the phrase vocabulary — at corpus scale this is the textbook
+    * positional-postings intersection, smallest-list-first by
+    * construction since every list is phrase-term-sized.
+    *
+    * @param phrase words in order (≥ 2; must be non-empty strings).
+    * @return (doc_id, n_hits) for documents with ≥ 1 occurrence. */
+  def phraseCount(docs: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "phrase needs at least two words")
+    require(phrase.forall(_.nonEmpty), "phrase words must be non-empty")
+    val pos = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("pos", "term")))
+      .filter(col("term").isin(phrase: _*))
+      .persist() // one scan feeds every word's posting list
+    val anchors = phrase.zipWithIndex.map { case (w, k) =>
+      pos.filter(col("term") === w)
+        .select(col("doc_id"), (col("pos") - k).as("anchor"))
+    }
+    anchors.reduce { (a, b) => a.join(b, Seq("doc_id", "anchor")) }
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -576,6 +576,207 @@ object Stats {
       when(det =!= 0.0, round(b0, 6)).as("b0")): _*)
   }
 
+  /** Theil T inequality index per group — [[gini]]'s entropy-based
+    * sibling, and the one that DECOMPOSES (between-group + within-group
+    * inequality add up, which Gini refuses to do):
+    * T = Σᵢ (xᵢ/S)·ln(xᵢ·n/S), S = Σx. Zero when all equal,
+    * ln(n) at full concentration.
+    *
+    * Order-safe transcendentals (the q139 discipline): each row's
+    * (xᵢ/S)·ln(xᵢ·n/S) is a fixed-order double over exact integers
+    * (xᵢ·n widens to decimal first), rounded to 9 decimals and summed
+    * as decimal(38,9). The share form keeps every term O(1) — an
+    * xᵢ·ln(…) form would carry 9-digit integer parts whose sub-1e-9
+    * residue a double cannot even represent, making round(…,9)
+    * engine-dependent. Rows with x ≤ 0 are dropped (ln undefined;
+    * zero rows contribute 0 in the limit — but they still don't count
+    * toward n, stated explicitly).
+    *
+    * Scale: one grouped sum pass, the tiny (group → n, S) table
+    * broadcasts back onto the rows, one term aggregate — the
+    * [[madOutliers]] two-pass shape.
+    *
+    * @param valInt positive integer-valued expression (e.g. cents)
+    * @return (groupCols..., n, total, theil) rounded to 6. */
+  def theilIndex(df: DataFrame, groupCols: Seq[String], valInt: Column)
+      : DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val o = df.select((g :+ valInt.cast("long").as("__x")): _*)
+      .filter(col("__x") > 0)
+    val m = o.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("total"))
+    val term = round(
+      (col("__x").cast("double") / col("total").cast("double")) * log(
+        (col("__x").cast("decimal(38,0)") * col("n")).cast("double") /
+          col("total").cast("double")), 9).cast("decimal(38,9)")
+    o.join(broadcast(m), groupCols)
+      .groupBy(g: _*)
+      .agg(first(col("n")).as("n"), first(col("total")).as("total"),
+        sum(term).as("__ts"))
+      .withColumn("theil", round(col("__ts").cast("double"), 6))
+      .drop("__ts")
+  }
+
+  /** Mann–Kendall trend test per group — the nonparametric "is this
+    * series monotonically drifting" screen over an ordered integer
+    * series: S = Σ_{i<j} sign(x_j − x_i) with the normal approximation
+    * z = (S ∓ 1)/√Var(S) under the tie-corrected variance
+    * 18·Var(S) = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), plus Kendall's τ_b.
+    *
+    * Exactness: S, the pair count T, the tie sums, and the ×18-scaled
+    * variance are all integers (variance products widen to
+    * decimal(38,0) — n³ passes 2⁶³ already at n ≈ 1.6·10⁶); z and τ_b
+    * are single fixed-order double expressions over them, rounded — so
+    * a SQL twin matches digit-for-digit.
+    *
+    * Scale: pair enumeration is an equi-join on the group key filtered
+    * to `t_a < t_b` — O(Σ_g n_g²) pairs. This is a test for BOUNDED
+    * per-group series (daily/weekly aggregates: n ≲ 10⁴ per group, like
+    * [[graft.operators.TimeSeries.acf]]'s calendar-lag stance), not for
+    * raw event streams — aggregate first. `ordCol` must be unique
+    * within a group (a keyed series, not a bag).
+    *
+    * @param valInt integer-valued expression (e.g. cents; NULLs dropped)
+    * @return (groupCols..., n, s, z, tau_b); z/τ_b NULL when the
+    *   variance degenerates (n < 2 or all values tied). */
+  def mannKendall(df: DataFrame, groupCols: Seq[String], ordCol: String,
+      valInt: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val base = df
+      .select((g ++ Seq(col(ordCol).cast("long").as("__t"),
+        valInt.cast("long").as("__x"))): _*)
+      .filter(col("__t").isNotNull && col("__x").isNotNull)
+      .persist() // three readers: both join sides + the tie aggregate
+    val a = base.select((g ++ Seq(col("__t").as("__ta"),
+      col("__x").as("__xa"))): _*)
+    val b = base.select((g ++ Seq(col("__t").as("__tb"),
+      col("__x").as("__xb"))): _*)
+    val sPairs = a.join(b, groupCols)
+      .filter(col("__ta") < col("__tb"))
+      .groupBy(g: _*)
+      .agg(sum(when(col("__xb") > col("__xa"), 1L)
+        .when(col("__xb") < col("__xa"), -1L).otherwise(0L)).as("s"),
+        count(lit(1)).as("__tt")) // T = n(n−1)/2 pairs, from the join
+    // per-group n and the tie sums over value multiplicities t_v:
+    // Σ t(t−1)(2t+5) (variance correction) and Σ t(t−1) (= 2·T_x, τ_b)
+    val ties = base
+      .groupBy((g :+ col("__x")): _*)
+      .agg(count(lit(1)).as("__tv"))
+      .groupBy(g: _*)
+      .agg(sum(col("__tv")).as("n"),
+        sum((col("__tv").cast("decimal(38,0)") * (col("__tv") - 1) *
+          (col("__tv") * 2 + 5))).as("__tcor"),
+        sum((col("__tv").cast("decimal(38,0)") * (col("__tv") - 1)))
+          .as("__tx2"))
+    val var18 = (col("n").cast("decimal(38,0)") * (col("n") - 1) *
+      (col("n").cast("decimal(38,0)") * 2 + 5)) - col("__tcor")
+    val zNum = when(col("s") > 0, col("s") - 1)
+      .when(col("s") < 0, col("s") + 1).otherwise(lit(0L))
+    val tauDen = sqrt((col("__tt").cast("decimal(38,0)") * 2 -
+      col("__tx2")).cast("double") / 2.0) *
+      sqrt(col("__tt").cast("double"))
+    sPairs.join(ties, groupCols)
+      .select((g ++ Seq(col("n"), col("s"),
+        when(var18.cast("double") > 0,
+          round(zNum.cast("double") /
+            sqrt(var18.cast("double") / 18.0), 6)).as("z"),
+        when(tauDen =!= 0.0,
+          round(col("s").cast("double") / tauDen, 6)).as("tau_b"))): _*)
+  }
+
+  /** Welch's unequal-variance two-sample t report per group — the
+    * parametric sibling of [[ksTest]] on the same (group, split) shape:
+    * did the mean move, and with how many effective degrees of freedom?
+    * t = (m_A − m_B)/√(v_A/n_A + v_B/n_B), ν by Welch–Satterthwaite.
+    *
+    * Numerics: per-side (n, Σx, Σx²) accumulate as decimal(38,0); the
+    * sample variances, means, t, and ν are fixed-order double
+    * expressions over those exact sums (one division each, no
+    * intermediate re-rounding), so round(6) reproduces cross-engine.
+    * ONE hash aggregate over the rows; everything after runs on the
+    * group-count-sized table.
+    *
+    * @param valInt integer-valued expression (e.g. cents; NULLs dropped)
+    * @param inSampleA boolean expression splitting the two samples
+    * @return (groupCols..., n_a, n_b, mean_a, mean_b, t_stat, df) in
+    *   valInt units; t/df NULL when either side has n < 2 or both
+    *   variances are zero. */
+  def welchT(df: DataFrame, groupCols: Seq[String], valInt: Column,
+      inSampleA: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val z = df
+      .select((g ++ Seq(valInt.cast("long").as("__v"),
+        when(inSampleA, 1L).otherwise(0L).as("__a"))): _*)
+      .filter(col("__v").isNotNull)
+    val d = col("__v").cast("decimal(38,0)")
+    val m = z.groupBy(g: _*).agg(
+      sum(col("__a")).as("n_a"),
+      (count(lit(1)) - sum(col("__a"))).as("n_b"),
+      sum(when(col("__a") === 1, d).otherwise(lit(0).cast("decimal(38,0)")))
+        .as("__sa"),
+      sum(when(col("__a") === 0, d).otherwise(lit(0).cast("decimal(38,0)")))
+        .as("__sb"),
+      sum(when(col("__a") === 1, d * d).otherwise(lit(0).cast("decimal(38,0)")))
+        .as("__ssa"),
+      sum(when(col("__a") === 0, d * d).otherwise(lit(0).cast("decimal(38,0)")))
+        .as("__ssb"))
+    // sample variance v = (n·Σx² − (Σx)²) / (n·(n−1)) — numerator exact
+    def variance(n: Column, s: String, ss: String): Column =
+      (n.cast("decimal(38,0)") * col(ss) - col(s) * col(s)).cast("double") /
+        (n.cast("double") * (n.cast("double") - 1.0))
+    val va = variance(col("n_a"), "__sa", "__ssa")
+    val vb = variance(col("n_b"), "__sb", "__ssb")
+    val ma = col("__sa").cast("double") / col("n_a").cast("double")
+    val mb = col("__sb").cast("double") / col("n_b").cast("double")
+    val sea = va / col("n_a").cast("double")
+    val seb = vb / col("n_b").cast("double")
+    val se2 = sea + seb
+    val dfW = se2 * se2 /
+      (sea * sea / (col("n_a").cast("double") - 1.0) +
+        seb * seb / (col("n_b").cast("double") - 1.0))
+    val ok = col("n_a") > 1 && col("n_b") > 1
+    m.select((g ++ Seq(col("n_a"), col("n_b"),
+      when(col("n_a") > 0, round(ma, 6)).as("mean_a"),
+      when(col("n_b") > 0, round(mb, 6)).as("mean_b"),
+      when(ok && se2 > 0.0, round((ma - mb) / sqrt(se2), 6)).as("t_stat"),
+      when(ok && se2 > 0.0, round(dfW, 6)).as("df"))): _*)
+  }
+
+  /** Wilson score interval per group for a binary outcome — the
+    * proportion estimate whose coverage survives small n and extreme
+    * p̂ (unlike the Wald ±z√(p(1−p)/n) interval taught first and wrong
+    * first): center (p̂ + z²/2n)/(1 + z²/n), half-width
+    * (z/(1+z²/n))·√(p̂(1−p̂)/n + z²/4n²).
+    *
+    * ONE hash aggregate (k, n per group); the interval is a fixed-order
+    * double expression over two longs and the z constant — z² is
+    * pre-multiplied in Scala so both engines see the same literal.
+    *
+    * @param positive boolean expression marking a success
+    * @return (groupCols..., n, k, p_hat, lo, hi) rounded to 6. */
+  def wilsonInterval(df: DataFrame, groupCols: Seq[String],
+      positive: Column, zCrit: Double = 1.96): DataFrame = {
+    require(zCrit > 0, s"zCrit must be > 0, got $zCrit")
+    val g = groupCols.map(col)
+    val z2 = zCrit * zCrit
+    val m = df.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(positive, 1L).otherwise(0L)).as("k"))
+    val n = col("n").cast("double")
+    val p = col("k").cast("double") / n
+    val denom = lit(1.0) + lit(z2) / n
+    val center = (p + lit(z2) / (n * 2.0)) / denom
+    val half = (lit(zCrit) / denom) *
+      sqrt(p * (lit(1.0) - p) / n + lit(z2) / (n * n * 4.0))
+    m.select((g ++ Seq(col("n"), col("k"),
+      round(p, 6).as("p_hat"),
+      round(center - half, 6).as("lo"),
+      round(center + half, 6).as("hi"))): _*)
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * columns over the same rows (two annotators, or a classifier vs its
     * gold labels, the q12-vs-corpus eval). With D = Σ diagonal counts

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -397,5 +397,116 @@ object TimeSeries {
         (varN2 > 0 && dev * dev > lit(k.toLong * k) * varN2) ||
           (varN2 === 0 && n >= 2 && dev =!= 0),
         lit(false)))
+  }
+
+  /** Cross-correlation between every ordered pair of keyed series at
+    * calendar lags 0..maxLag — [[acf]]'s two-series sibling and the
+    * lead–lag screen ("does A's spend predict B's a week later?"):
+    * xcf(a→b, ℓ) = corr over t of (a_t, b_{t+ℓ}), pairs restricted to
+    * periods where BOTH series exist (gaps drop pairs, never shift).
+    *
+    * Shape: ONE equi-join on the period — the lagged side replicates
+    * ×(maxLag+1) by a bounded explode, and the a≠b pair fan-out rides
+    * the same join (output factor = series × lags; meant for a BOUNDED
+    * series dimension — segments, arms, regions — not per-user keys:
+    * pre-aggregate or pre-filter the pair set first at that scale).
+    * Numerics are [[acf]]'s: decimal-exact moments, one fixed-order
+    * double division, NULL on zero variance.
+    *
+    * @param valCol integer-valued column (e.g. cents)
+    * @return (series_a, series_b, lag, n_pairs, xcf) for a ≠ b; lag 0
+    *   included (contemporaneous correlation). */
+  def crossCorr(df: DataFrame, seriesCol: String, ordCol: String,
+      valCol: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    val x = df.select(col(seriesCol).as("series_a"),
+      col(ordCol).cast("long").as("__t"),
+      col(valCol).cast("long").cast("decimal(38,0)").as("__v"))
+    val lagged = df
+      .select(col(seriesCol).as("series_b"),
+        col(ordCol).cast("long").as("__t"),
+        col(valCol).cast("long").cast("decimal(38,0)").as("__vb"),
+        explode(sequence(lit(0), lit(maxLag))).as("lag"))
+      // b's row at period t surfaces at join key t − ℓ, so a's row at
+      // period t pairs with b's value from t + ℓ (b trails the key)
+      .select(col("series_b"), col("lag"),
+        (col("__t") - col("lag")).as("__t"), col("__vb"))
+    val num = (col("n_pairs") * col("__sp") -
+      col("__sa") * col("__sb")).cast("double")
+    val den = sqrt((col("n_pairs") * col("__ssa") -
+      col("__sa") * col("__sa")).cast("double")) *
+      sqrt((col("n_pairs") * col("__ssb") -
+        col("__sb") * col("__sb")).cast("double"))
+    x.join(lagged, Seq("__t"))
+      .filter(col("series_a") =!= col("series_b"))
+      .groupBy(col("series_a"), col("series_b"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__v")).as("__sa"), sum(col("__vb")).as("__sb"),
+        sum(col("__v") * col("__v")).as("__ssa"),
+        sum(col("__vb") * col("__vb")).as("__ssb"),
+        sum(col("__v") * col("__vb")).as("__sp"))
+      .withColumn("xcf", when(den =!= lit(0.0), round(num / den, 6)))
+      .drop("__sa", "__sb", "__ssa", "__ssb", "__sp")
+  }
+
+  /** Kaplan–Meier survival curve per group over right-censored integer
+    * durations — churn/retention analysis done correctly: censored
+    * subjects (still alive at observation end) leave the risk set
+    * without counting as deaths, instead of being dropped or counted
+    * as churned. S(t) = Π_{t'≤t, d>0} (1 − d_{t'}/n_{t'}).
+    *
+    * Order-safe product: each step's ln(1 − d/n) — ONE division of
+    * exact integers ((n−d)/n), one ln — is rounded to 9 decimals and
+    * cumulated as decimal(38,9) (the q139 order-free-transcendental
+    * discipline), closed by one exp + round(6). When a step kills the
+    * whole risk set (d = n), survival is exactly 0 from there on
+    * (flagged by a cumulative max, not a −∞ log).
+    *
+    * Scale: rows collapse FIRST to one row per (group, duration) with
+    * death/censor counts; the risk-set window, the log-sum window, and
+    * the flag window all share that table's group partitioning. The
+    * duration axis is the knob — quantize durations (days, not ms) so
+    * the per-group curve stays thousands of points.
+    *
+    * @param durInt integer duration expression (NULLs dropped)
+    * @param died   boolean: true = event observed, false = censored
+    * @return (groupCols..., t, n_risk, n_events, n_censored,
+    *   survival) — one row per distinct duration with any activity. */
+  def kaplanMeier(df: DataFrame, groupCols: Seq[String], durInt: Column,
+      died: Column): DataFrame = {
+    val g = groupCols.map(col)
+    val perT = df
+      .select((g ++ Seq(durInt.cast("long").as("t"),
+        when(died, 1L).otherwise(0L).as("__d"))): _*)
+      .filter(col("t").isNotNull)
+      .groupBy((g :+ col("t")): _*)
+      .agg(sum(col("__d")).as("n_events"),
+        (count(lit(1)) - sum(col("__d"))).as("n_censored"))
+    val wAll = Window.partitionBy(g: _*)
+    val wBefore = Window.partitionBy(g: _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy(g: _*).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = perT
+      .withColumn("n_risk",
+        sum(col("n_events") + col("n_censored")).over(wAll) -
+          coalesce(sum(col("n_events") + col("n_censored"))
+            .over(wBefore), lit(0L)))
+    // ln(1 − d/n) = ln((n−d)/n): exact-integer ratio, one ln, rounded
+    // then decimal-summed; a d = n step zeroes the curve outright
+    val term = when(col("n_events") > 0 && col("n_events") < col("n_risk"),
+      round(log((col("n_risk") - col("n_events")).cast("double") /
+        col("n_risk").cast("double")), 9))
+      .otherwise(lit(0.0)).cast("decimal(38,9)")
+    base
+      .withColumn("__lnsum", sum(term).over(wCum))
+      .withColumn("__dead",
+        max(when(col("n_events") === col("n_risk"), 1).otherwise(0))
+          .over(wCum))
+      .withColumn("survival",
+        when(col("__dead") === 1, lit(0.0))
+          .otherwise(round(exp(col("__lnsum").cast("double")), 6)))
+      .select((g ++ Seq(col("t"), col("n_risk"), col("n_events"),
+        col("n_censored"), col("survival"))): _*)
   }
 }

@@ -301,10 +301,7 @@ object EventPipeline {
         val before = sc.getPersistentRDDs.keySet
         val next = I.addPoints(st, batch.toDF(), idCol, vecCol,
           eps, minPts, bucketDims)
-        val pinned = I.State(
-          next.points.localCheckpoint(), next.counts.localCheckpoint(),
-          next.coreComp.localCheckpoint(),
-          next.borderPairs.localCheckpoint())
+        val pinned = I.pin(next)
         try sink(I.labels(pinned), id)
         finally {
           def ancestors(r: org.apache.spark.rdd.RDD[_],
