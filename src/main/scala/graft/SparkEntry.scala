@@ -2132,6 +2132,43 @@ object SparkEntry {
     "q177_theil" -> ((s, dir) =>
       operators.Stats.theilIndex(t(s, dir, "orders"),
         Seq("o_orderpriority"), round(col("o_totalprice") * 100))),
+
+    // Per-cluster k-means inertia (within-cluster SSE) — the
+    // elbow-method readout beside q159's silhouette; same
+    // literal-centroid projection plan, micro-quantized exact sums
+    "q178_kmeans_inertia" -> ((s, dir) =>
+      operators.ClusterEval.inertia(t(s, dir, "embeddings"),
+        "vec_id", "embedding", KmK, KmRounds)),
+
+    // Tokenizer-coverage screen: per-doc OOV rate under the corpus's
+    // own top-20 vocabulary (rank window over the vocab table only)
+    "q179_oov_rate" -> ((s, dir) =>
+      operators.LanguageModel.oovRate(t(s, dir, "documents"),
+        "doc_id", "text", OovVocabK)),
+
+    // Week-over-week revenue growth per priority: calendar-lag self
+    // join on the weekly aggregate (never a row lag — gaps stay gaps),
+    // growth NULL on a missing or zero base week
+    "q180_wow_growth" -> ((s, dir) => {
+      val weekly = t(s, dir, "orders")
+        .select(col("o_orderpriority"),
+          datediff(col("o_orderdate").cast("date"),
+            lit(java.sql.Date.valueOf("1970-01-01"))).as("day"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+        .select(col("o_orderpriority"),
+          expr("CAST(day DIV 7 AS INT)").as("wk"), col("c"))
+        .groupBy("o_orderpriority", "wk")
+        .agg(sum("c").as("cents"))
+        .persist() // both sides of the lag self-join
+      val prev = weekly.select(col("o_orderpriority"),
+        (col("wk") + 1).as("wk"), col("cents").as("prev_cents"))
+      weekly.join(prev, Seq("o_orderpriority", "wk"), "left")
+        .select(col("o_orderpriority"), col("wk"), col("cents"),
+          col("prev_cents"),
+          when(col("prev_cents") =!= 0L,
+            round((col("cents") - col("prev_cents")).cast("double") /
+              col("prev_cents").cast("double"), 6)).as("wow_growth"))
+    }),
   )
 
   /** q161's k (the DBSCAN paper's 4-dist) and profile depth. */
@@ -2166,6 +2203,10 @@ object SparkEntry {
 
   /** q175's quoted query — the corpus's most frequent bigram. */
   private val PhraseWords = Seq("table", "hash")
+
+  /** q179's vocabulary size: 20 of the fixture's ~31 words stay in
+    * vocabulary — mid-range OOV rates, both outcomes common. */
+  private val OovVocabK = 20
 
   /** q158's Dirichlet pseudo-count — near the fixture's mean document
     * length, the standard heuristic. */
@@ -4883,6 +4924,54 @@ object SparkEntry {
         |    AS DOUBLE), 6) AS theil
         |FROM o JOIN m USING (o_orderpriority)
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q178_kmeans_inertia" -> {
+      val d2 = "list_sum(list_transform(list_zip(p.qv, c.cv), " +
+        "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+      s"""WITH $kmeansCteBody,
+         |dst AS MATERIALIZED (SELECT p.id, c.cid, $d2 AS d2,
+         |    row_number() OVER (PARTITION BY p.id ORDER BY $d2, c.cid)
+         |      AS rn
+         |  FROM p CROSS JOIN c${KmRounds - 1} c),
+         |q AS (SELECT cid AS cluster,
+         |    CAST(round(d2 / 1000000.0) AS BIGINT) AS qd2
+         |  FROM dst WHERE rn = 1)
+         |SELECT CAST(cluster AS INTEGER) AS cluster,
+         |  CAST(count(*) AS BIGINT) AS n_pts,
+         |  CAST(sum(qd2) AS DOUBLE) / 1000000.0 AS sse
+         |FROM q GROUP BY 1""".stripMargin
+    },
+
+    "q179_oov_rate" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |v AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+         |tv AS (SELECT w FROM (SELECT w,
+         |    row_number() OVER (ORDER BY c DESC, w) AS r FROM v)
+         |  WHERE r <= $OovVocabK),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM t GROUP BY 1),
+         |kn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_in
+         |  FROM t JOIN tv USING (w) GROUP BY 1)
+         |SELECT tot.doc_id, n_tokens,
+         |  CAST(coalesce(n_in, 0) AS BIGINT) AS n_known,
+         |  round(CAST(n_tokens - coalesce(n_in, 0) AS DOUBLE)
+         |    / CAST(n_tokens AS DOUBLE), 6) AS oov_rate
+         |FROM tot LEFT JOIN kn USING (doc_id)""".stripMargin,
+
+    "q180_wow_growth" ->
+      """WITH w AS (SELECT o_orderpriority,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) // 7 AS INTEGER) AS wk,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT w.o_orderpriority, w.wk, w.cents, p.cents AS prev_cents,
+        |  CASE WHEN p.cents <> 0 THEN
+        |    round(CAST(w.cents - p.cents AS DOUBLE)
+        |      / CAST(p.cents AS DOUBLE), 6) END AS wow_growth
+        |FROM w LEFT JOIN w p ON p.o_orderpriority = w.o_orderpriority
+        |  AND p.wk = w.wk - 1""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */

@@ -73,6 +73,43 @@ object ClusterEval {
           / lit(1e9)).as("mean_sil"))
   }
 
+  /** Within-cluster sum of squared distances (inertia) per cluster of
+    * a k-means fit — the elbow-method readout beside
+    * [[simplifiedSilhouette]]'s cohesion/separation score: re-fit with
+    * varying k and watch where the SSE curve bends. Same plan shape as
+    * the silhouette (literal-centroid projection + ONE hash
+    * aggregate); per-point d² quantizes to micro-units of the original
+    * scale (`round(d2/quant²·1e6)` longs) so the per-cluster sum is an
+    * order-free exact integer with one closing division.
+    *
+    * @return (cluster, n_pts, sse) — SSE in original squared units. */
+  def inertia(points: DataFrame, idCol: String, vecCol: String, k: Int,
+      rounds: Int, quant: Double = 1e6): DataFrame = {
+    val (pts, cents) = KMeans.fitCentroids(points, idCol, vecCol, k,
+      rounds, quant)
+    val structs = cents.toSeq.map { case (cid, cv) =>
+      struct(
+        VectorExpressions.squaredL2(col("qv"), typedlit(cv.toSeq))
+          .as("d2"),
+        lit(cid).as("cid"))
+    }
+    // same (d2, cid) total order as the assignment/silhouette; [0] is
+    // the assigned centroid and its d² IS the point's SSE contribution
+    val ranked = array_sort(array(structs: _*))
+    // d2 is in quant-scaled units (quant² per squared unit); one
+    // division to micro-units, then round — identical text in the twin
+    val micro = quant * quant / 1e6
+    pts
+      .select(
+        ranked.getItem(0).getField("cid").as("cluster"),
+        round(ranked.getItem(0).getField("d2") / lit(micro))
+          .cast("long").as("qd2"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_pts"), sum(col("qd2")).as("sq"))
+      .select(col("cluster"), col("n_pts"),
+        (col("sq").cast("double") / lit(1e6)).as("sse"))
+  }
+
   /** Adjusted Rand Index between two labelings of the same ids —
     * Hubert & Arabie's chance-corrected pair-counting agreement.
     * Everything up to the final ratio is exact BIGINT combinatorics on

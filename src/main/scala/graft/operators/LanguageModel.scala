@@ -241,6 +241,43 @@ object LanguageModel {
     * closing ratios divide once each, rounded.
     *
     * @return (doc_id, n_tokens, n_types, ttr, hapax_frac). */
+  /** Per-document out-of-vocabulary rate under the corpus's own top-K
+    * vocabulary — the tokenizer-coverage screen ("how much of each doc
+    * would map to <unk>"), the fixed-vocab complement of the fertility
+    * report (q146). Vocabulary = the K most frequent words, ties broken
+    * by word ascending (deterministic in any engine).
+    *
+    * Shape: one tokenize pass (persisted — vocabulary, totals, and the
+    * known-token semi-join all read it); the rank window runs over the
+    * VOCABULARY table (words, not tokens) and the top-K set broadcasts.
+    * At a 100 TB corpus swap the rank window for the bounded top-K
+    * heap aggregate — the vocabulary table is the knob, not the rows.
+    *
+    * @return (doc_id, n_tokens, n_known, oov_rate). */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      vocabK: Int): DataFrame = {
+    require(vocabK >= 1, s"vocabK must be >= 1, got $vocabK")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as("w"))
+      .persist() // three readers: vocab, totals, known-join
+    val topv = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("w"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("w"))).as("r"))
+      .filter(col("r") <= vocabK)
+      .select("w")
+    val totals = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val known = toks.join(broadcast(topv), Seq("w"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_in"))
+    totals.join(known, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_in"), lit(0L)).as("n_known"))
+      .withColumn("oov_rate",
+        round((col("n_tokens") - col("n_known")).cast("double") /
+          col("n_tokens").cast("double"), 6))
+  }
+
   def lexicalDiversity(docs: DataFrame, idCol: String, textCol: String,
       scale: Int = 6): DataFrame =
     docs.select(col(idCol).as("doc_id"),

@@ -26,9 +26,9 @@ object Privacy {
     * disclosure even at k). The returned classes are exactly the rows
     * a release would have to suppress or generalize.
     *
-    * ONE hash aggregate over the input (count + distinct-count per
-    * class — Spark's Expand rewrite keeps it one scan); the violation
-    * filter runs on the class table.
+    * One scan over the input (count + distinct-count per class plan
+    * as the two-level distinct aggregate); the violation filter runs
+    * on the class table.
     *
     * @param quasiCols columns an attacker can link on
     * @param sensitive the column whose value must stay ambiguous

@@ -528,4 +528,70 @@ class PlanQualitySpec extends SparkSpec {
       s"bipartite ε-join degenerated to a cross join:\n$p")
     assert(p.contains("squared_l2"), s"missing fused distance kernel:\n$p")
   }
+
+  test("q165 Mann–Kendall: pair enumeration stays an equi-join") {
+    val p = plan(SparkEntry.queries("q165_mann_kendall")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join degenerated to a product:\n$p")
+  }
+
+  test("q166 cross-corr: ONE equi-join carries all series pairs + lags") {
+    val p = plan(SparkEntry.queries("q166_cross_corr")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"period join degenerated to a product:\n$p")
+    assert(p.split("SortMergeJoin").length - 1 +
+      (p.split("ShuffledHashJoin").length - 1) +
+      (p.split("BroadcastHashJoin").length - 1) == 1,
+      s"expected exactly one equi-join:\n$p")
+    assert(p.contains("Generate explode"), s"lag explode missing:\n$p")
+  }
+
+  test("q168 k-anonymity: one scan, the two-level distinct agg, no join") {
+    // count + a single countDistinct plan as the two-level aggregate
+    // (re-group on the distinct key): one scan, two exchanges max,
+    // never a join
+    val p = plan(SparkEntry.queries("q168_k_anonymity")(spark, sf))
+    assert(!p.contains("Join"), s"audit needs no join:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"audit should shuffle at most twice (partial + distinct):\n$p")
+    assert("FileScan".r.findAllIn(p).length == 1,
+      s"audit should scan once:\n$p")
+    assert(!p.contains("c_name") && !p.contains("c_custkey"),
+      s"scan reads pruned columns:\n$p")
+  }
+
+  test("q169 DP counts: one aggregate exchange, noise on the group table") {
+    val p = plan(SparkEntry.queries("q169_dp_counts")(spark, sf))
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"release should shuffle exactly once:\n$p")
+    assert(!p.contains("Join"), s"release needs no join:\n$p")
+    assert(!p.contains("user_id"), s"scan reads pruned columns:\n$p")
+  }
+
+  test("q175 phrase search: posting intersections stay equi-joins") {
+    val p = plan(SparkEntry.queries("q175_phrase_search")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"posting join degenerated to a product:\n$p")
+    // only the id/text columns are read — lang/source stay pruned
+    assert(!p.contains("lang"), s"scan reads pruned columns:\n$p")
+  }
+
+  test("q177 Theil: group moments broadcast back, no window") {
+    val p = plan(SparkEntry.queries("q177_theil")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"moment table should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"row side must not shuffle for the join:\n$p")
+    assert(!p.contains("Window"), s"no ranking window in Theil:\n$p")
+  }
+
+  test("q178 inertia: literal-centroid projection, no join, no window") {
+    val p = plan(SparkEntry.queries("q178_kmeans_inertia")(spark, sf))
+    assert(!p.contains("Join"), s"inertia needs no join:\n$p")
+    assert(!p.contains("Window"), s"inertia needs no window:\n$p")
+    assert(p.contains("squared_l2"), s"missing fused distance kernel:\n$p")
+  }
 }

@@ -99,6 +99,33 @@ class Round4ClosersSpec extends SparkSpec {
     assert(th > 0.9 && th < math.log(4.0)) // heavy concentration
   }
 
+  test("inertia: separable 1-d clusters report their exact SSE") {
+    // seeds [0.0],[0.1] → Lloyd converges to {0.0,0.1} and {10.0,10.1};
+    // each cluster's SSE = 2 · 0.05² = 0.005
+    val pts = spark.createDataFrame(Seq(
+      (1L, Seq(0.0f)), (2L, Seq(0.1f)), (3L, Seq(10.0f)),
+      (4L, Seq(10.1f)))).toDF("vec_id", "embedding").repartition(2)
+    val got = operators.ClusterEval.inertia(pts, "vec_id", "embedding",
+      k = 2, rounds = 3).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._2)
+    assert(got.length == 2)
+    got.foreach { case (n, sse) =>
+      assert(n == 2L && math.abs(sse - 0.005) < 1e-5)
+    }
+  }
+
+  test("oovRate: top-2 vocabulary, deterministic tie-break") {
+    // counts: a=3, b=c=z=1 → vocab {a, b} (ties break on the word)
+    val docs = spark.createDataFrame(Seq(
+      (1L, "a b c"), (2L, "a a z"))).toDF("doc_id", "text")
+    val got = LanguageModel.oovRate(docs, "doc_id", "text", vocabK = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 2L, 0.333333)))
+    assert(got(2L) == ((3L, 2L, 0.333333)))
+  }
+
   test("theilIndex: partitioning does not change the report") {
     val rnd = new scala.util.Random(3)
     val rows = (1 to 400).map(_ => ("g", (rnd.nextInt(5000) + 1).toLong))
