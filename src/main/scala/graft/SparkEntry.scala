@@ -2169,6 +2169,34 @@ object SparkEntry {
             round((col("cents") - col("prev_cents")).cast("double") /
               col("prev_cents").cast("double"), 6)).as("wow_growth"))
     }),
+
+    // One-way ANOVA F across all five priorities — does ANY priority's
+    // mean order value differ? q167's Welch test generalized to k
+    // groups; centered squares round to integer cents² and sum as
+    // exact decimals, F is one fixed-order closing expression
+    "q181_anova" -> ((s, dir) =>
+      operators.Stats.anovaF(t(s, dir, "orders"),
+        col("o_orderpriority"), round(col("o_totalprice") * 100))),
+
+    // Spearman rank correlation of quantity vs line price per return
+    // flag — monotone association on ×2-integral tie-averaged ranks
+    // (the scale factors cancel in r)
+    "q182_spearman" -> ((s, dir) =>
+      operators.Stats.spearman(t(s, dir, "lineitem"),
+        Seq("l_returnflag"), col("l_quantity"),
+        round(col("l_extendedprice") * 100))),
+
+    // Population-stability report of the order-value distribution,
+    // fulfilled vs the rest — the binned drift monitor beside q134's
+    // KS and q167's t on the same split; per-bin terms only, the
+    // total is the caller's tiny sum (the chi-square stance)
+    "q183_psi" -> ((s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      operators.Stats.psi(
+        t(s, dir, "orders").select(cents.as("c"),
+          (col("o_orderstatus") === "F").as("a")),
+        expr(s"(c - pmod(c, $PsiBinW)) DIV $PsiBinW"), col("a"))
+    }),
   )
 
   /** q161's k (the DBSCAN paper's 4-dist) and profile depth. */
@@ -2207,6 +2235,10 @@ object SparkEntry {
   /** q179's vocabulary size: 20 of the fixture's ~31 words stay in
     * vocabulary — mid-range OOV rates, both outcomes common. */
   private val OovVocabK = 20
+
+  /** q183's bin width in cents (50k-dollar bands — ~11 populated bins
+    * over the order-value range). */
+  private val PsiBinW = 5000000L
 
   /** q158's Dirichlet pseudo-count — near the fixture's mean document
     * length, the standard heuristic. */
@@ -4972,6 +5004,76 @@ object SparkEntry {
         |      / CAST(p.cents AS DOUBLE), 6) END AS wow_growth
         |FROM w LEFT JOIN w p ON p.o_orderpriority = w.o_orderpriority
         |  AND p.wk = w.wk - 1""".stripMargin,
+
+    "q181_anova" ->
+      """WITH o AS (SELECT o_orderpriority AS g,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+        |grp AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |    sum(CAST(x AS HUGEINT)) AS sg FROM o GROUP BY 1),
+        |grp2 AS (SELECT *, CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) AS mg
+        |  FROM grp),
+        |tot AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(count(*) AS BIGINT) AS k, sum(sg) AS s FROM grp2),
+        |tot2 AS (SELECT *, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m
+        |  FROM tot),
+        |sw AS (SELECT sum(CAST(round((x - mg) * (x - mg)) AS HUGEINT))
+        |    AS ssw
+        |  FROM o JOIN grp2 USING (g)),
+        |sb AS (SELECT sum(CAST(ng AS HUGEINT)
+        |      * CAST(round((mg - m) * (mg - m)) AS HUGEINT)) AS ssb
+        |  FROM grp2, tot2)
+        |SELECT k, n,
+        |  CASE WHEN k > 1 AND n > k AND CAST(ssw AS DOUBLE) > 0 THEN
+        |    round((CAST(ssb AS DOUBLE) / (CAST(k AS DOUBLE) - 1.0))
+        |      / (CAST(ssw AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+        |  END AS f_stat
+        |FROM tot2, sb, sw""".stripMargin,
+
+    "q182_spearman" ->
+      """WITH o AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag,
+        |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY x)
+        |      + count(*) OVER (PARTITION BY l_returnflag, x) - 1
+        |      AS HUGEINT) AS rx,
+        |    CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY y)
+        |      + count(*) OVER (PARTITION BY l_returnflag, y) - 1
+        |      AS HUGEINT) AS ry
+        |  FROM o)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CASE WHEN sqrt(CAST(count(*)*sum(rx*rx) - sum(rx)*sum(rx)
+        |        AS DOUBLE))
+        |      * sqrt(CAST(count(*)*sum(ry*ry) - sum(ry)*sum(ry)
+        |        AS DOUBLE)) <> 0
+        |    THEN round(CAST(count(*)*sum(rx*ry) - sum(rx)*sum(ry)
+        |        AS DOUBLE)
+        |      / (sqrt(CAST(count(*)*sum(rx*rx) - sum(rx)*sum(rx)
+        |          AS DOUBLE))
+        |        * sqrt(CAST(count(*)*sum(ry*ry) - sum(ry)*sum(ry)
+        |            AS DOUBLE))), 6)
+        |  END AS spearman
+        |FROM r GROUP BY 1""".stripMargin,
+
+    "q183_psi" ->
+      s"""WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         |    (o_orderstatus = 'F') AS a FROM orders),
+         |b AS (SELECT (c - ((c % $PsiBinW + $PsiBinW) % $PsiBinW))
+         |      // $PsiBinW AS bin,
+         |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+         |  FROM v GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+         |    CAST(sum(n_b) AS BIGINT) AS tb FROM b)
+         |SELECT bin, n_a, n_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 AND ta > 0 AND tb > 0 THEN
+         |    round((CAST(n_a AS DOUBLE) / CAST(ta AS DOUBLE)
+         |        - CAST(n_b AS DOUBLE) / CAST(tb AS DOUBLE))
+         |      * ln(CAST(CAST(n_a AS HUGEINT) * tb AS DOUBLE)
+         |        / CAST(CAST(n_b AS HUGEINT) * ta AS DOUBLE)), 6)
+         |  END AS psi_term
+         |FROM b, t""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */

@@ -576,6 +576,133 @@ object Stats {
       when(det =!= 0.0, round(b0, 6)).as("b0")): _*)
   }
 
+  /** One-way ANOVA F test across the levels of a categorical factor —
+    * [[welchT]]'s k-group generalization: does ANY level's mean differ?
+    * F = (SSB/(k−1)) / (SSW/(n−k)).
+    *
+    * Exactness: group means are ONE double division each; per-row
+    * (x−m_g)² and per-group n_g·(m_g−m)² round to integer units²
+    * (error ≤ 0.5 per term, identical in any engine) and sum as
+    * decimal(38,0) — order-free — so F is a single fixed-order double
+    * expression over two exact integers and two counts.
+    *
+    * Shape: one grouped moment pass, the k-row group table broadcasts
+    * back onto the rows for the SSW pass, the global scalars attach by
+    * broadcast cross join — the [[madOutliers]] two-pass shape.
+    *
+    * @param factor grouping column; @param valInt integer values.
+    * @return one row: (k, n, f_stat) — NULL when k < 2, n ≤ k, or
+    *   SSW = 0. (SSB/SSW stay internal: they are decimal(38,0)
+    *   integers whose report form would need its own cross-engine
+    *   contract; F is the decision number.) */
+  def anovaF(df: DataFrame, factor: Column, valInt: Column): DataFrame = {
+    val o = df.select(factor.as("__g"), valInt.cast("long").as("__x"))
+      .filter(col("__g").isNotNull && col("__x").isNotNull)
+      .persist() // two passes: group moments, then centered squares
+    val grp = o.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(col("__x").cast("decimal(38,0)")).as("__sg"))
+      .withColumn("__mg",
+        col("__sg").cast("double") / col("__ng").cast("double"))
+    val tot = grp.agg(sum(col("__ng")).as("n"),
+      count(lit(1)).as("k"), sum(col("__sg")).as("__s"))
+      .withColumn("__m", col("__s").cast("double") / col("n").cast("double"))
+    val ssw = o.join(broadcast(grp.select(col("__g"), col("__mg"))), "__g")
+      .select(round((col("__x") - col("__mg")) *
+        (col("__x") - col("__mg"))).cast("decimal(38,0)").as("__t"))
+      .agg(sum(col("__t")).as("ssw"))
+    val ssb = grp.crossJoin(broadcast(tot.select(col("__m"))))
+      .select((col("__ng").cast("decimal(38,0)") *
+        round((col("__mg") - col("__m")) * (col("__mg") - col("__m")))
+          .cast("decimal(38,0)")).as("__b"))
+      .agg(sum(col("__b")).as("ssb"))
+    val f = (col("ssb").cast("double") / (col("k").cast("double") - 1.0)) /
+      (col("ssw").cast("double") / (col("n").cast("double") -
+        col("k").cast("double")))
+    tot.select(col("k"), col("n"))
+      .crossJoin(ssb).crossJoin(ssw)
+      .select(col("k"), col("n"),
+        when(col("k") > 1 && col("n") > col("k") &&
+          col("ssw").cast("double") > 0.0, round(f, 6)).as("f_stat"))
+  }
+
+  /** Spearman rank correlation per group — Pearson on the
+    * tie-averaged ranks, the monotone-association measure that ignores
+    * the marginal distributions ([[corrMatrix]] is its linear
+    * sibling). Average ranks of a tie block are half-integers, so they
+    * carry ×2 (rank2 = 2·min_rank + t − 1 — always integral): the
+    * moment sums stay decimal-exact and the ×2 factors cancel in r.
+    *
+    * Shape: two rank windows (one per variable) + one tie-count window
+    * each, all partitioned by the group key — one exchange; then the
+    * corrMatrix moment aggregate.
+    *
+    * @return (groupCols..., n, spearman) — NULL on zero variance. */
+  def spearman(df: DataFrame, groupCols: Seq[String], xInt: Column,
+      yInt: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val o = df.select((g ++ Seq(xInt.cast("long").as("__x"),
+      yInt.cast("long").as("__y"))): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def rank2(c: String) = {
+      val wr = Window.partitionBy(g: _*).orderBy(col(c))
+      val wt = Window.partitionBy((g :+ col(c)): _*)
+      (rank().over(wr).cast("long") * 2 + count(lit(1)).over(wt) - 1L)
+    }
+    val ranked = o
+      .withColumn("__rx", rank2("__x").cast("decimal(38,0)"))
+      .withColumn("__ry", rank2("__y").cast("decimal(38,0)"))
+    val num = (col("n") * col("__sp") - col("__sx") * col("__sy"))
+      .cast("double")
+    val den = sqrt((col("n") * col("__sxx") -
+      col("__sx") * col("__sx")).cast("double")) *
+      sqrt((col("n") * col("__syy") -
+        col("__sy") * col("__sy")).cast("double"))
+    ranked.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__rx")).as("__sx"), sum(col("__ry")).as("__sy"),
+        sum(col("__rx") * col("__rx")).as("__sxx"),
+        sum(col("__ry") * col("__ry")).as("__syy"),
+        sum(col("__rx") * col("__ry")).as("__sp"))
+      .withColumn("spearman", when(den =!= 0.0, round(num / den, 6)))
+      .drop("__sx", "__sy", "__sxx", "__syy", "__sp")
+  }
+
+  /** Population Stability Index report between two cohorts of a
+    * binned score — the industry drift monitor beside [[ksTest]]'s
+    * distribution-free statistic: per bin,
+    * psi_term = (p_a − p_b)·ln(p_a/p_b) with p = bin share. The total
+    * PSI is the caller's tiny sum of `psi_term` (the [[chiSquare]]
+    * stance: a float fold over an unordered table stays driver-side).
+    *
+    * Exactness: bin shares divide exact longs once; the log runs on
+    * the cross-multiplied integer ratio (n_a·N_B)/(n_b·N_A) — a single
+    * fixed-order double expression, rounded. A bin empty on either
+    * side reports NULL (PSI undefined there — surface it, don't
+    * epsilon-smooth silently). ONE hash aggregate over the rows; the
+    * two totals attach by broadcast.
+    *
+    * @param binExpr integer bin id (use the q149 floor-div discipline)
+    * @param inCohortA boolean split
+    * @return (bin, n_a, n_b, psi_term). */
+  def psi(df: DataFrame, binExpr: Column, inCohortA: Column): DataFrame = {
+    val bins = df.groupBy(binExpr.as("bin"))
+      .agg(sum(when(inCohortA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inCohortA, 0L).otherwise(1L)).as("n_b"))
+    val tot = bins.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    val pa = col("n_a").cast("double") / col("ta").cast("double")
+    val pb = col("n_b").cast("double") / col("tb").cast("double")
+    val ratio = (col("n_a").cast("decimal(38,0)") * col("tb"))
+      .cast("double") /
+      (col("n_b").cast("decimal(38,0)") * col("ta")).cast("double")
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 &&
+          col("ta") > 0 && col("tb") > 0,
+          round((pa - pb) * log(ratio), 6)).as("psi_term"))
+  }
+
   /** Theil T inequality index per group — [[gini]]'s entropy-based
     * sibling, and the one that DECOMPOSES (between-group + within-group
     * inequality add up, which Gini refuses to do):

@@ -118,6 +118,54 @@ class StatsInferenceSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 0.666667), (2L, 0.0)))
   }
 
+  test("anovaF: hand case A=[1,2,3] B=[5,7,9] gives F=14.4") {
+    // SSW = 2+8 = 10; SSB = 3·round(6.25)·2 = 36 (integer-quantized
+    // squares, identical in the twin); F = (36/1)/(10/4) = 14.4
+    val df = spark.createDataFrame(Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 5L), ("B", 7L), ("B", 9L))).toDF("g", "v").repartition(3)
+    val r = Stats.anovaF(df, col("g"), col("v")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 14.4)
+  }
+
+  test("anovaF: a single level has no between-variance — NULL F") {
+    val df = spark.createDataFrame(Seq(("A", 1L), ("A", 5L)))
+      .toDF("g", "v")
+    val r = Stats.anovaF(df, col("g"), col("v")).collect().head
+    assert(r.getLong(0) == 1L && r.isNullAt(2))
+  }
+
+  test("spearman: monotone nonlinear is 1; tie-averaged ranks") {
+    val mono = spark.createDataFrame(Seq(
+      ("m", 1L, 1L), ("m", 2L, 4L), ("m", 3L, 9L), ("m", 4L, 100L)))
+      .toDF("g", "x", "y")
+    val r1 = Stats.spearman(mono, Seq("g"), col("x"), col("y"))
+      .collect().head
+    assert(r1.getDouble(2) == 1.0)
+    // ties in x: rank2(x) = (3,3,6), rank2(y) = (2,4,6) → 6/√48
+    val tied = spark.createDataFrame(Seq(
+      ("t", 1L, 10L), ("t", 1L, 20L), ("t", 2L, 30L)))
+      .toDF("g", "x", "y").repartition(2)
+    val r2 = Stats.spearman(tied, Seq("g"), col("x"), col("y"))
+      .collect().head
+    assert(r2.getDouble(2) == 0.866025)
+  }
+
+  test("psi: symmetric two-bin drift, NULL on one-sided bins") {
+    val df = spark.createDataFrame(Seq(
+      (1L, true), (1L, true), (2L, true),
+      (1L, false), (2L, false), (2L, false),
+      (9L, true))).toDF("bin", "a")
+    val got = Stats.psi(df, col("bin"), col("a")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    // shares exclude nothing: ta=4 (incl. bin 9), tb=3
+    // bin1: (2/4 − 1/3)·ln((2·3)/(1·4)) = (1/6)·ln(1.5) = 0.067578
+    assert(got(1L)._3 == Some(0.067578))
+    assert(got(9L)._3 == None) // no B mass — undefined, surfaced
+  }
+
   test("kAnonymityAudit: flags small and non-diverse classes only") {
     val rows =
       (1 to 12).map(i => ("big", i % 2, i)) ++   // k ok, l ok
