@@ -4716,10 +4716,11 @@ object SparkEntry {
         |    sum(CAST(t AS HUGEINT) * (t - 1) * (t * 2 + 5)) AS tcor,
         |    sum(CAST(t AS HUGEINT) * (t - 1)) AS tx2
         |  FROM tv GROUP BY 1),
-        |v AS (SELECT sp.o_orderpriority, ties.n, sp.s, sp.tt, ties.tx2,
+        |v AS (SELECT ties.o_orderpriority, ties.n,
+        |    coalesce(sp.s, 0) AS s, coalesce(sp.tt, 0) AS tt, ties.tx2,
         |    CAST(n AS HUGEINT) * (n - 1) * (CAST(n AS HUGEINT) * 2 + 5)
         |      - tcor AS var18
-        |  FROM sp JOIN ties USING (o_orderpriority))
+        |  FROM ties LEFT JOIN sp USING (o_orderpriority))
         |SELECT o_orderpriority, n, s,
         |  CASE WHEN CAST(var18 AS DOUBLE) > 0 THEN
         |    round(CAST(CASE WHEN s > 0 THEN s - 1 WHEN s < 0 THEN s + 1

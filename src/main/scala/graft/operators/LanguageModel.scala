@@ -228,19 +228,6 @@ object LanguageModel {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Per-document lexical-diversity profile — the vocabulary-richness
-    * quality signals beside entropy (q52) and repetition (q51):
-    * type–token ratio (distinct words / words) and the hapax share
-    * (fraction of the document's vocabulary occurring exactly once).
-    * Low TTR = loops/boilerplate; near-1 TTR with high hapax on long
-    * docs = lexicon dumps — both standard corpus-filter axes.
-    *
-    * Shape: one tokenize pass into a (doc, word) count aggregate, one
-    * per-doc rollup — the rollup's input is the per-doc vocabulary,
-    * already far smaller than the token stream. Counts exact; the two
-    * closing ratios divide once each, rounded.
-    *
-    * @return (doc_id, n_tokens, n_types, ttr, hapax_frac). */
   /** Per-document out-of-vocabulary rate under the corpus's own top-K
     * vocabulary — the tokenizer-coverage screen ("how much of each doc
     * would map to <unk>"), the fixed-vocab complement of the fertility
@@ -278,6 +265,19 @@ object LanguageModel {
           col("n_tokens").cast("double"), 6))
   }
 
+  /** Per-document lexical-diversity profile — the vocabulary-richness
+    * quality signals beside entropy (q52) and repetition (q51):
+    * type–token ratio (distinct words / words) and the hapax share
+    * (fraction of the document's vocabulary occurring exactly once).
+    * Low TTR = loops/boilerplate; near-1 TTR with high hapax on long
+    * docs = lexicon dumps — both standard corpus-filter axes.
+    *
+    * Shape: one tokenize pass into a (doc, word) count aggregate, one
+    * per-doc rollup — the rollup's input is the per-doc vocabulary,
+    * already far smaller than the token stream. Counts exact; the two
+    * closing ratios divide once each, rounded.
+    *
+    * @return (doc_id, n_tokens, n_types, ttr, hapax_frac). */
   def lexicalDiversity(docs: DataFrame, idCol: String, textCol: String,
       scale: Int = 6): DataFrame =
     docs.select(col(idCol).as("doc_id"),

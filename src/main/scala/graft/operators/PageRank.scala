@@ -47,17 +47,23 @@ object PageRank {
   def run(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85,
       localThreshold: Long = 5_000_000L): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
-    // the distinct edge set is the loop's reused input either way:
-    // cache it, and size the path choice on its materialized count
-    // (cache lifecycle: released by the ContextCleaner with the plan,
-    // as in Dbscan.run — callers loop over SESSIONS, not operators)
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().persist()
-    val nEdges = e.count()
+    val (e, nEdges) = prepEdges(edges, srcCol, dstCol, iterations, damping)
     if (nEdges <= localThreshold) runFused(e, iterations, damping)
     else runDistributed(e, iterations, damping)
+  }
+
+  /** Shared prolog for [[run]]/[[personalized]]: validate parameters,
+    * normalize to a cached distinct (src, dst) long edge set, and
+    * materialize its count for the fused-vs-distributed dispatch.
+    * Cache lifecycle: released by the ContextCleaner with the plan,
+    * as in Dbscan.run — callers loop over SESSIONS, not operators. */
+  private def prepEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double): (DataFrame, Long) = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().persist()
+    (e, e.count())
   }
 
   /** Small-graph path: the whole iteration runs in ONE task over the
@@ -131,12 +137,8 @@ object PageRank {
       seeds: DataFrame, seedCol: String, iterations: Int,
       damping: Double = 0.85,
       localThreshold: Long = 5_000_000L): DataFrame = {
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    require(damping > 0 && damping < 1, s"damping must be in (0,1): $damping")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).distinct().persist()
+    val (e, nEdges) = prepEdges(edges, srcCol, dstCol, iterations, damping)
     val sd = seeds.select(col(seedCol).cast("long").as("sid")).distinct()
-    val nEdges = e.count()
     if (nEdges <= localThreshold) personalizedFused(e, sd, iterations,
       damping)
     else personalizedDistributed(e, sd, iterations, damping)

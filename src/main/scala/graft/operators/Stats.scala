@@ -676,32 +676,20 @@ object Stats {
     * PSI is the caller's tiny sum of `psi_term` (the [[chiSquare]]
     * stance: a float fold over an unordered table stays driver-side).
     *
-    * Exactness: bin shares divide exact longs once; the log runs on
-    * the cross-multiplied integer ratio (n_a·N_B)/(n_b·N_A) — a single
-    * fixed-order double expression, rounded. A bin empty on either
+    * The per-bin term is EXACTLY [[woeIv]]'s `iv` with the positive
+    * class playing cohort A — so this is a thin delegate over that
+    * machinery (same plan, same numerics, same <2^63 cross-product
+    * bound), renamed into drift vocabulary. A bin empty on either
     * side reports NULL (PSI undefined there — surface it, don't
-    * epsilon-smooth silently). ONE hash aggregate over the rows; the
-    * two totals attach by broadcast.
+    * epsilon-smooth silently).
     *
     * @param binExpr integer bin id (use the q149 floor-div discipline)
     * @param inCohortA boolean split
     * @return (bin, n_a, n_b, psi_term). */
-  def psi(df: DataFrame, binExpr: Column, inCohortA: Column): DataFrame = {
-    val bins = df.groupBy(binExpr.as("bin"))
-      .agg(sum(when(inCohortA, 1L).otherwise(0L)).as("n_a"),
-        sum(when(inCohortA, 0L).otherwise(1L)).as("n_b"))
-    val tot = bins.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
-    val pa = col("n_a").cast("double") / col("ta").cast("double")
-    val pb = col("n_b").cast("double") / col("tb").cast("double")
-    val ratio = (col("n_a").cast("decimal(38,0)") * col("tb"))
-      .cast("double") /
-      (col("n_b").cast("decimal(38,0)") * col("ta")).cast("double")
-    bins.crossJoin(broadcast(tot))
-      .select(col("bin"), col("n_a"), col("n_b"),
-        when(col("n_a") > 0 && col("n_b") > 0 &&
-          col("ta") > 0 && col("tb") > 0,
-          round((pa - pb) * log(ratio), 6)).as("psi_term"))
-  }
+  def psi(df: DataFrame, binExpr: Column, inCohortA: Column): DataFrame =
+    woeIv(df, binExpr, inCohortA)
+      .select(col("bin"), col("n_pos").as("n_a"),
+        col("n_neg").as("n_b"), col("iv").as("psi_term"))
 
   /** Theil T inequality index per group — [[gini]]'s entropy-based
     * sibling, and the one that DECOMPOSES (between-group + within-group
@@ -804,7 +792,12 @@ object Stats {
     val tauDen = sqrt((col("__tt").cast("decimal(38,0)") * 2 -
       col("__tx2")).cast("double") / 2.0) *
       sqrt(col("__tt").cast("double"))
-    sPairs.join(ties, groupCols)
+    // anchor on `ties` (one row per group, even n = 1): a pairless
+    // group has S = 0 over zero pairs and NULL statistics — the same
+    // degenerate-row contract the all-tied case already gets
+    ties.join(sPairs, groupCols, "left")
+      .withColumn("s", coalesce(col("s"), lit(0L)))
+      .withColumn("__tt", coalesce(col("__tt"), lit(0L)))
       .select((g ++ Seq(col("n"), col("s"),
         when(var18.cast("double") > 0,
           round(zNum.cast("double") /

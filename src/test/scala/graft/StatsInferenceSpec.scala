@@ -33,6 +33,17 @@ class StatsInferenceSpec extends SparkSpec {
     assert(r.getLong(2) == 0L && r.isNullAt(3) && r.isNullAt(4))
   }
 
+  test("mannKendall: a single-observation group still reports a row") {
+    val df = spark.createDataFrame(Seq(
+      ("solo", 1L, 42L), ("pair", 1L, 1L), ("pair", 2L, 2L)))
+      .toDF("g", "day", "v")
+    val got = Stats.mannKendall(df, Seq("g"), "day", col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.isNullAt(3))).toMap
+    assert(got("solo") == ((1L, 0L, true))) // n=1: S=0, NULL stats
+    assert(got("pair")._2 == 1L)
+  }
+
   test("mannKendall: partitioning does not change the report") {
     val rnd = new scala.util.Random(11)
     val rows = for (g <- Seq("a", "b"); d <- 1 to 40)
