@@ -2197,6 +2197,39 @@ object SparkEntry {
           (col("o_orderstatus") === "F").as("a")),
         expr(s"(c - pmod(c, $PsiBinW)) DIV $PsiBinW"), col("a"))
     }),
+
+    // Smoothed target encoding of supplier by line price — rare
+    // suppliers shrink toward the global mean under an m=20 prior;
+    // exact integer moments, one fixed-order closing expression
+    "q184_target_encoding" -> ((s, dir) =>
+      operators.Features.targetEncode(t(s, dir, "lineitem"),
+        col("l_suppkey"), round(col("l_extendedprice") * 100),
+        TargetEncM)),
+
+    // Semi-supervised label spreading: clamp the 10% seed labels and
+    // propagate across the ε-graph for 3 synchronous rounds — the
+    // transductive "annotate a sample, spread over similarity"
+    // step; oracle = the rounds unrolled with the same argmax rule
+    "q185_label_spreading" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val pairs = operators.EpsilonJoin
+        .selfJoin(e, "vec_id", "embedding", Eps, Nil)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val seeds = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id"), col("label"))
+      operators.LabelProp.spread(pairs, "src", "dst", seeds,
+        "vec_id", "label", SpreadRounds)
+        .select(col("id").as("vec_id"), col("label").as("label_pred"))
+    }),
+
+    // Poisson-bootstrap confidence band for mean order value per
+    // priority: 64 deterministic hash-seeded resamples, rank-based
+    // quartile band (existing values picked by rank — no
+    // interpolation arithmetic to diverge); same salt, same band
+    "q186_bootstrap_ci" -> ((s, dir) =>
+      operators.Stats.poissonBootstrap(t(s, dir, "orders"),
+        Seq("o_orderpriority"), col("o_orderkey"),
+        round(col("o_totalprice") * 100), BootB, BootSalt)),
   )
 
   /** q161's k (the DBSCAN paper's 4-dist) and profile depth. */
@@ -2239,6 +2272,18 @@ object SparkEntry {
   /** q183's bin width in cents (50k-dollar bands — ~11 populated bins
     * over the order-value range). */
   private val PsiBinW = 5000000L
+
+  /** q184's smoothing prior: ~1/7 of the mean per-supplier support at
+    * sf0.01, so shrinkage is visible without drowning the signal. */
+  private val TargetEncM = 20.0
+
+  /** q185's propagation budget — 3 rounds reach past the seeds'
+    * second-hop neighborhoods on the fixture's ε-graph. */
+  private val SpreadRounds = 3
+
+  /** q186's resample count (band ranks 16/32/48) and draw salt. */
+  private val BootB = 64
+  private val BootSalt = "graft-boot-v1"
 
   /** q158's Dirichlet pseudo-count — near the fixture's mean document
     * length, the standard heuristic. */
@@ -5075,11 +5120,90 @@ object SparkEntry {
          |        / CAST(CAST(n_b AS HUGEINT) * ta AS DOUBLE)), 6)
          |  END AS psi_term
          |FROM b, t""".stripMargin,
+
+    "q185_label_spreading" -> labelSpreadOracle,
+
+    "q186_bootstrap_ci" -> {
+      val cases = operators.Stats.PoissonCdf1.zipWithIndex
+        .map { case (f, k) => s"WHEN uu < $f THEN $k" }.mkString(" ")
+      s"""WITH o AS (SELECT o_orderpriority AS g, o_orderkey AS id,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS x
+         |  FROM orders),
+         |r AS (SELECT g, id, x, CAST(t.b AS INTEGER) AS b
+         |  FROM o, range(0, $BootB) t(b)),
+         |d AS (SELECT g, b, x,
+         |    (CAST(CAST('0x' || substr(md5('$BootSalt:'
+         |        || CAST(id AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
+         |        1, 15) AS BIGINT) % 4503599627370496 AS DOUBLE) + 0.5)
+         |      / 4503599627370496.0 AS uu
+         |  FROM r),
+         |c AS (SELECT g, b, x, CASE $cases ELSE 8 END AS c FROM d),
+         |m AS (SELECT g, b,
+         |    round(CAST(sum(CAST(c AS HUGEINT) * x) AS DOUBLE)
+         |      / CAST(sum(c) AS DOUBLE), 6) AS qm
+         |  FROM c GROUP BY 1, 2 HAVING sum(c) > 0),
+         |rk AS (SELECT g, b, qm,
+         |    row_number() OVER (PARTITION BY g ORDER BY qm, b) AS rn
+         |  FROM m)
+         |SELECT g AS o_orderpriority, CAST(count(*) AS BIGINT)
+         |    AS n_resamples,
+         |  min(CASE WHEN rn = ${BootB / 4} THEN qm END) AS boot_lo,
+         |  min(CASE WHEN rn = ${BootB / 2} THEN qm END) AS boot_med,
+         |  min(CASE WHEN rn = ${3 * BootB / 4} THEN qm END) AS boot_hi
+         |FROM rk GROUP BY 1""".stripMargin
+    },
+
+    "q184_target_encoding" ->
+      s"""WITH c AS (SELECT l_suppkey AS category,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+         |      AS HUGEINT)) AS sy
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tn, sum(sy) AS ts
+         |  FROM c)
+         |SELECT category, n,
+         |  round((CAST(sy AS DOUBLE)
+         |      + $TargetEncM * (CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)))
+         |    / (CAST(n AS DOUBLE) + $TargetEncM), 6) AS enc
+         |FROM c, t""".stripMargin,
   )
 
   /** PageRank iteration budget — shared by q58 and its unrolled oracle. */
   private val PrIters = 10
   private val PrDamping = 0.85
+
+  /** q185's oracle: the ε-pair graph, the clamped seed set, and
+    * [[SpreadRounds]] synchronous spreading rounds unrolled — each
+    * round the (count DESC, label ASC) argmax over labeled neighbors,
+    * coalesced under the seed clamp, exactly
+    * [[operators.LabelProp.spread]]'s all-integer rule. */
+  private def labelSpreadOracle: String = {
+    val head =
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT a.vec_id AS src, b.vec_id AS dst
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.vec_id != b.vec_id AND ${d2Sql("a", "b")} <= $Eps*$Eps),
+         |nodes AS (SELECT DISTINCT src AS id FROM pairs),
+         |seeds AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS sl
+         |  FROM embeddings WHERE vec_id % 10 = 0),
+         |l0 AS MATERIALIZED (SELECT nodes.id, s.sl AS label
+         |  FROM nodes LEFT JOIN seeds s USING (id))""".stripMargin
+    val rounds = (1 to SpreadRounds).map { r =>
+      s"""v$r AS (SELECT id, vote FROM (
+         |    SELECT p.dst AS id, l.label AS vote,
+         |      row_number() OVER (PARTITION BY p.dst
+         |        ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM pairs p JOIN l${r - 1} l ON p.src = l.id
+         |    WHERE l.label IS NOT NULL
+         |    GROUP BY p.dst, l.label) WHERE rn = 1),
+         |l$r AS MATERIALIZED (SELECT l.id,
+         |    coalesce(s.sl, v.vote, l.label) AS label
+         |  FROM l${r - 1} l LEFT JOIN seeds s USING (id)
+         |  LEFT JOIN v$r v USING (id))""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s"\nSELECT id AS vec_id, label AS label_pred FROM l$SpreadRounds"
+  }
 
   /** Sessionization CTE chain (e → flagged → sess → iv) — the SINGLE
     * textual source behind the q21/q49/q58 oracles, mirroring

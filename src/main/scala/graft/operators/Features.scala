@@ -48,4 +48,41 @@ object Features {
       sum(col("__v")).as("v_life_cents")) ++ winAggs
     in.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Smoothed target (mean) encoding of a categorical column — the
+    * high-cardinality feature-engineering standard:
+    * enc_c = (Σy_c + m·μ) / (n_c + m), shrinking rare categories
+    * toward the global mean μ (m = the pseudo-count prior; m = 0 is
+    * the raw category mean, ∞ the global mean).
+    *
+    * Exactness: per-category (n, Σy) and the global totals accumulate
+    * as exact integers (decimal-widened sums); μ is ONE double
+    * division and the encoding one fixed-order expression over it —
+    * round(6) reproduces cross-engine. ONE hash aggregate over the
+    * rows; the global scalars attach by broadcast cross join
+    * (the woeIv shape).
+    *
+    * Training-hygiene note: encode on the TRAINING split and join onto
+    * eval — this operator computes the encoding table, the split is
+    * the caller's (hashSplit) job.
+    *
+    * @param targetInt integer-valued target (e.g. cents, or a 0/1)
+    * @param m smoothing pseudo-count (≥ 0)
+    * @return (category, n, enc) — one row per observed category. */
+  def targetEncode(df: DataFrame, catCol: Column, targetInt: Column,
+      m: Double): DataFrame = {
+    require(m >= 0, s"smoothing m must be >= 0, got $m")
+    val cats = df.select(catCol.as("category"),
+        targetInt.cast("long").as("__y"))
+      .filter(col("__y").isNotNull)
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y").cast("decimal(38,0)")).as("__sy"))
+    val tot = cats.agg(sum(col("n")).as("__tn"), sum(col("__sy")).as("__ts"))
+    val mu = col("__ts").cast("double") / col("__tn").cast("double")
+    cats.crossJoin(broadcast(tot))
+      .select(col("category"), col("n"),
+        round((col("__sy").cast("double") + lit(m) * mu) /
+          (col("n").cast("double") + lit(m)), 6).as("enc"))
+  }
 }

@@ -133,4 +133,56 @@ object LabelProp {
     e.unpersist()
     labels
   }
+
+  /** Semi-supervised label SPREADING: a small labeled seed set is
+    * clamped, every other node adopts each round the most frequent
+    * label among its CURRENTLY-labeled in-neighbors (ties to the
+    * smallest label; no labeled neighbor → keep the previous state,
+    * possibly unlabeled) — [[run]]'s transductive-classification
+    * sibling, the standard "propagate the 10% you annotated across
+    * the similarity graph" step over an ε-graph or k-NN graph.
+    *
+    * Same per-round plan as the community loop (one edge⋈labels join,
+    * the min(struct(-cnt, label)) argmax, localCheckpoint) with a
+    * NULL-aware twist: unlabeled nodes simply cast no votes, and the
+    * clamp is a coalesce with the seed column — all-integer
+    * semantics, so an unrolled SQL twin matches exactly.
+    *
+    * @param seeds (idCol, labelCol) — the annotated subset; ids not in
+    *   the graph are ignored, duplicate ids collapse arbitrarily only
+    *   if they disagree (pass clean seeds).
+    * @return (id, label) for every node incident to an edge; label is
+    *   NULL where no seed's influence arrived within `rounds`. */
+  def spread(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, idCol: String, labelCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst"))).distinct()
+    val sd = seeds.select(col(idCol).cast("long").as("id"),
+      col(labelCol).cast("long").as("__seed")).distinct()
+    var labels = nodes.join(broadcast(sd), Seq("id"), "left")
+      .select(col("id"), col("__seed"), col("__seed").as("label"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val votes = e
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .filter(col("label").isNotNull) // unlabeled nodes cast no vote
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("cnt")).as("nc"), col("label").as("l")))
+          .as("m"))
+        .select(col("dst").as("id"), col("m.l").as("__vote"))
+      labels = labels.join(votes, Seq("id"), "left")
+        .select(col("id"), col("__seed"),
+          coalesce(col("__seed"), col("__vote"), col("label"))
+            .as("label"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    labels.select(col("id"), col("label"))
+  }
 }

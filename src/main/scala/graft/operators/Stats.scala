@@ -417,10 +417,16 @@ object Stats {
     * @param positive boolean expression marking the positive class
     * @return (bin, n_pos, n_neg, woe, iv) — one row per observed bin */
   def woeIv(df: DataFrame, binCol: Column, positive: Column,
-      scale: Int = 6): DataFrame = {
-    val bins = df.groupBy(binCol.as("bin"))
+      scale: Int = 6): DataFrame =
+    woeIvFromBins(df.groupBy(binCol.as("bin"))
       .agg(sum(when(positive, 1L).otherwise(0L)).as("n_pos"),
-        sum(when(positive, 0L).otherwise(1L)).as("n_neg"))
+        sum(when(positive, 0L).otherwise(1L)).as("n_neg")), scale)
+
+  /** [[woeIv]]'s closing stage over an already-binned count table
+    * (`bin`, `n_pos`, `n_neg`) — public so pre-aggregated callers
+    * (the streaming drift monitor folds per-batch bin counts first)
+    * reuse the same totals/woe/iv arithmetic verbatim. */
+  def woeIvFromBins(bins: DataFrame, scale: Int = 6): DataFrame = {
     val tot = bins.agg(sum("n_pos").as("p"), sum("n_neg").as("n"))
     val woeRaw = log((col("n_pos") * col("n")).cast("double") /
       (col("n_neg") * col("p")).cast("double"))
@@ -433,6 +439,15 @@ object Stats {
         when(col("n_pos") > 0 && col("n_neg") > 0,
           round(ivRaw, scale)).as("iv"))
   }
+
+  /** [[psi]] over pre-aggregated per-bin cohort counts
+    * (`bin`, `n_a`, `n_b`) — the drift-report shape when one side is a
+    * stored reference profile rather than raw rows. */
+  def psiFromCounts(bins: DataFrame): DataFrame =
+    woeIvFromBins(bins.select(col("bin"), col("n_a").as("n_pos"),
+      col("n_b").as("n_neg")))
+      .select(col("bin"), col("n_pos").as("n_a"),
+        col("n_neg").as("n_b"), col("iv").as("psi_term"))
 
   private def pairs(names: Seq[String]): Seq[(String, String)] =
     for {
@@ -690,6 +705,83 @@ object Stats {
     woeIv(df, binExpr, inCohortA)
       .select(col("bin"), col("n_pos").as("n_a"),
         col("n_neg").as("n_b"), col("iv").as("psi_term"))
+
+  /** Poisson(1) CDF thresholds F(0..7) (count 8 = the tail) — the
+    * inverse-CDF ladder for [[poissonBootstrap]]'s deterministic
+    * resample counts. Computed ONCE on the driver and used verbatim
+    * by both the engine ladder and the printed SQL twin, so whatever
+    * ulp `exp(-1)` lands on, both engines compare against the same
+    * literals. */
+  val PoissonCdf1: IndexedSeq[Double] = {
+    val e1 = math.exp(-1.0)
+    var fact = 1.0
+    var acc = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      acc += e1 / fact
+      acc
+    }
+  }
+
+  /** Poisson bootstrap confidence band for the group mean — the
+    * bootstrap that actually scales: instead of materializing B
+    * resamples, every row draws a DETERMINISTIC Poisson(1) multiplicity
+    * per resample from a salted hash of (id, b), so the whole band
+    * costs one ×B explode + two aggregates and re-runs identically
+    * (same salt ⇒ same band, the [[graft.operators.Privacy]] release
+    * discipline applied to resampling).
+    *
+    * The band is RANK-based: resample means quantize to round(6), are
+    * totally ordered by (mean, b), and the report picks the B/4, B/2,
+    * 3B/4-th elements — existing values, no interpolation arithmetic
+    * to diverge cross-engine. Resamples whose total weight lands at 0
+    * are dropped (surfaced via n_resamples; vanishingly rare beyond
+    * tiny groups — a group needs ≥ the rank indices to fill the band).
+    *
+    * @param idCol unique row id (drives the draw; duplicates would
+    *   correlate their multiplicities)
+    * @param valInt integer-valued metric (e.g. cents)
+    * @param b resamples (≥ 4; ranks are b/4, b/2, 3b/4)
+    * @return (groupCols..., n_resamples, boot_lo, boot_med, boot_hi). */
+  def poissonBootstrap(df: DataFrame, groupCols: Seq[String],
+      idCol: Column, valInt: Column, b: Int, salt: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(b >= 4, s"need at least 4 resamples, got $b")
+    val g = groupCols.map(col)
+    val rows = df
+      .select((g ++ Seq(idCol.cast("long").as("__id"),
+        valInt.cast("long").as("__x"))): _*)
+      .filter(col("__id").isNotNull && col("__x").isNotNull)
+      .select((g ++ Seq(col("__id"), col("__x"),
+        explode(sequence(lit(0), lit(b - 1))).as("__b"))): _*)
+    val u = (pmod(graft.functions.TextFunctions.portableHash60(
+      concat(lit(salt), lit(":"), col("__id").cast("string"),
+        lit(":"), col("__b").cast("string"))),
+      lit(4503599627370496L)).cast("double") + 0.5) / 4.503599627370496e15
+    // build the CASE ladder innermost-last so the SMALLEST threshold
+    // is tested first (a left fold over ascending k would shadow it)
+    val ladder = PoissonCdf1.zipWithIndex.reverse
+      .foldLeft(lit(8)) { case (els, (f, k)) =>
+        when(u < lit(f), lit(k)).otherwise(els)
+      }
+    val means = rows
+      .withColumn("__c", ladder)
+      .groupBy((g :+ col("__b")): _*)
+      .agg(sum((col("__c") * col("__x")).cast("decimal(38,0)"))
+        .as("__num"), sum(col("__c")).as("__den"))
+      .filter(col("__den") > 0)
+      .select((g ++ Seq(col("__b"),
+        round(col("__num").cast("double") /
+          col("__den").cast("double"), 6).as("__qm"))): _*)
+    val rn = row_number().over(
+      Window.partitionBy(g: _*).orderBy(col("__qm"), col("__b")))
+    means.withColumn("__rn", rn)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_resamples"),
+        min(when(col("__rn") === b / 4, col("__qm"))).as("boot_lo"),
+        min(when(col("__rn") === b / 2, col("__qm"))).as("boot_med"),
+        min(when(col("__rn") === 3 * b / 4, col("__qm"))).as("boot_hi"))
+  }
 
   /** Theil T inequality index per group — [[gini]]'s entropy-based
     * sibling, and the one that DECOMPOSES (between-group + within-group

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -318,6 +318,45 @@ object EventPipeline {
           prevPinned = reg.keySet.filter(keep).toSet
           st = pinned
         }
+      }
+      .start()
+  }
+
+  /** Continuous PSI drift monitor: running per-bin counts of the
+    * stream (ONE complete-mode aggregate — the only streaming state)
+    * scored each trigger against a static reference bin profile
+    * (`bin`, `n_ref`) — the live twin of q183's batch drift report.
+    *
+    * Cohort A is the REFERENCE, B the stream; the scoring reuses
+    * [[graft.operators.Stats.psiFromCounts]] verbatim, so the report
+    * at any trigger equals the batch [[graft.operators.Stats.psi]]
+    * over the rows seen so far (spec-enforced). Bins present on only
+    * one side surface with a zero count and NULL psi_term — drift you
+    * can SEE (a brand-new bin is the loudest drift there is), never
+    * epsilon-smoothed away.
+    *
+    * Scale: state is the bin-count table (bins, not rows); the
+    * reference joins broadcast-size inside each trigger's sink pass.
+    *
+    * @param reference (`bin`, `n_ref`) — the stored training profile
+    * @param sink receives each trigger's (bin, n_a, n_b, psi_term)
+    * @return the started continuous query (caller stops it) */
+  def driftMonitorStream(stream: DataFrame, binExpr: Column,
+      reference: DataFrame)(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ref = reference.select(col("bin"), col("n_ref"))
+    stream.select(binExpr.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_live"))
+      .writeStream
+      .outputMode("complete")
+      .foreachBatch { (binCounts: Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        val combined = ref
+          .join(binCounts.toDF(), Seq("bin"), "full_outer")
+          .select(col("bin"),
+            coalesce(col("n_ref"), lit(0L)).as("n_a"),
+            coalesce(col("n_live"), lit(0L)).as("n_b"))
+        sink(graft.operators.Stats.psiFromCounts(combined), id)
       }
       .start()
   }

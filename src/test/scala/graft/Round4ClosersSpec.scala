@@ -99,6 +99,28 @@ class Round4ClosersSpec extends SparkSpec {
     assert(th > 0.9 && th < math.log(4.0)) // heavy concentration
   }
 
+  test("spread: path graph — influence advances one hop per round, " +
+      "ties break to the smaller label, seeds stay clamped") {
+    // 1—2—3—4—5, seeds: 1→100, 5→200. Round 1: 2→100, 4→200, 3 NULL.
+    // Round 2: 3 sees {100, 200} tied → 100. Seeds never move.
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = spark.createDataFrame(und ++ und.map(_.swap))
+      .toDF("src", "dst").repartition(3)
+    val seeds = spark.createDataFrame(Seq((1L, 100L), (5L, 200L)))
+      .toDF("id", "lbl")
+    def run(rounds: Int) =
+      operators.LabelProp.spread(edges, "src", "dst", seeds, "id", "lbl",
+        rounds).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val r1 = run(1)
+    assert(r1 == Map(1L -> Some(100L), 2L -> Some(100L), 3L -> None,
+      4L -> Some(200L), 5L -> Some(200L)))
+    val r2 = run(2)
+    assert(r2(3L) == Some(100L)) // 1-1 tie → smaller label
+    assert(r2(1L) == Some(100L) && r2(5L) == Some(200L)) // clamped
+  }
+
   test("inertia: separable 1-d clusters report their exact SSE") {
     // seeds [0.0],[0.1] → Lloyd converges to {0.0,0.1} and {10.0,10.1};
     // each cluster's SSE = 2 · 0.05² = 0.005

@@ -177,6 +177,46 @@ class StatsInferenceSpec extends SparkSpec {
     assert(got(9L)._3 == None) // no B mass — undefined, surfaced
   }
 
+  test("poissonBootstrap: deterministic band straddling the mean") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 500).map(i => ("g", i.toLong,
+      (1000 + rnd.nextInt(500)).toLong))
+    val df = spark.createDataFrame(rows).toDF("g", "id", "v")
+      .repartition(7)
+    def run(salt: String) =
+      Stats.poissonBootstrap(df, Seq("g"), col("id"), col("v"),
+        b = 64, salt = salt).collect().head
+    val r = run("s1")
+    assert(r.getLong(1) == 64L) // no empty resamples at n=500
+    val (lo, med, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(lo <= med && med <= hi && lo < hi)
+    val mean = rows.map(_._3).sum.toDouble / rows.size
+    assert(math.abs(med - mean) < 3 * (500 / math.sqrt(12) /
+      math.sqrt(500.0))) // med within ~3 se of the sample mean
+    val again = run("s1")
+    assert((again.getDouble(2), again.getDouble(3), again.getDouble(4))
+      == ((lo, med, hi)))                       // idempotent draw
+    assert(run("s2").getDouble(3) != med)       // fresh draw per salt
+  }
+
+  test("targetEncode: shrinks toward the global mean by support") {
+    // cats: a = {10, 20} (mean 15), b = {100} (mean 100); μ = 130/3
+    // m=1: enc_a = (30 + 43.333…)/3 = 24.444444;
+    //      enc_b = (100 + 43.333…)/2 = 71.666667
+    val df = spark.createDataFrame(Seq(
+      ("a", 10L), ("a", 20L), ("b", 100L))).toDF("c", "y").repartition(2)
+    val got = graft.operators.Features.targetEncode(df, col("c"),
+      col("y"), m = 1.0).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("a") == ((2L, 24.444444)))
+    assert(got("b") == ((1L, 71.666667)))
+    // m = 0 degenerates to the raw category mean
+    val raw = graft.operators.Features.targetEncode(df, col("c"),
+      col("y"), m = 0.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(raw == Map("a" -> 15.0, "b" -> 100.0))
+  }
+
   test("kAnonymityAudit: flags small and non-diverse classes only") {
     val rows =
       (1 to 12).map(i => ("big", i % 2, i)) ++   // k ok, l ok

@@ -533,4 +533,45 @@ class StreamingSpec extends SparkSpec {
         ((r.getAs[Array[Byte]](1).toSeq, r.getSeq[Long](2)))).toMap
     assert(got == batch)
   }
+
+  test("drift monitor stream: each trigger's report equals the batch PSI " +
+      "over the rows seen so far") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val refRows = Seq(1L, 1L, 1L, 2L, 2L, 9L)   // bin 9 never streams
+    val live1 = Seq(1L, 2L, 2L)
+    val live2 = Seq(2L, 5L)                      // bin 5 is brand-new
+    val reference = spark.createDataFrame(refRows.map(Tuple1(_)))
+      .toDF("v").groupBy(col("v").as("bin"))
+      .agg(count(lit(1)).as("n_ref"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    var last: Set[(Long, Long, Long, Option[Double])] = Set.empty
+    val mem = MemoryStream[Long]
+    val q = EventPipeline.driftMonitorStream(mem.toDF().toDF("v"),
+      col("v"), reference) { (df, _) => last = df.collect().map(key).toSet }
+    try {
+      mem.addData(live1: _*)
+      q.processAllAvailable()
+      val mid = last
+      val batchMid = graft.operators.Stats.psi(
+        spark.createDataFrame(refRows.map((_, true)) ++
+          live1.map((_, false))).toDF("v", "a"), col("v"), col("a"))
+        .collect().map(key).toSet
+      assert(mid == batchMid)
+      mem.addData(live2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchAll = graft.operators.Stats.psi(
+      spark.createDataFrame(refRows.map((_, true)) ++
+        (live1 ++ live2).map((_, false))).toDF("v", "a"),
+      col("v"), col("a"))
+      .collect().map(key).toSet
+    assert(last == batchAll)
+    // the one-sided bins surface with NULL terms, not smoothing
+    assert(last.exists(r => r._1 == 9L && r._4.isEmpty))
+    assert(last.exists(r => r._1 == 5L && r._4.isEmpty))
+  }
 }
