@@ -5129,14 +5129,15 @@ object SparkEntry {
       s"""WITH o AS (SELECT o_orderpriority AS g, o_orderkey AS id,
          |    CAST(round(o_totalprice * 100) AS BIGINT) AS x
          |  FROM orders),
-         |r AS (SELECT g, id, x, CAST(t.b AS INTEGER) AS b
-         |  FROM o, range(0, $BootB) t(b)),
-         |d AS (SELECT g, b, x,
-         |    (CAST(CAST('0x' || substr(md5('$BootSalt:'
-         |        || CAST(id AS VARCHAR) || ':' || CAST(b AS VARCHAR)),
-         |        1, 15) AS BIGINT) % 4503599627370496 AS DOUBLE) + 0.5)
-         |      / 4503599627370496.0 AS uu
-         |  FROM r),
+         |r AS (SELECT g, id, x, CAST(t.gg AS INTEGER) AS gg,
+         |    md5('$BootSalt:' || CAST(id AS VARCHAR) || ':'
+         |      || CAST(t.gg AS VARCHAR)) AS h
+         |  FROM o, range(0, ${(BootB + 7) / 8}) t(gg)),
+         |d AS (SELECT g, CAST(gg * 8 + s.s AS INTEGER) AS b, x,
+         |    (CAST(CAST('0x' || substr(h, CAST(s.s * 4 + 1 AS INTEGER),
+         |        4) AS BIGINT) AS DOUBLE) + 0.5) / 65536.0 AS uu
+         |  FROM r, range(0, 8) s(s)
+         |  WHERE gg * 8 + s.s < $BootB),
          |c AS (SELECT g, b, x, CASE $cases ELSE 8 END AS c FROM d),
          |m AS (SELECT g, b,
          |    round(CAST(sum(CAST(c AS HUGEINT) * x) AS DOUBLE)

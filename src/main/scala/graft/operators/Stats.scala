@@ -748,16 +748,26 @@ object Stats {
     require(groupCols.nonEmpty, "need at least one group column")
     require(b >= 4, s"need at least 4 resamples, got $b")
     val g = groupCols.map(col)
+    // one md5 per (row, resample-OCTET): each digest's 32 hex chars
+    // yield eight independent 16-bit uniforms, cutting the dominant
+    // hash cost 8× vs a digest per resample (measured 20 s → seconds
+    // at sf0.1). The digest lands in a COLUMN before the slot explode,
+    // so the substring never re-hashes.
     val rows = df
       .select((g ++ Seq(idCol.cast("long").as("__id"),
         valInt.cast("long").as("__x"))): _*)
       .filter(col("__id").isNotNull && col("__x").isNotNull)
       .select((g ++ Seq(col("__id"), col("__x"),
-        explode(sequence(lit(0), lit(b - 1))).as("__b"))): _*)
-    val u = (pmod(graft.functions.TextFunctions.portableHash60(
-      concat(lit(salt), lit(":"), col("__id").cast("string"),
-        lit(":"), col("__b").cast("string"))),
-      lit(4503599627370496L)).cast("double") + 0.5) / 4.503599627370496e15
+        explode(sequence(lit(0), lit((b + 7) / 8 - 1))).as("__g"))): _*)
+      .withColumn("__h", md5(concat(lit(salt), lit(":"),
+        col("__id").cast("string"), lit(":"),
+        col("__g").cast("string"))))
+      .select((g ++ Seq(col("__x"), col("__g"), col("__h"),
+        explode(sequence(lit(0), lit(7))).as("__s"))): _*)
+      .withColumn("__b", col("__g") * 8 + col("__s"))
+      .filter(col("__b") < b)
+    val u = (conv(expr("substring(__h, __s * 4 + 1, 4)"), 16, 10)
+      .cast("double") + 0.5) / 65536.0
     // build the CASE ladder innermost-last so the SMALLEST threshold
     // is tested first (a left fold over ascending k would shadow it)
     val ladder = PoissonCdf1.zipWithIndex.reverse

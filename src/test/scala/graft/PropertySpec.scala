@@ -146,4 +146,75 @@ class PropertySpec extends SparkSpec {
       run(df) == run(df.repartition(7).orderBy(col("doc_id").desc))
     })
   }
+
+  test("property: spearman equals the brute rank-Pearson, in [-1, 1]") {
+    val rowsGen = for {
+      n <- Gen.choose(5, 40)
+      xs <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+      ys <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+    } yield xs.zip(ys)
+    check("spearman", 8)(Prop.forAll(rowsGen) { rows =>
+      val got = Stats.spearman(
+        spark.createDataFrame(rows.map { case (x, y) => ("g", x, y) })
+          .toDF("g", "x", "y").repartition(3),
+        Seq("g"), col("x"), col("y")).collect().head
+      val r = if (got.isNullAt(2)) None else Some(got.getDouble(2))
+      // brute: tie-averaged ranks ×2, Pearson over them
+      def rank2(vs: Seq[Long]): Seq[Long] = {
+        val sorted = vs.sorted
+        vs.map { v =>
+          val lt = sorted.count(_ < v); val eq = sorted.count(_ == v)
+          2L * (lt + 1) + eq - 1
+        }
+      }
+      val rx = rank2(rows.map(_._1)).map(_.toDouble)
+      val ry = rank2(rows.map(_._2)).map(_.toDouble)
+      val n = rows.size.toDouble
+      val num = n * rx.zip(ry).map { case (a, b) => a * b }.sum -
+        rx.sum * ry.sum
+      val den = math.sqrt(n * rx.map(a => a * a).sum - rx.sum * rx.sum) *
+        math.sqrt(n * ry.map(a => a * a).sum - ry.sum * ry.sum)
+      val expect = if (den == 0.0) None
+        else Some(BigDecimal(num / den)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      val close = (r, expect) match {
+        case (None, None) => true
+        case (Some(a), Some(b)) => math.abs(a - b) <= 1e-6 &&
+          a >= -1.0000001 && a <= 1.0000001
+        case _ => false
+      }
+      close
+    })
+  }
+
+  test("property: Kaplan–Meier survival is non-increasing in [0, 1]") {
+    val subjGen = for {
+      n <- Gen.choose(3, 60)
+      rows <- Gen.listOfN(n,
+        Gen.zip(Gen.choose(0L, 15L), Gen.oneOf(true, false)))
+    } yield rows
+    check("km", 8)(Prop.forAll(subjGen) { rows =>
+      val curve = graft.operators.TimeSeries.kaplanMeier(
+        spark.createDataFrame(rows).toDF("t", "died").repartition(3),
+        Nil, col("t"), col("died")).collect()
+        .map(r => (r.getLong(0), r.getDouble(4))).sortBy(_._1)
+      val s = curve.map(_._2)
+      s.forall(v => v >= 0.0 && v <= 1.0) &&
+        s.zip(s.drop(1)).forall { case (a, b) => b <= a + 1e-9 }
+    })
+  }
+
+  test("property: PSI total is non-negative over two-sided bins") {
+    val binsGen = for {
+      k <- Gen.choose(2, 8)
+      cs <- Gen.listOfN(k, Gen.zip(Gen.choose(1L, 40L), Gen.choose(1L, 40L)))
+    } yield cs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+    check("psi", 8)(Prop.forAll(binsGen) { bins =>
+      val terms = Stats.psiFromCounts(
+        spark.createDataFrame(bins).toDF("bin", "n_a", "n_b"))
+        .collect().map(r => r.getDouble(3))
+      // Jeffreys divergence: every rounding-fuzzed term sums ≥ ~0
+      terms.sum >= -1e-5
+    })
+  }
 }
