@@ -2230,6 +2230,17 @@ object SparkEntry {
       operators.Stats.poissonBootstrap(t(s, dir, "orders"),
         Seq("o_orderpriority"), col("o_orderkey"),
         round(col("o_totalprice") * 100), BootB, BootSalt)),
+
+    // How predictable is the next event from the current one alone?
+    // The q92 Markov matrix scored as a predictor (argmax successor,
+    // ties to the smallest label) against every observed transition
+    "q187_markov_eval" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      operators.Sequences.transitionEval(
+        ev.select(col("user_id"), col("event_type"), eventMs(ev).as("ms"),
+          col("event_id")),
+        "user_id", "event_type", "ms", Seq("event_id"))
+    }),
   )
 
   /** q161's k (the DBSCAN paper's 4-dist) and profile depth. */
@@ -5122,6 +5133,28 @@ object SparkEntry {
          |FROM b, t""".stripMargin,
 
     "q185_label_spreading" -> labelSpreadOracle,
+
+    "q187_markov_eval" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms,
+        |           event_id FROM events),
+        |s AS (SELECT event_type AS src_type,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id) AS dst_type FROM e),
+        |c AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM s WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type),
+        |pr AS (SELECT src_type, dst_type AS predicted FROM (
+        |    SELECT src_type, dst_type, row_number() OVER (
+        |      PARTITION BY src_type ORDER BY cnt DESC, dst_type) AS rn
+        |    FROM c) WHERE rn = 1)
+        |SELECT c.src_type, pr.predicted,
+        |  CAST(sum(cnt) AS BIGINT) AS n_steps,
+        |  CAST(sum(CASE WHEN c.dst_type = pr.predicted THEN cnt
+        |    ELSE 0 END) AS BIGINT) AS n_correct,
+        |  round(CAST(sum(CASE WHEN c.dst_type = pr.predicted THEN cnt
+        |      ELSE 0 END) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6)
+        |    AS accuracy
+        |FROM c JOIN pr USING (src_type)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q186_bootstrap_ci" -> {
       val cases = operators.Stats.PoissonCdf1.zipWithIndex

@@ -51,6 +51,45 @@ object Sequences {
       round(col("cnt").cast("double") / sum(col("cnt")).over(wSrc), 6))
   }
 
+  /** In-sample next-event prediction report for the empirical Markov
+    * model: per current state, predict the most frequent successor
+    * (ties to the smallest label — the q84 argmax) and score it
+    * against every observed transition. "How predictable is the next
+    * step from the current one alone" — the evaluation loop closing
+    * [[transitions]]'s matrix the way inertia closes the k-means fit.
+    * In-sample by construction (the matrix and the eval share the
+    * data); split first for honest accuracy.
+    *
+    * Pure counting: the transition table aggregates once, the
+    * one-row-per-state argmax joins back broadcast-size, accuracy is
+    * one division.
+    *
+    * @return (src_type, predicted, n_steps, n_correct, accuracy). */
+  def transitionEval(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieCols: Seq[String]): DataFrame = {
+    val order: Seq[Column] = col(tsCol) +: tieCols.map(col)
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+    val steps = df
+      .select(col(keyCol) +: col(typeCol).as("src_type") +: col(tsCol) +:
+        tieCols.map(col): _*)
+      .withColumn("dst_type", lead(col("src_type"), 1).over(w))
+      .filter(col("dst_type").isNotNull)
+      .groupBy("src_type", "dst_type")
+      .agg(count(lit(1)).as("cnt"))
+      .persist() // argmax + the scoring join both read it
+    val pred = steps.groupBy(col("src_type"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("dst_type").as("d")))
+        .as("m"))
+      .select(col("src_type"), col("m.d").as("predicted"))
+    steps.join(broadcast(pred), "src_type")
+      .groupBy(col("src_type"), col("predicted"))
+      .agg(sum(col("cnt")).as("n_steps"),
+        sum(when(col("dst_type") === col("predicted"), col("cnt"))
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("accuracy", round(col("n_correct").cast("double") /
+        col("n_steps").cast("double"), 6))
+  }
+
   /** @return (type_a, type_b, n_keys) for every ordered type pair with
     *   a ≠ b: the number of keys where some `a` event strictly precedes
     *   some `b` event. */

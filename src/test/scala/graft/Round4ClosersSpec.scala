@@ -76,6 +76,22 @@ class Round4ClosersSpec extends SparkSpec {
     assert(ov == Map(9L -> 2L)) // positions 0 and 1 both start "a a"
   }
 
+  test("transitionEval: argmax successor scored over the transitions") {
+    // user 1: a→b→a→b ; user 2: a→c. From 'a': b twice, c once →
+    // predict b; 2/3 correct. From 'b': a once → predict a; 1/1.
+    val rows = Seq(
+      (1L, "a", 1L, 1L), (1L, "b", 2L, 2L), (1L, "a", 3L, 3L),
+      (1L, "b", 4L, 4L), (2L, "a", 1L, 5L), (2L, "c", 2L, 6L))
+    val df = spark.createDataFrame(rows)
+      .toDF("u", "t", "ms", "eid").repartition(3)
+    val got = operators.Sequences
+      .transitionEval(df, "u", "t", "ms", Seq("eid")).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toMap
+    assert(got("a") == (("b", 3L, 2L, 0.666667)))
+    assert(got("b") == (("a", 1L, 1L, 1.0)))
+  }
+
   test("lexicalDiversity: hand doc") {
     val docs = spark.createDataFrame(Seq((1L, "a b a c")))
       .toDF("doc_id", "text")
