@@ -149,8 +149,8 @@ object LabelProp {
     * semantics, so an unrolled SQL twin matches exactly.
     *
     * @param seeds (idCol, labelCol) — the annotated subset; ids not in
-    *   the graph are ignored, duplicate ids collapse arbitrarily only
-    *   if they disagree (pass clean seeds).
+    *   the graph are ignored, and duplicate ids collapse to their
+    *   SMALLEST label (one seed row per node, deterministically).
     * @return (id, label) for every node incident to an edge; label is
     *   NULL where no seed's influence arrived within `rounds`. */
   def spread(edges: DataFrame, srcCol: String, dstCol: String,
@@ -161,8 +161,11 @@ object LabelProp {
       col(dstCol).cast("long").as("dst")).distinct().persist()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst"))).distinct()
+    // one row per seed id: disagreeing duplicates would otherwise fan
+    // the node into multiple label rows and double-count its votes
     val sd = seeds.select(col(idCol).cast("long").as("id"),
-      col(labelCol).cast("long").as("__seed")).distinct()
+      col(labelCol).cast("long").as("__lbl"))
+      .groupBy(col("id")).agg(min(col("__lbl")).as("__seed"))
     var labels = nodes.join(broadcast(sd), Seq("id"), "left")
       .select(col("id"), col("__seed"), col("__seed").as("label"))
       .localCheckpoint()

@@ -37,18 +37,25 @@ object Sequences {
     *   rounded to 6 places (one exact integer division per row) */
   def transitions(df: DataFrame, keyCol: String, typeCol: String,
       tsCol: String, tieCols: Seq[String]): DataFrame = {
+    val steps = stepCounts(df, keyCol, typeCol, tsCol, tieCols)
+    val wSrc = Window.partitionBy("src_type")
+    steps.withColumn("p",
+      round(col("cnt").cast("double") / sum(col("cnt")).over(wSrc), 6))
+  }
+
+  /** The shared (src_type, dst_type, cnt) transition counting —
+    * [[transitions]] and [[transitionEval]] MUST see the same ordering
+    * and tie-break contract, so it lives once. */
+  private def stepCounts(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieCols: Seq[String]): DataFrame = {
     val order: Seq[Column] = col(tsCol) +: tieCols.map(col)
     val w = Window.partitionBy(keyCol).orderBy(order: _*)
-    val steps = df
-      .select(col(keyCol) +: col(typeCol).as("src_type") +: col(tsCol) +:
+    df.select(col(keyCol) +: col(typeCol).as("src_type") +: col(tsCol) +:
         tieCols.map(col): _*)
       .withColumn("dst_type", lead(col("src_type"), 1).over(w))
       .filter(col("dst_type").isNotNull)
       .groupBy("src_type", "dst_type")
       .agg(count(lit(1)).as("cnt"))
-    val wSrc = Window.partitionBy("src_type")
-    steps.withColumn("p",
-      round(col("cnt").cast("double") / sum(col("cnt")).over(wSrc), 6))
   }
 
   /** In-sample next-event prediction report for the empirical Markov
@@ -67,15 +74,7 @@ object Sequences {
     * @return (src_type, predicted, n_steps, n_correct, accuracy). */
   def transitionEval(df: DataFrame, keyCol: String, typeCol: String,
       tsCol: String, tieCols: Seq[String]): DataFrame = {
-    val order: Seq[Column] = col(tsCol) +: tieCols.map(col)
-    val w = Window.partitionBy(keyCol).orderBy(order: _*)
-    val steps = df
-      .select(col(keyCol) +: col(typeCol).as("src_type") +: col(tsCol) +:
-        tieCols.map(col): _*)
-      .withColumn("dst_type", lead(col("src_type"), 1).over(w))
-      .filter(col("dst_type").isNotNull)
-      .groupBy("src_type", "dst_type")
-      .agg(count(lit(1)).as("cnt"))
+    val steps = stepCounts(df, keyCol, typeCol, tsCol, tieCols)
       .persist() // argmax + the scoring join both read it
     val pred = steps.groupBy(col("src_type"))
       .agg(min(struct((-col("cnt")).as("nc"), col("dst_type").as("d")))

@@ -408,8 +408,9 @@ object Stats {
     * sum of `iv` (engine-order-dependent float fold, same stance as
     * chiSquare's statistic).
     *
-    * Numerics: counts are exact longs; `pos·N` / `neg·P` stay integer
-    * (< 2^63 for < ~3·10^9 rows) and divide once inside the ln — a
+    * Numerics: counts are exact longs; `pos·N` / `neg·P` widen to
+    * decimal(38,0) before multiplying (exact far past 2^63) and divide
+    * once inside the ln — a
     * fixed-order double expression both engines evaluate identically
     * (`scale` rounding absorbs the ln ulp). A bin with a zero side has
     * undefined WOE → NULL woe/iv (report it, don't smooth silently).
@@ -428,8 +429,12 @@ object Stats {
     * reuse the same totals/woe/iv arithmetic verbatim. */
   def woeIvFromBins(bins: DataFrame, scale: Int = 6): DataFrame = {
     val tot = bins.agg(sum("n_pos").as("p"), sum("n_neg").as("n"))
-    val woeRaw = log((col("n_pos") * col("n")).cast("double") /
-      (col("n_neg") * col("p")).cast("double"))
+    // cross-products widen to decimal BEFORE multiplying: bin×total
+    // passes 2^63 around 2e9×5e9 rows, where a long product would
+    // throw under ANSI (and the HUGEINT oracle twin would not)
+    val woeRaw = log(
+      (col("n_pos").cast("decimal(38,0)") * col("n")).cast("double") /
+        (col("n_neg").cast("decimal(38,0)") * col("p")).cast("double"))
     val ivRaw = (col("n_pos").cast("double") / col("p").cast("double") -
       col("n_neg").cast("double") / col("n").cast("double")) * woeRaw
     bins.crossJoin(broadcast(tot))
@@ -693,8 +698,8 @@ object Stats {
     *
     * The per-bin term is EXACTLY [[woeIv]]'s `iv` with the positive
     * class playing cohort A — so this is a thin delegate over that
-    * machinery (same plan, same numerics, same <2^63 cross-product
-    * bound), renamed into drift vocabulary. A bin empty on either
+    * machinery (same plan, same decimal-widened numerics), renamed
+    * into drift vocabulary. A bin empty on either
     * side reports NULL (PSI undefined there — surface it, don't
     * epsilon-smooth silently).
     *

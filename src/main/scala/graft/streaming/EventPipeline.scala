@@ -344,7 +344,11 @@ object EventPipeline {
   def driftMonitorStream(stream: DataFrame, binExpr: Column,
       reference: DataFrame)(sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    val ref = reference.select(col("bin"), col("n_ref"))
+    // the reference is static by contract but its PLAN need not be a
+    // cached scan — persist once or every trigger re-derives it
+    // (lives for the query's lifetime; the caller may unpersist after
+    // stop(), or the ContextCleaner sheds it with the plan)
+    val ref = reference.select(col("bin"), col("n_ref")).persist()
     stream.select(binExpr.as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("n_live"))
       .writeStream
