@@ -145,7 +145,23 @@ object Bench {
       .collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diagnostics":$diag,"failed":$failed,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diagnostics":$diag,"failed":$failed,"sf":"$sfDir"}"""
+    // The round driver stores only the last ~2,000 chars of stdout and
+    // json-parses the final line; the full per-query map is ~6,000 chars,
+    // so four rounds of artifacts ended up with `parsed: null` and lost
+    // the per-query numbers. Persist the FULL map to a committed file and
+    // keep the final stdout line a short parseable summary (total, counts,
+    // failures, the top-10 slowest queries).
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullOut), full + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not write $fullOut: ${e.getMessage}")
+    }
+    val top10 = jsonMap(results.filter(_._2 >= 0).sortBy(-_._2).take(10))
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${(results ++ diagResults).count(_._2 < 0)},"failed":$failed,"top10":$top10,"diagnostics":$diag,"full":"$fullOut","sf":"$sfDir"}""")
     spark.stop()
   }
 }

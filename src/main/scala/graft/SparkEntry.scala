@@ -260,11 +260,17 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
-    // Source parity: the reference's binary point format (op S-1) — DuckDB
-    // cannot read it, so rows-only; exactness covered in DbscanSpec
+    // Source parity: the reference's binary point format (op S-1). DuckDB
+    // cannot read .bin, so the oracle reads a committed parquet TWIN of
+    // the same fixture (fixtures/t4_8k_points.parquet, converted once
+    // from /root/reference/t4.8k.bin by fixture tooling) — the scan
+    // itself is now hash-checked coordinate-for-coordinate: float32 →
+    // double casts are exact in both engines, no arithmetic to diverge.
     "q24_binary_scan" -> ((s, _) =>
       graft.sources.BinaryPoints.read(s, "/root/reference/t4.8k.bin")
-        .select(col("id"), size(col("features")).as("dims"))),
+        .select(col("id"),
+          element_at(col("features"), 1).cast("double").as("x"),
+          element_at(col("features"), 2).cast("double").as("y"))),
 
     // Text analysis: BPE-ish pre-tokenization counts (letter runs / digit
     // runs / marks — the split BPE vocabularies train over)
@@ -2241,6 +2247,66 @@ object SparkEntry {
           col("event_id")),
         "user_id", "event_type", "ms", Seq("event_id"))
     }),
+
+    // ---- forced-distributed twins (localThreshold = 0) ----
+    // At oracle scale (sf0.01) the size-dispatched operators all take
+    // their fused single-task fast path, so CORRECTNESS greens the fused
+    // branch while the distributed branch — the one that actually runs on
+    // a cluster — is covered only by path-equality specs. These twins pin
+    // the SAME oracle SQL directly onto the distributed branch: a dispatch
+    // refactor that breaks the scale path now fails the hash gate, not
+    // just a spec. (Reference anchor: the distributed merge is exactly
+    // what the reference got wrong — cluster counts drift with rank count,
+    // `Progress-5-Nov-19.txt:9-29`.)
+    "q6d_dbscan_dist" -> ((s, dir) =>
+      Dbscan.run(t(s, dir, "embeddings"), "vec_id", "embedding",
+        Eps, MinPts, Nil, localThreshold = 0L)),
+
+    "q58d_pagerank_dist" -> ((s, dir) => {
+      val sess = sessionTable(s, dir)
+      val edges = graft.operators.IntervalJoin
+        .overlapJoin(sess, sess, "start_ms", "end_ms", 3600000L)
+        .filter(col("a_user_id") =!= col("b_user_id"))
+        .select(col("a_user_id").as("src"), col("b_user_id").as("dst"))
+      graft.operators.PageRank.run(edges, "src", "dst", PrIters, PrDamping,
+          localThreshold = 0L)
+        .select(col("id").as("user_id"), round(col("rank"), 8).as("rank"))
+    }),
+
+    "q82d_bpe_dist" -> ((s, dir) =>
+      operators.Bpe.learnMerges(t(s, dir, "documents"), "text", BpeSteps,
+        localThreshold = 0L)),
+
+    "q85d_sssp_dist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("sk"),
+        (col("l_partkey") + 1000000000L).as("pk"),
+        round(col("l_extendedprice") * 100).cast("long").as("w"))
+      val edges = li.select(col("sk").as("src"), col("pk").as("dst"),
+          col("w"))
+        .unionAll(li.select(col("pk").as("src"), col("sk").as("dst"),
+          col("w")))
+      val seeds = li.select(col("sk").as("id"))
+        .filter(col("id") % 10 === 0).distinct()
+      operators.ShortestPath.weighted(edges, "src", "dst", "w",
+        seeds, "id", rounds = SsspRounds, localThreshold = 0L)
+    }),
+
+    "q95d_kcore_dist" -> ((s, dir) =>
+      operators.KCore.run(
+        operators.Basket.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2),
+        "item_a", "item_b", KCoreK, KCoreRounds, localThreshold = 0L)),
+
+    // High-dimensional Euclidean ε-join on the FULL 64-d embedding
+    // vector through the per-partition kd-tree path (coarse spatial
+    // cells + ε-halo ghosts + all-dims tree pruning) — the fallback for
+    // radius queries the ≤3-dim grid cannot prune (VERDICT r4 gap #3).
+    // Exact, so fully oracled: pair set == the naive distance join.
+    "q188_highdim_eps" -> ((s, dir) =>
+      operators.EpsilonJoin.selfJoinKdAuto(t(s, dir, "embeddings"),
+          "vec_id", "embedding", Eps)
+        .select(col("a_id"), col("b_id"))),
   )
 
   /** q161's k (the DBSCAN paper's 4-dist) and profile depth. */
@@ -2758,6 +2824,27 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q6_dbscan" -> dbscanOracle,
+
+    // forced-distributed twins: identical semantics, identical oracle —
+    // the twin entries exist so the DISTRIBUTED branch of each
+    // size-dispatched operator gets its own hash-match row
+    "q6d_dbscan_dist" -> dbscanOracle,
+    "q58d_pagerank_dist" -> pagerankOracle,
+    "q82d_bpe_dist" -> bpeMergesOracle,
+    "q85d_sssp_dist" -> ssspOracle,
+    "q95d_kcore_dist" -> kcoreOracle,
+
+    "q188_highdim_eps" ->
+      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.vec_id != b.vec_id AND ${d2Sql("a", "b")} <= $Eps*$Eps""".stripMargin,
+
+    // the committed parquet twin of /root/reference/t4.8k.bin (see the
+    // q24 query comment) — float32→double casts are exact in both engines
+    "q24_binary_scan" ->
+      """SELECT id, CAST(features[1] AS DOUBLE) AS x,
+        |  CAST(features[2] AS DOUBLE) AS y
+        |FROM read_parquet('/root/repo/fixtures/t4_8k_points.parquet')""".stripMargin,
 
     "q7_cluster_stats" ->
       s"""SELECT

@@ -84,8 +84,13 @@ object Dbscan {
         return runLocal(pts, idCol, vecCol, eps, minPts, bucketDims,
           minClusterSize)
     }
+    // auto-salt: probe the cell histogram once and shard any ultra-dense
+    // ε-cell across salt shards (an AQE-unsplittable single hash group
+    // otherwise pins one reducer); None — the common case — adds nothing
+    // to the join plan. One linear aggregate job, distributed path only.
+    val saltTable = EpsilonJoin.denseCellSalts(pts, vecCol, eps, bucketDims)
     val pairs = EpsilonJoin
-      .selfJoin(pts, idCol, vecCol, eps, bucketDims)
+      .selfJoinSalted(pts, idCol, vecCol, eps, bucketDims, saltTable)
       .select(col("a_id"), col("b_id"))
       .persist()
 

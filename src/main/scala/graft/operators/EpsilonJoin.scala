@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{VectorExpressions, VectorOps}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Fixed-radius spatial self-join: all ordered pairs (a, b), a ≠ b, with
@@ -29,8 +29,11 @@ import org.apache.spark.sql.functions._
   *  - the join is a pure equi-join on `array<long>` cell keys: partition
   *    pruning by cell adjacency is by construction (the reference's
   *    box-overlap pruning, `geometric_partitioning.cpp:92-114`, for free);
-  *  - AQE handles skewed (dense) cells; for pathological skew add salting
-  *    on the build side within a cell.
+  *  - AQE handles moderately skewed (dense) cells; pathological skew —
+  *    one ultra-dense ε-cell that AQE cannot split because it is a single
+  *    hash group — is auto-salted per cell: [[denseCellSalts]] probes the
+  *    cell histogram and [[selfJoinSalted]] shards ONLY the dense cells
+  *    (the distributed DBSCAN path does this by default).
   */
 object EpsilonJoin {
 
@@ -78,6 +81,62 @@ object EpsilonJoin {
   private[graft] def positiveOffsets(k: Int): Seq[Seq[Int]] =
     offsets(k).filter(o => o.dropWhile(_ == 0).headOption.contains(1))
 
+  /** Default skew budget: a build-side cell shard above this many rows
+    * gets split across salt shards. 64 Ki rows × a dense probe is already
+    * a multi-second reducer; cells below it are AQE's problem, not ours. */
+  val DefaultRowsPerTask: Long = 65536L
+
+  /** Max salt shards for one cell — bounds probe replication on a
+    * pathological cell (probe rows in a salted cell replicate ×nsalt). */
+  val DefaultMaxSalt: Int = 64
+
+  /** Probe the ε-cell histogram and return the per-cell salt table
+    * `(cell, nsalt)` for cells denser than `rowsPerTask` — or None when
+    * no cell is dense (the common case: zero overhead downstream).
+    *
+    * Per-cell (not uniform) salting: a global salt factor would
+    * replicate EVERY probe row ×salt to spread ONE hot cell; the salt
+    * table confines the replication to the dense cells themselves.
+    * This is the auto-heuristic version of the manual `saltBuckets`
+    * knob — AQE can split post-shuffle files but not a single giant
+    * hash group, so one ultra-dense ε-cell otherwise pins a reducer.
+    *
+    * The table is driver-collected and broadcast: bounded by
+    * `maxDenseCells` top cells (densest first) — salting only the top
+    * cells is exactly the point, the tail is AQE-sized by definition.
+    * One linear aggregate job; call on the distributed path only. */
+  def denseCellSalts(points: DataFrame, vecCol: String, eps: Double,
+      bucketDims: Seq[Int], rowsPerTask: Long = DefaultRowsPerTask,
+      maxSalt: Int = DefaultMaxSalt,
+      maxDenseCells: Int = 65536): Option[DataFrame] = {
+    if (bucketDims.isEmpty) return None // k=0 brute path has no cells
+    require(rowsPerTask >= 1, s"rowsPerTask must be >= 1, got $rowsPerTask")
+    val cellOf: Column => Column = VectorOps.cellId(_, eps, bucketDims)
+    val spark = points.sparkSession
+    val dense = ConnectedComponents.withJobDesc(points,
+      "denseCellSalts: cell histogram probe") {
+      points.select(cellOf(col(vecCol)).as("cell"))
+        .groupBy("cell").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > rowsPerTask)
+        .orderBy(col("cnt").desc, col("cell"))
+        .limit(maxDenseCells)
+        .select(col("cell"),
+          least(ceil(col("cnt").cast("double") / rowsPerTask),
+            lit(maxSalt)).cast("int").as("nsalt"))
+        .collect()
+    }
+    if (dense.isEmpty) None
+    else Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(dense.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = false),
+          nullable = false),
+        org.apache.spark.sql.types.StructField("nsalt",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))))
+  }
+
   /** Ordered neighbor pairs `(a_id, b_id, d2)` with d2 ≤ ε², a ≠ b.
     * Each ordered pair appears exactly once.
     *
@@ -87,19 +146,45 @@ object EpsilonJoin {
     *   ε-cell fans out across `saltBuckets` reducers instead of pinning a
     *   single task. Complements AQE skew-join (which can only split
     *   post-shuffle files, not a single giant hash group). Default 1 —
-    *   salting costs probe×saltBuckets replication, pay only on skew. */
+    *   salting costs probe×saltBuckets replication, pay only on skew.
+    *   For automatic, dense-cell-only salting use [[selfJoinSalted]]
+    *   with [[denseCellSalts]] (what [[graft.operators.Dbscan.run]]'s
+    *   distributed path does). */
   def selfJoin(points: DataFrame, idCol: String, vecCol: String,
-      eps: Double, bucketDims: Seq[Int], saltBuckets: Int = 1): DataFrame = {
+      eps: Double, bucketDims: Seq[Int], saltBuckets: Int = 1): DataFrame =
+    selfJoinImpl(points, idCol, vecCol, eps, bucketDims, saltBuckets, None)
+
+  /** [[selfJoin]] with a per-cell salt table from [[denseCellSalts]]:
+    * rows in a dense cell split into `nsalt` build shards (probe rows
+    * targeting that cell replicate ×nsalt); every other cell joins
+    * unsalted. Results are bit-identical to the unsalted join. */
+  def selfJoinSalted(points: DataFrame, idCol: String, vecCol: String,
+      eps: Double, bucketDims: Seq[Int],
+      saltTable: Option[DataFrame]): DataFrame =
+    selfJoinImpl(points, idCol, vecCol, eps, bucketDims, 1, saltTable)
+
+  private def selfJoinImpl(points: DataFrame, idCol: String, vecCol: String,
+      eps: Double, bucketDims: Seq[Int], saltBuckets: Int,
+      saltTable: Option[DataFrame]): DataFrame = {
     val k = bucketDims.size
     val cell: Column => Column = VectorOps.cellId(_, eps, bucketDims)
 
     val build0 = points.select(
       col(idCol).as("b_id"), col(vecCol).as("b_v"),
       cell(col(vecCol)).as("cell"))
-    val build =
-      if (saltBuckets <= 1) build0.withColumn("salt", lit(0))
-      else build0.withColumn("salt",
-        pmod(xxhash64(col("b_id")), lit(saltBuckets.toLong)).cast("int"))
+    val build = saltTable match {
+      case Some(st) =>
+        // dense cells get hash-sharded builds; absent cells salt to 0
+        build0.join(broadcast(st), Seq("cell"), "left")
+          .withColumn("salt", when(col("nsalt").isNull, lit(0))
+            .otherwise(pmod(xxhash64(col("b_id")), col("nsalt").cast("long"))
+              .cast("int")))
+          .drop("nsalt")
+      case None =>
+        if (saltBuckets <= 1) build0.withColumn("salt", lit(0))
+        else build0.withColumn("salt",
+          pmod(xxhash64(col("b_id")), lit(saltBuckets.toLong)).cast("int"))
+    }
 
     val home0 = points.select(
       col(idCol).as("a_id"), col(vecCol).as("a_v"),
@@ -111,10 +196,19 @@ object EpsilonJoin {
     // core. Redistribute the probe side first: the shuffle is linear and
     // negligible next to the quadratic scan it parallelizes.
     val home = if (k == 0) home0.repartition(col("a_id")) else home0
-    def salted(df: DataFrame): DataFrame =
-      if (saltBuckets <= 1) df.withColumn("salt", lit(0))
-      else df.withColumn("salt",
-        explode(typedlit((0 until saltBuckets).toList)))
+    def salted(df: DataFrame): DataFrame = saltTable match {
+      case Some(st) =>
+        // probe rows targeting a dense cell replicate across its shards
+        df.join(broadcast(st), Seq("cell"), "left")
+          .withColumn("salt", explode(when(col("nsalt").isNull,
+              array(lit(0)))
+            .otherwise(sequence(lit(0), col("nsalt") - 1))))
+          .drop("nsalt")
+      case None =>
+        if (saltBuckets <= 1) df.withColumn("salt", lit(0))
+        else df.withColumn("salt",
+          explode(typedlit((0 until saltBuckets).toList)))
+    }
 
     // Each UNDIRECTED pair is produced exactly once:
     //  - same cell: equi-join on the home cell, a_id < b_id;
@@ -159,6 +253,171 @@ object EpsilonJoin {
       eps: Double, maxDims: Int = 3): DataFrame =
     selfJoin(points, idCol, vecCol, eps,
       pickBucketDims(points, vecCol, eps, maxDims))
+
+  /** High-dimensional ε self-join through per-partition k-d trees — the
+    * fallback for inputs whose dimensionality defeats the ε-grid
+    * equi-join ([[selfJoin]] buckets at most 3 dims; on 64-d embeddings
+    * with small ε a 3-dim grid prunes weakly and candidate sets grow
+    * toward quadratic). This is the reference's own architecture mapped
+    * onto Spark primitives, one stage each:
+    *
+    *   - COARSE spatial partition: home cell = floor(coord/cellSize)
+    *     over ≤ 3 spread-picked dims (GP-1, the median-split ownership
+    *     boxes — ours are grid-aligned, load balance via cell count);
+    *   - ε-halo ghost replication: each point also lands in every cell
+    *     whose box its per-dim ±ε envelope touches (GP-2,
+    *     `geometric_partitioning.cpp:32-235`), so a cell sees its whole
+    *     ε-border; cellSize ≥ ε keeps the envelope ≤ 2–3 cells per dim;
+    *   - per-cell [[graft.functions.KdTree]] over owners + ghosts,
+    *     radius query per OWNED point (IX-1/IX-2): all-dims pruning
+    *     the grid path cannot do.
+    *
+    * Exactly-once: a appears as OWNER in precisely its home cell, and
+    * any b with ‖a−b‖ ≤ ε is present there (owner or ghost, since
+    * |a_d − b_d| ≤ ε per dim puts a's home inside b's envelope) — so
+    * each ordered pair is emitted once, both orientations naturally.
+    * Output contract identical to [[selfJoin]]: (a_id, b_id, d2),
+    * a ≠ b, d2 bit-equal to the codegen'd squaredL2 fold.
+    *
+    * Scale shape: ONE hash shuffle on the coarse cell key (linear in
+    * points × small ghost factor), then embarrassingly-parallel local
+    * index work — no quadratic candidate stream ever materializes.
+    * Skew: one overfull coarse cell = one slow task; choose cellSize so
+    * cells ≈ a few × parallelism ([[selfJoinKdAuto]] does).
+    *
+    * Honest limit: on data that is quasi-UNIFORM across many dims at the
+    * query radius, no spatial index prunes (boxes only split along
+    * O(log n/bucket) dims, the rest span the full range — the classic
+    * high-d kd-tree degradation); candidates degrade toward all-pairs
+    * with O(few-dims) early-exit cost per candidate, i.e. parity with
+    * the grid path, not a win. The win case is CLUSTER structure:
+    * separated blobs prune across blobs on the first splits. For
+    * similarity (cosine) workloads at scale, route to the SRP-LSH / IVF
+    * paths in [[AnnSearch]] instead.
+    *
+    * @param distEvals optional accumulator collecting the number of
+    *   exact distance evaluations (the candidate count) — lets callers
+    *   assert the candidate ratio stays bounded. */
+  def selfJoinKd(points: DataFrame, idCol: String, vecCol: String,
+      eps: Double, partitionDims: Seq[Int], cellSize: Double,
+      distEvals: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    require(partitionDims.nonEmpty, "selfJoinKd needs >= 1 partition dim " +
+      "(k = 0 has no spatial split; use selfJoin's brute path)")
+    require(cellSize >= eps,
+      s"cellSize ($cellSize) must be >= eps ($eps): smaller cells make " +
+        "the ghost envelope span many cells without pruning gain")
+    require(java.lang.Double.isFinite(eps) && eps > 0,
+      s"eps must be positive and finite, got $eps")
+    val spark = points.sparkSession
+    val k = partitionDims.size
+    val dimsArr = partitionDims.toArray
+    val epsL = eps
+    val csL = cellSize
+    val r2 = eps * eps
+    val acc = distEvals
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+
+    val keyed = points.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v")).rdd
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val v = r.getSeq[Float](1).toArray
+        // per-dim cell range touched by the ±ε envelope (home included)
+        val lo = new Array[Long](k)
+        val hi = new Array[Long](k)
+        val home = new Array[Long](k)
+        var j = 0
+        while (j < k) {
+          val x = v(dimsArr(j)).toDouble
+          lo(j) = math.floor((x - epsL) / csL).toLong
+          hi(j) = math.floor((x + epsL) / csL).toLong
+          home(j) = math.floor(x / csL).toLong
+          j += 1
+        }
+        def cells(i: Int): Iterator[List[Long]] =
+          if (i == k) Iterator(Nil)
+          else (lo(i) to hi(i)).iterator
+            .flatMap(c => cells(i + 1).map(c :: _))
+        cells(0).map { c =>
+          val key = c.toArray
+          val owner = java.util.Arrays.equals(key, home)
+          (key.toSeq, (owner, id, v))
+        }
+      }
+      .partitionBy(new org.apache.spark.HashPartitioner(shufflePartitions))
+
+    val pairs = keyed.mapPartitions { it =>
+      // group the partition's rows by cell (several cells may hash here)
+      val byCell = scala.collection.mutable.HashMap
+        .empty[Seq[Long], scala.collection.mutable.ArrayBuffer[(Boolean, Long, Array[Float])]]
+      it.foreach { case (cell, rec) =>
+        byCell.getOrElseUpdate(cell,
+          scala.collection.mutable.ArrayBuffer.empty) += rec
+      }
+      byCell.iterator.flatMap { case (_, rows) =>
+        val vecs = rows.map(_._3).toArray
+        val tree = new graft.functions.KdTree(vecs)
+        val out = rows.iterator.zipWithIndex
+          .filter { case ((owner, _, _), _) => owner }
+          .flatMap { case ((_, aId, aV), _) =>
+            val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+            tree.radiusQuery(aV, r2, (bi, d2) => {
+              val bId = rows(bi)._2
+              if (bId != aId) buf += Row(aId, bId, d2)
+            })
+            buf
+          }.toVector // force: the accumulator add below must see the evals
+        acc.foreach(_.add(tree.distEvals))
+        out
+      }
+    }
+    spark.createDataFrame(pairs,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("b_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("d2",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+  }
+
+  /** [[selfJoinKd]] with automatic partition-dim and cell-size choice:
+    * dims by widest spread (one aggregate probe), cellSize sized so the
+    * coarse grid yields ≈ `cellsPerCore` × shuffle-parallelism cells
+    * (clamped to ≥ ε). */
+  def selfJoinKdAuto(points: DataFrame, idCol: String, vecCol: String,
+      eps: Double, maxDims: Int = 3, cellsPerCore: Int = 4,
+      distEvals: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    val spark = points.sparkSession
+    val dim = graft.functions.VectorOps.probeDim(points, vecCol).getOrElse(0)
+    if (dim == 0) // empty input: empty pair table, same schema
+      return selfJoinKd(points.limit(0), idCol, vecCol, eps, Seq(0), eps,
+        distEvals)
+    val aggs = (0 until dim).flatMap { d =>
+      val c = element_at(col(vecCol), d + 1).cast("double")
+      Seq(min(c).as(s"mn$d"), max(c).as(s"mx$d"))
+    }
+    val row = ConnectedComponents.withJobDesc(points,
+      "selfJoinKdAuto: ranges") {
+      points.agg(aggs.head, aggs.tail: _*).first()
+    }
+    val ranges = (0 until dim)
+      .map(d => d -> (row.getDouble(2 * d + 1) - row.getDouble(2 * d)))
+      .sortBy { case (d, r) => (-r, d) }
+      .take(maxDims)
+      .filter(_._2 > 0)
+    if (ranges.isEmpty) // all points identical along every dim: one cell
+      return selfJoinKd(points, idCol, vecCol, eps, Seq(0), eps, distEvals)
+    val dims = ranges.map(_._1)
+    val targetCells =
+      math.max(1, cellsPerCore * spark.sessionState.conf.numShufflePartitions)
+    val volume = ranges.map(_._2).product
+    val cellSize = math.max(eps,
+      math.pow(volume / targetCells, 1.0 / dims.size))
+    selfJoinKd(points, idCol, vecCol, eps, dims, cellSize, distEvals)
+  }
 
   /** Bipartite ε-join: all pairs (a ∈ left, b ∈ right) with
     * ‖a − b‖² ≤ ε², BOTH orientations emitted — the delta query of

@@ -65,7 +65,14 @@ object Privacy {
     * @param epsilon  privacy budget for THIS release (> 0)
     * @param salt     release identifier mixed into the draw
     * @return (dim, n, noisy_n) — n is the true count (caller drops
-    *   it for an actual release; kept here for the audit/oracle). */
+    *   it for an actual release; kept here for the audit/oracle).
+    *
+    * Domain caveat: rows are emitted only for dimension values OBSERVED
+    * in the data, so presence/absence of a group in the release is
+    * itself data-dependent and unprotected. For strict ε-DP over the
+    * dimension domain the caller must treat domain membership as public
+    * knowledge — or outer-join the full releasable domain beforehand so
+    * empty groups also receive a noisy count (their true n = 0). */
   def dpNoisyCounts(df: DataFrame, groupCol: Column, epsilon: Double,
       salt: String): DataFrame = {
     require(epsilon > 0, s"epsilon must be > 0, got $epsilon")

@@ -127,6 +127,36 @@ class DbscanSpec extends SparkSpec {
     }
   }
 
+  test("binary writer is rank-parallel: 500k-point round-trip with no " +
+      "driver materialization") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("binpoints500k").toFile
+    val out = new java.io.File(dir, "synth500k.bin").getPath
+    val n = 500_000L
+    val d = 3
+    // deterministic synthetic floats from the id (no RNG, no files):
+    // feature j of row i = (xxhash64(i*8+j) mod 2^20) / 1024f
+    val pts = spark.range(n).toDF("id")
+      .select(col("id"), org.apache.spark.sql.functions.array(
+        (0 until d).map(j =>
+          (pmod(xxhash64(col("id") * 8 + lit(j)), lit(1L << 20)) / 1024.0)
+            .cast("float")): _*).as("features"))
+      .repartition(16)
+    BinaryPoints.write(pts, "id", "features", out)
+    assert(BinaryPoints.header(out) == ((n.toInt, d)))
+    assert(new java.io.File(out).length() == 8L + n * d * 4L)
+    // spot-check a sparse sample against the re-read (ids are dense, so
+    // re-read row i must be original row i) — never collects the table
+    val back = BinaryPoints.read(spark, out)
+    assert(back.count() == n)
+    val sampleIds = Seq(0L, 1L, 99_999L, 250_000L, 499_999L)
+    val got = back.filter(col("id").isin(sampleIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val exp = pts.filter(col("id").isin(sampleIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    sampleIds.foreach(i => assert(got(i) == exp(i), s"row $i mismatch"))
+  }
+
   test("dbscan is partition-count invariant") {
     val (ids, pts) = loadT4(2000)
     val mk = (parts: Int) => spark.createDataFrame(
