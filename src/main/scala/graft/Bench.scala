@@ -58,7 +58,17 @@ object Bench {
       "dbscan_synth500k" -> (s =>
         Workloads.dbscanSynth(s, 500_000L, k = 25, dims = 5,
           eps = 1.0, minPts = 5)),
-    )
+    ) ++ (
+      // 100× the reference's largest dataset, same per-cluster density
+      // as the 500k diagnostic (k scales with n, ε-degree stays ~13).
+      // Opt-in: ~4–8 min at local[32] on a good host, and this host's
+      // documented 2–4× shuffle variance makes it a round-budget hazard
+      // as a default — the committed profile lives in NOTES_DEV.md.
+      if (sys.env.get("SPARK_GRAFT_BENCH_HEAVY").contains("1"))
+        Seq("dbscan_synth5m" -> ((s: SparkSession) =>
+          Workloads.dbscanSynth(s, 5_000_000L, k = 250, dims = 5,
+            eps = 1.0, minPts = 5)))
+      else Nil)
 
     // min over reps, like the reference harness's repeated runs
     // (`manyTests.py:25-106` runs each config 10x) — strips JIT/codegen

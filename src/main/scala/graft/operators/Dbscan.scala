@@ -37,10 +37,29 @@ object Dbscan {
   private[graft] def probeCap(localThreshold: Long): Int =
     (math.min(localThreshold, Int.MaxValue.toLong - 1) + 1).toInt
 
+  /** ε-pair stream with automatic physical routing: explicit bucket
+    * dims → the grid equi-join; no dims on >3-dimensional data → the
+    * per-partition kd-tree path (the 3-dim grid cannot even represent
+    * those inputs, and the brute nested-loop scan is quadratic); no
+    * dims on ≤3-d data → the caller chose brute force, honor it.
+    * All three produce the identical ordered pair set. */
+  private def epsPairs(points: DataFrame, idCol: String, vecCol: String,
+      eps: Double, bucketDims: Seq[Int],
+      saltTable: Option[DataFrame] = None): DataFrame =
+    if (bucketDims.nonEmpty)
+      EpsilonJoin.selfJoinSalted(points, idCol, vecCol, eps, bucketDims,
+        saltTable)
+    else {
+      val dim = graft.functions.VectorOps.probeDim(points, vecCol)
+        .getOrElse(0)
+      if (dim > 3) EpsilonJoin.selfJoinKdAuto(points, idCol, vecCol, eps)
+      else EpsilonJoin.selfJoin(points, idCol, vecCol, eps, Nil)
+    }
+
   /** Per-point ε-neighbor count (self included) — SURVEY §2.7 Q3. */
   def neighborCounts(points: DataFrame, idCol: String, vecCol: String,
       eps: Double, bucketDims: Seq[Int]): DataFrame = {
-    val pairs = EpsilonJoin.selfJoin(points, idCol, vecCol, eps, bucketDims)
+    val pairs = epsPairs(points, idCol, vecCol, eps, bucketDims)
     val counts = pairs.groupBy(col("a_id").as(idCol)).count()
     // left join back: points with zero neighbors still count themselves
     points.select(col(idCol))
@@ -88,9 +107,9 @@ object Dbscan {
     // ε-cell across salt shards (an AQE-unsplittable single hash group
     // otherwise pins one reducer); None — the common case — adds nothing
     // to the join plan. One linear aggregate job, distributed path only.
+    // epsPairs also routes no-dims high-d inputs to the kd-tree path.
     val saltTable = EpsilonJoin.denseCellSalts(pts, vecCol, eps, bucketDims)
-    val pairs = EpsilonJoin
-      .selfJoinSalted(pts, idCol, vecCol, eps, bucketDims, saltTable)
+    val pairs = epsPairs(pts, idCol, vecCol, eps, bucketDims, saltTable)
       .select(col("a_id"), col("b_id"))
       .persist()
 

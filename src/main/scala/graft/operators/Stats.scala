@@ -778,30 +778,44 @@ object Stats {
       .select((g ++ Seq(idCol.cast("long").as("__id"),
         valInt.cast("long").as("__x"))): _*)
       .filter(col("__id").isNotNull && col("__x").isNotNull)
+      // the heavy work is the ×(b/8) octet fan-out with a digest + CASE
+      // ladders per octet row — CPU, not IO. A small input (one parquet
+      // split) would otherwise run ALL of it in a single task; this
+      // narrow 3-column hash shuffle is linear in the input and buys
+      // full-cluster parallelism for the digest stage (on a 100 TB
+      // input with thousands of splits it is ~free either way).
+      .repartition(col("__id"))
       .select((g ++ Seq(col("__id"), col("__x"),
         explode(sequence(lit(0), lit((b + 7) / 8 - 1))).as("__g"))): _*)
       .withColumn("__h", md5(concat(lit(salt), lit(":"),
         col("__id").cast("string"), lit(":"),
         col("__g").cast("string"))))
-    // build the CASE ladder innermost-last so the SMALLEST threshold
-    // is tested first (a left fold over ascending k would shadow it)
-    def ladder(u: Column): Column = PoissonCdf1.zipWithIndex.reverse
-      .foldLeft(lit(8)) { case (els, (f, k)) =>
-        when(u < lit(f), lit(k)).otherwise(els)
-      }
+    // The inverse-CDF ladder never needs SQL arithmetic: u =
+    // (h16+0.5)·2⁻¹⁶ exactly (power-of-2 scaling), so u < F_k ⟺
+    // h16 ≤ T_k with T_k = the largest integer strictly below
+    // F_k·65536 − 0.5, both sides exact in double. T_k is precomputed
+    // here ONCE; the draws come from the native PoissonOctet kernel —
+    // one interpreted pass over the digest's 32 hex chars computing all
+    // 8 multiplicities (the SQL formulation, 8 substrings × a 9-deep
+    // CASE each, measured ~10 µs/row ≈ 3 s of the sf0.1 bill; the
+    // kernel is ~100× cheaper per row and bit-identical).
+    val intBounds: Seq[Int] = PoissonCdf1.map { f =>
+      val bound = f * 65536.0 - 0.5 // exact: |f*65536| < 2^17
+      (if (bound == math.floor(bound)) bound.toLong - 1
+       else math.floor(bound).toLong).toInt
+    }
     // The 8 slots stay COLUMNS through the aggregate (one num/den sum
     // pair per slot): the old slot explode multiplied the row stream
     // ×8 (9.6M rows at sf0.1) before a hash aggregate; 16 aggregate
     // expressions over the un-exploded octet rows do the same sums
-    // map-side partial — measured ~3× faster, output bit-identical
-    // (same u, same ladder, same order-free decimal addends). The tiny
-    // (group, octet) sum table — not the row stream — is what unpivots
-    // back to per-resample rows.
-    val withC = (0 until 8).foldLeft(octets) { (d, s) =>
-      val u = (conv(substring(col("__h"), s * 4 + 1, 4), 16, 10)
-        .cast("double") + 0.5) / 65536.0
-      d.withColumn(s"__c$s", ladder(u))
-    }
+    // map-side partial, and the tiny (group, octet) sum table — not the
+    // row stream — is what unpivots back to per-resample rows. Output
+    // bit-identical (same uniforms, same order-free decimal addends).
+    val withC = octets
+      .withColumn("__cs", graft.functions.HashDrawExpressions
+        .poissonOctet(col("__h"), intBounds))
+      .select((g ++ Seq(col("__x"), col("__g")) ++
+        (0 until 8).map(s => element_at(col("__cs"), s + 1).as(s"__c$s"))): _*)
     val sums = withC
       .groupBy((g :+ col("__g")): _*)
       .agg(
