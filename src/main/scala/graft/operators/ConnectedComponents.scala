@@ -21,18 +21,32 @@ import scala.collection.mutable
   *     number of cross-partition hops, not the raw path length (a
   *     8000-node chain in one partition contracts in a single pass).
   *  2. **Global merge** (≈ the interleaved merge rounds,
-  *     `dbscan.cpp:847-1012`): iterative min-label propagation with
-  *     pointer jumping on the contracted star graph; converges in
-  *     O(log(#cross-partition hops)) rounds. The driver-side changed-count
-  *     is the analog of the reference's `MPI_Allreduce` fixpoint test
-  *     (`dbscan.cpp:1007-1010`). `localCheckpoint` truncates lineage so
-  *     plans stay flat at scale.
+  *     `dbscan.cpp:847-1012`): recursion on the QUOTIENT graph. All
+  *     cross-partition connectivity is witnessed by nodes that received
+  *     different local roots in different partitions (every original edge
+  *     was contracted inside some partition), so the quotient — local
+  *     roots as vertices, an edge wherever two roots share a node — has
+  *     exactly the original's component structure over a graph that is
+  *     typically orders of magnitude smaller. Contract THAT, recurse,
+  *     compose labels on the way out; the recursion bottoms out in the
+  *     driver finish once a level's contracted graph fits under the
+  *     threshold. Each level costs one narrow contraction pass, one
+  *     hash aggregate, and one join — vs the 4-shuffle-per-round
+  *     min-label/pointer-jump loop this replaced (the 5M-point DBSCAN
+  *     diagnostic's merge phase measured ~470 s → ~270 s, end-to-end
+  *     597 s → 397 s), and levels shrink geometrically (every
+  *     quotient edge merges its endpoints at the next contraction), so
+  *     depth is O(log diameter) like the loop's round count.
   *
   * The final label is the **minimum node id of the component** — a
   * deterministic, partition-count-invariant canonical form (the reference
   * instead tie-breaks unions by global position, `dbscan.cpp:950-977`, and
   * its merge demonstrably loses clusters as ranks grow,
-  * `Progress-5-Nov-19.txt:9-29`; ours cannot).
+  * `Progress-5-Nov-19.txt:9-29`; ours cannot). Why the composition is
+  * canonical: the global minimum node id r* of a component is always its
+  * own local root (any root of r*'s local slice is a component member
+  * ≥ the component minimum), so r* survives every level as a quotient
+  * vertex and each level's min propagates it.
   */
 object ConnectedComponents extends Serializable {
 
@@ -103,13 +117,21 @@ object ConnectedComponents extends Serializable {
     * @return (`id`, `comp`) — comp = min node id in the component.
     */
   def run(edges: DataFrame, maxIter: Int = 50,
-      smallGraphThreshold: Long = 2_000_000L): DataFrame = {
+      smallGraphThreshold: Long = 2_000_000L): DataFrame =
+    runLevel(edges, maxIter, smallGraphThreshold, 0)
+
+  private def runLevel(edges: DataFrame, maxDepth: Int,
+      smallGraphThreshold: Long, depth: Int): DataFrame = {
+    // each level merges every quotient edge's endpoints, so real graphs
+    // bottom out in 2-3 levels; 50 would mean diameter ~2^50
+    require(depth < maxDepth,
+      s"connected components did not converge within $maxDepth levels")
     // Phase 1: partition-local contraction to star edges.
     val stars = contract(edges).persist()
 
     // Size probe and driver fetch in ONE action: limit(threshold+1) stops
     // early on big graphs; on small ones the result IS the whole graph.
-    val probe = withJobDesc(stars, "cc: contract + size probe") {
+    val probe = withJobDesc(stars, s"cc: level $depth contract + size probe") {
       stars.limit(
         math.min(smallGraphThreshold + 1, Int.MaxValue).toInt).collect()
     }
@@ -126,51 +148,29 @@ object ConnectedComponents extends Serializable {
           StructField("comp", LongType, nullable = false))))
     }
 
-    // Symmetric closure of the star graph for propagation.
-    val sym = stars
-      .union(stars.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .persist()
-
-    // localCheckpoint() is eager — label its jobs too
-    var labels = withJobDesc(stars, "cc: initial labels") {
-      stars
-        .select(col("src").as("id"), least(col("src"), col("dst")).as("comp"))
-        .groupBy("id").agg(min("comp").as("comp"))
+    // Phase 2: quotient recursion. Min local root per node (one hash
+    // aggregate over the star graph; localCheckpoint so downstream
+    // plans read materialized blocks, not the contraction lineage) ...
+    val minPer = withJobDesc(stars, s"cc: level $depth min-root per node") {
+      stars.groupBy("src").agg(min(col("dst")).as("m")).localCheckpoint()
+    }
+    // ... then the quotient edge list: a node holding several local
+    // roots proves those roots connected — emit (min root, other root).
+    // distinct() keeps the level's edge list at quotient size.
+    val q = withJobDesc(stars, s"cc: level $depth quotient edges") {
+      stars.join(minPer, "src")
+        .filter(col("dst") =!= col("m"))
+        .select(col("m").as("src"), col("dst"))
+        .distinct()
         .localCheckpoint()
     }
-
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // 1. candidate labels: own + min over neighbors (one join + agg)
-      val cand = sym
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("comp"))
-        .union(labels)
-        .groupBy("id").agg(min("comp").as("comp"))
-      // 2. pointer jump: comp ← min(comp, comp(comp)) — labels are node
-      //    ids, so the lookup is a self-join; halves chains each round
-      val compOf = cand.select(col("id").as("cid"), col("comp").as("ccomp"))
-      val next = withJobDesc(cand, s"cc: merge round $iter checkpoint") {
-        cand.join(compOf, cand("comp") === compOf("cid"), "left")
-          .select(cand("id"),
-            least(cand("comp"), coalesce(col("ccomp"), cand("comp"))).as("comp"))
-          .localCheckpoint()
-      }
-
-      val changed = withJobDesc(next, s"cc: merge round $iter fixpoint test") {
-        next.as("n")
-          .join(labels.withColumnRenamed("comp", "oldComp"), "id")
-          .filter(col("comp") =!= col("oldComp"))
-          .count()
-      }
-      converged = changed == 0
-      labels = next
-      iter += 1
-    }
-    sym.unpersist()
     stars.unpersist()
-    labels
+    // Recurse on the quotient (an EMPTY quotient — every local component
+    // already closed — lands in the driver finish immediately and
+    // returns an empty label table; the left join below then keeps m).
+    val qcc = runLevel(q, maxDepth, smallGraphThreshold, depth + 1)
+    minPer.join(qcc.withColumnRenamed("id", "m"), Seq("m"), "left")
+      .select(col("src").as("id"),
+        coalesce(col("comp"), col("m")).as("comp"))
   }
 }
