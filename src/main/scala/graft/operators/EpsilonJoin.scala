@@ -382,6 +382,136 @@ object EpsilonJoin {
           org.apache.spark.sql.types.DoubleType, nullable = false))))
   }
 
+  /** Bipartite sibling of [[selfJoinKd]]: pairs (a ∈ left, b ∈ right)
+    * with ‖a − b‖² ≤ ε², both orientations emitted — the high-d path of
+    * [[join]]. The RIGHT (corpus) side lands in its home cell only and
+    * each cell builds a [[graft.functions.KdTree]] over it; the LEFT
+    * (probe/delta) side replicates to every cell its ±ε envelope
+    * touches and queries. b exists in exactly one cell and a's
+    * envelope covers it whenever the pair is within ε, so each pair
+    * meets exactly once. Id sets must be disjoint (the [[join]]
+    * contract). */
+  def joinKd(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, eps: Double, partitionDims: Seq[Int],
+      cellSize: Double): DataFrame = {
+    require(partitionDims.nonEmpty, "joinKd needs >= 1 partition dim")
+    require(cellSize >= eps,
+      s"cellSize ($cellSize) must be >= eps ($eps)")
+    require(java.lang.Double.isFinite(eps) && eps > 0,
+      s"eps must be positive and finite, got $eps")
+    val spark = right.sparkSession
+    val k = partitionDims.size
+    val dimsArr = partitionDims.toArray
+    val epsL = eps
+    val csL = cellSize
+    val r2 = eps * eps
+    val shufflePartitions = spark.sessionState.conf.numShufflePartitions
+
+    def keyed(df: DataFrame, probe: Boolean) =
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).rdd
+        .flatMap { r =>
+          val id = r.getLong(0)
+          val v = r.getSeq[Float](1).toArray
+          if (!probe) {
+            val home = new Array[Long](k)
+            var j = 0
+            while (j < k) {
+              home(j) = math.floor(v(dimsArr(j)).toDouble / csL).toLong
+              j += 1
+            }
+            Iterator((home.toSeq, (id, v)))
+          } else {
+            val lo = new Array[Long](k)
+            val hi = new Array[Long](k)
+            var j = 0
+            while (j < k) {
+              val x = v(dimsArr(j)).toDouble
+              lo(j) = math.floor((x - epsL) / csL).toLong
+              hi(j) = math.floor((x + epsL) / csL).toLong
+              j += 1
+            }
+            def cells(i: Int): Iterator[List[Long]] =
+              if (i == k) Iterator(Nil)
+              else (lo(i) to hi(i)).iterator
+                .flatMap(c => cells(i + 1).map(c :: _))
+            cells(0).map(c => (c.toSeq: Seq[Long], (id, v)))
+          }
+        }
+    val part = new org.apache.spark.HashPartitioner(shufflePartitions)
+    val pairs = keyed(right, probe = false).cogroup(keyed(left, probe = true), part)
+      .mapPartitions { it =>
+        it.flatMap { case (_, (builds, probes)) =>
+          if (builds.isEmpty || probes.isEmpty) Iterator.empty
+          else {
+            val rows = builds.toArray
+            val tree = new graft.functions.KdTree(rows.map(_._2))
+            probes.iterator.flatMap { case (aId, aV) =>
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+              tree.radiusQuery(aV, r2, (bi, d2) => {
+                buf += Row(aId, rows(bi)._1, d2)
+              })
+              buf
+            }
+          }
+        }
+      }
+    val undirected = spark.createDataFrame(pairs,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("b_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("d2",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    undirected.select(explode(array(
+        struct(col("a_id"), col("b_id"), col("d2")),
+        struct(col("b_id").as("a_id"), col("a_id").as("b_id"), col("d2"))))
+      .as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.b_id").as("b_id"),
+        col("p.d2").as("d2"))
+  }
+
+  /** [[joinKd]] with the [[selfJoinKdAuto]] dim/cell-size heuristic
+    * (probed over the RIGHT side — the standing corpus, which also
+    * builds the trees). */
+  def joinKdAuto(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, eps: Double, maxDims: Int = 3,
+      cellsPerCore: Int = 4): DataFrame = {
+    val spark = right.sparkSession
+    val dim = graft.functions.VectorOps.probeDim(right, vecCol).getOrElse(0)
+    if (dim == 0) // empty/all-null corpus: no pairs, pair-frame schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("b_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("d2",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val aggs = (0 until dim).flatMap { d =>
+      val c = element_at(col(vecCol), d + 1).cast("double")
+      Seq(min(c).as(s"mn$d"), max(c).as(s"mx$d"))
+    }
+    val row = ConnectedComponents.withJobDesc(right, "joinKdAuto: ranges") {
+      right.agg(aggs.head, aggs.tail: _*).first()
+    }
+    val ranges = (0 until dim)
+      .map(d => d -> (row.getDouble(2 * d + 1) - row.getDouble(2 * d)))
+      .sortBy { case (d, r) => (-r, d) }
+      .take(maxDims)
+      .filter(_._2 > 0)
+    if (ranges.isEmpty)
+      return joinKd(left, right, idCol, vecCol, eps, Seq(0), eps)
+    val dims = ranges.map(_._1)
+    val targetCells =
+      math.max(1, cellsPerCore * spark.sessionState.conf.numShufflePartitions)
+    val volume = ranges.map(_._2).product
+    val cellSize = math.max(eps,
+      math.pow(volume / targetCells, 1.0 / dims.size))
+    joinKd(left, right, idCol, vecCol, eps, dims, cellSize)
+  }
+
   /** [[selfJoinKd]] with automatic partition-dim and cell-size choice:
     * dims by widest spread (one aggregate probe), cellSize sized so the
     * coarse grid yields ≈ `cellsPerCore` × shuffle-parallelism cells
@@ -435,6 +565,14 @@ object EpsilonJoin {
   def join(left: DataFrame, right: DataFrame, idCol: String,
       vecCol: String, eps: Double, bucketDims: Seq[Int]): DataFrame = {
     val k = bucketDims.size
+    // high-d routing, as in the self-join: no grid dims on >3-d data
+    // means the caller couldn't bucket — the kd path replaces the
+    // quadratic nested-loop probe (identical pair set)
+    if (k == 0) {
+      val dim = graft.functions.VectorOps.probeDim(right, vecCol)
+        .getOrElse(0)
+      if (dim > 3) return joinKdAuto(left, right, idCol, vecCol, eps)
+    }
     val cell: Column => Column = VectorOps.cellId(_, eps, bucketDims)
     val build = right.select(
       col(idCol).as("b_id"), col(vecCol).as("b_v"),

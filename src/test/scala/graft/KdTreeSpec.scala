@@ -83,6 +83,31 @@ class KdTreeSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("bipartite joinKd == grid bipartite join on 64-d embeddings") {
+    val emb = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).persist()
+    // disjoint id halves: odd = delta/probe, even = standing corpus
+    val probe = emb.filter(col("vec_id") % 2 === 1)
+    val corpus = emb.filter(col("vec_id") % 2 === 0)
+    val eps = 1.2
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // explicit dims force the GRID bipartite path as the oracle side
+    val grid = toMap(EpsilonJoin.join(probe, corpus, "vec_id", "embedding",
+      eps, bucketDims = Seq(0)))
+    val kd = toMap(EpsilonJoin.joinKdAuto(probe, corpus, "vec_id",
+      "embedding", eps))
+    assert(kd.keySet == grid.keySet)
+    kd.foreach { case (k, d2) => assert(d2 == grid(k), s"d2 differs at $k") }
+    assert(kd.nonEmpty)
+    // and the k=0 public join() now routes >3-d inputs to the kd path
+    val routed = toMap(EpsilonJoin.join(probe, corpus, "vec_id",
+      "embedding", eps, bucketDims = Nil))
+    assert(routed == kd)
+    emb.unpersist()
+  }
+
   test("selfJoinKdAuto matches and prunes on clustered high-d data") {
     // 3 well-separated 16-d blobs: cross-cluster subtrees must be pruned
     val n = 1500
