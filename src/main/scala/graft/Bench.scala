@@ -170,8 +170,11 @@ object Bench {
       System.err.println(s"[bench] could not write $fullOut: ${e.getMessage}")
     }
     val top10 = jsonMap(results.filter(_._2 >= 0).sortBy(-_._2).take(10))
+    // n_failed shares n_queries' denominator (headline results only);
+    // diagnostics report their own counter — mixing them made a failed
+    // diagnostic read as a headline failure
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${(results ++ diagResults).count(_._2 < 0)},"failed":$failed,"top10":$top10,"diagnostics":$diag,"full":"$fullOut","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"n_diag_failed":${diagResults.count(_._2 < 0)},"failed":$failed,"top10":$top10,"diagnostics":$diag,"full":"$fullOut","sf":"$sfDir"}""")
     spark.stop()
   }
 }

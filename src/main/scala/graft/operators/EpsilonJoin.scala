@@ -319,7 +319,12 @@ object EpsilonJoin {
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
 
     val keyed = points.select(col(idCol).cast("long").as("id"),
-        col(vecCol).as("v")).rdd
+        col(vecCol).as("v"))
+      // the grid path drops null vectors through the withinEps predicate
+      // (null ⇒ filter false); the rdd path must drop them explicitly or
+      // getSeq NPEs — and a null id must not silently become 0
+      .filter(col("id").isNotNull && col("v").isNotNull)
+      .rdd
       .flatMap { r =>
         val id = r.getLong(0)
         val v = r.getSeq[Float](1).toArray
@@ -356,20 +361,26 @@ object EpsilonJoin {
           scala.collection.mutable.ArrayBuffer.empty) += rec
       }
       byCell.iterator.flatMap { case (_, rows) =>
-        val vecs = rows.map(_._3).toArray
-        val tree = new graft.functions.KdTree(vecs)
-        val out = rows.iterator.zipWithIndex
-          .filter { case ((owner, _, _), _) => owner }
-          .flatMap { case ((_, aId, aV), _) =>
-            val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-            tree.radiusQuery(aV, r2, (bi, d2) => {
-              val bId = rows(bi)._2
-              if (bId != aId) buf += Row(aId, bId, d2)
-            })
-            buf
-          }.toVector // force: the accumulator add below must see the evals
-        acc.foreach(_.add(tree.distEvals))
-        out
+        // ghost-only cells (no owner) run zero queries — skip the
+        // O(m log m) tree build entirely
+        if (!rows.exists(_._1)) Iterator.empty
+        else {
+          val vecs = rows.map(_._3).toArray
+          val tree = new graft.functions.KdTree(vecs)
+          // the lazy ++ tail runs AFTER the queries exhaust, so the
+          // accumulator sees the cell's evals without materializing the
+          // cell's whole (potentially O(m²)) pair output in memory
+          rows.iterator.zipWithIndex
+            .filter { case ((owner, _, _), _) => owner }
+            .flatMap { case ((_, aId, aV), _) =>
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+              tree.radiusQuery(aV, r2, (bi, d2) => {
+                val bId = rows(bi)._2
+                if (bId != aId) buf += Row(aId, bId, d2)
+              })
+              buf
+            } ++ { acc.foreach(_.add(tree.distEvals)); Iterator.empty }
+        }
       }
     }
     spark.createDataFrame(pairs,
@@ -408,7 +419,11 @@ object EpsilonJoin {
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
 
     def keyed(df: DataFrame, probe: Boolean) =
-      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")).rdd
+      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+        // null ids/vectors dropped — matches the grid path's predicate
+        // semantics (see selfJoinKd)
+        .filter(col("id").isNotNull && col("v").isNotNull)
+        .rdd
         .flatMap { r =>
           val id = r.getLong(0)
           val v = r.getSeq[Float](1).toArray

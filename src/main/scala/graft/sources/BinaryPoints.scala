@@ -108,7 +108,9 @@ object BinaryPoints {
           java.nio.file.StandardOpenOption.WRITE)
         try {
           ch.position(offsets(i))
-          val rowsPerBuf = math.max(1, (1 << 20) / (d * 4))
+          // max(1, d*4) guards d = 0 (legal: a (n, 0) file is header +
+          // zero bytes per row — the old driver-side writer accepted it)
+          val rowsPerBuf = math.max(1, (1 << 20) / math.max(1, d * 4))
           val buf = ByteBuffer.allocate(rowsPerBuf * d * 4)
             .order(ByteOrder.LITTLE_ENDIAN)
           def flush(): Unit = {

@@ -75,10 +75,16 @@ class EpsilonSaltSpec extends SparkSpec {
     assert(st.isDefined)
     val joined = EpsilonJoin.selfJoinSalted(pts, "id", "features", eps,
       Seq(0), st)
-    // plan pin: the equi-join key is (cell, salt), not cell alone
+    // plan pin: the equi-join KEY is (cell, salt), not cell alone — a
+    // bare substring check would pass vacuously (the projected salt
+    // column appears in every plan), so match a join node whose key
+    // list carries both columns on one line
     val physical = joined.queryExecution.executedPlan.toString
-    assert(physical.contains("salt"),
-      s"expected salt in the join key, got:\n$physical")
+    val joinKeyHasSalt =
+      "(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)[^\\n]*cell[^\\n]*salt"
+        .r.findFirstIn(physical).isDefined
+    assert(joinKeyHasSalt,
+      s"expected (cell, salt) as the equi-join key, got:\n$physical")
     // the single dense cell's build side now spans >1 (cell, salt) shard
     val cellOf = graft.functions.VectorOps.cellId(col("features"), eps, Seq(0))
     val shards = pts.select(cellOf.as("cell"),

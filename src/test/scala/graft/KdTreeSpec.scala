@@ -83,6 +83,39 @@ class KdTreeSpec extends SparkSpec {
     emb.unpersist()
   }
 
+  test("kd paths drop null ids/vectors like the grid predicate does") {
+    val n = 200
+    val d = 8
+    val rows = (0 until n).map { i =>
+      Row(if (i == 7) null else i.toLong,
+        if (i == 13) null else Array.tabulate(d)(j => coord(i, j, 5f)).toSeq)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, nullable = true),
+        StructField("features", ArrayType(FloatType, containsNull = false),
+          nullable = true)))).persist()
+    val clean = df.filter(col("id").isNotNull && col("features").isNotNull)
+    val eps = 2.0
+    val expect = EpsilonJoin.selfJoin(clean, "id", "features", eps, Nil)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kd = EpsilonJoin.selfJoinKd(df, "id", "features", eps,
+        partitionDims = Seq(0), cellSize = eps)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kd == expect)
+    val bip = EpsilonJoin.joinKd(df.filter(col("id") % 2 === 1), // nulls drop
+        df.filter(col("id").isNull || col("id") % 2 === 0),
+        "id", "features", eps, Seq(0), eps)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bip == expect.filter { case (a, b) => a % 2 == 1 && b % 2 == 0 }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) })
+    df.unpersist()
+  }
+
   test("bipartite joinKd == grid bipartite join on 64-d embeddings") {
     val emb = spark.read
       .parquet("/root/testdata/sf0.001/embeddings.parquet")
