@@ -2307,6 +2307,69 @@ object SparkEntry {
       operators.EpsilonJoin.selfJoinKdAuto(t(s, dir, "embeddings"),
           "vec_id", "embedding", Eps)
         .select(col("a_id"), col("b_id"))),
+
+    // second wave of forced-distributed twins: the remaining
+    // size-dispatched graph operators (triangles, BFS, LPA, clustering
+    // coefficient, HITS, personalized PageRank), same rationale as the
+    // q6d family above — the oracle hash gate onto the scale branch
+    "q60d_triangles_dist" -> ((s, dir) => {
+      val sess = sessionTable(s, dir)
+      val edges = graft.operators.IntervalJoin
+        .overlapJoin(sess, sess, "start_ms", "end_ms", 3600000L)
+        .filter(col("a_user_id") =!= col("b_user_id"))
+        .select(col("a_user_id").as("src"), col("b_user_id").as("dst"))
+      graft.operators.TriangleCount.perNode(edges, "src", "dst",
+          localThreshold = 0L)
+        .withColumnRenamed("id", "user_id")
+    }),
+
+    "q79d_bfs_dist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("sk"),
+        (col("l_partkey") + 1000000000L).as("pk"))
+      val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
+        .unionAll(li.select(col("pk").as("src"), col("sk").as("dst")))
+      val seeds = li.select(col("sk").as("id"))
+        .filter(col("id") % 10 === 0).distinct()
+      operators.ShortestPath.hops(edges, "src", "dst", seeds, "id",
+        maxHops = 6, localThreshold = 0L)
+    }),
+
+    "q88d_communities_dist" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        col("l_suppkey").cast("long").as("sk"),
+        (col("l_partkey") + 1000000000L).as("pk"))
+      val edges = li.select(col("sk").as("src"), col("pk").as("dst"))
+        .unionAll(li.select(col("pk").as("src"), col("sk").as("dst")))
+      operators.LabelProp.run(edges, "src", "dst", LpaRounds,
+        localThreshold = 0L)
+    }),
+
+    "q112d_clustering_dist" -> ((s, dir) =>
+      operators.GraphStats.clusteringCoefficient(
+        operators.Basket.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", minSupport = 2),
+        "item_a", "item_b", localThreshold = 0L)),
+
+    "q119d_hits_dist" -> ((s, dir) =>
+      operators.Hits.run(
+        t(s, dir, "lineitem").select(col("l_suppkey").as("src"),
+          (col("l_partkey") + lit(10000000L)).as("dst")),
+        "src", "dst", HitsRounds, localThreshold = 0L)),
+
+    "q172d_ppr_dist" -> ((s, dir) => {
+      val sess = sessionTable(s, dir)
+      val edges = graft.operators.IntervalJoin
+        .overlapJoin(sess, sess, "start_ms", "end_ms", 3600000L)
+        .filter(col("a_user_id") =!= col("b_user_id"))
+        .select(col("a_user_id").as("src"), col("b_user_id").as("dst"))
+      val seeds = t(s, dir, "events")
+        .select(col("user_id").as("sid"))
+        .filter(pmod(col("sid"), lit(PprSeedMod)) === 0)
+      operators.PageRank.personalized(edges, "src", "dst", seeds, "sid",
+        PrIters, PrDamping, localThreshold = 0L)
+        .select(col("id").as("user_id"), round(col("rank"), 8).as("rank"))
+    }),
   )
 
   /** q161's k (the DBSCAN paper's 4-dist) and profile depth. */
@@ -2780,7 +2843,20 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // the remaining forced-distributed twins (see the q6d family in
+    // `queries`) reuse their originals' oracle SQL verbatim
+    base ++ Map(
+      "q60d_triangles_dist" -> base("q60_triangles"),
+      "q79d_bfs_dist" -> base("q79_bfs"),
+      "q88d_communities_dist" -> base("q88_communities"),
+      "q112d_clustering_dist" -> base("q112_clustering_coef"),
+      "q119d_hits_dist" -> base("q119_hits"),
+      "q172d_ppr_dist" -> base("q172_ppr"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_bbox" ->
       """SELECT CAST(pos AS INTEGER) AS dim, min(CAST(v AS DOUBLE)) AS mn,
         |       max(CAST(v AS DOUBLE)) AS mx

@@ -53,7 +53,14 @@ class PropertySpec extends SparkSpec {
         dy = a._2.toDouble - b._2.toDouble
         if dx * dx + dy * dy <= e2
       } yield (i.toLong, j.toLong)).toSet
-      got == ref
+      // the kd path must produce the identical pair set from the same
+      // input (different physical route, same contract)
+      val kd = EpsilonJoin
+        .selfJoinKd(pointDf(pts, 3), "id", "features", eps,
+          partitionDims = Seq(0), cellSize = 2 * eps)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == ref && kd == ref
     })
   }
 
