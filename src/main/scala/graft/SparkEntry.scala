@@ -2370,6 +2370,40 @@ object SparkEntry {
         PrIters, PrDamping, localThreshold = 0L)
         .select(col("id").as("user_id"), round(col("rank"), 8).as("rank"))
     }),
+
+    // Sink parity (reference K-1): the embeddings table written to the
+    // reference's literal netCDF-3 cluster layout (library-free CDF
+    // writer, rank-parallel positioned slices), read back through the
+    // netcdfPoints DataSourceV2, sampled coordinates emitted. The oracle
+    // reproduces the rows from parquet directly — a hash match proves
+    // the on-disk round trip is lossless (float32 bits survive the
+    // big-endian encode/decode exactly).
+    "q189_netcdf_roundtrip" -> ((s, dir) => {
+      val p = java.nio.file.Files.createTempFile("graft_nc", ".nc")
+      java.nio.file.Files.delete(p)
+      p.toFile.deleteOnExit()
+      graft.sources.NetcdfPoints.write(t(s, dir, "embeddings"),
+        "vec_id", "embedding", "label", p.toString)
+      val back = graft.sources.NetcdfPoints.read(s, p.toString)
+        .select(col("id").as("rn"),
+          col("position_col_X0").as("x0"),
+          col("position_col_X31").as("x31"),
+          col("position_col_X63").as("x63"),
+          col("cluster_id"))
+      back
+    }),
+
+    // Strict ε-DP release over a DECLARED domain (q169's domain caveat
+    // resolved): every nation appears exactly once — the 23-of-25
+    // nations with zero qualifying customers at sf0.01 get a noisy
+    // zero, so presence in the release leaks nothing about the data
+    "q190_dp_domain" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal") < -990)
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+      operators.Privacy.dpNoisyCountsOverDomain(c, col("n_name"),
+        t(s, dir, "nation").select("n_name"), DpEps, DpDomainSalt)
+    }),
   )
 
   /** q161's k (the DBSCAN paper's 4-dist) and profile depth. */
@@ -2388,6 +2422,7 @@ object SparkEntry {
     * counts) and release salt. */
   private val DpEps = 0.1
   private val DpSalt = "graft-dp-v1"
+  private val DpDomainSalt = "graft-dp-domain-v1"
 
   /** q170's critical value (95% two-sided). */
   private val WilsonZ = 1.96
@@ -2853,7 +2888,37 @@ object SparkEntry {
       "q88d_communities_dist" -> base("q88_communities"),
       "q112d_clustering_dist" -> base("q112_clustering_coef"),
       "q119d_hits_dist" -> base("q119_hits"),
-      "q172d_ppr_dist" -> base("q172_ppr"))
+      "q172d_ppr_dist" -> base("q172_ppr"),
+
+      // netCDF round-trip: writer orders rows by vec_id, so the read-back
+      // row ordinal is the vec_id rank; float32 list elements are emitted
+      // unconverted on both sides (bit-exact)
+      "q189_netcdf_roundtrip" ->
+        """SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+          |         AS rn,
+          |       embedding[1] AS x0, embedding[32] AS x31,
+          |       embedding[64] AS x63,
+          |       CAST(label AS INTEGER) AS cluster_id
+          |FROM embeddings""".stripMargin,
+
+      // domain-complete DP release: LEFT JOIN from the nation domain
+      // (filter in the ON clause so unmatched nations survive with
+      // count 0), then q169's noise formula verbatim
+      "q190_dp_domain" ->
+        s"""WITH g AS (SELECT n.n_name AS dim,
+           |    CAST(count(c.c_custkey) AS BIGINT) AS n
+           |  FROM nation n LEFT JOIN customer c
+           |    ON c.c_nationkey = n.n_nationkey AND c.c_acctbal < -990
+           |  GROUP BY 1),
+           |u AS (SELECT *,
+           |    (CAST(CAST('0x' || substr(md5('$DpDomainSalt:' || dim), 1, 15)
+           |        AS BIGINT) % 4503599627370496 AS DOUBLE) + 0.5)
+           |      / 4503599627370496.0 AS u
+           |  FROM g)
+           |SELECT dim, n,
+           |  round(n + CASE WHEN u <= 0.5 THEN ${1.0 / DpEps} * ln(u * 2.0)
+           |    ELSE ${-1.0 / DpEps} * ln(2.0 - u * 2.0) END, 6) AS noisy_n
+           |FROM u""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * position_col_X{D-1}` (float) + `cluster_id` (int), noise id 0
   * (`dbscan.cpp:546-569`, `:399`). Our canonical sink is parquet; this
   * projection reproduces the reference's exact column layout so a
-  * reference consumer can read our output unchanged.
+  * reference consumer can read our output unchanged. For the literal
+  * netCDF-3 classic FILE (byte-level parity, library-free), see
+  * [[graft.sources.NetcdfPoints]].
   */
 object PointSink {
 

@@ -71,20 +71,56 @@ object Privacy {
     * in the data, so presence/absence of a group in the release is
     * itself data-dependent and unprotected. For strict ε-DP over the
     * dimension domain the caller must treat domain membership as public
-    * knowledge — or outer-join the full releasable domain beforehand so
-    * empty groups also receive a noisy count (their true n = 0). */
+    * knowledge — or use [[dpNoisyCountsOverDomain]], which releases
+    * exactly the declared domain (empty groups get a noisy zero). */
   def dpNoisyCounts(df: DataFrame, groupCol: Column, epsilon: Double,
       salt: String): DataFrame = {
     require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
-    val b = 1.0 / epsilon
-    val u = (pmod(TextFunctions.portableHash60(
-      concat(lit(salt), lit(":"), col("dim").cast("string"))),
-      lit(4503599627370496L)).cast("double") + 0.5) / 4.503599627370496e15
-    val noise = when(u <= 0.5, lit(b) * log(u * 2.0))
-      .otherwise(lit(-b) * log(lit(2.0) - u * 2.0))
     df.select(groupCol.as("dim"))
       .groupBy(col("dim"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("noisy_n", round(col("n") + noise, 6))
+      .withColumn("noisy_n",
+        round(col("n") + laplaceNoise(1.0 / epsilon, salt), 6))
+  }
+
+  /** Hash-seeded Laplace(b) draw over the `dim` column (see
+    * [[dpNoisyCounts]] for the inverse-CDF derivation). */
+  private def laplaceNoise(b: Double, salt: String): Column = {
+    val u = (pmod(TextFunctions.portableHash60(
+      concat(lit(salt), lit(":"), col("dim").cast("string"))),
+      lit(4503599627370496L)).cast("double") + 0.5) / 4.503599627370496e15
+    when(u <= 0.5, lit(b) * log(u * 2.0))
+      .otherwise(lit(-b) * log(lit(2.0) - u * 2.0))
+  }
+
+  /** [[dpNoisyCounts]] with a declared releasable domain — the strict
+    * ε-DP form. The release has EXACTLY one row per domain value:
+    * domain values never observed get a noisy zero, and observed values
+    * outside the domain are dropped (the domain, not the data, decides
+    * what appears — so presence/absence leaks nothing). The domain must
+    * be public knowledge (a dimension table, an enum), not derived from
+    * the protected data.
+    *
+    * Scale shape: the fact table still shuffles once for the count
+    * aggregate; the domain join runs on the tiny GROUP table (left join
+    * from the domain side), never on facts.
+    *
+    * @param domain one-column DataFrame of releasable dimension values
+    *   (deduplicated here; type-coerced to the observed dim's type via
+    *   the join) */
+  def dpNoisyCountsOverDomain(df: DataFrame, groupCol: Column,
+      domain: DataFrame, epsilon: Double, salt: String): DataFrame = {
+    require(epsilon > 0, s"epsilon must be > 0, got $epsilon")
+    require(domain.columns.length == 1,
+      s"domain must have exactly one column, got ${domain.columns.length}")
+    val counts = df.select(groupCol.as("dim"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_obs"))
+    domain.select(col(domain.columns.head).as("dim")).distinct()
+      .join(counts, Seq("dim"), "left")
+      .select(col("dim"),
+        coalesce(col("n_obs"), lit(0L)).as("n"))
+      .withColumn("noisy_n",
+        round(col("n") + laplaceNoise(1.0 / epsilon, salt), 6))
   }
 }

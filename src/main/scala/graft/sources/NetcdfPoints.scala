@@ -1,0 +1,403 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, DataInputStream, FileInputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** NetCDF-3 "classic" sink + source for the reference's cluster output
+  * (op K-1, `dbscan.cpp:510-632`): dimension `num_particles`, one
+  * `NC_FLOAT` variable `position_col_X{j}` per coordinate, one `NC_INT`
+  * variable `cluster_id`, written rank-parallel by disjoint row ranges
+  * (`ncmpi_put_vara_*_all` at offset `Σ point_count[<rank]`,
+  * `dbscan.cpp:583-588`).
+  *
+  * The reference needs pnetCDF for this; the classic file format itself
+  * is a small, fully public byte layout (the CDF-1/CDF-2 grammar in the
+  * NetCDF users' guide appendix), so we write it directly — no library —
+  * with the same two-pass distributed shape as [[BinaryPoints.write]]:
+  * pass 1 counts rows per partition, the driver emits the header and
+  * pre-sizes the file, pass 2 has every partition write its row slice of
+  * every variable through a positioned `FileChannel` (data never crosses
+  * the driver). CDF-1 (32-bit offsets) is upgraded to CDF-2 (64-bit
+  * offsets, magic version 2) automatically when any variable would begin
+  * past 2^31-1.
+  *
+  * Subset supported (exactly what the reference reads/writes): fixed-size
+  * 1-D variables of `NC_INT` / `NC_FLOAT` / `NC_DOUBLE` over a single
+  * dimension, no record variables, no attributes. A classic file caps a
+  * variable at ~2^31 bytes, so one file holds ≤ 536M points — at corpus
+  * scale shard by partition key and write one file per shard (the
+  * canonical 100 TB sink remains parquet via [[graft.operators.PointSink]];
+  * this format exists for byte-level reference interop).
+  *
+  * Reading: `spark.read.format("netcdfPoints").option("path", f).load()`
+  * → (`id` = global row ordinal, one column per variable), with split
+  * planning by row range and column pruning pushed into the scan (an
+  * unreferenced variable's bytes are never touched — each variable is a
+  * contiguous block, so pruning skips whole regions, the on-disk analog
+  * of parquet column chunks).
+  */
+object NetcdfPoints {
+
+  private val TagDim = 0x0A
+  private val TagVar = 0x0B
+  val NcInt = 4
+  val NcFloat = 5
+  val NcDouble = 6
+
+  private def typeBytes(t: Int): Int = t match {
+    case NcInt | NcFloat => 4
+    case NcDouble => 8
+    case other => throw new IllegalArgumentException(
+      s"unsupported nc_type $other (only NC_INT/NC_FLOAT/NC_DOUBLE)")
+  }
+
+  case class NcVar(name: String, ncType: Int, begin: Long)
+  case class NcHeader(version: Int, dimName: String, n: Long, vars: Seq[NcVar])
+
+  private def pad4(len: Int): Int = (len + 3) & ~3
+
+  /** Serialized header for our subset; begins filled by the caller. */
+  private def headerBytes(dimName: String, n: Long, vars: Seq[(String, Int)],
+      begins: Seq[Long], version: Int): Array[Byte] = {
+    val beginBytes = if (version == 1) 4 else 8
+    val size = headerSize(dimName, vars.map(_._1), version)
+    val bb = ByteBuffer.allocate(size).order(ByteOrder.BIG_ENDIAN)
+    bb.put('C'.toByte).put('D'.toByte).put('F'.toByte).put(version.toByte)
+    bb.putInt(0) // numrecs: no record variables
+    // dim_list
+    bb.putInt(TagDim).putInt(1)
+    putName(bb, dimName)
+    bb.putInt(n.toInt)
+    // gatt_list ABSENT
+    bb.putInt(0).putInt(0)
+    // var_list
+    bb.putInt(TagVar).putInt(vars.size)
+    vars.zip(begins).foreach { case ((name, ncType), begin) =>
+      putName(bb, name)
+      bb.putInt(1) // rank
+      bb.putInt(0) // dimid 0
+      bb.putInt(0).putInt(0) // vatt_list ABSENT
+      bb.putInt(ncType)
+      bb.putInt((n * typeBytes(ncType)).toInt) // vsize (caller checked fit)
+      if (beginBytes == 4) bb.putInt(begin.toInt) else bb.putLong(begin)
+    }
+    bb.array()
+  }
+
+  private def putName(bb: ByteBuffer, name: String): Unit = {
+    val b = name.getBytes("US-ASCII")
+    bb.putInt(b.length)
+    bb.put(b)
+    var p = b.length
+    while (p < pad4(b.length)) { bb.put(0.toByte); p += 1 }
+  }
+
+  private def headerSize(dimName: String, varNames: Seq[String],
+      version: Int): Int = {
+    val beginBytes = if (version == 1) 4 else 8
+    4 + 4 + // magic + numrecs
+      (8 + 4 + pad4(dimName.length) + 4) + // dim_list, 1 dim
+      8 + // gatt ABSENT
+      8 + varNames.map(nm =>
+        4 + pad4(nm.length) + 4 + 4 + 8 + 4 + 4 + beginBytes).sum
+  }
+
+  /** Write `(idCol, vecCol: array<float>, clusterCol: int)` as the
+    * reference's netCDF cluster file, rows ordered by id. `forceVersion`
+    * pins CDF-1/CDF-2 for tests; default picks CDF-1 unless offsets
+    * overflow 32 bits. */
+  def write(df: DataFrame, idCol: String, vecCol: String,
+      clusterCol: String, path: String,
+      forceVersion: Option[Int] = None): Unit = {
+    val parts = math.min(256, math.max(1, df.rdd.getNumPartitions))
+    val data = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"),
+        col(clusterCol).cast("int").as("cid"))
+      .repartitionByRange(parts, col("id"))
+      .sortWithinPartitions("id")
+      .persist() // both passes must see identical partitions
+    try {
+      val stats = data.rdd.mapPartitionsWithIndex { (i, it) =>
+        var cnt = 0L
+        var d = -1
+        it.foreach { r =>
+          val fs = r.getSeq[Float](1)
+          if (d == -1) d = fs.length
+          else require(fs.length == d,
+            s"ragged vector in partition $i: expected $d floats, got ${fs.length}")
+          cnt += 1
+        }
+        Iterator((i, cnt, d))
+      }.collect().sortBy(_._1)
+      val n = stats.map(_._2).sum
+      require(n > 0, "refusing to write an empty netCDF point table")
+      val dimsSeen = stats.collect { case (_, c, d) if c > 0 => d }.distinct
+      require(dimsSeen.size == 1,
+        s"ragged vectors across partitions: dims ${dimsSeen.mkString(", ")}")
+      val d = dimsSeen.head
+      require(n * 4L <= Int.MaxValue,
+        s"$n points overflow a classic-format variable (vsize is 32-bit); " +
+          "shard into multiple files")
+
+      val varDefs = (0 until d).map(j => (s"position_col_X$j", NcFloat)) :+
+        ("cluster_id", NcInt)
+      val varBytes = varDefs.map { case (_, t) => n * typeBytes(t) }
+      def begins(version: Int): Seq[Long] =
+        varBytes.scanLeft(headerSize("num_particles",
+          varDefs.map(_._1), version).toLong)(_ + _).init
+      val version = forceVersion.getOrElse(
+        if (begins(1).last + varBytes.last <= Int.MaxValue) 1 else 2)
+      val varBegins = begins(version)
+      val hdr = headerBytes("num_particles", n, varDefs, varBegins, version)
+
+      val raf = new java.io.RandomAccessFile(path, "rw")
+      try {
+        raf.setLength(0L)
+        raf.write(hdr)
+        raf.setLength(varBegins.last + varBytes.last)
+      } finally raf.close()
+
+      // pass 2: each partition writes its row slice of EVERY variable at
+      // begin(var) + rowOffset*width — ranges disjoint by construction
+      val rowOffsets = stats.map(_._2).scanLeft(0L)(_ + _)
+      val beginsArr = varBegins.toArray
+      val written = data.rdd.mapPartitionsWithIndex { (i, it) =>
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(path),
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val chunk = 1 << 16
+          val fbufs = Array.fill(d)(
+            ByteBuffer.allocate(chunk * 4).order(ByteOrder.BIG_ENDIAN))
+          val cbuf = ByteBuffer.allocate(chunk * 4).order(ByteOrder.BIG_ENDIAN)
+          var rowsDone = 0L
+          var inChunk = 0
+          def flush(): Unit = if (inChunk > 0) {
+            var j = 0
+            while (j < d) {
+              fbufs(j).flip()
+              var pos = beginsArr(j) + (rowOffsets(i) + rowsDone) * 4L
+              while (fbufs(j).hasRemaining) pos += ch.write(fbufs(j), pos)
+              fbufs(j).clear()
+              j += 1
+            }
+            cbuf.flip()
+            var pos = beginsArr(d) + (rowOffsets(i) + rowsDone) * 4L
+            while (cbuf.hasRemaining) pos += ch.write(cbuf, pos)
+            cbuf.clear()
+            rowsDone += inChunk
+            inChunk = 0
+          }
+          var cnt = 0L
+          it.foreach { r =>
+            val fs = r.getSeq[Float](1)
+            var j = 0
+            while (j < d) { fbufs(j).putFloat(fs(j)); j += 1 }
+            cbuf.putInt(r.getInt(2))
+            inChunk += 1
+            cnt += 1
+            if (inChunk == chunk) flush()
+          }
+          flush()
+          Iterator.single(cnt)
+        } finally ch.close()
+      }.collect().sum
+      require(written == n, s"pass 2 wrote $written of $n rows " +
+        "(partitioning changed between passes?)")
+    } finally data.unpersist()
+  }
+
+  /** Parse the header of our supported subset. */
+  def readHeader(path: String): NcHeader = {
+    val in = new DataInputStream(
+      new BufferedInputStream(new FileInputStream(path), 1 << 16))
+    try {
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(magic(0) == 'C' && magic(1) == 'D' && magic(2) == 'F',
+        s"not a netCDF classic file: $path")
+      val version = magic(3).toInt
+      require(version == 1 || version == 2,
+        s"unsupported netCDF format version $version (only CDF-1/CDF-2)")
+      val numrecs = in.readInt()
+      require(numrecs == 0, "record variables not supported")
+      def readName(): String = {
+        val len = in.readInt()
+        val b = new Array[Byte](pad4(len))
+        in.readFully(b)
+        new String(b, 0, len, "US-ASCII")
+      }
+      // dim_list
+      val dimTag = in.readInt(); val nDims = in.readInt()
+      require((dimTag == TagDim && nDims == 1) ||
+        (dimTag == 0 && nDims == 0),
+        s"expected exactly one dimension, got tag=$dimTag nelems=$nDims")
+      val (dimName, n) =
+        if (nDims == 1) (readName(), in.readInt().toLong) else ("", 0L)
+      // gatt_list (ABSENT or skipped-empty)
+      val gattTag = in.readInt(); val nGatts = in.readInt()
+      require(nGatts == 0 || gattTag == 0,
+        "global attributes not supported")
+      // var_list
+      val varTag = in.readInt(); val nVars = in.readInt()
+      require(varTag == TagVar || nVars == 0,
+        s"bad var_list tag $varTag")
+      val vars = (0 until nVars).map { _ =>
+        val name = readName()
+        val rank = in.readInt()
+        require(rank == 1, s"variable $name has rank $rank (only 1-D)")
+        val dimid = in.readInt()
+        require(dimid == 0, s"variable $name over unknown dim $dimid")
+        val vattTag = in.readInt(); val nVatts = in.readInt()
+        require(nVatts == 0 && (vattTag == 0 || vattTag == 0x0C),
+          "variable attributes not supported")
+        val ncType = in.readInt()
+        typeBytes(ncType) // validates
+        in.readInt() // vsize (recomputed from n; spec allows clamping)
+        val begin = if (version == 1) in.readInt().toLong else in.readLong()
+        NcVar(name, ncType, begin)
+      }
+      NcHeader(version, dimName, n, vars)
+    } finally in.close()
+  }
+
+  /** One-shot convenience read (driver plans, executors scan via the V2
+    * source) — `(id, <one column per variable>)`. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("netcdfPoints").option("path", path).load()
+
+  private[sources] def schemaOf(h: NcHeader): StructType =
+    StructType(StructField("id", LongType, nullable = false) +:
+      h.vars.map(v => StructField(v.name, v.ncType match {
+        case NcInt => IntegerType
+        case NcFloat => FloatType
+        case NcDouble => DoubleType
+      }, nullable = false)))
+}
+
+/** DataSourceV2 provider: `spark.read.format("netcdfPoints")`. */
+class NetcdfPointsV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "netcdfPoints"
+
+  private def pathOf(options: util.Map[String, String]): String = {
+    val p = options.get("path")
+    require(p != null,
+      "netcdfPoints requires .option(\"path\", ...) or load(path)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NetcdfPoints.schemaOf(NetcdfPoints.readHeader(pathOf(options)))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new NetcdfPointsTable(pathOf(properties))
+}
+
+class NetcdfPointsTable(path: String) extends Table with SupportsRead {
+  private val header = NetcdfPoints.readHeader(path)
+  override def name(): String = s"netcdfPoints($path)"
+  override def schema(): StructType = NetcdfPoints.schemaOf(header)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NetcdfPointsScanBuilder(path, header,
+      options.getLong("maxBytesPerPartition", 128L * 1024 * 1024))
+}
+
+class NetcdfPointsScanBuilder(path: String, header: NetcdfPoints.NcHeader,
+    maxBytesPerPartition: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = NetcdfPoints.schemaOf(header)
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new NetcdfPointsScan(path, header, required, maxBytesPerPartition)
+}
+
+case class NetcdfPointsRange(start: Long, count: Long) extends InputPartition
+
+class NetcdfPointsScan(path: String, header: NetcdfPoints.NcHeader,
+    required: StructType, maxBytesPerPartition: Long) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // row cost = only the variables this scan actually decodes
+    val rowBytes = math.max(4L,
+      header.vars.filter(v => required.fieldNames.contains(v.name))
+        .map(v => if (v.ncType == NetcdfPoints.NcDouble) 8L else 4L).sum)
+    val rowsPerSplit = math.max(1L, maxBytesPerPartition / rowBytes)
+    (0L until header.n by rowsPerSplit).map { start =>
+      NetcdfPointsRange(start, math.min(rowsPerSplit, header.n - start))
+        .asInstanceOf[InputPartition]
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NetcdfPointsReaderFactory(path, header, required)
+}
+
+class NetcdfPointsReaderFactory(path: String, header: NetcdfPoints.NcHeader,
+    required: StructType) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new NetcdfPointsReader(path, header,
+      p.asInstanceOf[NetcdfPointsRange], required)
+}
+
+/** Streams each required variable's row slice from its contiguous block —
+  * one buffered stream per required variable, unreferenced variables'
+  * bytes never read. */
+class NetcdfPointsReader(path: String, header: NetcdfPoints.NcHeader,
+    range: NetcdfPointsRange, required: StructType)
+    extends PartitionReader[InternalRow] {
+  // required order drives output order (Spark hands us the pruned schema)
+  private case class Col(v: NetcdfPoints.NcVar, in: DataInputStream)
+  private val cols: Array[Either[Unit, Col]] =
+    required.fields.map { f =>
+      if (f.name == "id") Left(())
+      else {
+        val v = header.vars.find(_.name == f.name).getOrElse(
+          throw new IllegalArgumentException(s"no variable ${f.name}"))
+        val width = if (v.ncType == NetcdfPoints.NcDouble) 8L else 4L
+        val fis = new FileInputStream(path)
+        fis.getChannel.position(v.begin + range.start * width)
+        Right(Col(v, new DataInputStream(
+          new BufferedInputStream(fis, 1 << 20))))
+      }
+    }
+
+  private var i = 0L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    if (i >= range.count) return false
+    val values = cols.map {
+      case Left(_) => (range.start + i): Any
+      case Right(c) => c.v.ncType match {
+        case NetcdfPoints.NcInt => c.in.readInt(): Any
+        case NetcdfPoints.NcFloat => c.in.readFloat(): Any
+        case NetcdfPoints.NcDouble => c.in.readDouble(): Any
+      }
+    }
+    current = InternalRow.fromSeq(values.toIndexedSeq)
+    i += 1
+    true
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit =
+    cols.foreach { case Right(c) => c.in.close(); case _ => }
+}

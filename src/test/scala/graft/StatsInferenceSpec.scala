@@ -243,4 +243,26 @@ class StatsInferenceSpec extends SparkSpec {
     assert(a.forall(_._2 == 25L))
     assert(a.exists(r => r._3 != r._2.toDouble)) // noise actually lands
   }
+
+  test("dpNoisyCountsOverDomain: exactly the domain, noisy zeros, " +
+      "observed-outside-domain dropped") {
+    val facts = spark.createDataFrame(
+      (1 to 60).map(i => Tuple1(s"g${i % 3}"))).toDF("k") // g0 g1 g2
+    val domain = spark.createDataFrame(
+      Seq("g0", "g1", "g3", "g3").map(Tuple1(_))).toDF("dim") // no g2; dup g3
+    val got = Privacy.dpNoisyCountsOverDomain(facts, col("k"), domain,
+        epsilon = 0.1, salt = "s1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq("g0", "g1", "g3")) // g2 dropped, g3 once
+    assert(got.map(_._2).toSeq == Seq(20L, 20L, 0L))     // empty -> true n=0
+    assert(got.forall(r => r._3 != r._2.toDouble))       // all rows noised
+    // the g3 row's noise matches the observed-path draw for the same
+    // salt+dim (one formula, both entry points)
+    val viaObserved = Privacy.dpNoisyCounts(
+      spark.createDataFrame(Seq(Tuple1("g3"))).toDF("k"),
+      col("k"), epsilon = 0.1, salt = "s1")
+      .collect().head.getDouble(2) - 1.0
+    assert(math.abs(got.find(_._1 == "g3").get._3 - viaObserved) < 2e-6)
+  }
 }
