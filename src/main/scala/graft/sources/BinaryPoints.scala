@@ -45,95 +45,43 @@ object BinaryPoints {
   /** Write a point table back to the reference's binary layout (header +
     * row-major float32), rows ordered by id — the inverse of [[read]], so
     * a reference-engine user can consume our output unchanged.
-    *
-    * Rank-parallel, like the reference's sink: each rank writes its row
-    * range at offset `Σ point_count[<rank]` (`dbscan.cpp:583-588`,
-    * pnetCDF collective put). Here: `repartitionByRange(id)` +
-    * `sortWithinPartitions` gives globally-ordered disjoint row ranges;
-    * pass 1 counts rows per partition (and validates dims), the driver
-    * pre-sizes the file and computes byte offsets, pass 2 has every
-    * partition write its own slice through a positioned `FileChannel` —
-    * no point data ever crosses the driver. Requires a shared
-    * filesystem (local/NFS); on an object store the same two-pass shape
-    * maps to a multipart upload with one part per partition. */
+    * Rank-parallel via the shared [[SliceWrite]] two-pass skeleton
+    * (the reference's collective offset write, `dbscan.cpp:583-588`). */
   def write(df: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     import org.apache.spark.sql.functions.col
-    val parts = math.min(256, math.max(1, df.rdd.getNumPartitions))
-    val data = df.select(col(idCol).cast("long").as("id"),
-        col(vecCol).as("v"))
-      .repartitionByRange(parts, col("id"))
-      .sortWithinPartitions("id")
-      .persist() // both passes must see identical partitions
-    try {
-      // pass 1: (partition, rows, dims) — dims checked per row so a
-      // ragged vector fails HERE, before any bytes hit disk
-      val stats = data.rdd.mapPartitionsWithIndex { (i, it) =>
-        var cnt = 0L
-        var d = -1
-        it.foreach { r =>
-          val fs = r.getSeq[Float](1)
-          if (d == -1) d = fs.length
-          else require(fs.length == d,
-            s"ragged vector in partition $i: expected $d floats, got ${fs.length}")
-          cnt += 1
-        }
-        Iterator((i, cnt, d))
-      }.collect().sortBy(_._1)
-      val n = stats.map(_._2).sum
-      require(n > 0, "refusing to write an empty point table " +
-        "(the reference format needs dims, which come from the data)")
-      require(n <= Int.MaxValue,
-        s"$n rows do not fit the format's int32 point count")
-      val dimsSeen = stats.collect { case (_, c, d) if c > 0 => d }.distinct
-      require(dimsSeen.size == 1,
-        s"ragged vectors across partitions: dims ${dimsSeen.mkString(", ")}")
-      val d = dimsSeen.head
-      // driver writes the 8-byte header and pre-sizes the file
-      val raf = new java.io.RandomAccessFile(path, "rw")
-      try {
-        raf.setLength(0L)
+    SliceWrite.twoPass(df,
+      Seq(col(idCol).cast("long").as("id"), col(vecCol).as("v")), path,
+      (n, d, _) => {
+        require(n <= Int.MaxValue,
+          s"$n rows do not fit the format's int32 point count")
         val hdr = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
         hdr.putInt(n.toInt); hdr.putInt(d)
-        raf.write(hdr.array())
-        raf.setLength(8L + n * d * 4L)
-      } finally raf.close()
-      // pass 2: every partition writes its slice at its own offset —
-      // ranges are disjoint by construction, so concurrent writers never
-      // overlap
-      val offsets = stats.map(_._2).scanLeft(8L)((acc, c) => acc + c * d * 4L)
-      val rowCounts = stats.map(_._2)
-      val written = data.rdd.mapPartitionsWithIndex { (i, it) =>
-        val ch = java.nio.channels.FileChannel.open(
-          java.nio.file.Paths.get(path),
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          ch.position(offsets(i))
-          // max(1, d*4) guards d = 0 (legal: a (n, 0) file is header +
-          // zero bytes per row — the old driver-side writer accepted it)
-          val rowsPerBuf = math.max(1, (1 << 20) / math.max(1, d * 4))
-          val buf = ByteBuffer.allocate(rowsPerBuf * d * 4)
-            .order(ByteOrder.LITTLE_ENDIAN)
-          def flush(): Unit = {
-            buf.flip()
-            while (buf.hasRemaining) ch.write(buf)
-            buf.clear()
-          }
-          var cnt = 0L
-          it.foreach { r =>
-            val fs = r.getSeq[Float](1)
-            require(fs.length == d,
-              s"vector changed between passes: expected $d floats, got ${fs.length}")
-            if (buf.remaining() < d * 4) flush()
-            fs.foreach(buf.putFloat)
-            cnt += 1
-          }
-          flush()
-          Iterator((i, cnt))
-        } finally ch.close()
-      }.collect().sortBy(_._1)
-      require(written.map(_._2).sameElements(rowCounts),
-        "partition row counts changed between the count and write passes")
-    } finally data.unpersist()
+        SliceWrite.WritePlan(hdr.array(), 8L + n * d * 4L,
+          (_, rowOffset, dims, it, ch) => {
+            ch.position(8L + rowOffset * dims * 4L)
+            // max(1, d*4) guards d = 0 (legal: a (n, 0) file is header +
+            // zero bytes per row — the old driver-side writer accepted it)
+            val rowsPerBuf = math.max(1, (1 << 20) / math.max(1, dims * 4))
+            val buf = ByteBuffer.allocate(rowsPerBuf * dims * 4)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            def flush(): Unit = {
+              buf.flip()
+              while (buf.hasRemaining) ch.write(buf)
+              buf.clear()
+            }
+            var cnt = 0L
+            it.foreach { r =>
+              val fs = r.getSeq[Float](1)
+              require(fs.length == dims,
+                s"vector changed between passes: expected $dims floats, got ${fs.length}")
+              if (buf.remaining() < dims * 4) flush()
+              fs.foreach(buf.putFloat)
+              cnt += 1
+            }
+            flush()
+            cnt
+          })
+      })
   }
 
   def read(spark: SparkSession, path: String,

@@ -24,11 +24,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * The reference needs pnetCDF for this; the classic file format itself
   * is a small, fully public byte layout (the CDF-1/CDF-2 grammar in the
   * NetCDF users' guide appendix), so we write it directly — no library —
-  * with the same two-pass distributed shape as [[BinaryPoints.write]]:
-  * pass 1 counts rows per partition, the driver emits the header and
-  * pre-sizes the file, pass 2 has every partition write its row slice of
-  * every variable through a positioned `FileChannel` (data never crosses
-  * the driver). CDF-1 (32-bit offsets) is upgraded to CDF-2 (64-bit
+  * through the shared [[SliceWrite]] two-pass skeleton: pass 1 counts
+  * rows per partition, the driver emits the header and pre-sizes the
+  * file, pass 2 has every partition write its row slice of every
+  * variable through a positioned `FileChannel` (data never crosses the
+  * driver). CDF-1 (32-bit offsets) is upgraded to CDF-2 (64-bit
   * offsets, magic version 2) automatically when any variable would begin
   * past 2^31-1.
   *
@@ -120,102 +120,70 @@ object NetcdfPoints {
   def write(df: DataFrame, idCol: String, vecCol: String,
       clusterCol: String, path: String,
       forceVersion: Option[Int] = None): Unit = {
-    val parts = math.min(256, math.max(1, df.rdd.getNumPartitions))
-    val data = df.select(col(idCol).cast("long").as("id"),
+    SliceWrite.twoPass(df,
+      Seq(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("v"),
-        col(clusterCol).cast("int").as("cid"))
-      .repartitionByRange(parts, col("id"))
-      .sortWithinPartitions("id")
-      .persist() // both passes must see identical partitions
-    try {
-      val stats = data.rdd.mapPartitionsWithIndex { (i, it) =>
-        var cnt = 0L
-        var d = -1
-        it.foreach { r =>
-          val fs = r.getSeq[Float](1)
-          if (d == -1) d = fs.length
-          else require(fs.length == d,
-            s"ragged vector in partition $i: expected $d floats, got ${fs.length}")
-          cnt += 1
-        }
-        Iterator((i, cnt, d))
-      }.collect().sortBy(_._1)
-      val n = stats.map(_._2).sum
-      require(n > 0, "refusing to write an empty netCDF point table")
-      val dimsSeen = stats.collect { case (_, c, d) if c > 0 => d }.distinct
-      require(dimsSeen.size == 1,
-        s"ragged vectors across partitions: dims ${dimsSeen.mkString(", ")}")
-      val d = dimsSeen.head
-      require(n * 4L <= Int.MaxValue,
-        s"$n points overflow a classic-format variable (vsize is 32-bit); " +
-          "shard into multiple files")
-
-      val varDefs = (0 until d).map(j => (s"position_col_X$j", NcFloat)) :+
-        ("cluster_id", NcInt)
-      val varBytes = varDefs.map { case (_, t) => n * typeBytes(t) }
-      def begins(version: Int): Seq[Long] =
-        varBytes.scanLeft(headerSize("num_particles",
-          varDefs.map(_._1), version).toLong)(_ + _).init
-      val version = forceVersion.getOrElse(
-        if (begins(1).last + varBytes.last <= Int.MaxValue) 1 else 2)
-      val varBegins = begins(version)
-      val hdr = headerBytes("num_particles", n, varDefs, varBegins, version)
-
-      val raf = new java.io.RandomAccessFile(path, "rw")
-      try {
-        raf.setLength(0L)
-        raf.write(hdr)
-        raf.setLength(varBegins.last + varBytes.last)
-      } finally raf.close()
-
-      // pass 2: each partition writes its row slice of EVERY variable at
-      // begin(var) + rowOffset*width — ranges disjoint by construction
-      val rowOffsets = stats.map(_._2).scanLeft(0L)(_ + _)
-      val beginsArr = varBegins.toArray
-      val written = data.rdd.mapPartitionsWithIndex { (i, it) =>
-        val ch = java.nio.channels.FileChannel.open(
-          java.nio.file.Paths.get(path),
-          java.nio.file.StandardOpenOption.WRITE)
-        try {
-          val chunk = 1 << 16
-          val fbufs = Array.fill(d)(
-            ByteBuffer.allocate(chunk * 4).order(ByteOrder.BIG_ENDIAN))
-          val cbuf = ByteBuffer.allocate(chunk * 4).order(ByteOrder.BIG_ENDIAN)
-          var rowsDone = 0L
-          var inChunk = 0
-          def flush(): Unit = if (inChunk > 0) {
-            var j = 0
-            while (j < d) {
-              fbufs(j).flip()
-              var pos = beginsArr(j) + (rowOffsets(i) + rowsDone) * 4L
-              while (fbufs(j).hasRemaining) pos += ch.write(fbufs(j), pos)
-              fbufs(j).clear()
-              j += 1
+        col(clusterCol).cast("int").as("cid")), path,
+      (n, d, _) => {
+        require(n * 4L <= Int.MaxValue,
+          s"$n points overflow a classic-format variable (vsize is " +
+            "32-bit); shard into multiple files")
+        val varDefs = (0 until d).map(j => (s"position_col_X$j", NcFloat)) :+
+          ("cluster_id", NcInt)
+        val varBytes = varDefs.map { case (_, t) => n * typeBytes(t) }
+        def begins(version: Int): Seq[Long] =
+          varBytes.scanLeft(headerSize("num_particles",
+            varDefs.map(_._1), version).toLong)(_ + _).init
+        val version = forceVersion.getOrElse(
+          if (begins(1).last + varBytes.last <= Int.MaxValue) 1 else 2)
+        val varBegins = begins(version)
+        val beginsArr = varBegins.toArray
+        SliceWrite.WritePlan(
+          headerBytes("num_particles", n, varDefs, varBegins, version),
+          varBegins.last + varBytes.last,
+          // each partition writes its row slice of EVERY variable at
+          // begin(var) + rowOffset*width, in row chunks
+          (_, rowOffset, dims, it, ch) => {
+            val chunk = 1 << 16
+            val fbufs = Array.fill(dims)(
+              ByteBuffer.allocate(chunk * 4).order(ByteOrder.BIG_ENDIAN))
+            val cbuf = ByteBuffer.allocate(chunk * 4)
+              .order(ByteOrder.BIG_ENDIAN)
+            var rowsDone = 0L
+            var inChunk = 0
+            def flush(): Unit = if (inChunk > 0) {
+              var j = 0
+              while (j < dims) {
+                fbufs(j).flip()
+                var pos = beginsArr(j) + (rowOffset + rowsDone) * 4L
+                while (fbufs(j).hasRemaining) pos += ch.write(fbufs(j), pos)
+                fbufs(j).clear()
+                j += 1
+              }
+              cbuf.flip()
+              var pos = beginsArr(dims) + (rowOffset + rowsDone) * 4L
+              while (cbuf.hasRemaining) pos += ch.write(cbuf, pos)
+              cbuf.clear()
+              rowsDone += inChunk
+              inChunk = 0
             }
-            cbuf.flip()
-            var pos = beginsArr(d) + (rowOffsets(i) + rowsDone) * 4L
-            while (cbuf.hasRemaining) pos += ch.write(cbuf, pos)
-            cbuf.clear()
-            rowsDone += inChunk
-            inChunk = 0
-          }
-          var cnt = 0L
-          it.foreach { r =>
-            val fs = r.getSeq[Float](1)
-            var j = 0
-            while (j < d) { fbufs(j).putFloat(fs(j)); j += 1 }
-            cbuf.putInt(r.getInt(2))
-            inChunk += 1
-            cnt += 1
-            if (inChunk == chunk) flush()
-          }
-          flush()
-          Iterator.single(cnt)
-        } finally ch.close()
-      }.collect().sum
-      require(written == n, s"pass 2 wrote $written of $n rows " +
-        "(partitioning changed between passes?)")
-    } finally data.unpersist()
+            var cnt = 0L
+            it.foreach { r =>
+              val fs = r.getSeq[Float](1)
+              require(fs.length == dims,
+                s"vector changed between passes: expected $dims floats, " +
+                  s"got ${fs.length}")
+              var j = 0
+              while (j < dims) { fbufs(j).putFloat(fs(j)); j += 1 }
+              cbuf.putInt(r.getInt(2))
+              inChunk += 1
+              cnt += 1
+              if (inChunk == chunk) flush()
+            }
+            flush()
+            cnt
+          })
+      })
   }
 
   /** Parse the header of our supported subset. */
@@ -245,10 +213,11 @@ object NetcdfPoints {
         s"expected exactly one dimension, got tag=$dimTag nelems=$nDims")
       val (dimName, n) =
         if (nDims == 1) (readName(), in.readInt().toLong) else ("", 0L)
-      // gatt_list (ABSENT or skipped-empty)
+      // gatt_list: must be ABSENT — a nonzero nelems would make the
+      // following bytes attribute entries, not the var_list
       val gattTag = in.readInt(); val nGatts = in.readInt()
-      require(nGatts == 0 || gattTag == 0,
-        "global attributes not supported")
+      require(nGatts == 0, "global attributes not supported")
+      require(gattTag == 0 || gattTag == 0x0C, s"bad gatt_list tag $gattTag")
       // var_list
       val varTag = in.readInt(); val nVars = in.readInt()
       require(varTag == TagVar || nVars == 0,
@@ -362,42 +331,62 @@ class NetcdfPointsReaderFactory(path: String, header: NetcdfPoints.NcHeader,
 class NetcdfPointsReader(path: String, header: NetcdfPoints.NcHeader,
     range: NetcdfPointsRange, required: StructType)
     extends PartitionReader[InternalRow] {
-  // required order drives output order (Spark hands us the pruned schema)
-  private case class Col(v: NetcdfPoints.NcVar, in: DataInputStream)
-  private val cols: Array[Either[Unit, Col]] =
+  // resolve EVERY required field before opening any stream — a missing
+  // variable must fail without leaking fds for the ones already opened
+  private val resolved: Array[Option[NetcdfPoints.NcVar]] =
     required.fields.map { f =>
-      if (f.name == "id") Left(())
-      else {
-        val v = header.vars.find(_.name == f.name).getOrElse(
-          throw new IllegalArgumentException(s"no variable ${f.name}"))
-        val width = if (v.ncType == NetcdfPoints.NcDouble) 8L else 4L
-        val fis = new FileInputStream(path)
-        fis.getChannel.position(v.begin + range.start * width)
-        Right(Col(v, new DataInputStream(
-          new BufferedInputStream(fis, 1 << 20))))
-      }
+      if (f.name == "id") None
+      else Some(header.vars.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(s"no variable ${f.name}")))
     }
+  private val streams: Array[DataInputStream] = {
+    val acc = new Array[DataInputStream](resolved.length)
+    try {
+      var j = 0
+      while (j < resolved.length) {
+        resolved(j).foreach { v =>
+          val width = if (v.ncType == NetcdfPoints.NcDouble) 8L else 4L
+          val fis = new FileInputStream(path)
+          fis.getChannel.position(v.begin + range.start * width)
+          acc(j) = new DataInputStream(new BufferedInputStream(fis, 1 << 20))
+        }
+        j += 1
+      }
+      acc
+    } catch { // don't leak the streams opened before the failing one
+      case t: Throwable =>
+        acc.foreach(s => if (s != null) s.close())
+        throw t
+    }
+  }
 
   private var i = 0L
-  private var current: InternalRow = _
+  // mutable row reused across next() calls (the standard row-reader
+  // pattern — downstream copies when it retains)
+  private val values = new Array[Any](required.fields.length)
+  private val row = new org.apache.spark.sql.catalyst.expressions
+    .GenericInternalRow(values)
 
   override def next(): Boolean = {
     if (i >= range.count) return false
-    val values = cols.map {
-      case Left(_) => (range.start + i): Any
-      case Right(c) => c.v.ncType match {
-        case NetcdfPoints.NcInt => c.in.readInt(): Any
-        case NetcdfPoints.NcFloat => c.in.readFloat(): Any
-        case NetcdfPoints.NcDouble => c.in.readDouble(): Any
+    var j = 0
+    while (j < values.length) {
+      values(j) = resolved(j) match {
+        case None => range.start + i
+        case Some(v) => v.ncType match {
+          case NetcdfPoints.NcInt => streams(j).readInt()
+          case NetcdfPoints.NcFloat => streams(j).readFloat()
+          case NetcdfPoints.NcDouble => streams(j).readDouble()
+        }
       }
+      j += 1
     }
-    current = InternalRow.fromSeq(values.toIndexedSeq)
     i += 1
     true
   }
 
-  override def get(): InternalRow = current
+  override def get(): InternalRow = row
 
   override def close(): Unit =
-    cols.foreach { case Right(c) => c.in.close(); case _ => }
+    streams.foreach(s => if (s != null) s.close())
 }
