@@ -125,19 +125,55 @@ object Dbscan {
         .select(col("a_id").as("id"))
         .persist()
 
-    // core-core edges (+ self loops so isolated cores form singletons)
-    val coreEdges = pairs
-      .join(cores.withColumnRenamed("id", "a_id"), "a_id")
-      .join(cores.withColumnRenamed("id", "b_id"), "b_id")
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    // Both downstream branches classify pair endpoints against `cores`:
+    // core-core edges need BOTH ends core, borders need b core + a not.
+    // The physical shape that wins depends on whether the core-id table
+    // broadcasts:
+    //  - cores fit a broadcast (≤1M ids ≈ tens of MB serialized): four
+    //    broadcast-hash joins — the pair stream never shuffles and needs
+    //    no second cache. This is every workload up to ~1M points.
+    //  - cores too big: classify each pair ONCE into a shared, persisted
+    //    `flagged` stream (2 shuffle joins) instead of paying 4 shuffle
+    //    joins of the pair stream (46.7M rows at the 5M diagnostic —
+    //    those joins are the merge phase's bill). The b-core inner join
+    //    runs first: pairs whose b is not core feed neither branch, so
+    //    dropping them early also shrinks the cached set.
+    // The size probe stops scanning at the cap (limit, not count) and
+    // warms the pairs/cores caches both branches read anyway.
+    val bcastCoreCap = 1_000_000L
+    val coresBroadcastable = ConnectedComponents.withJobDesc(cores,
+      "dbscan: core-table size probe") {
+      cores.limit((bcastCoreCap + 1).toInt).count() <= bcastCoreCap
+    }
+    val (coreCoreEdges, borderCand) =
+      if (coresBroadcastable) (
+        pairs
+          .join(broadcast(cores.withColumnRenamed("id", "a_id")), "a_id")
+          .join(broadcast(cores.withColumnRenamed("id", "b_id")), "b_id")
+          .select(col("a_id").as("src"), col("b_id").as("dst")),
+        pairs
+          .join(broadcast(cores.withColumnRenamed("id", "b_id")), "b_id")
+          .join(broadcast(cores.withColumnRenamed("id", "a_id")),
+            Seq("a_id"), "left_anti"))
+      else {
+        val flagged = pairs
+          .join(cores.withColumnRenamed("id", "b_id"), "b_id") // b is core
+          .join(cores.withColumnRenamed("id", "a_id")
+            .withColumn("a_core", lit(true)), Seq("a_id"), "left")
+          .persist()
+        (flagged.filter(col("a_core"))
+          .select(col("a_id").as("src"), col("b_id").as("dst")),
+          flagged.filter(col("a_core").isNull))
+      }
+
+    // (+ self loops so isolated cores form singletons)
+    val coreEdges = coreCoreEdges
       .union(cores.select(col("id").as("src"), col("id").as("dst")))
 
     val coreComp = ConnectedComponents.run(coreEdges) // (id, comp)
 
     // border points: non-core, within eps of >=1 core -> min core comp
-    val borderComp = pairs
-      .join(cores.withColumnRenamed("id", "b_id"), "b_id") // b is core
-      .join(cores.withColumnRenamed("id", "a_id"), Seq("a_id"), "left_anti") // a is not
+    val borderComp = borderCand
       .join(coreComp.withColumnRenamed("id", "b_id"), "b_id")
       .groupBy(col("a_id").as("id"))
       .agg(min("comp").as("comp"))
