@@ -30,6 +30,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   */
 object Dbscan {
 
+  /** Core-id tables at or below this many rows take the broadcast merge
+    * shape; larger ones take the shared flagged-pair stream (see the
+    * dispatch comment in [[run]]). Overridable so specs can force the
+    * non-broadcast branch on small fixtures. */
+  private[graft] var coreBroadcastCap: Long = 1_000_000L
+
   /** Size-probe limit for the local fast path: `localThreshold + 1`,
     * clamped so a huge threshold (e.g. `Long.MaxValue` for "always
     * local") can't overflow to a 0-row `limit(0)` probe that would
@@ -140,10 +146,10 @@ object Dbscan {
     //    dropping them early also shrinks the cached set.
     // The size probe stops scanning at the cap (limit, not count) and
     // warms the pairs/cores caches both branches read anyway.
-    val bcastCoreCap = 1_000_000L
+    val bcastCoreCap = coreBroadcastCap
     val coresBroadcastable = ConnectedComponents.withJobDesc(cores,
       "dbscan: core-table size probe") {
-      cores.limit((bcastCoreCap + 1).toInt).count() <= bcastCoreCap
+      cores.limit(probeCap(bcastCoreCap)).count() <= bcastCoreCap
     }
     val (coreCoreEdges, borderCand) =
       if (coresBroadcastable) (

@@ -94,6 +94,33 @@ class DbscanSpec extends SparkSpec {
     assert(st.getLong(3) == oracle.values.max)
   }
 
+  test("non-broadcast merge branch (cores > coreBroadcastCap) == broadcast " +
+      "branch labels") {
+    // The merge phase dispatches on core-table size: broadcast joins when
+    // the core ids fit a broadcast, a shared flagged-pair stream when not.
+    // No fixture has >1M cores, so force the flagged branch by dropping
+    // the cap to 0 and require bit-identical labels — the branch a 5M+
+    // point run takes must not be greened only by the broadcast twin.
+    val (_, _) = loadT4(2000)
+    val df = BinaryPoints.read(spark, T4).limit(2000).persist()
+    val dims = EpsilonJoin.pickBucketDims(df, "features", 10.0)
+    val broadcastLabels = Dbscan.run(df, "id", "features", 10.0, 5, dims,
+      localThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val saved = Dbscan.coreBroadcastCap
+    try {
+      Dbscan.coreBroadcastCap = 0L
+      val flaggedLabels = Dbscan.run(df, "id", "features", 10.0, 5, dims,
+        localThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(flaggedLabels == broadcastLabels,
+        "flagged-stream merge branch diverged from broadcast branch")
+      assert(broadcastLabels.values.exists(_ != 0),
+        "degenerate fixture: no clusters formed, branch comparison vacuous")
+    } finally { Dbscan.coreBroadcastCap = saved }
+    df.unpersist()
+  }
+
   test("salted epsilon join == unsalted (same pair set)") {
     val (ids, pts) = loadT4(1200)
     val df = spark.createDataFrame(
