@@ -2404,7 +2404,27 @@ object SparkEntry {
       operators.Privacy.dpNoisyCountsOverDomain(c, col("n_name"),
         t(s, dir, "nation").select("n_name"), DpEps, DpDomainSalt)
     }),
+
+    // ExactSubstr dedup (Lee et al. 2021) at character level: maximal
+    // corpus-duplicated 40-char spans per document — stride-1 window
+    // hashes, one multiplicity shuffle, gaps-and-islands merge. The
+    // span-level view a dedup cut pass consumes.
+    "q191_dup_spans" -> ((s, dir) =>
+      operators.SubstringDedup.duplicatedSpans(
+        t(s, dir, "documents"), "doc_id", "text", SubstrL)),
+
+    // The same pass as per-doc char accounting: how much of each
+    // affected document is corpus-duplicated text (span char intervals
+    // unioned — runs closer than L overlap)
+    "q192_dup_chars" -> ((s, dir) =>
+      operators.SubstringDedup.duplicatedCharStats(
+        t(s, dir, "documents"), "doc_id", "text", SubstrL)),
   )
+
+  /** q191/q192 ExactSubstr window length (chars). The paper's 50-token
+    * threshold is ~200+ chars; fixture docs average ~300 chars, so 40
+    * keeps real positive rates. */
+  private val SubstrL = 40
 
   /** q161's k (the DBSCAN paper's 4-dist) and profile depth. */
   private val KDistK = 4
@@ -2918,7 +2938,66 @@ object SparkEntry {
            |SELECT dim, n,
            |  round(n + CASE WHEN u <= 0.5 THEN ${1.0 / DpEps} * ln(u * 2.0)
            |    ELSE ${-1.0 / DpEps} * ln(2.0 - u * 2.0) END, 6) AS noisy_n
-           |FROM u""".stripMargin)
+           |FROM u""".stripMargin,
+
+      // the oracle partitions on window CONTENT where the engine uses a
+      // 128-bit hash pair — identical absent a 2^-129-probability
+      // collision (SubstringDedup scaladoc)
+      "q191_dup_spans" ->
+        s"""WITH w AS (SELECT doc_id,
+           |    unnest(range(1, greatest(length(text) - ${SubstrL - 1}, 0)
+           |      + 1)) AS pos, text
+           |  FROM documents),
+           |ws AS (SELECT doc_id, pos,
+           |    substring(text, CAST(pos AS INTEGER), $SubstrL) AS win
+           |  FROM w),
+           |f AS (SELECT doc_id, pos,
+           |    count(*) OVER (PARTITION BY win) AS c
+           |  FROM ws),
+           |d AS (SELECT doc_id, pos,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+           |  FROM f WHERE c > 1)
+           |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           |  CAST(max(pos) - min(pos) + $SubstrL AS BIGINT) AS span_len,
+           |  CAST(count(*) AS BIGINT) AS n_windows
+           |FROM d GROUP BY doc_id, pos - rn""".stripMargin,
+
+      "q192_dup_chars" ->
+        s"""WITH w AS (SELECT doc_id,
+           |    unnest(range(1, greatest(length(text) - ${SubstrL - 1}, 0)
+           |      + 1)) AS pos, text
+           |  FROM documents),
+           |ws AS (SELECT doc_id, pos,
+           |    substring(text, CAST(pos AS INTEGER), $SubstrL) AS win
+           |  FROM w),
+           |f AS (SELECT doc_id, pos,
+           |    count(*) OVER (PARTITION BY win) AS c
+           |  FROM ws),
+           |d AS (SELECT doc_id, pos,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+           |  FROM f WHERE c > 1),
+           |sp AS (SELECT doc_id, min(pos) AS lo,
+           |    max(pos) + $SubstrL AS hi
+           |  FROM d GROUP BY doc_id, pos - rn),
+           |p AS (SELECT doc_id, lo, hi,
+           |    max(hi) OVER (PARTITION BY doc_id ORDER BY lo
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           |  FROM sp),
+           |isl AS (SELECT doc_id, lo, hi,
+           |    CAST(sum(CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY lo
+           |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+           |  FROM p),
+           |cov AS (SELECT doc_id,
+           |    CAST(sum(mhi - mlo) AS BIGINT) AS dup_chars
+           |  FROM (SELECT doc_id, island, min(lo) AS mlo, max(hi) AS mhi
+           |        FROM isl GROUP BY 1, 2) g
+           |  GROUP BY 1)
+           |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           |  cov.dup_chars,
+           |  round(CAST(cov.dup_chars AS DOUBLE) / length(d.text), 6)
+           |    AS dup_frac
+           |FROM documents d JOIN cov ON d.doc_id = cov.doc_id""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

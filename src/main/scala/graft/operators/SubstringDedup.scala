@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicated-substring detection — the character-level ExactSubstr
+  * pass of "Deduplicating Training Data Makes Language Models Better"
+  * (Lee et al., 2021), re-expressed as hash shuffles instead of a
+  * distributed suffix array.
+  *
+  * A document substring is *duplicated* when the same `L`-char window
+  * content occurs at two or more positions anywhere in the corpus
+  * (including twice in the same document). Every duplicated substring of
+  * length ≥ L is exactly the union of duplicated L-char windows, so
+  * stride-1 windows + run merging recovers the same maximal spans a
+  * suffix array would report — with only:
+  *
+  *   1. one shuffle of (id, pos, 128-bit window hash) rows, grouped by
+  *      hash to count global window multiplicity (window text itself is
+  *      never shuffled: two independent 64-bit xxhash64 seeds stand in
+  *      for content equality — collision probability over W windows is
+  *      ≈ W²/2¹²⁹, ~10⁻¹¹ even at 100 TB ≈ 10¹⁴ windows);
+  *   2. one shuffle of the surviving duplicated positions by document to
+  *      merge consecutive runs into maximal spans.
+  *
+  * The row bill is corpus_chars × ~32 bytes — the same order as the
+  * 8-bytes-per-byte suffix array the paper builds, but embarrassingly
+  * partitionable and with no global sort. Windows below multiplicity 2
+  * (the overwhelming majority) die in the first aggregate's partial
+  * (map-side) phase only when a window repeats within a partition;
+  * cross-partition singletons do reach the shuffle — at 100 TB, budget
+  * shuffle capacity for corpus_chars rows or raise the stride for an
+  * anchored (sampled) variant and extend matches locally.
+  */
+object SubstringDedup {
+
+  /** Maximal duplicated-window spans per document.
+    *
+    * @param docs input with (`idCol`: long, `textCol`: string)
+    * @param l window length in characters (the paper's dedup threshold;
+    *   its token threshold 50 ≈ 200+ chars — fixtures use smaller)
+    * @return (`idCol`, span_start, span_len, n_windows): 1-based char
+    *   offset of the span, its length in chars (windows in one
+    *   consecutive run merge: run of k windows → span of k+L-1 chars),
+    *   and the window count of the run. Documents with no duplicated
+    *   window are absent. Spans from DIFFERENT runs may still overlap
+    *   by < L chars (a gap in window starts shorter than the window);
+    *   [[duplicatedCharStats]] unions them for char accounting. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame = {
+    require(l >= 2, s"window length must be >= 2, got $l")
+    // The explode fans each doc out ~|text| times, so upstream
+    // parallelism is multiplied into the window stream: a small file
+    // that scans as 1-2 partitions would build and shuffle-write
+    // millions of window rows in one task (measured 2.5 s of the 3.2 s
+    // bill at sf0.1). Spreading the DOC rows first costs only the raw
+    // text bytes; a corpus already wider than the session's parallelism
+    // — any real 100 TB layout — skips this branch entirely and never
+    // re-shuffles its text. getNumPartitions is plan metadata, not a job.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    // stride-1 windows; sequence(1, n) needs n >= 1 (descending
+    // sequences are legal in Spark — a length filter, not a guard
+    // expression, keeps short docs out)
+    val wins = spread
+      .filter(length(col(textCol)) >= l)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(1), length(col(textCol)) - lit(l - 1)))
+          .as("pos"),
+        col(textCol).as("__t"))
+      .select(col("id"), col("pos"),
+        expr(s"substring(__t, pos, $l)").as("__w"))
+      .select(col("id"), col("pos"),
+        xxhash64(col("__w")).as("h1"),
+        xxhash64(lit("substr-dedup-2"), col("__w")).as("h2"))
+    // Global window multiplicity. A count window over (h1, h2) would be
+    // ONE shuffle but pays WindowExec's sort + per-group machinery on
+    // millions of single-row groups (measured 3.2 s vs 0.8 s at sf0.1);
+    // duplicated CONTENTS are the rare case (~0.4% of windows in the
+    // fixtures, boilerplate at web scale), so a codegen'd hash aggregate
+    // + semi-join wins: the dup-key table is small enough for AQE to
+    // broadcast the probe (no second shuffle of the window stream), and
+    // when a 100 TB corpus pushes it past the broadcast threshold the
+    // same plan degrades gracefully to a shuffled semi-join. The window
+    // stream is recomputed for the probe side instead of cached — it is
+    // a cheap projection of the scan, and caching corpus_chars rows is
+    // the wrong trade at scale.
+    val dupKeys = wins.groupBy("h1", "h2")
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select("h1", "h2")
+    val dup = wins.join(dupKeys, Seq("h1", "h2"), "left_semi")
+      .select(col("id"), col("pos"))
+    // consecutive duplicated starts merge into one maximal span
+    // (gaps-and-islands: pos - row_number is constant inside a run)
+    val wDoc = Window.partitionBy("id").orderBy("pos")
+    dup
+      .withColumn("__rn", row_number().over(wDoc))
+      .groupBy(col("id"), (col("pos") - col("__rn")).as("__isl"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") - min("pos") + lit(l)).cast("long").as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id").as(idCol), col("span_start"), col("span_len"),
+        col("n_windows"))
+  }
+
+  /** Per-document duplicated-character accounting: how many characters
+    * the ExactSubstr cut pass would touch. Character intervals of
+    * [[duplicatedSpans]] runs are unioned (runs < L apart overlap), so
+    * `dup_chars` is the exact size of the duplicated region.
+    *
+    * @return (`idCol`, n_chars, dup_chars, dup_frac): doc length, chars
+    *   covered by ≥1 duplicated window, and their ratio rounded to 6
+    *   places. Only documents with ≥1 duplicated window appear. */
+  def duplicatedCharStats(docs: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame = {
+    val spans = duplicatedSpans(docs, idCol, textCol, l)
+      .select(col(idCol), col("span_start").as("lo"),
+        (col("span_start") + col("span_len")).as("hi"))
+    val covered = IntervalJoin.unionLength(spans, Seq(idCol), "lo", "hi")
+      .select(col(idCol), col("covered").as("dup_chars"))
+    docs.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
+      .join(covered, Seq(idCol)) // inner: docs without dup windows drop
+      .select(col(idCol), col("n_chars"), col("dup_chars"),
+        round(col("dup_chars").cast("double") / col("n_chars"), 6)
+          .as("dup_frac"))
+  }
+}

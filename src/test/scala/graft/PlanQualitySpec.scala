@@ -594,4 +594,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), s"inertia needs no window:\n$p")
     assert(p.contains("squared_l2"), s"missing fused distance kernel:\n$p")
   }
+
+  test("q191 dup spans: hash-aggregate multiplicity + semi-join probe, " +
+      "no window over the full stream, text never in a shuffle key") {
+    val p = plan(SparkEntry.queries("q191_dup_spans")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"window probe degenerated to a product:\n$p")
+    assert(p.contains("LeftSemi"), s"dup probe must be a semi-join:\n$p")
+    // the multiplicity count is a hash aggregate on the 128-bit hash
+    // pair — a Window over millions of single-row groups is the shape
+    // this operator deliberately avoids (measured 2.4x slower)
+    val spanWindows = "Window".r.findAllIn(p).length
+    assert(spanWindows <= 2,
+      s"full-stream Window crept into the multiplicity count:\n$p")
+    // lang/source stay pruned off the documents scan
+    assert(!p.contains("lang"), s"scan reads pruned columns:\n$p")
+  }
 }
