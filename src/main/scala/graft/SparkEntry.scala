@@ -2419,7 +2419,40 @@ object SparkEntry {
     "q192_dup_chars" -> ((s, dir) =>
       operators.SubstringDedup.duplicatedCharStats(
         t(s, dir, "documents"), "doc_id", "text", SubstrL)),
+
+    // Phrase-blocklist screening (the C4/RefinedWeb badwords pass) via
+    // ONE Aho-Corasick scan per document — per-pattern corpus rollup.
+    // Counts are per-pattern non-overlapping (replace() semantics),
+    // so the oracle reproduces them with pure SQL; "scan" nested
+    // inside "scan slow" exercises the automaton's output links.
+    "q193_blocklist_hits" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(posexplode(functions.TextExpressions.multiMatchCounts(
+          col("text"), BlockPatterns)).as(Seq("pi", "c")))
+        .groupBy("pi")
+        .agg(sum("c").cast("long").as("n_occurrences"),
+          sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_docs"))
+        .select(element_at(typedLit(BlockPatterns), col("pi") + 1)
+          .as("pattern"), col("n_occurrences"), col("n_docs"))),
+
+    // The same scan as the per-document screen a filter pass consumes:
+    // docs with >=1 phrase hit, their total hits + distinct patterns
+    "q194_blocklist_docs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(functions.TextExpressions.multiMatchCounts(
+            col("text"), BlockPatterns)).as(Seq("pi", "c")))
+        .groupBy("doc_id")
+        .agg(sum("c").cast("long").as("n_hits"),
+          sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_patterns"))
+        .filter(col("n_hits") > 0)),
   )
+
+  /** q193/q194 phrase blocklist. "scan" ⊂ "scan slow" is deliberate:
+    * nested patterns must count independently (output links). */
+  private val BlockPatterns = Seq("table part", "scan slow", "scan",
+    "query line", "spark a", "join small", "big vector", "customer fast",
+    "stream window", "sort key", "agg row")
 
   /** q191/q192 ExactSubstr window length (chars). The paper's 50-token
     * threshold is ~200+ chars; fixture docs average ~300 chars, so 40
@@ -2997,7 +3030,30 @@ object SparkEntry {
            |  cov.dup_chars,
            |  round(CAST(cov.dup_chars AS DOUBLE) / length(d.text), 6)
            |    AS dup_frac
-           |FROM documents d JOIN cov ON d.doc_id = cov.doc_id""".stripMargin)
+           |FROM documents d JOIN cov ON d.doc_id = cov.doc_id""".stripMargin,
+
+      // non-overlapping occurrence counts via the replace() length trick
+      // — exactly the engine's greedy left-to-right contract
+      "q193_blocklist_hits" -> BlockPatterns.map { p =>
+        s"""SELECT '$p' AS pattern,
+           |  CAST(sum((length(text) - length(replace(text, '$p', '')))
+           |    // length('$p')) AS BIGINT) AS n_occurrences,
+           |  CAST(sum(CASE WHEN position('$p' IN text) > 0 THEN 1 ELSE 0
+           |    END) AS BIGINT) AS n_docs
+           |FROM documents""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", ""),
+
+      "q194_blocklist_docs" -> {
+        val occ = BlockPatterns.map(p =>
+          s"((length(text) - length(replace(text, '$p', ''))) // length('$p'))")
+          .mkString(" + ")
+        val np = BlockPatterns.map(p =>
+          s"(CASE WHEN position('$p' IN text) > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""SELECT doc_id, CAST($occ AS BIGINT) AS n_hits,
+           |  CAST($np AS BIGINT) AS n_patterns
+           |FROM documents WHERE ($occ) > 0""".stripMargin
+      })
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

@@ -133,6 +133,112 @@ case class RedactCount(child: Expression, blocklist: Seq[String])
   override def prettyName: String = "redact_count"
 }
 
+/** Single-pass multi-pattern substring matching — an Aho–Corasick
+  * automaton over the pattern list, evaluated once per document. The
+  * scalable form of phrase blocklist filtering (C4/RefinedWeb "bad
+  * words" lists run to thousands of multi-word phrases): one O(|text| +
+  * matches) scan regardless of pattern count, where the regex-union
+  * alternative re-scans per pattern and a token-set lookup
+  * ([[RedactCount]]) cannot see multi-word or mid-token phrases.
+  *
+  * Returns one Int per pattern (input order): the count of
+  * NON-OVERLAPPING occurrences, greedy left-to-right — `replace()`
+  * counting semantics, chosen so a SQL oracle can reproduce the numbers
+  * exactly for ANY pattern (all-occurrence counting diverges from
+  * `replace` whenever a pattern can overlap itself). Patterns count
+  * independently: "scan" still matches inside a "scan slow" match.
+  *
+  * The automaton builds lazily per executor from the pattern list the
+  * expression carries (patterns are plan metadata, broadcast with the
+  * serialized plan — no driver-side state, no UDF registry).
+  */
+case class MultiMatchCounts(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with CodegenFallback
+    with ImplicitCastInputTypes {
+
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "patterns must be non-empty strings")
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftInternals.AbstractType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  /** goto/fail/output tables, built once per deserialized expression.
+    * Nodes are dense ints; goto is a per-node char map (patterns are
+    * short ASCII-ish phrases — a HashMap per node beats a 64k array). */
+  @transient private lazy val automaton: (Array[java.util.HashMap[Character, Integer]], Array[Int], Array[Array[Int]]) = {
+    val goto = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val out = scala.collection.mutable.ArrayBuffer(Array.empty[Int])
+    patterns.zipWithIndex.foreach { case (p, pi) =>
+      var node = 0
+      p.foreach { ch =>
+        val next = goto(node).get(ch)
+        node = if (next != null) next.intValue()
+        else {
+          goto += new java.util.HashMap[Character, Integer]()
+          out += Array.empty[Int]
+          goto(node).put(ch, goto.size - 1)
+          goto.size - 1
+        }
+      }
+      out(node) = out(node) :+ pi
+    }
+    val fail = new Array[Int](goto.size)
+    val queue = new java.util.ArrayDeque[Integer]()
+    goto(0).forEach((_, v) => queue.add(v))
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      goto(u).forEach { (ch, v) =>
+        queue.add(v)
+        var f = fail(u)
+        while (f != 0 && !goto(f).containsKey(ch)) f = fail(f)
+        val fNext = goto(f).get(ch)
+        fail(v) = if (fNext != null && fNext != v) fNext.intValue() else 0
+        // output link: matches ending at fail(v) also end at v
+        if (out(fail(v)).nonEmpty) out(v) = out(v) ++ out(fail(v))
+      }
+    }
+    (goto.toArray, fail, out.toArray)
+  }
+
+  @transient private lazy val patLen: Array[Int] = patterns.map(_.length).toArray
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val (goto, fail, out) = automaton
+    val text = input.asInstanceOf[UTF8String].toString
+    val counts = new Array[Int](patterns.size)
+    // per-pattern last accepted match END (exclusive), for the greedy
+    // non-overlap rule: accept a match starting at or after it
+    val lastEnd = new Array[Int](patterns.size)
+    var node = 0
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      while (node != 0 && !goto(node).containsKey(ch)) node = fail(node)
+      val next = goto(node).get(ch)
+      node = if (next != null) next.intValue() else 0
+      val hits = out(node)
+      var h = 0
+      while (h < hits.length) {
+        val pi = hits(h)
+        val start = i + 1 - patLen(pi)
+        if (start >= lastEnd(pi)) {
+          counts(pi) += 1
+          lastEnd(pi) = i + 1
+        }
+        h += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "multi_match_counts"
+}
+
 object TextExpressions {
   import org.apache.spark.sql.GraftInternals.{column, expression}
   def shingles(text: Column, n: Int): Column =
@@ -143,4 +249,6 @@ object TextExpressions {
     column(RedactTokens(expression(text), blocklist, mask))
   def redactCount(text: Column, blocklist: Seq[String]): Column =
     column(RedactCount(expression(text), blocklist))
+  def multiMatchCounts(text: Column, patterns: Seq[String]): Column =
+    column(MultiMatchCounts(expression(text), patterns))
 }
