@@ -2446,6 +2446,49 @@ object SparkEntry {
         .agg(sum("c").cast("long").as("n_hits"),
           sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_patterns"))
         .filter(col("n_hits") > 0)),
+
+    // Pattern-PII scan (the C4/Dolma regex scrubbing pass): per-doc
+    // occurrence counts per PII kind on the raw text. Fixture text is
+    // PII-free word soup, so the scan's subject is a deterministic
+    // "dirty" corpus derived from the SAME tables in both engines
+    // (see piiDirty); zero-, one- and multi-hit rows all occur.
+    "q195_pii_scan" -> ((s, dir) => {
+      val counts = functions.TextFunctions.PiiPatterns.map {
+        case (kind, p) =>
+          functions.TextFunctions.piiCount(col("text"), p)
+            .cast("long").as(s"n_$kind")
+      }
+      piiDirty(s, dir)
+        .select(col("doc_id") +: counts: _*)
+        .withColumn("n_total",
+          col("n_email") + col("n_ipv4") + col("n_phone"))
+    }),
+
+    // The matching redaction pass: every hit masked with its <KIND>
+    // tag, output verified by md5 — one codegen'd projection, the
+    // corpus is scanned once and never shuffled
+    "q196_pii_redact" -> ((s, dir) => {
+      val red = functions.TextFunctions.piiRedact(col("text"))
+      piiDirty(s, dir).select(col("doc_id"),
+        length(red).cast("long").as("red_len"),
+        md5(red.cast("binary")).as("red_md5"))
+    }),
+
+    // Stupid Backoff trigram LM (Brants 2007) trained on the English
+    // slice, scored over the whole corpus — non-English docs walk the
+    // full backoff chain down to the OOV floor
+    "q197_lm_backoff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.LanguageModel.stupidBackoff(
+        d.filter(col("lang") === "en"), d, "doc_id", "text")
+    }),
+
+    // Weighted reservoir sample (A-ES): per-language char-weighted
+    // subsample — longer documents proportionally more likely kept
+    "q198_weighted_sample" -> ((s, dir) =>
+      operators.Curation.weightedSampleKPerGroup(
+        t(s, dir, "documents"), Seq("lang"), "doc_id", "n_chars", 10,
+        "w1")),
   )
 
   /** q193/q194 phrase blocklist. "scan" ⊂ "scan slow" is deliberate:
@@ -2458,6 +2501,60 @@ object SparkEntry {
     * threshold is ~200+ chars; fixture docs average ~300 chars, so 40
     * keeps real positive rates. */
   private val SubstrL = 40
+
+  /** q195/q196 "dirty" corpus: document text prefix + customer contact
+    * fields (email from name+segment, phone/IP from the keys). Every
+    * third/fourth/fifth customer contributes each kind (twelfths get a
+    * second phone), so per-kind counts cover 0, 1 and 2. Joined on
+    * `c_custkey = doc_id` — the customer table always covers the doc-id
+    * range at every sf. The SQL twin is [[piiDirtySql]]; the two MUST
+    * stay field-for-field identical. */
+  private def piiDirty(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select("doc_id", "text")
+    val c = t(s, dir, "customer")
+    val email = concat(lit(" reach "),
+      replace(lower(col("c_name")), lit("#"), lit(".")),
+      lit("@"), lower(col("c_mktsegment")), lit(".example.com"))
+    val phone = concat(lit(" call 555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"))
+    val phone2 = concat(lit(" alt 555-"),
+      lpad(((col("c_custkey") * 7) % 10000).cast("string"), 4, "0"))
+    val ip = concat(lit(" host 10."),
+      (col("c_custkey") % 256).cast("string"), lit("."),
+      (col("c_nationkey") % 200).cast("string"), lit("."),
+      (col("c_custkey") % 250).cast("string"))
+    d.join(c, col("c_custkey") === col("doc_id"))
+      .select(col("doc_id"), concat(
+        substring(col("text"), 1, 64),
+        when(col("c_custkey") % 3 === 0, email).otherwise(lit("")),
+        when(col("c_custkey") % 4 === 0, phone).otherwise(lit("")),
+        when(col("c_custkey") % 12 === 0, phone2).otherwise(lit("")),
+        when(col("c_custkey") % 5 === 0, ip).otherwise(lit(""))
+      ).as("text"))
+  }
+
+  /** SQL twin of [[piiDirty]] (a CTE body named `dirty`). NB: no line
+    * may BEGIN with `||` — this string is interpolated into templates
+    * whose own `.stripMargin` would eat a leading pipe. */
+  private val PiiDirtySql: String =
+    """dirty AS (SELECT d.doc_id,
+      |    substring(d.text, 1, 64) ||
+      |    CASE WHEN c.c_custkey % 3 = 0 THEN ' reach ' ||
+      |         replace(lower(c.c_name), '#', '.') || '@' ||
+      |         lower(c.c_mktsegment) || '.example.com' ELSE '' END ||
+      |    CASE WHEN c.c_custkey % 4 = 0 THEN ' call 555-' ||
+      |         lpad(CAST(c.c_custkey % 10000 AS VARCHAR), 4, '0')
+      |         ELSE '' END ||
+      |    CASE WHEN c.c_custkey % 12 = 0 THEN ' alt 555-' ||
+      |         lpad(CAST((c.c_custkey * 7) % 10000 AS VARCHAR), 4, '0')
+      |         ELSE '' END ||
+      |    CASE WHEN c.c_custkey % 5 = 0 THEN ' host 10.' ||
+      |         CAST(c.c_custkey % 256 AS VARCHAR) || '.' ||
+      |         CAST(c.c_nationkey % 200 AS VARCHAR) || '.' ||
+      |         CAST(c.c_custkey % 250 AS VARCHAR) ELSE '' END
+      |    AS text
+      |  FROM documents d JOIN customer c ON c.c_custkey = d.doc_id)"""
+      .stripMargin
 
   /** q161's k (the DBSCAN paper's 4-dist) and profile depth. */
   private val KDistK = 4
@@ -3053,7 +3150,100 @@ object SparkEntry {
         s"""SELECT doc_id, CAST($occ AS BIGINT) AS n_hits,
            |  CAST($np AS BIGINT) AS n_patterns
            |FROM documents WHERE ($occ) > 0""".stripMargin
-      })
+      },
+
+      // RE2 and Java regex agree on these patterns (leftmost-first, no
+      // lookaround) — counts on the raw dirty text, per kind
+      "q195_pii_scan" -> {
+        val counts = functions.TextFunctions.PiiPatterns.map {
+          case (kind, p) =>
+            s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$kind"
+        }.mkString(",\n  ")
+        s"""WITH $PiiDirtySql
+           |SELECT doc_id,
+           |  $counts,
+           |  CAST(len(regexp_extract_all(text,
+           |      '${functions.TextFunctions.PiiPatterns(0)._2}'))
+           |    + len(regexp_extract_all(text,
+           |      '${functions.TextFunctions.PiiPatterns(1)._2}'))
+           |    + len(regexp_extract_all(text,
+           |      '${functions.TextFunctions.PiiPatterns(2)._2}'))
+           |    AS BIGINT) AS n_total
+           |FROM dirty""".stripMargin
+      },
+
+      "q196_pii_redact" -> {
+        val red = functions.TextFunctions.PiiPatterns.foldLeft("text") {
+          case (acc, (kind, p)) =>
+            s"regexp_replace($acc, '$p', '<${kind.toUpperCase}>', 'g')"
+        }
+        s"""WITH $PiiDirtySql
+           |SELECT doc_id, CAST(length($red) AS BIGINT) AS red_len,
+           |  md5($red) AS red_md5
+           |FROM dirty""".stripMargin
+      },
+
+      // Stupid Backoff: every S is exact-long ratios times IEEE-exact
+      // alpha powers (CAST(0.4 AS DOUBLE) squared multiplies bit-
+      // identically to the engine's lit(0.4*0.4)); fold order of the
+      // per-doc mean is absorbed by round(6), the q74 discipline
+      "q197_lm_backoff" ->
+        """WITH tr AS (SELECT text FROM documents WHERE lang = 'en'),
+          |tw AS (SELECT unnest(string_split(text, ' ')) AS w FROM tr),
+          |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM tw
+          |       GROUP BY w),
+          |nn AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM c1),
+          |bi AS (SELECT unnest(list_transform(range(len(ws) - 1),
+          |         i -> ws[i+1] || ' ' || ws[i+2])) AS bg
+          |       FROM (SELECT string_split(text, ' ') AS ws FROM tr)),
+          |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bi
+          |       GROUP BY bg),
+          |ti AS (SELECT unnest(list_transform(range(len(ws) - 2),
+          |         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+          |         AS tg
+          |       FROM (SELECT string_split(text, ' ') AS ws FROM tr)),
+          |c3 AS (SELECT tg, CAST(count(*) AS BIGINT) AS c3 FROM ti
+          |       GROUP BY tg),
+          |occ AS (SELECT doc_id,
+          |          unnest(list_transform(range(len(ws) - 2),
+          |            i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+          |            AS tg
+          |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+          |              FROM documents)),
+          |sp AS (SELECT doc_id, tg, string_split(tg, ' ') AS p FROM occ),
+          |j AS (SELECT sp.doc_id, c3.c3, c2a.c2 AS c2_12,
+          |        c2b.c2 AS c2_23, c1a.c1 AS c1_2, c1b.c1 AS c1_3, nn.n
+          |      FROM sp
+          |      LEFT JOIN c3 ON sp.tg = c3.tg
+          |      LEFT JOIN c2 c2a ON c2a.bg = p[1] || ' ' || p[2]
+          |      LEFT JOIN c2 c2b ON c2b.bg = p[2] || ' ' || p[3]
+          |      LEFT JOIN c1 c1a ON c1a.w = p[2]
+          |      LEFT JOIN c1 c1b ON c1b.w = p[3], nn)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+          |  round(avg(log2(CASE
+          |    WHEN c3 IS NOT NULL
+          |      THEN CAST(c3 AS DOUBLE) / CAST(c2_12 AS DOUBLE)
+          |    WHEN c2_23 IS NOT NULL
+          |      THEN CAST(0.4 AS DOUBLE)
+          |        * (CAST(c2_23 AS DOUBLE) / CAST(c1_2 AS DOUBLE))
+          |    ELSE (CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE))
+          |      * (CAST(coalesce(c1_3, 1) AS DOUBLE) / CAST(n AS DOUBLE))
+          |    END)), 6) AS sb_score
+          |FROM j GROUP BY doc_id""".stripMargin,
+
+      // A-ES weighted reservoir: identical doubles on both sides —
+      // exact 52-bit uniform, round(ln,9), then one IEEE division
+      "q198_weighted_sample" ->
+        """SELECT lang, doc_id FROM (
+          |  SELECT lang, doc_id,
+          |    row_number() OVER (PARTITION BY lang ORDER BY
+          |      -(round(ln((CAST(CAST('0x' ||
+          |            substr(md5(CAST(doc_id AS VARCHAR) || ':w1'), 1, 13)
+          |          AS BIGINT) AS DOUBLE) + 0.5) / 4503599627370496.0),
+          |          9)
+          |        / CAST(n_chars AS DOUBLE)), doc_id) AS rn
+          |  FROM documents) r
+          |WHERE rn <= 10""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

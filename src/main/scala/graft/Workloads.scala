@@ -61,4 +61,41 @@ object Workloads {
     graft.operators.Dbscan.run(pts, "id", "features", eps, minPts, bDims,
       localThreshold = 0L)
   }
+
+  /** Deterministic synthetic near-dup corpus, generated IN-ENGINE like
+    * [[synthPoints]] (one narrow codegen'd projection, no files):
+    * `templates` base documents of `len` tokens over a `vocab`-word
+    * lexicon; each doc instantiates its hash-assigned template with
+    * `mutPct`% of positions rewritten to a doc-private word. Docs
+    * sharing a template are near-duplicates (expected token overlap
+    * (1 − mutPct/100)² per position); different templates are unrelated
+    * word soup. */
+  def synthDocs(spark: SparkSession, n: Long, templates: Int,
+      docLen: Int, vocab: Int, mutPct: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val id = col("id")
+    val tpl = pmod(xxhash64(id, lit("t")), lit(templates.toLong))
+    val words = (0 until docLen).map { p =>
+      val base = concat(lit("w"),
+        pmod(xxhash64(tpl, lit(p)), lit(vocab.toLong)).cast("string"))
+      val mut = concat(lit("m"),
+        pmod(xxhash64(id, lit(p), lit("m")), lit(vocab.toLong))
+          .cast("string"))
+      when(pmod(xxhash64(id, lit(p), lit("x")), lit(100L)) < mutPct, mut)
+        .otherwise(base)
+    }
+    spark.range(n)
+      .select(id.as("doc_id"), concat_ws(" ", words: _*).as("text"))
+  }
+
+  /** MinHash-LSH near-dup over [[synthDocs]] — the full shingle →
+    * signature → band-bucket → exact-verify pipeline at synthetic
+    * scale (~n/10 docs per template ⇒ the verified pair stream is
+    * ~4.5n rows). Scale-evidence twin of [[dbscanSynth]] for the dedup
+    * family. */
+  def dedupSynth(spark: SparkSession, n: Long): DataFrame =
+    graft.operators.Dedup.minHashJoin(
+      synthDocs(spark, n, templates = math.max((n / 10).toInt, 10),
+        docLen = 60, vocab = 5000, mutPct = 5),
+      "doc_id", "text", n = 5, minJaccard = 0.35)
 }

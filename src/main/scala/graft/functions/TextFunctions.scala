@@ -128,6 +128,34 @@ object TextFunctions {
     size(filter(tokens(text), w => array_contains(bl, w)))
   }
 
+  /** Pattern-PII lexicon for [[piiCount]]/[[piiRedact]] — the regex
+    * scrubbing pass of C4/Dolma-style curation (emails, NANP-ish phone
+    * fragments, dotted-quad IPs). Every pattern is deterministic
+    * leftmost-first in BOTH Java regex and RE2 (no lookaround, no
+    * backreferences), so DuckDB's `regexp_extract_all`/`regexp_replace
+    * (…,'g')` reproduce the engine's matches byte-for-byte. Order
+    * matters for redaction: emails first (their local parts may contain
+    * digit runs a later pattern could nibble), then IPs, then phones. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "ipv4" -> """([0-9]{1,3}\.){3}[0-9]{1,3}""",
+    "phone" -> """[0-9]{3}-[0-9]{4}""",
+  )
+
+  /** Occurrences of one PII pattern (codegen'd `regexp_extract_all`;
+    * count on the RAW text, before any redaction). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Masks every [[PiiPatterns]] hit with `<KIND>` tags, in lexicon
+    * order — one fused chain of global `regexp_replace`s (still a
+    * single codegen'd projection; the text is scanned, never shuffled).
+    * DuckDB twin: nested `regexp_replace(…, 'g')` in the same order. */
+  def piiRedact(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (kind, p)) =>
+      regexp_replace(acc, lit(p), lit(s"<${kind.toUpperCase}>"))
+    }
+
   /** Exact-dup fingerprint: md5 of the raw text (DuckDB `md5(text)` is
     * bit-identical). */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))

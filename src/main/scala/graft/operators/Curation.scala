@@ -217,6 +217,43 @@ object Curation {
       .select(groupCols.map(col) :+ col("_p.id").as(idCol): _*)
   }
 
+  /** Weighted reservoir sampling without replacement (Efraimidis &
+    * Spirakis A-ES): per group, keep the k rows with the largest key
+    * u^(1/w) — equivalently the k largest ln(u)/w — with u a
+    * deterministic salted-hash uniform. The importance-weighted twin of
+    * [[sampleKPerGroup]]: quality- or length-weighted corpus
+    * subsampling where a row's inclusion probability scales with its
+    * weight, still one bounded-heap aggregate (ONE shuffle, k rows of
+    * state per group — no per-group sort at any scale).
+    *
+    * Cross-engine order contract: u = (h52 + 0.5)·2⁻⁵² from the first
+    * 13 md5 hex chars (exact — both terms are powers of two), ln(u)
+    * rounded to 9 decimals BEFORE the weight division so both engines
+    * divide identical doubles (IEEE division is correctly rounded ⇒
+    * identical quotients ⇒ identical order — the q169/q171 rounded-ln
+    * discipline), ties broken by id. SQL twin: `ORDER BY
+    * -(round(ln(u), 9) / CAST(w AS DOUBLE)), id` with `row_number() <=
+    * k`.
+    *
+    * @param wCol positive integer weight column (rows with larger
+    *   weight are proportionally more likely to be kept).
+    * @return one row per kept (group, id). */
+  def weightedSampleKPerGroup(df: DataFrame, groupCols: Seq[String],
+      idCol: String, wCol: String, k: Int, salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(groupCols.nonEmpty, "need at least one group column")
+    val h52 = conv(substring(
+      md5(concat(col(idCol).cast("string"), lit(":"), lit(salt))),
+      1, 13), 16, 10).cast("long")
+    val u = (h52.cast("double") + 0.5) / lit(4503599627370496.0)
+    val score = -(round(log(u), 9) / col(wCol).cast("double"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopKByScore
+        .topkMin(col(idCol).cast("long"), score, k).as("_picks"))
+      .select(groupCols.map(col) :+ explode(col("_picks")).as("_p"): _*)
+      .select(groupCols.map(col) :+ col("_p.id").as(idCol): _*)
+  }
+
   /** Greedy sequence packing: group documents into fixed-token-budget
     * training sequences (first-fit in `idCol` order within each
     * `groupCol` shard) — the sample-packing step that turns a curated

@@ -265,6 +265,82 @@ object LanguageModel {
           col("n_tokens").cast("double"), 6))
   }
 
+  /** Stupid Backoff trigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — THE distributed n-gram
+    * LM: no discounting, no normalization, built for MapReduce-scale
+    * corpora). Trained on `train`, scored over `docs`:
+    *
+    *   S(w3|w1 w2) = c3(w1w2w3)/c2(w1w2)            trigram seen
+    *               = α · c2(w2w3)/c1(w2)             else, bigram seen
+    *               = α² · c1(w3)/N                   else, unigram seen
+    *               = α² · 1/N                        else (OOV floor)
+    *
+    * Per-doc quality = mean log2 S over trigram positions (docs with
+    * < 3 tokens are omitted). Train on a reference slice (CCNet style)
+    * so held-out docs actually exercise the backoff chain.
+    *
+    * Shape: one pass over `train` builds the three count tables (the
+    * token stream is re-read, never shuffled wide — each count is one
+    * grouped aggregate); scoring LEFT-joins the corpus trigram stream
+    * against them on their n-gram keys. Model tables are corpus-
+    * vocabulary-sized — orders of magnitude below the token stream —
+    * and broadcast under AQE; at web scale they hash-partition on the
+    * n-gram key exactly like the paper's sharded LM serving.
+    *
+    * Numerics: every S is a ratio of exact longs times an IEEE-exact α
+    * power — identical doubles in any engine; only the per-doc mean's
+    * fold order is engine-dependent (absorbed by `round`, the q74
+    * discipline).
+    *
+    * @return (idCol, n_trigrams, sb_score). */
+  def stupidBackoff(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, alpha: Double = 0.4, scale: Int = 6): DataFrame = {
+    import graft.functions.TextFunctions.{tokens, shinglesAll}
+    val c1 = train.select(explode(tokens(col(textCol))).as("u_w"))
+      .groupBy("u_w").agg(count(lit(1)).as("u_c"))
+    val n = c1.agg(sum(col("u_c"))).head.getLong(0)
+    require(n > 0, "train corpus has no tokens")
+    val c2 = train.select(explode(shinglesAll(col(textCol), 2)).as("b_g"))
+      .groupBy("b_g").agg(count(lit(1)).as("b_c"))
+    val c3 = train.select(explode(shinglesAll(col(textCol), 3)).as("t_g"))
+      .groupBy("t_g").agg(count(lit(1)).as("t_c"))
+    val occ = docs.select(col(idCol),
+        explode(shinglesAll(col(textCol), 3)).as("tg"))
+      .withColumn("__ws", split(col("tg"), " "))
+      .select(col(idCol), col("tg"),
+        concat_ws(" ", element_at(col("__ws"), 1),
+          element_at(col("__ws"), 2)).as("bg12"),
+        concat_ws(" ", element_at(col("__ws"), 2),
+          element_at(col("__ws"), 3)).as("bg23"),
+        element_at(col("__ws"), 2).as("w2"),
+        element_at(col("__ws"), 3).as("w3"))
+    val joined = occ
+      .join(c3, col("tg") === col("t_g"), "left")
+      .join(c2.withColumnRenamed("b_c", "c2_12"),
+        col("bg12") === col("b_g"), "left").drop("b_g")
+      .join(c2.withColumnRenamed("b_g", "b_g2")
+        .withColumnRenamed("b_c", "c2_23"),
+        col("bg23") === col("b_g2"), "left")
+      .join(c1.withColumnRenamed("u_c", "c1_2"),
+        col("w2") === col("u_w"), "left").drop("u_w")
+      .join(c1.withColumnRenamed("u_w", "u_w3")
+        .withColumnRenamed("u_c", "c1_3"),
+        col("w3") === col("u_w3"), "left")
+    val s3 = col("t_c").cast("double") / col("c2_12").cast("double")
+    val s2 = lit(alpha) *
+      (col("c2_23").cast("double") / col("c1_2").cast("double"))
+    val s1 = lit(alpha * alpha) *
+      (coalesce(col("c1_3"), lit(1L)).cast("double") / lit(n.toDouble))
+    joined
+      .select(col(idCol), log2(
+        when(col("t_c").isNotNull, s3)
+          .when(col("c2_23").isNotNull, s2)
+          .otherwise(s1)).as("__lg"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"),
+        round(avg(col("__lg")), scale).as("sb_score"))
+  }
+
   /** Per-document lexical-diversity profile — the vocabulary-richness
     * quality signals beside entropy (q52) and repetition (q51):
     * type–token ratio (distinct words / words) and the hapax share

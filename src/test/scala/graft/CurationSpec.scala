@@ -130,6 +130,44 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("weightedSampleKPerGroup: A-ES key order, weight bias, invariance") {
+    import org.apache.spark.sql.expressions.Window
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("g", pmod(col("id"), lit(4)).cast("string"))
+      // weights 1 vs 50, alternating WITHIN each id%4 group (id%2 would
+      // be constant per group): heavy rows are ~50x more likely kept
+      .withColumn("w",
+        when(pmod(floor(col("id") / 4), lit(2)) === 0, 50L).otherwise(1L))
+    val got = Curation
+      .weightedSampleKPerGroup(df, Seq("g"), "id", "w", 25, "ws1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.size == 4 * 25)
+    // bit-identical to the window formulation of the same A-ES key
+    val h = conv(substring(
+      md5(concat(col("id").cast("string"), lit(":ws1"))), 1, 13), 16, 10)
+      .cast("long")
+    val key = -(round(log((h.cast("double") + 0.5) / 4503599627370496.0),
+      9) / col("w").cast("double"))
+    val oracle = df
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("g").orderBy(key, col("id"))))
+      .filter(col("rn") <= 25)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got == oracle)
+    // the 50x weight dominates the sample (expected heavy share ~98%)
+    val heavy = got.count(p => (p._2 / 4) % 2 == 0)
+    assert(heavy >= 85, s"expected heavy-weight dominance, got $heavy/100")
+    // physical-layout invariance
+    val repart = Curation
+      .weightedSampleKPerGroup(df.repartition(11), Seq("g"), "id", "w",
+        25, "ws1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == repart)
+    assertThrows[IllegalArgumentException] {
+      Curation.weightedSampleKPerGroup(df, Seq.empty, "id", "w", 5, "s")
+    }
+  }
+
   test("chunkIndices: coverage and overlap arithmetic") {
     def nChunks(nTokens: Int): Long = {
       val txt = (1 to nTokens).map(i => s"t$i").mkString(" ")

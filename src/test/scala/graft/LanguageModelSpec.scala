@@ -128,6 +128,38 @@ class LanguageModelSpec extends SparkSpec {
     assert(eng.zip(drv).forall { case (a, b) => a == b })
   }
 
+  test("stupidBackoff walks the full backoff chain with exact scores") {
+    // train trigrams: "a b c", "b c a", "c a b", "a b d"; N = 6 tokens
+    val train = Seq(0L -> "a b c a b d").toDF("doc_id", "text")
+    val docs = Seq(
+      1L -> "a b c",   // trigram seen: c3=1 / c2("a b")=2
+      2L -> "b c a",   // trigram seen: c3=1 / c2("b c")=1
+      3L -> "x b c",   // backoff to bigram "b c": 0.4 * (1 / c1(b)=2)
+      4L -> "a b x",   // backoff to unigram, x unseen: 0.16 * (1/6)
+      5L -> "a b a",   // unigram "a" seen: 0.16 * (2/6)
+      6L -> "a b")     // no trigram -> omitted
+      .toDF("doc_id", "text")
+    val got = LanguageModel.stupidBackoff(train, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def lg2(x: Double) = StrictMath.log(x) / StrictMath.log(2.0)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val want = Map(
+      1L -> r6(lg2(1.0 / 2.0)),
+      2L -> r6(lg2(1.0 / 1.0)),
+      3L -> r6(lg2(0.4 * (1.0 / 2.0))),
+      4L -> r6(lg2(0.4 * 0.4 * (1.0 / 6.0))),
+      5L -> r6(lg2(0.4 * 0.4 * (2.0 / 6.0))))
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) =>
+      assert(got(id)._1 == 1L)
+      assert(math.abs(got(id)._2 - w) < 2e-6,
+        s"doc $id: ${got(id)._2} vs $w")
+    }
+    // seen text scores strictly better than OOV text
+    assert(got(1L)._2 > got(4L)._2)
+  }
+
   test("pmi: bigram-free and empty corpora yield empty results, not NPE") {
     val single = Seq(1L -> "solo", 2L -> "word").toDF("doc_id", "text")
     assert(LanguageModel.pmi(single, "text", 1).count() == 0)

@@ -35,6 +35,32 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("piiCount/piiRedact find and mask emails, IPs, phone fragments") {
+    val txt = "mail a.b_c%d@host.example.com or x@y.io call 555-1234 " +
+      "alt 010-0007 from 10.0.255.3 end"
+    val Seq(email, ipv4, phone) = TextFunctions.PiiPatterns.map(_._2)
+    val row = one(txt).select(
+      TextFunctions.piiCount(col("text"), email).as("e"),
+      TextFunctions.piiCount(col("text"), ipv4).as("i"),
+      TextFunctions.piiCount(col("text"), phone).as("p"),
+      TextFunctions.piiRedact(col("text")).as("r")).collect()(0)
+    assert(row.getInt(0) == 2 && row.getInt(1) == 1 && row.getInt(2) == 2)
+    assert(row.getString(3) == "mail <EMAIL> or <EMAIL> call <PHONE> " +
+      "alt <PHONE> from <IPV4> end")
+    // a dotted digit run in an email local part must NOT leak an ipv4
+    // hit (redaction order: the email is consumed first), and counts on
+    // the raw text agree because the quad needs three digit-dot repeats
+    val tricky = one("ping customer.000000123@auto.example.com now")
+      .select(TextFunctions.piiCount(col("text"), ipv4).as("i"),
+        TextFunctions.piiRedact(col("text")).as("r")).collect()(0)
+    assert(tricky.getInt(0) == 0)
+    assert(tricky.getString(1) == "ping <EMAIL> now")
+    // clean text passes through untouched
+    val clean = one("no contact info here")
+      .select(TextFunctions.piiRedact(col("text"))).collect()(0)
+    assert(clean.getString(0) == "no contact info here")
+  }
+
   test("redact masks blocklisted tokens and counts occurrences") {
     val bl = Seq("secret", "id")
     val row = one("the secret id is secret done")
