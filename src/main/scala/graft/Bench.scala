@@ -58,6 +58,14 @@ object Bench {
       "dbscan_synth500k" -> (s =>
         Workloads.dbscanSynth(s, 500_000L, k = 25, dims = 5,
           eps = 1.0, minPts = 5)),
+      // scale-evidence twin for the DEDUP family: full MinHash-LSH
+      // (shingle → 64-bit fingerprint → 64-min signature → 16-band
+      // bucket join → exact verify) over 1M in-engine near-dup docs
+      // (60M tokens; ~10 docs per template ⇒ ~2.2M verified pairs).
+      // ~49 s cold at local[32] since the hash-first minhash kernel
+      // (most of the remaining bill is the one-off JIT/codegen warmup:
+      // steady-state is ~30 s — see NOTES_DEV)
+      "minhash_synth1m" -> (s => Workloads.dedupSynth(s, 1_000_000L)),
     ) ++ (
       // 100× the reference's largest dataset, same per-cluster density
       // as the 500k diagnostic (k scales with n, ε-degree stays ~13).

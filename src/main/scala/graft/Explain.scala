@@ -61,6 +61,7 @@ object Explain {
       case "dbscan_synth500k" =>
         Workloads.dbscanSynth(spark, 500_000L, k = 25, dims = 5,
           eps = 1.0, minPts = 5)
+      case "minhash_synth1m" => Workloads.dedupSynth(spark, 1_000_000L)
       case "x_shingles" =>
         spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"),

@@ -87,6 +87,20 @@ object Dedup {
     docs.select(col(idCol).as("id"),
         explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
 
+  /** [[shingleTable]] with each shingle collapsed to its 64-bit
+    * xxhash64 fingerprint (one codegen'd hash in the explode
+    * projection). The minhash pipeline runs entirely on these longs:
+    * signatures re-hash a fixed 8 bytes per seed instead of the ~25-byte
+    * string (the map-side bill at corpus scale), and the verify sets
+    * shuffle 8-byte elements. Jaccard over fingerprints == Jaccard over
+    * strings up to a ~n²/2⁶⁵ collision (which could only ever MERGE two
+    * distinct shingles — never split). */
+  private def hashedShingleTable(docs: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(TextFunctions.shingles(col(textCol), n)).as("__s"))
+      .select(col("id"), xxhash64(col("__s")).as("shingle"))
+
   /** Decontamination: flag training documents that share any word-n-gram
     * with a benchmark/eval corpus — the standard guard against test-set
     * leakage into training data (n-gram overlap decontamination as used by
@@ -461,9 +475,10 @@ object Dedup {
         "bands > k would make every band key an empty slice — all-pairs, " +
         "not LSH")
     val rowsPerBand = k / bands
-    // shingle table feeds signatures, sizes AND verification — materialize
-    // once (it is also the single most expensive scan: parse + explode)
-    val sh = shingleTable(docs, idCol, textCol, n).persist()
+    // hashed shingle table feeds signatures, sizes AND verification —
+    // materialize once (it is also the single most expensive scan:
+    // parse + explode + fingerprint)
+    val sh = hashedShingleTable(docs, idCol, textCol, n).persist()
     // signatures are consumed twice by the LSH band self-join — persist, or
     // the k-wide min-agg (k × xxhash64 per shingle) runs once per side
     val sigs = minHashSignatures(sh, k).persist()
@@ -498,12 +513,14 @@ object Dedup {
     * choice. Build once, `write.parquet` — ingest batches then dedup
     * against the store without ever re-reading corpus text (the
     * build-once / serve-many shape of [[AnnSearch.ivfTopKPrebuilt]]).
-    * @return (`id`, `sig`: array<long>, `toks`: array<string>). */
+    * @return (`id`, `sig`: array<long>, `toks`: array<long> — the
+    *   distinct shingle FINGERPRINTS; rebuild any pre-hash-first index
+    *   before probing it with this version). */
   def minHashIndex(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int = 64): DataFrame = {
-    // the shingle table feeds signatures AND sets — cache for the build
-    // (released via ContextCleaner once the index is materialized)
-    val sh = shingleTable(docs, idCol, textCol, n).persist()
+    // the hashed shingle table feeds signatures AND sets — cache for the
+    // build (released via ContextCleaner once the index is materialized)
+    val sh = hashedShingleTable(docs, idCol, textCol, n).persist()
     minHashSignatures(sh, k).join(
       sh.groupBy("id").agg(collect_list(col("shingle")).as("toks")), "id")
   }

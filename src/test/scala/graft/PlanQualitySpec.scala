@@ -151,6 +151,10 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q37/q39/q40 are fully narrow: no exchange, pruned scans") {
+    // the session is shared across suites and DedupSpec persists the
+    // full documents table — a cached unpruned relation would mask the
+    // column-pruning assertion below (order-dependent flake otherwise)
+    spark.catalog.clearCache()
     // per-row curation ops (redaction, hash split, chunking) must compile
     // to shuffle-free pipelines — at 100 TB, an accidental exchange here
     // would dwarf the actual work
