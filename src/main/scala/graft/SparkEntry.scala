@@ -2489,6 +2489,13 @@ object SparkEntry {
       operators.Curation.weightedSampleKPerGroup(
         t(s, dir, "documents"), Seq("lang"), "doc_id", "n_chars", 10,
         "w1")),
+
+    // Good–Turing frequency-of-frequencies over corpus TRIGRAM types
+    // (the fixture's closed word vocabulary has no low-count tail;
+    // trigrams do — the LM-smoothing regime the table exists for)
+    "q199_count_of_counts" -> ((s, dir) =>
+      operators.LanguageModel.countOfCounts(
+        t(s, dir, "documents"), "text", 10, n = 3)),
   )
 
   /** q193/q194 phrase blocklist. "scan" ⊂ "scan slow" is deliberate:
@@ -3243,7 +3250,21 @@ object SparkEntry {
           |          9)
           |        / CAST(n_chars AS DOUBLE)), doc_id) AS rn
           |  FROM documents) r
-          |WHERE rn <= 10""".stripMargin)
+          |WHERE rn <= 10""".stripMargin,
+
+      "q199_count_of_counts" ->
+        """WITH wc AS (SELECT w, count(*) AS c FROM (
+          |    SELECT unnest(list_transform(range(len(ws) - 2),
+          |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS w
+          |    FROM (SELECT string_split(text, ' ') AS ws
+          |          FROM documents) d) t GROUP BY w),
+          |nr AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
+          |       FROM wc GROUP BY c)
+          |SELECT a.r, a.n_r,
+          |  round((a.r + 1) * CAST(b.n_r AS DOUBLE)
+          |    / CAST(a.n_r AS DOUBLE), 6) AS r_star
+          |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
+          |WHERE a.r <= 10""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

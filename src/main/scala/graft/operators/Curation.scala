@@ -254,6 +254,25 @@ object Curation {
       .select(groupCols.map(col) :+ col("_p.id").as(idCol): _*)
   }
 
+  /** Scalar twin of [[weightedSampleKPerGroup]]'s A-ES key, for the
+    * streaming reservoir's driver-free state updates
+    * ([[graft.streaming.EventPipeline.weightedSampleStream]]): MUST
+    * track the Column formulation bit-for-bit — md5 52-bit uniform,
+    * StrictMath.log (what Spark's codegen'd `log` calls; `Math.log` is
+    * an intrinsic that can differ by 1 ulp), `BigDecimal.valueOf`
+    * HALF_UP rounding (what Spark's `round` does for doubles), one IEEE
+    * division. Spec-enforced equal via the stream-vs-batch twin. */
+  private[graft] def aesScore(id: Long, w: Long, salt: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$id:$salt".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 13), 16)
+    val u = (h + 0.5) / 4503599627370496.0
+    val lnu = java.math.BigDecimal.valueOf(StrictMath.log(u))
+      .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+    -(lnu / w.toDouble)
+  }
+
   /** Greedy sequence packing: group documents into fixed-token-budget
     * training sequences (first-fit in `idCol` order within each
     * `groupCol` shard) — the sample-packing step that turns a curated

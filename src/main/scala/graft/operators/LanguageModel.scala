@@ -228,6 +228,47 @@ object LanguageModel {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Good–Turing frequency-of-frequencies: N_r = number of distinct
+    * words occurring exactly r times, for r ≤ maxR, with the classic
+    * Good–Turing adjusted count r* = (r+1)·N_{r+1}/N_r (null where
+    * N_{r+1} = 0) — the smoothing table behind Katz/GT-discounted LMs
+    * and the standard vocabulary-growth diagnostic (N_1/N estimates the
+    * unseen-mass).
+    *
+    * Shape: ONE token shuffle builds the vocabulary count table; N_r is
+    * a second aggregate over the vocabulary (≪ tokens), and r* is a
+    * self-join of that tiny table on r+1 — broadcast under AQE.
+    * Numerics: r* = exact-integer ratio in one fixed-order double
+    * expression, rounded.
+    *
+    * @param n n-gram order the table is computed over (1 = words; use a
+    *   higher order when the word vocabulary has no low-count tail, as
+    *   with small closed vocabularies).
+    * @return (r, n_r, r_star) for every occupied r ≤ maxR. */
+  def countOfCounts(docs: DataFrame, textCol: String, maxR: Int,
+      n: Int = 1, scale: Int = 6): DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1, got $maxR")
+    require(n >= 1, s"n must be >= 1, got $n")
+    val units =
+      if (n == 1)
+        docs.select(
+          explode(graft.functions.TextFunctions.tokens(col(textCol)))
+            .as("w"))
+      else
+        docs.select(
+          explode(graft.functions.TextFunctions
+            .shinglesAll(col(textCol), n)).as("w"))
+    val nr = units
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .groupBy(col("c").as("r")).agg(count(lit(1)).as("n_r"))
+    nr.filter(col("r") <= maxR)
+      .join(nr.select((col("r") - 1).as("r"), col("n_r").as("n_r1")),
+        Seq("r"), "left")
+      .select(col("r"), col("n_r"),
+        round((col("r") + 1).cast("double") * col("n_r1").cast("double")
+          / col("n_r").cast("double"), scale).as("r_star"))
+  }
+
   /** Per-document out-of-vocabulary rate under the corpus's own top-K
     * vocabulary — the tokenizer-coverage screen ("how much of each doc
     * would map to <unk>"), the fixed-vocab complement of the fertility

@@ -220,6 +220,49 @@ object EventPipeline {
       }
   }
 
+  case class WeightedDoc(g: String, id: Long, w: Long)
+  case class ReservoirBuf(ids: Seq[Long], scores: Seq[Double])
+  case class Reservoir(g: String, ids: Seq[Long])
+
+  /** Streaming twin of
+    * [[graft.operators.Curation.weightedSampleKPerGroup]]: a per-group
+    * A-ES weighted reservoir maintained across micro-batches with
+    * `flatMapGroupsWithState` — continuous importance-weighted corpus
+    * subsampling over an ingest stream. State is BOUNDED: exactly the
+    * current k (id, score) pairs per group, folded through the same
+    * [[graft.functions.TopKByScore.Heap]] the batch aggregate uses, with
+    * scores from the scalar A-ES key twin (`Curation.aesScore`). Because
+    * the key is deterministic per id and min-k is an associative,
+    * arrival-order-free fold, the reservoir after ANY prefix of the
+    * stream equals the batch operator over the rows seen so far —
+    * micro-batch boundaries are semantics-free (spec-enforced).
+    *
+    * Update mode: each batch re-emits the groups it touched with their
+    * full current reservoir (latest row per group = current sample). */
+  def weightedSampleStream(rows: Dataset[WeightedDoc], k: Int,
+      salt: String): Dataset[Reservoir] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.g)
+      .flatMapGroupsWithState[ReservoirBuf, Reservoir](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[WeightedDoc],
+            state: GroupState[ReservoirBuf]) =>
+          val heap = new graft.functions.TopKByScore.Heap(k)
+          state.getOption.foreach { s =>
+            s.ids.lazyZip(s.scores).foreach((i, sc) => heap.push(i, sc))
+          }
+          it.foreach { r =>
+            heap.push(r.id, graft.operators.Curation.aesScore(r.id, r.w,
+              salt))
+          }
+          val kept = heap.sortedAsc
+          state.update(ReservoirBuf(kept.map(_._1).toSeq,
+            kept.map(_._2).toSeq))
+          Iterator(Reservoir(g, kept.map(_._1).toSeq))
+      }
+  }
+
   /** Streaming incremental near-dup ingest: every micro-batch of new
     * documents is LSH-screened and exact-verified against a static
     * [[graft.operators.Dedup.minHashIndex]] via `foreachBatch` — the

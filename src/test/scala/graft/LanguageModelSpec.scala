@@ -160,6 +160,22 @@ class LanguageModelSpec extends SparkSpec {
     assert(got(1L)._2 > got(4L)._2)
   }
 
+  test("countOfCounts: hand-checked N_r and Good-Turing r*") {
+    val docs = Seq(1L -> "a a a b b c", 2L -> "d d e").toDF("doc_id", "text")
+    // counts: a=3, d=2, b=2, c=1, e=1 -> N_1=2, N_2=2, N_3=1
+    val got = LanguageModel.countOfCounts(docs, "text", 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(got == Map(
+      1L -> (2L, Some(2.0)),   // r*=2*N_2/N_1 = 2*2/2
+      2L -> (2L, Some(1.5)),   // r*=3*N_3/N_2 = 3*1/2
+      3L -> (1L, None)))       // N_4 = 0 -> null
+    assertThrows[IllegalArgumentException] {
+      LanguageModel.countOfCounts(docs, "text", 0)
+    }
+  }
+
   test("pmi: bigram-free and empty corpora yield empty results, not NPE") {
     val single = Seq(1L -> "solo", 2L -> "word").toDF("doc_id", "text")
     assert(LanguageModel.pmi(single, "text", 1).count() == 0)

@@ -268,6 +268,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming weighted reservoir == batch A-ES sample, any batching") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // 120 rows over 3 groups, weights alternating 40/1 within each group
+    val all = (0L until 120L).map(i =>
+      EventPipeline.WeightedDoc((i % 3).toString, i,
+        if ((i / 3) % 2 == 0) 40L else 1L))
+    val mem = MemoryStream[EventPipeline.WeightedDoc]
+    val q = EventPipeline.weightedSampleStream(mem.toDS(), 5, "rs1")
+      .writeStream.format("memory").queryName("reservoir_out")
+      .outputMode("update").start()
+    try {
+      // deliberately uneven batching — state must make it order-free
+      mem.addData(all.take(50): _*)
+      q.processAllAvailable()
+      // mid-stream check: reservoir == batch operator over the prefix
+      // memory sink keeps batch append order; later rows overwrite
+      // earlier ones in the fold = latest reservoir per group
+      def latest(): Map[String, Set[Long]] = spark.table("reservoir_out")
+        .collect().foldLeft(Map.empty[String, Set[Long]]) { (m, r) =>
+          m + (r.getString(0) -> r.getSeq[Long](1).toSet)
+        }
+      def batchOn(rows: Seq[EventPipeline.WeightedDoc]) =
+        graft.operators.Curation.weightedSampleKPerGroup(
+          rows.toDF("g", "id", "w"), Seq("g"), "id", "w", 5, "rs1")
+          .collect().groupBy(_.getString(0))
+          .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      assert(latest() == batchOn(all.take(50)))
+      mem.addData(all.drop(50): _*)
+      q.processAllAvailable()
+      assert(latest() == batchOn(all))
+    } finally q.stop()
+  }
+
   test("streaming CDC latest-wins state == batch Cdc.latestWins") {
     val spark2 = spark
     import spark2.implicits._
