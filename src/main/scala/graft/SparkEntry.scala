@@ -2496,7 +2496,44 @@ object SparkEntry {
     "q199_count_of_counts" -> ((s, dir) =>
       operators.LanguageModel.countOfCounts(
         t(s, dir, "documents"), "text", 10, n = 3)),
+
+    // One-pass PCA statistics: covariance of the first 16 embedding
+    // dims via the CovMoments typed aggregate (no d^2 row explode —
+    // only the few-KB moment buffers ever move)
+    "q200_pca_cov" -> ((s, dir) =>
+      operators.Pca.covariance(t(s, dir, "embeddings"), "embedding",
+        PcaD)),
   )
+
+  /** q200's dimension count (the oracle enumerates d(d+1)/2 pair sums —
+    * 16 keeps the generated SQL reviewable; the ENGINE aggregate runs
+    * any d). */
+  private val PcaD = 16
+
+  /** q200's oracle: the same quantized moment sums (exact integers in
+    * any engine/order), closed per pair by the same fixed-order double
+    * expression as `Pca.covariance`. */
+  private def pcaCovOracle: String = {
+    val d = PcaD
+    val sums = (0 until d).map(i =>
+      s"""CAST(sum(CAST(round(CAST(embedding[${i + 1}] AS DOUBLE)
+         |    * 1048576.0) AS BIGINT)) AS BIGINT) AS s_$i""".stripMargin) ++
+      (for { i <- 0 until d; j <- i until d } yield
+        s"""CAST(sum(CAST(round(CAST(embedding[${i + 1}] AS DOUBLE)
+           |    * CAST(embedding[${j + 1}] AS DOUBLE)
+           |    * 1048576.0) AS BIGINT)) AS BIGINT) AS sp_${i}_$j"""
+          .stripMargin)
+    val rows = for { i <- 0 until d; j <- i until d } yield
+      s"""SELECT $i AS i, $j AS j,
+         |  round(CAST(sp_${i}_$j AS DOUBLE) / n / 1048576.0
+         |    - (CAST(s_$i AS DOUBLE) / n / 1048576.0)
+         |      * (CAST(s_$j AS DOUBLE) / n / 1048576.0), 9) AS cov
+         |FROM m""".stripMargin
+    s"""WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+       |  ${sums.mkString(",\n  ")}
+       |  FROM embeddings)
+       |${rows.mkString("\nUNION ALL\n")}""".stripMargin
+  }
 
   /** q193/q194 phrase blocklist. "scan" ⊂ "scan slow" is deliberate:
     * nested patterns must count independently (output links). */
@@ -3264,7 +3301,9 @@ object SparkEntry {
           |  round((a.r + 1) * CAST(b.n_r AS DOUBLE)
           |    / CAST(a.n_r AS DOUBLE), 6) AS r_star
           |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
-          |WHERE a.r <= 10""".stripMargin)
+          |WHERE a.r <= 10""".stripMargin,
+
+      "q200_pca_cov" -> pcaCovOracle)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
