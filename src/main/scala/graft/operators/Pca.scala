@@ -82,7 +82,21 @@ object Pca {
     * matvec and norm folds in index order, no convergence early-exit.
     * @return (eigenvalue, eigenvector of length d). */
   def topComponent(emb: DataFrame, vecCol: String, d: Int,
-      iters: Int = 50): (Double, Array[Double]) = {
+      iters: Int = 50): (Double, Array[Double]) =
+    topComponents(emb, vecCol, d, k = 1, iters = iters).head
+
+  /** Top `k` principal components by power iteration with Hotelling
+    * deflation (C ← C − λ v vᵀ after each recovered component) on the
+    * same single-pass moment buffer as [[topComponent]] — ONE corpus
+    * read for any k. Deterministic for the same reasons; components
+    * come back eigenvalue-descending, each with the leading-coordinate
+    * sign convention. Accuracy degrades for near-equal eigenvalues
+    * (power iteration's usual limit) — fine for the dominant-direction
+    * uses this serves (whitening, drift axes, visualization).
+    * @return (eigenvalue, component) pairs, length k. */
+  def topComponents(emb: DataFrame, vecCol: String, d: Int, k: Int,
+      iters: Int = 100): Seq[(Double, Array[Double])] = {
+    require(k >= 1 && k <= d, s"need 1 <= k <= d, got k=$k d=$d")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val buf = emb.agg(moments(col(vecCol), d).as("m"))
       .head.getSeq[Long](0).toArray
@@ -90,13 +104,30 @@ object Pca {
     require(n > 0, "empty input")
     val cov = Array.ofDim[Double](d, d)
     for (i <- 0 until d; j <- i until d) {
-      val sij = buf(1 + d + pairPos(i, j, d)).toDouble
-      val si = buf(1 + i).toDouble
-      val sj = buf(1 + j).toDouble
-      val c = sij / n / Scale - (si / n / Scale) * (sj / n / Scale)
+      val c = buf(1 + d + pairPos(i, j, d)).toDouble / n / Scale -
+        (buf(1 + i).toDouble / n / Scale) *
+          (buf(1 + j).toDouble / n / Scale)
       cov(i)(j) = c
       cov(j)(i) = c
     }
+    (0 until k).map { _ =>
+      val (lambda, v) = powerIterate(cov, iters)
+      // deflate: C -= lambda * v v^T
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { cov(i)(j) -= lambda * v(i) * v(j); j += 1 }
+        i += 1
+      }
+      (lambda, v)
+    }
+  }
+
+  /** Fixed-count power iteration on a dense symmetric matrix (index-
+    * ordered folds, 1/√d init, leading-coordinate sign fix). */
+  private def powerIterate(cov: Array[Array[Double]],
+      iters: Int): (Double, Array[Double]) = {
+    val d = cov.length
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     var lambda = 0.0
     var it = 0
@@ -111,17 +142,16 @@ object Pca {
         i += 1
       }
       var nrm2 = 0.0
-      var k = 0
-      while (k < d) { nrm2 += w(k) * w(k); k += 1 }
+      var q = 0
+      while (q < d) { nrm2 += w(q) * w(q); q += 1 }
       val nrm = math.sqrt(nrm2)
       require(nrm > 0, "power iteration collapsed to the zero vector")
       var m = 0
       while (m < d) { w(m) = w(m) / nrm; m += 1 }
-      lambda = nrm // ||C v|| -> top eigenvalue as v converges
+      lambda = nrm
       v = w
       it += 1
     }
-    // sign convention: first nonzero coordinate positive
     val lead = v.indexWhere(_ != 0.0)
     if (lead >= 0 && v(lead) < 0) {
       var i = 0

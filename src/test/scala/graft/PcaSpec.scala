@@ -67,6 +67,31 @@ class PcaSpec extends SparkSpec {
     assert(l2 == lambda && v2.sameElements(v))
   }
 
+  test("topComponents: deflation recovers two planted orthogonal axes") {
+    val d = 6
+    // two orthogonal planted directions with well-separated variances
+    val u1 = Array(1.0, 1.0, 0.0, 0.0, 0.0, 0.0).map(_ / math.sqrt(2.0))
+    val u2 = Array(0.0, 0.0, 1.0, -1.0, 0.0, 0.0).map(_ / math.sqrt(2.0))
+    val rows = (0 until 600).map { i =>
+      val t1 = u(i, 7) * 3.0  // dominant axis
+      val t2 = u(i, 8) * 1.0  // secondary axis
+      Array.tabulate(d)(k =>
+        (t1 * u1(k) + t2 * u2(k) + u(i, k + 20) * 0.03).toFloat)
+    }
+    val comps = Pca.topComponents(mkDf(rows), "embedding", d, k = 2)
+    assert(comps.size == 2)
+    val Seq((l1, v1), (l2, v2)) = comps
+    assert(l1 > l2 && l2 > 0, s"eigenvalues not descending: $l1, $l2")
+    def cos(a: Array[Double], b: Array[Double]) =
+      math.abs(a.zip(b).map { case (x, y) => x * y }.sum)
+    assert(cos(v1, u1) > 0.99, s"first axis misaligned: ${cos(v1, u1)}")
+    assert(cos(v2, u2) > 0.99, s"second axis misaligned: ${cos(v2, u2)}")
+    assert(cos(v1, v2) < 0.02, "components not orthogonal")
+    assertThrows[IllegalArgumentException] {
+      Pca.topComponents(mkDf(rows), "embedding", d, k = d + 1)
+    }
+  }
+
   test("project: hand-checked dot products against the component") {
     val df = mkDf(Seq(Array(1f, 0f, 2f), Array(0.5f, 1f, -1f)))
     val got = Pca.project(df, "vec_id", "embedding",

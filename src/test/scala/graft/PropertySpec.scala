@@ -211,6 +211,78 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("property: piiRedact is idempotent and piiCounts bound the masks") {
+    import graft.functions.TextFunctions
+    val wordGen = Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(6)),
+      Gen.const("a.b@x.io"), Gen.const("10.0.0.1"),
+      Gen.const("555-1234"), Gen.const("call 020-99887"),
+      Gen.const("x@y"), Gen.const("1.2.3"), Gen.const("12-345"))
+    val textGen = Gen.listOf(wordGen).map(_.mkString(" "))
+    check("pii", 12)(Prop.forAll(textGen) { txt =>
+      val df = spark.createDataFrame(Seq(Tuple1(txt))).toDF("text")
+      val cols = TextFunctions.piiRedact(col("text")).as("r") +:
+        TextFunctions.PiiPatterns.map { case (k, p) =>
+          TextFunctions.piiCount(col("text"), p).as(k)
+        }
+      val r = df.select(cols: _*).collect()(0)
+      val red = r.getString(0)
+      // idempotent: a second pass finds nothing new
+      val twice = spark.createDataFrame(Seq(Tuple1(red))).toDF("text")
+        .select(TextFunctions.piiRedact(col("text"))).collect()(0)
+        .getString(0)
+      // counts on the RAW text upper-bound the masks actually placed
+      // (earlier patterns can consume a later pattern's match)
+      val masks = Seq("<EMAIL>", "<IPV4>", "<PHONE>").map(m =>
+        red.sliding(m.length).count(_ == m)).sum
+      val counts = (1 to 3).map(r.getInt).sum
+      twice == red && masks <= counts
+    })
+  }
+
+  test("property: A-ES sample is exact-k, deterministic, weight-monotone") {
+    import graft.operators.Curation
+    val gen = for {
+      n <- Gen.choose(30, 120)
+      k <- Gen.choose(1, 10)
+      ws <- Gen.listOfN(n, Gen.choose(1L, 50L))
+    } yield (k, ws.zipWithIndex.map { case (w, i) => (i.toLong, w) })
+    check("aes", 8)(Prop.forAll(gen) { case (k, rows) =>
+      val df = spark.createDataFrame(rows).toDF("id", "w")
+        .withColumn("g", lit("all"))
+      val got = Curation
+        .weightedSampleKPerGroup(df, Seq("g"), "id", "w", k, "p1")
+        .collect().map(_.getLong(1)).toSet
+      val again = Curation
+        .weightedSampleKPerGroup(df.repartition(5), Seq("g"), "id", "w",
+          k, "p1")
+        .collect().map(_.getLong(1)).toSet
+      // scalar-twin cross-check: the batch pick == driver A-ES fold
+      val brute = rows.sortBy { case (id, w) =>
+        (Curation.aesScore(id, w, "p1"), id)
+      }.take(k).map(_._1).toSet
+      got.size == math.min(k, rows.size) && got == again && got == brute
+    })
+  }
+
+  test("property: Good-Turing mass identity Σ r·N_r == token count") {
+    import graft.operators.LanguageModel
+    val docGen = Gen.listOfN(8,
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
+        .map(_.mkString(" "))).map(_.filter(_.nonEmpty))
+    check("gt-mass", 8)(Prop.forAll(docGen) { texts =>
+      texts.isEmpty || {
+        val df = spark.createDataFrame(
+          texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+          .toDF("doc_id", "text")
+        val nr = LanguageModel.countOfCounts(df, "text", Int.MaxValue)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val tokens = texts.map(_.split(" ", -1).length).sum
+        nr.map { case (r, n) => r * n }.sum == tokens
+      }
+    })
+  }
+
   test("property: PSI total is non-negative over two-sided bins") {
     val binsGen = for {
       k <- Gen.choose(2, 8)
