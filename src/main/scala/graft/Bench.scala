@@ -66,6 +66,14 @@ object Bench {
       // (most of the remaining bill is the one-off JIT/codegen warmup:
       // steady-state is ~30 s — see NOTES_DEV)
       "minhash_synth1m" -> (s => Workloads.dedupSynth(s, 1_000_000L)),
+      // scale-evidence twin for the GRAPH family: forced-distributed
+      // PageRank (10 BSP rounds of out-degree join + contribution
+      // shuffle) over 10M in-engine edges / 1M nodes with hub skew —
+      // ~100x the sf0.1 relational graphs (~29 s; scales gently from
+      // 2M edges at ~21 s: the round loop, not the edge volume, is
+      // the local-mode floor a real cluster overlaps away)
+      "pagerank_synth10m" -> ((s: SparkSession) =>
+        Workloads.pagerankSynth(s, 10_000_000L, 1_000_000L)),
     ) ++ (
       // 100× the reference's largest dataset, same per-cluster density
       // as the 500k diagnostic (k scales with n, ε-degree stays ~13).

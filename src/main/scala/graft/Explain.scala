@@ -62,6 +62,10 @@ object Explain {
         Workloads.dbscanSynth(spark, 500_000L, k = 25, dims = 5,
           eps = 1.0, minPts = 5)
       case "minhash_synth1m" => Workloads.dedupSynth(spark, 1_000_000L)
+      case "pagerank_synth2m" =>
+        Workloads.pagerankSynth(spark, 2_000_000L, 200_000L)
+      case "pagerank_synth10m" =>
+        Workloads.pagerankSynth(spark, 10_000_000L, 1_000_000L)
       case "x_shingles" =>
         spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"),

@@ -2503,6 +2503,20 @@ object SparkEntry {
     "q200_pca_cov" -> ((s, dir) =>
       operators.Pca.covariance(t(s, dir, "embeddings"), "embedding",
         PcaD)),
+
+    // Classical additive seasonal decomposition of the daily revenue
+    // series per event type (period 7 = day-of-week)
+    "q201_seasonal" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(col("event_type"), eventMs(ev).as("ms"), col("value"))
+        .select(col("event_type"), expr("ms DIV 86400000").as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type", "day")
+        .agg(sum(col("c")).as("cents"))
+      operators.TimeSeries.decompose(daily, Seq("event_type"), "day",
+        col("cents"), period = 7)
+    }),
   )
 
   /** q200's dimension count (the oracle enumerates d(d+1)/2 pair sums —
@@ -3303,7 +3317,44 @@ object SparkEntry {
           |FROM nr a LEFT JOIN nr b ON b.r = a.r + 1
           |WHERE a.r <= 10""".stripMargin,
 
-      "q200_pca_cov" -> pcaCovOracle)
+      "q200_pca_cov" -> pcaCovOracle,
+
+      // exact-integer window/phase/global sums; each output closes in
+      // the same fixed-order double expression as the engine
+      "q201_seasonal" ->
+        """WITH daily AS (
+          |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+          |    CAST(sum(round(value * 100)) AS BIGINT) AS cents
+          |  FROM events GROUP BY 1, 2),
+          |tr AS (
+          |  SELECT event_type, day, cents,
+          |    CAST(sum(cents) OVER w AS BIGINT) AS s,
+          |    count(*) OVER w AS n
+          |  FROM daily
+          |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+          |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+          |tw AS (SELECT *, cents * 7 - s AS num, day % 7 AS phase
+          |       FROM tr WHERE n = 7),
+          |ph AS (SELECT event_type, phase,
+          |    CAST(sum(num) AS BIGINT) AS pnum,
+          |    CAST(count(*) AS BIGINT) AS pn
+          |  FROM tw GROUP BY 1, 2),
+          |gl AS (SELECT event_type,
+          |    CAST(sum(num) AS BIGINT) AS gnum,
+          |    CAST(count(*) AS BIGINT) AS gn
+          |  FROM tw GROUP BY 1)
+          |SELECT t.event_type, t.day, t.cents AS val_int,
+          |  round(CAST(t.s AS DOUBLE) / 7, 6) AS trend,
+          |  round(CAST(p.pnum AS DOUBLE) / CAST(p.pn * 7 AS DOUBLE)
+          |    - CAST(g.gnum AS DOUBLE) / CAST(g.gn * 7 AS DOUBLE), 6)
+          |    AS seasonal,
+          |  round(CAST(t.num AS DOUBLE) / 7
+          |    - (CAST(p.pnum AS DOUBLE) / CAST(p.pn * 7 AS DOUBLE)
+          |       - CAST(g.gnum AS DOUBLE) / CAST(g.gn * 7 AS DOUBLE)), 6)
+          |    AS remainder
+          |FROM tw t
+          |JOIN ph p ON p.event_type = t.event_type AND p.phase = t.phase
+          |JOIN gl g ON g.event_type = t.event_type""".stripMargin)
   }
 
   private def oracleSqlBase: Map[String, String] = Map(

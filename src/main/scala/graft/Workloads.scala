@@ -88,6 +88,34 @@ object Workloads {
       .select(id.as("doc_id"), concat_ws(" ", words: _*).as("text"))
   }
 
+  /** Deterministic synthetic power-law-ish directed graph, generated
+    * IN-ENGINE: `m` edges over `nodes` vertices; destinations
+    * concentrate on low ids (hash of hash — a crude preferential
+    * skew), sources near-uniform. The graph-family scale workload
+    * generator. */
+  def synthEdges(spark: SparkSession, m: Long, nodes: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val id = col("id")
+    val src = pmod(xxhash64(id, lit("s")), lit(nodes))
+    // skew: second hash squashes toward 0 (x*x/n keeps range, favors
+    // small values) — hubs receive many in-edges like a web graph
+    val h = pmod(xxhash64(id, lit("d")), lit(nodes))
+    val dst = (h * h) % lit(nodes)
+    spark.range(m).select(src.as("src"), dst.as("dst"))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  /** Forced-distributed PageRank over [[synthEdges]] — the BSP loop
+    * (out-degree join + contribution shuffle per round) at a scale
+    * where per-round orchestration stops mattering; scale-evidence
+    * twin of [[dbscanSynth]] for the graph family. */
+  def pagerankSynth(spark: SparkSession, m: Long, nodes: Long,
+      iterations: Int = 10): DataFrame = {
+    val e = synthEdges(spark, m, nodes).persist()
+    graft.operators.PageRank.run(e, "src", "dst",
+      iterations = iterations, localThreshold = 0L)
+  }
+
   /** MinHash-LSH near-dup over [[synthDocs]] — the full shingle →
     * signature → band-bucket → exact-verify pipeline at synthetic
     * scale (~n/10 docs per template ⇒ the verified pair stream is

@@ -375,6 +375,66 @@ object TimeSeries {
       .drop("__sa", "__sb", "__ssa", "__ssb", "__sp")
   }
 
+  /** Classical additive seasonal decomposition (the STL-lite every
+    * metrics pipeline runs before anomaly rules): per key,
+    * x_t = trend + seasonal + remainder with
+    *
+    *  - trend_t: centered `period`-point moving average (odd period —
+    *    the day-of-week=7 case; rows without a full window are
+    *    dropped, the classical edge convention);
+    *  - seasonal_j (j = ord mod period): mean detrended value of the
+    *    phase, centered by the GLOBAL detrended mean (count-weighted
+    *    centering — one exact integer ratio, where the textbook
+    *    mean-of-phase-means would force an order-dependent double
+    *    fold);
+    *  - remainder: what's left.
+    *
+    * Numerics: `valInt` is integer-valued (cents discipline), so the
+    * window sum, the per-row detrended numerator (x·p − Σwindow), and
+    * the phase/global aggregates are EXACT integers in any engine and
+    * fold order; trend/seasonal/remainder each close in one
+    * fixed-order double expression, rounded.
+    *
+    * Scale shape: one ordered window pass per key (the forwardFill
+    * partitioning), one phase aggregate (period-sized), one global
+    * aggregate, broadcast back — the series rows shuffle once.
+    *
+    * @return (keyCols..., ordCol, val_int, trend, seasonal, remainder)
+    *   for rows with a full trend window. */
+  def decompose(df: DataFrame, keyCols: Seq[String], ordCol: String,
+      valInt: Column, period: Int, scale: Int = 6): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd and >= 3, got $period")
+    val h = (period - 1) / 2
+    val g = keyCols.map(col)
+    val base = df.select(
+      (g ++ Seq(col(ordCol).cast("long").as("__t"),
+        valInt.cast("long").as("__v"))): _*)
+    val w = Window.partitionBy(g: _*).orderBy(col("__t"))
+      .rowsBetween(-h, h)
+    val trended = base
+      .withColumn("__s", sum(col("__v")).over(w))
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") === period)
+      .withColumn("__num", col("__v") * period - col("__s"))
+      .withColumn("__phase", pmod(col("__t"), lit(period.toLong)))
+    val phases = trended.groupBy((g :+ col("__phase")): _*)
+      .agg(sum(col("__num")).as("__pnum"), count(lit(1)).as("__pn"))
+    val globals = trended.groupBy(g: _*)
+      .agg(sum(col("__num")).as("__gnum"), count(lit(1)).as("__gn"))
+    val seasonal =
+      col("__pnum").cast("double") / (col("__pn") * period).cast("double") -
+        col("__gnum").cast("double") / (col("__gn") * period).cast("double")
+    trended
+      .join(phases, keyCols :+ "__phase")
+      .join(globals, keyCols)
+      .select((g ++ Seq(col("__t").as(ordCol), col("__v").as("val_int"),
+        round(col("__s").cast("double") / period, scale).as("trend"),
+        round(seasonal, scale).as("seasonal"),
+        round(col("__num").cast("double") / period - seasonal, scale)
+          .as("remainder"))): _*)
+  }
+
   def rollingAnomaly(df: DataFrame, keyCols: Seq[String], ordCol: String,
       valCol: String, window: Int, k: Int = 3,
       scale: Int = 6): DataFrame = {

@@ -292,6 +292,42 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("decompose: planted week cycle recovered; identity v = t+s+r") {
+    // v_t = 1000 + 10*t (trend) + planted seasonal by day-of-week
+    val season = Array(300L, -200L, 100L, 0L, -100L, 50L, -150L) // sums 0
+    val rows = (0L until 56L).map(t =>
+      ("k", t, 1000L + 10L * t + season((t % 7).toInt)))
+    val df = rows.toDF("g", "day", "cents")
+    val got = TimeSeries.decompose(df, Seq("g"), "day", col("cents"), 7)
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // edge rows (3 each side) are dropped
+    assert(got.keySet == (3L until 53L).toSet)
+    got.foreach { case (day, (v, t, s, r)) =>
+      // reconstruction identity survives rounding
+      assert(math.abs(v.toDouble - (t + s + r)) < 1e-5, s"day $day")
+      // the linear trend's centered MA is exact: 1000 + 10*day + mean
+      // seasonal contribution of the full week (= 0)
+      assert(math.abs(t - (1000.0 + 10.0 * day)) < 1e-6, s"trend $day")
+      // planted seasonal recovered (centering shift is 0 by design)
+      assert(math.abs(s - season((day % 7).toInt)) < 1.0,
+        s"seasonal $day: $s vs ${season((day % 7).toInt)}")
+      assert(math.abs(r) < 1.0, s"remainder $day: $r")
+    }
+    // partitioning invariance (exact integer internals)
+    val again = TimeSeries.decompose(df.repartition(5), Seq("g"), "day",
+      col("cents"), 7).collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    val first = TimeSeries.decompose(df, Seq("g"), "day", col("cents"), 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+    assert(again == first)
+    assertThrows[IllegalArgumentException] {
+      TimeSeries.decompose(df, Seq("g"), "day", col("cents"), 6)
+    }
+  }
+
   test("cusum: level shift alarms high side only; quiet series stays quiet") {
     // 6 days at 100, then 6 days at 400: mean 250. High side climbs
     // after the shift; low side climbs during the LOW half (x < mean),
