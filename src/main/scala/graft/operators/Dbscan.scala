@@ -32,9 +32,11 @@ object Dbscan {
 
   /** Core-id tables at or below this many rows take the broadcast merge
     * shape; larger ones take the shared flagged-pair stream (see the
-    * dispatch comment in [[run]]). Overridable so specs can force the
-    * non-broadcast branch on small fixtures. */
-  private[graft] var coreBroadcastCap: Long = 1_000_000L
+    * dispatch comment in [[run]]). Specs pass a lower
+    * `run(coreBroadcastCap = …)` to force the non-broadcast branch on
+    * small fixtures — a parameter, not process-global state, so a
+    * failing spec can't leak the forced branch into later runs. */
+  val DefaultCoreBroadcastCap: Long = 1_000_000L
 
   /** Size-probe limit for the local fast path: `localThreshold + 1`,
     * clamped so a huge threshold (e.g. `Long.MaxValue` for "always
@@ -55,12 +57,15 @@ object Dbscan {
     if (bucketDims.nonEmpty)
       EpsilonJoin.selfJoinSalted(points, idCol, vecCol, eps, bucketDims,
         saltTable)
-    else {
+    else if (EpsilonJoin.kdCompatible(points, idCol, vecCol)) {
       val dim = graft.functions.VectorOps.probeDim(points, vecCol)
         .getOrElse(0)
       if (dim > 3) EpsilonJoin.selfJoinKdAuto(points, idCol, vecCol, eps)
       else EpsilonJoin.selfJoin(points, idCol, vecCol, eps, Nil)
-    }
+    } else
+      // non-integral ids or double vectors: the kd physical contract
+      // doesn't hold — the brute path handles any schema
+      EpsilonJoin.selfJoin(points, idCol, vecCol, eps, Nil)
 
   /** Per-point ε-neighbor count (self included) — SURVEY §2.7 Q3. */
   def neighborCounts(points: DataFrame, idCol: String, vecCol: String,
@@ -84,7 +89,8 @@ object Dbscan {
     *   claimed by other clusters does NOT form a cluster of its own. */
   def run(points: DataFrame, idCol: String, vecCol: String,
       eps: Double, minPts: Int, bucketDims: Seq[Int],
-      minClusterSize: Int = 2, localThreshold: Long = 100_000L): DataFrame = {
+      minClusterSize: Int = 2, localThreshold: Long = 100_000L,
+      coreBroadcastCap: Long = DefaultCoreBroadcastCap): DataFrame = {
     // the point table is scanned by both join sides and the final label
     // join — cache it once (no-op if the caller already persisted it)
     val pts = points.persist()

@@ -37,6 +37,64 @@ import org.apache.spark.sql.functions._
   */
 object EpsilonJoin {
 
+  /** The (a_id, b_id, d2) frame every ε-join path emits — one shared
+    * definition so the kd RDD paths and the empty-input short-circuits
+    * cannot drift apart. */
+  private val pairSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("a_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("b_id",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("d2",
+      org.apache.spark.sql.types.DoubleType, nullable = false)))
+
+  private def emptyPairs(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], pairSchema)
+
+  /** Every coarse cell the per-dim range [lo(j), hi(j)] touches (the
+    * ±ε ghost envelope, home cell included) — shared by the kd self-
+    * and bipartite shuffles. Lazy: nothing materializes beyond the
+    * recursion frame. */
+  private def envelopeCells(lo: Array[Long], hi: Array[Long])
+      : Iterator[List[Long]] = {
+    val k = lo.length
+    def rec(i: Int): Iterator[List[Long]] =
+      if (i == k) Iterator(Nil)
+      else (lo(i) to hi(i)).iterator.flatMap(c => rec(i + 1).map(c :: _))
+    rec(0)
+  }
+
+  /** Whether the kd path's physical contract holds for these columns:
+    * ids must be integral (the path shuffles raw (long, float[]) tuples)
+    * and vectors must be `array<float>` ([[graft.functions.KdTree]] is
+    * float-typed — its d² fold over float inputs is the bit-parity
+    * contract with the codegen'd squaredL2). The auto routers divert to
+    * kd only when this holds; anything else (string ids, double
+    * vectors) keeps the generic grid/brute plan, which supports
+    * arbitrary id types and both float/double vectors. */
+  private[graft] def kdCompatible(df: DataFrame, idCol: String,
+      vecCol: String): Boolean = {
+    import org.apache.spark.sql.types._
+    val idOk = df.select(col(idCol)).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val vecOk = df.select(col(vecCol)).schema.head.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    idOk && vecOk
+  }
+
+  private def requireKdCompatible(df: DataFrame, idCol: String,
+      vecCol: String, fn: String): Unit =
+    require(kdCompatible(df, idCol, vecCol),
+      s"$fn requires an integral id column and array<float> vectors " +
+        s"(got id: ${df.select(col(idCol)).schema.head.dataType.sql}, " +
+        s"vec: ${df.select(col(vecCol)).schema.head.dataType.sql}); " +
+        "cast upstream, or use the grid/brute selfJoin/join paths which " +
+        "accept arbitrary id types and double vectors")
+
   /** Pick bucket dims by spread: dims whose data range covers at least
     * `minCellsPerDim` ε-cells, widest first, at most `maxDims` (mirrors the
     * reference's widest-dimension split heuristic,
@@ -309,6 +367,7 @@ object EpsilonJoin {
         "the ghost envelope span many cells without pruning gain")
     require(java.lang.Double.isFinite(eps) && eps > 0,
       s"eps must be positive and finite, got $eps")
+    requireKdCompatible(points, idCol, vecCol, "selfJoinKd")
     val spark = points.sparkSession
     val k = partitionDims.size
     val dimsArr = partitionDims.toArray
@@ -340,11 +399,7 @@ object EpsilonJoin {
           home(j) = math.floor(x / csL).toLong
           j += 1
         }
-        def cells(i: Int): Iterator[List[Long]] =
-          if (i == k) Iterator(Nil)
-          else (lo(i) to hi(i)).iterator
-            .flatMap(c => cells(i + 1).map(c :: _))
-        cells(0).map { c =>
+        envelopeCells(lo, hi).map { c =>
           val key = c.toArray
           val owner = java.util.Arrays.equals(key, home)
           (key.toSeq, (owner, id, v))
@@ -383,14 +438,7 @@ object EpsilonJoin {
         }
       }
     }
-    spark.createDataFrame(pairs,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("a_id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("b_id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("d2",
-          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    spark.createDataFrame(pairs, pairSchema)
   }
 
   /** Bipartite sibling of [[selfJoinKd]]: pairs (a ∈ left, b ∈ right)
@@ -410,6 +458,8 @@ object EpsilonJoin {
       s"cellSize ($cellSize) must be >= eps ($eps)")
     require(java.lang.Double.isFinite(eps) && eps > 0,
       s"eps must be positive and finite, got $eps")
+    requireKdCompatible(left, idCol, vecCol, "joinKd")
+    requireKdCompatible(right, idCol, vecCol, "joinKd")
     val spark = right.sparkSession
     val k = partitionDims.size
     val dimsArr = partitionDims.toArray
@@ -445,11 +495,7 @@ object EpsilonJoin {
               hi(j) = math.floor((x + epsL) / csL).toLong
               j += 1
             }
-            def cells(i: Int): Iterator[List[Long]] =
-              if (i == k) Iterator(Nil)
-              else (lo(i) to hi(i)).iterator
-                .flatMap(c => cells(i + 1).map(c :: _))
-            cells(0).map(c => (c.toSeq: Seq[Long], (id, v)))
+            envelopeCells(lo, hi).map(c => (c.toSeq: Seq[Long], (id, v)))
           }
         }
     val part = new org.apache.spark.HashPartitioner(shufflePartitions)
@@ -470,14 +516,7 @@ object EpsilonJoin {
           }
         }
       }
-    val undirected = spark.createDataFrame(pairs,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("a_id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("b_id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("d2",
-          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val undirected = spark.createDataFrame(pairs, pairSchema)
     undirected.select(explode(array(
         struct(col("a_id"), col("b_id"), col("d2")),
         struct(col("b_id").as("a_id"), col("a_id").as("b_id"), col("d2"))))
@@ -486,83 +525,66 @@ object EpsilonJoin {
         col("p.d2").as("d2"))
   }
 
-  /** [[joinKd]] with the [[selfJoinKdAuto]] dim/cell-size heuristic
-    * (probed over the RIGHT side — the standing corpus, which also
-    * builds the trees). */
-  def joinKdAuto(left: DataFrame, right: DataFrame, idCol: String,
-      vecCol: String, eps: Double, maxDims: Int = 3,
-      cellsPerCore: Int = 4): DataFrame = {
-    val spark = right.sparkSession
-    val dim = graft.functions.VectorOps.probeDim(right, vecCol).getOrElse(0)
-    if (dim == 0) // empty/all-null corpus: no pairs, pair-frame schema
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("a_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("b_id",
-            org.apache.spark.sql.types.LongType, nullable = false),
-          org.apache.spark.sql.types.StructField("d2",
-            org.apache.spark.sql.types.DoubleType, nullable = false))))
+  /** Shared kd partition heuristic: one aggregate pass over `df` picks
+    * the coarse-grid dims (widest spread first, ≤ `maxDims`, zero-range
+    * dims dropped) and the cell size (grid yields ≈ `cellsPerCore` ×
+    * shuffle-parallelism cells, clamped ≥ ε so the ghost envelope stays
+    * ≤ 2–3 cells per dim). Returns None for an empty/all-null input;
+    * a degenerate input (every point identical along every dim) gets
+    * the one-cell fallback `(Seq(0), eps)`. */
+  private def kdHeuristic(df: DataFrame, vecCol: String, eps: Double,
+      maxDims: Int, cellsPerCore: Int, desc: String)
+      : Option[(Seq[Int], Double)] = {
+    val spark = df.sparkSession
+    val dim = graft.functions.VectorOps.probeDim(df, vecCol).getOrElse(0)
+    if (dim == 0) return None
     val aggs = (0 until dim).flatMap { d =>
       val c = element_at(col(vecCol), d + 1).cast("double")
       Seq(min(c).as(s"mn$d"), max(c).as(s"mx$d"))
     }
-    val row = ConnectedComponents.withJobDesc(right, "joinKdAuto: ranges") {
-      right.agg(aggs.head, aggs.tail: _*).first()
+    val row = ConnectedComponents.withJobDesc(df, s"$desc: ranges") {
+      df.agg(aggs.head, aggs.tail: _*).first()
     }
     val ranges = (0 until dim)
       .map(d => d -> (row.getDouble(2 * d + 1) - row.getDouble(2 * d)))
       .sortBy { case (d, r) => (-r, d) }
       .take(maxDims)
       .filter(_._2 > 0)
-    if (ranges.isEmpty)
-      return joinKd(left, right, idCol, vecCol, eps, Seq(0), eps)
+    if (ranges.isEmpty) return Some((Seq(0), eps))
     val dims = ranges.map(_._1)
     val targetCells =
       math.max(1, cellsPerCore * spark.sessionState.conf.numShufflePartitions)
     val volume = ranges.map(_._2).product
-    val cellSize = math.max(eps,
-      math.pow(volume / targetCells, 1.0 / dims.size))
-    joinKd(left, right, idCol, vecCol, eps, dims, cellSize)
+    Some((dims,
+      math.max(eps, math.pow(volume / targetCells, 1.0 / dims.size))))
   }
 
-  /** [[selfJoinKd]] with automatic partition-dim and cell-size choice:
-    * dims by widest spread (one aggregate probe), cellSize sized so the
-    * coarse grid yields ≈ `cellsPerCore` × shuffle-parallelism cells
-    * (clamped to ≥ ε). */
+  /** [[joinKd]] with the [[kdHeuristic]] dim/cell-size choice (probed
+    * over the RIGHT side — the standing corpus, which also builds the
+    * trees). */
+  def joinKdAuto(left: DataFrame, right: DataFrame, idCol: String,
+      vecCol: String, eps: Double, maxDims: Int = 3,
+      cellsPerCore: Int = 4): DataFrame =
+    kdHeuristic(right, vecCol, eps, maxDims, cellsPerCore, "joinKdAuto")
+      match {
+      case None => // empty/all-null corpus: no pairs, pair-frame schema
+        emptyPairs(right.sparkSession)
+      case Some((dims, cellSize)) =>
+        joinKd(left, right, idCol, vecCol, eps, dims, cellSize)
+    }
+
+  /** [[selfJoinKd]] with the automatic [[kdHeuristic]] partition-dim
+    * and cell-size choice. */
   def selfJoinKdAuto(points: DataFrame, idCol: String, vecCol: String,
       eps: Double, maxDims: Int = 3, cellsPerCore: Int = 4,
       distEvals: Option[org.apache.spark.util.LongAccumulator] = None)
-      : DataFrame = {
-    val spark = points.sparkSession
-    val dim = graft.functions.VectorOps.probeDim(points, vecCol).getOrElse(0)
-    if (dim == 0) // empty input: empty pair table, same schema
-      return selfJoinKd(points.limit(0), idCol, vecCol, eps, Seq(0), eps,
-        distEvals)
-    val aggs = (0 until dim).flatMap { d =>
-      val c = element_at(col(vecCol), d + 1).cast("double")
-      Seq(min(c).as(s"mn$d"), max(c).as(s"mx$d"))
+      : DataFrame =
+    kdHeuristic(points, vecCol, eps, maxDims, cellsPerCore,
+      "selfJoinKdAuto") match {
+      case None => emptyPairs(points.sparkSession)
+      case Some((dims, cellSize)) =>
+        selfJoinKd(points, idCol, vecCol, eps, dims, cellSize, distEvals)
     }
-    val row = ConnectedComponents.withJobDesc(points,
-      "selfJoinKdAuto: ranges") {
-      points.agg(aggs.head, aggs.tail: _*).first()
-    }
-    val ranges = (0 until dim)
-      .map(d => d -> (row.getDouble(2 * d + 1) - row.getDouble(2 * d)))
-      .sortBy { case (d, r) => (-r, d) }
-      .take(maxDims)
-      .filter(_._2 > 0)
-    if (ranges.isEmpty) // all points identical along every dim: one cell
-      return selfJoinKd(points, idCol, vecCol, eps, Seq(0), eps, distEvals)
-    val dims = ranges.map(_._1)
-    val targetCells =
-      math.max(1, cellsPerCore * spark.sessionState.conf.numShufflePartitions)
-    val volume = ranges.map(_._2).product
-    val cellSize = math.max(eps,
-      math.pow(volume / targetCells, 1.0 / dims.size))
-    selfJoinKd(points, idCol, vecCol, eps, dims, cellSize, distEvals)
-  }
 
   /** Bipartite ε-join: all pairs (a ∈ left, b ∈ right) with
     * ‖a − b‖² ≤ ε², BOTH orientations emitted — the delta query of
@@ -582,8 +604,11 @@ object EpsilonJoin {
     val k = bucketDims.size
     // high-d routing, as in the self-join: no grid dims on >3-d data
     // means the caller couldn't bucket — the kd path replaces the
-    // quadratic nested-loop probe (identical pair set)
-    if (k == 0) {
+    // quadratic nested-loop probe (identical pair set). Only when the
+    // kd physical contract holds (integral ids, float vectors);
+    // otherwise the brute path below is correct for any schema.
+    if (k == 0 && kdCompatible(left, idCol, vecCol) &&
+        kdCompatible(right, idCol, vecCol)) {
       val dim = graft.functions.VectorOps.probeDim(right, vecCol)
         .getOrElse(0)
       if (dim > 3) return joinKdAuto(left, right, idCol, vecCol, eps)

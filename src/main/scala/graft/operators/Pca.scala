@@ -124,7 +124,11 @@ object Pca {
   }
 
   /** Fixed-count power iteration on a dense symmetric matrix (index-
-    * ordered folds, 1/√d init, leading-coordinate sign fix). */
+    * ordered folds, 1/√d init, leading-coordinate sign fix). A zero (or
+    * exactly-deflated) matrix maps the start vector to zero — that is a
+    * valid degenerate input (all-identical vectors after dedup, a single
+    * row, k = rank): return eigenvalue 0 with the start direction rather
+    * than aborting the job. */
   private def powerIterate(cov: Array[Array[Double]],
       iters: Int): (Double, Array[Double]) = {
     val d = cov.length
@@ -145,12 +149,14 @@ object Pca {
       var q = 0
       while (q < d) { nrm2 += w(q) * w(q); q += 1 }
       val nrm = math.sqrt(nrm2)
-      require(nrm > 0, "power iteration collapsed to the zero vector")
-      var m = 0
-      while (m < d) { w(m) = w(m) / nrm; m += 1 }
-      lambda = nrm
-      v = w
-      it += 1
+      if (nrm == 0) { lambda = 0.0; it = iters } // degenerate: keep v
+      else {
+        var m = 0
+        while (m < d) { w(m) = w(m) / nrm; m += 1 }
+        lambda = nrm
+        v = w
+        it += 1
+      }
     }
     val lead = v.indexWhere(_ != 0.0)
     if (lead >= 0 && v(lead) < 0) {

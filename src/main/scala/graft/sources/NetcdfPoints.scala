@@ -246,13 +246,22 @@ object NetcdfPoints {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.format("netcdfPoints").option("path", path).load()
 
-  private[sources] def schemaOf(h: NcHeader): StructType =
-    StructType(StructField("id", LongType, nullable = false) +:
-      h.vars.map(v => StructField(v.name, v.ncType match {
-        case NcInt => IntegerType
-        case NcFloat => FloatType
-        case NcDouble => DoubleType
-      }, nullable = false)))
+  /** Synthetic row-ordinal `id` first, then one field per variable —
+    * UNLESS the file itself carries a variable named "id", in which
+    * case that variable's data wins (no duplicate-name schema, no
+    * silent shadowing of real bytes by the ordinal). Our writer never
+    * emits an "id" variable, but the read path accepts any conforming
+    * CDF-1/2 file. */
+  private[sources] def schemaOf(h: NcHeader): StructType = {
+    val varFields = h.vars.map(v => StructField(v.name, v.ncType match {
+      case NcInt => IntegerType
+      case NcFloat => FloatType
+      case NcDouble => DoubleType
+    }, nullable = false))
+    if (h.vars.exists(_.name == "id")) StructType(varFields)
+    else StructType(StructField("id", LongType, nullable = false) +:
+      varFields)
+  }
 }
 
 /** DataSourceV2 provider: `spark.read.format("netcdfPoints")`. */
@@ -335,9 +344,15 @@ class NetcdfPointsReader(path: String, header: NetcdfPoints.NcHeader,
   // variable must fail without leaking fds for the ones already opened
   private val resolved: Array[Option[NetcdfPoints.NcVar]] =
     required.fields.map { f =>
-      if (f.name == "id") None
-      else Some(header.vars.find(_.name == f.name).getOrElse(
-        throw new IllegalArgumentException(s"no variable ${f.name}")))
+      // "id" is the synthetic row ordinal ONLY when the file has no
+      // variable of that name (mirrors schemaOf); a real "id" variable
+      // reads its actual bytes
+      header.vars.find(_.name == f.name) match {
+        case some @ Some(_) => some
+        case None if f.name == "id" => None
+        case None =>
+          throw new IllegalArgumentException(s"no variable ${f.name}")
+      }
     }
   private val streams: Array[DataInputStream] = {
     val acc = new Array[DataInputStream](resolved.length)

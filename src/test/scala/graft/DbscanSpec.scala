@@ -107,17 +107,13 @@ class DbscanSpec extends SparkSpec {
     val broadcastLabels = Dbscan.run(df, "id", "features", 10.0, 5, dims,
       localThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val saved = Dbscan.coreBroadcastCap
-    try {
-      Dbscan.coreBroadcastCap = 0L
-      val flaggedLabels = Dbscan.run(df, "id", "features", 10.0, 5, dims,
-        localThreshold = 0L)
-        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-      assert(flaggedLabels == broadcastLabels,
-        "flagged-stream merge branch diverged from broadcast branch")
-      assert(broadcastLabels.values.exists(_ != 0),
-        "degenerate fixture: no clusters formed, branch comparison vacuous")
-    } finally { Dbscan.coreBroadcastCap = saved }
+    val flaggedLabels = Dbscan.run(df, "id", "features", 10.0, 5, dims,
+      localThreshold = 0L, coreBroadcastCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(flaggedLabels == broadcastLabels,
+      "flagged-stream merge branch diverged from broadcast branch")
+    assert(broadcastLabels.values.exists(_ != 0),
+      "degenerate fixture: no clusters formed, branch comparison vacuous")
     df.unpersist()
   }
 

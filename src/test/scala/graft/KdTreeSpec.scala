@@ -172,4 +172,69 @@ class KdTreeSpec extends SparkSpec {
       s"weak pruning: ${acc.value} evals vs ${n.toLong * n} all-pairs")
     df.unpersist()
   }
+
+  test("auto-routing keeps the generic path for double vectors and " +
+      "string ids; direct kd calls fail loudly") {
+    // The kd path's physical contract is (integral id, array<float>).
+    // A >3-d input that doesn't satisfy it must still produce CORRECT
+    // pairs via the brute plan — not a ClassCastException (doubles) or
+    // a silently empty result (string ids cast to null long).
+    val n = 120
+    val d = 6
+    val eps = 2.0
+
+    // double vectors, long ids
+    val dblRows = (0 until n).map(i =>
+      Row(i.toLong, Array.tabulate(d)(j => coord(i, j, 4f).toDouble).toSeq))
+    val dbl = spark.createDataFrame(
+      spark.sparkContext.parallelize(dblRows, 3),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("features", ArrayType(DoubleType, containsNull = false),
+          nullable = false)))).persist()
+    val expectDbl = EpsilonJoin.selfJoin(dbl, "id", "features", eps, Nil)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(expectDbl.nonEmpty, "degenerate fixture: no pairs at eps")
+    // the bipartite auto-router (join with k = 0 on >3-d data) must not
+    // divert these onto the kd path
+    val odd = dbl.filter(col("id") % 2 === 1)
+    val even = dbl.filter(col("id") % 2 === 0)
+    val bip = EpsilonJoin.join(odd, even, "id", "features", eps, Nil)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bip == expectDbl
+      .filter { case (a, b) => a % 2 == 1 && b % 2 == 0 }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) })
+
+    // string ids, float vectors: neighbor counts route through the same
+    // dispatcher (Dbscan.epsPairs) and must see every id
+    val strRows = (0 until n).map(i =>
+      Row(s"doc$i", Array.tabulate(d)(j => coord(i, j, 4f)).toSeq))
+    val str = spark.createDataFrame(
+      spark.sparkContext.parallelize(strRows, 3),
+      StructType(Seq(
+        StructField("id", StringType, nullable = false),
+        StructField("features", ArrayType(FloatType, containsNull = false),
+          nullable = false)))).persist()
+    val counts = graft.operators.Dbscan
+      .neighborCounts(str, "id", "features", eps, Nil)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.size == n)
+    val expectCounts = expectDbl.groupBy(_._1).map { case (a, s) =>
+      s"doc$a" -> (s.size + 1L)
+    }
+    expectCounts.foreach { case (k, v) =>
+      assert(counts(k) == v, s"count mismatch at $k")
+    }
+
+    // direct kd entry points reject the incompatible schema loudly
+    intercept[IllegalArgumentException] {
+      EpsilonJoin.selfJoinKd(dbl, "id", "features", eps, Seq(0), eps)
+    }
+    intercept[IllegalArgumentException] {
+      EpsilonJoin.joinKd(str, str, "id", "features", eps, Seq(0), eps)
+    }
+    dbl.unpersist(); str.unpersist()
+  }
 }

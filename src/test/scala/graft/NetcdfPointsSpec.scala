@@ -135,4 +135,40 @@ class NetcdfPointsSpec extends SparkSpec {
         tmpNc())
     }
   }
+
+  test("a file variable named 'id' wins over the synthetic row ordinal") {
+    // Our writer never emits an "id" variable, but the read path accepts
+    // any conforming CDF-1 file — hand-craft one whose single NC_INT
+    // variable is literally named "id" and check its BYTES come back
+    // (not the row ordinal), with no duplicate-name schema.
+    val path = tmpNc()
+    val n = 5
+    val bb = java.nio.ByteBuffer.allocate(256)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put("CDF".getBytes("US-ASCII")).put(1.toByte) // CDF-1
+    bb.putInt(0) // numrecs
+    bb.putInt(0x0A).putInt(1) // dim_list: one dim
+    bb.putInt(1).put("n".getBytes("US-ASCII")).put(Array[Byte](0, 0, 0))
+    bb.putInt(n)
+    bb.putInt(0).putInt(0) // gatt_list absent
+    bb.putInt(0x0B).putInt(1) // var_list: one var
+    bb.putInt(2).put("id".getBytes("US-ASCII")).put(Array[Byte](0, 0))
+    bb.putInt(1).putInt(0) // rank 1 over dim 0
+    bb.putInt(0).putInt(0) // vatt_list absent
+    bb.putInt(NetcdfPoints.NcInt)
+    bb.putInt(n * 4) // vsize
+    val begin = bb.position() + 4 // header ends after this 32-bit begin
+    bb.putInt(begin)
+    (0 until n).foreach(i => bb.putInt(1000 + i)) // NOT the ordinals
+    bb.flip()
+    val bytes = new Array[Byte](bb.remaining()); bb.get(bytes)
+    Files.write(java.nio.file.Paths.get(path), bytes)
+
+    val df = NetcdfPoints.read(spark, path)
+    assert(df.schema.fieldNames.toSeq == Seq("id")) // no duplicate column
+    assert(df.schema.head.dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val got = df.collect().map(_.getInt(0)).sorted.toSeq
+    assert(got == (1000 until 1000 + n), s"expected variable bytes, got $got")
+  }
 }

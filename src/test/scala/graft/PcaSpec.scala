@@ -101,6 +101,21 @@ class PcaSpec extends SparkSpec {
     assert(got(1L) == 0.375) // 0.25 + 0.25 - 0.125
   }
 
+  test("degenerate input (all-identical vectors) yields eigenvalue 0, " +
+      "not a crash") {
+    // Zero covariance maps every start vector to zero — a valid corpus
+    // (deduplicated to one template, or a single row) must not abort
+    // the job.
+    val d = 4
+    val rows = (0 until 50).map(_ => Array(1f, 2f, 3f, 4f))
+    val (lambda, v) = Pca.topComponent(mkDf(rows), "embedding", d)
+    assert(lambda == 0.0)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-12) // still unit
+    val single = Pca.topComponents(mkDf(Seq(Array(9f, 8f, 7f, 6f))),
+      "embedding", d, k = 2)
+    assert(single.forall(_._1 == 0.0))
+  }
+
   test("moment aggregate rejects short rows and wrong types") {
     val df = mkDf(Seq(Array(1f, 2f)))
     assertThrows[Exception] {
