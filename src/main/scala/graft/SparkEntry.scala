@@ -2517,6 +2517,31 @@ object SparkEntry {
       operators.TimeSeries.decompose(daily, Seq("event_type"), "day",
         col("cents"), period = 7)
     }),
+
+    // Trained linear quality classifier: fixed-step batch-GD logistic
+    // regression over deterministic surface statistics (length scale,
+    // space ratio, 'e' ratio), label lang='en'. The fixture's text is
+    // language-agnostic by construction, so the model honestly
+    // converges toward the base rate here — the oracle pins the
+    // DESCENT ARITHMETIC digit-for-digit (unrolled-SQL twin of every
+    // gradient pass); LogisticSpec proves actual learning on a
+    // separable planted dataset.
+    "q202_logistic_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("y"),
+          (length(col("text")) / lit(1000.0)).as("x1"),
+          (length(col("text")) - length(expr("replace(text, ' ', '')")))
+            .cast("double")
+            ./(length(col("text")).cast("double")).as("x2"),
+          (length(col("text")) - length(expr("replace(text, 'e', '')")))
+            .cast("double")
+            ./(length(col("text")).cast("double")).as("x3"))
+      operators.Logistic.fitScore(d,
+          Seq(col("x1"), col("x2"), col("x3")), col("y"),
+          lr = 2.0, iters = 3)
+        .select(col("doc_id"), col("y"), col("prob"))
+    }),
   )
 
   /** q200's dimension count (the oracle enumerates d(d+1)/2 pair sums —
@@ -3354,7 +3379,49 @@ object SparkEntry {
           |    AS remainder
           |FROM tw t
           |JOIN ph p ON p.event_type = t.event_type AND p.phase = t.phase
-          |JOIN gl g ON g.event_type = t.event_type""".stripMargin)
+          |JOIN gl g ON g.event_type = t.event_type""".stripMargin,
+
+      "q202_logistic_quality" -> logisticOracle)
+  }
+
+  /** q202's oracle: the batch-GD loop unrolled — one (gradient CTE,
+    * weight CTE) pair per iteration. Gradient terms round to 9 decimals
+    * and sum as DECIMAL(38,9) (exact, order-free — the q139
+    * discipline); every weight update and the final σ are the same
+    * fixed-order IEEE doubles the engine computes, so weights and
+    * probabilities match digit-for-digit. */
+  private def logisticOracle: String = {
+    val iters = 3
+    val lr = "2.0"
+    // identical left-assoc fold to Logistic.sigmoid
+    val z = "w0 + x1*w1 + x2*w2 + x3*w3"
+    val sig = s"1.0/(1.0+exp(-($z)))"
+    val stages = (1 to iters).map { k =>
+      val prev = if (k == 1) "wi" else s"w${k - 1}"
+      val terms = Seq("", "*x1", "*x2", "*x3").zipWithIndex.map {
+        case (m, j) =>
+          s"sum(CAST(round(($sig - y)$m, 9) AS DECIMAL(38,9))) AS g$j"
+      }
+      val upd = (0 to 3).map(j =>
+        s"w$j - $lr*(CAST(g$j AS DOUBLE)/CAST(n AS DOUBLE)) AS w$j")
+      s"""g$k AS (SELECT ${terms.mkString(",\n    ")},
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM f CROSS JOIN $prev),
+         |w$k AS (SELECT ${upd.mkString(",\n    ")}
+         |  FROM g$k CROSS JOIN $prev)""".stripMargin
+    }
+    s"""WITH f AS (SELECT doc_id,
+       |    CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS INT) AS y,
+       |    length(text)/1000.0 AS x1,
+       |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+       |      / CAST(length(text) AS DOUBLE) AS x2,
+       |    CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE)
+       |      / CAST(length(text) AS DOUBLE) AS x3
+       |  FROM documents WHERE length(text) > 0),
+       |wi AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |${stages.mkString(",\n")}
+       |SELECT doc_id, y, round($sig, 6) AS prob
+       |FROM f CROSS JOIN w$iters""".stripMargin
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
