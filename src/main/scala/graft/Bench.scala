@@ -74,6 +74,13 @@ object Bench {
       // the local-mode floor a real cluster overlaps away)
       "pagerank_synth10m" -> ((s: SparkSession) =>
         Workloads.pagerankSynth(s, 10_000_000L, 1_000_000L)),
+      // scale-evidence twin for the SIMILARITY family: IVF build (Lloyd
+      // over 1M in-engine 32-d clustered vectors, 256 cells) + serve
+      // (1000 queries, exact cosine top-10 in 8 probed ~3.9k-vector
+      // cells — ~31M candidate distance folds, linear in queries,
+      // never corpus²)
+      "ann_synth1m" -> ((s: SparkSession) =>
+        Workloads.annSynth(s, 1_000_000L)),
     ) ++ (
       // 100× the reference's largest dataset, same per-cluster density
       // as the 500k diagnostic (k scales with n, ε-degree stays ~13).

@@ -126,4 +126,47 @@ object Workloads {
       synthDocs(spark, n, templates = math.max((n / 10).toInt, 10),
         docLen = 60, vocab = 5000, mutPct = 5),
       "doc_id", "text", n = 5, minJaccard = 0.35)
+
+  /** Deterministic synthetic clustered embedding corpus, generated
+    * IN-ENGINE like [[synthPoints]]: `k` cluster directions uniform in
+    * [0,1]^dims, each vector jittered ±0.05 per dim around its
+    * hash-assigned direction. Clustered like a real embedding space, so
+    * IVF cells genuinely prune — uniform vectors would make any
+    * cell-probed ANN look artificially bad (nothing prunes) or good
+    * (everything is equidistant). */
+  def synthEmbeddings(spark: SparkSession, n: Long, dims: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def u01(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(xxhash64(seed), lit(1000000L)).cast("double") / lit(1000000.0)
+    val id = col("id")
+    val cluster = pmod(xxhash64(id, lit("c")), lit(k.toLong))
+    val feats = array((0 until dims).map { d =>
+      val center = u01(concat(cluster.cast("string"), lit(s"#$d")))
+      val off = (u01(concat(id.cast("string"), lit(s"@$d"))) - 0.5) * 0.1
+      (center + off).cast("float")
+    }: _*)
+    spark.range(n).select(id.as("vec_id"), feats.as("embedding"))
+  }
+
+  /** IVF ANN over [[synthEmbeddings]] — the nightly-build + serve
+    * shape at synthetic scale: Lloyd over the full corpus, then exact
+    * cosine top-k inside the probed cells for one query per 1000
+    * vectors. Scale-evidence twin of [[dedupSynth]] for the
+    * similarity-search family: the candidate stream is
+    * queries × nProbe × cell-size, never corpus². The data has a FIXED
+    * 64 planted blobs while the index defaults to 256 cells — several
+    * cells per blob, so nProbe genuinely has to find the right
+    * sub-cells (index geometry tied to data geometry would make every
+    * probe trivially correct). Cell size n/nCentroids is the scan
+    * knob: at 1M/256 each probe touches ~3.9k vectors. */
+  def annSynth(spark: SparkSession, n: Long, dims: Int = 32,
+      nCentroids: Int = 256, k: Int = 10, nProbe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = synthEmbeddings(spark, n, dims, k = 64).persist()
+    val q = emb.filter(pmod(col("vec_id"), lit(1000L)) === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+    graft.operators.AnnSearch.ivfTopK(q, b, k, nCentroids, nProbe)
+  }
 }

@@ -194,6 +194,94 @@ case class WithinEps(left: Expression, right: Expression, eps2: Double)
   override def prettyName: String = "within_eps"
 }
 
+/** Argmin-centroid assignment `vec → c_id` over a plan-time centroid
+  * matrix, as ONE codegen'd loop. Semantically identical to
+  * `least(struct(squared_l2(vec, c_1), id_1), …).c_id` — d2 is the same
+  * left-to-right double fold with the same float→double widening, the
+  * centroids are scanned in ascending-id order and only a STRICT
+  * improvement replaces the running best, so ties resolve to the smallest
+  * centroid id (= the lexicographic `(d2, c_id)` struct min). The literal
+  * form generates O(nCentroids · dims) Java source (64 centroids × 32 dims
+  * measured ~150 µs/row — Janino-hostile, falls out of JIT); this kernel is
+  * O(1) source referencing the matrix as a `double[][]`, ~µs/row at any
+  * centroid count. Per-build-vector hot path of the IVF index at 100 TB. */
+case class NearestCentroidId(child: Expression,
+    cents: Array[Array[Double]], ids: Array[Int])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(cents.nonEmpty && cents.length == ids.length,
+    "centroid matrix and id array must be non-empty and aligned")
+  require(ids.toSeq == ids.toSeq.sorted && ids.distinct.length == ids.length,
+    "centroid ids must be strictly ascending (tie rule depends on scan order)")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullable: Boolean = child.nullable
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val isFloat = elemType == org.apache.spark.sql.types.FloatType
+    var best = Double.PositiveInfinity
+    var bestId = ids(0)
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val n = math.min(x.numElements(), cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val d = xv - cv(i)
+        acc += d * d
+        i += 1
+      }
+      if (acc < best) { best = acc; bestId = ids(c) }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val idsRef = ctx.addReferenceObj("cids", ids, "int[]")
+    val getElem = elemType match {
+      case org.apache.spark.sql.types.FloatType =>
+        (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+      case _ => (arr: String, i: String) => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, x => {
+      val best = ctx.freshName("best")
+      val bestId = ctx.freshName("bestId")
+      val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |double $best = Double.POSITIVE_INFINITY;
+         |int $bestId = $idsRef[0];
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  double[] $cv = $centsRef[$c];
+         |  int $n = java.lang.Math.min($x.numElements(), $cv.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ${getElem(x, i)} - $cv[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $best) { $best = $acc; $bestId = $idsRef[$c]; }
+         |}
+         |${ev.value} = $bestId;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_centroid_id"
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftInternals.{column, expression}
   /** Column API for the codegen'd kernels. */
@@ -205,4 +293,8 @@ object VectorExpressions {
     * `squaredL2(a, b) <= eps2` (see [[WithinEps]]). */
   def withinEps(a: Column, b: Column, eps2: Double): Column =
     column(WithinEps(expression(a), expression(b), eps2))
+  /** Argmin-centroid id over a plan-time matrix (see [[NearestCentroidId]]);
+    * `cents` as (id, coords) pairs sorted ascending by id. */
+  def nearestCentroidId(vec: Column, cents: Array[(Int, Array[Double])]): Column =
+    column(NearestCentroidId(expression(vec), cents.map(_._2), cents.map(_._1)))
 }

@@ -93,14 +93,17 @@ object AnnSearch {
         lit(cid).as("c_id"))
     }
 
-  /** Nearest centroid id as a pure projection (no join). `least` rejects
-    * fewer than two arguments, and Lloyd rounds can collapse duplicate
-    * seeds to a single centroid — short-circuit that case. */
+  /** Nearest centroid id as a pure projection (no join), via the
+    * [[graft.functions.NearestCentroidId]] codegen kernel — one O(1)-source
+    * loop over the referenced matrix instead of a `least(struct…)` tree
+    * whose generated code grows with nCentroids·dims (at 64×32 the literal
+    * tree measured ~150 µs/row — it falls out of JIT; the kernel is ~1 µs).
+    * Identical semantics: same d2 fold, ties to the smallest centroid id. */
   private def nearestCentroid(vec: Column,
       cents: Array[(Int, Array[Double])]): Column = {
     require(cents.nonEmpty, "no centroids — empty build side?")
     if (cents.length == 1) lit(cents.head._1)
-    else least(centDistStructs(vec, cents): _*).getField("c_id")
+    else VectorExpressions.nearestCentroidId(vec, cents)
   }
 
   /** Deterministically-seeded centroids refined by `iters` Lloyd rounds,
@@ -121,15 +124,11 @@ object AnnSearch {
       .collect().zipWithIndex
       .map { case (r, i) => (i + 1, r.getSeq[Double](0).toArray) }
     for (_ <- 0 until iters) {
-      val assignExpr =
-        if (cents.length <= literalCentroidLimit)
-          nearestCentroid(col("b_v"), cents)
-        else null
+      // the kernel's generated code is O(1) in nCentroids (matrix rides as
+      // a referenced object), so no size split is needed here — every round
+      // is one projection + one (c_id, pos) average job at any index size
       val assigned =
-        if (assignExpr != null)
-          build.select(assignExpr.as("c_id"), col("b_v"))
-        else assignJoin(build, centroidFrame(build, cents))
-            .select(col("c_id"), col("b_v"))
+        build.select(nearestCentroid(col("b_v"), cents).as("c_id"), col("b_v"))
       val means = assigned
         .select(col("c_id"), posexplode(col("b_v").cast("array<double>")))
         .groupBy(col("c_id"), col("pos")).agg(avg(col("col")).as("av"))
@@ -205,28 +204,28 @@ object AnnSearch {
 
   private def ivfTopKWith(queries: DataFrame, build: DataFrame, k: Int,
       cents: Array[(Int, Array[Double])], nProbe: Int): DataFrame = {
-    val (buildIdx, probes) =
+    // build-side assignment is always the O(1)-source kernel projection —
+    // the |B|-row pass must never depend on nCentroids for its code size
+    val buildIdx = build.select(col("b_id"), col("b_v"),
+      nearestCentroid(col("b_v"), cents).as("c_id"))
+    val probes =
       if (cents.length <= literalCentroidLimit) {
-        val bi = build.select(col("b_id"), col("b_v"),
-          nearestCentroid(col("b_v"), cents).as("c_id"))
         // nProbe nearest centroids per query: sort the literal
-        // struct(d2, c_id) array, take the head — no window, no join
-        val pr = queries.select(col("a_id"), col("a_v"),
+        // struct(d2, c_id) array, take the head — no window, no join.
+        // |Q| rows only, so the literal tree's size is affordable here.
+        queries.select(col("a_id"), col("a_v"),
             explode(slice(array_sort(array(
               centDistStructs(col("a_v"), cents): _*)), 1, nProbe)).as("pc"))
           .select(col("a_id"), col("a_v"), col("pc.c_id").as("c_id"))
-        (bi, pr)
       } else {
-        val cdf = centroidFrame(build, cents).persist()
-        val bi = assignJoin(build, cdf)
+        val cdf = centroidFrame(build, cents)
         val qd2 = VectorExpressions.squaredL2(
           col("a_v").cast("array<double>"), col("c_v"))
-        val pr = queries.crossJoin(broadcast(cdf))
+        queries.crossJoin(broadcast(cdf))
           .withColumn("rk", row_number().over(
             Window.partitionBy("a_id").orderBy(qd2, col("c_id"))))
           .filter(col("rk") <= nProbe)
           .select(col("a_id"), col("a_v"), col("c_id"))
-        (bi, pr)
       }
 
     withNorm(probes, "a_v", "a_n")
