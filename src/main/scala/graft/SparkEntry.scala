@@ -2542,6 +2542,15 @@ object SparkEntry {
           lr = 2.0, iters = 3)
         .select(col("doc_id"), col("y"), col("prob"))
     }),
+
+    // Interpolated Kneser–Ney bigram LM: train on the English slice,
+    // score every document — the smoothed-probability twin of q197's
+    // Stupid Backoff (same train/score split, true probabilities)
+    "q203_kneser_ney" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      operators.LanguageModel.knBigram(
+        d.filter(col("lang") === "en"), d, "doc_id", "text")
+    }),
   )
 
   /** q200's dimension count (the oracle enumerates d(d+1)/2 pair sums —
@@ -3381,7 +3390,50 @@ object SparkEntry {
           |JOIN ph p ON p.event_type = t.event_type AND p.phase = t.phase
           |JOIN gl g ON g.event_type = t.event_type""".stripMargin,
 
-      "q202_logistic_quality" -> logisticOracle)
+      "q202_logistic_quality" -> logisticOracle,
+
+      // Kneser–Ney: one bigram-type table sources every count; the
+      // two-term sum's operation order mirrors the engine verbatim
+      "q203_kneser_ney" ->
+        """WITH tr AS (SELECT text FROM documents WHERE lang = 'en'),
+          |bi AS (SELECT unnest(list_transform(range(len(ws) - 1),
+          |         i -> ws[i+1] || ' ' || ws[i+2])) AS bg
+          |       FROM (SELECT string_split(text, ' ') AS ws FROM tr)),
+          |ty AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2,
+          |         string_split(bg, ' ') AS p
+          |       FROM bi GROUP BY bg),
+          |ctx AS (SELECT p[1] AS w1, CAST(sum(c2) AS BIGINT) AS c1ctx,
+          |          CAST(count(*) AS BIGINT) AS n1f
+          |        FROM ty GROUP BY p[1]),
+          |cont AS (SELECT p[2] AS w2, CAST(count(*) AS BIGINT) AS n1b
+          |         FROM ty GROUP BY p[2]),
+          |nbb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM ty),
+          |occ AS (SELECT doc_id,
+          |          unnest(list_transform(range(len(ws) - 1),
+          |            i -> ws[i+1] || ' ' || ws[i+2])) AS bg
+          |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
+          |              FROM documents)),
+          |sp AS (SELECT doc_id, bg, string_split(bg, ' ') AS q
+          |       FROM occ),
+          |j AS (SELECT sp.doc_id, ty.c2, ctx.c1ctx, ctx.n1f,
+          |        cont.n1b, nbb.nb
+          |      FROM sp
+          |      LEFT JOIN ty ON sp.bg = ty.bg
+          |      LEFT JOIN ctx ON ctx.w1 = q[1]
+          |      LEFT JOIN cont ON cont.w2 = q[2], nbb)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |  round(avg(log2(CASE WHEN c1ctx IS NOT NULL THEN
+          |      (CASE WHEN c2 IS NOT NULL
+          |        THEN (CAST(c2 AS DOUBLE) - 0.75)
+          |          / CAST(c1ctx AS DOUBLE)
+          |        ELSE 0.0 END)
+          |      + ((0.75 * CAST(n1f AS DOUBLE))
+          |          / CAST(c1ctx AS DOUBLE))
+          |        * (CAST(coalesce(n1b, 1) AS DOUBLE)
+          |          / CAST(nb AS DOUBLE))
+          |    ELSE CAST(coalesce(n1b, 1) AS DOUBLE)
+          |      / CAST(nb AS DOUBLE) END)), 6) AS kn_score
+          |FROM j GROUP BY doc_id""".stripMargin)
   }
 
   /** q202's oracle: the batch-GD loop unrolled — one (gradient CTE,

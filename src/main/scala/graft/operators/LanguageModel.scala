@@ -382,6 +382,84 @@ object LanguageModel {
         round(avg(col("__lg")), scale).as("sb_score"))
   }
 
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * Chen & Goodman 1998 interpolated form) — the standard smoothed
+    * n-gram LM, complementing [[stupidBackoff]]'s unnormalized scores
+    * with a true probability model:
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *            + (D · N1+(w1·)/c(w1·)) · Pcont(w2)       context seen
+    *            = Pcont(w2)                                else
+    *   Pcont(w2) = max(N1+(·w2), 1) / N1+(··)
+    *
+    * with discount D = 3/4 — dyadic, hence IEEE-exact, and inside the
+    * Chen–Goodman optimal range for count-heavy corpora. All counts
+    * derive from ONE bigram-type table: c(w1·) = Σ_w2 c(w1w2) (the
+    * context total — sidesteps the end-of-document unigram mismatch),
+    * N1+(w1·)/N1+(·w2) are its per-side row counts, N1+(··) its size.
+    * The max(·,1) floor keeps never-seen continuations off log2(0)
+    * (documented OOV floor, not textbook KN — textbook leaves OOV
+    * undefined).
+    *
+    * Shape: the model is three grouped aggregates over the bigram-type
+    * table (vocabulary-scale, broadcast under AQE); scoring LEFT-joins
+    * the corpus bigram stream on its keys — the stream itself never
+    * shuffles wide. N1+(··) is a collected scalar (one count of the
+    * model table, the [[stupidBackoff]] `n` precedent).
+    *
+    * Numerics: every term is a ratio of exact longs and the dyadic D;
+    * the two-term sum is written in ONE fixed order mirrored verbatim
+    * in the oracle SQL; only the per-doc mean's fold order is
+    * engine-dependent (absorbed by `round`, the q74 discipline).
+    *
+    * @return (idCol, n_bigrams, kn_score) — docs with < 2 tokens are
+    *   omitted (no bigram positions to score). */
+  def knBigram(train: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, scale: Int = 6): DataFrame = {
+    import graft.functions.TextFunctions.shinglesAll
+    val d = 0.75
+    // bigram types with counts, split once into (w1, w2) — the single
+    // source for every model table (persisted: four consumers)
+    val types = train
+      .select(explode(shinglesAll(col(textCol), 2)).as("b_g"))
+      .groupBy("b_g").agg(count(lit(1)).as("c2"))
+      .withColumn("__p", split(col("b_g"), " "))
+      .select(col("b_g"), col("c2"),
+        element_at(col("__p"), 1).as("w1"),
+        element_at(col("__p"), 2).as("w2"))
+      .persist()
+    val nbb = types.count() // N1+(··): distinct bigram types
+    require(nbb > 0, "train corpus has no bigrams")
+    val ctx = types.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1ctx"), count(lit(1)).as("n1f"))
+    val cont = types.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val occ = docs.select(col(idCol),
+        explode(shinglesAll(col(textCol), 2)).as("bg"))
+      .withColumn("__ws", split(col("bg"), " "))
+      .select(col(idCol), col("bg"),
+        element_at(col("__ws"), 1).as("qw1"),
+        element_at(col("__ws"), 2).as("qw2"))
+    val joined = occ
+      .join(types.select(col("b_g"), col("c2")),
+        col("bg") === col("b_g"), "left").drop("b_g")
+      .join(ctx, col("qw1") === col("w1"), "left").drop("w1")
+      .join(cont, col("qw2") === col("w2"), "left").drop("w2")
+    // fixed-order arithmetic, mirrored verbatim in the oracle SQL
+    val pcont = coalesce(col("n1b"), lit(1L)).cast("double") /
+      lit(nbb.toDouble)
+    val term1 = when(col("c2").isNotNull,
+      (col("c2").cast("double") - lit(d)) / col("c1ctx").cast("double"))
+      .otherwise(lit(0.0))
+    val backoff = ((lit(d) * col("n1f").cast("double")) /
+      col("c1ctx").cast("double")) * pcont
+    val p = when(col("c1ctx").isNotNull, term1 + backoff).otherwise(pcont)
+    joined
+      .select(col(idCol), log2(p).as("__lg"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("__lg")), scale).as("kn_score"))
+  }
+
   /** Per-document lexical-diversity profile — the vocabulary-richness
     * quality signals beside entropy (q52) and repetition (q51):
     * type–token ratio (distinct words / words) and the hapax share

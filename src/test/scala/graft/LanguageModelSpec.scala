@@ -160,6 +160,43 @@ class LanguageModelSpec extends SparkSpec {
     assert(got(1L)._2 > got(4L)._2)
   }
 
+  test("knBigram: hand-checked interpolated Kneser-Ney with OOV floor") {
+    // train "a b a c a b": bigram types {a b:2, b a:1, a c:1, c a:1},
+    // N1+(..)=4; ctx a: c1ctx=3 n1f=2; cont: a:2, b:1, c:1
+    val train = Seq(0L -> "a b a c a b").toDF("doc_id", "text")
+    val docs = Seq(
+      1L -> "a b",   // seen: (2-.75)/3 + (.75*2/3)*(1/4)
+      2L -> "a x",   // seen ctx, unseen cont: (.75*2/3)*(1/4)
+      3L -> "x a",   // unseen ctx: pcont(a) = 2/4
+      4L -> "x z",   // unseen ctx + cont: floor 1/4
+      5L -> "a")     // no bigram -> omitted
+      .toDF("doc_id", "text")
+    val got = LanguageModel.knBigram(train, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def lg2(x: Double) = StrictMath.log(x) / StrictMath.log(2.0)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val want = Map(
+      1L -> r6(lg2((2.0 - 0.75) / 3.0 + ((0.75 * 2.0) / 3.0) * (1.0 / 4.0))),
+      2L -> r6(lg2(((0.75 * 2.0) / 3.0) * (1.0 / 4.0))),
+      3L -> r6(lg2(2.0 / 4.0)),
+      4L -> r6(lg2(1.0 / 4.0)))
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, w) =>
+      assert(got(id)._1 == 1L)
+      assert(math.abs(got(id)._2 - w) < 2e-6,
+        s"doc $id: ${got(id)._2} vs $w")
+    }
+    // interpolated KN is a TRUE distribution: P(.|a) sums to 1 over the
+    // continuation vocabulary {a, b, c} (the property Stupid Backoff
+    // deliberately gives up)
+    val probe = Seq(10L -> "a a", 11L -> "a b", 12L -> "a c")
+      .toDF("doc_id", "text")
+    val ps = LanguageModel.knBigram(train, probe, "doc_id", "text")
+      .collect().map(r => math.pow(2.0, r.getDouble(2)))
+    assert(math.abs(ps.sum - 1.0) < 1e-5, s"sum=${ps.sum}")
+  }
+
   test("countOfCounts: hand-checked N_r and Good-Turing r*") {
     val docs = Seq(1L -> "a a a b b c", 2L -> "d d e").toDF("doc_id", "text")
     // counts: a=3, d=2, b=2, c=1, e=1 -> N_1=2, N_2=2, N_3=1
