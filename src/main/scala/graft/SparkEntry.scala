@@ -2551,6 +2551,12 @@ object SparkEntry {
       operators.LanguageModel.knBigram(
         d.filter(col("lang") === "en"), d, "doc_id", "text")
     }),
+
+    // int8 embedding quantization audit: per-vector code sums +
+    // reconstruction error in exact 1e-12 units, one projection pass
+    "q204_int8_quant" -> ((s, dir) =>
+      operators.Features.int8QuantReport(
+        t(s, dir, "embeddings"), "vec_id", "embedding")),
   )
 
   /** q200's dimension count (the oracle enumerates d(d+1)/2 pair sums —
@@ -3433,7 +3439,30 @@ object SparkEntry {
           |          / CAST(nb AS DOUBLE))
           |    ELSE CAST(coalesce(n1b, 1) AS DOUBLE)
           |      / CAST(nb AS DOUBLE) END)), 6) AS kn_score
-          |FROM j GROUP BY doc_id""".stripMargin)
+          |FROM j GROUP BY doc_id""".stripMargin,
+
+      // int8 quantization: the half-up rule is DEFINED as floor(x+0.5)
+      // (identical doubles -> identical floors; engine round() at the
+      // half boundary never enters); all sums are exact integers
+      "q204_int8_quant" ->
+        """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
+          |           FROM embeddings),
+          |a AS (SELECT vec_id, max(abs(v)) AS amax FROM e GROUP BY vec_id),
+          |j AS (SELECT e.vec_id, v, amax,
+          |        CASE WHEN amax = 0 THEN 0
+          |        ELSE least(greatest(
+          |          CAST(floor(v / (amax / 127.0) + 0.5) AS BIGINT),
+          |          -127), 127) END AS qi
+          |      FROM e JOIN a USING (vec_id))
+          |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+          |  CAST(sum(qi) AS BIGINT) AS sum_q,
+          |  CAST(sum(abs(qi)) AS BIGINT) AS sum_absq,
+          |  CAST(sum(CASE WHEN amax = 0 THEN 0 ELSE
+          |    CAST(floor((v - qi * (amax / 127.0))
+          |      * (v - qi * (amax / 127.0))
+          |      * 1000000000000.0 + 0.5) AS BIGINT) END) AS BIGINT)
+          |    AS err_q12
+          |FROM j GROUP BY vec_id""".stripMargin)
   }
 
   /** q202's oracle: the batch-GD loop unrolled — one (gradient CTE,

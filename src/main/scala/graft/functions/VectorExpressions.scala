@@ -282,6 +282,119 @@ case class NearestCentroidId(child: Expression,
   override def prettyName: String = "nearest_centroid_id"
 }
 
+/** Per-vector symmetric int8 quantization report, as ONE row-local pass:
+  * `[n_dims, sum_q, sum_absq, err_q12]` (array<long>) where
+  *
+  *   scale = max_i |v_i| / 127
+  *   q_i   = clamp(floor(v_i/scale + 0.5), −127, 127)
+  *   err_q12 = Σ_i floor((v_i − q_i·scale)² · 1e12 + 0.5)
+  *
+  * The half-up rule is DEFINED as `floor(x + 0.5)` — explicit arithmetic
+  * both engines compute identically on identical doubles, rather than
+  * relying on engine `round()` semantics agreeing at the half boundary
+  * (the q149 floor-division discipline). Every emitted quantity is an
+  * exact integer, so the aggregate sums are fold-order-free and the
+  * DuckDB oracle can reproduce them via explode + integer sums. An
+  * all-zero vector quantizes to all-zero codes (scale would be 0 — the
+  * division is skipped, not guarded downstream). A null element nulls the
+  * whole result (quantizing a partial vector silently would corrupt the
+  * codes).
+  *
+  * This is the bandwidth-reduction cousin of PQ: 4 bytes/dim → 1, error
+  * inspectable per vector. Pure projection — no shuffle, no join, the
+  * only shape that survives a 100 TB embedding store. */
+case class Int8QuantStats(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val isFloat = elemType == org.apache.spark.sql.types.FloatType
+    val n = x.numElements()
+    var amax = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val av = math.abs(v)
+      if (av > amax) amax = av
+      i += 1
+    }
+    var sq = 0L; var sa = 0L; var se = 0L
+    if (amax > 0.0) {
+      val scale = amax / 127.0
+      i = 0
+      while (i < n) {
+        val v = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        var q = math.floor(v / scale + 0.5).toLong
+        if (q > 127L) q = 127L
+        if (q < -127L) q = -127L
+        val d = v - q * scale
+        se += math.floor(d * d * 1.0e12 + 0.5).toLong
+        sq += q
+        sa += math.abs(q)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Long](n.toLong, sq, sa, se))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getElem = elemType match {
+      case org.apache.spark.sql.types.FloatType =>
+        (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+      case _ => (arr: String, i: String) => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val amax = ctx.freshName("amax"); val v = ctx.freshName("v")
+      val av = ctx.freshName("av"); val scale = ctx.freshName("scale")
+      val q = ctx.freshName("q"); val d = ctx.freshName("d")
+      val sq = ctx.freshName("sq"); val sa = ctx.freshName("sa")
+      val se = ctx.freshName("se")
+      s"""
+         |int $n = $x.numElements();
+         |double $amax = 0.0;
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($x.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  double $v = ${getElem(x, i)};
+         |  double $av = java.lang.Math.abs($v);
+         |  if ($av > $amax) $amax = $av;
+         |}
+         |long $sq = 0L; long $sa = 0L; long $se = 0L;
+         |if (!${ev.isNull} && $amax > 0.0) {
+         |  double $scale = $amax / 127.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $v = ${getElem(x, i)};
+         |    long $q = (long) java.lang.Math.floor($v / $scale + 0.5);
+         |    if ($q > 127L) $q = 127L;
+         |    if ($q < -127L) $q = -127L;
+         |    double $d = $v - $q * $scale;
+         |    $se += (long) java.lang.Math.floor($d * $d * 1.0E12 + 0.5);
+         |    $sq += $q;
+         |    $sa += java.lang.Math.abs($q);
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    new long[]{(long) $n, $sq, $sa, $se});
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "int8_quant_stats"
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftInternals.{column, expression}
   /** Column API for the codegen'd kernels. */
@@ -297,4 +410,8 @@ object VectorExpressions {
     * `cents` as (id, coords) pairs sorted ascending by id. */
   def nearestCentroidId(vec: Column, cents: Array[(Int, Array[Double])]): Column =
     column(NearestCentroidId(expression(vec), cents.map(_._2), cents.map(_._1)))
+  /** `[n_dims, sum_q, sum_absq, err_q12]` int8-quantization report
+    * (see [[Int8QuantStats]]). */
+  def int8QuantStats(vec: Column): Column =
+    column(Int8QuantStats(expression(vec)))
 }

@@ -85,4 +85,24 @@ object Features {
         round((col("__sy").cast("double") + lit(m) * mu) /
           (col("n").cast("double") + lit(m)), 6).as("enc"))
   }
+
+  /** Per-vector symmetric int8 quantization report over an embedding
+    * column — code sums and the 1e-12-unit reconstruction error, all
+    * exact integers (see [[graft.functions.Int8QuantStats]] for the
+    * quantizer's defined arithmetic). ONE projection + nothing else: no
+    * join for the per-vector max, no explode of the element stream —
+    * the only shape that scans a 100 TB embedding store once at memory
+    * bandwidth. The 4-byte→1-byte storage trade this audits is the
+    * lightweight cousin of [[AnnSearch.pqEncode]].
+    * @return (vec_id, n_dims, sum_q, sum_absq, err_q12). */
+  def int8QuantReport(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+        graft.functions.VectorExpressions.int8QuantStats(col(vecCol))
+          .as("__s"))
+      .select(col("vec_id"),
+        element_at(col("__s"), 1).as("n_dims"),
+        element_at(col("__s"), 2).as("sum_q"),
+        element_at(col("__s"), 3).as("sum_absq"),
+        element_at(col("__s"), 4).as("err_q12"))
 }

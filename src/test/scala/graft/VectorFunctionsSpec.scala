@@ -177,6 +177,63 @@ class VectorFunctionsSpec extends SparkSpec {
       "kmv_sketch", "kmv_estimate", "kmv_intersect_estimate"))
   }
 
+  test("nearestCentroidId == least(struct(d2, c_id)) literal argmin") {
+    val rnd = new Random(11)
+    val dims = 7
+    val cents = (1 to 9).map(cid =>
+      (cid, Array.fill(dims)(rnd.nextDouble() * 10 - 5))).toArray
+    val vecs = Seq.fill(50)(Seq.fill(dims)(rnd.nextFloat() * 10f - 5f))
+    val df = spark.createDataFrame(vecs.map(Tuple1(_))).toDF("v")
+    val viaKernel = df
+      .select(VectorExpressions.nearestCentroidId(col("v"), cents).as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    val structs = cents.toSeq.map { case (cid, cv) =>
+      struct(
+        VectorExpressions.squaredL2(col("v"), typedlit(cv.toSeq)).as("d2"),
+        lit(cid).as("c_id"))
+    }
+    val viaLeast = df.select(least(structs: _*).getField("c_id").as("c"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(viaKernel == viaLeast)
+    // tie resolves to the SMALLEST centroid id: duplicate centroids
+    val dup = Array((3, Array(1.0, 2.0)), (7, Array(1.0, 2.0)))
+    val one = spark.createDataFrame(Seq(Tuple1(Seq(1.0f, 2.0f)))).toDF("v")
+    assert(one.select(VectorExpressions.nearestCentroidId(col("v"), dup))
+      .head.getInt(0) == 3)
+  }
+
+  test("int8QuantStats: hand case, zero vector, null element") {
+    // [1, -0.5, 0]: amax=1, scale=1/127; q = [127, -63, 0]
+    val df = spark.createDataFrame(
+      Seq(Tuple1(Seq(1.0f, -0.5f, 0.0f)))).toDF("v")
+    val got = df.select(VectorExpressions.int8QuantStats(col("v")))
+      .head.getSeq[Long](0)
+    val scale = 1.0 / 127.0
+    def err(v: Double, q: Long): Long = {
+      val d = v - q * scale
+      math.floor(d * d * 1.0e12 + 0.5).toLong
+    }
+    assert(got == Seq(3L, 127L - 63L, 127L + 63L,
+      err(1.0, 127) + err(-0.5, -63) + err(0.0, 0)))
+    // all-zero vector: zero codes, zero error — no division blow-up
+    val z = spark.createDataFrame(Seq(Tuple1(Seq(0.0f, 0.0f)))).toDF("v")
+    assert(z.select(VectorExpressions.int8QuantStats(col("v")))
+      .head.getSeq[Long](0) == Seq(2L, 0L, 0L, 0L))
+    // a null ELEMENT nulls the whole report
+    val withNull = spark.sql("SELECT array(1.0D, CAST(NULL AS DOUBLE)) AS v")
+    assert(withNull.select(VectorExpressions.int8QuantStats(col("v")))
+      .head.isNullAt(0))
+    // interpreted eval == codegen (DataFrame path)
+    val interp = graft.functions.Int8QuantStats(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0f, -0.5f, 0.0f),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))).eval(null)
+    assert(interp.asInstanceOf[
+      org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
+      == got)
+  }
+
   test("cellId buckets points to floor(x/eps) per selected dim") {
     val rnd = new Random(7)
     val cases = (1 to 15).map { _ =>
