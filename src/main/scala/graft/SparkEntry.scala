@@ -2557,6 +2557,18 @@ object SparkEntry {
     "q204_int8_quant" -> ((s, dir) =>
       operators.Features.int8QuantReport(
         t(s, dir, "embeddings"), "vec_id", "embedding")),
+
+    // Average precision per query bucket (MAP decomposition): q96's
+    // score/label framing, ranked retrieval eval with explicit ties
+    "q205_avg_precision" -> ((s, dir) =>
+      operators.Stats.averagePrecision(
+        t(s, dir, "embeddings")
+          .withColumn("qbucket", pmod(col("vec_id"), lit(4L))),
+        Seq("qbucket"),
+        col("label") === 0,
+        round(element_at(col("embedding"), 1).cast("double") * 10000)
+          .cast("long"),
+        col("vec_id"))),
   )
 
   /** q200's dimension count (the oracle enumerates d(d+1)/2 pair sums —
@@ -3462,7 +3474,34 @@ object SparkEntry {
           |      * (v - qi * (amax / 127.0))
           |      * 1000000000000.0 + 0.5) AS BIGINT) END) AS BIGINT)
           |    AS err_q12
-          |FROM j GROUP BY vec_id""".stripMargin)
+          |FROM j GROUP BY vec_id""".stripMargin,
+
+      // AP: (score DESC, vec_id) is a total order, so row_number and
+      // the running positive count are engine-identical; each
+      // precision@k term rounds at 9 then decimal-sums exactly
+      "q205_avg_precision" ->
+        """WITH e AS (SELECT vec_id % 4 AS qbucket,
+          |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+          |    CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT)
+          |      AS s,
+          |    vec_id AS t
+          |  FROM embeddings),
+          |r AS (SELECT qbucket, y,
+          |    row_number() OVER (PARTITION BY qbucket
+          |      ORDER BY s DESC, t) AS k,
+          |    sum(y) OVER (PARTITION BY qbucket
+          |      ORDER BY s DESC, t) AS cp
+          |  FROM e)
+          |SELECT qbucket, CAST(sum(y) AS BIGINT) AS n_pos,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  CASE WHEN sum(y) > 0 THEN
+          |    round(CAST(sum(CASE WHEN y = 1 THEN
+          |        CAST(round(CAST(cp AS DOUBLE) / CAST(k AS DOUBLE), 9)
+          |          AS DECIMAL(38,9))
+          |      ELSE CAST(0.0 AS DECIMAL(38,9)) END) AS DOUBLE)
+          |      / CAST(sum(y) AS DOUBLE), 6)
+          |  END AS ap
+          |FROM r GROUP BY qbucket""".stripMargin)
   }
 
   /** q202's oracle: the batch-GD loop unrolled — one (gradient CTE,

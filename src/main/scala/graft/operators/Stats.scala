@@ -148,6 +148,48 @@ object Stats {
         col("n_pos"), col("n_neg"))
   }
 
+  /** Per-group average precision — the ranked-retrieval eval beside
+    * [[auc]]: AP = (Σ_{k : rel@k} precision@k) / n_pos over the group's
+    * ranking by (score DESC, tie ASC). The explicit integral tie column
+    * makes the ranking a total order both engines reproduce exactly
+    * (the q80 lead() discipline) — AP, unlike AUC, has no natural
+    * tie-averaged form, so the order IS the definition.
+    *
+    * Scale shape: windows partition by the group (a query id in the
+    * MAP-over-queries use), so every ranking is a per-query partition —
+    * parallel across queries, never a global sort. Numerics:
+    * precision@k = cumP/k is one division of exact integers (identical
+    * doubles both engines), each term round(9) then decimal-summed
+    * exactly; one closing division (the q139 discipline).
+    *
+    * @param positive boolean column; NULL counts negative
+    * @param score    integral score column (quantize floats first);
+    *                 NULL-score rows are excluded (unrankable — the
+    *                 [[auc]] rule)
+    * @return (groupCols..., n_pos, n_rows, ap); ap NULL when the group
+    *   has no positives. */
+  def averagePrecision(df: DataFrame, groupCols: Seq[String],
+      positive: Column, score: Column, tie: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__s").desc, col("__t"))
+    df.select((g :+ score.as("__s") :+ tie.as("__t") :+
+        when(positive, 1L).otherwise(0L).as("__y")): _*)
+      .filter(col("__s").isNotNull)
+      .withColumn("__k", row_number().over(w))
+      .withColumn("__cp", sum(col("__y")).over(w))
+      .groupBy(g: _*)
+      .agg(sum(col("__y")).as("n_pos"), count(lit(1)).as("n_rows"),
+        sum(when(col("__y") === 1,
+            round(col("__cp").cast("double") / col("__k").cast("double"), 9))
+          .otherwise(lit(0.0)).cast("decimal(38,9)")).as("__ap_sum"))
+      .select((g :+ col("n_pos") :+ col("n_rows") :+
+        when(col("n_pos") > 0,
+          round(col("__ap_sum").cast("double") /
+            col("n_pos").cast("double"), 6)).as("ap")): _*)
+  }
+
   /** Winsorized mean per group: values clipped to the group's exact
     * [p25, p75] before averaging — the robust location estimate that,
     * unlike trimming, keeps n constant. Quantiles at dyadic p over

@@ -60,6 +60,36 @@ class StatsSpec extends SparkSpec {
     assert(run(df.repartition(1)) == run(df.repartition(17).orderBy("c")))
   }
 
+  test("averagePrecision: hand case, perfect ranking, empty positives") {
+    def run(rows: Seq[(Long, Long, Boolean, Long)]) = {
+      val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 3))
+        .toDF("g", "s", "pos", "t")
+      Stats.averagePrecision(df, Seq("g"), col("pos"), col("s"), col("t"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    }
+    // group 0: ranks (10,t1,+), (8,t2,-), (8,t3,+), (2,t4,+)
+    //   AP = (1/1 + 2/3 + 3/4) / 3 = 0.805556 (tie at 8 broken by t)
+    // group 1: perfect ranking -> AP = 1
+    // group 2: no positives -> NULL
+    val got = run(Seq(
+      (0L, 10L, true, 1L), (0L, 8L, false, 2L), (0L, 8L, true, 3L),
+      (0L, 2L, true, 4L),
+      (1L, 9L, true, 1L), (1L, 5L, true, 2L), (1L, 1L, false, 3L),
+      (2L, 7L, false, 1L), (2L, 3L, false, 2L)))
+    assert(got(0L) == (3L, 4L, Some(0.805556)))
+    assert(got(1L) == (2L, 3L, Some(1.0)))
+    assert(got(2L) == (0L, 2L, None))
+    // the tie column is load-bearing: swapping t2/t3 flips the ranking
+    val swapped = run(Seq(
+      (0L, 10L, true, 1L), (0L, 8L, false, 3L), (0L, 8L, true, 2L),
+      (0L, 2L, true, 4L)))
+    assert(swapped(0L)._3 == Some(math.rint(
+      (1.0 + 1.0 + 0.75) / 3.0 * 1e6) / 1e6))
+  }
+
   test("auc: separation extremes and the hand-checked tie case") {
     def run(rows: Seq[(Long, Boolean)]) = {
       val df = spark.createDataFrame(
