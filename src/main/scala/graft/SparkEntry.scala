@@ -2569,6 +2569,17 @@ object SparkEntry {
         round(element_at(col("embedding"), 1).cast("double") * 10000)
           .cast("long"),
         col("vec_id"))),
+
+    // MMR diversified rerank: top-10 cosine shortlist per query, 3
+    // greedy diversity-aware selections (lambda = 1/2)
+    "q206_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      operators.AnnSearch.mmrRerank(
+        e.filter(col("vec_id") < 50)
+          .select(col("vec_id").as("a_id"), col("embedding").as("a_v")),
+        e.select(col("vec_id").as("b_id"), col("embedding").as("b_v")),
+        m = 10, k = 3)
+    }),
   )
 
   /** q200's dimension count (the oracle enumerates d(d+1)/2 pair sums —
@@ -3501,7 +3512,58 @@ object SparkEntry {
           |      ELSE CAST(0.0 AS DECIMAL(38,9)) END) AS DOUBLE)
           |      / CAST(sum(y) AS DOUBLE), 6)
           |  END AS ap
-          |FROM r GROUP BY qbucket""".stripMargin)
+          |FROM r GROUP BY qbucket""".stripMargin,
+
+      "q206_mmr_rerank" -> mmrOracle)
+  }
+
+  /** q206's oracle: the k=3 MMR greedy loop unrolled — one (remaining,
+    * pairwise-max-sim, argmax) CTE triple per round. rel/sim are
+    * round(6)+0.0 canonicalized cosines; the shortlist ranks on the RAW
+    * cosine with b_id ties exactly like the engine's bounded heap. */
+  private def mmrOracle: String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    def cosRaw(x: String, y: String) =
+      s"${dot(x, y)} / sqrt(${dot(x, x)} * ${dot(y, y)})"
+    def cos6(x: String, y: String) = s"round(${cosRaw(x, y)}, 6) + 0.0"
+    // one refinement round: remaining shortlist -> max sim against the
+    // selected-so-far union -> per-query argmax of the MMR score
+    def round_(t: Int, selUnion: String): String =
+      s"""rem$t AS (SELECT sl.* FROM sl WHERE NOT EXISTS (
+         |  SELECT 1 FROM $selUnion s WHERE s.a_id = sl.a_id
+         |    AND s.sel_id = sl.b_id)),
+         |p$t AS (SELECT r.a_id, r.b_id, r.rel,
+         |    max(${cos6("bc", "bs")}) AS maxsim
+         |  FROM rem$t r
+         |  JOIN $selUnion s ON s.a_id = r.a_id
+         |  JOIN b bc ON bc.vec_id = r.b_id
+         |  JOIN b bs ON bs.vec_id = s.sel_id
+         |  GROUP BY r.a_id, r.b_id, r.rel),
+         |s$t AS (SELECT a_id, b_id AS sel_id FROM (
+         |  SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+         |    ORDER BY 0.5 * rel - 0.5 * maxsim DESC, b_id) AS rr
+         |  FROM p$t) z WHERE rr = 1)""".stripMargin
+    s"""WITH b AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+       |cand AS (SELECT q.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${cos6("q", "b")} AS rel,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${cosRaw("q", "b")} DESC, b.vec_id) AS rn
+       |  FROM q JOIN b ON q.vec_id != b.vec_id),
+       |sl AS (SELECT a_id, b_id, rel FROM cand WHERE rn <= 10),
+       |s1 AS (SELECT a_id, b_id AS sel_id FROM (
+       |  SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+       |    ORDER BY rel DESC, b_id) AS rr FROM sl) z WHERE rr = 1),
+       |${round_(2, "s1")},
+       |s12 AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+       |${round_(3, "s12")}
+       |SELECT a_id, CAST(1 AS INTEGER) AS step, sel_id FROM s1
+       |UNION ALL
+       |SELECT a_id, CAST(2 AS INTEGER) AS step, sel_id FROM s2
+       |UNION ALL
+       |SELECT a_id, CAST(3 AS INTEGER) AS step, sel_id FROM s3""".stripMargin
   }
 
   /** q202's oracle: the batch-GD loop unrolled — one (gradient CTE,

@@ -608,4 +608,86 @@ object AnnSearch {
       .select(col("a_id"), col("p.id").as("nbr_id"),
         (col("pos") + 1).cast("int").as("rnk"))
   }
+
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
+    * diversity-aware selection from each query's cosine shortlist:
+    *
+    *   s_1 = argmax rel(c)
+    *   s_t = argmax_{c ∉ S} [λ·rel(c) − (1−λ)·max_{s ∈ S} sim(c, s)]
+    *
+    * The training-data use is diverse sampling: picking k near-dup-free
+    * exemplars per query/cluster instead of k copies of the same hub
+    * document.
+    *
+    * Shape: the shortlist (top-`m` by cosine, the bounded-heap kernel)
+    * is built ONCE and persisted; each of the k−1 refinement rounds is
+    * one equi-join of the remaining shortlist rows against the ≤t-row
+    * selected set PER QUERY (|Q|·m·t candidate-pair stream — linear in
+    * queries, never corpus²) plus one per-query argmax aggregate. k and
+    * m are small constants, so the loop is a fixed plan, not a
+    * data-dependent iteration.
+    *
+    * Numerics: rel and sim are round(6)-canonicalized cosines (`+ 0.0`
+    * clears the −0.0 that round can leave on tiny negatives — the q126
+    * rule, or two engines order a zero tie differently); λ = 1/2 is
+    * dyadic so the MMR score is computed from identical doubles in one
+    * fixed order; argmax ties break on the smallest candidate id via
+    * `max(struct(score, −b_id))` (avoids negating the score, which
+    * would re-introduce −0.0).
+    *
+    * @param queries (`a_id`, `a_v`); @param build (`b_id`, `b_v`)
+    * @return (`a_id`, `step` 1..k, `sel_id`). */
+  def mmrRerank(queries: DataFrame, build: DataFrame, m: Int, k: Int,
+      scale: Int = 6): DataFrame = {
+    require(m >= k && k >= 1, s"need m >= k >= 1, got m=$m k=$k")
+    val bn = withNorm(build, "b_v", "b_n")
+    val qn = withNorm(queries.repartition(col("a_id")), "a_v", "a_n")
+    val shortIds = qn.join(bn, col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), (-cosineCol).as("negcos"))
+      .groupBy("a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("b_id"), col("negcos"), m)
+        .as("topk"))
+      .select(col("a_id"), explode(col("topk.id")).as("b_id"))
+    // rejoin for vectors, then derive rel on the m-per-query rows only
+    val shortlist = shortIds
+      .join(bn, "b_id")
+      .join(qn.select(col("a_id"), col("a_v"), col("a_n")), "a_id")
+      .select(col("a_id"), col("b_id"), col("b_v"), col("b_n"),
+        (round(cosineCol, scale) + lit(0.0)).as("rel"))
+      .persist()
+    // sim(candidate, selected) under candidate-side (a_*) aliases
+    val simCol = round(
+      graft.functions.VectorExpressions.dotProduct(col("b_v"), col("s_v")) /
+        sqrt(col("b_n") * col("s_n")), scale) + lit(0.0)
+    def argmax(df: DataFrame, score: Column, step: Int): DataFrame =
+      df.groupBy("a_id")
+        .agg(max(struct(score.as("sc"), (-col("b_id")).as("nid"))).as("w"))
+        .select(col("a_id"), lit(step).as("step"),
+          (-col("w.nid")).as("sel_id"))
+    var selected = argmax(shortlist, col("rel"), 1)
+    var selVecs = selected.join(
+        bn.select(col("b_id").as("sel_id"), col("b_v").as("s_v"),
+          col("b_n").as("s_n")), "sel_id")
+      .select(col("a_id"), col("sel_id"), col("s_v"), col("s_n"))
+      .persist()
+    var out = selected
+    for (step <- 2 to k) {
+      val rem = shortlist.join(selVecs
+          .select(col("a_id"), col("sel_id").as("b_id")),
+        Seq("a_id", "b_id"), "left_anti")
+      val mmr = rem.join(selVecs, "a_id")
+        .groupBy(col("a_id"), col("b_id"), col("rel"))
+        .agg(max(simCol).as("maxsim"))
+        .select(col("a_id"), col("b_id"),
+          (lit(0.5) * col("rel") - lit(0.5) * col("maxsim")).as("score"))
+      val sel = argmax(mmr, col("score"), step)
+      selVecs = selVecs.union(sel.join(
+          bn.select(col("b_id").as("sel_id"), col("b_v").as("s_v"),
+            col("b_n").as("s_n")), "sel_id")
+        .select(col("a_id"), col("sel_id"), col("s_v"), col("s_n")))
+        .persist()
+      out = out.union(sel)
+    }
+    out.select(col("a_id"), col("step"), col("sel_id"))
+  }
 }

@@ -355,4 +355,57 @@ class AnnSearchSpec extends SparkSpec {
     val recall = exact.count(approx.contains).toDouble / exact.size
     assert(recall >= 0.6, s"SRP-LSH recall@5 = $recall (8 tables, 4 bits)")
   }
+
+  test("mmrRerank == scala greedy MMR; diversity changes the pick") {
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], bb: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * bb(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += bb(i).toDouble * bb(i).toDouble
+        i += 1
+      }
+      dp / math.sqrt(na * nb)
+    }
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val (m, k) = (6, 3)
+    def brute(qid: Long): Seq[Long] = {
+      val qv = vecs(qid)
+      val short = vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(m)
+        .map { case (id, c) => (id, r6(c)) }
+      val sel = scala.collection.mutable.ArrayBuffer(
+        short.minBy { case (id, rel) => (-rel, id) }._1)
+      while (sel.size < k) {
+        val rem = short.filterNot(c => sel.contains(c._1))
+        val next = rem.map { case (id, rel) =>
+          val maxsim = sel.map(s => r6(cos(vecs(id), vecs(s)))).max
+          (id, 0.5 * rel - 0.5 * maxsim)
+        }.minBy { case (id, sc) => (-sc, id) }._1
+        sel += next
+      }
+      sel.toSeq
+    }
+    val got = AnnSearch.mmrRerank(q, b, m, k).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val qids = got.keys.map(_._1).toSeq.distinct
+    assert(qids.nonEmpty)
+    qids.foreach { qid =>
+      val want = brute(qid)
+      (1 to k).foreach { step =>
+        assert(got((qid, step)) == want(step - 1),
+          s"q=$qid step=$step: ${got((qid, step))} vs ${want(step - 1)}")
+      }
+    }
+    // diversity is load-bearing somewhere: at least one step-2/3 pick
+    // differs from the pure top-k ranking
+    val pureTopK = AnnSearch.bruteForceTopK(q, b, k).collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    assert(qids.exists(qid =>
+      (2 to k).exists(st => got((qid, st)) != pureTopK((qid, st)))),
+      "MMR never diverged from plain top-k — diversity term inert?")
+  }
 }
