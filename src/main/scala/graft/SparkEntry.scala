@@ -2570,6 +2570,18 @@ object SparkEntry {
           .cast("long"),
         col("vec_id"))),
 
+    // nDCG per query bucket: graded relevance = label capped at 3,
+    // same score/tie framing as q205's AP
+    "q207_ndcg" -> ((s, dir) =>
+      operators.Stats.ndcg(
+        t(s, dir, "embeddings")
+          .withColumn("qbucket", pmod(col("vec_id"), lit(4L))),
+        Seq("qbucket"),
+        least(col("label"), lit(3)).cast("long"),
+        round(element_at(col("embedding"), 1).cast("double") * 10000)
+          .cast("long"),
+        col("vec_id"))),
+
     // MMR diversified rerank: top-10 cosine shortlist per query, 3
     // greedy diversity-aware selections (lambda = 1/2)
     "q206_mmr_rerank" -> ((s, dir) => {
@@ -3514,7 +3526,36 @@ object SparkEntry {
           |  END AS ap
           |FROM r GROUP BY qbucket""".stripMargin,
 
-      "q206_mmr_rerank" -> mmrOracle)
+      "q206_mmr_rerank" -> mmrOracle,
+
+      // nDCG: both rankings from one scan; per-term round(9) absorbs
+      // the libm log2 ulp, sums are exact decimals
+      "q207_ndcg" ->
+        """WITH e AS (SELECT vec_id % 4 AS qbucket,
+          |    CAST(least(label, 3) AS BIGINT) AS r,
+          |    CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT)
+          |      AS s,
+          |    vec_id AS t
+          |  FROM embeddings),
+          |k AS (SELECT qbucket, (1::BIGINT << r) - 1 AS gain,
+          |    row_number() OVER (PARTITION BY qbucket
+          |      ORDER BY s DESC, t) AS kd,
+          |    row_number() OVER (PARTITION BY qbucket
+          |      ORDER BY r DESC, t) AS ki
+          |  FROM e),
+          |a AS (SELECT qbucket, CAST(count(*) AS BIGINT) AS n_rows,
+          |    sum(CAST(round(CAST(gain AS DOUBLE)
+          |      / log2(CAST(kd AS DOUBLE) + 1.0), 9)
+          |      AS DECIMAL(38,9))) AS dcg,
+          |    sum(CAST(round(CAST(gain AS DOUBLE)
+          |      / log2(CAST(ki AS DOUBLE) + 1.0), 9)
+          |      AS DECIMAL(38,9))) AS idcg
+          |  FROM k GROUP BY qbucket)
+          |SELECT qbucket, n_rows,
+          |  CASE WHEN idcg > 0 THEN
+          |    round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6)
+          |  END AS ndcg
+          |FROM a""".stripMargin)
   }
 
   /** q206's oracle: the k=3 MMR greedy loop unrolled — one (remaining,

@@ -57,18 +57,24 @@ object Pca {
       scale: Int = 9): DataFrame = {
     require(d >= 1, s"d must be >= 1, got $d")
     val m = emb.agg(moments(col(vecCol), d).as("m"))
-    val n = element_at(col("m"), 1).cast("double")
-    val exprs = for (i <- 0 until d; j <- i until d) yield {
-      val sij = element_at(col("m"), 1 + d + pairPos(i, j, d) + 1)
-      val si = element_at(col("m"), 2 + i)
-      val sj = element_at(col("m"), 2 + j)
+    // explode only the (i, j, pos) INDEX structs and compute the
+    // covariance expression once per exploded row — inlining the full
+    // arithmetic into all d(d+1)/2 array elements put ~136 copies of it
+    // in one generated method, tripping Janino's 64 KB limit at d=16
+    // (harmless on this one-row table, but the fallback re-compiles and
+    // stack-traces on every run)
+    val pairs = for (i <- 0 until d; j <- i until d) yield
       struct(lit(i).as("i"), lit(j).as("j"),
+        lit(pairPos(i, j, d)).as("pos"))
+    val n = element_at(col("m"), 1).cast("double")
+    val sij = element_at(col("m"), col("p.pos") + lit(d + 2))
+    val si = element_at(col("m"), col("p.i") + lit(2))
+    val sj = element_at(col("m"), col("p.j") + lit(2))
+    m.select(col("m"), explode(array(pairs: _*)).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
         round(sij.cast("double") / n / lit(Scale) -
           (si.cast("double") / n / lit(Scale)) *
             (sj.cast("double") / n / lit(Scale)), scale).as("cov"))
-    }
-    m.select(explode(array(exprs: _*)).as("e"))
-      .select(col("e.i"), col("e.j"), col("e.cov"))
   }
 
   /** 0-based offset of pair (i ≤ j) in the row-major upper-triangle

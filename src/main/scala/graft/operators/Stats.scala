@@ -190,6 +190,49 @@ object Stats {
             col("n_pos").cast("double"), 6)).as("ap")): _*)
   }
 
+  /** Per-group normalized discounted cumulative gain — the
+    * graded-relevance eval beside [[averagePrecision]]'s binary one:
+    *
+    *   DCG  = Σ_k (2^rel_k − 1) / log2(k + 1)   over (score DESC, tie)
+    *   IDCG = the same sum over the IDEAL ranking (rel DESC, tie)
+    *   nDCG = DCG / IDCG
+    *
+    * Both rankings come from ONE pass — two row_numbers over the same
+    * group partition — so the input is read once and the windows are
+    * per-group (parallel across queries, never a global sort).
+    * Numerics: gains are exact integers (`shiftleft`); each term pays
+    * one libm log2 whose ±1-ulp engine skew is absorbed by round(9)
+    * before the exact decimal sum (the q74 discipline); one closing
+    * division.
+    *
+    * @param rel integral relevance grade ≥ 0 (cap it — gain is 2^rel);
+    *   NULL-score rows are excluded (the [[auc]] rule)
+    * @return (groupCols..., n_rows, ndcg); ndcg NULL when IDCG = 0
+    *   (no relevant rows). */
+  def ndcg(df: DataFrame, groupCols: Seq[String], rel: Column,
+      score: Column, tie: Column): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    def w(order: Column) = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(order.desc, col("__t"))
+    def term(k: Column) = round(col("__gain").cast("double") /
+      log2(k.cast("double") + lit(1.0)), 9).cast("decimal(38,9)")
+    df.select((g :+ rel.as("__r") :+ score.as("__s") :+ tie.as("__t")): _*)
+      .filter(col("__s").isNotNull)
+      .select((g :+ col("__r") :+ col("__s") :+ col("__t") :+
+        expr("shiftleft(1L, CAST(__r AS INT)) - 1L").as("__gain")): _*)
+      .withColumn("__kd", row_number().over(w(col("__s"))))
+      .withColumn("__ki", row_number().over(w(col("__r"))))
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(term(col("__kd"))).as("__dcg"),
+        sum(term(col("__ki"))).as("__idcg"))
+      .select((g :+ col("n_rows") :+
+        when(col("__idcg") > 0,
+          round(col("__dcg").cast("double") /
+            col("__idcg").cast("double"), 6)).as("ndcg")): _*)
+  }
+
   /** Winsorized mean per group: values clipped to the group's exact
     * [p25, p75] before averaging — the robust location estimate that,
     * unlike trimming, keeps n constant. Quantiles at dyadic p over

@@ -90,6 +90,32 @@ class StatsSpec extends SparkSpec {
       (1.0 + 1.0 + 0.75) / 3.0 * 1e6) / 1e6))
   }
 
+  test("ndcg: perfect ranking = 1, hand-checked inversion, no positives") {
+    def run(rows: Seq[(Long, Long, Long, Long)]) = {
+      val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 3))
+        .toDF("g", "r", "s", "t")
+      Stats.ndcg(df, Seq("g"), col("r"), col("s"), col("t"))
+        .collect().map(x => x.getLong(0) ->
+          (x.getLong(1), if (x.isNullAt(2)) None else Some(x.getDouble(2))))
+        .toMap
+    }
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    def lg2(x: Double) = StrictMath.log(x) / StrictMath.log(2.0)
+    val got = run(Seq(
+      // g0: score order == ideal order -> 1.0
+      (0L, 3L, 30L, 1L), (0L, 1L, 20L, 2L), (0L, 0L, 10L, 3L),
+      // g1: the irrelevant doc ranks first
+      (1L, 0L, 30L, 1L), (1L, 3L, 10L, 2L),
+      // g2: all rel 0 -> IDCG 0 -> NULL
+      (2L, 0L, 9L, 1L), (2L, 0L, 8L, 2L)))
+    assert(got(0L) == (3L, Some(1.0)))
+    val dcg1 = r9(0.0 / lg2(2.0)) + r9(7.0 / lg2(3.0))
+    val idcg1 = r9(7.0 / lg2(2.0)) + r9(0.0 / lg2(3.0))
+    assert(got(1L) == (2L, Some(math.rint(dcg1 / idcg1 * 1e6) / 1e6)))
+    assert(got(2L) == (2L, None))
+  }
+
   test("auc: separation extremes and the hand-checked tie case") {
     def run(rows: Seq[(Long, Boolean)]) = {
       val df = spark.createDataFrame(
