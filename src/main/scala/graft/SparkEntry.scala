@@ -2582,6 +2582,21 @@ object SparkEntry {
           .cast("long"),
         col("vec_id"))),
 
+    // Rank-biased overlap between two per-bucket top-10 rankings
+    // (dims 1 and 2 as competing scorers) — ranking-agreement eval
+    "q208_rbo" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("qbucket", pmod(col("vec_id"), lit(4L)))
+      def ranked(idx: Int) = e.select(
+        col("qbucket").as("g"), col("vec_id").as("item"),
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("qbucket")
+            .orderBy(round(element_at(col("embedding"), idx)
+              .cast("double") * 10000).cast("long").desc,
+              col("vec_id"))).as("rnk"))
+      operators.Stats.rbo(ranked(1), ranked(2), depth = 10)
+    }),
+
     // MMR diversified rerank: top-10 cosine shortlist per query, 3
     // greedy diversity-aware selections (lambda = 1/2)
     "q206_mmr_rerank" -> ((s, dir) => {
@@ -3527,6 +3542,34 @@ object SparkEntry {
           |FROM r GROUP BY qbucket""".stripMargin,
 
       "q206_mmr_rerank" -> mmrOracle,
+
+      // RBO: the depth weights are the ENGINE's own literals
+      // (Stats.rboWeights, round(9)) printed into the SQL, so both
+      // engines sum identical decimals
+      "q208_rbo" -> {
+        val w = operators.Stats.rboWeights(10, 0.875)
+          .mkString("[", ", ", "]")
+        s"""WITH e AS (SELECT vec_id % 4 AS g, vec_id AS item,
+           |    CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT)
+           |      AS s1,
+           |    CAST(round(CAST(embedding[2] AS DOUBLE) * 10000) AS BIGINT)
+           |      AS s2
+           |  FROM embeddings),
+           |ra AS (SELECT g, item, row_number() OVER (PARTITION BY g
+           |    ORDER BY s1 DESC, item) AS ra FROM e),
+           |rb AS (SELECT g, item, row_number() OVER (PARTITION BY g
+           |    ORDER BY s2 DESC, item) AS rb FROM e),
+           |m AS (SELECT ra.g,
+           |    ($w)[greatest(ra.ra, rb.rb)] AS wm
+           |  FROM ra JOIN rb ON ra.g = rb.g AND ra.item = rb.item
+           |  WHERE ra.ra <= 10 AND rb.rb <= 10),
+           |s AS (SELECT g, sum(CAST(wm AS DECIMAL(38,9))) AS sm
+           |  FROM m GROUP BY g)
+           |SELECT gg.g, round(0.125 * coalesce(CAST(sm AS DOUBLE), 0.0), 6)
+           |    AS rbo
+           |FROM (SELECT DISTINCT g FROM e) gg
+           |LEFT JOIN s ON s.g = gg.g""".stripMargin
+      },
 
       // nDCG: both rankings from one scan; per-term round(9) absorbs
       // the libm log2 ulp, sums are exact decimals

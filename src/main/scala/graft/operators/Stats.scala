@@ -233,6 +233,58 @@ object Stats {
             col("__idcg").cast("double"), 6)).as("ndcg")): _*)
   }
 
+  /** [[rbo]]'s per-depth weights W(m) = Σ_{d=m..D} p^(d−1)/d, each
+    * round(9) so the engine's decimal conversion is exact. Driver-side
+    * in fixed ascending fold order; public so oracle SQL can inline the
+    * IDENTICAL literals. */
+  def rboWeights(depth: Int, p: Double): Seq[Double] =
+    (1 to depth).map(m => math.rint(
+      (m to depth).map(dd => math.pow(p, dd - 1) / dd).sum * 1e9) / 1e9)
+
+  /** Rank-biased overlap at prefix depth D (Webber, Moffat & Zobel
+    * 2010) between two top-D rankings per group — the ranking-agreement
+    * eval (e.g. ANN serving vs exact ranking, yesterday's index vs
+    * today's):
+    *
+    *   RBO@D = (1−p) Σ_{d=1..D} p^(d−1) · |A_d ∩ B_d| / d
+    *
+    * over depth-d prefixes A_d/B_d. Per matched item at ranks
+    * (ra, rb), the contribution telescopes to W(max(ra, rb)) with
+    * W(m) = Σ_{d=m..D} p^(d−1)/d — D weights computed ONCE driver-side
+    * ([[rboWeights]]) and inlined as literals, so the engine pass is
+    * one equi-join of two ≤D-per-group tables + one lookup + one exact
+    * decimal sum per group. This is the prefix-truncated RBO@D, not the
+    * extrapolated RBO_ext (at prefix scale the residual term is the
+    * caller's call). Default p = 7/8 — dyadic, inside the paper's
+    * recommended persistence range.
+    *
+    * @param rankA/@param rankB (`g`, `item`, `rnk`) — `rnk` 1-based
+    *   within group; rows beyond `depth` are filtered here, so passing
+    *   full rankings is fine
+    * @return (g, rbo) for every group of `rankA` (0.0 when the
+    *   prefixes are disjoint). */
+  def rbo(rankA: DataFrame, rankB: DataFrame, depth: Int,
+      p: Double = 0.875, scale: Int = 6): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(p > 0 && p < 1, s"p must be in (0,1), got $p")
+    val w = rboWeights(depth, p)
+    val a = rankA.select(col("g"), col("item"), col("rnk").as("__ra"))
+      .filter(col("__ra") <= depth)
+    val b = rankB.select(col("g"), col("item"), col("rnk").as("__rb"))
+      .filter(col("__rb") <= depth)
+    val matched = a.join(b, Seq("g", "item"))
+      .select(col("g"),
+        element_at(typedlit(w),
+          greatest(col("__ra"), col("__rb")).cast("int")).as("__w"))
+      .groupBy("g")
+      .agg(sum(col("__w").cast("decimal(38,9)")).as("__s"))
+    rankA.select(col("g")).distinct()
+      .join(matched, Seq("g"), "left")
+      .select(col("g"),
+        round(lit(1.0 - p) *
+          coalesce(col("__s").cast("double"), lit(0.0)), scale).as("rbo"))
+  }
+
   /** Winsorized mean per group: values clipped to the group's exact
     * [p25, p75] before averaging — the robust location estimate that,
     * unlike trimming, keeps n constant. Quantiles at dyadic p over

@@ -116,6 +116,32 @@ class StatsSpec extends SparkSpec {
     assert(got(2L) == (2L, None))
   }
 
+  test("rbo: identical = 1-p^D, disjoint = 0, hand-checked overlap") {
+    def rank(rows: Seq[(Long, Long, Long)]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 2))
+        .toDF("g", "item", "rnk")
+    def run(a: Seq[(Long, Long, Long)], b: Seq[(Long, Long, Long)],
+        depth: Int) =
+      Stats.rbo(rank(a), rank(b), depth)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val w10 = Stats.rboWeights(10, 0.875)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // identical rankings: Σ W(m) telescopes to (1-p^D)/(1-p)
+    val ident = (1L to 10L).map(i => (0L, 100L + i, i))
+    assert(run(ident, ident, 10) ==
+      Map(0L -> r6(0.125 * w10.sum)))
+    assert(math.abs(run(ident, ident, 10)(0L) -
+      (1.0 - math.pow(0.875, 10))) < 1e-5)
+    // disjoint prefixes: 0.0 via the left-join path
+    val other = (1L to 10L).map(i => (0L, 200L + i, i))
+    assert(run(ident, other, 10) == Map(0L -> 0.0))
+    // partial overlap at depth 2: only item y matches, at ranks (2, 1)
+    val w2 = Stats.rboWeights(2, 0.875)
+    val got = run(Seq((0L, 1L, 1L), (0L, 2L, 2L)),
+      Seq((0L, 2L, 1L), (0L, 3L, 2L)), 2)
+    assert(got == Map(0L -> r6(0.125 * w2(1))))
+  }
+
   test("auc: separation extremes and the hand-checked tie case") {
     def run(rows: Seq[(Long, Boolean)]) = {
       val df = spark.createDataFrame(
