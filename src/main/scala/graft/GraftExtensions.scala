@@ -108,6 +108,11 @@ object GraftExtensions {
           "blocked early exit (eps2 must be a numeric literal)"),
       (args: Seq[Expression]) => graft.functions.WithinEps(args(0), args(1),
         foldToDouble(args(2)))),
+    (FunctionIdentifier("int8_quant_stats"),
+      info("int8_quant_stats",
+        "int8_quant_stats(vec) - [n_dims, sum_q, sum_absq, err_q12] " +
+          "symmetric int8 quantization report over a float/double vector"),
+      (args: Seq[Expression]) => graft.functions.Int8QuantStats(args(0))),
     (FunctionIdentifier("redact_tokens"),
       info("redact_tokens",
         "redact_tokens(text, blocklist, mask) - replace blocklisted " +

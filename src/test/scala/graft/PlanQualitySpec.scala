@@ -615,4 +615,34 @@ class PlanQualitySpec extends SparkSpec {
     // lang/source stay pruned off the documents scan
     assert(!p.contains("lang"), s"scan reads pruned columns:\n$p")
   }
+
+  test("q204 int8 quant: pure projection — no exchange, no join, kernel " +
+      "in the plan; label pruned off the embeddings scan") {
+    val p = plan(SparkEntry.queries("q204_int8_quant")(spark, sf))
+    assert(!p.contains("Exchange"), s"quant report must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"quant report needs no join:\n$p")
+    assert(p.contains("int8_quant_stats"), s"missing fused kernel:\n$p")
+    assert(!p.contains("label"), s"scan reads pruned columns:\n$p")
+  }
+
+  test("q203 Kneser-Ney: model tables broadcast, the corpus bigram " +
+      "stream is never the build side") {
+    val p = plan(SparkEntry.queries("q203_kneser_ney")(spark, sf))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"product crept in:\n$p")
+    // three model joins (types/ctx/cont) — all broadcast at this scale;
+    // the corpus stream must stay the streamed (probe) side throughout
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+      s"model tables should broadcast:\n$p")
+  }
+
+  test("q206 MMR: shortlist is the bounded-heap aggregate; refinement " +
+      "rounds stay equi-joins") {
+    val p = plan(SparkEntry.queries("q206_mmr_rerank")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(p.contains("topk_min") || p.contains("TopKByScore") ||
+      p.contains("ObjectHashAggregate"),
+      s"missing bounded-heap shortlist aggregate:\n$p")
+    assert(!p.contains("Window"), s"MMR must not rank via windows:\n$p")
+  }
 }

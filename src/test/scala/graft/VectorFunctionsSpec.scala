@@ -174,7 +174,8 @@ class VectorFunctionsSpec extends SparkSpec {
       "posting_pairs", "posting_pairs_sz", "winnowing_fingerprints",
       "within_eps", "redact_tokens", "redact_count",
       "bitmap_distinct_count", "bitmap_bytes", "bitmap_and_count",
-      "kmv_sketch", "kmv_estimate", "kmv_intersect_estimate"))
+      "kmv_sketch", "kmv_estimate", "kmv_intersect_estimate",
+      "int8_quant_stats"))
   }
 
   test("nearestCentroidId == least(struct(d2, c_id)) literal argmin") {
