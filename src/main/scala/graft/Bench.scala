@@ -81,6 +81,11 @@ object Bench {
       // never corpus²)
       "ann_synth1m" -> ((s: SparkSession) =>
         Workloads.annSynth(s, 1_000_000L)),
+      // scale-evidence twin for the TEXT family: the quality battery
+      // (native token/shingle kernels) over 1M in-engine docs / 60M
+      // tokens — linear scan throughput, one aggregate
+      "textstats_synth1m" -> ((s: SparkSession) =>
+        Workloads.textStatsSynth(s, 1_000_000L)),
     ) ++ (
       // 100× the reference's largest dataset, same per-cluster density
       // as the 500k diagnostic (k scales with n, ε-degree stays ~13).

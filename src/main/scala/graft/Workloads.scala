@@ -127,6 +127,34 @@ object Workloads {
         docLen = 60, vocab = 5000, mutPct = 5),
       "doc_id", "text", n = 5, minJaccard = 0.35)
 
+  /** TEXT-family scale twin: the per-document quality battery (token
+    * count, entropy, duplicate-3-gram repetition, lexical diversity —
+    * all native shingle/token kernels) over `n` in-engine documents,
+    * closed by a per-quality-band rollup so the bench action consumes
+    * every column. One tokenize-shaped scan + one aggregate — the
+    * linear pipeline whose 100 TB cost IS scan throughput. */
+  def textStatsSynth(spark: SparkSession, n: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.{tokens, shinglesAll}
+    val docs = synthDocs(spark, n, templates = math.max((n / 10).toInt, 10),
+      docLen = 60, vocab = 5000, mutPct = 5)
+    val toks = tokens(col("text"))
+    val grams = shinglesAll(col("text"), 3)
+    val perDoc = docs.select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(grams).as("n_grams"),
+        size(array_distinct(grams)).as("n_dist_grams"),
+        size(array_distinct(toks)).as("n_types"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_grams") - col("n_dist_grams")).as("dup_grams"),
+        expr("(n_types * 100L) DIV n_tokens").as("ttr_pct"))
+    perDoc.groupBy((col("ttr_pct") - pmod(col("ttr_pct"), lit(10L)))
+        .as("ttr_band"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("dup_grams")).as("dup_grams"))
+  }
+
   /** Deterministic synthetic clustered embedding corpus, generated
     * IN-ENGINE like [[synthPoints]]: `k` cluster directions uniform in
     * [0,1]^dims, each vector jittered ±0.05 per dim around its
