@@ -2582,6 +2582,24 @@ object SparkEntry {
           .cast("long"),
         col("vec_id"))),
 
+    // Holt level+trend smoothing of the daily revenue series per
+    // event type — the exact recursive fold (q108's EWMA is the
+    // windowed approximation)
+    "q209_holt" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .select(col("event_type"), eventMs(ev).as("ms"), col("value"))
+        .select(col("event_type"), expr("ms DIV 86400000").as("day"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("event_type", "day")
+        .agg(sum(col("c")).as("cents"))
+      operators.TimeSeries.holt(daily, Seq("event_type"), "day",
+          col("cents"))
+        .select(col("event_type"), col("day"), col("x"),
+          round(col("level"), 6).as("level"),
+          round(col("trend"), 6).as("trend"))
+    }),
+
     // Rank-biased overlap between two per-bucket top-10 rankings
     // (dims 1 and 2 as competing scorers) — ranking-agreement eval
     "q208_rbo" -> ((s, dir) => {
@@ -3542,6 +3560,34 @@ object SparkEntry {
           |FROM r GROUP BY qbucket""".stripMargin,
 
       "q206_mmr_rerank" -> mmrOracle,
+
+      // Holt: the recursive CTE replays the fold operation-for-
+      // operation (l_new recomputed inline in the trend row is the
+      // identical double) — raw values match, round(6) is display
+      "q209_holt" ->
+        """WITH RECURSIVE daily AS (
+          |  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+          |    CAST(sum(round(value * 100)) AS BIGINT) AS cents
+          |  FROM events GROUP BY 1, 2),
+          |s AS (SELECT event_type, day, cents,
+          |    row_number() OVER (PARTITION BY event_type
+          |      ORDER BY day) AS rn
+          |  FROM daily),
+          |r AS (
+          |  SELECT event_type, day, cents, rn,
+          |    CAST(cents AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+          |  FROM s WHERE rn = 1
+          |  UNION ALL
+          |  SELECT s.event_type, s.day, s.cents, s.rn,
+          |    0.5 * CAST(s.cents AS DOUBLE) + 0.5 * (r.l + r.b),
+          |    0.25 * ((0.5 * CAST(s.cents AS DOUBLE)
+          |        + 0.5 * (r.l + r.b)) - r.l)
+          |      + 0.75 * r.b
+          |  FROM s JOIN r ON s.event_type = r.event_type
+          |    AND s.rn = r.rn + 1)
+          |SELECT event_type, day, cents AS x,
+          |  round(l, 6) AS level, round(b, 6) AS trend
+          |FROM r""".stripMargin,
 
       // RBO: the depth weights are the ENGINE's own literals
       // (Stats.rboWeights, round(9)) printed into the SQL, so both

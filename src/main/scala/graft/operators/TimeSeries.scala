@@ -172,6 +172,72 @@ object TimeSeries {
     df.withColumn(outCol, num / den)
   }
 
+  /** Holt double exponential smoothing (level + trend) per key — the
+    * EXACT recursive smoother that [[expSmooth]]'s finite-lag window
+    * deliberately approximates:
+    *
+    *   l_1 = x_1, b_1 = 0
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * Recursion is engine-order-hostile only when the order is loose;
+    * here the fold runs inside ONE sorted partition pass per key (the
+    * packSequences secondary-sort pattern: repartition on keys,
+    * sortWithinPartitions, O(1) state in mapPartitions, state reset on
+    * key change), so every update is a FIXED-order double expression a
+    * recursive-CTE oracle replays operation-for-operation — identical
+    * doubles, no rounding needed until display. Dyadic α=1/2, β=1/4
+    * keep the constants IEEE-exact.
+    *
+    * Semantics note: the recursion steps over OBSERVED rows in `ord`
+    * order (pre-aggregate to the period grain first; run
+    * [[forwardFill]] upstream if calendar gaps should carry state
+    * differently).
+    *
+    * Scale shape: one exchange on hash(keys), one sorted scan — state
+    * is two doubles per key regardless of series length. The streaming
+    * twin is [[graft.streaming.EventPipeline.holtStream]].
+    *
+    * @param ordCol ordering column, unique per key
+    * @param valCol numeric column (quantize to integer cents first)
+    * @return (keyCols…, ordCol, x, level, trend) — x is valCol as
+    *   long, level/trend raw doubles (callers round for display). */
+  def holt(df: DataFrame, keyCols: Seq[String], ordCol: String,
+      valCol: Column, alpha: Double = 0.5, beta: Double = 0.25): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0,1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta in [0,1], got $beta")
+    require(keyCols.nonEmpty, "need at least one key column")
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val in = df.select((keyCols.map(col) :+ col(ordCol) :+
+        valCol.cast("long").as("x")): _*)
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions((keyCols.map(col) :+ col(ordCol)): _*)
+    val outSchema = StructType(in.schema.fields ++ Seq(
+      StructField("level", DoubleType, nullable = false),
+      StructField("trend", DoubleType, nullable = false)))
+    val k = keyCols.length
+    val (a, b1m) = (alpha, 1.0 - alpha)
+    val (bt, btm) = (beta, 1.0 - beta)
+    in.mapPartitions { it =>
+      // partitions hold whole key groups, each contiguous and sorted
+      var cur: Any = new AnyRef
+      var l = 0.0
+      var b = 0.0
+      it.map { r =>
+        val g = r.toSeq.take(k)
+        val x = r.getLong(k + 1).toDouble
+        if (g != cur) { cur = g; l = x; b = 0.0 }
+        else {
+          val lNew = a * x + b1m * (l + b)
+          b = bt * (lNew - l) + btm * b
+          l = lNew
+        }
+        Row.fromSeq(r.toSeq ++ Seq(l, b))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Rolling z-score anomaly flags over an integer-quantized series:
     * a point is anomalous when it sits more than `k` population
     * standard deviations from the mean of its PRECEDING `window` rows

@@ -407,4 +407,42 @@ object EventPipeline {
       }
       .start()
   }
+
+  case class SeriesPoint(key: String, ord: Long, x: Long)
+  case class HoltState(level: Double, trend: Double)
+  case class HoltPoint(key: String, ord: Long, x: Long,
+    level: Double, trend: Double)
+
+  /** Streaming twin of [[graft.operators.TimeSeries.holt]]: per-key
+    * Holt level+trend state (two doubles) folded over arriving series
+    * points via `flatMapGroupsWithState` — the live-metrics smoother.
+    * Each micro-batch sorts its per-key arrivals by `ord` (the batch
+    * operator's sort order) and chains them onto the stored state, so
+    * any order-respecting micro-batch split replays the batch fold's
+    * EXACT doubles (spec-enforced). Same in-order-across-batches
+    * contract as [[transitionsStream]]; α = 1/2, β = 1/4 fixed to the
+    * batch defaults. */
+  def holtStream(points: Dataset[SeriesPoint]): Dataset[HoltPoint] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.key)
+      .flatMapGroupsWithState[HoltState, HoltPoint](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[SeriesPoint],
+            state: GroupState[HoltState]) =>
+          val sorted = rows.toSeq.sortBy(_.ord)
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[HoltPoint]
+          sorted.foreach { p =>
+            val x = p.x.toDouble
+            st = if (st == null) HoltState(x, 0.0)
+            else {
+              val lNew = 0.5 * x + 0.5 * (st.level + st.trend)
+              HoltState(lNew, 0.25 * (lNew - st.level) + 0.75 * st.trend)
+            }
+            out += HoltPoint(key, p.ord, p.x, st.level, st.trend)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 }

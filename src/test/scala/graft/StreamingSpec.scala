@@ -610,4 +610,34 @@ class StreamingSpec extends SparkSpec {
     assert(last.exists(r => r._1 == 9L && r._4.isEmpty))
     assert(last.exists(r => r._1 == 5L && r._4.isEmpty))
   }
+
+  test("streaming Holt fold over micro-batches == batch holt, exact") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val pts = for (k <- Seq("a", "b", "c"); t <- 1L to 40L)
+      yield EventPipeline.SeriesPoint(k, t, rnd.nextInt(10000).toLong)
+    val mem = MemoryStream[EventPipeline.SeriesPoint]
+    val q = EventPipeline.holtStream(mem.toDS())
+      .writeStream.format("memory").queryName("holt_out")
+      .outputMode("append").start()
+    val got = try {
+      // ord-respecting micro-batch splits, scrambled WITHIN each batch
+      pts.groupBy(_.key).values.toSeq.flatten
+        .sortBy(_.ord).grouped(17).foreach { chunk =>
+          mem.addData(rnd.shuffle(chunk): _*)
+          q.processAllAvailable()
+        }
+      spark.table("holt_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getDouble(3), r.getDouble(4))).toMap
+    } finally q.stop()
+    val batch = graft.operators.TimeSeries.holt(
+        pts.toDF("key", "ord", "x"), Seq("key"), "ord", col("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == batch) // EXACT double equality — same fold, same order
+  }
 }

@@ -406,4 +406,28 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.cusum(df, Seq("k"), "t", "v", slack = 0, h = 0)
     }
   }
+
+  test("holt: hand-checked recursion, per-key reset, partition-invariant") {
+    val rows = Seq(
+      ("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 300L),
+      ("b", 1L, 50L), ("b", 2L, 50L))
+    def run(parts: Int) = TimeSeries.holt(
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, parts)).toDF("k", "t", "v"),
+        Seq("k"), "t", col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    val got = run(1)
+    // l2 = .5*200 + .5*100 = 150; b2 = .25*50 = 12.5
+    // l3 = .5*300 + .5*162.5 = 231.25; b3 = .25*81.25 + .75*12.5
+    assert(got(("a", 1L)) == (100.0, 0.0))
+    assert(got(("a", 2L)) == (150.0, 12.5))
+    assert(got(("a", 3L)) == (231.25, 29.6875))
+    // key b resets: constant series keeps zero trend
+    assert(got(("b", 1L)) == (50.0, 0.0))
+    assert(got(("b", 2L)) == (50.0, 0.0))
+    // input partitioning must not matter (operator repartitions on key)
+    assert(run(5) == got)
+  }
 }
