@@ -3514,7 +3514,9 @@ object SparkEntry {
       // half boundary never enters); all sums are exact integers
       "q204_int8_quant" ->
         """WITH e AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v
-          |           FROM embeddings),
+          |           FROM embeddings
+          |           WHERE len(embedding) > 0
+          |             AND len(list_filter(embedding, x -> x IS NULL)) = 0),
           |a AS (SELECT vec_id, max(abs(v)) AS amax FROM e GROUP BY vec_id),
           |j AS (SELECT e.vec_id, v, amax,
           |        CASE WHEN amax = 0 THEN 0

@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   *
   * Centroid handling: a centroid table is SMALL by construction (nCentroids
   * rows — an index with more centroids than fits on the driver is
-  * misconfigured), so Lloyd rounds collect it and the assignment/probe
-  * steps inline it as literal expressions: pure projections, no broadcast
-  * exchange, no checkpoint, one Spark job per refinement round. Above
-  * [[literalCentroidLimit]] (generated-code size), assignment falls back to
-  * the broadcast-join formulation.
+  * misconfigured), so Lloyd rounds collect it and every BUILD-side
+  * assignment runs through the [[graft.functions.NearestCentroidId]]
+  * codegen kernel (the matrix rides as a referenced object — O(1)
+  * generated source at any index size): pure projections, no broadcast
+  * exchange, no checkpoint, one Spark job per refinement round. Only the
+  * |Q|-row PROBE side keeps a size split: literal struct-sort under
+  * [[literalCentroidLimit]], broadcast-join window above it.
   */
 object AnnSearch {
 
@@ -154,19 +156,6 @@ object AnnSearch {
   def centroids(build: DataFrame, nCentroids: Int, iters: Int = 2,
       seed: Long = 42L): DataFrame =
     centroidFrame(build, centroidArrays(build, nCentroids, iters, seed))
-
-  /** Broadcast-join assignment — the fallback when the centroid table is
-    * too large to inline as literals. Ties break on centroid id, same
-    * total order as the literal path. @return (`b_id`, `b_v`, `c_id`). */
-  private def assignJoin(build: DataFrame, cents: DataFrame): DataFrame = {
-    val d2 = VectorExpressions.squaredL2(
-      col("b_v").cast("array<double>"), col("c_v"))
-    build.crossJoin(broadcast(cents))
-      .select(col("b_id"), col("b_v"), col("c_id"), d2.as("d2"))
-      .groupBy("b_id")
-      .agg(first(col("b_v")).as("b_v"),
-        min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("c_id"))
-  }
 
   /** IVF approximate top-k: probe the `nProbe` nearest centroids per query,
     * exact cosine + bounded-heap top-k inside the probed cells only. With
@@ -664,14 +653,17 @@ object AnnSearch {
         .agg(max(struct(score.as("sc"), (-col("b_id")).as("nid"))).as("w"))
         .select(col("a_id"), lit(step).as("step"),
           (-col("w.nid")).as("sel_id"))
-    var selected = argmax(shortlist, col("rel"), 1)
-    var selVecs = selected.join(
+    // persist only each round's INCREMENT (≤ |Q| rows) — re-persisting
+    // the growing union would pin O(k²) row copies across levels
+    def vecsOf(sel: DataFrame): DataFrame = sel.join(
         bn.select(col("b_id").as("sel_id"), col("b_v").as("s_v"),
           col("b_n").as("s_n")), "sel_id")
       .select(col("a_id"), col("sel_id"), col("s_v"), col("s_n"))
       .persist()
-    var out = selected
+    var out = argmax(shortlist, col("rel"), 1)
+    var increments = Seq(vecsOf(out))
     for (step <- 2 to k) {
+      val selVecs = increments.reduce(_ union _)
       val rem = shortlist.join(selVecs
           .select(col("a_id"), col("sel_id").as("b_id")),
         Seq("a_id", "b_id"), "left_anti")
@@ -681,11 +673,7 @@ object AnnSearch {
         .select(col("a_id"), col("b_id"),
           (lit(0.5) * col("rel") - lit(0.5) * col("maxsim")).as("score"))
       val sel = argmax(mmr, col("score"), step)
-      selVecs = selVecs.union(sel.join(
-          bn.select(col("b_id").as("sel_id"), col("b_v").as("s_v"),
-            col("b_n").as("s_n")), "sel_id")
-        .select(col("a_id"), col("sel_id"), col("s_v"), col("s_n")))
-        .persist()
+      increments = increments :+ vecsOf(sel)
       out = out.union(sel)
     }
     out.select(col("a_id"), col("step"), col("sel_id"))

@@ -100,6 +100,11 @@ object Features {
     emb.select(col(idCol).as("vec_id"),
         graft.functions.VectorExpressions.int8QuantStats(col(vecCol))
           .as("__s"))
+      // unquantizable vectors — empty, or carrying a NULL element (the
+      // kernel nulls those) — are EXCLUDED rather than surfaced as
+      // degenerate rows: "one row per quantizable vector" holds under
+      // any input, and the oracle mirrors the exclusion
+      .filter(col("__s").isNotNull && element_at(col("__s"), 1) > 0)
       .select(col("vec_id"),
         element_at(col("__s"), 1).as("n_dims"),
         element_at(col("__s"), 2).as("sum_q"),

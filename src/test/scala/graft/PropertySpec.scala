@@ -296,4 +296,73 @@ class PropertySpec extends SparkSpec {
       terms.sum >= -1e-5
     })
   }
+
+  test("property: AP equals the brute prefix-precision mean, in (0, 1]") {
+    val gen = for {
+      n <- Gen.choose(5, 60)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 12L),
+        Gen.oneOf(true, false)))
+      if rows.exists(_._2)
+    } yield rows.zipWithIndex.map { case ((s, y), i) => (s, y, i.toLong) }
+    check("ap-brute", 8)(Prop.forAll(gen) { rows =>
+      val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map(r => (1L, r._1, r._2, r._3)), 3))
+        .toDF("g", "s", "pos", "t")
+      val got = Stats.averagePrecision(df, Seq("g"), col("pos"), col("s"),
+        col("t")).collect()(0).getDouble(3)
+      val ranked = rows.sortBy { case (s, _, t) => (-s, t) }
+      def r9(x: Double) = math.rint(x * 1e9) / 1e9
+      var cp = 0L
+      val terms = ranked.zipWithIndex.flatMap { case ((_, y, _), i) =>
+        if (y) { cp += 1; Some(BigDecimal.valueOf(r9(cp.toDouble / (i + 1)))) }
+        else None
+      }
+      val want = math.rint(terms.sum.toDouble / terms.size * 1e6) / 1e6
+      got == want && got > 0.0 && got <= 1.0
+    })
+  }
+
+  test("property: nDCG in (0, 1]; 1 exactly when score order is ideal") {
+    val gen = for {
+      n <- Gen.choose(4, 50)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 9L)))
+      if rows.exists(_._1 > 0)
+    } yield rows.zipWithIndex.map { case ((r, s), i) => (r, s, i.toLong) }
+    check("ndcg-range", 8)(Prop.forAll(gen) { rows =>
+      val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map(r => (1L, r._1, r._2, r._3)), 3))
+        .toDF("g", "r", "s", "t")
+      val nd = Stats.ndcg(df, Seq("g"), col("r"), col("s"), col("t"))
+        .collect()(0).getDouble(2)
+      // ranking BY RELEVANCE (same ties) must score exactly 1
+      val ideal = Stats.ndcg(df, Seq("g"), col("r"), col("r"), col("t"))
+        .collect()(0).getDouble(2)
+      nd > 0.0 && nd <= 1.0 && ideal == 1.0
+    })
+  }
+
+  test("property: RBO in [0, 1]; reflexive = 1 - p^D; symmetric") {
+    // permutations via Gen-drawn sort keys, NOT an unseeded global
+    // Random — failures must replay from ScalaCheck's seed
+    val permGen = Gen.listOfN(20, Gen.choose(0, 1 << 30))
+      .map(pri => (1L to 20L).sortBy(i => (pri(i.toInt - 1), i)).toList)
+    val gen = for {
+      d <- Gen.choose(2, 8)
+      permA <- permGen
+      permB <- permGen
+    } yield (d, permA, permB)
+    check("rbo-props", 6)(Prop.forAll(gen) { case (d, permA, permB) =>
+      def rank(perm: List[Long]) = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            perm.zipWithIndex.map { case (it, i) => (0L, it, i + 1L) }, 2))
+        .toDF("g", "item", "rnk")
+      def rbo(a: List[Long], b: List[Long]) =
+        Stats.rbo(rank(a), rank(b), d).collect()(0).getDouble(1)
+      val ab = rbo(permA, permB)
+      val self = rbo(permA, permA)
+      val w = Stats.rboWeights(d, 0.875)
+      val selfWant = math.rint(0.125 * w.sum * 1e6) / 1e6
+      ab >= 0.0 && ab <= 1.0 && ab == rbo(permB, permA) && self == selfWant
+    })
+  }
 }
