@@ -2582,6 +2582,13 @@ object SparkEntry {
           .cast("long"),
         col("vec_id"))),
 
+    // Per-class precision/recall/F1 over the nearest-centroid
+    // classifier's confusion matrix (q147 upstream)
+    "q210_f1_report" -> ((s, dir) =>
+      operators.Stats.f1Report(
+        operators.Stats.nearestCentroid(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label"))),
+
     // Holt level+trend smoothing of the daily revenue series per
     // event type — the exact recursive fold (q108's EWMA is the
     // windowed approximation)
@@ -3648,6 +3655,31 @@ object SparkEntry {
           |  END AS ndcg
           |FROM a""".stripMargin)
   }
+
+  /** q147's oracle (nearest-centroid confusion matrix) — also the inner
+    * subquery of q210's F1 report, so the two stay textually in sync. */
+  private def centroidConfusionOracle: String =
+    """WITH pe AS MATERIALIZED (SELECT vec_id AS id, label,
+      |    CAST(i AS INTEGER) AS pos,
+      |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000)
+      |      AS BIGINT) AS vq
+      |  FROM embeddings, unnest(range(len(embedding))) AS r(i)),
+      |cents AS (SELECT label AS clabel, pos,
+      |    CAST(sum(vq) AS DOUBLE)
+      |      / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c
+      |  FROM pe GROUP BY 1, 2),
+      |d2 AS (SELECT pe.id, pe.label, c.clabel,
+      |    round(CAST(sum(CAST(round(
+      |        (CAST(pe.vq AS DOUBLE) / 1000000.0 - c.c)
+      |        * (CAST(pe.vq AS DOUBLE) / 1000000.0 - c.c)
+      |        * 1000000000000.0) AS BIGINT))
+      |      AS DOUBLE) / 1000000000000.0, 6) AS d2
+      |  FROM pe JOIN cents c USING (pos) GROUP BY 1, 2, 3),
+      |best AS (SELECT id, label, clabel AS pred,
+      |    row_number() OVER (PARTITION BY id ORDER BY d2, clabel)
+      |      AS rn FROM d2)
+      |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+      |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin
 
   /** q206's oracle: the k=3 MMR greedy loop unrolled — one (remaining,
     * pairwise-max-sim, argmax) CTE triple per round. rel/sim are
@@ -5453,28 +5485,31 @@ object SparkEntry {
         |  round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS pos_rate
         |FROM s GROUP BY 1""".stripMargin,
 
-    "q147_centroid_classify" ->
-      """WITH pe AS MATERIALIZED (SELECT vec_id AS id, label,
-        |    CAST(i AS INTEGER) AS pos,
-        |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1000000)
-        |      AS BIGINT) AS vq
-        |  FROM embeddings, unnest(range(len(embedding))) AS r(i)),
-        |cents AS (SELECT label AS clabel, pos,
-        |    CAST(sum(vq) AS DOUBLE)
-        |      / (CAST(count(*) AS DOUBLE) * 1000000.0) AS c
-        |  FROM pe GROUP BY 1, 2),
-        |d2 AS (SELECT pe.id, pe.label, c.clabel,
-        |    round(CAST(sum(CAST(round(
-        |        (CAST(pe.vq AS DOUBLE) / 1000000.0 - c.c)
-        |        * (CAST(pe.vq AS DOUBLE) / 1000000.0 - c.c)
-        |        * 1000000000000.0) AS BIGINT))
-        |      AS DOUBLE) / 1000000000000.0, 6) AS d2
-        |  FROM pe JOIN cents c USING (pos) GROUP BY 1, 2, 3),
-        |best AS (SELECT id, label, clabel AS pred,
-        |    row_number() OVER (PARTITION BY id ORDER BY d2, clabel)
-        |      AS rn FROM d2)
-        |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
-        |FROM best WHERE rn = 1 GROUP BY 1, 2""".stripMargin,
+    "q147_centroid_classify" -> centroidConfusionOracle,
+
+    // F1 report over q147's confusion matrix — the shared oracle text
+    // wraps as a subquery, so both stay in lockstep
+    "q210_f1_report" ->
+      s"""WITH conf AS (SELECT * FROM ($centroidConfusionOracle) c),
+         |t AS (SELECT label AS class, CAST(sum(n) AS BIGINT) AS n_true
+         |      FROM conf GROUP BY 1),
+         |p AS (SELECT pred AS class, CAST(sum(n) AS BIGINT) AS n_pred
+         |      FROM conf GROUP BY 1),
+         |tp AS (SELECT label AS class, n AS tp FROM conf
+         |       WHERE label = pred),
+         |s AS (SELECT class, coalesce(n_true, 0) AS n_true,
+         |    coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp
+         |  FROM t FULL OUTER JOIN p USING (class)
+         |  LEFT JOIN tp USING (class))
+         |SELECT class, n_true, n_pred, tp,
+         |  CASE WHEN n_pred > 0 THEN round(
+         |    CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END AS prec,
+         |  CASE WHEN n_true > 0 THEN round(
+         |    CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END AS rec,
+         |  CASE WHEN n_true + n_pred > 0 THEN round(
+         |    CAST(tp * 2 AS DOUBLE) / CAST(n_true + n_pred AS DOUBLE), 6)
+         |  END AS f1
+         |FROM s""".stripMargin,
 
     "q145_gopher_rules" -> {
       val stops = TextFunctions.langLexica.head._2

@@ -685,6 +685,48 @@ object Stats {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Per-class precision/recall/F1 from a confusion matrix — the
+    * classification report closing the eval set (AUC q96, AP q205,
+    * nDCG q207 rank scores; this scores hard predictions, e.g.
+    * [[nearestCentroid]]'s confusion output):
+    *
+    *   precision = tp / n_pred,  recall = tp / n_true,
+    *   f1 = 2·tp / (n_true + n_pred)
+    *
+    * — the tp-identity form of F1: ONE division of exact integers
+    * instead of composing two already-divided floats (engine-stable
+    * without intermediate rounding). Classes appearing only as a
+    * label or only as a prediction still get a row (full outer);
+    * zero denominators report NULL, never an ANSI divide error.
+    *
+    * Scale shape: the input is already a confusion MATRIX (≤ classes²
+    * rows), so everything here is aggregate arithmetic on a tiny
+    * table — the heavy lifting happened upstream.
+    *
+    * @param confusion (`label`, `pred`, `n`) rows
+    * @return (class, n_true, n_pred, tp, prec, rec, f1) — `prec`/`rec`
+    *   abbreviated because PRECISION is a SQL type keyword. */
+  def f1Report(confusion: DataFrame, scale: Int = 6): DataFrame = {
+    val t = confusion.groupBy(col("label").as("class"))
+      .agg(sum(col("n")).as("n_true"))
+    val p = confusion.groupBy(col("pred").as("class"))
+      .agg(sum(col("n")).as("n_pred"))
+    val tp = confusion.filter(col("label") === col("pred"))
+      .select(col("label").as("class"), col("n").as("tp"))
+    def ratio(num: Column, den: Column) =
+      when(den > 0, round(num.cast("double") / den.cast("double"), scale))
+    t.join(p, Seq("class"), "full_outer")
+      .join(tp, Seq("class"), "left")
+      .select(col("class"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .select(col("class"), col("n_true"), col("n_pred"), col("tp"),
+        ratio(col("tp"), col("n_pred")).as("prec"),
+        ratio(col("tp"), col("n_true")).as("rec"),
+        ratio(col("tp") * 2, col("n_true") + col("n_pred")).as("f1"))
+  }
+
   /** Per-group two-feature OLS — y = b0 + b1·x1 + b2·x2 by closed-form
     * 2×2 normal equations (Cramer's rule on centered moments): the
     * regression (q78) pattern one matrix rank higher. Inputs must be

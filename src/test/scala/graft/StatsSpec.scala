@@ -142,6 +142,28 @@ class StatsSpec extends SparkSpec {
     assert(got == Map(0L -> r6(0.125 * w2(1))))
   }
 
+  test("f1Report: hand confusion incl. one-sided classes and zero rows") {
+    // labels: a(3 true), b(2), c(1); preds: a predicted 4x, b 1x, d 1x
+    val conf = spark.createDataFrame(Seq(
+        ("a", "a", 2L), ("a", "d", 1L),  // a: tp=2, 1 leaked to d
+        ("b", "a", 1L), ("b", "b", 1L),  // b: tp=1
+        ("c", "a", 1L)))                 // c: never predicted
+      .toDF("label", "pred", "n")
+    val got = Stats.f1Report(conf).collect().map { r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]),
+        Option(r.get(5)).map(_.asInstanceOf[Double]),
+        Option(r.get(6)).map(_.asInstanceOf[Double]))
+    }.toMap
+    def r6(x: Double) = Some(math.rint(x * 1e6) / 1e6)
+    assert(got("a") == (3L, 4L, 2L, r6(2.0 / 4), r6(2.0 / 3), r6(4.0 / 7)))
+    assert(got("b") == (2L, 1L, 1L, r6(1.0), r6(0.5), r6(2.0 / 3)))
+    // c: true but never predicted -> prec NULL, rec 0, f1 0
+    assert(got("c") == (1L, 0L, 0L, None, r6(0.0), r6(0.0)))
+    // d: predicted but never true -> rec NULL, prec 0, f1 0
+    assert(got("d") == (0L, 1L, 0L, r6(0.0), None, r6(0.0)))
+  }
+
   test("auc: separation extremes and the hand-checked tie case") {
     def run(rows: Seq[(Long, Boolean)]) = {
       val df = spark.createDataFrame(
