@@ -2582,6 +2582,15 @@ object SparkEntry {
           .cast("long"),
         col("vec_id"))),
 
+    // Linear interpolation across interior monthly gaps (the
+    // between-observations complement of q72's forward fill)
+    "q211_interpolate" -> ((s, dir) =>
+      operators.TimeSeries.interpolate(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+          col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"), "o_orderdate", "o_totalprice", "month",
+        Seq("o_orderkey"))),
+
     // Per-class precision/recall/F1 over the nearest-centroid
     // classifier's confusion matrix (q147 upstream)
     "q210_f1_report" -> ((s, dir) =>
@@ -4489,6 +4498,49 @@ object SparkEntry {
         |    AS o_totalprice_fill
         |FROM spine s LEFT JOIN mv
         |  ON mv.o_custkey = s.o_custkey AND mv.period = s.period""".stripMargin,
+
+    // interpolate: the spine-index distance (dense by construction)
+    // is the x-axis; pv/nv are the same picked observations, so the
+    // one interpolation expression sees identical doubles
+    "q211_interpolate" ->
+      """WITH r AS (
+        |  SELECT o_custkey, date_trunc('month', o_orderdate) AS period,
+        |    o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey,
+        |      date_trunc('month', o_orderdate)
+        |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |mv AS (SELECT o_custkey, period, o_totalprice FROM r WHERE rn = 1),
+        |b AS (SELECT o_custkey, min(period) AS mn, max(period) AS mx
+        |      FROM mv GROUP BY o_custkey),
+        |spine AS (SELECT o_custkey,
+        |    unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS period
+        |  FROM b),
+        |ji AS (SELECT s.o_custkey, s.period, mv.o_totalprice AS v,
+        |    row_number() OVER (PARTITION BY s.o_custkey
+        |      ORDER BY s.period) AS i
+        |  FROM spine s LEFT JOIN mv
+        |    ON mv.o_custkey = s.o_custkey AND mv.period = s.period),
+        |jw AS (SELECT *,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+        |      OVER wb AS pi,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN i END IGNORE NULLS)
+        |      OVER wf AS ni
+        |  FROM ji
+        |  WINDOW wb AS (PARTITION BY o_custkey ORDER BY period
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wf AS (PARTITION BY o_custkey ORDER BY period
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT o_custkey, period,
+        |  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+        |    WHEN pi IS NOT NULL AND ni IS NOT NULL THEN
+        |      CAST(pv AS DOUBLE)
+        |        + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+        |          * (CAST(i - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE))
+        |  END AS o_totalprice_interp
+        |FROM jw""".stripMargin,
 
     "q73_quantiles" ->
       """SELECT o_orderpriority,

@@ -407,6 +407,36 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("interpolate: interior gaps linear, edges NULL, observed exact") {
+    val obs = Seq(
+      // key 1: Jan=120, Apr=420 -> Feb=220, Mar=320 (index fractions)
+      (1L, ts("2024-01-15 00:00:00"), 1L, 120.0),
+      (1L, ts("2024-04-02 00:00:00"), 2L, 420.0),
+      // key 2: single observation -> no interior, no edges to fill
+      (2L, ts("2024-02-01 00:00:00"), 3L, 55.5))
+      .toDF("k", "t", "tie", "v")
+    val got = TimeSeries.interpolate(obs, Seq("k"), "t", "v", "month",
+        Seq("tie"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(7)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got((1L, "2024-01")) == Some(120.0))
+    assert(got((1L, "2024-02")) == Some(120.0 + 300.0 * (1.0 / 3.0)))
+    assert(got((1L, "2024-03")) == Some(120.0 + 300.0 * (2.0 / 3.0)))
+    assert(got((1L, "2024-04")) == Some(420.0))
+    assert(got((2L, "2024-02")) == Some(55.5))
+    assert(got.size == 5)
+    // within-period pick follows (ts, tie) max — forwardFill's rule
+    val dup = obs.union(Seq(
+      (1L, ts("2024-04-20 00:00:00"), 9L, 999.0)).toDF("k", "t", "tie", "v"))
+    val g2 = TimeSeries.interpolate(dup, Seq("k"), "t", "v", "month",
+        Seq("tie")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(7)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(g2((1L, "2024-04")) == Some(999.0))
+    assert(g2((1L, "2024-02")) == Some(120.0 + 879.0 * (1.0 / 3.0)))
+  }
+
   test("holt: hand-checked recursion, per-key reset, partition-invariant") {
     val rows = Seq(
       ("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 300L),
