@@ -2582,6 +2582,24 @@ object SparkEntry {
           .cast("long"),
         col("vec_id"))),
 
+    // CUPED variance reduction: pre-period spend (before the q100
+    // cutoff) as covariate, post-period spend as metric, variant =
+    // user parity — adjusted means per variant
+    "q212_cuped" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val per = ev
+        .select(col("user_id"), eventMs(ev).as("ms"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy("user_id")
+        .agg(sum(when(col("ms") < FeatCutoffMs, col("c")).otherwise(0L))
+            .as("x"),
+          sum(when(col("ms") >= FeatCutoffMs, col("c")).otherwise(0L))
+            .as("y"))
+      operators.Stats.cuped(
+        per.withColumn("variant", pmod(col("user_id"), lit(2L))),
+        col("variant"), col("x"), col("y"))
+    }),
+
     // Linear interpolation across interior monthly gaps (the
     // between-observations complement of q72's forward fill)
     "q211_interpolate" -> ((s, dir) =>
@@ -4498,6 +4516,42 @@ object SparkEntry {
         |    AS o_totalprice_fill
         |FROM spine s LEFT JOIN mv
         |  ON mv.o_custkey = s.o_custkey AND mv.period = s.period""".stripMargin,
+
+      // CUPED: exact HUGEINT moments, theta and the adjustment are
+      // the same fixed-order double expressions as the engine
+      "q212_cuped" ->
+        s"""WITH per AS (SELECT user_id,
+           |    CAST(sum(CASE WHEN epoch_ms(ts) < $FeatCutoffMs
+           |      THEN round(value * 100) ELSE 0 END) AS BIGINT) AS x,
+           |    CAST(sum(CASE WHEN epoch_ms(ts) >= $FeatCutoffMs
+           |      THEN round(value * 100) ELSE 0 END) AS BIGINT) AS y
+           |  FROM events GROUP BY user_id),
+           |b AS (SELECT user_id % 2 AS variant, x, y FROM per),
+           |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+           |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+           |  FROM b),
+           |v AS (SELECT variant, CAST(count(*) AS BIGINT) AS nv,
+           |    CAST(sum(x) AS BIGINT) AS sxv,
+           |    CAST(sum(y) AS BIGINT) AS syv
+           |  FROM b GROUP BY variant),
+           |j AS (SELECT v.*, g.*,
+           |    CAST(g.n AS HUGEINT) * g.sxy
+           |      - CAST(g.sx AS HUGEINT) * g.sy AS num,
+           |    CAST(g.n AS HUGEINT) * g.sxx
+           |      - CAST(g.sx AS HUGEINT) * g.sx AS den
+           |  FROM v, g)
+           |SELECT variant, nv AS n,
+           |  round(CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE), 6) AS y_mean,
+           |  round(CAST(syv AS DOUBLE) / CAST(nv AS DOUBLE)
+           |    - (CASE WHEN den != 0
+           |        THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+           |        ELSE 0.0 END)
+           |      * (CAST(sxv AS DOUBLE) / CAST(nv AS DOUBLE)
+           |        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+           |    AS y_adj
+           |FROM j""".stripMargin,
 
     // interpolate: the spine-index distance (dense by construction)
     // is the x-axis; pv/nv are the same picked observations, so the

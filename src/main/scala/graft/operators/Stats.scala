@@ -727,6 +727,52 @@ object Stats {
         ratio(col("tp") * 2, col("n_true") + col("n_pred")).as("f1"))
   }
 
+  /** CUPED adjusted means (Deng et al. 2013, "Improving the
+    * Sensitivity of Online Controlled Experiments") — the standard
+    * experimentation variance-reduction: per experiment unit a
+    * pre-period covariate x and the experiment metric y,
+    *
+    *   θ = Σ(x−x̄)(y−ȳ) / Σ(x−x̄)²       (pooled, all units)
+    *   ȳ_adj(variant) = ȳ_v − θ·(x̄_v − x̄)
+    *
+    * Shape: ONE global moment aggregate (n, Σx, Σy, Σxy, Σx² — exact
+    * decimals, the q78/q87 moment-sum discipline) broadcast onto the
+    * per-variant aggregate; θ and the adjustment are fixed-order
+    * double expressions off exact integers. Zero covariate variance
+    * (den = 0) degrades to θ = 0, i.e. the unadjusted mean — never a
+    * divide error.
+    *
+    * @param x/@param y integral (cents-quantized) per-unit metrics
+    * @return (variant, n, y_mean, y_adj) — means in input units,
+    *   round(`scale`). */
+  def cuped(df: DataFrame, variantCol: Column, x: Column, y: Column,
+      scale: Int = 6): DataFrame = {
+    val base = df.select(variantCol.as("variant"),
+      x.cast("long").as("x"), y.cast("long").as("y"))
+    val dec = "decimal(38,0)"
+    val g = base.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"))
+    val v = base.groupBy("variant").agg(count(lit(1)).as("nv"),
+      sum(col("x")).as("sxv"), sum(col("y")).as("syv"))
+    val num = col("n").cast(dec) * col("sxy") -
+      col("sx").cast(dec) * col("sy").cast(dec)
+    val den = col("n").cast(dec) * col("sxx") -
+      col("sx").cast(dec) * col("sx").cast(dec)
+    val theta = when(col("__den") =!= 0,
+      col("__num").cast("double") / col("__den").cast("double"))
+      .otherwise(lit(0.0))
+    val xbar = col("sx").cast("double") / col("n").cast("double")
+    val xbarV = col("sxv").cast("double") / col("nv").cast("double")
+    val ybarV = col("syv").cast("double") / col("nv").cast("double")
+    v.crossJoin(broadcast(g))
+      .withColumn("__num", num).withColumn("__den", den)
+      .select(col("variant"), col("nv").as("n"),
+        round(ybarV, scale).as("y_mean"),
+        round(ybarV - theta * (xbarV - xbar), scale).as("y_adj"))
+  }
+
   /** Per-group two-feature OLS — y = b0 + b1·x1 + b2·x2 by closed-form
     * 2×2 normal equations (Cramer's rule on centered moments): the
     * regression (q78) pattern one matrix rank higher. Inputs must be

@@ -164,6 +164,27 @@ class StatsSpec extends SparkSpec {
     assert(got("d") == (0L, 1L, 0L, r6(0.0), None, r6(0.0)))
   }
 
+  test("cuped: perfect covariate removes variant spread; den=0 degrades") {
+    def run(rows: Seq[(Long, Long, Long)]) = {
+      val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 3)).toDF("variant", "x", "y")
+      Stats.cuped(df, col("variant"), col("x"), col("y"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    }
+    // y = 2x exactly: theta = 2, adjusted means equalize to 2*xbar
+    // (variant 0 had the bigger covariate draw — pure imbalance)
+    val got = run(Seq(
+      (0L, 100L, 200L), (0L, 300L, 600L),
+      (1L, 10L, 20L), (1L, 30L, 60L)))
+    assert(got(0L)._2 == 400.0 && got(1L)._2 == 40.0) // raw means differ
+    assert(got(0L)._3 == got(1L)._3, s"adjusted should equalize: $got")
+    assert(got(0L)._3 == 220.0) // 2 * global xbar = 2 * 110
+    // constant covariate: den = 0 -> theta = 0 -> adjusted == raw
+    val const = run(Seq((0L, 5L, 10L), (1L, 5L, 99L)))
+    assert(const(0L)._3 == const(0L)._2 && const(1L)._3 == const(1L)._2)
+  }
+
   test("auc: separation extremes and the hand-checked tie case") {
     def run(rows: Seq[(Long, Boolean)]) = {
       val df = spark.createDataFrame(
