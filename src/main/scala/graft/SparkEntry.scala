@@ -2582,6 +2582,19 @@ object SparkEntry {
           .cast("long"),
         col("vec_id"))),
 
+    // Jackknife SE of a ratio metric (purchase cents per click) over
+    // 32 deterministic user buckets — the block-jackknife CI machinery
+    "q213_jackknife" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      operators.Stats.jackknifeRatio(
+        ev.select(pmod(col("user_id"), lit(32L)).as("bucket"),
+          when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L).as("pc"),
+          when(col("event_type") === "click", 1L).otherwise(0L)
+            .as("ck")),
+        col("bucket"), col("pc"), col("ck"))
+    }),
+
     // CUPED variance reduction: pre-period spend (before the q100
     // cutoff) as covariate, post-period spend as metric, variant =
     // user parity — adjusted means per variant
@@ -4516,6 +4529,38 @@ object SparkEntry {
         |    AS o_totalprice_fill
         |FROM spine s LEFT JOIN mv
         |  ON mv.o_custkey = s.o_custkey AND mv.period = s.period""".stripMargin,
+
+      // jackknife: replicate ratios round(9) then decimal-mean;
+      // squared deviations round(12) then decimal-sum — order-free
+      "q213_jackknife" ->
+        """WITH e AS (SELECT user_id % 32 AS b,
+          |    CASE WHEN event_type = 'purchase'
+          |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END AS pc,
+          |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ck
+          |  FROM events),
+          |pb AS (SELECT b, CAST(sum(pc) AS BIGINT) AS si,
+          |    CAST(sum(ck) AS BIGINT) AS ti
+          |  FROM e GROUP BY b),
+          |tot AS (SELECT CAST(sum(si) AS BIGINT) AS s,
+          |    CAST(sum(ti) AS BIGINT) AS t FROM pb),
+          |reps AS (SELECT s, t,
+          |    round(CAST(s - si AS DOUBLE) / CAST(t - ti AS DOUBLE), 9)
+          |      AS ri
+          |  FROM pb, tot WHERE t - ti != 0),
+          |rb AS (SELECT s, t, CAST(count(*) AS BIGINT) AS nb,
+          |    CAST(sum(CAST(ri AS DECIMAL(38,9))) AS DOUBLE)
+          |      / CAST(count(*) AS DOUBLE) AS rbar
+          |  FROM reps GROUP BY s, t),
+          |sd AS (SELECT r.s, r.t, rb.nb,
+          |    sum(CAST(round((r.ri - rb.rbar) * (r.ri - rb.rbar), 12)
+          |      AS DECIMAL(38,12))) AS ssd
+          |  FROM reps r, rb GROUP BY r.s, r.t, rb.nb)
+          |SELECT nb AS n_buckets,
+          |  CASE WHEN t != 0 THEN
+          |    round(CAST(s AS DOUBLE) / CAST(t AS DOUBLE), 6) END AS ratio,
+          |  round(sqrt(CAST(nb - 1 AS DOUBLE) / CAST(nb AS DOUBLE)
+          |    * CAST(ssd AS DOUBLE)), 6) AS se_jk
+          |FROM sd""".stripMargin,
 
       // CUPED: exact HUGEINT moments, theta and the adjustment are
       // the same fixed-order double expressions as the engine

@@ -773,6 +773,60 @@ object Stats {
         round(ybarV - theta * (xbarV - xbar), scale).as("y_adj"))
   }
 
+  /** Delete-one-bucket jackknife standard error of a ratio metric —
+    * the experimentation CI machinery for metrics that are ratios of
+    * sums (revenue per click, tokens per doc), where per-unit variance
+    * formulas are wrong because numerator and denominator co-vary:
+    *
+    *   R = S/T,  R_i = (S − s_i)/(T − t_i)  over N buckets
+    *   se² = (N−1)/N · Σ(R_i − R̄)²
+    *
+    * Buckets are the caller's deterministic unit hash — delete-one-
+    * BUCKET (block jackknife) is the distributed form: per-bucket sums
+    * are one aggregate, the N leave-one-out replicates live on N rows.
+    * Buckets whose removal empties the denominator are excluded from
+    * the replicate set (documented; N reflects it).
+    *
+    * Numerics: s_i/t_i/S/T exact longs; each R_i is one division
+    * (identical doubles both engines) rounded at 9 and decimal-summed
+    * for R̄ (the q139 discipline); squared deviations round(12) then
+    * decimal-sum; one closing multiply + sqrt.
+    *
+    * @return one row (n_buckets, ratio, se_jk), round(`scale`). */
+  def jackknifeRatio(df: DataFrame, bucketCol: Column, num: Column,
+      den: Column, scale: Int = 6): DataFrame = {
+    val perBucket = df
+      .select(bucketCol.as("b"), num.cast("long").as("x"),
+        den.cast("long").as("y"))
+      .groupBy("b").agg(sum(col("x")).as("si"), sum(col("y")).as("ti"))
+    val tot = perBucket.agg(sum(col("si")).as("s"), sum(col("ti")).as("t"))
+    val reps = perBucket.crossJoin(broadcast(tot))
+      .filter(col("t") - col("ti") =!= 0)
+      .select(col("s"), col("t"),
+        round((col("s") - col("si")).cast("double") /
+          (col("t") - col("ti")).cast("double"), 9).as("ri"))
+      .persist()
+    val rbar = reps
+      .agg(first(col("s")).as("s"), first(col("t")).as("t"),
+        count(lit(1)).as("nb"),
+        sum(col("ri").cast("decimal(38,9)")).as("srs"))
+      .select(col("s"), col("t"), col("nb"),
+        (col("srs").cast("double") / col("nb").cast("double")).as("rbar"))
+    reps.crossJoin(broadcast(rbar.drop("s", "t")))
+      .select(col("s"), col("t"), col("nb"),
+        round((col("ri") - col("rbar")) * (col("ri") - col("rbar")), 12)
+          .cast("decimal(38,12)").as("d2"))
+      .groupBy(col("s"), col("t"), col("nb"))
+      .agg(sum(col("d2")).as("ssd"))
+      .select(col("nb").as("n_buckets"),
+        when(col("t") =!= 0,
+          round(col("s").cast("double") / col("t").cast("double"), scale))
+          .as("ratio"),
+        round(sqrt((col("nb") - 1).cast("double") /
+          col("nb").cast("double") * col("ssd").cast("double")), scale)
+          .as("se_jk"))
+  }
+
   /** Per-group two-feature OLS — y = b0 + b1·x1 + b2·x2 by closed-form
     * 2×2 normal equations (Cramer's rule on centered moments): the
     * regression (q78) pattern one matrix rank higher. Inputs must be

@@ -185,6 +185,32 @@ class StatsSpec extends SparkSpec {
     assert(const(0L)._3 == const(0L)._2 && const(1L)._3 == const(1L)._2)
   }
 
+  test("jackknifeRatio: hand case, constant-ratio zero SE, empty-den skip") {
+    def run(rows: Seq[(Long, Long, Long)]) = {
+      val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 3)).toDF("b", "x", "y")
+      Stats.jackknifeRatio(df, col("b"), col("x"), col("y")).collect()(0)
+    }
+    // constant per-bucket ratio 2: every replicate is 2 -> SE 0
+    val const = run(Seq((0L, 20L, 10L), (1L, 40L, 20L), (2L, 6L, 3L)))
+    assert(const.getLong(0) == 3 && const.getDouble(1) == 2.0 &&
+      const.getDouble(2) == 0.0)
+    // hand case: buckets (10,1), (20,1), (60,2); S=90 T=4
+    // R_i: 80/3, 70/3, 30/2 -> mean + se by the same r9/decimal fold
+    val got = run(Seq((0L, 10L, 1L), (1L, 20L, 1L), (2L, 60L, 2L)))
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    val ris = Seq(80.0 / 3, 70.0 / 3, 30.0 / 2).map(r9)
+    val rbar = ris.map(BigDecimal.valueOf).sum.toDouble / 3
+    val ssd = ris.map(r => BigDecimal.valueOf(
+      math.rint((r - rbar) * (r - rbar) * 1e12) / 1e12)).sum.toDouble
+    assert(got.getDouble(1) == math.rint(90.0 / 4 * 1e6) / 1e6)
+    assert(got.getDouble(2) ==
+      math.rint(math.sqrt(2.0 / 3.0 * ssd) * 1e6) / 1e6)
+    // a bucket holding ALL the denominator: its replicate is skipped
+    val skip = run(Seq((0L, 10L, 5L), (1L, 7L, 0L), (2L, 3L, 0L)))
+    assert(skip.getLong(0) == 2) // only buckets 1 and 2 leave T-ti != 0
+  }
+
   test("auc: separation extremes and the hand-checked tie case") {
     def run(rows: Seq[(Long, Boolean)]) = {
       val df = spark.createDataFrame(
