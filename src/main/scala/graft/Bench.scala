@@ -86,6 +86,11 @@ object Bench {
       // tokens — linear scan throughput, one aggregate
       "textstats_synth1m" -> ((s: SparkSession) =>
         Workloads.textStatsSynth(s, 1_000_000L)),
+      // END-TO-END curation pipeline at 250k docs: LSH near-dedup →
+      // CC survivors → quality gate → hash split → sequence packing —
+      // the composition number, not a single family
+      "curation_synth250k" -> ((s: SparkSession) =>
+        Workloads.curationSynth(s, 250_000L)),
     ) ++ (
       // 100× the reference's largest dataset, same per-cluster density
       // as the 500k diagnostic (k scales with n, ε-degree stays ~13).

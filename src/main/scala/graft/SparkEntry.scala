@@ -2582,6 +2582,14 @@ object SparkEntry {
           .cast("long"),
         col("vec_id"))),
 
+    // Quantile normalization of dim-1 onto the pooled distribution,
+    // per label group — the cross-source feature aligner
+    "q214_quantile_norm" -> ((s, dir) =>
+      operators.Features.quantileNormalize(
+        t(s, dir, "embeddings"), "label", "vec_id",
+        round(element_at(col("embedding"), 1).cast("double") * 10000)
+          .cast("long"))),
+
     // Jackknife SE of a ratio metric (purchase cents per click) over
     // 32 deterministic user buckets — the block-jackknife CI machinery
     "q213_jackknife" -> ((s, dir) => {
@@ -4529,6 +4537,25 @@ object SparkEntry {
         |    AS o_totalprice_fill
         |FROM spine s LEFT JOIN mv
         |  ON mv.o_custkey = s.o_custkey AND mv.period = s.period""".stripMargin,
+
+      // quantile norm: all-integer rank mapping; pooled ranking tie
+      // order (v, grp, id) matches rowNumbers' sort exactly
+      "q214_quantile_norm" ->
+        """WITH base AS (SELECT label AS grp, vec_id AS id,
+          |    CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT)
+          |      AS v
+          |  FROM embeddings),
+          |pool AS (SELECT v AS qn,
+          |    row_number() OVER (ORDER BY v, grp, id) AS gidx
+          |  FROM base),
+          |r AS (SELECT grp, id, v,
+          |    row_number() OVER (PARTITION BY grp ORDER BY v, id) AS rr,
+          |    count(*) OVER (PARTITION BY grp) AS n,
+          |    (SELECT count(*) FROM base) AS nn
+          |  FROM base)
+          |SELECT r.grp, r.id, r.v, p.qn
+          |FROM r JOIN pool p ON p.gidx = (r.rr * r.nn + r.n - 1) // r.n
+          |""".stripMargin,
 
       // jackknife: replicate ratios round(9) then decimal-mean;
       // squared deviations round(12) then decimal-sum — order-free

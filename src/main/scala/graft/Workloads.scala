@@ -155,6 +155,47 @@ object Workloads {
         sum(col("dup_grams")).as("dup_grams"))
   }
 
+  /** End-to-end CURATION pipeline scale twin — the composition the
+    * single-family diagnostics exercise one at a time: near-dup LSH →
+    * survivor selection (CC canonical ids) → quality gate (token-count
+    * band + duplicate-3-gram repetition cap, native kernels) →
+    * deterministic train/val split → 512-token greedy sequence
+    * packing. Returns the per-split summary (docs, sequences, tokens) —
+    * one number path for "would the whole pipeline hold at n docs".
+    * Every stage is an operator the oracle suite already hash-checks at
+    * fixture scale; this measures their composition. */
+  def curationSynth(spark: SparkSession, n: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Curation, Dedup}
+    import graft.functions.TextFunctions.{tokens, shinglesAll}
+    val docs = synthDocs(spark, n, templates = math.max((n / 10).toInt, 10),
+      docLen = 60, vocab = 5000, mutPct = 5).persist()
+    val pairs = Dedup.minHashJoin(docs, "doc_id", "text", 5, 0.35)
+      .select(col("a_id"), col("b_id"))
+    val kept = Dedup.dupGroups(pairs, docs, "doc_id")
+      .filter(col("is_survivor")).select(col("doc_id"))
+      .join(docs, "doc_id")
+    val toks = tokens(col("text"))
+    val grams = shinglesAll(col("text"), 3)
+    val quality = kept
+      .withColumn("__nt", size(toks).cast("long"))
+      .withColumn("__dup",
+        (size(grams) - size(array_distinct(grams))).cast("long"))
+      // Gopher-shaped gate: length band + repetition cap (dup 3-grams
+      // under 20% of gram positions)
+      .filter(col("__nt").between(10, 1000) &&
+        col("__dup") * 5 < (col("__nt") - 2))
+    val split = Curation.hashSplit(
+      quality.select(col("doc_id"), col("__nt")),
+      "doc_id", Seq("train" -> 0.99, "val" -> 0.01), "curation-v1")
+    Curation.packSequences(split.withColumnRenamed("split", "shard"),
+        "shard", "doc_id", "__nt", budget = 512L)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("seq_id")).as("n_seqs"),
+        sum(col("__nt")).as("tokens"))
+  }
+
   /** Deterministic synthetic clustered embedding corpus, generated
     * IN-ENGINE like [[synthPoints]]: `k` cluster directions uniform in
     * [0,1]^dims, each vector jittered ±0.05 per dim around its

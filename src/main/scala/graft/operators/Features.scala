@@ -95,6 +95,46 @@ object Features {
     * bandwidth. The 4-byte→1-byte storage trade this audits is the
     * lightweight cousin of [[AnnSearch.pqEncode]].
     * @return (vec_id, n_dims, sum_q, sum_absq, err_q12). */
+  /** Quantile normalization onto the POOLED distribution — the
+    * batch-effect remover (Bolstad et al. 2003's microarray classic,
+    * the same move that aligns feature distributions across corpus
+    * sources): each value is replaced by the pooled order statistic at
+    * its within-group rank position,
+    *
+    *   qn(row) = pooled value at global rank ⌈r·N/n⌉
+    *
+    * (r = rank within group, n = group size, N = pool size — exact
+    * integer arithmetic, so the mapping is engine-identical; unequal
+    * group sizes are handled by the ceiling map rather than classic
+    * QN's equal-size assumption). Ties order by (value, group, id) —
+    * a total order both engines reproduce.
+    *
+    * Scale shape: the pooled ranking is [[GlobalIndex.rowNumbers]]'s
+    * range-partitioned zipWithIndex (never a one-task global window);
+    * within-group ranks are per-group window partitions; the closing
+    * equi-join on the computed global rank is an ordinary shuffle
+    * join. N is one count (a scalar, the q94 precedent).
+    *
+    * @param valCol integral (pre-quantized) values
+    * @return (grp, id, v, qn). */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+      valCol: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      valCol.cast("long").as("v")).persist()
+    val nTotal = base.count()
+    val pool = GlobalIndex.rowNumbers(base, Seq("v", "grp", "id"), "gidx")
+      .select(col("gidx"), col("v").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"))
+    val ranked = base
+      .withColumn("__r", row_number().over(w.orderBy(col("v"), col("id"))))
+      .withColumn("__n", count(lit(1)).over(w))
+      .withColumn("gidx",
+        expr(s"(__r * ${nTotal}L + __n - 1L) DIV __n"))
+    ranked.join(pool, "gidx")
+      .select(col("grp"), col("id"), col("v"), col("qn"))
+  }
+
   def int8QuantReport(emb: DataFrame, idCol: String,
       vecCol: String): DataFrame =
     emb.select(col(idCol).as("vec_id"),

@@ -67,4 +67,26 @@ class FeaturesSpec extends SparkSpec {
     assert(!exec.toString.contains("Join"), exec.toString)
     assert(leaves(exec) == 1, s"expected one scan leaf:\n$exec")
   }
+
+  test("quantileNormalize: pooled mapping, distributions align exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    // group a shifted by +100 vs group b: after QN both groups carry
+    // the SAME multiset of pooled values at matching rank positions
+    val rows = Seq(
+      ("a", 1L, 110L), ("a", 2L, 120L), ("a", 3L, 130L),
+      ("b", 4L, 10L), ("b", 5L, 20L), ("b", 6L, 30L))
+    val out = graft.operators.Features.quantileNormalize(
+        rows.toDF("g", "id", "v"), "g", "id", col("v"))
+      .collect()
+    val got = out.map(r => r.getLong(1) -> r.getLong(3)).toMap
+    // pool sorted: 10,20,30,110,120,130 (N=6); r in 1..3, n=3 ->
+    // gidx = ceil(rN/n) = 2,4,6 for both groups
+    assert(got == Map(1L -> 20L, 2L -> 110L, 3L -> 130L,
+      4L -> 20L, 5L -> 110L, 6L -> 130L))
+    val byG = out.groupBy(_.getString(0))
+      .map { case (g, rs) => g -> rs.map(_.getLong(3)).sorted.toSeq }
+    assert(byG("a") == byG("b"))
+  }
 }
