@@ -2582,6 +2582,40 @@ object SparkEntry {
           .cast("long"),
         col("vec_id"))),
 
+    // Tokenizer vocabulary coverage at fixed top-k cuts: what share
+    // of BIGRAM positions a k-entry vocab covers (the
+    // vocabulary-sizing diagnostic; fixed cuts, no global cumsum)
+    "q215_vocab_coverage" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(TextFunctions.shinglesAll(col("text"), 2))
+          .as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("__negc", -col("cnt"))
+      val ranked = operators.GlobalIndex.rowNumbers(
+        counts, Seq("__negc", "tok"), "rnk")
+      val sums = ranked.agg(
+        sum(col("cnt")).as("total"),
+        VocabCuts.map(k => sum(when(col("rnk") <= k, col("cnt"))
+          .otherwise(0L)).as(s"c$k")): _*)
+      sums.select(explode(array(VocabCuts.map(k =>
+          struct(lit(k).as("k"), col(s"c$k").as("covered"),
+            col("total"))): _*)).as("e"))
+        .select(col("e.k"), col("e.covered"), col("e.total"),
+          round(col("e.covered").cast("double") /
+            col("e.total").cast("double"), 6).as("coverage"))
+    }),
+
+    // Near-dup cluster size histogram over q44's components — the
+    // "how big are dup clusters" dedup audit
+    "q216_dup_sizes" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dupGroups(
+          Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5), docs,
+          "doc_id")
+        .groupBy(col("canonical_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_groups"))
+    }),
+
     // Quantile normalization of dim-1 onto the pooled distribution,
     // per label group — the cross-source feature aligner
     "q214_quantile_norm" -> ((s, dir) =>
@@ -3189,6 +3223,10 @@ object SparkEntry {
   /** q109's containment threshold (max-direction). */
   private val ContainMin = 0.8
 
+  /** q215's vocabulary cut sizes — shared with the generated oracle
+    * (bigram vocab at the fixture is ~1k, so the cuts straddle it). */
+  private val VocabCuts = Seq(100, 500, 2000)
+
   /** q100's snapshot instant (2024-01-21T00:00:00Z — 10 days before the
     * fixture's last event) and trailing windows — shared with the
     * generated oracle. */
@@ -3704,6 +3742,28 @@ object SparkEntry {
           |FROM a""".stripMargin)
   }
 
+  /** q44's oracle (recursive-CTE connected components over the naive
+    * jaccard pairs) — also the inner subquery of q216's size
+    * histogram, so the two stay textually in sync. */
+  private def dupGroupsOracle: String =
+    s"""WITH RECURSIVE jac AS (
+       |$jaccardOracle
+       |),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM jac
+       |  UNION ALL SELECT b_id, a_id FROM jac
+       |),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+       |),
+       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+       |SELECT d.doc_id,
+       |  COALESCE(c.comp, d.doc_id) AS canonical_id,
+       |  COALESCE(c.comp, d.doc_id) = d.doc_id AS is_survivor
+       |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
+
   /** q147's oracle (nearest-centroid confusion matrix) — also the inner
     * subquery of q210's F1 report, so the two stay textually in sync. */
   private def centroidConfusionOracle: String =
@@ -4189,24 +4249,15 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_totalprice > 300000)""".stripMargin,
 
-    "q44_dup_groups" ->
-      s"""WITH RECURSIVE jac AS (
-         |$jaccardOracle
-         |),
-         |edges AS (
-         |  SELECT a_id AS src, b_id AS dst FROM jac
-         |  UNION ALL SELECT b_id, a_id FROM jac
-         |),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
-         |),
-         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
-         |SELECT d.doc_id,
-         |  COALESCE(c.comp, d.doc_id) AS canonical_id,
-         |  COALESCE(c.comp, d.doc_id) = d.doc_id AS is_survivor
-         |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin,
+    "q44_dup_groups" -> dupGroupsOracle,
+
+    // dup-cluster size histogram: q44's oracle as a subquery, so the
+    // component computation stays textually shared
+    "q216_dup_sizes" ->
+      s"""SELECT sz, CAST(count(*) AS BIGINT) AS n_groups FROM (
+         |  SELECT canonical_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM ($dupGroupsOracle) g GROUP BY canonical_id) s
+         |GROUP BY sz""".stripMargin,
 
     "q45_data_mix" ->
       """SELECT doc_id, lang FROM (
@@ -4537,6 +4588,30 @@ object SparkEntry {
         |    AS o_totalprice_fill
         |FROM spine s LEFT JOIN mv
         |  ON mv.o_custkey = s.o_custkey AND mv.period = s.period""".stripMargin,
+
+      // vocab coverage: integer conditional sums at fixed cuts; the
+      // rank tie order (cnt DESC, tok) matches rowNumbers' sort
+      "q215_vocab_coverage" -> {
+        val cuts = VocabCuts.map(k =>
+          s"CAST(sum(CASE WHEN rnk <= $k THEN cnt ELSE 0 END) " +
+            s"AS BIGINT) AS c$k").mkString(",\n    ")
+        val rows = VocabCuts.map(k =>
+          s"SELECT $k AS k, c$k AS covered, total, " +
+            s"round(CAST(c$k AS DOUBLE) / CAST(total AS DOUBLE), 6) " +
+            "AS coverage FROM a").mkString("\nUNION ALL\n")
+        s"""WITH bg AS (SELECT unnest(list_transform(range(len(ws) - 1),
+           |    i -> ws[i+1] || ' ' || ws[i+2])) AS tok
+           |  FROM (SELECT string_split(text, ' ') AS ws FROM documents)),
+           |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM bg
+           |      GROUP BY tok),
+           |r AS (SELECT cnt,
+           |    row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+           |  FROM c),
+           |a AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+           |    $cuts
+           |  FROM r)
+           |$rows""".stripMargin
+      },
 
       // quantile norm: all-integer rank mapping; pooled ranking tie
       // order (v, grp, id) matches rowNumbers' sort exactly
