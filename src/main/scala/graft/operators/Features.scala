@@ -93,8 +93,24 @@ object Features {
     * join for the per-vector max, no explode of the element stream —
     * the only shape that scans a 100 TB embedding store once at memory
     * bandwidth. The 4-byte→1-byte storage trade this audits is the
-    * lightweight cousin of [[AnnSearch.pqEncode]].
+    * lightweight cousin of [[AnnSearch.pqEncode]]. Unquantizable
+    * vectors — empty, or carrying a NULL element — are excluded (one
+    * row per QUANTIZABLE vector under any input).
     * @return (vec_id, n_dims, sum_q, sum_absq, err_q12). */
+  def int8QuantReport(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+        graft.functions.VectorExpressions.int8QuantStats(col(vecCol))
+          .as("__s"))
+      // the kernel nulls NULL-element vectors; n_dims = 0 is empty —
+      // both excluded, and the oracle mirrors the exclusion
+      .filter(col("__s").isNotNull && element_at(col("__s"), 1) > 0)
+      .select(col("vec_id"),
+        element_at(col("__s"), 1).as("n_dims"),
+        element_at(col("__s"), 2).as("sum_q"),
+        element_at(col("__s"), 3).as("sum_absq"),
+        element_at(col("__s"), 4).as("err_q12"))
+
   /** Quantile normalization onto the POOLED distribution — the
     * batch-effect remover (Bolstad et al. 2003's microarray classic,
     * the same move that aligns feature distributions across corpus
@@ -135,19 +151,4 @@ object Features {
       .select(col("grp"), col("id"), col("v"), col("qn"))
   }
 
-  def int8QuantReport(emb: DataFrame, idCol: String,
-      vecCol: String): DataFrame =
-    emb.select(col(idCol).as("vec_id"),
-        graft.functions.VectorExpressions.int8QuantStats(col(vecCol))
-          .as("__s"))
-      // unquantizable vectors — empty, or carrying a NULL element (the
-      // kernel nulls those) — are EXCLUDED rather than surfaced as
-      // degenerate rows: "one row per quantizable vector" holds under
-      // any input, and the oracle mirrors the exclusion
-      .filter(col("__s").isNotNull && element_at(col("__s"), 1) > 0)
-      .select(col("vec_id"),
-        element_at(col("__s"), 1).as("n_dims"),
-        element_at(col("__s"), 2).as("sum_q"),
-        element_at(col("__s"), 3).as("sum_absq"),
-        element_at(col("__s"), 4).as("err_q12"))
 }

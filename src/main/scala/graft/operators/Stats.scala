@@ -711,8 +711,11 @@ object Stats {
       .agg(sum(col("n")).as("n_true"))
     val p = confusion.groupBy(col("pred").as("class"))
       .agg(sum(col("n")).as("n_pred"))
+    // aggregate the diagonal too — a confusion table unioned across
+    // shards may carry duplicate (label, pred) rows, and an
+    // unaggregated tp would fan the left join out
     val tp = confusion.filter(col("label") === col("pred"))
-      .select(col("label").as("class"), col("n").as("tp"))
+      .groupBy(col("label").as("class")).agg(sum(col("n")).as("tp"))
     def ratio(num: Column, den: Column) =
       when(den > 0, round(num.cast("double") / den.cast("double"), scale))
     t.join(p, Seq("class"), "full_outer")
@@ -749,11 +752,14 @@ object Stats {
       scale: Int = 6): DataFrame = {
     val base = df.select(variantCol.as("variant"),
       x.cast("long").as("x"), y.cast("long").as("y"))
+      .persist() // two readers: the global moments and the variant agg
     val dec = "decimal(38,0)"
+    // cast BEFORE multiplying — long x*y wraps (or ANSI-throws) past
+    // 2^63 while the oracle's HUGEINT product stays exact
     val g = base.agg(count(lit(1)).as("n"),
       sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum((col("x") * col("y")).cast(dec)).as("sxy"),
-      sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      sum(col("x").cast(dec) * col("y").cast(dec)).as("sxy"),
+      sum(col("x").cast(dec) * col("x").cast(dec)).as("sxx"))
     val v = base.groupBy("variant").agg(count(lit(1)).as("nv"),
       sum(col("x")).as("sxv"), sum(col("y")).as("syv"))
     val num = col("n").cast(dec) * col("sxy") -
@@ -799,6 +805,7 @@ object Stats {
       .select(bucketCol.as("b"), num.cast("long").as("x"),
         den.cast("long").as("y"))
       .groupBy("b").agg(sum(col("x")).as("si"), sum(col("y")).as("ti"))
+      .persist() // N tiny rows, TWO readers — else the input scans twice
     val tot = perBucket.agg(sum(col("si")).as("s"), sum(col("ti")).as("t"))
     val reps = perBucket.crossJoin(broadcast(tot))
       .filter(col("t") - col("ti") =!= 0)
