@@ -1,0 +1,48 @@
+package graft
+
+/** Sanity guards for the bench's in-engine synthetic workloads — they
+  * run per-round as scale diagnostics, so a silent semantic break
+  * (empty pipeline stage, budget violation) would quietly turn a
+  * scale-evidence number into a no-op measurement. */
+class WorkloadsSpec extends SparkSpec {
+
+  test("curationSynth composition: survivors < docs, splits, budget") {
+    val out = Workloads.curationSynth(spark, 2000L).collect()
+    val shards = out.map(_.getString(0)).toSet
+    // both splits must survive the dedup + quality gate at this n
+    assert(shards == Set("train", "val"), s"shards: $shards")
+    val nDocs = out.map(_.getLong(1)).sum
+    // near-dup survivors strictly below the input (templates repeat)
+    assert(nDocs > 0 && nDocs < 2000, s"survivors: $nDocs")
+    // packing: sequences exist and average fill respects the budget
+    out.foreach { r =>
+      val (docs, seqs, toks) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(seqs >= 1 && seqs <= docs)
+      assert(toks <= seqs * 512L,
+        s"packing exceeded budget: $toks tokens in $seqs seqs")
+    }
+  }
+
+  test("textStatsSynth: bands partition the corpus, token totals add up") {
+    val out = Workloads.textStatsSynth(spark, 3000L).collect()
+    val docs = out.map(_.getLong(1)).sum
+    assert(docs == 3000L, s"band histogram lost docs: $docs")
+    // 60 tokens per synthetic doc
+    assert(out.map(_.getLong(2)).sum == 3000L * 60)
+    // ttr bands are multiples of 10 in [0, 100]
+    assert(out.forall { r =>
+      val b = r.getLong(0); b % 10 == 0 && b >= 0 && b <= 100
+    })
+  }
+
+  test("annSynth returns k ranked neighbors per sampled query") {
+    val out = Workloads.annSynth(spark, 20_000L, nCentroids = 16,
+      nProbe = 4)
+    val got = out.collect()
+    val perQuery = got.groupBy(_.getLong(0))
+    assert(perQuery.size == 20) // one query per 1000 vectors
+    perQuery.values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to 10))
+    }
+  }
+}
