@@ -91,6 +91,12 @@ object Bench {
       // the composition number, not a single family
       "curation_synth250k" -> ((s: SparkSession) =>
         Workloads.curationSynth(s, 250_000L)),
+      // HIGH-DIMENSIONAL Euclidean ε-join at scale: the kd fallback
+      // (coarse cells + ghosts + per-cell kd radius queries) over
+      // 200k 32-d clustered vectors, ~70M true pairs at eps=0.2 —
+      // the regime the 3-dim grid path can't prune
+      "kdeps_synth200k" -> ((s: SparkSession) =>
+        Workloads.kdEpsSynth(s, 200_000L, eps = 0.2)),
     ) ++ (
       // 100× the reference's largest dataset, same per-cluster density
       // as the 500k diagnostic (k scales with n, ε-degree stays ~13).

@@ -218,6 +218,21 @@ object Workloads {
     spark.range(n).select(id.as("vec_id"), feats.as("embedding"))
   }
 
+  /** High-dimensional Euclidean ε-join scale twin — the kd-tree
+    * fallback path ([[graft.operators.EpsilonJoin.selfJoinKdAuto]]:
+    * coarse-cell partition + ghost replication + per-cell kd radius
+    * queries) over 32-d clustered vectors, where the 3-dim grid path
+    * alone would prune weakly. Returns the per-blob pair histogram
+    * (bounded output; the pair stream itself is the measured work). */
+  def kdEpsSynth(spark: SparkSession, n: Long, eps: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pts = synthEmbeddings(spark, n, 32, 64)
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    graft.operators.EpsilonJoin.selfJoinKdAuto(pts, "id", "v", eps)
+      .groupBy(pmod(col("a_id"), lit(64L)).as("blob"))
+      .agg(count(lit(1)).as("pairs"))
+  }
+
   /** IVF ANN over [[synthEmbeddings]] — the nightly-build + serve
     * shape at synthetic scale: Lloyd over the full corpus, then exact
     * cosine top-k inside the probed cells for one query per 1000
