@@ -226,10 +226,11 @@ object Workloads {
     * (bounded output; the pair stream itself is the measured work). */
   def kdEpsSynth(spark: SparkSession, n: Long, eps: Double): DataFrame = {
     import org.apache.spark.sql.functions._
-    val pts = synthEmbeddings(spark, n, 32, 64)
-      .select(col("vec_id").as("id"), col("embedding").as("v"))
-    graft.operators.EpsilonJoin.selfJoinKdAuto(pts, "id", "v", eps)
-      .groupBy(pmod(col("a_id"), lit(64L)).as("blob"))
+    graft.operators.EpsilonJoin.selfJoinKdAuto(
+        synthEmbeddings(spark, n, 32, 64), "vec_id", "embedding", eps)
+      // reconstruct the PLANTED blob id (synthEmbeddings' assignment
+      // hash) so the histogram actually reflects per-blob pair mass
+      .groupBy(pmod(xxhash64(col("a_id"), lit("c")), lit(64L)).as("blob"))
       .agg(count(lit(1)).as("pairs"))
   }
 

@@ -39,13 +39,14 @@ class WorkloadsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val n = 5000L
     val viaKd = Workloads.kdEpsSynth(spark, n, eps = 0.2)
-      .agg(sum(col("pairs"))).head.getLong(0)
+      // coalesce: an empty pair stream must read as 0, not NPE on
+      // sum's NULL, so the informative asserts below still fire
+      .agg(coalesce(sum(col("pairs")), lit(0L))).head.getLong(0)
     // independent truth: the grid path (selfJoin) on the same vectors —
     // different index, identical pair-set semantics
-    val pts = Workloads.synthEmbeddings(spark, n, 32, 64)
-      .select(col("vec_id").as("id"), col("embedding").as("v"))
     val viaGrid = graft.operators.EpsilonJoin
-      .selfJoin(pts, "id", "v", 0.2, bucketDims = Seq(0, 1, 2)).count()
+      .selfJoin(Workloads.synthEmbeddings(spark, n, 32, 64),
+        "vec_id", "embedding", 0.2, bucketDims = Seq(0, 1, 2)).count()
     assert(viaKd == viaGrid, s"kd=$viaKd grid=$viaGrid")
     assert(viaKd > 0, "eps=0.2 should capture within-blob pairs")
   }
