@@ -2616,6 +2616,23 @@ object SparkEntry {
         .groupBy(col("sz")).agg(count(lit(1)).as("n_groups"))
     }),
 
+    // MCC of the nearest-centroid classifier for class 0 — the
+    // imbalance-robust scalar beside q210's per-class report
+    "q218_mcc" -> ((s, dir) =>
+      operators.Stats.mcc(
+        operators.Stats.nearestCentroid(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label"),
+        lit(0))),
+
+    // Gain/lift table: q96's score/label framing cut into 10 rank
+    // bins — per-bin and cumulative positive capture
+    "q217_lift_table" -> ((s, dir) =>
+      operators.Stats.liftTable(t(s, dir, "embeddings"),
+        col("label") === 0,
+        round(element_at(col("embedding"), 1).cast("double") * 10000)
+          .cast("long"),
+        col("vec_id"))),
+
     // Quantile normalization of dim-1 onto the pooled distribution,
     // per label group — the cross-source feature aligner
     "q214_quantile_norm" -> ((s, dir) =>
@@ -4612,6 +4629,61 @@ object SparkEntry {
            |  FROM r)
            |$rows""".stripMargin
       },
+
+      // MCC: the shared confusion subquery again; four exact cells,
+      // HUGEINT products, one sqrt + division
+      "q218_mcc" ->
+        s"""WITH conf AS (SELECT * FROM ($centroidConfusionOracle) c),
+           |cells AS (SELECT
+           |    CAST(coalesce(sum(CASE WHEN label = 0 AND pred = 0
+           |      THEN n END), 0) AS BIGINT) AS tp,
+           |    CAST(coalesce(sum(CASE WHEN label != 0 AND pred = 0
+           |      THEN n END), 0) AS BIGINT) AS fp,
+           |    CAST(coalesce(sum(CASE WHEN label = 0 AND pred != 0
+           |      THEN n END), 0) AS BIGINT) AS fn,
+           |    CAST(coalesce(sum(CASE WHEN label != 0 AND pred != 0
+           |      THEN n END), 0) AS BIGINT) AS tn
+           |  FROM conf)
+           |SELECT tp, fp, fn, tn,
+           |  CASE WHEN CAST(tp + fp AS HUGEINT) * (tp + fn)
+           |      * (tn + fp) * (tn + fn) > 0 THEN
+           |    round(CAST(CAST(tp AS HUGEINT) * tn
+           |        - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+           |      / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+           |        * (tn + fp) * (tn + fn) AS DOUBLE)), 6)
+           |  END AS mcc
+           |FROM cells""".stripMargin,
+
+      // lift table: explicit rank-bin formula (never ntile — engines
+      // would have to agree on remainder spreading); integer counts,
+      // two closing ratios
+      "q217_lift_table" ->
+        """WITH e AS (SELECT
+          |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+          |    CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT)
+          |      AS s,
+          |    vec_id AS t
+          |  FROM embeddings),
+          |r AS (SELECT y, row_number() OVER (ORDER BY s DESC, t) AS rnk,
+          |    (SELECT count(*) FROM e) AS nn
+          |  FROM e),
+          |pb AS (SELECT (rnk - 1) * 10 // nn + 1 AS bin,
+          |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos
+          |  FROM r GROUP BY 1),
+          |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+          |    CAST(sum(pos) AS BIGINT) AS tp FROM pb),
+          |c AS (SELECT bin, n, pos,
+          |    CAST(sum(pos) OVER (ORDER BY bin
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_pos
+          |  FROM pb)
+          |SELECT bin, n, pos, cum_pos,
+          |  CASE WHEN tp > 0 THEN round(CAST(cum_pos AS DOUBLE)
+          |    / CAST(tp AS DOUBLE), 6) END AS capture,
+          |  CASE WHEN tp > 0 THEN round(
+          |    (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+          |    / (CAST(tp AS DOUBLE) / CAST(tn AS DOUBLE)), 6) END AS lift
+          |FROM c, tot""".stripMargin,
 
       // quantile norm: all-integer rank mapping; pooled ranking tie
       // order (v, grp, id) matches rowNumbers' sort exactly

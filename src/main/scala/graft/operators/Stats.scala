@@ -730,6 +730,88 @@ object Stats {
         ratio(col("tp") * 2, col("n_true") + col("n_pred")).as("f1"))
   }
 
+  /** Gain/lift table over score bins — the campaign-targeting /
+    * model-triage eval: rank everything by score, cut into `nBins`
+    * equal-width rank bins, report per-bin and cumulative positive
+    * capture and lift. Binning is the explicit rank formula
+    * `bin = (rnk−1)·nBins DIV N + 1` over the
+    * [[GlobalIndex.rowNumbers]] ranking — NOT SQL `ntile`, whose
+    * remainder-spreading the two engines would have to agree on, and
+    * NOT a one-task global sort (rowNumbers range-partitions). The
+    * closing cumulative window runs over nBins rows only.
+    *
+    * @param positive boolean column (NULL counts negative)
+    * @param score    integral score (quantize floats first);
+    *                 NULL-score rows excluded (the [[auc]] rule)
+    * @param tie      integral tiebreaker making (score, tie) a total
+    *                 order
+    * @return (bin, n, pos, cum_pos, capture, lift) — capture =
+    *   cum_pos/total_pos, lift = (pos/n)/(P/N), round(`scale`); lift
+    *   NULL when the population has no positives. */
+  def liftTable(df: DataFrame, positive: Column, score: Column,
+      tie: Column, nBins: Int = 10, scale: Int = 6): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val base = df.select(score.as("__s"), tie.as("__t"),
+        when(positive, 1L).otherwise(0L).as("__y"))
+      .filter(col("__s").isNotNull)
+      .withColumn("__negs", -col("__s"))
+    val ranked = GlobalIndex.rowNumbers(base, Seq("__negs", "__t"), "__r")
+    val n = ranked.count() // rowNumbers is already eager; this is cheap
+    require(n > 0, "no scored rows")
+    val perBin = ranked
+      .groupBy(expr(s"(__r - 1L) * ${nBins}L DIV ${n}L + 1L").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = perBin.agg(sum(col("n")).as("tn"), sum(col("pos")).as("tp"))
+    perBin.crossJoin(broadcast(tot))
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .select(col("bin"), col("n"), col("pos"), col("cum_pos"),
+        when(col("tp") > 0, round(col("cum_pos").cast("double") /
+          col("tp").cast("double"), scale)).as("capture"),
+        when(col("tp") > 0, round(
+          (col("pos").cast("double") / col("n").cast("double")) /
+            (col("tp").cast("double") / col("tn").cast("double")), scale))
+          .as("lift"))
+  }
+
+  /** Matthews correlation coefficient from a confusion matrix, for a
+    * designated positive class — the single balanced scalar beside
+    * [[f1Report]]'s per-class rows (robust to class imbalance, which
+    * accuracy and F1 are not):
+    *
+    *   MCC = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn))
+    *
+    * All four cells are exact integer sums off the (label, pred, n)
+    * matrix; numerator and the four denominator factors compute in
+    * decimal (n⁴ fits decimal(38,0) out to ~10⁹ rows), one cast to
+    * double, one sqrt, one division. A zero factor (a degenerate
+    * margin) reports NULL, the convention for an undefined
+    * correlation.
+    *
+    * @return one row (tp, fp, fn, tn, mcc). */
+  def mcc(confusion: DataFrame, positive: Column,
+      scale: Int = 6): DataFrame = {
+    val dec = "decimal(38,0)"
+    def cell(c: Column) = coalesce(sum(when(c, col("n"))), lit(0L))
+    val labP = col("label") === positive
+    val predP = col("pred") === positive
+    val cells = confusion.agg(
+      cell(labP && predP).as("tp"),
+      cell(!labP && predP).as("fp"),
+      cell(labP && !predP).as("fn"),
+      cell(!labP && !predP).as("tn"))
+    val num = col("tp").cast(dec) * col("tn").cast(dec) -
+      col("fp").cast(dec) * col("fn").cast(dec)
+    val den = (col("tp") + col("fp")).cast(dec) *
+      (col("tp") + col("fn")).cast(dec) *
+      (col("tn") + col("fp")).cast(dec) *
+      (col("tn") + col("fn")).cast(dec)
+    cells.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      when(den > 0, round(num.cast("double") /
+        sqrt(den.cast("double")), scale)).as("mcc"))
+  }
+
   /** CUPED adjusted means (Deng et al. 2013, "Improving the
     * Sensitivity of Online Controlled Experiments") — the standard
     * experimentation variance-reduction: per experiment unit a

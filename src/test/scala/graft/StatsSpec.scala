@@ -211,6 +211,51 @@ class StatsSpec extends SparkSpec {
     assert(skip.getLong(0) == 2) // only buckets 1 and 2 leave T-ti != 0
   }
 
+  test("liftTable: hand curve, uneven-N binning, all-negative NULLs") {
+    def run(rows: Seq[(Long, Boolean, Long)], bins: Int) = {
+      val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 3)).toDF("s", "pos", "t")
+      Stats.liftTable(df, col("pos"), col("s"), col("t"), bins)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3),
+            Option(r.get(4)).map(_.asInstanceOf[Double]),
+            Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    }
+    // 10 rows, positives hold the 3 best scores: one row per bin
+    val rows = (1 to 10).map(i => (11L - i, i <= 3, i.toLong))
+    val got = run(rows, 10)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L) == (1L, 1L, 1L, Some(r6(1.0 / 3)), Some(r6(10.0 / 3))))
+    assert(got(3L)._3 == 3L && got(3L)._4 == Some(1.0))
+    assert(got(10L) == (1L, 0L, 3L, Some(1.0), Some(0.0)))
+    // N=7 into 3 bins: the explicit formula gives sizes 3, 2, 2
+    val sizes = run((1 to 7).map(i => (10L - i, false, i.toLong)), 3)
+      .toSeq.sortBy(_._1).map(_._2._1)
+    assert(sizes == Seq(3L, 2L, 2L))
+    // zero positives: capture/lift NULL, counts still reported
+    assert(run((1 to 7).map(i => (10L - i, false, i.toLong)), 3)
+      .values.forall(v => v._4.isEmpty && v._5.isEmpty))
+  }
+
+  test("mcc: hand cells, perfect prediction = 1, degenerate margin NULL") {
+    def run(rows: Seq[(Long, Long, Long)], pos: Long) = {
+      val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2)).toDF("label", "pred", "n")
+      Stats.mcc(df, lit(pos)).collect()(0)
+    }
+    // tp=6 fp=1 fn=2 tn=3: mcc = 16 / sqrt(7*8*4*5)
+    val got = run(Seq((1L, 1L, 6L), (0L, 1L, 1L), (1L, 0L, 2L),
+      (0L, 0L, 3L)), 1L)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) == (6L, 1L, 2L, 3L))
+    assert(got.getDouble(4) ==
+      math.rint(16.0 / math.sqrt(1120.0) * 1e6) / 1e6)
+    // perfect prediction
+    assert(run(Seq((1L, 1L, 5L), (0L, 0L, 5L)), 1L).getDouble(4) == 1.0)
+    // degenerate: everything predicted positive -> a zero margin -> NULL
+    assert(run(Seq((1L, 1L, 5L), (0L, 1L, 5L)), 1L).isNullAt(4))
+  }
+
   test("auc: separation extremes and the hand-checked tie case") {
     def run(rows: Seq[(Long, Boolean)]) = {
       val df = spark.createDataFrame(
