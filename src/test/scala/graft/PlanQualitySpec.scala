@@ -636,6 +636,29 @@ class PlanQualitySpec extends SparkSpec {
       s"model tables should broadcast:\n$p")
   }
 
+  test("q209 holt: sorted-partition fold — no window, no join, " +
+      "one keys exchange") {
+    val p = plan(SparkEntry.queries("q209_holt")(spark, sf))
+    assert(!p.contains("Window"), s"holt must not rank via windows:\n$p")
+    assert(!p.contains("Join"), s"holt needs no join:\n$p")
+  }
+
+  test("q214/q217: pooled rankings ride zipWithIndex, never a " +
+      "one-task global window") {
+    // a global ORDER BY window would plan a single-partition Window —
+    // the pooled rank must come from the range-partitioned RDD path
+    val qn = plan(SparkEntry.queries("q214_quantile_norm")(spark, sf))
+    assert(!qn.contains("Window [row_number() windowspecdefinition()") &&
+      !qn.matches("(?s).*Window.*SinglePartition.*"),
+      s"global window crept into quantile norm:\n$qn")
+    val lt = plan(SparkEntry.queries("q217_lift_table")(spark, sf))
+    // the only window allowed is the nBins-row cumulative
+    assert("Window".r.findAllIn(lt).length <= 2,
+      s"ranking window crept into lift table:\n$lt")
+    assert(lt.contains("ExistingRDD") || lt.contains("Scan ExistingRDD"),
+      s"zipWithIndex ranking missing from lift table plan:\n$lt")
+  }
+
   test("q206 MMR: shortlist is the bounded-heap aggregate; refinement " +
       "rounds stay equi-joins") {
     val p = plan(SparkEntry.queries("q206_mmr_rerank")(spark, sf))
