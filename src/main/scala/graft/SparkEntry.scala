@@ -2616,6 +2616,26 @@ object SparkEntry {
         .groupBy(col("sz")).agg(count(lit(1)).as("n_groups"))
     }),
 
+    // Brier score of q202's trained classifier probabilities — the
+    // proper scoring rule (calibration + refinement in one number)
+    "q219_brier" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          (col("lang") === "en").cast("int").as("y"),
+          (length(col("text")) / lit(1000.0)).as("x1"),
+          (length(col("text")) - length(expr("replace(text, ' ', '')")))
+            .cast("double")
+            ./(length(col("text")).cast("double")).as("x2"),
+          (length(col("text")) - length(expr("replace(text, 'e', '')")))
+            .cast("double")
+            ./(length(col("text")).cast("double")).as("x3"))
+      operators.Stats.brierScore(
+        operators.Logistic.fitScore(d,
+          Seq(col("x1"), col("x2"), col("x3")), col("y"),
+          lr = 2.0, iters = 3),
+        col("prob"), col("y") === 1)
+    }),
+
     // MCC of the nearest-centroid classifier for class 0 — the
     // imbalance-robust scalar beside q210's per-class report
     "q218_mcc" -> ((s, dir) =>
@@ -4629,6 +4649,16 @@ object SparkEntry {
            |  FROM r)
            |$rows""".stripMargin
       },
+
+      // Brier: q202's GD-unroll oracle as subquery; squared residuals
+      // round(9) then decimal-sum
+      "q219_brier" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS n,
+           |  round(CAST(sum(CAST(round(
+           |      (prob - CAST(y AS DOUBLE)) * (prob - CAST(y AS DOUBLE)),
+           |      9) AS DECIMAL(38,9))) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE), 6) AS brier
+           |FROM ($logisticOracle) t""".stripMargin,
 
       // MCC: the shared confusion subquery again; four exact cells,
       // HUGEINT products, one sqrt + division

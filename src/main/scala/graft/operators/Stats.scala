@@ -775,6 +775,29 @@ object Stats {
           .as("lift"))
   }
 
+  /** Brier score — the proper scoring rule for PROBABILITY forecasts,
+    * completing the eval set's third leg (rank-based AUC/AP/nDCG score
+    * ordering, F1/MCC score hard labels, Brier scores the calibration
+    * AND refinement of the probabilities themselves):
+    * mean((p − y)²), lower better, 0.25 = the uninformed coin.
+    *
+    * ONE aggregate pass; each squared residual rounds at 9 and
+    * decimal-sums (fold-order-free), one closing division. NULL
+    * probabilities are excluded (unscorable, the [[auc]] rule).
+    *
+    * @return one row (n, brier). */
+  def brierScore(df: DataFrame, prob: Column, positive: Column,
+      scale: Int = 6): DataFrame =
+    df.select(prob.cast("double").as("__p"),
+        when(positive, 1.0).otherwise(0.0).as("__y"))
+      .filter(col("__p").isNotNull)
+      .select(round((col("__p") - col("__y")) * (col("__p") - col("__y")),
+        9).cast("decimal(38,9)").as("__t"))
+      .agg(count(lit(1)).as("n"), sum(col("__t")).as("__s"))
+      .select(col("n"),
+        when(col("n") > 0, round(col("__s").cast("double") /
+          col("n").cast("double"), scale)).as("brier"))
+
   /** Matthews correlation coefficient from a confusion matrix, for a
     * designated positive class — the single balanced scalar beside
     * [[f1Report]]'s per-class rows (robust to class imbalance, which

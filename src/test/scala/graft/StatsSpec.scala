@@ -256,6 +256,19 @@ class StatsSpec extends SparkSpec {
     assert(run(Seq((1L, 1L, 5L), (0L, 1L, 5L)), 1L).isNullAt(4))
   }
 
+  test("brierScore: perfect = 0, coin = 0.25, hand residuals") {
+    def run(rows: Seq[(Double, Boolean)]) = {
+      val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 2)).toDF("p", "y")
+      Stats.brierScore(df, col("p"), col("y")).collect()(0)
+    }
+    assert(run(Seq((1.0, true), (0.0, false))).getDouble(1) == 0.0)
+    assert(run(Seq((0.5, true), (0.5, false))).getDouble(1) == 0.25)
+    // hand: residuals 0.3² and 0.2² -> (0.09 + 0.04)/2
+    val got = run(Seq((0.7, true), (0.2, false)))
+    assert(got.getLong(0) == 2 && got.getDouble(1) == 0.065)
+  }
+
   test("auc: separation extremes and the hand-checked tie case") {
     def run(rows: Seq[(Long, Boolean)]) = {
       val df = spark.createDataFrame(
