@@ -310,6 +310,19 @@ case class Int8QuantStats(child: Expression)
     org.apache.spark.sql.types.LongType, containsNull = false)
   override def nullable: Boolean = true
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType |
+            org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        // fail at analysis, not as a ClassCastException mid-shuffle
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"int8_quant_stats needs array<float|double>, got ${other.catalogString}")
+    }
+
   private def elemType: DataType =
     child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
 

@@ -206,7 +206,9 @@ object Stats {
     * division.
     *
     * @param rel integral relevance grade ≥ 0 (cap it — gain is 2^rel);
-    *   NULL-score rows are excluded (the [[auc]] rule)
+    *   NULL-score AND NULL-rel rows are excluded (the [[auc]] rule —
+    *   a NULL grade must not consume a rank position and deflate
+    *   later rows' discounts)
     * @return (groupCols..., n_rows, ndcg); ndcg NULL when IDCG = 0
     *   (no relevant rows). */
   def ndcg(df: DataFrame, groupCols: Seq[String], rel: Column,
@@ -218,7 +220,7 @@ object Stats {
     def term(k: Column) = round(col("__gain").cast("double") /
       log2(k.cast("double") + lit(1.0)), 9).cast("decimal(38,9)")
     df.select((g :+ rel.as("__r") :+ score.as("__s") :+ tie.as("__t")): _*)
-      .filter(col("__s").isNotNull)
+      .filter(col("__s").isNotNull && col("__r").isNotNull)
       .select((g :+ col("__r") :+ col("__s") :+ col("__t") :+
         expr("shiftleft(1L, CAST(__r AS INT)) - 1L").as("__gain")): _*)
       .withColumn("__kd", row_number().over(w(col("__s"))))
@@ -896,7 +898,9 @@ object Stats {
     * BUCKET (block jackknife) is the distributed form: per-bucket sums
     * are one aggregate, the N leave-one-out replicates live on N rows.
     * Buckets whose removal empties the denominator are excluded from
-    * the replicate set (documented; N reflects it).
+    * the replicate set (documented; N reflects it). When EVERY bucket
+    * is excluded the one-row contract still holds: (n_buckets = 0,
+    * the overall ratio, se_jk NULL) — callers doing .head never crash.
     *
     * Numerics: s_i/t_i/S/T exact longs; each R_i is one division
     * (identical doubles both engines) rounded at 9 and decimal-summed
@@ -924,7 +928,7 @@ object Stats {
         sum(col("ri").cast("decimal(38,9)")).as("srs"))
       .select(col("s"), col("t"), col("nb"),
         (col("srs").cast("double") / col("nb").cast("double")).as("rbar"))
-    reps.crossJoin(broadcast(rbar.drop("s", "t")))
+    val core = reps.crossJoin(broadcast(rbar.drop("s", "t")))
       .select(col("s"), col("t"), col("nb"),
         round((col("ri") - col("rbar")) * (col("ri") - col("rbar")), 12)
           .cast("decimal(38,12)").as("d2"))
@@ -937,6 +941,16 @@ object Stats {
         round(sqrt((col("nb") - 1).cast("double") /
           col("nb").cast("double") * col("ssd").cast("double")), scale)
           .as("se_jk"))
+    // Degenerate input — EVERY bucket's removal empties the denominator
+    // (e.g. a single bucket holds all the clicks) → zero replicates, so
+    // `core` is empty. Keep the documented one-row contract anyway:
+    // n_buckets = 0, the overall ratio from `tot`, NULL se_jk.
+    val fallback = tot.select(lit(0L).as("n_buckets"),
+      when(col("t") =!= 0,
+        round(col("s").cast("double") / col("t").cast("double"), scale))
+        .as("ratio"),
+      lit(null).cast("double").as("se_jk"))
+    core.unionByName(fallback.join(core, lit(true), "left_anti"))
   }
 
   /** Per-group two-feature OLS — y = b0 + b1·x1 + b2·x2 by closed-form

@@ -290,6 +290,11 @@ object TimeSeries {
       var b = 0.0
       it.map { r =>
         val g = r.toSeq.take(k)
+        // fail fast with the offending key — a NULL surviving the long
+        // cast would otherwise NPE mid-stage with no row context
+        if (r.isNullAt(k + 1)) throw new IllegalArgumentException(
+          s"holt: NULL value at key=${g.mkString(",")} ord=${r.get(k)} — " +
+            "filter or quantize NULLs upstream (NULL-exclusion rule)")
         val x = r.getLong(k + 1).toDouble
         if (g != cur) { cur = g; l = x; b = 0.0 }
         else {

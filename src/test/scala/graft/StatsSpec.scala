@@ -114,6 +114,15 @@ class StatsSpec extends SparkSpec {
     val idcg1 = r9(7.0 / lg2(2.0)) + r9(0.0 / lg2(3.0))
     assert(got(1L) == (2L, Some(math.rint(dcg1 / idcg1 * 1e6) / 1e6)))
     assert(got(2L) == (2L, None))
+    // NULL rel must not consume a rank position (it would deflate the
+    // discounts of every later row): g0 + a NULL-rel row == plain g0
+    val withNull = spark.sql(
+      """SELECT * FROM VALUES (0L, 3L, 30L, 1L), (0L, CAST(NULL AS BIGINT),
+        |  25L, 2L), (0L, 1L, 20L, 3L), (0L, 0L, 10L, 4L) t(g, r, s, t)
+        |""".stripMargin)
+    val nres = Stats.ndcg(withNull, Seq("g"), col("r"), col("s"), col("t"))
+      .collect()(0)
+    assert(nres.getLong(1) == 3L && nres.getDouble(2) == 1.0)
   }
 
   test("rbo: identical = 1-p^D, disjoint = 0, hand-checked overlap") {
@@ -209,6 +218,14 @@ class StatsSpec extends SparkSpec {
     // a bucket holding ALL the denominator: its replicate is skipped
     val skip = run(Seq((0L, 10L, 5L), (1L, 7L, 0L), (2L, 3L, 0L)))
     assert(skip.getLong(0) == 2) // only buckets 1 and 2 leave T-ti != 0
+    // DEGENERATE: every bucket's removal empties the denominator (the
+    // only bucket holds all clicks) — still one row: (0, ratio, NULL)
+    val degen = run(Seq((0L, 10L, 5L)))
+    assert(degen.getLong(0) == 0 && degen.getDouble(1) == 2.0 &&
+      degen.isNullAt(2))
+    // and an all-zero denominator reports NULL ratio too, not a crash
+    val zeroT = run(Seq((0L, 10L, 0L), (1L, 7L, 0L)))
+    assert(zeroT.getLong(0) == 0 && zeroT.isNullAt(1) && zeroT.isNullAt(2))
   }
 
   test("liftTable: hand curve, uneven-N binning, all-negative NULLs") {

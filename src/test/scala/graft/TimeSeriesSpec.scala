@@ -459,5 +459,12 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(("b", 2L)) == (50.0, 0.0))
     // input partitioning must not matter (operator repartitions on key)
     assert(run(5) == got)
+    // NULL value fails fast with the offending key, not a bare NPE
+    val withNull = spark.sql(
+      "SELECT * FROM VALUES ('a', 1L, 100L), ('a', 2L, CAST(NULL AS BIGINT)) t(k, t, v)")
+    val ex = intercept[org.apache.spark.SparkException] {
+      TimeSeries.holt(withNull, Seq("k"), "t", col("v")).collect()
+    }
+    assert(ex.getCause.getMessage.contains("holt: NULL value at key=a"))
   }
 }

@@ -233,6 +233,13 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(interp.asInstanceOf[
       org.apache.spark.sql.catalyst.util.ArrayData].toLongArray().toSeq
       == got)
+    // non-array input fails at ANALYSIS (SQL surface), not as a
+    // ClassCastException at execution
+    GraftExtensions.register(spark)
+    val aex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT int8_quant_stats(42)").collect()
+    }
+    assert(aex.getMessage.contains("int8_quant_stats needs array"))
   }
 
   test("cellId buckets points to floor(x/eps) per selected dim") {
