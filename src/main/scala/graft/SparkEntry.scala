@@ -249,14 +249,17 @@ object SparkEntry {
       graft.operators.Dedup.simHash(t(s, dir, "documents"), "doc_id", "text",
         TextFunctions.portableHash60)),
 
-    // ANN: IVF approximate top-5 (approximate by design — no SQL oracle;
-    // recall vs exact covered in AnnSearchSpec)
+    // ANN: IVF approximate top-5. The index build is exact arithmetic
+    // end-to-end (md5 pool + farthest-first seeds, integer Lloyd
+    // means), so the DuckDB oracle unrolls the WHOLE pipeline as CTEs
+    // and hash-matches the served ranking; recall vs exact is
+    // additionally covered in AnnSearchSpec
     "q23_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
-      AnnSearch.ivfTopK(q, b, 5, nCentroids = 8, nProbe = 3)
+      AnnSearch.ivfTopK(q, b, AnnK, nCentroids = IvfCents, nProbe = IvfProbe)
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
@@ -2960,6 +2963,16 @@ object SparkEntry {
   private val KmK = 8
   private val KmRounds = 3
 
+  /** q23 IVF index geometry, shared with the unrolled oracle (the
+    * engine defaults: iters = 2 Lloyd rounds, seed = 42, pool =
+    * [[operators.AnnSearch.seedPoolFactor]] × centroids). */
+  private val IvfCents = 8
+  private val IvfProbe = 3
+  private val IvfIters = 2
+  private val IvfSeed = 42L
+  private val IvfPool = operators.AnnSearch.seedPoolFactor * IvfCents
+  private val AnnK = 5
+
   /** q140 SRP-LSH: 4-bit signatures × 8 independent tables, top-5 for
     * every 20th vector — tuned on the fixture (recall@5 ≈ 0.71 vs
     * brute force; this corpus is nearly isotropic, so recall needs
@@ -3006,6 +3019,86 @@ object SparkEntry {
        |  round(h$HitsRounds.s, 8) AS hub,
        |  round(a$HitsRounds.s, 8) AS auth
        |FROM h$HitsRounds JOIN a$HitsRounds USING (id)""".stripMargin
+  }
+
+  /** q23's oracle: the ENTIRE IVF pipeline unrolled — md5-ordered seed
+    * pool, farthest-first (Gonzalez) selection rounds, quantized-integer
+    * Lloyd updates, nearest-cell assignment, nProbe probing, exact
+    * cosine top-k. Every arithmetic step is the exact double/integer op
+    * the engine executes (the q120 discipline extended to an index
+    * build): d² and dot products are pinned left-to-right `list_sum`
+    * folds, Lloyd means are round(v·1e6) integer sums closed by two
+    * double divisions, and every argmin/argmax tie breaks on the same
+    * id/cid the engine's kernels use. */
+  private def ivfOracle: String = {
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), " +
+        "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
+    // farthest-first rounds 2..n: argmax of min-d² to the chosen set,
+    // ties to the smallest pool rank (= smallest id)
+    val ff = (2 to IvfCents).map { r =>
+      s"""f$r AS MATERIALIZED (SELECT rid, v FROM (
+         |    SELECT pl.rid, pl.v, row_number() OVER (ORDER BY
+         |        (SELECT min(${d2("pl.v", "c.v")}) FROM ch${r - 1} c) DESC,
+         |        pl.rid) AS rn
+         |    FROM pool pl WHERE pl.rid NOT IN (SELECT rid FROM ch${r - 1}))
+         |  WHERE rn = 1),
+         |ch$r AS MATERIALIZED (SELECT * FROM ch${r - 1}
+         |  UNION ALL SELECT * FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    val lloyd = (1 to IvfIters).map { r =>
+      val c = s"c${r - 1}"
+      s"""a$r AS MATERIALIZED (SELECT id, cid FROM (
+         |    SELECT p.id, $c.cid, row_number() OVER (PARTITION BY p.id
+         |      ORDER BY ${d2("p.v", s"$c.cv")}, $c.cid) AS rn
+         |    FROM p CROSS JOIN $c) WHERE rn = 1),
+         |c$r AS MATERIALIZED (SELECT cid,
+         |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
+         |      ORDER BY dim) AS cv
+         |  FROM (SELECT a$r.cid, u.dim,
+         |      CAST(sum(CAST(round(p.v[u.dim] * 1000000.0) AS BIGINT))
+         |        AS BIGINT) AS s,
+         |      CAST(count(*) AS BIGINT) AS cnt
+         |    FROM a$r JOIN p USING (id),
+         |      unnest(range(1, len(p.v) + 1)) AS u(dim)
+         |    GROUP BY 1, 2)
+         |  GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    val fc = s"c$IvfIters"
+    s"""WITH p AS MATERIALIZED (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |pool AS MATERIALIZED (SELECT
+       |    CAST(row_number() OVER (ORDER BY id) AS INTEGER) AS rid, v
+       |  FROM (SELECT id, v FROM p
+       |    ORDER BY md5(CAST(id AS VARCHAR) || ':$IvfSeed')
+       |    LIMIT $IvfPool)),
+       |ch1 AS MATERIALIZED (SELECT rid, v FROM pool WHERE rid = 1),
+       |$ff,
+       |c0 AS MATERIALIZED (SELECT
+       |    CAST(row_number() OVER (ORDER BY rid) AS INTEGER) AS cid,
+       |    v AS cv FROM ch$IvfCents),
+       |$lloyd,
+       |bi AS MATERIALIZED (SELECT id, cid FROM (
+       |    SELECT p.id, c.cid, row_number() OVER (PARTITION BY p.id
+       |      ORDER BY ${d2("p.v", "c.cv")}, c.cid) AS rn
+       |    FROM p CROSS JOIN $fc c) WHERE rn = 1),
+       |pr AS MATERIALIZED (SELECT id AS a_id, cid FROM (
+       |    SELECT p.id, c.cid, row_number() OVER (PARTITION BY p.id
+       |      ORDER BY ${d2("p.v", "c.cv")}, c.cid) AS rn
+       |    FROM p CROSS JOIN $fc c WHERE p.id < 50) WHERE rn <= $IvfProbe)
+       |SELECT vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk FROM (
+       |  SELECT pr.a_id AS vec_id, bi.id AS nbr_id,
+       |    row_number() OVER (PARTITION BY pr.a_id ORDER BY
+       |      ${dot("qa.v", "qb.v")} /
+       |        sqrt(${dot("qa.v", "qa.v")} * ${dot("qb.v", "qb.v")}) DESC,
+       |      bi.id) AS rnk
+       |  FROM pr JOIN bi USING (cid)
+       |    JOIN p qa ON qa.id = pr.a_id JOIN p qb ON qb.id = bi.id
+       |  WHERE pr.a_id != bi.id) r
+       |WHERE rnk <= $AnnK""".stripMargin
   }
 
   /** q120's oracle: seeds = k smallest ids, then per round an argmin
@@ -3992,6 +4085,7 @@ object SparkEntry {
          |) labels""".stripMargin,
 
     "q22_simhash" -> simhashOracle,
+    "q23_ann_ivf" -> ivfOracle,
     "q28_winnowing" -> winnowingOracle,
 
     "q9_jaccard_pairs" -> jaccardOracle,

@@ -108,36 +108,92 @@ object AnnSearch {
     else VectorExpressions.nearestCentroidId(vec, cents)
   }
 
+  /** Squared L2 with the pinned sequential fold every kernel and every
+    * oracle shares (widen, subtract, square, accumulate in input order). */
+  private def seqD2(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0
+    var i = 0
+    while (i < a.length) { val diff = a(i) - b(i); d += diff * diff; i += 1 }
+    d
+  }
+
+  /** Deterministic farthest-first (Gonzalez) selection of `n` seeds from
+    * an id-ordered candidate pool: start at the pool's smallest id, then
+    * repeatedly take the candidate maximizing its min-d² to the chosen
+    * set (ties → smallest id). All comparisons are on exact doubles from
+    * the pinned [[seqD2]] fold, so any engine unrolling the same rounds
+    * picks the same seeds. @return indices into `pool`, ascending. */
+  private def farthestFirst(pool: Array[Array[Double]], n: Int): Seq[Int] = {
+    if (pool.isEmpty) return Seq.empty
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val minD2 = Array.fill(pool.length)(Double.PositiveInfinity)
+    while (chosen.length < math.min(n, pool.length)) {
+      val last = pool(chosen.last)
+      var best = -1
+      var bestD = -1.0
+      var i = 0
+      while (i < pool.length) {
+        if (!chosen.contains(i)) {
+          val d = seqD2(pool(i), last)
+          if (d < minD2(i)) minD2(i) = d
+          // strict > keeps the earliest (smallest-id) index on ties
+          if (minD2(i) > bestD) { bestD = minD2(i); best = i }
+        }
+        i += 1
+      }
+      chosen += best
+    }
+    chosen.sorted.toSeq
+  }
+
+  /** How many md5-ordered candidates feed [[farthestFirst]] per index
+    * (and per PQ subspace): pool = `seedPoolFactor` × nCentroids. */
+  val seedPoolFactor = 4
+
   /** Deterministically-seeded centroids refined by `iters` Lloyd rounds,
     * collected to the driver (nCentroids × dims doubles — always
-    * driver-safe for a sane index). Each round is ONE job: literal-argmin
-    * assignment fused into a (c_id, pos) average, matching the previous
-    * DataFrame formulation's aggregation exactly.
-    * NB: double `avg` is shuffle-order dependent in its low bits, so
-    * centroid coordinates (and thus IVF candidate sets) are approximate —
-    * fine for an ANN index; recall is what the tests pin down.
+    * driver-safe for a sane index). Each round is ONE job: kernel-argmin
+    * assignment fused into a (c_id, pos) quantized-integer mean.
+    *
+    * The whole build is EXACT and engine-portable: a 4n-candidate pool
+    * (the smallest md5("id:seed") strings — md5 exists in every engine,
+    * unlike xxhash64) is refined by k-means++-style farthest-first
+    * selection ([[farthestFirst]] — spread seeds, not a hash lottery),
+    * and Lloyd means accumulate round(v·1e6) longs — order-free integer
+    * sums — closing with two double divisions (s/cnt/1e6). Same input ⇒
+    * bit-identical centroids on any partitioning AND in the DuckDB
+    * oracle (the q120 k-means discipline); the ×1e6 quantization
+    * (≤1e-6 absolute per coordinate) is noise for an ANN index.
+    * Overflow bound: |v|·rows-per-cluster < 9.2e12 — coarsen upstream
+    * beyond that.
     * @return (c_id, coords) sorted by c_id, 1-based dense ids. */
   private[operators] def centroidArrays(build: DataFrame, nCentroids: Int,
       iters: Int = 2, seed: Long = 42L): Array[(Int, Array[Double])] = {
-    var cents: Array[(Int, Array[Double])] = build
-      .orderBy(xxhash64(col("b_id"), lit(seed))).limit(nCentroids)
+    val pool: Array[Array[Double]] = build
+      .orderBy(md5(concat(col("b_id").cast("string"), lit(":" + seed))))
+      .limit(seedPoolFactor * nCentroids)
       .orderBy(col("b_id"))
       .select(col("b_v").cast("array<double>"))
-      .collect().zipWithIndex
-      .map { case (r, i) => (i + 1, r.getSeq[Double](0).toArray) }
+      .collect().map(_.getSeq[Double](0).toArray)
+    var cents: Array[(Int, Array[Double])] =
+      farthestFirst(pool, nCentroids).zipWithIndex
+        .map { case (pi, i) => (i + 1, pool(pi)) }.toArray
     for (_ <- 0 until iters) {
       // the kernel's generated code is O(1) in nCentroids (matrix rides as
       // a referenced object), so no size split is needed here — every round
-      // is one projection + one (c_id, pos) average job at any index size
+      // is one projection + one (c_id, pos) integer-sum job at any size
       val assigned =
         build.select(nearestCentroid(col("b_v"), cents).as("c_id"), col("b_v"))
       val means = assigned
         .select(col("c_id"), posexplode(col("b_v").cast("array<double>")))
-        .groupBy(col("c_id"), col("pos")).agg(avg(col("col")).as("av"))
+        .groupBy(col("c_id"), col("pos"))
+        .agg(sum(round(col("col") * lit(1e6)).cast("long")).as("s"),
+          count(lit(1)).as("cnt"))
         .collect()
       cents = means.groupBy(_.getInt(0)).toArray.sortBy(_._1)
         .map { case (cid, rows) =>
-          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray)
+          (cid, rows.sortBy(_.getInt(1)).map(r =>
+            r.getLong(2).toDouble / r.getLong(3).toDouble / 1e6).toArray)
         }
     }
     cents
@@ -249,10 +305,13 @@ object AnnSearch {
     * shared seed would pick the same seed ROWS everywhere), and each
     * Lloyd round is ONE job whose assignment expression dispatches on
     * the subspace tag (coalesce of per-sub literal argmins) before a
-    * (sub, c_id, pos) average. A per-subspace loop would cost m × the
-    * per-round job latency — measured 25 s vs 2 s at m=16 on the
-    * sf0.1 fixture — for byte-identical output shape and the same
-    * float-order caveat as [[centroidArrays]]. */
+    * (sub, c_id, pos) quantized-integer mean. A per-subspace loop would
+    * cost m × the per-round job latency — measured 25 s vs 2 s at m=16
+    * on the sf0.1 fixture — for byte-identical output shape. Seeding
+    * and means follow [[centroidArrays]]'s exact-arithmetic discipline
+    * (md5 ordering, round(v·1e6) integer sums), so the codebook is
+    * partitioning-invariant and DuckDB-reproducible (q75's oracle
+    * unrolls it as CTEs). */
   def pqCodebook(build: DataFrame, m: Int, nCentroids: Int,
       iters: Int = 2, seed: Long = 42L): DataFrame = {
     val spark = build.sparkSession
@@ -271,7 +330,8 @@ object AnnSearch {
     // generic orderable type (a driver getLong would pin it to BIGINT).
     val wHash = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sub"))
-      .orderBy(xxhash64(col("b_id"), col("sub").cast("long") + seed))
+      .orderBy(md5(concat(col("b_id").cast("string"), lit(":"),
+        (col("sub").cast("long") + seed).cast("string"))))
     val wId = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sub")).orderBy(col("b_id"))
     val seedRows = subs
@@ -313,12 +373,14 @@ object AnnSearch {
         .select(col("sub"), assign(col("sub"), col("sv")).as("c_id"),
           posexplode(col("sv")))
         .groupBy(col("sub"), col("c_id"), col("pos"))
-        .agg(avg(col("col")).as("av"))
+        .agg(sum(round(col("col") * lit(1e6)).cast("long")).as("s"),
+          count(lit(1)).as("cnt"))
         .collect()
       cents = means.groupBy(_.getInt(0)).toArray.sortBy(_._1)
         .map { case (_, rs) =>
           rs.groupBy(_.getInt(1)).toArray.sortBy(_._1).map { case (cid, ps) =>
-            (cid, ps.sortBy(_.getInt(2)).map(_.getDouble(3)).toArray)
+            (cid, ps.sortBy(_.getInt(2)).map(r =>
+              r.getLong(3).toDouble / r.getLong(4).toDouble / 1e6).toArray)
           }
         }
     }
@@ -388,6 +450,12 @@ object AnnSearch {
     val cb = collectPqCodebook(codebook)
     val subLen = cb.head.head._2.length
     val cbv: Array[Array[Array[Double]]] = cb.map(_.map(_._2))
+    // table entries quantize to floor(d²·1e9 + 0.5) longs: the ADC sum
+    // over m terms becomes an exact INTEGER sum — shuffle-order-free and
+    // engine-portable (the q75 oracle reproduces it digit for digit),
+    // while ranking is unchanged beyond the 1e-9 quantum (ADC is a
+    // shortlist heuristic; ties already broke by id). Overflow bound:
+    // Σ_m d²_m < 9.2e9, i.e. vector coordinates up to ~1e4 at 64 dims.
     val dtab = udf((av: Seq[Double]) =>
       cbv.zipWithIndex.map { case (cents, s) =>
         cents.map { cv =>
@@ -396,7 +464,7 @@ object AnnSearch {
           while (i < cv.length) {
             val diff = av(s * subLen + i) - cv(i); d += diff * diff; i += 1
           }
-          d
+          math.floor(d * 1e9 + 0.5).toLong
         }
       })
     val approxD2 = cb.indices.map { s =>
@@ -413,7 +481,10 @@ object AnnSearch {
     codes.repartition(col("id"))
       .join(broadcast(q2))
       .filter(col("a_id") =!= col("id"))
-      .select(col("a_id"), col("id"), approxD2.as("ad2"))
+      .select(col("a_id"), col("id"),
+        // heap scores are doubles; the integer ad2 is < 2^53 (bound
+        // above), so the cast is exact and ordering is preserved
+        approxD2.cast("double").as("ad2"))
       .groupBy("a_id")
       .agg(graft.functions.TopKByScore.topkMin(col("id"), col("ad2"), k)
         .as("topk"))
