@@ -963,16 +963,19 @@ object SparkEntry {
         .bigramNll(t(s, dir, "documents"), "doc_id", "text")),
 
     // ANN via product quantization: ADC shortlist over 16×4-dim codes
-    // + exact L2 re-rank (approximate by design — no SQL oracle;
-    // recall and positional exactness covered in AnnSearchSpec).
+    // + exact L2 re-rank. Codebooks train with exact integer-quantized
+    // Lloyd and md5 seeding, ADC sums are exact integers — the DuckDB
+    // oracle unrolls the whole pipeline (grouped per-subspace CTEs)
+    // and hash-matches; recall is additionally covered in AnnSearchSpec
     "q75_ann_pq" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val qd = e.filter(col("vec_id") < 50)
         .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
       val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
-      val cb = AnnSearch.pqCodebook(bd, m = 16, nCentroids = 16)
+      val cb = AnnSearch.pqCodebook(bd, m = PqM, nCentroids = PqNc)
       val codes = AnnSearch.pqEncode(e, "vec_id", "embedding", cb)
-      AnnSearch.pqTopKRerank(qd, bd, codes, cb, 5, shortlist = 50)
+      AnnSearch.pqTopKRerank(qd, bd, codes, cb, AnnK,
+          shortlist = PqShortlist)
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
@@ -2973,6 +2976,14 @@ object SparkEntry {
   private val IvfPool = operators.AnnSearch.seedPoolFactor * IvfCents
   private val AnnK = 5
 
+  /** q75 PQ geometry, shared with the unrolled oracle (engine
+    * defaults: 2 Lloyd rounds, seed 42). */
+  private val PqM = 16
+  private val PqNc = 16
+  private val PqIters = 2
+  private val PqSeed = 42L
+  private val PqShortlist = 50
+
   /** q140 SRP-LSH: 4-bit signatures × 8 independent tables, top-5 for
     * every 20th vector — tuned on the fixture (recall@5 ≈ 0.71 vs
     * brute force; this corpus is nearly isotropic, so recall needs
@@ -3098,6 +3109,87 @@ object SparkEntry {
        |  FROM pr JOIN bi USING (cid)
        |    JOIN p qa ON qa.id = pr.a_id JOIN p qb ON qb.id = bi.id
        |  WHERE pr.a_id != bi.id) r
+       |WHERE rnk <= $AnnK""".stripMargin
+  }
+
+  /** q75's oracle: the PQ pipeline unrolled — all [[PqM]] subspace
+    * codebooks train TOGETHER as grouped CTEs (seeds = the [[PqNc]]
+    * smallest per-sub md5 hashes, id-ordered cids; quantized-integer
+    * Lloyd rounds exactly like [[ivfOracle]]'s), codes are the final
+    * per-sub argmin, ADC table entries quantize to
+    * floor(d²·1e9 + 0.5) BIGINTs (so the per-pair sum over m terms is
+    * an exact integer sum — the engine computes the identical chain),
+    * the shortlist ranks by (ad2, id), and the exact-L2 re-rank closes
+    * by (d2, id). Codes join dtab on the stored (sub, cid) labels —
+    * equivalent to the engine's positional reindex, since both sides
+    * of the lookup derive from the same cid-sorted order. */
+  private def pqOracle: String = {
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), " +
+        "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    val lloyd = (1 to PqIters).map { r =>
+      val c = s"pc${r - 1}"
+      s"""pa$r AS MATERIALIZED (SELECT id, sub, cid FROM (
+         |    SELECT ps.id, ps.sub, $c.cid,
+         |      row_number() OVER (PARTITION BY ps.id, ps.sub
+         |        ORDER BY ${d2("ps.sv", s"$c.cv")}, $c.cid) AS rn
+         |    FROM ps JOIN $c USING (sub)) WHERE rn = 1),
+         |pc$r AS MATERIALIZED (SELECT sub, cid,
+         |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
+         |      ORDER BY dim) AS cv
+         |  FROM (SELECT a.sub, a.cid, u.dim,
+         |      CAST(sum(CAST(round(ps.sv[u.dim] * 1000000.0) AS BIGINT))
+         |        AS BIGINT) AS s,
+         |      CAST(count(*) AS BIGINT) AS cnt
+         |    FROM pa$r a JOIN ps ON ps.id = a.id AND ps.sub = a.sub,
+         |      unnest(range(1, len(ps.sv) + 1)) AS u(dim)
+         |    GROUP BY 1, 2, 3)
+         |  GROUP BY sub, cid)""".stripMargin
+    }.mkString(",\n")
+    val fc = s"pc$PqIters"
+    s"""WITH p AS MATERIALIZED (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |ps AS MATERIALIZED (SELECT p.id, u.sub,
+       |    list_slice(p.v, u.sub * (len(p.v) // $PqM) + 1,
+       |      (u.sub + 1) * (len(p.v) // $PqM)) AS sv
+       |  FROM p, unnest(range(0, $PqM)) AS u(sub)),
+       |sd AS MATERIALIZED (SELECT sub, id, sv FROM (
+       |    SELECT sub, id, sv, row_number() OVER (PARTITION BY sub
+       |      ORDER BY md5(CAST(id AS VARCHAR) || ':' ||
+       |        CAST(sub + $PqSeed AS VARCHAR))) AS rh
+       |    FROM ps) WHERE rh <= $PqNc),
+       |pc0 AS MATERIALIZED (SELECT sub,
+       |    CAST(row_number() OVER (PARTITION BY sub ORDER BY id)
+       |      AS INTEGER) AS cid, sv AS cv
+       |  FROM sd),
+       |$lloyd,
+       |codes AS MATERIALIZED (SELECT id, sub, cid FROM (
+       |    SELECT ps.id, ps.sub, c.cid,
+       |      row_number() OVER (PARTITION BY ps.id, ps.sub
+       |        ORDER BY ${d2("ps.sv", "c.cv")}, c.cid) AS rn
+       |    FROM ps JOIN $fc c USING (sub)) WHERE rn = 1),
+       |dt AS MATERIALIZED (SELECT q.id AS a_id, c.sub, c.cid,
+       |    CAST(floor(${d2("qs.sv", "c.cv")} * 1000000000.0 + 0.5)
+       |      AS BIGINT) AS dq
+       |  FROM p q JOIN ps qs ON qs.id = q.id
+       |    JOIN $fc c ON c.sub = qs.sub
+       |  WHERE q.id < 50),
+       |adc AS MATERIALIZED (SELECT dt.a_id, cd.id AS b_id,
+       |    CAST(sum(dt.dq) AS BIGINT) AS ad2
+       |  FROM codes cd JOIN dt ON dt.sub = cd.sub AND dt.cid = cd.cid
+       |  WHERE dt.a_id != cd.id
+       |  GROUP BY 1, 2),
+       |sl AS MATERIALIZED (SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY ad2, b_id) AS rn
+       |    FROM adc) WHERE rn <= $PqShortlist)
+       |SELECT vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk FROM (
+       |  SELECT sl.a_id AS vec_id, sl.b_id AS nbr_id,
+       |    row_number() OVER (PARTITION BY sl.a_id
+       |      ORDER BY ${d2("qa.v", "qb.v")}, sl.b_id) AS rnk
+       |  FROM sl JOIN p qa ON qa.id = sl.a_id
+       |    JOIN p qb ON qb.id = sl.b_id) r
        |WHERE rnk <= $AnnK""".stripMargin
   }
 
@@ -4086,6 +4178,7 @@ object SparkEntry {
 
     "q22_simhash" -> simhashOracle,
     "q23_ann_ivf" -> ivfOracle,
+    "q75_ann_pq" -> pqOracle,
     "q28_winnowing" -> winnowingOracle,
 
     "q9_jaccard_pairs" -> jaccardOracle,
