@@ -2642,6 +2642,31 @@ object SparkEntry {
         col("prob"), col("y") === 1)
     }),
 
+    // REAL image decode (javax.imageio): deterministic PNGs generated
+    // in-engine (closed-form pixel pattern shared with the oracle),
+    // decoded back by ImageIO per partition, reduced to exact integer
+    // pixel stats + a 4×4 gray downsample. PNG is lossless, so the
+    // DuckDB oracle recomputing the pattern arithmetically hash-gates
+    // the decode path end to end. The generator UDF runs over the
+    // fixture rows only (build side, never a serving path).
+    "q220_image_stats" -> ((s, dir) => {
+      val gen = udf((id: Long) => graft.operators.Multimodal.syntheticPng(
+        id, (8 + id % 5 * 4).toInt, (6 + id % 3 * 6).toInt))
+      val media = t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id").as("media_id"), lit("image").as("modality"),
+          gen(col("doc_id")).as("payload"))
+      graft.operators.Multimodal.imageFeatures(media, grid = 4)
+        .select(col("media_id"), col("width"), col("height"),
+          col("r_sum"), col("g_sum"), col("b_sum"),
+          col("r_sq"), col("g_sq"), col("b_sq"),
+          posexplode(col("cells")).as(Seq("cell_idx", "cell_sum")))
+        .select(col("media_id"), col("width"), col("height"),
+          col("r_sum"), col("g_sum"), col("b_sum"),
+          col("r_sq"), col("g_sq"), col("b_sq"),
+          col("cell_idx").cast("int").as("cell_idx"), col("cell_sum"))
+    }),
+
     // MCC of the nearest-centroid classifier for class 0 — the
     // imbalance-robust scalar beside q210's per-class report
     "q218_mcc" -> ((s, dir) =>
@@ -4846,6 +4871,38 @@ object SparkEntry {
            |      9) AS DECIMAL(38,9))) AS DOUBLE)
            |    / CAST(count(*) AS DOUBLE), 6) AS brier
            |FROM ($logisticOracle) t""".stripMargin,
+
+      // image decode: regenerate the closed-form pixel pattern
+      // arithmetically (lateral unnest over each image's w×h grid) and
+      // aggregate the SAME exact integer stats the engine reads back
+      // out of the PNG bytes — all 16 downsample cells are non-empty
+      // because the fixture sizes keep w, h >= grid
+      "q220_image_stats" ->
+        """WITH ids AS MATERIALIZED (SELECT doc_id AS m,
+          |    CAST(8 + (doc_id % 5) * 4 AS INTEGER) AS w,
+          |    CAST(6 + (doc_id % 3) * 6 AS INTEGER) AS h
+          |  FROM documents WHERE doc_id < 200),
+          |px AS MATERIALIZED (SELECT m, w, h, ux.x, uy.y,
+          |    (m * 31 + ux.x * 7 + uy.y * 13) % 256 AS r,
+          |    (m * 17 + ux.x * 3 + uy.y * 5) % 256 AS g,
+          |    (m * 29 + ux.x * 11 + uy.y * 2) % 256 AS b
+          |  FROM ids, unnest(range(0, w)) ux(x),
+          |    unnest(range(0, h)) uy(y)),
+          |agg AS (SELECT m, w, h,
+          |    CAST(sum(r) AS BIGINT) AS r_sum,
+          |    CAST(sum(g) AS BIGINT) AS g_sum,
+          |    CAST(sum(b) AS BIGINT) AS b_sum,
+          |    CAST(sum(r * r) AS BIGINT) AS r_sq,
+          |    CAST(sum(g * g) AS BIGINT) AS g_sq,
+          |    CAST(sum(b * b) AS BIGINT) AS b_sq
+          |  FROM px GROUP BY 1, 2, 3),
+          |cl AS (SELECT m,
+          |    CAST((y * 4 // h) * 4 + (x * 4 // w) AS INTEGER) AS cell_idx,
+          |    CAST(sum(r + g + b) AS BIGINT) AS cell_sum
+          |  FROM px GROUP BY 1, 2)
+          |SELECT agg.m AS media_id, agg.w AS width, agg.h AS height,
+          |  r_sum, g_sum, b_sum, r_sq, g_sq, b_sq, cell_idx, cell_sum
+          |FROM agg JOIN cl ON cl.m = agg.m""".stripMargin,
 
       // MCC: the shared confusion subquery again; four exact cells,
       // HUGEINT products, one sqrt + division

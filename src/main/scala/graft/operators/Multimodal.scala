@@ -9,11 +9,19 @@ import org.apache.spark.sql.types._
   * video payloads travel as opaque `binary` columns with typed metadata;
   * decode / feature-extraction runs per-partition in bounded batches.
   *
-  * The actual codec step is a clearly marked STUB (no image/audio libraries
-  * in this environment): `decodeStub` produces a deterministic fake feature
-  * vector from the payload bytes. Everything AROUND the stub — the schema
-  * contract, partition-level batching, the mapPartitions signature, output
-  * schema binding — is the real distributed plumbing and is tested.
+  * IMAGE decode is REAL: [[decodeImageStats]] runs `javax.imageio`
+  * (ships in the JDK — PNG/JPEG/BMP/GIF) per partition and reduces each
+  * image to exact integer pixel statistics; [[syntheticPng]] generates
+  * deterministic fixtures whose closed-form pattern the DuckDB oracle
+  * recomputes, so the decode path is hash-gated end to end (PNG is
+  * lossless — a decoder bug shows up as a sum mismatch).
+  *
+  * AUDIO/VIDEO codec steps remain clearly marked STUBS (no audio/video
+  * codecs in this environment): `decodeStub` produces a deterministic
+  * fake feature vector from the payload bytes. Everything AROUND the
+  * stubs — the schema contract, partition-level batching, the
+  * mapPartitions signature, output schema binding — is the real
+  * distributed plumbing and is tested.
   * At 100 TB: payloads stay columnar (parquet binary), decode parallelism
   * is per-file-split, and nothing ever collects to the driver.
   */
@@ -89,6 +97,123 @@ object Multimodal {
             s"null payload for media_id=${r.getLong(0)} — decode needs bytes")
           Row(r.getLong(0), r.getString(1), payload.length.toLong,
             decodeStub(payload, dim).toSeq)
+        }
+      }(enc)
+  }
+
+  /** Deterministic synthetic PNG: pixel (x, y) of image `id` is
+    *
+    *   r = (id·31 + x·7  + y·13) mod 256
+    *   g = (id·17 + x·3  + y·5 ) mod 256
+    *   b = (id·29 + x·11 + y·2 ) mod 256
+    *
+    * encoded losslessly via JDK `ImageIO.write(…, "png", …)`. The
+    * closed form is shared with the q220 oracle: DuckDB regenerates the
+    * pattern arithmetically and must agree with what the engine DECODES
+    * back out of the bytes — a real round-trip gate on the imageio
+    * path. Requires id ≥ 0 (the mod stays nonnegative). */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    require(id >= 0 && w >= 1 && h >= 1, s"bad image params: $id, $w, $h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((id * 17 + x * 3 + y * 5) % 256).toInt
+        val b = ((id * 29 + x * 11 + y * 2) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode (JDK `javax.imageio` — PNG/JPEG/BMP/GIF) reduced
+    * to exact integer pixel statistics:
+    * (width, height, per-channel Σv and Σv², and a `grid`×`grid`
+    * downsample of Σ(r+g+b) per cell, cell (cx, cy) = (x·grid)/w,
+    * (y·grid)/h — floor division, any w/h). Integers make the stats
+    * fold-order-free and engine-exact: callers derive means/stds with
+    * one division each, and the DuckDB oracle reproduces every value
+    * from the fixture's closed form. Alpha is ignored (RGB projection —
+    * `getRGB` is the sRGB int regardless of the decoded raster type).
+    * Throws with the byte length on an undecodable payload (fail fast,
+    * not a NULL row — a corrupt image in a curated set is a data bug). */
+  private[graft] def decodeImageStats(payload: Array[Byte], grid: Int)
+      : (Int, Int, Array[Long], Array[Long], Array[Long]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null,
+      s"payload (${payload.length} bytes) is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](3)
+    val sqs = new Array[Long](3)
+    val cells = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val cy = y * grid / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sums(0) += r; sums(1) += g; sums(2) += b
+        sqs(0) += r.toLong * r; sqs(1) += g.toLong * g; sqs(2) += b.toLong * b
+        cells(cy * grid + x * grid / w) += r + g + b
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sums, sqs, cells)
+  }
+
+  /** Image feature extraction over a media table (same mapPartitions
+    * batching as [[extractFeatures]], but the codec is the REAL
+    * [[decodeImageStats]]): one row per image —
+    * (`media_id`, `width`, `height`, `r_sum g_sum b_sum`,
+    * `r_sq g_sq b_sq`, `cells`: array<long> of grid² gray sums).
+    * Feed it `modality = "image"` rows; any undecodable payload fails
+    * the task with the offending media_id. */
+  def imageFeatures(media: DataFrame, grid: Int = 4): DataFrame = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("r_sum", LongType, nullable = false),
+      StructField("g_sum", LongType, nullable = false),
+      StructField("b_sum", LongType, nullable = false),
+      StructField("r_sq", LongType, nullable = false),
+      StructField("g_sq", LongType, nullable = false),
+      StructField("b_sq", LongType, nullable = false),
+      StructField("cells", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idType = media.schema("media_id").dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"media_id must be numeric, got $idType")
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          require(payload != null,
+            s"null payload for media_id=${r.getLong(0)}")
+          val (w, h, sums, sqs, cells) =
+            try decodeImageStats(payload, grid)
+            catch {
+              case e: IllegalArgumentException => throw
+                new IllegalArgumentException(
+                  s"media_id=${r.getLong(0)}: ${e.getMessage}", e)
+            }
+          Row(r.getLong(0), w, h, sums(0), sums(1), sums(2),
+            sqs(0), sqs(1), sqs(2), cells.toSeq)
         }
       }(enc)
   }

@@ -31,6 +31,53 @@ class MultimodalSpec extends SparkSpec {
       .sameElements(Multimodal.decodeStub(Array[Byte](1, 2, 3), 4)))
   }
 
+  test("imageFeatures: real ImageIO round-trip equals the pattern math") {
+    // 4x2 image, id 5: decode(encode(pattern)) must reproduce the
+    // closed-form sums exactly (PNG is lossless)
+    val id = 5L; val w = 4; val h = 2
+    val png = Multimodal.syntheticPng(id, w, h)
+    assert(png.length > 8 &&
+      (png.take(4).map(_ & 0xff).toSeq == Seq(0x89, 'P'.toInt, 'N'.toInt,
+        'G'.toInt))) // real PNG magic, not a stub
+    var (rs, gs, bs, rq) = (0L, 0L, 0L, 0L)
+    val cells = new Array[Long](4)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = (id * 31 + x * 7 + y * 13) % 256
+      val g = (id * 17 + x * 3 + y * 5) % 256
+      val b = (id * 29 + x * 11 + y * 2) % 256
+      rs += r; gs += g; bs += b; rq += r * r
+      cells((y * 2 / h) * 2 + x * 2 / w) += r + g + b
+    }
+    val (dw, dh, sums, sqs, got) = Multimodal.decodeImageStats(png, grid = 2)
+    assert((dw, dh) == (w, h))
+    assert(sums(0) == rs && sums(1) == gs && sums(2) == bs)
+    assert(sqs(0) == rq)
+    assert(got.toSeq == cells.toSeq)
+    // the DataFrame path binds the same numbers + fails fast on junk
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq((id, png), (7L, Multimodal.syntheticPng(7L, 3, 3)))
+      .toDF("media_id", "payload")
+    val df = Multimodal.imageFeatures(media, grid = 2).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(df(id).getInt(1) == w && df(id).getInt(2) == h &&
+      df(id).getLong(3) == rs && df(id).getSeq[Long](9) == cells.toSeq)
+    assert(df(7L).getInt(1) == 3)
+    val junk = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.imageFeatures(junk).collect()
+    }
+    assert(ex.getCause.getMessage.contains("media_id=99"))
+    // the decode path is format-agnostic: a JPEG (lossy, so only the
+    // dimensions are pinned) decodes through the same call
+    val img = new java.awt.image.BufferedImage(
+      6, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val (jw, jh, _, _, _) = Multimodal.decodeImageStats(bos.toByteArray, 2)
+    assert((jw, jh) == (6, 5))
+  }
+
   test("sampleFrames explodes videos by stride") {
     val out = Multimodal.sampleFrames(mediaDf(9, 3), stride = 10)
     val rows = out.collect()
