@@ -337,11 +337,19 @@ object EpsilonJoin {
     * Output contract identical to [[selfJoin]]: (a_id, b_id, d2),
     * a ≠ b, d2 bit-equal to the codegen'd squaredL2 fold.
     *
-    * Scale shape: ONE hash shuffle on the coarse cell key (linear in
-    * points × small ghost factor), then embarrassingly-parallel local
-    * index work — no quadratic candidate stream ever materializes.
-    * Skew: one overfull coarse cell = one slow task; choose cellSize so
-    * cells ≈ a few × parallelism ([[selfJoinKdAuto]] does).
+    * Scale shape: ONE counting pass (exact per-cell row counts; only
+    * OVERFULL cells ship to the driver) + ONE hash shuffle on the
+    * (cell, salt) key with a secondary sort (tree rows before query
+    * rows), then embarrassingly-parallel local index work — no
+    * quadratic candidate stream ever materializes. Skew: a coarse cell
+    * holding more than `maxCellRows` rows is SALTED — its tree side
+    * splits into ⌈rows/cap⌉ hash groups and each of its owner queries
+    * replicates to every group, so task memory is bounded by `cap`
+    * buffered tree rows regardless of how dense the data is (each pair
+    * still meets exactly once: the tree copy of b lives in one group).
+    * Normal cells pay nothing beyond the counting pass, and the sort
+    * means a task buffers ONE cell group at a time, not every cell
+    * hashed to it.
     *
     * Honest limit: on data that is quasi-UNIFORM across many dims at the
     * query radius, no spatial index prunes (boxes only split along
@@ -358,8 +366,8 @@ object EpsilonJoin {
     *   assert the candidate ratio stays bounded. */
   def selfJoinKd(points: DataFrame, idCol: String, vecCol: String,
       eps: Double, partitionDims: Seq[Int], cellSize: Double,
-      distEvals: Option[org.apache.spark.util.LongAccumulator] = None)
-      : DataFrame = {
+      distEvals: Option[org.apache.spark.util.LongAccumulator] = None,
+      maxCellRows: Int = DefaultMaxKdCellRows): DataFrame = {
     require(partitionDims.nonEmpty, "selfJoinKd needs >= 1 partition dim " +
       "(k = 0 has no spatial split; use selfJoin's brute path)")
     require(cellSize >= eps,
@@ -405,41 +413,123 @@ object EpsilonJoin {
           (key.toSeq, (owner, id, v))
         }
       }
-      .partitionBy(new org.apache.spark.HashPartitioner(shufflePartitions))
 
-    val pairs = keyed.mapPartitions { it =>
-      // group the partition's rows by cell (several cells may hash here)
-      val byCell = scala.collection.mutable.HashMap
-        .empty[Seq[Long], scala.collection.mutable.ArrayBuffer[(Boolean, Long, Array[Float])]]
-      it.foreach { case (cell, rec) =>
-        byCell.getOrElseUpdate(cell,
-          scala.collection.mutable.ArrayBuffer.empty) += rec
+    // Exact per-cell ROW counts (owners + ghosts = what a task would
+    // buffer); only overfull cells reach the driver — their number is
+    // bounded by totalRows / cap, and in any non-adversarial geometry
+    // by the handful of genuinely dense regions. Each overfull cell
+    // maps to its salt-group count ⌈rows/cap⌉.
+    val dense: Map[Seq[Long], Int] = keyed
+      .map(kv => (kv._1, 1L)).reduceByKey(_ + _)
+      .filter(_._2 > maxCellRows)
+      .map { case (c, n) =>
+        (c, math.ceil(n.toDouble / maxCellRows).toInt)
       }
-      byCell.iterator.flatMap { case (_, rows) =>
-        // ghost-only cells (no owner) run zero queries — skip the
-        // O(m log m) tree build entirely
-        if (!rows.exists(_._1)) Iterator.empty
-        else {
-          val vecs = rows.map(_._3).toArray
-          val tree = new graft.functions.KdTree(vecs)
-          // the lazy ++ tail runs AFTER the queries exhaust, so the
-          // accumulator sees the cell's evals without materializing the
-          // cell's whole (potentially O(m²)) pair output in memory
-          rows.iterator.zipWithIndex
-            .filter { case ((owner, _, _), _) => owner }
-            .flatMap { case ((_, aId, aV), _) =>
-              val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      .collect().toMap
+    val denseB = spark.sparkContext.broadcast(dense)
+
+    // route: role 0 = tree row, role 1 = replicated owner query.
+    // Normal cells ship one role-0 record per row (owner flag decides
+    // who queries, as before). Salted cells ship each row as a tree
+    // record into ONE hash group (owner flag off — its query runs via
+    // the role-1 replicas) plus, for owners, one query record per
+    // group: pair (a, b) is found exactly where b's tree copy lives.
+    type Rec = (Boolean, Long, Array[Float])
+    val routed = keyed.flatMap { case (cell, rec) =>
+      denseB.value.get(cell) match {
+        case None => Iterator(((cell, 0, 0), rec))
+        case Some(s) =>
+          val (owner, id, v) = rec
+          val g = (java.lang.Long
+            .hashCode(id * 0x9E3779B97F4A7C15L) & 0x7fffffff) % s
+          val tree = Iterator(((cell, g, 0), (false, id, v)))
+          if (owner)
+            tree ++ (0 until s).iterator.map(gq =>
+              ((cell, gq, 1), (true, id, v)))
+          else tree
+      }
+    }
+
+    // secondary sort: all records of a (cell, group) arrive contiguous,
+    // tree rows (role 0) before query rows (role 1) — a task buffers at
+    // most `maxCellRows` tree rows and streams everything else
+    import scala.math.Ordering.Implicits.seqOrdering
+    implicit val keyOrd: Ordering[(Seq[Long], Int, Int)] =
+      Ordering.Tuple3(seqOrdering[Seq, Long], Ordering.Int, Ordering.Int)
+    val partitioner = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = shufflePartitions
+      override def getPartition(key: Any): Int = {
+        val (cell, g, _) = key.asInstanceOf[(Seq[Long], Int, Int)]
+        (((cell, g).hashCode() % numPartitions) + numPartitions) %
+          numPartitions
+      }
+    }
+    val sorted = routed.repartitionAndSortWithinPartitions(partitioner)
+
+    val pairs = sorted.mapPartitions { it =>
+      val buf = it.buffered
+      new Iterator[Row] {
+        private var out: Iterator[Row] = Iterator.empty
+        private def startGroup(): Unit = {
+          val (cell, g, _) = buf.head._1
+          def sameGroup: Boolean = buf.hasNext && {
+            val (c2, g2, _) = buf.head._1; c2 == cell && g2 == g
+          }
+          // role-0 prefix: the group's tree rows (bounded by the cap)
+          val rows = scala.collection.mutable.ArrayBuffer.empty[Rec]
+          while (sameGroup && buf.head._1._3 == 0) rows += buf.next()._2
+          val anyBufferedOwner = rows.exists(_._1)
+          if (rows.isEmpty || (!anyBufferedOwner && !sameGroup)) {
+            // ghost-only / query-less group: drain stray queries, skip
+            // the O(m log m) tree build entirely
+            while (sameGroup) buf.next()
+            out = Iterator.empty
+          } else {
+            val tree = new graft.functions.KdTree(rows.map(_._3).toArray)
+            def query(aId: Long, aV: Array[Float]): Iterator[Row] = {
+              val hits = scala.collection.mutable.ArrayBuffer.empty[Row]
               tree.radiusQuery(aV, r2, (bi, d2) => {
                 val bId = rows(bi)._2
-                if (bId != aId) buf += Row(aId, bId, d2)
+                if (bId != aId) hits += Row(aId, bId, d2)
               })
-              buf
-            } ++ { acc.foreach(_.add(tree.distEvals)); Iterator.empty }
+              hits.iterator
+            }
+            val fromBuffered = rows.iterator
+              .filter(_._1).flatMap(r => query(r._2, r._3))
+            val fromStreamed = new Iterator[Row] {
+              private var cur: Iterator[Row] = Iterator.empty
+              override def hasNext: Boolean = {
+                while (!cur.hasNext && sameGroup) {
+                  val (_, qId, qV) = buf.next()._2
+                  cur = query(qId, qV)
+                }
+                cur.hasNext
+              }
+              override def next(): Row = { hasNext; cur.next() }
+            }
+            // the lazy ++ tail runs AFTER the queries exhaust, so the
+            // accumulator sees the group's evals without materializing
+            // its whole (potentially O(m²)) pair output in memory
+            out = fromBuffered ++ fromStreamed ++ {
+              acc.foreach(_.add(tree.distEvals)); Iterator.empty
+            }
+          }
         }
+        override def hasNext: Boolean = {
+          while (!out.hasNext && buf.hasNext) startGroup()
+          out.hasNext
+        }
+        override def next(): Row = { hasNext; out.next() }
       }
     }
     spark.createDataFrame(pairs, pairSchema)
   }
+
+  /** Per-task buffered-row cap for [[selfJoinKd]]'s coarse cells —
+    * beyond it a cell salts into multiple tree groups. 256k rows of
+    * 32-d floats ≈ 45 MB of vectors + the index permutation: a few
+    * concurrent tasks fit comfortably in an executor heap. */
+  val DefaultMaxKdCellRows: Int = 262144
 
   /** Bipartite sibling of [[selfJoinKd]]: pairs (a ∈ left, b ∈ right)
     * with ‖a − b‖² ≤ ε², both orientations emitted — the high-d path of

@@ -237,4 +237,42 @@ class KdTreeSpec extends SparkSpec {
     }
     dbl.unpersist(); str.unpersist()
   }
+
+  test("overfull coarse cell salts: pair set identical, memory bounded") {
+    // 80% of the points pile into ONE coarse cell (a dense blob far from
+    // everything else), the rest scatter; a tiny cap forces the blob's
+    // cell into many salt groups. The salted pair set (and d2 values)
+    // must equal the unsalted run's and the grid path's bit for bit.
+    val n = 4000
+    val d = 6
+    val rows = (0 until n).map { i =>
+      val dense = i % 5 != 0 // 80%
+      Row(i.toLong, Array.tabulate(d) { j =>
+        if (dense) 50f + coord(i, j, 1f) // one eps-sized blob
+        else coord(i, j, 40f)
+      }.toSeq)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 8),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("features", ArrayType(FloatType, containsNull = false),
+          nullable = false)))).persist()
+    val eps = 0.5
+    def toMap(res: org.apache.spark.sql.DataFrame) =
+      res.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    val unsalted = toMap(EpsilonJoin.selfJoinKd(df, "id", "features", eps,
+      partitionDims = Seq(0, 1), cellSize = eps))
+    // cap 200 over a ~3200-row cell -> 16 salt groups
+    val salted = toMap(EpsilonJoin.selfJoinKd(df, "id", "features", eps,
+      partitionDims = Seq(0, 1), cellSize = eps, maxCellRows = 200))
+    assert(salted == unsalted)
+    val grid = toMap(EpsilonJoin.selfJoin(df, "id", "features", eps,
+      Seq(0, 1)))
+    assert(salted == grid)
+    assert(salted.nonEmpty && salted.keys.exists { case (a, b) =>
+      a % 5 != 0 && b % 5 != 0 }) // dense-blob pairs actually flowed
+    df.unpersist()
+  }
 }
