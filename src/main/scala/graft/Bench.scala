@@ -43,6 +43,14 @@ object Bench {
     val diagnosticsBench: Seq[(String, SparkSession => DataFrame)] = Seq(
       "dbscan_clus50k_dist" ->
         dbscanBin("/root/reference/clus50k.bin", 25.0, 5, localThreshold = 0L),
+      // the anchored ExactSubstr twin of q191 (stride-4 content anchors
+      // + local extension): the corpus-sized multiplicity shuffle
+      // carries ~1/4 of the stride-1 pass's rows — the shape that
+      // survives corpus_chars > shuffle capacity at 100 TB
+      "substr_anchored" -> (s =>
+        graft.operators.SubstringDedup.duplicatedSpansAnchored(
+          s.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text",
+          l = 40, stride = 4)),
     )
     // scale evidence: the same forced-distributed pipeline at 8x the
     // reference's largest dataset (500k x 5-d, generated in-engine) —

@@ -30,8 +30,10 @@ import org.apache.spark.sql.functions._
   * (the overwhelming majority) die in the first aggregate's partial
   * (map-side) phase only when a window repeats within a partition;
   * cross-partition singletons do reach the shuffle — at 100 TB, budget
-  * shuffle capacity for corpus_chars rows or raise the stride for an
-  * anchored (sampled) variant and extend matches locally.
+  * shuffle capacity for corpus_chars rows, or run
+  * [[duplicatedSpansAnchored]]: content-defined 1/stride anchor
+  * sampling + local match extension, the same spans minus a documented
+  * (1−1/stride)^R miss rate per R-window region.
   */
 object SubstringDedup {
 
@@ -50,31 +52,7 @@ object SubstringDedup {
   def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
       l: Int): DataFrame = {
     require(l >= 2, s"window length must be >= 2, got $l")
-    // The explode fans each doc out ~|text| times, so upstream
-    // parallelism is multiplied into the window stream: a small file
-    // that scans as 1-2 partitions would build and shuffle-write
-    // millions of window rows in one task (measured 2.5 s of the 3.2 s
-    // bill at sf0.1). Spreading the DOC rows first costs only the raw
-    // text bytes; a corpus already wider than the session's parallelism
-    // — any real 100 TB layout — skips this branch entirely and never
-    // re-shuffles its text. getNumPartitions is plan metadata, not a job.
-    val par = docs.sparkSession.sparkContext.defaultParallelism
-    val spread =
-      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    // stride-1 windows; sequence(1, n) needs n >= 1 (descending
-    // sequences are legal in Spark — a length filter, not a guard
-    // expression, keeps short docs out)
-    val wins = spread
-      .filter(length(col(textCol)) >= l)
-      .select(col(idCol).as("id"),
-        explode(sequence(lit(1), length(col(textCol)) - lit(l - 1)))
-          .as("pos"),
-        col(textCol).as("__t"))
-      .select(col("id"), col("pos"),
-        expr(s"substring(__t, pos, $l)").as("__w"))
-      .select(col("id"), col("pos"),
-        xxhash64(col("__w")).as("h1"),
-        xxhash64(lit("substr-dedup-2"), col("__w")).as("h2"))
+    val wins = windowHashes(docs, idCol, textCol, l)
     // Global window multiplicity. A count window over (h1, h2) would be
     // ONE shuffle but pays WindowExec's sort + per-group machinery on
     // millions of single-row groups (measured 3.2 s vs 0.8 s at sf0.1);
@@ -87,14 +65,51 @@ object SubstringDedup {
     // stream is recomputed for the probe side instead of cached — it is
     // a cheap projection of the scan, and caching corpus_chars rows is
     // the wrong trade at scale.
-    val dupKeys = wins.groupBy("h1", "h2")
+    val dup = wins.join(dupWindowKeys(wins), Seq("h1", "h2"), "left_semi")
+      .select(col("id"), col("pos"))
+    mergeRuns(dup, l, idCol)
+  }
+
+  /** The (id, pos, h1, h2) window-hash stream shared by the stride-1
+    * and anchored passes. The explode fans each doc out ~|text| times,
+    * so upstream parallelism is multiplied into the window stream: a
+    * small file that scans as 1-2 partitions would build and
+    * shuffle-write millions of window rows in one task (measured 2.5 s
+    * of the 3.2 s bill at sf0.1). Spreading the DOC rows first costs
+    * only the raw text bytes; a corpus already wider than the session's
+    * parallelism — any real 100 TB layout — skips this branch entirely
+    * and never re-shuffles its text. getNumPartitions is plan metadata,
+    * not a job. `sequence(1, n)` needs n ≥ 1 (descending sequences are
+    * legal in Spark — a length filter, not a guard expression, keeps
+    * short docs out). */
+  private def windowHashes(docs: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
+    spread
+      .filter(length(col(textCol)) >= l)
+      .select(col(idCol).as("id"),
+        explode(sequence(lit(1), length(col(textCol)) - lit(l - 1)))
+          .as("pos"),
+        col(textCol).as("__t"))
+      .select(col("id"), col("pos"),
+        expr(s"substring(__t, pos, $l)").as("__w"))
+      .select(col("id"), col("pos"),
+        xxhash64(col("__w")).as("h1"),
+        xxhash64(lit("substr-dedup-2"), col("__w")).as("h2"))
+  }
+
+  /** Window keys with global multiplicity ≥ 2. */
+  private def dupWindowKeys(wins: DataFrame): DataFrame =
+    wins.groupBy("h1", "h2")
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
       .select("h1", "h2")
-    val dup = wins.join(dupKeys, Seq("h1", "h2"), "left_semi")
-      .select(col("id"), col("pos"))
-    // consecutive duplicated starts merge into one maximal span
-    // (gaps-and-islands: pos - row_number is constant inside a run)
+
+  /** Gaps-and-islands run merge: consecutive duplicated starts become
+    * one maximal span (pos − row_number is constant inside a run). */
+  private def mergeRuns(dup: DataFrame, l: Int, idCol: String): DataFrame = {
     val wDoc = Window.partitionBy("id").orderBy("pos")
     dup
       .withColumn("__rn", row_number().over(wDoc))
@@ -104,6 +119,78 @@ object SubstringDedup {
         count(lit(1)).as("n_windows"))
       .select(col("id").as(idCol), col("span_start"), col("span_len"),
         col("n_windows"))
+  }
+
+  /** ANCHORED ExactSubstr — the shape that survives
+    * corpus_chars > shuffle capacity (the stride-1 pass ships one row
+    * per character to the multiplicity shuffle; at 100 TB that is the
+    * bill). Two phases:
+    *
+    *  1. ANCHOR: only windows whose content hash satisfies
+    *     `h1 mod stride = 0` enter the global multiplicity shuffle —
+    *     a content-defined 1/stride sample (anchoring on content, not
+    *     position, means the two copies of any duplicated region anchor
+    *     at the SAME offsets inside it — a positional stride would
+    *     de-align). Shuffle rows drop ~stride× (spec-measured).
+    *  2. EXTEND locally: around every globally-duplicated anchor, the
+    *     ±`extend`-window neighborhood re-enters a SECOND, tiny
+    *     multiplicity check (both copies of a shared region have the
+    *     same anchors, so both emit the same neighborhood windows and
+    *     true duplicates reach multiplicity 2 there); runs then merge
+    *     exactly as in the stride-1 pass.
+    *
+    * Recall contract (documented, spec-pinned):
+    *  - NO false positives: every reported window is globally
+    *    duplicated, and every reported span is contained in a stride-1
+    *    span.
+    *  - A duplicated region is DETECTED iff it contains ≥1 anchor:
+    *    for a span of R windows that is ≈ 1 − (1 − 1/stride)^R — near
+    *    1 for regions much longer than `stride` windows (the long
+    *    memorized boilerplate ExactSubstr exists to cut), 1/stride at
+    *    the bare-L floor.
+    *  - Boundaries are EXACT when the region's internal anchor gaps and
+    *    edge distances are ≤ `extend` windows (expected gap = stride;
+    *    the default extend = 8×stride makes a truncated boundary a
+    *    ~(1−1/s)^{8s} ≈ e⁻⁸ tail event per edge).
+    *
+    * @param stride content-sampling modulus (≥ 2; 1 would be stride-1)
+    * @param extend neighborhood radius in windows (0 ⇒ 8 × stride)
+    * @return same schema/semantics as [[duplicatedSpans]], minus the
+    *   misses the contract above prices. */
+  def duplicatedSpansAnchored(docs: DataFrame, idCol: String,
+      textCol: String, l: Int, stride: Int, extend: Int = 0): DataFrame = {
+    require(l >= 2, s"window length must be >= 2, got $l")
+    require(stride >= 2, s"stride must be >= 2 (1 is duplicatedSpans), " +
+      s"got $stride")
+    val ext = if (extend > 0) extend else 8 * stride
+    val wins = windowHashes(docs, idCol, textCol, l)
+    // phase 1: content-defined anchors — the ONLY corpus-sized stream
+    // that reaches a shuffle is already 1/stride of the windows
+    val anchors = wins.filter(pmod(col("h1"), lit(stride.toLong)) === 0)
+    val dupAnchors = anchors
+      .join(dupWindowKeys(anchors), Seq("h1", "h2"), "left_semi")
+      .select(col("id"), col("pos"))
+    // phase 2: local extension — neighborhoods of duplicated anchors
+    // only (corpus-independent volume: |dup anchors| × (2·ext+1))
+    val hitDocs = docs
+      .select(col(idCol).as("id"), col(textCol).as("__t"))
+      .join(dupAnchors.select("id").distinct(), Seq("id"), "left_semi")
+    val nbrPos = dupAnchors
+      .select(col("id"),
+        explode(sequence(greatest(col("pos") - ext, lit(1)),
+          col("pos") + ext)).as("pos"))
+      .distinct()
+    val nbrWins = nbrPos.join(hitDocs, Seq("id"))
+      .filter(col("pos") <= length(col("__t")) - lit(l - 1))
+      .select(col("id"), col("pos"),
+        expr(s"substring(__t, pos, $l)").as("__w"))
+      .select(col("id"), col("pos"),
+        xxhash64(col("__w")).as("h1"),
+        xxhash64(lit("substr-dedup-2"), col("__w")).as("h2"))
+    val dup = nbrWins.join(dupWindowKeys(nbrWins), Seq("h1", "h2"),
+        "left_semi")
+      .select(col("id"), col("pos"))
+    mergeRuns(dup, l, idCol)
   }
 
   /** Per-document duplicated-character accounting: how many characters

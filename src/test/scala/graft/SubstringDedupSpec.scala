@@ -59,6 +59,60 @@ class SubstringDedupSpec extends SparkSpec {
     assert(!exp.contains(5L) && !exp.contains(6L))
   }
 
+  test("anchored variant: exact spans on long regions, containment, " +
+      "stride-fold shuffle reduction") {
+    // pseudo-random non-repeating text so planted blocks are the ONLY
+    // duplicated content
+    def junk(seed: Long, n: Int): String = {
+      val sb = new StringBuilder
+      var z = seed
+      (0 until n).foreach { _ =>
+        z = z * 6364136223846793005L + 1442695040888963407L
+        sb += ('a' + ((z >>> 33) % 26)).toChar
+      }
+      sb.toString
+    }
+    val block = junk(99L, 400) // long shared region: R = 393 windows at
+    val corpus2 = Seq(         // L=8 -> P(miss) = (3/4)^393 ~ 0
+      10L -> (junk(1L, 80) + block + junk(2L, 60)),
+      11L -> (junk(3L, 50) + block + junk(4L, 90)),
+      12L -> junk(5L, 300)) // no dups
+    val df = spark.createDataFrame(corpus2).toDF("doc_id", "text")
+      .repartition(4)
+    def spans(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toSet
+    val full = spans(SubstringDedup.duplicatedSpans(df, "doc_id", "text", L))
+    val anch = spans(SubstringDedup.duplicatedSpansAnchored(
+      df, "doc_id", "text", L, stride = 4))
+    // long-region case: detection certain, boundaries exact
+    assert(anch == full, s"anchored=$anch\nfull=$full")
+    // the planted 400-char block merges to one span: 393 window starts
+    // + (L-1) trailing chars = 400
+    assert(full.exists(_._3 == 400L))
+    // containment contract on the mixed small corpus (regions at the
+    // bare-L floor MAY be missed, must never be invented or extended)
+    val df1 = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val f1 = spans(SubstringDedup.duplicatedSpans(df1, "doc_id", "text", L))
+    val a1 = spans(SubstringDedup.duplicatedSpansAnchored(
+      df1, "doc_id", "text", L, stride = 4))
+    a1.foreach { case (id, s, len, _) =>
+      assert(f1.exists { case (id2, s2, len2, _) =>
+        id2 == id && s2 <= s && s + len <= s2 + len2
+      }, s"anchored span ($id,$s,$len) not inside any stride-1 span")
+    }
+    // the multiplicity shuffle really shrinks ~stride-fold: recompute
+    // the window/anchor streams the operator builds
+    val wins = df.filter(length(col("text")) >= L)
+      .select(explode(sequence(lit(1), length(col("text")) - lit(L - 1)))
+        .as("pos"), col("text"))
+      .select(xxhash64(expr(s"substring(text, pos, $L)")).as("h1"))
+    val nWin = wins.count()
+    val nAnchor = wins.filter(pmod(col("h1"), lit(4L)) === 0).count()
+    assert(nAnchor * 2 < nWin && nWin < nAnchor * 8,
+      s"anchor sampling off: $nAnchor of $nWin windows at stride 4")
+  }
+
   test("duplicatedCharStats unions overlapping span intervals exactly") {
     val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
     val got = SubstringDedup.duplicatedCharStats(df, "doc_id", "text", L)
