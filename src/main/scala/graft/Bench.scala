@@ -55,10 +55,12 @@ object Bench {
     // scale evidence: the same forced-distributed pipeline at 8x the
     // reference's largest dataset (500k x 5-d, generated in-engine) —
     // the regime where the ε-join + CC loop dominate and local-mode
-    // job-count overhead stops mattering. Timed with ONE rep (~25 s):
-    // min-of-reps exists to strip codegen warmup, which is noise at
-    // this duration, and a second rep would double the round's bill.
-    val singleRepDiagnostics: Seq[(String, SparkSession => DataFrame)] = Seq(
+    // job-count overhead stops mattering. Reps: SPARK_GRAFT_DIAG_REPS
+    // (default 2, min recorded with the rep count in BENCH_full) — this
+    // host's documented 2-4x day-to-day swing kept masking real deltas
+    // between rounds when these ran once; the second rep is warm and
+    // costs well under 2x.
+    val scaleDiagnostics: Seq[(String, SparkSession => DataFrame)] = Seq(
       // 5-d keeps the planted clusters connected at a modest ε-degree
       // (~13): 74 recovered clusters holding ~95% of the mass; 10-d at
       // the same pair budget fragments (high-d RGG percolation needs
@@ -105,17 +107,18 @@ object Bench {
       // the regime the 3-dim grid path can't prune
       "kdeps_synth200k" -> ((s: SparkSession) =>
         Workloads.kdEpsSynth(s, 200_000L, eps = 0.2)),
-    ) ++ (
-      // 100× the reference's largest dataset, same per-cluster density
-      // as the 500k diagnostic (k scales with n, ε-degree stays ~13).
-      // Opt-in: ~4–8 min at local[32] on a good host, and this host's
-      // documented 2–4× shuffle variance makes it a round-budget hazard
-      // as a default — the committed profile lives in NOTES_DEV.md.
+    )
+    // 100× the reference's largest dataset, same per-cluster density
+    // as the 500k diagnostic (k scales with n, ε-degree stays ~13).
+    // Opt-in and ALWAYS single-rep: ~4–8 min at local[32] on a good
+    // host — a second rep would be a round-budget hazard, and at this
+    // duration warmup is noise. Committed profile in NOTES_DEV.md.
+    val heavyDiagnostics: Seq[(String, SparkSession => DataFrame)] =
       if (sys.env.get("SPARK_GRAFT_BENCH_HEAVY").contains("1"))
         Seq("dbscan_synth5m" -> ((s: SparkSession) =>
           Workloads.dbscanSynth(s, 5_000_000L, k = 250, dims = 5,
             eps = 1.0, minPts = 5)))
-      else Nil)
+      else Nil
 
     // min over reps, like the reference harness's repeated runs
     // (`manyTests.py:25-106` runs each config 10x) — strips JIT/codegen
@@ -191,13 +194,23 @@ object Bench {
         r
       }
     val refResults = runRef(referenceBench)
+    val diagReps = sys.env.getOrElse("SPARK_GRAFT_DIAG_REPS", "2").toInt
     val diagResults = runRef(diagnosticsBench) ++
-      runRef(singleRepDiagnostics, repsOverride = 1)
+      runRef(scaleDiagnostics, repsOverride = diagReps) ++
+      runRef(heavyDiagnostics, repsOverride = 1)
+    val diagRepsOf = (diagnosticsBench.map(_._1 -> reps) ++
+      scaleDiagnostics.map(_._1 -> diagReps) ++
+      heavyDiagnostics.map(_._1 -> 1)).toMap
     val results = sfResults ++ refResults
     def jsonMap(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jsonMap(results)
-    val diag = jsonMap(diagResults)
+    // diagnostics carry {min, reps} so round-over-round readers can see
+    // what variance control the number had
+    val diag = diagResults.map { case (k, v) =>
+      "\"" + k + "\":{\"min\":" + v + ",\"reps\":" +
+        diagRepsOf.getOrElse(k, 1) + "}"
+    }.mkString("{", ",", "}")
     val failed = (results ++ diagResults)
       .collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")

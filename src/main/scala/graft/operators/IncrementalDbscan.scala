@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   *
   * Insertion-only DBSCAN is monotone: ε-neighbor counts only grow, so
   * core points never demote — the delta work is exactly
-  *   1. the batch's ε-pairs: selfJoin(new) + bipartite join(new × old)
-  *      — never old × old;
+  *   1. the batch's ε-pairs: ONE bipartite pass new × (old ∪ new),
+  *      distinct-collapsed — never old × old;
   *   2. counts merge; old points crossing minPts are PROMOTED cores,
   *      and only their neighborhoods re-query the old corpus
   *      (bipartite join(promoted × old) — a targeted second delta);
@@ -90,23 +90,27 @@ object IncrementalDbscan {
     val np = newPoints.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .persist()
     val oldPts = st.points
-    // 1. delta ε-pairs: new×new + new×old, both orientations — the
-    //    standing corpus never joins itself
-    val delta = EpsilonJoin.selfJoin(np, "id", "vec", eps, bucketDims)
-      .select(col("a_id"), col("b_id"))
-      .union(EpsilonJoin.join(np, oldPts, "id", "vec", eps, bucketDims)
-        .select(col("a_id"), col("b_id")))
-      .persist()
-    // 2. merged counts (missing = isolated = 0)
-    val deltaN = delta.groupBy(col("a_id").as("id"))
-      .agg(count(lit(1)).as("dn"))
-    val counts = st.counts.join(deltaN, Seq("id"), "full_outer")
-      .select(col("id"),
-        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
-          .as("n"))
-      .filter(col("n") > 0L)
-      .persist()
     val allPts = st.points.union(np).persist()
+    // 1. delta ε-pairs in ONE bipartite pass: new × (old ∪ new), self
+    //    pairs filtered — the standing corpus never joins itself. The
+    //    join emits both orientations, so new↔old pairs land complete;
+    //    new↔new pairs are found from BOTH probe sides (each new point
+    //    probes) and collapse under distinct() back to the exact
+    //    selfJoin(new) ∪ join(new, old) ordered-pair set. One ε-join
+    //    subtree instead of two halves the fold's exchange count — the
+    //    dominant cost of a small fold is orchestration, not compute.
+    val delta = EpsilonJoin.join(np, allPts, "id", "vec", eps, bucketDims)
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+      .persist()
+    // 2. merged counts: union + one sum (missing = isolated = 0); both
+    //    inputs are strictly positive so the filter survives the merge
+    val counts = st.counts
+      .union(delta.groupBy(col("a_id").as("id"))
+        .agg(count(lit(1)).as("n")))
+      .groupBy("id").agg(sum("n").as("n"))
+      .persist()
     val wasCore = coreIds(oldPts, st.counts, minPts)
     val nowCore = coreIds(allPts, counts, minPts).persist()
     val promoted = nowCore.join(oldPts.select("id"), "id")
@@ -116,12 +120,17 @@ object IncrementalDbscan {
     //    the delta can't see (their new-side edges are already in delta)
     // promoted ⊂ old, so the bipartite join sees overlapping id sets:
     // drop the resulting self-pairs (promoted-promoted pairs ALSO meet
-    // twice — harmless: they land only in the CC edge multiset)
-    val extra = EpsilonJoin.join(promoted.join(oldPts, "id"), oldPts,
-      "id", "vec", eps, bucketDims)
-      .filter(col("a_id") =!= col("b_id"))
-      .select(col("a_id"), col("b_id"))
-      .persist()
+    // twice — harmless: they land only in the CC edge multiset).
+    // Promotion is the RARE event in a sparse fold: one cheap probe
+    // prunes the whole re-query subtree (several exchanges) when no old
+    // point crossed minPts, instead of scheduling it over empty input.
+    val extra =
+      if (promoted.isEmpty) delta.limit(0)
+      else EpsilonJoin.join(promoted.join(oldPts, "id"), oldPts,
+          "id", "vec", eps, bucketDims)
+        .filter(col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"))
+        .persist()
     val deltaAll = delta.union(extra)
     val coreA = nowCore.withColumnRenamed("id", "a_id")
     val coreB = nowCore.withColumnRenamed("id", "b_id")
