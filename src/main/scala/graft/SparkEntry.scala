@@ -2667,6 +2667,21 @@ object SparkEntry {
           col("cell_idx").cast("int").as("cell_idx"), col("cell_sum"))
     }),
 
+    // REAL audio decode (javax.sound.sampled): deterministic 16-bit
+    // PCM WAVs generated in-engine (closed-form samples shared with
+    // the oracle), decoded back by AudioSystem per partition, reduced
+    // to exact integer sample stats + zero crossings — q220's twin for
+    // the audio modality (PCM is lossless)
+    "q221_audio_stats" -> ((s, dir) => {
+      val gen = udf((id: Long) => graft.operators.Multimodal.syntheticWav(
+        id, (500 + id % 7 * 100).toInt, (8000 + id % 3 * 4000).toInt))
+      val media = t(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id").as("media_id"), lit("audio").as("modality"),
+          gen(col("doc_id")).as("payload"))
+      graft.operators.Multimodal.audioFeatures(media)
+    }),
+
     // MCC of the nearest-centroid classifier for class 0 — the
     // imbalance-robust scalar beside q210's per-class report
     "q218_mcc" -> ((s, dir) =>
@@ -4903,6 +4918,29 @@ object SparkEntry {
           |SELECT agg.m AS media_id, agg.w AS width, agg.h AS height,
           |  r_sum, g_sum, b_sum, r_sq, g_sq, b_sq, cell_idx, cell_sum
           |FROM agg JOIN cl ON cl.m = agg.m""".stripMargin,
+
+      // audio decode: regenerate the closed-form PCM samples (lateral
+      // unnest per clip) and aggregate the SAME exact integer stats the
+      // engine reads back out of the WAV bytes; the previous sample is
+      // recomputed from the formula, so zero crossings need no window
+      "q221_audio_stats" ->
+        """WITH ids AS MATERIALIZED (SELECT doc_id AS m,
+          |    CAST(500 + (doc_id % 7) * 100 AS BIGINT) AS n,
+          |    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate
+          |  FROM documents WHERE doc_id < 200),
+          |sm AS MATERIALIZED (SELECT m, n, rate, u.i,
+          |    (m * 37 + u.i * 13) % 4096 - 2048 AS s,
+          |    CASE WHEN u.i > 0
+          |      THEN (m * 37 + (u.i - 1) * 13) % 4096 - 2048
+          |      ELSE 0 END AS sp
+          |  FROM ids, unnest(range(0, n)) u(i))
+          |SELECT m AS media_id, rate AS sample_rate,
+          |  CAST(1 AS INTEGER) AS channels, n AS n_samples,
+          |  CAST(sum(s) AS BIGINT) AS s_sum,
+          |  CAST(sum(s * s) AS BIGINT) AS s_sq,
+          |  CAST(sum(CASE WHEN i > 0 AND ((s >= 0) != (sp >= 0))
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+          |FROM sm GROUP BY 1, 2, 3, 4""".stripMargin,
 
       // MCC: the shared confusion subquery again; four exact cells,
       // HUGEINT products, one sqrt + division

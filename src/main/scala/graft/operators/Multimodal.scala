@@ -16,12 +16,16 @@ import org.apache.spark.sql.types._
   * recomputes, so the decode path is hash-gated end to end (PNG is
   * lossless — a decoder bug shows up as a sum mismatch).
   *
-  * AUDIO/VIDEO codec steps remain clearly marked STUBS (no audio/video
-  * codecs in this environment): `decodeStub` produces a deterministic
-  * fake feature vector from the payload bytes. Everything AROUND the
-  * stubs — the schema contract, partition-level batching, the
-  * mapPartitions signature, output schema binding — is the real
-  * distributed plumbing and is tested.
+  * AUDIO decode is REAL too: [[decodeAudioStats]] runs
+  * `javax.sound.sampled` (JDK — WAV/AIFF PCM) with the same
+  * closed-form-fixture gate ([[syntheticWav]]).
+  *
+  * VIDEO codec steps remain clearly marked STUBS (no container demuxer
+  * ships with the JDK): `decodeStub` produces a deterministic fake
+  * feature vector from the payload bytes. Everything AROUND the stubs —
+  * the schema contract, partition-level batching, the mapPartitions
+  * signature, output schema binding — is the real distributed plumbing
+  * and is tested.
   * At 100 TB: payloads stay columnar (parquet binary), decode parallelism
   * is per-file-split, and nothing ever collects to the driver.
   */
@@ -214,6 +218,118 @@ object Multimodal {
             }
           Row(r.getLong(0), w, h, sums(0), sums(1), sums(2),
             sqs(0), sqs(1), sqs(2), cells.toSeq)
+        }
+      }(enc)
+  }
+
+  /** Deterministic synthetic WAV (16-bit signed PCM, mono, little
+    * endian): sample i of clip `id` is
+    *
+    *   s_i = ((id·37 + i·13) mod 4096) − 2048
+    *
+    * packaged through JDK `AudioSystem.write` (a real RIFF/WAVE file,
+    * not hand-rolled bytes). Closed form shared with the q221 oracle —
+    * PCM is lossless, so the decode-side stats must reproduce the
+    * formula exactly. */
+  def syntheticWav(id: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    require(id >= 0 && nSamples >= 2 && sampleRate >= 1,
+      s"bad audio params: $id, $nSamples, $sampleRate")
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val s = (((id * 37 + i.toLong * 13) % 4096) - 2048).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode (JDK `javax.sound.sampled` — WAV/AIFF PCM)
+    * reduced to exact integer sample statistics:
+    * (sample_rate, channels, n_samples, Σs, Σs², zero crossings —
+    * sign(s) = s ≥ 0 flips between consecutive samples, the classic
+    * voiced/unvoiced energy feature). 16-bit signed PCM only (the
+    * training-data case; reject others loudly rather than mis-parse).
+    * All outputs are integers, so the q221 oracle recomputes them from
+    * the fixture's closed form with no float drift possible. */
+  private[graft] def decodeAudioStats(payload: Array[Byte])
+      : (Int, Int, Long, Long, Long, Long) = {
+    val ais = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    catch {
+      case e: javax.sound.sampled.UnsupportedAudioFileException =>
+        throw new IllegalArgumentException(
+          s"payload (${payload.length} bytes) is not a decodable audio " +
+            "stream", e)
+    }
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 &&
+        fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"only 16-bit signed PCM supported, got $fmt")
+    val bytes = ais.readAllBytes()
+    val big = fmt.isBigEndian
+    val ch = fmt.getChannels
+    val n = bytes.length / 2
+    var sum = 0L
+    var sq = 0L
+    var zc = 0L
+    var prevNonNeg = false
+    var i = 0
+    while (i < n) {
+      val lo = bytes(2 * i).toInt
+      val hi = bytes(2 * i + 1).toInt
+      val s = if (big) (lo << 8) | (hi & 0xff)
+        else (hi << 8) | (lo & 0xff)
+      sum += s
+      sq += s.toLong * s
+      val nonNeg = s >= 0
+      if (i > 0 && nonNeg != prevNonNeg) zc += 1
+      prevNonNeg = nonNeg
+      i += 1
+    }
+    (math.round(fmt.getSampleRate), ch, n.toLong, sum, sq, zc)
+  }
+
+  /** Audio feature extraction over a media table — the REAL-decode
+    * twin of [[imageFeatures]] for the audio modality: one row per
+    * clip, (`media_id`, `sample_rate`, `channels`, `n_samples`,
+    * `s_sum`, `s_sq`, `zero_crossings`). */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("s_sum", LongType, nullable = false),
+      StructField("s_sq", LongType, nullable = false),
+      StructField("zero_crossings", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idType = media.schema("media_id").dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"media_id must be numeric, got $idType")
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          require(payload != null,
+            s"null payload for media_id=${r.getLong(0)}")
+          val (rate, ch, n, sum, sq, zc) =
+            try decodeAudioStats(payload)
+            catch {
+              case e: IllegalArgumentException => throw
+                new IllegalArgumentException(
+                  s"media_id=${r.getLong(0)}: ${e.getMessage}", e)
+            }
+          Row(r.getLong(0), rate, ch, n, sum, sq, zc)
         }
       }(enc)
   }

@@ -78,6 +78,50 @@ class MultimodalSpec extends SparkSpec {
     assert((jw, jh) == (6, 5))
   }
 
+  test("audioFeatures: real WAV round-trip equals the PCM formula") {
+    val id = 3L; val n = 100; val rate = 8000
+    val wav = Multimodal.syntheticWav(id, n, rate)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF") // real WAV
+    var sum = 0L; var sq = 0L; var zc = 0L; var prev = false
+    for (i <- 0 until n) {
+      val s = ((id * 37 + i * 13) % 4096 - 2048).toInt
+      sum += s; sq += s.toLong * s
+      val nn = s >= 0
+      if (i > 0 && nn != prev) zc += 1
+      prev = nn
+    }
+    assert(Multimodal.decodeAudioStats(wav) ==
+      ((rate, 1, n.toLong, sum, sq, zc)))
+    // big-endian AIFF decodes through the same call to the same stats
+    val pcmBe = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = ((id * 37 + i * 13) % 4096 - 2048).toInt
+      pcmBe(2 * i) = ((s >> 8) & 0xff).toByte
+      pcmBe(2 * i + 1) = (s & 0xff).toByte
+    }
+    val beFmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, true)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmBe), beFmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    assert(Multimodal.decodeAudioStats(bos.toByteArray) ==
+      ((rate, 1, n.toLong, sum, sq, zc)))
+    // DataFrame path binds the same numbers + fails fast on junk
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq((id, wav)).toDF("media_id", "payload")
+    val row = Multimodal.audioFeatures(media).collect()(0)
+    assert(row.getInt(1) == rate && row.getLong(3) == n &&
+      row.getLong(4) == sum && row.getLong(5) == sq && row.getLong(6) == zc)
+    val junk = Seq((42L, Array[Byte](9, 9, 9))).toDF("media_id", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFeatures(junk).collect()
+    }
+    assert(ex.getCause.getMessage.contains("media_id=42"))
+  }
+
   test("sampleFrames explodes videos by stride") {
     val out = Multimodal.sampleFrames(mediaDf(9, 3), stride = 10)
     val rows = out.collect()
