@@ -7,14 +7,26 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[4,8,6144] runs the WHOLE query
+    // surface multi-JVM (forked executors, remote shuffle, broadcast
+    // transport) — diff the two outDirs for full-surface parity
+    // evidence (needs SPARK_HOME + SPARK_SCALA_VERSION, see
+    // ClusterParity)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
       // default; read as long (ns since epoch) and convert in the queries
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = (if (master.startsWith("local-cluster"))
+        builder0.config("spark.executor.memory", "4g")
+          .config("spark.executor.extraClassPath", new java.io.File(
+            getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+            .getPath)
+      else builder0)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
