@@ -2667,6 +2667,23 @@ object SparkEntry {
           col("cell_idx").cast("int").as("cell_idx"), col("cell_sum"))
     }),
 
+    // Leakage-safe train/val/test split: the split key is the near-dup
+    // CLUSTER's canonical id, not the doc id — near-duplicates can
+    // never straddle a split boundary (the eval-contamination bug a
+    // doc-keyed split commits: a test doc's near-copy in train). One CC
+    // pass over the similarity graph + one hash projection.
+    "q222_leakage_safe_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val groups = Dedup.dupGroups(
+        Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5), docs, "doc_id")
+      graft.operators.Curation.hashSplit(
+          groups.select(col("doc_id"), col("canonical_id")),
+          "canonical_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), "s42")
+        .select(col("doc_id"), col("canonical_id"), col("bucket"),
+          col("split"))
+    }),
+
     // REAL audio decode (javax.sound.sampled): deterministic 16-bit
     // PCM WAVs generated in-engine (closed-form samples shared with
     // the oracle), decoded back by AudioSystem per partition, reduced
@@ -4026,6 +4043,33 @@ object SparkEntry {
        |  COALESCE(c.comp, d.doc_id) = d.doc_id AS is_survivor
        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
 
+  /** q222's oracle: q44's recursive-CTE dup-group closure, then q39's
+    * md5 bucket arithmetic keyed on the CANONICAL id. */
+  private def leakageSafeSplitOracle: String =
+    s"""WITH RECURSIVE jac AS (
+       |$jaccardOracle
+       |),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM jac
+       |  UNION ALL SELECT b_id, a_id FROM jac
+       |),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+       |),
+       |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+       |keyed AS (SELECT d.doc_id,
+       |    COALESCE(c.comp, d.doc_id) AS canonical_id
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |SELECT doc_id, canonical_id, bucket,
+       |  CASE WHEN bucket < 9000 THEN 'train'
+       |       WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, canonical_id,
+       |        CAST('0x' || substr(md5(CAST(canonical_id AS VARCHAR)
+       |          || ':s42'), 1, 15) AS BIGINT) % 10000 AS bucket
+       |      FROM keyed) b""".stripMargin
+
   /** q147's oracle (nearest-centroid confusion matrix) — also the inner
     * subquery of q210's F1 report, so the two stay textually in sync. */
   private def centroidConfusionOracle: String =
@@ -4514,6 +4558,7 @@ object SparkEntry {
         |                    AND o.o_totalprice > 300000)""".stripMargin,
 
     "q44_dup_groups" -> dupGroupsOracle,
+    "q222_leakage_safe_split" -> leakageSafeSplitOracle,
 
     // dup-cluster size histogram: q44's oracle as a subquery, so the
     // component computation stays textually shared

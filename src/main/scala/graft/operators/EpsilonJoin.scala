@@ -426,6 +426,50 @@ object EpsilonJoin {
         (c, math.ceil(n.toDouble / maxCellRows).toInt)
       }
       .collect().toMap
+
+    // Common case — no cell exceeds the cap: keep the plain hash
+    // shuffle + per-partition cell grouping. The salted path's
+    // secondary SORT of the whole window stream is only worth paying
+    // when an overfull cell actually exists (it measured ~2× on the
+    // kdeps_synth200k diagnostic when applied unconditionally).
+    if (dense.isEmpty) {
+      val pairs = keyed
+        .partitionBy(new org.apache.spark.HashPartitioner(shufflePartitions))
+        .mapPartitions { it =>
+          // group the partition's rows by cell (several cells hash here);
+          // every cell is ≤ maxCellRows by the probe above
+          val byCell = scala.collection.mutable.HashMap
+            .empty[Seq[Long],
+              scala.collection.mutable.ArrayBuffer[(Boolean, Long, Array[Float])]]
+          it.foreach { case (cell, rec) =>
+            byCell.getOrElseUpdate(cell,
+              scala.collection.mutable.ArrayBuffer.empty) += rec
+          }
+          byCell.iterator.flatMap { case (_, rows) =>
+            // ghost-only cells (no owner) run zero queries — skip the
+            // O(m log m) tree build entirely
+            if (!rows.exists(_._1)) Iterator.empty
+            else {
+              val vecs = rows.map(_._3).toArray
+              val tree = new graft.functions.KdTree(vecs)
+              // the lazy ++ tail runs AFTER the queries exhaust, so the
+              // accumulator sees the cell's evals without materializing
+              // the cell's whole (potentially O(m²)) pair output
+              rows.iterator
+                .filter(_._1)
+                .flatMap { case (_, aId, aV) =>
+                  val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+                  tree.radiusQuery(aV, r2, (bi, d2) => {
+                    val bId = rows(bi)._2
+                    if (bId != aId) buf += Row(aId, bId, d2)
+                  })
+                  buf
+                } ++ { acc.foreach(_.add(tree.distEvals)); Iterator.empty }
+            }
+          }
+        }
+      return spark.createDataFrame(pairs, pairSchema)
+    }
     val denseB = spark.sparkContext.broadcast(dense)
 
     // route: role 0 = tree row, role 1 = replicated owner query.
