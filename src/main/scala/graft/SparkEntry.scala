@@ -3992,14 +3992,17 @@ object SparkEntry {
       },
 
       // nDCG: both rankings from one scan; per-term round(9) absorbs
-      // the libm log2 ulp, sums are exact decimals
+      // the libm log2 ulp, sums are exact decimals. NULL relevance is
+      // excluded like NULL score (Stats.ndcg's documented rule — a
+      // NULL grade must not consume a rank position)
       "q207_ndcg" ->
         """WITH e AS (SELECT vec_id % 4 AS qbucket,
           |    CAST(least(label, 3) AS BIGINT) AS r,
           |    CAST(round(CAST(embedding[1] AS DOUBLE) * 10000) AS BIGINT)
           |      AS s,
           |    vec_id AS t
-          |  FROM embeddings),
+          |  FROM embeddings
+          |  WHERE label IS NOT NULL),
           |k AS (SELECT qbucket, (1::BIGINT << r) - 1 AS gain,
           |    row_number() OVER (PARTITION BY qbucket
           |      ORDER BY s DESC, t) AS kd,

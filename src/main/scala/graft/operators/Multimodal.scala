@@ -212,7 +212,11 @@ object Multimodal {
           val (w, h, sums, sqs, cells) =
             try decodeImageStats(payload, grid)
             catch {
-              case e: IllegalArgumentException => throw
+              // wrap EVERY decode failure, not just the precondition
+              // IAEs — a corrupt-body PNG throws IIOException
+              // (IOException family) from inside ImageIO.read, and the
+              // contract is "fails with the offending media_id"
+              case scala.util.control.NonFatal(e) => throw
                 new IllegalArgumentException(
                   s"media_id=${r.getLong(0)}: ${e.getMessage}", e)
             }
@@ -275,7 +279,14 @@ object Multimodal {
         fmt.getEncoding ==
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
       s"only 16-bit signed PCM supported, got $fmt")
+    // mono only — interleaved stereo words would silently mix channels
+    // into one stream (sum/zero-crossings of alternating L/R samples
+    // are meaningless); reject loudly per the contract
+    require(fmt.getChannels == 1,
+      s"only mono supported, got ${fmt.getChannels} channels")
     val bytes = ais.readAllBytes()
+    require(bytes.length % 2 == 0,
+      s"truncated 16-bit PCM stream: ${bytes.length} bytes")
     val big = fmt.isBigEndian
     val ch = fmt.getChannels
     val n = bytes.length / 2
@@ -325,7 +336,9 @@ object Multimodal {
           val (rate, ch, n, sum, sq, zc) =
             try decodeAudioStats(payload)
             catch {
-              case e: IllegalArgumentException => throw
+              // wrap EVERY decode failure (readAllBytes IOExceptions on
+              // truncated streams included), not just precondition IAEs
+              case scala.util.control.NonFatal(e) => throw
                 new IllegalArgumentException(
                   s"media_id=${r.getLong(0)}: ${e.getMessage}", e)
             }

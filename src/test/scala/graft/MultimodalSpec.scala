@@ -120,6 +120,26 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.audioFeatures(junk).collect()
     }
     assert(ex.getCause.getMessage.contains("media_id=42"))
+    // interleaved stereo would silently mix channels — rejected loudly
+    val stFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true,
+      false)
+    val stBos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](40)), stFmt, 10L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, stBos)
+    val sex = intercept[IllegalArgumentException] {
+      Multimodal.decodeAudioStats(stBos.toByteArray)
+    }
+    assert(sex.getMessage.contains("only mono"))
+    // a corrupt-BODY image (valid magic, truncated data) still fails
+    // with the media_id — IIOException-family errors are wrapped too
+    val corrupt = Seq((77L, Multimodal.syntheticPng(1L, 8, 8).take(24)))
+      .toDF("media_id", "payload")
+    val cex = intercept[org.apache.spark.SparkException] {
+      Multimodal.imageFeatures(corrupt).collect()
+    }
+    assert(cex.getCause.getMessage.contains("media_id=77"))
   }
 
   test("sampleFrames explodes videos by stride") {
