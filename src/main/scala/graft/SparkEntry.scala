@@ -2667,6 +2667,14 @@ object SparkEntry {
           col("cell_idx").cast("int").as("cell_idx"), col("cell_sum"))
     }),
 
+    // APPLY the ExactSubstr pass (Lee et al. 2021's remediation): cut
+    // every corpus-duplicated char span out of every document — q191
+    // finds the spans, this emits the cleaned corpus (fully-duplicated
+    // docs come back empty, untouched docs verbatim)
+    "q223_dup_cut" -> ((s, dir) =>
+      operators.SubstringDedup.cutDuplicates(
+        t(s, dir, "documents"), "doc_id", "text", SubstrL)),
+
     // Leakage-safe train/val/test split: the split key is the near-dup
     // CLUSTER's canonical id, not the doc id — near-duplicates can
     // never straddle a split boundary (the eval-contamination bug a
@@ -3666,6 +3674,59 @@ object SparkEntry {
            |  round(CAST(cov.dup_chars AS DOUBLE) / length(d.text), 6)
            |    AS dup_frac
            |FROM documents d JOIN cov ON d.doc_id = cov.doc_id""".stripMargin,
+
+      // the cut pass: q191's duplicated positions, merged to islands on
+      // [pos, pos+L) (identical sweep to the engine's span merge), then
+      // the KEEP pieces spliced back with an ordered string_agg; docs
+      // whose islands cover everything come back EMPTY
+      "q223_dup_cut" ->
+        s"""WITH w AS (SELECT doc_id,
+           |    unnest(range(1, greatest(length(text) - ${SubstrL - 1}, 0)
+           |      + 1)) AS pos, text
+           |  FROM documents),
+           |ws AS (SELECT doc_id, pos,
+           |    substring(text, CAST(pos AS INTEGER), $SubstrL) AS win
+           |  FROM w),
+           |f AS (SELECT doc_id, pos,
+           |    count(*) OVER (PARTITION BY win) AS c
+           |  FROM ws),
+           |d AS (SELECT doc_id, pos FROM f WHERE c > 1),
+           |i AS (SELECT doc_id, pos AS lo, pos + $SubstrL AS hi,
+           |    max(pos + $SubstrL) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           |  FROM d),
+           |isl AS (SELECT doc_id, lo, hi,
+           |    CAST(sum(CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END)
+           |      OVER (PARTITION BY doc_id ORDER BY lo
+           |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+           |  FROM i),
+           |m AS (SELECT doc_id, island, min(lo) AS lo, max(hi) AS hi
+           |  FROM isl GROUP BY 1, 2),
+           |pp AS (SELECT doc_id, start, lo - start AS plen FROM (
+           |    SELECT doc_id,
+           |      coalesce(lag(hi) OVER (PARTITION BY doc_id ORDER BY lo),
+           |        CAST(1 AS BIGINT)) AS start, lo
+           |    FROM m) b),
+           |tp AS (SELECT tl.doc_id, tl.start,
+           |    length(dd.text) + 1 - tl.start AS plen
+           |  FROM (SELECT doc_id, max(hi) AS start FROM m GROUP BY 1) tl
+           |  JOIN documents dd ON dd.doc_id = tl.doc_id),
+           |pieces AS (SELECT * FROM pp WHERE plen > 0
+           |  UNION ALL SELECT * FROM tp WHERE plen > 0),
+           |cuts AS (SELECT p.doc_id,
+           |    string_agg(substring(dd.text, CAST(p.start AS INTEGER),
+           |      CAST(p.plen AS INTEGER)), '' ORDER BY p.start) AS cut
+           |  FROM pieces p JOIN documents dd ON dd.doc_id = p.doc_id
+           |  GROUP BY 1),
+           |affc AS (SELECT a.doc_id, coalesce(c.cut, '') AS cut
+           |  FROM (SELECT DISTINCT doc_id FROM m) a
+           |  LEFT JOIN cuts c ON c.doc_id = a.doc_id)
+           |SELECT dd.doc_id, CAST(length(dd.text) AS BIGINT) AS n_chars,
+           |  CAST(coalesce(length(coalesce(ac.cut, dd.text)), 0)
+           |    AS BIGINT) AS n_kept,
+           |  coalesce(ac.cut, dd.text) AS text_cut
+           |FROM documents dd LEFT JOIN affc ac ON ac.doc_id = dd.doc_id"""
+          .stripMargin,
 
       // non-overlapping occurrence counts via the replace() length trick
       // — exactly the engine's greedy left-to-right contract

@@ -118,27 +118,40 @@ object IntervalJoin {
     *   = Σ island (hi − lo), an exact long in the input's own unit */
   def unionLength(intervals: DataFrame, keyCols: Seq[String],
       loCol: String, hiCol: String,
+      tieCols: Seq[String] = Nil): DataFrame =
+    mergeIntervals(intervals, keyCols, loCol, hiCol, tieCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("n_intervals")).cast("long").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("hi") - col("lo")).cast("long").as("covered"))
+
+  /** The merged-islands half of [[unionLength]], exposed on its own:
+    * collapse each key's overlapping/touching half-open intervals into
+    * maximal disjoint islands. Same one-exchange gaps-and-islands sweep
+    * (running max absorbs contained intervals); callers that need the
+    * island BOUNDS — interval subtraction, span cutting, coverage maps —
+    * compose on this instead of re-deriving the sweep.
+    * @return (keyCols*, lo, hi, n_intervals) — one row per island, in
+    *   the input columns' own types. */
+  def mergeIntervals(intervals: DataFrame, keyCols: Seq[String],
+      loCol: String, hiCol: String,
       tieCols: Seq[String] = Nil): DataFrame = {
-    require(keyCols.nonEmpty, "unionLength needs at least one key column")
+    require(keyCols.nonEmpty, "mergeIntervals needs at least one key column")
     import org.apache.spark.sql.expressions.Window
     val key = keyCols.map(col)
     val ord = (col(loCol) +: tieCols.map(col)).map(_.asc)
     val w = Window.partitionBy(key: _*).orderBy(ord: _*)
     val prevMax = max(col(hiCol))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val islands = intervals
+    intervals
       .withColumn("__new",
         when(prevMax.isNull || col(loCol) > prevMax, 1L).otherwise(0L))
       .withColumn("__island", sum(col("__new"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    islands
       .groupBy(key :+ col("__island"): _*)
-      .agg(count(lit(1)).as("__n"),
-        min(col(loCol)).as("__lo"), max(col(hiCol)).as("__hi"))
-      .groupBy(key: _*)
-      .agg(sum(col("__n")).cast("long").as("n_intervals"),
-        count(lit(1)).as("n_islands"),
-        sum(col("__hi") - col("__lo")).cast("long").as("covered"))
+      .agg(min(col(loCol)).as("lo"), max(col(hiCol)).as("hi"),
+        count(lit(1)).as("n_intervals"))
+      .select(key ++ Seq(col("lo"), col("hi"), col("n_intervals")): _*)
   }
 
   private implicit final class DivOps(private val c: Column) extends AnyVal {

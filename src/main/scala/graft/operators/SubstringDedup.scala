@@ -193,6 +193,66 @@ object SubstringDedup {
     mergeRuns(dup, l, idCol)
   }
 
+  /** APPLY the ExactSubstr pass — the remediation step of Lee et al.
+    * 2021: remove every corpus-duplicated character span from every
+    * document (both copies; the paper's cut rule) and keep the rest.
+    * Composition: [[duplicatedSpans]] → island merge
+    * ([[IntervalJoin.mergeIntervals]] — spans from different runs can
+    * overlap by < L chars) → the KEEP pieces are each island's left
+    * complement (previous island's hi, default char 1) plus one tail
+    * piece, spliced back in start order. A fully-duplicated document
+    * comes back as the EMPTY string, not its original text.
+    *
+    * All relational: pieces are (start, len) rows, the splice is one
+    * sort+concat aggregate per doc — no per-row text surgery UDF, and
+    * the plan is two exchanges past the span pass itself.
+    *
+    * @return (`idCol`, n_chars, n_kept, text_cut) for EVERY input doc
+    *   (unaffected docs keep their text verbatim). */
+  def cutDuplicates(docs: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame = {
+    val merged = IntervalJoin.mergeIntervals(
+      duplicatedSpans(docs, idCol, textCol, l)
+        .select(col(idCol).as("id"), col("span_start").as("lo"),
+          (col("span_start") + col("span_len")).as("hi")),
+      Seq("id"), "lo", "hi")
+      .persist() // three readers: pre-pieces, tail pieces, the doc set
+    val d = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+    val w = Window.partitionBy("id").orderBy("lo")
+    // keep piece BEFORE each island: [prev island hi (default 1), lo)
+    val pre = merged
+      .select(col("id"), lag(col("hi"), 1, 1L).over(w).as("start"),
+        col("lo"))
+      .select(col("id"), col("start"), (col("lo") - col("start")).as("plen"))
+    // keep piece AFTER the last island: [max hi, len+1)
+    val tail = merged.groupBy("id").agg(max("hi").as("start"))
+      .join(d, "id")
+      .select(col("id"), col("start"),
+        (length(col("__t")) + 1 - col("start")).as("plen"))
+    val cuts = pre.unionByName(tail.select("id", "start", "plen"))
+      .filter(col("plen") > 0)
+      .join(d, "id")
+      .select(col("id"),
+        struct(col("start"),
+          expr("substring(__t, CAST(start AS INT), CAST(plen AS INT))")
+            .as("piece")).as("sp"))
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(col("sp"))), x => x("piece")),
+        "").as("__cut"))
+    // a doc whose islands cover EVERYTHING has zero pieces — it must
+    // come back empty, not fall through to its original text
+    val affected = merged.select("id").distinct()
+      .join(cuts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__cut"), lit("")).as("__cut"))
+    d.join(affected, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        length(col("__t")).cast("long").as("n_chars"),
+        length(coalesce(col("__cut"), col("__t"))).cast("long")
+          .as("n_kept"),
+        coalesce(col("__cut"), col("__t")).as("text_cut"))
+  }
+
   /** Per-document duplicated-character accounting: how many characters
     * the ExactSubstr cut pass would touch. Character intervals of
     * [[duplicatedSpans]] runs are unioned (runs < L apart overlap), so

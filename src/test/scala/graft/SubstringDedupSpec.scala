@@ -113,6 +113,33 @@ class SubstringDedupSpec extends SparkSpec {
       s"anchor sampling off: $nAnchor of $nWin windows at stride 4")
   }
 
+  test("cutDuplicates == brute splice; full-copy docs come back empty") {
+    val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
+      .repartition(4)
+    val got = SubstringDedup.cutDuplicates(df, "doc_id", "text", L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getString(3)))).toMap
+    // brute: remove the union of [p, p+L) over duplicated starts p
+    val wins = corpus.flatMap { case (id, t) =>
+      (0 to t.length - L).map(p => (id, p, t.substring(p, p + L)))
+    }
+    val mult = wins.groupBy(_._3).map { case (w, g) => w -> g.size }
+    corpus.foreach { case (id, t) =>
+      val cutIdx = wins.filter(w => w._1 == id && mult(w._3) > 1)
+        .flatMap(w => w._2 until (w._2 + L)).toSet
+      val expect = t.zipWithIndex.collect {
+        case (c, i) if !cutIdx.contains(i) => c
+      }.mkString
+      val (nc, nk, cut) = got(id)
+      assert(nc == t.length.toLong && cut == expect && nk == expect.length,
+        s"doc $id: got '$cut' expect '$expect'")
+    }
+    // the planted invariants actually fired
+    assert(got(4L)._3.isEmpty, "full-copy doc must cut to empty")
+    assert(got(5L)._3 == "tiny" && got(6L)._2 == got(6L)._1)
+  }
+
   test("duplicatedCharStats unions overlapping span intervals exactly") {
     val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
     val got = SubstringDedup.duplicatedCharStats(df, "doc_id", "text", L)
