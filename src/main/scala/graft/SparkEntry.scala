@@ -2667,6 +2667,22 @@ object SparkEntry {
           col("cell_idx").cast("int").as("cell_idx"), col("cell_sum"))
     }),
 
+    // JSONL round-trip: the LLM-corpus interchange format. Write the
+    // documents table as newline-delimited JSON (Spark's json sink: one
+    // object per line, per-partition files) and read it back with an
+    // EXPLICIT schema (schema-on-read, no inference pass — the only
+    // shape that scales). Losslessness is the gate: the oracle is the
+    // parquet table itself, so any escaping/encoding drift in either
+    // direction breaks the hash.
+    "q224_jsonl_roundtrip" -> ((s, dir) => {
+      val p = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      java.nio.file.Files.delete(p) // the sink wants to create the dir
+      p.toFile.deleteOnExit()
+      val docs = t(s, dir, "documents")
+      docs.write.json(p.toString)
+      s.read.schema(docs.schema).json(p.toString)
+    }),
+
     // APPLY the ExactSubstr pass (Lee et al. 2021's remediation): cut
     // every corpus-duplicated char span out of every document — q191
     // finds the spans, this emits the cleaned corpus (fully-duplicated
@@ -4623,6 +4639,11 @@ object SparkEntry {
 
     "q44_dup_groups" -> dupGroupsOracle,
     "q222_leakage_safe_split" -> leakageSafeSplitOracle,
+
+    // round-trip identity: the JSONL write/read must reproduce the
+    // parquet table byte-for-byte
+    "q224_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     // dup-cluster size histogram: q44's oracle as a subquery, so the
     // component computation stays textually shared
