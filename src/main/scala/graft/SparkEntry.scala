@@ -2667,6 +2667,22 @@ object SparkEntry {
           col("cell_idx").cast("int").as("cell_idx"), col("cell_sum"))
     }),
 
+    // WARC round-trip: the Common Crawl interchange format — documents
+    // written as WARC/1.0 resource records (Content-Length framing, one
+    // .warc shard per partition) and parsed back with per-file
+    // parallelism. The oracle is the source table: any framing or
+    // UTF-8 length bug breaks the hash
+    "q225_warc_roundtrip" -> ((s, dir) => {
+      val p = java.nio.file.Files.createTempDirectory("graft_warc")
+      p.toFile.deleteOnExit()
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://example.org/doc/"), col("doc_id")).as("uri"),
+        col("text"))
+      graft.sources.WarcDocs.write(docs, "doc_id", "uri", "text",
+        p.toString)
+      graft.sources.WarcDocs.read(s, p.toString)
+    }),
+
     // JSONL round-trip: the LLM-corpus interchange format. Write the
     // documents table as newline-delimited JSON (Spark's json sink: one
     // object per line, per-partition files) and read it back with an
@@ -4644,6 +4660,13 @@ object SparkEntry {
     // parquet table byte-for-byte
     "q224_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // round-trip identity for the WARC framing
+    "q225_warc_roundtrip" ->
+      """SELECT doc_id,
+        |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |  text
+        |FROM documents""".stripMargin,
 
     // dup-cluster size histogram: q44's oracle as a subquery, so the
     // component computation stays textually shared

@@ -1,0 +1,137 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** WARC-shaped document archives — the Common Crawl interchange format
+  * a web-scale training corpus actually arrives in. This is a minimal,
+  * library-free WARC/1.0 implementation of the subset a text pipeline
+  * needs: `resource` records with a target URI and a UTF-8 payload,
+  * framed by `Content-Length` (the framing is what makes WARC robust:
+  * payloads may contain ANYTHING, including bytes that look like record
+  * headers — a reader must never scan for boundaries).
+  *
+  * Scale shape mirrors production Common Crawl: one `.warc` file per
+  * partition on write, per-FILE parallelism on read (`binaryFile`
+  * source — CC ships thousands of ~1 GB shards, so file-level
+  * parallelism is the real layout; per-record gzip members would add
+  * intra-file splits and are out of scope). Nothing touches the
+  * driver.
+  *
+  * Reference for the record grammar: ISO 28500 (WARC/1.0) — version
+  * line, `Name: value` headers, CRLF blank line, Content-Length payload
+  * bytes, CRLF CRLF trailer.
+  */
+object WarcDocs {
+
+  private val Crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Write (`idCol`, `uriCol`, `textCol`) rows as WARC/1.0 resource
+    * records, one `part-NNNNN.warc` file per partition under `dir`.
+    * Content-Length counts UTF-8 payload BYTES (multi-byte text safe). */
+  def write(df: DataFrame, idCol: String, uriCol: String, textCol: String,
+      dir: String): Unit = {
+    val out = new java.io.File(dir)
+    require(out.mkdirs() || out.isDirectory, s"cannot create $dir")
+    df.select(col(idCol).cast("long"), col(uriCol).cast("string"),
+        col(textCol).cast("string"))
+      .rdd
+      .foreachPartition { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val f = new java.io.File(out, f"part-$pid%05d.warc")
+        val os = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(f))
+        try it.foreach { r =>
+          val id = r.getLong(0)
+          val uri = r.getString(1)
+          val payload = r.getString(2)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val header =
+            s"""WARC/1.0\r
+               |WARC-Type: resource\r
+               |WARC-Record-ID: <urn:graft:$id>\r
+               |WARC-Target-URI: $uri\r
+               |Content-Length: ${payload.length}\r
+               |\r
+               |""".stripMargin
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          os.write(header)
+          os.write(payload)
+          os.write(Crlf)
+          os.write(Crlf)
+        } finally os.close()
+      }
+  }
+
+  private val outSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("uri", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  /** Read a directory of `.warc` files back to (doc_id, uri, text).
+    * Content-Length framing only — a payload containing "WARC/1.0" or
+    * CRLF runs parses correctly (spec-pinned). Malformed records fail
+    * loudly with the file and byte offset. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val files = spark.read.format("binaryFile").load(s"$dir/*.warc")
+      .select(col("path"), col("content"))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    files.flatMap { fr =>
+      val path = fr.getString(0)
+      val bytes = fr.getAs[Array[Byte]](1)
+      val recs = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var p = 0
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"$path @ byte $p: $msg")
+      def line(): String = {
+        val nl = {
+          var i = p
+          while (i < bytes.length - 1 &&
+            !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+          if (i >= bytes.length - 1) fail("unterminated header line")
+          i
+        }
+        val s = new String(bytes, p, nl - p,
+          java.nio.charset.StandardCharsets.UTF_8)
+        p = nl + 2
+        s
+      }
+      while (p < bytes.length) {
+        if (line() != "WARC/1.0") fail("expected WARC/1.0 version line")
+        var id = -1L
+        var uri: String = null
+        var len = -1
+        var h = line()
+        while (h.nonEmpty) {
+          val i = h.indexOf(": ")
+          if (i < 0) fail(s"malformed header '$h'")
+          val (k, v) = (h.substring(0, i), h.substring(i + 2))
+          k match {
+            case "WARC-Record-ID" =>
+              require(v.startsWith("<urn:graft:") && v.endsWith(">"),
+                s"unexpected record id $v")
+              id = v.substring(11, v.length - 1).toLong
+            case "Content-Length" => len = v.toInt
+            case "WARC-Target-URI" => uri = v
+            case _ => () // tolerated, like a real reader
+          }
+          h = line()
+        }
+        if (id < 0 || uri == null || len < 0)
+          fail("record missing WARC-Record-ID/WARC-Target-URI/Content-Length")
+        if (p + len + 4 > bytes.length) fail("truncated payload")
+        val text = new String(bytes, p, len,
+          java.nio.charset.StandardCharsets.UTF_8)
+        p += len
+        if (!(bytes(p) == '\r' && bytes(p + 1) == '\n' &&
+            bytes(p + 2) == '\r' && bytes(p + 3) == '\n'))
+          fail("missing record trailer")
+        p += 4
+        recs += Row(id, uri, text)
+      }
+      recs
+    }(enc)
+  }
+}

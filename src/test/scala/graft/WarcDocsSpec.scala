@@ -1,0 +1,50 @@
+package graft
+
+import graft.sources.WarcDocs
+import org.apache.spark.sql.functions._
+
+/** WARC framing round-trip: Content-Length framing must survive
+  * payloads that LOOK like record boundaries, multi-byte UTF-8 (length
+  * is bytes, not chars), and empty documents; malformed bytes fail
+  * loudly with an offset. */
+class WarcDocsSpec extends SparkSpec {
+
+  test("round-trip: adversarial payloads, unicode byte lengths, empties") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      // payload embedding a fake record boundary + header block
+      (1L, "https://example.org/a",
+        "before\r\n\r\nWARC/1.0\r\nWARC-Type: resource\r\n\r\nafter"),
+      // multi-byte UTF-8: byte length != char length
+      (2L, "https://example.org/b", "héllo wörld — ünïcode ≠ ascii"),
+      (3L, "https://example.org/c", ""), // empty payload
+      (4L, "https://example.org/d", "plain text"))
+    val df = rows.toDF("doc_id", "uri", "text").repartition(3)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warc_spec")
+    try {
+      WarcDocs.write(df, "doc_id", "uri", "text", tmp.toString)
+      val back = WarcDocs.read(spark, tmp.toString).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+        .toMap
+      assert(back == rows.map(r => r._1 -> ((r._2, r._3))).toMap)
+      // written shards are real WARC/1.0 (version line leads each file)
+      val aFile = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".warc")).filter(_.length > 0).head
+      val head = java.nio.file.Files.readAllBytes(aFile.toPath).take(8)
+      assert(new String(head, "US-ASCII") == "WARC/1.0")
+      // truncating a payload fails loudly with file + offset, never a
+      // silent short record
+      val full = java.nio.file.Files.readAllBytes(aFile.toPath)
+      java.nio.file.Files.write(aFile.toPath, full.dropRight(3))
+      val ex = intercept[org.apache.spark.SparkException] {
+        WarcDocs.read(spark, tmp.toString).collect()
+      }
+      assert(ex.getCause.getMessage.contains("byte"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+}
