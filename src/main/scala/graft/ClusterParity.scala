@@ -101,7 +101,7 @@ object ClusterParity {
     // the three flagship diagnostics the judge's scale story rests on:
     // forced-distributed DBSCAN on the reference's own 50k dataset,
     // the 500k synthetic DBSCAN, and the 1M-doc MinHash-LSH dedup
-    val workloads: Seq[(String, SparkSession => String)] = Seq(
+    val baseWorkloads: Seq[(String, SparkSession => String)] = Seq(
       "dbscan_clus50k_dist" -> (s => labelSummary(
         Workloads.dbscanBin(s, "/root/reference/clus50k.bin", 25.0, 5,
           localThreshold = 0L))),
@@ -111,6 +111,14 @@ object ClusterParity {
       "minhash_synth1m" -> (s => pairSummary(
         Workloads.dedupSynth(s, 1_000_000L))),
     )
+    val workloads: Seq[(String, SparkSession => String)] = baseWorkloads ++ (
+      // 100× the reference's largest dataset under multi-JVM — opt-in
+      // like the bench's heavy diagnostic (several minutes per side)
+      if (sys.env.get("SPARK_GRAFT_PARITY_HEAVY").contains("1"))
+        Seq("dbscan_synth5m" -> ((s: SparkSession) => labelSummary(
+          Workloads.dbscanSynth(s, 5_000_000L, k = 250, dims = 5,
+            eps = 1.0, minPts = 5))))
+      else Nil)
     val only = sys.env.get("SPARK_GRAFT_PARITY_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = workloads.filter { case (n, _) =>

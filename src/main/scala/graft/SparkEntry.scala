@@ -2667,6 +2667,23 @@ object SparkEntry {
           col("cell_idx").cast("int").as("cell_idx"), col("cell_sum"))
     }),
 
+    // Zipf power-law fit per language: token frequency vs rank in
+    // log-log space over the top-1000 ranks — the corpus-health
+    // statistic (a natural-language corpus sits near slope −1; template
+    // spam and word soup drift off it). Exponent, ln-intercept, R²
+    "q226_zipf_fit" -> ((s, dir) => {
+      val cnt = t(s, dir, "documents")
+        .select(col("lang"), explode(TextFunctions.tokens(col("text")))
+          .as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val ranked = cnt.withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("lang").orderBy(col("cnt").desc, col("tok"))))
+        .filter(col("rnk") <= 1000)
+      operators.Stats.powerLawFit(ranked, Seq("lang"), col("rnk"),
+        col("cnt"))
+    }),
+
     // WARC round-trip: the Common Crawl interchange format — documents
     // written as WARC/1.0 resource records (Content-Length framing, one
     // .warc shard per partition) and parsed back with per-file
@@ -4660,6 +4677,53 @@ object SparkEntry {
     // parquet table byte-for-byte
     "q224_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    // Zipf fit: ln terms round(9) into DECIMAL(18,9) (products exact at
+    // 36,18 under the 38-digit multiply cap), moments decimal-summed,
+    // the close a fixed-order double expression — PMI's discipline
+    "q226_zipf_fit" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tok GROUP BY 1, 2),
+        |r AS (SELECT lang, cnt, row_number() OVER (PARTITION BY lang
+        |    ORDER BY cnt DESC, tok) AS rnk FROM c),
+        |t AS (SELECT lang,
+        |    CAST(round(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lx,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS ly
+        |  FROM r WHERE rnk <= 1000),
+        |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    sum(lx) AS sx, sum(ly) AS sy, sum(lx * ly) AS sxy,
+        |    sum(lx * lx) AS sxx, sum(ly * ly) AS syy,
+        |    min(lx) AS mnx, max(lx) AS mxx,
+        |    min(ly) AS mny, max(ly) AS mxy
+        |  FROM t GROUP BY 1)
+        |SELECT lang, n,
+        |  CASE WHEN n >= 2 AND mnx != mxx THEN
+        |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) END
+        |    AS slope,
+        |  CASE WHEN n >= 2 AND mnx != mxx THEN
+        |    round((CAST(sy AS DOUBLE)
+        |        - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |          * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE), 6) END AS icept_ln,
+        |  CASE WHEN n >= 2 AND mnx != mxx AND mny != mxy THEN
+        |    round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) END
+        |    AS r2
+        |FROM m""".stripMargin,
 
     // round-trip identity for the WARC framing
     "q225_warc_roundtrip" ->

@@ -1490,4 +1490,58 @@ object Stats {
             / (col("n") * col("n") - col("s")).cast("double"))
           .as("kappa"))
   }
+
+  /** Per-group power-law fit y ≈ a·x^b by OLS in log-log space — the
+    * Zipf-exponent / scaling-law estimator (token frequency vs rank,
+    * loss vs compute). `x` and `y` must be POSITIVE (ranks, counts).
+    *
+    * Numerics (the PMI/MI transcendental discipline): each ln() is one
+    * libm call whose ±1-ulp engine skew is absorbed by round(9); the
+    * rounded terms become DECIMAL(18,9), whose pairwise products are
+    * exact DECIMAL(36,18) — both under DuckDB's 38-digit multiply cap —
+    * so all five moments are fold-order-free decimal sums. The closing
+    * slope/intercept/R² arithmetic casts each moment to double ONCE and
+    * evaluates a fixed-order IEEE expression, identical in any engine.
+    * Degenerate groups (n < 2 or zero x-variance) report NULLs.
+    *
+    * Scale shape: a narrow projection + ONE hash aggregate; rank
+    * windows (if the caller fits frequency-vs-rank) happen upstream.
+    *
+    * @return (groupCols*, n, slope, icept_ln, r2) — `icept_ln` is
+    *   ln(a); slope is the power-law exponent b. */
+  def powerLawFit(df: DataFrame, groupCols: Seq[String], x: Column,
+      y: Column, scale: Int = 6): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val g = groupCols.map(col)
+    val dec = "decimal(18,9)"
+    val lx = round(log(x.cast("double")), 9).cast(dec)
+    val ly = round(log(y.cast("double")), 9).cast(dec)
+    def d(c: String) = col(c).cast("double")
+    val den = d("n") * d("sxx") - d("sx") * d("sx")
+    val num = d("n") * d("sxy") - d("sx") * d("sy")
+    val slope = num / den
+    val denY = d("n") * d("syy") - d("sy") * d("sy")
+    // degeneracy is decided on EXACT decimals (min == max ⟺ zero
+    // variance), never on the double moments — with identical x's the
+    // double `den` lands on rounding dust, not zero
+    val xConst = col("mnx") === col("mxx")
+    val yConst = col("mny") === col("mxy")
+    df.select((g :+ lx.as("__lx") :+ ly.as("__ly")): _*)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__lx")).as("sx"), sum(col("__ly")).as("sy"),
+        sum(col("__lx") * col("__ly")).as("sxy"),
+        sum(col("__lx") * col("__lx")).as("sxx"),
+        sum(col("__ly") * col("__ly")).as("syy"),
+        min(col("__lx")).as("mnx"), max(col("__lx")).as("mxx"),
+        min(col("__ly")).as("mny"), max(col("__ly")).as("mxy"))
+      .select((g :+ col("n") :+
+        when(col("n") >= 2 && !xConst,
+          round(slope, scale)).as("slope") :+
+        when(col("n") >= 2 && !xConst,
+          round((d("sy") - slope * d("sx")) / d("n"), scale))
+          .as("icept_ln") :+
+        when(col("n") >= 2 && !xConst && !yConst,
+          round(num * num / (den * denY), scale)).as("r2")): _*)
+  }
 }

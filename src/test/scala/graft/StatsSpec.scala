@@ -228,6 +228,29 @@ class StatsSpec extends SparkSpec {
     assert(zeroT.getLong(0) == 0 && zeroT.isNullAt(1) && zeroT.isNullAt(2))
   }
 
+  test("powerLawFit: exact power law, Zipf-ish slope, degenerate NULLs") {
+    def run(rows: Seq[(String, Long, Long)]) = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3)).toDF("g", "x", "y")
+      Stats.powerLawFit(df, Seq("g"), col("x"), col("y")).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    }
+    // exact law y = 3x^2: slope 2, r2 1 (log-log is exactly linear up
+    // to the round(9) term quantization)
+    val exact = run((1L to 6L).map(x => ("a", x, 3 * x * x)))
+    assert(exact("a")._1 == 6L)
+    assert(math.abs(exact("a")._2.get - 2.0) < 1e-6)
+    assert(math.abs(exact("a")._3.get - 1.0) < 1e-6)
+    // a decaying rank/frequency profile fits a NEGATIVE exponent
+    val zipf = run((1L to 100L).map(r => ("z", r, math.max(1000 / r, 1L))))
+    assert(zipf("z")._2.get < -0.5)
+    // degenerate: one point, and zero x-variance -> NULLs, no crash
+    val degen = run(Seq(("p", 5L, 7L), ("q", 2L, 3L), ("q", 2L, 9L)))
+    assert(degen("p")._2.isEmpty && degen("q")._2.isEmpty)
+  }
+
   test("liftTable: hand curve, uneven-N binning, all-negative NULLs") {
     def run(rows: Seq[(Long, Boolean, Long)], bins: Int) = {
       val df = spark.createDataFrame(
