@@ -2667,6 +2667,19 @@ object SparkEntry {
           col("cell_idx").cast("int").as("cell_idx"), col("cell_sum"))
     }),
 
+    // the gzip twin of q225: one gzip MEMBER per record (Common
+    // Crawl's actual .warc.gz layout), multi-member decompress on read
+    "q227_warcgz_roundtrip" -> ((s, dir) => {
+      val p = java.nio.file.Files.createTempDirectory("graft_warcgz")
+      p.toFile.deleteOnExit()
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://example.org/doc/"), col("doc_id")).as("uri"),
+        col("text"))
+      graft.sources.WarcDocs.write(docs, "doc_id", "uri", "text",
+        p.toString, gzip = true)
+      graft.sources.WarcDocs.read(s, p.toString)
+    }),
+
     // Zipf power-law fit per language: token frequency vs rank in
     // log-log space over the top-1000 ranks — the corpus-health
     // statistic (a natural-language corpus sits near slope −1; template
@@ -4725,8 +4738,13 @@ object SparkEntry {
         |    AS r2
         |FROM m""".stripMargin,
 
-    // round-trip identity for the WARC framing
+    // round-trip identity for the WARC framing (plain and gzip)
     "q225_warc_roundtrip" ->
+      """SELECT doc_id,
+        |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
+        |  text
+        |FROM documents""".stripMargin,
+    "q227_warcgz_roundtrip" ->
       """SELECT doc_id,
         |  'https://example.org/doc/' || CAST(doc_id AS VARCHAR) AS uri,
         |  text

@@ -29,9 +29,13 @@ object WarcDocs {
 
   /** Write (`idCol`, `uriCol`, `textCol`) rows as WARC/1.0 resource
     * records, one `part-NNNNN.warc` file per partition under `dir`.
-    * Content-Length counts UTF-8 payload BYTES (multi-byte text safe). */
+    * Content-Length counts UTF-8 payload BYTES (multi-byte text safe).
+    * With `gzip = true`, files are `.warc.gz` with one gzip MEMBER per
+    * record — Common Crawl's actual on-disk layout (member boundaries
+    * are what let archive tooling seek to records; a whole-file gzip
+    * stream couldn't). */
   def write(df: DataFrame, idCol: String, uriCol: String, textCol: String,
-      dir: String): Unit = {
+      dir: String, gzip: Boolean = false): Unit = {
     val out = new java.io.File(dir)
     require(out.mkdirs() || out.isDirectory, s"cannot create $dir")
     df.select(col(idCol).cast("long"), col(uriCol).cast("string"),
@@ -39,7 +43,8 @@ object WarcDocs {
       .rdd
       .foreachPartition { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val f = new java.io.File(out, f"part-$pid%05d.warc")
+        val ext = if (gzip) "warc.gz" else "warc"
+        val f = new java.io.File(out, f"part-$pid%05d.$ext")
         val os = new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(f))
         try it.foreach { r =>
@@ -56,10 +61,20 @@ object WarcDocs {
                |\r
                |""".stripMargin
               .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          os.write(header)
-          os.write(payload)
-          os.write(Crlf)
-          os.write(Crlf)
+          if (gzip) {
+            // one self-contained gzip member per record
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(header); gz.write(payload)
+            gz.write(Crlf); gz.write(Crlf)
+            gz.finish(); gz.close()
+            os.write(bos.toByteArray)
+          } else {
+            os.write(header)
+            os.write(payload)
+            os.write(Crlf)
+            os.write(Crlf)
+          }
         } finally os.close()
       }
   }
@@ -69,18 +84,25 @@ object WarcDocs {
     StructField("uri", StringType, nullable = false),
     StructField("text", StringType, nullable = false)))
 
-  /** Read a directory of `.warc` files back to (doc_id, uri, text).
-    * Content-Length framing only — a payload containing "WARC/1.0" or
-    * CRLF runs parses correctly (spec-pinned). Malformed records fail
-    * loudly with the file and byte offset. */
+  /** Read a directory of `.warc` / `.warc.gz` files back to
+    * (doc_id, uri, text). Content-Length framing only — a payload
+    * containing "WARC/1.0" or CRLF runs parses correctly (spec-pinned).
+    * Gzip shards decompress as concatenated members (GZIPInputStream
+    * handles the multi-member stream). Malformed records fail loudly
+    * with the file and byte offset. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = spark.read.format("binaryFile").load(s"$dir/*.warc")
+    val files = spark.read.format("binaryFile").load(s"$dir/*.warc*")
       .select(col("path"), col("content"))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
     files.flatMap { fr =>
       val path = fr.getString(0)
-      val bytes = fr.getAs[Array[Byte]](1)
+      val raw = fr.getAs[Array[Byte]](1)
+      val bytes =
+        if (path.endsWith(".gz"))
+          new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(raw)).readAllBytes()
+        else raw
       val recs = scala.collection.mutable.ArrayBuffer.empty[Row]
       var p = 0
       def fail(msg: String): Nothing =

@@ -47,4 +47,30 @@ class WarcDocsSpec extends SparkSpec {
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
+
+  test("gzip shards: per-record members, gzip magic, identical rows") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (1L, "https://example.org/a", "compressed héllo\r\n\r\nWARC/1.0"),
+      (2L, "https://example.org/b", ""))
+    val df = rows.toDF("doc_id", "uri", "text").repartition(2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warcgz_spec")
+    try {
+      WarcDocs.write(df, "doc_id", "uri", "text", tmp.toString, gzip = true)
+      val gz = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).filter(_.length > 0)
+      assert(gz.nonEmpty)
+      val head = java.nio.file.Files.readAllBytes(gz.head.toPath)
+      assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b)
+      val back = WarcDocs.read(spark, tmp.toString).collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+        .toMap
+      assert(back == rows.map(r => r._1 -> ((r._2, r._3))).toMap)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }
