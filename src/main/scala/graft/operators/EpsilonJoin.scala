@@ -586,7 +586,8 @@ object EpsilonJoin {
     * contract). */
   def joinKd(left: DataFrame, right: DataFrame, idCol: String,
       vecCol: String, eps: Double, partitionDims: Seq[Int],
-      cellSize: Double): DataFrame = {
+      cellSize: Double,
+      maxCellRows: Int = DefaultMaxKdCellRows): DataFrame = {
     require(partitionDims.nonEmpty, "joinKd needs >= 1 partition dim")
     require(cellSize >= eps,
       s"cellSize ($cellSize) must be >= eps ($eps)")
@@ -633,23 +634,105 @@ object EpsilonJoin {
           }
         }
     val part = new org.apache.spark.HashPartitioner(shufflePartitions)
-    val pairs = keyed(right, probe = false).cogroup(keyed(left, probe = true), part)
-      .mapPartitions { it =>
-        it.flatMap { case (_, (builds, probes)) =>
-          if (builds.isEmpty || probes.isEmpty) Iterator.empty
-          else {
-            val rows = builds.toArray
-            val tree = new graft.functions.KdTree(rows.map(_._2))
-            probes.iterator.flatMap { case (aId, aV) =>
-              val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
-              tree.radiusQuery(aV, r2, (bi, d2) => {
-                buf += Row(aId, rows(bi)._1, d2)
-              })
-              buf
+    val buildKeyed = keyed(right, probe = false)
+    val probeKeyed = keyed(left, probe = true)
+    // selfJoinKd's skew rule, bipartite: a BUILD cell past maxCellRows
+    // is salted into ⌈rows/cap⌉ tree groups and each probe touching the
+    // cell replicates per group (b's tree copy lives in one group, so
+    // each pair still meets exactly once); only overfull cells reach
+    // the driver. Normal inputs skip the salted path entirely — the
+    // cogroup stays, its per-cell build buffer bounded by the probe.
+    val dense: Map[Seq[Long], Int] = buildKeyed
+      .map(kv => (kv._1, 1L)).reduceByKey(_ + _)
+      .filter(_._2 > maxCellRows)
+      .map { case (c, n) =>
+        (c, math.ceil(n.toDouble / maxCellRows).toInt)
+      }
+      .collect().toMap
+    val pairs = if (dense.isEmpty) {
+      buildKeyed.cogroup(probeKeyed, part)
+        .mapPartitions { it =>
+          it.flatMap { case (_, (builds, probes)) =>
+            if (builds.isEmpty || probes.isEmpty) Iterator.empty
+            else {
+              val rows = builds.toArray
+              val tree = new graft.functions.KdTree(rows.map(_._2))
+              probes.iterator.flatMap { case (aId, aV) =>
+                val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+                tree.radiusQuery(aV, r2, (bi, d2) => {
+                  buf += Row(aId, rows(bi)._1, d2)
+                })
+                buf
+              }
             }
           }
         }
+    } else {
+      val denseB = spark.sparkContext.broadcast(dense)
+      val routed = buildKeyed.map { case (cell, rec) =>
+        val g = denseB.value.get(cell).map(s => (java.lang.Long
+          .hashCode(rec._1 * 0x9E3779B97F4A7C15L) & 0x7fffffff) % s)
+          .getOrElse(0)
+        ((cell, g, 0), rec)
+      } ++ probeKeyed.flatMap { case (cell, rec) =>
+        denseB.value.get(cell) match {
+          case None => Iterator(((cell, 0, 1), rec))
+          case Some(s) => (0 until s).iterator.map(g => ((cell, g, 1), rec))
+        }
       }
+      import scala.math.Ordering.Implicits.seqOrdering
+      implicit val keyOrd: Ordering[(Seq[Long], Int, Int)] =
+        Ordering.Tuple3(seqOrdering[Seq, Long], Ordering.Int, Ordering.Int)
+      val partitioner = new org.apache.spark.Partitioner {
+        override def numPartitions: Int = shufflePartitions
+        override def getPartition(key: Any): Int = {
+          val (cell, g, _) = key.asInstanceOf[(Seq[Long], Int, Int)]
+          (((cell, g).hashCode() % numPartitions) + numPartitions) %
+            numPartitions
+        }
+      }
+      routed.repartitionAndSortWithinPartitions(partitioner)
+        .mapPartitions { it =>
+          val buf = it.buffered
+          new Iterator[Row] {
+            private var out: Iterator[Row] = Iterator.empty
+            private def startGroup(): Unit = {
+              val (cell, g, _) = buf.head._1
+              def sameGroup: Boolean = buf.hasNext && {
+                val (c2, g2, _) = buf.head._1; c2 == cell && g2 == g
+              }
+              val rows =
+                scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+              while (sameGroup && buf.head._1._3 == 0) rows += buf.next()._2
+              if (rows.isEmpty) { while (sameGroup) buf.next() }
+              else {
+                val tree = new graft.functions.KdTree(rows.map(_._2).toArray)
+                out = new Iterator[Row] {
+                  private var cur: Iterator[Row] = Iterator.empty
+                  override def hasNext: Boolean = {
+                    while (!cur.hasNext && sameGroup) {
+                      val (aId, aV) = buf.next()._2
+                      val hits =
+                        scala.collection.mutable.ArrayBuffer.empty[Row]
+                      tree.radiusQuery(aV, r2, (bi, d2) => {
+                        hits += Row(aId, rows(bi)._1, d2)
+                      })
+                      cur = hits.iterator
+                    }
+                    cur.hasNext
+                  }
+                  override def next(): Row = { hasNext; cur.next() }
+                }
+              }
+            }
+            override def hasNext: Boolean = {
+              while (!out.hasNext && buf.hasNext) startGroup()
+              out.hasNext
+            }
+            override def next(): Row = { hasNext; out.next() }
+          }
+        }
+    }
     val undirected = spark.createDataFrame(pairs, pairSchema)
     undirected.select(explode(array(
         struct(col("a_id"), col("b_id"), col("d2")),

@@ -273,6 +273,17 @@ class KdTreeSpec extends SparkSpec {
     assert(salted == grid)
     assert(salted.nonEmpty && salted.keys.exists { case (a, b) =>
       a % 5 != 0 && b % 5 != 0 }) // dense-blob pairs actually flowed
+    // the BIPARTITE path salts the same way: odd ids probe even ids,
+    // the dense blob sits on the build side
+    val odd = df.filter(col("id") % 2 === 1)
+    val even = df.filter(col("id") % 2 === 0)
+    val bipUnsalted = toMap(EpsilonJoin.joinKd(odd, even, "id",
+      "features", eps, Seq(0, 1), eps))
+    val bipSalted = toMap(EpsilonJoin.joinKd(odd, even, "id",
+      "features", eps, Seq(0, 1), eps, maxCellRows = 200))
+    assert(bipSalted == bipUnsalted)
+    assert(bipSalted == grid.filter { case ((a, b), _) =>
+      (a % 2 == 1 && b % 2 == 0) || (a % 2 == 0 && b % 2 == 1) })
     df.unpersist()
   }
 }
