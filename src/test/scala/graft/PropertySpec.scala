@@ -365,4 +365,42 @@ class PropertySpec extends SparkSpec {
       ab >= 0.0 && ab <= 1.0 && ab == rbo(permB, permA) && self == selfWant
     })
   }
+
+  test("property: WARC round-trip is lossless for arbitrary payloads") {
+    // Content-Length framing must not care what the text contains:
+    // CRLF runs, full header-block lookalikes, multi-byte and
+    // supplementary-plane unicode (lengths are BYTES, not chars)
+    val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.asciiPrintableChar.map(_.toString),
+      Gen.oneOf("\r", "\n", "\r\n", "\u20ac", "\u6f22",
+        "\ud83d\ude42", " "),
+      Gen.const("WARC/1.0\r\nContent-Length: 3\r\n\r\nabc\r\n\r\n")))
+      .map(_.mkString)
+    val docsGen = for {
+      n <- Gen.choose(1, 8)
+      ds <- Gen.listOfN(n, Gen.zip(textGen,
+        Gen.alphaNumStr.map(u => s"https://example.org/$u")))
+    } yield ds
+    check("warc-roundtrip", 8)(Prop.forAll(docsGen) { docs =>
+      val rows = docs.zipWithIndex.map { case ((txt, uri), i) =>
+        (i.toLong, uri, txt)
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc_prop")
+      try {
+        val df = spark.createDataFrame(rows).toDF("doc_id", "uri", "text")
+          .repartition(2)
+        graft.sources.WarcDocs.write(df, "doc_id", "uri", "text",
+          tmp.toString)
+        val back = graft.sources.WarcDocs.read(spark, tmp.toString)
+          .collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2))))
+          .toMap
+        back == rows.map(r => r._1 -> ((r._2, r._3))).toMap
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    })
+  }
 }
