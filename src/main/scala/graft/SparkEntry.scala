@@ -2667,6 +2667,22 @@ object SparkEntry {
           col("cell_idx").cast("int").as("cell_idx"), col("cell_sum"))
     }),
 
+    // REAL video decode (JDK animated-GIF reader): deterministic
+    // grayscale multi-frame clips generated in-engine (closed-form
+    // pattern, ≤256 grays so the GIF palette is lossless), decoded
+    // frame by frame, reduced to exact per-frame integer stats — the
+    // third member of the real-decode multimodal triad
+    "q228_video_stats" -> ((s, dir) => {
+      val gen = udf((id: Long) => graft.operators.Multimodal.syntheticGif(
+        id, (8 + id % 4 * 4).toInt, (6 + id % 2 * 6).toInt,
+        (3 + id % 3).toInt))
+      val media = t(s, dir, "documents")
+        .filter(col("doc_id") < 150)
+        .select(col("doc_id").as("media_id"), lit("video").as("modality"),
+          gen(col("doc_id")).as("payload"))
+      graft.operators.Multimodal.videoFeatures(media)
+    }),
+
     // the gzip twin of q225: one gzip MEMBER per record (Common
     // Crawl's actual .warc.gz layout), multi-member decompress on read
     "q227_warcgz_roundtrip" -> ((s, dir) => {
@@ -5153,6 +5169,25 @@ object SparkEntry {
           |SELECT agg.m AS media_id, agg.w AS width, agg.h AS height,
           |  r_sum, g_sum, b_sum, r_sq, g_sq, b_sq, cell_idx, cell_sum
           |FROM agg JOIN cl ON cl.m = agg.m""".stripMargin,
+
+      // video decode: regenerate the closed-form grayscale frames
+      // (lateral unnest over clip × frame × pixel grids) and aggregate
+      // the exact integer stats the engine reads back out of the GIF
+      "q228_video_stats" ->
+        """WITH ids AS MATERIALIZED (SELECT doc_id AS m,
+          |    CAST(8 + (doc_id % 4) * 4 AS INTEGER) AS w,
+          |    CAST(6 + (doc_id % 2) * 6 AS INTEGER) AS h,
+          |    CAST(3 + (doc_id % 3) AS INTEGER) AS nf
+          |  FROM documents WHERE doc_id < 150),
+          |px AS MATERIALIZED (SELECT m, w, h, uf.f, ux.x, uy.y,
+          |    (m * 31 + uf.f * 17 + ux.x * 7 + uy.y * 13) % 256 AS v
+          |  FROM ids, unnest(range(0, nf)) uf(f),
+          |    unnest(range(0, w)) ux(x), unnest(range(0, h)) uy(y))
+          |SELECT m AS media_id, CAST(f AS INTEGER) AS frame_idx,
+          |  w AS width, h AS height,
+          |  CAST(sum(v) AS BIGINT) AS v_sum,
+          |  CAST(sum(v * v) AS BIGINT) AS v_sq
+          |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
 
       // audio decode: regenerate the closed-form PCM samples (lateral
       // unnest per clip) and aggregate the SAME exact integer stats the

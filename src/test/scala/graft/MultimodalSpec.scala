@@ -142,6 +142,33 @@ class MultimodalSpec extends SparkSpec {
     assert(cex.getCause.getMessage.contains("media_id=77"))
   }
 
+  test("videoFeatures: animated-GIF round-trip equals the frame math") {
+    val id = 4L; val w = 5; val h = 3; val nf = 4
+    val gif = Multimodal.syntheticGif(id, w, h, nf)
+    assert(new String(gif.take(6), "US-ASCII").startsWith("GIF8"))
+    val got = Multimodal.decodeVideoStats(gif)
+    assert(got.length == nf)
+    for (f <- 0 until nf) {
+      var sum = 0L; var sq = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = (id * 31 + f * 17 + x * 7 + y * 13) % 256
+        sum += v; sq += v * v
+      }
+      assert(got(f) == ((f, w, h, sum, sq)), s"frame $f: ${got(f)}")
+    }
+    // DataFrame path explodes one row per frame + fails fast on junk
+    val spark2 = spark
+    import spark2.implicits._
+    val media = Seq((id, gif)).toDF("media_id", "payload")
+    val rows = Multimodal.videoFeatures(media).collect()
+    assert(rows.length == nf && rows.forall(_.getLong(0) == id))
+    val junk = Seq((13L, Array[Byte](1, 2))).toDF("media_id", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.videoFeatures(junk).collect()
+    }
+    assert(ex.getCause.getMessage.contains("media_id=13"))
+  }
+
   test("sampleFrames explodes videos by stride") {
     val out = Multimodal.sampleFrames(mediaDf(9, 3), stride = 10)
     val rows = out.collect()
