@@ -367,10 +367,22 @@ object Multimodal {
       javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     writer.setOutput(ios)
     writer.prepareWriteSequence(null)
+    // EXPLICIT 256-gray palette (indices stored verbatim — no writer
+    // palette inference), and INTERLACE DISABLED: the JDK writer
+    // defaults to interlaced frames, which round-trip fine at normal
+    // sizes but scramble rows below the interlace pass strides
+    // (measured: a 5×3 frame came back with row 1 zeroed and row 2
+    // holding row 1's content)
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val cmap = Array.tabulate(256)(v => (0xff << 24) | (v << 16) |
+      (v << 8) | v)
+    val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0, false,
+      -1, java.awt.image.DataBuffer.TYPE_BYTE)
     var f = 0
     while (f < frames) {
       val img = new java.awt.image.BufferedImage(
-        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
       var y = 0
       while (y < h) {
         var x = 0
@@ -382,7 +394,7 @@ object Multimodal {
         y += 1
       }
       writer.writeToSequence(
-        new javax.imageio.IIOImage(img, null, null), null)
+        new javax.imageio.IIOImage(img, null, null), param)
       f += 1
     }
     writer.endWriteSequence()
