@@ -2667,6 +2667,29 @@ object SparkEntry {
           col("cell_idx").cast("int").as("cell_idx"), col("cell_sum"))
     }),
 
+    // Content-defined chunking (the FastCDC/LBFS idea): cut where the
+    // rolling k-gram hash ≡ 0 mod 64 — boundaries follow CONTENT, so an
+    // edit re-cuts one chunk, not every downstream window (the
+    // dedup-stable alternative to q40's fixed stride). Chunks emitted
+    // as (start, len, md5)
+    "q229_cdc_chunks" -> ((s, dir) => {
+      val cuts = graft.functions.WinnowingExpression
+        .cdcBoundaries(col("text"), 8, 64)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("cut")
+      t(s, dir, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"),
+          explode(concat(cuts, array(length(col("text")).cast("long"))))
+            .as("cut"))
+        .withColumn("start",
+          coalesce(lag(col("cut"), 1).over(w) + 1, lit(1L)))
+        .select(col("doc_id"), col("start"),
+          (col("cut") - col("start") + 1).as("chunk_len"),
+          md5(expr("CAST(substring(text, CAST(start AS INT), " +
+            "CAST(cut - start + 1 AS INT)) AS BINARY)")).as("chunk_md5"))
+    }),
+
     // REAL video decode (JDK animated-GIF reader): deterministic
     // grayscale multi-frame clips generated in-engine (closed-form
     // pattern, ≤256 grays so the GIF palette is lossless), decoded
@@ -5169,6 +5192,34 @@ object SparkEntry {
           |SELECT agg.m AS media_id, agg.w AS width, agg.h AS height,
           |  r_sum, g_sum, b_sum, r_sq, g_sq, b_sq, cell_idx, cell_sum
           |FROM agg JOIN cl ON cl.m = agg.m""".stripMargin,
+
+      // CDC: the winnowing oracle's Karp-Rabin gram chain, gated on
+      // h % 64 = 0, final cut appended, spans via per-doc lag
+      "q229_cdc_chunks" -> {
+        val k = 8
+        val gram = (1 until k).foldLeft(
+          s"CAST(ord(substr(text, CAST(i AS INTEGER)+1, 1)) AS BIGINT)") {
+          (acc, j) =>
+            s"(($acc) * 131 + ord(substr(text, " +
+              s"CAST(i AS INTEGER)+${j + 1}, 1))) % 2147483647"
+        }
+        s"""WITH b AS (SELECT doc_id, text, len(text) AS n,
+           |    list_filter(list_transform(range(len(text) - ${k - 1}),
+           |      i -> CASE WHEN ($gram) % 64 = 0 AND i + $k < len(text)
+           |           THEN i + $k END), x -> x IS NOT NULL) AS cuts
+           |  FROM documents WHERE len(text) >= 1),
+           |c AS (SELECT doc_id, text,
+           |    unnest(list_append(cuts, n)) AS cut FROM b),
+           |s AS (SELECT doc_id, text, cut,
+           |    coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut),
+           |      0) + 1 AS start
+           |  FROM c)
+           |SELECT doc_id, CAST(start AS BIGINT) AS start,
+           |  CAST(cut - start + 1 AS BIGINT) AS chunk_len,
+           |  md5(substr(text, CAST(start AS INTEGER),
+           |    CAST(cut - start + 1 AS INTEGER))) AS chunk_md5
+           |FROM s""".stripMargin
+      },
 
       // video decode: regenerate the closed-form grayscale frames
       // (lateral unnest over clip × frame × pixel grids) and aggregate

@@ -86,9 +86,66 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
   override def prettyName: String = "winnowing_fingerprints"
 }
 
+/** Content-defined chunk boundaries (the CDC idea behind FastCDC /
+  * LBFS): a cut falls AFTER codepoint position p (1-based) whenever the
+  * Karp–Rabin hash of the k-gram ENDING at p satisfies `h mod m = 0` —
+  * boundaries depend on CONTENT, not offsets, so an insertion early in
+  * a document shifts only the chunk it lands in (fixed-stride chunking
+  * q40 re-cuts everything downstream; CDC chunks stay dedupable).
+  * Expected chunk length ≈ m. Same rolling hash as
+  * [[WinnowingFingerprints]] (base 131 mod 2³¹−1, codepoint input —
+  * DuckDB-reproducible digit for digit). Min/max chunk-length
+  * normalization composes DOWNSTREAM (merge tiny chunks: one
+  * gaps-and-islands pass) rather than inside the boundary rule — a
+  * greedy in-scan constraint would make the oracle recursive.
+  * @return ascending array<long> of boundary END positions in [k, n);
+  *   a boundary at n is suppressed (the final chunk always closes
+  *   there). Empty for docs shorter than k. */
+case class CdcBoundaries(child: Expression, k: Int, mod: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && mod >= 1, "need k >= 2, mod >= 1")
+
+  private val B = 131L
+  private val M = (1L << 31) - 1
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString
+      .codePoints().toArray
+    val n = cps.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow = pow * B % M; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
+    // gram starting at s ends at position s + k (1-based)
+    if (h % mod == 0 && k < n) out += k.toLong
+    i = 1
+    while (i < n - k + 1) {
+      h = ((h - cps(i - 1) * pow % M + M * 2) % M * B + cps(i + k - 1)) % M
+      if (h % mod == 0 && i + k < n) out += (i + k).toLong
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "cdc_boundaries"
+}
+
 object WinnowingExpression {
   import org.apache.spark.sql.GraftInternals.{column, expression}
   /** Winnowing fingerprint set of `text` (k-gram size k, window w). */
   def winnow(text: Column, k: Int = 5, w: Int = 4): Column =
     column(WinnowingFingerprints(expression(text), k, w))
+
+  /** Content-defined chunk boundary positions of `text` — see
+    * [[CdcBoundaries]]. */
+  def cdcBoundaries(text: Column, k: Int, mod: Int): Column =
+    column(CdcBoundaries(expression(text), k, mod))
 }

@@ -163,4 +163,41 @@ class TextFunctionsSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(fps.sameElements(again))
   }
+
+  test("cdcBoundaries: brute KR match, edit locality, short-doc empty") {
+    import graft.functions.WinnowingExpression.cdcBoundaries
+    val spark2 = spark
+    import spark2.implicits._
+    def cuts(text: String, k: Int, m: Int): Seq[Long] =
+      Seq(Tuple1(text)).toDF("text")
+        .select(cdcBoundaries(col("text"), k, m)).head.getSeq[Long](0)
+    // brute-force KR over codepoints must agree position for position
+    def brute(text: String, k: Int, m: Int): Seq[Long] = {
+      val cps = text.codePoints().toArray
+      val M = (1L << 31) - 1
+      (0 to cps.length - k).flatMap { i =>
+        val h = (i until i + k).foldLeft(0L)((a, j) => (a * 131 + cps(j)) % M)
+        if (h % m == 0 && i + k < cps.length) Some((i + k).toLong) else None
+      }
+    }
+    val rnd = new scala.util.Random(5)
+    val doc = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    for (m <- Seq(16, 64)) assert(cuts(doc, 8, m) == brute(doc, 8, m))
+    // EDIT LOCALITY — the reason CDC exists: chunk the doc, insert one
+    // char near the front, re-chunk; every chunk after the edited one
+    // is content-identical (fixed-stride chunking would shift them all)
+    def chunkSet(text: String): Seq[String] = {
+      val cs = cuts(text, 8, 16) :+ text.length.toLong
+      cs.foldLeft((1L, Seq.empty[String])) { case ((start, acc), cut) =>
+        (cut + 1, acc :+ text.substring(start.toInt - 1, cut.toInt))
+      }._2
+    }
+    val before = chunkSet(doc)
+    val after = chunkSet(doc.substring(0, 5) + "X" + doc.substring(5))
+    assert(before.length >= 5, s"fixture too few chunks: ${before.length}")
+    // all but the first O(1) chunks survive the edit verbatim
+    assert(before.drop(2) == after.drop(after.length - (before.length - 2)))
+    // shorter than k: no boundaries, never a crash
+    assert(cuts("tiny", 8, 4).isEmpty)
+  }
 }
