@@ -7,40 +7,24 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
-  * SIGMOD'03): Karp–Rabin ROLLING hash over character k-grams, then the
-  * minimum hash of every w-hash window, deduplicated — the standard
-  * local-fingerprint scheme whose guarantee is that any shared substring
-  * of length ≥ k + w − 1 yields at least one shared fingerprint.
+/** The ONE Karp–Rabin definition both fingerprinting and
+  * content-defined chunking share — and the one the DuckDB oracles
+  * reproduce digit for digit. Changing the base/modulus here changes
+  * every consumer and every oracle TOGETHER; duplicating it would let
+  * them drift apart silently.
   *
-  * Single-pass native expression: the rolling update is
-  * `h = (h − c_out·B^(k−1))·B + c_in mod M`, O(1) per character; window
-  * minima via a monotone deque, O(1) amortized. Fingerprint set size is
-  * ~2/(w+1) of the k-gram count — a compact sketch for containment /
-  * near-dup detection at corpus scale.
-  */
-case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
+  * Modulus small enough that every product stays inside a signed
+  * 64-bit long (h < 2^31, h·B < 2^39) — a larger modulus silently
+  * overflows and the hash stops being position-independent. */
+private[functions] object KarpRabin {
+  val B = 131L            // rolling base
+  val M = (1L << 31) - 1  // Mersenne prime 2^31−1
 
-  // modulus small enough that every product below stays inside a signed
-  // 64-bit long (h < 2^31, h·B < 2^39) — a larger modulus silently
-  // overflows and the hash stops being position-independent
-  private val B = 131L            // rolling base
-  private val M = (1L << 31) - 1  // Mersenne prime 2^31−1
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override protected def nullSafeEval(input: Any): Any = {
-    // hash Unicode CODEPOINTS, not UTF-16 code units: the DuckDB oracle
-    // twin uses ord()/len(), which are codepoint-based — surrogate-pair
-    // characters (emoji, rare CJK) would otherwise shift every k-gram
-    // hash and the length gate (ASCII corpora mask the difference)
-    val cps = input.asInstanceOf[UTF8String].toString
-      .codePoints().toArray
+  /** Rolling hashes of every k-gram of `cps` (codepoints), in order:
+    * out(i) = hash of cps[i, i+k). Empty when cps has < k codepoints. */
+  def gramHashes(cps: Array[Int], k: Int): Array[Long] = {
     val n = cps.length
-    if (n < k) return new GenericArrayData(Array.empty[Any])
-    // rolling k-gram hashes
+    if (n < k) return Array.empty
     val nh = n - k + 1
     val hs = new Array[Long](nh)
     var pow = 1L
@@ -56,6 +40,38 @@ case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
       hs(i) = h
       i += 1
     }
+    hs
+  }
+}
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+  * SIGMOD'03): [[KarpRabin]] ROLLING hash over character k-grams, then
+  * the minimum hash of every w-hash window, deduplicated — the standard
+  * local-fingerprint scheme whose guarantee is that any shared substring
+  * of length ≥ k + w − 1 yields at least one shared fingerprint.
+  *
+  * Single-pass native expression: O(1) per character; window minima via
+  * a monotone deque, O(1) amortized. Fingerprint set size is ~2/(w+1)
+  * of the k-gram count — a compact sketch for containment / near-dup
+  * detection at corpus scale. */
+case class WinnowingFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 2 && w >= 1, "need k >= 2, w >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    // hash Unicode CODEPOINTS, not UTF-16 code units: the DuckDB oracle
+    // twin uses ord()/len(), which are codepoint-based — surrogate-pair
+    // characters (emoji, rare CJK) would otherwise shift every k-gram
+    // hash and the length gate (ASCII corpora mask the difference)
+    val cps = input.asInstanceOf[UTF8String].toString
+      .codePoints().toArray
+    val n = cps.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val hs = KarpRabin.gramHashes(cps, k) // rolling k-gram hashes
+    val nh = hs.length
+    var i = 0
     if (nh <= w) {
       // fewer k-grams than a window: keep the single global min
       var mn = hs(0); i = 1
@@ -105,9 +121,6 @@ case class CdcBoundaries(child: Expression, k: Int, mod: Int)
     extends UnaryExpression with CodegenFallback {
   require(k >= 2 && mod >= 1, "need k >= 2, mod >= 1")
 
-  private val B = 131L
-  private val M = (1L << 31) - 1
-
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any = {
@@ -115,19 +128,12 @@ case class CdcBoundaries(child: Expression, k: Int, mod: Int)
       .codePoints().toArray
     val n = cps.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
+    val hs = KarpRabin.gramHashes(cps, k)
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
-    var pow = 1L
     var i = 0
-    while (i < k - 1) { pow = pow * B % M; i += 1 }
-    var h = 0L
-    i = 0
-    while (i < k) { h = (h * B + cps(i)) % M; i += 1 }
-    // gram starting at s ends at position s + k (1-based)
-    if (h % mod == 0 && k < n) out += k.toLong
-    i = 1
-    while (i < n - k + 1) {
-      h = ((h - cps(i - 1) * pow % M + M * 2) % M * B + cps(i + k - 1)) % M
-      if (h % mod == 0 && i + k < n) out += (i + k).toLong
+    while (i < hs.length) {
+      // gram starting at i ends at position i + k (1-based)
+      if (hs(i) % mod == 0 && i + k < n) out += (i + k).toLong
       i += 1
     }
     new GenericArrayData(out.toArray)

@@ -704,7 +704,11 @@ object EpsilonJoin {
               val rows =
                 scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
               while (sameGroup && buf.head._1._3 == 0) rows += buf.next()._2
-              if (rows.isEmpty) { while (sameGroup) buf.next() }
+              // !sameGroup after the build prefix = zero probes touched
+              // this group — skip the O(m log m) tree build, like the
+              // cogroup branch's probes.isEmpty check (most corpus
+              // cells are probe-less when the delta side is small)
+              if (rows.isEmpty || !sameGroup) { while (sameGroup) buf.next() }
               else {
                 val tree = new graft.functions.KdTree(rows.map(_._2).toArray)
                 out = new Iterator[Row] {

@@ -410,35 +410,43 @@ object Multimodal {
     * palette). Throws on undecodable payloads. */
   private[graft] def decodeVideoStats(payload: Array[Byte])
       : Seq[(Int, Int, Int, Long, Long)] = {
+    // close the input stream and dispose the reader on EVERY path:
+    // createImageInputStream defaults to a file-backed cache stream
+    // (open FD + /tmp file), and mapPartitions calls this once per row —
+    // leaking them kills long-lived executors with EMFILE
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
-    val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    require(readers.hasNext,
-      s"payload (${payload.length} bytes) is not a decodable video")
-    val reader = readers.next()
-    reader.setInput(iis)
-    val n = reader.getNumImages(true)
-    val out = (0 until n).map { f =>
-      val img = reader.read(f)
-      val w = img.getWidth
-      val h = img.getHeight
-      var sum = 0L
-      var sq = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val v = (img.getRGB(x, y) >> 16) & 0xff
-          sum += v
-          sq += v.toLong * v
-          x += 1
+    var reader: javax.imageio.ImageReader = null
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        s"payload (${payload.length} bytes) is not a decodable video")
+      reader = readers.next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n).map { f =>
+        val img = reader.read(f)
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var sq = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = (img.getRGB(x, y) >> 16) & 0xff
+            sum += v
+            sq += v.toLong * v
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        (f, w, h, sum, sq)
       }
-      (f, w, h, sum, sq)
+    } finally {
+      if (reader != null) reader.dispose()
+      iis.close()
     }
-    reader.dispose()
-    out
   }
 
   /** Per-frame feature extraction over a video table — the REAL-decode

@@ -1507,6 +1507,11 @@ object Stats {
     * Scale shape: a narrow projection + ONE hash aggregate; rank
     * windows (if the caller fits frequency-vs-rank) happen upstream.
     *
+    * Rows with non-positive (or NULL) x or y are EXCLUDED before the
+    * aggregate — their logs are undefined, and letting them NULL out of
+    * the sums while still counting into n would silently skew every
+    * closing formula. `n` reports the rows actually fitted.
+    *
     * @return (groupCols*, n, slope, icept_ln, r2) — `icept_ln` is
     *   ln(a); slope is the power-law exponent b. */
   def powerLawFit(df: DataFrame, groupCols: Seq[String], x: Column,
@@ -1526,7 +1531,8 @@ object Stats {
     // double `den` lands on rounding dust, not zero
     val xConst = col("mnx") === col("mxx")
     val yConst = col("mny") === col("mxy")
-    df.select((g :+ lx.as("__lx") :+ ly.as("__ly")): _*)
+    df.filter(x > 0 && y > 0)
+      .select((g :+ lx.as("__lx") :+ ly.as("__ly")): _*)
       .groupBy(g: _*)
       .agg(count(lit(1)).as("n"),
         sum(col("__lx")).as("sx"), sum(col("__ly")).as("sy"),

@@ -50,6 +50,12 @@ object WarcDocs {
         try it.foreach { r =>
           val id = r.getLong(0)
           val uri = r.getString(1)
+          // header VALUES have no length framing — a control char in a
+          // crawler-supplied uri would inject a header line and corrupt
+          // the record grammar the payload framing protects against
+          require(!uri.exists(c => c == '\r' || c == '\n'),
+            s"uri for doc $id contains CR/LF — reject or sanitize " +
+              "upstream (WARC header values cannot frame control chars)")
           val payload = r.getString(2)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val header =
@@ -87,9 +93,15 @@ object WarcDocs {
   /** Read a directory of `.warc` / `.warc.gz` files back to
     * (doc_id, uri, text). Content-Length framing only — a payload
     * containing "WARC/1.0" or CRLF runs parses correctly (spec-pinned).
-    * Gzip shards decompress as concatenated members (GZIPInputStream
-    * handles the multi-member stream). Malformed records fail loudly
-    * with the file and byte offset. */
+    * Gzip shards decompress as a STREAM of concatenated members
+    * (GZIPInputStream handles the multi-member layout) — the
+    * decompressed shard is never materialized whole, so a ~1 GB
+    * `.warc.gz` that inflates to several GB parses in O(record) memory
+    * (the 2 GB array cap and the 3-4× peak-memory copy would otherwise
+    * bite at exactly the Common Crawl shard size this format targets;
+    * the COMPRESSED bytes are still one in-memory array — the
+    * binaryFile source's own granularity). Malformed records fail
+    * loudly with the file and decompressed byte offset. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val files = spark.read.format("binaryFile").load(s"$dir/*.warc*")
       .select(col("path"), col("content"))
@@ -98,30 +110,52 @@ object WarcDocs {
     files.flatMap { fr =>
       val path = fr.getString(0)
       val raw = fr.getAs[Array[Byte]](1)
-      val bytes =
+      val in0 = new java.io.ByteArrayInputStream(raw)
+      val in = new java.io.BufferedInputStream(
         if (path.endsWith(".gz"))
-          new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(raw)).readAllBytes()
-        else raw
-      val recs = scala.collection.mutable.ArrayBuffer.empty[Row]
-      var p = 0
-      def fail(msg: String): Nothing =
-        throw new IllegalArgumentException(s"$path @ byte $p: $msg")
-      def line(): String = {
-        val nl = {
-          var i = p
-          while (i < bytes.length - 1 &&
-            !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
-          if (i >= bytes.length - 1) fail("unterminated header line")
-          i
-        }
-        val s = new String(bytes, p, nl - p,
-          java.nio.charset.StandardCharsets.UTF_8)
-        p = nl + 2
-        s
+          new java.util.zip.GZIPInputStream(in0)
+        else in0)
+      parseRecords(path, in)
+    }(enc)
+  }
+
+  /** Streaming record parser: reads headers byte by byte and payloads
+    * with exact-length bulk reads — O(largest record) memory. */
+  private def parseRecords(path: String,
+      in: java.io.InputStream): Iterator[Row] = {
+    var p = 0L // decompressed offset, for error context
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$path @ byte $p: $msg")
+    def readByte(): Int = { val b = in.read(); if (b >= 0) p += 1; b }
+    def line(): String = {
+      val bos = new java.io.ByteArrayOutputStream(64)
+      var prev = -1
+      var b = readByte()
+      while (b >= 0 && !(prev == '\r' && b == '\n')) {
+        bos.write(b); prev = b; b = readByte()
       }
-      while (p < bytes.length) {
-        if (line() != "WARC/1.0") fail("expected WARC/1.0 version line")
+      if (b < 0) fail("unterminated header line")
+      val arr = bos.toByteArray
+      new String(arr, 0, arr.length - 1, // drop the trailing '\r'
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def readExactly(n: Int): Array[Byte] = {
+      val buf = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val got = in.read(buf, off, n - off)
+        if (got < 0) fail("truncated payload")
+        off += got; p += got
+      }
+      buf
+    }
+    new Iterator[Row] {
+      private var nextByte: Int = readByte()
+      override def hasNext: Boolean = nextByte >= 0
+      override def next(): Row = {
+        // the lookahead byte is the first char of the version line
+        val version = nextByte.toChar + line()
+        if (version != "WARC/1.0") fail("expected WARC/1.0 version line")
         var id = -1L
         var uri: String = null
         var len = -1
@@ -142,18 +176,17 @@ object WarcDocs {
           h = line()
         }
         if (id < 0 || uri == null || len < 0)
-          fail("record missing WARC-Record-ID/WARC-Target-URI/Content-Length")
-        if (p + len + 4 > bytes.length) fail("truncated payload")
-        val text = new String(bytes, p, len,
+          fail("record missing WARC-Record-ID/WARC-Target-URI/" +
+            "Content-Length")
+        val text = new String(readExactly(len),
           java.nio.charset.StandardCharsets.UTF_8)
-        p += len
-        if (!(bytes(p) == '\r' && bytes(p + 1) == '\n' &&
-            bytes(p + 2) == '\r' && bytes(p + 3) == '\n'))
+        val tr = readExactly(4)
+        if (!(tr(0) == '\r' && tr(1) == '\n' && tr(2) == '\r' &&
+            tr(3) == '\n'))
           fail("missing record trailer")
-        p += 4
-        recs += Row(id, uri, text)
+        nextByte = readByte()
+        Row(id, uri, text)
       }
-      recs
-    }(enc)
+    }
   }
 }
