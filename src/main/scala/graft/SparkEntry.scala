@@ -2667,6 +2667,20 @@ object SparkEntry {
           col("cell_idx").cast("int").as("cell_idx"), col("cell_sum"))
     }),
 
+    // SFT transcript assembly: documents as fake conversation turns
+    // (conv = doc_id mod 100, alternating user/assistant roles, ordered
+    // by doc_id) -> one transcript per conversation + the assistant
+    // loss-mask char spans — the post-training data-prep composition
+    "q230_sft_transcripts" -> ((s, dir) =>
+      graft.operators.Curation.sftTranscripts(
+        t(s, dir, "documents").select(
+          pmod(col("doc_id"), lit(100L)).as("conv"),
+          col("doc_id").as("ord"),
+          when(col("doc_id") % 2 === 0, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          col("text")),
+        "conv", "ord", "role", "text")),
+
     // Content-defined chunking (the FastCDC/LBFS idea): cut where the
     // rolling k-gram hash ≡ 0 mod 64 — boundaries follow CONTENT, so an
     // edit re-cuts one chunk, not every downstream window (the
@@ -5192,6 +5206,34 @@ object SparkEntry {
           |SELECT agg.m AS media_id, agg.w AS width, agg.h AS height,
           |  r_sum, g_sum, b_sum, r_sq, g_sq, b_sq, cell_idx, cell_sum
           |FROM agg JOIN cl ON cl.m = agg.m""".stripMargin,
+
+      // SFT assembly: the same block concat + cumulative-length window
+      // in SQL; string_agg(ORDER BY ord) is the transcript, span math
+      // is exact integers
+      "q230_sft_transcripts" ->
+        """WITH t AS (SELECT doc_id % 100 AS conv, doc_id AS ord,
+          |    CASE WHEN doc_id % 2 = 0 THEN 'user'
+          |         ELSE 'assistant' END AS role,
+          |    coalesce(text, '') AS txt
+          |  FROM documents),
+          |b AS (SELECT *,
+          |    '<' || role || '>' || chr(10) || txt || chr(10) AS blk
+          |  FROM t),
+          |o AS (SELECT *, CAST(sum(len(blk)) OVER (PARTITION BY conv
+          |    ORDER BY ord) AS BIGINT) AS end_off FROM b),
+          |sp AS (SELECT conv,
+          |    end_off - len(blk) + 1 + len(role) + 3 AS span_start,
+          |    len(txt) AS span_len
+          |  FROM o WHERE role = 'assistant'),
+          |tr AS (SELECT conv, CAST(count(*) AS BIGINT) AS n_turns,
+          |    string_agg(blk, '' ORDER BY ord) AS transcript
+          |  FROM o GROUP BY 1)
+          |SELECT sp.conv, tr.n_turns,
+          |  CAST(len(tr.transcript) AS BIGINT) AS n_chars,
+          |  md5(tr.transcript) AS transcript_md5,
+          |  CAST(sp.span_start AS BIGINT) AS span_start,
+          |  CAST(sp.span_len AS BIGINT) AS span_len
+          |FROM sp JOIN tr USING (conv)""".stripMargin,
 
       // CDC: the winnowing oracle's Karp-Rabin gram chain, gated on
       // h % 64 = 0, final cut appended, spans via per-doc lag

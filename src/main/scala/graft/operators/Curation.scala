@@ -524,4 +524,54 @@ object Curation {
         col("top").getItem(0).getField("id").as("top_train_id"),
         round(-col("top").getItem(0).getField("score"), 6).as("top_cos"))
   }
+
+  /** SFT transcript assembly — the post-training data-prep step:
+    * ordered conversation turns become one transcript per conversation
+    * (`<role>\n` header + turn text + `\n` per block, concatenated in
+    * `ordCol` order) plus the LOSS-MASK spans: the 1-based character
+    * range of every `assistantRole` turn's TEXT inside the transcript
+    * (fine-tuning losses apply to assistant tokens only; headers and
+    * non-assistant turns are context). Span arithmetic is exact
+    * integers off one cumulative-length window — the invariant
+    * `substring(transcript, span_start, span_len) == turn text` is
+    * spec-pinned.
+    *
+    * Scale shape: ONE exchange on hash(conv) — the window and both
+    * closing aggregates reuse it. `ordCol` must be unique per
+    * conversation; NULL texts count as empty turns.
+    *
+    * @return one row per ASSISTANT turn: (`convCol`, n_turns, n_chars,
+    *   transcript_md5, span_start, span_len); conversations with no
+    *   assistant turn are absent (nothing to mask). */
+  def sftTranscripts(turns: DataFrame, convCol: String, ordCol: String,
+      roleCol: String, textCol: String,
+      assistantRole: String = "assistant"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = turns.select(col(convCol).as("conv"), col(ordCol).as("ord"),
+        col(roleCol).as("role"),
+        coalesce(col(textCol), lit("")).as("txt"))
+      .select(col("conv"), col("ord"), col("role"), col("txt"),
+        concat(lit("<"), col("role"), lit(">\n"), col("txt"), lit("\n"))
+          .as("blk"))
+    val w = Window.partitionBy("conv").orderBy("ord")
+    val withOff = t.withColumn("end_off",
+      sum(length(col("blk")).cast("long")).over(w))
+    val spans = withOff.filter(col("role") === assistantRole)
+      .select(col("conv"),
+        // block starts at end_off − len(blk) + 1; the text starts after
+        // the "<role>\n" header (len(role) + 3 chars)
+        (col("end_off") - length(col("blk")) + 1 + length(col("role")) + 3)
+          .as("span_start"),
+        length(col("txt")).cast("long").as("span_len"))
+    val transcripts = withOff.groupBy("conv")
+      .agg(count(lit(1)).as("n_turns"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ord"), col("blk")))),
+          x => x("blk")), "").as("transcript"))
+    spans.join(transcripts, "conv")
+      .select(col("conv").as(convCol), col("n_turns"),
+        length(col("transcript")).cast("long").as("n_chars"),
+        md5(col("transcript").cast("binary")).as("transcript_md5"),
+        col("span_start"), col("span_len"))
+  }
 }

@@ -418,4 +418,44 @@ class CurationSpec extends SparkSpec {
     assert(r.getLong(1) == 2L)
     assert(r.getLong(2) == 5L) // both cos=1 — lower id wins
   }
+
+  test("sftTranscripts: mask spans recover exactly the assistant text") {
+    val spark2 = spark
+    import spark2.implicits._
+    val turns = Seq(
+      (1L, 1L, "system", "be helpful"),
+      (1L, 2L, "user", "hi\nthere"), // newline inside a turn
+      (1L, 3L, "assistant", "hello! how can I help?"),
+      (1L, 4L, "user", "bye"),
+      (1L, 5L, "assistant", "bye bye"),
+      (2L, 1L, "user", "no assistant here"), // conv 2: no mask rows
+      (3L, 1L, "assistant", ""), // empty assistant turn: zero-len span
+      (3L, 2L, "user", "x"))
+      .toDF("conv", "ord", "role", "text").repartition(3)
+    val out = Curation.sftTranscripts(turns, "conv", "ord", "role", "text")
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 3L)) // conv 2 absent
+    // rebuild each transcript independently and check every span slices
+    // out exactly the assistant turn's text
+    val byConv = Seq(
+      1L -> Seq(("system", "be helpful"), ("user", "hi\nthere"),
+        ("assistant", "hello! how can I help?"), ("user", "bye"),
+        ("assistant", "bye bye")),
+      3L -> Seq(("assistant", ""), ("user", "x"))).toMap
+    def transcript(c: Long) =
+      byConv(c).map { case (r, t) => s"<$r>\n$t\n" }.mkString
+    for (r <- out) {
+      val c = r.getLong(0)
+      val tr = transcript(c)
+      assert(r.getLong(2) == tr.length && r.getLong(1) == byConv(c).length)
+      val got = tr.substring(r.getLong(4).toInt - 1,
+        r.getLong(4).toInt - 1 + r.getLong(5).toInt)
+      assert(byConv(c).exists { case (role, t) =>
+        role == "assistant" && t == got
+      }, s"span sliced '$got'")
+    }
+    // every assistant turn produced exactly one span row
+    assert(out.count(_.getLong(0) == 1L) == 2 &&
+      out.count(_.getLong(0) == 3L) == 1)
+  }
 }
