@@ -668,4 +668,38 @@ class PlanQualitySpec extends SparkSpec {
       s"missing bounded-heap shortlist aggregate:\n$p")
     assert(!p.contains("Window"), s"MMR must not rank via windows:\n$p")
   }
+
+  test("q229 CDC chunks: the native boundary kernel, one doc exchange") {
+    val p = plan(SparkEntry.queries("q229_cdc_chunks")(spark, sf))
+    // boundaries come from the single-pass rolling-hash expression, not
+    // a position explode + per-position hashing
+    assert(p.contains("cdc_boundaries"), s"missing CDC kernel:\n$p")
+    // one hash exchange on doc_id drives the span window; nothing else
+    // shuffles (the explode and md5 are projections)
+    assert("""Exchange hashpartitioning\(doc_id""".r.findAllIn(p).length == 1,
+      s"CDC chunking must shuffle once, on doc_id:\n$p")
+  }
+
+  test("q230 SFT transcripts: one conversation exchange feeds window " +
+      "and both aggregates") {
+    val p = plan(SparkEntry.queries("q230_sft_transcripts")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // the cumulative-offset window and the transcript aggregate reuse
+    // hash(conv); the closing span/transcript join adds at most one
+    // more conv exchange in the initial plan (AQE broadcasts the tiny
+    // per-conv transcript side at runtime) — never one per stage
+    assert("""Exchange hashpartitioning\(conv""".r.findAllIn(p).length <= 2,
+      s"SFT assembly grew extra conv shuffles:\n$p")
+  }
+
+  test("q226 zipf fit: token agg + rank window, no cartesian, " +
+      "moments in one hash aggregate") {
+    val p = plan(SparkEntry.queries("q226_zipf_fit")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // token counts shuffle on (lang, tok); the rank window and the
+    // moment aggregate then share hash(lang) — three exchanges total,
+    // never one per moment
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3,
+      s"zipf fit grew extra shuffles:\n$p")
+  }
 }
