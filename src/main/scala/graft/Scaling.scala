@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Strong-scaling sweep — the mirror of the reference's own rank sweep
+  * (`manyTests.py` at 2/4/8/16 MPI ranks), with the result the
+  * reference could NOT produce: its cluster count drifts with ranks
+  * (51/49/45/42 on clus50k — `Progress-5-Nov-19.txt:9-29`, the ≥4-rank
+  * merge bug), while this engine's labels are partitioning-invariant by
+  * construction, so the sweep shows the SAME fingerprint at every
+  * parallelism plus the wall-clock curve.
+  *
+  * Runs the forced-distributed DBSCAN (never the fused single-task
+  * path — a scaling study of a one-task path would be vacuous) on
+  * clus50k and the 500k synthetic cloud at 2/4/8/16/32 cores, one
+  * fresh session per level (new shuffle parallelism, cleared JVM
+  * caches are NOT possible in-process — min-of-2 reps strips the
+  * first-session JIT instead). Prints one JSON line and writes
+  * SCALING.json.
+  */
+object Scaling {
+
+  private def fingerprint(df: DataFrame): String = {
+    val r = df.agg(
+      count(lit(1)).as("n"),
+      countDistinct(when(col("cluster_id") =!= 0, col("cluster_id")))
+        .as("k"),
+      sum(when(col("cluster_id") === 0, 1L).otherwise(0L)).as("noise"),
+      sum(xxhash64(col("id"), col("cluster_id")).cast("decimal(38,0)"))
+        .as("chk")).head
+    r.toSeq.mkString("|")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val levels = sys.env.getOrElse("SPARK_GRAFT_SCALING_CPUS", "2,4,8,16,32")
+      .split(',').map(_.trim.toInt).toSeq
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt
+    val workloads: Seq[(String, SparkSession => DataFrame)] = Seq(
+      "dbscan_clus50k_dist" -> (s =>
+        Workloads.dbscanBin(s, "/root/reference/clus50k.bin", 25.0, 5,
+          localThreshold = 0L)),
+      "dbscan_synth500k" -> (s =>
+        Workloads.dbscanSynth(s, 500_000L, k = 25, dims = 5,
+          eps = 1.0, minPts = 5)),
+    )
+    val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+    var baseline = Map.empty[String, String]
+    var invariant = true
+    for (cpus <- levels) {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName(s"graft-scaling-$cpus")
+        .config("spark.sql.shuffle.partitions", cpus.toString)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      try workloads.foreach { case (name, fn) =>
+        var best = Double.MaxValue
+        var fp = ""
+        (0 until reps).foreach { _ =>
+          spark.catalog.clearCache(); System.gc()
+          val t0 = System.nanoTime()
+          fp = fingerprint(fn(spark))
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        if (!baseline.contains(name)) baseline += name -> fp
+        else if (baseline(name) != fp) invariant = false
+        rows += s"""{"workload":"$name","cpus":$cpus,""" +
+          s""""sec":${math.rint(best * 100) / 100},"fingerprint":"$fp"}"""
+        System.err.println(s"[scaling] $name cpus=$cpus " +
+          s"sec=${math.rint(best * 100) / 100} fp=$fp")
+      } finally spark.stop()
+    }
+    val out = s"""{"invariant":$invariant,""" +
+      s""""runs":[${rows.mkString(",")}]}"""
+    val path = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT",
+      "/root/repo/SCALING.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+      out + "\n")
+    println(out)
+    if (!invariant) sys.exit(1)
+  }
+}
