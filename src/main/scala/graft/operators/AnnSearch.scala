@@ -438,8 +438,12 @@ object AnnSearch {
     * m·nc-literal expression tree: that tree overflows Janino's method
     * limit and the failed compile re-runs per task before interpreting
     * (measured 15 s vs sub-second on the sf0.1 fixture); the UDF runs
-    * on |Q| rows only — the |Q|·|B| scan stays native. Fold order
-    * matches SquaredL2 exactly, so results are unchanged. The scan
+    * on |Q| rows only — the |Q|·|B| scan stays native. Table entries
+    * are integer-quantized (floor(d²·1e9 + 0.5) longs — see the inline
+    * note below), so the ADC sum is shuffle-order-free and
+    * engine-portable; rankings may differ from a raw double fold
+    * within the 1e-9 quantum, which is inside ADC's own approximation
+    * error. The scan
     * never touches a full vector. Exact-rerank of the ADC shortlist is
     * the usual production follow-up ([[bruteForceTopK]] survivors).
     * @param queries (`a_id`, `a_v`); @param codes [[pqEncode]] output.

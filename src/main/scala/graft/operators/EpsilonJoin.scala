@@ -385,16 +385,24 @@ object EpsilonJoin {
     val acc = distEvals
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
 
-    val keyed = points.select(col(idCol).cast("long").as("id"),
+    // The point set is pinned (persisted) across the overfull-cell
+    // count probe and the routed shuffle: a nondeterministic upstream
+    // re-evaluated between the two passes could leave a genuinely
+    // dense cell unsalted (task-memory-bound violation, not wrong
+    // pairs). The base carries raw points only — no ghost
+    // multiplication — and Spark's ContextCleaner unpersists it once
+    // the result lineage is dropped.
+    val base = points.select(col(idCol).cast("long").as("id"),
         col(vecCol).as("v"))
       // the grid path drops null vectors through the withinEps predicate
       // (null ⇒ filter false); the rdd path must drop them explicitly or
       // getSeq NPEs — and a null id must not silently become 0
       .filter(col("id").isNotNull && col("v").isNotNull)
       .rdd
-      .flatMap { r =>
-        val id = r.getLong(0)
-        val v = r.getSeq[Float](1).toArray
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val keyed = base
+      .flatMap { case (id, v) =>
         // per-dim cell range touched by the ±ε envelope (home included)
         val lo = new Array[Long](k)
         val hi = new Array[Long](k)
@@ -603,15 +611,21 @@ object EpsilonJoin {
     val r2 = eps * eps
     val shufflePartitions = spark.sessionState.conf.numShufflePartitions
 
-    def keyed(df: DataFrame, probe: Boolean) =
-      df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    def keyed(df: DataFrame, probe: Boolean) = {
+      val base = df.select(col(idCol).cast("long").as("id"),
+          col(vecCol).as("v"))
         // null ids/vectors dropped — matches the grid path's predicate
         // semantics (see selfJoinKd)
         .filter(col("id").isNotNull && col("v").isNotNull)
         .rdd
-        .flatMap { r =>
-          val id = r.getLong(0)
-          val v = r.getSeq[Float](1).toArray
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      // the BUILD side is counted (dense probe) and then shuffled —
+      // pin its row set so both passes agree (see selfJoinKd); the
+      // probe side is evaluated once, no pinning needed
+      val pinned = if (probe) base else base.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      pinned
+        .flatMap { case (id, v) =>
           if (!probe) {
             val home = new Array[Long](k)
             var j = 0
@@ -633,6 +647,7 @@ object EpsilonJoin {
             envelopeCells(lo, hi).map(c => (c.toSeq: Seq[Long], (id, v)))
           }
         }
+    }
     val part = new org.apache.spark.HashPartitioner(shufflePartitions)
     val buildKeyed = keyed(right, probe = false)
     val probeKeyed = keyed(left, probe = true)

@@ -99,6 +99,10 @@ object Multimodal {
         // per-partition setup happens here once (codec/model init in a
         // real implementation)
         it.map { r =>
+          // a NULL id would NPE inside the error-message formatting
+          // below — reject it first with the promised clear message
+          require(!r.isNullAt(0),
+            "null media_id — every media row needs a non-null id")
           val payload = r.getAs[Array[Byte]]("payload")
           require(payload != null,
             s"null payload for media_id=${r.getLong(0)} — decode needs bytes")
@@ -209,6 +213,10 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("payload"))
       .mapPartitions { it =>
         it.map { r =>
+          // a NULL id would NPE inside the error-message formatting
+          // below — reject it first with the promised clear message
+          require(!r.isNullAt(0),
+            "null media_id — every media row needs a non-null id")
           val payload = r.getAs[Array[Byte]]("payload")
           require(payload != null,
             s"null payload for media_id=${r.getLong(0)}")
@@ -333,6 +341,10 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("payload"))
       .mapPartitions { it =>
         it.map { r =>
+          // a NULL id would NPE inside the error-message formatting
+          // below — reject it first with the promised clear message
+          require(!r.isNullAt(0),
+            "null media_id — every media row needs a non-null id")
           val payload = r.getAs[Array[Byte]]("payload")
           require(payload != null,
             s"null payload for media_id=${r.getLong(0)}")
@@ -468,6 +480,10 @@ object Multimodal {
     media.select(col("media_id").cast("long"), col("payload"))
       .mapPartitions { it =>
         it.flatMap { r =>
+          // a NULL id would NPE inside the error-message formatting
+          // below — reject it first with the promised clear message
+          require(!r.isNullAt(0),
+            "null media_id — every media row needs a non-null id")
           val payload = r.getAs[Array[Byte]]("payload")
           require(payload != null,
             s"null payload for media_id=${r.getLong(0)}")
