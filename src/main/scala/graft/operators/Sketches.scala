@@ -139,6 +139,79 @@ object Sketches {
         (expr("percentile(__v * 4, 0.5D)") / 400.0).as("p50"),
         (expr("percentile(__v * 4, 0.75D)") / 400.0).as("p75"))
   }
+
+  // --- Portable HLL (relational registers, cross-engine exact) ----------
+  //
+  // A from-the-paper HyperLogLog (Flajolet et al. 2007) whose sketch is
+  // a plain (group, bucket, reg) ROW TABLE instead of an opaque binary:
+  // registers are max-aggregates, so build, merge, and estimate are all
+  // ordinary relational operators — order-free by construction — and
+  // every arithmetic step is either exact-integer or a fixed-order
+  // double expression, so an external SQL engine reproduces the
+  // ESTIMATE bit-for-bit (q59's DuckDB oracle does). b = 12 ⇒ 4096
+  // registers, ~1.04/√4096 ≈ 1.6% rel. std. error. The hash is the
+  // repo's 60-bit md5 bridge: bucket = top 12 bits, rho over the
+  // remaining 48 — wide enough that the classic 2^32/30 large-range
+  // collision correction never applies (its analog sits near 2^60/30).
+  // Scale shape: a register table is ≤ 4096 rows per group — the
+  // sketch-once / re-aggregate-many path with sketches you can also
+  // JOIN, DIFF, and inspect. The DataSketches wrappers above remain the
+  // compact-binary variant; this one trades ~32 KB/group for exact
+  // portability.
+
+  /** Per-group portable-HLL register table of `valueCol`'s distinct
+    * values: (groupCols…, bucket, reg) with bucket ∈ [0, 4096),
+    * reg ∈ [1, 49]. Absent buckets are implicit zeros (carried by
+    * [[hllPortableEstimate]]'s complement term, never materialized). */
+  def hllPortableRegisters(df: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15),
+      16, 10).cast("long")
+    val rest = col("__h").bitwiseAND(lit((1L << 48) - 1))
+    df.select(groupCols.map(col) :+ h.as("__h"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        shiftright(col("__h"), 48).as("bucket"),
+        when(rest === 0, lit(49))
+          .otherwise(lit(49) - length(bin(rest))).as("__rho")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("__rho").cast("int").as("reg"))
+  }
+
+  /** Union register tables to a coarser grouping — register max, the
+    * lossless HLL merge (a merged table equals one built directly over
+    * the union, bit-for-bit — spec-enforced). */
+  def hllPortableMerge(df: DataFrame, groupCols: Seq[String]): DataFrame =
+    df.groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max("reg").as("reg"))
+
+  /** Distinct-count estimate per group from a register table. The
+    * harmonic-mean denominator Σ 2^(−reg) is computed as the EXACT
+    * integer Σ 2^(62−reg) (absent buckets contribute 2^62 each via the
+    * complement term), so the only floating-point steps are one
+    * division by a constant-literal numerator and — on the
+    * small-range linear-counting branch — one ln() rounded to 9
+    * places before an exact decimal multiply (the q226 discipline).
+    * `5.57931869232093113e25` = α₄₀₉₆ · 4096² · 2^62 exactly as an
+    * IEEE double; both engines parse it to the same bits. */
+  def hllPortableEstimate(df: DataFrame, groupCols: Seq[String],
+      estCol: String = "est"): DataFrame = {
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 62 - reg) " +
+          "AS DECIMAL(38,0))")).as("__s"))
+      .select(groupCols.map(col) :+
+        expr(s"""CASE WHEN __n < 4096 AND
+            5.57931869232093113e25 /
+              CAST(CAST(4096 - __n AS DECIMAL(6,0)) * 4611686018427387904
+                + __s AS DOUBLE) <= 1.024e4
+          THEN CAST(round(4096 * CAST(round(
+              ln(CAST(4096 AS DOUBLE) / CAST(4096 - __n AS DOUBLE)), 9)
+              AS DECIMAL(18,9)), 6) AS DOUBLE)
+          ELSE round(5.57931869232093113e25 /
+            CAST(CAST(4096 - __n AS DECIMAL(6,0)) * 4611686018427387904
+              + __s AS DOUBLE), 6) END""").as(estCol): _*)
+  }
 }
 
 /** Binary Count-Min union as a typed Aggregator (Spark ships the CMS

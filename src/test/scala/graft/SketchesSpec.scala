@@ -153,4 +153,45 @@ class SketchesSpec extends SparkSpec {
     val t = run(tiny)("t")
     assert(t == ((9L, 2.0, 4.0, 6.0)), t)
   }
+
+  test("portable HLL: raw-branch accuracy at 100k, lossless merge, " +
+      "partition invariance") {
+    import graft.operators.Sketches
+    val spark2 = spark
+    import spark2.implicits._
+    // 100k distinct values across 4 shards — far past linear counting
+    // (4096 registers), so this exercises the RAW harmonic-mean branch
+    // the tiny-vocab fixtures never reach
+    val n = 100000
+    val df = spark.range(n)
+      .select((col("id") % 4).cast("string").as("src"),
+        concat(lit("val_"), col("id")).as("v"))
+    val perShard = Sketches.hllPortableRegisters(df, Seq("src"), "v")
+      .withColumn("all", lit("all"))
+    val merged = Sketches.hllPortableMerge(perShard, Seq("all"))
+    val est = Sketches.hllPortableEstimate(merged, Seq("all"))
+      .head().getDouble(1)
+    // 1.04/sqrt(4096) ~ 1.6% std error; 5% is ~3 sigma
+    assert(math.abs(est - n) / n < 0.05, s"est=$est for n=$n")
+    // merged register table == one built directly over the union
+    val direct = Sketches.hllPortableRegisters(
+      df.withColumn("all", lit("all")), Seq("all"), "v")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "merge must be lossless vs the direct build")
+    // register build is order/partitioning-free: repartitioned input,
+    // identical estimate bits
+    val est2 = Sketches.hllPortableEstimate(
+      Sketches.hllPortableRegisters(
+        df.repartition(13).withColumn("all", lit("all")), Seq("all"), "v"),
+      Seq("all")).head().getDouble(1)
+    assert(est == est2, s"$est != $est2 under repartition")
+    // and the tiny-cardinality path stays in linear counting, near-exact
+    val small = Sketches.hllPortableEstimate(
+      Sketches.hllPortableRegisters(
+        spark.range(50).select(lit("g").as("g"),
+          concat(lit("s"), col("id")).as("v")),
+        Seq("g"), "v"),
+      Seq("g")).head().getDouble(1)
+    assert(math.abs(small - 50) < 2, s"linear-counting est=$small for 50")
+  }
 }
