@@ -742,17 +742,21 @@ object SparkEntry {
 
     // Sketches: per-language vocabulary estimate from MERGED per-source
     // HLL sketches — the sketch-once / re-aggregate-many scale path.
-    // Rows-only check: approximate by design (q48 is the exact oracled
-    // twin); union==direct and the error bound are spec-enforced.
+    // The portable-HLL register-table variant: build per (lang, source),
+    // merge to lang by register max, estimate via the integer-exact
+    // harmonic sum — every step order-free and cross-engine exact, so
+    // the DuckDB oracle reproduces the ESTIMATE itself bit-for-bit
+    // (q48 remains the exact-countDistinct twin; the DataSketches
+    // binary path stays spec-covered in SketchesSpec).
     "q59_hll_vocab" -> ((s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("lang"), col("source"),
           explode(TextFunctions.tokens(col("text"))).as("tok"))
       val perSource = graft.operators.Sketches
-        .distinctSketch(toks, Seq("lang", "source"), "tok")
-      graft.operators.Sketches.mergeSketches(perSource, Seq("lang"))
-        .select(col("lang"),
-          graft.operators.Sketches.estimate(col("sketch")).as("vocab_est"))
+        .hllPortableRegisters(toks, Seq("lang", "source"), "tok")
+      graft.operators.Sketches.hllPortableEstimate(
+        graft.operators.Sketches.hllPortableMerge(perSource, Seq("lang")),
+        Seq("lang"), estCol = "vocab_est")
     }),
 
     // Graph: per-user triangle counts on the session-concurrency graph
@@ -2681,6 +2685,24 @@ object SparkEntry {
           col("text")),
         "conv", "ord", "role", "text")),
 
+    // Decremental DBSCAN: the standing clustering retracts a 10%
+    // delete batch (retention windows / GDPR erasure) — q164's dual.
+    // One bipartite deleted×remaining ε-pass finds the count
+    // decrements; only components that lost a core (deleted or
+    // demoted) re-solve and may split. Oracle: from-scratch DBSCAN
+    // over the survivor set — label equality IS the contract
+    "q231_decr_dbscan" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val st0 = operators.IncrementalDbscan.pin(
+        operators.IncrementalDbscan.init(e, "vec_id", "embedding",
+          Eps, MinPts, Nil))
+      val st1 = operators.IncrementalDbscan.pin(
+        operators.IncrementalDbscan.removePoints(st0,
+          e.filter(col("vec_id") % 10 === 0).select("vec_id"), "vec_id",
+          Eps, MinPts, Nil))
+      operators.IncrementalDbscan.labels(st1)
+    }),
+
     // Content-defined chunking (the FastCDC/LBFS idea): cut where the
     // rolling k-gram hash ≡ 0 mod 64 — boundaries follow CONTENT, so an
     // edit re-cuts one chunk, not every downstream window (the
@@ -2742,10 +2764,21 @@ object SparkEntry {
         .select(col("lang"), explode(TextFunctions.tokens(col("text")))
           .as("tok"))
         .groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
-      val ranked = cnt.withColumn("rnk",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .partitionBy("lang").orderBy(col("cnt").desc, col("tok"))))
-        .filter(col("rnk") <= 1000)
+      // top-1000 per lang via the bounded-heap aggregate, NOT a
+      // row_number window: the window must shuffle and fully SORT the
+      // whole per-lang (tok, cnt) table (vocabulary-sized at corpus
+      // scale); the heap runs partial/final with only 1000-entry
+      // buffers crossing the shuffle. The fit consumes (rnk, cnt)
+      // only, and the kept-cnt multiset is invariant under cnt ties,
+      // so the heap's hash-id tie-break cannot change the result —
+      // same oracle, window-free plan (spec-pinned).
+      val top = cnt.groupBy("lang")
+        .agg(graft.functions.TopKByScore.topkMin(
+          xxhash64(col("tok")), -col("cnt").cast("double"), 1000).as("top"))
+      val ranked = top
+        .select(col("lang"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("lang"), (col("pos") + 1).as("rnk"),
+          (-col("p.score")).cast("long").as("cnt"))
       operators.Stats.powerLawFit(ranked, Seq("lang"), col("rnk"),
         col("cnt"))
     }),
@@ -4960,6 +4993,42 @@ object SparkEntry {
 
     "q58_pagerank" -> pagerankOracle,
 
+    // Portable HLL, replayed from the paper: 60-bit md5 hash → top-12
+    // bits bucket, rho over the remaining 48 (length(bin(x)) is the
+    // exact integer bit length); registers max-merge source→lang; the
+    // harmonic denominator is the EXACT integer Σ 2^(62−reg) with
+    // absent buckets as a complement term; the numerator literal is
+    // α₄₀₉₆·4096²·2^62 as one IEEE double; linear counting rounds its
+    // single ln() to 9 places before an exact decimal multiply
+    "q59_hll_vocab" ->
+      """WITH tok AS (SELECT lang, source,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT lang, source,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+        |reg1 AS (SELECT lang, source, h >> 48 AS bucket,
+        |    CASE WHEN (h & 281474976710655) = 0 THEN 49
+        |         ELSE 49 - length(bin(h & 281474976710655)) END AS rho
+        |  FROM h),
+        |regs AS (SELECT lang, source, bucket, CAST(max(rho) AS INT) AS reg
+        |  FROM reg1 GROUP BY 1, 2, 3),
+        |merged AS (SELECT lang, bucket, max(reg) AS reg
+        |  FROM regs GROUP BY 1, 2),
+        |agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(1::BIGINT << (62 - reg) AS DECIMAL(38,0))) AS s
+        |  FROM merged GROUP BY 1)
+        |SELECT lang,
+        |  CASE WHEN n < 4096 AND
+        |      5.57931869232093113e25 /
+        |        CAST(CAST(4096 - n AS DECIMAL(6,0)) * 4611686018427387904
+        |          + s AS DOUBLE) <= 1.024e4
+        |    THEN CAST(round(4096 * CAST(round(
+        |        ln(CAST(4096 AS DOUBLE) / CAST(4096 - n AS DOUBLE)), 9)
+        |        AS DECIMAL(18,9)), 6) AS DOUBLE)
+        |    ELSE round(5.57931869232093113e25 /
+        |      CAST(CAST(4096 - n AS DECIMAL(6,0)) * 4611686018427387904
+        |        + s AS DOUBLE), 6) END AS vocab_est
+        |FROM agg""".stripMargin,
+
     "q60_triangles" ->
       s"""WITH $SessionIvCte,
          |$OverlapEdgesCte,
@@ -5234,6 +5303,10 @@ object SparkEntry {
           |  CAST(sp.span_start AS BIGINT) AS span_start,
           |  CAST(sp.span_len AS BIGINT) AS span_len
           |FROM sp JOIN tr USING (conv)""".stripMargin,
+
+      // decremental fold vs a from-scratch run over the survivors
+      "q231_decr_dbscan" ->
+        dbscanOracleFrom("(SELECT * FROM embeddings WHERE vec_id % 10 != 0)"),
 
       // CDC: the winnowing oracle's Karp-Rabin gram chain, gated on
       // h % 64 = 0, final cut appended, spans via per-doc lag
@@ -7455,10 +7528,14 @@ object SparkEntry {
   /** DBSCAN labels in pure SQL: the ε self-join, core test, recursive-CTE
     * min-label connected components, min-comp border attach, size-≥2 dense
     * ids and noise=0 — mirroring Dbscan.run's deterministic label rules. */
-  private val dbscanOracle: String =
-    s"""WITH RECURSIVE pairs AS (
+  /** From-scratch DBSCAN oracle over an arbitrary point source —
+    * `src` is any table or parenthesized subquery with embeddings'
+    * schema (q231 passes the post-delete survivor set). */
+  private def dbscanOracleFrom(src: String): String =
+    s"""WITH RECURSIVE pts AS (SELECT * FROM $src),
+       |pairs AS (
        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
-       |  FROM embeddings a JOIN embeddings b
+       |  FROM pts a JOIN pts b
        |    ON a.vec_id != b.vec_id AND ${d2Sql("a", "b")} <= $Eps*$Eps
        |),
        |cores AS (
@@ -7488,9 +7565,11 @@ object SparkEntry {
        |  FROM (SELECT comp FROM labeled GROUP BY comp HAVING count(*) >= 2) g
        |)
        |SELECT e.vec_id AS id, COALESCE(ci.cluster_id, 0) AS cluster_id
-       |FROM embeddings e
+       |FROM pts e
        |LEFT JOIN labeled l ON l.id = e.vec_id
        |LEFT JOIN comp_ids ci ON ci.comp = l.comp""".stripMargin
+
+  private val dbscanOracle: String = dbscanOracleFrom("embeddings")
 
   /** Winnowing fingerprints in pure SQL (k/w from WinnowingExpression's
     * defaults): rolling k-gram Karp–Rabin hashes, per-window minima,

@@ -692,12 +692,19 @@ class PlanQualitySpec extends SparkSpec {
       s"SFT assembly grew extra conv shuffles:\n$p")
   }
 
-  test("q226 zipf fit: token agg + rank window, no cartesian, " +
-      "moments in one hash aggregate") {
+  test("q226 zipf fit: bounded-heap top-k (NO window over the " +
+      "token-count table), no cartesian, moments in one hash aggregate") {
     val p = plan(SparkEntry.queries("q226_zipf_fit")(spark, sf))
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
-    // token counts shuffle on (lang, tok); the rank window and the
-    // moment aggregate then share hash(lang) — three exchanges total,
+    // the per-lang top-1000 is the partial/final bounded-heap
+    // aggregate — a row_number window here would shuffle and fully
+    // SORT the vocabulary-sized (lang, tok, cnt) table
+    assert(!p.contains("Window"),
+      s"zipf fit must not window over the full token-count table:\n$p")
+    assert(p.contains("topk_by_score"),
+      s"missing the bounded-heap top-k aggregate:\n$p")
+    // token counts shuffle on (lang, tok); the heap and the moment
+    // aggregate then share hash(lang) — three exchanges total,
     // never one per moment
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 3,
       s"zipf fit grew extra shuffles:\n$p")
