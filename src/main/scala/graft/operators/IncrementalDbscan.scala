@@ -171,6 +171,113 @@ object IncrementalDbscan {
     State(allPts, counts, comp, borders)
   }
 
+  /** Fold one batch of DELETED points out of the standing clustering —
+    * the decremental dual of [[addPoints]] (retention windows, GDPR
+    * erasure, corpus retractions). Deletion is anti-monotone: counts
+    * only DROP, so no point ever promotes — the delta work is
+    *   1. one bipartite ε-pass deleted × remaining (never
+    *      remaining × remaining) to find every count decrement;
+    *   2. merged counts; old cores falling below minPts are DEMOTED;
+    *   3. components touched by a deleted or demoted core may SPLIT,
+    *      so exactly those components re-solve: their surviving core
+    *      members re-derive their ε-subgraph (core-core edges never
+    *      cross components, so the targeted self-join is complete) and
+    *      re-enter CC; untouched components pass through unchanged;
+    *   4. border retraction (deleted borders, pairs into deleted or
+    *      demoted cores) plus re-attachment of the demoted points
+    *      themselves as borders of their surviving core neighbors.
+    *
+    * Labels afterwards are IDENTICAL to a from-scratch [[Dbscan.run]]
+    * over the surviving corpus (spec-enforced; q231 folds a 10% delete
+    * against the from-scratch DuckDB oracle). Ids in `removeIds` that
+    * are not in the state are ignored. */
+  def removePoints(st: State, removeIds: DataFrame, idCol: String,
+      eps: Double, minPts: Int, bucketDims: Seq[Int]): State = {
+    val rm = removeIds.select(col(idCol).as("id")).distinct().persist()
+    val gone = st.points.join(rm, "id").persist() // (id, vec) actually deleted
+    if (gone.isEmpty) return st
+    val remaining = st.points.join(rm, Seq("id"), "left_anti").persist()
+    // 1. every ε-pair with exactly one deleted endpoint; both
+    //    orientations arrive, so rows with a surviving a_id are the
+    //    complete per-survivor decrement multiset
+    val cut = EpsilonJoin.join(gone, remaining, "id", "vec", eps,
+        bucketDims)
+      .join(rm.withColumnRenamed("id", "a_id"), Seq("a_id"), "left_anti")
+      .select(col("a_id"), col("b_id"))
+      .persist()
+    // 2. merged counts: subtract the decrements, drop deleted rows and
+    //    rows reaching zero (missing = isolated = 0, the state contract)
+    val dec = cut.groupBy(col("a_id").as("id")).agg(count(lit(1)).as("d"))
+    val counts = st.counts
+      .join(rm, Seq("id"), "left_anti")
+      .join(dec, Seq("id"), "left")
+      .select(col("id"), (col("n") - coalesce(col("d"), lit(0L))).as("n"))
+      .filter(col("n") > 0)
+      .persist()
+    val nowCore = coreIds(remaining, counts, minPts).persist()
+    val demoted = coreIds(st.points, st.counts, minPts)
+      .join(rm, Seq("id"), "left_anti")
+      .join(nowCore, Seq("id"), "left_anti")
+      .persist()
+    // 3. a component is touched iff it lost a core (deletion) or a
+    //    member left the core graph (demotion); only those can split.
+    //    Deleted non-cores and pure border churn never reshape comps.
+    val touchedComps = st.coreComp
+      .join(gone.select("id").union(demoted.select("id")).distinct(), "id")
+      .select("comp").distinct()
+      .persist()
+    val comp =
+      if (touchedComps.isEmpty) st.coreComp
+      else {
+        // surviving still-core members of the touched components
+        // re-derive their ε-subgraph — core-core edges never crossed
+        // component boundaries, so the member self-join sees every
+        // edge the split decision needs
+        val members = st.coreComp.join(broadcast(touchedComps), "comp")
+          .join(nowCore, "id")
+          .join(remaining, "id")
+          .select("id", "vec")
+        val memberEdges = EpsilonJoin
+          .selfJoin(members, "id", "vec", eps, bucketDims)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+          .union(members.select(col("id").as("src"), col("id").as("dst")))
+        st.coreComp
+          .join(broadcast(touchedComps), Seq("comp"), "left_anti")
+          .select("id", "comp")
+          .union(ConnectedComponents.run(memberEdges))
+          .persist()
+      }
+    // 4. border state: deleted borders go; pairs into deleted or
+    //    demoted cores go; demoted points re-attach as borders of
+    //    their surviving core neighbors (one targeted bipartite pass,
+    //    pruned entirely when nothing demoted — the common case)
+    val keptPairs = st.borderPairs
+      .join(rm, Seq("id"), "left_anti")
+      .join(rm.withColumnRenamed("id", "core_id"), Seq("core_id"),
+        "left_anti")
+      .join(demoted.withColumnRenamed("id", "core_id"), Seq("core_id"),
+        "left_anti")
+      // using-column joins move the join key first — restore (id,
+      // core_id) or the positional union below swaps the fields
+      .select("id", "core_id")
+    val borders =
+      if (demoted.isEmpty) keptPairs.persist()
+      else {
+        // demoted ⊂ remaining: overlapping id sets, so self-pairs and
+        // the doubled demoted-demoted rows drop via the a≠b filter +
+        // the core semi-join (a demoted b is never core)
+        val demotedPairs = EpsilonJoin
+          .join(demoted.join(remaining, "id"), remaining, "id", "vec",
+            eps, bucketDims)
+          .filter(col("a_id") =!= col("b_id"))
+          .join(demoted.withColumnRenamed("id", "a_id"), "a_id")
+          .join(nowCore.withColumnRenamed("id", "b_id"), "b_id")
+          .select(col("a_id").as("id"), col("b_id").as("core_id"))
+        keptPairs.union(demotedPairs).persist()
+      }
+    State(remaining, counts, comp, borders)
+  }
+
   /** Labels under [[Dbscan.run]]'s exact contract: (`id`,
     * `cluster_id`), noise = 0, dense ids from 1 ordered by component
     * minimum id, components under `minClusterSize` dropped to noise. */

@@ -25,6 +25,112 @@ class IncrementalDbscanSpec extends SparkSpec {
     assert(got == want)
   }
 
+  /** interleaved adds/removes == from-scratch run on the survivors */
+  private def checkEqualOps(init0: Seq[(Long, Seq[Float])],
+      ops: Seq[Either[Seq[(Long, Seq[Float])], Seq[Long]]],
+      eps: Double, minPts: Int, dims: Seq[Int]): Unit = {
+    val spark2 = spark
+    import spark2.implicits._
+    var st = IncrementalDbscan.init(df(init0), "id", "vec",
+      eps, minPts, dims)
+    var live = init0.toMap
+    ops.foreach {
+      case Left(batch) =>
+        st = IncrementalDbscan.addPoints(st, df(batch), "id", "vec",
+          eps, minPts, dims)
+        live ++= batch
+      case Right(ids) =>
+        st = IncrementalDbscan.removePoints(st, ids.toDF("id"), "id",
+          eps, minPts, dims)
+        live --= ids
+    }
+    val got = labelsOf(IncrementalDbscan.labels(st))
+    val want = labelsOf(Dbscan.run(df(live.toSeq), "id", "vec",
+      eps, minPts, dims))
+    assert(got == want)
+  }
+
+  test("removePoints: deleting the bridge core SPLITS the component") {
+    // two 4-point blobs joined by one bridge core: one cluster before,
+    // two after the bridge is deleted
+    val blobA = Seq(1L -> Seq(0.0f), 2L -> Seq(0.2f), 3L -> Seq(0.4f),
+      4L -> Seq(0.6f))
+    val bridge = Seq(10L -> Seq(1.4f))
+    val blobB = Seq(5L -> Seq(2.2f), 6L -> Seq(2.4f), 7L -> Seq(2.6f),
+      8L -> Seq(2.8f))
+    val all = blobA ++ bridge ++ blobB
+    val spark2 = spark
+    import spark2.implicits._
+    var st = IncrementalDbscan.init(df(all), "id", "vec", 1.0, 3, Seq(0))
+    assert(labelsOf(IncrementalDbscan.labels(st)).values.toSet == Set(1))
+    st = IncrementalDbscan.removePoints(st, Seq(10L).toDF("id"), "id",
+      1.0, 3, Seq(0))
+    val got = labelsOf(IncrementalDbscan.labels(st))
+    assert(got.values.toSet == Set(1, 2), got)
+    assert(got(1L) != got(5L), "blobs must split apart")
+    checkEqualOps(all, Seq(Right(Seq(10L))), 1.0, 3, Seq(0))
+  }
+
+  test("removePoints: neighbor loss DEMOTES a core to border, then noise") {
+    // chain: 1-2-3-4 with eps=0.6 spacing 0.5; minPts=3 -> 2,3 core
+    val pts = Seq(1L -> Seq(0.0f), 2L -> Seq(0.5f), 3L -> Seq(1.0f),
+      4L -> Seq(1.5f))
+    val spark2 = spark
+    import spark2.implicits._
+    var st = IncrementalDbscan.init(df(pts), "id", "vec", 0.6, 3, Seq(0))
+    assert(labelsOf(IncrementalDbscan.labels(st)).values.toSet == Set(1))
+    // deleting 4 demotes 3 (neighbors drop to {2}); 3 stays a border
+    // of core 2; from-scratch equality via the shared checker
+    st = IncrementalDbscan.removePoints(st, Seq(4L).toDF("id"), "id",
+      0.6, 3, Seq(0))
+    val got = labelsOf(IncrementalDbscan.labels(st))
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1), got)
+    checkEqualOps(pts, Seq(Right(Seq(4L))), 0.6, 3, Seq(0))
+    // deleting 1 as well leaves 2,3 with one neighbor each -> all noise
+    checkEqualOps(pts, Seq(Right(Seq(4L)), Right(Seq(1L))), 0.6, 3, Seq(0))
+  }
+
+  test("removePoints: random blobs, 15% delete, interleaved with adds") {
+    val rnd = new scala.util.Random(41)
+    val centers = Seq((0.0, 0.0), (10.0, 0.0), (5.0, 8.0))
+    val pts = (0 until 240).map { i =>
+      if (i % 8 == 7)
+        (i.toLong, Seq((rnd.nextDouble() * 30 - 5).toFloat,
+          (rnd.nextDouble() * 30 - 10).toFloat))
+      else {
+        val (cx, cy) = centers(i % 3)
+        (i.toLong, Seq((cx + rnd.nextGaussian() * 0.5).toFloat,
+          (cy + rnd.nextGaussian() * 0.5).toFloat))
+      }
+    }
+    val initB = pts.filter(_._1 % 3 != 2)
+    val addB = pts.filter(_._1 % 3 == 2)
+    val del1 = pts.map(_._1).filter(_ % 7 == 0) // ~15%
+    val del2 = pts.map(_._1).filter(_ % 11 == 3)
+    checkEqualOps(initB,
+      Seq(Right(del1.filter(id => initB.exists(_._1 == id))),
+        Left(addB), Right(del2.filterNot(del1.contains))),
+      1.0, 4, Seq(0, 1))
+  }
+
+  test("removePoints: absent ids no-op; deleting a whole cluster; " +
+      "minPts=1 singletons") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pts = Seq(1L -> Seq(0.0f), 2L -> Seq(0.2f), 3L -> Seq(0.4f),
+      9L -> Seq(50.0f))
+    // absent ids leave the state untouched
+    var st = IncrementalDbscan.init(df(pts), "id", "vec", 1.0, 2, Seq(0))
+    val before = labelsOf(IncrementalDbscan.labels(st))
+    st = IncrementalDbscan.removePoints(st, Seq(777L).toDF("id"), "id",
+      1.0, 2, Seq(0))
+    assert(labelsOf(IncrementalDbscan.labels(st)) == before)
+    // whole-cluster delete leaves only the isolated noise point
+    checkEqualOps(pts, Seq(Right(Seq(1L, 2L, 3L))), 1.0, 2, Seq(0))
+    // minPts=1: every survivor is core (isolated ones included)
+    checkEqualOps(pts, Seq(Right(Seq(2L))), 1.0, 1, Seq(0))
+  }
+
   test("addPoints: random blobs over three batches match the full run") {
     val rnd = new scala.util.Random(23)
     val centers = Seq((0.0, 0.0), (10.0, 0.0), (5.0, 8.0))
