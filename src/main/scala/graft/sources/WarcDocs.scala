@@ -33,20 +33,42 @@ object WarcDocs {
     * With `gzip = true`, files are `.warc.gz` with one gzip MEMBER per
     * record — Common Crawl's actual on-disk layout (member boundaries
     * are what let archive tooling seek to records; a whole-file gzip
-    * stream couldn't). */
+    * stream couldn't).
+    *
+    * Task-commit protocol: each task attempt writes a hidden
+    * attempt-scoped temp file through the Hadoop FileSystem API and
+    * commits it with a rename; first attempt to rename wins, losers
+    * delete their temp. Speculative or retried attempts therefore
+    * never interleave bytes into a final shard, and `dir` may be any
+    * Hadoop-visible path (shared FS required on a multi-node cluster —
+    * executor-local paths are invisible to read(), same as every
+    * Hadoop output format). */
   def write(df: DataFrame, idCol: String, uriCol: String, textCol: String,
       dir: String, gzip: Boolean = false): Unit = {
-    val out = new java.io.File(dir)
-    require(out.mkdirs() || out.isDirectory, s"cannot create $dir")
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val driverFs = dirPath.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    require(driverFs.mkdirs(dirPath) || driverFs.getFileStatus(dirPath)
+      .isDirectory, s"cannot create $dir")
     df.select(col(idCol).cast("long"), col(uriCol).cast("string"),
         col(textCol).cast("string"))
       .rdd
       .foreachPartition { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val ext = if (gzip) "warc.gz" else "warc"
-        val f = new java.io.File(out, f"part-$pid%05d.$ext")
+        val finalPath = new org.apache.hadoop.fs.Path(dir,
+          f"part-$pid%05d.$ext")
+        val tmpPath = new org.apache.hadoop.fs.Path(dir,
+          f".part-$pid%05d.$ext.attempt-${tc.taskAttemptId()}")
+        val fs = finalPath.getFileSystem(
+          new org.apache.hadoop.conf.Configuration())
+        // no client-side .crc sidecars: a WARC dir is an interchange
+        // layout read by non-Hadoop tooling, and a stale sidecar turns
+        // every downstream read into a checksum error
+        fs.setWriteChecksum(false)
         val os = new java.io.BufferedOutputStream(
-          new java.io.FileOutputStream(f))
+          fs.create(tmpPath, true))
         try it.foreach { r =>
           val id = r.getLong(0)
           val uri = r.getString(1)
@@ -82,6 +104,9 @@ object WarcDocs {
             os.write(Crlf)
           }
         } finally os.close()
+        // commit: first successful attempt wins the final name; a
+        // racing speculative attempt loses the rename and discards
+        if (!fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
       }
   }
 
@@ -93,30 +118,41 @@ object WarcDocs {
   /** Read a directory of `.warc` / `.warc.gz` files back to
     * (doc_id, uri, text). Content-Length framing only — a payload
     * containing "WARC/1.0" or CRLF runs parses correctly (spec-pinned).
-    * Gzip shards decompress as a STREAM of concatenated members
-    * (GZIPInputStream handles the multi-member layout) — the
-    * decompressed shard is never materialized whole, so a ~1 GB
-    * `.warc.gz` that inflates to several GB parses in O(record) memory
-    * (the 2 GB array cap and the 3-4× peak-memory copy would otherwise
-    * bite at exactly the Common Crawl shard size this format targets;
-    * the COMPRESSED bytes are still one in-memory array — the
-    * binaryFile source's own granularity). Malformed records fail
-    * loudly with the file and decompressed byte offset. */
+    * Shards stream end to end: each task opens its file as a
+    * [[org.apache.spark.input.PortableDataStream]] (lazy, positioned
+    * filesystem reads — the shard's bytes NEVER materialize as one
+    * array, compressed or not), and gzip members decompress as a
+    * stream of concatenated members (GZIPInputStream handles the
+    * multi-member layout). A ~1 GB Common Crawl-sized `.warc.gz` that
+    * inflates to several GB therefore parses in O(record) memory —
+    * the 2 GB array cap and the whole-file copy of an eager
+    * binary-file read would bite at exactly that shard size.
+    * Malformed records fail loudly with the file and decompressed
+    * byte offset. */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    val files = spark.read.format("binaryFile").load(s"$dir/*.warc*")
-      .select(col("path"), col("content"))
-    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-      .encoderFor(outSchema)
-    files.flatMap { fr =>
-      val path = fr.getString(0)
-      val raw = fr.getAs[Array[Byte]](1)
-      val in0 = new java.io.ByteArrayInputStream(raw)
-      val in = new java.io.BufferedInputStream(
-        if (path.endsWith(".gz"))
-          new java.util.zip.GZIPInputStream(in0)
-        else in0)
-      parseRecords(path, in)
-    }(enc)
+    val rdd = spark.sparkContext.binaryFiles(s"$dir/*.warc*")
+      .flatMap { case (path, pds) =>
+        // a zero-record shard (empty write partition) is 0 bytes;
+        // GZIPInputStream's constructor EOFs on it, so peek one byte
+        // before handing over
+        val raw = new java.io.PushbackInputStream(pds.open())
+        val first = raw.read()
+        if (first < 0) { raw.close(); Iterator.empty }
+        else {
+        raw.unread(first)
+        val in = new java.io.BufferedInputStream(
+          if (path.endsWith(".gz"))
+            new java.util.zip.GZIPInputStream(raw)
+          else raw, 1 << 16)
+        // close at task end even if the iterator is abandoned
+        // (limit/take downstream); parseRecords itself never holds
+        // more than one record
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => in.close()))
+        parseRecords(path, in)
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** Streaming record parser: reads headers byte by byte and payloads

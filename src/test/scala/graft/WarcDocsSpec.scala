@@ -48,6 +48,39 @@ class WarcDocsSpec extends SparkSpec {
     }
   }
 
+  test("streaming read: a >64 MB single shard parses row by row") {
+    // one ~70 MB shard (100k x ~700-char payloads) read through the
+    // PortableDataStream path — the shard streams through a 64 KB
+    // buffer instead of materializing as one array (the structural
+    // guarantee; parseRecords holds at most one record at a time)
+    val spark2 = spark
+    import spark2.implicits._
+    val n = 100000L
+    val df = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("https://example.org/big/"), col("id")).as("uri"),
+      concat(lit("x"), col("id").cast("string"),
+        lit("_" * 690)).as("text")).coalesce(1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warc_big")
+    try {
+      WarcDocs.write(df, "doc_id", "uri", "text", tmp.toString)
+      val f = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".warc")).head
+      assert(f.length > 64L * 1024 * 1024, s"shard only ${f.length} bytes")
+      val back = WarcDocs.read(spark, tmp.toString)
+      assert(back.count() == n)
+      // spot-check contents survived framing at scale
+      val probe = back.filter(col("doc_id") === 99999L).collect().head
+      assert(probe.getString(1) == "https://example.org/big/99999")
+      assert(probe.getString(2).startsWith("x99999_"))
+      // an abandoned iterator (limit) must not wedge the task
+      assert(back.limit(5).collect().length == 5)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("gzip shards: per-record members, gzip magic, identical rows") {
     val spark2 = spark
     import spark2.implicits._
