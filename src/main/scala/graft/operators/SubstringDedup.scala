@@ -210,13 +210,46 @@ object SubstringDedup {
     * @return (`idCol`, n_chars, n_kept, text_cut) for EVERY input doc
     *   (unaffected docs keep their text verbatim). */
   def cutDuplicates(docs: DataFrame, idCol: String, textCol: String,
-      l: Int): DataFrame = {
-    val merged = IntervalJoin.mergeIntervals(
-      duplicatedSpans(docs, idCol, textCol, l)
+      l: Int): DataFrame =
+    cutSpans(docs, duplicatedSpans(docs, idCol, textCol, l), idCol,
+      textCol)
+
+  /** [[cutDuplicates]] on the ANCHORED span pass — the 100 TB shape:
+    * the corpus-sized window stream never reaches a shuffle (only the
+    * 1/stride content anchors do), and the cut inherits
+    * [[duplicatedSpansAnchored]]'s recall contract verbatim: every cut
+    * char is inside a true stride-1 span (no over-cutting, ever); a
+    * duplicated region survives uncut only when it dodged every anchor
+    * (probability (1−1/stride)^R for R windows — vanishing for the
+    * long boilerplate the pass exists to remove). Spec-pinned: the
+    * anchored cut equals the stride-1 cut except for docs whose every
+    * dup region is anchor-free. */
+  def cutDuplicatesAnchored(docs: DataFrame, idCol: String,
+      textCol: String, l: Int, stride: Int, extend: Int = 0): DataFrame =
+    cutSpans(docs,
+      duplicatedSpansAnchored(docs, idCol, textCol, l, stride, extend),
+      idCol, textCol)
+
+  /** The splice kernel shared by the stride-1 and anchored cuts:
+    * island-merge `spans` ([[duplicatedSpans]] schema) and cut them
+    * out of every document. */
+  private def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val merged0 = IntervalJoin.mergeIntervals(
+      spans
         .select(col(idCol).as("id"), col("span_start").as("lo"),
           (col("span_start") + col("span_len")).as("hi")),
       Seq("id"), "lo", "hi")
-      .persist() // three readers: pre-pieces, tail pieces, the doc set
+    // three readers (pre-pieces, tail pieces, the doc set) share one
+    // computation. Pinned at the RDD layer, NOT DataFrame.persist():
+    // a DataFrame cache entry lives in the session's CacheManager until
+    // someone calls unpersist — which this lazily-returned plan has no
+    // hook to do — while an RDD cache is dropped by the ContextCleaner
+    // as soon as callers release the result lineage. One row per
+    // duplicated island, so the pin is tiny.
+    val mergedRdd = merged0.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val merged = docs.sparkSession.createDataFrame(mergedRdd, merged0.schema)
     val d = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
     val w = Window.partitionBy("id").orderBy("lo")
     // keep piece BEFORE each island: [prev island hi (default 1), lo)

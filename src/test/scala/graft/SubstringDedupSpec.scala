@@ -140,6 +140,51 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got(5L)._3 == "tiny" && got(6L)._2 == got(6L)._1)
   }
 
+  test("cutDuplicatesAnchored == stride-1 cut on long regions; " +
+      "never over-cuts on the floor corpus") {
+    def junk(seed: Long, n: Int): String = {
+      val sb = new StringBuilder
+      var z = seed
+      (0 until n).foreach { _ =>
+        z = z * 6364136223846793005L + 1442695040888963407L
+        sb += ('a' + ((z >>> 33) % 26)).toChar
+      }
+      sb.toString
+    }
+    // long planted blocks: anchored detection is certain, boundaries
+    // exact -> the cleaned corpus must equal the stride-1 cut verbatim
+    val block = junk(99L, 400)
+    val corpus2 = Seq(
+      10L -> (junk(1L, 80) + block + junk(2L, 60)),
+      11L -> (junk(3L, 50) + block + junk(4L, 90)),
+      12L -> junk(5L, 300))
+    val df = spark.createDataFrame(corpus2).toDF("doc_id", "text")
+      .repartition(4)
+    def cuts(r: org.apache.spark.sql.DataFrame) = r.collect()
+      .map(x => x.getLong(0) -> x.getString(3)).toMap
+    val full = cuts(SubstringDedup.cutDuplicates(df, "doc_id", "text", L))
+    val anch = cuts(SubstringDedup.cutDuplicatesAnchored(
+      df, "doc_id", "text", L, stride = 4))
+    assert(anch == full, "anchored cut must equal stride-1 on long regions")
+    // floor corpus (regions at bare L): recall may drop, but every
+    // anchored-cut doc is the stride-1 cut WITH SOME SPANS RESTORED —
+    // i.e. anchored text is a supersequence: same doc, never cuts a
+    // char the stride-1 pass kept
+    val df1 = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val f1 = cuts(SubstringDedup.cutDuplicates(df1, "doc_id", "text", L))
+    val a1 = cuts(SubstringDedup.cutDuplicatesAnchored(
+      df1, "doc_id", "text", L, stride = 4))
+    def isSubsequence(small: String, big: String): Boolean = {
+      var i = 0
+      big.foreach { c => if (i < small.length && small(i) == c) i += 1 }
+      i == small.length
+    }
+    a1.foreach { case (id, txt) =>
+      assert(isSubsequence(f1(id), txt),
+        s"doc $id: anchored cut removed chars stride-1 kept")
+    }
+  }
+
   test("duplicatedCharStats unions overlapping span intervals exactly") {
     val df = spark.createDataFrame(corpus).toDF("doc_id", "text")
     val got = SubstringDedup.duplicatedCharStats(df, "doc_id", "text", L)
