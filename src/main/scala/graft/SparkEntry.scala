@@ -2685,6 +2685,28 @@ object SparkEntry {
           col("text")),
         "conv", "ord", "role", "text")),
 
+    // Dup-group retraction: the standing near-dup state (q222's split
+    // key) retracts a 10% doc batch — a removed doc may have been a
+    // cluster's canonical id or a BRIDGE whose loss splits the
+    // cluster, so exactly the groups that lost a member re-derive
+    // their pair graph; the split stays leakage-safe because the
+    // re-keyed canonical equals the from-scratch build (the oracle is
+    // the full q222 pipeline over the survivors)
+    "q232_split_retraction" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val groups = Dedup.dupGroups(
+        Dedup.jaccardJoin(docs, "doc_id", "text", 3, 0.5), docs, "doc_id")
+      val after = Dedup.retractDocs(groups, docs,
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id"),
+        "doc_id", d => Dedup.jaccardJoin(d, "doc_id", "text", 3, 0.5))
+      graft.operators.Curation.hashSplit(
+          after.select(col("doc_id"), col("canonical_id")),
+          "canonical_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), "s42")
+        .select(col("doc_id"), col("canonical_id"), col("bucket"),
+          col("split"))
+    }),
+
     // Decremental DBSCAN: the standing clustering retracts a 10%
     // delete batch (retention windows / GDPR erasure) — q164's dual.
     // One bipartite deleted×remaining ε-pass finds the count
@@ -4256,10 +4278,13 @@ object SparkEntry {
        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id""".stripMargin
 
   /** q222's oracle: q44's recursive-CTE dup-group closure, then q39's
-    * md5 bucket arithmetic keyed on the CANONICAL id. */
-  private def leakageSafeSplitOracle: String =
+    * md5 bucket arithmetic keyed on the CANONICAL id. `docSrc` is the
+    * doc source (q232 passes the post-retraction survivors — the
+    * retraction fold must land exactly where a from-scratch build over
+    * the surviving corpus lands). */
+  private def leakageSafeSplitOracleFrom(docSrc: String): String =
     s"""WITH RECURSIVE jac AS (
-       |$jaccardOracle
+       |${jaccardOracleFrom(docSrc)}
        |),
        |edges AS (
        |  SELECT a_id AS src, b_id AS dst FROM jac
@@ -4273,7 +4298,7 @@ object SparkEntry {
        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
        |keyed AS (SELECT d.doc_id,
        |    COALESCE(c.comp, d.doc_id) AS canonical_id
-       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |  FROM $docSrc d LEFT JOIN comp c ON c.id = d.doc_id)
        |SELECT doc_id, canonical_id, bucket,
        |  CASE WHEN bucket < 9000 THEN 'train'
        |       WHEN bucket < 9500 THEN 'val' ELSE 'test' END AS split
@@ -4281,6 +4306,9 @@ object SparkEntry {
        |        CAST('0x' || substr(md5(CAST(canonical_id AS VARCHAR)
        |          || ':s42'), 1, 15) AS BIGINT) % 10000 AS bucket
        |      FROM keyed) b""".stripMargin
+
+  private def leakageSafeSplitOracle: String =
+    leakageSafeSplitOracleFrom("documents")
 
   /** q147's oracle (nearest-centroid confusion matrix) — also the inner
     * subquery of q210's F1 report, so the two stay textually in sync. */
@@ -5307,6 +5335,10 @@ object SparkEntry {
       // decremental fold vs a from-scratch run over the survivors
       "q231_decr_dbscan" ->
         dbscanOracleFrom("(SELECT * FROM embeddings WHERE vec_id % 10 != 0)"),
+
+      // retraction fold vs the full q222 pipeline over the survivors
+      "q232_split_retraction" -> leakageSafeSplitOracleFrom(
+        "(SELECT * FROM documents WHERE doc_id % 10 != 0)"),
 
       // CDC: the winnowing oracle's Karp-Rabin gram chain, gated on
       // h % 64 = 0, final cut appended, spans via per-doc lag
@@ -7618,8 +7650,10 @@ object SparkEntry {
 
   /** Shared oracle for q9/q10 (MinHash-LSH verified output == exact
     * Jaccard join at this threshold — recall ≈ 1 by band design). */
-  private val jaccardOracle: String =
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** Naive jaccard-pairs oracle over an arbitrary doc source (q232
+    * passes the post-retraction survivor set). */
+  private def jaccardOracleFrom(src: String): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
       |         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS toks
       |       FROM w)
@@ -7629,6 +7663,8 @@ object SparkEntry {
       |      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
       |WHERE jac >= 0.5""".stripMargin
+
+  private val jaccardOracle: String = jaccardOracleFrom("documents")
 
   /** BPE training rounds as CTEs, unrolled like [[pagerankOracle]]:
     * w0 = word-type table with spaced characters; per round i, pair

@@ -189,6 +189,45 @@ object Dedup {
       .withColumn("is_survivor", col(idCol) === col("canonical_id"))
   }
 
+  /** Retract a batch of REMOVED documents from a standing [[dupGroups]]
+    * table — the retraction path a leakage-safe split (q222) needs: a
+    * removed doc may have been its cluster's canonical id, or a BRIDGE
+    * whose loss splits the near-dup cluster, and a stale canonical
+    * would silently re-key the split assignment of every surviving
+    * member. Like decremental DBSCAN, the state stores no edges, so
+    * exactly the groups that lost a member re-derive their pair graph:
+    * similarity pairs never cross group (= connected-component)
+    * boundaries, so re-running the pair join over the affected
+    * survivors alone sees every edge the re-grouping needs; untouched
+    * groups pass through byte-identical.
+    *
+    * Output equals `dupGroups(pairsOf(survivors), survivors, idCol)`
+    * from scratch (spec-enforced; q232 folds a 10% retraction against
+    * the from-scratch DuckDB oracle).
+    *
+    * @param groups the standing (`idCol`, canonical_id, is_survivor)
+    * @param docs the doc table pairs are derived from (pre-retraction;
+    *   removed ids are dropped here)
+    * @param removeIds batch to retract (absent ids are ignored)
+    * @param pairsOf the similarity join used to build the state, e.g.
+    *   `d => jaccardJoin(d, idCol, "text", 3, 0.5)` — applied only to
+    *   the affected groups' surviving docs */
+  def retractDocs(groups: DataFrame, docs: DataFrame, removeIds: DataFrame,
+      idCol: String, pairsOf: DataFrame => DataFrame): DataFrame = {
+    val rm = removeIds.select(col(idCol)).distinct()
+    val touched = groups.join(rm, Seq(idCol), "left_semi")
+      .select("canonical_id").distinct()
+    val kept = groups.join(rm, Seq(idCol), "left_anti")
+    val untouched = kept
+      .join(touched, Seq("canonical_id"), "left_anti")
+      .select(col(idCol), col("canonical_id"), col("is_survivor"))
+    val affectedDocs = docs
+      .join(kept.join(broadcast(touched), "canonical_id").select(idCol),
+        Seq(idCol), "left_semi")
+    untouched.unionByName(
+      dupGroups(pairsOf(affectedDocs), affectedDocs, idCol))
+  }
+
   /** Per-document n-gram novelty: the fraction of a document's DISTINCT
     * word-n-gram shingles whose globally FIRST occurrence (min doc id —
     * deterministic, corpus order-free) is this document. High-novelty

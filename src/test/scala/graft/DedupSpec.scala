@@ -253,6 +253,55 @@ class DedupSpec extends SparkSpec {
       3L -> ((3L, true)), 7L -> ((3L, false))))
   }
 
+  test("retractDocs: bridge loss splits the group, canonical re-keys, " +
+      "untouched groups byte-identical == from-scratch rebuild") {
+    // texts engineered so jaccard(3-shingles) links A~B~C in a CHAIN
+    // through bridge B (A~C alone are below threshold), plus an
+    // unrelated pair {D, E} and a singleton F
+    val mk = (words: Seq[String]) => words.mkString(" ")
+    val common1 = (1 to 8).map(i => s"alpha$i")
+    val common2 = (1 to 8).map(i => s"beta$i")
+    val corpus = Seq(
+      1L -> mk(common1 :+ "enda"),                 // A: shares c1 with B
+      2L -> mk(common1 ++ common2),                // B: bridge (c1 + c2)
+      3L -> mk(common2 :+ "endc"),                 // C: shares c2 with B
+      4L -> mk((1 to 9).map(i => s"gamma$i")),     // D ~ E
+      5L -> mk((1 to 9).map(i => s"gamma$i") :+ "tail"),
+      6L -> mk((1 to 9).map(i => s"delta$i")))     // F singleton
+    val docs = spark.createDataFrame(corpus).toDF("doc_id", "text")
+    val pairsOf = (d: org.apache.spark.sql.DataFrame) =>
+      Dedup.jaccardJoin(d, "doc_id", "text", 3, 0.3)
+    val groups = Dedup.dupGroups(pairsOf(docs), docs, "doc_id")
+    // sanity: the chain closed through the bridge
+    val g0 = groups.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g0(1L) == 1L && g0(2L) == 1L && g0(3L) == 1L, g0)
+    assert(g0(4L) == 4L && g0(5L) == 4L && g0(6L) == 6L, g0)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    // removing the bridge (also the canonical here) splits {1,2,3}
+    // into singletons {1} and {3} — both re-keyed to themselves
+    val rm = spark.createDataFrame(Seq(Tuple1(2L))).toDF("doc_id")
+    val after = asMap(Dedup.retractDocs(groups, docs, rm, "doc_id", pairsOf))
+    val survivors = docs.filter(col("doc_id") =!= 2L)
+    val scratch = asMap(Dedup.dupGroups(pairsOf(survivors), survivors,
+      "doc_id"))
+    assert(after == scratch, s"after=$after\nscratch=$scratch")
+    assert(after(1L) == ((1L, true)) && after(3L) == ((3L, true)), after)
+    assert(after(4L) == ((4L, true)) && after(5L) == ((4L, false)),
+      "untouched group must pass through unchanged")
+    // removing a NON-canonical, non-bridge member re-keys nothing else
+    val rm2 = spark.createDataFrame(Seq(Tuple1(5L))).toDF("doc_id")
+    val after2 = asMap(Dedup.retractDocs(groups, docs, rm2, "doc_id",
+      pairsOf))
+    val survivors2 = docs.filter(col("doc_id") =!= 5L)
+    assert(after2 == asMap(Dedup.dupGroups(pairsOf(survivors2),
+      survivors2, "doc_id")))
+    // absent ids are a no-op
+    val rm3 = spark.createDataFrame(Seq(Tuple1(777L))).toDF("doc_id")
+    assert(asMap(Dedup.retractDocs(groups, docs, rm3, "doc_id", pairsOf))
+      == asMap(groups))
+  }
+
   test("decontaminateBloom == decontaminate (bloom FPs removed exactly)") {
     val bench = docs.filter(col("doc_id") % 10 === 0)
     val train = docs.filter(col("doc_id") % 10 =!= 0)
