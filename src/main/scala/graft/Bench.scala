@@ -101,6 +101,18 @@ object Bench {
       // the composition number, not a single family
       "curation_synth250k" -> ((s: SparkSession) =>
         Workloads.curationSynth(s, 250_000L)),
+      // DECREMENTAL fold at scale: a LOCALIZED delete (2 whole blobs,
+      // ~8%) folded OUT of the standing 500k clustering — only those
+      // components re-solve. State bootstrap is cached across reps,
+      // so min-of-2 isolates fold + state re-pin + labels (~15 s;
+      // the one corpus-sized stage, the bipartite deleted×remaining
+      // ε-pass, profiles at ~2 s — the rest is the local-mode
+      // state-refresh floor; the from-scratch yardstick beside it is
+      // dbscan_synth500k, whose ε-SELF-join is the part that grows
+      // superlinearly with corpus density at 100 TB)
+      "dbscan_decr_synth500k" -> ((s: SparkSession) =>
+        Workloads.dbscanDecrSynth(s, 500_000L, k = 25, dims = 5,
+          eps = 1.0, minPts = 5)),
       // HIGH-DIMENSIONAL Euclidean ε-join at scale: the kd fallback
       // (coarse cells + ghosts + per-cell kd radius queries) over
       // 200k 32-d clustered vectors, ~70M true pairs at eps=0.2 —

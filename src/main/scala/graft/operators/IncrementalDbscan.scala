@@ -226,31 +226,58 @@ object IncrementalDbscan {
       .join(gone.select("id").union(demoted.select("id")).distinct(), "id")
       .select("comp").distinct()
       .persist()
-    val comp =
-      if (touchedComps.isEmpty) st.coreComp
+    val (comp, demotedPairs) =
+      if (touchedComps.isEmpty) (st.coreComp, None)
       else {
-        // surviving still-core members of the touched components
-        // re-derive their ε-subgraph — core-core edges never crossed
-        // component boundaries, so the member self-join sees every
-        // edge the split decision needs
+        // ONE ε-self-join over the touched components' surviving
+        // still-core members PLUS their demoted points serves both
+        // rebuild needs: core-core pairs are the split-deciding edges
+        // (they never crossed component boundaries, so the member set
+        // is complete), and demoted×core pairs are the border
+        // re-attachments (a demoted core's still-core neighbors were
+        // connected to it pre-delete, hence live in its — touched —
+        // component). Nothing outside the touched neighborhood is
+        // scanned twice.
         val members = st.coreComp.join(broadcast(touchedComps), "comp")
           .join(nowCore, "id")
           .join(remaining, "id")
           .select("id", "vec")
-        val memberEdges = EpsilonJoin
-          .selfJoin(members, "id", "vec", eps, bucketDims)
+          .persist()
+        val scope = members
+          .unionByName(demoted.join(remaining, "id").select("id", "vec"))
+          .persist()
+        // wholesale-deleted components (every member gone or demoted)
+        // leave an empty scope: skip the ε-join subtree instead of
+        // scheduling its whole shuffle pipeline over empty input (the
+        // probe is one count on the already-needed cached scope)
+        val scopePairs =
+          (if (scope.isEmpty) scope.limit(0).select(col("id").as("a_id"),
+            col("id").as("b_id"))
+          else EpsilonJoin
+            .selfJoin(scope, "id", "vec", eps, bucketDims)
+            .select(col("a_id"), col("b_id")))
+          .persist()
+        val coreA = nowCore.withColumnRenamed("id", "a_id")
+        val coreB = nowCore.withColumnRenamed("id", "b_id")
+        val memberEdges = scopePairs
+          .join(coreA, "a_id").join(coreB, "b_id")
           .select(col("a_id").as("src"), col("b_id").as("dst"))
           .union(members.select(col("id").as("src"), col("id").as("dst")))
-        st.coreComp
+        val newComp = st.coreComp
           .join(broadcast(touchedComps), Seq("comp"), "left_anti")
           .select("id", "comp")
           .union(ConnectedComponents.run(memberEdges))
           .persist()
+        val dp = scopePairs
+          .join(demoted.withColumnRenamed("id", "a_id"), "a_id")
+          .join(coreB, "b_id")
+          .select(col("a_id").as("id"), col("b_id").as("core_id"))
+        (newComp, Some(dp))
       }
     // 4. border state: deleted borders go; pairs into deleted or
     //    demoted cores go; demoted points re-attach as borders of
-    //    their surviving core neighbors (one targeted bipartite pass,
-    //    pruned entirely when nothing demoted — the common case)
+    //    their surviving core neighbors (from the same targeted
+    //    self-join — no second corpus-sized pass)
     val keptPairs = st.borderPairs
       .join(rm, Seq("id"), "left_anti")
       .join(rm.withColumnRenamed("id", "core_id"), Seq("core_id"),
@@ -260,21 +287,10 @@ object IncrementalDbscan {
       // using-column joins move the join key first — restore (id,
       // core_id) or the positional union below swaps the fields
       .select("id", "core_id")
-    val borders =
-      if (demoted.isEmpty) keptPairs.persist()
-      else {
-        // demoted ⊂ remaining: overlapping id sets, so self-pairs and
-        // the doubled demoted-demoted rows drop via the a≠b filter +
-        // the core semi-join (a demoted b is never core)
-        val demotedPairs = EpsilonJoin
-          .join(demoted.join(remaining, "id"), remaining, "id", "vec",
-            eps, bucketDims)
-          .filter(col("a_id") =!= col("b_id"))
-          .join(demoted.withColumnRenamed("id", "a_id"), "a_id")
-          .join(nowCore.withColumnRenamed("id", "b_id"), "b_id")
-          .select(col("a_id").as("id"), col("b_id").as("core_id"))
-        keptPairs.union(demotedPairs).persist()
-      }
+    val borders = demotedPairs match {
+      case Some(dp) => keptPairs.union(dp).persist()
+      case None => keptPairs.persist()
+    }
     State(remaining, counts, comp, borders)
   }
 

@@ -6,21 +6,32 @@ package graft
   * scale-evidence number into a no-op measurement. */
 class WorkloadsSpec extends SparkSpec {
 
-  test("curationSynth composition: survivors < docs, splits, budget") {
+  test("curationSynth composition: survivors < docs, splits, budget, " +
+      "SFT tail non-empty") {
     val out = Workloads.curationSynth(spark, 2000L).collect()
     val shards = out.map(_.getString(0)).toSet
-    // both splits must survive the dedup + quality gate at this n
-    assert(shards == Set("train", "val"), s"shards: $shards")
-    val nDocs = out.map(_.getLong(1)).sum
+    // both splits must survive the dedup + quality gate at this n, and
+    // the post-training tail must actually assemble transcripts (an
+    // empty turn table would silently drop the sft_train row)
+    assert(shards == Set("train", "val", "sft_train"), s"shards: $shards")
+    val byShard = out.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val nDocs = byShard("train")._1 + byShard("val")._1
     // near-dup survivors strictly below the input (templates repeat)
     assert(nDocs > 0 && nDocs < 2000, s"survivors: $nDocs")
     // packing: sequences exist and average fill respects the budget
-    out.foreach { r =>
-      val (docs, seqs, toks) = (r.getLong(1), r.getLong(2), r.getLong(3))
-      assert(seqs >= 1 && seqs <= docs)
-      assert(toks <= seqs * 512L,
-        s"packing exceeded budget: $toks tokens in $seqs seqs")
+    Seq("train" -> 512L, "val" -> 512L, "sft_train" -> 8192L).foreach {
+      case (sh, budget) =>
+        val (docs, seqs, toks) = byShard(sh)
+        assert(seqs >= 1 && seqs <= docs, s"$sh: $seqs seqs / $docs")
+        assert(toks <= seqs * budget,
+          s"$sh packing exceeded budget: $toks tokens in $seqs seqs")
     }
+    // transcripts cover the train docs: conv count is ~train/60,
+    // total transcript chars exceed the raw text (role headers add)
+    assert(byShard("sft_train")._1 >= 1 &&
+      byShard("sft_train")._3 > byShard("train")._1 * 60,
+      s"sft tail too small: ${byShard("sft_train")}")
   }
 
   test("textStatsSynth: bands partition the corpus, token totals add up") {
