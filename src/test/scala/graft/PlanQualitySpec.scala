@@ -692,6 +692,17 @@ class PlanQualitySpec extends SparkSpec {
       s"SFT assembly grew extra conv shuffles:\n$p")
   }
 
+  test("q232 split retraction: no cartesian, touched-group prune " +
+      "broadcasts") {
+    val p = plan(SparkEntry.queries("q232_split_retraction")(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // the affected-survivor scope prunes through broadcast semi-joins
+    // of the (tiny) touched-canonical set — the re-derive never
+    // re-shuffles the full corpus for group membership
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"touched-group prune must broadcast:\n$p")
+  }
+
   test("q226 zipf fit: bounded-heap top-k (NO window over the " +
       "token-count table), no cartesian, moments in one hash aggregate") {
     val p = plan(SparkEntry.queries("q226_zipf_fit")(spark, sf))
