@@ -1239,6 +1239,22 @@ object SparkEntry {
         .withColumn("cd", round(cume_dist().over(
           Window.partitionBy("c_mktsegment").orderBy("bal_cents")), 6))),
 
+    // Index retraction + incremental probe: every third stored doc is
+    // retracted from the persisted minhash index (one anti-join — per-
+    // doc index rows make retraction EXACTLY a rebuild over survivors),
+    // then the new batch probes the retracted index: removed docs can
+    // no longer match. Oracle: naive cross-pair Jaccard over
+    // new × surviving-store.
+    "q233_index_retraction" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = operators.Dedup.minHashIndex(
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3)
+      val after = operators.Dedup.retractFromIndex(idx,
+        d.filter(col("doc_id") % 6 === 0).select("doc_id"), "doc_id")
+      operators.Dedup.minHashJoinAgainst(after,
+        d.filter(col("doc_id") % 2 === 1), "doc_id", "text", 3, 0.5)
+    }),
+
     // Incremental near-dup ingest: a new batch (odd doc ids) deduped
     // against the persisted minhash index of the store (even ids) —
     // cost scales with the batch, never the corpus. Recall 1 at these
@@ -4509,6 +4525,24 @@ object SparkEntry {
     "q10_minhash_dedup" -> jaccardOracle,
 
     // the naive Jaccard join restricted to (odd=new, even=store) pairs
+    // q105's oracle with the retracted store rows (doc_id % 6 = 0)
+    // excluded from the index side
+    "q233_index_retraction" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+        |         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS toks
+        |       FROM w)
+        |SELECT new_id, idx_id, jac FROM (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS idx_id,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / (len(a.toks) + len(b.toks)
+        |         - len(list_intersect(a.toks, b.toks))) AS jac
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |       AND b.doc_id % 6 != 0) p
+        |WHERE jac >= 0.5""".stripMargin,
+
     "q105_incr_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
         |           FROM documents),

@@ -564,6 +564,23 @@ object Dedup {
       sh.groupBy("id").agg(collect_list(col("shingle")).as("toks")), "id")
   }
 
+  /** Retract removed documents from a persisted [[minHashIndex]] —
+    * deletion's answer at the INDEX level, completing the standing-
+    * state trio (clusters: [[IncrementalDbscan.removePoints]], groups:
+    * [[retractDocs]], index: here). EXACT by construction: an index
+    * row derives from its document alone (signature + shingle set —
+    * no cross-doc state), so dropping the removed rows IS the rebuild
+    * over the survivors, bit for bit (spec-enforced), at one anti-join
+    * over the index — no corpus text is re-read. Retract, persist the
+    * new parquet, and every later [[minHashJoinAgainst]] probe is
+    * incapable of matching a removed document (q233 oracles the
+    * retract-then-probe composition).
+    * @param removeIds batch to retract, keyed by `idCol`. */
+  def retractFromIndex(index: DataFrame, removeIds: DataFrame,
+      idCol: String): DataFrame =
+    index.join(removeIds.select(col(idCol).as("id")).distinct(),
+      Seq("id"), "left_anti")
+
   /** Incremental near-dup join: a NEW document batch against an
     * existing [[minHashIndex]] — the steady-state ingest path, where
     * rebuilding the all-pairs join over old ∪ new would redo corpus

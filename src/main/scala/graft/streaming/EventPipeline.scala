@@ -335,15 +335,67 @@ object EventPipeline {
       sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val I = graft.operators.IncrementalDbscan
+    clusterFoldStream(initial, newPoints, sink) { (st, batch) =>
+      I.addPoints(st, batch, idCol, vecCol, eps, minPts, bucketDims)
+    }
+  }
+
+  /** CDC-shaped standing-cluster MAINTENANCE: micro-batches carry
+    * (`opCol` ∈ {"insert", "delete"}, `idCol`, `vecCol`) change rows.
+    * Each trigger folds the batch's deletes OUT
+    * ([[graft.operators.IncrementalDbscan.removePoints]]) and then its
+    * inserts IN ([[graft.operators.IncrementalDbscan.addPoints]]) —
+    * deletes first, so one batch may retract an id and re-insert it
+    * (the takedown-then-replace shape). Labels at every trigger equal
+    * the equivalent batch fold sequence, hence a from-scratch
+    * clustering of the live point set (spec-enforced) — the streaming
+    * face of deletion-aware standing state. Unknown op values fail the
+    * batch loudly. */
+  def clusterMaintainStream(
+      initial: graft.operators.IncrementalDbscan.State,
+      changes: DataFrame, opCol: String, idCol: String, vecCol: String,
+      eps: Double, minPts: Int, bucketDims: Seq[Int])(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val I = graft.operators.IncrementalDbscan
+    clusterFoldStream(initial, changes, sink) { (st, batch) =>
+      val bad = batch.filter(!col(opCol).isin("insert", "delete"))
+      if (!bad.isEmpty)
+        throw new IllegalArgumentException(
+          s"unknown $opCol value: ${bad.select(opCol).head.get(0)}")
+      val dels = batch.filter(col(opCol) === "delete").select(col(idCol))
+      val adds = batch.filter(col(opCol) === "insert")
+        .select(col(idCol), col(vecCol))
+      val afterDel =
+        if (dels.isEmpty) st
+        else I.removePoints(st, dels, idCol, eps, minPts, bucketDims)
+      if (adds.isEmpty) afterDel
+      else I.addPoints(afterDel, adds, idCol, vecCol, eps, minPts,
+        bucketDims)
+    }
+  }
+
+  /** Shared fold→pin→sink→sweep loop of [[clusterIngestStream]] and
+    * [[clusterMaintainStream]]: fold the micro-batch into the standing
+    * state, pin the result, emit labels, then unpersist every cache
+    * block reachable only from the PREVIOUS state (the fold and pin
+    * allocate per-trigger; without the sweep the executor store grows
+    * per batch). */
+  private def clusterFoldStream(
+      initial: graft.operators.IncrementalDbscan.State,
+      stream: DataFrame, sink: (DataFrame, Long) => Unit)(
+      fold: (graft.operators.IncrementalDbscan.State, DataFrame)
+        => graft.operators.IncrementalDbscan.State)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val I = graft.operators.IncrementalDbscan
     var st = initial
     var prevPinned = Set.empty[Int]
-    newPoints.writeStream
+    stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val sc = batch.sparkSession.sparkContext
         val before = sc.getPersistentRDDs.keySet
-        val next = I.addPoints(st, batch.toDF(), idCol, vecCol,
-          eps, minPts, bucketDims)
+        val next = fold(st, batch.toDF())
         val pinned = I.pin(next)
         try sink(I.labels(pinned), id)
         finally {

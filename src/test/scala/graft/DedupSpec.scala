@@ -302,6 +302,36 @@ class DedupSpec extends SparkSpec {
       == asMap(groups))
   }
 
+  test("retractFromIndex == index rebuilt over survivors (bit-equal); " +
+      "probes cannot match retracted docs") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "alpha beta gamma delta epsilon eta"),
+      (6L, "one two three four five six seven"),
+      (8L, "totally different words here again now"))
+    val docs = corpus.toDF("doc_id", "text")
+    val idx = Dedup.minHashIndex(docs, "doc_id", "text", 3)
+    val rm = Seq(4L, 6L).toDF("doc_id")
+    val after = Dedup.retractFromIndex(idx, rm, "doc_id")
+    val rebuilt = Dedup.minHashIndex(
+      docs.filter(!col("doc_id").isin(4L, 6L)), "doc_id", "text", 3)
+    // per-doc rows: retraction IS the rebuild, bit for bit (sorted
+    // token arrays compared as full rows)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("sig"), array_sort(col("toks")).as("toks"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rows(after) == rows(rebuilt))
+    // a probe near-identical to a RETRACTED doc finds nothing; one
+    // near a surviving doc still matches
+    val probe = Seq((11L, "alpha beta gamma delta epsilon zeta")).toDF(
+      "doc_id", "text")
+    val hits = Dedup.minHashJoinAgainst(after, probe, "doc_id", "text",
+      3, 0.3).collect().map(r => r.getLong(1)).toSet
+    assert(hits == Set(2L), s"hits=$hits — 4 was retracted, 2 survives")
+  }
+
   test("decontaminateBloom == decontaminate (bloom FPs removed exactly)") {
     val bench = docs.filter(col("doc_id") % 10 === 0)
     val train = docs.filter(col("doc_id") % 10 =!= 0)

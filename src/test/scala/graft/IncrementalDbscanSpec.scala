@@ -229,6 +229,50 @@ class IncrementalDbscanSpec extends SparkSpec {
       Dbscan.run(df(base ++ b1 ++ b2), "id", "vec", eps, minPts, dims)))
   }
 
+  test("clusterMaintainStream: CDC delete+insert batches track the " +
+      "live set's batch clustering") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(53)
+    val pts = (0 until 120).map { i =>
+      val c = if (i % 2 == 0) 0.0 else 6.0
+      (i.toLong, Seq((c + rnd.nextGaussian() * 0.4).toFloat,
+        (c + rnd.nextGaussian() * 0.4).toFloat))
+    }.toMap
+    val base = pts.filter(_._1 < 60).toSeq
+    val adds1 = pts.filter(x => x._1 >= 60 && x._1 < 90).toSeq
+    val dels1 = Seq(2L, 4L, 6L, 8L) // retract from the even blob
+    // batch 2: takedown-then-replace — id 10 deleted AND re-inserted
+    // at a new location, plus the last fresh points
+    val adds2 = pts.filter(_._1 >= 90).toSeq :+
+      (10L -> Seq(6.2f, 6.2f))
+    val dels2 = Seq(1L, 3L, 10L)
+    val (eps, minPts, dims) = (1.0, 3, Seq(0, 1))
+    val st0 = IncrementalDbscan.init(df(base), "id", "vec", eps, minPts,
+      dims)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Seq[Float])]
+    val got = scala.collection.mutable.Map.empty[Long, Map[Long, Int]]
+    val q = graft.streaming.EventPipeline.clusterMaintainStream(st0,
+      mem.toDF().toDF("op", "id", "vec"), "op", "id", "vec", eps,
+      minPts, dims) { (labels, id) => got(id) = labelsOf(labels) }
+    def ch(dels: Seq[Long], adds: Seq[(Long, Seq[Float])]) =
+      dels.map(i => ("delete", i, Seq.empty[Float])) ++
+        adds.map { case (i, v) => ("insert", i, v) }
+    try {
+      mem.addData(ch(dels1, adds1): _*); q.processAllAvailable()
+      mem.addData(ch(dels2, adds2): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.keySet == Set(0L, 1L))
+    val live1 = (base.toMap -- dels1) ++ adds1
+    assert(got(0L) == labelsOf(
+      Dbscan.run(df(live1.toSeq), "id", "vec", eps, minPts, dims)))
+    val live2 = (live1 -- dels2) ++ adds2
+    assert(got(1L) == labelsOf(
+      Dbscan.run(df(live2.toSeq), "id", "vec", eps, minPts, dims)))
+  }
+
   test("addPoints: repeated batches keep border attachment minimal-comp") {
     // border point 5 sits between two cores from different clusters —
     // label must follow the MIN component, exactly like Dbscan.run
