@@ -254,6 +254,25 @@ object SparkEntry {
     // means), so the DuckDB oracle unrolls the WHOLE pipeline as CTEs
     // and hash-matches the served ranking; recall vs exact is
     // additionally covered in AnnSearchSpec
+    // IVF index retraction (production tombstoning): centroids stay
+    // the nightly build's (partition geometry, not retrained); every
+    // 7th vector is retracted before serving — removed vectors are
+    // unreachable, survivors keep their cells, vacated top-k slots
+    // fill from the next candidate. Oracle: the full q23 IVF unroll
+    // with the serve-side candidates filtered identically
+    "q234_ivf_retraction" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val cents = AnnSearch.centroids(b, IvfCents)
+      AnnSearch.ivfTopKPrebuilt(q,
+        AnnSearch.retractFromIvf(b,
+          e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id"),
+        AnnK, cents, IvfProbe)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
     "q23_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 50)
@@ -3292,7 +3311,13 @@ object SparkEntry {
     * folds, Lloyd means are round(v·1e6) integer sums closed by two
     * double divisions, and every argmin/argmax tie breaks on the same
     * id/cid the engine's kernels use. */
-  private def ivfOracle: String = {
+  private def ivfOracle: String = ivfOracleWith("TRUE")
+
+  /** q23's full-pipeline IVF oracle, with `serveCond` filtering the
+    * SERVE-side candidate set pre-ranking (q234 passes the tombstone
+    * predicate; build/centroid CTEs always run over the full corpus —
+    * retraction never retrains). */
+  private def ivfOracleWith(serveCond: String): String = {
     def d2(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), " +
         "x -> (x[1] - x[2]) * (x[1] - x[2])))"
@@ -3359,7 +3384,7 @@ object SparkEntry {
        |      bi.id) AS rnk
        |  FROM pr JOIN bi USING (cid)
        |    JOIN p qa ON qa.id = pr.a_id JOIN p qb ON qb.id = bi.id
-       |  WHERE pr.a_id != bi.id) r
+       |  WHERE pr.a_id != bi.id AND ($serveCond)) r
        |WHERE rnk <= $AnnK""".stripMargin
   }
 
@@ -4518,6 +4543,10 @@ object SparkEntry {
 
     "q22_simhash" -> simhashOracle,
     "q23_ann_ivf" -> ivfOracle,
+
+    // tombstone retraction: same pipeline, serve-side candidates
+    // filtered (centroids from the FULL corpus — never retrained)
+    "q234_ivf_retraction" -> ivfOracleWith("bi.id % 7 != 0"),
     "q75_ann_pq" -> pqOracle,
     "q28_winnowing" -> winnowingOracle,
 

@@ -222,6 +222,28 @@ object AnnSearch {
       nCentroids: Int, nProbe: Int): DataFrame =
     ivfTopKWith(queries, build, k, centroidArrays(build, nCentroids), nProbe)
 
+  /** Tombstone retraction on a persisted IVF index — deletion's answer
+    * for the ANN family (clusters/dup-groups/minhash-index have
+    * [[graft.operators.IncrementalDbscan.removePoints]] /
+    * [[Dedup.retractDocs]] / [[Dedup.retractFromIndex]]). The centroid
+    * table is NOT retrained — the production tombstone rule: a
+    * centroid set is a partition geometry, and serving correctness
+    * never depended on it being the argmin of the CURRENT corpus.
+    * Because assignment is a pure function of the fixed centroids,
+    * every surviving vector keeps its cell, so surviving candidates'
+    * rankings are unchanged except where a removed vector vacates a
+    * top-k slot (the next candidate fills it) and removed vectors are
+    * unreachable — q234 oracles exactly that against the full IVF
+    * pipeline with the serve side filtered. Retrain (rebuild
+    * [[centroids]]) on whatever cadence drift warrants, as in
+    * production. One anti-join; no vectors re-read.
+    * @param build the persisted vector table (`b_id`, `b_v`)
+    * @param removeIds batch to retract, keyed by `idCol`. */
+  def retractFromIvf(build: DataFrame, removeIds: DataFrame,
+      idCol: String): DataFrame =
+    build.join(removeIds.select(col(idCol).as("b_id")).distinct(),
+      Seq("b_id"), "left_anti")
+
   /** IVF probe against a PREBUILT index — the production shape: run
     * Lloyd once (e.g. [[centroids]] persisted as parquet by a nightly
     * build job), then serve every query batch against the stored

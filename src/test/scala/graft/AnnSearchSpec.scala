@@ -114,6 +114,41 @@ class AnnSearchSpec extends SparkSpec {
     }
   }
 
+  test("retractFromIvf: removed ids unreachable, untouched rankings " +
+      "identical, vacated slots refill in order") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cents = AnnSearch.centroids(b, nCentroids = 8)
+    val before = AnnSearch.ivfTopKPrebuilt(q, b, 5, cents, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1))
+      .toMap
+    val rmIds = Set(3L, 17L, 42L, 99L)
+    val after = AnnSearch.ivfTopKPrebuilt(q,
+        AnnSearch.retractFromIvf(b, rmIds.toSeq.toDF("id"), "id"),
+        5, cents, nProbe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1))
+      .toMap
+    // 1. retracted vectors never serve
+    assert(after.values.forall(v => !rmIds(v)))
+    // 2. a query whose pre-retraction top-5 had no removed vector is
+    //    byte-identical; one that did keeps its surviving prefix in
+    //    order (the vacated slots refill from below)
+    val byQuery = before.groupBy(_._1._1)
+    byQuery.foreach { case (qid, rows) =>
+      val pre = rows.toSeq.sortBy(_._1._2).map(_._2)
+      val post = (1 to 5).flatMap(r => after.get((qid, r)))
+      if (pre.forall(v => !rmIds(v)))
+        assert(post == pre, s"query $qid changed without cause")
+      else
+        assert(post.take(pre.count(v => !rmIds(v)))
+            .zip(pre.filter(v => !rmIds(v))).forall(p => p._1 == p._2),
+          s"query $qid: surviving prefix reordered")
+    }
+    // 3. at least one query actually exercised the refill path
+    assert(byQuery.exists(_._2.values.exists(rmIds)),
+      "fixture never hit a retracted neighbor — strengthen rmIds")
+  }
+
   test("knnBroadcast kernel == shuffle-aggregate knn (exact, same ties)") {
     import graft.operators.KnnJoin
     val agg = KnnJoin.knn(q, b, 7).collect()
