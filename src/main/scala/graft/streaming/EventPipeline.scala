@@ -366,9 +366,15 @@ object EventPipeline {
       val dels = batch.filter(col(opCol) === "delete").select(col(idCol))
       val adds = batch.filter(col(opCol) === "insert")
         .select(col(idCol), col(vecCol))
+      // pin BETWEEN the two folds, not just after the batch: the add
+      // fold's internal eager steps otherwise execute against the
+      // whole unpinned delete-fold DAG, whose tree STRING alone
+      // (repeated shared subtrees print multiplicatively) has blown a
+      // test-suite heap inside explainString
       val afterDel =
         if (dels.isEmpty) st
-        else I.removePoints(st, dels, idCol, eps, minPts, bucketDims)
+        else I.pin(I.removePoints(st, dels, idCol, eps, minPts,
+          bucketDims))
       if (adds.isEmpty) afterDel
       else I.addPoints(afterDel, adds, idCol, vecCol, eps, minPts,
         bucketDims)

@@ -25,23 +25,27 @@ class IncrementalDbscanSpec extends SparkSpec {
     assert(got == want)
   }
 
-  /** interleaved adds/removes == from-scratch run on the survivors */
+  /** interleaved adds/removes == from-scratch run on the survivors.
+    * Pins after init and after every fold — the DOCUMENTED usage
+    * (IncrementalDbscan.pin's contract); composing folds unpinned
+    * explodes the plan tree multiplicatively (shared subtrees print
+    * repeatedly) and has OOM'd the suite inside explainString. */
   private def checkEqualOps(init0: Seq[(Long, Seq[Float])],
       ops: Seq[Either[Seq[(Long, Seq[Float])], Seq[Long]]],
       eps: Double, minPts: Int, dims: Seq[Int]): Unit = {
     val spark2 = spark
     import spark2.implicits._
-    var st = IncrementalDbscan.init(df(init0), "id", "vec",
-      eps, minPts, dims)
+    var st = IncrementalDbscan.pin(IncrementalDbscan.init(df(init0),
+      "id", "vec", eps, minPts, dims))
     var live = init0.toMap
     ops.foreach {
       case Left(batch) =>
-        st = IncrementalDbscan.addPoints(st, df(batch), "id", "vec",
-          eps, minPts, dims)
+        st = IncrementalDbscan.pin(IncrementalDbscan.addPoints(st,
+          df(batch), "id", "vec", eps, minPts, dims))
         live ++= batch
       case Right(ids) =>
-        st = IncrementalDbscan.removePoints(st, ids.toDF("id"), "id",
-          eps, minPts, dims)
+        st = IncrementalDbscan.pin(IncrementalDbscan.removePoints(st,
+          ids.toDF("id"), "id", eps, minPts, dims))
         live --= ids
     }
     val got = labelsOf(IncrementalDbscan.labels(st))
