@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -56,6 +56,69 @@ object IncrementalDbscan {
   def pin(st: State): State =
     State(st.points.localCheckpoint(), st.counts.localCheckpoint(),
       st.coreComp.localCheckpoint(), st.borderPairs.localCheckpoint())
+
+  /** Bump when the on-disk layout of [[saveState]] changes shape. */
+  private val FormatVersion = 1
+
+  /** Durable save of the standing clustering — the missing half of the
+    * daily-batch contract: [[init]] once, [[saveState]], then every
+    * later session [[loadState]]s and folds its delta without ever
+    * re-clustering the corpus (the reference re-reads and re-clusters
+    * the whole file each run, `mpi_main.cpp:137-186`). Four parquet
+    * tables plus a one-row `manifest` carrying the clustering
+    * parameters; the manifest is written LAST, so its presence marks a
+    * complete state (a crashed save leaves no manifest and
+    * [[loadState]] refuses it). Each table writes with its DataFrame's
+    * own parallelism — at 100 TB the state is cluster-wide parquet like
+    * any other table, nothing funnels through the driver. */
+  def saveState(st: State, dir: String, eps: Double, minPts: Int,
+      bucketDims: Seq[Int]): Unit = {
+    val spark = st.points.sparkSession
+    st.points.write.mode("overwrite").parquet(s"$dir/points")
+    st.counts.write.mode("overwrite").parquet(s"$dir/counts")
+    st.coreComp.write.mode("overwrite").parquet(s"$dir/core_comp")
+    st.borderPairs.write.mode("overwrite").parquet(s"$dir/border_pairs")
+    import spark.implicits._
+    // commit marker — one row, written after every data table landed
+    Seq((FormatVersion, eps, minPts, bucketDims))
+      .toDF("format_version", "eps", "min_pts", "bucket_dims")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+  }
+
+  /** Load a [[saveState]]d clustering for further folds. The caller
+    * restates the parameters it intends to fold with and the manifest
+    * GUARDS them: folding a state built at one (eps, minPts) with
+    * another silently corrupts the count/core/component invariants, so
+    * a mismatch throws with both sides. `bucketDims` mismatches are
+    * equally rejected — the ε-cell geometry must match the standing
+    * pair state's. Loaded tables read straight from parquet (no lineage
+    * to the building session); q235 oracles load → [[removePoints]] →
+    * [[labels]] against the from-scratch pipeline. */
+  def loadState(spark: SparkSession, dir: String, eps: Double,
+      minPts: Int, bucketDims: Seq[Int]): State = {
+    val m =
+      try spark.read.parquet(s"$dir/manifest").head()
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"$dir holds no complete saved state (no manifest — " +
+              "interrupted saveState?)", e)
+      }
+    val mv = m.getAs[Int]("format_version")
+    require(mv == FormatVersion,
+      s"state at $dir has format_version=$mv, this build reads " +
+        s"$FormatVersion")
+    val (me, mp, md) = (m.getAs[Double]("eps"), m.getAs[Int]("min_pts"),
+      m.getAs[scala.collection.Seq[Int]]("bucket_dims").toSeq)
+    require(me == eps && mp == minPts && md == bucketDims,
+      s"state at $dir was built with (eps=$me, minPts=$mp, " +
+        s"bucketDims=$md); folding it with (eps=$eps, minPts=$minPts, " +
+        s"bucketDims=$bucketDims) would corrupt the standing invariants")
+    State(spark.read.parquet(s"$dir/points"),
+      spark.read.parquet(s"$dir/counts"),
+      spark.read.parquet(s"$dir/core_comp"),
+      spark.read.parquet(s"$dir/border_pairs"))
+  }
 
   /** Bootstrap the state with one full clustering pass. */
   def init(points: DataFrame, idCol: String, vecCol: String,

@@ -135,6 +135,61 @@ class IncrementalDbscanSpec extends SparkSpec {
     checkEqualOps(pts, Seq(Right(Seq(2L))), 1.0, 1, Seq(0))
   }
 
+  test("saveState/loadState: parquet round-trip, reload-then-fold " +
+      "equals in-memory fold; parameter mismatch and missing manifest " +
+      "are rejected") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(67)
+    val centers = Seq((0.0, 0.0), (10.0, 0.0))
+    val pts = (0 until 160).map { i =>
+      val (cx, cy) = centers(i % 2)
+      (i.toLong, Seq((cx + rnd.nextGaussian() * 0.6).toFloat,
+        (cy + rnd.nextGaussian() * 0.6).toFloat))
+    }
+    val dims = Seq(0, 1)
+    val st0 = IncrementalDbscan.pin(IncrementalDbscan.init(df(pts),
+      "id", "vec", 1.0, 4, dims))
+    val dir = java.nio.file.Files
+      .createTempDirectory("incdbscan_state").toString
+    IncrementalDbscan.saveState(st0, dir, 1.0, 4, dims)
+    val loaded = IncrementalDbscan.loadState(spark, dir, 1.0, 4, dims)
+    // the loaded tables equal the saved ones row for row
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq.map {
+        case s: scala.collection.Seq[_] => s.toList
+        case v => v
+      }).toSet
+    assert(rows(loaded.points) == rows(st0.points))
+    assert(rows(loaded.counts) == rows(st0.counts))
+    assert(rows(loaded.coreComp) == rows(st0.coreComp))
+    assert(rows(loaded.borderPairs) == rows(st0.borderPairs))
+    // reload-then-fold == in-memory fold == from-scratch over survivors
+    val del = pts.map(_._1).filter(_ % 5 == 0)
+    val fromLoaded = labelsOf(IncrementalDbscan.labels(
+      IncrementalDbscan.pin(IncrementalDbscan.removePoints(loaded,
+        del.toDF("id"), "id", 1.0, 4, dims))))
+    val want = labelsOf(Dbscan.run(df(pts.filterNot(p =>
+      del.contains(p._1))), "id", "vec", 1.0, 4, dims))
+    assert(fromLoaded == want)
+    // parameter drift is refused — each mismatch names both sides
+    intercept[IllegalArgumentException] {
+      IncrementalDbscan.loadState(spark, dir, 2.0, 4, dims)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalDbscan.loadState(spark, dir, 1.0, 5, dims)
+    }
+    intercept[IllegalArgumentException] {
+      IncrementalDbscan.loadState(spark, dir, 1.0, 4, Nil)
+    }
+    // a dir without a manifest (interrupted save) is refused
+    val empty = java.nio.file.Files
+      .createTempDirectory("incdbscan_nostate").toString
+    intercept[IllegalArgumentException] {
+      IncrementalDbscan.loadState(spark, empty, 1.0, 4, dims)
+    }
+  }
+
   test("addPoints: random blobs over three batches match the full run") {
     val rnd = new scala.util.Random(23)
     val centers = Seq((0.0, 0.0), (10.0, 0.0), (5.0, 8.0))
@@ -275,6 +330,39 @@ class IncrementalDbscanSpec extends SparkSpec {
     val live2 = (live1 -- dels2) ++ adds2
     assert(got(1L) == labelsOf(
       Dbscan.run(df(live2.toSeq), "id", "vec", eps, minPts, dims)))
+  }
+
+  test("clusterMaintainStream: unknown AND NULL op values fail the " +
+      "batch loudly (never silently dropped)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Seq(1L -> Seq(0.0f), 2L -> Seq(0.2f), 3L -> Seq(0.4f))
+    val st0 = IncrementalDbscan.init(df(base), "id", "vec", 1.0, 2, Seq(0))
+    def runWith(op: Option[String]): Throwable = {
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      // op arrives as a separately-built column so it can be NULL
+      import org.apache.spark.sql.functions.{lit => flit}
+      val changes = mem.toDF().toDF("id", "vec")
+        .withColumn("op", op.map(flit(_)).getOrElse(
+          flit(null).cast("string")))
+      val q = graft.streaming.EventPipeline.clusterMaintainStream(st0,
+        changes, "op", "id", "vec", 1.0, 2, Seq(0)) { (_, _) => () }
+      try {
+        mem.addData((7L, Seq(9.0f)))
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    def rootMsg(e: Throwable): String = {
+      var c: Throwable = e
+      while (c.getCause != null) c = c.getCause
+      Option(c.getMessage).getOrElse("")
+    }
+    assert(rootMsg(runWith(Some("upsert"))).contains("op"))
+    assert(rootMsg(runWith(None)).contains("op"))
   }
 
   test("addPoints: repeated batches keep border attachment minimal-comp") {
