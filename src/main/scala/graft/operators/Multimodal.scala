@@ -237,6 +237,147 @@ object Multimodal {
       }(enc)
   }
 
+  /** [[syntheticPng]] with a SPARSE perturbation — the near-duplicate
+    * fixture for the perceptual-hash family: pixels where
+    * `(x·5 + y·3) mod 29 == 0` (≈3.4% of the raster) get `delta` added
+    * to every channel before the mod-256 wrap. `delta = 0` is exactly
+    * [[syntheticPng]]; a small delta leaves cell means almost
+    * unchanged, so the perturbed image aHash/dHash-matches its base
+    * within a few bits — while a different `base` is unrelated word
+    * soup. Closed form shared with the q236/q237 oracles. */
+  def syntheticPngNear(base: Long, delta: Int, w: Int, h: Int)
+      : Array[Byte] = {
+    require(base >= 0 && delta >= 0 && w >= 1 && h >= 1,
+      s"bad image params: $base, $delta, $w, $h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val d = if ((x * 5 + y * 3) % 29 == 0) delta else 0
+        val r = ((base * 31 + x * 7 + y * 13 + d) % 256).toInt
+        val g = ((base * 17 + x * 3 + y * 5 + d) % 256).toInt
+        val b = ((base * 29 + x * 11 + y * 2 + d) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual hashes of one decoded image — aHash (average hash) and
+    * dHash (difference hash), the cheap pixel-level near-dup screen a
+    * crawl pipeline runs before any embedding model:
+    *
+    *   - aHash bit (cy·grid + cx) = 1 iff cell (cx, cy)'s mean gray
+    *     exceeds the image's global mean, over a grid×grid downsample;
+    *   - dHash bit (cy·grid + cx) = 1 iff cell (cx, cy) is brighter
+    *     than its right neighbor (cx+1, cy), over a grid×(grid+1)
+    *     downsample — gradient direction survives global
+    *     brightness/contrast shifts, which is why dHash is the stock
+    *     screen.
+    *
+    * Gray = r + g + b (integer channel sum — no luma-weight floats);
+    * cell membership is floor division (`x·cols / w`), so any image
+    * size maps exactly and the DuckDB oracle reproduces every bit.
+    * Mean comparisons run as exact integer cross-multiplications
+    * (`sumA·pixB > sumB·pixA`) — no division, bit-exact up to ~100 MP
+    * images before the products near Long range. Requires
+    * w ≥ grid+1 and h ≥ grid (every cell non-empty — resize or filter
+    * thumbnails upstream; a degenerate hash would silently near-dup
+    * everything). */
+  private[graft] def decodeImageHashes(payload: Array[Byte], grid: Int)
+      : (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null,
+      s"payload (${payload.length} bytes) is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= grid + 1 && h >= grid,
+      s"image ${w}x$h too small for a $grid-cell perceptual hash — " +
+        "resize or filter thumbnails upstream")
+    val cols = grid + 1
+    val sumA = new Array[Long](grid * grid)
+    val cntA = new Array[Long](grid * grid)
+    val sumD = new Array[Long](grid * cols)
+    val cntD = new Array[Long](grid * cols)
+    var tot = 0L
+    var y = 0
+    while (y < h) {
+      val ay = y * grid / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val gray = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val ka = ay * grid + x * grid / w
+        sumA(ka) += gray; cntA(ka) += 1
+        val kd = ay * cols + x * cols / w
+        sumD(kd) += gray; cntD(kd) += 1
+        tot += gray
+        x += 1
+      }
+      y += 1
+    }
+    val totPix = w.toLong * h
+    var ahash = 0L
+    var dhash = 0L
+    var k = 0
+    while (k < grid * grid) {
+      if (sumA(k) * totPix > tot * cntA(k)) ahash |= 1L << k
+      val cy = k / grid
+      val cx = k % grid
+      val l = cy * cols + cx
+      if (sumD(l) * cntD(l + 1) > sumD(l + 1) * cntD(l)) dhash |= 1L << k
+      k += 1
+    }
+    (ahash, dhash)
+  }
+
+  /** Perceptual-hash extraction over a media table — the pixel-level
+    * near-dup screen joining the real-decode family
+    * ([[imageFeatures]]) to the Hamming-band dedup machinery
+    * ([[Dedup.simHashJoin]] consumes either hash column directly):
+    * one row per image, (`media_id`, `ahash`: long, `dhash`: long),
+    * grid² ≤ 64 bits each. Same mapPartitions batching as the rest of
+    * the family (per-partition codec reuse; decode never touches the
+    * driver); at 100 TB the hash table is ~16 bytes/image and the
+    * banded join shuffles keys, never pixels. */
+  def imageHashes(media: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 1 && grid * grid <= 64,
+      s"need 1 <= grid with grid*grid <= 64 bits, got $grid")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idType = media.schema("media_id").dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"media_id must be numeric, got $idType")
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          require(!r.isNullAt(0),
+            "null media_id — every media row needs a non-null id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          require(payload != null,
+            s"null payload for media_id=${r.getLong(0)}")
+          val (a, d) =
+            try decodeImageHashes(payload, grid)
+            catch {
+              case scala.util.control.NonFatal(e) => throw
+                new IllegalArgumentException(
+                  s"media_id=${r.getLong(0)}: ${e.getMessage}", e)
+            }
+          Row(r.getLong(0), a, d)
+        }
+      }(enc)
+  }
+
   /** Deterministic synthetic WAV (16-bit signed PCM, mono, little
     * endian): sample i of clip `id` is
     *

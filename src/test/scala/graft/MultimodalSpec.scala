@@ -169,6 +169,59 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getCause.getMessage.contains("media_id=13"))
   }
 
+  test("imageHashes: perceptual near-dup recall on perturbed images, " +
+      "determinism, and thumbnail rejection") {
+    // 40 base images + 40 sparsely-perturbed near-copies (id = base+40)
+    val rows = (0 until 80).map { i =>
+      val base = i % 40
+      Row(i.toLong, "image",
+        Multimodal.syntheticPngNear(base, if (i < 40) 0 else 9,
+          12 + base % 4 * 4, 9 + base % 3 * 3),
+        Row(null, null, null))
+    }
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 5), Multimodal.mediaSchema)
+    val hs = Multimodal.imageHashes(media, grid = 8).persist()
+    val byId = hs.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId.size == 80)
+    // delta=0 IS the base generator: re-hashing the identical bytes is
+    // bit-equal (determinism across partitions/runs)
+    val again = Multimodal.imageHashes(media, grid = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == byId)
+    // RECALL: every planted (base, base+40) pair sits within Hamming 7
+    // on BOTH hashes — the sparse +9 perturbation barely moves cell
+    // means (and the banded join below must therefore emit all of them)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0 until 40).foreach { b =>
+      val (a0, d0) = byId(b.toLong)
+      val (a1, d1) = byId(b.toLong + 40)
+      assert(ham(a0, a1) <= 7, s"aHash drifted for base $b: ${ham(a0, a1)}")
+      assert(ham(d0, d1) <= 7, s"dHash drifted for base $b: ${ham(d0, d1)}")
+    }
+    val pairs = graft.operators.Dedup.simHashJoin(
+        hs.select(col("media_id").as("id"), col("dhash").as("simhash")), 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 40).foreach { b =>
+      assert(pairs.contains((b.toLong, b.toLong + 40)),
+        s"banded join missed planted pair ($b, ${b + 40})")
+    }
+    // emitted pairs are verified: every one is genuinely within radius
+    assert(pairs.forall { case (x, y) => ham(byId(x)._2, byId(y)._2) <= 7 })
+    // a thumbnail below the grid floor fails loudly with its media_id
+    val tiny = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(99L, "image",
+        Multimodal.syntheticPng(1, 4, 4), Row(null, null, null))), 1),
+      Multimodal.mediaSchema)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.imageHashes(tiny, grid = 8).collect()
+    }
+    assert(e.getMessage.contains("99") || Option(e.getCause).exists(
+      _.getMessage.contains("99")))
+    hs.unpersist()
+  }
+
   test("sampleFrames explodes videos by stride") {
     val out = Multimodal.sampleFrames(mediaDf(9, 3), stride = 10)
     val rows = out.collect()
