@@ -86,9 +86,19 @@ object Workloads {
     // number isolates the FOLD + labels against a standing state
     // (rep 1 pays the init; the init cost itself is ~dbscan_synth500k)
     val key = s"decr:$n:$k:$dims:$eps:$minPts"
+    // the cache hit must also be SESSION-bound: a later call with the
+    // same key after the owning session was stopped/recreated would
+    // hand back persisted frames and localCheckpoint blocks of a dead
+    // SparkContext (runtime failure); on mismatch, release the stale
+    // entry's pin and rebuild against the live session
     val (pts, bDims, st0) = decrCache match {
-      case Some((`key`, v)) => v
-      case _ =>
+      case Some((`key`, v)) if v._1.sparkSession eq spark => v
+      case stale =>
+        stale.foreach { case (_, (oldPts, _, _)) =>
+          if (oldPts.sparkSession eq spark)
+            oldPts.unpersist(blocking = false)
+        }
+        decrCache = None
         val p = synthPoints(spark, n, k, dims).persist()
         val bd = graft.operators.EpsilonJoin.pickBucketDims(p,
           "features", eps, knownDim = dims)

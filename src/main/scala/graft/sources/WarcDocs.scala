@@ -42,14 +42,40 @@ object WarcDocs {
     * never interleave bytes into a final shard, and `dir` may be any
     * Hadoop-visible path (shared FS required on a multi-node cluster —
     * executor-local paths are invisible to read(), same as every
-    * Hadoop output format). */
+    * Hadoop output format). Executors build their FileSystem from the
+    * DRIVER's broadcast Hadoop conf, so spark.hadoop.* credentials and
+    * defaultFS overrides apply at task time exactly as at plan time.
+    * Re-writing an existing `dir` OVERWRITES it: the driver sweeps
+    * previous part files first, so a re-run never silently serves a
+    * stale shard. */
   def write(df: DataFrame, idCol: String, uriCol: String, textCol: String,
       dir: String, gzip: Boolean = false): Unit = {
+    val sc = df.sparkSession.sparkContext
     val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val driverFs = dirPath.getFileSystem(
-      df.sparkSession.sparkContext.hadoopConfiguration)
+    val driverFs = dirPath.getFileSystem(sc.hadoopConfiguration)
     require(driverFs.mkdirs(dirPath) || driverFs.getFileStatus(dirPath)
       .isDirectory, s"cannot create $dir")
+    // OVERWRITE semantics, decided at the driver: clear every shard a
+    // previous write left (finals AND orphaned attempt temps) before
+    // any task runs. Task-side rename then has one meaning — a failed
+    // rename can only be a sibling attempt of THIS job having won, so
+    // the loser discards; without this sweep a pre-existing final made
+    // the outcome FS-dependent (HDFS rename-to-existing returns false
+    // and kept the STALE shard; local rename(2) overwrote).
+    Option(driverFs.globStatus(new org.apache.hadoop.fs.Path(dir,
+        "{part-*.warc*,.part-*.warc*}")))
+      .getOrElse(Array.empty)
+      .foreach(st => driverFs.delete(st.getPath, false))
+    // executors must see the DRIVER's Hadoop conf (spark.hadoop.* —
+    // s3a/gs credentials, defaultFS overrides): a task-side
+    // `new Configuration()` only reads classpath site XMLs, which on a
+    // Spark-conf-configured cluster hits the wrong FS or fails auth —
+    // masked in local runs because the driver-side mkdirs used the
+    // right conf. Configuration is not Serializable; ship it with the
+    // same wrapper Spark's own datasources use.
+    val confBc = sc.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        sc.hadoopConfiguration))
     df.select(col(idCol).cast("long"), col(uriCol).cast("string"),
         col(textCol).cast("string"))
       .rdd
@@ -61,8 +87,14 @@ object WarcDocs {
           f"part-$pid%05d.$ext")
         val tmpPath = new org.apache.hadoop.fs.Path(dir,
           f".part-$pid%05d.$ext.attempt-${tc.taskAttemptId()}")
-        val fs = finalPath.getFileSystem(
-          new org.apache.hadoop.conf.Configuration())
+        // a PRIVATE FileSystem instance (newInstance bypasses the JVM
+        // cache): setWriteChecksum on the cached shared instance would
+        // disable checksum writing for every other writer in this
+        // executor that shares the scheme/authority/UGI cache key —
+        // racily and for the life of the JVM
+        val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+          finalPath.toUri, confBc.value.value)
+        try {
         // no client-side .crc sidecars: a WARC dir is an interchange
         // layout read by non-Hadoop tooling, and a stale sidecar turns
         // every downstream read into a checksum error
@@ -106,7 +138,10 @@ object WarcDocs {
         } finally os.close()
         // commit: first successful attempt wins the final name; a
         // racing speculative attempt loses the rename and discards
+        // (the driver swept stale finals from previous writes, so a
+        // losing rename here always means a sibling of this job won)
         if (!fs.rename(tmpPath, finalPath)) fs.delete(tmpPath, false)
+        } finally fs.close()
       }
   }
 

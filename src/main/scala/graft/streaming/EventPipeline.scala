@@ -359,7 +359,11 @@ object EventPipeline {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val I = graft.operators.IncrementalDbscan
     clusterFoldStream(initial, changes, sink) { (st, batch) =>
-      val bad = batch.filter(!col(opCol).isin("insert", "delete"))
+      // null-safe: `!isin(...)` evaluates to NULL for a NULL op, which
+      // would drop the row from `bad` AND from both fold filters —
+      // silently discarded instead of failing loudly as promised
+      val bad = batch.filter(
+        !(col(opCol).isin("insert", "delete") <=> lit(true)))
       if (!bad.isEmpty)
         throw new IllegalArgumentException(
           s"unknown $opCol value: ${bad.select(opCol).head.get(0)}")

@@ -48,6 +48,39 @@ class WarcDocsSpec extends SparkSpec {
     }
   }
 
+  test("re-write to the same dir OVERWRITES: no stale shard survives") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warc_ow")
+    try {
+      // first write: 4 rows across 3 partitions (3 shards)
+      WarcDocs.write(Seq(
+          (1L, "https://e.org/1", "old-one"), (2L, "https://e.org/2", "old-two"),
+          (3L, "https://e.org/3", "old-three"), (4L, "https://e.org/4", "old-four"))
+        .toDF("doc_id", "uri", "text").repartition(3),
+        "doc_id", "uri", "text", tmp.toString)
+      // plant an orphaned attempt temp (a crashed attempt would leave one)
+      java.nio.file.Files.writeString(
+        tmp.resolve(".part-00099.warc.attempt-7"), "garbage")
+      // second write: fewer partitions than the first — partition 2's
+      // old shard has no same-named successor, the case a rename-only
+      // protocol silently serves stale data for
+      WarcDocs.write(Seq((9L, "https://e.org/9", "new-nine"))
+        .toDF("doc_id", "uri", "text").coalesce(1),
+        "doc_id", "uri", "text", tmp.toString)
+      val back = WarcDocs.read(spark, tmp.toString).collect()
+        .map(r => (r.getLong(0), r.getString(2))).toSet
+      assert(back == Set((9L, "new-nine")))
+      // the orphaned temp was swept too
+      assert(!java.nio.file.Files.exists(
+        tmp.resolve(".part-00099.warc.attempt-7")))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming read: a >64 MB single shard parses row by row") {
     // one ~70 MB shard (100k x ~700-char payloads) read through the
     // PortableDataStream path — the shard streams through a 64 KB
