@@ -73,7 +73,13 @@ object Scaling {
           s"sec=${math.rint(best * 100) / 100} fp=$fp")
       } finally spark.stop()
     }
-    val out = s"""{"invariant":$invariant,""" +
+    // carried in the artifact so a reader can't mistake the local-mode
+    // top-end flattening for a scaling defect
+    val note = "fingerprints must be identical at every level " +
+      "(invariant); wall-clock at 16->32 cores may regress in " +
+      "local[N] mode (single-JVM shuffle saturation) - the scaling " +
+      "signal is 2->16 plus fingerprint equality"
+    val out = s"""{"invariant":$invariant,"note":"$note",""" +
       s""""runs":[${rows.mkString(",")}]}"""
     val path = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT",
       "/root/repo/SCALING.json")
