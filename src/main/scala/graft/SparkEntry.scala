@@ -48,6 +48,23 @@ object SparkEntry {
         min("ms").as("start_ms"), max("ms").as("end_ms"))
   }
 
+  /** Perceptual-hash fixture set (q236/q237): 75 closed-form base
+    * images (ids 0–74) + 75 sparsely-perturbed near-copies (id = base
+    * + 75, delta 9 on ~3.4% of pixels) — sizes keyed off the BASE so
+    * each near-pair shares dimensions, and every size satisfies
+    * w ≥ 9, h ≥ 8 (all grid-8 hash cells non-empty). */
+  private def phashMedia(s: SparkSession, dir: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val base = id % 75
+      graft.operators.Multimodal.syntheticPngNear(base,
+        if (id < 75) 0 else 9,
+        (12 + base % 4 * 4).toInt, (9 + base % 3 * 3).toInt)
+    }
+    t(s, dir, "documents").filter(col("doc_id") < 150)
+      .select(col("doc_id").as("media_id"), lit("image").as("modality"),
+        gen(col("doc_id")).as("payload"))
+  }
+
   /** DBSCAN parameters for the embeddings point table (500×64-dim,
     * nearest-pair d² ≈ 1.24): ε=1.2, minPts=8 ⇒ ~212 cores, non-trivial
     * core/border/noise split. */
@@ -273,6 +290,60 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
+    // Standing-state DURABILITY: the q231 fold with a parquet
+    // save → reload seam in the middle — init, persist the four state
+    // tables + manifest, load them back (no lineage to the building
+    // plans, exactly a restarted session), THEN fold the delete batch
+    // and label. The oracle is the unchanged from-scratch survivor
+    // clustering: any drift the round-trip introduced (schema, value,
+    // or invariant) breaks the hash
+    "q235_state_reload" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val I = operators.IncrementalDbscan
+      val st0 = I.pin(I.init(e, "vec_id", "embedding", Eps, MinPts, Nil))
+      val p = java.nio.file.Files.createTempDirectory("graft_state")
+      p.toFile.deleteOnExit()
+      I.saveState(st0, p.toString, Eps, MinPts, Nil)
+      val st1 = I.loadState(s, p.toString, Eps, MinPts, Nil)
+      val st2 = I.pin(I.removePoints(st1,
+        e.filter(col("vec_id") % 10 === 0).select("vec_id"), "vec_id",
+        Eps, MinPts, Nil))
+      I.labels(st2)
+    }),
+
+    // Perceptual image hashes (aHash + dHash) over REAL decoded pixels —
+    // the cheap pixel-level near-dup screen a crawl pipeline runs before
+    // any embedding model. Fixtures: 75 closed-form base images + 75
+    // sparsely-perturbed near-copies; emitted bit-by-bit so the DuckDB
+    // oracle reproduces every bit from the closed form (integer
+    // cross-multiplied mean comparisons — no float anywhere)
+    "q236_image_phash" -> ((s, dir) => {
+      val hs = graft.operators.Multimodal.imageHashes(
+        phashMedia(s, dir), grid = 8)
+      hs.select(col("media_id"),
+        explode(array((0 until 64).map(k => struct(
+          lit(k).as("bit_idx"),
+          shiftright(col("ahash"), k).bitwiseAND(lit(1L)).cast("int")
+            .as("a_bit"),
+          shiftright(col("dhash"), k).bitwiseAND(lit(1L)).cast("int")
+            .as("d_bit"))): _*)).as("b"))
+        .select(col("media_id"), col("b.bit_idx").as("bit_idx"),
+          col("b.a_bit").as("a_bit"), col("b.d_bit").as("d_bit"))
+    }),
+
+    // Perceptual near-dup JOIN: banded Hamming self-join over the dHash
+    // column (pigeonhole bands — Dedup.simHashJoin machinery verbatim;
+    // never all-pairs). The oracle brute-forces pairwise Hamming from
+    // the same closed-form bits — band recall at radius ≤ 7 is exact by
+    // pigeonhole, so the outputs must match row for row
+    "q237_image_neardup" -> ((s, dir) => {
+      val hs = graft.operators.Multimodal.imageHashes(
+        phashMedia(s, dir), grid = 8)
+      Dedup.simHashJoin(
+        hs.select(col("media_id").as("id"), col("dhash").as("simhash")),
+        maxHamming = 7)
+    }),
+
     "q23_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 50)
@@ -280,6 +351,41 @@ object SparkEntry {
       val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
       AnnSearch.ivfTopK(q, b, AnnK, nCentroids = IvfCents, nProbe = IvfProbe)
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
+    // IVF index INSERT (q234's dual — the standing index now has full
+    // CRUD): centroids are the nightly build's, trained on the initial
+    // corpus only (every 7th vector arrives later); the batch folds in
+    // as one union and serving equals a from-scratch build table over
+    // old ∪ new against the same centroids. Oracle: the full IVF
+    // unroll with the centroid pipeline restricted to the initial
+    // corpus and the serve side unrestricted
+    "q238_ivf_insert" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val init = e.filter(col("vec_id") % 7 =!= 0)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val cents = AnnSearch.centroids(init, IvfCents)
+      val grown = AnnSearch.addToIvf(init,
+        e.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
+      AnnSearch.ivfTopKPrebuilt(q, grown, AnnK, cents, IvfProbe)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
+    // Minhash index APPEND (q233's dual): the store (doc_id % 3 == 0)
+    // grows by an ingested batch (% 3 == 1), then a probe batch
+    // (% 3 == 2) dedups against the grown store — matches can land in
+    // either generation. Oracle: naive cross-pair Jaccard over
+    // probe × grown-store
+    "q239_index_append" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = operators.Dedup.minHashIndex(
+        d.filter(col("doc_id") % 3 === 0), "doc_id", "text", 3)
+      val grown = operators.Dedup.appendToIndex(idx,
+        d.filter(col("doc_id") % 3 === 1), "doc_id", "text", 3)
+      operators.Dedup.minHashJoinAgainst(grown,
+        d.filter(col("doc_id") % 3 === 2), "doc_id", "text", 3, 0.5)
     }),
 
     // Source parity: the reference's binary point format (op S-1). DuckDB
@@ -3317,7 +3423,8 @@ object SparkEntry {
     * SERVE-side candidate set pre-ranking (q234 passes the tombstone
     * predicate; build/centroid CTEs always run over the full corpus —
     * retraction never retrains). */
-  private def ivfOracleWith(serveCond: String): String = {
+  private def ivfOracleWith(serveCond: String,
+      buildCond: String = "TRUE"): String = {
     def d2(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), " +
         "x -> (x[1] - x[2]) * (x[1] - x[2])))"
@@ -3338,18 +3445,18 @@ object SparkEntry {
     val lloyd = (1 to IvfIters).map { r =>
       val c = s"c${r - 1}"
       s"""a$r AS MATERIALIZED (SELECT id, cid FROM (
-         |    SELECT p.id, $c.cid, row_number() OVER (PARTITION BY p.id
-         |      ORDER BY ${d2("p.v", s"$c.cv")}, $c.cid) AS rn
-         |    FROM p CROSS JOIN $c) WHERE rn = 1),
+         |    SELECT tp.id, $c.cid, row_number() OVER (PARTITION BY tp.id
+         |      ORDER BY ${d2("tp.v", s"$c.cv")}, $c.cid) AS rn
+         |    FROM tp CROSS JOIN $c) WHERE rn = 1),
          |c$r AS MATERIALIZED (SELECT cid,
          |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
          |      ORDER BY dim) AS cv
          |  FROM (SELECT a$r.cid, u.dim,
-         |      CAST(sum(CAST(round(p.v[u.dim] * 1000000.0) AS BIGINT))
+         |      CAST(sum(CAST(round(tp.v[u.dim] * 1000000.0) AS BIGINT))
          |        AS BIGINT) AS s,
          |      CAST(count(*) AS BIGINT) AS cnt
-         |    FROM a$r JOIN p USING (id),
-         |      unnest(range(1, len(p.v) + 1)) AS u(dim)
+         |    FROM a$r JOIN tp USING (id),
+         |      unnest(range(1, len(tp.v) + 1)) AS u(dim)
          |    GROUP BY 1, 2)
          |  GROUP BY cid)""".stripMargin
     }.mkString(",\n")
@@ -3357,9 +3464,10 @@ object SparkEntry {
     s"""WITH p AS MATERIALIZED (SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
+       |tp AS MATERIALIZED (SELECT * FROM p WHERE $buildCond),
        |pool AS MATERIALIZED (SELECT
        |    CAST(row_number() OVER (ORDER BY id) AS INTEGER) AS rid, v
-       |  FROM (SELECT id, v FROM p
+       |  FROM (SELECT id, v FROM tp
        |    ORDER BY md5(CAST(id AS VARCHAR) || ':$IvfSeed')
        |    LIMIT $IvfPool)),
        |ch1 AS MATERIALIZED (SELECT rid, v FROM pool WHERE rid = 1),
@@ -4547,6 +4655,27 @@ object SparkEntry {
     // tombstone retraction: same pipeline, serve-side candidates
     // filtered (centroids from the FULL corpus — never retrained)
     "q234_ivf_retraction" -> ivfOracleWith("bi.id % 7 != 0"),
+
+    // insert dual: centroid pipeline trained on the INITIAL corpus
+    // only (every 7th vector ingested later), serve over everything
+    "q238_ivf_insert" -> ivfOracleWith("TRUE", buildCond = "id % 7 != 0"),
+
+    // append dual of q233: probe batch (% 3 = 2) vs the GROWN store
+    // (original % 3 = 0 plus appended % 3 = 1)
+    "q239_index_append" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+        |         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS toks
+        |       FROM w)
+        |SELECT new_id, idx_id, jac FROM (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS idx_id,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / (len(a.toks) + len(b.toks)
+        |         - len(list_intersect(a.toks, b.toks))) AS jac
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id % 3 = 2 AND b.doc_id % 3 != 2) p
+        |WHERE jac >= 0.5""".stripMargin,
     "q75_ann_pq" -> pqOracle,
     "q28_winnowing" -> winnowingOracle,
 
@@ -5398,6 +5527,35 @@ object SparkEntry {
       // decremental fold vs a from-scratch run over the survivors
       "q231_decr_dbscan" ->
         dbscanOracleFrom("(SELECT * FROM embeddings WHERE vec_id % 10 != 0)"),
+
+      // save → reload → fold vs the same from-scratch survivor oracle
+      "q235_state_reload" ->
+        dbscanOracleFrom("(SELECT * FROM embeddings WHERE vec_id % 10 != 0)"),
+
+      // perceptual hashes bit-by-bit from the closed-form rasters
+      "q236_image_phash" ->
+        s"""$phashOracleCtes,
+           |ab AS (SELECT ca.m, ca.k,
+           |    CASE WHEN ca.s * tot.tp > tot.ts * ca.c
+           |         THEN 1 ELSE 0 END AS a_bit
+           |  FROM ca JOIN tot USING (m))
+           |SELECT ab.m AS media_id, CAST(ab.k AS INTEGER) AS bit_idx,
+           |  CAST(ab.a_bit AS INTEGER) AS a_bit,
+           |  CAST(db.d_bit AS INTEGER) AS d_bit
+           |FROM ab JOIN db ON db.m = ab.m AND db.k = ab.k""".stripMargin,
+
+      // banded-join output vs brute-force pairwise Hamming over the
+      // same closed-form dHash bits (band recall at radius 7 is exact
+      // by pigeonhole, so the sets must be identical)
+      "q237_image_neardup" ->
+        s"""$phashOracleCtes
+           |SELECT a.m AS a_id, b.m AS b_id,
+           |  CAST(sum(CASE WHEN a.d_bit != b.d_bit THEN 1 ELSE 0 END)
+           |    AS INTEGER) AS hamming
+           |FROM db a JOIN db b ON b.k = a.k AND a.m < b.m
+           |GROUP BY 1, 2
+           |HAVING sum(CASE WHEN a.d_bit != b.d_bit THEN 1 ELSE 0 END)
+           |  <= 7""".stripMargin,
 
       // retraction fold vs the full q222 pipeline over the survivors
       "q232_split_retraction" -> leakageSafeSplitOracleFrom(
@@ -7619,6 +7777,42 @@ object SparkEntry {
        |  SELECT doc_id, $best AS m, * FROM (
        |    SELECT doc_id, $scores FROM documents) sc) s""".stripMargin
   }
+
+  /** Closed-form CTE chain shared by the q236/q237 oracles: regenerate
+    * the [[phashMedia]] fixture rasters arithmetically, reduce to exact
+    * integer per-cell gray sums/counts for both hash grids (8×8 aHash,
+    * 8×9 dHash — floor-division cell membership like the engine), and
+    * derive the dHash bit table. All comparisons are integer
+    * cross-multiplications — nothing to drift. */
+  private val phashOracleCtes: String =
+    """WITH ids AS MATERIALIZED (SELECT doc_id AS m, doc_id % 75 AS base,
+      |    CASE WHEN doc_id < 75 THEN 0 ELSE 9 END AS delta,
+      |    CAST(12 + (doc_id % 75) % 4 * 4 AS INTEGER) AS w,
+      |    CAST(9 + (doc_id % 75) % 3 * 3 AS INTEGER) AS h
+      |  FROM documents WHERE doc_id < 150),
+      |px AS MATERIALIZED (SELECT m, w, h, ux.x, uy.y,
+      |    (base * 31 + ux.x * 7 + uy.y * 13
+      |      + CASE WHEN (ux.x * 5 + uy.y * 3) % 29 = 0
+      |             THEN delta ELSE 0 END) % 256
+      |  + (base * 17 + ux.x * 3 + uy.y * 5
+      |      + CASE WHEN (ux.x * 5 + uy.y * 3) % 29 = 0
+      |             THEN delta ELSE 0 END) % 256
+      |  + (base * 29 + ux.x * 11 + uy.y * 2
+      |      + CASE WHEN (ux.x * 5 + uy.y * 3) % 29 = 0
+      |             THEN delta ELSE 0 END) % 256 AS gray
+      |  FROM ids, unnest(range(0, w)) ux(x), unnest(range(0, h)) uy(y)),
+      |tot AS (SELECT m, CAST(sum(gray) AS BIGINT) AS ts,
+      |    CAST(count(*) AS BIGINT) AS tp FROM px GROUP BY 1),
+      |ca AS (SELECT m, (y * 8 // h) * 8 + (x * 8 // w) AS k,
+      |    CAST(sum(gray) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM px GROUP BY 1, 2),
+      |cd AS (SELECT m, y * 8 // h AS cy, x * 9 // w AS cx,
+      |    CAST(sum(gray) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM px GROUP BY 1, 2, 3),
+      |db AS (SELECT l.m, l.cy * 8 + l.cx AS k,
+      |    CASE WHEN l.s * r.c > r.s * l.c THEN 1 ELSE 0 END AS d_bit
+      |  FROM cd l JOIN cd r ON r.m = l.m AND r.cy = l.cy
+      |    AND r.cx = l.cx + 1)""".stripMargin
 
   /** DBSCAN labels in pure SQL: the ε self-join, core test, recursive-CTE
     * min-label connected components, min-comp border attach, size-≥2 dense

@@ -244,6 +244,24 @@ object AnnSearch {
     build.join(removeIds.select(col(idCol).as("b_id")).distinct(),
       Seq("b_id"), "left_anti")
 
+  /** Insert into a persisted IVF index — [[retractFromIvf]]'s dual,
+    * closing the standing-index CRUD square. Assignment is a pure
+    * function of the FIXED centroid geometry, so ingesting a batch is
+    * one union: every old vector keeps its cell bit for bit, new
+    * vectors land in theirs at serve time, and the result equals a
+    * from-scratch build-table over old ∪ new served against the same
+    * centroids (q238 oracles exactly that). Centroids are NOT
+    * retrained — the production rule shared with the tombstone path;
+    * retrain on drift cadence. Ids must be fresh (a re-ingested id
+    * would serve twice — [[retractFromIvf]] first for replace
+    * semantics, the takedown-then-replace shape).
+    * @param build the persisted vector table (`b_id`, `b_v`)
+    * @param newVecs batch to ingest, keyed/shaped by `idCol`/`vecCol`. */
+  def addToIvf(build: DataFrame, newVecs: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    build.unionByName(
+      newVecs.select(col(idCol).as("b_id"), col(vecCol).as("b_v")))
+
   /** IVF probe against a PREBUILT index — the production shape: run
     * Lloyd once (e.g. [[centroids]] persisted as parquet by a nightly
     * build job), then serve every query batch against the stored

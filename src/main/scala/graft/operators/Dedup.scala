@@ -581,6 +581,18 @@ object Dedup {
     index.join(removeIds.select(col(idCol).as("id")).distinct(),
       Seq("id"), "left_anti")
 
+  /** Append an ingested batch to a persisted [[minHashIndex]] —
+    * [[retractFromIndex]]'s dual, closing the index CRUD square. An
+    * index row derives from its document alone, so appending the
+    * batch's freshly-built rows IS the rebuild over old ∪ new, bit for
+    * bit (q239 oracles append-then-probe against the naive cross-pair
+    * Jaccard over the grown store); only the batch's text is read.
+    * Ids must be fresh — a re-ingested id would hold two rows
+    * ([[retractFromIndex]] first for replace semantics). */
+  def appendToIndex(index: DataFrame, newDocs: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int = 64): DataFrame =
+    index.unionByName(minHashIndex(newDocs, idCol, textCol, n, k))
+
   /** Incremental near-dup join: a NEW document batch against an
     * existing [[minHashIndex]] — the steady-state ingest path, where
     * rebuilding the all-pairs join over old ∪ new would redo corpus

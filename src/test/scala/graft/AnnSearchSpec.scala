@@ -149,6 +149,26 @@ class AnnSearchSpec extends SparkSpec {
       "fixture never hit a retracted neighbor — strengthen rmIds")
   }
 
+  test("addToIvf: serving old ∪ ingested equals the from-scratch build " +
+      "table against the same centroids") {
+    // centroids trained on the initial corpus only (the nightly build);
+    // assignment is a pure function of them, so append == rebuild
+    val init = b.filter(col("b_id") % 7 =!= 0)
+    val cents = AnnSearch.centroids(init, nCentroids = 8)
+    val grown = AnnSearch.addToIvf(init,
+      emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val viaAppend = rows(AnnSearch.ivfTopKPrebuilt(q, grown, 5, cents,
+      nProbe = 3))
+    val fromScratch = rows(AnnSearch.ivfTopKPrebuilt(q, b, 5, cents,
+      nProbe = 3))
+    assert(viaAppend == fromScratch && viaAppend.nonEmpty)
+    // the ingested generation actually serves (not a vacuous append)
+    assert(viaAppend.values.exists(_ % 7 == 0),
+      "no ingested vector reached a top-k slot — weaken the split")
+  }
+
   test("knnBroadcast kernel == shuffle-aggregate knn (exact, same ties)") {
     import graft.operators.KnnJoin
     val agg = KnnJoin.knn(q, b, 7).collect()

@@ -134,6 +134,29 @@ class DedupSpec extends SparkSpec {
     assert(fromStore == fromFresh && fromStore.nonEmpty)
   }
 
+  test("appendToIndex == minHashIndex over old ∪ new, and the grown " +
+      "store serves both generations") {
+    val old = docs.filter(col("doc_id") % 3 === 0)
+    val batch = docs.filter(col("doc_id") % 3 === 1)
+    val probe = docs.filter(col("doc_id") % 3 === 2)
+    def idxRows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList,
+        r.getSeq[Long](2).toSet)).toSet
+    val grown = Dedup.appendToIndex(
+      Dedup.minHashIndex(old, "doc_id", "text", 3), batch,
+      "doc_id", "text", 3)
+    // append IS the rebuild over the union, bit for bit
+    assert(idxRows(grown) ==
+      idxRows(Dedup.minHashIndex(docs.filter(col("doc_id") % 3 =!= 2),
+        "doc_id", "text", 3)))
+    val hits = Dedup.minHashJoinAgainst(grown, probe, "doc_id", "text",
+      3, 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.nonEmpty && hits.forall(_._1 % 3 == 2))
+    // matches land in BOTH generations of the store
+    assert(hits.exists(_._2 % 3 == 0) && hits.exists(_._2 % 3 == 1),
+      "fixture never matched one of the store generations")
+  }
+
   test("embedding near-dup: LSH candidates recall most exact pairs") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .persist()
