@@ -56,6 +56,56 @@ object ClusterParity {
     r.toSeq.mkString("|")
   }
 
+  /** STREAMING face under multi-JVM: clusterMaintainStream folds two
+    * CDC micro-batches (inserts pulled by stream-static join, deletes,
+    * and a takedown-then-replace) into a standing 10k-point clustering;
+    * the summary is the final trigger's label fingerprint. Everything
+    * is deterministic (hash-generated points, fixed batch boundaries),
+    * so local[N] and local-cluster must agree bit for bit — this closes
+    * the evidence asymmetry where only the BATCH surface had multi-JVM
+    * parity while the stream==batch equality specs ran in one JVM. */
+  private def streamMaintainSummary(s: SparkSession): String = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val I = graft.operators.IncrementalDbscan
+    val (eps, minPts, n) = (1.0, 5, 10000L)
+    val pts = Workloads.synthPoints(s, n, k = 8, dims = 3)
+      .withColumnRenamed("features", "vec").persist()
+    val bd = graft.operators.EpsilonJoin.pickBucketDims(pts, "vec", eps,
+      knownDim = 3)
+    val base = pts.filter(pmod(col("id"), lit(5L)) =!= 4)
+    val st0 = I.pin(I.init(base, "id", "vec", eps, minPts, bd))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    // the stream carries (op, id) only; vectors arrive by stream-static
+    // join against the point table — deletes ride with a null vec,
+    // which removePoints never reads
+    val changes = mem.toDF().toDF("op", "id").join(pts, Seq("id"), "left")
+    @volatile var last = ""
+    val q = graft.streaming.EventPipeline.clusterMaintainStream(st0,
+      changes, "op", "id", "vec", eps, minPts, bd) { (labels, _) =>
+      last = labelSummary(labels)
+    }
+    val heldOut = (0L until n).filter(_ % 5 == 4)
+    try {
+      // trigger 1: first half of the held-out points + a base delete
+      mem.addData(
+        heldOut.filter(_ < n / 2).map("insert" -> _) ++
+          (0L until n).filter(i => i % 5 != 4 && i % 17 == 0)
+            .map("delete" -> _): _*)
+      q.processAllAvailable()
+      // trigger 2: the rest, another delete wave, and id 42 replaced
+      // (delete + re-insert in ONE batch — deletes fold first)
+      mem.addData(
+        heldOut.filter(_ >= n / 2).map("insert" -> _) ++
+          (0L until n).filter(_ % 13 == 1).map("delete" -> _) ++
+          Seq("delete" -> 42L, "insert" -> 42L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    pts.unpersist(blocking = false)
+    last
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val clusterMaster =
@@ -110,6 +160,7 @@ object ClusterParity {
           eps = 1.0, minPts = 5))),
       "minhash_synth1m" -> (s => pairSummary(
         Workloads.dedupSynth(s, 1_000_000L))),
+      "cluster_maintain_stream" -> (s => streamMaintainSummary(s)),
     )
     val workloads: Seq[(String, SparkSession => String)] = baseWorkloads ++ (
       // 100× the reference's largest dataset under multi-JVM — opt-in
@@ -147,7 +198,19 @@ object ClusterParity {
       s""""$n":{"match":$ok,"local":"$bs","cluster":"$ds",""" +
         s""""local_sec":$bt,"cluster_sec":$dt}"""
     }.mkString(",")
-    println(s"""{"parity":$allOk,"master":"$clusterMaster",$detail}""")
+    val out = s"""{"parity":$allOk,"master":"$clusterMaster",$detail}"""
+    println(out)
+    // persist the artifact directly (earlier rounds hand-captured
+    // stdout); SPARK_GRAFT_PARITY_OUT overrides, empty disables
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_PARITY_OUT",
+      "/root/repo/CLUSTER_PARITY.json")
+    if (outPath.nonEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outPath), out + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[parity] could not write $outPath: " +
+          e.getMessage)
+      }
     if (!allOk) sys.exit(1)
   }
 }
