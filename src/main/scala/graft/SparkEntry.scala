@@ -331,6 +331,20 @@ object SparkEntry {
           col("b.a_bit").as("a_bit"), col("b.d_bit").as("d_bit"))
     }),
 
+    // Perceptual dup-GROUPS: q237's banded Hamming pairs closed into
+    // connected components with canonical ids (Dedup.dupGroups
+    // verbatim) — the image screen feeding the same group/split
+    // machinery the text near-dups use (q44/q222). Oracle: recursive-
+    // CTE CC over the brute-force Hamming pairs of the closed-form bits
+    "q240_image_dupgroups" -> ((s, dir) => {
+      val hs = graft.operators.Multimodal.imageHashes(
+        phashMedia(s, dir), grid = 8)
+      val pairs = Dedup.simHashJoin(
+        hs.select(col("media_id").as("id"), col("dhash").as("simhash")),
+        maxHamming = 7)
+      Dedup.dupGroups(pairs, hs.select(col("media_id")), "media_id")
+    }),
+
     // Perceptual near-dup JOIN: banded Hamming self-join over the dHash
     // column (pigeonhole bands — Dedup.simHashJoin machinery verbatim;
     // never all-pairs). The oracle brute-forces pairwise Hamming from
@@ -5543,6 +5557,31 @@ object SparkEntry {
            |  CAST(ab.a_bit AS INTEGER) AS a_bit,
            |  CAST(db.d_bit AS INTEGER) AS d_bit
            |FROM ab JOIN db ON db.m = ab.m AND db.k = ab.k""".stripMargin,
+
+      // recursive-CTE connected components over the brute-force
+      // Hamming pairs (q44's closure shape on the q237 pair set)
+      "q240_image_dupgroups" ->
+        s"""${phashOracleCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+           |ham AS (
+           |  SELECT a.m AS a_id, b.m AS b_id
+           |  FROM db a JOIN db b ON b.k = a.k AND a.m < b.m
+           |  GROUP BY 1, 2
+           |  HAVING sum(CASE WHEN a.d_bit != b.d_bit THEN 1 ELSE 0 END)
+           |    <= 7),
+           |edges AS (
+           |  SELECT a_id AS src, b_id AS dst FROM ham
+           |  UNION ALL SELECT b_id, a_id FROM ham
+           |),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT src, src FROM edges
+           |  UNION
+           |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+           |),
+           |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+           |SELECT i.m AS media_id,
+           |  COALESCE(c.comp, i.m) AS canonical_id,
+           |  COALESCE(c.comp, i.m) = i.m AS is_survivor
+           |FROM ids i LEFT JOIN comp c ON c.id = i.m""".stripMargin,
 
       // banded-join output vs brute-force pairwise Hamming over the
       // same closed-form dHash bits (band recall at radius 7 is exact

@@ -190,6 +190,45 @@ class IncrementalDbscanSpec extends SparkSpec {
     }
   }
 
+  test("clusterMaintainStream resumes from a loadState'd clustering: " +
+      "post-restart folds equal the batch clustering of the live set") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(71)
+    val pts = (0 until 100).map { i =>
+      val c = if (i % 2 == 0) 0.0 else 7.0
+      (i.toLong, Seq((c + rnd.nextGaussian() * 0.4).toFloat,
+        (c + rnd.nextGaussian() * 0.4).toFloat))
+    }.toMap
+    val base = pts.filter(_._1 < 70).toSeq
+    val (eps, minPts, dims) = (1.0, 3, Seq(0, 1))
+    // "yesterday": init + save, then the session's state dies
+    val dir = java.nio.file.Files
+      .createTempDirectory("incdbscan_resume").toString
+    IncrementalDbscan.saveState(
+      IncrementalDbscan.pin(IncrementalDbscan.init(df(base), "id", "vec",
+        eps, minPts, dims)), dir, eps, minPts, dims)
+    // "today": the maintain stream starts from the RELOADED state
+    val st = IncrementalDbscan.loadState(spark, dir, eps, minPts, dims)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Seq[Float])]
+    var last = Map.empty[Long, Int]
+    val q = graft.streaming.EventPipeline.clusterMaintainStream(st,
+      mem.toDF().toDF("op", "id", "vec"), "op", "id", "vec", eps,
+      minPts, dims) { (labels, _) => last = labelsOf(labels) }
+    val adds = pts.filter(_._1 >= 70).toSeq
+    val dels = Seq(4L, 8L, 12L)
+    try {
+      mem.addData(dels.map(i => ("delete", i, Seq.empty[Float])) ++
+        adds.map { case (i, v) => ("insert", i, v) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = (pts -- dels)
+    assert(last == labelsOf(Dbscan.run(df(live.toSeq), "id", "vec",
+      eps, minPts, dims)))
+  }
+
   test("addPoints: random blobs over three batches match the full run") {
     val rnd = new scala.util.Random(23)
     val centers = Seq((0.0, 0.0), (10.0, 0.0), (5.0, 8.0))
