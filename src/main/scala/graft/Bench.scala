@@ -113,6 +113,14 @@ object Bench {
       "dbscan_decr_synth500k" -> ((s: SparkSession) =>
         Workloads.dbscanDecrSynth(s, 500_000L, k = 25, dims = 5,
           eps = 1.0, minPts = 5)),
+      // DURABILITY at scale: the same localized-delete fold, but the
+      // standing state crosses a parquet save -> reload seam first
+      // (the restarted-session path q235 oracles at sf scale) — the
+      // delta vs dbscan_decr_synth500k is the price of persisting and
+      // re-reading the four state tables
+      "dbscan_state_rt_synth500k" -> ((s: SparkSession) =>
+        Workloads.dbscanStateRoundTrip(s, 500_000L, k = 25, dims = 5,
+          eps = 1.0, minPts = 5)),
       // HIGH-DIMENSIONAL Euclidean ε-join at scale: the kd fallback
       // (coarse cells + ghosts + per-cell kd radius queries) over
       // 200k 32-d clustered vectors, ~70M true pairs at eps=0.2 —
