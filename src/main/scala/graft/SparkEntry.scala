@@ -1122,6 +1122,49 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
+    // PQ code-table retraction (the PQ member of the standing-index
+    // CRUD family, q234's pattern): the codebook stays the nightly
+    // build's, every 7th vector's code row is tombstoned (one
+    // anti-join — a code derives from its vector + codebook alone),
+    // and the rerank side drops the same ids. Oracle: the full PQ
+    // unroll with the ADC candidate side filtered identically
+    "q241_pq_retraction" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qd = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val cb = AnnSearch.pqCodebook(bd, m = PqM, nCentroids = PqNc)
+      val codes = AnnSearch.retractFromPq(
+        AnnSearch.pqEncode(e, "vec_id", "embedding", cb),
+        e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+      AnnSearch.pqTopKRerank(qd,
+          bd.filter(col("b_id") % 7 =!= 0), codes, cb, AnnK,
+          shortlist = PqShortlist)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
+    // PQ code-table INSERT (q241's dual — full CRUD on the third
+    // standing index): the codebook trains on the initial corpus only
+    // (every 7th vector arrives later), the batch encodes against it
+    // and appends. Oracle: codebook-training CTEs restricted to the
+    // initial generation, codes/serve over everything
+    "q242_pq_insert" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qd = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val init = e.filter(col("vec_id") % 7 =!= 0)
+      val cb = AnnSearch.pqCodebook(
+        init.select(col("vec_id").as("b_id"), col("embedding").as("b_v")),
+        m = PqM, nCentroids = PqNc)
+      val codes = AnnSearch.addToPq(
+        AnnSearch.pqEncode(init, "vec_id", "embedding", cb),
+        e.filter(col("vec_id") % 7 === 0), "vec_id", "embedding", cb)
+      AnnSearch.pqTopKRerank(qd, bd, codes, cb, AnnK,
+          shortlist = PqShortlist)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
     // Gaps-and-islands daily activity streaks (TimeSeries.streaks)
     "q76_streaks" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -3521,26 +3564,34 @@ object SparkEntry {
     * by (d2, id). Codes join dtab on the stored (sub, cid) labels —
     * equivalent to the engine's positional reindex, since both sides
     * of the lookup derive from the same cid-sorted order. */
-  private def pqOracle: String = {
+  private def pqOracle: String = pqOracleWith("TRUE")
+
+  /** [[pqOracle]] with `serveCond` filtering the ADC candidate side
+    * (q241 passes the tombstone predicate over `cd.id`) and
+    * `buildCond` restricting the CODEBOOK-training corpus (q242 trains
+    * on the initial generation only; codes always cover the full
+    * corpus — insertion never retrains, like the IVF rule). */
+  private def pqOracleWith(serveCond: String,
+      buildCond: String = "TRUE"): String = {
     def d2(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), " +
         "x -> (x[1] - x[2]) * (x[1] - x[2])))"
     val lloyd = (1 to PqIters).map { r =>
       val c = s"pc${r - 1}"
       s"""pa$r AS MATERIALIZED (SELECT id, sub, cid FROM (
-         |    SELECT ps.id, ps.sub, $c.cid,
-         |      row_number() OVER (PARTITION BY ps.id, ps.sub
-         |        ORDER BY ${d2("ps.sv", s"$c.cv")}, $c.cid) AS rn
-         |    FROM ps JOIN $c USING (sub)) WHERE rn = 1),
+         |    SELECT tps.id, tps.sub, $c.cid,
+         |      row_number() OVER (PARTITION BY tps.id, tps.sub
+         |        ORDER BY ${d2("tps.sv", s"$c.cv")}, $c.cid) AS rn
+         |    FROM tps JOIN $c USING (sub)) WHERE rn = 1),
          |pc$r AS MATERIALIZED (SELECT sub, cid,
          |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
          |      ORDER BY dim) AS cv
          |  FROM (SELECT a.sub, a.cid, u.dim,
-         |      CAST(sum(CAST(round(ps.sv[u.dim] * 1000000.0) AS BIGINT))
+         |      CAST(sum(CAST(round(tps.sv[u.dim] * 1000000.0) AS BIGINT))
          |        AS BIGINT) AS s,
          |      CAST(count(*) AS BIGINT) AS cnt
-         |    FROM pa$r a JOIN ps ON ps.id = a.id AND ps.sub = a.sub,
-         |      unnest(range(1, len(ps.sv) + 1)) AS u(dim)
+         |    FROM pa$r a JOIN tps ON tps.id = a.id AND tps.sub = a.sub,
+         |      unnest(range(1, len(tps.sv) + 1)) AS u(dim)
          |    GROUP BY 1, 2, 3)
          |  GROUP BY sub, cid)""".stripMargin
     }.mkString(",\n")
@@ -3552,11 +3603,12 @@ object SparkEntry {
        |    list_slice(p.v, u.sub * (len(p.v) // $PqM) + 1,
        |      (u.sub + 1) * (len(p.v) // $PqM)) AS sv
        |  FROM p, unnest(range(0, $PqM)) AS u(sub)),
+       |tps AS MATERIALIZED (SELECT * FROM ps WHERE $buildCond),
        |sd AS MATERIALIZED (SELECT sub, id, sv FROM (
        |    SELECT sub, id, sv, row_number() OVER (PARTITION BY sub
        |      ORDER BY md5(CAST(id AS VARCHAR) || ':' ||
        |        CAST(sub + $PqSeed AS VARCHAR))) AS rh
-       |    FROM ps) WHERE rh <= $PqNc),
+       |    FROM tps) WHERE rh <= $PqNc),
        |pc0 AS MATERIALIZED (SELECT sub,
        |    CAST(row_number() OVER (PARTITION BY sub ORDER BY id)
        |      AS INTEGER) AS cid, sv AS cv
@@ -3576,7 +3628,7 @@ object SparkEntry {
        |adc AS MATERIALIZED (SELECT dt.a_id, cd.id AS b_id,
        |    CAST(sum(dt.dq) AS BIGINT) AS ad2
        |  FROM codes cd JOIN dt ON dt.sub = cd.sub AND dt.cid = cd.cid
-       |  WHERE dt.a_id != cd.id
+       |  WHERE dt.a_id != cd.id AND ($serveCond)
        |  GROUP BY 1, 2),
        |sl AS MATERIALIZED (SELECT a_id, b_id FROM (
        |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
@@ -4691,6 +4743,12 @@ object SparkEntry {
         |    ON a.doc_id % 3 = 2 AND b.doc_id % 3 != 2) p
         |WHERE jac >= 0.5""".stripMargin,
     "q75_ann_pq" -> pqOracle,
+
+    // PQ tombstone: ADC candidates filtered, codebook unchanged
+    "q241_pq_retraction" -> pqOracleWith("cd.id % 7 != 0"),
+
+    // PQ insert: codebook trained on the initial generation only
+    "q242_pq_insert" -> pqOracleWith("TRUE", buildCond = "id % 7 != 0"),
     "q28_winnowing" -> winnowingOracle,
 
     "q9_jaccard_pairs" -> jaccardOracle,

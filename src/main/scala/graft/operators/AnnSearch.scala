@@ -470,6 +470,30 @@ object AnnSearch {
     df.select(col(idCol).as("id"), codes.cast("array<int>").as("codes"))
   }
 
+  /** Tombstone retraction on a persisted PQ code table — the PQ member
+    * of the standing-index CRUD family ([[retractFromIvf]] /
+    * [[Dedup.retractFromIndex]]). A code row derives from its vector
+    * and the FIXED codebook alone, so dropping the removed rows IS the
+    * rebuild over the survivors (one anti-join, no vectors re-read);
+    * the codebook is not retrained, exactly like the IVF centroid rule.
+    * q241 oracles retract-then-serve via the full PQ SQL unroll with
+    * the ADC candidate side filtered identically. */
+  def retractFromPq(codes: DataFrame, removeIds: DataFrame,
+      idCol: String): DataFrame =
+    codes.join(removeIds.select(col(idCol).as("id")).distinct(),
+      Seq("id"), "left_anti")
+
+  /** Insert into a persisted PQ code table — [[retractFromPq]]'s dual:
+    * encode the batch against the FIXED codebook ([[pqEncode]] is a
+    * pure projection of it) and append; the result equals encoding the
+    * whole corpus from scratch with the same codebook, bit for bit
+    * (spec-enforced; q242 oracles nightly-codebook + ingested-batch
+    * serving end to end). Ids must be fresh — [[retractFromPq]] first
+    * for replace semantics. */
+  def addToPq(codes: DataFrame, newVecs: DataFrame, idCol: String,
+      vecCol: String, codebook: DataFrame): DataFrame =
+    codes.unionByName(pqEncode(newVecs, idCol, vecCol, codebook))
+
   /** ADC approximate top-k over PQ codes: the query's distances to
     * every sub-centroid are materialized as an m × nCentroids TABLE
     * column in a projection BELOW the join — evaluated once per QUERY

@@ -169,6 +169,42 @@ class AnnSearchSpec extends SparkSpec {
       "no ingested vector reached a top-k slot — weaken the split")
   }
 
+  test("PQ code-table CRUD: append == from-scratch encode, retracted " +
+      "codes never serve, survivors' rankings keep their prefix") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cb = AnnSearch.pqCodebook(b, m = 8, nCentroids = 8)
+    def codeRows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    // INSERT: encoding the batch against the FIXED codebook and
+    // appending equals encoding the whole corpus from scratch
+    val init = emb.filter(col("vec_id") % 7 =!= 0)
+    val grown = AnnSearch.addToPq(
+      AnnSearch.pqEncode(init, "vec_id", "embedding", cb),
+      emb.filter(col("vec_id") % 7 === 0), "vec_id", "embedding", cb)
+    assert(codeRows(grown) ==
+      codeRows(AnnSearch.pqEncode(emb, "vec_id", "embedding", cb)))
+    // DELETE: tombstoned ids are unreachable; a query untouched by the
+    // retraction keeps its ranking byte-identical
+    val all = AnnSearch.pqEncode(emb, "vec_id", "embedding", cb)
+    val rmIds = Set(3L, 17L, 42L, 99L)
+    def served(codes: org.apache.spark.sql.DataFrame) =
+      AnnSearch.pqTopK(q, codes, cb, 5).collect()
+        .map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val before = served(all)
+    val after = served(AnnSearch.retractFromPq(all,
+      rmIds.toSeq.toDF("id"), "id"))
+    assert(after.values.forall(v => !rmIds(v)))
+    before.groupBy(_._1._1).foreach { case (qid, rows) =>
+      val pre = rows.toSeq.sortBy(_._1._2).map(_._2)
+      if (pre.forall(v => !rmIds(v)))
+        assert((1 to 5).flatMap(r => after.get((qid, r))) == pre,
+          s"query $qid changed without cause")
+    }
+    assert(before.values.exists(rmIds),
+      "fixture never hit a retracted neighbor — strengthen rmIds")
+  }
+
   test("knnBroadcast kernel == shuffle-aggregate knn (exact, same ties)") {
     import graft.operators.KnnJoin
     val agg = KnnJoin.knn(q, b, 7).collect()
