@@ -65,6 +65,24 @@ object SparkEntry {
         gen(col("doc_id")).as("payload"))
   }
 
+  /** Video perceptual-hash fixture set (q243/q244): 60 closed-form
+    * base CLIPS (animated GIFs, ids 0–59) + 60 sparsely-perturbed
+    * near-copies (id = base + 60) — sizes and frame counts keyed off
+    * the BASE so each near-pair shares geometry; every size satisfies
+    * w ≥ 9, h ≥ 8. */
+  private def vhashMedia(s: SparkSession, dir: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val base = id % 60
+      graft.operators.Multimodal.syntheticGifNear(base,
+        if (id < 60) 0 else 9,
+        (12 + base % 3 * 4).toInt, (9 + base % 2 * 3).toInt,
+        (2 + base % 3).toInt)
+    }
+    t(s, dir, "documents").filter(col("doc_id") < 120)
+      .select(col("doc_id").as("media_id"), lit("video").as("modality"),
+        gen(col("doc_id")).as("payload"))
+  }
+
   /** DBSCAN parameters for the embeddings point table (500×64-dim,
     * nearest-pair d² ≈ 1.24): ε=1.2, minPts=8 ⇒ ~212 cores, non-trivial
     * core/border/noise split. */
@@ -329,6 +347,46 @@ object SparkEntry {
             .as("d_bit"))): _*)).as("b"))
         .select(col("media_id"), col("b.bit_idx").as("bit_idx"),
           col("b.a_bit").as("a_bit"), col("b.d_bit").as("d_bit"))
+    }),
+
+    // Per-FRAME perceptual hashes over decoded video — how video
+    // near-dup works at corpus scale (hash sampled frames, match clips
+    // on shared frame hashes; whole-file hashing dies on re-encode).
+    // Same integer bit machinery as q236, applied per (clip, frame);
+    // emitted bit-by-bit for the closed-form oracle
+    "q243_video_phash" -> ((s, dir) => {
+      val hs = graft.operators.Multimodal.videoFrameHashes(
+        vhashMedia(s, dir), grid = 8)
+      hs.select(col("media_id"), col("frame_idx"),
+        explode(array((0 until 64).map(k => struct(
+          lit(k).as("bit_idx"),
+          shiftright(col("ahash"), k).bitwiseAND(lit(1L)).cast("int")
+            .as("a_bit"),
+          shiftright(col("dhash"), k).bitwiseAND(lit(1L)).cast("int")
+            .as("d_bit"))): _*)).as("b"))
+        .select(col("media_id"), col("frame_idx"),
+          col("b.bit_idx").as("bit_idx"), col("b.a_bit").as("a_bit"),
+          col("b.d_bit").as("d_bit"))
+    }),
+
+    // Clip-level near-dup: frame dHashes keyed by (clip, frame) run
+    // through the SAME banded Hamming join (pigeonhole-exact at
+    // radius 7), then matches aggregate to clip pairs with their
+    // shared-frame count — the video twin of q237, never all-pairs.
+    // Oracle: brute-force per-bit Hamming over all cross-clip frame
+    // pairs, aggregated identically
+    "q244_video_neardup" -> ((s, dir) => {
+      val hs = graft.operators.Multimodal.videoFrameHashes(
+        vhashMedia(s, dir), grid = 8)
+      val keyed = hs.select(
+        (col("media_id") * 1000 + col("frame_idx")).as("id"),
+        col("dhash").as("simhash"))
+      Dedup.simHashJoin(keyed, maxHamming = 7)
+        .select(expr("a_id DIV 1000").as("a_media"),
+          expr("b_id DIV 1000").as("b_media"))
+        .filter(col("a_media") =!= col("b_media"))
+        .groupBy("a_media", "b_media")
+        .agg(count(lit(1)).as("n_matches"))
     }),
 
     // Perceptual dup-GROUPS: q237's banded Hamming pairs closed into
@@ -5641,6 +5699,36 @@ object SparkEntry {
            |  COALESCE(c.comp, i.m) = i.m AS is_survivor
            |FROM ids i LEFT JOIN comp c ON c.id = i.m""".stripMargin,
 
+      // per-frame hashes bit-by-bit from the closed-form frame rasters
+      "q243_video_phash" ->
+        s"""$vhashOracleCtes,
+           |vab AS (SELECT vca.m, vca.f, vca.k,
+           |    CASE WHEN vca.s * vtot.tp > vtot.ts * vca.c
+           |         THEN 1 ELSE 0 END AS a_bit
+           |  FROM vca JOIN vtot ON vtot.m = vca.m AND vtot.f = vca.f)
+           |SELECT vab.m AS media_id, CAST(vab.f AS INTEGER) AS frame_idx,
+           |  CAST(vab.k AS INTEGER) AS bit_idx,
+           |  CAST(vab.a_bit AS INTEGER) AS a_bit,
+           |  CAST(vdb.d_bit AS INTEGER) AS d_bit
+           |FROM vab JOIN vdb ON vdb.m = vab.m AND vdb.f = vab.f
+           |  AND vdb.k = vab.k""".stripMargin,
+
+      // clip pairs by shared near-identical frames: brute-force
+      // per-bit Hamming over cross-clip frame pairs, aggregated to
+      // (clip, clip, n_matches) exactly like the engine's banded join
+      "q244_video_neardup" ->
+        s"""$vhashOracleCtes
+           |SELECT a_media, b_media,
+           |  CAST(count(*) AS BIGINT) AS n_matches FROM (
+           |  SELECT a.m AS a_media, a.f AS af, b.m AS b_media, b.f AS bf
+           |  FROM vdb a JOIN vdb b ON b.k = a.k
+           |    AND (a.m * 1000 + a.f) < (b.m * 1000 + b.f)
+           |  GROUP BY 1, 2, 3, 4
+           |  HAVING sum(CASE WHEN a.d_bit != b.d_bit THEN 1 ELSE 0 END)
+           |    <= 7) p
+           |WHERE a_media != b_media
+           |GROUP BY 1, 2""".stripMargin,
+
       // banded-join output vs brute-force pairwise Hamming over the
       // same closed-form dHash bits (band recall at radius 7 is exact
       // by pigeonhole, so the sets must be identical)
@@ -7910,6 +7998,40 @@ object SparkEntry {
       |    CASE WHEN l.s * r.c > r.s * l.c THEN 1 ELSE 0 END AS d_bit
       |  FROM cd l JOIN cd r ON r.m = l.m AND r.cy = l.cy
       |    AND r.cx = l.cx + 1)""".stripMargin
+
+  /** Closed-form CTE chain shared by the q243/q244 oracles — the
+    * per-frame twin of [[phashOracleCtes]]: regenerate the
+    * [[vhashMedia]] clip rasters, reduce to per-(clip, frame) cell
+    * sums for both hash grids, derive the dHash bit table. The
+    * grayscale palette makes r=g=b=v, so comparing v-sums is
+    * bit-identical to the engine's (r+g+b)-sums (both sides scale by
+    * exactly 3 — strict inequalities are invariant). */
+  private val vhashOracleCtes: String =
+    """WITH vids AS MATERIALIZED (SELECT doc_id AS m, doc_id % 60 AS base,
+      |    CASE WHEN doc_id < 60 THEN 0 ELSE 9 END AS delta,
+      |    CAST(12 + (doc_id % 60) % 3 * 4 AS INTEGER) AS w,
+      |    CAST(9 + (doc_id % 60) % 2 * 3 AS INTEGER) AS h,
+      |    CAST(2 + (doc_id % 60) % 3 AS INTEGER) AS nf
+      |  FROM documents WHERE doc_id < 120),
+      |vpx AS MATERIALIZED (SELECT m, w, h, uf.f, ux.x, uy.y,
+      |    (base * 31 + uf.f * 17 + ux.x * 7 + uy.y * 13
+      |      + (ux.x * uy.y * (1 + base % 5)) % 23
+      |      + CASE WHEN (ux.x * 5 + uy.y * 3) % 29 = 0
+      |             THEN delta ELSE 0 END) % 256 AS v
+      |  FROM vids, unnest(range(0, nf)) uf(f),
+      |    unnest(range(0, w)) ux(x), unnest(range(0, h)) uy(y)),
+      |vtot AS (SELECT m, f, CAST(sum(v) AS BIGINT) AS ts,
+      |    CAST(count(*) AS BIGINT) AS tp FROM vpx GROUP BY 1, 2),
+      |vca AS (SELECT m, f, (y * 8 // h) * 8 + (x * 8 // w) AS k,
+      |    CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM vpx GROUP BY 1, 2, 3),
+      |vcd AS (SELECT m, f, y * 8 // h AS cy, x * 9 // w AS cx,
+      |    CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM vpx GROUP BY 1, 2, 3, 4),
+      |vdb AS (SELECT l.m, l.f, l.cy * 8 + l.cx AS k,
+      |    CASE WHEN l.s * r.c > r.s * l.c THEN 1 ELSE 0 END AS d_bit
+      |  FROM vcd l JOIN vcd r ON r.m = l.m AND r.f = l.f
+      |    AND r.cy = l.cy AND r.cx = l.cx + 1)""".stripMargin
 
   /** DBSCAN labels in pure SQL: the ε self-join, core test, recursive-CTE
     * min-label connected components, min-comp border attach, size-≥2 dense

@@ -296,6 +296,14 @@ object Multimodal {
       new java.io.ByteArrayInputStream(payload))
     require(img != null,
       s"payload (${payload.length} bytes) is not a decodable image")
+    hashOfImage(img, grid)
+  }
+
+  /** The (aHash, dHash) kernel over one decoded frame — shared by the
+    * still-image path above and the per-frame video path
+    * ([[videoFrameHashes]]). */
+  private def hashOfImage(img: java.awt.image.BufferedImage, grid: Int)
+      : (Long, Long) = {
     val w = img.getWidth
     val h = img.getHeight
     require(w >= grid + 1 && h >= grid,
@@ -554,6 +562,116 @@ object Multimodal {
     writer.dispose()
     ios.close()
     bos.toByteArray
+  }
+
+  /** [[syntheticGif]]'s near-duplicate CLIP fixture (q243/q244): the
+    * same SPARSE perturbation rule as [[syntheticPngNear]] (pixels
+    * where `(x·5 + y·3) mod 29 == 0` get `delta` before the mod-256
+    * wrap, every frame), PLUS a base-keyed NONLINEAR term
+    * `(x·y·(1 + base mod 5)) mod 23` — without it the linear pattern
+    * differs between clips only by a constant, and dHash (a gradient
+    * hash, deliberately shift-invariant) would call every clip a
+    * near-dup of every other. `delta = 0` with the same base is the
+    * exact base clip. */
+  def syntheticGifNear(base: Long, delta: Int, w: Int, h: Int,
+      frames: Int): Array[Byte] = {
+    require(base >= 0 && delta >= 0 && w >= 1 && h >= 1 && frames >= 1,
+      s"bad video params: $base, $delta, $w, $h, $frames")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val cmap = Array.tabulate(256)(v => (0xff << 24) | (v << 16) |
+      (v << 8) | v)
+    val icm = new java.awt.image.IndexColorModel(8, 256, cmap, 0, false,
+      -1, java.awt.image.DataBuffer.TYPE_BYTE)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val d = if ((x * 5 + y * 3) % 29 == 0) delta else 0
+          val nl = (x * y * (1 + base % 5)) % 23
+          val v = ((base * 31 + f * 17 + x * 7 + y * 13 + nl + d)
+            % 256).toInt
+          img.getRaster.setSample(x, y, 0, v)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), param)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Per-FRAME perceptual hashes over a video table — how video
+    * near-dup actually works at corpus scale (sample frames → hash
+    * each → match clips on shared frame hashes; whole-file hashing
+    * breaks on any re-encode). One row per (clip, frame):
+    * (`media_id`, `frame_idx`, `ahash`, `dhash`), the same integer
+    * cross-multiplication kernel as [[imageHashes]] applied to each
+    * decoded frame; q244 then feeds the dHash column through the
+    * banded Hamming machinery keyed by (clip, frame) and aggregates
+    * matches to clip pairs. */
+  def videoFrameHashes(media: DataFrame, grid: Int = 8): DataFrame = {
+    require(grid >= 1 && grid * grid <= 64,
+      s"need 1 <= grid with grid*grid <= 64 bits, got $grid")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("ahash", LongType, nullable = false),
+      StructField("dhash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idType = media.schema("media_id").dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"media_id must be numeric, got $idType")
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          require(!r.isNullAt(0),
+            "null media_id — every media row needs a non-null id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          require(payload != null,
+            s"null payload for media_id=${r.getLong(0)}")
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          var reader: javax.imageio.ImageReader = null
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            require(readers.hasNext,
+              s"media_id=${r.getLong(0)}: payload is not a decodable video")
+            reader = readers.next()
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            (0 until n).map { f =>
+              val (a, d) =
+                try hashOfImage(reader.read(f), grid)
+                catch {
+                  case scala.util.control.NonFatal(e) => throw
+                    new IllegalArgumentException(
+                      s"media_id=${r.getLong(0)} frame $f: " +
+                        e.getMessage, e)
+                }
+              Row(r.getLong(0), f, a, d)
+            }
+          } finally {
+            if (reader != null) reader.dispose()
+            iis.close()
+          }
+        }
+      }(enc)
   }
 
   /** REAL video decode: every frame of a multi-frame image container

@@ -222,6 +222,57 @@ class MultimodalSpec extends SparkSpec {
     hs.unpersist()
   }
 
+  test("videoFrameHashes: per-frame dHash, clip near-dup recall on " +
+      "perturbed clips via the banded join") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 20 base clips + 20 sparsely-perturbed near-copies (id = base+20)
+    val rows = (0 until 40).map { i =>
+      val base = i % 20
+      Row(i.toLong, "video",
+        Multimodal.syntheticGifNear(base, if (i < 20) 0 else 9,
+          12 + base % 3 * 4, 9 + base % 2 * 3, 2 + base % 3),
+        Row(null, null, null))
+    }
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), Multimodal.mediaSchema)
+    val hs = Multimodal.videoFrameHashes(media, grid = 8).persist()
+    val byKey = hs.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(3)).toMap
+    // every clip decoded to its declared frame count
+    (0 until 40).foreach { i =>
+      val nf = 2 + i % 20 % 3
+      assert((0 until nf).forall(f => byKey.contains((i.toLong, f))),
+        s"clip $i missing frames")
+    }
+    // planted pairs: every frame of the perturbed clip is within
+    // Hamming 7 of its base twin (the sparse bump barely moves cells)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    byKey.keys.filter(_._1 < 20).foreach { case (m, f) =>
+      assert(ham(byKey((m, f)), byKey((m + 20, f))) <= 7,
+        s"frame dHash drifted for clip $m frame $f")
+    }
+    // the clip-level aggregate finds every planted pair, with at
+    // least the frame-diagonal matching
+    val keyed = hs.select(
+      (col("media_id") * 1000 + col("frame_idx")).as("id"),
+      col("dhash").as("simhash"))
+    val clipPairs = graft.operators.Dedup.simHashJoin(keyed, 7)
+      .select(expr("a_id DIV 1000").as("am"),
+        expr("b_id DIV 1000").as("bm"))
+      .filter(col("am") =!= col("bm"))
+      .groupBy("am", "bm").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    (0 until 20).foreach { b =>
+      val nf = 2 + b % 3
+      val got = clipPairs.getOrElse((b.toLong, b.toLong + 20), 0L)
+      assert(got >= nf,
+        s"clip pair ($b, ${b + 20}): $got matches < $nf diagonal frames")
+    }
+    hs.unpersist()
+  }
+
   test("sampleFrames explodes videos by stride") {
     val out = Multimodal.sampleFrames(mediaDf(9, 3), stride = 10)
     val rows = out.collect()
