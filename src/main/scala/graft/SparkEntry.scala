@@ -83,6 +83,23 @@ object SparkEntry {
         gen(col("doc_id")).as("payload"))
   }
 
+  /** Audio perceptual-hash fixture set (q245/q246): 60 closed-form
+    * base clips (16-bit PCM WAVs, ids 0–59) + 60 sparsely-perturbed
+    * near-copies (id = base + 60, delta 25 on every 31st sample) —
+    * lengths keyed off the BASE so each near-pair shares geometry;
+    * every clip is ≥300 samples (all 65 energy windows non-empty). */
+  private def ahashMedia(s: SparkSession, dir: String): DataFrame = {
+    val gen = udf { (id: Long) =>
+      val base = id % 60
+      graft.operators.Multimodal.syntheticWavNear(base,
+        if (id < 60) 0 else 25,
+        (300 + base % 5 * 200).toInt, 8000)
+    }
+    t(s, dir, "documents").filter(col("doc_id") < 120)
+      .select(col("doc_id").as("media_id"), lit("audio").as("modality"),
+        gen(col("doc_id")).as("payload"))
+  }
+
   /** DBSCAN parameters for the embeddings point table (500×64-dim,
     * nearest-pair d² ≈ 1.24): ε=1.2, minPts=8 ⇒ ~212 cores, non-trivial
     * core/border/noise split. */
@@ -347,6 +364,34 @@ object SparkEntry {
             .as("d_bit"))): _*)).as("b"))
         .select(col("media_id"), col("b.bit_idx").as("bit_idx"),
           col("b.a_bit").as("a_bit"), col("b.d_bit").as("d_bit"))
+    }),
+
+    // Perceptual AUDIO hash — the energy-profile fingerprint (1-D
+    // dHash over adjacent window energies) that completes the
+    // near-dup screen across all three modalities; every bit decision
+    // is an exact integer cross-multiplication over decoded PCM, so
+    // the oracle reproduces the hash bit by bit from the closed form
+    "q245_audio_phash" -> ((s, dir) => {
+      val hs = graft.operators.Multimodal.audioHashes(
+        ahashMedia(s, dir), bits = 64)
+      hs.select(col("media_id"),
+        explode(array((0 until 64).map(k => struct(
+          lit(k).as("bit_idx"),
+          shiftright(col("ehash"), k).bitwiseAND(lit(1L)).cast("int")
+            .as("e_bit"))): _*)).as("b"))
+        .select(col("media_id"), col("b.bit_idx").as("bit_idx"),
+          col("b.e_bit").as("e_bit"))
+    }),
+
+    // Audio near-dup JOIN: banded Hamming self-join over the energy
+    // hash (q237's machinery, third modality). Oracle: brute-force
+    // pairwise Hamming from the same closed-form bits
+    "q246_audio_neardup" -> ((s, dir) => {
+      val hs = graft.operators.Multimodal.audioHashes(
+        ahashMedia(s, dir), bits = 64)
+      Dedup.simHashJoin(
+        hs.select(col("media_id").as("id"), col("ehash").as("simhash")),
+        maxHamming = 7)
     }),
 
     // Per-FRAME perceptual hashes over decoded video — how video
@@ -5699,6 +5744,25 @@ object SparkEntry {
            |  COALESCE(c.comp, i.m) = i.m AS is_survivor
            |FROM ids i LEFT JOIN comp c ON c.id = i.m""".stripMargin,
 
+      // energy-hash bits from the closed-form PCM samples
+      "q245_audio_phash" ->
+        s"""$ahashOracleCtes
+           |SELECT m AS media_id, CAST(k AS INTEGER) AS bit_idx,
+           |  CAST(e_bit AS INTEGER) AS e_bit
+           |FROM eb""".stripMargin,
+
+      // banded-join output vs brute-force pairwise Hamming over the
+      // same closed-form energy bits
+      "q246_audio_neardup" ->
+        s"""$ahashOracleCtes
+           |SELECT a.m AS a_id, b.m AS b_id,
+           |  CAST(sum(CASE WHEN a.e_bit != b.e_bit THEN 1 ELSE 0 END)
+           |    AS INTEGER) AS hamming
+           |FROM eb a JOIN eb b ON b.k = a.k AND a.m < b.m
+           |GROUP BY 1, 2
+           |HAVING sum(CASE WHEN a.e_bit != b.e_bit THEN 1 ELSE 0 END)
+           |  <= 7""".stripMargin,
+
       // per-frame hashes bit-by-bit from the closed-form frame rasters
       "q243_video_phash" ->
         s"""$vhashOracleCtes,
@@ -8032,6 +8096,28 @@ object SparkEntry {
       |    CASE WHEN l.s * r.c > r.s * l.c THEN 1 ELSE 0 END AS d_bit
       |  FROM vcd l JOIN vcd r ON r.m = l.m AND r.f = l.f
       |    AND r.cy = l.cy AND r.cx = l.cx + 1)""".stripMargin
+
+  /** Closed-form CTE chain shared by the q245/q246 oracles: regenerate
+    * the [[ahashMedia]] PCM samples arithmetically (PCM is lossless, so
+    * the engine decodes the identical integers), window energies by
+    * floor division, and the 1-D dHash bit table via adjacent-window
+    * cross-multiplied mean comparisons. */
+  private val ahashOracleCtes: String =
+    """WITH aids AS MATERIALIZED (SELECT doc_id AS m, doc_id % 60 AS base,
+      |    CASE WHEN doc_id < 60 THEN 0 ELSE 25 END AS delta,
+      |    CAST(300 + (doc_id % 60) % 5 * 200 AS BIGINT) AS n
+      |  FROM documents WHERE doc_id < 120),
+      |sm AS MATERIALIZED (SELECT m, n, u.i,
+      |    (base * 37 + u.i * 13
+      |      + (u.i * u.i * (1 + base % 7)) % 199) % 4096 - 2048
+      |    + CASE WHEN u.i % 31 = 0 THEN delta ELSE 0 END AS s
+      |  FROM aids, unnest(range(0, n)) u(i)),
+      |we AS (SELECT m, i * 65 // n AS w, CAST(sum(s * s) AS BIGINT) AS e,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM sm GROUP BY 1, 2),
+      |eb AS (SELECT l.m, l.w AS k,
+      |    CASE WHEN l.e * r.c > r.e * l.c THEN 1 ELSE 0 END AS e_bit
+      |  FROM we l JOIN we r ON r.m = l.m AND r.w = l.w + 1)""".stripMargin
 
   /** DBSCAN labels in pure SQL: the ε self-join, core test, recursive-CTE
     * min-label connected components, min-comp border attach, size-≥2 dense

@@ -416,6 +416,145 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** [[syntheticWav]]'s near-duplicate CLIP fixture (q245/q246):
+    * sample i of clip `base` is
+    *
+    *   s_i = ((base·37 + i·13 + (i²·(1 + base mod 7)) mod 199)
+    *          mod 4096) − 2048, plus `delta` where i mod 31 == 0
+    *
+    * — the base-keyed NONLINEAR term gives each base its own energy
+    * profile (a pure linear pattern differs between bases by phase
+    * only, and an energy-gradient hash would call every clip a
+    * near-dup), and the sparse `delta` bump barely moves window
+    * energies, so the perturbed clip hashes within a few bits of its
+    * base. `delta = 0` with the same base is the exact base clip.
+    * Closed form shared with the q245/q246 oracles. */
+  def syntheticWavNear(base: Long, delta: Int, nSamples: Int,
+      sampleRate: Int): Array[Byte] = {
+    require(base >= 0 && delta >= 0 && nSamples >= 2 && sampleRate >= 1,
+      s"bad audio params: $base, $delta, $nSamples, $sampleRate")
+    val pcm = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val nl = (i.toLong * i * (1 + base % 7)) % 199
+      val d = if (i % 31 == 0) delta else 0
+      val s = (((base * 37 + i.toLong * 13 + nl) % 4096) - 2048 + d).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual AUDIO hash — the energy-profile fingerprint that
+    * completes the near-dup screen across all three modalities
+    * (images/video: [[imageHashes]]/[[videoFrameHashes]]): the clip's
+    * samples split into `bits`+1 windows by floor division
+    * (`i·(bits+1)/n` — any length maps exactly), each window reduces
+    * to its exact integer energy Σs², and bit k compares adjacent
+    * window MEAN energies by cross-multiplication
+    * (`e_k·c_{k+1} > e_{k+1}·c_k`) — the 1-D dHash. Gradient bits
+    * survive global gain changes the way dHash survives brightness
+    * shifts (both means scale together), which is why energy-profile
+    * hashing is the stock audio screen. 16-bit mono PCM via the same
+    * JDK decode as [[audioFeatures]]; requires n ≥ bits+1 samples
+    * (every window non-empty). Exact-integer bound: e·c products stay
+    * under Long range for clips to ~1.4M samples (~90 s at 16 kHz) —
+    * hash longer audio per-segment, as production screens do.
+    * @return (`media_id`, `ehash`: long). */
+  def audioHashes(media: DataFrame, bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"need 1 <= bits <= 64, got $bits")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ehash", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idType = media.schema("media_id").dataType
+    require(idType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"media_id must be numeric, got $idType")
+    val nWin = bits + 1
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          require(!r.isNullAt(0),
+            "null media_id — every media row needs a non-null id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          require(payload != null,
+            s"null payload for media_id=${r.getLong(0)}")
+          val h =
+            try {
+              val (_, _, n, samples) = decodePcmSamples(payload)
+              require(n >= nWin,
+                s"clip of $n samples too short for a $bits-bit energy " +
+                  "hash — hash longer segments or pad upstream")
+              val e = new Array[Long](nWin)
+              val c = new Array[Long](nWin)
+              var i = 0
+              while (i < samples.length) {
+                val w = (i.toLong * nWin / samples.length).toInt
+                val s = samples(i)
+                e(w) += s.toLong * s
+                c(w) += 1
+                i += 1
+              }
+              var hash = 0L
+              var k = 0
+              while (k < bits) {
+                if (e(k) * c(k + 1) > e(k + 1) * c(k)) hash |= 1L << k
+                k += 1
+              }
+              hash
+            } catch {
+              case scala.util.control.NonFatal(e) => throw
+                new IllegalArgumentException(
+                  s"media_id=${r.getLong(0)}: ${e.getMessage}", e)
+            }
+          Row(r.getLong(0), h)
+        }
+      }(enc)
+  }
+
+  /** Shared 16-bit mono PCM decode: (rate, channels, n, samples). */
+  private def decodePcmSamples(payload: Array[Byte])
+      : (Int, Int, Int, Array[Int]) = {
+    val ais = try javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    catch {
+      case e: javax.sound.sampled.UnsupportedAudioFileException =>
+        throw new IllegalArgumentException(
+          s"payload (${payload.length} bytes) is not a decodable audio " +
+            "stream", e)
+    }
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 &&
+        fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      s"only 16-bit signed PCM supported, got $fmt")
+    require(fmt.getChannels == 1,
+      s"only mono supported, got ${fmt.getChannels} channels")
+    val bytes = ais.readAllBytes()
+    require(bytes.length % 2 == 0,
+      s"truncated 16-bit PCM stream: ${bytes.length} bytes")
+    val big = fmt.isBigEndian
+    val n = bytes.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val lo = bytes(2 * i).toInt
+      val hi = bytes(2 * i + 1).toInt
+      out(i) = if (big) (lo << 8) | (hi & 0xff)
+        else (hi << 8) | (lo & 0xff)
+      i += 1
+    }
+    (math.round(fmt.getSampleRate), fmt.getChannels, n, out)
+  }
+
   /** REAL audio decode (JDK `javax.sound.sampled` — WAV/AIFF PCM)
     * reduced to exact integer sample statistics:
     * (sample_rate, channels, n_samples, Σs, Σs², zero crossings —

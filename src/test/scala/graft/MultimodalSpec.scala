@@ -273,6 +273,52 @@ class MultimodalSpec extends SparkSpec {
     hs.unpersist()
   }
 
+  test("audioHashes: energy-profile near-dup recall on perturbed " +
+      "clips, determinism, short-clip rejection") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (0 until 40).map { i =>
+      val base = i % 20
+      Row(i.toLong, "audio",
+        Multimodal.syntheticWavNear(base, if (i < 20) 0 else 25,
+          300 + base % 5 * 200, 8000),
+        Row(null, null, null))
+    }
+    val media = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4), Multimodal.mediaSchema)
+    val hs = Multimodal.audioHashes(media, bits = 64).persist()
+    val byId = hs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.size == 40)
+    // determinism
+    assert(Multimodal.audioHashes(media, bits = 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == byId)
+    // recall: every planted (base, base+20) pair within Hamming 7 and
+    // emitted by the banded join
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0 until 20).foreach { b =>
+      assert(ham(byId(b.toLong), byId(b.toLong + 20)) <= 7,
+        s"energy hash drifted for base $b")
+    }
+    val pairs = graft.operators.Dedup.simHashJoin(
+        hs.select(col("media_id").as("id"), col("ehash").as("simhash")), 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 20).foreach { b =>
+      assert(pairs.contains((b.toLong, b.toLong + 20)),
+        s"banded join missed planted pair ($b, ${b + 20})")
+    }
+    // a clip shorter than bits+1 samples fails loudly with its id
+    val tiny = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(99L, "audio",
+        Multimodal.syntheticWav(1, 40, 8000), Row(null, null, null))), 1),
+      Multimodal.mediaSchema)
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioHashes(tiny, bits = 64).collect()
+    }
+    assert(e.getMessage.contains("99") || Option(e.getCause).exists(
+      _.getMessage.contains("99")))
+    hs.unpersist()
+  }
+
   test("sampleFrames explodes videos by stride") {
     val out = Multimodal.sampleFrames(mediaDf(9, 3), stride = 10)
     val rows = out.collect()
