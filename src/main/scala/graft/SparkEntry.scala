@@ -1817,21 +1817,32 @@ object SparkEntry {
         "text", d => pmod(d, lit(MltQueryMod)) === 0, MltK)),
 
     // Reciprocal-rank fusion of lexical (BM25) and dense (embedding
-    // cosine) retrieval — rank-only fusion needs no score calibration
+    // cosine) retrieval — rank-only fusion needs no score calibration.
+    // Each leg is ranked with GlobalIndex.rowNumbers (range-partitioned
+    // distributed sort + partition offsets), NOT a global row_number
+    // window: the full corpus never funnels through one task's sort,
+    // and the (score desc, doc_id) total order — hence every rank and
+    // the fused hash — is identical. Negating the score turns the
+    // descending order into rowNumbers' ascending one; equal scores
+    // stay ties (-0.0 == 0.0 under Spark's SQL double ordering) and
+    // break by doc_id exactly as the window did.
     "q127_rank_fusion" -> ((s, dir) => {
-      val wB = Window.orderBy(col("score").desc, col("doc_id"))
-      val lexical = operators.Search.bm25(t(s, dir, "documents"),
-          "doc_id", "text", Bm25Terms, Bm25K1, Bm25B)
-        .select(col("doc_id"), row_number().over(wB).as("rnk"))
+      val lexical = operators.GlobalIndex.rowNumbers(
+          operators.Search.bm25(t(s, dir, "documents"),
+              "doc_id", "text", Bm25Terms, Bm25K1, Bm25B)
+            .select(col("doc_id"), negate(col("score")).as("negs")),
+          Seq("negs", "doc_id"), "rnk")
+        .select(col("doc_id"), col("rnk"))
       val e = t(s, dir, "embeddings")
       val probe = e.filter(col("vec_id") === 0)
         .select(col("embedding").as("qv"))
-      val wC = Window.orderBy(col("cs").desc, col("doc_id"))
-      val dense = e.crossJoin(broadcast(probe))
-        .select(col("vec_id").as("doc_id"),
-          functions.VectorOps.cosine(col("embedding"), col("qv"))
-            .as("cs"))
-        .select(col("doc_id"), row_number().over(wC).as("rnk"))
+      val dense = operators.GlobalIndex.rowNumbers(
+          e.crossJoin(broadcast(probe))
+            .select(col("vec_id").as("doc_id"),
+              negate(functions.VectorOps.cosine(col("embedding"),
+                col("qv"))).as("negs")),
+          Seq("negs", "doc_id"), "rnk")
+        .select(col("doc_id"), col("rnk"))
       operators.Search.rrfFuse(Seq(lexical, dense), "doc_id", "rnk",
         RrfK, RrfTopK)
     }),

@@ -38,7 +38,10 @@ object Verify {
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
 
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // written at the query's natural partitioning — the driver's
+      // DuckDB compare reads the directory glob, so shard count is
+      // irrelevant to the hash and the gate itself scales past sf0.01
+      try fn(spark, sfDir).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
@@ -194,14 +193,18 @@ object Dbscan {
     // distinct agg and the final label join: persist to compute once
     val labeled = coreComp.union(borderComp).persist()
 
-    // dense cluster ids 1..K ordered by comp (tiny distinct set -> window
-    // over the distinct comps only, then broadcast back); components below
-    // minClusterSize are dropped -> their points fall back to noise
-    val compIds = labeled.groupBy("comp").agg(count(lit(1)).as("csz"))
-      .filter(col("csz") >= minClusterSize)
-      .select("comp")
-      .withColumn("cluster_id",
-        row_number().over(Window.orderBy("comp")).cast("int"))
+    // dense cluster ids 1..K ordered by comp (distinct comps only, then
+    // broadcast back); components below minClusterSize are dropped ->
+    // their points fall back to noise. Ranked by the lazy range-partition
+    // + offset scheme — the comp table is tiny by contract (clusters <<
+    // points) but this keeps even a pathological comp count off a
+    // single-task window sort.
+    val compIds = GlobalIndex.rowNumbersLazy(
+        labeled.groupBy("comp").agg(count(lit(1)).as("csz"))
+          .filter(col("csz") >= minClusterSize)
+          .select("comp"),
+        Seq("comp"), "cluster_id")
+      .select(col("comp"), col("cluster_id").cast("int").as("cluster_id"))
     val withIds = labeled.join(broadcast(compIds), "comp")
       .select(col("id"), col("cluster_id"))
 

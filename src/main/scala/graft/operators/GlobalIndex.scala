@@ -66,4 +66,54 @@ object GlobalIndex {
     df.sparkSession.createDataFrame(out,
       sorted.schema.add(StructField(outCol, LongType, nullable = false)))
   }
+
+  /** Lazy twin of [[rowNumbers]]: identical 1-based numbering, but as a
+    * deferred plan — nothing executes until the caller's first action
+    * (rowNumbers' zipWithIndex counting pass runs a job eagerly, which
+    * would force evaluation inside lazily-composed operators like
+    * `Dbscan.run`). Same shape, expressed in SQL nodes:
+    *
+    *  1. range-shuffle on the sort keys and stamp each row with its
+    *     physical partition id — range partitions are ordered, so
+    *     (pid, within-pid key order) IS the global order;
+    *  2. within-pid local row_number (a window PARTITIONED by pid —
+    *     every task sorts only its own range slice, no single-task
+    *     exchange);
+    *  3. per-pid row counts → running-sum offsets. This one window is
+    *     unpartitioned but runs over ONE ROW PER PARTITION (bounded by
+    *     the shuffle-partition setting, never by data volume);
+    *  4. broadcast the offsets back: row_num = offset(pid) + local.
+    *
+    * Both consumers of the range exchange (the local ranking and the
+    * count) are identical subplans inside the one returned DAG, so the
+    * exchange is planned once and reused — the pid stamping cannot
+    * disagree between them.
+    *
+    * `sortCols` must be a total order, as in [[rowNumbers]]. */
+  def rowNumbersLazy(df: DataFrame, sortCols: Seq[String],
+      outCol: String = "row_num", numPartitions: Option[Int] = None): DataFrame = {
+    require(sortCols.nonEmpty, "rowNumbersLazy needs at least one sort column")
+    require(!df.columns.exists(_.equalsIgnoreCase(outCol)),
+      s"input already has a column named $outCol — rename it first")
+    val keys = sortCols.map(col)
+    val ranged = numPartitions match {
+      case Some(np) => df.repartitionByRange(np, keys: _*)
+      case None     => df.repartitionByRange(keys: _*)
+    }
+    val stamped = ranged.withColumn("__gi_pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__gi_pid")).orderBy(keys: _*)
+    val local = stamped.withColumn("__gi_lrn",
+      row_number().over(wLocal).cast(LongType))
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__gi_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = stamped.groupBy(col("__gi_pid"))
+      .agg(count(lit(1)).as("__gi_cnt"))
+      .select(col("__gi_pid"),
+        coalesce(sum(col("__gi_cnt")).over(wOff), lit(0L)).as("__gi_off"))
+    local.join(broadcast(offsets), "__gi_pid")
+      .withColumn(outCol, col("__gi_off") + col("__gi_lrn"))
+      .drop("__gi_pid", "__gi_lrn", "__gi_off")
+  }
 }

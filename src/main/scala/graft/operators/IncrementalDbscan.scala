@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Incremental DBSCAN — fold batches of NEW points into a standing
@@ -366,11 +365,14 @@ object IncrementalDbscan {
       .groupBy(col("id"))
       .agg(min("comp").as("comp"))
     val labeled = st.coreComp.union(borderComp).persist()
-    val compIds = labeled.groupBy("comp").agg(count(lit(1)).as("csz"))
-      .filter(col("csz") >= minClusterSize)
-      .select("comp")
-      .withColumn("cluster_id",
-        row_number().over(Window.orderBy("comp")).cast("int"))
+    // Same dense-id scheme as Dbscan.run: lazy range-partitioned rank
+    // over the distinct comps — never a single-task window sort.
+    val compIds = GlobalIndex.rowNumbersLazy(
+        labeled.groupBy("comp").agg(count(lit(1)).as("csz"))
+          .filter(col("csz") >= minClusterSize)
+          .select("comp"),
+        Seq("comp"), "cluster_id")
+      .select(col("comp"), col("cluster_id").cast("int").as("cluster_id"))
     val withIds = labeled.join(broadcast(compIds), "comp")
       .select(col("id"), col("cluster_id"))
     st.points.select(col("id"))

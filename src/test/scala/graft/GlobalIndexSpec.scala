@@ -56,6 +56,50 @@ class GlobalIndexSpec extends SparkSpec {
       "rowNumbers left a cached plan behind")
   }
 
+  test("rowNumbersLazy == rowNumbers, including under ties") {
+    // duplicate keys: k has only 16 distinct values over 1000 rows, so
+    // the id tie-breaker does real work in every range slice
+    val df = spark.range(0, 1000).toDF("id")
+      .repartition(9)
+      .select(col("id"), pmod(crc32(col("id").cast("string")), lit(16))
+        .as("k"))
+    val got = GlobalIndex.rowNumbersLazy(df, Seq("k", "id"), "rn")
+      .select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = GlobalIndex.rowNumbers(df, Seq("k", "id"), "rn")
+      .select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("rowNumbersLazy is lazy and its offset window is partition-bounded") {
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = GlobalIndex.rowNumbersLazy(keyed(5), Seq("k", "id"))
+      Thread.sleep(300) // let any eager job's start event drain
+      assert(jobs == 0, s"rowNumbersLazy ran $jobs eager jobs")
+      // the only unpartitioned window runs over the per-partition count
+      // table (≤ shuffle partitions rows), never over row data: every
+      // Window node in the plan either partitions by the stamped pid or
+      // consumes the one-row-per-pid aggregate
+      val p = out.queryExecution.executedPlan.toString
+      assert(p.contains("__gi_pid"), s"pid-offset scheme missing:\n$p")
+      assert(out.count() == 1000L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("rowNumbersLazy handles empty input") {
+    val empty = spark.range(0, 0).toDF("id")
+      .select(col("id"), md5(col("id").cast("string")).as("k"))
+    assert(GlobalIndex.rowNumbersLazy(empty, Seq("k", "id")).count() == 0)
+  }
+
   test("rowNumbers handles empty input and explicit partition counts") {
     val empty = spark.range(0, 0).toDF("id")
       .select(col("id"), md5(col("id").cast("string")).as("k"))

@@ -454,6 +454,18 @@ class PlanQualitySpec extends SparkSpec {
       s"attribution join degenerated:\n$p")
   }
 
+  test("q127 rank fusion: both legs rank distributed — no window at all") {
+    // each leg ranks via GlobalIndex.rowNumbers (range shuffle + offset
+    // assignment); the old shape — row_number over an un-partitioned
+    // Window — funnelled the whole BM25 table and the whole embedding
+    // table through ONE task's sort
+    val df = SparkEntry.queries("q127_rank_fusion")(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Window"), s"rank fusion fell back to a window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in the fusion plan:\n$p")
+  }
+
   test("q146 fertility: one aggregate exchange, no join, pruned scan") {
     val p = plan(SparkEntry.queries("q146_fertility")(spark, sf))
     assert("Exchange".r.findAllIn(p).length == 1,
