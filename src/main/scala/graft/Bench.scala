@@ -198,9 +198,22 @@ object Bench {
           spark.catalog.clearCache(); System.gc()
           val rerun = timeN(name, run, n)
           adjudicated += ((name, first, rerun, p))
-          System.err.println(f"[bench] $name adjudicated: first=$first%.2f" +
-            f" rerun=$rerun%.2f prev=$p%.2f")
-          if (rerun >= 0) math.min(first, rerun) else first
+          // report the SOLO re-run, not min(first, rerun): the rerun is
+          // the controlled measurement (sweep cache pressure stripped),
+          // and min() could only ratchet downward — a warm rerun would
+          // mask a genuine regression. A rerun that CONFIRMS the
+          // slowdown (also >2x prev) stands as measured; first/rerun
+          // disagreement stays visible in the adjudicated record.
+          if (rerun >= 0) {
+            if (first > 2 * rerun)
+              System.err.println(f"[bench] $name adjudication disagreement" +
+                f" >2x: first=$first%.2f rerun=$rerun%.2f — sweep-order" +
+                " artifact, rerun recorded")
+            else
+              System.err.println(f"[bench] $name adjudicated: " +
+                f"first=$first%.2f rerun=$rerun%.2f prev=$p%.2f")
+            rerun
+          } else first
         case _ => first
       }
     }

@@ -337,13 +337,18 @@ object SparkEntry {
       val I = operators.IncrementalDbscan
       val st0 = I.pin(I.init(e, "vec_id", "embedding", Eps, MinPts, Nil))
       val p = java.nio.file.Files.createTempDirectory("graft_state")
-      p.toFile.deleteOnExit()
-      I.saveState(st0, p.toString, Eps, MinPts, Nil)
-      val st1 = I.loadState(s, p.toString, Eps, MinPts, Nil)
-      val st2 = I.pin(I.removePoints(st1,
-        e.filter(col("vec_id") % 10 === 0).select("vec_id"), "vec_id",
-        Eps, MinPts, Nil))
-      I.labels(st2)
+      try {
+        I.saveState(st0, p.toString, Eps, MinPts, Nil)
+        val st1 = I.loadState(s, p.toString, Eps, MinPts, Nil)
+        // pin materializes (localCheckpoint), so the parquet state dir
+        // is dead weight after this line — delete it eagerly instead of
+        // leaking it per invocation (deleteOnExit can't drop non-empty
+        // dirs)
+        val st2 = I.pin(I.removePoints(st1,
+          e.filter(col("vec_id") % 10 === 0).select("vec_id"), "vec_id",
+          Eps, MinPts, Nil))
+        I.labels(st2)
+      } finally Workloads.deleteTree(p.toString)
     }),
 
     // Perceptual image hashes (aHash + dHash) over REAL decoded pixels —

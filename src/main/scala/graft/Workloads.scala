@@ -111,13 +111,29 @@ object Workloads {
     val (pts, bDims, st0) = decrBootstrap(spark, n, k, dims, eps, minPts)
     val dir = java.nio.file.Files
       .createTempDirectory("graft_state_rt").toString
-    IncrementalDbscan.saveState(st0, dir, eps, minPts, bDims)
-    val st1 = IncrementalDbscan.loadState(spark, dir, eps, minPts, bDims)
-    val expired = pts.select("id")
-      .filter(pmod(xxhash64(col("id"), lit("c")), lit(k.toLong)) < 2)
-    val st2 = IncrementalDbscan.pin(IncrementalDbscan.removePoints(st1,
-      expired, "id", eps, minPts, bDims))
-    IncrementalDbscan.labels(st2)
+    try {
+      IncrementalDbscan.saveState(st0, dir, eps, minPts, bDims)
+      val st1 = IncrementalDbscan.loadState(spark, dir, eps, minPts, bDims)
+      val expired = pts.select("id")
+        .filter(pmod(xxhash64(col("id"), lit("c")), lit(k.toLong)) < 2)
+      // pin is an eager localCheckpoint: after it, neither the fold nor
+      // labels() ever re-reads the parquet state, so the dir can go now
+      val st2 = IncrementalDbscan.pin(IncrementalDbscan.removePoints(st1,
+        expired, "id", eps, minPts, bDims))
+      IncrementalDbscan.labels(st2)
+    } finally deleteTree(dir)
+  }
+
+  /** Recursive temp-dir delete (deleteOnExit cannot remove a non-empty
+    * directory, so per-rep state dirs would otherwise pile up in /tmp). */
+  private[graft] def deleteTree(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 
   /** Shared bootstrap of the standing 500k clustering — it exists BY

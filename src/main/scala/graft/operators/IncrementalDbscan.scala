@@ -73,6 +73,16 @@ object IncrementalDbscan {
   def saveState(st: State, dir: String, eps: Double, minPts: Int,
       bucketDims: Seq[Int]): Unit = {
     val spark = st.points.sparkSession
+    // INVALIDATE before touching data: when overwriting an existing
+    // state, the previous save's manifest must not survive into the
+    // window where data tables are partially replaced — a crash there
+    // would otherwise leave a stale-but-present manifest over corrupt
+    // tables and loadState would accept it. Deleting the manifest first
+    // restores the documented guarantee for re-saves too: no manifest
+    // until every data table of THIS save has landed.
+    val mPath = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(mPath)) fs.delete(mPath, true)
     st.points.write.mode("overwrite").parquet(s"$dir/points")
     st.counts.write.mode("overwrite").parquet(s"$dir/counts")
     st.coreComp.write.mode("overwrite").parquet(s"$dir/core_comp")

@@ -47,7 +47,10 @@ object WarcDocs {
     * defaultFS overrides apply at task time exactly as at plan time.
     * Re-writing an existing `dir` OVERWRITES it: the driver sweeps
     * previous part files first, so a re-run never silently serves a
-    * stale shard. */
+    * stale shard. CONCURRENT writes to one `dir` are unsupported (same
+    * contract as Spark's own file sinks in overwrite mode): a second
+    * job's driver sweep deletes the first job's in-flight attempt
+    * temps and committed shards — serialize writers per directory. */
   def write(df: DataFrame, idCol: String, uriCol: String, textCol: String,
       dir: String, gzip: Boolean = false): Unit = {
     val sc = df.sparkSession.sparkContext

@@ -188,6 +188,38 @@ class IncrementalDbscanSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       IncrementalDbscan.loadState(spark, empty, 1.0, 4, dims)
     }
+    // RE-SAVE over an existing state: the old manifest is invalidated
+    // BEFORE any data table is replaced, so a crash mid-re-save leaves
+    // a manifest-less dir that loadState refuses — never a stale
+    // manifest over half-replaced tables. Simulate the crash with a
+    // poisoned points table that throws inside the FIRST data write:
+    val survivors = pts.filterNot(p => del.contains(p._1))
+    val st1 = IncrementalDbscan.pin(IncrementalDbscan.init(df(survivors),
+      "id", "vec", 1.0, 4, dims))
+    val mDir = new java.io.File(s"$dir/manifest")
+    assert(mDir.exists)
+    val boom = org.apache.spark.sql.functions.udf { (i: Long) =>
+      throw new RuntimeException("simulated crash mid-save"); i: Long
+    }
+    val poisoned = st1.copy(points =
+      st1.points.withColumn("id", boom(org.apache.spark.sql.functions
+        .col("id"))))
+    intercept[Exception] {
+      IncrementalDbscan.saveState(poisoned, dir, 1.0, 4, dims)
+    }
+    assert(!mDir.exists,
+      "old manifest survived into the crashed re-save window")
+    intercept[IllegalArgumentException] {
+      IncrementalDbscan.loadState(spark, dir, 1.0, 4, dims)
+    }
+    // a clean re-save then repairs the dir and reloads the new state
+    IncrementalDbscan.saveState(st1, dir, 1.0, 4, dims)
+    val reloaded = IncrementalDbscan.loadState(spark, dir, 1.0, 4, dims)
+    assert(rows(reloaded.points) == rows(st1.points))
+    assert(labelsOf(IncrementalDbscan.labels(reloaded)) ==
+      labelsOf(Dbscan.run(df(survivors), "id", "vec", 1.0, 4, dims)))
+    graft.Workloads.deleteTree(dir)
+    graft.Workloads.deleteTree(empty)
   }
 
   test("clusterMaintainStream resumes from a loadState'd clustering: " +
