@@ -1273,6 +1273,42 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
+    // COMPOSED IVF-PQ (FAISS IVFPQ): coarse cells partition the corpus,
+    // PQ codes quantize the RESIDUALS (v − cell centroid), serving
+    // probes nProbe cells and runs ADC inside them with per-(query,
+    // cell) residual distance tables, then exact-L2 re-ranks the
+    // shortlist. The one ANN architecture a 100 TB serving fleet
+    // actually deploys — q23's coarse index and q75's code compression
+    // composed into a single standing index. Oracle: both training
+    // unrolls chained through the residual CTE, digit for digit
+    "q247_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qd = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val (cents, cb, codes) = AnnSearch.ivfPqIndex(bd, IvfCents, PqM, PqNc)
+      AnnSearch.ivfPqTopK(qd, bd, codes, cents, cb, AnnK, IvfProbe,
+          PqShortlist)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
+    // IVF-PQ tombstone retraction (the composed index joins the CRUD
+    // family): artifacts stay the nightly build's, every 7th code row
+    // is tombstoned, the re-rank fetches only shortlist survivors.
+    // Oracle: the composed unroll with the ADC candidate side filtered
+    "q248_ivfpq_retraction" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qd = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val (cents, cb, codes) = AnnSearch.ivfPqIndex(bd, IvfCents, PqM, PqNc)
+      val live = AnnSearch.retractFromIvfPq(codes,
+        e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+      AnnSearch.ivfPqTopK(qd, bd, live, cents, cb, AnnK, IvfProbe,
+          PqShortlist)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
     // Gaps-and-islands daily activity streaks (TimeSeries.streaks)
     "q76_streaks" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -3762,6 +3798,149 @@ object SparkEntry {
        |WHERE rnk <= $AnnK""".stripMargin
   }
 
+  /** q247's oracle: the COMPOSED IVF-PQ unrolled — [[ivfOracleWith]]'s
+    * coarse-centroid training chained into [[pqOracleWith]]'s subspace
+    * training through the residual CTE `rp` (v − assigned centroid),
+    * per-(query, probed-cell) residual ADC tables, exact-L2 re-rank of
+    * the shortlist. Every arithmetic step is the exact op the engine
+    * executes: same pinned d² folds, same quantized Lloyd means, same
+    * floor(d²·1e9 + 0.5) BIGINT ADC entries (integer-exact sums), same
+    * id tie-breaks at every ranking. */
+  private def ivfPqOracle: String = ivfPqOracleWith("TRUE")
+
+  /** [[ivfPqOracle]] with `serveCond` filtering the ADC candidate side
+    * (q248 passes the tombstone predicate over `cd.id`; neither
+    * training unroll is filtered — retraction never retrains). */
+  private def ivfPqOracleWith(serveCond: String): String = {
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), " +
+        "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    // coarse farthest-first rounds 2..n (argmax of min-d², ties to the
+    // smallest pool rank) — ivfOracleWith's text over the unfiltered p
+    val ff = (2 to IvfCents).map { r =>
+      s"""f$r AS MATERIALIZED (SELECT rid, v FROM (
+         |    SELECT pl.rid, pl.v, row_number() OVER (ORDER BY
+         |        (SELECT min(${d2("pl.v", "c.v")}) FROM ch${r - 1} c) DESC,
+         |        pl.rid) AS rn
+         |    FROM pool pl WHERE pl.rid NOT IN (SELECT rid FROM ch${r - 1}))
+         |  WHERE rn = 1),
+         |ch$r AS MATERIALIZED (SELECT * FROM ch${r - 1}
+         |  UNION ALL SELECT * FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    val lloyd = (1 to IvfIters).map { r =>
+      val c = s"c${r - 1}"
+      s"""a$r AS MATERIALIZED (SELECT id, cid FROM (
+         |    SELECT p.id, $c.cid, row_number() OVER (PARTITION BY p.id
+         |      ORDER BY ${d2("p.v", s"$c.cv")}, $c.cid) AS rn
+         |    FROM p CROSS JOIN $c) WHERE rn = 1),
+         |c$r AS MATERIALIZED (SELECT cid,
+         |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
+         |      ORDER BY dim) AS cv
+         |  FROM (SELECT a$r.cid, u.dim,
+         |      CAST(sum(CAST(round(p.v[u.dim] * 1000000.0) AS BIGINT))
+         |        AS BIGINT) AS s,
+         |      CAST(count(*) AS BIGINT) AS cnt
+         |    FROM a$r JOIN p USING (id),
+         |      unnest(range(1, len(p.v) + 1)) AS u(dim)
+         |    GROUP BY 1, 2)
+         |  GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    val fc = s"c$IvfIters"
+    // PQ Lloyd over the RESIDUAL subspaces (ps) — pqOracleWith's text
+    val pqLloyd = (1 to PqIters).map { r =>
+      val c = s"pc${r - 1}"
+      s"""pa$r AS MATERIALIZED (SELECT id, sub, cid FROM (
+         |    SELECT ps.id, ps.sub, $c.cid,
+         |      row_number() OVER (PARTITION BY ps.id, ps.sub
+         |        ORDER BY ${d2("ps.sv", s"$c.cv")}, $c.cid) AS rn
+         |    FROM ps JOIN $c USING (sub)) WHERE rn = 1),
+         |pc$r AS MATERIALIZED (SELECT sub, cid,
+         |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
+         |      ORDER BY dim) AS cv
+         |  FROM (SELECT a.sub, a.cid, u.dim,
+         |      CAST(sum(CAST(round(ps.sv[u.dim] * 1000000.0) AS BIGINT))
+         |        AS BIGINT) AS s,
+         |      CAST(count(*) AS BIGINT) AS cnt
+         |    FROM pa$r a JOIN ps ON ps.id = a.id AND ps.sub = a.sub,
+         |      unnest(range(1, len(ps.sv) + 1)) AS u(dim)
+         |    GROUP BY 1, 2, 3)
+         |  GROUP BY sub, cid)""".stripMargin
+    }.mkString(",\n")
+    val fq = s"pc$PqIters"
+    s"""WITH p AS MATERIALIZED (SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |pool AS MATERIALIZED (SELECT
+       |    CAST(row_number() OVER (ORDER BY id) AS INTEGER) AS rid, v
+       |  FROM (SELECT id, v FROM p
+       |    ORDER BY md5(CAST(id AS VARCHAR) || ':$IvfSeed')
+       |    LIMIT $IvfPool)),
+       |ch1 AS MATERIALIZED (SELECT rid, v FROM pool WHERE rid = 1),
+       |$ff,
+       |c0 AS MATERIALIZED (SELECT
+       |    CAST(row_number() OVER (ORDER BY rid) AS INTEGER) AS cid,
+       |    v AS cv FROM ch$IvfCents),
+       |$lloyd,
+       |bi AS MATERIALIZED (SELECT id, cid FROM (
+       |    SELECT p.id, c.cid, row_number() OVER (PARTITION BY p.id
+       |      ORDER BY ${d2("p.v", "c.cv")}, c.cid) AS rn
+       |    FROM p CROSS JOIN $fc c) WHERE rn = 1),
+       |rp AS MATERIALIZED (SELECT p.id, bi.cid AS cell,
+       |    list_transform(list_zip(p.v, c.cv), x -> x[1] - x[2]) AS v
+       |  FROM p JOIN bi USING (id) JOIN $fc c ON c.cid = bi.cid),
+       |ps AS MATERIALIZED (SELECT rp.id, rp.cell, u.sub,
+       |    list_slice(rp.v, u.sub * (len(rp.v) // $PqM) + 1,
+       |      (u.sub + 1) * (len(rp.v) // $PqM)) AS sv
+       |  FROM rp, unnest(range(0, $PqM)) AS u(sub)),
+       |sd AS MATERIALIZED (SELECT sub, id, sv FROM (
+       |    SELECT sub, id, sv, row_number() OVER (PARTITION BY sub
+       |      ORDER BY md5(CAST(id AS VARCHAR) || ':' ||
+       |        CAST(sub + $PqSeed AS VARCHAR))) AS rh
+       |    FROM ps) WHERE rh <= $PqNc),
+       |pc0 AS MATERIALIZED (SELECT sub,
+       |    CAST(row_number() OVER (PARTITION BY sub ORDER BY id)
+       |      AS INTEGER) AS cid, sv AS cv
+       |  FROM sd),
+       |$pqLloyd,
+       |codes AS MATERIALIZED (SELECT id, cell, sub, cid FROM (
+       |    SELECT ps.id, ps.cell, ps.sub, c.cid,
+       |      row_number() OVER (PARTITION BY ps.id, ps.sub
+       |        ORDER BY ${d2("ps.sv", "c.cv")}, c.cid) AS rn
+       |    FROM ps JOIN $fq c USING (sub)) WHERE rn = 1),
+       |pr AS MATERIALIZED (SELECT id AS a_id, cid FROM (
+       |    SELECT p.id, c.cid, row_number() OVER (PARTITION BY p.id
+       |      ORDER BY ${d2("p.v", "c.cv")}, c.cid) AS rn
+       |    FROM p CROSS JOIN $fc c WHERE p.id < 50) WHERE rn <= $IvfProbe),
+       |qr AS MATERIALIZED (SELECT pr.a_id, pr.cid AS cell,
+       |    list_transform(list_zip(q.v, c.cv), x -> x[1] - x[2]) AS v
+       |  FROM pr JOIN p q ON q.id = pr.a_id JOIN $fc c ON c.cid = pr.cid),
+       |qs AS MATERIALIZED (SELECT qr.a_id, qr.cell, u.sub,
+       |    list_slice(qr.v, u.sub * (len(qr.v) // $PqM) + 1,
+       |      (u.sub + 1) * (len(qr.v) // $PqM)) AS sv
+       |  FROM qr, unnest(range(0, $PqM)) AS u(sub)),
+       |dt AS MATERIALIZED (SELECT qs.a_id, qs.cell, qs.sub, c.cid,
+       |    CAST(floor(${d2("qs.sv", "c.cv")} * 1000000000.0 + 0.5)
+       |      AS BIGINT) AS dq
+       |  FROM qs JOIN $fq c USING (sub)),
+       |adc AS MATERIALIZED (SELECT dt.a_id, cd.id AS b_id,
+       |    CAST(sum(dt.dq) AS BIGINT) AS ad2
+       |  FROM codes cd JOIN dt ON dt.cell = cd.cell AND dt.sub = cd.sub
+       |    AND dt.cid = cd.cid
+       |  WHERE dt.a_id != cd.id AND ($serveCond)
+       |  GROUP BY 1, 2),
+       |sl AS MATERIALIZED (SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+       |      ORDER BY ad2, b_id) AS rn
+       |    FROM adc) WHERE rn <= $PqShortlist)
+       |SELECT vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk FROM (
+       |  SELECT sl.a_id AS vec_id, sl.b_id AS nbr_id,
+       |    row_number() OVER (PARTITION BY sl.a_id
+       |      ORDER BY ${d2("qa.v", "qb.v")}, sl.b_id) AS rnk
+       |  FROM sl JOIN p qa ON qa.id = sl.a_id
+       |    JOIN p qb ON qb.id = sl.b_id) r
+       |WHERE rnk <= $AnnK""".stripMargin
+  }
+
   /** q120's oracle: seeds = k smallest ids, then per round an argmin
     * assignment CTE (row_number ORDER BY the d2Sql-ordered fold, ties
     * on cid — KMeans.fit's least(struct) order) and, between
@@ -4868,6 +5047,11 @@ object SparkEntry {
 
     // PQ insert: codebook trained on the initial generation only
     "q242_pq_insert" -> pqOracleWith("TRUE", buildCond = "id % 7 != 0"),
+
+    // composed IVF-PQ: coarse training + residual PQ training chained
+    "q247_ivfpq" -> ivfPqOracle,
+    // composed tombstone: ADC candidates filtered, artifacts unchanged
+    "q248_ivfpq_retraction" -> ivfPqOracleWith("cd.id % 7 != 0"),
     "q28_winnowing" -> winnowingOracle,
 
     "q9_jaccard_pairs" -> jaccardOracle,

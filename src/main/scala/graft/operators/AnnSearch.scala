@@ -272,7 +272,13 @@ object AnnSearch {
     * paths produce identical candidate sets for identical centroids
     * (spec-enforced). */
   def ivfTopKPrebuilt(queries: DataFrame, build: DataFrame, k: Int,
-      centTable: DataFrame, nProbe: Int): DataFrame = {
+      centTable: DataFrame, nProbe: Int): DataFrame =
+    ivfTopKWith(queries, build, k, collectCentroids(centTable), nProbe)
+
+  /** Collect + validate a persisted [[centroids]] table (an index that
+    * fits a sane nProbe always fits the driver). */
+  private[operators] def collectCentroids(
+      centTable: DataFrame): Array[(Int, Array[Double])] = {
     val rows = centTable
       .select(col("c_id").cast("int"), col("c_v").cast("array<double>"))
       .collect()
@@ -284,8 +290,32 @@ object AnnSearch {
     require(cents.nonEmpty, "empty centroid table")
     require(cents.map(_._1).distinct.length == cents.length,
       "duplicate c_id in centroid table")
-    ivfTopKWith(queries, build, k, cents, nProbe)
+    cents
   }
+
+  /** The `nProbe` nearest coarse cells per query: (a_id, a_v, c_id).
+    * Small centroid sets probe as a pure literal projection (sort the
+    * literal struct(d2, c_id) array — no window, no join); larger sets
+    * fall back to a broadcast centroid frame + per-query window over
+    * nCentroids rows. Shared by plain IVF and composed IVF-PQ. */
+  private def probeCells(queries: DataFrame, build: DataFrame,
+      cents: Array[(Int, Array[Double])], nProbe: Int): DataFrame =
+    if (cents.length <= literalCentroidLimit) {
+      // |Q| rows only, so the literal tree's size is affordable here
+      queries.select(col("a_id"), col("a_v"),
+          explode(slice(array_sort(array(
+            centDistStructs(col("a_v"), cents): _*)), 1, nProbe)).as("pc"))
+        .select(col("a_id"), col("a_v"), col("pc.c_id").as("c_id"))
+    } else {
+      val cdf = centroidFrame(build, cents)
+      val qd2 = VectorExpressions.squaredL2(
+        col("a_v").cast("array<double>"), col("c_v"))
+      queries.crossJoin(broadcast(cdf))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("a_id").orderBy(qd2, col("c_id"))))
+        .filter(col("rk") <= nProbe)
+        .select(col("a_id"), col("a_v"), col("c_id"))
+    }
 
   private def ivfTopKWith(queries: DataFrame, build: DataFrame, k: Int,
       cents: Array[(Int, Array[Double])], nProbe: Int): DataFrame = {
@@ -293,25 +323,7 @@ object AnnSearch {
     // the |B|-row pass must never depend on nCentroids for its code size
     val buildIdx = build.select(col("b_id"), col("b_v"),
       nearestCentroid(col("b_v"), cents).as("c_id"))
-    val probes =
-      if (cents.length <= literalCentroidLimit) {
-        // nProbe nearest centroids per query: sort the literal
-        // struct(d2, c_id) array, take the head — no window, no join.
-        // |Q| rows only, so the literal tree's size is affordable here.
-        queries.select(col("a_id"), col("a_v"),
-            explode(slice(array_sort(array(
-              centDistStructs(col("a_v"), cents): _*)), 1, nProbe)).as("pc"))
-          .select(col("a_id"), col("a_v"), col("pc.c_id").as("c_id"))
-      } else {
-        val cdf = centroidFrame(build, cents)
-        val qd2 = VectorExpressions.squaredL2(
-          col("a_v").cast("array<double>"), col("c_v"))
-        queries.crossJoin(broadcast(cdf))
-          .withColumn("rk", row_number().over(
-            Window.partitionBy("a_id").orderBy(qd2, col("c_id"))))
-          .filter(col("rk") <= nProbe)
-          .select(col("a_id"), col("a_v"), col("c_id"))
-      }
+    val probes = probeCells(queries, build, cents, nProbe)
 
     withNorm(probes, "a_v", "a_n")
       .join(withNorm(buildIdx, "b_v", "b_n"), "c_id")
@@ -459,7 +471,7 @@ object AnnSearch {
   /** Encode vectors as m positional codes — a pure projection (literal
     * sub-centroids, no join, no shuffle). @return (`id`, `codes`). */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-      codebook: DataFrame): DataFrame = {
+      codebook: DataFrame, keepCols: Seq[String] = Nil): DataFrame = {
     val cb = collectPqCodebook(codebook)
     val subLen = cb.head.head._2.length
     val codes = array(cb.zipWithIndex.map { case (cents, s) =>
@@ -467,7 +479,8 @@ object AnnSearch {
         slice(col(vecCol).cast("array<double>"), s * subLen + 1, subLen),
         cents)
     }.toIndexedSeq: _*)
-    df.select(col(idCol).as("id"), codes.cast("array<int>").as("codes"))
+    df.select(col(idCol).as("id") +: keepCols.map(col) :+
+      codes.cast("array<int>").as("codes"): _*)
   }
 
   /** Tombstone retraction on a persisted PQ code table — the PQ member
@@ -584,6 +597,153 @@ object AnnSearch {
       .select(col("a_id"), col("p.id").as("nbr_id"),
         (col("pos") + 1).cast("int").as("rnk"))
   }
+
+  // ------- Composed IVF-PQ: the production serving index shape -------
+  //
+  // FAISS's IVFPQ composition (Jégou, Douze, Schmid 2011, "Product
+  // Quantization for Nearest Neighbor Search" §IV): coarse IVF
+  // centroids partition the corpus into cells; each vector stores only
+  // its cell id plus the PQ codes of its RESIDUAL (v − cell centroid).
+  // Residual quantization concentrates the codebook's resolution near
+  // cell centers (residual norms ≪ raw norms), so the same code budget
+  // quantizes finer than PQ over raw vectors; serving probes nProbe
+  // cells and runs ADC inside them only — per-query candidate count
+  // scales as |B|·nProbe/nCells, never |B|. The standing index is the
+  // pair (centroid table, codebook) + one code row per vector: ~4+m
+  // bytes/vector instead of 4·dims.
+
+  /** cid → centroid as a literal MAP expression (keyed lookup — robust
+    * to Lloyd-dropped cells leaving id gaps). */
+  private def centLitMap(cents: Array[(Int, Array[Double])]): Column =
+    map_from_arrays(
+      array(cents.map(c => lit(c._1)).toIndexedSeq: _*),
+      array(cents.map(c => array(c._2.map(lit).toIndexedSeq: _*))
+        .toIndexedSeq: _*))
+
+  /** (id, c_id, rv): nearest coarse cell + residual v − cent_c, as a
+    * pure projection (literal centroids — no join, no shuffle on the
+    * |B|-row pass). */
+  private def residuals(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[(Int, Array[Double])]): DataFrame =
+    df.select(col(idCol).as("id"),
+        nearestCentroid(col(vecCol), cents).as("c_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col("id"), col("c_id"),
+        zip_with(col("__v"), element_at(centLitMap(cents), col("c_id")),
+          (a, b) => a - b).as("rv"))
+
+  /** Build the composed index: train coarse centroids, assign + form
+    * residuals, train the PQ codebook ON THE RESIDUALS (the composition
+    * point — seeds/Lloyd follow [[pqCodebook]]'s exact-arithmetic
+    * discipline, so the whole index is partitioning-invariant and
+    * DuckDB-reproducible), then encode. All three returns are
+    * parquet-persistable — the nightly-build artifacts a serving fleet
+    * loads.
+    * @param build (`b_id`, `b_v`)
+    * @return (centroid table (c_id, c_v), codebook (sub, c_id, c_v),
+    *   codes (id, c_id, codes)) */
+  def ivfPqIndex(build: DataFrame, nCentroids: Int, m: Int, nCodes: Int,
+      iters: Int = 2, seed: Long = 42L)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cents = centroidArrays(build, nCentroids, iters, seed)
+    val resid = residuals(build, "b_id", "b_v", cents)
+    val cb = pqCodebook(
+      resid.select(col("id").as("b_id"), col("rv").as("b_v")),
+      m, nCodes, iters, seed)
+    val codes = pqEncode(resid, "id", "rv", cb, keepCols = Seq("c_id"))
+    (centroidFrame(build, cents), cb, codes)
+  }
+
+  /** Serve the composed index: probe `nProbe` coarse cells per query,
+    * ADC over the PQ codes INSIDE the probed cells (each probe's
+    * distance table is built from the query's residual in THAT cell —
+    * the per-cell tables are what makes residual coding exact at serve
+    * time), shortlist by approximate d², then exact-L2 re-rank of the
+    * shortlist against full vectors. The |B|-sized scan touches only
+    * code rows; full vectors are fetched for |Q|·shortlist rows.
+    * Plan shape: codes equi-join the broadcast (query × probed-cell)
+    * table on `c_id`; ADC sums are exact integer sums of the quantized
+    * table entries; both rankings are bounded heaps.
+    * @param queries (`a_id`, `a_v`); @param build (`b_id`, `b_v`) full
+    *   vectors (re-rank side); @param codes/@param centTable/
+    *   @param codebook the [[ivfPqIndex]] artifacts. */
+  def ivfPqTopK(queries: DataFrame, build: DataFrame, codes: DataFrame,
+      centTable: DataFrame, codebook: DataFrame, k: Int, nProbe: Int,
+      shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist < k $k")
+    val cents = collectCentroids(centTable)
+    val cb = collectPqCodebook(codebook)
+    val subLen = cb.head.head._2.length
+    val cbv: Array[Array[Array[Double]]] = cb.map(_.map(_._2))
+    // per-(query, probed cell) ADC table over the RESIDUAL in that cell
+    // — quantized to floor(d²·1e9 + 0.5) longs exactly like pqTopK, so
+    // the m-term sums are integer-exact and engine-portable
+    val dtab = udf((rv: Seq[Double]) =>
+      cbv.zipWithIndex.map { case (cs, s) =>
+        cs.map { cv =>
+          var d = 0.0
+          var i = 0
+          while (i < cv.length) {
+            val diff = rv(s * subLen + i) - cv(i); d += diff * diff; i += 1
+          }
+          math.floor(d * 1e9 + 0.5).toLong
+        }
+      })
+    val probes = probeCells(queries, build, cents, nProbe)
+      .select(col("a_id"), col("c_id"),
+        zip_with(col("a_v").cast("array<double>"),
+          element_at(centLitMap(cents), col("c_id")),
+          (a, b) => a - b).as("qrv"))
+      .select(col("a_id"), col("c_id"), dtab(col("qrv")).as("__dtab"))
+    val approxD2 = cb.indices.map { s =>
+      element_at(element_at(col("__dtab"), s + 1),
+        element_at(col("codes"), s + 1))
+    }.reduce(_ + _)
+    // stream the |B| code rows, broadcast the |Q|·nProbe probe tables —
+    // the only shape that scales with |B| (the pqTopK precedent)
+    val sl = codes.repartition(col("id"))
+      .join(broadcast(probes), "c_id")
+      .filter(col("a_id") =!= col("id"))
+      .select(col("a_id"), col("id"),
+        approxD2.cast("double").as("ad2"))
+      .groupBy("a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("id"), col("ad2"),
+        shortlist).as("topk"))
+      .select(col("a_id"), explode(col("topk")).as("p"))
+      .select(col("a_id"), col("p.id").as("b_id"))
+    val d2 = VectorExpressions.squaredL2(
+      col("a_v").cast("array<double>"), col("b_v").cast("array<double>"))
+    sl.join(build, "b_id")
+      .join(queries, "a_id")
+      .select(col("a_id"), col("b_id"), d2.as("d2"))
+      .groupBy("a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("b_id"), col("d2"), k)
+        .as("topk"))
+      .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("a_id"), col("p.id").as("nbr_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** Tombstone retraction on the composed index — a code row derives
+    * from its vector and the FIXED (centroids, codebook) pair alone, so
+    * dropping removed rows IS the rebuild over survivors (the
+    * [[retractFromPq]]/[[retractFromIvf]] rule; neither artifact
+    * retrains). */
+  def retractFromIvfPq(codes: DataFrame, removeIds: DataFrame,
+      idCol: String): DataFrame =
+    retractFromPq(codes, removeIds, idCol)
+
+  /** Insert into the composed index: assign + residual-encode the batch
+    * against the FIXED artifacts and append — bit-equal to re-encoding
+    * the whole corpus from scratch with the same artifacts
+    * (spec-enforced). Ids must be fresh; [[retractFromIvfPq]] first for
+    * replace semantics. */
+  def addToIvfPq(codes: DataFrame, newVecs: DataFrame, idCol: String,
+      vecCol: String, centTable: DataFrame,
+      codebook: DataFrame): DataFrame =
+    codes.unionByName(pqEncode(
+      residuals(newVecs, idCol, vecCol, collectCentroids(centTable)),
+      "id", "rv", codebook, keepCols = Seq("c_id")))
 
   /** Johnson–Lindenstrauss sign projection: reduce every vector to
     * `planes.length` components via ±1 hyperplanes scaled by 1/√k —

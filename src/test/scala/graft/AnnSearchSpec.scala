@@ -288,6 +288,52 @@ class AnnSearchSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("IVF-PQ composed: full-probe serve == exact; production recall; " +
+      "CRUD duals bit-equal") {
+    val (cents, cb, codes) =
+      AnnSearch.ivfPqIndex(b, nCentroids = 8, m = 16, nCodes = 16)
+    val codesP = codes.persist()
+    val rows = codesP.collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 8, s"bad cell: $r")
+      val cs = r.getSeq[Int](2)
+      assert(cs.length == 16 && cs.forall(c => c >= 1 && c <= 16), s"$cs")
+    }
+    val exact = exactL2TopK(5)
+    // probing EVERY cell with an uncut shortlist degenerates to exact
+    // search: candidates = all, re-rank = exact L2 — the composed
+    // pipeline's end-to-end correctness gate (the "full probing" twin
+    // of the plain-IVF test)
+    val full = AnnSearch.ivfPqTopK(q, b, codesP, cents, cb, 5,
+        nProbe = 8, shortlist = 1000)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1)))
+      .groupBy(_._1)
+      .map { case (a, ps) => a -> ps.sortBy(_._2).map(_._3).toSeq }
+    assert(full == exact)
+    // production geometry: 3 of 8 cells + shortlist 50 → useful recall
+    val prod = AnnSearch.ivfPqTopK(q, b, codesP, cents, cb, 5,
+        nProbe = 3, shortlist = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.toSeq.map { case (aId, nbrs) =>
+      nbrs.count(n => prod.contains((aId, n)))
+    }.sum.toDouble / (exact.size * 5)
+    assert(recall >= 0.5, s"IVF-PQ recall@5 = $recall")
+    // CRUD duals: append == from-scratch encode (fixed artifacts),
+    // retraction drops exactly the tombstoned rows
+    val newBatch = emb.filter(col("vec_id") % 5 === 0)
+    val grown = AnnSearch.addToIvfPq(
+      codesP.filter(col("id") % 5 =!= 0), newBatch,
+      "vec_id", "embedding", cents, cb)
+    assert(grown.collect().map(_.toString).sorted.toSeq ==
+      rows.map(_.toString).sorted.toSeq)
+    val retracted = AnnSearch.retractFromIvfPq(codesP,
+      newBatch.select("vec_id"), "vec_id")
+    assert(retracted.collect().map(_.toString).sorted.toSeq ==
+      rows.filter(_.getLong(0) % 5 != 0).map(_.toString).sorted.toSeq)
+    codesP.unpersist()
+  }
+
   test("PQ hand codebook: encode + ADC are positionally correct") {
     val spark2 = spark
     import spark2.implicits._
