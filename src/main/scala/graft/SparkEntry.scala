@@ -388,6 +388,19 @@ object SparkEntry {
           col("b.e_bit").as("e_bit"))
     }),
 
+    // ISO-BMFF (MP4) container metadata — the library-free box-grammar
+    // parse (14496-12: ftyp/moov/trak/mdia/stbl walk; no codec decode,
+    // none needed for crawl triage). Fixtures are real byte-grammar
+    // MP4s whose every field is a closed form of the id, so the oracle
+    // recomputes the parse without touching bytes; one row per track
+    "q249_mp4_metadata" -> ((s, dir) => {
+      val gen = udf((id: Long) => graft.operators.Multimodal.syntheticMp4(id))
+      graft.operators.Multimodal.mp4Metadata(
+        t(s, dir, "documents").filter(col("doc_id") < 120)
+          .select(col("doc_id").as("media_id"),
+            gen(col("doc_id")).as("payload")))
+    }),
+
     // Audio near-dup JOIN: banded Hamming self-join over the energy
     // hash (q237's machinery, third modality). Oracle: brute-force
     // pairwise Hamming from the same closed-form bits
@@ -5047,6 +5060,33 @@ object SparkEntry {
 
     // PQ insert: codebook trained on the initial generation only
     "q242_pq_insert" -> pqOracleWith("TRUE", buildCond = "id % 7 != 0"),
+
+    // MP4 metadata: the closed-form fixture grammar recomputed in SQL
+    // (video track always; audio track on odd ids, no stss ⇒ all sync)
+    "q249_mp4_metadata" ->
+      s"""WITH m AS (SELECT doc_id AS media_id FROM documents
+         |  WHERE doc_id < 120)
+         |SELECT media_id, 'isom' AS major_brand,
+         |  CAST(1000 + (media_id % 3) * 500 AS BIGINT) AS timescale,
+         |  CAST(2000 + (media_id % 7) * 300 AS BIGINT) AS duration_ticks,
+         |  CAST(1 AS INTEGER) AS track_id, 'vide' AS handler,
+         |  CASE media_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+         |    ELSE 'vp09' END AS codec,
+         |  CAST(24 + (media_id % 5) * 6 AS BIGINT) AS n_samples,
+         |  CAST((24 + (media_id % 5) * 6 + 3 + media_id % 4 - 1)
+         |    // (3 + media_id % 4) AS BIGINT) AS n_keyframes,
+         |  CAST(320 + (media_id % 4) * 16 AS INTEGER) AS width,
+         |  CAST(240 + (media_id % 3) * 16 AS INTEGER) AS height
+         |FROM m
+         |UNION ALL
+         |SELECT media_id, 'isom',
+         |  CAST(1000 + (media_id % 3) * 500 AS BIGINT),
+         |  CAST(2000 + (media_id % 7) * 300 AS BIGINT),
+         |  CAST(2 AS INTEGER), 'soun', 'mp4a',
+         |  CAST(40 + (media_id % 6) * 5 AS BIGINT),
+         |  CAST(40 + (media_id % 6) * 5 AS BIGINT),
+         |  CAST(0 AS INTEGER), CAST(0 AS INTEGER)
+         |FROM m WHERE media_id % 2 = 1""".stripMargin,
 
     // composed IVF-PQ: coarse training + residual PQ training chained
     "q247_ivfpq" -> ivfPqOracle,

@@ -23,9 +23,14 @@ import org.apache.spark.sql.types._
   * VIDEO decode is REAL for the one moving-picture container the JDK
   * ships a codec for — animated GIF ([[decodeVideoStats]] /
   * [[syntheticGif]], grayscale frames so the palette is lossless and
-  * the same closed-form gate applies). Codecs the JDK lacks (MP4/H.264
-  * demux, arbitrary-payload frame handling) stay behind the clearly
-  * marked `decodeStub` / [[sampleFrames]] stubs. Everything AROUND the
+  * the same closed-form gate applies). MP4 CONTAINER demux is real
+  * too: [[parseMp4]] walks the public ISO-BMFF box grammar
+  * library-free (brand/duration/tracks/codec fourcc/sample+keyframe
+  * counts/dimensions — the crawl-triage metadata), gated by
+  * closed-form byte-grammar fixtures ([[syntheticMp4]]). Only CODEC
+  * decode the JDK lacks (H.264 frame decode, arbitrary-payload frame
+  * handling) stays behind the clearly marked `decodeStub` /
+  * [[sampleFrames]] stubs. Everything AROUND the
   * codecs — the schema contract, partition-level batching, the
   * mapPartitions signature, output schema binding — is the real
   * distributed plumbing and is tested.
@@ -920,5 +925,269 @@ object Multimodal {
       // STUB decode: slice of payload bytes stands in for the frame
       expr("substring(payload, CAST(frame_idx % 32 + 1 AS INT), 8)")
         .as("frame_bytes"))
+  }
+
+  // ----- ISO-BMFF (MP4) container metadata: library-free box parser -----
+  //
+  // The container demux half of MP4 support, the same way
+  // [[graft.sources.NetcdfPoints]] handled netCDF's byte grammar: pure
+  // public box grammar (ISO/IEC 14496-12 — length-prefixed fourcc boxes,
+  // moov/trak/mdia/minf/stbl nesting, mvhd/tkhd/mdhd/hdlr/stsd/stts/
+  // stss/stsz/stco payloads), no codec decode (no codec libs in a
+  // JDK-only environment — and a crawl pipeline's triage pass needs
+  // exactly this: brand, duration, per-track codec fourcc, sample and
+  // keyframe counts, dimensions, before any transcode fleet touches the
+  // bytes). Parsing is per-row over the binary column — the |corpus|
+  // pass stays a projection, nothing collects.
+
+  /** One track's stbl-level metadata. Counts are longs (box fields are
+    * unsigned 32-bit); width/height are integer pixels (tkhd 16.16
+    * fixed point, fractional part dropped). `n_keyframes` follows the
+    * spec's stss rule: absent stss ⇒ every sample is a sync sample. */
+  final case class Mp4Track(track_id: Int, handler: String, codec: String,
+      n_samples: Long, n_keyframes: Long, width: Int, height: Int)
+
+  /** File-level metadata + tracks, as parsed — the triage record. */
+  final case class Mp4Info(major_brand: String, timescale: Long,
+      duration_ticks: Long, tracks: Seq[Mp4Track])
+
+  private def fourcc(bb: java.nio.ByteBuffer): String = {
+    val b = new Array[Byte](4)
+    bb.get(b)
+    new String(b, java.nio.charset.StandardCharsets.US_ASCII)
+  }
+
+  private def u32(bb: java.nio.ByteBuffer): Long = bb.getInt & 0xffffffffL
+
+  /** Walk the child boxes of [lo, hi): call `f(fourcc, payloadLo,
+    * payloadHi)` for each. Truncated/absurd sizes throw with offsets —
+    * fail fast like every decode in this object. */
+  private def walkBoxes(buf: Array[Byte], lo: Int, hi: Int)
+      (f: (String, Int, Int) => Unit): Unit = {
+    var off = lo
+    while (off < hi) {
+      require(hi - off >= 8,
+        s"truncated box header at offset $off (${hi - off} bytes left)")
+      val bb = java.nio.ByteBuffer.wrap(buf, off, hi - off)
+      var size = u32(bb)
+      val typ = fourcc(bb)
+      var headerLen = 8
+      if (size == 1) {
+        require(hi - off >= 16, s"truncated largesize box at $off")
+        size = bb.getLong
+        headerLen = 16
+        require(size >= 16, s"bad largesize $size in '$typ' at $off")
+      } else if (size == 0) {
+        size = (hi - off).toLong // box extends to end of enclosing space
+      } else require(size >= 8, s"bad box size $size in '$typ' at $off")
+      require(off + size <= hi,
+        s"box '$typ' at $off claims $size bytes but only ${hi - off} remain")
+      f(typ, off + headerLen, off + size.toInt)
+      off += size.toInt
+    }
+  }
+
+  /** Parse ISO-BMFF metadata from one payload. Rejects non-BMFF bytes
+    * (no leading ftyp) and any truncated/overrunning box with a
+    * diagnostic offset — a corrupt container in a curated set is a
+    * data bug, not a NULL row. */
+  private[graft] def parseMp4(payload: Array[Byte]): Mp4Info = {
+    require(payload.length >= 16, s"not ISO-BMFF: ${payload.length} bytes")
+    var majorBrand: String = null
+    var timescale = 0L
+    var duration = 0L
+    val tracks = scala.collection.mutable.ArrayBuffer.empty[Mp4Track]
+    walkBoxes(payload, 0, payload.length) { (typ, lo, hi) =>
+      typ match {
+        case "ftyp" =>
+          val bb = java.nio.ByteBuffer.wrap(payload, lo, hi - lo)
+          majorBrand = fourcc(bb)
+        case "moov" =>
+          walkBoxes(payload, lo, hi) { (t2, lo2, hi2) =>
+            t2 match {
+              case "mvhd" =>
+                val bb = java.nio.ByteBuffer.wrap(payload, lo2, hi2 - lo2)
+                val version = bb.get(); bb.position(bb.position() + 3)
+                if (version == 1) {
+                  bb.position(bb.position() + 16) // 64-bit ctime/mtime
+                  timescale = u32(bb); duration = bb.getLong
+                } else {
+                  bb.position(bb.position() + 8)
+                  timescale = u32(bb); duration = u32(bb)
+                }
+              case "trak" => tracks += parseTrak(payload, lo2, hi2)
+              case _ => ()
+            }
+          }
+        case _ => () // mdat, free, skip — metadata never lives there
+      }
+    }
+    require(majorBrand != null, "not ISO-BMFF: no ftyp box")
+    Mp4Info(majorBrand, timescale, duration, tracks.toSeq)
+  }
+
+  private def parseTrak(buf: Array[Byte], lo: Int, hi: Int): Mp4Track = {
+    var trackId = 0
+    var width = 0
+    var height = 0
+    var handler = ""
+    var codec = ""
+    var nSamples = 0L
+    var nKeyframes = -1L // -1 = no stss seen ⇒ all samples sync
+    walkBoxes(buf, lo, hi) { (typ, lo2, hi2) =>
+      typ match {
+        case "tkhd" =>
+          val bb = java.nio.ByteBuffer.wrap(buf, lo2, hi2 - lo2)
+          val version = bb.get(); bb.position(bb.position() + 3)
+          bb.position(bb.position() + (if (version == 1) 16 else 8))
+          trackId = u32(bb).toInt
+          bb.position(bb.position() + 4) // reserved
+          bb.position(bb.position() + (if (version == 1) 8 else 4)) // duration
+          // reserved(8) layer(2) alternate(2) volume(2) reserved(2)
+          // matrix(36) then width/height as 16.16 fixed point
+          bb.position(bb.position() + 52)
+          width = (u32(bb) >> 16).toInt
+          height = (u32(bb) >> 16).toInt
+        case "mdia" =>
+          walkBoxes(buf, lo2, hi2) { (t3, lo3, hi3) =>
+            t3 match {
+              case "hdlr" =>
+                val bb = java.nio.ByteBuffer.wrap(buf, lo3, hi3 - lo3)
+                bb.position(bb.position() + 8) // vf + pre_defined
+                handler = fourcc(bb)
+              case "minf" =>
+                walkBoxes(buf, lo3, hi3) { (t4, lo4, hi4) =>
+                  if (t4 == "stbl")
+                    walkBoxes(buf, lo4, hi4) { (t5, lo5, hi5) =>
+                      val bb = java.nio.ByteBuffer.wrap(buf, lo5, hi5 - lo5)
+                      t5 match {
+                        case "stsd" =>
+                          bb.position(bb.position() + 4) // vf
+                          val n = u32(bb)
+                          if (n >= 1) {
+                            bb.position(bb.position() + 4) // entry size
+                            codec = fourcc(bb)
+                          }
+                        case "stsz" =>
+                          bb.position(bb.position() + 8) // vf + sample_size
+                          nSamples = u32(bb)
+                        case "stss" =>
+                          bb.position(bb.position() + 4) // vf
+                          nKeyframes = u32(bb)
+                        case _ => ()
+                      }
+                    }
+                }
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
+    }
+    Mp4Track(trackId, handler, codec, nSamples,
+      if (nKeyframes >= 0) nKeyframes else nSamples, width, height)
+  }
+
+  /** Container metadata per track over a binary MP4 column — one row
+    * per (media_id, track): the crawl-triage projection. Fail-fast on
+    * malformed payloads (the parse errors carry byte offsets). */
+  def mp4Metadata(media: DataFrame): DataFrame = {
+    val parse = udf((payload: Array[Byte]) => parseMp4(payload))
+    media
+      .select(col("media_id"), parse(col("payload")).as("info"))
+      .select(col("media_id"), col("info.major_brand").as("major_brand"),
+        col("info.timescale").as("timescale"),
+        col("info.duration_ticks").as("duration_ticks"),
+        explode(col("info.tracks")).as("t"))
+      .select(col("media_id"), col("major_brand"), col("timescale"),
+        col("duration_ticks"), col("t.track_id").as("track_id"),
+        col("t.handler").as("handler"), col("t.codec").as("codec"),
+        col("t.n_samples").as("n_samples"),
+        col("t.n_keyframes").as("n_keyframes"),
+        col("t.width").as("width"), col("t.height").as("height"))
+  }
+
+  /** Deterministic ISO-BMFF fixture, real box grammar end to end:
+    * ftyp + moov(mvhd, trak…) + mdat, every field a closed form of
+    * `id` so the DuckDB oracle recomputes the parse without touching
+    * bytes. One video track always; an audio track when id is odd.
+    * Geometry: timescale 1000 + (id%3)·500, duration 2000 + (id%7)·300,
+    * video codec {avc1,hev1,vp09}[id%3], width 320 + (id%4)·16, height
+    * 240 + (id%3)·16, samples 24 + (id%5)·6, keyframe every 3 + id%4
+    * samples; audio codec mp4a, samples 40 + (id%6)·5 (no stss — all
+    * sync per spec). */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    require(id >= 0, s"bad mp4 fixture id: $id")
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def fcc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(8L + body.length) ++ fcc(typ) ++ body
+    }
+    val timescale = 1000L + (id % 3) * 500
+    val duration = 2000L + (id % 7) * 300
+    val vCodec = Seq("avc1", "hev1", "vp09")((id % 3).toInt)
+    val w = 320L + (id % 4) * 16
+    val h = 240L + (id % 3) * 16
+    val vSamples = (24 + (id % 5) * 6).toInt
+    val kfInt = (3 + id % 4).toInt
+    val hasAudio = id % 2 == 1
+    val aSamples = (40 + (id % 6) * 5).toInt
+
+    def fullBoxHeader: Array[Byte] = be32(0) // version 0 + flags 0
+    def mvhd: Array[Byte] = box("mvhd", fullBoxHeader,
+      be32(0), be32(0), be32(timescale), be32(duration),
+      // rate 1.0, volume 1.0 + reserved(2), reserved(8)
+      be32(0x00010000L), be32(0x01000000L), be32(0), be32(0),
+      be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+      be32(0), be32(0), be32(0), be32(0x40000000L),
+      Array.fill(24)(0.toByte), be32(if (hasAudio) 3L else 2L))
+    def tkhd(tid: Long, tw: Long, th: Long): Array[Byte] = box("tkhd",
+      fullBoxHeader, be32(0), be32(0), be32(tid), be32(0), be32(duration),
+      be32(0), be32(0), be32(0), be32(0),
+      be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+      be32(0), be32(0), be32(0), be32(0x40000000L),
+      be32(tw << 16), be32(th << 16))
+    def mdhd: Array[Byte] = box("mdhd", fullBoxHeader,
+      be32(0), be32(0), be32(timescale), be32(duration),
+      Array(0x55.toByte, 0xc4.toByte, 0, 0)) // und language + pre_defined
+    def hdlr(handler: String): Array[Byte] = box("hdlr", fullBoxHeader,
+      be32(0), fcc(handler), be32(0), be32(0), be32(0),
+      Array(0.toByte)) // empty nul-terminated name
+    def sampleEntry(codec: String): Array[Byte] =
+      // minimal generic sample entry: 6 reserved bytes + data_ref_index
+      box(codec, Array.fill(6)(0.toByte), Array(0.toByte, 1.toByte),
+        Array.fill(16)(0.toByte))
+    def stbl(codec: String, n: Int, kf: Option[Int]): Array[Byte] = {
+      val stsd = box("stsd", fullBoxHeader, be32(1), sampleEntry(codec))
+      val stts = box("stts", fullBoxHeader, be32(1), be32(n.toLong),
+        be32(duration / math.max(n, 1)))
+      val stsz = box("stsz", fullBoxHeader, be32(0), be32(n.toLong),
+        (0 until n).flatMap(i => be32(100L + i % 7)).toArray)
+      val stco = box("stco", fullBoxHeader, be32(1), be32(0))
+      val stss = kf.map { k =>
+        val syncs = (1 to n by k).toArray
+        box("stss", fullBoxHeader, be32(syncs.length.toLong),
+          syncs.flatMap(s => be32(s.toLong)))
+      }
+      box("stbl", Seq(stsd, stts) ++ stss.toSeq ++ Seq(stsz, stco): _*)
+    }
+    def trak(tid: Long, handler: String, codec: String, n: Int,
+        kf: Option[Int], tw: Long, th: Long): Array[Byte] =
+      box("trak", tkhd(tid, tw, th),
+        box("mdia", mdhd, hdlr(handler),
+          box("minf", stbl(codec, n, kf))))
+
+    val vTrak = trak(1, "vide", vCodec, vSamples, Some(kfInt), w, h)
+    val aTrak =
+      if (hasAudio) Seq(trak(2, "soun", "mp4a", aSamples, None, 0, 0))
+      else Nil
+    val ftyp = box("ftyp", fcc("isom"), be32(512),
+      fcc("isom"), fcc("mp41"))
+    val moov = box("moov", Seq(mvhd, vTrak) ++ aTrak: _*)
+    val mdat = box("mdat", Array.fill(32)((id % 251).toByte))
+    ftyp ++ moov ++ mdat
   }
 }

@@ -328,6 +328,69 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Array[Byte]]("frame_bytes").nonEmpty))
   }
 
+  test("MP4 box parser: closed-form fixtures parse exactly; truncated " +
+      "and non-BMFF payloads rejected with diagnostics") {
+    for (id <- 0L until 20L) {
+      val info = Multimodal.parseMp4(Multimodal.syntheticMp4(id))
+      assert(info.major_brand == "isom")
+      assert(info.timescale == 1000 + (id % 3) * 500)
+      assert(info.duration_ticks == 2000 + (id % 7) * 300)
+      val v = info.tracks.find(_.handler == "vide").get
+      val n = 24 + (id % 5) * 6
+      val k = 3 + id % 4
+      assert(v.track_id == 1)
+      assert(v.codec == Seq("avc1", "hev1", "vp09")((id % 3).toInt))
+      assert(v.n_samples == n)
+      assert(v.n_keyframes == (n + k - 1) / k)
+      assert(v.width == 320 + (id % 4) * 16)
+      assert(v.height == 240 + (id % 3) * 16)
+      if (id % 2 == 1) {
+        val a = info.tracks.find(_.handler == "soun").get
+        assert(a.track_id == 2 && a.codec == "mp4a")
+        assert(a.n_samples == 40 + (id % 6) * 5)
+        assert(a.n_keyframes == a.n_samples) // no stss ⇒ all sync
+        assert(a.width == 0 && a.height == 0)
+        assert(info.tracks.size == 2)
+      } else assert(info.tracks.size == 1)
+    }
+    // graceful reject: a truncated container fails on the box whose
+    // claimed size overruns the bytes, with offsets in the message
+    val good = Multimodal.syntheticMp4(5)
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.parseMp4(java.util.Arrays.copyOf(good, good.length / 2))
+    }
+    assert(e1.getMessage.contains("claims") ||
+      e1.getMessage.contains("truncated"), e1.getMessage)
+    // arbitrary text: first 4 bytes parse as an absurd box size
+    intercept[IllegalArgumentException] {
+      Multimodal.parseMp4("not an mp4 file at all........".getBytes("UTF-8"))
+    }
+    // too short to hold any box at all
+    intercept[IllegalArgumentException] {
+      Multimodal.parseMp4(Array[Byte](1, 2, 3))
+    }
+    // well-formed boxes but no ftyp: refused as non-BMFF
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.parseMp4(Array[Byte](0, 0, 0, 16, 'm', 'd', 'a', 't',
+        0, 0, 0, 0, 0, 0, 0, 0))
+    }
+    assert(e2.getMessage.contains("ftyp"), e2.getMessage)
+  }
+
+  test("mp4Metadata: one row per track, distributed over the column") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = spark.range(0, 12)
+      .select(col("id").as("media_id"))
+      .as[Long].map(id => (id, Multimodal.syntheticMp4(id)))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.mp4Metadata(media).collect()
+    // 12 video tracks + 6 audio tracks (odd ids)
+    assert(rows.length == 18)
+    assert(rows.count(_.getAs[String]("handler") == "vide") == 12)
+    assert(rows.count(_.getAs[String]("handler") == "soun") == 6)
+  }
+
   test("reference output layout projection") {
     val pts = graft.sources.BinaryPoints.read(spark, "/root/reference/t4.8k.bin")
       .limit(100)
