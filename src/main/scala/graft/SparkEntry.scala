@@ -1517,6 +1517,16 @@ object SparkEntry {
         round(element_at(col("embedding"), 1).cast("double") * 10000)
           .cast("long"))),
 
+    // Binned ROC-AUC over a RAW CONTINUOUS score (distinct ≈ N — the
+    // input q96's exact path must not take): 1024 equal-width bins over
+    // the observed range, tie-corrected U on the bin histogram. The
+    // cumulative window is over ≤ 1024 rows by construction
+    "q250_auc_binned" -> ((s, dir) =>
+      operators.Stats.aucBinned(t(s, dir, "embeddings"),
+        col("label") === 0,
+        element_at(col("embedding"), 1).cast("double"),
+        nBins = 1024)),
+
     // Winsorized mean (clip at exact [p25, p75]) per order priority
     "q97_winsorized" -> ((s, dir) =>
       operators.Stats.winsorizedMean(t(s, dir, "orders"),
@@ -6492,6 +6502,35 @@ object SparkEntry {
         |    CAST(count(*) - sum(y) AS BIGINT) AS ng
         |  FROM s GROUP BY sc),
         |c AS (SELECT p, ng, coalesce(sum(ng) OVER (ORDER BY sc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+        |  FROM g),
+        |a AS (SELECT
+        |    CAST(sum(CAST(p AS HUGEINT) * (cn * 2 + ng)) AS HUGEINT)
+        |      AS u2,
+        |    CAST(sum(p) AS BIGINT) AS n_pos,
+        |    CAST(sum(ng) AS BIGINT) AS n_neg
+        |  FROM c)
+        |SELECT round(CAST(u2 AS DOUBLE)
+        |    / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE) * 2.0), 6)
+        |    AS auc,
+        |  n_pos, n_neg
+        |FROM a""".stripMargin,
+
+    "q250_auc_binned" ->
+      """WITH s AS (SELECT CAST(embedding[1] AS DOUBLE) AS sc,
+        |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
+        |  FROM embeddings
+        |  WHERE embedding[1] IS NOT NULL
+        |    AND NOT isnan(CAST(embedding[1] AS DOUBLE))),
+        |mm AS (SELECT min(sc) AS mn, max(sc) AS mx FROM s),
+        |b AS (SELECT CASE WHEN mx = mn THEN 0
+        |    ELSE least(CAST(floor((sc - mn) / (mx - mn) * 1024.0)
+        |      AS BIGINT), 1023) END AS bin, y
+        |  FROM s, mm),
+        |g AS (SELECT bin, CAST(sum(y) AS BIGINT) AS p,
+        |    CAST(count(*) - sum(y) AS BIGINT) AS ng
+        |  FROM b GROUP BY bin),
+        |c AS (SELECT p, ng, coalesce(sum(ng) OVER (ORDER BY bin
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
         |  FROM g),
         |a AS (SELECT

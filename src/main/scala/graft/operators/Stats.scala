@@ -108,25 +108,70 @@ object Stats {
     *
     * Scale shape: one hash aggregate over the rows (shuffle keyed by
     * score), then a window over the distinct-score table only. That
-    * table is the knob: quantize the score (the caller passes it
-    * already-quantized — cents, basis points) so its cardinality is
-    * bounded, and the single-partition cumulative window is over
-    * thousands of rows, not billions. All arithmetic is exact integers
+    * table is the knob — AND the contract: the caller passes an
+    * already-quantized score (cents, basis points) so its cardinality
+    * is bounded and the single-partition cumulative window is over
+    * thousands of rows, not billions. A raw continuous score breaks
+    * that contract (distinct ≈ N → one-task sort of the corpus): use
+    * [[aucBinned]] there. All arithmetic is exact integers
     * (decimal-38 for the U sum) until the one final division.
     *
     * @param positive  boolean column: row is a positive example
     * @param score     integral score column (quantize floats first)
     * @return single row (auc, n_pos, n_neg); auc is NULL when either
     *   class is empty (0/0) */
-  def auc(df: DataFrame, positive: Column, score: Column): DataFrame = {
-    // NULL scores are unrankable and must be EXCLUDED, not treated as a
-    // lowest-score group: Spark windows order ASC NULLS FIRST (DuckDB
-    // defaults to NULLS LAST), so keeping them would both skew the AUC
-    // and silently diverge from a SQL twin. A NULL `positive` counts as
-    // negative (when/otherwise semantics).
-    val byScore = df
+  def auc(df: DataFrame, positive: Column, score: Column): DataFrame =
+    aucCore(df
+      // NULL scores are unrankable and must be EXCLUDED, not treated as
+      // a lowest-score group: Spark windows order ASC NULLS FIRST
+      // (DuckDB defaults to NULLS LAST), so keeping them would both
+      // skew the AUC and silently diverge from a SQL twin. A NULL
+      // `positive` counts as negative (when/otherwise semantics).
       .select(score.as("s"), when(positive, 1L).otherwise(0L).as("y"))
-      .filter(col("s").isNotNull)
+      .filter(col("s").isNotNull))
+
+  /** [[auc]] for CONTINUOUS scores — the cardinality-safe variant. The
+    * exact path's distinct-score histogram IS its scale contract: on an
+    * already-quantized score (cents, basis points) the cumulative
+    * window runs over thousands of rows; on a raw continuous score,
+    * distinct ≈ N and that window degenerates to a single-task sort of
+    * the corpus. Here the score is first bucketed into `nBins`
+    * equal-width bins over the observed [min, max] (one scalar
+    * aggregate, broadcast back — never collected row data), and the
+    * same tie-corrected U statistic runs on the bin histogram: the
+    * window is over ≤ nBins rows BY CONSTRUCTION, independent of data
+    * volume. Within-bin pairs count 1/2 (the tie correction), so the
+    * result is the exact AUC of the binned ranking — equal to the
+    * un-binned AUC whenever binning preserves the score's distinct
+    * order (spec-pinned: bin width ≤ 1 on integer scores reproduces
+    * [[auc]] exactly) and within O(1/nBins) of it otherwise.
+    *
+    * NaN scores are excluded alongside NULLs (a NaN would poison the
+    * min/max bounds). A degenerate score (min == max) puts every row
+    * in bin 0 — AUC 0.5 by tie correction, the right answer for a
+    * constant ranking. */
+  def aucBinned(df: DataFrame, positive: Column, score: Column,
+      nBins: Int = 10000): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val src = df
+      .select(score.cast("double").as("s"),
+        when(positive, 1L).otherwise(0L).as("y"))
+      .filter(col("s").isNotNull && !isnan(col("s")))
+    val mm = src.agg(min("s").as("mn"), max("s").as("mx"))
+    aucCore(src.crossJoin(broadcast(mm))
+      .select(
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(least(
+            floor((col("s") - col("mn")) / (col("mx") - col("mn"))
+              * lit(nBins.toDouble)).cast("long"),
+            lit(nBins - 1L))).as("s"),
+        col("y")))
+  }
+
+  /** Shared U-statistic core over a (s, y) stream: histogram by score,
+    * one cumulative pass over the distinct-score table. */
+  private def aucCore(src: DataFrame): DataFrame = {
+    val byScore = src
       .groupBy("s")
       .agg(sum("y").as("p"), (count(lit(1)) - sum("y")).as("ng"))
     // negatives strictly below this score; ties handled by the + n_s term

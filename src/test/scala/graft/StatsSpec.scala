@@ -369,6 +369,50 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("aucBinned: order-preserving bins reproduce auc exactly; coarse " +
+      "bins stay close; degenerate score is 0.5") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 500).map { _ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(3) == 0)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 5)).toDF("s", "pos")
+    val exact = Stats.auc(df, col("pos"), col("s")).collect()(0)
+    // bin width ≤ 1 over integer scores: binning is injective on the
+    // distinct values, so the binned ranking == the score ranking
+    val fine = Stats.aucBinned(df, col("pos"), col("s"), nBins = 64)
+      .collect()(0)
+    assert(fine.getDouble(0) == exact.getDouble(0))
+    assert(fine.getLong(1) == exact.getLong(1) &&
+      fine.getLong(2) == exact.getLong(2))
+    // a genuinely continuous score: coarse bins approximate within
+    // O(1/nBins); 256 bins on [0,1) noise keeps two digits
+    val contRows = (1 to 2000).map { i =>
+      val s = rnd.nextDouble()
+      (s, s + rnd.nextGaussian() * 0.3 > 0.7)
+    }
+    val cdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(contRows, 7)).toDF("s", "pos")
+    // exact on the 1e-6-quantized twin as ground truth
+    val truth = Stats.auc(cdf, col("pos"),
+      round(col("s") * 1e6).cast("long")).collect()(0).getDouble(0)
+    val approx = Stats.aucBinned(cdf, col("pos"), col("s"), nBins = 256)
+      .collect()(0).getDouble(0)
+    assert(math.abs(approx - truth) < 0.01, s"$approx vs $truth")
+    // constant score: every pair ties → 0.5
+    val const = Stats.aucBinned(
+      spark.createDataFrame(Seq((1.0, true), (1.0, false), (1.0, true)))
+        .toDF("s", "pos"), col("pos"), col("s")).collect()(0)
+    assert(const.getDouble(0) == 0.5)
+    // NaN scores are excluded like NULLs, not ranked
+    val withNan = Stats.aucBinned(
+      spark.createDataFrame(Seq((0.1, false), (0.9, true),
+        (Double.NaN, false))).toDF("s", "pos"),
+      col("pos"), col("s")).collect()(0)
+    assert(withNan.getDouble(0) == 1.0 &&
+      withNan.getLong(1) == 1 && withNan.getLong(2) == 1)
+  }
+
   test("winsorizedMean: clips at exact quartiles, hand-checked") {
     // group g: cents 100..800 (n=8): idx = .25*7 = 1.75 → lo =
     // 200 + .75*100 = 275; hi at 5.25 → 600+.25*100 = 625
