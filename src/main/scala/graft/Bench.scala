@@ -279,6 +279,41 @@ object Bench {
     val diagRepsOf = (diagnosticsBench.map(_._1 -> reps) ++
       scaleDiagnostics.map(_._1 -> diagReps) ++
       heavyDiagnostics.map(_._1 -> 1)).toMap
+    // The reference harness's remaining datasets, with its own
+    // per-dataset (eps, minPts) matrix (manyTests.py:29-55) — timed
+    // once each and recorded WITH the clustering itself: point/cluster/
+    // noise counts plus an order-free label checksum
+    // (Scaling.fingerprint), so later rounds diff the LABELS, not just
+    // the wall clock. The reference recorded 2-rank cluster-count
+    // goldens only for clus50k (51) and part64 (6)
+    // (Progress-5-Nov-19.txt:9-53); for these six the checksum
+    // recorded here becomes the standing golden.
+    val refMatrix: Seq[(String, String, Double, Int)] = Seq(
+      ("ref_t4_8k", "/root/reference/t4.8k.bin", 10.0, 20),
+      ("ref_t5_8k", "/root/reference/t5.8k.bin", 8.0, 21),
+      ("ref_t7_10k", "/root/reference/t7.10k.bin", 10.0, 12),
+      ("ref_t8_8k", "/root/reference/t8.8k.bin", 10.0, 10),
+      ("ref_edge17695", "/root/reference/edge17695.bin", 3.0, 2),
+      ("ref_texture17695", "/root/reference/texture17695.bin", 3.0, 2),
+    )
+    val refDatasetJson = refMatrix.filter(p => selected(p._1)).map {
+      case (name, path, eps, mp) =>
+        val t0 = System.nanoTime()
+        val entry = try {
+          val fp = Scaling.fingerprint(
+            Workloads.dbscanBin(spark, path, eps, mp))
+          val sec = math.rint((System.nanoTime() - t0) / 1e7) / 100
+          val Array(n, k, noise, chk) = fp.split('|')
+          s""""$name":{"sec":$sec,"eps":$eps,"min_pts":$mp,"n":$n,""" +
+            s""""clusters":$k,"noise":$noise,"checksum":"$chk"}"""
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            s""""$name":{"sec":-1}"""
+        }
+        scrub()
+        entry
+    }.mkString("{", ",", "}")
     val results = sfResults ++ refResults
     def jsonMap(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -297,7 +332,7 @@ object Bench {
       s""""$n":{"first":$f,"rerun":$r,"prev":$p}"""
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diagnostics":$diag,"adjudicated":$adjJson,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diagnostics":$diag,"ref_datasets":$refDatasetJson,"adjudicated":$adjJson,"failed":$failed,"sf":"$sfDir"}"""
     // The round driver stores only the last ~2,000 chars of stdout and
     // json-parses the final line; the full per-query map is ~6,000 chars,
     // so four rounds of artifacts ended up with `parsed: null` and lost

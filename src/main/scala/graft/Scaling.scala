@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   */
 object Scaling {
 
-  private def fingerprint(df: DataFrame): String = {
+  /** Order-free label digest "n|clusters|noise|checksum" — shared by
+    * the scaling sweep and Bench's reference-dataset matrix. */
+  private[graft] def fingerprint(df: DataFrame): String = {
     val r = df.agg(
       count(lit(1)).as("n"),
       countDistinct(when(col("cluster_id") =!= 0, col("cluster_id")))
