@@ -21,18 +21,29 @@ import org.apache.spark.sql.functions._
   */
 object Scaling {
 
-  /** Order-free label digest "n|clusters|noise|checksum" — shared by
-    * the scaling sweep and Bench's reference-dataset matrix. */
-  private[graft] def fingerprint(df: DataFrame): String = {
-    val r = df.agg(
-      count(lit(1)).as("n"),
-      countDistinct(when(col("cluster_id") =!= 0, col("cluster_id")))
-        .as("k"),
-      sum(when(col("cluster_id") === 0, 1L).otherwise(0L)).as("noise"),
-      sum(xxhash64(col("id"), col("cluster_id")).cast("decimal(38,0)"))
-        .as("chk")).head
-    r.toSeq.mkString("|")
-  }
+  /** Order-free digest — shared by the scaling sweep and Bench's
+    * reference-dataset matrix. Label tables get the richer
+    * "n|clusters|noise|checksum" form; any other schema gets
+    * "n|checksum" over every column (xxhash64 of the full row, summed
+    * exactly — order-free, partitioning-free as long as the VALUES
+    * are, which is each workload's own invariance contract). */
+  private[graft] def fingerprint(df: DataFrame): String =
+    if (df.columns.contains("cluster_id")) {
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        countDistinct(when(col("cluster_id") =!= 0, col("cluster_id")))
+          .as("k"),
+        sum(when(col("cluster_id") === 0, 1L).otherwise(0L)).as("noise"),
+        sum(xxhash64(col("id"), col("cluster_id")).cast("decimal(38,0)"))
+          .as("chk")).head
+      r.toSeq.mkString("|")
+    } else {
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+          .cast("decimal(38,0)")).as("chk")).head
+      r.toSeq.mkString("|")
+    }
 
   def main(args: Array[String]): Unit = {
     val levels = sys.env.getOrElse("SPARK_GRAFT_SCALING_CPUS", "2,4,8,16,32")
@@ -45,6 +56,18 @@ object Scaling {
       "dbscan_synth500k" -> (s =>
         Workloads.dbscanSynth(s, 500_000L, k = 25, dims = 5,
           eps = 1.0, minPts = 5)),
+      // DEDUP family: full MinHash-LSH over 1M synthetic near-dup docs
+      // — banded buckets + exact verify; the verified pair set (and
+      // its exact-ratio jaccard) must be identical at every core count
+      "minhash_synth1m" -> (s => Workloads.dedupSynth(s, 1_000_000L)),
+      // BSP-loop family (q58d's shape, forced-distributed): 10 rounds
+      // of out-degree join + contribution shuffle over 1M edges. Ranks
+      // round to 8 decimals — the same absorber q58d's oracle uses for
+      // double-sum association noise; at that precision the sweep must
+      // fingerprint bit-equal
+      "pagerank_synth1m" -> (s =>
+        Workloads.pagerankSynth(s, 1_000_000L, 100_000L)
+          .select(col("id"), round(col("rank"), 8).as("rank"))),
     )
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
     var baseline = Map.empty[String, String]

@@ -2097,6 +2097,20 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
+    // Multi-probe LSH (Lv et al. 2007): 4 tables × 3 probes — each
+    // query also checks the buckets across its 2 nearest hyperplanes.
+    // Standing index is HALF of q140's (4 tables' signatures) at
+    // comparable recall; recall-vs-tables measured in AnnSearchSpec
+    "q251_ann_lsh_multiprobe" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(pmod(col("vec_id"), lit(LshQueryMod)) === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      operators.AnnSearch.lshTopKMultiProbe(q, b, LshK, LshMpPlanes,
+          LshProbes)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
     // SemDeDup: k-means clusters scope the pairwise cosine prune —
     // O(Σ|c|²) instead of q26's O(n²); exact k-means (q120) makes the
     // cluster-scoped drop set deterministic and fully oracle-checkable
@@ -3609,6 +3623,14 @@ object SparkEntry {
   private lazy val LshPlanes =
     operators.AnnSearch.srpPlanes(LshTables, LshBits, LshDims)
 
+  /** q251 multi-probe LSH: HALF of q140's tables, 3 probes per table —
+    * the probes-for-tables trade (probes widen only the query side;
+    * tables multiply the stored index and the build shuffle). */
+  private val LshMpTables = 4
+  private val LshProbes = 3
+  private lazy val LshMpPlanes =
+    operators.AnnSearch.srpPlanes(LshMpTables, LshBits, LshDims)
+
   /** q141 SemDeDup cosine threshold (q26's corpus-calibrated 0.4). */
   private val SemTau = 0.4
 
@@ -4135,6 +4157,60 @@ object SparkEntry {
     s"""WITH sig AS MATERIALIZED (SELECT vec_id, embedding,
        |    ${bktCols}
        |  FROM embeddings),
+       |pairs AS (
+       |$unions),
+       |scored AS (SELECT p.a_id, p.b_id,
+       |    ${dot("ea", "eb")}
+       |      / sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")}) AS cos
+       |  FROM pairs p
+       |  JOIN embeddings ea ON ea.vec_id = p.a_id
+       |  JOIN embeddings eb ON eb.vec_id = p.b_id)
+       |SELECT a_id AS vec_id, b_id AS nbr_id, CAST(rnk AS INTEGER) AS rnk
+       |FROM (SELECT a_id, b_id, row_number() OVER (PARTITION BY a_id
+       |    ORDER BY cos DESC, b_id) AS rnk FROM scored) r
+       |WHERE rnk <= $LshK""".stripMargin
+  }
+
+  /** q251's oracle: [[lshOracle]]'s machinery with the QUERY side
+    * widened to the multi-probe set — per table, the base bucket plus
+    * single-bit flips of the (LshProbes − 1) smallest-|margin| bits
+    * (margins are the same printed-plane dot folds the sign bits use;
+    * struct sort ties by bit). Build-side signatures stay one bucket
+    * per table — the standing index is unchanged. */
+  private def lshMpOracle: String = {
+    def planeDot(p: Array[Double]) =
+      s"list_sum(list_transform(list_zip(embedding, " +
+        s"[${p.mkString(", ")}]), q -> CAST(q[1] AS DOUBLE) * q[2]))"
+    val bktCols = (0 until LshMpTables).map { tb =>
+      (0 until LshBits).map { bit =>
+        s"(CASE WHEN ${planeDot(LshMpPlanes(tb)(bit))} >= 0 " +
+          s"THEN ${1L << bit} ELSE 0 END)"
+      }.mkString("\n      + ") + s" AS bkt$tb"
+    }.mkString(",\n    ")
+    val probeCols = (0 until LshMpTables).map { tb =>
+      val structs = (0 until LshBits).map { bit =>
+        s"{'m': abs(${planeDot(LshMpPlanes(tb)(bit))}), 'b': $bit}"
+      }.mkString(",\n        ")
+      s"""list_prepend(bkt$tb, list_transform(
+         |      list_slice(list_sort([$structs]), 1, ${LshProbes - 1}),
+         |      s -> xor(bkt$tb, (1::BIGINT << s.b)))) AS probes$tb"""
+        .stripMargin
+    }.mkString(",\n    ")
+    val unions = (0 until LshMpTables).map { tb =>
+      s"""  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM (SELECT vec_id, unnest(probes$tb) AS pb FROM qsig) a
+         |  JOIN sig b ON a.pb = b.bkt$tb
+         |  WHERE a.vec_id <> b.vec_id""".stripMargin
+    }.mkString("\n  UNION\n")
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    s"""WITH sig AS MATERIALIZED (SELECT vec_id, embedding,
+       |    $bktCols
+       |  FROM embeddings),
+       |qsig AS MATERIALIZED (SELECT vec_id,
+       |    $probeCols
+       |  FROM sig WHERE vec_id % $LshQueryMod = 0),
        |pairs AS (
        |$unions),
        |scored AS (SELECT p.a_id, p.b_id,
@@ -7260,6 +7336,9 @@ object SparkEntry {
         |FROM cell""".stripMargin,
 
     "q140_ann_lsh" -> lshOracle,
+
+    // multi-probe: query side widened to margin-ordered bit flips
+    "q251_ann_lsh_multiprobe" -> lshMpOracle,
 
     "q141_semdedup" -> semDedupOracle,
 

@@ -897,6 +897,79 @@ object AnnSearch {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** One table's query-side probe set: the base bucket plus single-bit
+    * flips of the (nProbes − 1) smallest-|margin| bits — deterministic
+    * multi-probe (Lv et al., VLDB'07, restricted to 1-bit perturbations
+    * in margin order, ties by bit index). A small |dot| means the query
+    * sits close to that plane, so the flipped bucket is the likeliest
+    * home of missed neighbors. Pure expressions over the printed
+    * planes (margins are the same codegen'd dot fold the sign bits
+    * use), so a SQL oracle reproduces every probe bucket exactly. */
+  private def srpProbes(vec: Column, planes: IndexedSeq[Array[Double]],
+      nProbes: Int): Column = {
+    val dots = planes.map(p =>
+      VectorExpressions.dotProduct(vec, typedlit(p.toSeq)))
+    val base = dots.zipWithIndex.map { case (d, b) =>
+      when(d >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    if (nProbes == 1) array(base)
+    else {
+      val pow2 = typedlit(planes.indices.map(b => 1L << b))
+      val sorted = array_sort(array(dots.zipWithIndex.map { case (d, b) =>
+        struct(abs(d).as("m"), lit(b).as("b"))
+      }: _*))
+      concat(array(base),
+        transform(slice(sorted, 1, nProbes - 1), s =>
+          base.bitwiseXOR(element_at(pow2, s.getField("b") + 1))))
+    }
+  }
+
+  /** Multi-probe [[lshTopK]]: same tables, same build-side index (ONE
+    * bucket per vector per table — the standing index is unchanged),
+    * but each query probes `nProbes` buckets per table (its own bucket
+    * + the nearest single-bit flips). The candidate set strictly
+    * contains the single-probe set, so recall can only improve — at
+    * the cost of ~nProbes× the candidate join volume — and the
+    * table COUNT needed for a target recall drops (the paper's point:
+    * probes are cheaper than tables, because tables multiply the
+    * stored index and the build-side shuffle while probes only widen
+    * the query side, which is the small side).
+    *
+    * Determinism: probe buckets derive from the same printed planes
+    * as the signatures; cosine re-rank and tie rules are [[lshTopK]]'s. */
+  def lshTopKMultiProbe(queries: DataFrame, build: DataFrame, k: Int,
+      planes: IndexedSeq[IndexedSeq[Array[Double]]],
+      nProbes: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nBits = planes.head.length
+    require(nProbes >= 1 && nProbes <= nBits + 1,
+      s"nProbes must be in [1, ${nBits + 1}], got $nProbes")
+    requirePlaneDims(build, "b_v", planes.flatMap(_.map(_.length)))
+    requirePlaneDims(queries, "a_v", planes.flatMap(_.map(_.length)))
+    val nTables = planes.length
+    val bs = withNorm(build, "b_v", "b_n").select(col("*"),
+      posexplode(array((0 until nTables).map(t =>
+        srpBucket(col("b_v"), planes(t))): _*)).as(Seq("tbl", "bkt")))
+    val qs = withNorm(queries, "a_v", "a_n")
+      .select(col("*"), posexplode(array((0 until nTables).map(t =>
+        srpProbes(col("a_v"), planes(t), nProbes)): _*))
+        .as(Seq("tbl", "probes")))
+      .withColumn("bkt", explode(col("probes")))
+      .drop("probes")
+    qs.join(bs, Seq("tbl", "bkt"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), (-cosineCol).as("negcos"))
+      // a pair colliding under several probes/tables re-derives the
+      // identical double — min() is pure dedup
+      .groupBy("a_id", "b_id").agg(min("negcos").as("negcos"))
+      .groupBy("a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("b_id"), col("negcos"), k)
+        .as("topk"))
+      .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("a_id"), col("p.id").as("nbr_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
     * diversity-aware selection from each query's cosine shortlist:
     *

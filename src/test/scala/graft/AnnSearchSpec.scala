@@ -500,6 +500,32 @@ class AnnSearchSpec extends SparkSpec {
     assert(recall >= 0.6, s"SRP-LSH recall@5 = $recall (8 tables, 4 bits)")
   }
 
+  test("multi-probe LSH: nProbes=1 == lshTopK; recall never drops and " +
+      "improves on the fixture; half the tables ~ full-table recall") {
+    val planes4 = AnnSearch.srpPlanes(4, 4, 64)
+    val planes8 = AnnSearch.srpPlanes(8, 4, 64)
+    val exact = AnnSearch.bruteForceTopK(q, b, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(p: Set[(Long, Long)]) =
+      exact.count(p.contains).toDouble / exact.size
+    // degenerate case: one probe IS single-probe, row for row
+    assert(pairs(AnnSearch.lshTopKMultiProbe(q, b, 5, planes4, 1)) ==
+      pairs(AnnSearch.lshTopK(q, b, 5, planes4)))
+    val sp4 = recallOf(pairs(AnnSearch.lshTopK(q, b, 5, planes4)))
+    val mp4 = recallOf(pairs(AnnSearch.lshTopKMultiProbe(q, b, 5,
+      planes4, 3)))
+    val sp8 = recallOf(pairs(AnnSearch.lshTopK(q, b, 5, planes8)))
+    // candidate superset ⇒ recall can never drop; on this fixture the
+    // two extra probes visibly lift it
+    assert(mp4 >= sp4, s"mp4=$mp4 sp4=$sp4")
+    assert(mp4 > sp4, s"probes added no recall on the fixture: $mp4")
+    // the probes-for-tables trade: 4 tables × 3 probes buys back most
+    // of the 8-table recall with HALF the stored index
+    assert(mp4 >= sp8 - 0.1, s"mp4=$mp4 sp8=$sp8")
+  }
+
   test("mmrRerank == scala greedy MMR; diversity changes the pick") {
     val vecs = emb.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
