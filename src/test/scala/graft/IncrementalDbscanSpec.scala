@@ -403,6 +403,58 @@ class IncrementalDbscanSpec extends SparkSpec {
       Dbscan.run(df(live2.toSeq), "id", "vec", eps, minPts, dims)))
   }
 
+  test("clusterMaintainStream: state memory is bounded by the LIVE set " +
+      "across a long CDC run (the day-scale contract)") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.catalog.clearCache() // isolate this stream's blocks
+    val rnd = new scala.util.Random(71)
+    def mk(i: Long) = i -> Seq(
+      ((i % 2) * 6.0 + rnd.nextGaussian() * 0.4).toFloat,
+      ((i % 2) * 6.0 + rnd.nextGaussian() * 0.4).toFloat)
+    val (eps, minPts, dims) = (1.0, 3, Seq(0, 1))
+    val st0 = IncrementalDbscan.pin(IncrementalDbscan.init(
+      df((0L until 120L).map(mk)), "id", "vec", eps, minPts, dims))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long, Seq[Float])]
+    var batches = 0L
+    val q = graft.streaming.EventPipeline.clusterMaintainStream(st0,
+      mem.toDF().toDF("op", "id", "vec"), "op", "id", "vec", eps,
+      minPts, dims) { (labels, _) => labels.count(); batches += 1 }
+    def cachedBytes: Long =
+      spark.sparkContext.getRDDStorageInfo
+        .map(i => i.memSize + i.diskSize).sum
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    try {
+      // 10 triggers of constant-churn CDC: insert 30 fresh ids, delete
+      // the 30 oldest — the LIVE set stays 120 points while 300 rows
+      // flow through. The day-scale contract: state blocks track the
+      // live set, not the stream length (the per-trigger sweep in
+      // clusterFoldStream releases everything reachable only from the
+      // previous state).
+      for (t <- 0 until 10) {
+        val lo = t * 30L
+        val fresh = (120L + lo until 150L + lo).map(mk)
+        mem.addData((lo until lo + 30L)
+          .map(i => ("delete", i, Seq.empty[Float])) ++
+          fresh.map { case (i, v) => ("insert", i, v) }: _*)
+        q.processAllAvailable()
+        sizes += ((spark.sparkContext.getPersistentRDDs.size, cachedBytes))
+      }
+    } finally q.stop()
+    assert(batches == 10L)
+    val (regAfter1, bytesAfter1) = sizes.head
+    val (regAfterN, bytesAfterN) = sizes.last
+    // block registry flat: no per-trigger leak survives the sweep
+    assert(regAfterN <= regAfter1 + 2,
+      s"cache registry grew across triggers: $sizes")
+    // cached bytes track the (constant) live set, not the 10x stream:
+    // allow 2x headroom for layout jitter, nothing near linear growth
+    assert(bytesAfterN <= bytesAfter1 * 2 + (64 << 10),
+      s"state bytes grew across triggers: $sizes")
+  }
+
   test("clusterMaintainStream: unknown AND NULL op values fail the " +
       "batch loudly (never silently dropped)") {
     val spark2 = spark
