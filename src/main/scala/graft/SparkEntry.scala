@@ -2097,6 +2097,18 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
+    // k-NN GRAPH via NN-Descent (Dong et al. 2011) — the graph-ANN
+    // family's distributable member: md5-ring init, then per round a
+    // symmetric neighbor-of-neighbor self-join proposes candidates and
+    // the exact-cosine bounded heap keeps each vertex's top-k. Fully
+    // deterministic → the oracle unrolls both refinement rounds
+    "q252_knn_graph" -> ((s, dir) =>
+      operators.AnnSearch.knnGraph(
+        t(s, dir, "embeddings").select(col("vec_id").as("b_id"),
+          col("embedding").as("b_v")),
+        k = AnnK, iters = KgIters, buildK = KgBuildK)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))),
+
     // Multi-probe LSH (Lv et al. 2007): 4 tables × 3 probes — each
     // query also checks the buckets across its 2 nearest hyperplanes.
     // Standing index is HALF of q140's (4 tables' signatures) at
@@ -3633,6 +3645,59 @@ object SparkEntry {
 
   /** q141 SemDeDup cosine threshold (q26's corpus-calibrated 0.4). */
   private val SemTau = 0.4
+
+  /** q252 NN-Descent geometry: the graph refines at buildK = 20 wide
+    * and the emit cuts to [[AnnK]] (build-K > query-k — the paper's
+    * K-sensitivity lever; at k=5 on this near-isotropic corpus the
+    * narrow graph converges 2-3x slower). Seed is the engine default. */
+  private val KgIters = 2
+  private val KgBuildK = 20
+
+  /** q252's oracle: the NN-Descent build unrolled — md5-ring init CTE,
+    * then per round the symmetric closure (bn), the 2-hop candidate
+    * join ∪ the current graph (cd), and the exact-cosine top-k (g).
+    * Candidates are a SET (DISTINCT), so join multiplicity cannot
+    * matter; ranks tie by neighbor id — identical to the engine heap. */
+  private def knnGraphOracle: String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    def cos = s"${dot("ea", "eb")} / sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")})"
+    val rounds = (1 to KgIters).map { r =>
+      val prev = s"g${r - 1}"
+      s"""bn$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
+         |    SELECT a_id, nbr FROM $prev
+         |    UNION ALL SELECT nbr AS a_id, a_id AS nbr FROM $prev)),
+         |cd$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
+         |    SELECT x.a_id, y.nbr FROM bn$r x JOIN bn$r y ON y.a_id = x.nbr
+         |    WHERE x.a_id != y.nbr
+         |    UNION ALL SELECT a_id, nbr FROM $prev)),
+         |g$r AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |    SELECT c.a_id, c.nbr, row_number() OVER (PARTITION BY c.a_id
+         |      ORDER BY $cos DESC, c.nbr) AS rn
+         |    FROM cd$r c JOIN p ea ON ea.id = c.a_id
+         |      JOIN p eb ON eb.id = c.nbr)
+         |  WHERE rn <= $KgBuildK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS MATERIALIZED (SELECT vec_id AS id, embedding
+       |  FROM embeddings),
+       |rk AS MATERIALIZED (SELECT id,
+       |    row_number() OVER (ORDER BY id) AS pos
+       |  FROM p),
+       |g0 AS MATERIALIZED (SELECT a.id AS a_id, b.id AS nbr
+       |  FROM rk a, unnest(range(1, ${KgBuildK + 1})) AS u(j), rk b
+       |  WHERE b.pos = CAST('0x' || substr(md5(CAST(a.id AS VARCHAR)
+       |      || ':' || CAST(u.j AS VARCHAR) || ':42'), 1, 12) AS BIGINT)
+       |    % (SELECT count(*) FROM rk) + 1
+       |    AND a.id != b.id),
+       |$rounds
+       |SELECT a_id AS vec_id, nbr AS nbr_id, CAST(rn AS INTEGER) AS rnk
+       |FROM (SELECT c.a_id, c.nbr, row_number() OVER (
+       |    PARTITION BY c.a_id ORDER BY $cos DESC, c.nbr) AS rn
+       |  FROM g$KgIters c JOIN p ea ON ea.id = c.a_id
+       |    JOIN p eb ON eb.id = c.nbr) r
+       |WHERE rn <= $AnnK""".stripMargin
+  }
 
   /** q119's oracle: h₀=1, then per round an authority and a hub
     * normalized-propagation CTE pair — every multiply-referenced CTE
@@ -7339,6 +7404,9 @@ object SparkEntry {
 
     // multi-probe: query side widened to margin-ordered bit flips
     "q251_ann_lsh_multiprobe" -> lshMpOracle,
+
+    // NN-Descent k-NN graph: init + both rounds unrolled
+    "q252_knn_graph" -> knnGraphOracle,
 
     "q141_semdedup" -> semDedupOracle,
 

@@ -970,6 +970,102 @@ object AnnSearch {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** k-NN GRAPH construction via NN-Descent (Dong, Moses, Li —
+    * WWW'11) — the graph-based ANN family's member that is actually
+    * distributable: HNSW's insert loop is inherently sequential (every
+    * insert greedy-searches the graph built so far), but NN-Descent is
+    * "everyone refines simultaneously": start from an arbitrary
+    * k-neighbor guess and repeat *a neighbor of my neighbor is
+    * probably my neighbor* — each round joins the graph with itself to
+    * propose neighbors-of-neighbors (in BOTH directions; reverse edges
+    * are the paper's key to fast convergence) and keeps each vertex's
+    * exact-cosine top-k. The output k-NN graph is the index graph ANN
+    * serving (and graph-clustering / SemDeDup-style dedup) builds on.
+    *
+    * Deterministic everywhere, hence oracle-able: the initial guesses
+    * are hash-SCATTERED (v's j-th guess is the id at position
+    * md5(v:j:seed) mod n in id order — deterministic, but as diverse
+    * as the random init the paper's convergence rate depends on; a
+    * ring/successor init measured 5× slower convergence because ring
+    * 2-hops stay on the ring), candidate scoring is the exact cosine
+    * kernel, ranks tie by neighbor id.
+    *
+    * Scale shape per round: two self-equi-joins of the (id, nbr) edge
+    * list (≈ n·(2k)² candidate rows — NEVER n²), one pair-dedup
+    * aggregate, one scoring join against the vector table, one
+    * bounded-heap top-k. Monotone: the current graph is always in the
+    * candidate set, so neighborhood quality never regresses
+    * (spec-measured convergence).
+    *
+    * @param build (`b_id`, `b_v`); @param iters refinement rounds
+    * @return (a_id, nbr_id, rnk) — each id's k nearest found, rnk by
+    *   cosine desc, ties by id. */
+  def knnGraph(build: DataFrame, k: Int, iters: Int,
+      seed: Long = 42L, buildK: Int = 0): DataFrame = {
+    require(k >= 1 && iters >= 0, s"bad knnGraph shape: k=$k iters=$iters")
+    // the graph refines at kk >= k and only the final emit cuts to k —
+    // the standard build-K > query-k practice: a wider standing
+    // neighborhood feeds each round quadratically more candidates, and
+    // recall@k of the emitted top-k rises far faster than the extra
+    // O(buildK^2) candidate volume costs (paper's K-sensitivity result)
+    val kk = math.max(k, buildK)
+    val vecs = withNorm(build, "b_v", "b_n").persist()
+    val n = vecs.count()
+    require(n > kk, s"need more than buildK=$kk vectors, got $n")
+    // scattered init: pos 1..n in id order (GlobalIndex.rowNumbers —
+    // range-partitioned, never a one-task window); v's j-th guess is
+    // the id at the hash-chosen position md5(v:j:seed) mod n. Self
+    // hits are dropped (that vertex starts with k−1 guesses — the
+    // candidate union refills it on round 1).
+    val ranked = GlobalIndex.rowNumbers(
+      build.select(col("b_id")), Seq("b_id"), "pos")
+      .select(col("b_id"), col("pos")).persist()
+    var g = ranked
+      .select(col("b_id").as("a_id"),
+        explode(array((1 to kk).map(lit): _*)).as("j"))
+      .select(col("a_id"),
+        (pmod(graft.functions.TextFunctions.portableHash48(
+          concat(col("a_id").cast("string"), lit(":"),
+            col("j").cast("string"), lit(":" + seed))),
+          lit(n)) + 1).as("npos"))
+      .join(ranked.select(col("pos").as("npos"), col("b_id").as("nbr")),
+        "npos")
+      .filter(col("a_id") =!= col("nbr"))
+      .select(col("a_id"), col("nbr"))
+    val scoreTopK = (cand: DataFrame, keep: Int) => cand
+      .join(vecs.select(col("b_id").as("a_id"), col("b_v").as("a_v"),
+        col("b_n").as("a_n")), "a_id")
+      .join(vecs.select(col("b_id").as("nbr"), col("b_v"), col("b_n")),
+        "nbr")
+      .select(col("a_id"), col("nbr"), (-cosineCol).as("negcos"))
+      .groupBy("a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("nbr"), col("negcos"),
+        keep).as("topk"))
+    for (_ <- 1 to iters) {
+      val bn = g.unionAll(g.select(col("nbr").as("a_id"),
+          col("a_id").as("nbr"))).distinct().localCheckpoint()
+      // bn is symmetric, so one 2-hop composition enumerates every
+      // neighbor-of-neighbor path v—mid—w in both directions
+      val cand = bn.select(col("a_id"), col("nbr").as("mid"))
+        .join(bn.select(col("a_id").as("mid"), col("nbr").as("cand")),
+          "mid")
+        .select(col("a_id"), col("cand").as("nbr"))
+        .filter(col("a_id") =!= col("nbr"))
+        .unionAll(g)
+        .distinct()
+      g = scoreTopK(cand, kk)
+        .select(col("a_id"), explode(col("topk")).as("p"))
+        .select(col("a_id"), col("p.id").as("nbr"))
+        .localCheckpoint() // cut per-round lineage, like the CC loop
+    }
+    val out = scoreTopK(g, k)
+      .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("a_id"), col("p.id").as("nbr_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+    vecs.unpersist()
+    out
+  }
+
   /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
     * diversity-aware selection from each query's cosine shortlist:
     *

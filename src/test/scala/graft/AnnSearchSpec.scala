@@ -500,6 +500,51 @@ class AnnSearchSpec extends SparkSpec {
     assert(recall >= 0.6, s"SRP-LSH recall@5 = $recall (8 tables, 4 bits)")
   }
 
+  test("NN-Descent knnGraph: refinement rounds converge toward the " +
+      "exact k-NN graph, monotonically on the fixture") {
+    // exact 5-NN graph by cosine over ALL ids (not just the q probes)
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], bb: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * bb(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += bb(i).toDouble * bb(i).toDouble
+        i += 1
+      }
+      dp / math.sqrt(na * nb)
+    }
+    val exact = vecs.keys.map { aId =>
+      aId -> vecs.keys.filter(_ != aId).toSeq
+        .map(bId => (bId, cos(vecs(aId), vecs(bId))))
+        .sortBy { case (bId, c) => (-c, bId) }.take(5).map(_._1).toSet
+    }.toMap
+    def recallOf(iters: Int, buildK: Int): Double = {
+      val got = AnnSearch.knnGraph(b, 5, iters, buildK = buildK)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2).toSet }
+      exact.toSeq.map { case (a, nb) =>
+        nb.count(got.getOrElse(a, Set.empty).contains)
+      }.sum.toDouble / (exact.size * 5)
+    }
+    // narrow graph (buildK = k): monotone but slow on this
+    // near-isotropic corpus — the hardest case for
+    // neighbor-of-neighbor transitivity (the SRP-LSH comment's point)
+    val n0 = recallOf(0, 5)
+    val n2 = recallOf(2, 5)
+    assert(n2 > n0, s"narrow graph did not improve: $n0 -> $n2")
+    // the production shape: refine at buildK=20, emit top-5 — the
+    // paper's K-sensitivity lever (q252's geometry)
+    val w1 = recallOf(1, 20)
+    val w2 = recallOf(2, 20)
+    info(s"NN-Descent recall@5: narrow $n0 -> $n2; wide(20) $w1 -> $w2")
+    assert(w2 > w1, s"wide round 2 did not improve: $w1 -> $w2")
+    assert(w2 > n2, s"buildK=20 not better than narrow: $w2 vs $n2")
+    assert(w2 >= 0.6, s"2-round buildK=20 recall too low: $w2")
+  }
+
   test("multi-probe LSH: nProbes=1 == lshTopK; recall never drops and " +
       "improves on the fixture; half the tables ~ full-table recall") {
     val planes4 = AnnSearch.srpPlanes(4, 4, 64)
