@@ -2109,6 +2109,22 @@ object SparkEntry {
         k = AnnK, iters = KgIters, buildK = KgBuildK)
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))),
 
+    // Graph-ANN SERVING over the q252 standing graph: fixed-round beam
+    // search (the BSP-friendly HNSW-descent variant) — 10 hash-chosen
+    // entry points, beam 10, 2 walk rounds, emit top-5. The oracle
+    // chains the graph-build unroll into the unrolled walk
+    "q253_graph_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val qd = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val g = operators.AnnSearch.knnGraph(bd, k = KgBuildK,
+        iters = KgIters, buildK = KgBuildK)
+      operators.AnnSearch.graphTopK(qd, bd, g, AnnK, GsEf, GsRounds,
+          nEntries = GsEf)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
     // Multi-probe LSH (Lv et al. 2007): 4 tables × 3 probes — each
     // query also checks the buckets across its 2 nearest hyperplanes.
     // Standing index is HALF of q140's (4 tables' signatures) at
@@ -3663,6 +3679,26 @@ object SparkEntry {
       s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
         "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
     def cos = s"${dot("ea", "eb")} / sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")})"
+    // concatenated, NOT interpolated into a stripMargin template: the
+    // CTE body contains `|| ':' ||` lines that a second stripMargin
+    // pass would mangle into single `|`s
+    "WITH " + knnGraphCtes + "\n" +
+      s"""SELECT a_id AS vec_id, nbr AS nbr_id, CAST(rn AS INTEGER) AS rnk
+         |FROM (SELECT c.a_id, c.nbr, row_number() OVER (
+         |    PARTITION BY c.a_id ORDER BY $cos DESC, c.nbr) AS rn
+         |  FROM g$KgIters c JOIN p ea ON ea.id = c.a_id
+         |    JOIN p eb ON eb.id = c.nbr) r
+         |WHERE rn <= $AnnK""".stripMargin
+  }
+
+  /** The WITH-body of [[knnGraphOracle]] (init + all refinement
+    * rounds, ending at CTE `g$KgIters`) — shared with q253's serve
+    * unroll, which walks the same standing graph. */
+  private def knnGraphCtes: String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    def cos = s"${dot("ea", "eb")} / sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")})"
     val rounds = (1 to KgIters).map { r =>
       val prev = s"g${r - 1}"
       s"""bn$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
@@ -3679,7 +3715,7 @@ object SparkEntry {
          |      JOIN p eb ON eb.id = c.nbr)
          |  WHERE rn <= $KgBuildK)""".stripMargin
     }.mkString(",\n")
-    s"""WITH p AS MATERIALIZED (SELECT vec_id AS id, embedding
+    s"""p AS MATERIALIZED (SELECT vec_id AS id, embedding
        |  FROM embeddings),
        |rk AS MATERIALIZED (SELECT id,
        |    row_number() OVER (ORDER BY id) AS pos
@@ -3690,13 +3726,59 @@ object SparkEntry {
        |      || ':' || CAST(u.j AS VARCHAR) || ':42'), 1, 12) AS BIGINT)
        |    % (SELECT count(*) FROM rk) + 1
        |    AND a.id != b.id),
-       |$rounds
-       |SELECT a_id AS vec_id, nbr AS nbr_id, CAST(rn AS INTEGER) AS rnk
-       |FROM (SELECT c.a_id, c.nbr, row_number() OVER (
-       |    PARTITION BY c.a_id ORDER BY $cos DESC, c.nbr) AS rn
-       |  FROM g$KgIters c JOIN p ea ON ea.id = c.a_id
-       |    JOIN p eb ON eb.id = c.nbr) r
-       |WHERE rn <= $AnnK""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  /** q253 serve geometry: beam width/entry count 10, 2 walk rounds,
+    * emit [[AnnK]] — over the q252-geometry graph. */
+  private val GsEf = 10
+  private val GsRounds = 2
+
+  /** q253's oracle: [[knnGraphCtes]] (the standing graph) + the beam
+    * walk unrolled — entry shortlist, round-0 scoring, then per round
+    * the out-neighbor expansion ∪ beam (a SET — join multiplicity
+    * cannot matter) and the exact-cosine top-ef; final top-k. Same
+    * double-strip rule as [[knnGraphOracle]]: concatenated, never
+    * re-interpolated through stripMargin. */
+  private def graphSearchOracle: String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    def cos = s"${dot("ea", "eb")} / sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")})"
+    val walk = (1 to GsRounds).map { r =>
+      val prev = s"sb${r - 1}"
+      s"""sx$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
+         |    SELECT b.a_id AS a_id, g.nbr AS nbr
+         |    FROM $prev b JOIN g$KgIters g ON g.a_id = b.nbr
+         |    UNION ALL SELECT a_id, nbr FROM $prev)
+         |  WHERE a_id != nbr),
+         |sb$r AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |    SELECT x.a_id, x.nbr, row_number() OVER (PARTITION BY x.a_id
+         |      ORDER BY $cos DESC, x.nbr) AS rn
+         |    FROM sx$r x JOIN p ea ON ea.id = x.a_id
+         |      JOIN p eb ON eb.id = x.nbr)
+         |  WHERE rn <= $GsEf)""".stripMargin
+    }.mkString(",\n")
+    val serve =
+      s"""en AS MATERIALIZED (SELECT id FROM (
+         |    SELECT id, row_number() OVER (
+         |      ORDER BY md5(CAST(id AS VARCHAR) || ':42'), id) AS rn
+         |    FROM p) WHERE rn <= $GsEf),
+         |qs AS MATERIALIZED (SELECT id AS a_id FROM p WHERE id < 50),
+         |sb0 AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |    SELECT q.a_id, e.id AS nbr, row_number() OVER (
+         |      PARTITION BY q.a_id ORDER BY $cos DESC, e.id) AS rn
+         |    FROM qs q CROSS JOIN en e
+         |      JOIN p ea ON ea.id = q.a_id JOIN p eb ON eb.id = e.id
+         |    WHERE q.a_id != e.id) WHERE rn <= $GsEf),
+         |$walk
+         |SELECT a_id AS vec_id, nbr AS nbr_id, CAST(rn AS INTEGER) AS rnk
+         |FROM (SELECT c.a_id, c.nbr, row_number() OVER (
+         |    PARTITION BY c.a_id ORDER BY $cos DESC, c.nbr) AS rn
+         |  FROM sb$GsRounds c JOIN p ea ON ea.id = c.a_id
+         |    JOIN p eb ON eb.id = c.nbr) r
+         |WHERE rn <= $AnnK""".stripMargin
+    "WITH " + knnGraphCtes + ",\n" + serve
   }
 
   /** q119's oracle: h₀=1, then per round an authority and a hub
@@ -7407,6 +7489,9 @@ object SparkEntry {
 
     // NN-Descent k-NN graph: init + both rounds unrolled
     "q252_knn_graph" -> knnGraphOracle,
+
+    // graph serve: the build unroll chained into the beam-walk unroll
+    "q253_graph_search" -> graphSearchOracle,
 
     "q141_semdedup" -> semDedupOracle,
 

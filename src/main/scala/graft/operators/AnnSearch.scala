@@ -1066,6 +1066,77 @@ object AnnSearch {
     out
   }
 
+  /** Graph-ANN SERVING over a [[knnGraph]] index: fixed-round BEAM
+    * search, the BSP-friendly variant of HNSW's greedy descent — every
+    * query walks the graph simultaneously instead of one insert at a
+    * time. Round 0 scores a shared set of hash-chosen entry points;
+    * each round expands the beam's out-neighbors (one equi-join of the
+    * |Q|·ef beam against the edge list), scores the union exactly, and
+    * keeps the top-ef per query; after `rounds` rounds the top-k of
+    * the final beam is the answer. Fixed rounds make the plan static
+    * (the q58 BSP discipline) and the whole walk deterministic —
+    * ties by id everywhere — so a SQL oracle unrolls it exactly.
+    *
+    * Scale shape: per round, |Q|·ef·K candidate rows through an
+    * equi-join on the edge source — linear in queries, never |Q|·|B|;
+    * the entry list is a broadcast. The graph is the standing index
+    * ([[knnGraph]]'s output, parquet-persistable); serving touches
+    * full vectors only for scoring the bounded beam.
+    *
+    * @param graph (a_id, nbr_id, …) edge list — [[knnGraph]] output
+    * @param ef beam width (≥ k); @param nEntries entry points (≤ ef
+    *   keeps round 0 a pure scoring pass)
+    * @return (a_id, nbr_id, rnk) — rnk 1..k by cosine desc, ties by id. */
+  def graphTopK(queries: DataFrame, build: DataFrame, graph: DataFrame,
+      k: Int, ef: Int, rounds: Int, nEntries: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1 && ef >= k && rounds >= 0 && nEntries >= 1,
+      s"bad graphTopK shape: k=$k ef=$ef rounds=$rounds entries=$nEntries")
+    val vecs = withNorm(build, "b_v", "b_n").persist()
+    val qv = withNorm(queries, "a_v", "a_n").persist()
+    // entry points: the nEntries ids with smallest md5(id:seed) — a
+    // fixed tiny shortlist (TakeOrdered, no global exchange), shared
+    // by every query and broadcast into round 0
+    val entries = build.select(col("b_id").as("nbr"))
+      .orderBy(md5(concat(col("nbr").cast("string"), lit(":" + seed))),
+        col("nbr"))
+      .limit(nEntries)
+    val edges = graph.select(col("a_id").as("src"),
+      col("nbr_id").as("nbr"))
+    def topEf(cand: DataFrame, keep: Int) = cand
+      .join(qv, "a_id")
+      .join(vecs.select(col("b_id").as("nbr"), col("b_v"), col("b_n")),
+        "nbr")
+      .select(col("a_id"), col("nbr"), (-cosineCol).as("negcos"))
+      .groupBy("a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("nbr"), col("negcos"),
+        keep).as("topk"))
+    var beam = topEf(
+      qv.select(col("a_id")).crossJoin(broadcast(entries))
+        .filter(col("a_id") =!= col("nbr")), ef)
+      .select(col("a_id"), explode(col("topk")).as("p"))
+      .select(col("a_id"), col("p.id").as("nbr"))
+    for (_ <- 1 to rounds) {
+      val expand = beam.select(col("a_id"), col("nbr").as("src"))
+        .join(edges, "src")
+        .select(col("a_id"), col("nbr"))
+        .unionAll(beam)
+        .filter(col("a_id") =!= col("nbr"))
+        .distinct()
+      beam = topEf(expand, ef)
+        .select(col("a_id"), explode(col("topk")).as("p"))
+        .select(col("a_id"), col("p.id").as("nbr"))
+        .localCheckpoint() // cut per-round lineage, like the CC loop
+    }
+    val out = topEf(beam, k)
+      .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("a_id"), col("p.id").as("nbr_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+    vecs.unpersist()
+    qv.unpersist()
+    out
+  }
+
   /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
     * diversity-aware selection from each query's cosine shortlist:
     *
