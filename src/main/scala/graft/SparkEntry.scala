@@ -3089,6 +3089,16 @@ object SparkEntry {
           col("cell_idx").cast("int").as("cell_idx"), col("cell_sum"))
     }),
 
+    // Preference-pair assembly (the DPO/RLHF-data primitive): per
+    // user, the 3 best-scored events × the 3 worst, margin ≥ 500
+    // cents — two bounded heaps in ONE aggregate, never an in-group
+    // all-pairs. Integral cent scores keep the margin exact
+    "q254_preference_pairs" -> ((s, dir) =>
+      operators.Curation.preferencePairs(
+        t(s, dir, "events"), "user_id", "event_id",
+        round(col("value") * 100).cast("long"),
+        nTop = 3, nBottom = 3, minMargin = 500L)),
+
     // SFT transcript assembly: documents as fake conversation turns
     // (conv = doc_id mod 100, alternating user/assistant roles, ordered
     // by doc_id) -> one transcript per conversation + the assistant
@@ -6147,6 +6157,25 @@ object SparkEntry {
       // SFT assembly: the same block concat + cumulative-length window
       // in SQL; string_agg(ORDER BY ord) is the transcript, span math
       // is exact integers
+      "q254_preference_pairs" ->
+        """WITH c AS (SELECT user_id, event_id,
+          |    CAST(round(value * 100) AS BIGINT) AS s
+          |  FROM events WHERE value IS NOT NULL),
+          |bt AS (SELECT user_id, event_id, s FROM (
+          |    SELECT user_id, event_id, s, row_number() OVER (
+          |      PARTITION BY user_id ORDER BY s DESC, event_id) AS rn
+          |    FROM c) WHERE rn <= 3),
+          |wb AS (SELECT user_id, event_id, s FROM (
+          |    SELECT user_id, event_id, s, row_number() OVER (
+          |      PARTITION BY user_id ORDER BY s, event_id) AS rn
+          |    FROM c) WHERE rn <= 3)
+          |SELECT bt.user_id, bt.event_id AS chosen_id,
+          |  wb.event_id AS rejected_id,
+          |  CAST(bt.s - wb.s AS BIGINT) AS margin
+          |FROM bt JOIN wb ON bt.user_id = wb.user_id
+          |WHERE bt.event_id != wb.event_id
+          |  AND bt.s - wb.s >= 500""".stripMargin,
+
       "q230_sft_transcripts" ->
         """WITH t AS (SELECT doc_id % 100 AS conv, doc_id AS ord,
           |    CASE WHEN doc_id % 2 = 0 THEN 'user'

@@ -574,4 +574,53 @@ object Curation {
         md5(col("transcript").cast("binary")).as("transcript_md5"),
         col("span_start"), col("span_len"))
   }
+
+  /** Preference-pair assembly — the DPO/RLHF-data primitive: per group
+    * (a prompt and its scored candidate responses), pair the `nTop`
+    * best candidates against the `nBottom` worst, keeping pairs whose
+    * score margin is at least `minMargin`. The margin floor is the
+    * labeling-noise guard (a chosen/rejected pair with near-equal
+    * reward teaches the preference model nothing but noise).
+    *
+    * Scale shape: ONE hash aggregate carrying two bounded heaps per
+    * group (best by −score, worst by +score — partial map-side, only
+    * (nTop + nBottom)-sized buffers cross the shuffle), then a bounded
+    * nTop×nBottom explode. Never an all-pairs join within a group; a
+    * group with millions of candidates still emits ≤ nTop·nBottom
+    * rows. Ties break by candidate id on both heaps, so the pair set
+    * is deterministic and SQL-reproducible.
+    *
+    * Numerics: pass an INTEGRAL score (quantize rewards first — the
+    * [[graft.operators.Stats.auc]] contract): heap scores are doubles,
+    * exact below 2^53, and the emitted margin is an exact integer.
+    *
+    * @param scoreCol integral score (higher = preferred)
+    * @return (`groupCol`, chosen_id, rejected_id, margin) —
+    *   margin = score(chosen) − score(rejected) ≥ minMargin, and the
+    *   same candidate never appears on both sides of one pair. */
+  def preferencePairs(df: DataFrame, groupCol: String, idCol: String,
+      scoreCol: Column, nTop: Int, nBottom: Int,
+      minMargin: Long): DataFrame = {
+    require(nTop >= 1 && nBottom >= 1,
+      s"need positive heap sizes, got nTop=$nTop nBottom=$nBottom")
+    val heaps = df
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        scoreCol.cast("double").as("s"))
+      .filter(col("s").isNotNull)
+      .groupBy("grp")
+      .agg(
+        graft.functions.TopKByScore.topkMin(col("id"), -col("s"), nTop)
+          .as("best"),
+        graft.functions.TopKByScore.topkMin(col("id"), col("s"), nBottom)
+          .as("worst"))
+    heaps
+      .select(col("grp"), explode(col("best")).as("c"), col("worst"))
+      .select(col("grp"), col("c.id").as("chosen_id"),
+        (-col("c.score")).as("cs"), explode(col("worst")).as("r"))
+      .select(col("grp").as(groupCol), col("chosen_id"),
+        col("r.id").as("rejected_id"),
+        (col("cs") - col("r.score")).cast("long").as("margin"))
+      .filter(col("chosen_id") =!= col("rejected_id") &&
+        col("margin") >= minMargin)
+  }
 }

@@ -458,4 +458,41 @@ class CurationSpec extends SparkSpec {
     assert(out.count(_.getLong(0) == 1L) == 2 &&
       out.count(_.getLong(0) == 3L) == 1)
   }
+
+  test("preferencePairs: hand-checked pairs, margin floor, bounded, " +
+      "partitioning-invariant") {
+    val spark2 = spark
+    import spark2.implicits._
+    // group A: scores 10,20,30,40,50 -> top3 {50,40,30}, bottom3
+    // {10,20,30}; id 30's row in both heaps must never self-pair
+    val rows = Seq(
+      ("A", 1L, 10L), ("A", 2L, 20L), ("A", 3L, 30L), ("A", 4L, 40L),
+      ("A", 5L, 50L),
+      // group B: a tie at the boundary — ids 11,12 share score 7;
+      // top2 must keep the SMALLER id on ties (11), like ORDER BY
+      // s DESC, id
+      ("B", 10L, 9L), ("B", 11L, 7L), ("B", 12L, 7L), ("B", 13L, 1L))
+    def pairsOf(parts: Int, nTop: Int, nBottom: Int, m: Long) =
+      Curation.preferencePairs(
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, parts))
+          .toDF("grp", "id", "s"),
+        "grp", "id", col("s"), nTop, nBottom, m)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+    val got = pairsOf(1, 3, 3, 15L)
+    val wantA = for {
+      c <- Seq(5L -> 50L, 4L -> 40L, 3L -> 30L)
+      r <- Seq(1L -> 10L, 2L -> 20L, 3L -> 30L)
+      if c._1 != r._1 && c._2 - r._2 >= 15
+    } yield ("A", c._1, r._1, c._2 - r._2)
+    assert(got.filter(_._1 == "A") == wantA.toSet)
+    // B at nTop=2: tie keeps id 11; margin floor 6 keeps only 9-vs-1
+    // and 7-vs-1
+    val gotB = pairsOf(1, 2, 2, 6L).filter(_._1 == "B")
+    assert(gotB == Set(("B", 10L, 13L, 8L), ("B", 11L, 13L, 6L)))
+    // bounded: <= nTop*nBottom pairs per group, and partitioning-free
+    assert(got.size <= 2 * 3 * 3)
+    assert(pairsOf(7, 3, 3, 15L) == got)
+  }
 }

@@ -466,6 +466,27 @@ class PlanQualitySpec extends SparkSpec {
       s"single-partition exchange in the fusion plan:\n$p")
   }
 
+  test("q247 IVF-PQ serve: code rows stream, probe tables broadcast, " +
+      "candidate step is an equi-join") {
+    val p = plan(SparkEntry.queries("q247_ivfpq")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe-table join should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"),
+      s"IVF-PQ candidate step degenerated:\n$p")
+    assert(!p.contains("Window"), s"no ranking window expected:\n$p")
+  }
+
+  test("q252/q253 graph build+serve: final plans are window-free and " +
+      "join-shaped (no cartesian)") {
+    for (q <- Seq("q252_knn_graph", "q253_graph_search")) {
+      val p = plan(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("Window"), s"$q plan has a window:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q plan has a cartesian:\n$p")
+    }
+  }
+
   test("q146 fertility: one aggregate exchange, no join, pruned scan") {
     val p = plan(SparkEntry.queries("q146_fertility")(spark, sf))
     assert("Exchange".r.findAllIn(p).length == 1,
