@@ -161,6 +161,21 @@ object ClusterParity {
       "minhash_synth1m" -> (s => pairSummary(
         Workloads.dedupSynth(s, 1_000_000L))),
       "cluster_maintain_stream" -> (s => streamMaintainSummary(s)),
+      // the graph-ANN standing index: NN-Descent over 50k×32-d
+      // clustered vectors (2 rounds at K=10 — hash init, symmetric
+      // candidate joins, bounded heaps). Everything is id-tie
+      // deterministic, so the EDGE LIST must be bit-equal multi-JVM
+      "knn_graph_synth50k" -> (s => {
+        val g = graft.operators.AnnSearch.knnGraph(
+          Workloads.synthEmbeddings(s, 50_000L, 32, 64)
+            .select(col("vec_id").as("b_id"), col("embedding").as("b_v")),
+          k = 10, iters = 2, buildK = 10)
+        val r = g.agg(
+          count(lit(1)).as("n"),
+          sum(xxhash64(col("a_id"), col("nbr_id"), col("rnk"))
+            .cast("decimal(38,0)")).as("chk")).head
+        r.toSeq.mkString("|")
+      }),
     )
     val workloads: Seq[(String, SparkSession => String)] = baseWorkloads ++ (
       // 100× the reference's largest dataset under multi-JVM — opt-in
