@@ -1322,6 +1322,29 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
+    // IVF-PQ INSERT (q248's dual — the composed index's CRUD square
+    // closes): BOTH artifacts (coarse centroids + residual codebook)
+    // train on the initial corpus only (every 7th vector arrives
+    // later); the batch residual-encodes against the fixed artifacts
+    // and appends. Oracle: both training unrolls restricted to the
+    // initial generation, assignment/codes/serve over everything
+    "q255_ivfpq_insert" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qd = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val init = e.filter(col("vec_id") % 7 =!= 0)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val (cents, cb, codesInit) =
+        AnnSearch.ivfPqIndex(init, IvfCents, PqM, PqNc)
+      val codes = AnnSearch.addToIvfPq(codesInit,
+        e.filter(col("vec_id") % 7 === 0), "vec_id", "embedding",
+        cents, cb)
+      AnnSearch.ivfPqTopK(qd, bd, codes, cents, cb, AnnK, IvfProbe,
+          PqShortlist)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
     // Gaps-and-islands daily activity streaks (TimeSeries.streaks)
     "q76_streaks" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -4012,8 +4035,13 @@ object SparkEntry {
 
   /** [[ivfPqOracle]] with `serveCond` filtering the ADC candidate side
     * (q248 passes the tombstone predicate over `cd.id`; neither
-    * training unroll is filtered — retraction never retrains). */
-  private def ivfPqOracleWith(serveCond: String): String = {
+    * training unroll is filtered — retraction never retrains) and
+    * `buildCond` restricting BOTH training unrolls' corpus (q255
+    * trains coarse centroids and the residual codebook on the initial
+    * generation only; assignment/codes/serve still cover everything —
+    * insertion never retrains, the q242 rule composed). */
+  private def ivfPqOracleWith(serveCond: String,
+      buildCond: String = "TRUE"): String = {
     def d2(a: String, b: String) =
       s"list_sum(list_transform(list_zip($a, $b), " +
         "x -> (x[1] - x[2]) * (x[1] - x[2])))"
@@ -4032,39 +4060,39 @@ object SparkEntry {
     val lloyd = (1 to IvfIters).map { r =>
       val c = s"c${r - 1}"
       s"""a$r AS MATERIALIZED (SELECT id, cid FROM (
-         |    SELECT p.id, $c.cid, row_number() OVER (PARTITION BY p.id
-         |      ORDER BY ${d2("p.v", s"$c.cv")}, $c.cid) AS rn
-         |    FROM p CROSS JOIN $c) WHERE rn = 1),
+         |    SELECT tp.id, $c.cid, row_number() OVER (PARTITION BY tp.id
+         |      ORDER BY ${d2("tp.v", s"$c.cv")}, $c.cid) AS rn
+         |    FROM tp CROSS JOIN $c) WHERE rn = 1),
          |c$r AS MATERIALIZED (SELECT cid,
          |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
          |      ORDER BY dim) AS cv
          |  FROM (SELECT a$r.cid, u.dim,
-         |      CAST(sum(CAST(round(p.v[u.dim] * 1000000.0) AS BIGINT))
+         |      CAST(sum(CAST(round(tp.v[u.dim] * 1000000.0) AS BIGINT))
          |        AS BIGINT) AS s,
          |      CAST(count(*) AS BIGINT) AS cnt
-         |    FROM a$r JOIN p USING (id),
-         |      unnest(range(1, len(p.v) + 1)) AS u(dim)
+         |    FROM a$r JOIN tp USING (id),
+         |      unnest(range(1, len(tp.v) + 1)) AS u(dim)
          |    GROUP BY 1, 2)
          |  GROUP BY cid)""".stripMargin
     }.mkString(",\n")
     val fc = s"c$IvfIters"
-    // PQ Lloyd over the RESIDUAL subspaces (ps) — pqOracleWith's text
+    // PQ Lloyd over the TRAINING residual subspaces (tps)
     val pqLloyd = (1 to PqIters).map { r =>
       val c = s"pc${r - 1}"
       s"""pa$r AS MATERIALIZED (SELECT id, sub, cid FROM (
-         |    SELECT ps.id, ps.sub, $c.cid,
-         |      row_number() OVER (PARTITION BY ps.id, ps.sub
-         |        ORDER BY ${d2("ps.sv", s"$c.cv")}, $c.cid) AS rn
-         |    FROM ps JOIN $c USING (sub)) WHERE rn = 1),
+         |    SELECT tps.id, tps.sub, $c.cid,
+         |      row_number() OVER (PARTITION BY tps.id, tps.sub
+         |        ORDER BY ${d2("tps.sv", s"$c.cv")}, $c.cid) AS rn
+         |    FROM tps JOIN $c USING (sub)) WHERE rn = 1),
          |pc$r AS MATERIALIZED (SELECT sub, cid,
          |    list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1000000.0
          |      ORDER BY dim) AS cv
          |  FROM (SELECT a.sub, a.cid, u.dim,
-         |      CAST(sum(CAST(round(ps.sv[u.dim] * 1000000.0) AS BIGINT))
+         |      CAST(sum(CAST(round(tps.sv[u.dim] * 1000000.0) AS BIGINT))
          |        AS BIGINT) AS s,
          |      CAST(count(*) AS BIGINT) AS cnt
-         |    FROM pa$r a JOIN ps ON ps.id = a.id AND ps.sub = a.sub,
-         |      unnest(range(1, len(ps.sv) + 1)) AS u(dim)
+         |    FROM pa$r a JOIN tps ON tps.id = a.id AND tps.sub = a.sub,
+         |      unnest(range(1, len(tps.sv) + 1)) AS u(dim)
          |    GROUP BY 1, 2, 3)
          |  GROUP BY sub, cid)""".stripMargin
     }.mkString(",\n")
@@ -4072,9 +4100,10 @@ object SparkEntry {
     s"""WITH p AS MATERIALIZED (SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
+       |tp AS MATERIALIZED (SELECT * FROM p WHERE $buildCond),
        |pool AS MATERIALIZED (SELECT
        |    CAST(row_number() OVER (ORDER BY id) AS INTEGER) AS rid, v
-       |  FROM (SELECT id, v FROM p
+       |  FROM (SELECT id, v FROM tp
        |    ORDER BY md5(CAST(id AS VARCHAR) || ':$IvfSeed')
        |    LIMIT $IvfPool)),
        |ch1 AS MATERIALIZED (SELECT rid, v FROM pool WHERE rid = 1),
@@ -4094,11 +4123,13 @@ object SparkEntry {
        |    list_slice(rp.v, u.sub * (len(rp.v) // $PqM) + 1,
        |      (u.sub + 1) * (len(rp.v) // $PqM)) AS sv
        |  FROM rp, unnest(range(0, $PqM)) AS u(sub)),
+       |tps AS MATERIALIZED (SELECT ps.* FROM ps
+       |  JOIN tp ON tp.id = ps.id),
        |sd AS MATERIALIZED (SELECT sub, id, sv FROM (
        |    SELECT sub, id, sv, row_number() OVER (PARTITION BY sub
        |      ORDER BY md5(CAST(id AS VARCHAR) || ':' ||
        |        CAST(sub + $PqSeed AS VARCHAR))) AS rh
-       |    FROM ps) WHERE rh <= $PqNc),
+       |    FROM tps) WHERE rh <= $PqNc),
        |pc0 AS MATERIALIZED (SELECT sub,
        |    CAST(row_number() OVER (PARTITION BY sub ORDER BY id)
        |      AS INTEGER) AS cid, sv AS cv
@@ -5335,6 +5366,10 @@ object SparkEntry {
     "q247_ivfpq" -> ivfPqOracle,
     // composed tombstone: ADC candidates filtered, artifacts unchanged
     "q248_ivfpq_retraction" -> ivfPqOracleWith("cd.id % 7 != 0"),
+
+    // composed insert: both trainings on the initial generation only
+    "q255_ivfpq_insert" ->
+      ivfPqOracleWith("TRUE", buildCond = "id % 7 != 0"),
     "q28_winnowing" -> winnowingOracle,
 
     "q9_jaccard_pairs" -> jaccardOracle,
