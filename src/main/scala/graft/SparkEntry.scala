@@ -2148,6 +2148,31 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
+    // Graph-based SemDeDup: the k-NN graph AS the near-dup candidate
+    // generator — standing edges rescored exactly, kept at cos ≥ 0.4
+    // (q26's corpus-calibrated τ), closed into dup groups by the CC
+    // machinery. The production alternative to LSH-bucketed SemDeDup
+    // when a k-NN graph is already maintained for retrieval: candidate
+    // quality is the graph's recall, and no second index exists
+    "q256_graph_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val g = operators.AnnSearch.knnGraph(bd, k = KgBuildK,
+        iters = KgIters, buildK = KgBuildK)
+      val pairs = g
+        .join(e.select(col("vec_id").as("a_id"),
+          col("embedding").as("av")), "a_id")
+        .join(e.select(col("vec_id").as("nbr_id"),
+          col("embedding").as("bv")), "nbr_id")
+        .filter(functions.VectorOps.cosine(col("av"), col("bv"))
+          >= SemTau)
+        .select(col("a_id"), col("nbr_id").as("b_id"))
+      Dedup.dupGroups(pairs,
+          e.select(col("vec_id").as("doc_id")), "doc_id")
+        .select(col("doc_id").as("vec_id"), col("canonical_id"),
+          col("is_survivor"))
+    }),
+
     // Multi-probe LSH (Lv et al. 2007): 4 tables × 3 probes — each
     // query also checks the buckets across its 2 nearest hyperplanes.
     // Standing index is HALF of q140's (4 tables' signatures) at
@@ -3812,6 +3837,34 @@ object SparkEntry {
          |    JOIN p eb ON eb.id = c.nbr) r
          |WHERE rn <= $AnnK""".stripMargin
     "WITH " + knnGraphCtes + ",\n" + serve
+  }
+
+  /** q256's oracle: the graph-build unroll, edges rescored exactly and
+    * kept at cos ≥ [[SemTau]], then q44's recursive-CTE min-id
+    * component closure over the symmetrized edge set. */
+  private def graphSemDedupOracle: String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    def cos = s"${dot("ea", "eb")} / sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")})"
+    val close =
+      s"""ge AS MATERIALIZED (SELECT c.a_id AS src, c.nbr AS dst
+         |  FROM g$KgIters c JOIN p ea ON ea.id = c.a_id
+         |    JOIN p eb ON eb.id = c.nbr
+         |  WHERE $cos >= $SemTau),
+         |edges AS (SELECT src, dst FROM ge
+         |  UNION ALL SELECT dst, src FROM ge),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.id
+         |),
+         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT d.id AS vec_id,
+         |  COALESCE(c.comp, d.id) AS canonical_id,
+         |  COALESCE(c.comp, d.id) = d.id AS is_survivor
+         |FROM p d LEFT JOIN comp c ON c.id = d.id""".stripMargin
+    "WITH RECURSIVE " + knnGraphCtes + ",\n" + close
   }
 
   /** q119's oracle: h₀=1, then per round an authority and a hub
@@ -7556,6 +7609,10 @@ object SparkEntry {
 
     // graph serve: the build unroll chained into the beam-walk unroll
     "q253_graph_search" -> graphSearchOracle,
+
+    // graph SemDeDup: graph edges rescored + thresholded, then the
+    // q44 recursive-CTE component closure
+    "q256_graph_semdedup" -> graphSemDedupOracle,
 
     "q141_semdedup" -> semDedupOracle,
 
