@@ -2148,6 +2148,44 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
+    // k-NN graph INSERT (the graph joins the standing-index CRUD
+    // family): the standing graph builds on the initial generation;
+    // the arriving batch beam-searches it (width = the graph's K),
+    // adopts its finds, discovered vertices consider the finders back,
+    // and every touched vertex exactly re-prunes to K. Deterministic,
+    // so the whole update unrolls into the oracle
+    "q257_knn_graph_insert" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val init = e.filter(col("vec_id") % 7 =!= 0)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val g0 = operators.AnnSearch.knnGraph(init, k = KgBuildK,
+        iters = KgIters, buildK = KgBuildK)
+      operators.AnnSearch.addToKnnGraph(g0, init,
+          e.filter(col("vec_id") % 7 === 0), "vec_id", "embedding",
+          k = KgBuildK, ef = KgBuildK, rounds = GsRounds,
+          nEntries = GsEf)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
+    // k-NN graph tombstone retraction (q257's dual): edges touching
+    // removed ids vanish (the shared no-retrain rule), the serve walks
+    // the surviving graph. Oracle: the serve unroll with entries,
+    // queries, and the edge set cut to survivors
+    "q258_knn_graph_retraction" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val g = operators.AnnSearch.knnGraph(bd, k = KgBuildK,
+        iters = KgIters, buildK = KgBuildK)
+      val live = operators.AnnSearch.retractFromKnnGraph(g,
+        e.filter(col("vec_id") % 7 === 0).select("vec_id"), "vec_id")
+      val qd = e.filter(col("vec_id") < 50 && col("vec_id") % 7 =!= 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      operators.AnnSearch.graphTopK(qd,
+          bd.filter(col("b_id") % 7 =!= 0), live, AnnK, GsEf, GsRounds,
+          nEntries = GsEf)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
     // Graph-based SemDeDup: the k-NN graph AS the near-dup candidate
     // generator — standing edges rescored exactly, kept at cos ≥ 0.4
     // (q26's corpus-calibrated τ), closed into dup groups by the CC
@@ -3740,7 +3778,7 @@ object SparkEntry {
     // concatenated, NOT interpolated into a stripMargin template: the
     // CTE body contains `|| ':' ||` lines that a second stripMargin
     // pass would mangle into single `|`s
-    "WITH " + knnGraphCtes + "\n" +
+    "WITH " + knnGraphCtes() + "\n" +
       s"""SELECT a_id AS vec_id, nbr AS nbr_id, CAST(rn AS INTEGER) AS rnk
          |FROM (SELECT c.a_id, c.nbr, row_number() OVER (
          |    PARTITION BY c.a_id ORDER BY $cos DESC, c.nbr) AS rn
@@ -3750,9 +3788,12 @@ object SparkEntry {
   }
 
   /** The WITH-body of [[knnGraphOracle]] (init + all refinement
-    * rounds, ending at CTE `g$KgIters`) — shared with q253's serve
-    * unroll, which walks the same standing graph. */
-  private def knnGraphCtes: String = {
+    * rounds, ending at CTE `g$KgIters`) — shared with the serve/CRUD
+    * unrolls (q253/q256/q257/q258), which walk the same standing
+    * graph. `buildCond` restricts the graph's corpus (q257 builds on
+    * the initial generation only); `pall` always carries every vector
+    * so serve-side queries outside the build corpus can score. */
+  private def knnGraphCtes(buildCond: String = "TRUE"): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
         "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -3773,8 +3814,9 @@ object SparkEntry {
          |      JOIN p eb ON eb.id = c.nbr)
          |  WHERE rn <= $KgBuildK)""".stripMargin
     }.mkString(",\n")
-    s"""p AS MATERIALIZED (SELECT vec_id AS id, embedding
+    s"""pall AS MATERIALIZED (SELECT vec_id AS id, embedding
        |  FROM embeddings),
+       |p AS MATERIALIZED (SELECT * FROM pall WHERE $buildCond),
        |rk AS MATERIALIZED (SELECT id,
        |    row_number() OVER (ORDER BY id) AS pos
        |  FROM p),
@@ -3798,7 +3840,62 @@ object SparkEntry {
     * cannot matter) and the exact-cosine top-ef; final top-k. Same
     * double-strip rule as [[knnGraphOracle]]: concatenated, never
     * re-interpolated through stripMargin. */
-  private def graphSearchOracle: String = {
+  private def graphSearchOracle: String =
+    graphSearchOracleWith(_ => "TRUE")
+
+  /** [[graphSearchOracle]] with `live` producing a survivor predicate
+    * for a given column ref — q258 passes the tombstone predicate:
+    * entries, queries, and the walked edge set (`lg`) are all cut to
+    * survivors, exactly the engine's retract-then-serve. */
+  private def graphSearchOracleWith(live: String => String): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    def cos = s"${dot("ea", "eb")} / sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")})"
+    val walk = (1 to GsRounds).map { r =>
+      val prev = s"sb${r - 1}"
+      s"""sx$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
+         |    SELECT b.a_id AS a_id, g.nbr AS nbr
+         |    FROM $prev b JOIN lg g ON g.a_id = b.nbr
+         |    UNION ALL SELECT a_id, nbr FROM $prev)
+         |  WHERE a_id != nbr),
+         |sb$r AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |    SELECT x.a_id, x.nbr, row_number() OVER (PARTITION BY x.a_id
+         |      ORDER BY $cos DESC, x.nbr) AS rn
+         |    FROM sx$r x JOIN p ea ON ea.id = x.a_id
+         |      JOIN p eb ON eb.id = x.nbr)
+         |  WHERE rn <= $GsEf)""".stripMargin
+    }.mkString(",\n")
+    val serve =
+      s"""lg AS MATERIALIZED (SELECT a_id, nbr FROM g$KgIters
+         |  WHERE (${live("a_id")}) AND (${live("nbr")})),
+         |en AS MATERIALIZED (SELECT id FROM (
+         |    SELECT id, row_number() OVER (
+         |      ORDER BY md5(CAST(id AS VARCHAR) || ':42'), id) AS rn
+         |    FROM p WHERE ${live("id")}) WHERE rn <= $GsEf),
+         |qs AS MATERIALIZED (SELECT id AS a_id FROM p
+         |  WHERE id < 50 AND (${live("id")})),
+         |sb0 AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |    SELECT q.a_id, e.id AS nbr, row_number() OVER (
+         |      PARTITION BY q.a_id ORDER BY $cos DESC, e.id) AS rn
+         |    FROM qs q CROSS JOIN en e
+         |      JOIN p ea ON ea.id = q.a_id JOIN p eb ON eb.id = e.id
+         |    WHERE q.a_id != e.id) WHERE rn <= $GsEf),
+         |$walk
+         |SELECT a_id AS vec_id, nbr AS nbr_id, CAST(rn AS INTEGER) AS rnk
+         |FROM (SELECT c.a_id, c.nbr, row_number() OVER (
+         |    PARTITION BY c.a_id ORDER BY $cos DESC, c.nbr) AS rn
+         |  FROM sb$GsRounds c JOIN p ea ON ea.id = c.a_id
+         |    JOIN p eb ON eb.id = c.nbr) r
+         |WHERE rn <= $AnnK""".stripMargin
+    "WITH " + knnGraphCtes() + ",\n" + serve
+  }
+
+  /** q257's oracle: the graph built on the INITIAL generation
+    * ([[knnGraphCtes]] buildCond), then the batch's beam walk (width =
+    * the graph's K — the engine searches at ef = buildK), the reverse
+    * update, and the exact re-prune to K per vertex. */
+  private def knnGraphInsertOracle: String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
         "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
@@ -3813,30 +3910,36 @@ object SparkEntry {
          |sb$r AS MATERIALIZED (SELECT a_id, nbr FROM (
          |    SELECT x.a_id, x.nbr, row_number() OVER (PARTITION BY x.a_id
          |      ORDER BY $cos DESC, x.nbr) AS rn
-         |    FROM sx$r x JOIN p ea ON ea.id = x.a_id
-         |      JOIN p eb ON eb.id = x.nbr)
-         |  WHERE rn <= $GsEf)""".stripMargin
+         |    FROM sx$r x JOIN pall ea ON ea.id = x.a_id
+         |      JOIN pall eb ON eb.id = x.nbr)
+         |  WHERE rn <= $KgBuildK)""".stripMargin
     }.mkString(",\n")
-    val serve =
+    val update =
       s"""en AS MATERIALIZED (SELECT id FROM (
          |    SELECT id, row_number() OVER (
          |      ORDER BY md5(CAST(id AS VARCHAR) || ':42'), id) AS rn
          |    FROM p) WHERE rn <= $GsEf),
-         |qs AS MATERIALIZED (SELECT id AS a_id FROM p WHERE id < 50),
+         |qs AS MATERIALIZED (SELECT id AS a_id FROM pall
+         |  WHERE id % 7 = 0),
          |sb0 AS MATERIALIZED (SELECT a_id, nbr FROM (
          |    SELECT q.a_id, e.id AS nbr, row_number() OVER (
          |      PARTITION BY q.a_id ORDER BY $cos DESC, e.id) AS rn
          |    FROM qs q CROSS JOIN en e
-         |      JOIN p ea ON ea.id = q.a_id JOIN p eb ON eb.id = e.id
-         |    WHERE q.a_id != e.id) WHERE rn <= $GsEf),
+         |      JOIN pall ea ON ea.id = q.a_id JOIN pall eb ON eb.id = e.id
+         |    WHERE q.a_id != e.id) WHERE rn <= $KgBuildK),
          |$walk
+         |,found AS MATERIALIZED (SELECT a_id, nbr FROM sb$GsRounds),
+         |alle AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
+         |    SELECT a_id, nbr FROM g$KgIters
+         |    UNION ALL SELECT nbr AS a_id, a_id AS nbr FROM found
+         |    UNION ALL SELECT a_id, nbr FROM found))
          |SELECT a_id AS vec_id, nbr AS nbr_id, CAST(rn AS INTEGER) AS rnk
          |FROM (SELECT c.a_id, c.nbr, row_number() OVER (
          |    PARTITION BY c.a_id ORDER BY $cos DESC, c.nbr) AS rn
-         |  FROM sb$GsRounds c JOIN p ea ON ea.id = c.a_id
-         |    JOIN p eb ON eb.id = c.nbr) r
-         |WHERE rn <= $AnnK""".stripMargin
-    "WITH " + knnGraphCtes + ",\n" + serve
+         |  FROM alle c JOIN pall ea ON ea.id = c.a_id
+         |    JOIN pall eb ON eb.id = c.nbr) r
+         |WHERE rn <= $KgBuildK""".stripMargin
+    "WITH " + knnGraphCtes("id % 7 != 0") + ",\n" + update
   }
 
   /** q256's oracle: the graph-build unroll, edges rescored exactly and
@@ -3864,7 +3967,7 @@ object SparkEntry {
          |  COALESCE(c.comp, d.id) AS canonical_id,
          |  COALESCE(c.comp, d.id) = d.id AS is_survivor
          |FROM p d LEFT JOIN comp c ON c.id = d.id""".stripMargin
-    "WITH RECURSIVE " + knnGraphCtes + ",\n" + close
+    "WITH RECURSIVE " + knnGraphCtes() + ",\n" + close
   }
 
   /** q119's oracle: h₀=1, then per round an authority and a hub
@@ -7613,6 +7716,12 @@ object SparkEntry {
     // graph SemDeDup: graph edges rescored + thresholded, then the
     // q44 recursive-CTE component closure
     "q256_graph_semdedup" -> graphSemDedupOracle,
+
+    // graph insert: initial-corpus build + batch walk + reverse update
+    "q257_knn_graph_insert" -> knnGraphInsertOracle,
+    // graph tombstone: serve over survivor-cut edges/entries/queries
+    "q258_knn_graph_retraction" ->
+      graphSearchOracleWith(c => s"$c % 7 != 0"),
 
     "q141_semdedup" -> semDedupOracle,
 

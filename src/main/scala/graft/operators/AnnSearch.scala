@@ -1137,6 +1137,77 @@ object AnnSearch {
     out
   }
 
+  /** Insert into a standing [[knnGraph]] — the graph member of the
+    * standing-index CRUD family (minhash / IVF / PQ / IVF-PQ have
+    * their duals already): each new vector [[graphTopK]]-searches the
+    * standing graph for its `ef` nearest (the incremental small-world
+    * insert, batched — every new vector walks simultaneously), adopts
+    * its top-k as out-edges, and every DISCOVERED old vertex considers
+    * the finder as a reverse candidate; the union (old edges ∪ reverse
+    * candidates ∪ new edges) is exactly re-scored and re-pruned to k
+    * per vertex. Bounded: an old vertex re-ranks its k edges plus the
+    * new vectors that found it — never the corpus.
+    *
+    * Like real graph indexes (and unlike the IVF/PQ duals), the result
+    * is NOT bit-equal to a from-scratch rebuild — insertion order is
+    * part of the index. It IS deterministic and SQL-unrollable, so the
+    * oracle pins the exact update; the recall contract is spec'd.
+    *
+    * @param graph standing (a_id, nbr_id, …) edges over `build`
+    * @param build (`b_id`, `b_v`) the standing corpus
+    * @param newVecs the arriving batch (`idCol`, `vecCol`), fresh ids
+    * @return the updated graph (a_id, nbr_id, rnk) over build ∪ batch. */
+  def addToKnnGraph(graph: DataFrame, build: DataFrame,
+      newVecs: DataFrame, idCol: String, vecCol: String, k: Int,
+      ef: Int, rounds: Int, nEntries: Int,
+      seed: Long = 42L): DataFrame = {
+    require(ef >= k, s"search width ef=$ef below graph width k=$k")
+    val nv = newVecs.select(col(idCol).as("a_id"), col(vecCol).as("a_v"))
+    val found = graphTopK(nv, build, graph, ef, ef, rounds, nEntries,
+      seed).persist()
+    val newEdges = found.filter(col("rnk") <= k)
+      .select(col("a_id"), col("nbr_id").as("nbr"))
+    val revCand = found.select(col("nbr_id").as("a_id"),
+      col("a_id").as("nbr"))
+    val allVecs = withNorm(
+      build.unionByName(newVecs.select(col(idCol).as("b_id"),
+        col(vecCol).as("b_v"))), "b_v", "b_n")
+    val allEdges = graph.select(col("a_id"), col("nbr_id").as("nbr"))
+      .unionAll(revCand)
+      .unionAll(newEdges)
+      .distinct()
+    val out = allEdges
+      .join(allVecs.select(col("b_id").as("a_id"), col("b_v").as("a_v"),
+        col("b_n").as("a_n")), "a_id")
+      .join(allVecs.select(col("b_id").as("nbr"), col("b_v"),
+        col("b_n")), "nbr")
+      .select(col("a_id"), col("nbr"), (-cosineCol).as("negcos"))
+      .groupBy("a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("nbr"), col("negcos"),
+        k).as("topk"))
+      .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("a_id"), col("p.id").as("nbr_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .localCheckpoint()
+    found.unpersist()
+    out
+  }
+
+  /** Tombstone retraction on a standing [[knnGraph]]: drop every edge
+    * touching a removed id — the shared no-retrain rule ([[
+    * retractFromIvf]]'s). Surviving ranks keep their build-time values
+    * (gaps mark tombstoned slots; serving only reads the edge SET).
+    * Vertices that lost edges degrade gracefully until the next
+    * rebuild cadence, exactly like production graph indexes. */
+  def retractFromKnnGraph(graph: DataFrame, removeIds: DataFrame,
+      idCol: String): DataFrame = {
+    val rm = removeIds.select(col(idCol)).distinct()
+    graph
+      .join(rm.select(col(idCol).as("a_id")), Seq("a_id"), "left_anti")
+      .join(rm.select(col(idCol).as("nbr_id")), Seq("nbr_id"),
+        "left_anti")
+  }
+
   /** Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998) —
     * diversity-aware selection from each query's cosine shortlist:
     *

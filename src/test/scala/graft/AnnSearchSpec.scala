@@ -569,6 +569,31 @@ class AnnSearchSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("knnGraph CRUD: insert integrates the batch bounded and " +
+      "reachable; retraction leaves no edge touching removed ids") {
+    val init = b.filter(col("b_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val g0 = AnnSearch.knnGraph(init, 10, 2, buildK = 10)
+    val g1 = AnnSearch.addToKnnGraph(g0, init, batch, "vec_id",
+      "embedding", k = 10, ef = 10, rounds = 2, nEntries = 8)
+    val rows = g1.collect()
+    assert(rows.groupBy(_.getLong(0)).values.map(_.length).max <= 10)
+    val newIds = batch.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    // every new vertex joined the graph with out-edges...
+    assert(newIds.subsetOf(rows.map(_.getLong(0)).toSet))
+    // ...and the reverse update made at least some of them REACHABLE
+    // from old vertices (a pure out-edge insert would leave them
+    // invisible to future walks)
+    assert(rows.exists(r => newIds.contains(r.getLong(1)) &&
+      !newIds.contains(r.getLong(0))))
+    val retracted = AnnSearch.retractFromKnnGraph(g1,
+      batch.select("vec_id"), "vec_id").collect()
+    assert(retracted.nonEmpty)
+    assert(retracted.forall(r => !newIds.contains(r.getLong(0)) &&
+      !newIds.contains(r.getLong(1))))
+  }
+
   private def exactCosTopK(k: Int): Map[Long, Seq[Long]] = {
     val vecs = emb.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
