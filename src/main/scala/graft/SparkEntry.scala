@@ -3758,6 +3758,15 @@ object SparkEntry {
   /** q141 SemDeDup cosine threshold (q26's corpus-calibrated 0.4). */
   private val SemTau = 0.4
 
+  /** DuckDB-side exact dot/cosine folds shared by the graph-family
+    * oracle builders (q252/q253/q256/q257/q258) — ONE text, so the
+    * engine-parity contract cannot drift per copy. */
+  private def dotSql(x: String, y: String): String =
+    s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
+      "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+  private def cosSql: String =
+    s"${dotSql("ea", "eb")} / sqrt(${dotSql("ea", "ea")} * ${dotSql("eb", "eb")})"
+
   /** q252 NN-Descent geometry: the graph refines at buildK = 20 wide
     * and the emit cuts to [[AnnK]] (build-K > query-k — the paper's
     * K-sensitivity lever; at k=5 on this near-isotropic corpus the
@@ -3771,10 +3780,7 @@ object SparkEntry {
     * Candidates are a SET (DISTINCT), so join multiplicity cannot
     * matter; ranks tie by neighbor id — identical to the engine heap. */
   private def knnGraphOracle: String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
-        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    def cos = s"${dot("ea", "eb")} / sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")})"
+    val cos = cosSql
     // concatenated, NOT interpolated into a stripMargin template: the
     // CTE body contains `|| ':' ||` lines that a second stripMargin
     // pass would mangle into single `|`s
@@ -3794,10 +3800,7 @@ object SparkEntry {
     * the initial generation only); `pall` always carries every vector
     * so serve-side queries outside the build corpus can score. */
   private def knnGraphCtes(buildCond: String = "TRUE"): String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
-        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    def cos = s"${dot("ea", "eb")} / sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")})"
+    val cos = cosSql
     val rounds = (1 to KgIters).map { r =>
       val prev = s"g${r - 1}"
       s"""bn$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
@@ -3848,10 +3851,7 @@ object SparkEntry {
     * entries, queries, and the walked edge set (`lg`) are all cut to
     * survivors, exactly the engine's retract-then-serve. */
   private def graphSearchOracleWith(live: String => String): String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
-        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    def cos = s"${dot("ea", "eb")} / sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")})"
+    val cos = cosSql
     val walk = (1 to GsRounds).map { r =>
       val prev = s"sb${r - 1}"
       s"""sx$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
@@ -3896,10 +3896,7 @@ object SparkEntry {
     * the graph's K — the engine searches at ef = buildK), the reverse
     * update, and the exact re-prune to K per vertex. */
   private def knnGraphInsertOracle: String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
-        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    def cos = s"${dot("ea", "eb")} / sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")})"
+    val cos = cosSql
     val walk = (1 to GsRounds).map { r =>
       val prev = s"sb${r - 1}"
       s"""sx$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
@@ -3946,10 +3943,7 @@ object SparkEntry {
     * kept at cos ≥ [[SemTau]], then q44's recursive-CTE min-id
     * component closure over the symmetrized edge set. */
   private def graphSemDedupOracle: String = {
-    def dot(x: String, y: String) =
-      s"list_sum(list_transform(list_zip($x.embedding, $y.embedding), " +
-        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    def cos = s"${dot("ea", "eb")} / sqrt(${dot("ea", "ea")} * ${dot("eb", "eb")})"
+    val cos = cosSql
     val close =
       s"""ge AS MATERIALIZED (SELECT c.a_id AS src, c.nbr AS dst
          |  FROM g$KgIters c JOIN p ea ON ea.id = c.a_id
@@ -6964,7 +6958,7 @@ object SparkEntry {
         |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS y
         |  FROM embeddings
         |  WHERE embedding[1] IS NOT NULL
-        |    AND NOT isnan(CAST(embedding[1] AS DOUBLE))),
+        |    AND isfinite(CAST(embedding[1] AS DOUBLE))),
         |mm AS (SELECT min(sc) AS mn, max(sc) AS mx FROM s),
         |b AS (SELECT CASE WHEN mx = mn THEN 0
         |    ELSE least(CAST(floor((sc - mn) / (mx - mn) * 1024.0)

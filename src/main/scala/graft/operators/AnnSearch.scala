@@ -526,6 +526,45 @@ object AnnSearch {
     * @param queries (`a_id`, `a_v`); @param codes [[pqEncode]] output.
     * @return (a_id, nbr_id, rnk) by ascending approximate d², ties by
     *   id (deterministic). */
+  /** Quantized ADC distance-table UDF shared by the plain-PQ and
+    * composed IVF-PQ serve paths: per subspace, floor(d²·1e9 + 0.5)
+    * BIGINT distances to every sub-centroid (integer-exact sums,
+    * engine-portable; overflow bound Σ_m d² < 9.2e9 — see the
+    * quantization note at the [[pqTopK]] call site). ONE body so the
+    * two paths cannot drift. */
+  private def adcTableUdf(cbv: Array[Array[Array[Double]]], subLen: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((rv: Seq[Double]) =>
+      cbv.zipWithIndex.map { case (cs, sIdx) =>
+        cs.map { cv =>
+          var d = 0.0
+          var i = 0
+          while (i < cv.length) {
+            val diff = rv(sIdx * subLen + i) - cv(i); d += diff * diff
+            i += 1
+          }
+          math.floor(d * 1e9 + 0.5).toLong
+        }
+      })
+
+  /** Exact-L2 re-rank of an (a_id, b_id) shortlist against full
+    * vectors — the shared closing pass of [[pqTopKRerank]] and
+    * [[ivfPqTopK]]: only |Q|·shortlist vectors are fetched. */
+  private def exactRerankL2(cand: DataFrame, queries: DataFrame,
+      build: DataFrame, k: Int): DataFrame = {
+    val d2 = VectorExpressions.squaredL2(
+      col("a_v").cast("array<double>"), col("b_v").cast("array<double>"))
+    cand.join(build, "b_id")
+      .join(queries, "a_id")
+      .select(col("a_id"), col("b_id"), d2.as("d2"))
+      .groupBy("a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("b_id"), col("d2"), k)
+        .as("topk"))
+      .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+      .select(col("a_id"), col("p.id").as("nbr_id"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   def pqTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
       k: Int): DataFrame = {
     val cb = collectPqCodebook(codebook)
@@ -537,17 +576,7 @@ object AnnSearch {
     // while ranking is unchanged beyond the 1e-9 quantum (ADC is a
     // shortlist heuristic; ties already broke by id). Overflow bound:
     // Σ_m d²_m < 9.2e9, i.e. vector coordinates up to ~1e4 at 64 dims.
-    val dtab = udf((av: Seq[Double]) =>
-      cbv.zipWithIndex.map { case (cents, s) =>
-        cents.map { cv =>
-          var d = 0.0
-          var i = 0
-          while (i < cv.length) {
-            val diff = av(s * subLen + i) - cv(i); d += diff * diff; i += 1
-          }
-          math.floor(d * 1e9 + 0.5).toLong
-        }
-      })
+    val dtab = adcTableUdf(cbv, subLen)
     val approxD2 = cb.indices.map { s =>
       element_at(element_at(col("__dtab"), s + 1),
         element_at(col("codes"), s + 1))
@@ -583,19 +612,10 @@ object AnnSearch {
   def pqTopKRerank(queries: DataFrame, build: DataFrame, codes: DataFrame,
       codebook: DataFrame, k: Int, shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist $shortlist < k $k")
-    val cand = pqTopK(queries, codes, codebook, shortlist)
-      .select(col("a_id"), col("nbr_id").as("b_id"))
-    val d2 = VectorExpressions.squaredL2(
-      col("a_v").cast("array<double>"), col("b_v").cast("array<double>"))
-    cand.join(build, "b_id")
-      .join(queries, "a_id")
-      .select(col("a_id"), col("b_id"), d2.as("d2"))
-      .groupBy("a_id")
-      .agg(graft.functions.TopKByScore.topkMin(col("b_id"), col("d2"), k)
-        .as("topk"))
-      .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
-      .select(col("a_id"), col("p.id").as("nbr_id"),
-        (col("pos") + 1).cast("int").as("rnk"))
+    exactRerankL2(
+      pqTopK(queries, codes, codebook, shortlist)
+        .select(col("a_id"), col("nbr_id").as("b_id")),
+      queries, build, k)
   }
 
   // ------- Composed IVF-PQ: the production serving index shape -------
@@ -678,17 +698,7 @@ object AnnSearch {
     // per-(query, probed cell) ADC table over the RESIDUAL in that cell
     // — quantized to floor(d²·1e9 + 0.5) longs exactly like pqTopK, so
     // the m-term sums are integer-exact and engine-portable
-    val dtab = udf((rv: Seq[Double]) =>
-      cbv.zipWithIndex.map { case (cs, s) =>
-        cs.map { cv =>
-          var d = 0.0
-          var i = 0
-          while (i < cv.length) {
-            val diff = rv(s * subLen + i) - cv(i); d += diff * diff; i += 1
-          }
-          math.floor(d * 1e9 + 0.5).toLong
-        }
-      })
+    val dtab = adcTableUdf(cbv, subLen)
     val probes = probeCells(queries, build, cents, nProbe)
       .select(col("a_id"), col("c_id"),
         zip_with(col("a_v").cast("array<double>"),
@@ -711,17 +721,7 @@ object AnnSearch {
         shortlist).as("topk"))
       .select(col("a_id"), explode(col("topk")).as("p"))
       .select(col("a_id"), col("p.id").as("b_id"))
-    val d2 = VectorExpressions.squaredL2(
-      col("a_v").cast("array<double>"), col("b_v").cast("array<double>"))
-    sl.join(build, "b_id")
-      .join(queries, "a_id")
-      .select(col("a_id"), col("b_id"), d2.as("d2"))
-      .groupBy("a_id")
-      .agg(graft.functions.TopKByScore.topkMin(col("b_id"), col("d2"), k)
-        .as("topk"))
-      .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
-      .select(col("a_id"), col("p.id").as("nbr_id"),
-        (col("pos") + 1).cast("int").as("rnk"))
+    exactRerankL2(sl, queries, build, k)
   }
 
   /** Tombstone retraction on the composed index — a code row derives
@@ -1032,6 +1032,10 @@ object AnnSearch {
         "npos")
       .filter(col("a_id") =!= col("nbr"))
       .select(col("a_id"), col("nbr"))
+      // two hash draws can land on the same position — dedup HERE, not
+      // just in the rounds, or iters=0 emits duplicate (a_id, nbr) rows
+      // at consecutive ranks (the heap has no id dedup)
+      .distinct()
     val scoreTopK = (cand: DataFrame, keep: Int) => cand
       .join(vecs.select(col("b_id").as("a_id"), col("b_v").as("a_v"),
         col("b_n").as("a_n")), "a_id")
@@ -1058,11 +1062,16 @@ object AnnSearch {
         .select(col("a_id"), col("p.id").as("nbr"))
         .localCheckpoint() // cut per-round lineage, like the CC loop
     }
+    // materialize the emit BEFORE releasing the caches — unpersisting
+    // under a still-lazy plan would force the widest scoring join to
+    // recompute vecs (build scan + norms, twice) at the caller's action
     val out = scoreTopK(g, k)
       .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
       .select(col("a_id"), col("p.id").as("nbr_id"),
         (col("pos") + 1).cast("int").as("rnk"))
+      .localCheckpoint()
     vecs.unpersist()
+    ranked.unpersist()
     out
   }
 
@@ -1085,7 +1094,10 @@ object AnnSearch {
     *
     * @param graph (a_id, nbr_id, …) edge list — [[knnGraph]] output
     * @param ef beam width (≥ k); @param nEntries entry points (≤ ef
-    *   keeps round 0 a pure scoring pass)
+    *   keeps round 0 a pure scoring pass). Use ≥ 2 when queries can be
+    *   corpus members: with a single entry point, a query that IS that
+    *   entry self-filters to an empty beam and is absent from the
+    *   output (no rows, not an error)
     * @return (a_id, nbr_id, rnk) — rnk 1..k by cosine desc, ties by id. */
   def graphTopK(queries: DataFrame, build: DataFrame, graph: DataFrame,
       k: Int, ef: Int, rounds: Int, nEntries: Int,
@@ -1128,10 +1140,13 @@ object AnnSearch {
         .select(col("a_id"), col("p.id").as("nbr"))
         .localCheckpoint() // cut per-round lineage, like the CC loop
     }
+    // materialize the emit BEFORE releasing the caches (the knnGraph
+    // rule): the final top-k scoring must not re-derive vecs/qv
     val out = topEf(beam, k)
       .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
       .select(col("a_id"), col("p.id").as("nbr_id"),
         (col("pos") + 1).cast("int").as("rnk"))
+      .localCheckpoint()
     vecs.unpersist()
     qv.unpersist()
     out

@@ -84,10 +84,20 @@ object GlobalIndex {
     *     the shuffle-partition setting, never by data volume);
     *  4. broadcast the offsets back: row_num = offset(pid) + local.
     *
-    * Both consumers of the range exchange (the local ranking and the
-    * count) are identical subplans inside the one returned DAG, so the
-    * exchange is planned once and reused — the pid stamping cannot
-    * disagree between them.
+    * CORRECTNESS PRECONDITION — exchange reuse: the local ranking and
+    * the count are two SQL branches of the same `repartitionByRange`,
+    * merged into one physical shuffle by Spark's exchange-reuse rule
+    * (canonically-equal subplans; on by default, and the same flag
+    * gates AQE stage reuse). Were each branch to execute its own
+    * shuffle, range boundaries would be re-sampled under a different
+    * seed and boundary rows could be stamped different pids —
+    * duplicated/skipped numbers with no error. Structural sharing
+    * cannot be had lazily (under AQE both `Dataset.rdd` and even
+    * `localCheckpoint(eager = false)` finalize the stages EAGERLY —
+    * measured three construction-time jobs, defeating this method's
+    * purpose), so when `spark.sql.exchange.reuse` is disabled this
+    * method falls back to the eager [[rowNumbers]], trading the
+    * deferred execution for unconditional correctness.
     *
     * `sortCols` must be a total order, as in [[rowNumbers]]. */
   def rowNumbersLazy(df: DataFrame, sortCols: Seq[String],
@@ -95,6 +105,9 @@ object GlobalIndex {
     require(sortCols.nonEmpty, "rowNumbersLazy needs at least one sort column")
     require(!df.columns.exists(_.equalsIgnoreCase(outCol)),
       s"input already has a column named $outCol — rename it first")
+    if (!df.sparkSession.conf.get("spark.sql.exchange.reuse", "true")
+        .toBoolean)
+      return rowNumbers(df, sortCols, outCol, numPartitions)
     val keys = sortCols.map(col)
     val ranged = numPartitions match {
       case Some(np) => df.repartitionByRange(np, keys: _*)

@@ -146,17 +146,20 @@ object Stats {
     * order (spec-pinned: bin width ≤ 1 on integer scores reproduces
     * [[auc]] exactly) and within O(1/nBins) of it otherwise.
     *
-    * NaN scores are excluded alongside NULLs (a NaN would poison the
-    * min/max bounds). A degenerate score (min == max) puts every row
-    * in bin 0 — AUC 0.5 by tie correction, the right answer for a
-    * constant ranking. */
+    * Non-finite scores (NaN AND ±Infinity) are excluded alongside
+    * NULLs — an Infinity would poison the min/max bounds just like a
+    * NaN (one +Inf makes every finite width computation collapse into
+    * bin 0 and the AUC silently degenerate). A degenerate score
+    * (min == max) puts every row in bin 0 — AUC 0.5 by tie
+    * correction, the right answer for a constant ranking. */
   def aucBinned(df: DataFrame, positive: Column, score: Column,
       nBins: Int = 10000): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val src = df
       .select(score.cast("double").as("s"),
         when(positive, 1L).otherwise(0L).as("y"))
-      .filter(col("s").isNotNull && !isnan(col("s")))
+      .filter(col("s").isNotNull && !isnan(col("s")) &&
+        abs(col("s")) =!= lit(Double.PositiveInfinity))
     val mm = src.agg(min("s").as("mn"), max("s").as("mx"))
     aucCore(src.crossJoin(broadcast(mm))
       .select(

@@ -94,6 +94,30 @@ class GlobalIndexSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("rowNumbersLazy stays correct with exchange reuse disabled " +
+      "(falls back to the eager single-lineage path)") {
+    // the lazy plan's two branches are only merged into one shuffle by
+    // the exchange-reuse rule; with it off, rowNumbersLazy must route
+    // through rowNumbers rather than risk re-sampled boundaries
+    // stamping branch-inconsistent pids
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.exchange.reuse", "false")
+    val df = s2.range(0, 1000).toDF("id")
+      .repartition(9)
+      // heavy ties: only 4 distinct k values, so range boundaries MUST
+      // split tied runs — the exact case where re-sampled boundaries
+      // could disagree
+      .select(col("id"), pmod(crc32(col("id").cast("string")), lit(4))
+        .as("k"))
+    val got = GlobalIndex.rowNumbersLazy(df, Seq("k", "id"), "rn")
+      .select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = GlobalIndex.rowNumbers(df, Seq("k", "id"), "rn")
+      .select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("rowNumbersLazy handles empty input") {
     val empty = spark.range(0, 0).toDF("id")
       .select(col("id"), md5(col("id").cast("string")).as("k"))

@@ -404,13 +404,16 @@ class StatsSpec extends SparkSpec {
       spark.createDataFrame(Seq((1.0, true), (1.0, false), (1.0, true)))
         .toDF("s", "pos"), col("pos"), col("s")).collect()(0)
     assert(const.getDouble(0) == 0.5)
-    // NaN scores are excluded like NULLs, not ranked
-    val withNan = Stats.aucBinned(
+    // NaN AND ±Infinity scores are excluded like NULLs, not ranked —
+    // an Inf would otherwise poison the min/max bounds and collapse
+    // every finite row into bin 0
+    val withBad = Stats.aucBinned(
       spark.createDataFrame(Seq((0.1, false), (0.9, true),
-        (Double.NaN, false))).toDF("s", "pos"),
+        (Double.NaN, false), (Double.PositiveInfinity, false),
+        (Double.NegativeInfinity, true))).toDF("s", "pos"),
       col("pos"), col("s")).collect()(0)
-    assert(withNan.getDouble(0) == 1.0 &&
-      withNan.getLong(1) == 1 && withNan.getLong(2) == 1)
+    assert(withBad.getDouble(0) == 1.0 &&
+      withBad.getLong(1) == 1 && withBad.getLong(2) == 1)
   }
 
   test("winsorizedMean: clips at exact quartiles, hand-checked") {
