@@ -2186,6 +2186,18 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
+    // Chunk-embedding mean pooling: one vector per parent doc from its
+    // chunks' embeddings (vec_id mod 100 groups as the synthetic
+    // parent) — quantized-integer per-dim sums, so the pooled values
+    // are shuffle-order-free and engine-exact
+    "q259_chunk_pool" -> ((s, dir) =>
+      operators.Features.meanPoolEmbeddings(
+        t(s, dir, "embeddings").select(
+          pmod(col("vec_id"), lit(100L)).as("doc"), col("embedding")),
+        "doc", "embedding")
+        .select(col("grp").as("doc"), col("pos"), col("pooled"),
+          col("n_chunks"))),
+
     // Graph-based SemDeDup: the k-NN graph AS the near-dup candidate
     // generator — standing edges rescored exactly, kept at cos ≥ 0.4
     // (q26's corpus-calibrated τ), closed into dup groups by the CC
@@ -7710,6 +7722,16 @@ object SparkEntry {
     // graph SemDeDup: graph edges rescored + thresholded, then the
     // q44 recursive-CTE component closure
     "q256_graph_semdedup" -> graphSemDedupOracle,
+
+    // chunk pooling: quantized-integer per-dim means, unrounded close
+    "q259_chunk_pool" ->
+      """SELECT vec_id % 100 AS doc, CAST(u.i AS INTEGER) AS pos,
+        |  CAST(sum(CAST(round(CAST(embedding[u.i + 1] AS DOUBLE)
+        |      * 1000000) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) / 1000000.0 AS pooled,
+        |  CAST(count(*) AS BIGINT) AS n_chunks
+        |FROM embeddings, unnest(range(len(embedding))) AS u(i)
+        |GROUP BY 1, 2""".stripMargin,
 
     // graph insert: initial-corpus build + batch walk + reverse update
     "q257_knn_graph_insert" -> knnGraphInsertOracle,

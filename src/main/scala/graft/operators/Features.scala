@@ -151,4 +151,29 @@ object Features {
       .select(col("grp"), col("id"), col("v"), col("qn"))
   }
 
+
+  /** Mean-pool chunk embeddings into one vector per parent — how a long
+    * document gets ONE embedding from its chunks' (the q40 chunking
+    * step's dual; pooled doc vectors then feed dedup/ANN/clustering).
+    * Exact arithmetic: components quantize to round(v·1e6) longs, the
+    * per-dimension sum is an exact INTEGER aggregate — a raw double sum
+    * would drift with partitioning/shuffle order — closed by two fixed
+    * double divisions (the Lloyd-mean discipline), so the pooled value
+    * is bit-reproducible in any engine.
+    *
+    * Scale shape: one position explode + one (grp, pos) hash aggregate
+    * — partial map-side, dims·|rows| narrow rows through a single
+    * exchange. Output exploded per dimension (scalar columns — parquet
+    * and oracle friendly, like jlProject's).
+    *
+    * @return (grp, pos 0-based, pooled UNROUNDED, n_chunks). */
+  def meanPoolEmbeddings(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(groupCol).as("grp"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy("grp", "pos")
+      .agg(
+        (sum(round(col("v") * 1e6).cast("long")).cast("double")
+          / count(lit(1)).cast("double") / lit(1e6)).as("pooled"),
+        count(lit(1)).as("n_chunks"))
 }

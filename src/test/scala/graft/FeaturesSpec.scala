@@ -89,4 +89,23 @@ class FeaturesSpec extends SparkSpec {
       .map { case (g, rs) => g -> rs.map(_.getLong(3)).sorted.toSeq }
     assert(byG("a") == byG("b"))
   }
+
+  test("meanPoolEmbeddings: hand-checked means, partitioning-invariant") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (1L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f)), (1L, Seq(5.0f, 0.0f)),
+      (2L, Seq(0.5f, -0.5f)))
+    def pooled(parts: Int) = graft.operators.Features.meanPoolEmbeddings(
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, parts))
+          .toDF("doc", "vec"), "doc", "vec")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    val got = pooled(1)
+    assert(got((1L, 0)) == ((3.0, 3L)) && got((1L, 1)) == ((2.0, 3L)))
+    assert(got((2L, 0)) == ((0.5, 1L)) && got((2L, 1)) == ((-0.5, 1L)))
+    // exact integer sums make the pooled doubles partitioning-free
+    assert(pooled(4) == got)
+  }
 }
