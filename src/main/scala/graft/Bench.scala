@@ -169,8 +169,7 @@ object Bench {
     // regression re-runs just as slow and stands; noise melts.
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_full.json")
-    val prevMins: Map[String, Double] = {
-      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", fullOut)
+    def parseMins(path: String): Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(
           java.nio.file.Paths.get(path))
@@ -187,6 +186,18 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble)
         (flat ++ diag).toMap.filter(_._2 >= 0)
       } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // cross-round reference (round-9 lesson: a regression that lands in a
+    // MID-round sweep is already inside the committed BENCH_full.json by
+    // round close, so comparing against that file alone can never flag
+    // it). BENCH_full_prev.json is the PREVIOUS round's final sweep,
+    // refreshed at each round close — a query is adjudicated if it's >2x
+    // the BETTER of the two references.
+    val prevMins: Map[String, Double] = {
+      val cur = parseMins(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", fullOut))
+      val lastRound = parseMins("/root/repo/BENCH_full_prev.json")
+      (cur.keySet ++ lastRound.keySet).map { k =>
+        k -> (cur.get(k).toSeq ++ lastRound.get(k).toSeq).min
+      }.toMap
     }
     val adjudicated =
       scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double,
@@ -209,6 +220,13 @@ object Bench {
               System.err.println(f"[bench] $name adjudication disagreement" +
                 f" >2x: first=$first%.2f rerun=$rerun%.2f — sweep-order" +
                 " artifact, rerun recorded")
+            else if (rerun > 2 * first)
+              // symmetric case: an anomalously SLOW rerun (GC pause,
+              // thermal throttle) would otherwise stand as the recorded
+              // value with no visible warning
+              System.err.println(f"[bench] $name adjudication disagreement" +
+                f" >2x: rerun=$rerun%.2f vs first=$first%.2f — noisy" +
+                " rerun, recorded value is suspect")
             else
               System.err.println(f"[bench] $name adjudicated: " +
                 f"first=$first%.2f rerun=$rerun%.2f prev=$p%.2f")

@@ -213,7 +213,15 @@ object ClusterParity {
       s""""$n":{"match":$ok,"local":"$bs","cluster":"$ds",""" +
         s""""local_sec":$bt,"cluster_sec":$dt}"""
     }.mkString(",")
-    val out = s"""{"parity":$allOk,"master":"$clusterMaster",$detail}"""
+    // the artifact states the heavy workload's status explicitly: a
+    // reader of a run without it must see "opt-in", not infer "dropped"
+    val heavyNote =
+      if (selected.exists(_._1 == "dbscan_synth5m")) ""
+      else
+        ""","dbscan_synth5m":"opt-in via SPARK_GRAFT_PARITY_HEAVY=1 — """ +
+          """not run in this sweep (last bit-equal run: round 8)""""
+    val out =
+      s"""{"parity":$allOk,"master":"$clusterMaster",$detail$heavyNote}"""
     println(out)
     // persist the artifact directly (earlier rounds hand-captured
     // stdout); SPARK_GRAFT_PARITY_OUT overrides, empty disables

@@ -2223,6 +2223,117 @@ object SparkEntry {
           col("is_survivor"))
     }),
 
+    // ---- Standing-index DURABILITY (q260-q264): the restart half of
+    // the build-once / serve-many contract, one row per index family.
+    // Each builds its index, SAVES it under IndexStore's
+    // commit-manifest protocol, LOADS it back (parquet round-trip — no
+    // lineage to the building plans, exactly a restarted session), and
+    // serves from the loaded artifacts. The oracle is the family's
+    // UNCHANGED serve oracle: any drift the round-trip introduced
+    // (schema, value, ordering) breaks the hash. Crash-safety (a save
+    // that dies mid-write refuses to load) is IndexStoreSpec's.
+
+    // IVF: centroid table + vector table → ivfTopKPrebuilt (q23 oracle)
+    "q260_ivf_persist" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val cents = AnnSearch.centroids(b, IvfCents)
+      val p = java.nio.file.Files.createTempDirectory("graft_ivf")
+      try {
+        operators.IndexStore.saveIvf(p.toString, cents, b, IvfCents,
+          iters = 2, seed = 42L)
+        val (lc, lv) = operators.IndexStore.loadIvf(s, p.toString,
+          IvfCents, iters = 2, seed = 42L)
+        // localCheckpoint materializes the loaded tables so the temp
+        // dir can be deleted eagerly (the q235 discipline)
+        AnnSearch.ivfTopKPrebuilt(q, lv.localCheckpoint(), AnnK,
+            lc.localCheckpoint(), IvfProbe)
+          .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+      } finally Workloads.deleteTree(p.toString)
+    }),
+
+    // PQ: codebook + codes → pqTopKRerank (q75 oracle)
+    "q261_pq_persist" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qd = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val cb = AnnSearch.pqCodebook(bd, m = PqM, nCentroids = PqNc)
+      val codes = AnnSearch.pqEncode(e, "vec_id", "embedding", cb)
+      val p = java.nio.file.Files.createTempDirectory("graft_pq")
+      try {
+        operators.IndexStore.savePq(p.toString, cb, codes, PqM, PqNc,
+          iters = 2, seed = 42L)
+        val (lcb, lcodes) = operators.IndexStore.loadPq(s, p.toString,
+          PqM, PqNc, iters = 2, seed = 42L)
+        AnnSearch.pqTopKRerank(qd, bd, lcodes.localCheckpoint(),
+            lcb.localCheckpoint(), AnnK, shortlist = PqShortlist)
+          .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+      } finally Workloads.deleteTree(p.toString)
+    }),
+
+    // composed IVF-PQ: all three artifacts → ivfPqTopK (q247 oracle)
+    "q262_ivfpq_persist" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qd = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val (cents, cb, codes) = AnnSearch.ivfPqIndex(bd, IvfCents, PqM, PqNc)
+      val p = java.nio.file.Files.createTempDirectory("graft_ivfpq")
+      try {
+        operators.IndexStore.saveIvfPq(p.toString, cents, cb, codes,
+          IvfCents, PqM, PqNc, iters = 2, seed = 42L)
+        val (lc, lcb, lcodes) = operators.IndexStore.loadIvfPq(s,
+          p.toString, IvfCents, PqM, PqNc, iters = 2, seed = 42L)
+        AnnSearch.ivfPqTopK(qd, bd, lcodes.localCheckpoint(),
+            lc.localCheckpoint(), lcb.localCheckpoint(), AnnK, IvfProbe,
+            PqShortlist)
+          .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+      } finally Workloads.deleteTree(p.toString)
+    }),
+
+    // minhash: the persisted index → minHashJoinAgainst probe; store =
+    // doc_id % 3 != 2, probe = % 3 == 2 (q239's grown-store oracle —
+    // an index row derives from its doc alone, so one build over the
+    // full store equals q239's build-then-append bit for bit)
+    "q263_minhash_persist" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = operators.Dedup.minHashIndex(
+        d.filter(col("doc_id") % 3 =!= 2), "doc_id", "text", 3)
+      val p = java.nio.file.Files.createTempDirectory("graft_mh")
+      try {
+        operators.IndexStore.saveMinHash(p.toString, idx, shingleN = 3,
+          numHashes = 64)
+        val loaded = operators.IndexStore.loadMinHash(s, p.toString, 3, 64)
+          .localCheckpoint()
+        operators.Dedup.minHashJoinAgainst(loaded,
+          d.filter(col("doc_id") % 3 === 2), "doc_id", "text", 3, 0.5)
+      } finally Workloads.deleteTree(p.toString)
+    }),
+
+    // k-NN graph: the persisted edge table → graphTopK beam serve
+    // (q253 oracle)
+    "q264_graph_persist" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val qd = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val g = operators.AnnSearch.knnGraph(bd, k = KgBuildK,
+        iters = KgIters, buildK = KgBuildK)
+      val p = java.nio.file.Files.createTempDirectory("graft_kg")
+      try {
+        operators.IndexStore.saveKnnGraph(p.toString, g, KgBuildK,
+          KgIters, seed = 42L)
+        val lg = operators.IndexStore.loadKnnGraph(s, p.toString,
+          KgBuildK, KgIters, seed = 42L).localCheckpoint()
+        operators.AnnSearch.graphTopK(qd, bd, lg, AnnK, GsEf, GsRounds,
+            nEntries = GsEf)
+          .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+      } finally Workloads.deleteTree(p.toString)
+    }),
+
     // Multi-probe LSH (Lv et al. 2007): 4 tables × 3 probes — each
     // query also checks the buckets across its 2 nearest hyperplanes.
     // Standing index is HALF of q140's (4 tables' signatures) at
@@ -3835,7 +3946,7 @@ object SparkEntry {
        |rk AS MATERIALIZED (SELECT id,
        |    row_number() OVER (ORDER BY id) AS pos
        |  FROM p),
-       |g0 AS MATERIALIZED (SELECT a.id AS a_id, b.id AS nbr
+       |g0 AS MATERIALIZED (SELECT DISTINCT a.id AS a_id, b.id AS nbr
        |  FROM rk a, unnest(range(1, ${KgBuildK + 1})) AS u(j), rk b
        |  WHERE b.pos = CAST('0x' || substr(md5(CAST(a.id AS VARCHAR)
        |      || ':' || CAST(u.j AS VARCHAR) || ':42'), 1, 12) AS BIGINT)
@@ -4016,6 +4127,25 @@ object SparkEntry {
     * folds, Lloyd means are round(v·1e6) integer sums closed by two
     * double divisions, and every argmin/argmax tie breaks on the same
     * id/cid the engine's kernels use. */
+  /** Probe batch (% 3 = 2) against the % 3 != 2 store — naive
+    * cross-pair Jaccard. Shared by q239 (build-then-append store) and
+    * q263 (persisted store): an index row derives from its doc alone,
+    * so both stores hold identical rows. */
+  private def minhashProbeOracle: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
+      |         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS toks
+      |       FROM w)
+      |SELECT new_id, idx_id, jac FROM (
+      |  SELECT a.doc_id AS new_id, b.doc_id AS idx_id,
+      |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      |      / (len(a.toks) + len(b.toks)
+      |         - len(list_intersect(a.toks, b.toks))) AS jac
+      |  FROM sh a JOIN sh b
+      |    ON a.doc_id % 3 = 2 AND b.doc_id % 3 != 2) p
+      |WHERE jac >= 0.5""".stripMargin
+
   private def ivfOracle: String = ivfOracleWith("TRUE")
 
   /** q23's full-pipeline IVF oracle, with `serveCond` filtering the
@@ -5475,20 +5605,7 @@ object SparkEntry {
 
     // append dual of q233: probe batch (% 3 = 2) vs the GROWN store
     // (original % 3 = 0 plus appended % 3 = 1)
-    "q239_index_append" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
-        |           FROM documents),
-        |sh AS (SELECT doc_id, list_distinct(list_transform(range(len(ws) - 2),
-        |         i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS toks
-        |       FROM w)
-        |SELECT new_id, idx_id, jac FROM (
-        |  SELECT a.doc_id AS new_id, b.doc_id AS idx_id,
-        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        |      / (len(a.toks) + len(b.toks)
-        |         - len(list_intersect(a.toks, b.toks))) AS jac
-        |  FROM sh a JOIN sh b
-        |    ON a.doc_id % 3 = 2 AND b.doc_id % 3 != 2) p
-        |WHERE jac >= 0.5""".stripMargin,
+    "q239_index_append" -> minhashProbeOracle,
     "q75_ann_pq" -> pqOracle,
 
     // PQ tombstone: ADC candidates filtered, codebook unchanged
@@ -7738,6 +7855,15 @@ object SparkEntry {
     // graph tombstone: serve over survivor-cut edges/entries/queries
     "q258_knn_graph_retraction" ->
       graphSearchOracleWith(c => s"$c % 7 != 0"),
+
+    // standing-index durability (q260-q264): save → load → serve must
+    // equal the in-memory serve, so each reuses its family's serve
+    // oracle verbatim — any round-trip drift breaks the hash
+    "q260_ivf_persist" -> ivfOracle,
+    "q261_pq_persist" -> pqOracle,
+    "q262_ivfpq_persist" -> ivfPqOracle,
+    "q263_minhash_persist" -> minhashProbeOracle,
+    "q264_graph_persist" -> graphSearchOracle,
 
     "q141_semdedup" -> semDedupOracle,
 

@@ -161,4 +161,132 @@ object TopKByScore {
   def topkMin(id: Column, score: Column, k: Int): Column =
     column(TopKByScore(expression(id), expression(score), k)
       .toAggregateExpression())
+
+  /** Column API: [[TopKByScoreLong]] aggregate — exact-integer scores. */
+  def topkMinLong(id: Column, score: Column, k: Int): Column =
+    column(TopKByScoreLong(expression(id), expression(score), k)
+      .toAggregateExpression())
+}
+
+/** [[TopKByScore]] with an exact LONG score: for integer-valued scores
+  * (quantized ADC sums, scaled distances) that may exceed 2^53, where the
+  * double heap's rounding could collapse distinct scores and diverge from
+  * an exact-BIGINT oracle ordering. Same heap, same (score, id) tie rule;
+  * output struct score field is `long`. */
+case class TopKByScoreLong(
+    idExpr: Expression,
+    scoreExpr: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKByScoreLong.Heap] {
+
+  require(k >= 1, "k must be >= 1")
+
+  override def children: Seq[Expression] = Seq(idExpr, scoreExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): TopKByScoreLong.Heap =
+    new TopKByScoreLong.Heap(k)
+
+  override def update(buf: TopKByScoreLong.Heap,
+      input: InternalRow): TopKByScoreLong.Heap = {
+    val idV = idExpr.eval(input)
+    val scV = scoreExpr.eval(input)
+    if (idV != null && scV != null)
+      buf.push(idV.asInstanceOf[Long], scV.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: TopKByScoreLong.Heap,
+      b: TopKByScoreLong.Heap): TopKByScoreLong.Heap = {
+    b.foreach((id, sc) => a.push(id, sc))
+    a
+  }
+
+  override def eval(buf: TopKByScoreLong.Heap): Any = {
+    val arr = buf.sortedAsc
+    new GenericArrayData(arr.map { case (id, sc) => InternalRow(id, sc) })
+  }
+
+  override def serialize(buf: TopKByScoreLong.Heap): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach((id, sc) => { bb.putLong(id); bb.putLong(sc) })
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKByScoreLong.Heap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val h = new TopKByScoreLong.Heap(k)
+    var i = 0
+    while (i < n) { h.push(bb.getLong, bb.getLong); i += 1 }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKByScoreLong =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKByScoreLong =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(idExpr = newChildren(0), scoreExpr = newChildren(1))
+  override def prettyName: String = "topk_by_score_long"
+}
+
+object TopKByScoreLong {
+  /** [[TopKByScore.Heap]] over exact long scores — no NaN/−0.0 cases, so
+    * the comparator is plain Long ordering. */
+  final class Heap(k: Int) {
+    private val ids = new Array[Long](k)
+    private val scores = new Array[Long](k)
+    var size: Int = 0
+
+    private def worse(i: Int, j: Int): Boolean =
+      scores(i) > scores(j) || (scores(i) == scores(j) && ids(i) > ids(j))
+    private def worseThanRoot(id: Long, sc: Long): Boolean =
+      sc > scores(0) || (sc == scores(0) && id > ids(0))
+    private def swap(i: Int, j: Int): Unit = {
+      val ti = ids(i); ids(i) = ids(j); ids(j) = ti
+      val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+    }
+
+    def push(id: Long, sc: Long): Unit = {
+      if (size < k) {
+        ids(size) = id; scores(size) = sc; size += 1
+        var c = size - 1
+        while (c > 0 && worse(c, (c - 1) / 2)) { swap(c, (c - 1) / 2); c = (c - 1) / 2 }
+      } else if (!worseThanRoot(id, sc)) {
+        ids(0) = id; scores(0) = sc
+        var p = 0
+        var done = false
+        while (!done) {
+          val l = 2 * p + 1; val r = 2 * p + 2
+          var m = p
+          if (l < size && worse(l, m)) m = l
+          if (r < size && worse(r, m)) m = r
+          if (m == p) done = true else { swap(p, m); p = m }
+        }
+      }
+    }
+
+    def foreach(f: (Long, Long) => Unit): Unit = {
+      var i = 0
+      while (i < size) { f(ids(i), scores(i)); i += 1 }
+    }
+
+    def sortedAsc: Array[(Long, Long)] = {
+      val out = new Array[(Long, Long)](size)
+      var i = 0
+      while (i < size) { out(i) = (ids(i), scores(i)); i += 1 }
+      scala.util.Sorting.stableSort(out,
+        (a: (Long, Long), b: (Long, Long)) =>
+          a._2 < b._2 || (a._2 == b._2 && a._1 < b._1))
+      out
+    }
+  }
 }

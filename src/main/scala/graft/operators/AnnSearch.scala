@@ -591,12 +591,13 @@ object AnnSearch {
     codes.repartition(col("id"))
       .join(broadcast(q2))
       .filter(col("a_id") =!= col("id"))
-      .select(col("a_id"), col("id"),
-        // heap scores are doubles; the integer ad2 is < 2^53 (bound
-        // above), so the cast is exact and ordering is preserved
-        approxD2.cast("double").as("ad2"))
+      // the quantized ADC sum can reach ~9.2e18 at the documented
+      // coordinate bound — beyond double's 2^53 exact-integer range —
+      // so the heap ranks the exact LONG (matching the oracle's BIGINT
+      // ordering at any coordinate scale)
+      .select(col("a_id"), col("id"), approxD2.as("ad2"))
       .groupBy("a_id")
-      .agg(graft.functions.TopKByScore.topkMin(col("id"), col("ad2"), k)
+      .agg(graft.functions.TopKByScore.topkMinLong(col("id"), col("ad2"), k)
         .as("topk"))
       .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
       .select(col("a_id"), col("p.id").as("nbr_id"),
@@ -714,10 +715,11 @@ object AnnSearch {
     val sl = codes.repartition(col("id"))
       .join(broadcast(probes), "c_id")
       .filter(col("a_id") =!= col("id"))
-      .select(col("a_id"), col("id"),
-        approxD2.cast("double").as("ad2"))
+      // exact LONG heap score — same rationale as [[pqTopK]]: the
+      // quantized ADC sum can exceed double's 2^53 exact range
+      .select(col("a_id"), col("id"), approxD2.as("ad2"))
       .groupBy("a_id")
-      .agg(graft.functions.TopKByScore.topkMin(col("id"), col("ad2"),
+      .agg(graft.functions.TopKByScore.topkMinLong(col("id"), col("ad2"),
         shortlist).as("topk"))
       .select(col("a_id"), explode(col("topk")).as("p"))
       .select(col("a_id"), col("p.id").as("b_id"))

@@ -595,6 +595,10 @@ object Curation {
     * exact below 2^53, and the emitted margin is an exact integer.
     *
     * @param scoreCol integral score (higher = preferred)
+    * @param minMargin strict-preference floor, must be ≥ 1: at 0 (or
+    *   below) two tied candidates would emit BOTH orientations —
+    *   (x chosen, y rejected) and (y chosen, x rejected) — i.e.
+    *   contradictory preference pairs, defeating the noise guard
     * @return (`groupCol`, chosen_id, rejected_id, margin) —
     *   margin = score(chosen) − score(rejected) ≥ minMargin, and the
     *   same candidate never appears on both sides of one pair. */
@@ -603,6 +607,9 @@ object Curation {
       minMargin: Long): DataFrame = {
     require(nTop >= 1 && nBottom >= 1,
       s"need positive heap sizes, got nTop=$nTop nBottom=$nBottom")
+    require(minMargin >= 1L,
+      s"minMargin must be >= 1 (strict preference), got $minMargin: " +
+        "at 0 tied candidates emit both contradictory orientations")
     val heaps = df
       .select(col(groupCol).as("grp"), col(idCol).as("id"),
         scoreCol.cast("double").as("s"))

@@ -99,6 +99,14 @@ object GlobalIndex {
     * method falls back to the eager [[rowNumbers]], trading the
     * deferred execution for unconditional correctness.
     *
+    * The conf flag is only a fast pre-check: the returned plan is also
+    * verified STRUCTURALLY (see [[rangeShuffleMerged]]) — if the two
+    * branches' exchanges are not going to merge (conf flipped between
+    * construction and the guard, or an optimizer change such as column
+    * pruning specializing one branch's exchange child so the exchanges
+    * stop being canonically equal), this method falls back to the eager
+    * path instead of silently returning a mis-numbered plan.
+    *
     * `sortCols` must be a total order, as in [[rowNumbers]]. */
   def rowNumbersLazy(df: DataFrame, sortCols: Seq[String],
       outCol: String = "row_num", numPartitions: Option[Int] = None): DataFrame = {
@@ -125,8 +133,42 @@ object GlobalIndex {
       .agg(count(lit(1)).as("__gi_cnt"))
       .select(col("__gi_pid"),
         coalesce(sum(col("__gi_cnt")).over(wOff), lit(0L)).as("__gi_off"))
-    local.join(broadcast(offsets), "__gi_pid")
+    val out = local.join(broadcast(offsets), "__gi_pid")
       .withColumn(outCol, col("__gi_off") + col("__gi_lrn"))
       .drop("__gi_pid", "__gi_lrn", "__gi_off")
+    // fail fast on the OUTCOME, not the flag: physical planning (no job)
+    // must show the two branches' range shuffles as one exchange — either
+    // already merged (non-AQE ReuseExchange replaced the twin with a
+    // ReusedExchange) or mergeable (AQE: both present but canonically
+    // equal, which is exactly the stage-cache key that dedups them at
+    // runtime). Anything else would stamp boundary rows two different
+    // pids with no error — take the eager path instead.
+    if (rangeShuffleMerged(out)) out
+    else rowNumbers(df, sortCols, outCol, numPartitions)
+  }
+
+  /** True iff `df`'s physical plan executes its RangePartitioning
+    * shuffle exactly once (see [[rowNumbersLazy]]'s precondition). */
+  private[graft] def rangeShuffleMerged(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.catalyst.plans.physical.RangePartitioning
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val nodes = walk(df.queryExecution.executedPlan)
+    val rangeEx = nodes.collect {
+      case s: ShuffleExchangeLike
+          if s.outputPartitioning.isInstanceOf[RangePartitioning] => s
+    }
+    val reused = nodes.exists(_.isInstanceOf[ReusedExchangeExec])
+    rangeEx.size match {
+      case 1 => reused // non-AQE: ReuseExchange already collapsed the twin
+      case 2 => rangeEx(0).canonicalized == rangeEx(1).canonicalized // AQE
+      case _ => false
+    }
   }
 }

@@ -494,5 +494,8 @@ class CurationSpec extends SparkSpec {
     // bounded: <= nTop*nBottom pairs per group, and partitioning-free
     assert(got.size <= 2 * 3 * 3)
     assert(pairsOf(7, 3, 3, 15L) == got)
+    // minMargin < 1 would let tied candidates emit both contradictory
+    // orientations — rejected up front, not silently produced
+    assertThrows[IllegalArgumentException] { pairsOf(1, 3, 3, 0L) }
   }
 }

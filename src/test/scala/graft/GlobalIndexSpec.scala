@@ -139,4 +139,24 @@ class GlobalIndexSpec extends SparkSpec {
         Seq("k", "id"))
     }
   }
+
+  test("rowNumbersLazy's structural guard: merged plan accepted, " +
+      "unrelated twin range shuffles rejected") {
+    // the guard must see the lazy plan's two branches as ONE shuffle
+    // (ReusedExchange, or two canonically-equal exchanges under AQE) —
+    // the precondition for branch-consistent pid stamps
+    val lzy = GlobalIndex.rowNumbersLazy(keyed(5), Seq("k", "id"))
+    assert(GlobalIndex.rangeShuffleMerged(lzy),
+      "lazy plan's range exchanges did not merge:\n" +
+        lzy.queryExecution.executedPlan)
+    // two range shuffles over DIFFERENT children must NOT count as
+    // merged — the exact miss the guard exists to catch
+    val a = keyed(3).repartitionByRange(col("k"))
+    val b = keyed(4).filter(col("id") % 2 === 0)
+      .repartitionByRange(col("k"))
+      .withColumnRenamed("id", "id2")
+    val unmerged = a.join(b, Seq("k"), "inner")
+    assert(!GlobalIndex.rangeShuffleMerged(unmerged),
+      "guard accepted two distinct range shuffles")
+  }
 }

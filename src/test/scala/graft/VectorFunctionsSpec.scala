@@ -257,4 +257,50 @@ class VectorFunctionsSpec extends SparkSpec {
       }
     }
   }
+
+  test("TopKByScoreLong ranks exact longs beyond double's 2^53 range") {
+    // 2^53 and 2^53 + 1 are the SAME double (9007199254740992.0) — the
+    // double-scored heap would tie them and fall to the id tie-break,
+    // keeping id 1 (the WRONG row). The long heap must keep id 2.
+    val big = 1L << 53
+    val rows = Seq((0L, 1L, big + 1), (0L, 2L, big))
+    val df = spark.createDataFrame(rows).toDF("g", "id", "score")
+    val got = df.groupBy("g")
+      .agg(graft.functions.TopKByScore.topkMinLong(
+        col("id"), col("score"), 1).as("t"))
+      .select(explode(col("t")).as("p"))
+      .select(col("p.id"), col("p.score")).collect()(0)
+    assert(got.getLong(0) == 2L && got.getLong(1) == big)
+    // and the double heap demonstrably CANNOT make this distinction
+    val dbl = df.groupBy("g")
+      .agg(graft.functions.TopKByScore.topkMin(
+        col("id"), col("score").cast("double"), 1).as("t"))
+      .select(explode(col("t")).as("p"))
+      .select(col("p.id")).collect()(0).getLong(0)
+    assert(dbl == 1L, "double heap expected to collapse the tie to id 1")
+  }
+
+  test("TopKByScoreLong == window top-k across partitions (ties by id)") {
+    val rnd = new Random(7)
+    val rows = (0 until 4000).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(9000).toLong,
+        rnd.nextLong() % 1000000L))
+    val df = spark.createDataFrame(rows).toDF("g", "id", "score")
+      .repartition(11).persist()
+    val agg = df.groupBy("g")
+      .agg(graft.functions.TopKByScore.topkMinLong(
+        col("id"), col("score"), 5).as("t"))
+      .select(col("g"), posexplode(col("t")).as(Seq("pos", "p")))
+      .select(col("g"), col("p.id").as("id"), (col("pos") + 1).as("rnk"))
+      .collect().map(r => (r.getLong(0), r.getInt(2).toLong) -> r.getLong(1))
+      .toMap
+    val win = df.withColumn("rnk", org.apache.spark.sql.functions.row_number()
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("score"), col("id"))))
+      .filter(col("rnk") <= 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3).toLong) -> r.getLong(1))
+      .toMap
+    assert(agg == win)
+    df.unpersist()
+  }
 }
