@@ -106,6 +106,55 @@ object ClusterParity {
     last
   }
 
+  /** STREAMING ANN-index maintenance under multi-JVM: a standing k-NN
+    * graph over 20k×32-d vectors folds two CDC micro-batches (inserts
+    * via the beam-walk insert, deletes, and a takedown-then-replace);
+    * the summary is the final trigger's order-free edge fingerprint.
+    * Deterministic throughout (hash-generated vectors, id-tie heaps,
+    * fixed batch boundaries), so local[N] and local-cluster must agree
+    * bit for bit — the graph twin of [[streamMaintainSummary]]. */
+  private def indexMaintainSummary(s: SparkSession): String = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val A = graft.operators.AnnSearch
+    val (k, ef, rounds, nEntries) = (10, 10, 2, 10)
+    val n = 20000L
+    val e = Workloads.synthEmbeddings(s, n, 32, 64)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .persist()
+    val initVecs = e.filter(pmod(col("id"), lit(5L)) =!= 4)
+      .select(col("id").as("b_id"), col("vec").as("b_v"))
+      .localCheckpoint()
+    val g0 = A.knnGraph(initVecs, k = k, iters = 2, buildK = k)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val changes = mem.toDF().toDF("op", "id").join(e, Seq("id"), "left")
+    @volatile var last = ""
+    val q = graft.streaming.EventPipeline.indexMaintainStream(
+      g0, initVecs, changes, "op", "id", "vec", k, ef, rounds,
+      nEntries) { (edges, _) =>
+      val r = edges.agg(
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("a_id"), col("nbr_id"), col("rnk"))
+          .cast("decimal(38,0)")).as("chk")).head
+      last = r.toSeq.mkString("|")
+    }
+    val heldOut = (0L until n).filter(_ % 5 == 4)
+    try {
+      mem.addData(
+        heldOut.filter(_ < n / 2).map("insert" -> _) ++
+          (0L until n).filter(i => i % 5 != 4 && i % 17 == 0)
+            .map("delete" -> _): _*)
+      q.processAllAvailable()
+      mem.addData(
+        heldOut.filter(_ >= n / 2).map("insert" -> _) ++
+          Seq("delete" -> 4L, "insert" -> 4L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    e.unpersist(blocking = false)
+    last
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val clusterMaster =
@@ -161,6 +210,7 @@ object ClusterParity {
       "minhash_synth1m" -> (s => pairSummary(
         Workloads.dedupSynth(s, 1_000_000L))),
       "cluster_maintain_stream" -> (s => streamMaintainSummary(s)),
+      "index_maintain_stream" -> (s => indexMaintainSummary(s)),
       // the graph-ANN standing index: NN-Descent over 50k×32-d
       // clustered vectors (2 rounds at K=10 — hash init, symmetric
       // candidate joins, bounded heaps). Everything is id-tie

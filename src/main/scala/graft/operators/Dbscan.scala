@@ -50,6 +50,30 @@ object Dbscan {
     * those inputs, and the brute nested-loop scan is quadratic); no
     * dims on ≤3-d data → the caller chose brute force, honor it.
     * All three produce the identical ordered pair set. */
+  /** Dense cluster ids 1..K ordered by comp, for components of at
+    * least `minClusterSize` members: (comp, cluster_id: int).
+    *
+    * The rank runs as a window over ONE coalesced partition — and that
+    * is the scale-honest shape, not a shortcut: every consumer
+    * broadcast-joins this table back to the points (here and in
+    * [[IncrementalDbscan.labels]]), so the comp count is bounded by
+    * the broadcast contract ANYWAY — a comp table too big to sort in
+    * one task would have killed the broadcast join first. `coalesce(1)`
+    * reports SinglePartition, so the window plans with NO added
+    * exchange (the r9 rowNumbersLazy scheme spent ~4 exchanges + a
+    * boundary-sampling range shuffle per labels() call — measured
+    * ~2 s/query at sf0.1; this is the round-10 adjudication fix). */
+  private[graft] def denseCompIds(labeled: DataFrame,
+      minClusterSize: Int): DataFrame =
+    labeled.groupBy("comp").agg(count(lit(1)).as("csz"))
+      .filter(col("csz") >= minClusterSize)
+      .select("comp")
+      .coalesce(1)
+      .select(col("comp"),
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("comp"))
+          .cast("int").as("cluster_id"))
+
   private def epsPairs(points: DataFrame, idCol: String, vecCol: String,
       eps: Double, bucketDims: Seq[Int],
       saltTable: Option[DataFrame] = None): DataFrame =
@@ -195,16 +219,8 @@ object Dbscan {
 
     // dense cluster ids 1..K ordered by comp (distinct comps only, then
     // broadcast back); components below minClusterSize are dropped ->
-    // their points fall back to noise. Ranked by the lazy range-partition
-    // + offset scheme — the comp table is tiny by contract (clusters <<
-    // points) but this keeps even a pathological comp count off a
-    // single-task window sort.
-    val compIds = GlobalIndex.rowNumbersLazy(
-        labeled.groupBy("comp").agg(count(lit(1)).as("csz"))
-          .filter(col("csz") >= minClusterSize)
-          .select("comp"),
-        Seq("comp"), "cluster_id")
-      .select(col("comp"), col("cluster_id").cast("int").as("cluster_id"))
+    // their points fall back to noise
+    val compIds = denseCompIds(labeled, minClusterSize)
     val withIds = labeled.join(broadcast(compIds), "comp")
       .select(col("id"), col("cluster_id"))
 

@@ -70,8 +70,13 @@ object GlobalIndex {
   /** Lazy twin of [[rowNumbers]]: identical 1-based numbering, but as a
     * deferred plan — nothing executes until the caller's first action
     * (rowNumbers' zipWithIndex counting pass runs a job eagerly, which
-    * would force evaluation inside lazily-composed operators like
-    * `Dbscan.run`). Same shape, expressed in SQL nodes:
+    * would force evaluation inside lazily-composed operators). Use it
+    * when a deferred rank over a LARGE table is needed; for a table
+    * that is broadcast downstream anyway (DBSCAN's dense cluster ids,
+    * [[Dbscan.denseCompIds]]) a one-coalesced-partition window is
+    * cheaper — this scheme spends ~4 exchanges plus a boundary-sampling
+    * range shuffle per call. Same shape as rowNumbers, expressed in SQL
+    * nodes:
     *
     *  1. range-shuffle on the sort keys and stamp each row with its
     *     physical partition id — range partitions are ordered, so

@@ -375,14 +375,10 @@ object IncrementalDbscan {
       .groupBy(col("id"))
       .agg(min("comp").as("comp"))
     val labeled = st.coreComp.union(borderComp).persist()
-    // Same dense-id scheme as Dbscan.run: lazy range-partitioned rank
-    // over the distinct comps — never a single-task window sort.
-    val compIds = GlobalIndex.rowNumbersLazy(
-        labeled.groupBy("comp").agg(count(lit(1)).as("csz"))
-          .filter(col("csz") >= minClusterSize)
-          .select("comp"),
-        Seq("comp"), "cluster_id")
-      .select(col("comp"), col("cluster_id").cast("int").as("cluster_id"))
+    // Same dense-id scheme as Dbscan.run (see [[Dbscan.denseCompIds]]:
+    // the comp table is broadcast-bounded by contract, so the
+    // one-partition window adds zero exchanges)
+    val compIds = Dbscan.denseCompIds(labeled, minClusterSize)
     val withIds = labeled.join(broadcast(compIds), "comp")
       .select(col("id"), col("cluster_id"))
     st.points.select(col("id"))

@@ -426,19 +426,115 @@ object EventPipeline {
         val pinned = I.pin(next)
         try sink(I.labels(pinned), id)
         finally {
-          def ancestors(r: org.apache.spark.rdd.RDD[_],
-              seen: scala.collection.mutable.Set[Int]): Unit =
-            if (seen.add(r.id)) r.dependencies.foreach(d =>
-              ancestors(d.rdd, seen))
-          val keep = scala.collection.mutable.Set.empty[Int]
-          Seq(pinned.points, pinned.counts, pinned.coreComp,
-            pinned.borderPairs).foreach(df => ancestors(df.rdd, keep))
-          val reg = sc.getPersistentRDDs
-          reg.filter { case (rid, _) =>
-            !keep(rid) && (!before(rid) || prevPinned(rid))
-          }.values.foreach(_.unpersist(blocking = false))
-          prevPinned = reg.keySet.filter(keep).toSet
+          prevPinned = releaseSuperseded(sc, before, prevPinned,
+            Seq(pinned.points, pinned.counts, pinned.coreComp,
+              pinned.borderPairs))
           st = pinned
+        }
+      }
+      .start()
+  }
+
+  /** The per-trigger cache sweep shared by the standing-state streams:
+    * unpersist every cache block reachable only from the PREVIOUS
+    * state (neither pre-existing nor an ancestor of the new pinned
+    * tables), returning the new keep-alive set. Pre-batch caches that
+    * aren't superseded state (the caller's) are untouched. */
+  private def releaseSuperseded(sc: org.apache.spark.SparkContext,
+      before: scala.collection.Set[Int], prevPinned: Set[Int],
+      keepDfs: Seq[DataFrame]): Set[Int] = {
+    def ancestors(r: org.apache.spark.rdd.RDD[_],
+        seen: scala.collection.mutable.Set[Int]): Unit =
+      if (seen.add(r.id)) r.dependencies.foreach(d =>
+        ancestors(d.rdd, seen))
+    val keep = scala.collection.mutable.Set.empty[Int]
+    keepDfs.foreach(df => ancestors(df.rdd, keep))
+    val reg = sc.getPersistentRDDs
+    reg.filter { case (rid, _) =>
+      !keep(rid) && (!before(rid) || prevPinned(rid))
+    }.values.foreach(_.unpersist(blocking = false))
+    reg.keySet.filter(keep).toSet
+  }
+
+  /** CDC-shaped standing k-NN-GRAPH maintenance — the ANN member of
+    * the streaming-state family ([[clusterMaintainStream]]'s shape
+    * over [[graft.operators.AnnSearch]]'s graph CRUD): micro-batches
+    * carry (`opCol` ∈ {"insert", "delete"}, `idCol`, `vecCol`) change
+    * rows; each trigger folds the batch's deletes OUT
+    * ([[graft.operators.AnnSearch.retractFromKnnGraph]] — edges
+    * touching removed ids tombstone, the vector table drops them) and
+    * then its inserts IN ([[graft.operators.AnnSearch.addToKnnGraph]]
+    * — the batch beam-searches the standing graph, discovered vertices
+    * re-prune). Deletes first, so one batch may retract an id and
+    * re-insert it (takedown-then-replace). The edge table at every
+    * trigger is bit-equal to the same fold sequence applied in batch
+    * (spec-enforced) — like the batch dual, the graph is
+    * insertion-ORDER-dependent by design (real graph indexes are), so
+    * the stream's contract is fold equality, not rebuild equality.
+    *
+    * State = (edge table, vector table), pinned per trigger with eager
+    * `localCheckpoint`s; superseded blocks are swept exactly like
+    * [[clusterMaintainStream]] (state size ∝ live corpus, not stream
+    * length). Durability is the caller's cadence:
+    * [[graft.operators.IndexStore.saveKnnGraph]] the sunk edge table
+    * (plus the vector table) on the recovery-point interval and resume
+    * with `loadKnnGraph` + the CDC offset recorded alongside.
+    *
+    * @param initialGraph standing (a_id, nbr_id, rnk) edges over
+    *   `initialVecs`; its caches belong to the caller
+    * @param initialVecs the standing corpus (`b_id`, `b_v`)
+    * @param changes streaming (opCol, idCol, vecCol) rows; deletes may
+    *   carry a NULL vector
+    * @param k graph out-degree; @param ef/@param rounds/@param nEntries
+    *   the insert walk's [[graft.operators.AnnSearch.graphTopK]] shape
+    * @param sink receives each trigger's FULL updated edge table with
+    *   the batch id — consume synchronously (superseded caches are
+    *   released right after it returns)
+    * @return the started continuous query (caller stops it) */
+  def indexMaintainStream(initialGraph: DataFrame, initialVecs: DataFrame,
+      changes: DataFrame, opCol: String, idCol: String, vecCol: String,
+      k: Int, ef: Int, rounds: Int, nEntries: Int, seed: Long = 42L)(
+      sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val A = graft.operators.AnnSearch
+    var graph = initialGraph
+    var vecs = initialVecs
+    var prevPinned = Set.empty[Int]
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        // null-safe loud failure on unknown ops (the
+        // clusterMaintainStream rule: bare !isin drops NULL ops)
+        val bad = batch.filter(
+          !(col(opCol).isin("insert", "delete") <=> lit(true)))
+        if (!bad.isEmpty)
+          throw new IllegalArgumentException(
+            s"unknown $opCol value: ${bad.select(opCol).head.get(0)}")
+        val dels = batch.filter(col(opCol) === "delete").select(col(idCol))
+        val adds = batch.filter(col(opCol) === "insert")
+          .select(col(idCol), col(vecCol))
+        val (g1, v1) =
+          if (dels.isEmpty) (graph, vecs)
+          else (
+            A.retractFromKnnGraph(graph, dels, idCol).localCheckpoint(),
+            vecs.join(dels.select(col(idCol).as("b_id")).distinct(),
+              Seq("b_id"), "left_anti").localCheckpoint())
+        val (g2, v2) =
+          if (adds.isEmpty) (g1, v1)
+          else (
+            // addToKnnGraph localCheckpoints its own output
+            A.addToKnnGraph(g1, v1, adds, idCol, vecCol, k, ef, rounds,
+              nEntries, seed),
+            v1.unionByName(adds.select(col(idCol).as("b_id"),
+              col(vecCol).as("b_v"))).localCheckpoint())
+        try sink(g2, id)
+        finally {
+          prevPinned = releaseSuperseded(sc, before, prevPinned,
+            Seq(g2, v2))
+          graph = g2
+          vecs = v2
         }
       }
       .start()

@@ -261,4 +261,38 @@ class DbscanSpec extends SparkSpec {
       s"clusters should hold the non-noise mass, got $inClusters/20000")
     labels.unpersist()
   }
+
+  test("denseCompIds: dense 1..K ids ordered by comp, minClusterSize " +
+      "floor, and the one-partition rank adds NO exchange") {
+    val labeled = spark.range(0, 1000)
+      .select((org.apache.spark.sql.functions.col("id") % 37).as("comp"),
+        org.apache.spark.sql.functions.col("id"))
+      .repartition(7)
+    // comps 0..36 each have >= 27 members; a singleton comp (5000) must
+    // be dropped at minClusterSize = 2
+    val withSingleton = labeled.union(
+      spark.range(5000, 5001).select(
+        org.apache.spark.sql.functions.col("id").as("comp"),
+        org.apache.spark.sql.functions.col("id")))
+    val got = graft.operators.Dbscan.denseCompIds(withSingleton, 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == (0L until 37L).map(c => c -> (c.toInt + 1)).toMap)
+    // plan shape: exactly ONE exchange (the groupBy agg's) — coalesce(1)
+    // reports SinglePartition, so the global-order window must not plan
+    // its own Exchange (the r10 q164 adjudication fix)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def walk(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => walk(q.plan)
+      case s: ShuffleExchangeExec => s +: s.children.flatMap(walk)
+      case other => other.children.flatMap(walk)
+    }
+    val plan = graft.operators.Dbscan.denseCompIds(withSingleton, 2)
+      .queryExecution.executedPlan
+    val nEx = walk(plan).size
+    assert(nEx <= 2, s"dense-id rank planned $nEx exchanges:\n$plan")
+    assert(plan.toString.contains("Window"), "rank should be a window")
+  }
 }

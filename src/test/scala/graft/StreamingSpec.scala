@@ -640,4 +640,78 @@ class StreamingSpec extends SparkSpec {
         (r.getDouble(3), r.getDouble(4))).toMap
     assert(got == batch) // EXACT double equality — same fold, same order
   }
+
+  test("indexMaintainStream: CDC fold over the standing k-NN graph == " +
+      "the same batch CRUD fold, bit-equal edges; caches bounded") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val A = graft.operators.AnnSearch
+    val (k, ef, rounds, nEntries) = (10, 10, 2, 10)
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .persist()
+    val initVecs = e.filter(col("id") % 7 =!= 0)
+      .select(col("id").as("b_id"), col("vec").as("b_v"))
+      .localCheckpoint()
+    val g0 = A.knnGraph(initVecs, k = k, iters = 1, buildK = k)
+    val arriving = e.filter(col("id") % 7 === 0)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val (add1, add2) = arriving.splitAt(arriving.length / 2)
+    val del1 = e.filter(col("id") % 7 =!= 0 && col("id") % 13 === 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    // batch 2 also retracts-and-re-inserts one batch-1 arrival: the
+    // takedown-then-replace shape (delete folds first within a batch)
+    val replaced = add1.head
+    val batches: Seq[Seq[(String, Long)]] = Seq(
+      add1.map("insert" -> _) ++ del1.map("delete" -> _),
+      add2.map("insert" -> _) ++ Seq("delete" -> replaced,
+        "insert" -> replaced))
+
+    val mem = MemoryStream[(String, Long)]
+    val changes = mem.toDF().toDF("op", "id").join(e, Seq("id"), "left")
+    def edgeSet(g: org.apache.spark.sql.DataFrame) =
+      g.select("a_id", "nbr_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    var streamed = Set.empty[(Long, Long, Int)]
+    var registryAfterB1 = Int.MaxValue
+    val q = graft.streaming.EventPipeline.indexMaintainStream(
+      g0, initVecs, changes, "op", "id", "vec", k, ef, rounds,
+      nEntries) { (edges, _) => streamed = edgeSet(edges) }
+    try {
+      mem.addData(batches(0): _*); q.processAllAvailable()
+      registryAfterB1 = spark.sparkContext.getPersistentRDDs.size
+      mem.addData(batches(1): _*); q.processAllAvailable()
+      // superseded state blocks must be swept, not accrued per trigger
+      assert(spark.sparkContext.getPersistentRDDs.size
+        <= registryAfterB1 + 2, "cache registry grew across triggers")
+    } finally q.stop()
+
+    // the batch twin: the same fold sequence through the CRUD duals
+    var (g, v) = (g0, initVecs)
+    batches.foreach { b =>
+      val dels = b.collect { case ("delete", i) => i }
+      val adds = b.collect { case ("insert", i) => i }
+      if (dels.nonEmpty) {
+        g = A.retractFromKnnGraph(g, dels.toDF("id"), "id")
+          .localCheckpoint()
+        v = v.join(dels.toDF("b_id"), Seq("b_id"), "left_anti")
+          .localCheckpoint()
+      }
+      if (adds.nonEmpty) {
+        val av = e.join(adds.toDF("id"), "id")
+        g = A.addToKnnGraph(g, v, av, "id", "vec", k, ef, rounds,
+          nEntries)
+        v = v.unionByName(av.select(col("id").as("b_id"),
+          col("vec").as("b_v"))).localCheckpoint()
+      }
+    }
+    val want = edgeSet(g)
+    assert(streamed == want && want.nonEmpty,
+      s"stream fold diverged: ${streamed.size} vs ${want.size} edges")
+    // the replaced id is live again (it was re-inserted after takedown)
+    assert(streamed.exists(_._1 == replaced))
+    e.unpersist()
+  }
 }
