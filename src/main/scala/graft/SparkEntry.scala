@@ -2313,6 +2313,20 @@ object SparkEntry {
       } finally Workloads.deleteTree(p.toString)
     }),
 
+    // MPEG audio (MP3) frame-header demux — the second library-free
+    // byte-grammar parser (q249's ISO-BMFF recipe on 11172-3 frame
+    // headers): stream params, exact frame/sample counts (duration),
+    // CBR/VBR split, Xing totals, ID3v2 size. Fixtures are real frame
+    // grammar whose every field is a closed form of the id, so the
+    // oracle recomputes the parse without touching bytes
+    "q265_mp3_metadata" -> ((s, dir) => {
+      val gen = udf((id: Long) => graft.operators.Multimodal.syntheticMp3(id))
+      graft.operators.Multimodal.mp3Metadata(
+        t(s, dir, "documents").filter(col("doc_id") < 120)
+          .select(col("doc_id").as("media_id"),
+            gen(col("doc_id")).as("payload")))
+    }),
+
     // k-NN graph: the persisted edge table → graphTopK beam serve
     // (q253 oracle)
     "q264_graph_persist" -> ((s, dir) => {
@@ -7864,6 +7878,41 @@ object SparkEntry {
     "q262_ivfpq_persist" -> ivfPqOracle,
     "q263_minhash_persist" -> minhashProbeOracle,
     "q264_graph_persist" -> graphSearchOracle,
+
+    // MP3 demux: every output column recomputed from the fixture's
+    // closed form (q249's discipline) — a parse bug moves an integer
+    "q265_mp3_metadata" ->
+      """WITH m AS (SELECT doc_id AS media_id FROM documents
+        |           WHERE doc_id < 120),
+        |f AS (SELECT media_id, u.f AS f,
+        |    list_value(32,40,48,56,64,80,96,112,128,
+        |               160,192,224,256,320)[
+        |      CASE WHEN media_id % 3 = 0 THEN 1 + (media_id + u.f) % 14
+        |           ELSE 1 + media_id % 14 END] AS kbps,
+        |    u.f % 2 AS pad,
+        |    list_value(44100,48000,32000)[media_id % 3 + 1] AS rate
+        |  FROM m, unnest(range(8 + media_id % 5)) AS u(f)),
+        |agg AS (SELECT media_id, rate,
+        |    count(*) AS n_frames, min(kbps) AS brmin, max(kbps) AS brmax,
+        |    sum((144 * kbps * 1000) // rate + pad) AS total
+        |  FROM f GROUP BY 1, 2)
+        |SELECT media_id, 'MPEG1' AS version, CAST(3 AS INTEGER) AS layer,
+        |  CAST(rate AS INTEGER) AS sample_rate,
+        |  list_value('stereo','joint_stereo','dual_channel','mono')[
+        |    media_id % 4 + 1] AS channel_mode,
+        |  CAST(n_frames AS BIGINT) AS n_frames,
+        |  (n_frames * 1152 * 1000) // rate AS duration_ms,
+        |  CAST(brmin AS INTEGER) AS bitrate_kbps_min,
+        |  CAST(brmax AS INTEGER) AS bitrate_kbps_max,
+        |  brmin <> brmax AS is_vbr,
+        |  CAST(CASE WHEN media_id % 2 = 1
+        |    THEN 10 + 13 + (media_id % 4) * 7 ELSE 0 END AS INTEGER)
+        |    AS id3v2_size,
+        |  CAST(CASE WHEN media_id % 2 = 0 THEN n_frames ELSE -1 END
+        |    AS BIGINT) AS xing_frames,
+        |  CAST(CASE WHEN media_id % 2 = 0 THEN total ELSE -1 END
+        |    AS BIGINT) AS xing_bytes
+        |FROM agg""".stripMargin,
 
     "q141_semdedup" -> semDedupOracle,
 

@@ -1190,4 +1190,217 @@ object Multimodal {
     val mdat = box("mdat", Array.fill(32)((id % 251).toByte))
     ftyp ++ moov ++ mdat
   }
+
+  // ------------- MPEG audio (MP3) frame-header demux -------------
+  //
+  // The second library-free byte-grammar parser (the parseMp4 recipe,
+  // ISO 11172-3/13818-3 frame headers instead of 14496-12 boxes): walk
+  // the frame stream header by header — no codec decode, none needed
+  // for crawl triage — extracting the stream parameters, exact frame/
+  // sample counts (hence duration), the CBR/VBR split, and the
+  // Xing/Info VBR header when present. Strict-step, fail-fast: each
+  // frame's size is computed from its header and the walk REQUIRES the
+  // next sync exactly there (a curated-set file that needs resync is a
+  // data bug, not a NULL row).
+
+  /** One MP3 stream's triage record. `xing_frames`/`xing_bytes` are −1
+    * when the stream carries no Xing/Info header (kept integral so the
+    * projection stays NULL-free for exact comparison). */
+  final case class Mp3Info(version: String, layer: Int, sample_rate: Int,
+      channel_mode: String, n_frames: Long, duration_ms: Long,
+      bitrate_kbps_min: Int, bitrate_kbps_max: Int, is_vbr: Boolean,
+      id3v2_size: Int, xing_frames: Long, xing_bytes: Long)
+
+  private val Mp3Rates1 = Array(44100, 48000, 32000)
+  private val Mp3Rates2 = Array(22050, 24000, 16000)
+  private val Mp3Rates25 = Array(11025, 12000, 8000)
+  // Layer III bitrate tables, kbps, index 1..14 (0 = free, 15 = bad)
+  private val Mp3Br1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Br2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3Modes =
+    Array("stereo", "joint_stereo", "dual_channel", "mono")
+
+  private def be32u(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  /** Parse one MP3 payload (optional leading ID3v2 tag, then Layer III
+    * frames back to back). Rejects bad syncs, reserved version/rate
+    * bits, free-format bitrates, truncation, and mid-stream parameter
+    * changes (version/rate/mode must be constant; bitrate may vary —
+    * that IS the VBR signal) — each with a byte offset. */
+  private[graft] def parseMp3(payload: Array[Byte]): Mp3Info = {
+    var off = 0
+    var id3 = 0
+    if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
+        payload(2) == '3') {
+      // ID3v2 size is sync-safe: 4 × 7 bits, header excluded
+      val sz = ((payload(6) & 0x7f) << 21) | ((payload(7) & 0x7f) << 14) |
+        ((payload(8) & 0x7f) << 7) | (payload(9) & 0x7f)
+      id3 = 10 + sz
+      require(id3 <= payload.length,
+        s"ID3v2 tag claims $sz content bytes past end of payload")
+      off = id3
+    }
+    var n = 0L
+    var samples = 0L
+    var brMin = Int.MaxValue
+    var brMax = 0
+    var ver = ""
+    var verBits0 = -1
+    var rate = 0
+    var mode = -1
+    var xingFrames = -1L
+    var xingBytes = -1L
+    while (off < payload.length) {
+      require(payload.length - off >= 4,
+        s"truncated frame header at offset $off " +
+          s"(${payload.length - off} bytes left)")
+      val h = be32u(payload, off)
+      require((h >>> 21) == 0x7ff,
+        f"bad frame sync at offset $off: 0x$h%08x")
+      val verBits = ((h >>> 19) & 3).toInt // 0=2.5, 2=2, 3=1
+      require(verBits != 1, s"reserved MPEG version bits at offset $off")
+      require(((h >>> 17) & 3) == 1, // Layer III = 01
+        s"not a Layer III frame at offset $off")
+      val noCrc = ((h >>> 16) & 1).toInt // 1 = no CRC after header
+      val brIdx = ((h >>> 12) & 0xf).toInt
+      require(brIdx != 0 && brIdx != 15,
+        s"free/invalid bitrate index $brIdx at offset $off")
+      val srIdx = ((h >>> 10) & 3).toInt
+      require(srIdx != 3, s"reserved sample-rate bits at offset $off")
+      val pad = ((h >>> 9) & 1).toInt
+      val chMode = ((h >>> 6) & 3).toInt
+      val (vname, r, br, spf, coef) = verBits match {
+        case 3 => ("MPEG1", Mp3Rates1(srIdx), Mp3Br1(brIdx), 1152, 144)
+        case 2 => ("MPEG2", Mp3Rates2(srIdx), Mp3Br2(brIdx), 576, 72)
+        case _ => ("MPEG2.5", Mp3Rates25(srIdx), Mp3Br2(brIdx), 576, 72)
+      }
+      if (n == 0L) { ver = vname; verBits0 = verBits; rate = r
+        mode = chMode }
+      else require(vname == ver && r == rate && chMode == mode,
+        s"stream parameters changed mid-file at offset $off: " +
+          s"($vname, $r, $chMode) after ($ver, $rate, $mode)")
+      val fsz = coef * br * 1000 / r + pad
+      require(off + fsz <= payload.length,
+        s"frame at offset $off claims $fsz bytes but only " +
+          s"${payload.length - off} remain")
+      if (n == 0L) {
+        // Xing/Info sits after the side info of the FIRST frame
+        val sideInfo =
+          if (verBits == 3) { if (chMode == 3) 17 else 32 }
+          else { if (chMode == 3) 9 else 17 }
+        val xo = off + 4 + (if (noCrc == 0) 2 else 0) + sideInfo
+        if (xo + 8 <= off + fsz) {
+          val tag = new String(payload, xo, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          if (tag == "Xing" || tag == "Info") {
+            val flags = be32u(payload, xo + 4)
+            var p = xo + 8
+            if ((flags & 1L) != 0 && p + 4 <= off + fsz) {
+              xingFrames = be32u(payload, p); p += 4
+            }
+            if ((flags & 2L) != 0 && p + 4 <= off + fsz)
+              xingBytes = be32u(payload, p)
+          }
+        }
+      }
+      if (br < brMin) brMin = br
+      if (br > brMax) brMax = br
+      samples += spf
+      n += 1
+      off += fsz
+    }
+    require(n > 0, "no MPEG audio frames (empty stream after ID3v2?)")
+    Mp3Info(ver, 3, rate, Mp3Modes(mode), n, samples * 1000L / rate,
+      brMin, brMax, brMax != brMin, id3, xingFrames, xingBytes)
+  }
+
+  /** Stream metadata over a binary MP3 column — one row per file: the
+    * crawl-triage projection (exact duration from the frame walk, the
+    * CBR/VBR split, Xing totals for O(1) seek tables). Fail-fast on
+    * malformed payloads (parse errors carry byte offsets). */
+  def mp3Metadata(media: DataFrame): DataFrame = {
+    val parse = udf((payload: Array[Byte]) => parseMp3(payload))
+    media
+      .select(col("media_id"), parse(col("payload")).as("i"))
+      .select(col("media_id"), col("i.version").as("version"),
+        col("i.layer").as("layer"),
+        col("i.sample_rate").as("sample_rate"),
+        col("i.channel_mode").as("channel_mode"),
+        col("i.n_frames").as("n_frames"),
+        col("i.duration_ms").as("duration_ms"),
+        col("i.bitrate_kbps_min").as("bitrate_kbps_min"),
+        col("i.bitrate_kbps_max").as("bitrate_kbps_max"),
+        col("i.is_vbr").as("is_vbr"),
+        col("i.id3v2_size").as("id3v2_size"),
+        col("i.xing_frames").as("xing_frames"),
+        col("i.xing_bytes").as("xing_bytes"))
+  }
+
+  /** Deterministic MP3 fixture, real frame grammar end to end: an
+    * ID3v2 tag when id is odd, then 8 + id%5 MPEG1 Layer III frames
+    * whose every header field is a closed form of `id` — so the DuckDB
+    * oracle recomputes the whole parse without touching bytes.
+    * Geometry: sample rate [44100, 48000, 32000][id%3]; channel mode
+    * id%4; padding bit alternates per frame; bitrate index
+    * 1 + (id + frame)%14 when id%3 == 0 (VBR) else 1 + id%14 (CBR);
+    * a Xing header (frames + bytes) in frame 0 when id is even;
+    * ID3v2 content is 13 + (id%4)·7 bytes. Frame bodies are
+    * deterministic filler — the parser steps sizes, never scans, so
+    * body bytes are inert by construction. */
+  def syntheticMp3(id: Long): Array[Byte] = {
+    require(id >= 0, s"bad mp3 fixture id: $id")
+    val srIdx = (id % 3).toInt
+    val rate = Mp3Rates1(srIdx)
+    val mode = (id % 4).toInt
+    val n = (8 + id % 5).toInt
+    val vbr = id % 3 == 0
+    def brIdx(f: Int): Int =
+      if (vbr) 1 + ((id + f) % 14).toInt else 1 + (id % 14).toInt
+    val frames = (0 until n).map { f =>
+      val bi = brIdx(f)
+      val pad = f % 2
+      val fsz = 144 * Mp3Br1(bi) * 1000 / rate + pad
+      val b = new Array[Byte](fsz)
+      // header: sync=0x7ff, MPEG1 (11), Layer III (01), no CRC (1)
+      val h = (0x7ffL << 21) | (3L << 19) | (1L << 17) | (1L << 16) |
+        (bi.toLong << 12) | (srIdx.toLong << 10) | (pad.toLong << 9) |
+        (mode.toLong << 6)
+      b(0) = (h >> 24).toByte; b(1) = (h >> 16).toByte
+      b(2) = (h >> 8).toByte; b(3) = h.toByte
+      // filler steps by 1 mod 251 — consecutive bytes can never spell
+      // an ASCII fourcc, so a no-Xing stream can't fake one
+      var i = 4
+      while (i < fsz) { b(i) = ((id * 31 + f * 7 + i) % 251).toByte
+        i += 1 }
+      b
+    }
+    val total = frames.map(_.length).sum
+    if (id % 2 == 0) {
+      val sideInfo = if (mode == 3) 17 else 32
+      val b = frames(0)
+      val xo = 4 + sideInfo
+      "Xing".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        .copyToArray(b, xo)
+      def put32(off: Int, v: Long): Unit = {
+        b(off) = (v >> 24).toByte; b(off + 1) = (v >> 16).toByte
+        b(off + 2) = (v >> 8).toByte; b(off + 3) = v.toByte
+      }
+      put32(xo + 4, 3L) // flags: frames + bytes
+      put32(xo + 8, n.toLong)
+      put32(xo + 12, total.toLong)
+    }
+    val id3 =
+      if (id % 2 == 1) {
+        val content = 13 + (id % 4).toInt * 7
+        val hdr = Array[Byte]('I', 'D', '3', 3, 0, 0,
+          ((content >> 21) & 0x7f).toByte, ((content >> 14) & 0x7f).toByte,
+          ((content >> 7) & 0x7f).toByte, (content & 0x7f).toByte)
+        hdr ++ Array.tabulate(content)(i => ((id * 13 + i) % 251).toByte)
+      } else Array.empty[Byte]
+    id3 ++ frames.flatten
+  }
 }

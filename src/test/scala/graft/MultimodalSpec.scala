@@ -391,6 +391,97 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.count(_.getAs[String]("handler") == "soun") == 6)
   }
 
+  test("MP3 frame parser: closed-form fixtures parse exactly; corrupt " +
+      "payloads rejected with byte offsets") {
+    for (id <- 0L until 20L) {
+      val i = Multimodal.parseMp3(Multimodal.syntheticMp3(id))
+      val rate = Seq(44100, 48000, 32000)((id % 3).toInt)
+      val n = 8 + (id % 5).toInt
+      val brs = (0 until n).map { f =>
+        val idx = if (id % 3 == 0) 1 + ((id + f) % 14).toInt
+          else 1 + (id % 14).toInt
+        Seq(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+          320)(idx - 1)
+      }
+      assert(i.version == "MPEG1" && i.layer == 3)
+      assert(i.sample_rate == rate)
+      assert(i.channel_mode == Seq("stereo", "joint_stereo",
+        "dual_channel", "mono")((id % 4).toInt))
+      assert(i.n_frames == n)
+      assert(i.duration_ms == n.toLong * 1152 * 1000 / rate)
+      assert(i.bitrate_kbps_min == brs.min && i.bitrate_kbps_max == brs.max)
+      assert(i.is_vbr == (id % 3 == 0 && brs.distinct.size > 1))
+      val total = brs.zipWithIndex
+        .map { case (b, f) => 144 * b * 1000 / rate + f % 2 }.sum
+      if (id % 2 == 0) {
+        assert(i.xing_frames == n && i.xing_bytes == total)
+        assert(i.id3v2_size == 0)
+      } else {
+        assert(i.xing_frames == -1 && i.xing_bytes == -1)
+        assert(i.id3v2_size == 10 + 13 + (id % 4).toInt * 7)
+      }
+    }
+    // MPEG2 + CRC-protected hand frame: 24 kbps @ 16000 Hz mono, CRC
+    // bit 0 → frame size 72·24000/16000 = 108; Xing probe must shift
+    // past the 2 CRC bytes (side info 9 for MPEG2 mono)
+    val m2 = new Array[Byte](108)
+    val h2 = (0x7ffL << 21) | (2L << 19) | (1L << 17) | (0L << 16) |
+      (3L << 12) | (2L << 10) | (0L << 9) | (3L << 6)
+    m2(0) = (h2 >> 24).toByte; m2(1) = (h2 >> 16).toByte
+    m2(2) = (h2 >> 8).toByte; m2(3) = h2.toByte
+    "Info".getBytes("US-ASCII").copyToArray(m2, 4 + 2 + 9)
+    m2(4 + 2 + 9 + 7) = 1 // flags = frames only
+    m2(4 + 2 + 9 + 11) = 77 // frames = 77
+    val i2 = Multimodal.parseMp3(m2)
+    assert(i2.version == "MPEG2" && i2.sample_rate == 16000 &&
+      i2.channel_mode == "mono" && i2.n_frames == 1 &&
+      i2.duration_ms == 576L * 1000 / 16000 &&
+      i2.xing_frames == 77 && i2.xing_bytes == -1)
+    // corrupt-input rejection, each with a diagnostic offset:
+    val good = Multimodal.syntheticMp3(4)
+    // (a) truncated mid-frame
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.parseMp3(java.util.Arrays.copyOf(good, good.length - 5))
+    }
+    assert(e1.getMessage.contains("claims"), e1.getMessage)
+    // (b) bad sync where a frame header should be
+    val bad = good.clone(); bad(0) = 0x12
+    val e2 = intercept[IllegalArgumentException](Multimodal.parseMp3(bad))
+    assert(e2.getMessage.contains("sync"), e2.getMessage)
+    // (c) ID3v2 size overrunning the payload
+    val overrun = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0x7f, 0x7f)
+    val e3 = intercept[IllegalArgumentException](Multimodal.parseMp3(overrun))
+    assert(e3.getMessage.contains("ID3v2"), e3.getMessage)
+    // (d) reserved version bits
+    val resv = good.clone()
+    resv(1) = ((resv(1) & 0xff) & ~0x18 | 0x08).toByte // verBits = 01
+    val e4 = intercept[IllegalArgumentException](Multimodal.parseMp3(resv))
+    assert(e4.getMessage.contains("reserved"), e4.getMessage)
+    // (e) free-format bitrate index
+    val free = good.clone()
+    free(2) = (free(2) & 0x0f).toByte // bitrate idx = 0
+    val e5 = intercept[IllegalArgumentException](Multimodal.parseMp3(free))
+    assert(e5.getMessage.contains("bitrate"), e5.getMessage)
+    // (f) empty stream (ID3 only)
+    val id3only = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 2, 9, 9)
+    val e6 = intercept[IllegalArgumentException](Multimodal.parseMp3(id3only))
+    assert(e6.getMessage.contains("no MPEG audio frames"), e6.getMessage)
+  }
+
+  test("mp3Metadata: one row per file, distributed over the column") {
+    val spark2 = spark
+    import spark2.implicits._
+    val media = spark.range(0, 12)
+      .select(col("id").as("media_id"))
+      .as[Long].map(id => (id, Multimodal.syntheticMp3(id)))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.mp3Metadata(media).collect()
+    assert(rows.length == 12)
+    assert(rows.count(_.getAs[Long]("xing_frames") >= 0) == 6) // even ids
+    assert(rows.count(_.getAs[Int]("id3v2_size") > 0) == 6)    // odd ids
+    assert(rows.forall(_.getAs[String]("version") == "MPEG1"))
+  }
+
   test("reference output layout projection") {
     val pts = graft.sources.BinaryPoints.read(spark, "/root/reference/t4.8k.bin")
       .limit(100)
