@@ -2327,6 +2327,28 @@ object SparkEntry {
             gen(col("doc_id")).as("payload")))
     }),
 
+    // Unigram-LM (SentencePiece-style) tokenizer LEARNING: seed
+    // substring candidates, then 2 hard-EM rounds (Viterbi E-step
+    // under quantized integer log-probs, usage-count M-step, top-K
+    // prune with always-kept single chars). The whole loop is
+    // deterministic, so the oracle unrolls every round — DP positions,
+    // backtrace, usage, prune — as CTEs (the BPE discipline)
+    "q266_unigram_vocab" -> ((s, dir) =>
+      operators.UnigramLm.learn(t(s, dir, "documents"), "text",
+        maxPieceLen = UgL, minCount = UgMinCnt, vocabK = UgK,
+        rounds = UgRounds)),
+
+    // Unigram-LM TOKENIZATION under the learned vocab: Viterbi
+    // segmentation of the distinct-word table (max score, smallest
+    // split on ties) — the serving half of q266; the oracle chains one
+    // more score table + DP unroll past the learning CTEs
+    "q267_unigram_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.UnigramLm.tokenize(docs, "text",
+        operators.UnigramLm.learn(docs, "text", UgL, UgMinCnt, UgK,
+          UgRounds), UgL)
+    }),
+
     // k-NN graph: the persisted edge table → graphTopK beam serve
     // (q253 oracle)
     "q264_graph_persist" -> ((s, dir) => {
@@ -3929,6 +3951,126 @@ object SparkEntry {
          |    JOIN p eb ON eb.id = c.nbr) r
          |WHERE rn <= $AnnK""".stripMargin
   }
+
+  // ---- Unigram-LM tokenizer (q266/q267) oracle machinery ----
+
+  /** q266/q267 geometry: piece length ≤ 4, seed floor 2, prune to the
+    * top 24 multi-char pieces, 2 hard-EM rounds. `UgW` bounds the DP
+    * unroll depth — the fixture corpus' max word length is 8 (a longer
+    * word would mismatch LOUDLY: the engine segments it, the oracle's
+    * unroll stops at position 8). */
+  private val UgL = 4
+  private val UgMinCnt = 2L
+  private val UgK = 24
+  private val UgW = 8
+  private val UgRounds = 2
+
+  /** One Viterbi-DP unroll for EM round `r` under score CTE
+    * `s${r-1}`: dp positions 1..UgW (each the row_number pick over the
+    * ≤ UgL candidate split points — max score, then SMALLEST split,
+    * the engine heap's exact tie rule), then the backtrace chain and
+    * the segment emit `r${r}s` (word, start, piece). */
+  private def unigramDpRound(r: Int): String = {
+    val sCte = s"s${r - 1}"
+    val dps = (1 to UgW).map { i =>
+      val lo = math.max(0, i - UgL)
+      s"""r${r}d$i AS MATERIALIZED (SELECT word, pos, sc, bp FROM r${r}d${i - 1}
+         |  UNION ALL SELECT word, $i AS pos, sc, bp FROM (
+         |    SELECT d.word, d.sc + v.sq AS sc, d.pos AS bp,
+         |      row_number() OVER (PARTITION BY d.word
+         |        ORDER BY d.sc + v.sq DESC, d.pos) AS rn
+         |    FROM r${r}d${i - 1} d JOIN $sCte v
+         |      ON v.piece = substr(d.word, d.pos + 1, $i - d.pos)
+         |    WHERE d.pos >= $lo AND d.pos < $i AND length(d.word) >= $i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val bts = (1 to UgW).map { k =>
+      s"""r${r}b$k AS MATERIALIZED (SELECT b.word, d.bp AS pos
+         |  FROM r${r}b${k - 1} b JOIN r${r}d$UgW d
+         |    ON d.word = b.word AND d.pos = b.pos
+         |  WHERE b.pos > 0)""".stripMargin
+    }.mkString(",\n")
+    val segs = (0 until UgW).map { k =>
+      s"""SELECT t.word, n.pos AS start,
+         |    substr(t.word, n.pos + 1, t.pos - n.pos) AS piece
+         |  FROM r${r}b$k t JOIN r${r}b${k + 1} n ON n.word = t.word"""
+        .stripMargin
+    }.mkString("\n  UNION ALL ")
+    s"""r${r}d0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS sc,
+       |    0 AS bp FROM wt),
+       |$dps,
+       |r${r}b0 AS (SELECT word, CAST(length(word) AS INTEGER) AS pos
+       |  FROM wt),
+       |$bts,
+       |r${r}s AS MATERIALIZED (
+       |  $segs)""".stripMargin
+  }
+
+  /** Quantized-log score CTE `s$r` over vocab CTE `v$r` (each ln
+    * rounded separately from exact integer counts — the engine's
+    * identical BIGINT). */
+  private def unigramScoreCte(r: Int): String =
+    s"""s$r AS MATERIALIZED (SELECT piece,
+       |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e9) AS BIGINT)
+       |    - (SELECT CAST(round(ln(CAST(sum(cnt) AS DOUBLE)) * 1e9)
+       |         AS BIGINT) FROM v$r) AS sq
+       |  FROM v$r)""".stripMargin
+
+  /** M-step + prune CTEs for round `r`: usage counts from `r${r}s`,
+    * then singles (usage+1 smoothing, always kept) ∪ top-UgK
+    * multi-char pieces by (cnt desc, piece asc). */
+  private def unigramMStep(r: Int): String =
+    s"""u$r AS MATERIALIZED (SELECT piece, CAST(sum(wf) AS BIGINT) AS cnt
+       |  FROM r${r}s JOIN wt USING (word) GROUP BY 1),
+       |v$r AS MATERIALIZED (
+       |  SELECT c.piece, COALESCE(u.cnt, 0) + 1 AS cnt
+       |  FROM chars c LEFT JOIN u$r u ON u.piece = c.piece
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT piece, cnt,
+       |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM u$r WHERE length(piece) > 1) WHERE rn <= $UgK)"""
+      .stripMargin
+
+  /** The full unigram-LM learning unroll through vocab CTE
+    * `v$UgRounds`: word freqs, seed candidates, then per EM round the
+    * score table, the Viterbi DP, and the M-step/prune. Concatenated
+    * (never re-stripMargin'd — the `||` trap). */
+  private def unigramCtes: String = {
+    val base =
+      s"""wt AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS wf
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+         |        FROM documents)
+         |  WHERE length(word) >= 1 GROUP BY 1),
+         |c0 AS MATERIALIZED (SELECT
+         |    substr(word, CAST(u.i AS INTEGER) + 1, CAST(l.k AS INTEGER))
+         |      AS piece,
+         |    CAST(sum(wf) AS BIGINT) AS cnt
+         |  FROM wt, unnest(range(length(word))) AS u(i),
+         |       unnest(range(1, ${UgL + 1})) AS l(k)
+         |  WHERE u.i + l.k <= length(word)
+         |  GROUP BY 1),
+         |chars AS MATERIALIZED (SELECT piece FROM c0
+         |  WHERE length(piece) = 1),
+         |v0 AS MATERIALIZED (SELECT piece, cnt FROM c0
+         |  WHERE cnt >= $UgMinCnt OR length(piece) = 1)""".stripMargin
+    val rounds = (1 to UgRounds).map { r =>
+      unigramScoreCte(r - 1) + ",\n" + unigramDpRound(r) + ",\n" +
+        unigramMStep(r)
+    }.mkString(",\n")
+    base + ",\n" + rounds
+  }
+
+  /** q266's oracle: the learned vocabulary after [[UgRounds]] EM
+    * rounds. */
+  private def unigramVocabOracle: String =
+    "WITH " + unigramCtes + s"\nSELECT piece, cnt FROM v$UgRounds"
+
+  /** q267's oracle: tokenize the distinct words under the learned
+    * vocabulary — one more score table + DP unroll past [[unigramCtes]]. */
+  private def unigramTokenizeOracle: String =
+    "WITH " + unigramCtes + ",\n" + unigramScoreCte(UgRounds) + ",\n" +
+      unigramDpRound(UgRounds + 1) +
+      s"\nSELECT word, start, piece FROM r${UgRounds + 1}s"
 
   /** The WITH-body of [[knnGraphOracle]] (init + all refinement
     * rounds, ending at CTE `g$KgIters`) — shared with the serve/CRUD
@@ -7878,6 +8020,10 @@ object SparkEntry {
     "q262_ivfpq_persist" -> ivfPqOracle,
     "q263_minhash_persist" -> minhashProbeOracle,
     "q264_graph_persist" -> graphSearchOracle,
+
+    // unigram-LM: learning and tokenization, full EM unrolls
+    "q266_unigram_vocab" -> unigramVocabOracle,
+    "q267_unigram_tokenize" -> unigramTokenizeOracle,
 
     // MP3 demux: every output column recomputed from the fixture's
     // closed form (q249's discipline) — a parse bug moves an integer
