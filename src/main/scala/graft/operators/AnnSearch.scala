@@ -899,6 +899,32 @@ object AnnSearch {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
+  /** Distinct LSH bucket-mate PAIRS with vectors and hoisted norms —
+    * the candidate generator behind [[lshTopK]], exposed for consumers
+    * that run their own scoring/aggregation over the candidate stream
+    * (e.g. [[Curation.embeddingContamination]]'s τ filter). Same
+    * equi-join shape: shuffle ∝ Σ_buckets |Q_b|·|B_b|, the |Q|·|B|
+    * cross scan never exists. Self-pairs (a_id == b_id) are NOT
+    * filtered — whether identical ids are meaningful is the caller's
+    * semantic. Duplicate collisions across tables collapse to one row
+    * (rows are identical, so the dedup is pure).
+    * @return (a_id, a_v, a_n, b_id, b_v, b_n). */
+  def lshCandidatePairs(queries: DataFrame, build: DataFrame,
+      planes: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    requirePlaneDims(build, "b_v", planes.flatMap(_.map(_.length)))
+    requirePlaneDims(queries, "a_v", planes.flatMap(_.map(_.length)))
+    val nTables = planes.length
+    def withSig(df: DataFrame, vecCol: String) = df.select(col("*"),
+      posexplode(array((0 until nTables).map(t =>
+        srpBucket(col(vecCol), planes(t))): _*)).as(Seq("tbl", "bkt")))
+    withSig(withNorm(queries, "a_v", "a_n"), "a_v")
+      .join(withSig(withNorm(build, "b_v", "b_n"), "b_v"),
+        Seq("tbl", "bkt"))
+      .select(col("a_id"), col("a_v"), col("a_n"),
+        col("b_id"), col("b_v"), col("b_n"))
+      .dropDuplicates("a_id", "b_id")
+  }
+
   /** One table's query-side probe set: the base bucket plus single-bit
     * flips of the (nProbes − 1) smallest-|margin| bits — deterministic
     * multi-probe (Lv et al., VLDB'07, restricted to 1-bit perturbations

@@ -496,25 +496,49 @@ object Curation {
     * held-out row: the hit count and the top-cosine training neighbor
     * (ties by id — the AnnSearch ordering).
     *
-    * Scale shape: the τ filter prunes the candidate pair stream BEFORE
-    * the aggregate, so only actual hits reach the bounded top-1 heap;
-    * the streamed side is repartitioned so the |H|·|T| scan
-    * parallelizes. Brute force is the oracle-able baseline — at corpus
-    * scale feed [[AnnSearch]] bucket candidates through the same
-    * filter+aggregate.
+    * Scale shape — SIZE-DISPATCHED (the fused/distributed idiom):
+    * below `bruteForceThreshold` held-out rows, the exact brute-force
+    * pair stream runs (an eval set is usually small; this is the
+    * DuckDB-oracled path, unchanged). Above it, candidates come from
+    * [[AnnSearch.lshCandidatePairs]] — the (table, bucket) EQUI-join,
+    * so the |H|·|T| cross scan never exists — and the identical τ
+    * filter + aggregate runs over them. The big path is APPROXIMATE in
+    * the standard LSH sense: a contaminated pair is missed only if it
+    * collides in no table, and τ-level cosines (near-copies) collide
+    * with high probability per table — recall is spec-measured; what
+    * IS reported is exact (same cosine, same tie rules). Either way
+    * the τ filter prunes before the bounded top-1 heap.
     *
     * @param heldout (idCol, vecCol) eval rows; @param train likewise.
+    * @param bruteForceThreshold held-out row count (one count() probe)
+    *   above which the LSH candidate path replaces brute force
+    * @param lshTables/@param lshBits/@param seed the big path's
+    *   [[AnnSearch.srpPlanes]] geometry
     * @return (idCol, n_hits, top_train_id, top_cos) — flagged rows only. */
   def embeddingContamination(heldout: DataFrame, train: DataFrame,
-      idCol: String, vecCol: String, tau: Double): DataFrame = {
+      idCol: String, vecCol: String, tau: Double,
+      bruteForceThreshold: Long = 100000L, lshTables: Int = 8,
+      lshBits: Int = 12, seed: Long = 42L): DataFrame = {
     import graft.functions.{TopKByScore, VectorExpressions}
     def norm(df: DataFrame, id: String, v: String, n: String) =
       df.select(col(idCol).as(id), col(vecCol).as(v))
         .withColumn(n, VectorExpressions.dotProduct(col(v), col(v)))
     val cos = VectorExpressions.dotProduct(col("a_v"), col("b_v")) /
       sqrt(col("a_n") * col("b_n"))
-    norm(heldout.repartition(col(idCol)), "a_id", "a_v", "a_n")
-      .join(norm(train, "b_id", "b_v", "b_n"), lit(true))
+    val pairs =
+      if (heldout.count() <= bruteForceThreshold)
+        norm(heldout.repartition(col(idCol)), "a_id", "a_v", "a_n")
+          .join(norm(train, "b_id", "b_v", "b_n"), lit(true))
+      else {
+        val dims = graft.functions.VectorOps.probeDim(heldout, vecCol)
+          .getOrElse(throw new IllegalArgumentException(
+            s"cannot probe $vecCol's dimensionality (empty held-out?)"))
+        AnnSearch.lshCandidatePairs(
+          heldout.select(col(idCol).as("a_id"), col(vecCol).as("a_v")),
+          train.select(col(idCol).as("b_id"), col(vecCol).as("b_v")),
+          AnnSearch.srpPlanes(lshTables, lshBits, dims, seed))
+      }
+    pairs
       .select(col("a_id"), col("b_id"), cos.as("cos"))
       .filter(col("cos") >= tau)
       .groupBy(col("a_id"))

@@ -419,6 +419,49 @@ class CurationSpec extends SparkSpec {
     assert(r.getLong(2) == 5L) // both cos=1 — lower id wins
   }
 
+  test("embeddingContamination big path: LSH candidates, no cross join " +
+      "in the plan, flags a subset with exact scores") {
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val heldout = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val train = e.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tau = 0.4
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val exact = rows(Curation.embeddingContamination(heldout, train,
+      "id", "vec", tau)) // under threshold -> brute
+    // threshold 0 forces the LSH path. τ = 0.4 is a WIDE angle (~66°,
+    // per-bit collision ~0.63), so the test geometry is 8 tables × 1
+    // bit — per-table recall ~0.63, overall ~1 − 0.37⁸ ≈ 0.9997 —
+    // and the planes are seed-fixed, so whatever the fixture recall
+    // is, it is deterministic, not flaky
+    val big = Curation.embeddingContamination(heldout, train,
+      "id", "vec", tau, bruteForceThreshold = 0L, lshTables = 8,
+      lshBits = 1)
+    val bigRows = rows(big)
+    assert(exact.nonEmpty, "fixture produced no contamination hits")
+    // exactness of what IS reported: every big-path row must be
+    // explainable by the exact path with n_hits <= exact (candidates
+    // are a subset of all pairs)
+    val exactById = exact.groupBy(_._1).map { case (k, v) => k -> v.head }
+    bigRows.foreach { case (id, nh, topId, topCos) =>
+      val ex = exactById.get(id)
+      assert(ex.isDefined, s"big path flagged $id that exact did not")
+      assert(nh <= ex.get._2, s"big path over-counted hits for $id")
+    }
+    // at this lenient geometry the fixture reaches full recall
+    assert(bigRows == exact,
+      s"LSH path missed hits: ${exact.size - bigRows.size}")
+    // plan pin: the big path must contain NO nested-loop/cartesian join
+    val p = big.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"big path planned a cross join:\n$p")
+  }
+
   test("sftTranscripts: mask spans recover exactly the assistant text") {
     val spark2 = spark
     import spark2.implicits._
