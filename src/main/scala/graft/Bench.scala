@@ -332,6 +332,56 @@ object Bench {
         scrub()
         entry
     }.mkString("{", ",", "}")
+    // Graph-ANN knob table (round-10): NN-Descent build + beam serve +
+    // MEASURED recall@10 vs brute force on the ann_synth1m corpus
+    // family — the (buildK, iters, ef, rounds) trade-off table a real
+    // graph-ANN user tunes by, including the 1M-vector build. Recall
+    // is deterministic (hash init, id ties), so these are standing
+    // goldens. Opt out with SPARK_GRAFT_BENCH_GRAPH=0; single-shot
+    // (builds are minutes-scale — a second rep is a budget hazard and
+    // recall needs no variance control).
+    // The measured lessons (AnnSearchSpec sweeps + the round-10 200k/1M
+    // knob runs, 64-blob corpora): (a) a k-NN graph over well-separated
+    // clusters DISCONNECTS into per-blob components, so flat-walk
+    // recall ≈ the entries' blob coverage and rounds saturate by ~4;
+    // (b) the LAYERED serve (sparse upper layer's cross-cluster links)
+    // recovers recall at a 10-entry budget; (c) at growing n, BUILD
+    // WIDTH dominates — buildK=10/iters=2 leaves the graph unconverged
+    // (200k: 0.35 even with 256 entries; 1M: 0.10 @ 605 s build) while
+    // buildK=20 reaches 0.76 at 200k (357 s build). Default rows run
+    // at 50k per round; the 200k/1M rows ride SPARK_GRAFT_BENCH_HEAVY=1
+    // (minutes-scale builds — the dbscan_synth5m rule), with the
+    // round-10 measurements recorded in NOTES_DEV.md.
+    val graphAnnConfigs
+        : Seq[(String, Long, Int, Int, Int, Int, Int, Boolean)] =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_GRAPH", "1") == "0") Nil
+      else Seq(
+        ("knn_graph_50k_lowentry", 50000L, 10, 2, 10, 2, 10, false),
+        ("knn_graph_50k_base", 50000L, 10, 2, 20, 4, 256, false),
+        ("knn_graph_50k_b20", 50000L, 20, 2, 20, 4, 256, false),
+        ("knn_graph_50k_layered", 50000L, 10, 2, 20, 4, 10, true)) ++
+        (if (sys.env.get("SPARK_GRAFT_BENCH_HEAVY").contains("1"))
+          Seq(
+            ("knn_graph_200k_b20", 200000L, 20, 2, 20, 4, 256, false),
+            ("knn_graph_synth1m_b20", 1000000L, 20, 2, 20, 4, 256,
+              false))
+        else Nil)
+    val graphAnnJson = graphAnnConfigs.filter(p => selected(p._1)).map {
+      case (name, n, bk, it, ef, rd, ne, lay) =>
+        val entry = try {
+          val (b, sv, rc) = Workloads.knnGraphRecall(spark, n, bk, it,
+            ef, rd, nEntries = ne, layered = lay)
+          s""""$name":{"n":$n,"build_k":$bk,"iters":$it,"ef":$ef,""" +
+            s""""rounds":$rd,"n_entries":$ne,"layered":$lay,""" +
+            s""""build_sec":$b,"serve_sec":$sv,"recall_at_10":$rc}"""
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            s""""$name":{"build_sec":-1}"""
+        }
+        scrub()
+        entry
+    }.mkString("{", ",", "}")
     val results = sfResults ++ refResults
     def jsonMap(m: Seq[(String, Double)]) =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -350,7 +400,7 @@ object Bench {
       s""""$n":{"first":$f,"rerun":$r,"prev":$p}"""
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diagnostics":$diag,"ref_datasets":$refDatasetJson,"adjudicated":$adjJson,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diagnostics":$diag,"ref_datasets":$refDatasetJson,"graph_ann":$graphAnnJson,"adjudicated":$adjJson,"failed":$failed,"sf":"$sfDir"}"""
     // The round driver stores only the last ~2,000 chars of stdout and
     // json-parses the final line; the full per-query map is ~6,000 chars,
     // so four rounds of artifacts ended up with `parsed: null` and lost

@@ -385,4 +385,70 @@ object Workloads {
     val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
     graft.operators.AnnSearch.ivfTopK(q, b, k, nCentroids, nProbe)
   }
+
+  /** Graph-ANN build + serve + MEASURED recall on [[synthEmbeddings]]
+    * (the ann_synth1m corpus): NN-Descent graph at (`buildK`,
+    * `iters`), beam serve at (`ef`, `rounds`), recall@`k` of the beam
+    * result against exact brute-force cosine over `nQueries` sampled
+    * queries — the knob table a real graph-ANN user tunes by. Returns
+    * (build_sec, serve_sec, recall); everything is deterministic, so
+    * recall is a standing golden, not a random measurement.
+    * @param nQueries sampled as vec_id % (n / nQueries) == 0 —
+    *   corpus members, matching the brute-force self-exclusion. */
+  def knnGraphRecall(spark: SparkSession, n: Long, buildK: Int,
+      iters: Int, ef: Int, rounds: Int, k: Int = 10,
+      nQueries: Int = 200, nEntries: Int = 0,
+      layered: Boolean = false, levelDiv: Int = 64)
+      : (Double, Double, Double) = {
+    import org.apache.spark.sql.functions._
+    val A = graft.operators.AnnSearch
+    val emb = synthEmbeddings(spark, n, 32, 64)
+    val bd = emb.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_v")).persist()
+    bd.count() // corpus generation outside the build clock
+    val t0 = System.nanoTime()
+    // knnGraph localCheckpoints its result — count() pins the clock to
+    // full materialization anyway
+    val g = A.knnGraph(bd, k = buildK, iters = iters, buildK = buildK)
+    g.count()
+    // the layered index builds its sparse upper layer INSIDE the build
+    // clock (it is part of the standing index)
+    val layer =
+      if (layered) {
+        val (l1, l1g) = A.layerGraph(bd, levelDiv, k = buildK,
+          iters = iters)
+        l1g.count()
+        Some((l1, l1g))
+      } else None
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val qd = emb.filter(pmod(col("vec_id"), lit(n / nQueries)) === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      .persist()
+    qd.count()
+    def pairSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t1 = System.nanoTime()
+    // entry count defaults to ef (the q253 geometry), but on CLUSTERED
+    // corpora it is the recall lever: a k-NN graph over well-separated
+    // blobs disconnects into per-blob components, and the beam can
+    // only reach components that hold an entry — entries must cover
+    // the cluster structure (HNSW's long-range layers solve the same
+    // problem; entries are the BSP-friendly knob: a broadcast shortlist)
+    val ne = if (nEntries > 0) nEntries else ef
+    val served = pairSet((layer match {
+      case Some((l1, l1g)) => A.graphTopKLayered(qd, bd, g, l1, l1g, k,
+        ef, rounds, nEntries = ne)
+      case None => A.graphTopK(qd, bd, g, k, ef, rounds, nEntries = ne)
+    }).select("a_id", "nbr_id"))
+    val serveSec = (System.nanoTime() - t1) / 1e9
+    val truth = pairSet(A.bruteForceTopK(qd, bd, k)
+      .select("a_id", "nbr_id"))
+    val recall =
+      if (truth.isEmpty) 0.0
+      else served.intersect(truth).size.toDouble / truth.size
+    bd.unpersist(blocking = false)
+    qd.unpersist(blocking = false)
+    (math.rint(buildSec * 100) / 100, math.rint(serveSec * 100) / 100,
+      math.rint(recall * 10000) / 10000)
+  }
 }

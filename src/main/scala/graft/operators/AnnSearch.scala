@@ -1130,10 +1130,7 @@ object AnnSearch {
   def graphTopK(queries: DataFrame, build: DataFrame, graph: DataFrame,
       k: Int, ef: Int, rounds: Int, nEntries: Int,
       seed: Long = 42L): DataFrame = {
-    require(k >= 1 && ef >= k && rounds >= 0 && nEntries >= 1,
-      s"bad graphTopK shape: k=$k ef=$ef rounds=$rounds entries=$nEntries")
-    val vecs = withNorm(build, "b_v", "b_n").persist()
-    val qv = withNorm(queries, "a_v", "a_n").persist()
+    require(nEntries >= 1, s"need at least one entry, got $nEntries")
     // entry points: the nEntries ids with smallest md5(id:seed) — a
     // fixed tiny shortlist (TakeOrdered, no global exchange), shared
     // by every query and broadcast into round 0
@@ -1141,6 +1138,28 @@ object AnnSearch {
       .orderBy(md5(concat(col("nbr").cast("string"), lit(":" + seed))),
         col("nbr"))
       .limit(nEntries)
+    graphWalk(queries, build, graph, k, ef, rounds,
+      queries.select(col("a_id")).crossJoin(broadcast(entries)))
+  }
+
+  /** [[graphTopK]] with CALLER-SUPPLIED round-0 candidates instead of
+    * the global entry shortlist — per-query seeds (`a_id`, `nbr`).
+    * The layered serve ([[graphTopKLayered]]) feeds the upper layer's
+    * results in here; any candidate generator (IVF cells, LSH buckets)
+    * composes the same way. Queries with no seed rows are absent from
+    * the output. */
+  def graphTopKFrom(queries: DataFrame, build: DataFrame,
+      graph: DataFrame, k: Int, ef: Int, rounds: Int,
+      seedCand: DataFrame): DataFrame =
+    graphWalk(queries, build, graph, k, ef, rounds, seedCand)
+
+  private def graphWalk(queries: DataFrame, build: DataFrame,
+      graph: DataFrame, k: Int, ef: Int, rounds: Int,
+      seedCand: DataFrame): DataFrame = {
+    require(k >= 1 && ef >= k && rounds >= 0,
+      s"bad graph-walk shape: k=$k ef=$ef rounds=$rounds")
+    val vecs = withNorm(build, "b_v", "b_n").persist()
+    val qv = withNorm(queries, "a_v", "a_n").persist()
     val edges = graph.select(col("a_id").as("src"),
       col("nbr_id").as("nbr"))
     def topEf(cand: DataFrame, keep: Int) = cand
@@ -1152,8 +1171,7 @@ object AnnSearch {
       .agg(graft.functions.TopKByScore.topkMin(col("nbr"), col("negcos"),
         keep).as("topk"))
     var beam = topEf(
-      qv.select(col("a_id")).crossJoin(broadcast(entries))
-        .filter(col("a_id") =!= col("nbr")), ef)
+      seedCand.filter(col("a_id") =!= col("nbr")), ef)
       .select(col("a_id"), explode(col("topk")).as("p"))
       .select(col("a_id"), col("p.id").as("nbr"))
     for (_ <- 1 to rounds) {
@@ -1178,6 +1196,53 @@ object AnnSearch {
     vecs.unpersist()
     qv.unpersist()
     out
+  }
+
+  /** Hash-chosen upper LAYER of a corpus — the HNSW idea (Malkov &
+    * Yashunin 2018) in its BSP-friendly two-layer form: every ~
+    * `levelDiv`-th vector (by deterministic id hash) is promoted, and
+    * the k-NN graph over the SPARSE promoted subset carries the
+    * long-range links a base k-NN graph over clustered data lacks
+    * (each promoted vector has few same-cluster peers, so its nearest
+    * promoted neighbors CROSS clusters — exactly the connectivity
+    * that makes a handful of entries reach every region). Build once
+    * beside the base graph; both persist via
+    * [[graft.operators.IndexStore.saveKnnGraph]].
+    * @return (layer vectors (b_id, b_v), layer k-NN graph). */
+  def layerGraph(build: DataFrame, levelDiv: Int, k: Int, iters: Int,
+      seed: Long = 42L): (DataFrame, DataFrame) = {
+    require(levelDiv >= 2, s"levelDiv must be >= 2, got $levelDiv")
+    val l1 = build.filter(
+      pmod(xxhash64(col("b_id"), lit(s":lvl:$seed")), lit(levelDiv.toLong))
+        === 0)
+    (l1, knnGraph(l1, k = k, iters = iters, seed = seed, buildK = k))
+  }
+
+  /** Two-layer graph serve: beam-walk the sparse [[layerGraph]] first
+    * (its cross-cluster links route a FEW global entries to every
+    * query's region), then seed the base-graph walk with each query's
+    * layer results ([[graphTopKFrom]]). On clustered corpora this
+    * replaces the hundreds of flat entries the disconnected base
+    * graph needs (the AnnSearchSpec sweep's measured lesson) with
+    * `nEntries` ≈ 10 — the layer walk touches only |L1| ≈ n/levelDiv
+    * vectors. Deterministic end to end, same tie rules everywhere. */
+  def graphTopKLayered(queries: DataFrame, build: DataFrame,
+      graph: DataFrame, l1Build: DataFrame, l1Graph: DataFrame, k: Int,
+      ef: Int, rounds: Int, nEntries: Int, seed: Long = 42L,
+      l1Ef: Int = 0, l1Rounds: Int = 0, l1Entries: Int = 0): DataFrame = {
+    // the layer walk is nearly free (|L1| ≈ n/levelDiv vectors) — so
+    // it defaults WIDER and LONGER than the base walk, and with MORE
+    // entries (routing quality is what the layer exists for; a stalled
+    // layer walk caps base recall — the 20k×64-blob spec measured the
+    // layer-entry curve: 10 → 0.76, 64 → 0.83, 128 → 0.85 base recall,
+    // vs 0.16 for the flat 10-entry walk)
+    val lEf = if (l1Ef > 0) l1Ef else 2 * ef
+    val lRounds = if (l1Rounds > 0) l1Rounds else 2 * rounds
+    val lNe = if (l1Entries > 0) l1Entries else math.max(nEntries, 64)
+    val l1Res = graphTopK(queries, l1Build, l1Graph, lEf, lEf, lRounds,
+      lNe, seed)
+    graphTopKFrom(queries, build, graph, k, ef, rounds,
+      l1Res.select(col("a_id"), col("nbr_id").as("nbr")))
   }
 
   /** Insert into a standing [[knnGraph]] — the graph member of the

@@ -692,4 +692,73 @@ class AnnSearchSpec extends SparkSpec {
       (2 to k).exists(st => got((qid, st)) != pureTopK((qid, st)))),
       "MMR never diverged from plain top-k — diversity term inert?")
   }
+
+  test("knnGraphRecall: measured recall@10 vs brute force on the " +
+      "synthetic corpus — the bench knob table's unit-scale row") {
+    // 20k-vector twin of the knn_graph_synth1m bench diagnostic:
+    // deterministic end to end (hash init, id ties, seed-fixed
+    // corpus), so the recall is a standing golden, not a flaky sample
+    // MEASURED sweep lesson (this spec found it): on a 64-blob
+    // clustered corpus the k-NN graph disconnects into per-blob
+    // components, so recall tracks the ENTRY points' blob coverage —
+    // walk rounds saturate by ~4 (ne=10 → 0.07; ne=64 → 0.49;
+    // ne=256 → 0.77 at ef=10, 0.91 at ef=20). Entries are the
+    // BSP-friendly stand-in for HNSW's long-range layers.
+    val (buildSec, serveSec, recall) = graft.Workloads.knnGraphRecall(
+      spark, 20000L, buildK = 10, iters = 2, ef = 20, rounds = 4,
+      k = 10, nQueries = 100, nEntries = 256)
+    assert(buildSec > 0 && serveSec > 0)
+    assert(recall >= 0.85,
+      s"graph-ANN recall@10 collapsed: $recall (measured 0.907 at " +
+        "buildK=10, iters=2, ef=20, rounds=4, 256 entries)")
+    // the cautionary row: the low-entry geometry CANNOT reach blobs
+    // without an entry — recall collapses by construction, and a
+    // future change that silently fixes or worsens this should move
+    // this number loudly
+    val (_, _, recallLow) = graft.Workloads.knnGraphRecall(
+      spark, 20000L, buildK = 10, iters = 2, ef = 10, rounds = 2,
+      k = 10, nQueries = 100, nEntries = 10)
+    assert(recallLow < 0.3,
+      s"low-entry recall unexpectedly high ($recallLow) — did the " +
+        "graph gain long-range links?")
+  }
+
+  test("graphTopKLayered: the sparse upper layer's cross-cluster links " +
+      "recover recall at a 10-entry budget where the flat walk collapses") {
+    val emb = graft.Workloads.synthEmbeddings(spark, 20000L, 32, 64)
+    val bd = emb.select(col("vec_id").as("b_id"),
+      col("embedding").as("b_v")).persist()
+    val qd = emb.filter(pmod(col("vec_id"), lit(200L)) === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      .persist()
+    val g = AnnSearch.knnGraph(bd, k = 10, iters = 2, buildK = 10)
+    val (l1, l1g) = AnnSearch.layerGraph(bd, levelDiv = 64, k = 10,
+      iters = 2)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("a_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairSet(AnnSearch.bruteForceTopK(qd, bd, 10))
+    def recallOf(res: org.apache.spark.sql.DataFrame) =
+      pairSet(res).intersect(truth).size.toDouble / truth.size
+    val flat = recallOf(AnnSearch.graphTopK(qd, bd, g, 10, 20, 4,
+      nEntries = 10))
+    val layered = recallOf(AnnSearch.graphTopKLayered(qd, bd, g, l1,
+      l1g, 10, 20, 4, nEntries = 10))
+    // flat 10 entries reach ≤10 of the 64 disconnected blob
+    // components (measured 0.16); the layer walk routes queries to
+    // their region (measured 0.83 at default layer knobs — the
+    // residual miss is greedy-walk local optima on this deliberately
+    // hard 64-blob geometry, curve documented in graphTopKLayered)
+    assert(layered >= 0.78,
+      s"layered recall $layered (flat was $flat) — layer routing broke")
+    assert(flat < 0.3, s"flat low-entry walk unexpectedly high: $flat")
+    assert(layered > flat + 0.4,
+      s"layered $layered did not clearly beat flat $flat at the same " +
+        "base-entry budget")
+    // determinism: the layered serve is hash-seeded end to end
+    val again = recallOf(AnnSearch.graphTopKLayered(qd, bd, g, l1, l1g,
+      10, 20, 4, nEntries = 10))
+    assert(again == layered)
+    bd.unpersist(); qd.unpersist()
+  }
 }
