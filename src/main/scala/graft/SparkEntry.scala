@@ -2327,6 +2327,24 @@ object SparkEntry {
             gen(col("doc_id")).as("payload")))
     }),
 
+    // LAYERED graph serve (HNSW's long-range idea, 2-layer BSP form):
+    // the sparse md5-promoted layer's k-NN graph routes a 10-entry
+    // walk to every query's region; its results seed the base walk.
+    // Oracle: BOTH graph unrolls + both walks chained
+    "q268_graph_layered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val qd = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val g = operators.AnnSearch.knnGraph(bd, k = KgBuildK,
+        iters = KgIters, buildK = KgBuildK)
+      val (l1, l1g) = operators.AnnSearch.layerGraph(bd, levelDiv = LdDiv,
+        k = KgBuildK, iters = KgIters)
+      operators.AnnSearch.graphTopKLayered(qd, bd, g, l1, l1g, AnnK,
+          GsEf, GsRounds, nEntries = GsEf)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
     // Unigram-LM (SentencePiece-style) tokenizer LEARNING: seed
     // substring candidates, then 2 hard-EM rounds (Viterbi E-step
     // under quantized integer log-probs, usage-count M-step, top-K
@@ -4078,35 +4096,39 @@ object SparkEntry {
     * graph. `buildCond` restricts the graph's corpus (q257 builds on
     * the initial generation only); `pall` always carries every vector
     * so serve-side queries outside the build corpus can score. */
-  private def knnGraphCtes(buildCond: String = "TRUE"): String = {
+  private def knnGraphCtes(buildCond: String = "TRUE",
+      pfx: String = ""): String = {
     val cos = cosSql
     val rounds = (1 to KgIters).map { r =>
-      val prev = s"g${r - 1}"
-      s"""bn$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
+      val prev = s"${pfx}g${r - 1}"
+      s"""${pfx}bn$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
          |    SELECT a_id, nbr FROM $prev
          |    UNION ALL SELECT nbr AS a_id, a_id AS nbr FROM $prev)),
-         |cd$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
-         |    SELECT x.a_id, y.nbr FROM bn$r x JOIN bn$r y ON y.a_id = x.nbr
+         |${pfx}cd$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
+         |    SELECT x.a_id, y.nbr FROM ${pfx}bn$r x JOIN ${pfx}bn$r y
+         |      ON y.a_id = x.nbr
          |    WHERE x.a_id != y.nbr
          |    UNION ALL SELECT a_id, nbr FROM $prev)),
-         |g$r AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |${pfx}g$r AS MATERIALIZED (SELECT a_id, nbr FROM (
          |    SELECT c.a_id, c.nbr, row_number() OVER (PARTITION BY c.a_id
          |      ORDER BY $cos DESC, c.nbr) AS rn
-         |    FROM cd$r c JOIN p ea ON ea.id = c.a_id
-         |      JOIN p eb ON eb.id = c.nbr)
+         |    FROM ${pfx}cd$r c JOIN ${pfx}p ea ON ea.id = c.a_id
+         |      JOIN ${pfx}p eb ON eb.id = c.nbr)
          |  WHERE rn <= $KgBuildK)""".stripMargin
     }.mkString(",\n")
-    s"""pall AS MATERIALIZED (SELECT vec_id AS id, embedding
+    s"""${pfx}pall AS MATERIALIZED (SELECT vec_id AS id, embedding
        |  FROM embeddings),
-       |p AS MATERIALIZED (SELECT * FROM pall WHERE $buildCond),
-       |rk AS MATERIALIZED (SELECT id,
+       |${pfx}p AS MATERIALIZED (SELECT * FROM ${pfx}pall
+       |  WHERE $buildCond),
+       |${pfx}rk AS MATERIALIZED (SELECT id,
        |    row_number() OVER (ORDER BY id) AS pos
-       |  FROM p),
-       |g0 AS MATERIALIZED (SELECT DISTINCT a.id AS a_id, b.id AS nbr
-       |  FROM rk a, unnest(range(1, ${KgBuildK + 1})) AS u(j), rk b
+       |  FROM ${pfx}p),
+       |${pfx}g0 AS MATERIALIZED (SELECT DISTINCT a.id AS a_id, b.id AS nbr
+       |  FROM ${pfx}rk a, unnest(range(1, ${KgBuildK + 1})) AS u(j),
+       |    ${pfx}rk b
        |  WHERE b.pos = CAST('0x' || substr(md5(CAST(a.id AS VARCHAR)
        |      || ':' || CAST(u.j AS VARCHAR) || ':42'), 1, 12) AS BIGINT)
-       |    % (SELECT count(*) FROM rk) + 1
+       |    % (SELECT count(*) FROM ${pfx}rk) + 1
        |    AND a.id != b.id),
        |$rounds""".stripMargin
   }
@@ -4168,6 +4190,80 @@ object SparkEntry {
          |    JOIN p eb ON eb.id = c.nbr) r
          |WHERE rn <= $AnnK""".stripMargin
     "WITH " + knnGraphCtes() + ",\n" + serve
+  }
+
+  /** q268 layer divisor: every ~8th vector promotes at the fixture
+    * scale (≈62 layer members at sf0.01, ≈625 at sf0.1). */
+  private val LdDiv = 8
+
+  /** q268's oracle: BOTH graphs unrolled ([[knnGraphCtes]] twice — the
+    * base over everything, the `L`-prefixed layer over the md5-promoted
+    * subset), then the layer walk (entries from the layer, width 2·ef,
+    * 2·rounds — [[graft.operators.AnnSearch.graphTopKLayered]]'s
+    * defaults) whose result set seeds the base walk's round 0. */
+  private def graphLayeredOracle: String = {
+    val cos = cosSql
+    val lEf = 2 * GsEf
+    val lRounds = 2 * GsRounds
+    val lNe = math.max(GsEf, 64)
+    val promo = "CAST('0x' || substr(md5(CAST(id AS VARCHAR) " +
+      s"|| ':lvl:42'), 1, 12) AS BIGINT) % $LdDiv = 0"
+    val lWalk = (1 to lRounds).map { r =>
+      val prev = s"Lsb${r - 1}"
+      s"""Lsx$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
+         |    SELECT b.a_id AS a_id, g.nbr AS nbr
+         |    FROM $prev b JOIN Lg$KgIters g ON g.a_id = b.nbr
+         |    UNION ALL SELECT a_id, nbr FROM $prev)
+         |  WHERE a_id != nbr),
+         |Lsb$r AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |    SELECT x.a_id, x.nbr, row_number() OVER (PARTITION BY x.a_id
+         |      ORDER BY $cos DESC, x.nbr) AS rn
+         |    FROM Lsx$r x JOIN p ea ON ea.id = x.a_id
+         |      JOIN p eb ON eb.id = x.nbr)
+         |  WHERE rn <= $lEf)""".stripMargin
+    }.mkString(",\n")
+    val bWalk = (1 to GsRounds).map { r =>
+      val prev = s"sb${r - 1}"
+      s"""sx$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
+         |    SELECT b.a_id AS a_id, g.nbr AS nbr
+         |    FROM $prev b JOIN g$KgIters g ON g.a_id = b.nbr
+         |    UNION ALL SELECT a_id, nbr FROM $prev)
+         |  WHERE a_id != nbr),
+         |sb$r AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |    SELECT x.a_id, x.nbr, row_number() OVER (PARTITION BY x.a_id
+         |      ORDER BY $cos DESC, x.nbr) AS rn
+         |    FROM sx$r x JOIN p ea ON ea.id = x.a_id
+         |      JOIN p eb ON eb.id = x.nbr)
+         |  WHERE rn <= $GsEf)""".stripMargin
+    }.mkString(",\n")
+    val serve =
+      s"""Len AS MATERIALIZED (SELECT id FROM (
+         |    SELECT id, row_number() OVER (
+         |      ORDER BY md5(CAST(id AS VARCHAR) || ':42'), id) AS rn
+         |    FROM Lp) WHERE rn <= $lNe),
+         |qs AS MATERIALIZED (SELECT id AS a_id FROM p WHERE id < 50),
+         |Lsb0 AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |    SELECT q.a_id, e.id AS nbr, row_number() OVER (
+         |      PARTITION BY q.a_id ORDER BY $cos DESC, e.id) AS rn
+         |    FROM qs q CROSS JOIN Len e
+         |      JOIN p ea ON ea.id = q.a_id JOIN p eb ON eb.id = e.id
+         |    WHERE q.a_id != e.id) WHERE rn <= $lEf),
+         |$lWalk,
+         |sb0 AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |    SELECT x.a_id, x.nbr, row_number() OVER (PARTITION BY x.a_id
+         |      ORDER BY $cos DESC, x.nbr) AS rn
+         |    FROM Lsb$lRounds x JOIN p ea ON ea.id = x.a_id
+         |      JOIN p eb ON eb.id = x.nbr
+         |    WHERE x.a_id != x.nbr) WHERE rn <= $GsEf),
+         |$bWalk
+         |SELECT a_id AS vec_id, nbr AS nbr_id, CAST(rn AS INTEGER) AS rnk
+         |FROM (SELECT c.a_id, c.nbr, row_number() OVER (
+         |    PARTITION BY c.a_id ORDER BY $cos DESC, c.nbr) AS rn
+         |  FROM sb$GsRounds c JOIN p ea ON ea.id = c.a_id
+         |    JOIN p eb ON eb.id = c.nbr) r
+         |WHERE rn <= $AnnK""".stripMargin
+    "WITH " + knnGraphCtes() + ",\n" + knnGraphCtes(promo, "L") +
+      ",\n" + serve
   }
 
   /** q257's oracle: the graph built on the INITIAL generation
@@ -8024,6 +8120,9 @@ object SparkEntry {
     // unigram-LM: learning and tokenization, full EM unrolls
     "q266_unigram_vocab" -> unigramVocabOracle,
     "q267_unigram_tokenize" -> unigramTokenizeOracle,
+
+    // layered graph serve: both graph unrolls + chained walks
+    "q268_graph_layered" -> graphLayeredOracle,
 
     // MP3 demux: every output column recomputed from the fixture's
     // closed form (q249's discipline) — a parse bug moves an integer

@@ -1212,9 +1212,12 @@ object AnnSearch {
   def layerGraph(build: DataFrame, levelDiv: Int, k: Int, iters: Int,
       seed: Long = 42L): (DataFrame, DataFrame) = {
     require(levelDiv >= 2, s"levelDiv must be >= 2, got $levelDiv")
+    // promotion by PORTABLE hash (md5-derived, like the entry
+    // shortlist) so a SQL oracle reproduces the layer membership
     val l1 = build.filter(
-      pmod(xxhash64(col("b_id"), lit(s":lvl:$seed")), lit(levelDiv.toLong))
-        === 0)
+      pmod(graft.functions.TextFunctions.portableHash48(
+        concat(col("b_id").cast("string"), lit(s":lvl:$seed"))),
+        lit(levelDiv.toLong)) === 0)
     (l1, knnGraph(l1, k = k, iters = iters, seed = seed, buildK = k))
   }
 
