@@ -363,8 +363,12 @@ object Bench {
         (if (sys.env.get("SPARK_GRAFT_BENCH_HEAVY").contains("1"))
           Seq(
             ("knn_graph_200k_b20", 200000L, 20, 2, 20, 4, 256, false),
-            ("knn_graph_synth1m_b20", 1000000L, 20, 2, 20, 4, 256,
-              false))
+            // 1M stays at buildK=10 ON THIS HOST: NN-Descent's
+            // per-round candidate volume is n·(2K)² — at buildK=20
+            // that is ~1.6B rows/round of shuffle spill, which filled
+            // the 252 GB local disk (measured round 10); a real
+            // cluster spreads the same volume across executors' disks
+            ("knn_graph_synth1m", 1000000L, 10, 2, 20, 4, 256, false))
         else Nil)
     val graphAnnJson = graphAnnConfigs.filter(p => selected(p._1)).map {
       case (name, n, bk, it, ef, rd, ne, lay) =>
