@@ -194,7 +194,15 @@ object Bench {
     // the BETTER of the two references.
     val prevMins: Map[String, Double] = {
       val cur = parseMins(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", fullOut))
-      val lastRound = parseMins("/root/repo/BENCH_full_prev.json")
+      val prevRoundPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV_ROUND",
+        "/root/repo/BENCH_full_prev.json")
+      val lastRound = parseMins(prevRoundPath)
+      // an unreadable cross-round reference silently reopens the very
+      // blind spot this comparison closes — say so
+      if (lastRound.isEmpty)
+        System.err.println(s"[bench] WARNING: no cross-round reference " +
+          s"at $prevRoundPath — adjudication compares against the " +
+          "current committed file only")
       (cur.keySet ++ lastRound.keySet).map { k =>
         k -> (cur.get(k).toSeq ++ lastRound.get(k).toSeq).min
       }.toMap

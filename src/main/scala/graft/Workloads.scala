@@ -401,6 +401,11 @@ object Workloads {
       layered: Boolean = false, levelDiv: Int = 64)
       : (Double, Double, Double) = {
     import org.apache.spark.sql.functions._
+    // n/nQueries is the sampling modulus — n < nQueries would make it
+    // 0 (NULL pmod → silently zero queries → recall 0.0, a WRONG
+    // standing golden rather than an error)
+    require(n >= nQueries,
+      s"need n >= nQueries, got n=$n nQueries=$nQueries")
     val A = graft.operators.AnnSearch
     val emb = synthEmbeddings(spark, n, 32, 64)
     val bd = emb.select(col("vec_id").as("b_id"),

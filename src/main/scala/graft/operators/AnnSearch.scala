@@ -899,16 +899,19 @@ object AnnSearch {
         (col("pos") + 1).cast("int").as("rnk"))
   }
 
-  /** Distinct LSH bucket-mate PAIRS with vectors and hoisted norms —
+  /** Distinct LSH bucket-mate pairs SCORED with their exact cosine —
     * the candidate generator behind [[lshTopK]], exposed for consumers
-    * that run their own scoring/aggregation over the candidate stream
-    * (e.g. [[Curation.embeddingContamination]]'s τ filter). Same
-    * equi-join shape: shuffle ∝ Σ_buckets |Q_b|·|B_b|, the |Q|·|B|
-    * cross scan never exists. Self-pairs (a_id == b_id) are NOT
-    * filtered — whether identical ids are meaningful is the caller's
-    * semantic. Duplicate collisions across tables collapse to one row
-    * (rows are identical, so the dedup is pure).
-    * @return (a_id, a_v, a_n, b_id, b_v, b_n). */
+    * that run their own thresholding/aggregation over the candidate
+    * stream (e.g. [[Curation.embeddingContamination]]'s τ filter).
+    * Same equi-join shape: shuffle ∝ Σ_buckets |Q_b|·|B_b|, the
+    * |Q|·|B| cross scan never exists. The cosine is computed BEFORE
+    * the cross-table dedup, so only 3 scalars — never two dense
+    * vectors — cross the dedup exchange; a pair colliding in several
+    * tables re-derives the identical double, so the dedup is pure.
+    * Self-pairs (a_id == b_id) are NOT filtered — whether identical
+    * ids are meaningful is the caller's semantic.
+    * @return (a_id, b_id, cos) — cos is the hoisted-norm exact
+    *   formula shared with [[bruteForceTopK]]. */
   def lshCandidatePairs(queries: DataFrame, build: DataFrame,
       planes: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
     requirePlaneDims(build, "b_v", planes.flatMap(_.map(_.length)))
@@ -920,8 +923,7 @@ object AnnSearch {
     withSig(withNorm(queries, "a_v", "a_n"), "a_v")
       .join(withSig(withNorm(build, "b_v", "b_n"), "b_v"),
         Seq("tbl", "bkt"))
-      .select(col("a_id"), col("a_v"), col("a_n"),
-        col("b_id"), col("b_v"), col("b_n"))
+      .select(col("a_id"), col("b_id"), cosineCol.as("cos"))
       .dropDuplicates("a_id", "b_id")
   }
 

@@ -525,21 +525,27 @@ object Curation {
         .withColumn(n, VectorExpressions.dotProduct(col(v), col(v)))
     val cos = VectorExpressions.dotProduct(col("a_v"), col("b_v")) /
       sqrt(col("a_n") * col("b_n"))
-    val pairs =
+    // routing probe: ONE count() over the held-out side (eval sets are
+    // small and this operator is a screen, not a hot loop; callers
+    // with an expensive derived held-out plan should cache it — the
+    // probe and the pair scan each evaluate it once)
+    val scored =
       if (heldout.count() <= bruteForceThreshold)
         norm(heldout.repartition(col(idCol)), "a_id", "a_v", "a_n")
           .join(norm(train, "b_id", "b_v", "b_n"), lit(true))
+          .select(col("a_id"), col("b_id"), cos.as("cos"))
       else {
         val dims = graft.functions.VectorOps.probeDim(heldout, vecCol)
           .getOrElse(throw new IllegalArgumentException(
             s"cannot probe $vecCol's dimensionality (empty held-out?)"))
+        // lshCandidatePairs scores with the identical hoisted-norm
+        // cosine expression before its dedup
         AnnSearch.lshCandidatePairs(
           heldout.select(col(idCol).as("a_id"), col(vecCol).as("a_v")),
           train.select(col(idCol).as("b_id"), col(vecCol).as("b_v")),
           AnnSearch.srpPlanes(lshTables, lshBits, dims, seed))
       }
-    pairs
-      .select(col("a_id"), col("b_id"), cos.as("cos"))
+    scored
       .filter(col("cos") >= tau)
       .groupBy(col("a_id"))
       .agg(count(lit(1)).as("n_hits"),

@@ -75,8 +75,11 @@ object GlobalIndex {
     * that is broadcast downstream anyway (DBSCAN's dense cluster ids,
     * [[Dbscan.denseCompIds]]) a one-coalesced-partition window is
     * cheaper — this scheme spends ~4 exchanges plus a boundary-sampling
-    * range shuffle per call. Same shape as rowNumbers, expressed in SQL
-    * nodes:
+    * range shuffle per call. NOTE: since round 10 (the DBSCAN sites
+    * moved to denseCompIds) this operator has no in-repo production
+    * caller — it is retained, spec-gated, as the public deferred-rank
+    * API for tables too large to broadcast. Same shape as rowNumbers,
+    * expressed in SQL nodes:
     *
     *  1. range-shuffle on the sort keys and stamp each row with its
     *     physical partition id — range partitions are ordered, so

@@ -1236,28 +1236,40 @@ object Multimodal {
     var id3 = 0
     if (payload.length >= 10 && payload(0) == 'I' && payload(1) == 'D' &&
         payload(2) == '3') {
-      // ID3v2 size is sync-safe: 4 × 7 bits, header excluded
+      // ID3v2 size is sync-safe: 4 × 7 bits, header excluded; the
+      // v2.4 FOOTER flag (bit 4 of the flags byte) adds a 10-byte
+      // trailer AFTER the counted content — a conformant file the
+      // frame walk would otherwise reject at a 10-byte offset
       val sz = ((payload(6) & 0x7f) << 21) | ((payload(7) & 0x7f) << 14) |
         ((payload(8) & 0x7f) << 7) | (payload(9) & 0x7f)
-      id3 = 10 + sz
+      val footer = if ((payload(5) & 0x10) != 0) 10 else 0
+      id3 = 10 + sz + footer
       require(id3 <= payload.length,
         s"ID3v2 tag claims $sz content bytes past end of payload")
       off = id3
     }
+    // a trailing 128-byte ID3v1 "TAG" block is ubiquitous on real MP3s
+    // — stop the frame walk before it (conformant, not a framing error)
+    val end =
+      if (payload.length - id3 >= 128 &&
+          payload(payload.length - 128) == 'T' &&
+          payload(payload.length - 127) == 'A' &&
+          payload(payload.length - 126) == 'G')
+        payload.length - 128
+      else payload.length
     var n = 0L
     var samples = 0L
     var brMin = Int.MaxValue
     var brMax = 0
     var ver = ""
-    var verBits0 = -1
     var rate = 0
     var mode = -1
     var xingFrames = -1L
     var xingBytes = -1L
-    while (off < payload.length) {
-      require(payload.length - off >= 4,
+    while (off < end) {
+      require(end - off >= 4,
         s"truncated frame header at offset $off " +
-          s"(${payload.length - off} bytes left)")
+          s"(${end - off} bytes left)")
       val h = be32u(payload, off)
       require((h >>> 21) == 0x7ff,
         f"bad frame sync at offset $off: 0x$h%08x")
@@ -1278,15 +1290,14 @@ object Multimodal {
         case 2 => ("MPEG2", Mp3Rates2(srIdx), Mp3Br2(brIdx), 576, 72)
         case _ => ("MPEG2.5", Mp3Rates25(srIdx), Mp3Br2(brIdx), 576, 72)
       }
-      if (n == 0L) { ver = vname; verBits0 = verBits; rate = r
-        mode = chMode }
+      if (n == 0L) { ver = vname; rate = r; mode = chMode }
       else require(vname == ver && r == rate && chMode == mode,
         s"stream parameters changed mid-file at offset $off: " +
           s"($vname, $r, $chMode) after ($ver, $rate, $mode)")
       val fsz = coef * br * 1000 / r + pad
-      require(off + fsz <= payload.length,
+      require(off + fsz <= end,
         s"frame at offset $off claims $fsz bytes but only " +
-          s"${payload.length - off} remain")
+          s"${end - off} remain")
       if (n == 0L) {
         // Xing/Info sits after the side info of the FIRST frame
         val sideInfo =

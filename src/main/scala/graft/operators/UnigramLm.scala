@@ -173,6 +173,9 @@ object UnigramLm {
       vocab = emRound(words, vocab, maxPieceLen, vocabK).localCheckpoint()
       r += 1
     }
+    // the returned vocab is checkpointed (no lineage to words) — drop
+    // the cache instead of pinning one block per learn() call forever
+    words.unpersist(blocking = false)
     vocab
   }
 

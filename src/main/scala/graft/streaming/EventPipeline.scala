@@ -505,15 +505,21 @@ object EventPipeline {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         val sc = batch.sparkSession.sparkContext
         val before = sc.getPersistentRDDs.keySet
+        // the batch plan (often a stream-static join) is consumed by
+        // FOUR+ actions per trigger (op check, two emptiness probes,
+        // the folds) — cache it; the end-of-trigger sweep releases it
+        // (the pinned state is checkpointed, so the batch cache is
+        // never one of its ancestors)
+        val b = batch.toDF().persist()
         // null-safe loud failure on unknown ops (the
         // clusterMaintainStream rule: bare !isin drops NULL ops)
-        val bad = batch.filter(
+        val bad = b.filter(
           !(col(opCol).isin("insert", "delete") <=> lit(true)))
         if (!bad.isEmpty)
           throw new IllegalArgumentException(
             s"unknown $opCol value: ${bad.select(opCol).head.get(0)}")
-        val dels = batch.filter(col(opCol) === "delete").select(col(idCol))
-        val adds = batch.filter(col(opCol) === "insert")
+        val dels = b.filter(col(opCol) === "delete").select(col(idCol))
+        val adds = b.filter(col(opCol) === "insert")
           .select(col(idCol), col(vecCol))
         val (g1, v1) =
           if (dels.isEmpty) (graph, vecs)

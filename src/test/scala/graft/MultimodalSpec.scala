@@ -466,6 +466,20 @@ class MultimodalSpec extends SparkSpec {
     val id3only = Array[Byte]('I', 'D', '3', 3, 0, 0, 0, 0, 0, 2, 9, 9)
     val e6 = intercept[IllegalArgumentException](Multimodal.parseMp3(id3only))
     assert(e6.getMessage.contains("no MPEG audio frames"), e6.getMessage)
+    // CONFORMANT real-world shapes must parse, not reject:
+    // (g) ID3v2.4 FOOTER flag — 10 extra bytes after the counted size
+    val plain = Multimodal.syntheticMp3(4) // no ID3, Xing present
+    val withFooter = Array[Byte]('I', 'D', '3', 4, 0, 0x10.toByte,
+      0, 0, 0, 2) ++ Array[Byte](9, 9) ++ Array.fill[Byte](10)(0) ++ plain
+    val gf = Multimodal.parseMp3(withFooter)
+    assert(gf.id3v2_size == 10 + 2 + 10 && gf.n_frames ==
+      Multimodal.parseMp3(plain).n_frames)
+    // (h) trailing 128-byte ID3v1 "TAG" block after the last frame
+    val v1 = new Array[Byte](128)
+    v1(0) = 'T'; v1(1) = 'A'; v1(2) = 'G'
+    val gv1 = Multimodal.parseMp3(plain ++ v1)
+    assert(gv1.n_frames == Multimodal.parseMp3(plain).n_frames &&
+      gv1.xing_bytes == Multimodal.parseMp3(plain).xing_bytes)
   }
 
   test("mp3Metadata: one row per file, distributed over the column") {
