@@ -68,6 +68,21 @@ object Scaling {
       "pagerank_synth1m" -> (s =>
         Workloads.pagerankSynth(s, 1_000_000L, 100_000L)
           .select(col("id"), round(col("rank"), 8).as("rank"))),
+      // GRAPH-ANN family (fifth): NN-Descent build + beam serve over
+      // 50k clustered vectors — hash init, id-tie heaps, so the SERVED
+      // NEIGHBOR TABLE (not just the graph) must be bit-equal at every
+      // core count
+      "knn_graph_serve_50k" -> (s => {
+        val emb = Workloads.synthEmbeddings(s, 50_000L, 32, 64)
+        val bd = emb.select(col("vec_id").as("b_id"),
+          col("embedding").as("b_v")).persist()
+        val g = graft.operators.AnnSearch.knnGraph(bd, k = 10,
+          iters = 2, buildK = 10)
+        val qd = emb.filter(pmod(col("vec_id"), lit(250L)) === 0)
+          .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+        graft.operators.AnnSearch.graphTopK(qd, bd, g, 10, 20, 4,
+          nEntries = 256)
+      }),
     )
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
     var baseline = Map.empty[String, String]

@@ -195,4 +195,30 @@ object IndexStore {
     load(spark, dir, "knn_graph",
       Map("k" -> k.toString, "iters" -> iters.toString,
         "seed" -> seed.toString))("edges")
+
+  /** Persist a LAYERED graph index — the [[AnnSearch.layerGraph]] +
+    * base-[[AnnSearch.knnGraph]] triple that
+    * [[AnnSearch.graphTopKLayered]] serves from: base edges, the
+    * promoted layer's vectors, and the layer's edges, under one
+    * manifest (serving needs all three consistently — persisting them
+    * separately invites mixed-generation loads). */
+  def saveLayeredGraph(dir: String, baseEdges: DataFrame,
+      layerVecs: DataFrame, layerEdges: DataFrame, k: Int, iters: Int,
+      levelDiv: Int, seed: Long): Unit =
+    save(dir, "layered_graph",
+      Map("k" -> k.toString, "iters" -> iters.toString,
+        "level_div" -> levelDiv.toString, "seed" -> seed.toString),
+      Seq("edges" -> baseEdges, "layer_vecs" -> layerVecs,
+        "layer_edges" -> layerEdges))
+
+  /** @return (base edges, layer vectors, layer edges) for
+    * [[AnnSearch.graphTopKLayered]]. */
+  def loadLayeredGraph(spark: SparkSession, dir: String, k: Int,
+      iters: Int, levelDiv: Int, seed: Long)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val t = load(spark, dir, "layered_graph",
+      Map("k" -> k.toString, "iters" -> iters.toString,
+        "level_div" -> levelDiv.toString, "seed" -> seed.toString))
+    (t("edges"), t("layer_vecs"), t("layer_edges"))
+  }
 }
