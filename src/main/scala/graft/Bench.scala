@@ -121,6 +121,12 @@ object Bench {
       "dbscan_state_rt_synth500k" -> ((s: SparkSession) =>
         Workloads.dbscanStateRoundTrip(s, 500_000L, k = 25, dims = 5,
           eps = 1.0, minPts = 5)),
+      // ANN-index durability at scale (the round-10 IndexStore seam):
+      // build the 1M-vector IVF artifacts, save under the commit
+      // manifest, reload, serve — the delta vs ann_synth1m is the
+      // persist + re-read price of the nightly restart path
+      "ann_index_rt_synth1m" -> ((s: SparkSession) =>
+        Workloads.annIndexRoundTrip(s, 1_000_000L)),
       // HIGH-DIMENSIONAL Euclidean ε-join at scale: the kd fallback
       // (coarse cells + ghosts + per-cell kd radius queries) over
       // 200k 32-d clustered vectors, ~70M true pairs at eps=0.2 —

@@ -386,6 +386,33 @@ object Workloads {
     graft.operators.AnnSearch.ivfTopK(q, b, k, nCentroids, nProbe)
   }
 
+  /** ANN-index DURABILITY at scale — [[annSynth]]'s nightly-build/serve
+    * pair with the [[graft.operators.IndexStore]] seam in the middle:
+    * build the IVF artifacts over `n` vectors, SAVE under the commit
+    * manifest, LOAD back (no lineage to the building session), and
+    * serve the query batch from the loaded artifacts. The delta vs
+    * `ann_synth1m` is the price of persisting + re-reading the index —
+    * the restart path a real serving fleet takes nightly
+    * (dbscan_state_rt_synth500k's shape for the ANN family). */
+  def annIndexRoundTrip(spark: SparkSession, n: Long, dims: Int = 32,
+      nCentroids: Int = 256, k: Int = 10, nProbe: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val emb = synthEmbeddings(spark, n, dims, k = 64).persist()
+    val b = emb.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+    val cents = graft.operators.AnnSearch.centroids(b, nCentroids)
+    val dir = java.nio.file.Files.createTempDirectory("graft_annrt")
+    try {
+      graft.operators.IndexStore.saveIvf(dir.toString, cents, b,
+        nCentroids, iters = 2, seed = 42L)
+      val (lc, lv) = graft.operators.IndexStore.loadIvf(spark,
+        dir.toString, nCentroids, iters = 2, seed = 42L)
+      val q = emb.filter(pmod(col("vec_id"), lit(1000L)) === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      graft.operators.AnnSearch.ivfTopKPrebuilt(q, lv.localCheckpoint(),
+        k, lc.localCheckpoint(), nProbe)
+    } finally deleteTree(dir.toString)
+  }
+
   /** Graph-ANN build + serve + MEASURED recall on [[synthEmbeddings]]
     * (the ann_synth1m corpus): NN-Descent graph at (`buildK`,
     * `iters`), beam serve at (`ef`, `rounds`), recall@`k` of the beam
