@@ -366,32 +366,43 @@ object Bench {
     // at 50k per round; the 200k/1M rows ride SPARK_GRAFT_BENCH_HEAVY=1
     // (minutes-scale builds — the dbscan_synth5m rule), with the
     // round-10 measurements recorded in NOTES_DEV.md.
+    // last field = ivfCells: 0 → NN-Descent build; > 0 → the
+    // IVF-cell-sharded exact build (knnGraphIvf — round-11), whose
+    // exchanges are linear in n and which therefore RUNS at 1M on this
+    // host where NN-Descent at buildK=20 overflowed the shuffle disk
     val graphAnnConfigs
-        : Seq[(String, Long, Int, Int, Int, Int, Int, Boolean)] =
+        : Seq[(String, Long, Int, Int, Int, Int, Int, Boolean, Int)] =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_GRAPH", "1") == "0") Nil
       else Seq(
-        ("knn_graph_50k_lowentry", 50000L, 10, 2, 10, 2, 10, false),
-        ("knn_graph_50k_base", 50000L, 10, 2, 20, 4, 256, false),
-        ("knn_graph_50k_b20", 50000L, 20, 2, 20, 4, 256, false),
-        ("knn_graph_50k_layered", 50000L, 10, 2, 20, 4, 10, true)) ++
+        ("knn_graph_50k_lowentry", 50000L, 10, 2, 10, 2, 10, false, 0),
+        ("knn_graph_50k_base", 50000L, 10, 2, 20, 4, 256, false, 0),
+        ("knn_graph_50k_b20", 50000L, 20, 2, 20, 4, 256, false, 0),
+        ("knn_graph_50k_ivf", 50000L, 20, 2, 20, 4, 256, false, 32),
+        ("knn_graph_50k_layered", 50000L, 10, 2, 20, 4, 10, true, 0)) ++
         (if (sys.env.get("SPARK_GRAFT_BENCH_HEAVY").contains("1"))
           Seq(
-            ("knn_graph_200k_b20", 200000L, 20, 2, 20, 4, 256, false),
-            // 1M stays at buildK=10 ON THIS HOST: NN-Descent's
+            ("knn_graph_200k_b20", 200000L, 20, 2, 20, 4, 256, false, 0),
+            // NN-Descent's 1M row stays at buildK=10 ON THIS HOST: its
             // per-round candidate volume is n·(2K)² — at buildK=20
             // that is ~1.6B rows/round of shuffle spill, which filled
             // the 252 GB local disk (measured round 10); a real
-            // cluster spreads the same volume across executors' disks
-            ("knn_graph_synth1m", 1000000L, 10, 2, 20, 4, 256, false))
+            // cluster spreads the same volume across executors' disks.
+            // The IVF-sharded row is the build that makes 1M USABLE
+            // here: exact per-cell top-k inside 1024 coarse cells
+            ("knn_graph_synth1m", 1000000L, 10, 2, 20, 4, 256, false, 0),
+            ("knn_graph_synth1m_ivf", 1000000L, 20, 2, 20, 8, 256,
+              false, 1024))
         else Nil)
     val graphAnnJson = graphAnnConfigs.filter(p => selected(p._1)).map {
-      case (name, n, bk, it, ef, rd, ne, lay) =>
+      case (name, n, bk, it, ef, rd, ne, lay, cells) =>
         val entry = try {
-          val (b, sv, rc) = Workloads.knnGraphRecall(spark, n, bk, it,
-            ef, rd, nEntries = ne, layered = lay)
+          val (b, sv, rc, gr) = Workloads.knnGraphRecall(spark, n, bk, it,
+            ef, rd, nEntries = ne, layered = lay, ivfCells = cells)
           s""""$name":{"n":$n,"build_k":$bk,"iters":$it,"ef":$ef,""" +
             s""""rounds":$rd,"n_entries":$ne,"layered":$lay,""" +
-            s""""build_sec":$b,"serve_sec":$sv,"recall_at_10":$rc}"""
+            s""""ivf_cells":$cells,""" +
+            s""""build_sec":$b,"serve_sec":$sv,"recall_at_10":$rc,""" +
+            s""""graph_recall_at_10":$gr}"""
         } catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

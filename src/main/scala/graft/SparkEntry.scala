@@ -2345,6 +2345,23 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
+    // k-NN GRAPH, IVF-CELL-SHARDED (the disk-lean scale build beside
+    // q252's NN-Descent): top-2 cell assignment over the q23 centroid
+    // pipeline, exact per-cell top-k, cross-cell bounded-heap merge,
+    // then ONE NN-Descent refinement round (broadcast-scored id-pair
+    // candidates — the round that buys back cell-coverage loss at 1M).
+    // The oracle shares q23's centroid CTEs byte-for-byte, ranks the
+    // distinct shared-cell pairs per vertex (== the engine's per-cell-
+    // then-merge under the shared (cos desc, id) tie rule), and unrolls
+    // the refinement round with q252's bn/cd/g template
+    "q269_knn_graph_ivf" -> ((s, dir) =>
+      operators.AnnSearch.knnGraphIvf(
+        t(s, dir, "embeddings").select(col("vec_id").as("b_id"),
+          col("embedding").as("b_v")),
+        k = KgBuildK, nCells = IvfCents, nAssign = KgIvfAssign,
+        lloydIters = IvfIters, refineIters = 1, seed = IvfSeed)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))),
+
     // Unigram-LM (SentencePiece-style) tokenizer LEARNING: seed
     // substring candidates, then 2 hard-EM rounds (Viterbi E-step
     // under quantized integer log-probs, usage-count M-step, top-K
@@ -3951,6 +3968,11 @@ object SparkEntry {
   private val KgIters = 2
   private val KgBuildK = 20
 
+  /** q269 sharded-build geometry: each build vector lands in its 2
+    * nearest of the [[IvfCents]] cells (the q23 centroid pipeline,
+    * shared CTE text). */
+  private val KgIvfAssign = 2
+
   /** q252's oracle: the NN-Descent build unrolled — md5-ring init CTE,
     * then per round the symmetric closure (bn), the 2-hop candidate
     * join ∪ the current graph (cd), and the exact-cosine top-k (g).
@@ -4404,13 +4426,23 @@ object SparkEntry {
     * SERVE-side candidate set pre-ranking (q234 passes the tombstone
     * predicate; build/centroid CTEs always run over the full corpus —
     * retraction never retrains). */
-  private def ivfOracleWith(serveCond: String,
-      buildCond: String = "TRUE"): String = {
-    def d2(a: String, b: String) =
-      s"list_sum(list_transform(list_zip($a, $b), " +
-        "x -> (x[1] - x[2]) * (x[1] - x[2])))"
-    def dot(a: String, b: String) =
-      s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
+  /** Exact-d²/dot SQL folds shared by every centroid-pipeline oracle
+    * (q23-family + the q269 sharded graph build) — ONE text each, the
+    * [[dotSql]] discipline. */
+  private def d2SqlV(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), " +
+      "x -> (x[1] - x[2]) * (x[1] - x[2])))"
+  private def dotSqlV(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2]))"
+
+  /** The IVF centroid-training CTE body (vector table `p`, training
+    * corpus `tp`, md5-ordered seed `pool`, farthest-first rounds,
+    * quantized-integer Lloyd rounds through `c$IvfIters`) — shared
+    * verbatim by [[ivfOracleWith]] (q23 family) and
+    * [[knnGraphIvfOracle]] (q269), which diverge only downstream of
+    * the trained centroids. */
+  private def ivfCentroidCtes(buildCond: String): String = {
+    def d2(a: String, b: String) = d2SqlV(a, b)
     // farthest-first rounds 2..n: argmax of min-d² to the chosen set,
     // ties to the smallest pool rank (= smallest id)
     val ff = (2 to IvfCents).map { r =>
@@ -4441,8 +4473,7 @@ object SparkEntry {
          |    GROUP BY 1, 2)
          |  GROUP BY cid)""".stripMargin
     }.mkString(",\n")
-    val fc = s"c$IvfIters"
-    s"""WITH p AS MATERIALIZED (SELECT vec_id AS id,
+    s"""p AS MATERIALIZED (SELECT vec_id AS id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
        |tp AS MATERIALIZED (SELECT * FROM p WHERE $buildCond),
@@ -4456,8 +4487,61 @@ object SparkEntry {
        |c0 AS MATERIALIZED (SELECT
        |    CAST(row_number() OVER (ORDER BY rid) AS INTEGER) AS cid,
        |    v AS cv FROM ch$IvfCents),
-       |$lloyd,
-       |bi AS MATERIALIZED (SELECT id, cid FROM (
+       |$lloyd""".stripMargin
+  }
+
+  /** q269's oracle: the IVF-SHARDED k-NN graph build unrolled — the
+    * shared centroid pipeline ([[ivfCentroidCtes]], byte-identical to
+    * q23's), then top-[[KgIvfAssign]] cell assignment per BUILD vector
+    * (`rn <= n`, where q23's build assignment takes `rn = 1`), the
+    * DISTINCT shared-cell candidate pairs, one global exact-cosine
+    * rank into the sharded graph `ivg0`, and ONE NN-Descent refinement
+    * round (q252's bn/cd/g round template, `iv`-prefixed, seeded by
+    * `ivg0` instead of the md5 ring). Global-rank-over-covered-pairs
+    * equals the engine's per-cell-top-k-then-merge because a vertex's
+    * global top-k member inside a cell is inside that cell's top-k too
+    * (same tie rule both levels). */
+  private def knnGraphIvfOracle: String = {
+    val fc = s"c$IvfIters"
+    val cosq = s"${dotSqlV("qa.v", "qb.v")} /\n" +
+      s"        sqrt(${dotSqlV("qa.v", "qa.v")} * " +
+      s"${dotSqlV("qb.v", "qb.v")})"
+    "WITH " + ivfCentroidCtes("TRUE") + ",\n" +
+      s"""bi2 AS MATERIALIZED (SELECT id, cid FROM (
+         |    SELECT p.id, c.cid, row_number() OVER (PARTITION BY p.id
+         |      ORDER BY ${d2SqlV("p.v", "c.cv")}, c.cid) AS rn
+         |    FROM p CROSS JOIN $fc c) WHERE rn <= $KgIvfAssign),
+         |cand AS MATERIALIZED (SELECT DISTINCT a.id AS a_id, b.id AS nbr
+         |  FROM bi2 a JOIN bi2 b USING (cid) WHERE a.id != b.id),
+         |ivg0 AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |    SELECT c.a_id, c.nbr, row_number() OVER (
+         |      PARTITION BY c.a_id ORDER BY $cosq DESC, c.nbr) AS rn
+         |    FROM cand c JOIN p qa ON qa.id = c.a_id
+         |      JOIN p qb ON qb.id = c.nbr)
+         |  WHERE rn <= $KgBuildK),
+         |ivbn AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
+         |    SELECT a_id, nbr FROM ivg0
+         |    UNION ALL SELECT nbr AS a_id, a_id AS nbr FROM ivg0)),
+         |ivcd AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
+         |    SELECT x.a_id, y.nbr FROM ivbn x JOIN ivbn y
+         |      ON y.a_id = x.nbr
+         |    WHERE x.a_id != y.nbr
+         |    UNION ALL SELECT a_id, nbr FROM ivg0))
+         |SELECT a_id AS vec_id, nbr AS nbr_id, CAST(rn AS INTEGER) AS rnk
+         |FROM (SELECT c.a_id, c.nbr, row_number() OVER (
+         |    PARTITION BY c.a_id ORDER BY $cosq DESC, c.nbr) AS rn
+         |  FROM ivcd c JOIN p qa ON qa.id = c.a_id
+         |    JOIN p qb ON qb.id = c.nbr) r
+         |WHERE rn <= $KgBuildK""".stripMargin
+  }
+
+  private def ivfOracleWith(serveCond: String,
+      buildCond: String = "TRUE"): String = {
+    def d2(a: String, b: String) = d2SqlV(a, b)
+    def dot(a: String, b: String) = dotSqlV(a, b)
+    val fc = s"c$IvfIters"
+    "WITH " + ivfCentroidCtes(buildCond) + ",\n" +
+      s"""bi AS MATERIALIZED (SELECT id, cid FROM (
        |    SELECT p.id, c.cid, row_number() OVER (PARTITION BY p.id
        |      ORDER BY ${d2("p.v", "c.cv")}, c.cid) AS rn
        |    FROM p CROSS JOIN $fc c) WHERE rn = 1),
@@ -8123,6 +8207,10 @@ object SparkEntry {
 
     // layered graph serve: both graph unrolls + chained walks
     "q268_graph_layered" -> graphLayeredOracle,
+
+    // IVF-sharded k-NN graph build: q23's centroid CTEs + top-2 cell
+    // assignment + global rank over distinct shared-cell pairs
+    "q269_knn_graph_ivf" -> knnGraphIvfOracle,
 
     // MP3 demux: every output column recomputed from the fixture's
     // closed form (q249's discipline) — a parse bug moves an integer

@@ -393,7 +393,15 @@ object Workloads {
     * serve the query batch from the loaded artifacts. The delta vs
     * `ann_synth1m` is the price of persisting + re-reading the index —
     * the restart path a real serving fleet takes nightly
-    * (dbscan_state_rt_synth500k's shape for the ANN family). */
+    * (dbscan_state_rt_synth500k's shape for the ANN family).
+    *
+    * The temp index dir is deleted BEFORE the returned serve plan is
+    * evaluated — sound here only because the loaded tables are
+    * localCheckpoint'd (eager blocks, no parquet lineage) and
+    * bench/verify run single-host: an executor loss after deletion
+    * would make the blocks unrecoverable with the source gone. A real
+    * serving fleet keeps the index dir alive for the serve's lifetime
+    * (delete after the consuming action, not after load). */
   def annIndexRoundTrip(spark: SparkSession, n: Long, dims: Int = 32,
       nCentroids: Int = 256, k: Int = 10, nProbe: Int = 8): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -425,8 +433,9 @@ object Workloads {
   def knnGraphRecall(spark: SparkSession, n: Long, buildK: Int,
       iters: Int, ef: Int, rounds: Int, k: Int = 10,
       nQueries: Int = 200, nEntries: Int = 0,
-      layered: Boolean = false, levelDiv: Int = 64)
-      : (Double, Double, Double) = {
+      layered: Boolean = false, levelDiv: Int = 64,
+      ivfCells: Int = 0)
+      : (Double, Double, Double, Double) = {
     import org.apache.spark.sql.functions._
     // n/nQueries is the sampling modulus — n < nQueries would make it
     // 0 (NULL pmod → silently zero queries → recall 0.0, a WRONG
@@ -440,8 +449,17 @@ object Workloads {
     bd.count() // corpus generation outside the build clock
     val t0 = System.nanoTime()
     // knnGraph localCheckpoints its result — count() pins the clock to
-    // full materialization anyway
-    val g = A.knnGraph(bd, k = buildK, iters = iters, buildK = buildK)
+    // full materialization anyway. ivfCells > 0 selects the IVF-cell-
+    // sharded build (knnGraphIvf): the disk-lean path whose only
+    // exchanges are linear in n, where NN-Descent at buildK=20/1M
+    // overflowed this host's shuffle disk (round-10 finding)
+    val g =
+      if (ivfCells > 0)
+        // one broadcast-scored NN-Descent round on top of the sharded
+        // build (measured at 1M/1024 cells: graph recall 0.66 sharded
+        // → ~0.9 refined). knnGraphIvf checkpoints its own output.
+        A.knnGraphIvf(bd, k = buildK, nCells = ivfCells, refineIters = 1)
+      else A.knnGraph(bd, k = buildK, iters = iters, buildK = buildK)
     g.count()
     // the layered index builds its sparse upper layer INSIDE the build
     // clock (it is part of the standing index)
@@ -478,9 +496,20 @@ object Workloads {
     val recall =
       if (truth.isEmpty) 0.0
       else served.intersect(truth).size.toDouble / truth.size
+    // the graph's INTRINSIC quality at the same k — separates build
+    // loss (true neighbor not an edge) from walk loss (edge exists but
+    // the beam never reaches it): queries are corpus members, so their
+    // top-k edge rows are directly comparable to the brute-force truth
+    val graphEdges = pairSet(g.filter(col("rnk") <= k)
+      .join(qd.select(col("a_id")), "a_id")
+      .select("a_id", "nbr_id"))
+    val graphRecall =
+      if (truth.isEmpty) 0.0
+      else graphEdges.intersect(truth).size.toDouble / truth.size
     bd.unpersist(blocking = false)
     qd.unpersist(blocking = false)
     (math.rint(buildSec * 100) / 100, math.rint(serveSec * 100) / 100,
-      math.rint(recall * 10000) / 10000)
+      math.rint(recall * 10000) / 10000,
+      math.rint(graphRecall * 10000) / 10000)
   }
 }

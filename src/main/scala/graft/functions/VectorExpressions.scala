@@ -408,6 +408,122 @@ case class Int8QuantStats(child: Expression)
   override def prettyName: String = "int8_quant_stats"
 }
 
+/** The `n` nearest centroid ids as a row-local projection — the top-N
+  * generalization of [[NearestCentroidId]] that the IVF-sharded k-NN
+  * graph build ([[graft.operators.AnnSearch.knnGraphIvf]]) assigns
+  * build vectors with: each vector lands in its `n` closest coarse
+  * cells, so true neighbors that straddle a cell boundary still share
+  * at least one cell. Same exact d² fold and tie rule as
+  * [[NearestCentroidId]] (strict `<` on a scan in ascending-id order ⇒
+  * ties keep the smaller centroid id), so the emitted list equals the
+  * oracle's `row_number() OVER (ORDER BY d2, cid) <= n`. Output is
+  * ordered nearest-first; O(nCents·(dims + n)) per row, codegen'd —
+  * the |B|-row assignment pass never allocates beyond the fixed-size
+  * insertion buffers. */
+case class TopNCentroidIds(child: Expression,
+    cents: Array[Array[Double]], ids: Array[Int], n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(cents.nonEmpty && cents.length == ids.length,
+    "centroid matrix and id array must be non-empty and aligned")
+  require(ids.toSeq == ids.toSeq.sorted && ids.distinct.length == ids.length,
+    "centroid ids must be strictly ascending (tie rule depends on scan order)")
+  require(n >= 1, s"need n >= 1 top cells, got $n")
+
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+
+  private def keep: Int = math.min(n, cents.length)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val isFloat = elemType == org.apache.spark.sql.types.FloatType
+    val m = keep
+    val bestD = Array.fill(m)(Double.PositiveInfinity)
+    val bestId = new Array[Int](m)
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val nd = math.min(x.numElements(), cv.length)
+      var acc = 0.0
+      var i = 0
+      while (i < nd) {
+        val xv = if (isFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val d = xv - cv(i)
+        acc += d * d
+        i += 1
+      }
+      // strict < : an equal-distance later (larger) id never displaces
+      var pos = m
+      while (pos > 0 && acc < bestD(pos - 1)) pos -= 1
+      if (pos < m) {
+        var j = m - 1
+        while (j > pos) { bestD(j) = bestD(j - 1); bestId(j) = bestId(j - 1); j -= 1 }
+        bestD(pos) = acc
+        bestId(pos) = ids(c)
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(bestId)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val idsRef = ctx.addReferenceObj("cids", ids, "int[]")
+    val getElem = elemType match {
+      case org.apache.spark.sql.types.FloatType =>
+        (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+      case _ => (arr: String, i: String) => s"$arr.getDouble($i)"
+    }
+    val m = keep
+    nullSafeCodeGen(ctx, ev, x => {
+      val bestD = ctx.freshName("bestD")
+      val bestId = ctx.freshName("bestId")
+      val c = ctx.freshName("c")
+      val cv = ctx.freshName("cv")
+      val nd = ctx.freshName("nd")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val pos = ctx.freshName("pos")
+      val j = ctx.freshName("j")
+      s"""
+         |double[] $bestD = new double[$m];
+         |int[] $bestId = new int[$m];
+         |java.util.Arrays.fill($bestD, Double.POSITIVE_INFINITY);
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  double[] $cv = $centsRef[$c];
+         |  int $nd = java.lang.Math.min($x.numElements(), $cv.length);
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $nd; $i++) {
+         |    double $d = ${getElem(x, i)} - $cv[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  int $pos = $m;
+         |  while ($pos > 0 && $acc < $bestD[$pos - 1]) $pos--;
+         |  if ($pos < $m) {
+         |    for (int $j = $m - 1; $j > $pos; $j--) {
+         |      $bestD[$j] = $bestD[$j - 1];
+         |      $bestId[$j] = $bestId[$j - 1];
+         |    }
+         |    $bestD[$pos] = $acc;
+         |    $bestId[$pos] = $idsRef[$c];
+         |  }
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($bestId);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "top_n_centroid_ids"
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.GraftInternals.{column, expression}
   /** Column API for the codegen'd kernels. */
@@ -423,6 +539,11 @@ object VectorExpressions {
     * `cents` as (id, coords) pairs sorted ascending by id. */
   def nearestCentroidId(vec: Column, cents: Array[(Int, Array[Double])]): Column =
     column(NearestCentroidId(expression(vec), cents.map(_._2), cents.map(_._1)))
+  /** The `n` nearest centroid ids, nearest first (see [[TopNCentroidIds]]);
+    * `cents` as (id, coords) pairs sorted ascending by id. */
+  def topNCentroidIds(vec: Column, cents: Array[(Int, Array[Double])],
+      n: Int): Column =
+    column(TopNCentroidIds(expression(vec), cents.map(_._2), cents.map(_._1), n))
   /** `[n_dims, sum_q, sum_absq, err_q12]` int8-quantization report
     * (see [[Int8QuantStats]]). */
   def int8QuantStats(vec: Column): Column =

@@ -126,6 +126,8 @@ object AnnSearch {
   private def farthestFirst(pool: Array[Array[Double]], n: Int): Seq[Int] = {
     if (pool.isEmpty) return Seq.empty
     val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val isChosen = new Array[Boolean](pool.length)
+    isChosen(0) = true
     val minD2 = Array.fill(pool.length)(Double.PositiveInfinity)
     while (chosen.length < math.min(n, pool.length)) {
       val last = pool(chosen.last)
@@ -133,7 +135,7 @@ object AnnSearch {
       var bestD = -1.0
       var i = 0
       while (i < pool.length) {
-        if (!chosen.contains(i)) {
+        if (!isChosen(i)) {
           val d = seqD2(pool(i), last)
           if (d < minD2(i)) minD2(i) = d
           // strict > keeps the earliest (smallest-id) index on ties
@@ -142,6 +144,7 @@ object AnnSearch {
         i += 1
       }
       chosen += best
+      isChosen(best) = true
     }
     chosen.sorted.toSeq
   }
@@ -1066,42 +1069,178 @@ object AnnSearch {
       // just in the rounds, or iters=0 emits duplicate (a_id, nbr) rows
       // at consecutive ranks (the heap has no id dedup)
       .distinct()
-    val scoreTopK = (cand: DataFrame, keep: Int) => cand
-      .join(vecs.select(col("b_id").as("a_id"), col("b_v").as("a_v"),
-        col("b_n").as("a_n")), "a_id")
-      .join(vecs.select(col("b_id").as("nbr"), col("b_v"), col("b_n")),
-        "nbr")
-      .select(col("a_id"), col("nbr"), (-cosineCol).as("negcos"))
-      .groupBy("a_id")
-      .agg(graft.functions.TopKByScore.topkMin(col("nbr"), col("negcos"),
-        keep).as("topk"))
-    for (_ <- 1 to iters) {
-      val bn = g.unionAll(g.select(col("nbr").as("a_id"),
-          col("a_id").as("nbr"))).distinct().localCheckpoint()
-      // bn is symmetric, so one 2-hop composition enumerates every
-      // neighbor-of-neighbor path v—mid—w in both directions
-      val cand = bn.select(col("a_id"), col("nbr").as("mid"))
-        .join(bn.select(col("a_id").as("mid"), col("nbr").as("cand")),
-          "mid")
-        .select(col("a_id"), col("cand").as("nbr"))
-        .filter(col("a_id") =!= col("nbr"))
-        .unionAll(g)
-        .distinct()
-      g = scoreTopK(cand, kk)
-        .select(col("a_id"), explode(col("topk")).as("p"))
-        .select(col("a_id"), col("p.id").as("nbr"))
-        .localCheckpoint() // cut per-round lineage, like the CC loop
-    }
+    for (_ <- 1 to iters)
+      g = nnDescentRound(g, vecs, kk, bcastScore = false)
     // materialize the emit BEFORE releasing the caches — unpersisting
     // under a still-lazy plan would force the widest scoring join to
     // recompute vecs (build scan + norms, twice) at the caller's action
-    val out = scoreTopK(g, k)
+    val out = scoreTopK(g, vecs, k, bcastScore = false)
       .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
       .select(col("a_id"), col("p.id").as("nbr_id"),
         (col("pos") + 1).cast("int").as("rnk"))
       .localCheckpoint()
     vecs.unpersist()
     ranked.unpersist()
+    out
+  }
+
+  /** Exact-cosine bounded-heap top-`keep` of a candidate edge list
+    * (`a_id`, `nbr`) against a normed vector table (`b_id`, `b_v`,
+    * `b_n`) — NN-Descent's scoring step, shared by [[knnGraph]] and
+    * [[knnGraphIvf]]'s refinement. With `bcastScore` the two vector
+    * lookups are BROADCAST hash joins: only 3-scalar id-pair rows ever
+    * cross an exchange (the disk-lean discipline — the shuffle-join
+    * form spills ~|cand| dense vectors through the second lookup,
+    * which at 1M vectors × buildK=20 measured ~480 GB and overflowed a
+    * single host's disk). Identical rows either way: same exact fold,
+    * same heap, same ties. */
+  private def scoreTopK(cand: DataFrame, vecs: DataFrame, keep: Int,
+      bcastScore: Boolean): DataFrame = {
+    val side = (c: String) => {
+      val t = vecs.select(col("b_id").as(c),
+        col("b_v").as(if (c == "a_id") "a_v" else "b_v"),
+        col("b_n").as(if (c == "a_id") "a_n" else "b_n"))
+      if (bcastScore) broadcast(t) else t
+    }
+    cand
+      .join(side("a_id"), "a_id")
+      .join(side("nbr"), "nbr")
+      .select(col("a_id"), col("nbr"), (-cosineCol).as("negcos"))
+      .groupBy("a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("nbr"), col("negcos"),
+        keep).as("topk"))
+  }
+
+  /** One NN-Descent refinement round over edge list `g` (`a_id`,
+    * `nbr`): symmetric closure, 2-hop candidate set ∪ current graph,
+    * exact-cosine top-`kk` per vertex (see [[knnGraph]]'s doc for the
+    * paper contract). The candidate stream is id-pairs ONLY —
+    * `bcastScore` keeps it that way through scoring. */
+  private def nnDescentRound(g: DataFrame, vecs: DataFrame, kk: Int,
+      bcastScore: Boolean): DataFrame = {
+    val bn = g.unionAll(g.select(col("nbr").as("a_id"),
+        col("a_id").as("nbr"))).distinct().localCheckpoint()
+    // bn is symmetric, so one 2-hop composition enumerates every
+    // neighbor-of-neighbor path v—mid—w in both directions
+    val cand = bn.select(col("a_id"), col("nbr").as("mid"))
+      .join(bn.select(col("a_id").as("mid"), col("nbr").as("cand")),
+        "mid")
+      .select(col("a_id"), col("cand").as("nbr"))
+      .filter(col("a_id") =!= col("nbr"))
+      .unionAll(g)
+      .distinct()
+    scoreTopK(cand, vecs, kk, bcastScore)
+      .select(col("a_id"), explode(col("topk")).as("p"))
+      .select(col("a_id"), col("p.id").as("nbr"))
+      .localCheckpoint() // cut per-round lineage, like the CC loop
+  }
+
+  /** k-NN GRAPH construction, IVF-CELL-SHARDED — the disk-lean scale
+    * path beside [[knnGraph]]. NN-Descent's per-round candidate volume
+    * is n·(2K)² rows through a distinct + two scoring joins; at 1M
+    * vectors and buildK=20 that is ~1.6B rows/round whose
+    * vector-carrying exchange measured ~480 GB of shuffle spill — more
+    * than a single host's disk. This build never materializes a
+    * candidate exchange at all: vectors are assigned to their
+    * `nAssign` nearest IVF cells (a pure [[graft.functions
+    * .TopNCentroidIds]] projection over a driver-trained centroid
+    * matrix — [[centroidArrays]]'s exact, engine-portable Lloyd), each
+    * cell computes its members' EXACT top-k by cosine inside one
+    * c_id equi-join feeding a bounded-heap partial aggregate (the
+    * all-pairs rows live only inside the join stage — the per-(cell,
+    * vertex) heap groups on (c_id, a_id), which the join's c_id hash
+    * partitioning already clusters, so NO added exchange), and the
+    * per-cell lists merge by one n·nAssign·k-row bounded-heap pass.
+    * Top-k of a union equals top-k over per-subset top-ks under the
+    * shared tie rule (cos desc, id asc), so the merge is exact over
+    * the covered candidate set.
+    *
+    * Approximation lives ONLY in cell coverage: a true neighbor is
+    * found iff it shares ≥ 1 of the two vectors' nAssign cells —
+    * near-certain for actual nearest neighbors (they sit in the same
+    * or an adjacent cell, which top-2 assignment covers). Measured on
+    * the 64-blob 1M-vector corpus: recall@10 ≥ 0.9 where NN-Descent
+    * at the host-feasible buildK=10 reached 0.10 (BENCH_full
+    * `graph_ann`). Deterministic end-to-end (exact centroid fold, id
+    * ties), so DuckDB-oracle-able — q269 unrolls it.
+    *
+    * Scale shape: the ONLY exchanges are the nAssign-way cell
+    * repartition of the vector table (n·nAssign rows) and the
+    * n·nAssign·k edge merge — both linear in n. Per-cell all-pairs
+    * cost is Σ m_c² ≈ n²·nAssign²/nCells exact kernel evaluations;
+    * size nCells ~ n/2000 to bound cells at a few thousand members.
+    * Cells are the shuffle keys, so nCells must comfortably exceed
+    * the cluster's core count for parallelism.
+    *
+    * Cell-coverage loss is real at scale — 1M × 1024 cells measured
+    * graph recall@10 = 0.66 — and `refineIters` buys it back: each
+    * refinement round is ONE NN-Descent round seeded by the sharded
+    * graph (a neighbor missed across a cell boundary is almost always
+    * a neighbor-of-a-neighbor of a 0.66-quality graph), with the
+    * candidate exchange slimmed to id-pairs and the vector lookups
+    * BROADCAST ([[scoreTopK]]'s `bcastScore`) so the round stays
+    * disk-lean where plain NN-Descent at this scale overflowed a
+    * host's shuffle disk.
+    *
+    * @param build (`b_id`, `b_v`); @param nCells coarse cells (≥ 2);
+    * @param nAssign cells per vector (2 = boundary coverage);
+    * @param lloydIters centroid refinement rounds;
+    * @param refineIters NN-Descent rounds over the sharded result
+    * @return (a_id, nbr_id, rnk) — rnk by cosine desc, ties by id. */
+  def knnGraphIvf(build: DataFrame, k: Int, nCells: Int,
+      nAssign: Int = 2, lloydIters: Int = 2, refineIters: Int = 0,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1 && nCells >= 2 && nAssign >= 1 && refineIters >= 0,
+      s"bad knnGraphIvf shape: k=$k nCells=$nCells nAssign=$nAssign " +
+        s"refine=$refineIters")
+    val cents = centroidArrays(build, nCells, lloydIters, seed)
+    val vecs = withNorm(build, "b_v", "b_n").persist()
+    val assigned = vecs
+      .select(col("b_id"), col("b_v"), col("b_n"),
+        explode(VectorExpressions.topNCentroidIds(col("b_v"), cents,
+          nAssign)).as("c_id"))
+    val perCell = assigned
+      .select(col("c_id"), col("b_id").as("a_id"), col("b_v").as("a_v"),
+        col("b_n").as("a_n"))
+      .join(assigned.select(col("c_id"), col("b_id").as("nbr"),
+        col("b_v"), col("b_n")), "c_id")
+      .filter(col("a_id") =!= col("nbr"))
+      .select(col("c_id"), col("a_id"), col("nbr"), (-cosineCol).as("negcos"))
+      .groupBy("c_id", "a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("nbr"), col("negcos"), k)
+        .as("topk"))
+    // a pair sharing BOTH cells emits two bit-identical (nbr, negcos)
+    // copies (the same exact fold ran twice) — dedup before the merge
+    // heap, which has no id-dedup of its own
+    val merged = perCell
+      .select(col("a_id"), explode(col("topk")).as("p"))
+      .select(col("a_id"), col("p.id").as("nbr"), col("p.score").as("negcos"))
+      .distinct()
+      .groupBy("a_id")
+      .agg(graft.functions.TopKByScore.topkMin(col("nbr"), col("negcos"), k)
+        .as("topk"))
+    val out =
+      if (refineIters == 0)
+        merged
+          .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+          .select(col("a_id"), col("p.id").as("nbr_id"),
+            (col("pos") + 1).cast("int").as("rnk"))
+          .localCheckpoint()
+      else {
+        var g = merged
+          .select(col("a_id"), explode(col("topk")).as("p"))
+          .select(col("a_id"), col("p.id").as("nbr"))
+          .localCheckpoint()
+        for (_ <- 1 to refineIters)
+          g = nnDescentRound(g, vecs, k, bcastScore = true)
+        scoreTopK(g, vecs, k, bcastScore = true)
+          .select(col("a_id"), posexplode(col("topk")).as(Seq("pos", "p")))
+          .select(col("a_id"), col("p.id").as("nbr_id"),
+            (col("pos") + 1).cast("int").as("rnk"))
+          .localCheckpoint()
+      }
+    out.count() // pin before releasing the scoring cache
+    vecs.unpersist()
     out
   }
 

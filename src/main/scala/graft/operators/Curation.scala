@@ -511,15 +511,27 @@ object Curation {
     *
     * @param heldout (idCol, vecCol) eval rows; @param train likewise.
     * @param bruteForceThreshold held-out row count (one count() probe)
-    *   above which the LSH candidate path replaces brute force
+    *   above which the LSH candidate path replaces brute force under
+    *   `route = "auto"`. The switch is SILENT in the results (the
+    *   schema is identical; only τ-level hits that collide in no LSH
+    *   table go missing) — so the chosen path is logged at INFO, and
+    *   callers who need guaranteed exactness at any size should pass
+    *   `route = "exact"` (or a screen that must scale regardless of
+    *   the eval set's size, `route = "lsh"`) instead of relying on the
+    *   size dispatch
+    * @param route "auto" (size dispatch, default), "exact" (force the
+    *   brute-force pair stream), or "lsh" (force the candidate join)
     * @param lshTables/@param lshBits/@param seed the big path's
     *   [[AnnSearch.srpPlanes]] geometry
     * @return (idCol, n_hits, top_train_id, top_cos) — flagged rows only. */
   def embeddingContamination(heldout: DataFrame, train: DataFrame,
       idCol: String, vecCol: String, tau: Double,
       bruteForceThreshold: Long = 100000L, lshTables: Int = 8,
-      lshBits: Int = 12, seed: Long = 42L): DataFrame = {
+      lshBits: Int = 12, seed: Long = 42L,
+      route: String = "auto"): DataFrame = {
     import graft.functions.{TopKByScore, VectorExpressions}
+    require(Set("auto", "exact", "lsh")(route),
+      s"route must be auto/exact/lsh, got '$route'")
     def norm(df: DataFrame, id: String, v: String, n: String) =
       df.select(col(idCol).as(id), col(vecCol).as(v))
         .withColumn(n, VectorExpressions.dotProduct(col(v), col(v)))
@@ -528,9 +540,23 @@ object Curation {
     // routing probe: ONE count() over the held-out side (eval sets are
     // small and this operator is a screen, not a hot loop; callers
     // with an expensive derived held-out plan should cache it — the
-    // probe and the pair scan each evaluate it once)
+    // probe and the pair scan each evaluate it once). Explicit routes
+    // skip the probe entirely.
+    val exact = route match {
+      case "exact" => true
+      case "lsh" => false
+      case _ =>
+        val n = heldout.count()
+        val brute = n <= bruteForceThreshold
+        org.slf4j.LoggerFactory.getLogger(getClass).info(
+          s"embeddingContamination auto-route: ${if (brute) "exact "
+            else "APPROXIMATE lsh "}path (heldout=$n, " +
+            s"threshold=$bruteForceThreshold); pass route=\"exact\" " +
+            "to force the brute-force screen")
+        brute
+    }
     val scored =
-      if (heldout.count() <= bruteForceThreshold)
+      if (exact)
         norm(heldout.repartition(col(idCol)), "a_id", "a_v", "a_n")
           .join(norm(train, "b_id", "b_v", "b_n"), lit(true))
           .select(col("a_id"), col("b_id"), cos.as("cos"))

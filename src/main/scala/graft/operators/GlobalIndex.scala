@@ -172,9 +172,17 @@ object GlobalIndex {
       case s: ShuffleExchangeLike
           if s.outputPartitioning.isInstanceOf[RangePartitioning] => s
     }
-    val reused = nodes.exists(_.isInstanceOf[ReusedExchangeExec])
     rangeEx.size match {
-      case 1 => reused // non-AQE: ReuseExchange already collapsed the twin
+      // non-AQE: ReuseExchange collapsed the twin — but only a reuse
+      // node whose child IS this range exchange proves it (an
+      // unrelated reused exchange elsewhere in a composed caller plan,
+      // plus an optimizer-specialized range branch, must not validate
+      // a plan that would stamp boundary rows two different pids)
+      case 1 => nodes.exists {
+        case r: ReusedExchangeExec =>
+          r.child.canonicalized == rangeEx.head.canonicalized
+        case _ => false
+      }
       case 2 => rangeEx(0).canonicalized == rangeEx(1).canonicalized // AQE
       case _ => false
     }

@@ -13,15 +13,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * k-NN graph — all share one commit-manifest protocol, the
   * [[IncrementalDbscan.saveState]] pattern generalized:
   *
-  *  - data tables write FIRST, each with its DataFrame's own
-  *    parallelism (at scale the index is cluster-wide parquet; nothing
-  *    funnels through the driver);
-  *  - a one-row `manifest` commits LAST — its presence marks a complete
-  *    save, so a crash mid-save leaves no manifest and [[load]] refuses
-  *    the directory instead of serving half-written tables;
-  *  - on RE-save the old manifest is deleted BEFORE any data table is
-  *    touched — a crash inside the replace window must not leave a
-  *    stale-but-present manifest over mixed-generation tables;
+  *  - every save writes a fresh GENERATION directory `gen<g>` — data
+  *    tables first, each with its DataFrame's own parallelism (at scale
+  *    the index is cluster-wide parquet; nothing funnels through the
+  *    driver);
+  *  - a one-row `manifest-gen<g>` commits LAST — its presence marks a
+  *    complete generation, so a crash anywhere mid-save leaves no new
+  *    manifest and [[load]] keeps serving the PREVIOUS committed
+  *    generation (a failed nightly re-save must never strand the
+  *    restart path — detection AND availability are both crash-safe;
+  *    a first save that crashes leaves nothing committed and [[load]]
+  *    refuses the directory);
+  *  - only after the new manifest lands are older generations garbage-
+  *    collected, each old manifest strictly before its data (no
+  *    committed manifest ever points at deleted tables);
   *  - the manifest records the index KIND and its build parameters; the
   *    loader restates what it intends to serve with and a mismatch
   *    throws with both sides (probing a minhash index with a different
@@ -34,10 +39,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IndexStore {
 
-  /** Bump when the on-disk layout changes shape. */
-  private val FormatVersion = 1
+  /** Bump when the on-disk layout changes shape (2 = generation dirs:
+    * gen<g>/ + manifest-gen<g>/, crash-safe re-save). */
+  private val FormatVersion = 2
 
-  /** Durable save under the commit-manifest protocol (see object doc).
+  private val ManifestPrefix = "manifest-gen"
+  private val GenPrefix = "gen"
+
+  /** Generation numbers present under `dir` for dir names shaped
+    * `<prefix><g>` — committed or partial. */
+  private def genNumbers(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, prefix: String): Seq[Long] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) &&
+        n.drop(prefix.length).forall(_.isDigit) &&
+        n.length > prefix.length)
+      .map(_.drop(prefix.length).toLong)
+
+  /** Durable save under the generation-commit protocol (see object
+    * doc): tables land in a fresh `gen<g>` staging directory, the
+    * `manifest-gen<g>` write is the commit point, and prior
+    * generations are GC'd only after it lands — so the previous index
+    * stays loadable through the entire replace window.
     * @param kind index family tag, guarded at load
     * @param params build parameters, guarded at load (exact match)
     * @param tables (name → table); names become subdirectories. */
@@ -51,36 +75,61 @@ object IndexStore {
       s"table names must be plain non-'manifest' dir names, " +
         s"got ${tables.map(_._1)}")
     val spark = tables.head._2.sparkSession
-    // INVALIDATE before touching data (the saveState re-save rule): no
-    // manifest may exist while THIS save's tables are partially landed
-    val mPath = new org.apache.hadoop.fs.Path(s"$dir/manifest")
-    val fs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(mPath)) fs.delete(mPath, true)
+    val dPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // next generation: past every committed AND partial one (a crashed
+    // save's orphan staging dir is never re-entered — it is GC'd when
+    // this save commits)
+    val g = ((genNumbers(fs, dPath, ManifestPrefix) ++
+      genNumbers(fs, dPath, GenPrefix)) :+ 0L).max + 1
     tables.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/$name")
+      df.write.mode("overwrite").parquet(s"$dir/$GenPrefix$g/$name")
     }
     import spark.implicits._
     val ks = params.keys.toSeq.sorted
-    Seq((FormatVersion, kind, ks, ks.map(params), tables.map(_._1)))
-      .toDF("format_version", "kind", "param_keys", "param_vals",
-        "table_names")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/manifest")
+    // the COMMIT: readers switch to generation g the moment this lands
+    Seq((FormatVersion, g, kind, ks, ks.map(params), tables.map(_._1)))
+      .toDF("format_version", "generation", "kind", "param_keys",
+        "param_vals", "table_names")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/$ManifestPrefix$g")
+    // GC superseded generations — each manifest strictly BEFORE its
+    // data, so no committed manifest ever points at deleted tables
+    (genNumbers(fs, dPath, ManifestPrefix) ++
+      genNumbers(fs, dPath, GenPrefix)).distinct.filter(_ < g).sorted
+      .foreach { old =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$dir/$ManifestPrefix$old"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$dir/$GenPrefix$old"), true)
+      }
   }
 
-  /** Load a [[save]]d index for serving. Restated `kind`/`params` are
-    * guarded against the manifest (see object doc). Loaded tables read
-    * straight from parquet — no lineage to the building session.
+  /** Load a [[save]]d index for serving: the newest COMMITTED
+    * generation (highest readable `manifest-gen<g>`; a torn manifest
+    * from a crash mid-commit falls back to the previous generation).
+    * Restated `kind`/`params` are guarded against the manifest (see
+    * object doc). Loaded tables read straight from parquet — no
+    * lineage to the building session.
     * @return tables by name, exactly the set that was saved. */
   def load(spark: SparkSession, dir: String, kind: String,
       params: Map[String, String]): Map[String, DataFrame] = {
-    val m =
-      try spark.read.parquet(s"$dir/manifest").head()
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
-            s"$dir holds no complete saved index (no manifest — " +
-              "interrupted save?)", e)
-      }
+    val dPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = genNumbers(fs, dPath, ManifestPrefix).sorted.reverse
+      .iterator.map { g =>
+        try Some((g,
+          spark.read.parquet(s"$dir/$ManifestPrefix$g").head()))
+        catch {
+          // a torn manifest (crash inside the commit write) is not a
+          // committed generation — fall back to the one before it
+          case _: org.apache.spark.sql.AnalysisException => None
+          case _: org.apache.spark.SparkException => None
+        }
+      }.collectFirst { case Some(gm) => gm }
+    val (g, m) = committed.getOrElse(throw new IllegalArgumentException(
+      s"$dir holds no complete saved index (no committed manifest — " +
+        "interrupted save?)"))
     val mv = m.getAs[Int]("format_version")
     require(mv == FormatVersion,
       s"index at $dir has format_version=$mv, this build reads " +
@@ -94,7 +143,7 @@ object IndexStore {
       s"index at $dir was built with $mParams; serving it with $params " +
         "would corrupt results")
     m.getAs[scala.collection.Seq[String]]("table_names").map { name =>
-      name -> spark.read.parquet(s"$dir/$name")
+      name -> spark.read.parquet(s"$dir/$GenPrefix$g/$name")
     }.toMap
   }
 

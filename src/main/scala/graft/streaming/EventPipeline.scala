@@ -417,6 +417,10 @@ object EventPipeline {
     val I = graft.operators.IncrementalDbscan
     var st = initial
     var prevPinned = Set.empty[Int]
+    // caller-owned caches (the initial state's blocks) — never swept
+    val protectedIds =
+      initial.points.sparkSession.sparkContext.getPersistentRDDs.keySet
+        .toSet
     stream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -428,7 +432,7 @@ object EventPipeline {
         finally {
           prevPinned = releaseSuperseded(sc, before, prevPinned,
             Seq(pinned.points, pinned.counts, pinned.coreComp,
-              pinned.borderPairs))
+              pinned.borderPairs), protectedIds)
           st = pinned
         }
       }
@@ -439,10 +443,18 @@ object EventPipeline {
     * unpersist every cache block reachable only from the PREVIOUS
     * state (neither pre-existing nor an ancestor of the new pinned
     * tables), returning the new keep-alive set. Pre-batch caches that
-    * aren't superseded state (the caller's) are untouched. */
+    * aren't superseded state (the caller's) are untouched.
+    *
+    * `protectedIds` is the registry snapshot taken at STREAM start —
+    * the caller's own caches (the initial state/graph/vector tables).
+    * They are excluded from the returned keep-alive set as well as the
+    * sweep itself: after a no-op trigger the kept state IS the initial
+    * tables, and without the exclusion their caller-owned blocks would
+    * enter prevPinned and be swept by a later trigger — breaking the
+    * documented "its caches belong to the caller" contract. */
   private def releaseSuperseded(sc: org.apache.spark.SparkContext,
       before: scala.collection.Set[Int], prevPinned: Set[Int],
-      keepDfs: Seq[DataFrame]): Set[Int] = {
+      keepDfs: Seq[DataFrame], protectedIds: Set[Int]): Set[Int] = {
     def ancestors(r: org.apache.spark.rdd.RDD[_],
         seen: scala.collection.mutable.Set[Int]): Unit =
       if (seen.add(r.id)) r.dependencies.foreach(d =>
@@ -451,9 +463,10 @@ object EventPipeline {
     keepDfs.foreach(df => ancestors(df.rdd, keep))
     val reg = sc.getPersistentRDDs
     reg.filter { case (rid, _) =>
-      !keep(rid) && (!before(rid) || prevPinned(rid))
+      !keep(rid) && !protectedIds(rid) &&
+        (!before(rid) || prevPinned(rid))
     }.values.foreach(_.unpersist(blocking = false))
-    reg.keySet.filter(keep).toSet
+    reg.keySet.filter(rid => keep(rid) && !protectedIds(rid)).toSet
   }
 
   /** CDC-shaped standing k-NN-GRAPH maintenance — the ANN member of
@@ -500,6 +513,10 @@ object EventPipeline {
     var graph = initialGraph
     var vecs = initialVecs
     var prevPinned = Set.empty[Int]
+    // caller-owned caches (initialGraph/initialVecs blocks) — never
+    // swept, per the @param contract
+    val protectedIds = initialGraph.sparkSession.sparkContext
+      .getPersistentRDDs.keySet.toSet
     changes.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
@@ -538,7 +555,7 @@ object EventPipeline {
         try sink(g2, id)
         finally {
           prevPinned = releaseSuperseded(sc, before, prevPinned,
-            Seq(g2, v2))
+            Seq(g2, v2), protectedIds)
           graph = g2
           vecs = v2
         }

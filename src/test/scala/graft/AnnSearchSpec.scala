@@ -545,6 +545,77 @@ class AnnSearchSpec extends SparkSpec {
     assert(w2 >= 0.6, s"2-round buildK=20 recall too low: $w2")
   }
 
+  test("knnGraphIvf: nAssign == nCells covers every pair — the sharded " +
+      "build equals the exact k-NN graph (merge + dedup machinery)") {
+    // with every vector in ALL cells, per-cell top-k == global top-k in
+    // each of the 4 cells; the cross-cell dedup + merge must collapse
+    // the 4 bit-identical copies into the exact graph
+    val got = AnnSearch.knnGraphIvf(b, k = 5, nCells = 4, nAssign = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2)) -> r.getLong(1)).toMap
+    val vecs = emb.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], bb: Array[Float]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i).toDouble * bb(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += bb(i).toDouble * bb(i).toDouble
+        i += 1
+      }
+      dp / math.sqrt(na * nb)
+    }
+    for (aId <- vecs.keys) {
+      val exp = vecs.keys.filter(_ != aId).toSeq
+        .map(bId => (bId, cos(vecs(aId), vecs(bId))))
+        .sortBy { case (bId, c) => (-c, bId) }.take(5).map(_._1)
+      exp.zipWithIndex.foreach { case (bId, i) =>
+        assert(got((aId, i + 1)) == bId, s"vertex $aId rank ${i + 1}")
+      }
+    }
+  }
+
+  test("knnGraphIvf: production shape (top-2 of 16 cells) — high recall " +
+      "on a clustered corpus, bit-identical under repartition") {
+    val bd = Workloads.synthEmbeddings(spark, 4000, 16, 16)
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      .persist()
+    def edgeSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val g1 = edgeSet(AnnSearch.knnGraphIvf(bd.repartition(13), 10,
+      nCells = 16, nAssign = 2))
+    val g2 = edgeSet(AnnSearch.knnGraphIvf(bd.repartition(3), 10,
+      nCells = 16, nAssign = 2))
+    assert(g1 == g2, "sharded build is partitioning-dependent")
+    // recall vs exact 10-NN on sampled queries: on a blob corpus the
+    // true neighbors share a top-2 cell — this is the corpus family
+    // where NN-Descent at host-feasible width measured 0.10 at 1M
+    val qd = bd.filter(col("b_id") % 20 === 0)
+      .select(col("b_id").as("a_id"), col("b_v").as("a_v"))
+    val truth = AnnSearch.bruteForceTopK(qd, bd, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = g1.collect { case (a, nb, _) if a % 20 == 0 => (a, nb) }
+    val recall = truth.count(gotPairs.contains).toDouble / truth.size
+    info(s"knnGraphIvf recall@10 on 4k/16-blob corpus: $recall")
+    assert(recall >= 0.9, s"sharded-build recall too low: $recall")
+    // the broadcast-scored NN-Descent refinement round: monotone (the
+    // current graph is always in the candidate set) and partitioning-
+    // invariant like the sharded base
+    val r1 = edgeSet(AnnSearch.knnGraphIvf(bd.repartition(13), 10,
+      nCells = 16, nAssign = 2, refineIters = 1))
+    val r2 = edgeSet(AnnSearch.knnGraphIvf(bd.repartition(3), 10,
+      nCells = 16, nAssign = 2, refineIters = 1))
+    assert(r1 == r2, "refined sharded build is partitioning-dependent")
+    val refinedPairs = r1.collect {
+      case (a, nb, _) if a % 20 == 0 => (a, nb)
+    }
+    val refinedRecall =
+      truth.count(refinedPairs.contains).toDouble / truth.size
+    info(s"knnGraphIvf+refine recall@10: $refinedRecall")
+    assert(refinedRecall >= recall,
+      s"refinement round LOST recall: $recall -> $refinedRecall")
+    bd.unpersist(blocking = false)
+  }
+
   test("graphTopK beam search over the NN-Descent graph: walk rounds " +
       "converge; near-exact at q253 geometry") {
     val g = AnnSearch.knnGraph(b, k = 20, iters = 2, buildK = 20)
@@ -704,7 +775,7 @@ class AnnSearchSpec extends SparkSpec {
     // walk rounds saturate by ~4 (ne=10 → 0.07; ne=64 → 0.49;
     // ne=256 → 0.77 at ef=10, 0.91 at ef=20). Entries are the
     // BSP-friendly stand-in for HNSW's long-range layers.
-    val (buildSec, serveSec, recall) = graft.Workloads.knnGraphRecall(
+    val (buildSec, serveSec, recall, _) = graft.Workloads.knnGraphRecall(
       spark, 20000L, buildK = 10, iters = 2, ef = 20, rounds = 4,
       k = 10, nQueries = 100, nEntries = 256)
     assert(buildSec > 0 && serveSec > 0)
@@ -715,7 +786,7 @@ class AnnSearchSpec extends SparkSpec {
     // without an entry — recall collapses by construction, and a
     // future change that silently fixes or worsens this should move
     // this number loudly
-    val (_, _, recallLow) = graft.Workloads.knnGraphRecall(
+    val (_, _, recallLow, _) = graft.Workloads.knnGraphRecall(
       spark, 20000L, buildK = 10, iters = 2, ef = 10, rounds = 2,
       k = 10, nQueries = 100, nEntries = 10)
     assert(recallLow < 0.3,

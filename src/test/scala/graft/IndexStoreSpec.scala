@@ -72,17 +72,15 @@ class IndexStoreSpec extends SparkSpec {
     }
   }
 
-  test("crashed RE-save invalidates the old manifest first; a clean " +
-      "re-save repairs the dir") {
+  test("crashed RE-save leaves the PREVIOUS generation loadable; a " +
+      "clean re-save supersedes it and GCs old generations") {
     val spark2 = spark
     import spark2.implicits._
     val dir = tmp("crash")
     val a = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
     IndexStore.save(dir, "demo", Map("gen" -> "1"), Seq("t" -> a))
-    val mDir = new java.io.File(s"$dir/manifest")
-    assert(mDir.exists)
-    // poisoned table: throws inside the data write — the simulated
-    // crash lands AFTER the old manifest must already be gone
+    // poisoned table: throws inside the new generation's data write —
+    // the crash lands with generation 1 still fully committed
     val boom = udf { (i: Long) =>
       throw new RuntimeException("simulated crash mid-save"); i: Long
     }
@@ -90,15 +88,27 @@ class IndexStoreSpec extends SparkSpec {
       IndexStore.save(dir, "demo", Map("gen" -> "2"),
         Seq("t" -> a.withColumn("id", boom(col("id")))))
     }
-    assert(!mDir.exists,
-      "old manifest survived into the crashed re-save window")
-    intercept[IllegalArgumentException] {
-      IndexStore.load(spark, dir, "demo", Map("gen" -> "1"))
-    }
+    // AVAILABILITY through the replace window: the old index still
+    // serves — a failed nightly re-save must not strand the restart
+    // path the store exists for
+    assert(rows(IndexStore.load(spark, dir, "demo",
+      Map("gen" -> "1"))("t")) == rows(a),
+      "previous generation lost during a crashed re-save")
+    // a clean re-save commits the new generation AND GCs everything
+    // older (including the crashed save's orphan staging dir)
     val b = Seq((3L, 30L)).toDF("id", "v")
     IndexStore.save(dir, "demo", Map("gen" -> "2"), Seq("t" -> b))
     assert(rows(IndexStore.load(spark, dir, "demo",
       Map("gen" -> "2"))("t")) == rows(b))
+    intercept[IllegalArgumentException] {
+      // params of the superseded generation no longer match
+      IndexStore.load(spark, dir, "demo", Map("gen" -> "1"))
+    }
+    val left = new java.io.File(dir).listFiles.map(_.getName).toSet
+    assert(left.count(_.startsWith("manifest-gen")) == 1 &&
+      left.count(n => n.startsWith("gen") &&
+        n.drop(3).forall(_.isDigit)) == 1,
+      s"superseded generations not GC'd: $left")
     Workloads.deleteTree(dir)
   }
 

@@ -242,6 +242,55 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(aex.getMessage.contains("int8_quant_stats needs array"))
   }
 
+  test("topNCentroidIds: nearest-first by (d2, id), ties keep the " +
+      "smaller id, head == nearestCentroidId; interpreted == codegen") {
+    // id 4 duplicates id 2's coordinates — every vector ties exactly
+    // between them, and the ascending-id scan must keep 2 first
+    val cents: Array[(Int, Array[Double])] = Array(
+      1 -> Array(0.0, 0.0), 2 -> Array(1.0, 0.25), 3 -> Array(0.0, 1.0),
+      4 -> Array(1.0, 0.25), 7 -> Array(0.5, 0.5))
+    val rnd = new Random(5)
+    val rows = (0 until 300).map(_ =>
+      Tuple1(Seq.fill(2)(rnd.nextFloat() * 2f - 0.5f)))
+    val df = spark.createDataFrame(rows).toDF("v")
+    val got = df.select(col("v"),
+      VectorExpressions.topNCentroidIds(col("v"), cents, 3).as("top"),
+      VectorExpressions.nearestCentroidId(col("v"), cents).as("n1"))
+      .collect()
+    def d2(v: Seq[Float], c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < c.length) {
+        val d = v(i).toDouble - c(i); acc += d * d; i += 1
+      }
+      acc
+    }
+    got.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val exp = cents.map { case (id, c) => (id, d2(v, c)) }
+        .sortBy { case (id, d) => (d, id) }.take(3).map(_._1).toSeq
+      assert(r.getSeq[Int](1) == exp, s"top-3 for $v")
+      assert(r.getSeq[Int](1).head == r.getInt(2),
+        s"top-1 disagrees with nearestCentroidId for $v")
+    }
+    // n beyond the centroid count clamps to a full ranking
+    val all = df.limit(5)
+      .select(VectorExpressions.topNCentroidIds(col("v"), cents, 99))
+      .collect()
+    all.foreach(r => assert(r.getSeq[Int](0).sorted == Seq(1, 2, 3, 4, 7)))
+    // interpreted eval path agrees with the codegen (DataFrame) path
+    val interp = graft.functions.TopNCentroidIds(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(0.9f, 0.3f),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      cents.map(_._2), cents.map(_._1), 3).eval(null)
+    val expInterp = cents.map { case (id, c) => (id, d2(Seq(0.9f, 0.3f), c)) }
+      .sortBy { case (id, d) => (d, id) }.take(3).map(_._1).toSeq
+    assert(interp.asInstanceOf[
+      org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toSeq
+      == expInterp)
+  }
+
   test("cellId buckets points to floor(x/eps) per selected dim") {
     val rnd = new Random(7)
     val cases = (1 to 15).map { _ =>
