@@ -378,7 +378,14 @@ object Bench {
         ("knn_graph_50k_base", 50000L, 10, 2, 20, 4, 256, false, 0),
         ("knn_graph_50k_b20", 50000L, 20, 2, 20, 4, 256, false, 0),
         ("knn_graph_50k_ivf", 50000L, 20, 2, 20, 4, 256, false, 32),
-        ("knn_graph_50k_layered", 50000L, 10, 2, 20, 4, 10, true, 0)) ++
+        ("knn_graph_50k_layered", 50000L, 10, 2, 20, 4, 10, true, 0),
+        // the HNSW-proper row (round-11): IVF+refine base graph +
+        // multi-level layer stack (levelDiv=16, 4x growth, per-level
+        // re-entry seeding) serving at a TEN-entry budget — must beat
+        // the flat 256-entry walk over the same base (the 50k probe
+        // measured 0.943 vs 0.9365)
+        ("knn_graph_50k_ivf_layered", 50000L, 20, 2, 20, 4, 10, true,
+          32)) ++
         (if (sys.env.get("SPARK_GRAFT_BENCH_HEAVY").contains("1"))
           Seq(
             ("knn_graph_200k_b20", 200000L, 20, 2, 20, 4, 256, false, 0),
@@ -390,8 +397,12 @@ object Bench {
             // The IVF-sharded row is the build that makes 1M USABLE
             // here: exact per-cell top-k inside 1024 coarse cells
             ("knn_graph_synth1m", 1000000L, 10, 2, 20, 4, 256, false, 0),
-            ("knn_graph_synth1m_ivf", 1000000L, 20, 2, 20, 8, 256,
-              false, 1024))
+            ("knn_graph_synth1m_ivf", 1000000L, 20, 2, 32, 8, 256,
+              false, 1024),
+            // layered at a TEN-entry budget beats the flat 256-entry
+            // walk on the same base (probe: 0.882 vs 0.857)
+            ("knn_graph_synth1m_ivf_layered", 1000000L, 20, 2, 32, 8,
+              10, true, 1024))
         else Nil)
     val graphAnnJson = graphAnnConfigs.filter(p => selected(p._1)).map {
       case (name, n, bk, it, ef, rd, ne, lay, cells) =>

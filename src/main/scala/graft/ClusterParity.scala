@@ -155,6 +155,58 @@ object ClusterParity {
     last
   }
 
+  /** [[indexMaintainSummary]]'s LAYERED twin: the same two CDC
+    * micro-batches fold through (base graph, one promotion layer) via
+    * indexMaintainStreamLayered; the summary concatenates the final
+    * trigger's base and layer edge fingerprints. Deterministic
+    * throughout, so local[N] and local-cluster must agree bit for
+    * bit. */
+  private def indexMaintainLayeredSummary(s: SparkSession): String = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val A = graft.operators.AnnSearch
+    val (k, ef, rounds, nEntries) = (10, 10, 2, 10)
+    val div = 16L
+    val n = 20000L
+    val e = Workloads.synthEmbeddings(s, n, 32, 64)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .persist()
+    val initVecs = e.filter(pmod(col("id"), lit(5L)) =!= 4)
+      .select(col("id").as("b_id"), col("vec").as("b_v"))
+      .localCheckpoint()
+    val g0 = A.knnGraph(initVecs, k = k, iters = 2, buildK = k)
+    val l1g0 = A.knnGraph(
+      initVecs.filter(A.layerPromoted(col("b_id"), div)),
+      k = k, iters = 2, buildK = k)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val changes = mem.toDF().toDF("op", "id").join(e, Seq("id"), "left")
+    @volatile var last = ""
+    def fp(edges: org.apache.spark.sql.DataFrame) = edges.agg(
+      count(lit(1)).as("n"),
+      sum(xxhash64(col("a_id"), col("nbr_id"), col("rnk"))
+        .cast("decimal(38,0)")).as("chk")).head.toSeq.mkString("|")
+    val q = graft.streaming.EventPipeline.indexMaintainStreamLayered(
+      g0, initVecs, Seq((div, l1g0)), changes, "op", "id", "vec",
+      k, ef, rounds, nEntries) { (base, lvls, _) =>
+      last = fp(base) + "||" + fp(lvls.head)
+    }
+    val heldOut = (0L until n).filter(_ % 5 == 4)
+    try {
+      mem.addData(
+        heldOut.filter(_ < n / 2).map("insert" -> _) ++
+          (0L until n).filter(i => i % 5 != 4 && i % 17 == 0)
+            .map("delete" -> _): _*)
+      q.processAllAvailable()
+      mem.addData(
+        heldOut.filter(_ >= n / 2).map("insert" -> _) ++
+          Seq("delete" -> 4L, "insert" -> 4L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    e.unpersist(blocking = false)
+    last
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val clusterMaster =
@@ -211,6 +263,8 @@ object ClusterParity {
         Workloads.dedupSynth(s, 1_000_000L))),
       "cluster_maintain_stream" -> (s => streamMaintainSummary(s)),
       "index_maintain_stream" -> (s => indexMaintainSummary(s)),
+      "index_maintain_stream_layered" ->
+        (s => indexMaintainLayeredSummary(s)),
       // the graph-ANN standing index: NN-Descent over 50k×32-d
       // clustered vectors (2 rounds at K=10 — hash init, symmetric
       // candidate joins, bounded heaps). Everything is id-tie

@@ -66,19 +66,30 @@ object GraphAnnProbe {
       }
       println(f"[probe] flat ef=$ef rounds=$rounds ne=$ne recall=$r%.4f")
     }
-    val (l1, l1g) = timed("layer build (levelDiv=64)") {
-      val p = A.layerGraph(bd, 64, k = k, iters = 2)
-      val pg = p._2.localCheckpoint()
-      pg.count()
-      (p._1.persist(), pg)
-    }
-    for ((ef, rounds, ne) <- Seq((20, 4, 10), (20, 8, 10), (32, 8, 16))) {
-      val r = timed(s"layered ef=$ef rounds=$rounds ne=$ne") {
-        recallOf(A.graphTopKLayered(qd, bd, g, l1, l1g, 10, ef, rounds,
-          ne))
+    val ldiv = sys.env.getOrElse("SPARK_GRAFT_PROBE_LDIV", "64").toInt
+    val lgrow = sys.env.getOrElse("SPARK_GRAFT_PROBE_LGROW", "8").toInt
+    val layers = timed(s"layer stack build (levelDiv=$ldiv, growth=$lgrow)") {
+      A.layerGraphs(bd, ldiv, k = k, iters = 2, growth = lgrow)
+        .map { case (lb, lg) =>
+        val pg = lg.localCheckpoint(); pg.count()
+        (lb.persist(), pg)
       }
-      println(
-        f"[probe] layered ef=$ef rounds=$rounds ne=$ne recall=$r%.4f")
+    }
+    println(s"[probe] layer stack depth = ${layers.length}, sizes = " +
+      layers.map(_._1.count()).mkString(","))
+    for ((ef, rounds, ne, le, lr, lne) <- Seq(
+        (20, 4, 10, 0, 0, 0), (20, 8, 10, 0, 0, 0), (32, 8, 10, 0, 0, 0),
+        // localize the loss: (a) whole-layer entries (layer walk
+        // removed), (b) wider/longer layer walk, (c) longer base walk
+        (20, 4, 10, 0, 0, 1000000), (20, 12, 10, 0, 0, 0),
+        (20, 4, 10, 64, 16, 0), (32, 12, 10, 0, 0, 1000000))) {
+      val r = timed(s"multilayer ef=$ef rounds=$rounds ne=$ne " +
+          s"lEf=$le lR=$lr lNe=$lne") {
+        recallOf(A.graphTopKLayeredMulti(qd, bd, g, layers, 10, ef,
+          rounds, ne, l1Ef = le, l1Rounds = lr, l1Entries = lne))
+      }
+      println(f"[probe] multilayer ef=$ef rounds=$rounds ne=$ne " +
+        f"lEf=$le lR=$lr lNe=$lne recall=$r%.4f")
     }
     spark.stop()
   }

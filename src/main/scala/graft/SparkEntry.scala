@@ -2167,6 +2167,37 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
+    // LAYERED index maintenance then layered serve (the CDC stream's
+    // batch twin, spec-proven fold-equal): base and layer graphs build
+    // on the initial generation, the id%7 batch folds into BOTH (the
+    // layer takes only md5-promoted inserts — HNSW level assignment at
+    // insert), and the layered serve walks the two UPDATED graphs
+    "q270_layered_maintain" -> ((s, dir) => {
+      val A = operators.AnnSearch
+      val e = t(s, dir, "embeddings")
+      val init = e.filter(col("vec_id") % 7 =!= 0)
+        .select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val batch = e.filter(col("vec_id") % 7 === 0)
+      val g0 = A.knnGraph(init, k = KgBuildK, iters = KgIters,
+        buildK = KgBuildK)
+      val l1b0 = init.filter(A.layerPromoted(col("b_id"), LdDiv))
+      val l1g0 = A.knnGraph(l1b0, k = KgBuildK, iters = KgIters,
+        buildK = KgBuildK)
+      val g1 = A.addToKnnGraph(g0, init, batch, "vec_id", "embedding",
+        k = KgBuildK, ef = KgBuildK, rounds = GsRounds, nEntries = GsEf)
+      val l1g1 = A.addToKnnGraph(l1g0, l1b0,
+        batch.filter(A.layerPromoted(col("vec_id"), LdDiv)),
+        "vec_id", "embedding",
+        k = KgBuildK, ef = KgBuildK, rounds = GsRounds, nEntries = GsEf)
+      val bd = e.select(col("vec_id").as("b_id"), col("embedding").as("b_v"))
+      val qd = e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      A.graphTopKLayeredMulti(qd, bd, g1,
+          Seq((bd.filter(A.layerPromoted(col("b_id"), LdDiv)), l1g1)),
+          AnnK, GsEf, GsRounds, nEntries = GsEf)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
     // k-NN graph tombstone retraction (q257's dual): edges touching
     // removed ids vanish (the shared no-retrain rule), the serve walks
     // the surviving graph. Oracle: the serve unroll with entries,
@@ -2338,9 +2369,12 @@ object SparkEntry {
         .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
       val g = operators.AnnSearch.knnGraph(bd, k = KgBuildK,
         iters = KgIters, buildK = KgBuildK)
-      val (l1, l1g) = operators.AnnSearch.layerGraph(bd, levelDiv = LdDiv,
-        k = KgBuildK, iters = KgIters)
-      operators.AnnSearch.graphTopKLayered(qd, bd, g, l1, l1g, AnnK,
+      // TWO nested levels (divisors LdDiv, 2·LdDiv — round-11's HNSW
+      // recursion), walked top-down with per-level re-entry seeding
+      val layers = operators.AnnSearch.layerGraphs(bd, levelDiv = LdDiv,
+        k = KgBuildK, iters = KgIters, growth = 2, minTop = 1L,
+        maxLevels = 2)
+      operators.AnnSearch.graphTopKLayeredMulti(qd, bd, g, layers, AnnK,
           GsEf, GsRounds, nEntries = GsEf)
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
@@ -4218,122 +4252,207 @@ object SparkEntry {
     * scale (≈62 layer members at sf0.01, ≈625 at sf0.1). */
   private val LdDiv = 8
 
-  /** q268's oracle: BOTH graphs unrolled ([[knnGraphCtes]] twice — the
-    * base over everything, the `L`-prefixed layer over the md5-promoted
-    * subset), then the layer walk (entries from the layer, width 2·ef,
-    * 2·rounds — [[graft.operators.AnnSearch.graphTopKLayered]]'s
-    * defaults) whose result set seeds the base walk's round 0. */
+  /** q268's oracle: THREE graphs unrolled ([[knnGraphCtes]] thrice —
+    * the base over everything, `L` over the divisor-[[LdDiv]] promoted
+    * subset, `M` over the divisor-2·[[LdDiv]] subset; the divisors
+    * divide, so the levels NEST), then the top-down multi-level serve:
+    * the M walk from the md5 entry shortlist, the L walk seeded by the
+    * DISTINCT union of the M results and L's OWN shortlist
+    * ([[graft.operators.AnnSearch.graphTopKLayeredMulti]]'s re-entry
+    * seeding — the measured fix for wrong-basin stranding), and the
+    * base walk seeded by the L results. */
   private def graphLayeredOracle: String = {
     val cos = cosSql
     val lEf = 2 * GsEf
     val lRounds = 2 * GsRounds
     val lNe = math.max(GsEf, 64)
-    val promo = "CAST('0x' || substr(md5(CAST(id AS VARCHAR) " +
-      s"|| ':lvl:42'), 1, 12) AS BIGINT) % $LdDiv = 0"
-    val lWalk = (1 to lRounds).map { r =>
-      val prev = s"Lsb${r - 1}"
-      s"""Lsx$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
+    def promo(div: Int) = "CAST('0x' || substr(md5(CAST(id AS VARCHAR) " +
+      s"|| ':lvl:42'), 1, 12) AS BIGINT) % $div = 0"
+    // one fixed-round beam walk over ${pfx}g$KgIters from ${pfx}sb0
+    def walk(pfx: String, ef: Int, rounds: Int) = (1 to rounds).map { r =>
+      val prev = s"${pfx}sb${r - 1}"
+      s"""${pfx}sx$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
          |    SELECT b.a_id AS a_id, g.nbr AS nbr
-         |    FROM $prev b JOIN Lg$KgIters g ON g.a_id = b.nbr
+         |    FROM $prev b JOIN ${pfx}g$KgIters g ON g.a_id = b.nbr
          |    UNION ALL SELECT a_id, nbr FROM $prev)
          |  WHERE a_id != nbr),
-         |Lsb$r AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |${pfx}sb$r AS MATERIALIZED (SELECT a_id, nbr FROM (
          |    SELECT x.a_id, x.nbr, row_number() OVER (PARTITION BY x.a_id
          |      ORDER BY $cos DESC, x.nbr) AS rn
-         |    FROM Lsx$r x JOIN p ea ON ea.id = x.a_id
+         |    FROM ${pfx}sx$r x JOIN p ea ON ea.id = x.a_id
          |      JOIN p eb ON eb.id = x.nbr)
-         |  WHERE rn <= $lEf)""".stripMargin
-    }.mkString(",\n")
-    val bWalk = (1 to GsRounds).map { r =>
-      val prev = s"sb${r - 1}"
-      s"""sx$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
-         |    SELECT b.a_id AS a_id, g.nbr AS nbr
-         |    FROM $prev b JOIN g$KgIters g ON g.a_id = b.nbr
-         |    UNION ALL SELECT a_id, nbr FROM $prev)
-         |  WHERE a_id != nbr),
-         |sb$r AS MATERIALIZED (SELECT a_id, nbr FROM (
-         |    SELECT x.a_id, x.nbr, row_number() OVER (PARTITION BY x.a_id
-         |      ORDER BY $cos DESC, x.nbr) AS rn
-         |    FROM sx$r x JOIN p ea ON ea.id = x.a_id
-         |      JOIN p eb ON eb.id = x.nbr)
-         |  WHERE rn <= $GsEf)""".stripMargin
+         |  WHERE rn <= $ef)""".stripMargin
     }.mkString(",\n")
     val serve =
-      s"""Len AS MATERIALIZED (SELECT id FROM (
+      s"""qs AS MATERIALIZED (SELECT id AS a_id FROM p WHERE id < 50),
+         |Men AS MATERIALIZED (SELECT id FROM (
+         |    SELECT id, row_number() OVER (
+         |      ORDER BY md5(CAST(id AS VARCHAR) || ':42'), id) AS rn
+         |    FROM Mp) WHERE rn <= $lNe),
+         |Msb0 AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |    SELECT q.a_id, e.id AS nbr, row_number() OVER (
+         |      PARTITION BY q.a_id ORDER BY $cos DESC, e.id) AS rn
+         |    FROM qs q CROSS JOIN Men e
+         |      JOIN p ea ON ea.id = q.a_id JOIN p eb ON eb.id = e.id
+         |    WHERE q.a_id != e.id) WHERE rn <= $lEf),
+         |${walk("M", lEf, lRounds)},
+         |Len AS MATERIALIZED (SELECT id FROM (
          |    SELECT id, row_number() OVER (
          |      ORDER BY md5(CAST(id AS VARCHAR) || ':42'), id) AS rn
          |    FROM Lp) WHERE rn <= $lNe),
-         |qs AS MATERIALIZED (SELECT id AS a_id FROM p WHERE id < 50),
+         |Lsd AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |    SELECT a_id, nbr FROM Msb$lRounds
+         |    UNION
+         |    SELECT q.a_id, e.id AS nbr FROM qs q CROSS JOIN Len e)
+         |  WHERE a_id != nbr),
          |Lsb0 AS MATERIALIZED (SELECT a_id, nbr FROM (
-         |    SELECT q.a_id, e.id AS nbr, row_number() OVER (
-         |      PARTITION BY q.a_id ORDER BY $cos DESC, e.id) AS rn
-         |    FROM qs q CROSS JOIN Len e
-         |      JOIN p ea ON ea.id = q.a_id JOIN p eb ON eb.id = e.id
-         |    WHERE q.a_id != e.id) WHERE rn <= $lEf),
-         |$lWalk,
+         |    SELECT x.a_id, x.nbr, row_number() OVER (PARTITION BY x.a_id
+         |      ORDER BY $cos DESC, x.nbr) AS rn
+         |    FROM Lsd x JOIN p ea ON ea.id = x.a_id
+         |      JOIN p eb ON eb.id = x.nbr) WHERE rn <= $lEf),
+         |${walk("L", lEf, lRounds)},
          |sb0 AS MATERIALIZED (SELECT a_id, nbr FROM (
          |    SELECT x.a_id, x.nbr, row_number() OVER (PARTITION BY x.a_id
          |      ORDER BY $cos DESC, x.nbr) AS rn
          |    FROM Lsb$lRounds x JOIN p ea ON ea.id = x.a_id
          |      JOIN p eb ON eb.id = x.nbr
          |    WHERE x.a_id != x.nbr) WHERE rn <= $GsEf),
-         |$bWalk
+         |${walk("", GsEf, GsRounds)}
          |SELECT a_id AS vec_id, nbr AS nbr_id, CAST(rn AS INTEGER) AS rnk
          |FROM (SELECT c.a_id, c.nbr, row_number() OVER (
          |    PARTITION BY c.a_id ORDER BY $cos DESC, c.nbr) AS rn
          |  FROM sb$GsRounds c JOIN p ea ON ea.id = c.a_id
          |    JOIN p eb ON eb.id = c.nbr) r
          |WHERE rn <= $AnnK""".stripMargin
-    "WITH " + knnGraphCtes() + ",\n" + knnGraphCtes(promo, "L") +
-      ",\n" + serve
+    "WITH " + knnGraphCtes() + ",\n" + knnGraphCtes(promo(LdDiv), "L") +
+      ",\n" + knnGraphCtes(promo(2 * LdDiv), "M") + ",\n" + serve
   }
 
   /** q257's oracle: the graph built on the INITIAL generation
     * ([[knnGraphCtes]] buildCond), then the batch's beam walk (width =
     * the graph's K — the engine searches at ef = buildK), the reverse
     * update, and the exact re-prune to K per vertex. */
-  private def knnGraphInsertOracle: String = {
+  private def knnGraphInsertOracle: String =
+    "WITH " + knnGraphCtes("id % 7 != 0") + ",\n" +
+      graphInsertCtes("", "id % 7 = 0") + "\n" +
+      s"""SELECT a_id AS vec_id, nbr AS nbr_id, CAST(rnk AS INTEGER) AS rnk
+         |FROM upd""".stripMargin
+
+  /** Insert-fold CTE chain shared by q257 and q270: the arriving ids
+    * (`insertCond` over `${pfx}pall`) beam-walk the standing
+    * `${pfx}g$KgIters` graph (entries from the graph's init corpus
+    * `${pfx}p`, width = the graph's K — the engine inserts at
+    * ef = buildK), adopt their finds, reverse-update the discovered
+    * vertices, and every touched vertex exactly re-prunes to K —
+    * ending at `${pfx}upd`, the ranked UPDATED edge table
+    * (a_id, nbr, rnk). Requires [[knnGraphCtes]] with the same prefix
+    * upstream. */
+  private def graphInsertCtes(pfx: String, insertCond: String): String = {
     val cos = cosSql
     val walk = (1 to GsRounds).map { r =>
-      val prev = s"sb${r - 1}"
-      s"""sx$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
+      val prev = s"${pfx}sb${r - 1}"
+      s"""${pfx}sx$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
          |    SELECT b.a_id AS a_id, g.nbr AS nbr
-         |    FROM $prev b JOIN g$KgIters g ON g.a_id = b.nbr
+         |    FROM $prev b JOIN ${pfx}g$KgIters g ON g.a_id = b.nbr
          |    UNION ALL SELECT a_id, nbr FROM $prev)
          |  WHERE a_id != nbr),
-         |sb$r AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |${pfx}sb$r AS MATERIALIZED (SELECT a_id, nbr FROM (
          |    SELECT x.a_id, x.nbr, row_number() OVER (PARTITION BY x.a_id
          |      ORDER BY $cos DESC, x.nbr) AS rn
-         |    FROM sx$r x JOIN pall ea ON ea.id = x.a_id
-         |      JOIN pall eb ON eb.id = x.nbr)
+         |    FROM ${pfx}sx$r x JOIN ${pfx}pall ea ON ea.id = x.a_id
+         |      JOIN ${pfx}pall eb ON eb.id = x.nbr)
          |  WHERE rn <= $KgBuildK)""".stripMargin
     }.mkString(",\n")
-    val update =
-      s"""en AS MATERIALIZED (SELECT id FROM (
+    s"""${pfx}en AS MATERIALIZED (SELECT id FROM (
+       |    SELECT id, row_number() OVER (
+       |      ORDER BY md5(CAST(id AS VARCHAR) || ':42'), id) AS rn
+       |    FROM ${pfx}p) WHERE rn <= $GsEf),
+       |${pfx}qs AS MATERIALIZED (SELECT id AS a_id FROM ${pfx}pall
+       |  WHERE $insertCond),
+       |${pfx}sb0 AS MATERIALIZED (SELECT a_id, nbr FROM (
+       |    SELECT q.a_id, e.id AS nbr, row_number() OVER (
+       |      PARTITION BY q.a_id ORDER BY $cos DESC, e.id) AS rn
+       |    FROM ${pfx}qs q CROSS JOIN ${pfx}en e
+       |      JOIN ${pfx}pall ea ON ea.id = q.a_id
+       |      JOIN ${pfx}pall eb ON eb.id = e.id
+       |    WHERE q.a_id != e.id) WHERE rn <= $KgBuildK),
+       |$walk
+       |,${pfx}found AS MATERIALIZED (SELECT a_id, nbr
+       |  FROM ${pfx}sb$GsRounds),
+       |${pfx}alle AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
+       |    SELECT a_id, nbr FROM ${pfx}g$KgIters
+       |    UNION ALL SELECT nbr AS a_id, a_id AS nbr FROM ${pfx}found
+       |    UNION ALL SELECT a_id, nbr FROM ${pfx}found)),
+       |${pfx}upd AS MATERIALIZED (SELECT a_id, nbr, rn AS rnk
+       |  FROM (SELECT c.a_id, c.nbr, row_number() OVER (
+       |      PARTITION BY c.a_id ORDER BY $cos DESC, c.nbr) AS rn
+       |    FROM ${pfx}alle c JOIN ${pfx}pall ea ON ea.id = c.a_id
+       |      JOIN ${pfx}pall eb ON eb.id = c.nbr)
+       |  WHERE rn <= $KgBuildK)""".stripMargin
+  }
+
+  /** q270's oracle — layered MAINTENANCE then layered SERVE, fully
+    * unrolled: base and layer graphs built from scratch on the INITIAL
+    * generation ([[knnGraphCtes]] twice), the id%7 batch folded into
+    * BOTH via [[graphInsertCtes]] (the layer receives only the
+    * md5-promoted inserts — HNSW level assignment at insert), then the
+    * single-level [[graft.operators.AnnSearch.graphTopKLayeredMulti]]
+    * serve over the two UPDATED graphs: layer walk from the md5
+    * shortlist of the POST-insert promoted corpus, base walk seeded by
+    * its beam. */
+  private def graphLayeredMaintainOracle: String = {
+    val cos = cosSql
+    val lEf = 2 * GsEf
+    val lRounds = 2 * GsRounds
+    val lNe = math.max(GsEf, 64)
+    val promo = "CAST('0x' || substr(md5(CAST(id AS VARCHAR) " +
+      s"|| ':lvl:42'), 1, 12) AS BIGINT) % $LdDiv = 0"
+    def walk(pfx: String, over: String, ef: Int, rounds: Int) =
+      (1 to rounds).map { r =>
+        val prev = s"${pfx}sb${r - 1}"
+        s"""${pfx}sx$r AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
+           |    SELECT b.a_id AS a_id, g.nbr AS nbr
+           |    FROM $prev b JOIN $over g ON g.a_id = b.nbr
+           |    UNION ALL SELECT a_id, nbr FROM $prev)
+           |  WHERE a_id != nbr),
+           |${pfx}sb$r AS MATERIALIZED (SELECT a_id, nbr FROM (
+           |    SELECT x.a_id, x.nbr, row_number() OVER (PARTITION BY x.a_id
+           |      ORDER BY $cos DESC, x.nbr) AS rn
+           |    FROM ${pfx}sx$r x JOIN pall ea ON ea.id = x.a_id
+           |      JOIN pall eb ON eb.id = x.nbr)
+           |  WHERE rn <= $ef)""".stripMargin
+      }.mkString(",\n")
+    val serve =
+      s"""ven AS MATERIALIZED (SELECT id FROM (
          |    SELECT id, row_number() OVER (
          |      ORDER BY md5(CAST(id AS VARCHAR) || ':42'), id) AS rn
-         |    FROM p) WHERE rn <= $GsEf),
-         |qs AS MATERIALIZED (SELECT id AS a_id FROM pall
-         |  WHERE id % 7 = 0),
-         |sb0 AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |    FROM pall WHERE $promo) WHERE rn <= $lNe),
+         |vqs AS MATERIALIZED (SELECT id AS a_id FROM pall
+         |  WHERE id < 50),
+         |vsb0 AS MATERIALIZED (SELECT a_id, nbr FROM (
          |    SELECT q.a_id, e.id AS nbr, row_number() OVER (
          |      PARTITION BY q.a_id ORDER BY $cos DESC, e.id) AS rn
-         |    FROM qs q CROSS JOIN en e
+         |    FROM vqs q CROSS JOIN ven e
          |      JOIN pall ea ON ea.id = q.a_id JOIN pall eb ON eb.id = e.id
-         |    WHERE q.a_id != e.id) WHERE rn <= $KgBuildK),
-         |$walk
-         |,found AS MATERIALIZED (SELECT a_id, nbr FROM sb$GsRounds),
-         |alle AS MATERIALIZED (SELECT DISTINCT a_id, nbr FROM (
-         |    SELECT a_id, nbr FROM g$KgIters
-         |    UNION ALL SELECT nbr AS a_id, a_id AS nbr FROM found
-         |    UNION ALL SELECT a_id, nbr FROM found))
+         |    WHERE q.a_id != e.id) WHERE rn <= $lEf),
+         |${walk("v", "Lupd", lEf, lRounds)},
+         |bsb0 AS MATERIALIZED (SELECT a_id, nbr FROM (
+         |    SELECT x.a_id, x.nbr, row_number() OVER (PARTITION BY x.a_id
+         |      ORDER BY $cos DESC, x.nbr) AS rn
+         |    FROM vsb$lRounds x JOIN pall ea ON ea.id = x.a_id
+         |      JOIN pall eb ON eb.id = x.nbr
+         |    WHERE x.a_id != x.nbr) WHERE rn <= $GsEf),
+         |${walk("b", "upd", GsEf, GsRounds)}
          |SELECT a_id AS vec_id, nbr AS nbr_id, CAST(rn AS INTEGER) AS rnk
          |FROM (SELECT c.a_id, c.nbr, row_number() OVER (
          |    PARTITION BY c.a_id ORDER BY $cos DESC, c.nbr) AS rn
-         |  FROM alle c JOIN pall ea ON ea.id = c.a_id
+         |  FROM bsb$GsRounds c JOIN pall ea ON ea.id = c.a_id
          |    JOIN pall eb ON eb.id = c.nbr) r
-         |WHERE rn <= $KgBuildK""".stripMargin
-    "WITH " + knnGraphCtes("id % 7 != 0") + ",\n" + update
+         |WHERE rn <= $AnnK""".stripMargin
+    "WITH " + knnGraphCtes("id % 7 != 0") + ",\n" +
+      knnGraphCtes(s"($promo) AND id % 7 != 0", "L") + ",\n" +
+      graphInsertCtes("", "id % 7 = 0") + ",\n" +
+      graphInsertCtes("L", s"($promo) AND id % 7 = 0") + ",\n" + serve
   }
 
   /** q256's oracle: the graph-build unroll, edges rescored exactly and
@@ -8205,8 +8324,12 @@ object SparkEntry {
     "q266_unigram_vocab" -> unigramVocabOracle,
     "q267_unigram_tokenize" -> unigramTokenizeOracle,
 
-    // layered graph serve: both graph unrolls + chained walks
+    // layered graph serve: three graph unrolls + chained walks
     "q268_graph_layered" -> graphLayeredOracle,
+
+    // layered maintenance: two builds + two insert folds + the
+    // layered serve over the updated pair
+    "q270_layered_maintain" -> graphLayeredMaintainOracle,
 
     // IVF-sharded k-NN graph build: q23's centroid CTEs + top-2 cell
     // assignment + global rank over distinct shared-cell pairs

@@ -433,7 +433,7 @@ object Workloads {
   def knnGraphRecall(spark: SparkSession, n: Long, buildK: Int,
       iters: Int, ef: Int, rounds: Int, k: Int = 10,
       nQueries: Int = 200, nEntries: Int = 0,
-      layered: Boolean = false, levelDiv: Int = 64,
+      layered: Boolean = false, levelDiv: Int = 16,
       ivfCells: Int = 0)
       : (Double, Double, Double, Double) = {
     import org.apache.spark.sql.functions._
@@ -461,14 +461,15 @@ object Workloads {
         A.knnGraphIvf(bd, k = buildK, nCells = ivfCells, refineIters = 1)
       else A.knnGraph(bd, k = buildK, iters = iters, buildK = buildK)
     g.count()
-    // the layered index builds its sparse upper layer INSIDE the build
+    // the layered index builds its multi-level stack INSIDE the build
     // clock (it is part of the standing index)
     val layer =
       if (layered) {
-        val (l1, l1g) = A.layerGraph(bd, levelDiv, k = buildK,
-          iters = iters)
-        l1g.count()
-        Some((l1, l1g))
+        val ls = A.layerGraphs(bd, levelDiv, k = buildK, iters = iters)
+          .map { case (lb, lg) =>
+            val pg = lg.localCheckpoint(); pg.count(); (lb, pg)
+          }
+        Some(ls)
       } else None
     val buildSec = (System.nanoTime() - t0) / 1e9
     val qd = emb.filter(pmod(col("vec_id"), lit(n / nQueries)) === 0)
@@ -486,7 +487,7 @@ object Workloads {
     // problem; entries are the BSP-friendly knob: a broadcast shortlist)
     val ne = if (nEntries > 0) nEntries else ef
     val served = pairSet((layer match {
-      case Some((l1, l1g)) => A.graphTopKLayered(qd, bd, g, l1, l1g, k,
+      case Some(ls) => A.graphTopKLayeredMulti(qd, bd, g, ls, k,
         ef, rounds, nEntries = ne)
       case None => A.graphTopK(qd, bd, g, k, ef, rounds, nEntries = ne)
     }).select("a_id", "nbr_id"))

@@ -1353,13 +1353,124 @@ object AnnSearch {
   def layerGraph(build: DataFrame, levelDiv: Int, k: Int, iters: Int,
       seed: Long = 42L): (DataFrame, DataFrame) = {
     require(levelDiv >= 2, s"levelDiv must be >= 2, got $levelDiv")
-    // promotion by PORTABLE hash (md5-derived, like the entry
-    // shortlist) so a SQL oracle reproduces the layer membership
-    val l1 = build.filter(
-      pmod(graft.functions.TextFunctions.portableHash48(
-        concat(col("b_id").cast("string"), lit(s":lvl:$seed"))),
-        lit(levelDiv.toLong)) === 0)
+    val l1 = build.filter(layerPromoted(col("b_id"), levelDiv, seed))
     (l1, knnGraph(l1, k = k, iters = iters, seed = seed, buildK = k))
+  }
+
+  /** The promotion predicate shared by [[layerGraph]] /
+    * [[layerGraphs]] and the CDC maintenance stream: an id belongs to
+    * the layer with divisor `divisor` iff its PORTABLE hash
+    * (md5-derived, like the entry shortlist, so a SQL oracle
+    * reproduces the membership) is ≡ 0 mod `divisor`. Divisors that
+    * divide each other give NESTED layers — HNSW's level assignment,
+    * determined at insert time by the id alone. */
+  def layerPromoted(id: Column, divisor: Long, seed: Long = 42L): Column =
+    pmod(graft.functions.TextFunctions.portableHash48(
+      concat(id.cast("string"), lit(s":lvl:$seed"))),
+      lit(divisor)) === 0
+
+  /** Multi-level layer STACK — HNSW proper, recursed from
+    * [[layerGraph]]'s two-level form: level i promotes ids whose hash
+    * is ≡ 0 mod `levelDiv · growth^(i-1)` (divisors divide each other
+    * ⇒ levels nest), recursing while the current top level holds more
+    * than `minTop` vectors. The measured rationale (1M × 64-blob
+    * probe): a level with many same-cluster peers builds an
+    * INTRA-cluster k-NN graph (15,625 promoted = 244/blob →
+    * disconnected; 64 entries reach ~63% of blobs and layered recall
+    * capped at 0.54), while a level sparse enough that fewer than k
+    * same-cluster peers exist MUST link across clusters (244 promoted
+    * = 3.8/blob → connected) — so the stack recurses until the top is
+    * small enough to be globally routable from a handful of entries.
+    *
+    * Each level's graph is NN-Descent at the level's own scale.
+    * Levels stop before a level could not carry a width-`k` graph
+    * (count ≤ k + 1) even if still above `minTop`.
+    *
+    * `growth` and `minTop` defaults are MEASURED (50k 64-blob probe,
+    * near-exact base graph): a single 64×-sparser layer strands the
+    * walk — 64-entry layer walks pegged at 0.846-0.867 recall no
+    * matter how wide/long (wrong-basin fixpoints), while guaranteed
+    * in-basin seeds hit 0.963 — so levels shrink gently (4×) and
+    * recurse until the top is small enough (≤ 128) that the entry
+    * shortlist covers it outright. With [[graphTopKLayeredMulti]]'s
+    * per-level re-entry seeding, the levelDiv=16 stack
+    * (3014/752/168/42) serves 0.943 at TEN entries (ef=20, rounds=4)
+    * vs 0.9365 for the flat 256-entry walk over the same base graph;
+    * the steeper div64/growth8 stack loses ~4 points (0.9045).
+    *
+    * @return bottom-up Seq of (level vectors, level graph) — level 1
+    *   (densest) first; serve with [[graphTopKLayeredMulti]]. */
+  def layerGraphs(build: DataFrame, levelDiv: Int, k: Int, iters: Int,
+      seed: Long = 42L, growth: Int = 4, minTop: Long = 128L,
+      maxLevels: Int = 8): Seq[(DataFrame, DataFrame)] = {
+    require(levelDiv >= 2, s"levelDiv must be >= 2, got $levelDiv")
+    require(maxLevels >= 1, s"maxLevels must be >= 1, got $maxLevels")
+    val g = if (growth > 0) growth else levelDiv
+    require(g >= 2, s"growth must be >= 2, got $g")
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(DataFrame, DataFrame)]
+    var divisor = levelDiv.toLong
+    var done = false
+    while (!done && out.length < maxLevels) {
+      val li = build.filter(layerPromoted(col("b_id"), divisor, seed))
+      val cnt = li.count()
+      if (cnt <= k + 1) done = true // too small for a width-k graph
+      else {
+        out += ((li,
+          knnGraph(li, k = k, iters = iters, seed = seed, buildK = k)))
+        if (cnt <= minTop) done = true
+        divisor *= g
+      }
+    }
+    require(out.nonEmpty,
+      s"no layer could be built: fewer than ${k + 2} vectors promote " +
+        s"at divisor $levelDiv — lower levelDiv or k")
+    out.toSeq
+  }
+
+  /** Multi-level layered serve — [[graphTopKLayered]] recursed over a
+    * [[layerGraphs]] stack: the TOP (sparsest, cross-cluster-linked)
+    * level is walked from the md5 entry shortlist, each level's beam
+    * seeds the next denser level's round 0, and the final beam seeds
+    * the base walk. Layer walks default wider and longer than the
+    * base walk exactly like the two-level serve (`l1Ef`/`l1Rounds`/
+    * `l1Entries` override all levels uniformly). Deterministic end to
+    * end — same tie rules as every walk. */
+  def graphTopKLayeredMulti(queries: DataFrame, build: DataFrame,
+      graph: DataFrame, layers: Seq[(DataFrame, DataFrame)], k: Int,
+      ef: Int, rounds: Int, nEntries: Int, seed: Long = 42L,
+      l1Ef: Int = 0, l1Rounds: Int = 0, l1Entries: Int = 0): DataFrame = {
+    require(layers.nonEmpty, "need at least one layer")
+    val lEf = if (l1Ef > 0) l1Ef else 2 * ef
+    val lRounds = if (l1Rounds > 0) l1Rounds else 2 * rounds
+    val lNe = if (l1Entries > 0) l1Entries else math.max(nEntries, 64)
+    // every level's round 0 unions the descent result with the level's
+    // OWN md5 entry shortlist (the top level has only the shortlist) —
+    // measured re-entry insurance: with descent-only seeding, a query
+    // whose cluster has no member at some sparse level arrives at the
+    // denser level in the wrong basin and the beam stalls there (50k
+    // probe: descent-only 0.867-0.898 at every width/length vs 0.963
+    // for guaranteed in-basin seeds); fresh per-level entries give the
+    // walk a new chance to re-enter the right basin at every density
+    val entriesOf = (lb: DataFrame) => broadcast(
+      lb.select(col("b_id").as("nbr"))
+        .orderBy(md5(concat(col("nbr").cast("string"), lit(":" + seed))),
+          col("nbr"))
+        .limit(lNe))
+    val top = layers.last
+    var seeds = graphTopK(queries, top._1, top._2, lEf, lEf, lRounds,
+      lNe, seed)
+    layers.init.reverse.foreach { case (lb, lg) =>
+      // distinct: a descent result that is also a shortlist entry must
+      // not occupy two heap slots in round 0 (the heap has no id dedup)
+      seeds = graphTopKFrom(queries, lb, lg, lEf, lEf, lRounds,
+        seeds.select(col("a_id"), col("nbr_id").as("nbr"))
+          .unionAll(queries.select(col("a_id"))
+            .crossJoin(entriesOf(lb)))
+          .distinct())
+    }
+    graphTopKFrom(queries, build, graph, k, ef, rounds,
+      seeds.select(col("a_id"), col("nbr_id").as("nbr")))
   }
 
   /** Two-layer graph serve: beam-walk the sparse [[layerGraph]] first

@@ -563,6 +563,99 @@ object EventPipeline {
       .start()
   }
 
+  /** [[indexMaintainStream]] extended to a LAYERED standing index —
+    * the (base graph, layer-graph stack) pair [[graft.operators
+    * .AnnSearch.layerGraphs]] builds and [[graft.operators.AnnSearch
+    * .graphTopKLayeredMulti]] serves. Without this, a maintained index
+    * served through the layered path silently degrades: no insert is
+    * ever promoted into the routing layers (HNSW assigns levels AT
+    * INSERT — here the md5 rule, a pure function of the id) and a
+    * deleted promoted vector leaves a hole in them.
+    *
+    * Per trigger, per level (divisor `d` in `initialLayers`): deletes
+    * tombstone out of the level graph exactly like the base
+    * ([[graft.operators.AnnSearch.retractFromKnnGraph]] — ids not in
+    * the level are no-ops), and the batch's inserts whose md5 hash
+    * promotes at `d` fold in via [[graft.operators.AnnSearch
+    * .addToKnnGraph]] against the level's PRE-batch corpus (derived
+    * from the maintained vector table by the promotion predicate — the
+    * levels never carry separate vector state). Fold order matches the
+    * base: deletes first, then inserts, so takedown-then-replace works
+    * per level too. Each trigger's every level is bit-equal to the
+    * same fold applied in batch (spec-enforced; the stream's contract
+    * is fold equality, like the base stream).
+    *
+    * @param initialLayers bottom-up (divisor, level graph) — divisors
+    *   as in [[graft.operators.AnnSearch.layerPromoted]] (level i of
+    *   [[graft.operators.AnnSearch.layerGraphs]] has divisor
+    *   levelDiv·growth^(i-1))
+    * @param sink receives (base edge table, per-level edge tables,
+    *   batch id) each trigger — consume synchronously. */
+  def indexMaintainStreamLayered(initialGraph: DataFrame,
+      initialVecs: DataFrame, initialLayers: Seq[(Long, DataFrame)],
+      changes: DataFrame, opCol: String, idCol: String, vecCol: String,
+      k: Int, ef: Int, rounds: Int, nEntries: Int, seed: Long = 42L)(
+      sink: (DataFrame, Seq[DataFrame], Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(initialLayers.nonEmpty, "need at least one layer")
+    val A = graft.operators.AnnSearch
+    var graph = initialGraph
+    var vecs = initialVecs
+    var layers = initialLayers
+    var prevPinned = Set.empty[Int]
+    val protectedIds = initialGraph.sparkSession.sparkContext
+      .getPersistentRDDs.keySet.toSet
+    changes.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet
+        val b = batch.toDF().persist()
+        val bad = b.filter(
+          !(col(opCol).isin("insert", "delete") <=> lit(true)))
+        if (!bad.isEmpty)
+          throw new IllegalArgumentException(
+            s"unknown $opCol value: ${bad.select(opCol).head.get(0)}")
+        val dels = b.filter(col(opCol) === "delete").select(col(idCol))
+        val adds = b.filter(col(opCol) === "insert")
+          .select(col(idCol), col(vecCol))
+        val anyDels = !dels.isEmpty
+        val (g1, v1) =
+          if (!anyDels) (graph, vecs)
+          else (
+            A.retractFromKnnGraph(graph, dels, idCol).localCheckpoint(),
+            vecs.join(dels.select(col(idCol).as("b_id")).distinct(),
+              Seq("b_id"), "left_anti").localCheckpoint())
+        val l1 = layers.map { case (d, lg) =>
+          (d, if (!anyDels) lg
+          else A.retractFromKnnGraph(lg, dels, idCol).localCheckpoint())
+        }
+        val (g2, v2) =
+          if (adds.isEmpty) (g1, v1)
+          else (
+            A.addToKnnGraph(g1, v1, adds, idCol, vecCol, k, ef, rounds,
+              nEntries, seed),
+            v1.unionByName(adds.select(col(idCol).as("b_id"),
+              col(vecCol).as("b_v"))).localCheckpoint())
+        val l2 = l1.map { case (d, lg) =>
+          val pAdds = adds.filter(A.layerPromoted(col(idCol), d, seed))
+          (d, if (pAdds.isEmpty) lg
+          else A.addToKnnGraph(lg,
+            v1.filter(A.layerPromoted(col("b_id"), d, seed)),
+            pAdds, idCol, vecCol, k, ef, rounds, nEntries, seed))
+        }
+        try sink(g2, l2.map(_._2), id)
+        finally {
+          prevPinned = releaseSuperseded(sc, before, prevPinned,
+            g2 +: v2 +: l2.map(_._2), protectedIds)
+          graph = g2
+          vecs = v2
+          layers = l2
+        }
+      }
+      .start()
+  }
+
   /** Continuous PSI drift monitor: running per-bin counts of the
     * stream (ONE complete-mode aggregate — the only streaming state)
     * scored each trigger against a static reference bin profile

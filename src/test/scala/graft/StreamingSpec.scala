@@ -714,4 +714,95 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._1 == replaced))
     e.unpersist()
   }
+
+  test("indexMaintainStreamLayered: per-level CDC fold == the same " +
+      "batch fold — promoted inserts join the layer, deletes tombstone") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val A = graft.operators.AnnSearch
+    val (k, ef, rounds, nEntries) = (10, 10, 2, 10)
+    val div = 4L // dense promotion so the fixture layer is non-trivial
+    val e = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .persist()
+    val initVecs = e.filter(col("id") % 7 =!= 0)
+      .select(col("id").as("b_id"), col("vec").as("b_v"))
+      .localCheckpoint()
+    val g0 = A.knnGraph(initVecs, k = k, iters = 1, buildK = k)
+    val l1b0 = initVecs.filter(A.layerPromoted(col("b_id"), div))
+    val l1g0 = A.knnGraph(l1b0, k = k, iters = 1, buildK = k)
+    val arriving = e.filter(col("id") % 7 === 0)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val (add1, add2) = arriving.splitAt(arriving.length / 2)
+    val del1 = e.filter(col("id") % 7 =!= 0 && col("id") % 13 === 1)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val replaced = add1.head
+    val batches: Seq[Seq[(String, Long)]] = Seq(
+      add1.map("insert" -> _) ++ del1.map("delete" -> _),
+      add2.map("insert" -> _) ++ Seq("delete" -> replaced,
+        "insert" -> replaced))
+    val mem = MemoryStream[(String, Long)]
+    val changes = mem.toDF().toDF("op", "id").join(e, Seq("id"), "left")
+    def edgeSet(g: org.apache.spark.sql.DataFrame) =
+      g.select("a_id", "nbr_id", "rnk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    var sBase = Set.empty[(Long, Long, Int)]
+    var sLayer = Set.empty[(Long, Long, Int)]
+    val q = graft.streaming.EventPipeline.indexMaintainStreamLayered(
+      g0, initVecs, Seq((div, l1g0)), changes, "op", "id", "vec",
+      k, ef, rounds, nEntries) { (base, lvls, _) =>
+      sBase = edgeSet(base); sLayer = edgeSet(lvls.head)
+    }
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // the batch twin: base fold as in the flat stream; the layer folds
+    // deletes always and only PROMOTED inserts, against the promoted
+    // slice of the maintained vector table
+    var (g, v, lg) = (g0, initVecs, l1g0)
+    batches.foreach { b =>
+      val dels = b.collect { case ("delete", i) => i }
+      val adds = b.collect { case ("insert", i) => i }
+      if (dels.nonEmpty) {
+        g = A.retractFromKnnGraph(g, dels.toDF("id"), "id")
+          .localCheckpoint()
+        lg = A.retractFromKnnGraph(lg, dels.toDF("id"), "id")
+          .localCheckpoint()
+        v = v.join(dels.toDF("b_id"), Seq("b_id"), "left_anti")
+          .localCheckpoint()
+      }
+      if (adds.nonEmpty) {
+        val av = e.join(adds.toDF("id"), "id")
+        g = A.addToKnnGraph(g, v, av, "id", "vec", k, ef, rounds,
+          nEntries)
+        val pav = av.filter(A.layerPromoted(col("id"), div))
+        if (!pav.isEmpty)
+          lg = A.addToKnnGraph(lg,
+            v.filter(A.layerPromoted(col("b_id"), div)),
+            pav, "id", "vec", k, ef, rounds, nEntries)
+        v = v.unionByName(av.select(col("id").as("b_id"),
+          col("vec").as("b_v"))).localCheckpoint()
+      }
+    }
+    assert(sBase == edgeSet(g) && sBase.nonEmpty, "base fold diverged")
+    assert(sLayer == edgeSet(lg) && sLayer.nonEmpty, "layer fold diverged")
+    // a promoted arrival actually reached the layer, and a deleted
+    // promoted id actually left it (the maintenance is not vacuous)
+    val promotedArrivals = e.filter(col("id") % 7 === 0)
+      .filter(A.layerPromoted(col("id"), div))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(promotedArrivals.exists(i => sLayer.exists(_._1 == i)),
+      "no promoted insert reached the layer graph")
+    val promotedDeleted = del1.toSet.intersect(
+      e.filter(A.layerPromoted(col("id"), div))
+        .select("id").collect().map(_.getLong(0)).toSet)
+    assert(promotedDeleted.nonEmpty, "fixture never deletes a promoted id")
+    assert(promotedDeleted.forall(i =>
+      !sLayer.exists(t => t._1 == i || t._2 == i)),
+      "a deleted promoted id still serves from the layer")
+    e.unpersist()
+  }
 }
