@@ -96,6 +96,12 @@ object Bench {
       // tokens — linear scan throughput, one aggregate
       "textstats_synth1m" -> ((s: SparkSession) =>
         Workloads.textStatsSynth(s, 1_000_000L)),
+      // scale-evidence twin for ExactSubstr: the anchored span pass
+      // over the SAME 1M-doc/60M-token corpus as minhash_synth1m —
+      // pins the two-hash-shuffle design (only the 1/stride content
+      // anchors reach an exchange) at corpus scale
+      "substr_synth1m" -> ((s: SparkSession) =>
+        Workloads.substrSynth(s, 1_000_000L)),
       // END-TO-END curation pipeline at 250k docs: LSH near-dedup →
       // CC survivors → quality gate → hash split → sequence packing —
       // the composition number, not a single family

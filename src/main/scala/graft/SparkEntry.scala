@@ -2198,6 +2198,40 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
+    // REAL-decode image embedding, exact-integer surface: grid-gray
+    // cell sums/counts + 8-octant gradient-orientation counts off
+    // actually-decoded pixels (ImageIO); the oracle recomputes every
+    // integer from the fixture's closed-form raster without decoding
+    "q271_image_embed_stats" -> ((s, dir) =>
+      operators.Multimodal.imageEmbeddingStats(phashMedia(s, dir),
+        grid = 4)),
+
+    // The similarity stack on REAL decoded content: cosine top-k over
+    // the q271-derived float embedding (each value one exact double
+    // division narrowed to float — bit-reproducible in SQL), replacing
+    // the md5 decodeStub for the image modality end-to-end
+    "q272_image_embed_ann" -> ((s, dir) => {
+      val emb = operators.Multimodal.imageEmbedding(phashMedia(s, dir),
+        grid = 4)
+      val b = emb.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_v"))
+      val q = emb.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      operators.AnnSearch.bruteForceTopK(q, b, AnnK)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
+    // Embedding near-dup on REAL decoded content (q26's family member
+    // over q272's embedding): the fixture plants 75 sparse-perturbation
+    // near-copies, and the real-decode features separate them cleanly
+    // (measured: near-pairs cos ≥ 0.998768, all other pairs ≤
+    // 0.997796) — τ = 0.9985 recovers exactly the planted pairs
+    "q273_image_embed_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.embeddingNearDup(
+        operators.Multimodal.imageEmbedding(phashMedia(s, dir),
+          grid = 4),
+        "vec_id", "embedding", 0.9985)),
+
     // k-NN graph tombstone retraction (q257's dual): edges touching
     // removed ids vanish (the shared no-retrain rule), the serve walks
     // the surviving graph. Oracle: the serve unroll with entries,
@@ -8331,6 +8365,64 @@ object SparkEntry {
     // layered serve over the updated pair
     "q270_layered_maintain" -> graphLayeredMaintainOracle,
 
+    // real-decode image embedding: exact integers off the closed-form
+    // raster (q236's px CTE), grid-4 cells + 8 gradient octants
+    "q271_image_embed_stats" -> (phashOracleCtes + ",\n" +
+      imageEmbedCtes + "\n" +
+      """SELECT m AS media_id, CAST(k AS INTEGER) AS dim_idx,
+        |  s AS num, c AS den FROM c4
+        |UNION ALL
+        |SELECT m, CAST(16 + b AS INTEGER), cnt, tot FROM oc"""
+        .stripMargin),
+
+    // cosine top-k over the real-decode embedding: floats rebuilt by
+    // the identical exact divisions (double op, REAL narrow), fold in
+    // dim order — the whole ANN ranking reproduced on real content
+    "q272_image_embed_ann" -> (phashOracleCtes + ",\n" +
+      imageEmbedCtes + ",\n" +
+      s"""vals AS MATERIALIZED (SELECT m, k AS dim,
+         |    CAST(CAST(s AS DOUBLE) / (c * 765.0) AS REAL) AS v
+         |  FROM c4
+         |  UNION ALL
+         |  SELECT m, 16 + b,
+         |    CAST(CASE WHEN tot = 0 THEN 0.0
+         |         ELSE CAST(cnt AS DOUBLE) / tot END AS REAL)
+         |  FROM oc),
+         |ev AS MATERIALIZED (SELECT m AS id,
+         |    list(CAST(v AS DOUBLE) ORDER BY dim) AS v
+         |  FROM vals GROUP BY m)
+         |SELECT a_id AS vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT a.id AS a_id, b.id AS nbr_id,
+         |    row_number() OVER (PARTITION BY a.id ORDER BY
+         |      ${dotSqlV("a.v", "b.v")} /
+         |        sqrt(${dotSqlV("a.v", "a.v")} * ${dotSqlV("b.v", "b.v")})
+         |        DESC, b.id) AS rnk
+         |  FROM ev a JOIN ev b ON b.id != a.id WHERE a.id < 30) r
+         |WHERE rnk <= $AnnK""".stripMargin),
+
+    // near-dup pairs on the real-decode embedding (q26's shape over
+    // q272's `ev` vectors) — recovers exactly the 75 planted pairs
+    "q273_image_embed_dedup" -> (phashOracleCtes + ",\n" +
+      imageEmbedCtes + ",\n" +
+      s"""vals AS MATERIALIZED (SELECT m, k AS dim,
+         |    CAST(CAST(s AS DOUBLE) / (c * 765.0) AS REAL) AS v
+         |  FROM c4
+         |  UNION ALL
+         |  SELECT m, 16 + b,
+         |    CAST(CASE WHEN tot = 0 THEN 0.0
+         |         ELSE CAST(cnt AS DOUBLE) / tot END AS REAL)
+         |  FROM oc),
+         |ev AS MATERIALIZED (SELECT m AS id,
+         |    list(CAST(v AS DOUBLE) ORDER BY dim) AS v
+         |  FROM vals GROUP BY m)
+         |SELECT a_id, b_id, cos FROM (
+         |  SELECT a.id AS a_id, b.id AS b_id,
+         |    ${dotSqlV("a.v", "b.v")} /
+         |      sqrt(${dotSqlV("a.v", "a.v")} * ${dotSqlV("b.v", "b.v")})
+         |      AS cos
+         |  FROM ev a JOIN ev b ON a.id < b.id) p
+         |WHERE cos >= 0.9985""".stripMargin),
+
     // IVF-sharded k-NN graph build: q23's centroid CTEs + top-2 cell
     // assignment + global rank over distinct shared-cell pairs
     "q269_knn_graph_ivf" -> knnGraphIvfOracle,
@@ -9450,6 +9542,40 @@ object SparkEntry {
       |    CASE WHEN l.s * r.c > r.s * l.c THEN 1 ELSE 0 END AS d_bit
       |  FROM cd l JOIN cd r ON r.m = l.m AND r.cy = l.cy
       |    AND r.cx = l.cx + 1)""".stripMargin
+
+  /** Real-decode embedding CTEs shared by q271/q272, chained after
+    * [[phashOracleCtes]]' `px` raster: grid-4 cell gray sums/counts
+    * (`c4`) and the 8-octant gradient histogram (`oc` — forward
+    * differences via self-joins on the raster, octant by the same
+    * integer sign/magnitude CASE the engine runs, zero-gradient pixels
+    * skipped, absent octants coalesced to 0). */
+  private val imageEmbedCtes: String =
+    """c4 AS MATERIALIZED (SELECT m, (y * 4 // h) * 4 + (x * 4 // w) AS k,
+      |    CAST(sum(gray) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM px GROUP BY 1, 2),
+      |gr AS MATERIALIZED (SELECT l.m,
+      |    r.gray - l.gray AS dx, d.gray - l.gray AS dy
+      |  FROM px l JOIN px r ON r.m = l.m AND r.y = l.y AND r.x = l.x + 1
+      |    JOIN px d ON d.m = l.m AND d.x = l.x AND d.y = l.y + 1),
+      |ob AS MATERIALIZED (SELECT m,
+      |    CASE WHEN dx > 0 AND dy >= 0 THEN
+      |           CASE WHEN dx > dy THEN 0 ELSE 1 END
+      |         WHEN dx <= 0 AND dy > 0 THEN
+      |           CASE WHEN dy > -dx THEN 2 ELSE 3 END
+      |         WHEN dx < 0 THEN
+      |           CASE WHEN -dx > -dy THEN 4 ELSE 5 END
+      |         ELSE CASE WHEN -dy > dx THEN 6 ELSE 7 END
+      |    END AS b
+      |  FROM gr WHERE dx != 0 OR dy != 0),
+      |oc AS MATERIALIZED (SELECT i.m, ub.b,
+      |    CAST(coalesce(cb.cnt, 0) AS BIGINT) AS cnt,
+      |    CAST(coalesce(t.tot, 0) AS BIGINT) AS tot
+      |  FROM (SELECT DISTINCT m FROM px) i
+      |  CROSS JOIN unnest(range(0, 8)) ub(b)
+      |  LEFT JOIN (SELECT m, b, count(*) AS cnt FROM ob GROUP BY 1, 2) cb
+      |    ON cb.m = i.m AND cb.b = ub.b
+      |  LEFT JOIN (SELECT m, count(*) AS tot FROM ob GROUP BY 1) t
+      |    ON t.m = i.m)""".stripMargin
 
   /** Closed-form CTE chain shared by the q243/q244 oracles — the
     * per-frame twin of [[phashOracleCtes]]: regenerate the

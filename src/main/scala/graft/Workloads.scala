@@ -236,6 +236,25 @@ object Workloads {
         docLen = 60, vocab = 5000, mutPct = 5),
       "doc_id", "text", n = 5, minJaccard = 0.35)
 
+  /** ExactSubstr scale twin — the SAME 1M-doc/60M-token corpus as
+    * minhash_synth1m, through the ANCHORED duplicated-span pass
+    * (L = 40 chars, stride 4): the two-hash-shuffle design (content
+    * anchors + local extension; the corpus-sized window stream never
+    * reaches an exchange) at the scale where a stride-1 pass would
+    * shuffle every window. Closed by a bounded span-length histogram
+    * so the bench action consumes every span row. */
+  def substrSynth(spark: SparkSession, n: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.operators.SubstringDedup.duplicatedSpansAnchored(
+      synthDocs(spark, n, templates = math.max((n / 10).toInt, 10),
+        docLen = 60, vocab = 5000, mutPct = 5),
+      "doc_id", "text", l = 40, stride = 4)
+      .groupBy(floor(col("span_len") / 40L).cast("long").as("len_band"))
+      .agg(count(lit(1)).as("n_spans"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("span_len")).as("dup_chars"))
+  }
+
   /** TEXT-family scale twin: the per-document quality battery (token
     * count, entropy, duplicate-3-gram repetition, lexical diversity —
     * all native shingle/token kernels) over `n` in-engine documents,

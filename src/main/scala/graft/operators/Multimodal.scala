@@ -242,6 +242,168 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL-decode content features for the deterministic image
+    * embedding: gray = r+g+b per pixel (integer channel sum, the
+    * imageHashes discipline), then
+    *
+    *  - per grid×grid cell (floor-division membership `x·grid/w`):
+    *    exact integer gray sum + pixel count;
+    *  - an 8-octant gradient-orientation histogram over forward
+    *    differences dx = gray(x+1,y) − gray(x,y), dy = gray(x,y+1) −
+    *    gray(x,y) for every pixel with both neighbors — the octant is
+    *    decided by INTEGER sign/magnitude comparisons only (no atan2,
+    *    no floats), zero-gradient pixels are skipped, and `total`
+    *    counts the kept ones.
+    *
+    * Every emitted quantity is an exact integer, so a SQL oracle
+    * reproduces the whole report from a closed-form pixel formula
+    * without decoding bytes (q236's fixture discipline) while the
+    * ENGINE path really decodes (ImageIO). */
+  private[graft] def decodeGrayFeatures(payload: Array[Byte], grid: Int,
+      bins: Int): (Array[Long], Array[Long], Array[Long], Long) = {
+    require(bins == 8, s"octant histogram is 8-bin by construction, got $bins")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null,
+      s"payload (${payload.length} bytes) is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray = Array.ofDim[Int](h, w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        gray(y)(x) = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+          (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val cellSum = new Array[Long](grid * grid)
+    val cellCnt = new Array[Long](grid * grid)
+    val oct = new Array[Long](8)
+    var total = 0L
+    y = 0
+    while (y < h) {
+      val cy = y * grid / h
+      var x = 0
+      while (x < w) {
+        val c = cy * grid + x * grid / w
+        cellSum(c) += gray(y)(x)
+        cellCnt(c) += 1
+        if (x + 1 < w && y + 1 < h) {
+          val dx = gray(y)(x + 1) - gray(y)(x)
+          val dy = gray(y + 1)(x) - gray(y)(x)
+          if (dx != 0 || dy != 0) {
+            // 8 sectors of atan2(dy, dx), boundaries on axes/diagonals,
+            // each decided by exact integer comparisons
+            val b =
+              if (dx > 0 && dy >= 0) { if (dx > dy) 0 else 1 }
+              else if (dx <= 0 && dy > 0) { if (dy > -dx) 2 else 3 }
+              else if (dx < 0) { if (-dx > -dy) 4 else 5 }
+              else { if (-dy > dx) 6 else 7 }
+            oct(b) += 1
+            total += 1
+          }
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (cellSum, cellCnt, oct, total)
+  }
+
+  /** Exact-integer report behind [[imageEmbedding]], one row per
+    * feature — the oracle surface (q271): cell dims carry (gray sum,
+    * pixel count), octant dims carry (gradient count, total kept
+    * gradients). `dim_idx` 0..grid²−1 = cells (cy·grid + cx), then 8
+    * octants. */
+  def imageEmbeddingStats(media: DataFrame, grid: Int = 4): DataFrame = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dim_idx", IntegerType, nullable = false),
+      StructField("num", LongType, nullable = false),
+      StructField("den", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          require(!r.isNullAt(0),
+            "null media_id — every media row needs a non-null id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          require(payload != null,
+            s"null payload for media_id=${r.getLong(0)}")
+          val (cs, cc, oc, tot) =
+            try decodeGrayFeatures(payload, grid, 8)
+            catch {
+              case scala.util.control.NonFatal(e) => throw
+                new IllegalArgumentException(
+                  s"media_id=${r.getLong(0)}: ${e.getMessage}", e)
+            }
+          val id = r.getLong(0)
+          cs.indices.map(i => Row(id, i, cs(i), cc(i))) ++
+            oc.indices.map(i => Row(id, grid * grid + i, oc(i), tot))
+        }
+      }(enc)
+  }
+
+  /** REAL content embedding from decoded pixels — the round-11
+    * replacement for [[decodeStub]] on the image modality: dims
+    * 0..grid²−1 are normalized cell-gray means (cellSum/(cellCnt·765))
+    * and the last 8 dims the normalized gradient-orientation histogram
+    * (octantCount/total; all-zero on a flat image). Both divisions are
+    * single exact double ops narrowed to float, so a SQL oracle
+    * reproduces every value bit for bit from [[imageEmbeddingStats]]'
+    * integers (`CAST(CAST(num AS DOUBLE)/den/… AS REAL)`) — which is
+    * what lets the ANN/dedup stack (q272) run end-to-end on REAL
+    * decoded content under the same hash-equality gate as everything
+    * else.
+    * @return (`vec_id`, `embedding` array<float> of grid²+8). */
+  def imageEmbedding(media: DataFrame, grid: Int = 4): DataFrame = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          require(!r.isNullAt(0),
+            "null media_id — every media row needs a non-null id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          require(payload != null,
+            s"null payload for media_id=${r.getLong(0)}")
+          val (cs, cc, oc, tot) =
+            try decodeGrayFeatures(payload, grid, 8)
+            catch {
+              case scala.util.control.NonFatal(e) => throw
+                new IllegalArgumentException(
+                  s"media_id=${r.getLong(0)}: ${e.getMessage}", e)
+            }
+          val emb = new Array[Float](grid * grid + 8)
+          var i = 0
+          while (i < cs.length) {
+            // empty cells cannot happen (floor-division membership is
+            // total), but guard the division anyway
+            emb(i) =
+              if (cc(i) == 0L) 0f
+              else (cs(i).toDouble / (cc(i) * 765.0)).toFloat
+            i += 1
+          }
+          var b = 0
+          while (b < 8) {
+            emb(grid * grid + b) =
+              if (tot == 0L) 0f else (oc(b).toDouble / tot).toFloat
+            b += 1
+          }
+          Row(r.getLong(0), emb.toSeq)
+        }
+      }(enc)
+  }
+
   /** [[syntheticPng]] with a SPARSE perturbation — the near-duplicate
     * fixture for the perceptual-hash family: pixels where
     * `(x·5 + y·3) mod 29 == 0` (≈3.4% of the raster) get `delta` added

@@ -506,4 +506,60 @@ class MultimodalSpec extends SparkSpec {
       Seq("position_col_X0", "position_col_X1", "cluster_id"))
     assert(out.count() == 100)
   }
+
+  test("imageEmbedding: REAL decode reproduces the closed-form raster's " +
+      "features exactly; corrupt payload rejected with the media_id") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (base, w, h, grid) = (3L, 12, 9, 4)
+    val payload = Multimodal.syntheticPngNear(base, 0, w, h)
+    // hand-compute from the SAME closed form the PNG encodes (PNG is
+    // lossless, so a correct decode must match bit for bit)
+    def gray(x: Int, y: Int): Int =
+      (((base * 31 + x * 7 + y * 13) % 256) +
+        ((base * 17 + x * 3 + y * 5) % 256) +
+        ((base * 29 + x * 11 + y * 2) % 256)).toInt
+    val cellSum = new Array[Long](grid * grid)
+    val cellCnt = new Array[Long](grid * grid)
+    val oct = new Array[Long](8)
+    var tot = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val c = (y * grid / h) * grid + x * grid / w
+      cellSum(c) += gray(x, y); cellCnt(c) += 1
+      if (x + 1 < w && y + 1 < h) {
+        val dx = gray(x + 1, y) - gray(x, y)
+        val dy = gray(x, y + 1) - gray(x, y)
+        if (dx != 0 || dy != 0) {
+          val b =
+            if (dx > 0 && dy >= 0) { if (dx > dy) 0 else 1 }
+            else if (dx <= 0 && dy > 0) { if (dy > -dx) 2 else 3 }
+            else if (dx < 0) { if (-dx > -dy) 4 else 5 }
+            else { if (-dy > dx) 6 else 7 }
+          oct(b) += 1; tot += 1
+        }
+      }
+    }
+    val exp = (cellSum.indices.map(i =>
+      (cellSum(i).toDouble / (cellCnt(i) * 765.0)).toFloat) ++
+      oct.indices.map(b =>
+        if (tot == 0L) 0f else (oct(b).toDouble / tot).toFloat)).toSeq
+    val media = Seq((7L, payload)).toDF("media_id", "payload")
+    val got = Multimodal.imageEmbedding(media, grid).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 7L)
+    assert(got(0).getSeq[Float](1) == exp)
+    // the integer stats surface agrees with the same hand computation
+    val stats = Multimodal.imageEmbeddingStats(media, grid).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    cellSum.indices.foreach(i =>
+      assert(stats(i) == ((cellSum(i), cellCnt(i))), s"cell $i"))
+    oct.indices.foreach(b =>
+      assert(stats(grid * grid + b) == ((oct(b), tot)), s"octant $b"))
+    // an undecodable payload fails loudly with the offending id
+    val bad = Seq((99L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.imageEmbedding(bad, grid).collect()
+    }
+    assert(ex.getMessage.contains("99") ||
+      ex.getCause.getMessage.contains("99"))
+  }
 }

@@ -72,4 +72,18 @@ class WorkloadsSpec extends SparkSpec {
       assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to 10))
     }
   }
+
+  test("substrSynth: anchored span histogram is sane on the templated " +
+      "corpus — spans exist, every band is >= L, totals consistent") {
+    val rows = graft.Workloads.substrSynth(spark, 2000L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty, "templated corpus produced no duplicated spans")
+    // span_len >= L by construction => len_band = span_len / 40 >= 1
+    assert(rows.forall(_._1 >= 1L), s"band below L: ${rows.toSeq}")
+    assert(rows.forall(t => t._2 > 0 && t._3 > 0 && t._4 >= 40 * t._2),
+      s"inconsistent band stats: ${rows.toSeq}")
+    // ~10 docs/template at docLen 60: most docs should carry a span
+    val nDocs = rows.map(_._3).sum
+    assert(nDocs >= 1000, s"suspiciously few spanned docs: $nDocs")
+  }
 }
