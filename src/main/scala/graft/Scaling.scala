@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   * caches are NOT possible in-process — min-of-2 reps strips the
   * first-session JIT instead). Prints one JSON line and writes
   * SCALING.json.
+  *
+  * Beside the `local[N]` curve the sweep runs a FORKED-JVM curve:
+  * `local-cluster[w,c,m]` at `SPARK_GRAFT_SCALING_WORKERS` workers
+  * (default 2,4,8 × 4 cores), where task closures serialize over the
+  * wire and shuffle blocks are fetched remotely — the true multi-JVM
+  * scaling signal local[N]'s single-JVM short-circuits can't give
+  * (its 16→32 flattening is one JVM saturating one shuffle disk).
+  * Every run row carries its `master`; the fingerprint-invariance
+  * gate spans BOTH curves (a label that drifted between local and
+  * forked execution fails the run). Requires SPARK_HOME +
+  * SPARK_SCALA_VERSION=2.13 (the executor launcher) when the forked
+  * levels are enabled; set SPARK_GRAFT_SCALING_WORKERS= (empty) to
+  * skip them.
   */
 object Scaling {
 
@@ -84,22 +97,53 @@ object Scaling {
           nEntries = 256)
       }),
     )
+    // forked-JVM levels: worker counts for local-cluster[w,c,m]; empty
+    // string disables the forked curve (e.g. no SPARK_HOME available)
+    val workerLevels = sys.env.getOrElse("SPARK_GRAFT_SCALING_WORKERS",
+      "2,4,8").split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq
+    val workerCores = sys.env.getOrElse("SPARK_GRAFT_SCALING_WORKER_CORES",
+      "4").toInt
+    val workerMemMb = 6144
+    if (workerLevels.nonEmpty) {
+      require(sys.env.contains("SPARK_HOME"),
+        "forked scaling levels launch executor JVMs via SPARK_HOME " +
+          "(export it, or SPARK_GRAFT_SCALING_WORKERS= to skip)")
+      require(sys.env.contains("SPARK_SCALA_VERSION"),
+        "export SPARK_SCALA_VERSION=2.13 — the executor launcher " +
+          "needs it on a packaged Spark dist")
+    }
+    // forked executors see only the dist jars — hand them the compiled
+    // graft classes (same filesystem; a real cluster ships spark.jars)
+    lazy val classesDir = new java.io.File(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI).getPath
+
+    // (master spec, total cores, reps) — the local curve then the
+    // forked curve, one fresh session per level for both
+    val sweepLevels: Seq[(String, Int, Int)] =
+      levels.map(c => (s"local[$c]", c, reps)) ++
+        workerLevels.map(w =>
+          (s"local-cluster[$w,$workerCores,$workerMemMb]",
+            w * workerCores, reps))
+
     val rows = scala.collection.mutable.ArrayBuffer.empty[String]
     var baseline = Map.empty[String, String]
     var invariant = true
-    for (cpus <- levels) {
-      val spark = SparkSession.builder()
-        .master(s"local[$cpus]")
+    for ((master, cpus, levelReps) <- sweepLevels) {
+      val b = SparkSession.builder()
+        .master(master)
         .appName(s"graft-scaling-$cpus")
         .config("spark.sql.shuffle.partitions", cpus.toString)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .getOrCreate()
+      val spark = (if (master.startsWith("local-cluster"))
+        b.config("spark.executor.memory", "4g")
+          .config("spark.executor.extraClassPath", classesDir)
+      else b).getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
       try workloads.foreach { case (name, fn) =>
         var best = Double.MaxValue
         var fp = ""
-        (0 until reps).foreach { _ =>
+        (0 until levelReps).foreach { _ =>
           spark.catalog.clearCache(); System.gc()
           val t0 = System.nanoTime()
           fp = fingerprint(fn(spark))
@@ -107,18 +151,21 @@ object Scaling {
         }
         if (!baseline.contains(name)) baseline += name -> fp
         else if (baseline(name) != fp) invariant = false
-        rows += s"""{"workload":"$name","cpus":$cpus,""" +
+        rows += s"""{"workload":"$name","master":"$master",""" +
+          s""""cpus":$cpus,""" +
           s""""sec":${math.rint(best * 100) / 100},"fingerprint":"$fp"}"""
-        System.err.println(s"[scaling] $name cpus=$cpus " +
+        System.err.println(s"[scaling] $name master=$master cpus=$cpus " +
           s"sec=${math.rint(best * 100) / 100} fp=$fp")
       } finally spark.stop()
     }
     // carried in the artifact so a reader can't mistake the local-mode
     // top-end flattening for a scaling defect
-    val note = "fingerprints must be identical at every level " +
-      "(invariant); wall-clock at 16->32 cores may regress in " +
-      "local[N] mode (single-JVM shuffle saturation) - the scaling " +
-      "signal is 2->16 plus fingerprint equality"
+    val note = "fingerprints must be identical at every level AND " +
+      "across local/forked masters (invariant); wall-clock at 16->32 " +
+      "cores may regress in local[N] mode (single-JVM shuffle " +
+      "saturation) - the scaling signal is 2->16, the forked " +
+      "local-cluster rows (separate executor JVMs, real exchanges), " +
+      "plus fingerprint equality"
     val out = s"""{"invariant":$invariant,"note":"$note",""" +
       s""""runs":[${rows.mkString(",")}]}"""
     val path = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT",
