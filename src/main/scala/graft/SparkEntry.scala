@@ -2232,6 +2232,31 @@ object SparkEntry {
           grid = 4),
         "vec_id", "embedding", 0.9985)),
 
+    // REAL text content embedding (the text-modality half of the
+    // decodeStub replacement): single-pass native hashed-TF — tokens
+    // by the corpus-wide single-space split, buckets by the portable
+    // md5 60-bit bridge mod TfDims, values one exact double division
+    // narrowed to float — exploded to scalar rows for the gate
+    "q274_text_embed" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        posexplode(functions.TextExpressions.hashedTf(col("text"),
+          TfDims)).as(Seq("dim_idx", "val")))),
+
+    // the similarity stack on REAL text content: cosine top-k over the
+    // q274 hashed-TF embedding (q272's shape for the text modality)
+    "q275_text_embed_ann" -> ((s, dir) => {
+      val emb = t(s, dir, "documents").select(
+        col("doc_id").as("vec_id"),
+        functions.TextExpressions.hashedTf(col("text"), TfDims)
+          .as("embedding"))
+      val b = emb.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_v"))
+      val q = emb.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      operators.AnnSearch.bruteForceTopK(q, b, AnnK)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
     // k-NN graph tombstone retraction (q257's dual): edges touching
     // removed ids vanish (the shared no-retrain rule), the serve walks
     // the surviving graph. Oracle: the serve unroll with entries,
@@ -3986,6 +4011,11 @@ object SparkEntry {
   private val IvfSeed = 42L
   private val IvfPool = operators.AnnSearch.seedPoolFactor * IvfCents
   private val AnnK = 5
+
+  /** q274/q275 hashed-TF bucket count — small enough that the DuckDB
+    * oracle's per-doc bucket grid stays cheap, large enough that the
+    * 500-doc corpus gets distinguishing vectors. */
+  private val TfDims = 32
 
   /** q75 PQ geometry, shared with the unrolled oracle (engine
     * defaults: 2 Lloyd rounds, seed 42). */
@@ -8423,6 +8453,36 @@ object SparkEntry {
          |  FROM ev a JOIN ev b ON a.id < b.id) p
          |WHERE cos >= 0.9985""".stripMargin),
 
+    // hashed-TF text embedding: token buckets via the portable md5
+    // 60-bit bridge, zero buckets materialized by the dim grid, each
+    // value one exact double division narrowed to REAL
+    "q274_text_embed" -> (textEmbedCtes(TfDims) + "\n" +
+      s"""SELECT dc.doc_id, CAST(g.b AS INTEGER) AS dim_idx,
+         |  CAST(CAST(coalesce(bc.cnt, 0) AS DOUBLE) / dc.tot AS REAL)
+         |    AS val
+         |FROM dc CROSS JOIN unnest(range(0, $TfDims)) g(b)
+         |LEFT JOIN bc ON bc.doc_id = dc.doc_id AND bc.b = g.b"""
+        .stripMargin),
+
+    // cosine top-k over the hashed-TF embedding — q272's oracle shape
+    // (vectors rebuilt by the identical exact divisions, fold in dim
+    // order) on the text modality
+    "q275_text_embed_ann" -> (textEmbedCtes(TfDims) + ",\n" +
+      s"""ev AS MATERIALIZED (SELECT dc.doc_id AS id,
+         |    list(CAST(CAST(CAST(coalesce(bc.cnt, 0) AS DOUBLE) /
+         |      dc.tot AS REAL) AS DOUBLE) ORDER BY g.b) AS v
+         |  FROM dc CROSS JOIN unnest(range(0, $TfDims)) g(b)
+         |  LEFT JOIN bc ON bc.doc_id = dc.doc_id AND bc.b = g.b
+         |  GROUP BY dc.doc_id)
+         |SELECT a_id AS vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT a.id AS a_id, b.id AS nbr_id,
+         |    row_number() OVER (PARTITION BY a.id ORDER BY
+         |      ${dotSqlV("a.v", "b.v")} /
+         |        sqrt(${dotSqlV("a.v", "a.v")} * ${dotSqlV("b.v", "b.v")})
+         |        DESC, b.id) AS rnk
+         |  FROM ev a JOIN ev b ON b.id != a.id WHERE a.id < 30) r
+         |WHERE rnk <= $AnnK""".stripMargin),
+
     // IVF-sharded k-NN graph build: q23's centroid CTEs + top-2 cell
     // assignment + global rank over distinct shared-cell pairs
     "q269_knn_graph_ivf" -> knnGraphIvfOracle,
@@ -9576,6 +9636,25 @@ object SparkEntry {
       |    ON cb.m = i.m AND cb.b = ub.b
       |  LEFT JOIN (SELECT m, count(*) AS tot FROM ob GROUP BY 1) t
       |    ON t.m = i.m)""".stripMargin
+
+  /** Token-level CTEs shared by the q274/q275 oracles: every document
+    * split on single spaces KEEPING trailing empties (DuckDB
+    * `string_split` == Spark `split(text, ' ', -1)` — the corpus-wide
+    * convention), per-doc token totals (`dc` — every doc has >= 1
+    * token, so the downstream division never sees 0), and per-(doc,
+    * bucket) counts (`bc`) where the bucket is the portable md5 60-bit
+    * bridge mod `dims` — byte-identical to the engine's
+    * [[graft.functions.HashedTf]] kernel. */
+  private def textEmbedCtes(dims: Int): String =
+    s"""WITH tok AS MATERIALIZED (SELECT doc_id,
+       |    unnest(string_split(text, ' ')) AS w
+       |  FROM documents),
+       |dc AS MATERIALIZED (SELECT doc_id, count(*) AS tot
+       |  FROM tok GROUP BY 1),
+       |bc AS MATERIALIZED (SELECT doc_id,
+       |    CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % $dims AS b,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tok GROUP BY 1, 2)""".stripMargin
 
   /** Closed-form CTE chain shared by the q243/q244 oracles — the
     * per-frame twin of [[phashOracleCtes]]: regenerate the

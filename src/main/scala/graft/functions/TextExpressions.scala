@@ -239,6 +239,68 @@ case class MultiMatchCounts(child: Expression, patterns: Seq[String])
   override def prettyName: String = "multi_match_counts"
 }
 
+/** Native single-pass hashed-TF text embedding — the REAL content
+  * embedding for the text modality (the round-11 counterpart of
+  * `Multimodal.imageEmbedding` for images): tokens = single-space
+  * split keeping trailing empties (the corpus-wide convention, ==
+  * DuckDB `string_split(text, ' ')`), each token hashed to a bucket by
+  * the portable md5 bridge (first 15 hex chars as a 60-bit integer,
+  * mod `dims` — `TextFunctions.portableHash60`'s exact value), and
+  * dim d = bucketCount(d) / nTokens as one exact double division
+  * narrowed to float (== `CAST(<double> AS REAL)`). Every value is
+  * therefore bit-reproducible in SQL from token-level CTEs, so the
+  * ANN/dedup stack runs on REAL text content under the same
+  * hash-equality gate as everything else.
+  *
+  * One Scala pass per document (the Shingles discipline — Spark HOFs
+  * would run interpreted); md5 per token is the portability cost and
+  * stays ~0.5 µs/token. */
+case class HashedTf(child: Expression, dims: Int)
+    extends UnaryExpression with CodegenFallback
+    with ImplicitCastInputTypes {
+  require(dims >= 1, s"dims must be >= 1, got $dims")
+
+  override def inputTypes: Seq[org.apache.spark.sql.GraftInternals.AbstractType] = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    // limit -1 keeps trailing empties — "" has ONE (empty) token, so
+    // nTokens >= 1 always and the division below never sees 0
+    val toks = text.split(" ", -1)
+    val counts = new Array[Long](dims)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(
+        toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars of the digest = top 7.5 bytes big-endian —
+      // the same 60-bit value as conv(substr(md5(t),1,15),16,10);
+      // 60 bits is non-negative in a long, so % stays non-negative
+      var v = 0L
+      var k = 0
+      while (k < 7) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >> 4)
+      counts((v % dims).toInt) += 1
+      i += 1
+    }
+    val out = new Array[Any](dims)
+    var j = 0
+    while (j < dims) {
+      // divide in double then narrow — matches CAST(<double> AS REAL)
+      out(j) = (counts(j).toDouble / toks.length).toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "hashed_tf"
+}
+
 object TextExpressions {
   import org.apache.spark.sql.GraftInternals.{column, expression}
   def shingles(text: Column, n: Int): Column =
@@ -251,4 +313,6 @@ object TextExpressions {
     column(RedactCount(expression(text), blocklist))
   def multiMatchCounts(text: Column, patterns: Seq[String]): Column =
     column(MultiMatchCounts(expression(text), patterns))
+  def hashedTf(text: Column, dims: Int): Column =
+    column(HashedTf(expression(text), dims))
 }

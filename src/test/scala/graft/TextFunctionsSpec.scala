@@ -200,4 +200,52 @@ class TextFunctionsSpec extends SparkSpec {
     // shorter than k: no boundaries, never a crash
     assert(cuts("tiny", 8, 4).isEmpty)
   }
+
+  test("hashedTf: native kernel == the declarative portableHash60 " +
+      "bucket counts; empty/trailing-token and null contracts hold") {
+    import graft.functions.TextExpressions
+    val dims = 8
+    val docs = spark.createDataFrame(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a a a b"),
+      (3L, ""),            // ONE empty token -> a single 1.0 bucket
+      (4L, "x y z "),      // trailing empty token counts (limit -1)
+      (5L, "solo"))).toDF("doc_id", "text")
+    val native = docs.select(col("doc_id"),
+        TextExpressions.hashedTf(col("text"), dims).as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // declarative twin: explode tokens, bucket by the COLUMN-level
+    // portable hash (the documented DuckDB bridge), count, divide —
+    // the cross-check that the native md5 path IS portableHash60
+    val twin = docs
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+      .groupBy(col("doc_id"),
+        pmod(TextFunctions.portableHash60(col("w")), lit(dims)).as("b"))
+      .count()
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("b"), col("count"))))
+        .as("m"), sum("count").as("tot"))
+      .collect().map { r =>
+        val m = r.getMap[Long, Long](1)
+        val tot = r.getLong(2)
+        r.getLong(0) -> (0 until dims).map(d =>
+          (m.getOrElse(d.toLong, 0L).toDouble / tot).toFloat)
+      }.toMap
+    assert(native.keySet == twin.keySet)
+    native.foreach { case (id, v) =>
+      assert(v.length == dims, s"doc $id dims")
+      assert(v == twin(id), s"doc $id native vs declarative")
+    }
+    // every doc's values sum to ~1 (counts/total is a distribution)
+    native.values.foreach(v =>
+      assert(math.abs(v.map(_.toDouble).sum - 1.0) < 1e-6))
+    // "" has exactly one token -> one bucket holds 1.0
+    assert(native(3L).count(_ == 1.0f) == 1 &&
+      native(3L).count(_ == 0.0f) == dims - 1)
+    // null text -> null embedding (UnaryExpression null propagation)
+    val n = spark.createDataFrame(Seq(Tuple1(Option.empty[String])))
+      .toDF("text")
+      .select(TextExpressions.hashedTf(col("text"), dims)).head
+    assert(n.isNullAt(0))
+  }
 }
