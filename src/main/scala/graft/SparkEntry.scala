@@ -2257,6 +2257,25 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
+    // REAL-decode audio embedding, exact-integer surface: per-window
+    // signed sample sums/counts + zero-crossing count off actually
+    // decoded PCM (javax.sound); the oracle recomputes every integer
+    // from the q245 fixture's closed-form sample formula
+    "q276_audio_embed_stats" -> ((s, dir) =>
+      operators.Multimodal.audioEmbeddingStats(ahashMedia(s, dir),
+        windows = 16)),
+
+    // Embedding near-dup on REAL decoded audio (q273's audio twin):
+    // signed window-mean + zero-crossing-rate embedding separates the
+    // 60 planted sparse-perturbation near-copies cleanly (measured:
+    // near-pairs cos ≥ 0.99970, all other pairs ≤ 0.96527) — τ = 0.999
+    // recovers exactly the planted pairs
+    "q277_audio_embed_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.embeddingNearDup(
+        operators.Multimodal.audioEmbedding(ahashMedia(s, dir),
+          windows = 16),
+        "vec_id", "embedding", 0.999)),
+
     // k-NN graph tombstone retraction (q257's dual): edges touching
     // removed ids vanish (the shared no-retrain rule), the serve walks
     // the surviving graph. Oracle: the serve unroll with entries,
@@ -8483,6 +8502,38 @@ object SparkEntry {
          |  FROM ev a JOIN ev b ON b.id != a.id WHERE a.id < 30) r
          |WHERE rnk <= $AnnK""".stripMargin),
 
+    // real-decode audio embedding: exact integers off the q245
+    // fixture's closed-form samples (sm CTE) — 16 window sums/counts
+    // + the zero-crossing pair count
+    "q276_audio_embed_stats" -> (ahashOracleCtes + ",\n" +
+      audioEmbedCtes + "\n" +
+      """SELECT m AS media_id, CAST(w AS INTEGER) AS dim_idx,
+        |  sw AS num, c AS den FROM ws
+        |UNION ALL
+        |SELECT m, CAST(16 AS INTEGER), nx, pairs FROM zc"""
+        .stripMargin),
+
+    // near-dup pairs on the real-decode audio embedding (q273's shape
+    // on the audio modality) — recovers exactly the 60 planted pairs
+    "q277_audio_embed_dedup" -> (ahashOracleCtes + ",\n" +
+      audioEmbedCtes + ",\n" +
+      s"""av AS (SELECT m, w AS dim,
+         |    CAST(CAST(sw AS DOUBLE) / (c * 32768.0) AS REAL) AS v
+         |  FROM ws
+         |  UNION ALL
+         |  SELECT m, 16, CAST(CAST(nx AS DOUBLE) / pairs AS REAL)
+         |  FROM zc),
+         |ev AS MATERIALIZED (SELECT m AS id,
+         |    list(CAST(v AS DOUBLE) ORDER BY dim) AS v
+         |  FROM av GROUP BY m)
+         |SELECT a_id, b_id, cos FROM (
+         |  SELECT a.id AS a_id, b.id AS b_id,
+         |    ${dotSqlV("a.v", "b.v")} /
+         |      sqrt(${dotSqlV("a.v", "a.v")} * ${dotSqlV("b.v", "b.v")})
+         |      AS cos
+         |  FROM ev a JOIN ev b ON a.id < b.id) p
+         |WHERE cos >= 0.999""".stripMargin),
+
     // IVF-sharded k-NN graph build: q23's centroid CTEs + top-2 cell
     // assignment + global rank over distinct shared-cell pairs
     "q269_knn_graph_ivf" -> knnGraphIvfOracle,
@@ -9711,6 +9762,23 @@ object SparkEntry {
       |eb AS (SELECT l.m, l.w AS k,
       |    CASE WHEN l.e * r.c > r.e * l.c THEN 1 ELSE 0 END AS e_bit
       |  FROM we l JOIN we r ON r.m = l.m AND r.w = l.w + 1)""".stripMargin
+
+  /** Audio-embedding CTEs shared by q276/q277, chained after
+    * [[ahashOracleCtes]]' `sm` samples: 16 floor-division window
+    * signed sums/counts (`ws`) and the zero-crossing pair count
+    * (`zc` — sign(s) = s >= 0 flips between adjacent samples, the
+    * [[graft.operators.Multimodal.decodeAudioStats]] convention;
+    * count(*) of the i+1 self-join is exactly n − 1). */
+  private val audioEmbedCtes: String =
+    """ws AS MATERIALIZED (SELECT m, i * 16 // n AS w,
+      |    CAST(sum(s) AS BIGINT) AS sw, CAST(count(*) AS BIGINT) AS c
+      |  FROM sm GROUP BY 1, 2),
+      |zc AS MATERIALIZED (SELECT l.m,
+      |    CAST(count(*) FILTER ((l.s >= 0) <> (r.s >= 0)) AS BIGINT)
+      |      AS nx,
+      |    CAST(count(*) AS BIGINT) AS pairs
+      |  FROM sm l JOIN sm r ON r.m = l.m AND r.i = l.i + 1
+      |  GROUP BY 1)""".stripMargin
 
   /** DBSCAN labels in pure SQL: the ε self-join, core test, recursive-CTE
     * min-label connected components, min-comp border attach, size-≥2 dense

@@ -687,6 +687,117 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL-decode audio content features behind [[audioEmbedding]]:
+    * per floor-division window (`i·W/n`) the exact signed sample sum
+    * and count, plus the zero-crossing count (sign flip between
+    * consecutive samples — [[decodeAudioStats]]' convention) over
+    * `n − 1` adjacent pairs. All integers, so a SQL oracle reproduces
+    * the report from the fixture's closed-form sample formula while
+    * the engine path really decodes (javax.sound PCM). */
+  private[graft] def decodeAudioWindows(payload: Array[Byte],
+      windows: Int): (Array[Long], Array[Long], Long, Long) = {
+    val (_, _, n, samples) = decodePcmSamples(payload)
+    require(n >= windows && n >= 2,
+      s"clip of $n samples too short for $windows windows")
+    val sums = new Array[Long](windows)
+    val cnts = new Array[Long](windows)
+    var crossings = 0L
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * windows / n).toInt
+      sums(w) += samples(i)
+      cnts(w) += 1
+      if (i + 1 < n && (samples(i) >= 0) != (samples(i + 1) >= 0))
+        crossings += 1
+      i += 1
+    }
+    (sums, cnts, crossings, n.toLong - 1)
+  }
+
+  /** Exact-integer oracle surface behind [[audioEmbedding]] (q276's
+    * discipline = q271's for images): window dims carry (signed sample
+    * sum, sample count), the final dim (zero crossings, n − 1). */
+  def audioEmbeddingStats(media: DataFrame,
+      windows: Int = 16): DataFrame = {
+    require(windows >= 1, s"windows must be >= 1, got $windows")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dim_idx", IntegerType, nullable = false),
+      StructField("num", LongType, nullable = false),
+      StructField("den", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          require(!r.isNullAt(0),
+            "null media_id — every media row needs a non-null id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          require(payload != null,
+            s"null payload for media_id=${r.getLong(0)}")
+          val (sums, cnts, cross, pairs) =
+            try decodeAudioWindows(payload, windows)
+            catch {
+              case scala.util.control.NonFatal(e) => throw
+                new IllegalArgumentException(
+                  s"media_id=${r.getLong(0)}: ${e.getMessage}", e)
+            }
+          val id = r.getLong(0)
+          sums.indices.map(i => Row(id, i, sums(i), cnts(i))) :+
+            Row(id, windows, cross, pairs)
+        }
+      }(enc)
+  }
+
+  /** REAL content embedding for the AUDIO modality (the image twin is
+    * [[imageEmbedding]]): dims 0..W−1 are signed normalized window
+    * means (windowSum / (windowCount · 32768) — full-scale 16-bit PCM
+    * maps to [−1, 1)), the last dim the zero-crossing rate
+    * (crossings / (n − 1)). Window MEANS, not energies, by
+    * measurement on the [[syntheticWavNear]] fixture family: energy
+    * profiles of the near-uniform synthetic clips don't separate
+    * (near-pair cos 0.99808 < cross-pair max 0.99964) while signed
+    * means do (near ≥ 0.99970, cross ≤ 0.96527) — and on real audio
+    * the signed mean profile is the DC/waveform-shape fingerprint.
+    * Each value is one exact double division narrowed to float, so a
+    * SQL oracle rebuilds every dim bit for bit from
+    * [[audioEmbeddingStats]]' integers.
+    * @return (`vec_id`, `embedding` array<float> of W+1). */
+  def audioEmbedding(media: DataFrame, windows: Int = 16): DataFrame = {
+    require(windows >= 1, s"windows must be >= 1, got $windows")
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          require(!r.isNullAt(0),
+            "null media_id — every media row needs a non-null id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          require(payload != null,
+            s"null payload for media_id=${r.getLong(0)}")
+          val (sums, cnts, cross, pairs) =
+            try decodeAudioWindows(payload, windows)
+            catch {
+              case scala.util.control.NonFatal(e) => throw
+                new IllegalArgumentException(
+                  s"media_id=${r.getLong(0)}: ${e.getMessage}", e)
+            }
+          val emb = new Array[Float](windows + 1)
+          var i = 0
+          while (i < windows) {
+            emb(i) =
+              if (cnts(i) == 0L) 0f
+              else (sums(i).toDouble / (cnts(i) * 32768.0)).toFloat
+            i += 1
+          }
+          emb(windows) = (cross.toDouble / pairs).toFloat
+          Row(r.getLong(0), emb.toSeq)
+        }
+      }(enc)
+  }
+
   /** Shared 16-bit mono PCM decode: (rate, channels, n, samples). */
   private def decodePcmSamples(payload: Array[Byte])
       : (Int, Int, Int, Array[Int]) = {

@@ -562,4 +562,46 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage.contains("99") ||
       ex.getCause.getMessage.contains("99"))
   }
+
+  test("audioEmbedding: REAL PCM decode reproduces the closed-form " +
+      "sample features exactly; corrupt payload rejected with the id") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (base, n, windows) = (4L, 300, 16)
+    val payload = Multimodal.syntheticWavNear(base, 0, n, 8000)
+    // hand-compute from the SAME closed form the WAV encodes (PCM is
+    // lossless, so a correct decode must match integer for integer)
+    def sample(i: Int): Long = {
+      val nl = (i.toLong * i * (1 + base % 7)) % 199
+      (base * 37 + i.toLong * 13 + nl) % 4096 - 2048
+    }
+    val sums = new Array[Long](windows)
+    val cnts = new Array[Long](windows)
+    var nx = 0L
+    for (i <- 0 until n) {
+      val w = (i.toLong * windows / n).toInt
+      sums(w) += sample(i); cnts(w) += 1
+      if (i + 1 < n && (sample(i) >= 0) != (sample(i + 1) >= 0)) nx += 1
+    }
+    val exp = (sums.indices.map(i =>
+      (sums(i).toDouble / (cnts(i) * 32768.0)).toFloat) :+
+      (nx.toDouble / (n - 1)).toFloat).toSeq
+    val media = Seq((11L, payload)).toDF("media_id", "payload")
+    val got = Multimodal.audioEmbedding(media, windows).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 11L)
+    assert(got(0).getSeq[Float](1) == exp)
+    // the integer stats surface agrees with the same hand computation
+    val stats = Multimodal.audioEmbeddingStats(media, windows).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    sums.indices.foreach(i =>
+      assert(stats(i) == ((sums(i), cnts(i))), s"window $i"))
+    assert(stats(windows) == ((nx, n.toLong - 1)), "crossing dim")
+    // an undecodable payload fails loudly with the offending id
+    val bad = Seq((77L, Array[Byte](9, 9, 9))).toDF("media_id", "payload")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioEmbedding(bad, windows).collect()
+    }
+    assert(ex.getMessage.contains("77") ||
+      ex.getCause.getMessage.contains("77"))
+  }
 }
