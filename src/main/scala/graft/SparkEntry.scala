@@ -2276,6 +2276,29 @@ object SparkEntry {
           windows = 16),
         "vec_id", "embedding", 0.999)),
 
+    // REAL-decode video embedding, exact-integer surface: pooled cell
+    // sums/counts, clip totals, per-frame gradient octants, and the
+    // frame-delta motion pair off actually decoded GIF frames; the
+    // oracle recomputes every integer from the q243 closed-form raster
+    "q278_video_embed_stats" -> ((s, dir) =>
+      operators.Multimodal.videoEmbeddingStats(vhashMedia(s, dir),
+        grid = 4)),
+
+    // the similarity stack on REAL decoded video: cosine top-k over
+    // the centered-cells + octants + motion embedding (q272's shape) —
+    // every query clip's top-1 is its planted sparse-perturbation copy
+    // (measured 60/60, min top1−top2 gap 0.0033)
+    "q279_video_embed_ann" -> ((s, dir) => {
+      val emb = operators.Multimodal.videoEmbedding(vhashMedia(s, dir),
+        grid = 4)
+      val b = emb.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_v"))
+      val q = emb.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      operators.AnnSearch.bruteForceTopK(q, b, AnnK)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
     // k-NN graph tombstone retraction (q257's dual): edges touching
     // removed ids vanish (the shared no-retrain rule), the serve walks
     // the surviving graph. Oracle: the serve unroll with entries,
@@ -8534,6 +8557,49 @@ object SparkEntry {
          |  FROM ev a JOIN ev b ON a.id < b.id) p
          |WHERE cos >= 0.999""".stripMargin),
 
+    // real-decode video embedding: exact integers off the q243
+    // fixture's closed-form raster (vpx CTE) — pooled cells, clip
+    // totals, gradient octants, frame-delta motion
+    "q278_video_embed_stats" -> (vhashOracleCtes + ",\n" +
+      videoEmbedCtes + "\n" +
+      """SELECT m AS media_id, CAST(k AS INTEGER) AS dim_idx,
+        |  s AS num, c AS den FROM vcs
+        |UNION ALL SELECT m, CAST(16 AS INTEGER), ts, tp FROM vct
+        |UNION ALL SELECT m, CAST(17 + b AS INTEGER), cnt, tot FROM voc
+        |UNION ALL SELECT m, CAST(25 AS INTEGER), md, mc FROM vmd"""
+        .stripMargin),
+
+    // cosine top-k over the real-decode video embedding — floats
+    // rebuilt by the identical exact op chain (two divisions, center,
+    // /255, REAL narrow), fold in dim order (q272's oracle shape)
+    "q279_video_embed_ann" -> (vhashOracleCtes + ",\n" +
+      videoEmbedCtes + ",\n" +
+      s"""vv AS (SELECT vcs.m, vcs.k AS dim,
+         |    CAST((CAST(vcs.s AS DOUBLE) / vcs.c -
+         |      CAST(vct.ts AS DOUBLE) / vct.tp) / 255.0 AS REAL) AS v
+         |  FROM vcs JOIN vct ON vct.m = vcs.m
+         |  UNION ALL
+         |  SELECT m, 16 + b,
+         |    CAST(CASE WHEN tot = 0 THEN 0.0
+         |         ELSE CAST(cnt AS DOUBLE) / tot END AS REAL)
+         |  FROM voc
+         |  UNION ALL
+         |  SELECT m, 24,
+         |    CAST(CASE WHEN mc = 0 THEN 0.0
+         |         ELSE CAST(md AS DOUBLE) / (mc * 255.0) END AS REAL)
+         |  FROM vmd),
+         |ev AS MATERIALIZED (SELECT m AS id,
+         |    list(CAST(v AS DOUBLE) ORDER BY dim) AS v
+         |  FROM vv GROUP BY m)
+         |SELECT a_id AS vec_id, nbr_id, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT a.id AS a_id, b.id AS nbr_id,
+         |    row_number() OVER (PARTITION BY a.id ORDER BY
+         |      ${dotSqlV("a.v", "b.v")} /
+         |        sqrt(${dotSqlV("a.v", "a.v")} * ${dotSqlV("b.v", "b.v")})
+         |        DESC, b.id) AS rnk
+         |  FROM ev a JOIN ev b ON b.id != a.id WHERE a.id < 30) r
+         |WHERE rnk <= $AnnK""".stripMargin),
+
     // IVF-sharded k-NN graph build: q23's centroid CTEs + top-2 cell
     // assignment + global rank over distinct shared-cell pairs
     "q269_knn_graph_ivf" -> knnGraphIvfOracle,
@@ -9762,6 +9828,55 @@ object SparkEntry {
       |eb AS (SELECT l.m, l.w AS k,
       |    CASE WHEN l.e * r.c > r.e * l.c THEN 1 ELSE 0 END AS e_bit
       |  FROM we l JOIN we r ON r.m = l.m AND r.w = l.w + 1)""".stripMargin
+
+  /** Video-embedding CTEs shared by q278/q279, chained after
+    * [[vhashOracleCtes]]' `vpx` raster: 4×4 cell gray sums/counts
+    * pooled over frames (`vcs`), clip totals (`vct`), the 8-octant
+    * per-frame gradient histogram (`vgr`/`vob`/`voc` — the image
+    * embedding's integer octant rule with a frame key), and the
+    * frame-delta motion pair (`vmd` — aligned-pixel |Δ| sum over the
+    * f+1 self-join). */
+  private val videoEmbedCtes: String =
+    """vcs AS MATERIALIZED (SELECT m,
+      |    (y * 4 // h) * 4 + (x * 4 // w) AS k,
+      |    CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM vpx GROUP BY 1, 2),
+      |vct AS MATERIALIZED (SELECT m, CAST(sum(v) AS BIGINT) AS ts,
+      |    CAST(count(*) AS BIGINT) AS tp
+      |  FROM vpx GROUP BY 1),
+      |vgr AS MATERIALIZED (SELECT l.m,
+      |    r.v - l.v AS dx, d.v - l.v AS dy
+      |  FROM vpx l
+      |  JOIN vpx r ON r.m = l.m AND r.f = l.f AND r.y = l.y
+      |    AND r.x = l.x + 1
+      |  JOIN vpx d ON d.m = l.m AND d.f = l.f AND d.x = l.x
+      |    AND d.y = l.y + 1),
+      |vob AS MATERIALIZED (SELECT m,
+      |    CASE WHEN dx > 0 AND dy >= 0 THEN
+      |           CASE WHEN dx > dy THEN 0 ELSE 1 END
+      |         WHEN dx <= 0 AND dy > 0 THEN
+      |           CASE WHEN dy > -dx THEN 2 ELSE 3 END
+      |         WHEN dx < 0 THEN
+      |           CASE WHEN -dx > -dy THEN 4 ELSE 5 END
+      |         ELSE CASE WHEN -dy > dx THEN 6 ELSE 7 END
+      |    END AS b
+      |  FROM vgr WHERE dx != 0 OR dy != 0),
+      |voc AS MATERIALIZED (SELECT i.m, ub.b,
+      |    CAST(coalesce(cb.cnt, 0) AS BIGINT) AS cnt,
+      |    CAST(coalesce(t.tot, 0) AS BIGINT) AS tot
+      |  FROM (SELECT DISTINCT m FROM vpx) i
+      |  CROSS JOIN unnest(range(0, 8)) ub(b)
+      |  LEFT JOIN (SELECT m, b, count(*) AS cnt FROM vob GROUP BY 1, 2)
+      |    cb ON cb.m = i.m AND cb.b = ub.b
+      |  LEFT JOIN (SELECT m, count(*) AS tot FROM vob GROUP BY 1) t
+      |    ON t.m = i.m),
+      |vmd AS MATERIALIZED (SELECT l.m,
+      |    CAST(sum(abs(r.v - l.v)) AS BIGINT) AS md,
+      |    CAST(count(*) AS BIGINT) AS mc
+      |  FROM vpx l
+      |  JOIN vpx r ON r.m = l.m AND r.f = l.f + 1 AND r.x = l.x
+      |    AND r.y = l.y
+      |  GROUP BY 1)""".stripMargin
 
   /** Audio-embedding CTEs shared by q276/q277, chained after
     * [[ahashOracleCtes]]' `sm` samples: 16 floor-division window

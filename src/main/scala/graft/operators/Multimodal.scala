@@ -1091,6 +1091,202 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL-decode video content features behind [[videoEmbedding]]:
+    * all frames of the clip (JDK multi-frame reader — animated GIF)
+    * pooled into exact integers — per 4×4-cell gray sums/counts
+    * (floor-division membership, summed across frames), the clip-total
+    * gray sum/count, an 8-octant gradient-orientation histogram over
+    * per-frame forward differences ([[decodeGrayFeatures]]' integer
+    * octant rule), and the motion pair (Σ|v_f − v_{f−1}| over aligned
+    * pixels, pair count). Gray here is the sRGB red channel (= the
+    * gray level for a grayscale palette — [[decodeVideoStats]]'
+    * convention). All integers, so a SQL oracle reproduces the report
+    * from the fixture's closed-form raster while the engine path
+    * really decodes. Frames must share frame 0's dimensions. */
+  private[graft] def decodeVideoWindows(payload: Array[Byte], grid: Int)
+      : (Array[Long], Array[Long], Long, Long, Array[Long], Long,
+        Long, Long) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    var reader: javax.imageio.ImageReader = null
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext,
+        s"payload (${payload.length} bytes) is not a decodable video")
+      reader = readers.next()
+      reader.setInput(iis)
+      val nf = reader.getNumImages(true)
+      require(nf >= 1, "clip has no frames")
+      val cellSum = new Array[Long](grid * grid)
+      val cellCnt = new Array[Long](grid * grid)
+      var totSum = 0L
+      var totCnt = 0L
+      val oct = new Array[Long](8)
+      var octTot = 0L
+      var motion = 0L
+      var motionPairs = 0L
+      var prev: Array[Int] = null
+      var w = -1
+      var h = -1
+      var f = 0
+      while (f < nf) {
+        val img = reader.read(f)
+        if (f == 0) { w = img.getWidth; h = img.getHeight }
+        else require(img.getWidth == w && img.getHeight == h,
+          s"frame $f is ${img.getWidth}x${img.getHeight}, frame 0 " +
+            s"was ${w}x$h — mixed-geometry clips unsupported")
+        val cur = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            cur(y * w + x) = (img.getRGB(x, y) >> 16) & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        y = 0
+        while (y < h) {
+          val cy = y * grid / h
+          var x = 0
+          while (x < w) {
+            val v = cur(y * w + x)
+            val c = cy * grid + x * grid / w
+            cellSum(c) += v
+            cellCnt(c) += 1
+            totSum += v
+            totCnt += 1
+            if (x + 1 < w && y + 1 < h) {
+              val dx = cur(y * w + x + 1) - v
+              val dy = cur((y + 1) * w + x) - v
+              if (dx != 0 || dy != 0) {
+                val b =
+                  if (dx > 0 && dy >= 0) { if (dx > dy) 0 else 1 }
+                  else if (dx <= 0 && dy > 0) { if (dy > -dx) 2 else 3 }
+                  else if (dx < 0) { if (-dx > -dy) 4 else 5 }
+                  else { if (-dy > dx) 6 else 7 }
+                oct(b) += 1
+                octTot += 1
+              }
+            }
+            if (prev != null) {
+              motion += math.abs(v - prev(y * w + x)).toLong
+              motionPairs += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        prev = cur
+        f += 1
+      }
+      (cellSum, cellCnt, totSum, totCnt, oct, octTot, motion,
+        motionPairs)
+    } finally {
+      if (reader != null) reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Exact-integer oracle surface behind [[videoEmbedding]] (q278 —
+    * q271/q276's discipline for the video modality). `dim_idx` layout:
+    * 0..grid²−1 cells (gray sum, pixel count — pooled over frames),
+    * grid² the clip total (gray sum, pixel count), grid²+1..grid²+8
+    * octants (gradient count, total kept gradients), grid²+9 motion
+    * (Σ|frame delta|, aligned-pair count). */
+  def videoEmbeddingStats(media: DataFrame, grid: Int = 4): DataFrame = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dim_idx", IntegerType, nullable = false),
+      StructField("num", LongType, nullable = false),
+      StructField("den", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          require(!r.isNullAt(0),
+            "null media_id — every media row needs a non-null id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          require(payload != null,
+            s"null payload for media_id=${r.getLong(0)}")
+          val (cs, cc, ts, tp, oc, ot, md, mc) =
+            try decodeVideoWindows(payload, grid)
+            catch {
+              case scala.util.control.NonFatal(e) => throw
+                new IllegalArgumentException(
+                  s"media_id=${r.getLong(0)}: ${e.getMessage}", e)
+            }
+          val id = r.getLong(0)
+          val g2 = grid * grid
+          cs.indices.map(i => Row(id, i, cs(i), cc(i))) ++
+            Seq(Row(id, g2, ts, tp)) ++
+            oc.indices.map(i => Row(id, g2 + 1 + i, oc(i), ot)) :+
+            Row(id, g2 + 9, md, mc)
+        }
+      }(enc)
+  }
+
+  /** REAL content embedding for the VIDEO modality (the triad member
+    * beside [[imageEmbedding]] and [[audioEmbedding]]): dims
+    * 0..grid²−1 are CENTERED pooled cell-gray means
+    * ((cellSum/cellCnt − totSum/totCnt)/255 — centering strips the
+    * shared-brightness component that otherwise crushes the cosine
+    * contrast; measured on the q243 fixture family: raw means leave
+    * near-pairs inseparable while centered-cells + octants + motion
+    * recover the planted copy as EVERY clip's top-1 neighbor, min
+    * top1−top2 gap 0.0033), the next 8 dims the gradient-orientation
+    * histogram, the last dim the motion rate
+    * (Σ|frame delta| / (pairs·255); 0 for single-frame clips). Each
+    * value is a fixed chain of exact double ops narrowed to float, so
+    * a SQL oracle rebuilds every dim bit for bit from
+    * [[videoEmbeddingStats]]' integers.
+    * @return (`vec_id`, `embedding` array<float> of grid²+9). */
+  def videoEmbedding(media: DataFrame, grid: Int = 4): DataFrame = {
+    require(grid >= 1, s"grid must be >= 1, got $grid")
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          require(!r.isNullAt(0),
+            "null media_id — every media row needs a non-null id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          require(payload != null,
+            s"null payload for media_id=${r.getLong(0)}")
+          val (cs, cc, ts, tp, oc, ot, md, mc) =
+            try decodeVideoWindows(payload, grid)
+            catch {
+              case scala.util.control.NonFatal(e) => throw
+                new IllegalArgumentException(
+                  s"media_id=${r.getLong(0)}: ${e.getMessage}", e)
+            }
+          val g2 = grid * grid
+          val emb = new Array[Float](g2 + 9)
+          val clipMean = ts.toDouble / tp
+          var i = 0
+          while (i < g2) {
+            emb(i) =
+              if (cc(i) == 0L) 0f
+              else ((cs(i).toDouble / cc(i) - clipMean) / 255.0).toFloat
+            i += 1
+          }
+          var b = 0
+          while (b < 8) {
+            emb(g2 + b) =
+              if (ot == 0L) 0f else (oc(b).toDouble / ot).toFloat
+            b += 1
+          }
+          emb(g2 + 8) =
+            if (mc == 0L) 0f else (md.toDouble / (mc * 255.0)).toFloat
+          Row(r.getLong(0), emb.toSeq)
+        }
+      }(enc)
+  }
+
   /** REAL video decode: every frame of a multi-frame image container
     * (animated GIF via the JDK reader) reduced to exact integer
     * per-frame gray statistics — (frame_idx, width, height, Σv, Σv²)

@@ -604,4 +604,54 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage.contains("77") ||
       ex.getCause.getMessage.contains("77"))
   }
+
+  test("videoEmbedding: REAL GIF decode reproduces the closed-form " +
+      "raster features exactly across frames") {
+    val spark2 = spark
+    import spark2.implicits._
+    val (base, w, h, nf, grid) = (7L, 12, 9, 3, 4)
+    val payload = Multimodal.syntheticGifNear(base, 0, w, h, nf)
+    def px(f: Int, x: Int, y: Int): Int =
+      ((base * 31 + f * 17 + x * 7 + y * 13 +
+        (x * y * (1 + base % 5)) % 23) % 256).toInt
+    val g2 = grid * grid
+    val cs = new Array[Long](g2); val cc = new Array[Long](g2)
+    val oc = new Array[Long](8)
+    var (ts, tp, ot, md, mc) = (0L, 0L, 0L, 0L, 0L)
+    for (f <- 0 until nf; y <- 0 until h; x <- 0 until w) {
+      val v = px(f, x, y)
+      val k = (y * grid / h) * grid + x * grid / w
+      cs(k) += v; cc(k) += 1; ts += v; tp += 1
+      if (x + 1 < w && y + 1 < h) {
+        val dx = px(f, x + 1, y) - v; val dy = px(f, x, y + 1) - v
+        if (dx != 0 || dy != 0) {
+          val b =
+            if (dx > 0 && dy >= 0) { if (dx > dy) 0 else 1 }
+            else if (dx <= 0 && dy > 0) { if (dy > -dx) 2 else 3 }
+            else if (dx < 0) { if (-dx > -dy) 4 else 5 }
+            else { if (-dy > dx) 6 else 7 }
+          oc(b) += 1; ot += 1
+        }
+      }
+      if (f > 0) { md += math.abs(v - px(f - 1, x, y)); mc += 1 }
+    }
+    val cm = ts.toDouble / tp
+    val exp = (cs.indices.map(i =>
+      ((cs(i).toDouble / cc(i) - cm) / 255.0).toFloat) ++
+      oc.indices.map(b => (oc(b).toDouble / ot).toFloat) :+
+      (md.toDouble / (mc * 255.0)).toFloat).toSeq
+    val media = Seq((5L, payload)).toDF("media_id", "payload")
+    val got = Multimodal.videoEmbedding(media, grid).collect()
+    assert(got.length == 1 && got(0).getLong(0) == 5L)
+    assert(got(0).getSeq[Float](1) == exp)
+    // the integer stats surface agrees with the same hand computation
+    val stats = Multimodal.videoEmbeddingStats(media, grid).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    cs.indices.foreach(i =>
+      assert(stats(i) == ((cs(i), cc(i))), s"cell $i"))
+    assert(stats(g2) == ((ts, tp)), "clip total")
+    oc.indices.foreach(b =>
+      assert(stats(g2 + 1 + b) == ((oc(b), ot)), s"octant $b"))
+    assert(stats(g2 + 9) == ((md, mc)), "motion")
+  }
 }
