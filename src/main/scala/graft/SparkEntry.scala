@@ -2299,6 +2299,22 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
+    // The MODALITY ROUTER end-to-end: one mixed media table (150
+    // images + 120 audio clips + 120 video clips, id-offset per
+    // family), one contentEmbedding pass dispatching each row to its
+    // REAL decoder — the oracle rebuilds all three embedding families
+    // from their closed-form fixture CTEs in one UNION
+    "q280_content_embed" -> ((s, dir) => {
+      val mixed = phashMedia(s, dir)
+        .unionAll(ahashMedia(s, dir)
+          .withColumn("media_id", col("media_id") + 1000))
+        .unionAll(vhashMedia(s, dir)
+          .withColumn("media_id", col("media_id") + 2000))
+      operators.Multimodal.contentEmbedding(mixed)
+        .select(col("vec_id"), col("modality"),
+          posexplode(col("embedding")).as(Seq("dim_idx", "val")))
+    }),
+
     // k-NN graph tombstone retraction (q257's dual): edges touching
     // removed ids vanish (the shared no-retrain rule), the serve walks
     // the surviving graph. Oracle: the serve unroll with entries,
@@ -8599,6 +8615,44 @@ object SparkEntry {
          |        DESC, b.id) AS rnk
          |  FROM ev a JOIN ev b ON b.id != a.id WHERE a.id < 30) r
          |WHERE rnk <= $AnnK""".stripMargin),
+
+    // the modality router: all three real-decode embedding families
+    // rebuilt from their closed-form fixture CTEs (image px / audio sm
+    // / video vpx chains co-resident — distinct CTE names by
+    // construction) and UNIONed with the engine's id offsets
+    "q280_content_embed" -> (phashOracleCtes + ",\n" +
+      imageEmbedCtes + ",\n" +
+      ahashOracleCtes.stripPrefix("WITH ") + ",\n" +
+      audioEmbedCtes + ",\n" +
+      vhashOracleCtes.stripPrefix("WITH ") + ",\n" +
+      videoEmbedCtes + "\n" +
+      """SELECT m AS vec_id, 'image' AS modality,
+        |  CAST(k AS INTEGER) AS dim_idx,
+        |  CAST(CAST(s AS DOUBLE) / (c * 765.0) AS REAL) AS val
+        |FROM c4
+        |UNION ALL SELECT m, 'image', CAST(16 + b AS INTEGER),
+        |  CAST(CASE WHEN tot = 0 THEN 0.0
+        |       ELSE CAST(cnt AS DOUBLE) / tot END AS REAL)
+        |FROM oc
+        |UNION ALL SELECT m + 1000, 'audio', CAST(w AS INTEGER),
+        |  CAST(CAST(sw AS DOUBLE) / (c * 32768.0) AS REAL)
+        |FROM ws
+        |UNION ALL SELECT m + 1000, 'audio', CAST(16 AS INTEGER),
+        |  CAST(CAST(nx AS DOUBLE) / pairs AS REAL)
+        |FROM zc
+        |UNION ALL SELECT vcs.m + 2000, 'video',
+        |  CAST(vcs.k AS INTEGER),
+        |  CAST((CAST(vcs.s AS DOUBLE) / vcs.c -
+        |    CAST(vct.ts AS DOUBLE) / vct.tp) / 255.0 AS REAL)
+        |FROM vcs JOIN vct ON vct.m = vcs.m
+        |UNION ALL SELECT m + 2000, 'video', CAST(16 + b AS INTEGER),
+        |  CAST(CASE WHEN tot = 0 THEN 0.0
+        |       ELSE CAST(cnt AS DOUBLE) / tot END AS REAL)
+        |FROM voc
+        |UNION ALL SELECT m + 2000, 'video', CAST(24 AS INTEGER),
+        |  CAST(CASE WHEN mc = 0 THEN 0.0
+        |       ELSE CAST(md AS DOUBLE) / (mc * 255.0) END AS REAL)
+        |FROM vmd""".stripMargin),
 
     // IVF-sharded k-NN graph build: q23's centroid CTEs + top-2 cell
     // assignment + global rank over distinct shared-cell pairs

@@ -27,10 +27,16 @@ import org.apache.spark.sql.types._
   * too: [[parseMp4]] walks the public ISO-BMFF box grammar
   * library-free (brand/duration/tracks/codec fourcc/sample+keyframe
   * counts/dimensions — the crawl-triage metadata), gated by
-  * closed-form byte-grammar fixtures ([[syntheticMp4]]). Only CODEC
-  * decode the JDK lacks (H.264 frame decode, arbitrary-payload frame
-  * handling) stays behind the clearly marked `decodeStub` /
-  * [[sampleFrames]] stubs. Everything AROUND the
+  * closed-form byte-grammar fixtures ([[syntheticMp4]]). CONTENT
+  * EMBEDDINGS are real-decode too for every modality the JDK ships a
+  * codec for — [[imageEmbedding]] (grid-gray + gradient octants),
+  * [[audioEmbedding]] (window means + crossing rate),
+  * [[videoEmbedding]] (centered cells + octants + motion), routed per
+  * row by [[contentEmbedding]]. Only CODEC decode the JDK lacks
+  * (H.264 frame decode, arbitrary-payload frame handling) stays
+  * behind the clearly marked `decodeStub` / [[sampleFrames]] stubs,
+  * reached solely through [[contentEmbedding]]'s labeled fallback
+  * branch and the legacy [[extractFeatures]]. Everything AROUND the
   * codecs — the schema contract, partition-level batching, the
   * mapPartitions signature, output schema binding — is the real
   * distributed plumbing and is tested.
@@ -1283,6 +1289,106 @@ object Multimodal {
           emb(g2 + 8) =
             if (mc == 0L) 0f else (md.toDouble / (mc * 255.0)).toFloat
           Row(r.getLong(0), emb.toSeq)
+        }
+      }(enc)
+  }
+
+  /** The MODALITY-ROUTING content extractor — [[extractFeatures]]'
+    * real-decode successor: one pass over a mixed media table,
+    * dispatching each row on its `modality` to the matching REAL
+    * decoder — `image` → [[imageEmbedding]]'s grid-gray + octant
+    * features (grid²+8 dims), `audio` → [[audioEmbedding]]'s window
+    * means + crossing rate (windows+1), `video` →
+    * [[videoEmbedding]]'s centered cells + octants + motion
+    * (grid²+9) — and any OTHER modality to the documented
+    * [[decodeStub]] (`stubDim` dims; the JDK ships no codec for it —
+    * the only remaining stub surface, and it is labeled in the
+    * output by its modality). Embedding widths differ by modality by
+    * design; downstream consumers group by `modality` before
+    * vector ops.
+    * @return (`vec_id`, `modality`, `embedding` array<float>). */
+  def contentEmbedding(media: DataFrame, imageGrid: Int = 4,
+      audioWindows: Int = 16, videoGrid: Int = 4,
+      stubDim: Int = 16): DataFrame = {
+    require(imageGrid >= 1 && audioWindows >= 1 && videoGrid >= 1 &&
+      stubDim >= 1, "all dims must be >= 1")
+    val outSchema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id").cast("long"), col("modality"),
+        col("payload"))
+      .mapPartitions { it =>
+        it.map { r =>
+          require(!r.isNullAt(0),
+            "null media_id — every media row needs a non-null id")
+          val modality = r.getString(1)
+          val payload = r.getAs[Array[Byte]]("payload")
+          require(payload != null,
+            s"null payload for media_id=${r.getLong(0)}")
+          val emb =
+            try modality match {
+              case "image" =>
+                val (cs, cc, oc, tot) =
+                  decodeGrayFeatures(payload, imageGrid, 8)
+                val g2 = imageGrid * imageGrid
+                val e = new Array[Float](g2 + 8)
+                var i = 0
+                while (i < g2) {
+                  e(i) = if (cc(i) == 0L) 0f
+                    else (cs(i).toDouble / (cc(i) * 765.0)).toFloat
+                  i += 1
+                }
+                var b = 0
+                while (b < 8) {
+                  e(g2 + b) =
+                    if (tot == 0L) 0f else (oc(b).toDouble / tot).toFloat
+                  b += 1
+                }
+                e
+              case "audio" =>
+                val (sums, cnts, cross, pairs) =
+                  decodeAudioWindows(payload, audioWindows)
+                val e = new Array[Float](audioWindows + 1)
+                var i = 0
+                while (i < audioWindows) {
+                  e(i) = if (cnts(i) == 0L) 0f
+                    else (sums(i).toDouble / (cnts(i) * 32768.0)).toFloat
+                  i += 1
+                }
+                e(audioWindows) = (cross.toDouble / pairs).toFloat
+                e
+              case "video" =>
+                val (cs, cc, ts, tp, oc, ot, md, mc) =
+                  decodeVideoWindows(payload, videoGrid)
+                val g2 = videoGrid * videoGrid
+                val e = new Array[Float](g2 + 9)
+                val cm = ts.toDouble / tp
+                var i = 0
+                while (i < g2) {
+                  e(i) = if (cc(i) == 0L) 0f
+                    else ((cs(i).toDouble / cc(i) - cm) / 255.0).toFloat
+                  i += 1
+                }
+                var b = 0
+                while (b < 8) {
+                  e(g2 + b) =
+                    if (ot == 0L) 0f else (oc(b).toDouble / ot).toFloat
+                  b += 1
+                }
+                e(g2 + 8) = if (mc == 0L) 0f
+                  else (md.toDouble / (mc * 255.0)).toFloat
+                e
+              case _ => decodeStub(payload, stubDim)
+            } catch {
+              case scala.util.control.NonFatal(e) => throw
+                new IllegalArgumentException(
+                  s"media_id=${r.getLong(0)} ($modality): " +
+                    e.getMessage, e)
+            }
+          Row(r.getLong(0), modality, emb.toSeq)
         }
       }(enc)
   }

@@ -654,4 +654,33 @@ class MultimodalSpec extends SparkSpec {
       assert(stats(g2 + 1 + b) == ((oc(b), ot)), s"octant $b"))
     assert(stats(g2 + 9) == ((md, mc)), "motion")
   }
+
+  test("contentEmbedding routes each modality to its real decoder and " +
+      "only unknown modalities to the documented stub") {
+    val spark2 = spark
+    import spark2.implicits._
+    val img = Multimodal.syntheticPngNear(2L, 0, 12, 9)
+    val wav = Multimodal.syntheticWavNear(3L, 0, 300, 8000)
+    val gif = Multimodal.syntheticGifNear(4L, 0, 12, 9, 2)
+    val mixed = Seq(
+      (1L, "image", img), (2L, "audio", wav), (3L, "video", gif),
+      (4L, "pointcloud", Array[Byte](1, 2, 3, 4))) // no JDK codec
+      .toDF("media_id", "modality", "payload")
+    val got = Multimodal.contentEmbedding(mixed).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getSeq[Float](2)))
+      .toMap
+    // per-modality routes agree with the standalone extractors
+    def solo(df: org.apache.spark.sql.DataFrame) =
+      df.collect()(0).getSeq[Float](1)
+    assert(got(1L)._2 == solo(Multimodal.imageEmbedding(
+      Seq((1L, img)).toDF("media_id", "payload"))))
+    assert(got(2L)._2 == solo(Multimodal.audioEmbedding(
+      Seq((2L, wav)).toDF("media_id", "payload"))))
+    assert(got(3L)._2 == solo(Multimodal.videoEmbedding(
+      Seq((3L, gif)).toDF("media_id", "payload"))))
+    // unknown modality falls back to the md5 stub at stubDim, labeled
+    assert(got(4L)._1 == "pointcloud" && got(4L)._2.length == 16)
+    assert(got(1L)._2.length == 24 && got(2L)._2.length == 17 &&
+      got(3L)._2.length == 25)
+  }
 }
