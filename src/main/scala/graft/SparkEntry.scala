@@ -2301,6 +2301,23 @@ object SparkEntry {
         .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
     }),
 
+    // The FULL pipeline on real content: decode → embed → IVF index →
+    // serve. Image embeddings (q272's vectors) train the q23 IVF
+    // pipeline (md5 seed pool, farthest-first, quantized-integer
+    // Lloyd) and serve the probe set — the composition a real corpus
+    // runs nightly, every stage hash-gated
+    "q281_image_embed_ivf" -> ((s, dir) => {
+      val emb = operators.Multimodal.imageEmbedding(phashMedia(s, dir),
+        grid = 4)
+      val q = emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_v"))
+      val b = emb.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_v"))
+      AnnSearch.ivfTopK(q, b, AnnK, nCentroids = IvfCents,
+          nProbe = IvfProbe)
+        .select(col("a_id").as("vec_id"), col("nbr_id"), col("rnk"))
+    }),
+
     // The MODALITY ROUTER end-to-end: one mixed media table (150
     // images + 120 audio clips + 120 video clips, id-offset per
     // family), one contentEmbedding pass dispatching each row to its
@@ -4688,7 +4705,10 @@ object SparkEntry {
     * verbatim by [[ivfOracleWith]] (q23 family) and
     * [[knnGraphIvfOracle]] (q269), which diverge only downstream of
     * the trained centroids. */
-  private def ivfCentroidCtes(buildCond: String): String = {
+  private def ivfCentroidCtes(buildCond: String,
+      src: String = "SELECT vec_id AS id,\n" +
+        "    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n" +
+        "  FROM embeddings"): String = {
     def d2(a: String, b: String) = d2SqlV(a, b)
     // farthest-first rounds 2..n: argmax of min-d² to the chosen set,
     // ties to the smallest pool rank (= smallest id)
@@ -4720,9 +4740,7 @@ object SparkEntry {
          |    GROUP BY 1, 2)
          |  GROUP BY cid)""".stripMargin
     }.mkString(",\n")
-    s"""p AS MATERIALIZED (SELECT vec_id AS id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+    s"""p AS MATERIALIZED ($src),
        |tp AS MATERIALIZED (SELECT * FROM p WHERE $buildCond),
        |pool AS MATERIALIZED (SELECT
        |    CAST(row_number() OVER (ORDER BY id) AS INTEGER) AS rid, v
@@ -4783,11 +4801,14 @@ object SparkEntry {
   }
 
   private def ivfOracleWith(serveCond: String,
-      buildCond: String = "TRUE"): String = {
+      buildCond: String = "TRUE", prelude: String = "",
+      src: String = "SELECT vec_id AS id,\n" +
+        "    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\n" +
+        "  FROM embeddings"): String = {
     def d2(a: String, b: String) = d2SqlV(a, b)
     def dot(a: String, b: String) = dotSqlV(a, b)
     val fc = s"c$IvfIters"
-    "WITH " + ivfCentroidCtes(buildCond) + ",\n" +
+    "WITH " + prelude + ivfCentroidCtes(buildCond, src) + ",\n" +
       s"""bi AS MATERIALIZED (SELECT id, cid FROM (
        |    SELECT p.id, c.cid, row_number() OVER (PARTITION BY p.id
        |      ORDER BY ${d2("p.v", "c.cv")}, c.cid) AS rn
@@ -8621,6 +8642,26 @@ object SparkEntry {
          |        DESC, b.id) AS rnk
          |  FROM ev a JOIN ev b ON b.id != a.id WHERE a.id < 30) r
          |WHERE rnk <= $AnnK""".stripMargin),
+
+    // decode → embed → index → serve: the q23 IVF unroll with its
+    // vector source swapped for the image-embedding doubles (the
+    // list-of-doubles CTE == the engine floats widened) — training,
+    // assignment, probing, and ranking all replayed on real content
+    "q281_image_embed_ivf" -> ivfOracleWith("TRUE",
+      prelude = phashOracleCtes.stripPrefix("WITH ") + ",\n" +
+        imageEmbedCtes + ",\n" +
+        """ivals AS MATERIALIZED (SELECT m, k AS dim,
+          |    CAST(CAST(s AS DOUBLE) / (c * 765.0) AS REAL) AS v
+          |  FROM c4
+          |  UNION ALL
+          |  SELECT m, 16 + b,
+          |    CAST(CASE WHEN tot = 0 THEN 0.0
+          |         ELSE CAST(cnt AS DOUBLE) / tot END AS REAL)
+          |  FROM oc),
+          |iev AS MATERIALIZED (SELECT m AS id,
+          |    list(CAST(v AS DOUBLE) ORDER BY dim) AS v
+          |  FROM ivals GROUP BY m)""".stripMargin + ",\n",
+      src = "SELECT id, v FROM iev"),
 
     // the modality router: all three real-decode embedding families
     // rebuilt from their closed-form fixture CTEs (image px / audio sm
