@@ -236,19 +236,31 @@ object Workloads {
         docLen = 60, vocab = 5000, mutPct = 5),
       "doc_id", "text", n = 5, minJaccard = 0.35)
 
-  /** ExactSubstr scale twin — the SAME 1M-doc/60M-token corpus as
-    * minhash_synth1m, through the ANCHORED duplicated-span pass
-    * (L = 40 chars, stride 4): the two-hash-shuffle design (content
-    * anchors + local extension; the corpus-sized window stream never
-    * reaches an exchange) at the scale where a stride-1 pass would
-    * shuffle every window. Closed by a bounded span-length histogram
-    * so the bench action consumes every span row. */
+  /** ExactSubstr scale twin: a REALISTIC duplication profile — 95%
+    * unique documents (mutPct = 100 makes every word id-derived) plus
+    * 5% boilerplate docs in ~10-near-copy template groups — through
+    * the ANCHORED duplicated-span pass (L = 40 chars, stride 4). The
+    * anchored design's whole point is that only the 1/stride content
+    * anchors reach the multiplicity exchange and the extension phase
+    * touches only duplicated neighborhoods; a fully-templated corpus
+    * (every doc 10× near-copied, the minhash_synth1m shape) is the
+    * ANTI-profile — there the dup-anchor set IS the corpus and the
+    * ±8·stride neighborhoods explode to billions of rows (measured:
+    * ~630 s at 1M docs vs ~1 min on this profile). Real ExactSubstr
+    * corpora are a few percent boilerplate (Lee et al. 2021), which
+    * is what this pins. Closed by a bounded span-length histogram so
+    * the bench action consumes every span row. */
   def substrSynth(spark: SparkSession, n: Long): DataFrame = {
     import org.apache.spark.sql.functions._
+    val nDup = math.max(n / 20, 100L)
+    val uniq = synthDocs(spark, n - nDup, templates = 1, docLen = 60,
+      vocab = 5000, mutPct = 100)
+    val dup = synthDocs(spark, nDup,
+        templates = math.max((nDup / 10).toInt, 5),
+        docLen = 60, vocab = 5000, mutPct = 5)
+      .select((col("doc_id") + lit(n - nDup)).as("doc_id"), col("text"))
     graft.operators.SubstringDedup.duplicatedSpansAnchored(
-      synthDocs(spark, n, templates = math.max((n / 10).toInt, 10),
-        docLen = 60, vocab = 5000, mutPct = 5),
-      "doc_id", "text", l = 40, stride = 4)
+      uniq.unionAll(dup), "doc_id", "text", l = 40, stride = 4)
       .groupBy(floor(col("span_len") / 40L).cast("long").as("len_band"))
       .agg(count(lit(1)).as("n_spans"),
         countDistinct(col("doc_id")).as("n_docs"),

@@ -81,13 +81,19 @@ object SubstringDedup {
     * and never re-shuffles its text. getNumPartitions is plan metadata,
     * not a job. `sequence(1, n)` needs n ≥ 1 (descending sequences are
     * legal in Spark — a length filter, not a guard expression, keeps
-    * short docs out). */
+    * short docs out).
+    *
+    * `anchorStride > 1` applies the anchor filter BETWEEN the two hash
+    * projections, inside one codegen stage: h2 is then computed only
+    * for the 1/stride survivors instead of every window — the same
+    * rows as filtering afterwards, minus stride−1 of the h2 work on
+    * the corpus-sized hot loop. */
   private def windowHashes(docs: DataFrame, idCol: String, textCol: String,
-      l: Int): DataFrame = {
+      l: Int, anchorStride: Long = 1L): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val spread =
       if (docs.rdd.getNumPartitions < par) docs.repartition(par) else docs
-    spread
+    val h1 = spread
       .filter(length(col(textCol)) >= l)
       .select(col(idCol).as("id"),
         explode(sequence(lit(1), length(col(textCol)) - lit(l - 1)))
@@ -95,17 +101,33 @@ object SubstringDedup {
         col(textCol).as("__t"))
       .select(col("id"), col("pos"),
         expr(s"substring(__t, pos, $l)").as("__w"))
-      .select(col("id"), col("pos"),
-        xxhash64(col("__w")).as("h1"),
-        xxhash64(lit("substr-dedup-2"), col("__w")).as("h2"))
+      .select(col("id"), col("pos"), xxhash64(col("__w")).as("h1"),
+        col("__w"))
+    val kept =
+      if (anchorStride > 1L)
+        h1.filter(pmod(col("h1"), lit(anchorStride)) === 0)
+      else h1
+    kept.select(col("id"), col("pos"), col("h1"),
+      xxhash64(lit("substr-dedup-2"), col("__w")).as("h2"))
   }
 
-  /** Window keys with global multiplicity ≥ 2. */
+  /** Globally-duplicated window keys (multiplicity ≥ 2). The result
+    * is CORPUS-DERIVED (its size scales with duplication, not a
+    * constant), so it carries a shuffle-join hint: Spark's
+    * compile-time size estimate for an aggregate child is a guess,
+    * and on a 60M-token corpus the guessed-small broadcast collected
+    * >1 GiB of keys to the driver (maxResultSize abort — the
+    * bench-measured failure). The hint pins a shuffled hash join at
+    * plan time (hash, not merge: no sort of the corpus-sized probe,
+    * and the probe's (h1, h2) exchange is the aggregation's own);
+    * AQE still converts to broadcast AT RUNTIME when the key set is
+    * actually small, so the small-corpus path loses nothing. */
   private def dupWindowKeys(wins: DataFrame): DataFrame =
     wins.groupBy("h1", "h2")
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
       .select("h1", "h2")
+      .hint("shuffle_hash")
 
   /** Gaps-and-islands run merge: consecutive duplicated starts become
     * one maximal span (pos − row_number is constant inside a run). */
@@ -163,10 +185,11 @@ object SubstringDedup {
     require(stride >= 2, s"stride must be >= 2 (1 is duplicatedSpans), " +
       s"got $stride")
     val ext = if (extend > 0) extend else 8 * stride
-    val wins = windowHashes(docs, idCol, textCol, l)
     // phase 1: content-defined anchors — the ONLY corpus-sized stream
-    // that reaches a shuffle is already 1/stride of the windows
-    val anchors = wins.filter(pmod(col("h1"), lit(stride.toLong)) === 0)
+    // that reaches a shuffle is already 1/stride of the windows (and
+    // h2 is computed for anchors only, inside the same codegen stage)
+    val anchors = windowHashes(docs, idCol, textCol, l,
+      anchorStride = stride.toLong)
     val dupAnchors = anchors
       .join(dupWindowKeys(anchors), Seq("h1", "h2"), "left_semi")
       .select(col("id"), col("pos"))
@@ -174,13 +197,28 @@ object SubstringDedup {
     // only (corpus-independent volume: |dup anchors| × (2·ext+1))
     val hitDocs = docs
       .select(col(idCol).as("id"), col(textCol).as("__t"))
-      .join(dupAnchors.select("id").distinct(), Seq("id"), "left_semi")
-    val nbrPos = dupAnchors
+      // the hit-id set is corpus-derived too (≈ every doc on a
+      // template-heavy corpus) — same merge-hint rationale as
+      // dupWindowKeys; AQE re-broadcasts small sets at runtime
+      .join(dupAnchors.select("id").distinct().hint("shuffle_hash"),
+        Seq("id"), "left_semi")
+    // neighborhoods as RANGES merged per doc BEFORE exploding: nearby
+    // anchors' ±ext windows overlap ~ext/stride-fold, so exploding
+    // first and deduping after shuffles that fold more rows (measured
+    // at 1M docs/5% dup: ~250M pre-distinct rows vs ~4M ranges; the
+    // exploded positions of merged ranges are unique by construction,
+    // so no distinct is needed at all)
+    val nbrPos = IntervalJoin.mergeIntervals(
+        dupAnchors.select(col("id"),
+          greatest(col("pos") - ext, lit(1)).as("__lo"),
+          (col("pos") + ext).as("__hi")),
+        Seq("id"), "__lo", "__hi")
       .select(col("id"),
-        explode(sequence(greatest(col("pos") - ext, lit(1)),
-          col("pos") + ext)).as("pos"))
-      .distinct()
-    val nbrWins = nbrPos.join(hitDocs, Seq("id"))
+        explode(sequence(col("lo"), col("hi"))).as("pos"))
+    // hitDocs carries FULL TEXTS (corpus-sized: ~1 GiB at 1M docs) —
+    // broadcasting it is never right; the 1M bench run aborted on the
+    // driver maxResultSize collecting exactly this table
+    val nbrWins = nbrPos.join(hitDocs.hint("shuffle_hash"), Seq("id"))
       .filter(col("pos") <= length(col("__t")) - lit(l - 1))
       .select(col("id"), col("pos"),
         expr(s"substring(__t, pos, $l)").as("__w"))
