@@ -15,6 +15,8 @@ import org.apache.spark.sql.functions._
   * SPARK_GRAFT_PROBE_CELLS (1024), SPARK_GRAFT_PROBE_K (20). */
 object GraphAnnProbe {
   def main(args: Array[String]): Unit = {
+    // the probe characterizes the DISTRIBUTED build/serve knobs
+    System.setProperty("graft.graphAnn.localThreshold", "0")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .appName("graft-graphann-probe").master(s"local[$cpus]")

@@ -490,13 +490,20 @@ object Workloads {
         // build (measured at 1M/1024 cells: graph recall 0.66 sharded
         // → ~0.9 refined). knnGraphIvf checkpoints its own output.
         A.knnGraphIvf(bd, k = buildK, nCells = ivfCells, refineIters = 1)
-      else A.knnGraph(bd, k = buildK, iters = iters, buildK = buildK)
+      // localThreshold = 0: the knob table is SCALE evidence for the
+      // distributed build/serve machinery — the fused single-task twin
+      // (bit-identical rows) must not absorb the 50k rows it would
+      // otherwise win, or the build_sec columns stop measuring what
+      // the table documents (round-11 optimization rule)
+      else A.knnGraph(bd, k = buildK, iters = iters, buildK = buildK,
+        localThreshold = 0L)
     g.count()
     // the layered index builds its multi-level stack INSIDE the build
     // clock (it is part of the standing index)
     val layer =
       if (layered) {
-        val ls = A.layerGraphs(bd, levelDiv, k = buildK, iters = iters)
+        val ls = A.layerGraphs(bd, levelDiv, k = buildK, iters = iters,
+          localThreshold = 0L)
           .map { case (lb, lg) =>
             val pg = lg.localCheckpoint(); pg.count(); (lb, pg)
           }
@@ -519,8 +526,9 @@ object Workloads {
     val ne = if (nEntries > 0) nEntries else ef
     val served = pairSet((layer match {
       case Some(ls) => A.graphTopKLayeredMulti(qd, bd, g, ls, k,
-        ef, rounds, nEntries = ne)
-      case None => A.graphTopK(qd, bd, g, k, ef, rounds, nEntries = ne)
+        ef, rounds, nEntries = ne, localThreshold = 0L)
+      case None => A.graphTopK(qd, bd, g, k, ef, rounds, nEntries = ne,
+        localThreshold = 0L)
     }).select("a_id", "nbr_id"))
     val serveSec = (System.nanoTime() - t1) / 1e9
     val truth = pairSet(A.bruteForceTopK(qd, bd, k)

@@ -1034,7 +1034,8 @@ object AnnSearch {
     * @return (a_id, nbr_id, rnk) — each id's k nearest found, rnk by
     *   cosine desc, ties by id. */
   def knnGraph(build: DataFrame, k: Int, iters: Int,
-      seed: Long = 42L, buildK: Int = 0): DataFrame = {
+      seed: Long = 42L, buildK: Int = 0,
+      localThreshold: Long = GraphAnnLocal.defaultThreshold): DataFrame = {
     require(k >= 1 && iters >= 0, s"bad knnGraph shape: k=$k iters=$iters")
     // the graph refines at kk >= k and only the final emit cuts to k —
     // the standard build-K > query-k practice: a wider standing
@@ -1042,6 +1043,20 @@ object AnnSearch {
     // recall@k of the emitted top-k rises far faster than the extra
     // O(buildK^2) candidate volume costs (paper's K-sensitivity result)
     val kk = math.max(k, buildK)
+    // Fused single-task path (the Dbscan.runLocal discipline): below
+    // the size guard the whole build — init, rounds, final emit — runs
+    // in ONE thread-parallel task with bit-identical output
+    // (AnnSearchLocalSpec pins fused == distributed; the cap also
+    // bounds NN-Descent's n·(2kk)² candidate work). The probe stops
+    // scanning at the cap instead of counting a 100 TB table.
+    if (localThreshold > 0 && GraphAnnLocal.idVecShape(build, "b_id", "b_v")) {
+      val cap = math.min(localThreshold, GraphAnnLocal.maxBuildN(kk))
+      val n = ConnectedComponents.withJobDesc(build, "knn-graph: size probe") {
+        build.limit(Dbscan.probeCap(cap)).count()
+      }
+      if (n <= cap && n > kk)
+        return GraphAnnLocal.knnGraphFused(build, k, iters, seed, kk)
+    }
     val vecs = withNorm(build, "b_v", "b_n").persist()
     val n = vecs.count()
     require(n > kk, s"need more than buildK=$kk vectors, got $n")
@@ -1270,7 +1285,8 @@ object AnnSearch {
     * @return (a_id, nbr_id, rnk) — rnk 1..k by cosine desc, ties by id. */
   def graphTopK(queries: DataFrame, build: DataFrame, graph: DataFrame,
       k: Int, ef: Int, rounds: Int, nEntries: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      localThreshold: Long = GraphAnnLocal.defaultThreshold): DataFrame = {
     require(nEntries >= 1, s"need at least one entry, got $nEntries")
     // entry points: the nEntries ids with smallest md5(id:seed) — a
     // fixed tiny shortlist (TakeOrdered, no global exchange), shared
@@ -1280,7 +1296,8 @@ object AnnSearch {
         col("nbr"))
       .limit(nEntries)
     graphWalk(queries, build, graph, k, ef, rounds,
-      queries.select(col("a_id")).crossJoin(broadcast(entries)))
+      queries.select(col("a_id")).crossJoin(broadcast(entries)),
+      localThreshold)
   }
 
   /** [[graphTopK]] with CALLER-SUPPLIED round-0 candidates instead of
@@ -1291,14 +1308,37 @@ object AnnSearch {
     * the output. */
   def graphTopKFrom(queries: DataFrame, build: DataFrame,
       graph: DataFrame, k: Int, ef: Int, rounds: Int,
-      seedCand: DataFrame): DataFrame =
-    graphWalk(queries, build, graph, k, ef, rounds, seedCand)
+      seedCand: DataFrame,
+      localThreshold: Long = GraphAnnLocal.defaultThreshold): DataFrame =
+    graphWalk(queries, build, graph, k, ef, rounds, seedCand,
+      localThreshold)
 
   private def graphWalk(queries: DataFrame, build: DataFrame,
       graph: DataFrame, k: Int, ef: Int, rounds: Int,
-      seedCand: DataFrame): DataFrame = {
+      seedCand: DataFrame,
+      localThreshold: Long = GraphAnnLocal.defaultThreshold): DataFrame = {
     require(k >= 1 && ef >= k && rounds >= 0,
       s"bad graph-walk shape: k=$k ef=$ef rounds=$rounds")
+    // Fused single-task walk below the size guard (probes stop early;
+    // seeds are bounded by |Q|·width by the callers' construction, and
+    // the edge list by |B|·buildK — both probed anyway). Bit-identical
+    // rows: AnnSearchLocalSpec + the q253/q264/q268 oracle rows.
+    if (localThreshold > 0 &&
+        GraphAnnLocal.idVecShape(queries, "a_id", "a_v") &&
+        GraphAnnLocal.idVecShape(build, "b_id", "b_v")) {
+      val eCap = GraphAnnLocal.edgeCap(localThreshold)
+      val small =
+        ConnectedComponents.withJobDesc(build, "graph-walk: size probe") {
+          queries.limit(Dbscan.probeCap(localThreshold)).count() <=
+            localThreshold &&
+          build.limit(Dbscan.probeCap(localThreshold)).count() <=
+            localThreshold &&
+          graph.limit(Dbscan.probeCap(eCap)).count() <= eCap
+        }
+      if (small)
+        return GraphAnnLocal.graphWalkFused(queries, build, graph,
+          seedCand, k, ef, rounds)
+    }
     val vecs = withNorm(build, "b_v", "b_n").persist()
     val qv = withNorm(queries, "a_v", "a_n").persist()
     val edges = graph.select(col("a_id").as("src"),
@@ -1351,10 +1391,13 @@ object AnnSearch {
     * [[graft.operators.IndexStore.saveKnnGraph]].
     * @return (layer vectors (b_id, b_v), layer k-NN graph). */
   def layerGraph(build: DataFrame, levelDiv: Int, k: Int, iters: Int,
-      seed: Long = 42L): (DataFrame, DataFrame) = {
+      seed: Long = 42L,
+      localThreshold: Long = GraphAnnLocal.defaultThreshold):
+      (DataFrame, DataFrame) = {
     require(levelDiv >= 2, s"levelDiv must be >= 2, got $levelDiv")
     val l1 = build.filter(layerPromoted(col("b_id"), levelDiv, seed))
-    (l1, knnGraph(l1, k = k, iters = iters, seed = seed, buildK = k))
+    (l1, knnGraph(l1, k = k, iters = iters, seed = seed, buildK = k,
+      localThreshold = localThreshold))
   }
 
   /** The promotion predicate shared by [[layerGraph]] /
@@ -1402,7 +1445,9 @@ object AnnSearch {
     *   (densest) first; serve with [[graphTopKLayeredMulti]]. */
   def layerGraphs(build: DataFrame, levelDiv: Int, k: Int, iters: Int,
       seed: Long = 42L, growth: Int = 4, minTop: Long = 128L,
-      maxLevels: Int = 8): Seq[(DataFrame, DataFrame)] = {
+      maxLevels: Int = 8,
+      localThreshold: Long = GraphAnnLocal.defaultThreshold):
+      Seq[(DataFrame, DataFrame)] = {
     require(levelDiv >= 2, s"levelDiv must be >= 2, got $levelDiv")
     require(maxLevels >= 1, s"maxLevels must be >= 1, got $maxLevels")
     val g = if (growth > 0) growth else levelDiv
@@ -1417,7 +1462,8 @@ object AnnSearch {
       if (cnt <= k + 1) done = true // too small for a width-k graph
       else {
         out += ((li,
-          knnGraph(li, k = k, iters = iters, seed = seed, buildK = k)))
+          knnGraph(li, k = k, iters = iters, seed = seed, buildK = k,
+            localThreshold = localThreshold)))
         if (cnt <= minTop) done = true
         divisor *= g
       }
@@ -1439,7 +1485,8 @@ object AnnSearch {
   def graphTopKLayeredMulti(queries: DataFrame, build: DataFrame,
       graph: DataFrame, layers: Seq[(DataFrame, DataFrame)], k: Int,
       ef: Int, rounds: Int, nEntries: Int, seed: Long = 42L,
-      l1Ef: Int = 0, l1Rounds: Int = 0, l1Entries: Int = 0): DataFrame = {
+      l1Ef: Int = 0, l1Rounds: Int = 0, l1Entries: Int = 0,
+      localThreshold: Long = GraphAnnLocal.defaultThreshold): DataFrame = {
     require(layers.nonEmpty, "need at least one layer")
     val lEf = if (l1Ef > 0) l1Ef else 2 * ef
     val lRounds = if (l1Rounds > 0) l1Rounds else 2 * rounds
@@ -1459,7 +1506,7 @@ object AnnSearch {
         .limit(lNe))
     val top = layers.last
     var seeds = graphTopK(queries, top._1, top._2, lEf, lEf, lRounds,
-      lNe, seed)
+      lNe, seed, localThreshold)
     layers.init.reverse.foreach { case (lb, lg) =>
       // distinct: a descent result that is also a shortlist entry must
       // not occupy two heap slots in round 0 (the heap has no id dedup)
@@ -1467,10 +1514,10 @@ object AnnSearch {
         seeds.select(col("a_id"), col("nbr_id").as("nbr"))
           .unionAll(queries.select(col("a_id"))
             .crossJoin(entriesOf(lb)))
-          .distinct())
+          .distinct(), localThreshold)
     }
     graphTopKFrom(queries, build, graph, k, ef, rounds,
-      seeds.select(col("a_id"), col("nbr_id").as("nbr")))
+      seeds.select(col("a_id"), col("nbr_id").as("nbr")), localThreshold)
   }
 
   /** Two-layer graph serve: beam-walk the sparse [[layerGraph]] first
@@ -1484,7 +1531,8 @@ object AnnSearch {
   def graphTopKLayered(queries: DataFrame, build: DataFrame,
       graph: DataFrame, l1Build: DataFrame, l1Graph: DataFrame, k: Int,
       ef: Int, rounds: Int, nEntries: Int, seed: Long = 42L,
-      l1Ef: Int = 0, l1Rounds: Int = 0, l1Entries: Int = 0): DataFrame = {
+      l1Ef: Int = 0, l1Rounds: Int = 0, l1Entries: Int = 0,
+      localThreshold: Long = GraphAnnLocal.defaultThreshold): DataFrame = {
     // the layer walk is nearly free (|L1| ≈ n/levelDiv vectors) — so
     // it defaults WIDER and LONGER than the base walk, and with MORE
     // entries (routing quality is what the layer exists for; a stalled
@@ -1495,9 +1543,9 @@ object AnnSearch {
     val lRounds = if (l1Rounds > 0) l1Rounds else 2 * rounds
     val lNe = if (l1Entries > 0) l1Entries else math.max(nEntries, 64)
     val l1Res = graphTopK(queries, l1Build, l1Graph, lEf, lEf, lRounds,
-      lNe, seed)
+      lNe, seed, localThreshold)
     graphTopKFrom(queries, build, graph, k, ef, rounds,
-      l1Res.select(col("a_id"), col("nbr_id").as("nbr")))
+      l1Res.select(col("a_id"), col("nbr_id").as("nbr")), localThreshold)
   }
 
   /** Insert into a standing [[knnGraph]] — the graph member of the
@@ -1522,10 +1570,36 @@ object AnnSearch {
     * @return the updated graph (a_id, nbr_id, rnk) over build ∪ batch. */
   def addToKnnGraph(graph: DataFrame, build: DataFrame,
       newVecs: DataFrame, idCol: String, vecCol: String, k: Int,
-      ef: Int, rounds: Int, nEntries: Int,
-      seed: Long = 42L): DataFrame = {
+      ef: Int, rounds: Int, nEntries: Int, seed: Long = 42L,
+      localThreshold: Long = GraphAnnLocal.defaultThreshold): DataFrame = {
     require(ef >= k, s"search width ef=$ef below graph width k=$k")
     val nv = newVecs.select(col(idCol).as("a_id"), col(vecCol).as("a_v"))
+    // Fused tail below the size guard: the insert walk is already a
+    // fused task (graphTopK routes itself); the re-score fold —
+    // standing edges ∪ reverse candidates ∪ adopted edges, exact
+    // re-prune to k per touched vertex — runs in one more task instead
+    // of a 2-join + aggregate round trip. Bit-identical rows
+    // (AnnSearchLocalSpec; q257/q270 oracle rows).
+    if (localThreshold > 0 &&
+        GraphAnnLocal.idVecShape(nv, "a_id", "a_v") &&
+        GraphAnnLocal.idVecShape(build, "b_id", "b_v")) {
+      val eCap = GraphAnnLocal.edgeCap(localThreshold)
+      val small =
+        ConnectedComponents.withJobDesc(build, "graph-insert: size probe") {
+          nv.limit(Dbscan.probeCap(localThreshold)).count() <=
+            localThreshold &&
+          build.limit(Dbscan.probeCap(localThreshold)).count() <=
+            localThreshold &&
+          graph.limit(Dbscan.probeCap(eCap)).count() <= eCap
+        }
+      if (small) {
+        val found = graphTopK(nv, build, graph, ef, ef, rounds, nEntries,
+          seed, localThreshold)
+        val allV = build.unionByName(newVecs.select(
+          col(idCol).as("b_id"), col(vecCol).as("b_v")))
+        return GraphAnnLocal.addToKnnGraphFused(found, graph, allV, k)
+      }
+    }
     val found = graphTopK(nv, build, graph, ef, ef, rounds, nEntries,
       seed).persist()
     val newEdges = found.filter(col("rnk") <= k)
