@@ -208,9 +208,10 @@ object ClusterParity {
   }
 
   def main(args: Array[String]): Unit = {
-    // parity proves the DISTRIBUTED graph machinery bit-equal across
-    // JVM topologies — pin the fused single-task twin off
+    // parity proves the DISTRIBUTED machinery bit-equal across JVM
+    // topologies — pin the fused single-task twins off
     System.setProperty("graft.graphAnn.localThreshold", "0")
+    System.setProperty("graft.incrDbscan.localThreshold", "0")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val clusterMaster =
       sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[4,8,6144]")

@@ -60,8 +60,9 @@ object Scaling {
 
   def main(args: Array[String]): Unit = {
     // scaling curves measure the DISTRIBUTED machinery — pin the fused
-    // single-task graph twin off so core counts stay the variable
+    // single-task twins off so core counts stay the variable
     System.setProperty("graft.graphAnn.localThreshold", "0")
+    System.setProperty("graft.incrDbscan.localThreshold", "0")
     val levels = sys.env.getOrElse("SPARK_GRAFT_SCALING_CPUS", "2,4,8,16,32")
       .split(',').map(_.trim.toInt).toSeq
     val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt

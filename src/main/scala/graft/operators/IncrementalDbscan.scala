@@ -129,11 +129,22 @@ object IncrementalDbscan {
       spark.read.parquet(s"$dir/border_pairs"))
   }
 
-  /** Bootstrap the state with one full clustering pass. */
+  /** Bootstrap the state with one full clustering pass.
+    * @param localThreshold fused single-task path below this corpus
+    *   size (probe-guarded; bit-identical tables — see
+    *   [[IncrDbscanLocal]]); 0 forces the distributed build. */
   def init(points: DataFrame, idCol: String, vecCol: String,
-      eps: Double, minPts: Int, bucketDims: Seq[Int]): State = {
-    val pts = points.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .persist()
+      eps: Double, minPts: Int, bucketDims: Seq[Int],
+      localThreshold: Long = IncrDbscanLocal.defaultThreshold): State = {
+    val sel = points.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    if (localThreshold > 0 && IncrDbscanLocal.idVecShape(sel)) {
+      val n = ConnectedComponents.withJobDesc(sel, "incr-dbscan: size probe") {
+        sel.limit(Dbscan.probeCap(localThreshold)).count()
+      }
+      if (n <= localThreshold)
+        return IncrDbscanLocal.stateFused(sel, None, eps, minPts)
+    }
+    val pts = sel.persist()
     val pairs = EpsilonJoin.selfJoin(pts, "id", "vec", eps, bucketDims)
       .select(col("a_id"), col("b_id"))
       .persist()
@@ -155,12 +166,28 @@ object IncrementalDbscan {
     State(pts, counts, comp, borders)
   }
 
-  /** Fold one batch of new points in (ids must be fresh). */
+  /** Fold one batch of new points in (ids must be fresh).
+    * @param localThreshold fused single-task rebuild below this
+    *   combined corpus size — the state is a pure function of the
+    *   corpus (see [[IncrDbscanLocal]]), so the rebuilt tables are
+    *   bit-identical to the incremental fold's; 0 forces incremental. */
   def addPoints(st: State, newPoints: DataFrame, idCol: String,
       vecCol: String, eps: Double, minPts: Int,
-      bucketDims: Seq[Int]): State = {
-    val np = newPoints.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .persist()
+      bucketDims: Seq[Int],
+      localThreshold: Long = IncrDbscanLocal.defaultThreshold): State = {
+    val npSel = newPoints.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    if (localThreshold > 0 && IncrDbscanLocal.idVecShape(npSel) &&
+        IncrDbscanLocal.idVecShape(st.points.select("id", "vec"))) {
+      val cap = Dbscan.probeCap(localThreshold)
+      val total =
+        ConnectedComponents.withJobDesc(npSel, "incr-dbscan: size probe") {
+          st.points.limit(cap).count() + npSel.limit(cap).count()
+        }
+      if (total <= localThreshold)
+        return IncrDbscanLocal.stateFused(
+          st.points.select("id", "vec").unionAll(npSel), None, eps, minPts)
+    }
+    val np = npSel.persist()
     val oldPts = st.points
     val allPts = st.points.union(np).persist()
     // 1. delta ε-pairs in ONE bipartite pass: new × (old ∪ new), self
@@ -264,7 +291,21 @@ object IncrementalDbscan {
     * against the from-scratch DuckDB oracle). Ids in `removeIds` that
     * are not in the state are ignored. */
   def removePoints(st: State, removeIds: DataFrame, idCol: String,
-      eps: Double, minPts: Int, bucketDims: Seq[Int]): State = {
+      eps: Double, minPts: Int, bucketDims: Seq[Int],
+      localThreshold: Long = IncrDbscanLocal.defaultThreshold): State = {
+    if (localThreshold > 0 &&
+        IncrDbscanLocal.idVecShape(st.points.select("id", "vec"))) {
+      val n = ConnectedComponents.withJobDesc(st.points,
+          "decr-dbscan: size probe") {
+        st.points.limit(Dbscan.probeCap(localThreshold)).count()
+      }
+      if (n <= localThreshold)
+        // removed ids subtract INSIDE the task (unknown ids ignored,
+        // the contract below); the rebuilt state is bit-identical to
+        // the incremental fold's — see IncrDbscanLocal
+        return IncrDbscanLocal.stateFused(st.points.select("id", "vec"),
+          Some(removeIds.select(col(idCol).as("id"))), eps, minPts)
+    }
     val rm = removeIds.select(col(idCol).as("id")).distinct().persist()
     val gone = st.points.join(rm, "id").persist() // (id, vec) actually deleted
     if (gone.isEmpty) return st
