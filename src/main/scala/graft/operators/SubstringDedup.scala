@@ -121,13 +121,78 @@ object SubstringDedup {
     * plan time (hash, not merge: no sort of the corpus-sized probe,
     * and the probe's (h1, h2) exchange is the aggregation's own);
     * AQE still converts to broadcast AT RUNTIME when the key set is
-    * actually small, so the small-corpus path loses nothing. */
+    * actually small, so the small-corpus path loses nothing.
+    *
+    * Used by the STRIDE-1 pass, whose window stream is cheap to
+    * recompute for the probe side at fixture scale (hash-agg measured
+    * 0.8 s vs 3.2 s for a count window at sf0.1). The ANCHORED pass
+    * uses [[dupPositions]] instead — at 60M anchors the aggregate's
+    * map-side hash tables spill and the probe re-scan doubles the
+    * corpus bill (measured: 57-100 s agg + ~170 s semi-join vs 12 s
+    * for the one-exchange sort pass). */
   private def dupWindowKeys(wins: DataFrame): DataFrame =
     wins.groupBy("h1", "h2")
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
       .select("h1", "h2")
       .hint("shuffle_hash")
+
+  /** The (id, pos) rows whose (h1, h2) window key is globally
+    * duplicated (multiplicity ≥ 2) — the ANCHORED pass's multiplicity
+    * check as ONE exchange: repartition the window stream by key, sort
+    * within partitions, and stream a run-length pass that emits every
+    * row of a key seen ≥ 2 times. Replaces the hash-aggregate +
+    * left-semi pair, which (a) shuffled the stream twice, (b) spilled
+    * the aggregate's map-side hash tables on tens of millions of
+    * near-unique keys, and (c) recomputed the corpus-sized window scan
+    * for the probe side (1M-doc profile: 12 s vs ~170 s end-to-end).
+    * Same row SET, bit for bit: multiplicity is decided on the exact
+    * (h1, h2) pair, ties/order are irrelevant downstream (distinct /
+    * interval merge / run merge).
+    *
+    * Memory: O(1) per group — only a group's FIRST row buffers; the
+    * second occurrence flushes it and the rest stream through. A
+    * pathological billion-copy boilerplate key therefore streams,
+    * never materializes. */
+  private[graft] def dupPositions(wins: DataFrame,
+      pin: Boolean = false): DataFrame = {
+    val in = wins.select("id", "pos", "h1", "h2")
+    val idType = in.schema("id").dataType
+    val posType = in.schema("pos").dataType
+    val sorted = in
+      .repartition(col("h1"), col("h2"))
+      .sortWithinPartitions("h1", "h2")
+    val rdd0 = sorted.rdd.mapPartitions { it =>
+      var curH1 = 0L
+      var curH2 = 0L
+      var have = false
+      var first: org.apache.spark.sql.Row = null
+      it.flatMap { r =>
+        val h1 = r.getLong(2)
+        val h2 = r.getLong(3)
+        val row = org.apache.spark.sql.Row(r.get(0), r.get(1))
+        if (!have || h1 != curH1 || h2 != curH2) {
+          curH1 = h1; curH2 = h2; have = true; first = row
+          Iterator.empty
+        } else if (first != null) {
+          val f = first; first = null
+          Iterator(f, row)
+        } else Iterator.single(row)
+      }
+    }
+    // pin when the caller fans the result into several consumers —
+    // RDD-level (ContextCleaner-managed, the cutSpans rule), duplicated
+    // positions only (small by the same argument as the span state)
+    val rdd = if (pin) rdd0.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else rdd0
+    wins.sparkSession.createDataFrame(rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField("pos", posType,
+          nullable = false))))
+  }
 
   /** Gaps-and-islands run merge: consecutive duplicated starts become
     * one maximal span (pos − row_number is constant inside a run). */
@@ -190,9 +255,13 @@ object SubstringDedup {
     // h2 is computed for anchors only, inside the same codegen stage)
     val anchors = windowHashes(docs, idCol, textCol, l,
       anchorStride = stride.toLong)
-    val dupAnchors = anchors
-      .join(dupWindowKeys(anchors), Seq("h1", "h2"), "left_semi")
-      .select(col("id"), col("pos"))
+    // ONE exchange + streamed run-length multiplicity (see
+    // [[dupPositions]]) — the agg + semi-join pair shuffled the anchor
+    // stream twice and re-ran the corpus-sized window scan for the
+    // probe side (measured 1M-doc profile: ~170 s → 12 s). Pinned:
+    // BOTH phase-2 consumers (hit-doc semi-join, neighborhood ranges)
+    // would otherwise re-run the corpus-sized anchor scan
+    val dupAnchors = dupPositions(anchors, pin = true)
     // phase 2: local extension — neighborhoods of duplicated anchors
     // only (corpus-independent volume: |dup anchors| × (2·ext+1))
     val hitDocs = docs
@@ -225,9 +294,10 @@ object SubstringDedup {
       .select(col("id"), col("pos"),
         xxhash64(col("__w")).as("h1"),
         xxhash64(lit("substr-dedup-2"), col("__w")).as("h2"))
-    val dup = nbrWins.join(dupWindowKeys(nbrWins), Seq("h1", "h2"),
-        "left_semi")
-      .select(col("id"), col("pos"))
+    // same one-exchange multiplicity pass for the neighborhood stream
+    // (it was recomputed for the probe side too — substring + two
+    // hashes per neighborhood window, twice)
+    val dup = dupPositions(nbrWins)
     mergeRuns(dup, l, idCol)
   }
 
