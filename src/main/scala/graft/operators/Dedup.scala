@@ -514,20 +514,27 @@ object Dedup {
         "bands > k would make every band key an empty slice — all-pairs, " +
         "not LSH")
     val rowsPerBand = k / bands
-    // hashed shingle table feeds signatures, sizes AND verification —
-    // materialize once (it is also the single most expensive scan:
-    // parse + explode + fingerprint)
-    val sh = hashedShingleTable(docs, idCol, textCol, n).persist()
-    // signatures are consumed twice by the LSH band self-join — persist, or
-    // the k-wide min-agg (k × xxhash64 per shingle) runs once per side
-    val sigs = minHashSignatures(sh, k).persist()
-    val cand = lshCandidates(sigs, bands, rowsPerBand)
+    // signatures AND per-doc shingle sets come from ONE groupBy(id)
+    // aggregate over the hashed shingle table — the two used to be
+    // separate aggregations keyed identically, which shuffled the
+    // corpus-sized (60M rows at the 1M-doc diagnostic) shingle stream
+    // TWICE and cached it besides (guide §2.4: operations keyed the
+    // same way share one exchange). The combined per-doc table (1 row
+    // per doc) is what persists — three consumers: band explode + the
+    // two verify joins.
+    val docTable = hashedShingleTable(docs, idCol, textCol, n)
+      .groupBy("id")
+      .agg(graft.functions.MinHashAgg.minhash(col("shingle"), k).as("sig"),
+        collect_list(col("shingle")).as("toks"))
+      .persist()
+    val cand = lshCandidates(docTable.select("id", "sig"), bands,
+      rowsPerBand)
 
     // verify candidates against per-doc shingle SETS (one row per doc,
     // shingles are already distinct): two hash joins keyed on doc id —
     // candidate pairs are rare post-LSH, so the intersection runs on a
     // few rows instead of re-joining the full exploded shingle table
-    val docSets = sh.groupBy("id").agg(collect_list(col("shingle")).as("toks"))
+    val docSets = docTable.select("id", "toks")
     val out = cand
       .join(docSets.select(col("id").as("a_id"), col("toks").as("a_toks")),
         "a_id")
@@ -556,13 +563,15 @@ object Dedup {
     *   distinct shingle FINGERPRINTS; rebuild any pre-hash-first index
     *   before probing it with this version). */
   def minHashIndex(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int = 64): DataFrame = {
-    // the hashed shingle table feeds signatures AND sets — cache for the
-    // build (released via ContextCleaner once the index is materialized)
-    val sh = hashedShingleTable(docs, idCol, textCol, n).persist()
-    minHashSignatures(sh, k).join(
-      sh.groupBy("id").agg(collect_list(col("shingle")).as("toks")), "id")
-  }
+      n: Int, k: Int = 64): DataFrame =
+    // ONE groupBy(id) aggregate produces both columns — the former
+    // two-aggregate + join shape shuffled the corpus-sized shingle
+    // stream twice and re-joined what one exchange already co-located
+    // (same §2.4 rationale as minHashJoin)
+    hashedShingleTable(docs, idCol, textCol, n)
+      .groupBy("id")
+      .agg(graft.functions.MinHashAgg.minhash(col("shingle"), k).as("sig"),
+        collect_list(col("shingle")).as("toks"))
 
   /** Retract removed documents from a persisted [[minHashIndex]] —
     * deletion's answer at the INDEX level, completing the standing-
