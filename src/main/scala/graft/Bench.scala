@@ -179,8 +179,14 @@ object Bench {
     // solo after a scrub, and the artifact records first/rerun/prev so
     // no committed number carries an unexplained >2x delta. A real
     // regression re-runs just as slow and stands; noise melts.
+    // Per-cpu-count artifact name: the round driver runs the bench at
+    // TWO core counts (32 then 8) and both wrote the same file, so the
+    // low-core run clobbered the 32-core per-query map and the driver
+    // could not score rounds per-query (PERF_r11 per_query: {}). The
+    // legacy name is still written as a copy for old readers.
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_full.json")
+      s"/root/repo/BENCH_full_c$cpus.json")
+    val legacyOut = "/root/repo/BENCH_full.json"
     def parseMins(path: String): Map[String, Double] =
       try {
         val txt = java.nio.file.Files.readString(
@@ -205,7 +211,10 @@ object Bench {
     // refreshed at each round close — a query is adjudicated if it's >2x
     // the BETTER of the two references.
     val prevMins: Map[String, Double] = {
-      val cur = parseMins(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", fullOut))
+      val cur0 = parseMins(sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", fullOut))
+      // first run at this cpu count: fall back to the legacy
+      // single-file artifact so adjudication isn't blind
+      val cur = if (cur0.nonEmpty) cur0 else parseMins(legacyOut)
       val prevRoundPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV_ROUND",
         "/root/repo/BENCH_full_prev.json")
       val lastRound = parseMins(prevRoundPath)
@@ -446,23 +455,30 @@ object Bench {
       s""""$n":{"first":$f,"rerun":$r,"prev":$p}"""
     }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"diagnostics":$diag,"ref_datasets":$refDatasetJson,"graph_ann":$graphAnnJson,"adjudicated":$adjJson,"failed":$failed,"sf":"$sfDir"}"""
-    // The round driver stores only the last ~2,000 chars of stdout and
-    // json-parses the final line; the full per-query map is ~6,000 chars,
-    // so four rounds of artifacts ended up with `parsed: null` and lost
-    // the per-query numbers. Persist the FULL map to a committed file and
-    // keep the final stdout line a short parseable summary (total, counts,
-    // failures, the top-10 slowest queries).
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullOut), full + "\n")
-    catch { case scala.util.control.NonFatal(e) =>
-      System.err.println(s"[bench] could not write $fullOut: ${e.getMessage}")
-    }
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"diagnostics":$diag,"ref_datasets":$refDatasetJson,"graph_ann":$graphAnnJson,"adjudicated":$adjJson,"failed":$failed,"sf":"$sfDir"}"""
+    // Persist the full map to a committed PER-CPU-COUNT file (the round
+    // driver's 8-core run used to clobber the 32-core artifact) and keep
+    // writing the legacy single-file name for older readers — but only
+    // on a full, non-overridden run: a focused SPARK_GRAFT_BENCH_ONLY /
+    // custom-out iteration must not overwrite the committed artifact
+    // with a partial map.
+    val writeLegacy = only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_OUT")
+    for (out <- (if (writeLegacy) Seq(fullOut, legacyOut) else Seq(fullOut))
+        .distinct)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), full + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+      }
     val top10 = jsonMap(results.filter(_._2 >= 0).sortBy(-_._2).take(10))
     // n_failed shares n_queries' denominator (headline results only);
     // diagnostics report their own counter — mixing them made a failed
-    // diagnostic read as a headline failure
+    // diagnostic read as a headline failure.
+    // The stdout line carries the FULL per-query map: the driver scores
+    // rounds per-query from this line (PERF_r11 per_query came up empty
+    // with only a top10 here), and the committed files carry the same
+    // map as a durable copy.
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"n_diag_failed":${diagResults.count(_._2 < 0)},"n_adjudicated":${adjudicated.size},"failed":$failed,"top10":$top10,"diagnostics":$diag,"full":"$fullOut","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"n_queries":${results.size},"n_failed":${results.count(_._2 < 0)},"n_diag_failed":${diagResults.count(_._2 < 0)},"n_adjudicated":${adjudicated.size},"failed":$failed,"queries":$qs,"top10":$top10,"diagnostics":$diag,"full":"$fullOut","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -48,7 +48,32 @@ object PlanDump {
       }
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      // diagnostics (the bench's scale workloads) dump beside declared
+      // queries — they are the optimization rounds' primary targets
+      val diags: Map[String, SparkSession => org.apache.spark.sql.DataFrame] =
+        Map(
+          "substr_synth1m" -> (s => Workloads.substrSynth(s, 1_000_000L)),
+          "minhash_synth1m" -> (s => Workloads.dedupSynth(s, 1_000_000L)),
+          "ann_synth1m" -> (s => Workloads.annSynth(s, 1_000_000L)),
+          "ann_index_rt_synth1m" ->
+            (s => Workloads.annIndexRoundTrip(s, 1_000_000L)),
+          "kdeps_synth200k" ->
+            (s => Workloads.kdEpsSynth(s, 200_000L, eps = 0.2)),
+          "textstats_synth1m" ->
+            (s => Workloads.textStatsSynth(s, 1_000_000L)),
+          "curation_synth250k" -> (s => Workloads.curationSynth(s, 250_000L)),
+          "pagerank_synth10m" ->
+            (s => Workloads.pagerankSynth(s, 10_000_000L, 1_000_000L)),
+          "dbscan_synth500k" -> (s => Workloads.dbscanSynth(s, 500_000L,
+            k = 25, dims = 5, eps = 1.0, minPts = 5)),
+          "substr_anchored" -> (s =>
+            graft.operators.SubstringDedup.duplicatedSpansAnchored(
+              s.read.parquet(s"$sfDir/documents.parquet"), "doc_id",
+              "text", l = 40, stride = 4)))
+      val df = diags.get(name) match {
+        case Some(fn) => fn(spark)
+        case None => SparkEntry.queries(name)(spark, sfDir)
+      }
       df.count()
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500) // let the async listener bus drain

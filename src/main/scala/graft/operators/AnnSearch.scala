@@ -1320,9 +1320,11 @@ object AnnSearch {
     require(k >= 1 && ef >= k && rounds >= 0,
       s"bad graph-walk shape: k=$k ef=$ef rounds=$rounds")
     // Fused single-task walk below the size guard (probes stop early;
-    // seeds are bounded by |Q|·width by the callers' construction, and
-    // the edge list by |B|·buildK — both probed anyway). Bit-identical
-    // rows: AnnSearchLocalSpec + the q253/q264/q268 oracle rows.
+    // in-repo callers bound seeds by |Q|·width, but graphTopKFrom is
+    // public with caller-supplied seeds — the seed frame is probed
+    // like the edge list so an unbounded one cannot coalesce into the
+    // single task). Bit-identical rows: AnnSearchLocalSpec + the
+    // q253/q264/q268 oracle rows.
     if (localThreshold > 0 &&
         GraphAnnLocal.idVecShape(queries, "a_id", "a_v") &&
         GraphAnnLocal.idVecShape(build, "b_id", "b_v")) {
@@ -1333,7 +1335,8 @@ object AnnSearch {
             localThreshold &&
           build.limit(Dbscan.probeCap(localThreshold)).count() <=
             localThreshold &&
-          graph.limit(Dbscan.probeCap(eCap)).count() <= eCap
+          graph.limit(Dbscan.probeCap(eCap)).count() <= eCap &&
+          seedCand.limit(Dbscan.probeCap(eCap)).count() <= eCap
         }
       if (small)
         return GraphAnnLocal.graphWalkFused(queries, build, graph,
@@ -1600,8 +1603,11 @@ object AnnSearch {
         return GraphAnnLocal.addToKnnGraphFused(found, graph, allV, k)
       }
     }
+    // localThreshold forwards so a caller forcing the distributed
+    // insert (localThreshold = 0, the Scaling/ClusterParity
+    // convention) also forces the inner beam walk distributed
     val found = graphTopK(nv, build, graph, ef, ef, rounds, nEntries,
-      seed).persist()
+      seed, localThreshold).persist()
     val newEdges = found.filter(col("rnk") <= k)
       .select(col("a_id"), col("nbr_id").as("nbr"))
     val revCand = found.select(col("nbr_id").as("a_id"),

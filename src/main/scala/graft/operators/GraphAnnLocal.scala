@@ -66,8 +66,13 @@ private[graft] object GraphAnnLocal {
 
   /** Edge-list cap for fused walks: a knnGraph over ≤ threshold
     * vectors has ≤ n·buildK edges; 64× threshold leaves headroom for
-    * wider graphs while still bounding task memory (~16 B/edge). */
-  def edgeCap(threshold: Long): Long = 64L * threshold
+    * wider graphs while still bounding task memory (~16 B/edge).
+    * Saturating: a Long.MaxValue "always local" threshold must not
+    * overflow to a negative cap (which would fail every probe and
+    * silently force the distributed path). */
+  def edgeCap(threshold: Long): Long =
+    if (threshold > Long.MaxValue / 64L) Long.MaxValue
+    else 64L * threshold
 
   // ---------- exact scalar kernels ----------
 
@@ -180,6 +185,16 @@ private[graft] object GraphAnnLocal {
     // positions 1..n in id-ascending order (GlobalIndex.rowNumbers)
     val order = Array.range(0, n).sortBy(idsIn(_))
     val ids = order.map(idsIn(_))
+    // unique ids are a documented precondition (binarySearch position
+    // lookup requires it); a violation must FAIL here, not silently
+    // diverge from the distributed path's rows
+    var dup = 1
+    while (dup < n) {
+      require(ids(dup) != ids(dup - 1),
+        s"knnGraph fused path requires unique ids, got duplicate " +
+          s"${ids(dup)}")
+      dup += 1
+    }
     val vecs = order.map(vecsIn(_))
     val norms = new Array[Double](n)
     parallelFor(n) { i => norms(i) = dot(vecs(i), vecs(i)) }
@@ -345,6 +360,11 @@ private[graft] object GraphAnnLocal {
     val bIdx = new scala.collection.mutable.LongMap[Int](bIds.length * 2)
     var i = 0
     while (i < bIds.length) { bIdx.update(bIds(i), i); i += 1 }
+    // last-wins on a duplicate corpus id would silently diverge from
+    // the distributed join's rows — unique ids are the precondition
+    require(bIdx.size == bIds.length,
+      s"graph-walk fused path requires unique corpus ids " +
+        s"(got ${bIds.length} rows, ${bIdx.size} distinct)")
     val bNorm = new Array[Double](bIds.length)
     parallelFor(bIds.length) { j => bNorm(j) = dot(bVecs(j), bVecs(j)) }
     // adjacency (edge sources need not be corpus members; absent

@@ -104,6 +104,20 @@ private[graft] object IncrDbscanLocal {
     val vecs = new Array[Array[Float]](n)
     var i = 0
     while (i < n) { ids(i) = idsB(keep(i)); vecs(i) = vecsB(keep(i)); i += 1 }
+    // unique ids are the documented precondition (the distributed ε
+    // self-join keys on id and EXCLUDES a_id = b_id, so a duplicated id
+    // would silently change counts here instead of matching that path —
+    // fail loudly on the violation)
+    locally {
+      val sorted = ids.clone(); java.util.Arrays.sort(sorted)
+      var j = 1
+      while (j < n) {
+        require(sorted(j) != sorted(j - 1),
+          s"incremental-DBSCAN fused path requires unique point ids, " +
+            s"got duplicate ${sorted(j)}")
+        j += 1
+      }
+    }
     val eps2 = eps * eps
     // exact ε-predicate: the distributed kernel's left-to-right double
     // fold over float-widened elements (Dbscan.localLabels.within)

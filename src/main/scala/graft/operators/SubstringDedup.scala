@@ -258,39 +258,85 @@ object SubstringDedup {
     // ONE exchange + streamed run-length multiplicity (see
     // [[dupPositions]]) — the agg + semi-join pair shuffled the anchor
     // stream twice and re-ran the corpus-sized window scan for the
-    // probe side (measured 1M-doc profile: ~170 s → 12 s). Pinned:
-    // BOTH phase-2 consumers (hit-doc semi-join, neighborhood ranges)
-    // would otherwise re-run the corpus-sized anchor scan
-    val dupAnchors = dupPositions(anchors, pin = true)
+    // probe side (measured 1M-doc profile: ~170 s → 12 s). No pin:
+    // the merged RANGES below are the (far smaller) pinned fan-out
+    // point now, and they are this stream's single consumer.
+    val dupAnchors = dupPositions(anchors)
     // phase 2: local extension — neighborhoods of duplicated anchors
-    // only (corpus-independent volume: |dup anchors| × (2·ext+1))
-    val hitDocs = docs
-      .select(col(idCol).as("id"), col(textCol).as("__t"))
-      // the hit-id set is corpus-derived too (≈ every doc on a
-      // template-heavy corpus) — same merge-hint rationale as
-      // dupWindowKeys; AQE re-broadcasts small sets at runtime
-      .join(dupAnchors.select("id").distinct().hint("shuffle_hash"),
-        Seq("id"), "left_semi")
-    // neighborhoods as RANGES merged per doc BEFORE exploding: nearby
-    // anchors' ±ext windows overlap ~ext/stride-fold, so exploding
-    // first and deduping after shuffles that fold more rows (measured
-    // at 1M docs/5% dup: ~250M pre-distinct rows vs ~4M ranges; the
-    // exploded positions of merged ranges are unique by construction,
-    // so no distinct is needed at all)
-    val nbrPos = IntervalJoin.mergeIntervals(
+    // only (corpus-independent volume: |dup anchors| × (2·ext+1)).
+    // Neighborhoods as RANGES merged per doc: nearby anchors' ±ext
+    // windows overlap ~ext/stride-fold, so merging BEFORE any join or
+    // explode shrinks the stream ~(2·ext+1)-fold (measured at 1M
+    // docs/5% dup: ~250M exploded positions vs ~4M ranges; merged
+    // ranges are disjoint per doc, so the later explode emits each
+    // position exactly once — no distinct needed)
+    val nbrRanges0 = IntervalJoin.mergeIntervals(
         dupAnchors.select(col("id"),
           greatest(col("pos") - ext, lit(1)).as("__lo"),
           (col("pos") + ext).as("__hi")),
         Seq("id"), "__lo", "__hi")
-      .select(col("id"),
-        explode(sequence(col("lo"), col("hi"))).as("pos"))
-    // hitDocs carries FULL TEXTS (corpus-sized: ~1 GiB at 1M docs) —
-    // broadcasting it is never right; the 1M bench run aborted on the
-    // driver maxResultSize collecting exactly this table
-    val nbrWins = nbrPos.join(hitDocs.hint("shuffle_hash"), Seq("id"))
-      .filter(col("pos") <= length(col("__t")) - lit(l - 1))
-      .select(col("id"), col("pos"),
-        expr(s"substring(__t, pos, $l)").as("__w"))
+      .select(col("id"), col("lo"), col("hi"))
+    // pinned at the RDD layer (the cutSpans rule): three consumers —
+    // the sizing count, the Bloom build, the snippet join — and one
+    // row per merged neighborhood, so the pin is tiny while cutting
+    // off the corpus-sized anchor scan + multiplicity exchange above
+    val nbrRangesRdd = nbrRanges0.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val nbrRanges = docs.sparkSession.createDataFrame(nbrRangesRdd,
+      nbrRanges0.schema)
+    val d = docs.select(col(idCol).as("id"), col(textCol).as("__t"))
+    // Pre-filter the DOC SCAN with a Bloom filter over hit doc-ids
+    // (guide §3.2): the former left-semi join shuffled EVERY doc's
+    // full text by id just to drop the non-hit ones on the other side
+    // of the exchange — the single largest remaining shuffle of this
+    // pass (full corpus text bytes) for a hit set that is a few
+    // percent of docs on a realistic duplication profile. False
+    // positives only add docs whose ranges-join below matches nothing
+    // (the inner join is the exact filter), so the output is
+    // bit-identical. The filter build is one tiny aggregate over the
+    // pinned ranges; past `graft.substr.bloomMaxItems` distinct hit
+    // docs (or for non-long ids) the semi-join fallback keeps the old
+    // scale-graceful plan.
+    val nRanges = nbrRanges.count()
+    val bloomMax = sys.props.get("graft.substr.bloomMaxItems")
+      .map(_.toLong).getOrElse(200_000_000L)
+    val idIsLong =
+      d.schema("id").dataType == org.apache.spark.sql.types.LongType
+    val hitDocs =
+      if (idIsLong && nRanges > 0 && nRanges <= bloomMax) {
+        val bf = nbrRanges.stat.bloomFilter("id",
+          math.max(nRanges, 64L), 0.01)
+        val bfB = d.sparkSession.sparkContext.broadcast(bf)
+        val mightContain = udf((id: Long) => bfB.value.mightContainLong(id))
+        d.filter(mightContain(col("id")))
+      } else {
+        // the hit-id set is corpus-derived (≈ every doc on a
+        // template-heavy corpus) — same merge-hint rationale as
+        // dupWindowKeys; AQE re-broadcasts small sets at runtime
+        d.join(nbrRanges.select("id").distinct().hint("shuffle_hash"),
+          Seq("id"), "left_semi")
+      }
+    // join texts against the MERGED RANGES (|ranges| rows, not
+    // |positions| — the former position-side probe shuffled ~60× more
+    // rows), snip out just the range's covering chars, and explode
+    // windows from the short snippet: every window substring now
+    // re-scans a ≤(hi−lo+l)-char snippet instead of the whole doc.
+    // hitDocs still carries FULL TEXTS (corpus-sized before the Bloom
+    // cut: ~1 GiB at 1M docs) — broadcasting it is never right; the 1M
+    // bench run aborted on the driver maxResultSize collecting exactly
+    // this table. substring(__t, lo, hi−lo+l) truncates at the doc end,
+    // so the snippet-local explode bound min(hi, len−l+1) reproduces
+    // the original pos ≤ len−l+1 filter exactly.
+    val nbrWins = nbrRanges.join(hitDocs.hint("shuffle_hash"), Seq("id"))
+      .select(col("id"), col("lo"),
+        expr(s"substring(__t, CAST(lo AS INT), " +
+          s"CAST(hi - lo + $l AS INT))").as("__snip"))
+      .filter(length(col("__snip")) >= l)
+      .select(col("id"), col("lo"), col("__snip"),
+        explode(sequence(lit(1), length(col("__snip")) - lit(l - 1)))
+          .as("__q"))
+      .select(col("id"), (col("__q") + col("lo") - lit(1)).as("pos"),
+        expr(s"substring(__snip, __q, $l)").as("__w"))
       .select(col("id"), col("pos"),
         xxhash64(col("__w")).as("h1"),
         xxhash64(lit("substr-dedup-2"), col("__w")).as("h2"))
