@@ -181,23 +181,33 @@ object AnnSearch {
     var cents: Array[(Int, Array[Double])] =
       farthestFirst(pool, nCentroids).zipWithIndex
         .map { case (pi, i) => (i + 1, pool(pi)) }.toArray
+    val dims = if (cents.nonEmpty) cents(0)._2.length else 0
     for (_ <- 0 until iters) {
       // the kernel's generated code is O(1) in nCentroids (matrix rides as
       // a referenced object), so no size split is needed here — every round
-      // is one projection + one (c_id, pos) integer-sum job at any size
-      val assigned =
-        build.select(nearestCentroid(col("b_v"), cents).as("c_id"), col("b_v"))
-      val means = assigned
-        .select(col("c_id"), posexplode(col("b_v").cast("array<double>")))
-        .groupBy(col("c_id"), col("pos"))
-        .agg(sum(round(col("col") * lit(1e6)).cast("long")).as("s"),
-          count(lit(1)).as("cnt"))
+      // is one projection + one integer-sum job at any size. The mean is
+      // `dims` column sums in ONE pass over |B| rows — the former
+      // posexplode shape pushed |B|·dims rows through a (c_id, pos) hash
+      // aggregate (32M rows/round at the 1M diagnostic: one hash probe
+      // per ELEMENT instead of per vector). Values are bit-identical:
+      // the same round(v·1e6) longs sum per cluster either way
+      // (order-free integer sums), null vectors excluded like
+      // posexplode-of-null emitted nothing.
+      val assigned = build
+        .select(nearestCentroid(col("b_v"), cents).as("c_id"),
+          col("b_v").cast("array<double>").as("__v"))
+        .filter(col("__v").isNotNull)
+      val aggs = (0 until dims).map(d =>
+        sum(round(element_at(col("__v"), d + 1) * lit(1e6)).cast("long"))
+          .as(s"s$d")) :+ count(lit(1)).as("cnt")
+      val means = assigned.groupBy(col("c_id"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-      cents = means.groupBy(_.getInt(0)).toArray.sortBy(_._1)
-        .map { case (cid, rows) =>
-          (cid, rows.sortBy(_.getInt(1)).map(r =>
-            r.getLong(2).toDouble / r.getLong(3).toDouble / 1e6).toArray)
-        }
+      cents = means.map { r =>
+        val cnt = r.getLong(dims + 1).toDouble
+        (r.getInt(0),
+          Array.tabulate(dims)(d => r.getLong(d + 1).toDouble / cnt / 1e6))
+      }.sortBy(_._1)
     }
     cents
   }
@@ -328,7 +338,16 @@ object AnnSearch {
       nearestCentroid(col("b_v"), cents).as("c_id"))
     val probes = probeCells(queries, build, cents, nProbe)
 
-    withNorm(probes, "a_v", "a_n")
+    // BROADCAST the probe side (guide §3.1): it is |Q|·nProbe rows — a
+    // bounded serving batch by contract — while the build side is the
+    // corpus. The compile-time plan was a SortMergeJoin that exchanged
+    // AND sorted the full vector table by c_id (measured 1M-vector
+    // profile: the serve's dominant stage); broadcasting the batch
+    // leaves the corpus unshuffled, and the only exchange left is the
+    // bounded per-query top-k aggregate (partial heaps map-side).
+    // Callers with an unbounded probe batch should chunk it — the same
+    // contract as the entry broadcast in graphTopK.
+    broadcast(withNorm(probes, "a_v", "a_n"))
       .join(withNorm(buildIdx, "b_v", "b_n"), "c_id")
       .filter(col("a_id") =!= col("b_id"))
       .select(col("a_id"), col("b_id"), (-cosineCol).as("negcos"))
